@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic string→bucket hashing that is *portable across SQL
+  * engines* (SURVEY.md §7.4 "hash function parity"): Spark's `hash()`
+  * is Murmur3 and has no DuckDB twin, so every oracle-checked hashing
+  * path instead derives an integer from the leading hex digits of
+  * sha-256 — both engines produce identical lowercase-hex sha-256 for
+  * UTF-8 input, and hex→int parsing is plain arithmetic in both
+  * dialects.
+  *
+  * Spark side: `conv(substring(sha2(s,256), 1, 6), 16, 10)`.
+  * DuckDB twin (same value):
+  * {{{
+  * list_sum(list_transform(range(1,7), i ->
+  *   (strpos('0123456789abcdef', substr(sha256(s), i, 1)) - 1)
+  *     * CAST(power(16, 6-i) AS BIGINT)))
+  * }}}
+  *
+  * For non-oracle hot paths (bench-only ops) prefer
+  * [[org.apache.spark.sql.functions.xxhash64]] — codegen'd and far
+  * cheaper than a sha round per row.
+  */
+object PortableHash {
+
+  /** 24-bit non-negative integer from the first 6 hex chars of
+    * sha-256(s). Value range [0, 16^6). */
+  def hash24(s: Column): Column =
+    conv(substring(sha2(s.cast("string"), 256), 1, 6), 16, 10).cast("long")
+
+  /** Bucket assignment in [0, nBuckets). */
+  def bucket(s: Column, nBuckets: Int): Column =
+    pmod(hash24(s), lit(nBuckets.toLong))
+
+  /** Seeded variant for minhash families: hashes `"<seed>:" || s`. */
+  def seededHash24(s: Column, seed: Int): Column =
+    hash24(concat(lit(s"$seed:"), s))
+
+  /** SQL fragment for the DuckDB twin of [[hash24]], for oracle
+    * authoring. `sExpr` is a SQL expression yielding the input string. */
+  def duckdbHash24(sExpr: String): String =
+    s"list_sum(list_transform(range(1,7), i -> " +
+      s"(strpos('0123456789abcdef', substr(sha256($sExpr), i, 1)) - 1) " +
+      s"* CAST(power(16, 6-i) AS BIGINT)))"
+}

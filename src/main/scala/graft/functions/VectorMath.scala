@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType` columns, expressed as Catalyst
+  * higher-order functions so plans stay inside whole-stage codegen and
+  * the DuckDB oracle can replicate the arithmetic exactly.
+  *
+  * Semantics derive from the reference's flat-L2 search + cosine
+  * re-score (reference: app.py:180 squared-L2 via faiss.IndexFlatL2;
+  * app.py:184 cosine_similarity per hit).
+  *
+  * Determinism contract (SURVEY.md §7.4): all arithmetic is performed
+  * in DOUBLE (inputs cast before subtraction — float-subtract-then-
+  * widen rounds differently than widen-then-subtract) and folds run in
+  * ordinal array order, matching a sequential SQL fold. Callers round
+  * final values with [[roundn]] before oracle comparison.
+  */
+object VectorMath {
+
+  /** Cast an Array[Float] column to Array[Double] for stable math. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential ordered fold of an Array[Double] column: sum. */
+  private def foldSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 distance between two Array[Double] columns.
+    * (FAISS IndexFlatL2 returns *squared* L2 — reference app.py:180.) */
+  def l2Sq(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => (x - y) * (x - y)))
+
+  /** L2 distance (sqrt of [[l2Sq]]). */
+  def l2(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
+  /** Dot product of two Array[Double] columns. */
+  def dot(a: Column, b: Column): Column =
+    foldSum(zip_with(a, b, (x, y) => x * y))
+
+  /** Euclidean norm of an Array[Double] column. */
+  def norm(v: Column): Column = sqrt(foldSum(transform(v, x => x * x)))
+
+  /** Cosine similarity (reference app.py:184). NULL-safe on zero
+    * vectors: returns 0.0 rather than NaN (zero-vector rows exist via
+    * the empty-text guard, reference app_callapi.py:112). */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, 0.0).otherwise(dot(a, b) / denom)
+  }
+
+  /** Round to `n` decimals and normalize -0.0 to 0.0 so driver-side
+    * value hashing can't diverge on sign-of-zero. */
+  def roundn(c: Column, n: Int): Column = round(c, n) + lit(0.0)
+
+  /** L2-normalize an Array[Double] column (zero vector stays zero). */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    when(n === 0.0, v).otherwise(transform(v, x => x / n))
+  }
+}

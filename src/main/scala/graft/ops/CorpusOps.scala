@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document-corpus operators — the ingest half of the reference
+  * pipeline (reference: app.py:117-132 startup ingest;
+  * app_callapi.py:135-154 incremental process_file).
+  *
+  * The reference keeps its corpus as four parallel Python lists keyed
+  * by list position; here identity is carried by explicit key columns
+  * (doc/source, para_idx), which is what makes delete/upsert a plain
+  * `filter`/`union` instead of a full index rebuild
+  * (app_callapi.py:122-130).
+  *
+  * Scale notes: every op below is a narrow map/filter or a single
+  * keyed shuffle; nothing collects to the driver. Dedup and the
+  * incremental anti-join shuffle on the hash key — at 100 TB those are
+  * the natural partition keys (uniform by construction, sha-derived).
+  */
+object CorpusOps {
+
+  /** S1 — corpus scan with projection pushed to the parquet reader.
+    * (reference app.py:121 directory listing → here a columnar scan.) */
+  def scanDocuments(docs: DataFrame): DataFrame =
+    docs.select("doc_id", "source", "lang", "n_chars")
+
+  /** S4 — source filter: drop Office lock files (`~$*`) and keep only
+    * ingestible extensions when present (reference app.py:35-36,144;
+    * app_callapi.py:74,166). The testdata `source` column has no
+    * extension, so the extension clause admits extension-less names. */
+  def filterSources(docs: DataFrame): DataFrame =
+    docs.filter(
+      !col("source").startsWith("~$") &&
+        (!col("source").contains(".") ||
+          col("source").rlike("(?i)\\.(pdf|docx)$")))
+
+  /** P1 — paragraph segmentation: split text on the delimiter, trim,
+    * drop blanks, number by position (reference app.py:24,27 split +
+    * strip + filter; app.py:97,104 enumerate → (file, i) key). */
+  def segmentParagraphs(docs: DataFrame, delim: String = " "): DataFrame =
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), delim)).as(Seq("para_idx", "para")))
+      .withColumn("para", trim(col("para")))
+      .filter(col("para") =!= "")
+
+  /** D1 — exact dedup, deterministic representative: group by the
+    * natural key and keep the smallest doc_id (reference app.py:98-99
+    * skips already-seen (file, i); dropDuplicates would keep an
+    * arbitrary row, min() keeps a stable one for the oracle). */
+  def dedupDocuments(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"), col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "source", "n_copies")
+
+  /** A5 — content hash per document (reference app_callapi.py:117-120
+    * sha-256 of file bytes; here sha-256 of the text column). */
+  def contentHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), sha2(col("text"), 256).as("content_hash"))
+
+  /** A2 — corpus statistics per language: count + size aggregates
+    * (reference app.py:125 paragraph totals, app_callapi.py:167-170
+    * added_count; generalized to a grouped profile). */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (round(avg(col("n_chars")), 4) + lit(0.0)).as("avg_chars"))
+
+  /** J2 — incremental-ingest anti-join: keep only incoming docs whose
+    * content hash is absent from the known-state side (reference
+    * app_callapi.py:117-120,139 sha short-circuit). `state` must carry
+    * a `content_hash` column. Broadcast is left to Catalyst/AQE: the
+    * state side is small per-batch in the reference, but at scale both
+    * sides shuffle on the uniformly-distributed hash — the right plan
+    * either way. */
+  def incrementalAntiJoin(incoming: DataFrame, state: DataFrame): DataFrame =
+    contentHash(incoming)
+      .join(incoming, "doc_id")
+      .join(state.select("content_hash"), Seq("content_hash"), "left_anti")
+
+  /** D2/D3 — delete-by-predicate + upsert: remove all rows of a
+    * re-uploaded source and append its replacement rows (reference
+    * app_callapi.py:122-130,140-153 — there a full FAISS rebuild; here
+    * a filter + union because identity is columnar). */
+  def upsertSource(corpus: DataFrame, source: String, replacement: DataFrame): DataFrame =
+    corpus.filter(col("source") =!= source).unionByName(replacement)
+}

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+import graft.functions.VectorMath.roundn
+
+/** E1 — text→embedding substitute (SURVEY.md §2.9 decision): the
+  * reference runs LaBSE transformer inference (app.py:56-67,
+  * app_callapi.py:110-115 — tokenize/truncate(512) → forward →
+  * mean-pool → 768-d float32). Transformer inference is out of scope
+  * in this zero-egress build, so the engine ships a *deterministic
+  * hashed term-frequency embedder* with the same signature
+  * (text → dense unit vector) and the same downstream algebra:
+  *
+  *   tokenize (split on whitespace, app.py:24 analog)
+  *   → truncate to `maxTokens` (app_callapi.py:113 `max_length=512`)
+  *   → hash token to a dimension (portable sha-fold, PortableHash)
+  *   → per-dim term counts → L2 normalize
+  *   → empty text ⇒ zero vector (app_callapi.py:112 guard)
+  *
+  * Everything is Catalyst builtins (one explode + one keyed agg), so
+  * the DuckDB oracle replicates it bit-for-bit and whole-stage codegen
+  * covers the hot path. At 100 TB this is a single shuffle keyed by
+  * (doc_id, dim) with map-side partial counts.
+  */
+object EmbedOps {
+
+  /** Tokenize + truncate: (doc_id, pos, tok) rows, blanks dropped. */
+  def tokenize(docs: DataFrame, maxTokens: Int = 512): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, maxTokens)).as(Seq("pos", "tok")))
+      .withColumn("tok", trim(col("tok")))
+      .filter(col("tok") =!= "")
+
+  /** Sparse hashed-TF: (doc_id, dim, weight) with L2-normalized
+    * weights. Exploded form — scalar-typed for the oracle; use
+    * [[embedDense]] for the Array[Float] column form. */
+  def embedSparse(docs: DataFrame, dim: Int = 64, maxTokens: Int = 512): DataFrame = {
+    val tf = tokenize(docs, maxTokens)
+      .withColumn("dim", PortableHash.bucket(col("tok"), dim))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val norms = tf
+      .groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+    tf.join(norms, "doc_id")
+      .select(col("doc_id"), col("dim"), roundn(col("cnt") / col("nrm"), 6).as("weight"))
+  }
+
+  /** Dense form: (doc_id, embedding Array[Float]) — the reference's
+    * output shape (app.py:105). Built from the sparse form via a
+    * pivot-free map_from_entries + dimension walk; empty docs get the
+    * zero vector (app_callapi.py:112). */
+  def embedDense(docs: DataFrame, dim: Int = 64, maxTokens: Int = 512): DataFrame = {
+    val sparse = embedSparse(docs, dim, maxTokens)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("weight")))).as("m"))
+    val dense = docs
+      .select(col("doc_id"))
+      .join(sparse, Seq("doc_id"), "left")
+      .withColumn(
+        "embedding",
+        transform(
+          sequence(lit(0), lit(dim - 1)),
+          d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0)).cast("float")))
+    dense.select(col("doc_id"), col("embedding"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.roundn
+
+/** Relational breadth for the north star (SURVEY.md §2.3/§2.5/§2.10
+  * generalizations): the reference has no two-table joins, window
+  * frames, or time windows, but a 100 TB pipeline engine needs them,
+  * and the TPC-H-ish testdata exercises every Spark join/agg path.
+  *
+  * Scale notes are per-op; the common rules: dimension sides are
+  * broadcast explicitly, fact-fact joins shuffle on their keys with
+  * AQE handling skew, aggregates run partial→final, and filters are
+  * written against raw columns so they push into the parquet scan.
+  */
+object RelationalOps {
+
+  /** Customer⋈orders⋈lineitem revenue rollup by market segment.
+    * customer (150 rows/sf0.001) broadcasts; orders⋈lineitem is the
+    * one real shuffle, on l_orderkey — the natural co-partition key at
+    * any scale (bucket both tables by orderkey in a real deployment
+    * and this becomes shuffle-free). */
+  def revenueBySegment(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_orderkey"), (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(roundn(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+
+  /** Left-semi join: parts that appear in any lineitem. Semi stops at
+    * first match — no row explosion, and Catalyst can pick
+    * broadcast/shuffled-hash per side sizes. */
+  def partsWithSales(part: DataFrame, lineitem: DataFrame): DataFrame =
+    part
+      .join(lineitem.select(col("l_partkey")), col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+
+  /** W — running sum per user over event time: the frame-spec window
+    * query (SURVEY.md §2.5). Partition by user_id bounds state per
+    * key; ties broken by event_id. */
+  def runningSumPerUser(events: DataFrame): DataFrame =
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn(
+        "running_value",
+        roundn(
+          sum(col("value")).over(
+            Window
+              .partitionBy(col("user_id"))
+              .orderBy(col("ts"), col("event_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+          4))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+
+  /** Tumbling 1-hour aggregation over event time — the batch analog of
+    * the streaming windowed agg (SURVEY.md §2.10); `window()` start ≡
+    * date_trunc('hour') for aligned tumbling windows, which is what
+    * the oracle computes. `ts` arrives as Long nanos (Tables.events);
+    * convert to micros-precision timestamp for the time window. */
+  def eventsTumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), roundn(sum(col("value")), 4).as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"),
+        col("n_events"),
+        col("sum_value"))
+
+  /** Scalar-function breadth: JSON field extraction from events.props
+    * (SURVEY.md §2.8 — `get_json_object` class). Implemented with
+    * regexp_extract so the oracle needs no JSON extension; props shape
+    * is flat {"k": int} per FIXTURES.md. */
+  def extractJsonK(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"),
+        regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("k"))
+      .filter(col("k").isNotNull)
+
+  /** TPC-H Q1-shaped pricing summary — the canonical partial-agg
+    * rollup; one shuffle carrying 4-ish groups regardless of scale. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        roundn(sum(col("l_quantity")), 2).as("sum_qty"),
+        roundn(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        roundn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        roundn(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath._
+
+/** Vector-search operators — the reference's heart (flat-L2 KNN +
+  * cosine re-score, reference app.py:179-185, app_callapi.py:201-209).
+  *
+  * Design (SURVEY.md §1.3): there is no index *object*; exact KNN is a
+  * distance expression + top-k over the embeddings DataFrame, which is
+  * semantically identical to what `faiss.IndexFlatL2` computes. The
+  * flat scan parallelizes embarrassingly (no shuffle until the final
+  * k-row reduction, which Spark plans as TakeOrderedAndProject —
+  * per-partition top-k then a k-sized merge on the driver). At 100 TB
+  * the ANN tier (LSH bucketing, see [[graft.ops.DedupOps]]) prunes the
+  * scan; the brute-force path stays as the exact fallback and the
+  * per-bucket kernel.
+  */
+object VectorOps {
+
+  /** J3+W1+J1 — exact KNN: top-k nearest corpus vectors to the single
+    * query row in `query` (column `qe`: Array[Double]), with rank,
+    * squared-L2 (FAISS contract, app.py:180) and cosine re-score
+    * (app.py:184). Ties break on vec_id (FAISS tie order is insertion
+    * order — the oracle needs an explicit key, SURVEY.md §7.4).
+    *
+    * The query side is broadcast (k ≤ 10 rows in the reference); the
+    * corpus side streams through whole-stage codegen; `orderBy.limit`
+    * becomes TakeOrderedAndProject — no full sort, no full shuffle.
+    */
+  def knnSearch(corpus: DataFrame, query: DataFrame, k: Int): DataFrame = {
+    // Rank on the ROUNDED distance with vec_id tie-break: a 1-ulp
+    // summation difference vs the oracle then cannot flip the top-k
+    // set (SURVEY.md §7.4 float-determinism rule).
+    val scored = corpus
+      .withColumn("e", asDouble(col("embedding")))
+      .crossJoin(broadcast(query))
+      .withColumn("l2_sq", roundn(l2Sq(col("e"), col("qe")), 6))
+      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .orderBy(col("l2_sq"), col("vec_id"))
+      .limit(k)
+    scored
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("l2_sq"), col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("l2_sq"), col("cos_sim"), col("label"))
+  }
+
+  /** A1 — vector mean-pool: per-dimension average over a group
+    * (reference app.py:66 `last_hidden_state.mean(dim=1)` — token
+    * vectors → paragraph vector; generalized to label-grouped corpus
+    * centroids). Exploded (group, dim, value) output keeps the oracle
+    * comparison scalar-typed. Partial aggregation (map-side combine)
+    * applies — the shuffle carries (group, dim) partial sums, not rows.
+    */
+  def meanPoolByLabel(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .groupBy(col("label"), col("dim"))
+      .agg(roundn(avg(col("x")), 6).as("centroid_val"))
+
+  /** N×M similarity join: all pairs (a < b) with cosine ≥ threshold.
+    * Exact quadratic kernel — correct at test scale and as the
+    * per-bucket kernel under LSH at 100 TB (SURVEY.md §2.3 J3
+    * generalization). `limitIds` caps the quadratic blow-up. */
+  def similarityJoin(embeddings: DataFrame, threshold: Double, limitIds: Long): DataFrame = {
+    val e = embeddings
+      .filter(col("vec_id") < limitIds)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val a = e.select(col("vec_id").as("a_id"), col("e").as("ea"))
+    val b = e.select(col("vec_id").as("b_id"), col("e").as("eb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("cos_sim", roundn(cosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= threshold) // threshold on rounded value: engine-portable
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  /** Brute-force cosine top-k for a *set* of query vectors: per-query
+    * ranked neighbors. The scale path replaces the cross join with an
+    * LSH/IVF candidate join; this exact kernel then runs per bucket.
+    * Queries are broadcast (small side by construction). */
+  def annTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate (dev tool only —
+the engine itself is pure Scala/Spark; this mirrors how the driver
+compares graft.Verify output against DuckDB on the same parquet).
+
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            want = con.execute(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        g, w = norm(got), norm(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            failures += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
+            failures += 1
+            continue
+        # exact value compare after string normalization (the driver
+        # hashes values, so this must be exact, not approximate)
+        gs = g.astype(str).reset_index(drop=True)
+        ws = w.astype(str).reset_index(drop=True)
+        if not gs.equals(ws):
+            neq = (gs != ws).any(axis=1)
+            print(f"FAIL {name}: {int(neq.sum())}/{len(g)} rows differ; first:")
+            idx = neq[neq].index[:3]
+            for i in idx:
+                print(f"  spark: {gs.loc[i].to_dict()}")
+                print(f"  duck : {ws.loc[i].to_dict()}")
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(g)} rows)")
+    print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
