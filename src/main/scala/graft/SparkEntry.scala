@@ -75,6 +75,20 @@ object SparkEntry {
         notes = "focus on quarterly impact")),
     "keyword_extract" -> ((s, dir) => KeywordOps.keywordExtract(Tables.documents(s, dir))),
 
+    // ---- Training-data pipeline: dedup suite + text analysis ----
+    "dedup_minhash_lsh" -> ((s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) =>
+      DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 6, idLimit = 100)),
+    "ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(Tables.documents(s, dir))),
+    "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
+    "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    "ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3)
+    }),
+
     // ---- P3: relational breadth (SURVEY.md §2.3/2.5/2.10 north star) ----
     "join_revenue_segment" -> ((s, dir) =>
       RelationalOps.revenueBySegment(
@@ -130,7 +144,145 @@ object SparkEntry {
        |        ORDER BY tf DESC, length(tok) DESC, tok, first_pos) AS rank
        |    FROM g) WHERE rank <= 8)""".stripMargin
 
+  /** DuckDB twin of DedupOps.wordShingles (w=3): CTEs shp (with pos)
+    * and shd (distinct doc_id, shingle); requires `toks` CTE. */
+  private val duckShingles =
+    """shp AS (
+      |  SELECT doc_id, pos, tok || ' ' || t1 || ' ' || t2 AS shingle
+      |  FROM (SELECT doc_id, pos, tok,
+      |          lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+      |          lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      |        FROM toks)
+      |  WHERE t2 IS NOT NULL),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM shp)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |mh AS (
+         |  SELECT doc_id, s.seed, min(${duckHash24("s.seed || ':' || shingle")}) AS minh
+         |  FROM shd, unnest(range(0, 12)) s(seed)
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT doc_id, seed // 3 AS band,
+         |         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
+         |  FROM mh GROUP BY 1, 2)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+         |FROM bk a JOIN bk b ON a.band = b.band AND a.band_sig = b.band_sig
+         |                   AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+         |       WHERE doc_id < 100 GROUP BY 1, 2),
+         |hb AS (SELECT doc_id, tf, ${duckHash24("tok")} AS h FROM tf),
+         |bitsum AS (
+         |  SELECT doc_id, b.i AS i,
+         |    sum(tf * (((h // CAST(power(2, b.i) AS BIGINT)) % 2) * 2 - 1)) AS s
+         |  FROM hb, unnest(range(0, 24)) b(i)
+         |  GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |         CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT)
+         |                       ELSE 0 END) AS BIGINT) AS simhash
+         |       FROM bitsum GROUP BY 1)
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a, sh b
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+    "ngram_jaccard" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |sh AS (SELECT doc_id, shingle FROM shd WHERE doc_id < 60),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |  FROM sh a JOIN sh b USING (shingle)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT i.a_id, i.b_id, i.inter,
+         |       round(i.inter / (sa.n + sb.n - i.inter), 6) + 0 AS jaccard
+         |FROM inter i
+         |JOIN sizes sa ON sa.doc_id = i.a_id
+         |JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin,
+    "doc_fingerprint" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |h AS (SELECT doc_id, pos, ${duckHash24("shingle")} AS h FROM shp)
+         |SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |FROM h""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(list_transform(string_split(text, ' '), t -> trim(t)),
+        |                       t -> t <> '')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  CAST(length(text) AS BIGINT) AS n_chars_measured
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      s"""WITH $duckToks,
+         |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+         |        sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','it')
+         |                 THEN 1 ELSE 0 END) AS n_stop
+         |      FROM toks GROUP BY 1)
+         |SELECT doc_id, n_tok,
+         |  round(n_stop / n_tok, 6) + 0 AS stop_ratio,
+         |  round(n_distinct / n_tok, 6) + 0 AS distinct_ratio,
+         |  round(least(n_tok / 100.0, 1.0) * 0.3 + (1.0 - n_stop / n_tok) * 0.3
+         |        + (n_distinct / n_tok) * 0.4, 6) + 0 AS quality
+         |FROM q""".stripMargin,
+    "lang_id" ->
+      s"""WITH $duckToks,
+         |c AS (SELECT doc_id,
+         |  sum(CASE WHEN tok IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS c_en,
+         |  sum(CASE WHEN tok IN ('el','la','de','los','que','y') THEN 1 ELSE 0 END) AS c_es,
+         |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS c_de,
+         |  sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS c_fr
+         |  FROM toks GROUP BY 1)
+         |SELECT doc_id,
+         |  CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
+         |       WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
+         |       WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
+         |       WHEN c_de>=c_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+         |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
+         |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
+         |FROM c""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, CAST(u.i - 1 AS BIGINT) AS dim,
+         |         round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS cv
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
+         |  GROUP BY 1, 2),
+         |dims AS (
+         |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         |         CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |cd AS (
+         |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
+         |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+         |  FROM cd),
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id AS query_id, c_label FROM ranked
+         |           WHERE rn <= 2 AND vec_id < 10),
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a USING (c_label)
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
     "scan_documents" ->
       "SELECT doc_id, source, lang, n_chars FROM documents",
     "filter_sources" ->

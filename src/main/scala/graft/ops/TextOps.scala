@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.roundn
+
+/** Text-analysis operators for training-data curation: token
+  * counting, quality scoring, and language identification — the
+  * filter stage every large-scale corpus pipeline runs before
+  * embedding (the reference filters only blank paragraphs and lock
+  * files, app.py:24,35; these generalize that gate).
+  *
+  * All per-document map-side work: no shuffles except the final
+  * per-doc aggregation of exploded tokens, keyed by doc_id (uniform).
+  * Heuristics are deliberately arithmetic-only so the DuckDB oracle
+  * replays them exactly.
+  */
+object TextOps {
+
+  /** Whitespace-ish stopword list used by quality/lang heuristics. */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
+
+  /** Token counting: whitespace tokens and a BPE-ish regex census
+    * (letter runs / digit runs / single punctuation — the shape of a
+    * byte-pair pretokenizer; SURVEY brief "token counting"). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(transform(split(col("text"), " "), t => trim(t)), t => t =!= ""))
+        .cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars_measured"))
+
+  /** Quality scoring: length saturation, stopword ratio, lexical
+    * diversity — combined into one bounded score. Deterministic
+    * integer-ratio arithmetic, rounded for cross-engine parity. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    EmbedOps
+      .tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").isin(EnStopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+      .withColumn("stop_ratio", roundn(col("n_stop") / col("n_tok"), 6))
+      .withColumn("distinct_ratio", roundn(col("n_distinct") / col("n_tok"), 6))
+      .withColumn(
+        "quality",
+        roundn(
+          least(col("n_tok") / 100.0, lit(1.0)) * 0.3
+            + (lit(1.0) - col("n_stop") / col("n_tok")) * 0.3
+            + (col("n_distinct") / col("n_tok")) * 0.4,
+          6))
+      .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("distinct_ratio"), col("quality"))
+  }
+
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Language identification by marker-token votes (the n-gram
+    * heuristic of the brief, degenerate n=1): count marker hits per
+    * language, pick the max with fixed precedence en>es>de>fr; no
+    * hits → "und". */
+  def langId(docs: DataFrame): DataFrame = {
+    val aggs = LangMarkers.map { case (l, markers) =>
+      sum(when(col("tok").isin(markers: _*), 1L).otherwise(0L)).as(s"c_$l")
+    }
+    EmbedOps
+      .tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn(
+        "predicted_lang",
+        when(col("c_en") === 0 && col("c_es") === 0 && col("c_de") === 0 && col("c_fr") === 0, "und")
+          .when(col("c_en") >= col("c_es") && col("c_en") >= col("c_de") && col("c_en") >= col("c_fr"), "en")
+          .when(col("c_es") >= col("c_de") && col("c_es") >= col("c_fr"), "es")
+          .when(col("c_de") >= col("c_fr"), "de")
+          .otherwise("fr"))
+      .select(col("doc_id"), col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
+  }
+}

@@ -93,4 +93,63 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
+
+  /** IVF-style approximate top-k — the 100 TB scale path for
+    * [[annTopK]]: a coarse quantizer (here: per-label centroids from
+    * [[meanPoolByLabel]] — at scale, k-means iterations of the same
+    * explode/avg shape) assigns every vector to its nearest centroid;
+    * a query probes only its `nProbe` nearest cells and runs the exact
+    * cosine kernel inside them. The full cross join never happens:
+    * candidate generation is an equi-join on the cell id.
+    *
+    * Determinism: centroid components and distances are rounded
+    * before any argmin/rank decision, ties broken on label/vec_id, so
+    * the DuckDB oracle reproduces cell assignment bit-for-bit.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
+    // (label, dim, centroid_val): rounded per-dimension centroids
+    val cent = meanPoolByLabel(corpus)
+      .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv"))
+
+    // nearest cells per vector via exploded-dim equi-join on dim:
+    // relational form of argmin distance — no array rebuild, scales
+    // as one shuffle keyed by (id, label)
+    def cellRanks(df: DataFrame, idCol: String): DataFrame = {
+      val dims = df.select(
+        col("vec_id").as(idCol),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+        .withColumn("dim", col("dim").cast("long"))
+      dims
+        .join(broadcast(cent), "dim")
+        .groupBy(col(idCol), col("c_label"))
+        .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
+        .withColumn(
+          "cell_rank",
+          row_number().over(
+            Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("c_label"))))
+    }
+
+    val assigned = cellRanks(corpus, "vec_id")
+      .filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("c_label"))
+    val probes = cellRanks(queries, "query_id")
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("c_label"))
+
+    val candidates = probes
+      .join(assigned, "c_label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    candidates
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
 }
