@@ -79,10 +79,12 @@ object RelationalOps {
     * is flat {"k": int} per FIXTURES.md. */
   def extractJsonK(events: DataFrame): DataFrame =
     events
+      // filter BEFORE the cast: ANSI mode makes cast('' as bigint)
+      // throw, so malformed rows must never reach it
+      .filter(col("props").rlike("\"k\"\\s*:\\s*-?\\d+"))
       .select(
         col("event_id"),
         regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("k"))
-      .filter(col("k").isNotNull)
 
   /** TPC-H Q1-shaped pricing summary — the canonical partial-agg
     * rollup; one shuffle carrying 4-ish groups regardless of scale. */

@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge cases lifted from the reference (SURVEY.md §5.2): lock files
+  * (app.py:35), wrong extensions (app.py:121), blank paragraphs
+  * (app.py:24), duplicate (file,i) (app.py:98), changed-file upsert
+  * (app_callapi.py:140). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = Seq(
+    (0L, "alpha beta\n\ngamma", "en", "report.docx", 16L),
+    (1L, "  ", "en", "blank.docx", 2L),
+    (2L, "alpha beta\n\ngamma", "en", "~$report.docx", 16L),
+    (3L, "hello", "en", "notes.txt", 5L),
+    (4L, "alpha beta\n\ngamma", "en", "report.docx", 16L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("filterSources drops ~$ lock files and non-pdf/docx extensions") {
+    val srcs = CorpusOps.filterSources(corpus).select("source").as[String].collect().toSet
+    assert(srcs === Set("report.docx", "blank.docx"))
+  }
+
+  test("filterSources admits extension-less sources (testdata shape)") {
+    val df = Seq((0L, "src0")).toDF("doc_id", "source")
+    assert(CorpusOps.filterSources(df).count() === 1)
+  }
+
+  test("segmentParagraphs splits, trims, drops blanks, numbers by position") {
+    val rows = CorpusOps
+      .segmentParagraphs(corpus.filter($"doc_id" === 0), delim = "\n")
+      .orderBy("para_idx")
+      .collect()
+    assert(rows.map(_.getString(2)).toSeq === Seq("alpha beta", "gamma"))
+    assert(rows.map(_.getInt(1)).toSeq === Seq(0, 2)) // positional index keeps gaps
+  }
+
+  test("segmentParagraphs on whitespace-only text yields no rows") {
+    assert(CorpusOps.segmentParagraphs(corpus.filter($"doc_id" === 1)).count() === 0)
+  }
+
+  test("dedupDocuments keeps smallest doc_id per (source, text) with copy count") {
+    val r = CorpusOps.dedupDocuments(corpus)
+      .filter($"source" === "report.docx").head()
+    assert(r.getLong(0) === 0L) // min doc_id
+    assert(r.getLong(2) === 2L) // two copies
+  }
+
+  test("contentHash equals sha-256 hex of the text") {
+    val h = CorpusOps.contentHash(corpus.filter($"doc_id" === 3)).head().getString(1)
+    assert(h === "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("incrementalAntiJoin keeps only docs whose hash is not in state") {
+    val state = CorpusOps.contentHash(corpus.filter($"doc_id" === 0))
+    val kept = CorpusOps.incrementalAntiJoin(corpus, state)
+      .select("doc_id").as[Long].collect().toSet
+    // docs 0, 2, 4 share text → all filtered; 1 and 3 survive
+    assert(kept === Set(1L, 3L))
+  }
+
+  test("upsertSource = delete + append without touching other sources") {
+    val replacement = Seq((9L, "new text", "en", "report.docx", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = CorpusOps.upsertSource(corpus, "report.docx", replacement)
+    assert(out.filter($"source" === "report.docx").count() === 1)
+    assert(out.count() === 4) // 3 others + 1 replacement
+  }
+
+  test("corpusStats aggregates per language") {
+    val r = CorpusOps.corpusStats(corpus).head()
+    assert(r.getAs[Long]("n_docs") === 5L)
+    assert(r.getAs[Long]("total_chars") === 55L)
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate
+    (2L, base + " with a tiny edit"), // near duplicate
+    (3L, "completely different words about spark query engines at scale ok")
+  ).toDF("doc_id", "text")
+
+  test("wordShingles: n-2 shingles for n tokens, in position order") {
+    val sh = DedupOps.wordShingles(docs.filter($"doc_id" === 0)).orderBy("pos").collect()
+    assert(sh.length === 10) // 12 tokens → 10 3-shingles
+    assert(sh.head.getString(2) === "the quick brown")
+  }
+
+  test("minhash candidates include exact and near duplicates, not unrelated docs") {
+    val pairs = DedupOps.minhashCandidates(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
+  }
+
+  test("exact duplicates share all bands") {
+    val r = DedupOps.minhashCandidates(docs)
+      .filter($"a_id" === 0 && $"b_id" === 1).head()
+    assert(r.getAs[Long]("n_shared_bands") === 4L) // 12 hashes / 3 per band
+  }
+
+  test("simhash: identical docs → hamming 0; near dup ≤ unrelated") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 24, idLimit = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(pairs((0L, 1L)) === 0L)
+    assert(pairs((0L, 2L)) < pairs((0L, 3L)))
+  }
+
+  test("ngramJaccard: dup pair = 1.0, near dup in (0,1), ordered a<b") {
+    val j = DedupOps.ngramJaccard(docs, idLimit = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(j((0L, 1L)) === 1.0)
+    assert(j((0L, 2L)) > 0.0 && j((0L, 2L)) < 1.0)
+    assert(!j.contains((1L, 0L)))
+  }
+
+  test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
+    val fp = DedupOps.winnowFingerprints(docs)
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(fp(0L) === fp(1L))
+    val overlap = fp(0L).intersect(fp(2L)).size.toDouble / fp(0L).size
+    assert(overlap > 0.5) // small edit keeps most local minima
+    assert(fp(0L).intersect(fp(3L)).isEmpty)
+  }
+}

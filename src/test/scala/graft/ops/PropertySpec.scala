@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorMath
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style invariants (SURVEY.md §5.2 #3) over seeded random
+  * inputs: KNN result size = min(k,n) with non-decreasing distances,
+  * dedup idempotence, embedder unit-norm. Plain seeded trials rather
+  * than ScalaCheck's runner — build.sbt deliberately has no
+  * scalatest/scalacheck bridge artifact and the offline resolver
+  * cannot fetch one. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(42)
+
+  test("property: knn returns min(k,n) rows with non-decreasing distances") {
+    for (_ <- 1 to 5) {
+      val n = 1 + rnd.nextInt(12)
+      val k = 1 + rnd.nextInt(15)
+      val rows = (0 until n).map(i =>
+        (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10 - 5), i % 3))
+      val emb = rows.toDF("vec_id", "embedding", "label")
+      val q = emb.filter($"vec_id" === 0)
+        .select(VectorMath.asDouble($"embedding").as("qe"))
+      val res = VectorOps.knnSearch(emb, q, k).orderBy("rank").collect()
+      assert(res.length === math.min(k, n))
+      val d = res.map(_.getAs[Double]("l2_sq"))
+      assert(d.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      assert(d.head === 0.0) // query is in the corpus
+    }
+  }
+
+  private def randText(): String =
+    Seq.fill(rnd.nextInt(12))(
+      Seq("alpha", "beta", "gamma", "delta", "the", "a")(rnd.nextInt(6))).mkString(" ")
+
+  test("property: dedupDocuments key set equals distinct (source, text)") {
+    for (_ <- 1 to 5) {
+      val docs = (0 until 6).map(i =>
+        (i.toLong, randText(), "en", s"s${i % 2}", i.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val once = CorpusOps.dedupDocuments(docs)
+      assert(once.count() === docs.select("source", "text").distinct().count())
+    }
+  }
+
+  test("property: embedSparse weights always form (rounded) unit vectors") {
+    for (_ <- 1 to 5) {
+      val docs = (0 until 4).map(i => (i.toLong, randText()))
+        .filter(_._2.nonEmpty).toDF("doc_id", "text")
+      val norms = EmbedOps.embedSparse(docs, dim = 8)
+        .groupBy("doc_id").agg(sum($"weight" * $"weight").as("n2"))
+        .select("n2").as[Double].collect()
+      assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+    }
+  }
+
+  test("property: upsert ≡ delete + insert (app_callapi.py:140-153)") {
+    for (_ <- 1 to 3) {
+      val docs = (0 until 6).map(i =>
+        (i.toLong, randText(), "en", s"s${i % 3}", i.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val repl = Seq((99L, "new", "en", "s1", 3L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val up = CorpusOps.upsertSource(docs, "s1", repl)
+      val manual = docs.filter($"source" =!= "s1").unionByName(repl)
+      assert(up.exceptAll(manual).count() === 0 && manual.exceptAll(up).count() === 0)
+    }
+  }
+}

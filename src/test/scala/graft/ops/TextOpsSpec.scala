@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCounts: whitespace vs BPE-ish census") {
+    val r = TextOps.tokenCounts(Seq((0L, "ab 12 cd!")).toDF("doc_id", "text")).head()
+    assert(r.getAs[Long]("n_ws_tokens") === 3L)
+    assert(r.getAs[Long]("n_bpe_tokens") === 4L) // ab | 12 | cd | !
+    assert(r.getAs[Long]("n_chars_measured") === 9L)
+  }
+
+  test("qualityScore bounded in (0, 1]; stopword-heavy text scores lower") {
+    val docs = Seq(
+      (0L, "the a of the a of the a of the"),
+      (1L, "catalyst tungsten codegen shuffle partition broadcast")
+    ).toDF("doc_id", "text")
+    val q = TextOps.qualityScore(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("quality")).toMap
+    assert(q.values.forall(v => v > 0 && v <= 1))
+    assert(q(1L) > q(0L))
+  }
+
+  test("langId votes on marker tokens with fixed precedence; no markers → und") {
+    val docs = Seq(
+      (0L, "the cat and the dog is here"),
+      (1L, "el gato y la casa de los perros"),
+      (2L, "der hund und die katze ist"),
+      (3L, "zzz qqq www")
+    ).toDF("doc_id", "text")
+    val p = TextOps.langId(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p === Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "und"))
+  }
+}

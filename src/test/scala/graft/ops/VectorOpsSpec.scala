@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.functions.VectorMath
+import org.apache.spark.sql.functions._
+
+/** KNN invariants from SURVEY.md §5.2: result size = min(k, n),
+  * distances non-decreasing in rank, self-distance 0 (app.py:179-185
+  * semantics). */
+class VectorOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Seq(1f, 0f, 0f), 0),
+    (1L, Seq(0f, 1f, 0f), 0),
+    (2L, Seq(1f, 1f, 0f), 1),
+    (3L, Seq(-1f, 0f, 0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  private def query = emb.filter($"vec_id" === 0)
+    .select(VectorMath.asDouble($"embedding").as("qe"))
+
+  test("knnSearch: self at rank 1 with distance 0 and cosine 1") {
+    val top = VectorOps.knnSearch(emb, query, 2).orderBy("rank").collect()
+    assert(top.length === 2)
+    assert(top(0).getAs[Long]("vec_id") === 0L)
+    assert(top(0).getAs[Double]("l2_sq") === 0.0)
+    assert(top(0).getAs[Double]("cos_sim") === 1.0)
+  }
+
+  test("knnSearch: k larger than corpus clamps to n (app.py:179 min(top_k, n))") {
+    assert(VectorOps.knnSearch(emb, query, 100).count() === 4)
+  }
+
+  test("knnSearch: distances non-decreasing in rank") {
+    val d = VectorOps.knnSearch(emb, query, 4).orderBy("rank")
+      .select("l2_sq").as[Double].collect()
+    assert(d.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
+  test("meanPoolByLabel: centroid of label 0 is the per-dim average") {
+    val c = VectorOps.meanPoolByLabel(emb)
+      .filter($"label" === 0 && $"dim" === 0).head().getAs[Double]("centroid_val")
+    assert(c === 0.5) // avg(1, 0)
+  }
+
+  test("similarityJoin emits each qualifying pair once with a < b") {
+    val pairs = VectorOps.similarityJoin(emb, threshold = 0.5, limitIds = 10)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a < b })
+    assert(pairs.contains((0L, 2L))) // cos = 1/sqrt(2) ≈ 0.707
+    assert(!pairs.contains((0L, 3L))) // cos = -1
+  }
+
+  test("annTopK excludes the query itself and respects k per query") {
+    val r = VectorOps.annTopK(emb, emb.filter($"vec_id" < 2), 2)
+    val byQuery = r.groupBy("query_id").count().as[(Long, Long)].collect().toMap
+    assert(byQuery.values.forall(_ <= 2))
+    assert(r.filter($"query_id" === $"vec_id").count() === 0)
+  }
+
+  test("ivfTopK returns ranked neighbors from probed cells only") {
+    val r = VectorOps.ivfTopK(emb, emb.filter($"vec_id" === 0), nProbe = 1, k = 3)
+      .orderBy("rank").collect()
+    assert(r.nonEmpty)
+    assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length).toSeq)
+    val sims = r.map(_.getAs[Double]("cos_sim"))
+    assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+}
