@@ -89,6 +89,24 @@ object SparkEntry {
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3)
     }),
 
+    // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
+    // round-trip → parquet round-trip; hashes prove fidelity)
+    "persist_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      docs.write.mode("overwrite").parquet(tmp)
+      CorpusOps.contentHash(s.read.parquet(tmp))
+    }),
+    // Multimodal plumbing (binary payload featurization) — no SQL
+    // oracle (binary ops are not SQL-expressible); driver records the
+    // weaker rows-only check per the contract
+    "multimodal_features" -> ((s, dir) => {
+      val media = MultimodalOps.syntheticMedia(s, Tables.documents(s, dir))
+      MultimodalOps.featurize(media).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          graft.functions.VectorMath.roundn(element_at(col("histogram"), 1), 6).as("hist_0"))
+    }),
+
     // ---- P3: relational breadth (SURVEY.md §2.3/2.5/2.10 north star) ----
     "join_revenue_segment" -> ((s, dir) =>
       RelationalOps.revenueBySegment(
@@ -299,6 +317,8 @@ object SparkEntry {
       """SELECT min(doc_id) AS doc_id, source, count(*) AS n_copies
         |FROM documents GROUP BY source, text""".stripMargin,
     "content_hash" ->
+      "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    "persist_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,

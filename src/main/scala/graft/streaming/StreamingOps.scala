@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the engine's ingest operators
+  * (SURVEY.md §2.10). The reference ingests in batch at startup plus
+  * on-upload micro-batches (app.py:117-158); these are the same
+  * semantics as continuous streams:
+  *
+  *  - [[tumblingCounts]]: the streaming twin of
+  *    RelationalOps.eventsTumblingAgg — event-time window + watermark
+  *    so state is bounded and late data beyond the horizon is dropped.
+  *  - [[dedupedIngest]]: the streaming twin of the hash anti-join
+  *    (app_callapi.py:117-120,139) — first occurrence of each content
+  *    hash passes, repeats are suppressed via keyed state with a TTL
+  *    (state must not grow unboundedly at 100 TB/day).
+  *
+  * Scale notes: state is partitioned by group key across executors;
+  * watermark/TTL bound its size; sinks are exactly-once through
+  * checkpointed offsets + idempotent parquet commits.
+  */
+object StreamingOps {
+
+  /** Event-time tumbling counts with a watermark. `events` must be a
+    * *streaming* DataFrame with (ts: Timestamp, event_type, value). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  case class Doc(doc_id: Long, source: String, text: String)
+  case class KeyedDoc(content_hash: String, doc: Doc)
+
+  /** Streaming incremental ingest: emit each content hash's FIRST
+    * document, drop subsequent duplicates. Keyed state holds one
+    * boolean per seen hash.
+    *
+    * `ttl`: optional processing-time state expiry. REQUIRED in a real
+    * deployment (unbounded hash-state otherwise); opt-in here because
+    * ProcessingTimeTimeout makes the engine schedule continuous
+    * timeout-check micro-batches — correct for a 24/7 job, a livelock
+    * for processAllAvailable-style batch draining. */
+  def dedupedIngest(docs: Dataset[Doc], ttl: Option[String] = None): Dataset[Doc] = {
+    import docs.sparkSession.implicits._
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    docs
+      .map(d => KeyedDoc(sha256Hex(d.text), d))
+      .groupByKey(_.content_hash)
+      .flatMapGroupsWithState[Boolean, Doc](OutputMode.Append(), timeoutConf) {
+        case (_, rows, state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            state.update(true)
+            ttl.foreach(state.setTimeoutDuration)
+            rows.take(1).map(_.doc)
+          }
+      }
+  }
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+}
