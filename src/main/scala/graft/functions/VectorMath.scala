@@ -18,9 +18,27 @@ import org.apache.spark.sql.functions._
   * final values with [[roundn]] before oracle comparison.
   */
 object VectorMath {
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import graft.functions.expressions.{CosineSimilarity, DotProduct, L2SqDistance}
 
   /** Cast an Array[Float] column to Array[Double] for stable math. */
   def asDouble(v: Column): Column = v.cast("array<double>")
+
+  // ---- codegen'd one-pass forms (identical arithmetic; hot paths) ----
+
+  /** Squared L2 via the native fused-loop expression. */
+  def fastL2Sq(a: Column, b: Column): Column =
+    column(L2SqDistance(expression(a), expression(b)))
+
+  /** Dot product via the native fused-loop expression. */
+  def fastDot(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+
+  /** Cosine via the native one-pass expression (dot + norms fused). */
+  def fastCosine(a: Column, b: Column): Column =
+    column(CosineSimilarity(expression(a), expression(b)))
+
+  // ---- higher-order-function reference forms (oracle-readable) ----
 
   /** Sequential ordered fold of an Array[Double] column: sum. */
   private def foldSum(arr: Column): Column =

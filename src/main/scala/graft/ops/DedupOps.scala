@@ -37,16 +37,23 @@ object DedupOps {
   /** MinHash signature: (doc_id, seed, minh) — per seed, the minimum
     * portable hash of "<seed>:<shingle>" over the doc's distinct
     * shingle set. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame =
-    wordShingles(docs, w)
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame = {
+    val docShingles = wordShingles(docs, w)
       .select(col("doc_id"), col("shingle"))
       .distinct()
+    // hash each DISTINCT shingle once per seed, join back — the sha
+    // work scales with |shingle vocab|, not Σ|doc shingle sets|
+    val hashed = docShingles
+      .select(col("shingle")).distinct()
       .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
       .withColumn(
         "h",
         PortableHash.hash24(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+    docShingles
+      .join(hashed, "shingle")
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("minh"))
+  }
 
   /** LSH band buckets: seeds grouped `rowsPerBand` at a time; the band
     * signature is the seed-ordered concat of its min-hashes. Docs
@@ -76,12 +83,15 @@ object DedupOps {
 
   /** 24-bit SimHash per document: token hash bits weighted by tf,
     * majority vote per bit (sum>0 → 1). */
-  def simhash(docs: DataFrame, bits: Int = 24): DataFrame =
-    EmbedOps
+  def simhash(docs: DataFrame, bits: Int = 24): DataFrame = {
+    val tf = EmbedOps
       .tokenize(docs)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
+    val vocab = tf.select(col("tok")).distinct()
       .withColumn("h", PortableHash.hash24(col("tok")))
+    tf
+      .join(vocab, "tok")
       .withColumn("i", explode(sequence(lit(0), lit(bits - 1))))
       .withColumn("bit", expr("(h div cast(power(2, i) as bigint)) % 2"))
       .groupBy(col("doc_id"), col("i"))
@@ -89,6 +99,7 @@ object DedupOps {
       .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
       .groupBy(col("doc_id"))
       .agg(sum(col("bitval") * expr("cast(power(2, i) as bigint)")).as("simhash"))
+  }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
     * Quadratic pairing bounded by `idLimit`; the scale path buckets on

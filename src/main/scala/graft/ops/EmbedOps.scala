@@ -39,10 +39,20 @@ object EmbedOps {
     * weights. Exploded form — scalar-typed for the oracle; use
     * [[embedDense]] for the Array[Float] column form. */
   def embedSparse(docs: DataFrame, dim: Int = 64, maxTokens: Int = 512): DataFrame = {
-    val tf = tokenize(docs, maxTokens)
+    // Hash each DISTINCT token once, then join the per-doc term counts
+    // back on it: sha-256 runs |vocab| times instead of |corpus tokens|
+    // times (identical results — the hash only depends on the token).
+    // At 100 TB the vocab side is orders of magnitude smaller than the
+    // token stream and broadcasts; AQE picks that up from stats.
+    val tf0 = tokenize(docs, maxTokens)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf0.select(col("tok")).distinct()
       .withColumn("dim", PortableHash.bucket(col("tok"), dim))
+    val tf = tf0
+      .join(vocab, "tok")
       .groupBy(col("doc_id"), col("dim"))
-      .agg(count(lit(1)).cast("double").as("cnt"))
+      .agg(sum(col("tf")).cast("double").as("cnt"))
     val norms = tf
       .groupBy(col("doc_id"))
       .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))

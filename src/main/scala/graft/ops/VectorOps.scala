@@ -37,8 +37,8 @@ object VectorOps {
     val scored = corpus
       .withColumn("e", asDouble(col("embedding")))
       .crossJoin(broadcast(query))
-      .withColumn("l2_sq", roundn(l2Sq(col("e"), col("qe")), 6))
-      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .withColumn("l2_sq", roundn(fastL2Sq(col("e"), col("qe")), 6))
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .orderBy(col("l2_sq"), col("vec_id"))
       .limit(k)
     scored
@@ -73,7 +73,7 @@ object VectorOps {
     val a = e.select(col("vec_id").as("a_id"), col("e").as("ea"))
     val b = e.select(col("vec_id").as("b_id"), col("e").as("eb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("cos_sim", roundn(cosine(col("ea"), col("eb")), 6))
+      .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
       .filter(col("cos_sim") >= threshold) // threshold on rounded value: engine-portable
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
@@ -88,7 +88,7 @@ object VectorOps {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     c.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
@@ -147,7 +147,7 @@ object VectorOps {
     candidates
       .join(c, "vec_id")
       .join(broadcast(q), "query_id")
-      .withColumn("cos_sim", roundn(cosine(col("e"), col("qe")), 6))
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
