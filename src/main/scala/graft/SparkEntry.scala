@@ -36,6 +36,7 @@ object SparkEntry {
       CorpusOps.segmentParagraphs(Tables.documents(s, dir))
         .withColumn("para_idx", col("para_idx").cast("long"))),
     "dedup_documents" -> ((s, dir) => CorpusOps.dedupDocuments(Tables.documents(s, dir))),
+    "dedup_paragraphs" -> ((s, dir) => CorpusOps.dedupParagraphs(Tables.documents(s, dir))),
     "content_hash" -> ((s, dir) => CorpusOps.contentHash(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) => CorpusOps.corpusStats(Tables.documents(s, dir))),
     "incremental_antijoin" -> ((s, dir) => {
@@ -80,6 +81,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 6, idLimit = 100)),
     "ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
@@ -108,9 +110,11 @@ object SparkEntry {
     }),
 
     // ---- P3: relational breadth (SURVEY.md §2.3/2.5/2.10 north star) ----
-    "join_revenue_segment" -> ((s, dir) =>
+    "join_orders_customers" -> ((s, dir) =>
       RelationalOps.revenueBySegment(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
+    "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
@@ -316,6 +320,49 @@ object SparkEntry {
     "dedup_documents" ->
       """SELECT min(doc_id) AS doc_id, source, count(*) AS n_copies
         |FROM documents GROUP BY source, text""".stripMargin,
+    "dedup_paragraphs" ->
+      """WITH seg AS (
+        |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS para_idx, trim(parts[u.i]) AS para
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
+        |       unnest(range(1, len(parts)+1)) u(i)
+        |  WHERE trim(parts[u.i]) <> '')
+        |SELECT para, count(*) AS n_copies,
+        |       min(doc_id * 100000 + para_idx) AS first_pos_key
+        |FROM seg GROUP BY 1""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, trim(parts[u.i]) AS tok
+         |  FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 512) AS parts
+         |        FROM documents WHERE doc_id < 200) d,
+         |       unnest(range(1, len(parts)+1)) u(i)
+         |  WHERE trim(parts[u.i]) <> ''),
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |       round(sum(a.weight * b.weight), 6) + 0 AS cos_sim
+         |FROM w a JOIN w b ON a.dim = b.dim AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING round(sum(a.weight * b.weight), 6) + 0 >= 0.95""".stripMargin,
+    "sessionize" ->
+      """SELECT event_id, user_id,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
+        |                THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_idx
+        |FROM (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+        |        lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts), event_id) AS prev_ts
+        |      FROM events)""".stripMargin,
+    "rollup_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) + 0 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "content_hash" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->
@@ -415,7 +462,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY doc_id
          |      ORDER BY tf DESC, df, gram, first_pos) AS rank
          |  FROM scored) WHERE rank <= 8""".stripMargin,
-    "join_revenue_segment" ->
+    "join_orders_customers" ->
       """SELECT c.c_mktsegment,
         |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0 AS revenue,
         |  count(*) AS n_items

@@ -54,6 +54,17 @@ object CorpusOps {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "source", "n_copies")
 
+  /** D1 — paragraph-level dedup (reference app.py:98-99: skip (file,i)
+    * pairs already indexed, generalized to content identity): group
+    * segmented paragraphs by text, keep copy count and the first
+    * (doc_id, para_idx) position as a deterministic representative. */
+  def dedupParagraphs(docs: DataFrame, delim: String = " "): DataFrame =
+    segmentParagraphs(docs, delim)
+      .groupBy(col("para"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(col("doc_id") * 100000 + col("para_idx")).as("first_pos_key"))
+
   /** A5 — content hash per document (reference app_callapi.py:117-120
     * sha-256 of file bytes; here sha-256 of the text column). */
   def contentHash(docs: DataFrame): DataFrame =

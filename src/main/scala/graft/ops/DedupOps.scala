@@ -138,6 +138,24 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup detection over the engine's own
+    * hashed-TF embeddings, in SPARSE form: since weights are unit-L2,
+    * cosine(a,b) = Σ_dim w_a·w_b, i.e. a self-join on the dimension
+    * key — the inverted-index formulation that scales (the shuffle
+    * key is `dim`, candidate pairs only materialize where docs share
+    * dimensions; no dense cross join anywhere). */
+  def embeddingNearDup(docs: DataFrame, dim: Int = 64, threshold: Double = 0.95,
+                       idLimit: Long = 200): DataFrame = {
+    val w = EmbedOps.embedSparse(docs.filter(col("doc_id") < idLimit), dim)
+    val a = w.select(col("doc_id").as("a_id"), col("dim"), col("weight").as("wa"))
+    val b = w.select(col("doc_id").as("b_id"), col("dim"), col("weight").as("wb"))
+    a.join(b, Seq("dim"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(roundn(sum(col("wa") * col("wb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * hash every w-shingle, slide a window of `window` consecutive
     * shingle hashes, keep each window's minimum, emit the distinct

@@ -86,6 +86,36 @@ object RelationalOps {
         col("event_id"),
         regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("k"))
 
+  /** Sessionization: split each user's event stream into sessions at
+    * inactivity gaps > `gapNanos`. The classic lag + cumulative-sum
+    * formulation — two window passes over the same (user_id, ts)
+    * partitioning, so Spark sorts once and reuses the shuffle. `ts`
+    * is Long nanos (Tables.events). */
+  def sessionize(events: DataFrame, gapNanos: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .select(col("event_id"), col("user_id"), col("session_idx"))
+  }
+
+  /** Rollup aggregation (grouping-sets class): per (flag, status),
+    * per flag subtotals, and grand total in one pass — Catalyst
+    * expands to a single Expand + hash aggregate. NULL group markers
+    * are coalesced to 'ALL' so the oracle's representation matches. */
+  def rollupPricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(roundn(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
   /** TPC-H Q1-shaped pricing summary — the canonical partial-agg
     * rollup; one shuffle carrying 4-ish groups regardless of scale. */
   def pricingSummary(lineitem: DataFrame): DataFrame =

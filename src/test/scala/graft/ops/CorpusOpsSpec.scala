@@ -48,6 +48,13 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 2L) // two copies
   }
 
+  test("dedupParagraphs groups identical paragraphs with first-position key") {
+    val r = CorpusOps.dedupParagraphs(corpus, delim = "\n")
+      .filter($"para" === "alpha beta").head()
+    assert(r.getAs[Long]("n_copies") === 3L) // docs 0, 2, 4
+    assert(r.getAs[Long]("first_pos_key") === 0L) // doc 0, para 0
+  }
+
   test("contentHash equals sha-256 hex of the text") {
     val h = CorpusOps.contentHash(corpus.filter($"doc_id" === 3)).head().getString(1)
     assert(h === "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")

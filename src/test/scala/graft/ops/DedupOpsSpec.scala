@@ -48,6 +48,13 @@ class DedupOpsSpec extends SparkSpec {
     assert(!j.contains((1L, 0L)))
   }
 
+  test("embeddingNearDup: sparse inverted-index cosine finds the dup pair") {
+    val pairs = DedupOps.embeddingNearDup(docs, threshold = 0.99, idLimit = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos_sim"))).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 0.999)
+    assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
     val fp = DedupOps.winnowFingerprints(docs)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

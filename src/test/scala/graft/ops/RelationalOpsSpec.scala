@@ -34,6 +34,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r === Set((1L, 87L), (2L, -3L)))
   }
 
+  test("sessionize splits on inactivity gaps per user") {
+    val m = 60L * 1000 * 1000 * 1000 // one minute in nanos
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10 * m), (3L, 1L, 50 * m), // gap > 30min before 3
+      (4L, 2L, 0L)
+    ).toDF("event_id", "user_id", "ts")
+    val r = RelationalOps.sessionize(events).orderBy("event_id")
+      .select("session_idx").as[Long].collect()
+    assert(r.toSeq === Seq(1L, 1L, 2L, 1L))
+  }
+
+  test("rollupPricing emits leaf, subtotal, and grand-total rows") {
+    val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val r = RelationalOps.rollupPricing(li)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2)).toMap
+    assert(r(("A", "F")) === 1.0)
+    assert(r(("A", "ALL")) === 3.0)
+    assert(r(("ALL", "ALL")) === 7.0)
+    assert(!r.contains(("ALL", "F"))) // rollup, not cube
+  }
+
   test("revenueBySegment joins three tables and aggregates") {
     val customer = Seq((1, "c1", 0, 0.0, "AUTO")).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val orders = Seq((10L, 1L, "O", 5.0)).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
