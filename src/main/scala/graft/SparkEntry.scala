@@ -182,9 +182,13 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""WITH $duckToks,
          |$duckShingles,
+         |v AS (SELECT shingle, ${duckHash24("shingle")} AS h0
+         |      FROM (SELECT DISTINCT shingle FROM shd)),
          |mh AS (
-         |  SELECT doc_id, s.seed, min(${duckHash24("s.seed || ':' || shingle")}) AS minh
-         |  FROM shd, unnest(range(0, 12)) s(seed)
+         |  SELECT d.doc_id, s.seed,
+         |    min((((s.seed + 1) * 2654435761 % 16777259) * v.h0
+         |         + ((s.seed + 1) * 40503 + 12345) % 16777259) % 16777259) AS minh
+         |  FROM shd d JOIN v USING (shingle), unnest(range(0, 12)) s(seed)
          |  GROUP BY 1, 2),
          |bk AS (
          |  SELECT doc_id, seed // 3 AS band,

@@ -34,23 +34,29 @@ object DedupOps {
       .select(col("doc_id"), col("pos"), concat_ws(" ", cols: _*).as("shingle"))
   }
 
-  /** MinHash signature: (doc_id, seed, minh) — per seed, the minimum
-    * portable hash of "<seed>:<shingle>" over the doc's distinct
-    * shingle set. */
+  /** Prime just above 2^24 for the universal-hash family. */
+  val MinhashPrime: Long = 16777259L
+
+  /** MinHash signature: (doc_id, seed, minh). The hash family is the
+    * textbook universal construction h_i(x) = (a_i·h0(x) + b_i) mod p
+    * over ONE sha-derived base hash per distinct shingle — seeded
+    * variants are pure arithmetic, so the sha cost is |shingle vocab|
+    * (not ×numHashes), and the whole family stays replicable in the
+    * oracle's SQL dialect. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame = {
     val docShingles = wordShingles(docs, w)
       .select(col("doc_id"), col("shingle"))
       .distinct()
-    // hash each DISTINCT shingle once per seed, join back — the sha
-    // work scales with |shingle vocab|, not Σ|doc shingle sets|
-    val hashed = docShingles
+    val p = MinhashPrime
+    val seeded = docShingles
       .select(col("shingle")).distinct()
+      .withColumn("h0", PortableHash.hash24(col("shingle")))
       .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
       .withColumn(
         "h",
-        PortableHash.hash24(concat(col("seed").cast("string"), lit(":"), col("shingle"))))
+        expr(s"(((seed + 1) * 2654435761 % $p) * h0 + ((seed + 1) * 40503 + 12345) % $p) % $p"))
     docShingles
-      .join(hashed, "shingle")
+      .join(seeded, "shingle")
       .groupBy(col("doc_id"), col("seed"))
       .agg(min(col("h")).as("minh"))
   }
@@ -162,8 +168,11 @@ object DedupOps {
     * selected hashes per doc. Robust to small edits — the local-min
     * property survives shifting. */
   def winnowFingerprints(docs: DataFrame, w: Int = 3, window: Int = 4): DataFrame = {
-    val hashed = wordShingles(docs, w)
+    val sh = wordShingles(docs, w)
+    // hash distinct shingles once, join back (same values, |vocab| sha calls)
+    val vocab = sh.select(col("shingle")).distinct()
       .withColumn("h", PortableHash.hash24(col("shingle")))
+    val hashed = sh.join(vocab, "shingle")
     val frame = Window
       .partitionBy(col("doc_id"))
       .orderBy(col("pos"))
