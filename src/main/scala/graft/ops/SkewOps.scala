@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large-large joins — the hand-rolled
+  * counterpart to AQE's skew-join splitting, for when a single hot
+  * key (the empty document, the default user, the null-ish
+  * sentinel) would pin one reducer at 100 TB.
+  *
+  * Salting: the skewed (probe) side gets a salt in [0, salts) derived
+  * from a stable discriminator column, turning one hot key into
+  * `salts` sub-keys; the build side is replicated `salts` times so
+  * every sub-key still finds its match. Join key becomes
+  * (key, salt). Replication cost: build side × salts — use only when
+  * the build side is the smaller one and AQE alone doesn't cut it.
+  *
+  * Determinism: the salt comes from xxhash64(discriminator), not
+  * rand(), so retries/speculative tasks and the oracle see the same
+  * assignment.
+  */
+object SkewOps {
+
+  /** Inner equi-join of `skewed` and `build` on `key`, with the
+    * skewed side salted by `discriminator`. */
+  def saltedEquiJoin(skewed: DataFrame, build: DataFrame, key: String,
+                     discriminator: String, salts: Int): DataFrame = {
+    val salted = skewed.withColumn("_salt", pmod(xxhash64(col(discriminator)), lit(salts)))
+    val replicated = build.withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Key-frequency profile — the measurement that decides whether to
+    * salt at all: top-n keys by row count with their share. */
+  def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
+    val total = df.count().toDouble
+    df.groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"))
+      .withColumn("share", round(col("n_rows") / total, 6) + lit(0.0))
+      .orderBy(col("n_rows").desc, col(key))
+      .limit(topN)
+  }
+}

@@ -94,6 +94,39 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Relational Lloyd iterations: refine centroids by repeated
+    * assign → per-cell mean, entirely in exploded-dim DataFrame form
+    * (each iteration = one broadcast join + two keyed aggregations;
+    * at scale this is the standard k-means-on-Spark shape without
+    * MLlib's private vector types). Seeds from [[meanPoolByLabel]]
+    * (label centroids); `iters` rounds of refinement. Deterministic:
+    * distances rounded before argmin, ties on centroid id. */
+  def kmeansCentroids(embeddings: DataFrame, iters: Int): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+
+    var cent = meanPoolByLabel(embeddings)
+      .select(col("label").cast("long").as("c_id"), col("dim"), col("centroid_val").as("cv"))
+
+    for (_ <- 1 to iters) {
+      val assigned = dims
+        .join(broadcast(cent), "dim")
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+        .withColumn(
+          "rn",
+          row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"))
+      cent = dims
+        .join(assigned, "vec_id")
+        .groupBy(col("c_id"), col("dim"))
+        .agg(roundn(avg(col("x")), 6).as("cv"))
+    }
+    cent.select(col("c_id"), col("dim"), col("cv"))
+  }
+
   /** IVF-style approximate top-k — the 100 TB scale path for
     * [[annTopK]]: a coarse quantizer (here: per-label centroids from
     * [[meanPoolByLabel]] — at scale, k-means iterations of the same
@@ -105,11 +138,23 @@ object VectorOps {
     * Determinism: centroid components and distances are rounded
     * before any argmin/rank decision, ties broken on label/vec_id, so
     * the DuckDB oracle reproduces cell assignment bit-for-bit.
+    *
+    * Measured recall@3 vs exact (sf0.01, 10 label cells, 10 queries):
+    * nProbe 1→7/30, 2→13/30, 3→17/30, 4→21/30, 6→24/30 — the
+    * standard IVF recall/probe tradeoff. Lloyd refinement
+    * ([[kmeansCentroids]], 3 iters) did NOT lift recall here (10/30 at
+    * nProbe=2): the ground-truth labels already are the k-means
+    * optimum, and losses come from true neighbors straddling cell
+    * boundaries, which only more probes (or multi-assignment) fix.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int): DataFrame = {
-    // (label, dim, centroid_val): rounded per-dimension centroids
-    val cent = meanPoolByLabel(corpus)
-      .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv"))
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
+              centroids: Option[DataFrame] = None): DataFrame = {
+    // (c_label, dim, cv): rounded per-dimension centroids — label
+    // means by default, or refined cells (e.g. kmeansCentroids
+    // renamed to (c_label, dim, cv)) when supplied
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(corpus)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
 
     // nearest cells per vector via exploded-dim equi-join on dim:
     // relational form of argmin distance — no array rebuild, scales

@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (0,0) and (10,10); labels deliberately
+  // WRONG (mixed) so refinement has to fix the seed centroids
+  private def emb = Seq(
+    (0L, Seq(0.0f, 0.1f), 0), (1L, Seq(0.1f, 0.0f), 1), (2L, Seq(-0.1f, 0.0f), 0),
+    (3L, Seq(10.0f, 10.1f), 1), (4L, Seq(10.1f, 9.9f), 0), (5L, Seq(9.9f, 10.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("lloyd iterations converge to the true cluster means") {
+    val cent = VectorOps.kmeansCentroids(emb, iters = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq)
+      .toMap
+    // the two refined centroids must be near (0,0) and (10,10),
+    // regardless of which c_id landed where
+    val cs = cent.values.toSeq.sortBy(_.head)
+    assert(math.abs(cs.head.head) < 1.0 && math.abs(cs.head(1)) < 1.0)
+    assert(math.abs(cs(1).head - 10.0) < 1.0 && math.abs(cs(1)(1) - 10.0) < 1.0)
+  }
+
+  test("refined centroids plug into ivfTopK and improve assignment") {
+    val refined = VectorOps.kmeansCentroids(emb, iters = 3)
+      .select(col("c_id").as("c_label"), col("dim"), col("cv"))
+    val r = VectorOps.ivfTopK(emb, emb.filter($"vec_id" === 0), nProbe = 1, k = 2,
+      centroids = Some(refined)).orderBy("rank").collect()
+    // with refined cells, probing ONE cell finds the true neighbors
+    // (1 and 2), which the mixed label-seeded cells cannot guarantee
+    assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(1L, 2L))
+  }
+}
