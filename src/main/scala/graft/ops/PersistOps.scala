@@ -1,0 +1,40 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence layout operators (SURVEY.md §2.1 S6/S7 at scale).
+  * The reference pickles four Python lists (app.py:161-168); the
+  * engine's corpus IS its index, so persistence strategy = parquet
+  * layout strategy:
+  *
+  *  - partition by a low-cardinality pruning column (lang, date,
+  *    source shard) so point/range reads touch only matching
+  *    directories — partition pruning happens at planning time,
+  *    before any IO;
+  *  - within partitions, sort by the common join/filter key so
+  *    min/max row-group stats prune further (the poor man's
+  *    z-order for one key).
+  *
+  * At 100 TB: partition count must stay bounded (directories are
+  * metadata ops) — prefer coarse partitions + row-group stats over
+  * millions of tiny files.
+  */
+object PersistOps {
+
+  /** Write partitioned + sorted-within-partitions parquet. */
+  def writePartitioned(df: DataFrame, path: String, partitionCol: String,
+                       sortCol: String): Unit =
+    df.repartition(col(partitionCol))
+      .sortWithinPartitions(col(sortCol))
+      .write
+      .mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  /** Read back with a partition-value filter — the plan must show a
+    * PartitionFilters entry and scan only the matching directory. */
+  def readPartition(spark: SparkSession, path: String, partitionCol: String,
+                    value: String): DataFrame =
+    spark.read.parquet(path).filter(col(partitionCol) === value)
+}
