@@ -59,6 +59,8 @@ object SparkEntry {
     "knn_search" -> ((s, dir) => knnQuery(s, dir)),
     "mean_pool" -> ((s, dir) => VectorOps.meanPoolByLabel(Tables.embeddings(s, dir))),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
+    "search_text" -> ((s, dir) =>
+      SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
@@ -411,6 +413,29 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    "search_text" ->
+      s"""WITH $duckToks,
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id)),
+         |qtoks AS (SELECT trim(u.tok) AS tok
+         |          FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |qhashed AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM qtoks),
+         |qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM qhashed GROUP BY 1),
+         |qw AS (SELECT dim, round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM qtf), 6) + 0 AS qw
+         |       FROM qtf),
+         |scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw), 6) + 0 AS score
+         |  FROM w JOIN qw USING (dim) GROUP BY 1)
+         |SELECT rank, doc_id, source, score FROM (
+         |  SELECT s.doc_id, s.score, d.source,
+         |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |           FROM embeddings WHERE vec_id < 10),

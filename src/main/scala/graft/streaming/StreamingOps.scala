@@ -66,6 +66,46 @@ object StreamingOps {
       }
   }
 
+  /** File-source streaming ingest — the reference's startup/upload
+    * ingest (app.py:117-158) as a 24/7 job: watch `watchDir` for
+    * dropped JSON corpus files, and per micro-batch append only
+    * documents whose content hash is absent from BOTH the persisted
+    * corpus and the batch itself (first-by-doc_id wins). Exactly-once
+    * per file via the file-source checkpoint; the parquet append is
+    * idempotent per batch under foreachBatch's replay contract.
+    *
+    * Returns the started query; callers own stop()/awaitTermination.
+    */
+  def fileIngest(spark: org.apache.spark.sql.SparkSession, watchDir: String,
+                 corpusDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    spark.readStream
+      .schema(schema)
+      .json(watchDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val withHash = batch.withColumn("content_hash", sha2(col("text"), 256))
+        val inBatchFirst = withHash
+          .withColumn("_rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
+          .filter(col("_rn") === 1).drop("_rn")
+        val fresh =
+          try {
+            val state = s.read.parquet(corpusDir).select("content_hash")
+            inBatchFirst.join(state, Seq("content_hash"), "left_anti")
+          } catch { case _: Exception => inBatchFirst } // first batch: no corpus yet
+        if (!fresh.isEmpty) fresh.write.mode("append").parquet(corpusDir)
+      }
+      .start()
+  }
+
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

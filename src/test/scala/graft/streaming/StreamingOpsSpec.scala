@@ -31,6 +31,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileIngest appends only hash-new docs across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("fileingest")
+    val watch = base.resolve("watch"); val corpus = base.resolve("corpus")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(watch)
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(watch.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+    drop("b1.json", Seq(
+      """{"doc_id": 1, "source": "s1", "text": "alpha"}""",
+      """{"doc_id": 2, "source": "s2", "text": "alpha"}""", // in-batch dup
+      """{"doc_id": 3, "source": "s3", "text": "beta"}"""))
+    val q = fileIngest(spark, watch.toString, corpus.toString, ckpt.toString)
+    try {
+      q.processAllAvailable()
+      drop("b2.json", Seq(
+        """{"doc_id": 4, "source": "s4", "text": "beta"}""", // cross-batch dup
+        """{"doc_id": 5, "source": "s5", "text": "gamma"}"""))
+      q.processAllAvailable()
+      val ids = spark.read.parquet(corpus.toString)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 3L, 5L)) // first-by-doc_id per hash, dups dropped
+    } finally q.stop()
+  }
+
   test("dedupedIngest emits first occurrence per content hash only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
