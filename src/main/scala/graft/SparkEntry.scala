@@ -124,7 +124,8 @@ object SparkEntry {
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
         .withColumn("hour_start", unix_timestamp(col("hour_start")))),
-    "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir)))
+    "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
+    "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir)))
   )
 
   // ===================== oracle SQL (DuckDB) =====================
@@ -519,6 +520,12 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_percentiles" ->
+      """SELECT event_type, CAST(u.i - 1 AS BIGINT) AS qi,
+        |       round(ps[u.i], 6) + 0 AS quantile_value
+        |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS ps
+        |      FROM events GROUP BY 1) t,
+        |     unnest(range(1, len(ps)+1)) u(i)""".stripMargin,
     "json_extract" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k

@@ -73,6 +73,21 @@ object RelationalOps {
         col("n_events"),
         col("sum_value"))
 
+  /** Statistics class: exact quartiles of event value per type.
+    * `percentile` (exact, linear interpolation) rather than
+    * percentile_approx so the oracle can match bit-for-bit; at
+    * 100 TB swap to approx_percentile and accept rows-only checks —
+    * exact percentile shuffles the full value set per group. */
+  def valuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("ps"))
+      .select(col("event_type"), posexplode(col("ps")).as(Seq("qi", "v")))
+      .select(
+        col("event_type"),
+        col("qi").cast("long").as("qi"),
+        roundn(col("v"), 6).as("quantile_value"))
+
   /** Scalar-function breadth: JSON field extraction from events.props
     * (SURVEY.md §2.8 — `get_json_object` class). Implemented with
     * regexp_extract so the oracle needs no JSON extension; props shape

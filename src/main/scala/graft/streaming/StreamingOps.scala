@@ -100,7 +100,11 @@ object StreamingOps {
           try {
             val state = s.read.parquet(corpusDir).select("content_hash")
             inBatchFirst.join(state, Seq("content_hash"), "left_anti")
-          } catch { case _: Exception => inBatchFirst } // first batch: no corpus yet
+          } catch {
+            // only the missing-corpus case (first batch); genuine IO
+            // errors must still fail the batch
+            case _: org.apache.spark.sql.AnalysisException => inBatchFirst
+          }
         if (!fresh.isEmpty) fresh.write.mode("append").parquet(corpusDir)
       }
       .start()
