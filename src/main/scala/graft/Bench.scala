@@ -11,17 +11,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: JIT + codegen + parquet footer caches, so the first
-    // timed query doesn't absorb session startup cost
+    // timed query doesn't absorb session startup cost; guarded so a
+    // bad sfDir still reaches the per-query loop (which reports -1s)
     spark.range(1000000).selectExpr("sum(id)").collect()
-    SparkEntry.queries.get("scan_documents").foreach(fn => fn(spark, sfDir).count())
+    try SparkEntry.queries.get("scan_documents").foreach(fn => fn(spark, sfDir).count())
+    catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Catalyst prune unevaluated projections and
       // understate the work
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+        }
+      // a failed query reports -1, never a flattering near-zero time
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -142,11 +142,11 @@ object SparkEntry {
     s"(CASE WHEN ${duckNorm(a)} * ${duckNorm(b)} = 0 THEN 0.0 " +
       s"ELSE ${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) END)"
 
-  /** DuckDB twin of graft.functions.PortableHash.hash24. */
+  /** DuckDB twin of graft.functions.PortableHash.hash24 — single
+    * source of truth lives next to the Spark-side hash; only the
+    * BIGINT cast (DuckDB list_sum returns DOUBLE) is added here. */
   private def duckHash24(sExpr: String): String =
-    s"CAST(list_sum(list_transform(range(1,7), i -> " +
-      s"(strpos('0123456789abcdef', substr(sha256($sExpr), i, 1)) - 1) " +
-      s"* CAST(power(16, 6-i) AS BIGINT))) AS BIGINT)"
+    s"CAST(${graft.functions.PortableHash.duckdbHash24(sExpr)} AS BIGINT)"
 
   /** DuckDB twin of EmbedOps.tokenize: CTE producing (doc_id, pos, tok). */
   private val duckToks =
@@ -333,9 +333,12 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents) d,
         |       unnest(range(1, len(parts)+1)) u(i)
         |  WHERE trim(parts[u.i]) <> '')
-        |SELECT para, count(*) AS n_copies,
-        |       min(doc_id * 100000 + para_idx) AS first_pos_key
-        |FROM seg GROUP BY 1""".stripMargin,
+        |SELECT para, n_copies, first_doc_id, first_para_idx FROM (
+        |  SELECT para,
+        |    count(*) OVER (PARTITION BY para) AS n_copies,
+        |    doc_id AS first_doc_id, para_idx AS first_para_idx,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+        |  FROM seg) WHERE rn = 1""".stripMargin,
     "dedup_embedding" ->
       s"""WITH toks AS (
          |  SELECT doc_id, trim(parts[u.i]) AS tok

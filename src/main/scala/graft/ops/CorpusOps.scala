@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document-corpus operators — the ingest half of the reference
@@ -35,12 +36,16 @@ object CorpusOps {
         (!col("source").contains(".") ||
           col("source").rlike("(?i)\\.(pdf|docx)$")))
 
-  /** P1 — paragraph segmentation: split text on the delimiter, trim,
-    * drop blanks, number by position (reference app.py:24,27 split +
-    * strip + filter; app.py:97,104 enumerate → (file, i) key). */
+  /** P1 — paragraph segmentation: split text on the LITERAL delimiter
+    * (quoted — split() takes a regex), trim, drop blanks, number by
+    * position (reference app.py:24,27 split + strip + filter;
+    * app.py:97,104 enumerate → (file, i) key). */
   def segmentParagraphs(docs: DataFrame, delim: String = " "): DataFrame =
     docs
-      .select(col("doc_id"), posexplode(split(col("text"), delim)).as(Seq("para_idx", "para")))
+      .select(
+        col("doc_id"),
+        posexplode(split(col("text"), java.util.regex.Pattern.quote(delim)))
+          .as(Seq("para_idx", "para")))
       .withColumn("para", trim(col("para")))
       .filter(col("para") =!= "")
 
@@ -56,14 +61,23 @@ object CorpusOps {
 
   /** D1 — paragraph-level dedup (reference app.py:98-99: skip (file,i)
     * pairs already indexed, generalized to content identity): group
-    * segmented paragraphs by text, keep copy count and the first
-    * (doc_id, para_idx) position as a deterministic representative. */
-  def dedupParagraphs(docs: DataFrame, delim: String = " "): DataFrame =
+    * segmented paragraphs by text, keep copy count and the
+    * lexicographically-first (doc_id, para_idx) as the deterministic
+    * representative — carried as two columns, not an arithmetic key
+    * (doc_id·K + para_idx collides once para_idx ≥ K). */
+  def dedupParagraphs(docs: DataFrame, delim: String = " "): DataFrame = {
+    val byPara = Window.partitionBy(col("para"))
     segmentParagraphs(docs, delim)
-      .groupBy(col("para"))
-      .agg(
-        count(lit(1)).as("n_copies"),
-        min(col("doc_id") * 100000 + col("para_idx")).as("first_pos_key"))
+      .withColumn("n_copies", count(lit(1)).over(byPara))
+      .withColumn(
+        "rn",
+        row_number().over(byPara.orderBy(col("doc_id"), col("para_idx"))))
+      .filter(col("rn") === 1)
+      .select(
+        col("para"), col("n_copies"),
+        col("doc_id").as("first_doc_id"),
+        col("para_idx").cast("long").as("first_para_idx"))
+  }
 
   /** A5 — content hash per document (reference app_callapi.py:117-120
     * sha-256 of file bytes; here sha-256 of the text column). */
@@ -89,8 +103,10 @@ object CorpusOps {
     * sides shuffle on the uniformly-distributed hash — the right plan
     * either way. */
   def incrementalAntiJoin(incoming: DataFrame, state: DataFrame): DataFrame =
-    contentHash(incoming)
-      .join(incoming, "doc_id")
+    incoming
+      // hash as a derived column, NOT a self-join on doc_id — a
+      // non-unique doc_id would multiply rows through that join
+      .withColumn("content_hash", sha2(col("text"), 256))
       .join(state.select("content_hash"), Seq("content_hash"), "left_anti")
 
   /** D2/D3 — delete-by-predicate + upsert: remove all rows of a

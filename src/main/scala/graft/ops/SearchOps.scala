@@ -31,11 +31,17 @@ object SearchOps {
       .join(broadcast(queryW), "dim")
       .groupBy(col("doc_id"))
       .agg(roundn(sum(col("weight") * col("qw")), 6).as("score"))
-    val w = Window.orderBy(col("score").desc, col("doc_id"))
-    scored
+    // orderBy.limit FIRST (plans as TakeOrderedAndProject — per-
+    // partition top-k, no global single-reducer sort); the window
+    // then ranks only the k survivors
+    val top = scored
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 }

@@ -61,7 +61,12 @@ object DocxSource {
       .toDF()
   }
 
-  private val ParaSplit: Regex = "(?s)<w:p[ >].*?</w:p>|<w:p/>".r
+  // self-closing form FIRST (Word emits empty paragraphs as
+  // <w:p w:rsidR="..."/> — matching it lazily against the block form
+  // would swallow the next real paragraph); <w:pPr> etc. can't match:
+  // after "w:p" only '>', whitespace, or '/' qualify
+  private val ParaSplit: Regex =
+    "(?s)<w:p(?:\\s[^>]*)?/>|<w:p(?:\\s[^>]*)?>.*?</w:p>".r
   private val TextRun: Regex = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>".r
 
   /** Extract paragraph texts from docx bytes. Corrupt/non-docx input

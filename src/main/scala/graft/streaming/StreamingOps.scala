@@ -61,7 +61,11 @@ object StreamingOps {
           else {
             state.update(true)
             ttl.foreach(state.setTimeoutDuration)
-            rows.take(1).map(_.doc)
+            // deterministic winner: smallest doc_id in the group (the
+            // group iterator's order is shuffle-dependent)
+            var best: Doc = null
+            rows.foreach(r => if (best == null || r.doc.doc_id < best.doc_id) best = r.doc)
+            Iterator.single(best)
           }
       }
   }
@@ -96,16 +100,20 @@ object StreamingOps {
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
           .filter(col("_rn") === 1).drop("_rn")
+        // explicit existence check — an exception catch could not
+        // distinguish "no corpus yet" from a schema/IO error, which
+        // must fail the batch rather than silently disable dedup
+        val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
+        val fs = corpusPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val fresh =
-          try {
+          if (fs.exists(corpusPath)) {
             val state = s.read.parquet(corpusDir).select("content_hash")
             inBatchFirst.join(state, Seq("content_hash"), "left_anti")
-          } catch {
-            // only the missing-corpus case (first batch); genuine IO
-            // errors must still fail the batch
-            case _: org.apache.spark.sql.AnalysisException => inBatchFirst
-          }
-        if (!fresh.isEmpty) fresh.write.mode("append").parquet(corpusDir)
+          } else inBatchFirst
+        // single evaluation per batch: cache, write, release
+        fresh.persist()
+        try if (fresh.count() > 0) fresh.write.mode("append").parquet(corpusDir)
+        finally fresh.unpersist()
       }
       .start()
   }

@@ -48,11 +48,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getLong(2) === 2L) // two copies
   }
 
-  test("dedupParagraphs groups identical paragraphs with first-position key") {
+  test("dedupParagraphs groups identical paragraphs with first position") {
     val r = CorpusOps.dedupParagraphs(corpus, delim = "\n")
       .filter($"para" === "alpha beta").head()
     assert(r.getAs[Long]("n_copies") === 3L) // docs 0, 2, 4
-    assert(r.getAs[Long]("first_pos_key") === 0L) // doc 0, para 0
+    assert(r.getAs[Long]("first_doc_id") === 0L)
+    assert(r.getAs[Long]("first_para_idx") === 0L)
+  }
+
+  test("segmentParagraphs treats the delimiter literally, not as regex") {
+    val df = Seq((0L, "a.b.c")).toDF("doc_id", "text")
+    val parts = CorpusOps.segmentParagraphs(df, delim = ".")
+      .orderBy("para_idx").select("para").as[String].collect()
+    assert(parts.toSeq === Seq("a", "b", "c"))
   }
 
   test("contentHash equals sha-256 hex of the text") {

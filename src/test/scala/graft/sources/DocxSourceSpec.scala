@@ -28,6 +28,7 @@ class DocxSourceSpec extends SparkSpec {
     val multiRun =
       """<?xml version="1.0"?><w:document><w:body>
         |<w:p><w:r><w:t>hello </w:t></w:r><w:r><w:t>world</w:t></w:r></w:p>
+        |<w:p w:rsidR="00AB12CD"/>
         |<w:p><w:r><w:t>a &amp; b &lt;tag&gt;</w:t></w:r></w:p>
         |<w:p/>
         |</w:body></w:document>""".stripMargin
@@ -35,7 +36,9 @@ class DocxSourceSpec extends SparkSpec {
     zos.putNextEntry(new ZipEntry("word/document.xml"))
     zos.write(multiRun.getBytes("UTF-8")); zos.closeEntry(); zos.close()
     val paras = DocxSource.parseDocx(bos.toByteArray)
-    assert(paras === Seq("hello world", "a & b <tag>", ""))
+    // the attributed self-closing paragraph (Word's empty-para form)
+    // must yield its own empty slot, not swallow the next paragraph
+    assert(paras === Seq("hello world", "", "a & b <tag>", ""))
   }
 
   test("parseDocx on corrupt bytes yields empty, not an exception (app_callapi.py:62-63)") {
