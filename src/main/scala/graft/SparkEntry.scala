@@ -125,7 +125,9 @@ object SparkEntry {
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
         .withColumn("hour_start", unix_timestamp(col("hour_start")))),
     "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
-    "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir)))
+    "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir))),
+    "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
+    "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
   )
 
   // ===================== oracle SQL (DuckDB) =====================
@@ -523,6 +525,17 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, count(*) AS n_events, round(sum(value), 4) + 0 AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "events_value_stats" ->
+      """SELECT event_type,
+        |  round(stddev_samp(value), 4) + 0 AS sd_value,
+        |  round(var_samp(value), 4) + 0 AS var_value,
+        |  round(min(value), 6) + 0 AS min_value,
+        |  round(max(value), 6) + 0 AS max_value,
+        |  round(avg(value), 6) + 0 AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type, CAST(u.i - 1 AS BIGINT) AS qi,
         |       round(ps[u.i], 6) + 0 AS quantile_value

@@ -37,4 +37,19 @@ object PersistOps {
   def readPartition(spark: SparkSession, path: String, partitionCol: String,
                     value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
+
+  /** Bucketed + sorted table write: co-locates rows by join key so
+    * equi-joins between tables bucketed the same way plan WITHOUT
+    * shuffle exchanges — the storage-layout answer to the "big
+    * join shuffles every time" problem. At 100 TB, bucket the fact
+    * tables on their join key once at ingest and every downstream
+    * join/aggregation on that key is exchange-free. Requires
+    * saveAsTable (bucket metadata lives in the catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
 }

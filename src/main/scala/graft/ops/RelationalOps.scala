@@ -73,6 +73,28 @@ object RelationalOps {
         col("n_events"),
         col("sum_value"))
 
+  /** Count-distinct class: exact distinct users per event type.
+    * (The approximate tier — approx_count_distinct/HLL — can't be
+    * oracle-hash-checked; the exact form covers the semantics and at
+    * scale is swapped per accuracy budget.) */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))
+
+  /** Moment-statistics class: spread and extrema of value per type.
+    * stddev/variance are sums of squares — order-sensitive doubles —
+    * so rounded at 4 (SURVEY §7.4). */
+  def valueStats(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        roundn(stddev_samp(col("value")), 4).as("sd_value"),
+        roundn(var_samp(col("value")), 4).as("var_value"),
+        roundn(min(col("value")), 6).as("min_value"),
+        roundn(max(col("value")), 6).as("max_value"),
+        roundn(avg(col("value")), 6).as("avg_value"))
+
   /** Statistics class: exact quartiles of event value per type.
     * `percentile` (exact, linear interpolation) rather than
     * percentile_approx so the oracle can match bit-for-bit; at

@@ -7,6 +7,31 @@ import org.apache.spark.sql.functions._
 class PersistOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bucketed tables join with NO shuffle exchange on either side") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+        .select($"l_orderkey".as("k"), $"l_quantity")
+      val or = Tables.orders(spark, "/root/testdata/sf0.001")
+        .select($"o_orderkey".as("k"), $"o_totalprice")
+      PersistOps.writeBucketed(li, "li_bucketed", "k", 8)
+      PersistOps.writeBucketed(or, "or_bucketed", "k", 8)
+      // count Exchange nodes in the FINALIZED executed plan —
+      // sparkPlan is pre-EnsureRequirements and never shows
+      // exchanges, so asserting on it would be vacuous
+      def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+        df.count() // materialize so AQE finalizes the plan
+        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+      }
+      val joined = spark.table("li_bucketed").join(spark.table("or_bucketed"), "k")
+      val plain = li.join(or, "k")
+      assert(exchanges(plain) === 2) // unbucketed SMJ: one per side
+      assert(exchanges(joined) === 0) // bucket co-location: none
+      assert(joined.count() === plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("partitioned write enables planning-time partition pruning") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = Files.createTempDirectory("persist_part").toString
