@@ -93,7 +93,7 @@ object CorpusOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("total_chars"),
-        (round(avg(col("n_chars")), 4) + lit(0.0)).as("avg_chars"))
+        graft.functions.VectorMath.roundn(avg(col("n_chars")), 4).as("avg_chars"))
 
   /** J2 — incremental-ingest anti-join: keep only incoming docs whose
     * content hash is absent from the known-state side (reference

@@ -22,11 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object PersistOps {
 
-  /** Write partitioned + sorted-within-partitions parquet. */
+  /** Write partitioned + sorted-within-partitions parquet.
+    * Repartitioning includes a bounded spread key alongside the
+    * partition column: repartitioning by the partition value alone
+    * would route a hot value (80% `lang=en`) through ONE task;
+    * the spread fans each value across up to `filesPerValue` tasks,
+    * bounding both task size and file count per directory. */
   def writePartitioned(df: DataFrame, path: String, partitionCol: String,
-                       sortCol: String): Unit =
-    df.repartition(col(partitionCol))
-      .sortWithinPartitions(col(sortCol))
+                       sortCol: String, filesPerValue: Int = 4): Unit =
+    df.repartition(col(partitionCol), pmod(xxhash64(col(sortCol)), lit(filesPerValue)))
+      .sortWithinPartitions(col(partitionCol), col(sortCol))
       .write
       .mode("overwrite")
       .partitionBy(partitionCol)

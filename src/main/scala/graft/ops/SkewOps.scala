@@ -21,22 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object SkewOps {
 
+  private val SaltCol = "__graft_salt"
+
   /** Inner equi-join of `skewed` and `build` on `key`, with the
     * skewed side salted by `discriminator`. */
   def saltedEquiJoin(skewed: DataFrame, build: DataFrame, key: String,
                      discriminator: String, salts: Int): DataFrame = {
-    val salted = skewed.withColumn("_salt", pmod(xxhash64(col(discriminator)), lit(salts)))
-    val replicated = build.withColumn("_salt", explode(sequence(lit(0L), lit(salts.toLong - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    require(
+      !skewed.columns.contains(SaltCol) && !build.columns.contains(SaltCol),
+      s"inputs must not already carry a $SaltCol column")
+    val salted = skewed.withColumn(SaltCol, pmod(xxhash64(col(discriminator)), lit(salts)))
+    val replicated = build.withColumn(SaltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 
   /** Key-frequency profile — the measurement that decides whether to
-    * salt at all: top-n keys by row count with their share. */
+    * salt at all: top-n keys by row count with their share. Lazy and
+    * single-pass: the share denominator is a window sum over the
+    * (small) aggregated key set, not a second scan of the input. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    val total = df.count().toDouble
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorMath.roundn
     df.groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"))
-      .withColumn("share", round(col("n_rows") / total, 6) + lit(0.0))
+      .withColumn(
+        "share",
+        roundn(col("n_rows") / sum(col("n_rows")).over(Window.partitionBy()), 6))
       .orderBy(col("n_rows").desc, col(key))
       .limit(topN)
   }

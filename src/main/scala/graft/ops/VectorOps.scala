@@ -102,12 +102,26 @@ object VectorOps {
     * (label centroids); `iters` rounds of refinement. Deterministic:
     * distances rounded before argmin, ties on centroid id. */
   def kmeansCentroids(embeddings: DataFrame, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // dims feeds BOTH steps of every iteration — persist once
     val dims = embeddings
       .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .withColumn("dim", col("dim").cast("long"))
+      .persist()
 
-    var cent = meanPoolByLabel(embeddings)
-      .select(col("label").cast("long").as("c_id"), col("dim"), col("centroid_val").as("cv"))
+    // centroids are k·dims rows: materialize them to the driver each
+    // iteration (the standard k-means-on-Spark shape) — otherwise the
+    // lineage nests one broadcast join per iteration and the final
+    // plan re-derives the explode ~2× per iteration
+    def localize(df: DataFrame): DataFrame =
+      df.select(col("c_id"), col("dim"), col("cv"))
+        .as[(Long, Long, Double)].collect().toSeq.toDF("c_id", "dim", "cv")
+
+    var cent = localize(
+      meanPoolByLabel(embeddings)
+        .select(col("label").cast("long").as("c_id"), col("dim"),
+          col("centroid_val").as("cv")))
 
     for (_ <- 1 to iters) {
       val assigned = dims
@@ -119,12 +133,14 @@ object VectorOps {
           row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id"))
-      cent = dims
-        .join(assigned, "vec_id")
-        .groupBy(col("c_id"), col("dim"))
-        .agg(roundn(avg(col("x")), 6).as("cv"))
+      cent = localize(
+        dims
+          .join(assigned, "vec_id")
+          .groupBy(col("c_id"), col("dim"))
+          .agg(roundn(avg(col("x")), 6).as("cv")))
     }
-    cent.select(col("c_id"), col("dim"), col("cv"))
+    dims.unpersist()
+    cent
   }
 
   /** IVF-style approximate top-k — the 100 TB scale path for

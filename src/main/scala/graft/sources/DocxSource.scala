@@ -4,7 +4,6 @@ import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import scala.util.matching.Regex
 
 /** DOCX text source — SURVEY.md §2.1 S2/S3 (reference app.py:26-27,
   * 37-38 reads paragraphs via python-docx; PDF needs a codec stack
@@ -30,11 +29,16 @@ object DocxSource {
   case class DocParagraph(source: String, para_idx: Int, text: String)
 
   /** Binary-file scan of a directory, keeping only ingestible names:
-    * drops `~$` Office lock files and non-docx extensions. The name
-    * filter runs BEFORE content is read into rows downstream. */
+    * drops `~$` Office lock files and non-docx extensions.
+    * `pathGlobFilter` prunes at LISTING time — without it the scan
+    * would materialize content bytes of every file (and a >2 GB
+    * non-docx bystander would kill the job) before the row filter
+    * could drop it; the column filter then handles lock files and
+    * case variants. */
   def scanDocxFiles(spark: SparkSession, dir: String): DataFrame =
     spark.read
       .format("binaryFile")
+      .option("pathGlobFilter", "*.{docx,DOCX}")
       .load(dir)
       .select(
         regexp_extract(col("path"), "([^/]+)$", 1).as("source"),
@@ -61,45 +65,64 @@ object DocxSource {
       .toDF()
   }
 
-  // self-closing form FIRST (Word emits empty paragraphs as
-  // <w:p w:rsidR="..."/> — matching it lazily against the block form
-  // would swallow the next real paragraph); <w:pPr> etc. can't match:
-  // after "w:p" only '>', whitespace, or '/' qualify
-  private val ParaSplit: Regex =
-    "(?s)<w:p(?:\\s[^>]*)?/>|<w:p(?:\\s[^>]*)?>.*?</w:p>".r
-  private val TextRun: Regex = "(?s)<w:t(?:\\s[^>]*)?>(.*?)</w:t>".r
-
-  /** Extract paragraph texts from docx bytes. Corrupt/non-docx input
-    * → empty (per-file error containment). Package-private for tests. */
+  /** Extract paragraph texts from docx bytes via a real StAX pull
+    * parser (regex XML parsing broke on nested `<w:p>` inside text
+    * boxes and on numeric character references — &#8217; etc., which
+    * the parser decodes natively). One paragraph per TOP-LEVEL
+    * `<w:p>`; `<w:t>` runs at any nesting depth (text boxes) are
+    * appended to the enclosing top-level paragraph, so no text is
+    * lost. DTD/external-entity processing is disabled (XXE).
+    * Corrupt/non-docx input → empty (per-file error containment).
+    * Package-private for tests. */
   private[sources] def parseDocx(bytes: Array[Byte]): Seq[String] =
-    try {
-      documentXml(bytes) match {
-        case None => Seq.empty
-        case Some(xml) =>
-          ParaSplit
-            .findAllIn(xml)
-            .map(p => TextRun.findAllMatchIn(p).map(m => unescape(m.group(1))).mkString)
-            .toSeq
-      }
-    } catch { case _: Exception => Seq.empty }
+    try documentXml(bytes).map(parseParagraphs).getOrElse(Seq.empty)
+    catch { case _: Exception => Seq.empty }
 
-  private def documentXml(bytes: Array[Byte]): Option[String] = {
+  private def parseParagraphs(xml: Array[Byte]): Seq[String] = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.setProperty(XMLInputFactory.IS_COALESCING, true)
+    // no namespace resolution: fragments need no xmlns declarations,
+    // and isName() matches both "p" and "w:p" forms
+    f.setProperty(XMLInputFactory.IS_NAMESPACE_AWARE, false)
+    val r = f.createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
+    val paras = Seq.newBuilder[String]
+    val buf = new StringBuilder
+    var pDepth = 0 // nesting depth of w:p elements
+    var inText = false
+    def isName(n: String): Boolean = { // namespace-config-agnostic
+      val ln = r.getLocalName
+      ln == n || ln == s"w:$n"
+    }
+    try {
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            if (isName("p")) { pDepth += 1; if (pDepth == 1) buf.clear() }
+            else if (isName("t") && pDepth >= 1) inText = true
+          case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
+            if (inText) buf.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT =>
+            if (isName("p")) {
+              pDepth -= 1
+              if (pDepth == 0) paras += buf.toString
+            } else if (isName("t")) inText = false
+          case _ =>
+        }
+      }
+    } finally r.close()
+    paras.result()
+  }
+
+  private def documentXml(bytes: Array[Byte]): Option[Array[Byte]] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
     try {
       Iterator
         .continually(zin.getNextEntry)
         .takeWhile(_ != null)
-        .collectFirst {
-          case e if e.getName == "word/document.xml" =>
-            new String(zin.readAllBytes(), "UTF-8")
-        }
+        .collectFirst { case e if e.getName == "word/document.xml" => zin.readAllBytes() }
     } finally zin.close()
   }
-
-  private def unescape(s: String): String =
-    s.replace("&lt;", "<")
-      .replace("&gt;", ">")
-      .replace("&quot;", "\"")
-      .replace("&apos;", "'")
-      .replace("&amp;", "&")
 }

@@ -57,8 +57,14 @@ object StreamingOps {
       .flatMapGroupsWithState[Boolean, Doc](OutputMode.Append(), timeoutConf) {
         case (_, rows, state: GroupState[Boolean]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
-          else if (state.exists) { rows.foreach(_ => ()); Iterator.empty }
-          else {
+          else if (state.exists) {
+            // RE-ARM the timeout: GroupState clears any pending
+            // timeout on every invocation for a key, so without this
+            // a hash that ever sees one duplicate never expires
+            ttl.foreach(state.setTimeoutDuration)
+            rows.foreach(_ => ())
+            Iterator.empty
+          } else {
             state.update(true)
             ttl.foreach(state.setTimeoutDuration)
             // deterministic winner: smallest doc_id in the group (the
@@ -77,6 +83,13 @@ object StreamingOps {
     * corpus and the batch itself (first-by-doc_id wins). Exactly-once
     * per file via the file-source checkpoint; the parquet append is
     * idempotent per batch under foreachBatch's replay contract.
+    *
+    * The dedup probe reads a hash-only SIDECAR (`corpusDir`_hashes),
+    * not the wide corpus files — per-batch probe cost still grows
+    * with distinct-hash count (one skinny column), so a long-lived
+    * deployment should either compact the sidecar periodically or
+    * use [[dedupedIngest]]'s keyed state, which is O(batch) per
+    * trigger with TTL-bounded state.
     *
     * Returns the started query; callers own stop()/awaitTermination.
     */
@@ -103,17 +116,20 @@ object StreamingOps {
         // explicit existence check — an exception catch could not
         // distinguish "no corpus yet" from a schema/IO error, which
         // must fail the batch rather than silently disable dedup
-        val corpusPath = new org.apache.hadoop.fs.Path(corpusDir)
-        val fs = corpusPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val hashDir = s"${corpusDir}_hashes"
+        val hashPath = new org.apache.hadoop.fs.Path(hashDir)
+        val fs = hashPath.getFileSystem(s.sparkContext.hadoopConfiguration)
         val fresh =
-          if (fs.exists(corpusPath)) {
-            val state = s.read.parquet(corpusDir).select("content_hash")
+          if (fs.exists(hashPath)) {
+            val state = s.read.parquet(hashDir)
             inBatchFirst.join(state, Seq("content_hash"), "left_anti")
           } else inBatchFirst
-        // single evaluation per batch: cache, write, release
+        // single evaluation per batch: cache, write corpus + sidecar, release
         fresh.persist()
-        try if (fresh.count() > 0) fresh.write.mode("append").parquet(corpusDir)
-        finally fresh.unpersist()
+        try if (fresh.count() > 0) {
+          fresh.write.mode("append").parquet(corpusDir)
+          fresh.select("content_hash").write.mode("append").parquet(hashDir)
+        } finally fresh.unpersist()
       }
       .start()
   }
