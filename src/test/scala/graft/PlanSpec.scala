@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape regression tests: the properties that make the engine
+  * scale are asserted on the optimizer output, so a refactor that
+  * silently turns a broadcast into a shuffle or a top-k into a global
+  * sort fails CI, not the 100 TB run. (SCALE.md documents why each
+  * shape matters.) */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("knn_search: top-k via TakeOrderedAndProject, query side broadcast, no global sort") {
+    val p = planOf("knn_search")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("join_orders_customers: dimension sides broadcast") {
+    assert(planOf("join_orders_customers").contains("BroadcastHashJoin"))
+  }
+
+  test("filter_sources: predicate pushed into the parquet scan") {
+    val p = planOf("filter_sources")
+    assert(p.contains("PushedFilters") && p.contains("StringStartsWith"))
+  }
+
+  test("scan_documents: text column pruned from the scan") {
+    val p = planOf("scan_documents")
+    assert(p.contains("ReadSchema") && !p.contains("text:string"))
+  }
+
+  test("search_text: ranks only the limited top-k, never all scored docs") {
+    assert(planOf("search_text").contains("TakeOrderedAndProject"))
+  }
+
+  test("vector queries use the fused native expressions, not HOF lambdas") {
+    // (WSCG participation itself is asserted in VectorExpressionsSpec
+    // on a codegen-able stage; BroadcastNestedLoopJoin conditions are
+    // never whole-stage-codegen'd regardless of the expression)
+    val p = planOf("similarity_join")
+    assert(p.contains("graft_cosine"))
+    assert(!p.contains("lambdafunction"))
+  }
+}
