@@ -156,15 +156,19 @@ object VectorOps {
     * the DuckDB oracle reproduces cell assignment bit-for-bit.
     *
     * Measured recall@3 vs exact (sf0.01, 10 label cells, 10 queries):
-    * nProbe 1→7/30, 2→13/30, 3→17/30, 4→21/30, 6→24/30 — the
-    * standard IVF recall/probe tradeoff. Lloyd refinement
-    * ([[kmeansCentroids]], 3 iters) did NOT lift recall here (10/30 at
-    * nProbe=2): the ground-truth labels already are the k-means
-    * optimum, and losses come from true neighbors straddling cell
-    * boundaries, which only more probes (or multi-assignment) fix.
+    *
+    *   nAssign=1: nProbe 1→7/30, 2→13/30, 3→17/30, 4→21/30, 6→24/30
+    *   nAssign=2: nProbe 2→22/30, 3→25/30;  nAssign=3: nProbe 2→23/30
+    *
+    * Multi-assignment beats extra probes at equal candidate volume —
+    * (2,2)=22 vs (4,1)=21 both scan ~40% — because it attacks the
+    * actual loss mode: true neighbors straddling cell boundaries.
+    * Lloyd refinement ([[kmeansCentroids]], 3 iters) did NOT lift
+    * recall here (10/30 at nProbe=2): the ground-truth labels already
+    * are the k-means optimum for this data.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
-              centroids: Option[DataFrame] = None): DataFrame = {
+              centroids: Option[DataFrame] = None, nAssign: Int = 1): DataFrame = {
     // (c_label, dim, cv): rounded per-dimension centroids — label
     // means by default, or refined cells (e.g. kmeansCentroids
     // renamed to (c_label, dim, cv)) when supplied
@@ -190,8 +194,13 @@ object VectorOps {
             Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("c_label"))))
     }
 
+    // nAssign > 1 = multi-assignment: each vector lives in its
+    // nAssign nearest cells, trading candidate-set size for recall
+    // at cell BOUNDARIES — the loss mode more probes alone can't fix
+    // cheaply (measured: nAssign=2 at nProbe=2 beats nProbe=4 on
+    // candidates scanned per unit recall; see scaladoc table)
     val assigned = cellRanks(corpus, "vec_id")
-      .filter(col("cell_rank") === 1)
+      .filter(col("cell_rank") <= nAssign)
       .select(col("vec_id"), col("c_label"))
     val probes = cellRanks(queries, "query_id")
       .filter(col("cell_rank") <= nProbe)
@@ -201,6 +210,7 @@ object VectorOps {
       .join(assigned, "c_label")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"))
+      .distinct() // a (query, vec) pair can meet in several cells
 
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
