@@ -127,6 +127,9 @@ object SparkEntry {
     "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir))),
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
+    "set_except" -> ((s, dir) =>
+      RelationalOps.exceptDocs(Tables.documents(s, dir), keepBelow = 300, dropBelow = 100)),
+    "user_event_paths" -> ((s, dir) => RelationalOps.userEventPaths(Tables.events(s, dir))),
     "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
   )
 
@@ -527,6 +530,15 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+    "set_except" ->
+      """SELECT doc_id, source FROM documents WHERE doc_id < 300
+        |EXCEPT
+        |SELECT doc_id, source FROM documents WHERE doc_id < 100""".stripMargin,
+    "user_event_paths" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
     "events_value_stats" ->
       """SELECT event_type,

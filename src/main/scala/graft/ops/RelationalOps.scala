@@ -73,6 +73,30 @@ object RelationalOps {
         col("n_events"),
         col("sum_value"))
 
+  /** Set-operation class: EXCEPT with SQL DISTINCT semantics
+    * (Dataset.except ≡ EXCEPT DISTINCT in both engines). The engine's
+    * only other set op in anger is union (upsertSource). */
+  def exceptDocs(docs: DataFrame, keepBelow: Long, dropBelow: Long): DataFrame =
+    docs.select(col("doc_id"), col("source")).filter(col("doc_id") < keepBelow)
+      .except(docs.select(col("doc_id"), col("source")).filter(col("doc_id") < dropBelow))
+
+  /** Ordered array-aggregation class: each user's event-type path in
+    * time order, rendered as a string (hash-comparable). Determinism:
+    * collect_list order is shuffle-dependent, so the struct is sorted
+    * by (ts, event_id) AFTER collection — sort_array on the struct
+    * gives the explicit order an ORDER BY inside the aggregate gives
+    * the oracle. */
+  def userEventPaths(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+            x => x.getField("event_type")),
+          ">").as("path"),
+        count(lit(1)).as("n_events"))
+
   /** Count-distinct class: exact distinct users per event type.
     * (The approximate tier — approx_count_distinct/HLL — can't be
     * oracle-hash-checked; the exact form covers the semantics and at
