@@ -85,8 +85,9 @@ object KeywordOps {
             .otherwise(array(col("tok")))).as("gram"))
     val tf = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
-    val df = grams.select(col("doc_id"), col("gram")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // df derived FROM tf (one row per (doc, gram) already) — the
+    // gram explosion is evaluated once, not twice
+    val df = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(col("doc_id")).distinct().count()
     val scored = tf
       .join(df, "gram")
