@@ -31,6 +31,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tumblingCounts drops data later than the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = tumblingCounts(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      val h = 3600L * 1000
+      input.addData((new Timestamp(h / 2), "a", 1.0))
+      q.processAllAvailable()
+      // advance event time far ahead -> watermark passes hour 0
+      input.addData((new Timestamp(10 * h), "a", 0.0))
+      q.processAllAvailable()
+      // a straggler for the long-closed hour-0 window: must be DROPPED
+      input.addData((new Timestamp(h / 4), "a", 100.0))
+      q.processAllAvailable()
+      input.addData((new Timestamp(20 * h), "a", 0.0)) // close hour 10
+      q.processAllAvailable()
+      val hour0 = spark.table("late_out")
+        .filter($"window_start" === new Timestamp(0))
+        .select("n_events", "sum_value").as[(Long, Double)].collect()
+      assert(hour0.toSeq === Seq((1L, 1.0))) // straggler's 100.0 absent
+    } finally q.stop()
+  }
+
   test("fileIngest appends only hash-new docs across micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("fileingest")
     val watch = base.resolve("watch"); val corpus = base.resolve("corpus")
