@@ -97,18 +97,22 @@ object SparkEntry {
     // round-trip → parquet round-trip; hashes prove fidelity)
     "persist_roundtrip" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip"
+      // run-unique path (applicationId) — deterministic within a run,
+      // immune to stale/concurrent-run leftovers at the fixed path
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
+        s.sparkContext.applicationId
       docs.write.mode("overwrite").parquet(tmp)
       CorpusOps.contentHash(s.read.parquet(tmp))
     }),
-    // Multimodal plumbing (binary payload featurization) — no SQL
-    // oracle (binary ops are not SQL-expressible); driver records the
-    // weaker rows-only check per the contract
+    // Multimodal plumbing (binary payload featurization). The full
+    // mapPartitions featurize runs; the declared projection keeps the
+    // SQL-expressible columns so the oracle verifies the plumbing
+    // (id/modality routing + payload byte count). The histogram
+    // column is covered by MultimodalSpec (not SQL-expressible).
     "multimodal_features" -> ((s, dir) => {
       val media = MultimodalOps.syntheticMedia(s, Tables.documents(s, dir))
       MultimodalOps.featurize(media).toDF()
-        .select(col("media_id"), col("modality"), col("n_bytes"),
-          graft.functions.VectorMath.roundn(element_at(col("histogram"), 1), 6).as("hist_0"))
+        .select(col("media_id"), col("modality"), col("n_bytes"))
     }),
 
     // ---- P3: relational breadth (SURVEY.md §2.3/2.5/2.10 north star) ----
@@ -162,11 +166,21 @@ object SparkEntry {
       |       unnest(range(1, len(parts)+1)) u(i)
       |  WHERE trim(parts[u.i]) <> '')""".stripMargin
 
+  /** DuckDB twin of KeywordOps.keepKeyword (F4 stopword filter):
+    * no constituent token in the English list, no Korean particle
+    * contained (app.py:70-71,108-110). */
+  private def duckKeepKw(x: String): String = {
+    val en = graft.ops.KeywordOps.StopwordsEn.map(s => s"'$s'").mkString(", ")
+    val ko = graft.ops.KeywordOps.StopwordsKo.map(s => s"'$s'").mkString(", ")
+    s"NOT list_has_any(string_split($x, ' '), [$en]) " +
+      s"AND len(list_filter([$ko], p -> contains($x, p))) = 0"
+  }
+
   /** DuckDB twin of KeywordOps.keywordTopN (n=8) as a CTE chain. */
   private val duckTopn =
     s"""WITH $duckToks,
        |g AS (SELECT doc_id, tok, count(*) AS tf, min(pos) AS first_pos
-       |      FROM toks GROUP BY 1, 2),
+       |      FROM toks WHERE ${duckKeepKw("tok")} GROUP BY 1, 2),
        |topn AS (
        |  SELECT doc_id, rank, tok AS keyword, tf FROM (
        |    SELECT doc_id, tok, tf,
@@ -479,13 +493,14 @@ object SparkEntry {
          |FROM dk""".stripMargin,
     "keyword_extract" ->
       s"""WITH $duckToks,
-         |grams AS (
+         |grams0 AS (
          |  SELECT doc_id, pos,
          |    unnest(CASE WHEN tok2 IS NOT NULL
          |                THEN [tok, tok || ' ' || tok2] ELSE [tok] END) AS gram
          |  FROM (SELECT doc_id, pos, tok,
          |          lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS tok2
          |        FROM toks)),
+         |grams AS (SELECT * FROM grams0 WHERE ${duckKeepKw("gram")}),
          |tf AS (SELECT doc_id, gram, count(*) AS tf, min(pos) AS first_pos
          |       FROM grams GROUP BY 1, 2),
          |df AS (SELECT gram, count(*) AS df
@@ -554,6 +569,15 @@ object SparkEntry {
         |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS ps
         |      FROM events GROUP BY 1) t,
         |     unnest(range(1, len(ps)+1)) u(i)""".stripMargin,
+    // oracle twin of the syntheticMedia → featurize pipeline's
+    // SQL-expressible projection: payload = UTF-8 bytes of text, so
+    // n_bytes = octet_length(encode(text)); modality = doc_id mod 3
+    "multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
     "json_extract" ->
       """SELECT event_id,
         |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k

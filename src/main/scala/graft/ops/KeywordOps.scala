@@ -15,15 +15,39 @@ import org.apache.spark.sql.functions._
   */
 object KeywordOps {
 
+  /** F4 — the 13 Korean particles the reference suppresses by
+    * CONTAINMENT: a keyword is dropped when any particle appears
+    * anywhere inside it (`any(sw in kw for sw in stopwords_ko)`,
+    * app.py:70-71,110). */
+  val StopwordsKo: Seq[String] =
+    Seq("은", "는", "이", "가", "의", "에", "을", "를", "와", "과", "도", "로", "으로")
+
+  /** F4 — English stopwords, matched EXACTLY against each constituent
+    * token of a candidate (the reference delegates to KeyBERT's
+    * `stop_words="english"` CountVectorizer filter, app.py:108; this
+    * deterministic subset of that list is the engine's stand-in). */
+  val StopwordsEn: Seq[String] = Seq(
+    "a", "an", "the", "and", "or", "of", "to", "in", "on", "for", "is", "are",
+    "was", "were", "be", "it", "as", "at", "by", "with", "from", "this", "that")
+
+  /** F4 predicate: keep `kw` iff no constituent token is an English
+    * stopword and no Korean particle is contained in it. Pure builtin
+    * array ops (arrays_overlap / exists) — codegen'd, no UDF. */
+  def keepKeyword(kw: Column): Column =
+    !arrays_overlap(split(kw, " "), typedlit(StopwordsEn)) &&
+      !exists(typedlit(StopwordsKo), p => kw.contains(p))
+
   /** W2 — per-document top-n keywords. Score: token length (longer ≈
     * more specific, the deterministic stand-in for KeyBERT relevance),
     * ties broken lexicographically then by first position — every tie
     * broken, per SURVEY.md §7.4. Reference: top_n=8 keywords per
     * paragraph (app_callapi.py:150); fallback `p.split()[:8]`
-    * (app_callapi.py:152) is the pos-ordered degenerate case. */
+    * (app_callapi.py:152) is the pos-ordered degenerate case.
+    * Candidates pass the F4 stopword filter first (app.py:108-110). */
   def keywordTopN(docs: DataFrame, n: Int = 8): DataFrame = {
     val toks = EmbedOps
       .tokenize(docs)
+      .filter(keepKeyword(col("tok")))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
     val w = Window
@@ -69,9 +93,10 @@ object KeywordOps {
           lit(notes)).as("prompt"))
 
   /** E2 composite — keyword extraction end-to-end: candidates are 1-
-    * and 2-grams (KeyBERT CountVectorizer (1,2) analog, app.py:108),
-    * scored by corpus-level distinctiveness (tf·idf — deterministic
-    * stand-in for embedding-cosine), top-n per doc. */
+    * and 2-grams (KeyBERT CountVectorizer (1,2) analog, app.py:108)
+    * passing the F4 stopword filter (app.py:108-110), scored by
+    * corpus-level distinctiveness (tf·idf — deterministic stand-in
+    * for embedding-cosine), top-n per doc. */
   def keywordExtract(docs: DataFrame, n: Int = 8): DataFrame = {
     val toks = EmbedOps.tokenize(docs)
     val next = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -83,17 +108,22 @@ object KeywordOps {
         explode(
           when(col("tok2").isNotNull, array(col("tok"), concat_ws(" ", col("tok"), col("tok2"))))
             .otherwise(array(col("tok")))).as("gram"))
+      .filter(keepKeyword(col("gram")))
     val tf = grams.groupBy(col("doc_id"), col("gram"))
       .agg(count(lit(1)).as("tf"), min(col("pos")).as("first_pos"))
     // df derived FROM tf (one row per (doc, gram) already) — the
     // gram explosion is evaluated once, not twice
     val df = tf.groupBy(col("gram")).agg(count(lit(1)).as("df"))
-    val nDocs = docs.select(col("doc_id")).distinct().count()
+    // n_docs as a 1-row aggregate broadcast-cross-joined in — NOT a
+    // driver-side count(): query construction stays lazy, no extra
+    // eager corpus scan per call
+    val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
     val scored = tf
       .join(df, "gram")
+      .crossJoin(broadcast(nDocs))
       .withColumn(
         "score",
-        round(col("tf") * log(lit(nDocs.toDouble + 1) / (col("df") + 1)), 6) + lit(0.0))
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6) + lit(0.0))
     // Rank on INTEGER keys only (tf desc ≈ score desc for fixed df;
     // df asc for fixed tf): a 1-ulp libm ln() difference between
     // engines must not be able to flip the top-n set.

@@ -20,7 +20,13 @@ object Tables {
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
     * reader rejects; read it as Long nanos-since-epoch (UTC) instead.
     * Downstream ops treat `ts` as ordered nanos and convert to
-    * timestamps explicitly where calendar semantics are needed. */
+    * timestamps explicitly where calendar semantics are needed.
+    *
+    * SESSION-WIDE SIDE EFFECT: `nanosAsLong` is a session conf, so
+    * this call changes how EVERY later nanos-timestamp parquet read
+    * in the session is typed. The engine's own entry points (Verify /
+    * Bench / PlansDump / SparkSpec) set it at session build; the set
+    * here is a fallback for externally-built sessions. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")

@@ -43,4 +43,23 @@ class KeywordOpsSpec extends SparkSpec {
     // corpus-distinctive tokens outrank cross-doc ones
     assert(r.filter($"rank" === 1 && $"doc_id" === 0).head().getAs[String]("keyword").contains("spark"))
   }
+
+  test("F4 stopword filter: English exact-match + Korean containment (app.py:70-71,108-110)") {
+    val d = Seq(
+      (0L, "the spark engine is the best engine"),
+      (1L, "데이터는 스파크의 엔진 엔진 엔진") // 는/의 are particle-containing
+    ).toDF("doc_id", "text")
+    val top = KeywordOps.keywordTopN(d, n = 10)
+    val kw0 = top.filter($"doc_id" === 0).select("keyword").as[String].collect().toSet
+    assert(!kw0.contains("the") && !kw0.contains("is")) // English exact-match dropped
+    assert(kw0.contains("engine") && kw0.contains("spark"))
+    val kw1 = top.filter($"doc_id" === 1).select("keyword").as[String].collect().toSet
+    assert(!kw1.contains("데이터는") && !kw1.contains("스파크의")) // particle containment dropped
+    assert(kw1.contains("엔진"))
+    // keywordExtract: bigram containing a stopword token is dropped
+    val ext = KeywordOps.keywordExtract(d, n = 20)
+      .filter($"doc_id" === 0).select("keyword").as[String].collect().toSet
+    assert(!ext.exists(_.split(" ").exists(KeywordOps.StopwordsEn.contains)))
+    assert(ext.contains("spark engine"))
+  }
 }
