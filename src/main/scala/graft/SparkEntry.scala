@@ -66,7 +66,7 @@ object SparkEntry {
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
     }),
     "similarity_join" -> ((s, dir) =>
-      VectorOps.similarityJoin(Tables.embeddings(s, dir), threshold = 0.3, limitIds = 200)),
+      VectorOps.similarityJoinIvf(Tables.embeddings(s, dir), threshold = 0.3)),
 
     // ---- P2: keywords + prompt (SURVEY.md §2.5, §3.3) ----
     "keyword_topn" -> ((s, dir) => KeywordOps.keywordTopN(Tables.documents(s, dir))),
@@ -79,10 +79,15 @@ object SparkEntry {
     "keyword_extract" -> ((s, dir) => KeywordOps.keywordExtract(Tables.documents(s, dir))),
 
     // ---- Training-data pipeline: dedup suite + text analysis ----
+    // (no id caps anywhere: candidate generation is always LSH / IVF
+    // bucketing; quadratic kernels run only over candidates)
     "dedup_minhash_lsh" -> ((s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir))),
-    "dedup_simhash" -> ((s, dir) =>
-      DedupOps.simhashPairs(Tables.documents(s, dir), maxHamming = 6, idLimit = 100)),
-    "ngram_jaccard" -> ((s, dir) => DedupOps.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir))),
+    "ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.jaccardVerify(docs, DedupOps.minhashCandidates(docs))
+    }),
+    "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
@@ -200,35 +205,63 @@ object SparkEntry {
       |  WHERE t2 IS NOT NULL),
       |shd AS (SELECT DISTINCT doc_id, shingle FROM shp)""".stripMargin
 
+  /** DuckDB twin of DedupOps.minhashCandidates as a CTE block ending
+    * in `cand (a_id, b_id, n_shared_bands)`; requires toks+shingle
+    * CTEs. Shared by the three LSH-driven dedup oracles. */
+  private val duckLshCand =
+    s"""v AS (SELECT shingle, ${duckHash24("shingle")} AS h0
+       |      FROM (SELECT DISTINCT shingle FROM shd)),
+       |mh AS (
+       |  SELECT d.doc_id, s.seed,
+       |    min((((s.seed + 1) * 2654435761 % 16777259) * v.h0
+       |         + ((s.seed + 1) * 40503 + 12345) % 16777259) % 16777259) AS minh
+       |  FROM shd d JOIN v USING (shingle), unnest(range(0, 12)) s(seed)
+       |  GROUP BY 1, 2),
+       |bk AS (
+       |  SELECT doc_id, seed // 3 AS band,
+       |         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.band_sig = b.band_sig
+       |                     AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB twin of DedupOps.jaccardVerify over `cand`: CTE block
+    * ending in `jac (a_id, b_id, inter, jaccard)`. */
+  private val duckJaccardVerify =
+    """sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+      |inter AS (
+      |  SELECT c.a_id, c.b_id, count(*) AS inter
+      |  FROM cand c
+      |  JOIN shd a ON a.doc_id = c.a_id
+      |  JOIN shd b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT i.a_id, i.b_id, i.inter,
+      |         round(i.inter / (sa.n + sb.n - i.inter), 6) + 0 AS jaccard
+      |  FROM inter i
+      |  JOIN sizes sa ON sa.doc_id = i.a_id
+      |  JOIN sizes sb ON sb.doc_id = i.b_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH $duckToks,
          |$duckShingles,
-         |v AS (SELECT shingle, ${duckHash24("shingle")} AS h0
-         |      FROM (SELECT DISTINCT shingle FROM shd)),
-         |mh AS (
-         |  SELECT d.doc_id, s.seed,
-         |    min((((s.seed + 1) * 2654435761 % 16777259) * v.h0
-         |         + ((s.seed + 1) * 40503 + 12345) % 16777259) % 16777259) AS minh
-         |  FROM shd d JOIN v USING (shingle), unnest(range(0, 12)) s(seed)
-         |  GROUP BY 1, 2),
-         |bk AS (
-         |  SELECT doc_id, seed // 3 AS band,
-         |         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
-         |  FROM mh GROUP BY 1, 2)
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared_bands
-         |FROM bk a JOIN bk b ON a.band = b.band AND a.band_sig = b.band_sig
-         |                   AND a.doc_id < b.doc_id
-         |GROUP BY 1, 2""".stripMargin,
+         |$duckLshCand
+         |SELECT a_id, b_id, n_shared_bands FROM cand""".stripMargin,
+    // banding on the Spark side is pigeonhole-exact, so the oracle
+    // uses the plain quadratic form — same pair set by construction
     "dedup_simhash" ->
       s"""WITH $duckToks,
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
-         |       WHERE doc_id < 100 GROUP BY 1, 2),
-         |hb AS (SELECT doc_id, tf, ${duckHash24("tok")} AS h FROM tf),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |hb AS (SELECT doc_id, tf,
+         |         CAST(${graft.functions.PortableHash.duckdbHash48("tok")} AS BIGINT) AS h
+         |       FROM tf),
          |bitsum AS (
          |  SELECT doc_id, b.i AS i,
          |    sum(tf * (((h // CAST(power(2, b.i) AS BIGINT)) % 2) * 2 - 1)) AS s
-         |  FROM hb, unnest(range(0, 24)) b(i)
+         |  FROM hb, unnest(range(0, 48)) b(i)
          |  GROUP BY 1, 2),
          |sh AS (SELECT doc_id,
          |         CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, i) AS BIGINT)
@@ -237,21 +270,21 @@ object SparkEntry {
          |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
          |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sh a, sh b
-         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin,
+         |WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "ngram_jaccard" ->
       s"""WITH $duckToks,
          |$duckShingles,
-         |sh AS (SELECT doc_id, shingle FROM shd WHERE doc_id < 60),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-         |inter AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-         |  FROM sh a JOIN sh b USING (shingle)
-         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT i.a_id, i.b_id, i.inter,
-         |       round(i.inter / (sa.n + sb.n - i.inter), 6) + 0 AS jaccard
-         |FROM inter i
-         |JOIN sizes sa ON sa.doc_id = i.a_id
-         |JOIN sizes sb ON sb.doc_id = i.b_id""".stripMargin,
+         |$duckLshCand,
+         |$duckJaccardVerify
+         |SELECT a_id, b_id, inter, jaccard FROM jac""".stripMargin,
+    "dedup_near_verified" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify
+         |SELECT j.a_id, j.b_id, c.n_shared_bands, j.inter, j.jaccard
+         |FROM jac j JOIN cand c USING (a_id, b_id)
+         |WHERE j.jaccard >= 0.5""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -358,24 +391,24 @@ object SparkEntry {
         |    doc_id AS first_doc_id, para_idx AS first_para_idx,
         |    row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
         |  FROM seg) WHERE rn = 1""".stripMargin,
+    // composed form: LSH candidates → exact sparse-cosine verify
     "dedup_embedding" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, trim(parts[u.i]) AS tok
-         |  FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 512) AS parts
-         |        FROM documents WHERE doc_id < 200) d,
-         |       unnest(range(1, len(parts)+1)) u(i)
-         |  WHERE trim(parts[u.i]) <> ''),
-         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 65536 AS dim FROM toks),
          |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
          |       FROM hashed GROUP BY 1, 2),
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
          |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |      FROM tf t JOIN nrm n USING (doc_id))
-         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |SELECT c.a_id, c.b_id,
          |       round(sum(a.weight * b.weight), 6) + 0 AS cos_sim
-         |FROM w a JOIN w b ON a.dim = b.dim AND a.doc_id < b.doc_id
+         |FROM cand c
+         |JOIN w a ON a.doc_id = c.a_id
+         |JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
          |GROUP BY 1, 2
-         |HAVING round(sum(a.weight * b.weight), 6) + 0 >= 0.95""".stripMargin,
+         |HAVING round(sum(a.weight * b.weight), 6) + 0 >= 0.9""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
@@ -471,12 +504,36 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // IVF-candidate form: label-centroid cells, nAssign=2 multi-
+    // assignment, exact cosine only on co-resident pairs
     "similarity_join" ->
-      s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-         |  round(${duckCos("a.embedding", "b.embedding")}, 6) + 0 AS cos_sim
-         |FROM embeddings a, embeddings b
-         |WHERE a.vec_id < b.vec_id AND a.vec_id < 200 AND b.vec_id < 200
-         |  AND round(${duckCos("a.embedding", "b.embedding")}, 6) + 0 >= 0.3""".stripMargin,
+      s"""WITH cent AS (
+         |  SELECT label AS c_label, CAST(u.i - 1 AS BIGINT) AS dim,
+         |         round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS cv
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
+         |  GROUP BY 1, 2),
+         |dims AS (
+         |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         |         CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |cd AS (
+         |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
+         |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+         |  FROM cd),
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b USING (c_label)
+         |  WHERE a.vec_id < b.vec_id)
+         |SELECT p.a_id, p.b_id,
+         |  round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 AS cos_sim
+         |FROM pairs p
+         |JOIN embeddings ea ON ea.vec_id = p.a_id
+         |JOIN embeddings eb ON eb.vec_id = p.b_id
+         |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 >= 0.3""".stripMargin,
     "keyword_topn" ->
       s"$duckTopn\nSELECT doc_id, rank, keyword, tf FROM topn",
     "distinct_keywords" ->

@@ -38,10 +38,25 @@ object PortableHash {
   def seededHash24(s: Column, seed: Int): Column =
     hash24(concat(lit(s"$seed:"), s))
 
+  /** 48-bit non-negative integer from the first 12 hex chars of
+    * sha-256(s). Value range [0, 16^12) — wide enough that simhash
+    * band chunks stay selective join keys (12-bit chunks = 4096
+    * distinct values; a 24-bit signature's 6-bit chunks would be
+    * 64-value skew magnets). */
+  def hash48(s: Column): Column =
+    conv(substring(sha2(s.cast("string"), 256), 1, 12), 16, 10).cast("long")
+
   /** SQL fragment for the DuckDB twin of [[hash24]], for oracle
     * authoring. `sExpr` is a SQL expression yielding the input string. */
   def duckdbHash24(sExpr: String): String =
     s"list_sum(list_transform(range(1,7), i -> " +
       s"(strpos('0123456789abcdef', substr(sha256($sExpr), i, 1)) - 1) " +
       s"* CAST(power(16, 6-i) AS BIGINT)))"
+
+  /** DuckDB twin of [[hash48]]. Exact in DOUBLE arithmetic: every
+    * partial term and the total stay below 2^53. */
+  def duckdbHash48(sExpr: String): String =
+    s"list_sum(list_transform(range(1,13), i -> " +
+      s"(strpos('0123456789abcdef', substr(sha256($sExpr), i, 1)) - 1) " +
+      s"* CAST(power(16, 12-i) AS BIGINT)))"
 }

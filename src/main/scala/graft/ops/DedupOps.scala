@@ -87,15 +87,18 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
-  /** 24-bit SimHash per document: token hash bits weighted by tf,
-    * majority vote per bit (sum>0 → 1). */
-  def simhash(docs: DataFrame, bits: Int = 24): DataFrame = {
+  /** SimHash per document over `bits` signature bits (default 48):
+    * token hash bits weighted by tf, majority vote per bit (sum>0 →
+    * 1). 48 bits (not the classic 64) because the portable sha-hex
+    * fold must stay exact in the oracle's DOUBLE arithmetic. */
+  def simhash(docs: DataFrame, bits: Int = 48): DataFrame = {
     val tf = EmbedOps
       .tokenize(docs)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val vocab = tf.select(col("tok")).distinct()
-      .withColumn("h", PortableHash.hash24(col("tok")))
+      .withColumn("h",
+        if (bits <= 24) PortableHash.hash24(col("tok")) else PortableHash.hash48(col("tok")))
     tf
       .join(vocab, "tok")
       .withColumn("i", explode(sequence(lit(0), lit(bits - 1))))
@@ -107,33 +110,61 @@ object DedupOps {
       .agg(sum(col("bitval") * expr("cast(power(2, i) as bigint)")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
-    * Quadratic pairing bounded by `idLimit`; the scale path buckets on
-    * simhash byte-chunks first (same banding idea as LSH). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int, idLimit: Long): DataFrame = {
-    val sh = simhash(docs.filter(col("doc_id") < idLimit))
-    val a = sh.select(col("doc_id").as("a_id"), col("simhash").as("sh_a"))
-    val b = sh.select(col("doc_id").as("b_id"), col("simhash").as("sh_b"))
-    a.join(b, col("a_id") < col("b_id"))
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, by PIGEONHOLE
+    * BANDING (Manku et al., WWW'07): split the signature into
+    * `chunks` equal bit-chunks; hamming ≤ maxHamming < chunks forces
+    * ≥ 1 chunk to match exactly, so candidates come from an EQUI-JOIN
+    * on (chunk_idx, chunk_value) and only they pay the hamming check.
+    * No cartesian anywhere, no id cap — the full corpus runs.
+    *
+    * Chunk width is the scale lever: 48/4 = 12-bit chunks give 4096
+    * join-key values per chunk index — uniform by construction
+    * (sha-derived bits). At larger corpora raise `bits`/`chunks`
+    * together to keep N²/2^chunkBits candidates bounded. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 48,
+                   chunks: Int = 4): DataFrame = {
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    require(bits % chunks == 0, "chunks must divide bits")
+    val chunkBits = bits / chunks
+    val sh = simhash(docs, bits)
+    val chunked = sh
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
+      .withColumn(
+        "chunk_val",
+        expr(s"(simhash div cast(power(2, chunk_idx * $chunkBits) as bigint)) " +
+          s"% ${1L << chunkBits}"))
+    val a = chunked.select(
+      col("doc_id").as("a_id"), col("simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
+    val b = chunked.select(
+      col("doc_id").as("b_id"), col("simhash").as("sh_b"), col("chunk_idx"), col("chunk_val"))
+    a.join(b, Seq("chunk_idx", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      // a pair matching on k chunks appears k times — dedupe BEFORE
+      // the hamming check so bit_count runs once per pair
+      .select(col("a_id"), col("b_id"), col("sh_a"), col("sh_b"))
+      .distinct()
       .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
-  /** Pairwise n-gram Jaccard similarity over distinct shingle sets:
-    * |A∩B| via shingle equi-join, |A∪B| = |A|+|B|−|A∩B|. Bounded by
-    * `idLimit`; at scale the LSH candidates above prefilter the pairs
-    * and this becomes the verify kernel. */
-  def ngramJaccard(docs: DataFrame, w: Int = 3, idLimit: Long = 60,
-                   minJaccard: Double = 0.0): DataFrame = {
-    val sh = wordShingles(docs.filter(col("doc_id") < idLimit), w)
+  /** Jaccard VERIFY kernel: exact n-gram Jaccard computed ONLY for
+    * the given candidate `pairs` (a_id, b_id) — the downstream half
+    * of the LSH→verify pipeline ([[nearDupVerified]]). |A∩B| comes
+    * from routing each candidate pair through the shingle equi-join;
+    * pairs sharing no shingle drop out (their Jaccard is 0 — they
+    * cannot be near-dups). Cost is O(|pairs| · shingles-per-doc),
+    * never O(N²). */
+  def jaccardVerify(docs: DataFrame, pairs: DataFrame, w: Int = 3,
+                    minJaccard: Double = 0.0): DataFrame = {
+    val sh = wordShingles(docs, w)
       .select(col("doc_id"), col("shingle"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh
-      .select(col("doc_id").as("a_id"), col("shingle"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
-      .filter(col("a_id") < col("b_id"))
+    val inter = pairs
+      .select(col("a_id"), col("b_id"))
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -144,17 +175,75 @@ object DedupOps {
       .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
   }
 
-  /** Embedding-cosine near-dup detection over the engine's own
-    * hashed-TF embeddings, in SPARSE form: since weights are unit-L2,
-    * cosine(a,b) = Σ_dim w_a·w_b, i.e. a self-join on the dimension
-    * key — the inverted-index formulation that scales (the shuffle
-    * key is `dim`, candidate pairs only materialize where docs share
-    * dimensions; no dense cross join anywhere). */
-  def embeddingNearDup(docs: DataFrame, dim: Int = 64, threshold: Double = 0.95,
-                       idLimit: Long = 200): DataFrame = {
-    val w = EmbedOps.embedSparse(docs.filter(col("doc_id") < idLimit), dim)
-    val a = w.select(col("doc_id").as("a_id"), col("dim"), col("weight").as("wa"))
-    val b = w.select(col("doc_id").as("b_id"), col("dim"), col("weight").as("wb"))
+  /** End-to-end near-dup pipeline — the composed, uncapped form the
+    * reference runs as its dedup loop (app_callapi.py:117-142,
+    * generalized from exact-hash to near-dup): MinHash-LSH candidate
+    * generation → exact Jaccard verification → threshold. Every stage
+    * is a keyed shuffle on hash-uniform keys; the quadratic verify
+    * only ever touches LSH candidates. */
+  def nearDupVerified(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
+                      w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashCandidates(docs, numHashes, rowsPerBand, w)
+    jaccardVerify(docs, cand, w, minJaccard)
+      .join(cand.select(col("a_id"), col("b_id"), col("n_shared_bands")), Seq("a_id", "b_id"))
+      .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("inter"), col("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup — the declared, composed form: LSH
+    * candidate pairs ([[minhashCandidates]]) verified by exact sparse
+    * cosine. Unit-L2 hashed-TF weights make cosine(a,b) = Σ w_a·w_b,
+    * computed only for candidate pairs by routing each pair through
+    * the dimension equi-join: O(|candidates| · dims-per-doc), never
+    * O(N²), and immune to vocabulary degeneracy (see
+    * [[embeddingNearDupIndex]] for why the bare inverted index can
+    * collapse). */
+  def embeddingNearDup(docs: DataFrame, dim: Int = 1 << 16, threshold: Double = 0.9,
+                       numHashes: Int = 12, rowsPerBand: Int = 3): DataFrame =
+    cosineVerify(docs, minhashCandidates(docs, numHashes, rowsPerBand), dim, threshold)
+
+  /** Cosine VERIFY kernel over given candidate pairs (a_id, b_id):
+    * exact sparse-dot-product cosine, evaluated only where a
+    * candidate generator already said "maybe". Pairs sharing no
+    * dimension drop out (cosine 0). */
+  def cosineVerify(docs: DataFrame, pairs: DataFrame, dim: Int = 1 << 16,
+                   threshold: Double = 0.9): DataFrame = {
+    val w = EmbedOps.embedSparse(docs, dim)
+    pairs
+      .select(col("a_id"), col("b_id"))
+      .join(w.select(col("doc_id").as("a_id"), col("dim"), col("weight").as("wa")), "a_id")
+      .join(w.select(col("doc_id").as("b_id"), col("dim"), col("weight").as("wb")),
+        Seq("b_id", "dim"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(roundn(sum(col("wa") * col("wb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Inverted-index cosine self-join — the alternative candidate
+    * generator for corpora with LARGE, sparse vocabularies: pairs
+    * materialize only where docs share a dimension. Scale defenses:
+    * 2^16 hash dims (uniform keys) + `maxDfFrac` pruning of
+    * stopword-type dimensions (norms still use the full vector, so
+    * cos_sim is a lower bound; pairs lost to pruning share only
+    * ubiquitous dims and cannot be near-dups).
+    *
+    * CAVEAT (measured, sf0.1): when the corpus vocabulary is small
+    * (this synthetic corpus: ~31 distinct tokens), only |vocab| dims
+    * are occupied regardless of `dim`, every doc shares every key,
+    * and the join degenerates toward all-pairs (99 s vs 3 s for the
+    * LSH-composed [[embeddingNearDup]]). Prefer this form only when
+    * df profiling ([[SkewOps.keySkewProfile]]) shows a long-tailed
+    * dimension distribution. */
+  def embeddingNearDupIndex(docs: DataFrame, dim: Int = 1 << 16, threshold: Double = 0.9,
+                            maxDfFrac: Double = 0.5): DataFrame = {
+    val w = EmbedOps.embedSparse(docs, dim)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val keptDims = w.groupBy(col("dim")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") <= col("n_docs") * maxDfFrac)
+      .select(col("dim"))
+    val pruned = w.join(keptDims, "dim")
+    val a = pruned.select(col("doc_id").as("a_id"), col("dim"), col("weight").as("wa"))
+    val b = pruned.select(col("doc_id").as("b_id"), col("dim"), col("weight").as("wb"))
     a.join(b, Seq("dim"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))

@@ -63,9 +63,10 @@ object VectorOps {
       .agg(roundn(avg(col("x")), 6).as("centroid_val"))
 
   /** N×M similarity join: all pairs (a < b) with cosine ≥ threshold.
-    * Exact quadratic kernel — correct at test scale and as the
-    * per-bucket kernel under LSH at 100 TB (SURVEY.md §2.3 J3
-    * generalization). `limitIds` caps the quadratic blow-up. */
+    * Exact quadratic VERIFY kernel — runs per IVF/LSH bucket at
+    * scale, never bare over a corpus. `limitIds` caps the quadratic
+    * blow-up when driven standalone (tests); the declared engine
+    * surface uses [[similarityJoinIvf]], which has no cap. */
   def similarityJoin(embeddings: DataFrame, threshold: Double, limitIds: Long): DataFrame = {
     val e = embeddings
       .filter(col("vec_id") < limitIds)
@@ -75,6 +76,36 @@ object VectorOps {
     a.join(b, col("a_id") < col("b_id"))
       .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
       .filter(col("cos_sim") >= threshold) // threshold on rounded value: engine-portable
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+  }
+
+  /** Scale form of [[similarityJoin]] — candidate generation by IVF
+    * cell co-residency instead of all pairs: vectors are multi-
+    * assigned to their `nAssign` nearest cells, pairs sharing ANY
+    * cell run the exact cosine kernel, everything else is pruned by
+    * the cell equi-join. No id cap; the full corpus runs. Approximate
+    * in the same sense as [[ivfTopK]] (a pair split across disjoint
+    * cell sets is unseen) — multi-assignment attacks exactly that
+    * boundary loss mode. */
+  def similarityJoinIvf(embeddings: DataFrame, threshold: Double, nAssign: Int = 2,
+                        centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(embeddings)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
+    val assigned = cellRanks(embeddings, cent, "id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("id"), col("c_label"))
+    val cand = assigned.select(col("id").as("a_id"), col("c_label"))
+      .join(assigned.select(col("id").as("b_id"), col("c_label")), "c_label")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct() // a pair can share several cells
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    cand
+      .join(e.select(col("vec_id").as("a_id"), col("e").as("ea")), "a_id")
+      .join(e.select(col("vec_id").as("b_id"), col("e").as("eb")), "b_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
@@ -101,7 +132,31 @@ object VectorOps {
     * MLlib's private vector types). Seeds from [[meanPoolByLabel]]
     * (label centroids); `iters` rounds of refinement. Deterministic:
     * distances rounded before argmin, ties on centroid id. */
-  def kmeansCentroids(embeddings: DataFrame, iters: Int): DataFrame = {
+  def kmeansCentroids(embeddings: DataFrame, iters: Int): DataFrame =
+    lloyd(embeddings, iters,
+      meanPoolByLabel(embeddings)
+        .select(col("label").cast("long").as("c_id"), col("dim"),
+          col("centroid_val").as("cv")))
+
+  /** K-means cells for IVF at a chosen cell count — the √N-cells
+    * policy the quantizer needs when labels are absent or too coarse
+    * (10 label cells ≈ nothing at 100 TB; cells should track √N).
+    * Seeding is deterministic and oracle-replicable: the first `k`
+    * vectors by vec_id are the initial centroids (c_id = vec_id),
+    * refined by `iters` Lloyd rounds. Output shape matches ivfTopK's
+    * `centroids` parameter: (c_label, dim, cv). */
+  def kmeansCells(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seeds = embeddings
+      .filter(col("vec_id") < k)
+      .select(col("vec_id").as("c_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+      .select(col("c_id"), col("dim"), roundn(col("x"), 6).as("cv"))
+    lloyd(embeddings, iters, seeds)
+      .select(col("c_id").as("c_label"), col("dim"), col("cv"))
+  }
+
+  private def lloyd(embeddings: DataFrame, iters: Int, seedCent: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     // dims feeds BOTH steps of every iteration — persist once
@@ -118,10 +173,7 @@ object VectorOps {
       df.select(col("c_id"), col("dim"), col("cv"))
         .as[(Long, Long, Double)].collect().toSeq.toDF("c_id", "dim", "cv")
 
-    var cent = localize(
-      meanPoolByLabel(embeddings)
-        .select(col("label").cast("long").as("c_id"), col("dim"),
-          col("centroid_val").as("cv")))
+    var cent = localize(seedCent)
 
     for (_ <- 1 to iters) {
       val assigned = dims
@@ -141,6 +193,26 @@ object VectorOps {
     }
     dims.unpersist()
     cent
+  }
+
+  /** Nearest-cells ranking per vector via exploded-dim equi-join on
+    * dim: the relational form of argmin distance to `cent` — no array
+    * rebuild, one shuffle keyed by (id, label). Output: (idCol,
+    * c_label, cdist, cell_rank). Shared by [[ivfTopK]] and
+    * [[similarityJoinIvf]]. */
+  def cellRanks(df: DataFrame, cent: DataFrame, idCol: String): DataFrame = {
+    val dims = df.select(
+      col("vec_id").as(idCol),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
+    dims
+      .join(broadcast(cent), "dim")
+      .groupBy(col(idCol), col("c_label"))
+      .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
+      .withColumn(
+        "cell_rank",
+        row_number().over(
+          Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("c_label"))))
   }
 
   /** IVF-style approximate top-k — the 100 TB scale path for
@@ -176,33 +248,15 @@ object VectorOps {
       meanPoolByLabel(corpus)
         .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
 
-    // nearest cells per vector via exploded-dim equi-join on dim:
-    // relational form of argmin distance — no array rebuild, scales
-    // as one shuffle keyed by (id, label)
-    def cellRanks(df: DataFrame, idCol: String): DataFrame = {
-      val dims = df.select(
-        col("vec_id").as(idCol),
-        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
-        .withColumn("dim", col("dim").cast("long"))
-      dims
-        .join(broadcast(cent), "dim")
-        .groupBy(col(idCol), col("c_label"))
-        .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
-        .withColumn(
-          "cell_rank",
-          row_number().over(
-            Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("c_label"))))
-    }
-
     // nAssign > 1 = multi-assignment: each vector lives in its
     // nAssign nearest cells, trading candidate-set size for recall
     // at cell BOUNDARIES — the loss mode more probes alone can't fix
     // cheaply (measured: nAssign=2 at nProbe=2 beats nProbe=4 on
     // candidates scanned per unit recall; see scaladoc table)
-    val assigned = cellRanks(corpus, "vec_id")
+    val assigned = cellRanks(corpus, cent, "vec_id")
       .filter(col("cell_rank") <= nAssign)
       .select(col("vec_id"), col("c_label"))
-    val probes = cellRanks(queries, "query_id")
+    val probes = cellRanks(queries, cent, "query_id")
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("c_label"))
 

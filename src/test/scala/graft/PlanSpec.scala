@@ -38,6 +38,24 @@ class PlanSpec extends SparkSpec {
     assert(planOf("search_text").contains("TakeOrderedAndProject"))
   }
 
+  test("dedup surface: candidate generation is equi-join only — no cartesian anywhere") {
+    // the round-1 scale-killers: simhash paired via a theta self-join
+    // (BroadcastNestedLoopJoin), jaccard/similarity ran uncapped
+    // quadratics. All four now bucket first; a regression to a
+    // nested-loop/cartesian candidate stage fails here.
+    for (q <- Seq("dedup_simhash", "ngram_jaccard", "dedup_near_verified",
+        "dedup_embedding", "similarity_join", "dedup_minhash_lsh")) {
+      val p = planOf(q)
+      // a BNLJ is tolerable ONLY as a 1-row scalar cross join (the
+      // n_docs aggregate broadcasts via IdentityBroadcastMode); any
+      // data×data nested loop exceeds the Identity count and fails
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+      val scalarBroadcasts = "IdentityBroadcastMode".r.findAllIn(p).size
+      assert(bnlj <= scalarBroadcasts, s"$q has a non-scalar BroadcastNestedLoopJoin")
+      assert(!p.contains("CartesianProduct"), s"$q has CartesianProduct")
+    }
+  }
+
   test("vector queries use the fused native expressions, not HOF lambdas") {
     // (WSCG participation itself is asserted in VectorExpressionsSpec
     // on a codegen-able stage; BroadcastNestedLoopJoin conditions are

@@ -33,26 +33,59 @@ class DedupOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_shared_bands") === 4L) // 12 hashes / 3 per band
   }
 
-  test("simhash: identical docs → hamming 0; near dup ≤ unrelated") {
-    val pairs = DedupOps.simhashPairs(docs, maxHamming = 24, idLimit = 10)
+  test("simhash banding: identical docs → hamming 0, found via equi-join candidates") {
+    val pairs = DedupOps.simhashPairs(docs, maxHamming = 3)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(pairs((0L, 1L)) === 0L)
-    assert(pairs((0L, 2L)) < pairs((0L, 3L)))
+    assert(!pairs.contains((0L, 3L))) // unrelated doc beyond hamming 3
   }
 
-  test("ngramJaccard: dup pair = 1.0, near dup in (0,1), ordered a<b") {
-    val j = DedupOps.ngramJaccard(docs, idLimit = 10)
+  test("simhash banding matches the quadratic ground truth (pigeonhole exactness)") {
+    import org.apache.spark.sql.functions.{bit_count, expr}
+    val sh = DedupOps.simhash(docs)
+    val a = sh.select($"doc_id".as("a_id"), $"simhash".as("sh_a"))
+    val b = sh.select($"doc_id".as("b_id"), $"simhash".as("sh_b"))
+    val ground = a.join(b, $"a_id" < $"b_id")
+      .withColumn("hamming", bit_count(expr("sh_a ^ sh_b")).cast("long"))
+      .filter($"hamming" <= 3)
+      .select("a_id", "b_id", "hamming").collect().toSet
+    val banded = DedupOps.simhashPairs(docs, maxHamming = 3).collect().toSet
+    assert(banded.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      === ground.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+  }
+
+  test("jaccardVerify over LSH candidates: dup pair = 1.0, near dup in (0,1), ordered a<b") {
+    val j = DedupOps.jaccardVerify(docs, DedupOps.minhashCandidates(docs))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
     assert(j((0L, 1L)) === 1.0)
-    assert(j((0L, 2L)) > 0.0 && j((0L, 2L)) < 1.0)
     assert(!j.contains((1L, 0L)))
   }
 
-  test("embeddingNearDup: sparse inverted-index cosine finds the dup pair") {
-    val pairs = DedupOps.embeddingNearDup(docs, threshold = 0.99, idLimit = 10)
+  test("nearDupVerified composes LSH candidates with Jaccard verification, thresholded") {
+    val r = DedupOps.nearDupVerified(docs, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
+    assert(r.contains((0L, 1L)) && r((0L, 1L)) === 1.0)
+    assert(!r.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embeddingNearDup: LSH-composed cosine verify finds the dup pair, no caps") {
+    val pairs = DedupOps.embeddingNearDup(docs, threshold = 0.99)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("cos_sim"))).toMap
     assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) >= 0.999)
     assert(!pairs.keys.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("embeddingNearDupIndex df pruning drops ubiquitous dims from pairing") {
+    // 'common' appears in every doc → its dim is pruned at maxDfFrac
+    // 0.5; docs sharing ONLY that token never pair
+    val d = Seq(
+      (0L, "common alpha beta"), (1L, "common alpha beta"),
+      (2L, "common gamma delta"), (3L, "common epsilon zeta")
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.embeddingNearDupIndex(d, threshold = 0.01, maxDfFrac = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.contains((2L, 3L))) // only 'common' shared → pruned
   }
 
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
