@@ -93,9 +93,13 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // quantizer = 25 k-means cells (~sqrt(N) at sf0.01, vs 10 coarse
+    // label cells before) seeded from the first 25 vectors, 2 Lloyd
+    // rounds — the cell-count policy that holds at scale
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3)
+      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3,
+        centroids = Some(VectorOps.kmeansCells(emb, k = 25, iters = 2)))
     }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
@@ -329,16 +333,32 @@ object SparkEntry {
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
          |FROM c""".stripMargin,
+    // cent = 2 Lloyd rounds from first-25-vector seeds (the DuckDB
+    // twin of VectorOps.kmeansCells(emb, 25, 2)); everything rounded
+    // before every argmin so both engines assign identically
     "ann_ivf" ->
-      s"""WITH cent AS (
-         |  SELECT label AS c_label, CAST(u.i - 1 AS BIGINT) AS dim,
-         |         round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS cv
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
-         |  GROUP BY 1, 2),
-         |dims AS (
+      s"""WITH dims AS (
          |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
          |         CAST(embedding[u.i] AS DOUBLE) AS x
          |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |c0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
+         |       FROM dims WHERE vec_id < 25),
+         |cd1 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+         |        FROM dims d JOIN c0 c USING (dim) GROUP BY 1, 2),
+         |a1 AS (SELECT vec_id, c_id FROM (
+         |         SELECT vec_id, c_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |         FROM cd1) WHERE rn = 1),
+         |c1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
+         |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+         |cd2 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+         |        FROM dims d JOIN c1 c USING (dim) GROUP BY 1, 2),
+         |a2 AS (SELECT vec_id, c_id FROM (
+         |         SELECT vec_id, c_id,
+         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |         FROM cd2) WHERE rn = 1),
+         |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
+         |         FROM dims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
          |cd AS (
          |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
          |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),

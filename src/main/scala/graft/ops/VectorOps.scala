@@ -227,18 +227,20 @@ object VectorOps {
     * before any argmin/rank decision, ties broken on label/vec_id, so
     * the DuckDB oracle reproduces cell assignment bit-for-bit.
     *
-    * Measured recall@3 vs exact (sf0.01, 10 label cells, 10 queries):
+    * Measured recall@3 vs exact (sf0.01, N=500, 10 queries), with
+    * [[kmeansCells]] quantizers (first-k seeds, 2 Lloyd rounds):
     *
-    *   nAssign=1: nProbe 1→7/30, 2→13/30, 3→17/30, 4→21/30, 6→24/30
-    *   nAssign=2: nProbe 2→22/30, 3→25/30;  nAssign=3: nProbe 2→23/30
+    *   k=10:  (nProbe,nAssign) (1,1)→27/30 (1,2)→30/30 (3,1)→30/30
+    *   k=25:  (1,1)→27/30 (2,1)→28/30 (2,2)→29/30 (3,2)→30/30
+    *   k=45:  (1,1)→24/30 (2,2)→29/30 (3,2)→29/30
     *
-    * Multi-assignment beats extra probes at equal candidate volume —
-    * (2,2)=22 vs (4,1)=21 both scan ~40% — because it attacks the
-    * actual loss mode: true neighbors straddling cell boundaries.
-    * Lloyd refinement ([[kmeansCentroids]], 3 iters) did NOT lift
-    * recall here (10/30 at nProbe=2): the ground-truth labels already
-    * are the k-means optimum for this data.
-    */
+    * vs the round-1 label-cell quantizer (10 coarse cells):
+    * (2,1)→13/30, (6,1)→24/30 — DATA-FITTED cells dominate label
+    * cells at every probe budget, and multi-assignment (nAssign=2)
+    * recovers the boundary-straddling loss mode at every k. The
+    * declared query uses k=25 ≈ √N with (2,1); at scale hold k ≈ √N
+    * so per-cell candidate lists and the cell index grow together as
+    * √N. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
               centroids: Option[DataFrame] = None, nAssign: Int = 1): DataFrame = {
     // (c_label, dim, cv): rounded per-dimension centroids — label

@@ -35,4 +35,22 @@ class KMeansSpec extends SparkSpec {
     // (1 and 2), which the mixed label-seeded cells cannot guarantee
     assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(1L, 2L))
   }
+
+  test("kmeansCells: first-k deterministic seeds refine to cluster means, ivfTopK shape") {
+    // seeds are vec_id 0 (cluster A) and vec_id... k=2 → ids 0,1 both
+    // in cluster A; Lloyd must still separate: one centroid captures
+    // cluster B once any seed is nearest to it — with both seeds in A,
+    // iteration keeps both in A, so use k=4 (ids 0-3 span clusters)
+    val cells = VectorOps.kmeansCells(emb, k = 4, iters = 2)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq).toMap
+    assert(cells.nonEmpty)
+    // at least one cell centroid near each true cluster mean
+    assert(cells.values.exists(c => math.abs(c.head) < 1.0 && math.abs(c(1)) < 1.0))
+    assert(cells.values.exists(c => math.abs(c.head - 10.0) < 1.0 && math.abs(c(1) - 10.0) < 1.0))
+    // output shape plugs straight into ivfTopK
+    val r = VectorOps.ivfTopK(emb, emb.filter($"vec_id" === 5), nProbe = 1, k = 2,
+      centroids = Some(VectorOps.kmeansCells(emb, 4, 2))).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(3L, 4L))
+  }
 }
