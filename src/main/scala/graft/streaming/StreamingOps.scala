@@ -76,60 +76,56 @@ object StreamingOps {
       }
   }
 
+  /** Idempotent micro-batch commit: the batch's rows land in a
+    * batchId-keyed partition directory with overwrite, so a replayed
+    * batch (crash between sink write and checkpoint commit) rewrites
+    * the SAME directory with the SAME deterministic content instead
+    * of appending duplicates. Readers see the corpus as one
+    * partitioned parquet table (`batch_id` becomes a partition
+    * column). */
+  private[streaming] def writeBatchIdempotent(batch: DataFrame, corpusDir: String,
+                                              batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+
   /** File-source streaming ingest — the reference's startup/upload
     * ingest (app.py:117-158) as a 24/7 job: watch `watchDir` for
-    * dropped JSON corpus files, and per micro-batch append only
-    * documents whose content hash is absent from BOTH the persisted
-    * corpus and the batch itself (first-by-doc_id wins). Exactly-once
-    * per file via the file-source checkpoint; the parquet append is
-    * idempotent per batch under foreachBatch's replay contract.
+    * dropped JSON corpus files and write each content hash's first
+    * document to the corpus, suppressing duplicates within and across
+    * batches.
     *
-    * The dedup probe reads a hash-only SIDECAR (`corpusDir`_hashes),
-    * not the wide corpus files — per-batch probe cost still grows
-    * with distinct-hash count (one skinny column), so a long-lived
-    * deployment should either compact the sidecar periodically or
-    * use [[dedupedIngest]]'s keyed state, which is O(batch) per
-    * trigger with TTL-bounded state.
+    * Dedup state lives in [[dedupedIngest]]'s KEYED STATE STORE (one
+    * boolean per seen hash), not a growing parquet sidecar: per-batch
+    * cost is O(batch), the state store compacts itself (delta +
+    * snapshot files under the checkpoint), state versions roll back
+    * WITH the checkpoint on replay, and `ttl` bounds total state for
+    * true 24/7 ingest (see the TTL caveats on [[dedupedIngest]]).
+    *
+    * Exactly-once: file-source offsets + state versions are
+    * checkpointed together; the single sink write is idempotent per
+    * batch via [[writeBatchIdempotent]]'s batchId-keyed overwrite —
+    * there is no second commit to fall out of sync with the first.
     *
     * Returns the started query; callers own stop()/awaitTermination.
     */
   def fileIngest(spark: org.apache.spark.sql.SparkSession, watchDir: String,
-                 corpusDir: String, checkpointDir: String)
+                 corpusDir: String, checkpointDir: String,
+                 ttl: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
+    import spark.implicits._
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
       StructField("text", StringType)))
-    spark.readStream
+    val docs = spark.readStream
       .schema(schema)
       .json(watchDir)
+      .as[Doc]
+    dedupedIngest(docs, ttl)
       .writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val s = batch.sparkSession
-        val withHash = batch.withColumn("content_hash", sha2(col("text"), 256))
-        val inBatchFirst = withHash
-          .withColumn("_rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("content_hash")).orderBy(col("doc_id"))))
-          .filter(col("_rn") === 1).drop("_rn")
-        // explicit existence check — an exception catch could not
-        // distinguish "no corpus yet" from a schema/IO error, which
-        // must fail the batch rather than silently disable dedup
-        val hashDir = s"${corpusDir}_hashes"
-        val hashPath = new org.apache.hadoop.fs.Path(hashDir)
-        val fs = hashPath.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val fresh =
-          if (fs.exists(hashPath)) {
-            val state = s.read.parquet(hashDir)
-            inBatchFirst.join(state, Seq("content_hash"), "left_anti")
-          } else inBatchFirst
-        // single evaluation per batch: cache, write corpus + sidecar, release
-        fresh.persist()
-        try if (fresh.count() > 0) {
-          fresh.write.mode("append").parquet(corpusDir)
-          fresh.select("content_hash").write.mode("append").parquet(hashDir)
-        } finally fresh.unpersist()
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        writeBatchIdempotent(batch.toDF(), corpusDir, batchId)
       }
       .start()
   }

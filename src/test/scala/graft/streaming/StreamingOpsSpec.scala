@@ -82,6 +82,35 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("fileIngest replay is idempotent: rewriting a batch id leaves the corpus unchanged") {
+    val base = java.nio.file.Files.createTempDirectory("replay")
+    val corpus = base.resolve("corpus").toString
+    val b0 = Seq((1L, "s1", "alpha"), (3L, "s3", "beta")).toDF("doc_id", "source", "text")
+    StreamingOps.writeBatchIdempotent(b0, corpus, 0L)
+    StreamingOps.writeBatchIdempotent(
+      Seq((5L, "s5", "gamma")).toDF("doc_id", "source", "text"), corpus, 1L)
+    val before = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    // simulate a crash-replay of batch 0: same deterministic content,
+    // same batch id — must overwrite in place, not append
+    StreamingOps.writeBatchIdempotent(b0, corpus, 0L)
+    val after = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(before === Set(1L, 3L, 5L) && after === before)
+    assert(spark.read.parquet(corpus).columns.contains("batch_id")) // partition column
+  }
+
+  test("fileIngest keeps no hash sidecar: dedup state lives in the checkpoint store") {
+    val base = java.nio.file.Files.createTempDirectory("nosidecar")
+    val watch = base.resolve("watch"); val corpus = base.resolve("corpus")
+    java.nio.file.Files.createDirectories(watch)
+    java.nio.file.Files.write(watch.resolve("b.json"),
+      """{"doc_id": 1, "source": "s", "text": "x"}""".getBytes("UTF-8"))
+    val q = fileIngest(spark, watch.toString, corpus.toString, base.resolve("ckpt").toString)
+    try q.processAllAvailable() finally q.stop()
+    assert(!java.nio.file.Files.exists(base.resolve("corpus_hashes")))
+    // the state store (delta/snapshot files) is inside the checkpoint
+    assert(java.nio.file.Files.exists(base.resolve("ckpt").resolve("state")))
+  }
+
   test("dedupedIngest emits first occurrence per content hash only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
