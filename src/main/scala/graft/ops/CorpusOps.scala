@@ -36,6 +36,21 @@ object CorpusOps {
         (!col("source").contains(".") ||
           col("source").rlike("(?i)\\.(pdf|docx)$")))
 
+  /** S5 — upload sink (reference app.py:141-149): each accepted
+    * upload (not an Office lock file, `.pdf`/`.docx` only — the
+    * reference's exact name checks) lands in the corpus store as a
+    * (source, content) row, the distributed analog of the reference
+    * writing raw upload buffers into `./documents/`. Map-only filter
+    * + write; megabyte-class payloads never shuffle. Returns the
+    * accepted subset — what the reference goes on to process. */
+  def uploadSink(uploads: DataFrame, corpusDir: String): DataFrame = {
+    val accepted = uploads.filter(
+      !col("source").startsWith("~$") &&
+        (col("source").endsWith(".pdf") || col("source").endsWith(".docx")))
+    accepted.write.mode("append").parquet(corpusDir)
+    accepted
+  }
+
   /** P1 — paragraph segmentation: split text on the LITERAL delimiter
     * (quoted — split() takes a regex), trim, drop blanks, number by
     * position (reference app.py:24,27 split + strip + filter;

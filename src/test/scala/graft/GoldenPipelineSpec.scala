@@ -63,4 +63,20 @@ class GoldenPipelineSpec extends SparkSpec {
       "golden run").head().getString(0)
     assert(prompt === prompt2)
   }
+
+  test("golden: upload sink accepts pdf/docx, drops lock and foreign files, bytes survive (S5)") {
+    val dir = java.nio.file.Files.createTempDirectory("uploads").resolve("corpus").toString
+    val uploads = Seq(
+      ("report.docx", "docx-bytes".getBytes("UTF-8")),
+      ("deck.pdf", "pdf-bytes".getBytes("UTF-8")),
+      ("~$report.docx", "lock".getBytes("UTF-8")), // Office lock file (app.py:144)
+      ("notes.txt", "txt".getBytes("UTF-8")) // unsupported extension
+    ).toDF("source", "content")
+    val accepted = CorpusOps.uploadSink(uploads, dir)
+    assert(accepted.select("source").as[String].collect().toSet
+      === Set("report.docx", "deck.pdf"))
+    val back = spark.read.parquet(dir)
+      .collect().map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")).toMap
+    assert(back === Map("report.docx" -> "docx-bytes", "deck.pdf" -> "pdf-bytes"))
+  }
 }
