@@ -9,17 +9,25 @@ import scala.collection.mutable.ArrayBuffer
   * per-page text via PyMuPDF). No PDF library exists in this
   * environment, so this is a JDK-only extractor with honest limits:
   *
-  *  REAL: header/version validation, content-stream discovery,
-  *  FlateDecode decompression (java.util.zip.Inflater), and text
-  *  extraction from the standard text-showing operators `(…) Tj` /
-  *  `[(…)…] TJ` with PDF string-escape handling. Covers the common
-  *  case: Flate-compressed or raw content streams with unencoded
-  *  Latin text (what most generators emit).
+  *  REAL: header/version validation; stream discovery honoring the
+  *  dict's `/Length` (direct or indirect `N 0 R`) so binary streams
+  *  containing the literal bytes `endstream` do not truncate, with a
+  *  keyword-scan fallback when `/Length` is absent or inconsistent;
+  *  FlateDecode decompression (java.util.zip.Inflater); text from the
+  *  standard text-showing operators `(…) Tj` / `[(…)…] TJ` with PDF
+  *  string-escape handling; and CID/Type0 composite fonts via the
+  *  embedded ToUnicode CMap — `<hex> Tj` / hex items in `TJ` arrays
+  *  decode through parsed `bfchar`/`bfrange` mappings (the path a
+  *  Korean corpus like the reference's needs, app.py:21-24).
   *
-  *  STUB: CID/Type0 composite fonts (hex strings), encrypted files,
-  *  and non-Flate filters yield no text — rows are still produced
-  *  with ok=false metadata rather than failing the job (the per-file
-  *  containment rule, reference app_callapi.py:62-63).
+  *  LIMITS: encrypted files and non-Flate filters yield NO text rows
+  *  (extraction returns nothing for such files — the per-file
+  *  containment rule, reference app_callapi.py:62-63); CID text
+  *  without a ToUnicode CMap (font-program-only mapping) cannot be
+  *  recovered; all ToUnicode CMaps in a file are merged (per-font
+  *  resource scoping is not tracked — collisions resolve first-wins,
+  *  which is exact for the overwhelmingly common one-composite-font
+  *  case).
   *
   * Same pipeline shape as [[DocxSource]]: listing-time glob prune →
   * per-partition parse (map-only; payloads never shuffle).
@@ -62,18 +70,37 @@ object PdfSource {
   private[sources] def extractStreams(bytes: Array[Byte]): Seq[String] =
     try {
       if (!isPdf(bytes)) Seq.empty
-      else streamSegments(bytes).map { seg =>
-        val data = tryInflate(seg).getOrElse(seg)
-        extractTextOps(new String(data, "ISO-8859-1"))
+      else {
+        val decoded = streamSegments(bytes).map { seg =>
+          new String(tryInflate(seg).getOrElse(seg), "ISO-8859-1")
+        }
+        // one merged code→unicode map from every ToUnicode CMap in
+        // the file (first-wins on collision; see scaladoc LIMITS)
+        val cmap = decoded.filter(_.contains("beginbf"))
+          .foldLeft(Map.empty[Int, String])((acc, s) => parseCMap(s).concat(acc))
+        decoded.map(extractTextOps(_, cmap))
       }
     } catch { case _: Exception => Seq.empty }
 
   private[sources] def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 7 && new String(bytes.take(5), "ISO-8859-1") == "%PDF-"
 
-  /** Locate raw bytes between `stream` and `endstream` keywords. */
+  private val DirectLen = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  private val IndirectLen = """/Length\s+(\d+)\s+\d+\s+R""".r
+
+  /** Locate stream payloads. For each `stream` keyword the preceding
+    * dict's `/Length` (direct, or indirect resolved against the
+    * file's integer objects) gives the exact byte count — required
+    * for binary payloads that contain `endstream` as literal bytes.
+    * Falls back to the `endstream` scan when `/Length` is missing or
+    * fails its sanity check (an `endstream` keyword must follow the
+    * claimed extent). */
   private def streamSegments(bytes: Array[Byte]): Seq[Array[Byte]] = {
     val hay = new String(bytes, "ISO-8859-1") // 1:1 byte↔char
+    // integer objects (`7 0 obj 1234 endobj`) for indirect /Length
+    val intObjs: Map[Int, Int] =
+      """(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj""".r.findAllMatchIn(hay)
+        .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
     val out = ArrayBuffer.empty[Array[Byte]]
     var from = 0
     while ({ val s = hay.indexOf("stream", from); s >= 0 } ) {
@@ -84,15 +111,52 @@ object PdfSource {
         var dataStart = s + "stream".length
         if (dataStart < hay.length && hay.charAt(dataStart) == '\r') dataStart += 1
         if (dataStart < hay.length && hay.charAt(dataStart) == '\n') dataStart += 1
-        val e = hay.indexOf("endstream", dataStart)
-        if (e < 0) from = hay.length
-        else {
-          out += java.util.Arrays.copyOfRange(bytes, dataStart, e)
-          from = e + "endstream".length
+        val dict = dictBefore(hay, s)
+        val declaredLen: Option[Int] = dict.flatMap { d =>
+          DirectLen.findFirstMatchIn(d).map(_.group(1).toInt)
+            .orElse(IndirectLen.findFirstMatchIn(d).flatMap(m => intObjs.get(m.group(1).toInt)))
+        }
+        val endByLen = declaredLen.collect {
+          // sanity: `endstream` (after optional EOL) must follow the
+          // declared extent, else the length lies — fall back to scan
+          case n if dataStart + n <= hay.length &&
+            hay.indexOf("endstream", dataStart + n) >= 0 &&
+            hay.substring(dataStart + n, hay.indexOf("endstream", dataStart + n))
+              .forall(c => c == '\r' || c == '\n' || c == ' ') =>
+            dataStart + n
+        }
+        endByLen match {
+          case Some(e) =>
+            out += java.util.Arrays.copyOfRange(bytes, dataStart, e)
+            from = hay.indexOf("endstream", e) + "endstream".length
+          case None =>
+            val e = hay.indexOf("endstream", dataStart)
+            if (e < 0) from = hay.length
+            else {
+              out += java.util.Arrays.copyOfRange(bytes, dataStart, e)
+              from = e + "endstream".length
+            }
         }
       }
     }
     out.toSeq
+  }
+
+  /** The `<< … >>` dict immediately preceding position `pos`,
+    * handling nesting, or None. */
+  private def dictBefore(hay: String, pos: Int): Option[String] = {
+    val close = hay.lastIndexOf(">>", pos)
+    if (close < 0) return None
+    // only whitespace may sit between the dict and `stream`
+    if (!hay.substring(close + 2, pos).forall(_.isWhitespace)) return None
+    var depth = 1
+    var i = close - 1
+    while (i > 0 && depth > 0) {
+      if (hay.charAt(i) == '>' && hay.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (hay.charAt(i) == '<' && hay.charAt(i - 1) == '<') { depth -= 1; i -= 2 }
+      else i -= 1
+    }
+    if (depth == 0) Some(hay.substring(i, close + 2)) else None
   }
 
   private def tryInflate(data: Array[Byte]): Option[Array[Byte]] =
@@ -110,16 +174,78 @@ object PdfSource {
       Some(out.toByteArray)
     } catch { case _: Exception => None }
 
+  // ---- ToUnicode CMap parsing (CID/Type0 composite fonts) ----
+
+  private val BfCharBlock = """(?s)beginbfchar(.*?)endbfchar""".r
+  private val BfRangeBlock = """(?s)beginbfrange(.*?)endbfrange""".r
+  private val CharEntry = """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r
+  private val RangeEntry =
+    """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])""".r
+  private val HexToken = """<([0-9A-Fa-f]+)>""".r
+
+  /** UTF-16BE hex → String (surrogate pairs compose naturally). */
+  private def utf16Hex(hex: String): String =
+    hex.grouped(4).filter(_.length == 4)
+      .map(h => Integer.parseInt(h, 16).toChar).mkString
+
+  /** Parse one ToUnicode CMap's bfchar/bfrange sections into a
+    * code → unicode map. Package-private for tests. */
+  private[sources] def parseCMap(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    for (block <- BfCharBlock.findAllMatchIn(cmap); e <- CharEntry.findAllMatchIn(block.group(1)))
+      out(Integer.parseInt(e.group(1), 16)) = utf16Hex(e.group(2))
+    for (block <- BfRangeBlock.findAllMatchIn(cmap); e <- RangeEntry.findAllMatchIn(block.group(1))) {
+      val lo = Integer.parseInt(e.group(1), 16)
+      val hi = Integer.parseInt(e.group(2), 16)
+      e.group(3) match {
+        case arr if arr.startsWith("[") =>
+          // <lo> <hi> [<d0> <d1> …]: explicit destination per code
+          val dsts = HexToken.findAllMatchIn(arr).map(m => utf16Hex(m.group(1))).toSeq
+          for ((d, off) <- dsts.zipWithIndex if lo + off <= hi) out(lo + off) = d
+        case single =>
+          // <lo> <hi> <dstStart>: consecutive destinations
+          val start = single.drop(1).dropRight(1)
+          val base = Integer.parseInt(start.takeRight(4), 16)
+          val prefix = start.dropRight(4)
+          for (c <- lo to hi)
+            out(c) = utf16Hex(prefix + "%04X".format(base + (c - lo)))
+      }
+    }
+    out.toMap
+  }
+
+  /** CID code width in bytes, from the source-code hex lengths (2 hex
+    * digits = 1 byte; Identity-H and CJK CMaps use 2). */
+  private def codeWidth(cmap: Map[Int, String]): Int =
+    if (cmap.keys.exists(_ > 0xff)) 2 else 1
+
+  /** Decode a CID hex string through the merged ToUnicode map. Codes
+    * with no mapping contribute nothing (they are unmapped glyphs). */
+  private def decodeHexString(hex: String, cmap: Map[Int, String]): String = {
+    if (cmap.isEmpty) return ""
+    val clean = hex.filterNot(_.isWhitespace)
+    val w = codeWidth(cmap) * 2
+    clean.grouped(w).filter(_.length == w)
+      .map(g => cmap.getOrElse(Integer.parseInt(g, 16), "")).mkString
+  }
+
   private val TjOp = """\(((?:[^()\\]|\\.)*)\)\s*Tj""".r
   private val TJArr = """\[((?:[^\[\]\\]|\\.)*)\]\s*TJ""".r
   private val StrInArr = """\(((?:[^()\\]|\\.)*)\)""".r
+  private val HexTj = """<([0-9A-Fa-f\s]+)>\s*Tj""".r
+  private val HexInArr = """<([0-9A-Fa-f\s]+)>""".r
 
-  /** Pull text from Tj / TJ operators in a decoded content stream. */
-  private[sources] def extractTextOps(content: String): String = {
+  /** Pull text from Tj / TJ operators in a decoded content stream:
+    * literal strings directly, hex strings through the ToUnicode
+    * CMap. */
+  private[sources] def extractTextOps(content: String, cmap: Map[Int, String] = Map.empty)
+      : String = {
     val tj = TjOp.findAllMatchIn(content).map(m => unescapePdf(m.group(1)))
     val tjArr = TJArr.findAllMatchIn(content).map(m =>
-      StrInArr.findAllMatchIn(m.group(1)).map(s => unescapePdf(s.group(1))).mkString)
-    (tj ++ tjArr).mkString(" ")
+      StrInArr.findAllMatchIn(m.group(1)).map(s => unescapePdf(s.group(1))).mkString +
+        HexInArr.findAllMatchIn(m.group(1)).map(h => decodeHexString(h.group(1), cmap)).mkString)
+    val hexTj = HexTj.findAllMatchIn(content).map(m => decodeHexString(m.group(1), cmap))
+    (tj ++ tjArr ++ hexTj).filter(_.nonEmpty).mkString(" ")
   }
 
   private def unescapePdf(s: String): String = {

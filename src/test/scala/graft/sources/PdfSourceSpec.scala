@@ -53,6 +53,77 @@ class PdfSourceSpec extends SparkSpec {
     assert(PdfSource.extractStreams(garbage).forall(_.trim.isEmpty))
   }
 
+  /** CID/Type0 fixture: a ToUnicode CMap stream (bfchar + bfrange,
+    * Korean targets) plus a content stream showing hex strings — the
+    * shape PyMuPDF handles on the reference's own Korean corpus. */
+  private def makeCidPdf(compressCmap: Boolean): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |2 beginbfchar
+        |<0001> <C548>
+        |<0002> <B155>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <D558>
+        |endbfrange
+        |endcmap
+        |endcmap CMapName currentdict /CMap defineresource pop end end""".stripMargin
+    val cmapPayload =
+      if (!compressCmap) cmap.getBytes("ISO-8859-1")
+      else {
+        val d = new Deflater()
+        d.setInput(cmap.getBytes("ISO-8859-1")); d.finish()
+        val out = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+        out.toByteArray
+      }
+    val content = "BT /F1 12 Tf <00010002> Tj [<0010> <0011>] TJ <0012> Tj ET"
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n4 0 obj\n" + content.length + "\nendobj\n" +
+      "2 0 obj\n<< /Length " + cmapPayload.length +
+      (if (compressCmap) " /Filter /FlateDecode" else "") +
+      " >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(cmapPayload)
+    // content stream /Length is INDIRECT (4 0 R) to exercise resolution
+    bos.write(("\nendstream\nendobj\n3 0 obj\n<< /Length 4 0 R >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("CID/Type0: hex strings decode through the ToUnicode CMap (bfchar + bfrange)") {
+    for (compressed <- Seq(false, true)) {
+      val texts = PdfSource.extractStreams(makeCidPdf(compressed)).filter(_.trim.nonEmpty)
+      assert(texts.length === 1, s"compressed=$compressed")
+      // <0001><0002> → 안녕; bfrange <0010>-<0012> → 하하하 base+offset
+      assert(texts.head.contains("안녕"), s"compressed=$compressed")
+      assert(texts.head.contains("하") && texts.head.contains("하학"),
+        s"compressed=$compressed: bfrange offsets 하(D558) 학(D559)")
+      assert(texts.head.contains("핚"), s"compressed=$compressed: third range code")
+    }
+  }
+
+  test("/Length is honored: binary streams containing literal 'endstream' do not truncate") {
+    val content = "BT (x endstream y) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + content.length +
+      " >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(content.getBytes("ISO-8859-1"))
+    bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
+    val texts = PdfSource.extractStreams(bos.toByteArray)
+    assert(texts.exists(_.contains("x endstream y"))) // the old scan cut at 'endstream'
+  }
+
+  test("a lying /Length falls back to the endstream scan") {
+    val content = "BT (ok) Tj ET"
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length 999999 >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(content.getBytes("ISO-8859-1"))
+    bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
+    assert(PdfSource.extractStreams(bos.toByteArray).exists(_.contains("ok")))
+  }
+
   test("end-to-end: scan directory → per-stream text rows") {
     val dir = Files.createTempDirectory("pdf_src").toFile
     val f = new FileOutputStream(new java.io.File(dir, "doc.pdf"))
