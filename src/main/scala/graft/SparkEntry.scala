@@ -88,6 +88,8 @@ object SparkEntry {
       DedupOps.jaccardVerify(docs, DedupOps.minhashCandidates(docs))
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
+    "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    "corpus_curation" -> ((s, dir) => TextOps.curatedCorpus(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
@@ -289,6 +291,52 @@ object SparkEntry {
          |SELECT j.a_id, j.b_id, c.n_shared_bands, j.inter, j.jaccard
          |FROM jac j JOIN cand c USING (a_id, b_id)
          |WHERE j.jaccard >= 0.5""".stripMargin,
+    // component id = min doc_id transitively reachable over verified
+    // near-dup edges (recursive CTE = the oracle twin of Spark-side
+    // min-label propagation to fixpoint)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst)
+         |SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""".stripMargin,
+    "corpus_curation" ->
+      s"""WITH $duckToks,
+         |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+         |        sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','it')
+         |                 THEN 1 ELSE 0 END) AS n_stop
+         |      FROM toks GROUP BY 1),
+         |qual AS (SELECT doc_id,
+         |    round(least(n_tok / 100.0, 1.0) * 0.3 + (1.0 - n_stop / n_tok) * 0.3
+         |          + (n_distinct / n_tok) * 0.4, 6) + 0 AS quality
+         |  FROM q),
+         |c AS (SELECT doc_id,
+         |  sum(CASE WHEN tok IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS c_en,
+         |  sum(CASE WHEN tok IN ('el','la','de','los','que','y') THEN 1 ELSE 0 END) AS c_es,
+         |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS c_de,
+         |  sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS c_fr
+         |  FROM toks GROUP BY 1),
+         |lang AS (SELECT doc_id,
+         |  CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
+         |       WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
+         |       WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
+         |       WHEN c_de>=c_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+         |  FROM c),
+         |tc AS (SELECT doc_id,
+         |  CAST(len(list_filter(list_transform(string_split(text, ' '), t -> trim(t)),
+         |                       t -> t <> '')) AS BIGINT) AS n_ws_tokens
+         |  FROM documents)
+         |SELECT q.doc_id, lang.predicted_lang, qual.quality, tc.n_ws_tokens
+         |FROM q JOIN qual USING (doc_id) JOIN lang USING (doc_id) JOIN tc USING (doc_id)
+         |WHERE lang.predicted_lang = 'en' AND qual.quality >= 0.5
+         |  AND tc.n_ws_tokens BETWEEN 5 AND 100000""".stripMargin,
     "doc_fingerprint" ->
       s"""WITH $duckToks,
          |$duckShingles,

@@ -251,6 +251,74 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Connected components over near-dup PAIRS → dedup clusters: the
+    * step that turns pairwise verdicts into "keep one representative
+    * per group" (the reference's dedup keeps the first exact copy,
+    * app_callapi.py:117-120; transitively-linked NEAR-dups need the
+    * component, not the pair). Min-label propagation to the exact
+    * fixpoint: each node repeatedly adopts the smallest component id
+    * among itself and its neighbors — O(component diameter)
+    * iterations, each one keyed shuffle, nothing collects. The
+    * component id doubles as the canonical representative (smallest
+    * doc_id in the cluster).
+    *
+    * Scale notes: each iteration does one join + one keyed agg over
+    * the EDGE list (near-dup pairs — tiny relative to the corpus);
+    * per-iteration `count` drives convergence and doubles as the
+    * action that materializes the persisted labels, truncating
+    * recomputation. At very large diameters swap in alternating
+    * large/small-star rounds (same join shape). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).persist()
+    // materialize the (expensive) upstream candidate pipeline exactly
+    // once; every iteration below touches only the cached edge list.
+    // The count also SIZES the iteration: near-dup edge lists are
+    // usually tiny relative to the corpus, and per-round cost is then
+    // scheduling overhead, not data — so partition by measured edge
+    // count (~500k edges/partition), not the session default.
+    val nEdges = edges.count()
+    val parts = math.max(1, (nEdges / 500000L).toInt)
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val nodes = und.select(col("src").as("id")).distinct()
+    // self-loops fold the "keep my own label" term into the same
+    // min-aggregation as the neighbor terms: one join + one keyed agg
+    // per round, no second left-join against the previous labels
+    val undSelf = und.union(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .repartition(parts, col("dst")).persist()
+    var labels = nodes.withColumn("comp", col("id"))
+      .repartition(parts, col("id")).persist()
+    // convergence via the label-sum invariant: comps only ever
+    // DECREASE, so an unchanged sum ⇔ a fixpoint — one scalar agg per
+    // round instead of a join-against-previous
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val next = undSelf
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
+        .groupBy(col("src"))
+        .agg(min(col("nbr_comp")).as("comp"))
+        .withColumnRenamed("src", "id")
+        .repartition(parts, col("id")) // co-partition for next round's join
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      if (s == prevSum) converged = true else prevSum = s
+    }
+    edges.unpersist()
+    undSelf.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+  }
+
+  /** Declared end-to-end dedup clustering: LSH candidates → Jaccard
+    * verify → connected components. Output: every doc that belongs to
+    * a near-dup cluster, with its cluster's canonical id. */
+  def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    connectedComponents(nearDupVerified(docs, minJaccard = minJaccard))
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * hash every w-shingle, slide a window of `window` consecutive
     * shingle hashes, keep each window's minimum, emit the distinct

@@ -83,4 +83,19 @@ object TextOps {
           .otherwise("fr"))
       .select(col("doc_id"), col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
   }
+
+  /** Training-data curation filter — the composite every pretraining
+    * pipeline runs before tokenization: keep documents in the target
+    * language, above a quality floor, inside a token-count band. One
+    * pass per signal, joined on doc_id (each side is one keyed agg of
+    * the same tokenize scan; Catalyst reuses the scan), then a plain
+    * conjunctive filter that pushes nothing to the driver. */
+  def curatedCorpus(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
+                    minTokens: Long = 5, maxTokens: Long = 100000): DataFrame =
+    qualityScore(docs)
+      .join(langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+      .join(tokenCounts(docs).select(col("doc_id"), col("n_ws_tokens")), "doc_id")
+      .filter(col("predicted_lang") === lang && col("quality") >= minQuality &&
+        col("n_ws_tokens").between(minTokens, maxTokens))
+      .select(col("doc_id"), col("predicted_lang"), col("quality"), col("n_ws_tokens"))
 }

@@ -88,6 +88,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(!pairs.contains((2L, 3L))) // only 'common' shared → pruned
   }
 
+  test("connectedComponents: transitive near-dup pairs collapse to min-id clusters") {
+    // chain 1-2, 2-3 plus isolated pair 7-9: components {1,2,3} and {7,9}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val comp = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupClusters groups the exact+near duplicates under the smallest doc_id") {
+    val comp = DedupOps.dedupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.get(0L).contains(0L) && comp.get(1L).contains(0L)) // dup pair clusters under 0
+    assert(!comp.contains(3L)) // unrelated doc is in no cluster
+  }
+
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
     val fp = DedupOps.winnowFingerprints(docs)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

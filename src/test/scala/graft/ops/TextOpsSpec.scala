@@ -35,4 +35,16 @@ class TextOpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(p === Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "und"))
   }
+
+  test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok
+      (1L, "el gato y la casa de los perros grandes en madrid"), // wrong lang
+      (2L, "the and of to is the and of to is"), // en but all stopwords → low quality
+      (3L, "the ox") // en but under the token floor
+    ).toDF("doc_id", "text")
+    val kept = TextOps.curatedCorpus(docs, minTokens = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(0L))
+  }
 }
