@@ -131,6 +131,7 @@ object SparkEntry {
       RelationalOps.revenueBySegment(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
+    "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
@@ -488,6 +489,29 @@ object SparkEntry {
         |        lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
         |          ORDER BY epoch_ns(ts), event_id) AS prev_ts
         |      FROM events)""".stripMargin,
+    // oracle twin of the union-tag as-of sweep, with identical tie
+    // rules (right-before-left at equal ts; largest view_event_id
+    // wins among same-ts views) — deterministic by construction, so
+    // no reliance on any native ASOF tie behavior
+    "asof_attribution" ->
+      """WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS tsn
+        |           FROM events WHERE event_type = 'purchase'),
+        |r AS (SELECT user_id, epoch_us(ts) AS tsn, event_id AS view_event_id, value
+        |      FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, tsn, 1 AS side, 9223372036854775807 AS tie,
+        |         event_id, NULL AS view_event_id, NULL AS vvalue FROM l
+        |  UNION ALL
+        |  SELECT user_id, tsn, 0, view_event_id, NULL, view_event_id, value FROM r),
+        |w AS (SELECT user_id, tsn, side, event_id,
+        |  last_value(view_event_id IGNORE NULLS) OVER win AS m_view,
+        |  last_value(CASE WHEN side = 0 THEN tsn END IGNORE NULLS) OVER win AS m_tsn,
+        |  last_value(vvalue IGNORE NULLS) OVER win AS m_value
+        |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY tsn, side, tie
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, m_view AS view_event_id, tsn - m_tsn AS gap_us,
+        |       round(m_value, 6) + 0 AS view_value
+        |FROM w WHERE side = 1""".stripMargin,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,

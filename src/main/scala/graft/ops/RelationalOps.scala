@@ -164,6 +164,64 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** As-of join — the time-series operator Spark has no builtin for
+    * (the brief's canonical custom-operator example): for every left
+    * row, attach the right row with the greatest `ts` ≤ the left
+    * row's `ts` within the same `key` group.
+    *
+    * Implementation is the SCALE-RIGHT shape — a union-tag sweep, not
+    * a range join: tag sides, sort each key group once by
+    * (ts, side, tie), and carry the latest right payload forward with
+    * `last(_, ignoreNulls)` over the running frame. ONE shuffle on
+    * `key`, one sort, zero row blow-up — where a theta/range join
+    * would materialize |L|·|R| per key before filtering.
+    *
+    * Determinism: right rows sort before left rows at equal ts (so
+    * ties match, DuckDB-ASOF-style `>=`), and `tieBreak` totally
+    * orders right rows sharing (key, ts) — the LARGEST tieBreak wins.
+    * Output: every left column + each non-key right column as
+    * `<prefix><name>`; unmatched left rows carry nulls. */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tieBreak: String, prefix: String = "asof_"): DataFrame = {
+    val rPayload = right.columns.filter(_ != key).toSeq
+    val lStructDT = left.select(struct(left.columns.map(col): _*)).schema.head.dataType
+    val rStructDT = right.select(struct(rPayload.map(col): _*)).schema.head.dataType
+    val l = left.select(
+      col(key), col(ts).as("_ts"), lit(1).as("_side"), lit(Long.MaxValue).as("_tie"),
+      struct(left.columns.map(col): _*).as("_l"), lit(null).cast(rStructDT).as("_r"))
+    val r = right.select(
+      col(key), col(ts).as("_ts"), lit(0).as("_side"), col(tieBreak).cast("long").as("_tie"),
+      lit(null).cast(lStructDT).as("_l"), struct(rPayload.map(col): _*).as("_r"))
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(left.columns.toSeq.map(c => col(s"_l.$c").as(c)) ++
+        rPayload.map(c => col(s"_m.$c").as(prefix + c)): _*)
+  }
+
+  /** Purchase→view attribution: each purchase event joined as-of to
+    * the same user's latest prior (or simultaneous) view event.
+    * Timestamps are truncated to MICROSECONDS before matching — the
+    * oracle engine reads TIMESTAMP(NANOS) parquet at µs precision,
+    * so matching on raw nanos would put the two engines on different
+    * axes at sub-µs boundaries. */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    // integer division — ts nanos ≈ 1.7e18 exceeds double's exact
+    // integer range, so a float divide would drift by ±1 µs
+    val ev = events.withColumn("ts_us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("view_event_id"), col("value"))
+    asofJoin(purchases, views, key = "user_id", ts = "ts_us", tieBreak = "view_event_id")
+      .select(col("event_id"), col("user_id"),
+        col("asof_view_event_id").as("view_event_id"),
+        (col("ts_us") - col("asof_ts_us")).as("gap_us"),
+        roundn(col("asof_value"), 6).as("view_value"))
+  }
+
   /** Rollup aggregation (grouping-sets class): per (flag, status),
     * per flag subtotals, and grand total in one pass — Catalyst
     * expands to a single Expand + hash aggregate. NULL group markers

@@ -65,4 +65,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("revenue") === 140.0) // 100*0.9 + 50
     assert(r.getAs[Long]("n_items") === 2L)
   }
+
+  test("asofJoin matches the latest right row at-or-before each left ts, per key") {
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 250L), (3L, 2L, 50L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (10L, 1L, 100L, 1.0), // equal ts → matches (>= semantics)
+      (11L, 1L, 200L, 2.0),
+      (12L, 1L, 200L, 3.0), // same ts as 11: larger tieBreak wins
+      (13L, 2L, 60L, 9.0) // after left ts 50 → user 2 unmatched
+    ).toDF("rid", "user_id", "ts", "value")
+    val out = RelationalOps.asofJoin(left, right, "user_id", "ts", tieBreak = "rid")
+      .orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("asof_rid") === 10L) // ts 100 matches equal-ts view
+    assert(out(1).getAs[Long]("asof_rid") === 12L) // 200-tie broken by larger rid
+    assert(out(2).isNullAt(out(2).fieldIndex("asof_rid"))) // no prior right row
+  }
+
+  test("purchaseAttribution: purchases carry their latest prior view and the gap") {
+    val ev = Seq( // ts in nanos; op matches at µs granularity
+      (1L, 100000L, 7L, "view", 0.5, "{}"),
+      (2L, 300000L, 7L, "purchase", 9.9, "{}"),
+      (3L, 200000L, 7L, "view", 0.7, "{}"),
+      (4L, 50000L, 8L, "purchase", 1.0, "{}") // user 8 never viewed
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = RelationalOps.purchaseAttribution(ev).orderBy("event_id").collect()
+    assert(out(0).getAs[Long]("view_event_id") === 3L) // latest view before ts 300µs
+    assert(out(0).getAs[Long]("gap_us") === 100L)
+    assert(out(0).getAs[Double]("view_value") === 0.7)
+    assert(out(1).isNullAt(out(1).fieldIndex("view_event_id")))
+  }
 }
