@@ -132,6 +132,7 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
     "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
+    "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
@@ -512,6 +513,13 @@ object SparkEntry {
         |SELECT event_id, user_id, m_view AS view_event_id, tsn - m_tsn AS gap_us,
         |       round(m_value, 6) + 0 AS view_value
         |FROM w WHERE side = 1""".stripMargin,
+    "events_sliding_hour" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER win AS n_trailing_hour,
+        |  round(sum(value) OVER win, 4) + 0 AS sum_trailing_hour
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events)
+        |WINDOW win AS (PARTITION BY user_id ORDER BY ts_us
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "rollup_pricing" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |       coalesce(l_linestatus, 'ALL') AS linestatus,

@@ -164,6 +164,25 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** Trailing event-time window per user — a RANGE frame over the
+    * time axis (not ROWS): every event sees the count/sum of its
+    * user's events in the preceding hour, however many rows that is.
+    * One shuffle on user_id, one sort; Spark maintains the sliding
+    * frame incrementally. Time axis is µs (oracle timestamp
+    * precision); RANGE peers make tie order irrelevant, so no
+    * tie-break column is needed for determinism. */
+  def trailingHourStats(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000 * 1000, Window.currentRow)
+    events
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      .withColumn("n_trailing_hour", count(lit(1)).over(w))
+      .withColumn("sum_trailing_hour", roundn(sum(col("value")).over(w), 4))
+      .select(col("event_id"), col("user_id"), col("n_trailing_hour"),
+        col("sum_trailing_hour"))
+  }
+
   /** As-of join — the time-series operator Spark has no builtin for
     * (the brief's canonical custom-operator example): for every left
     * row, attach the right row with the greatest `ts` ≤ the left

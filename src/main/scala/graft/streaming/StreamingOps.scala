@@ -34,6 +34,25 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — the streaming twin of
+    * RelationalOps.purchaseAttribution's batch as-of: purchases
+    * joined to the same user's views from the trailing `maxGap`.
+    * Both sides carry watermarks and the join condition bounds
+    * event-time distance, so each side's buffered state is PURGEABLE
+    * (Spark drops a buffered row once the other side's watermark
+    * passes its join-window end) — without the interval bound a
+    * stream-stream join's state grows forever.
+    *
+    * Inputs: purchases (p_ts Timestamp, p_user, purchase_id),
+    * views (v_ts Timestamp, v_user, view_id). Inner join: pairs
+    * where v_ts ∈ [p_ts − maxGap, p_ts]. */
+  def attributionStream(purchases: DataFrame, views: DataFrame,
+                        maxGap: String = "1 hour"): DataFrame =
+    purchases.withWatermark("p_ts", maxGap)
+      .join(
+        views.withWatermark("v_ts", maxGap),
+        expr(s"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL $maxGap AND p_ts"))
+
   case class Doc(doc_id: Long, source: String, text: String)
   case class KeyedDoc(content_hash: String, doc: Doc)
 

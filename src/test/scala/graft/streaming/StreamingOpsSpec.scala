@@ -111,6 +111,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(java.nio.file.Files.exists(base.resolve("ckpt").resolve("state")))
   }
 
+  test("attributionStream joins purchases to in-window views, drops out-of-window ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val views = MemoryStream[(Timestamp, Long, Long)]
+    val q = attributionStream(
+      purchases.toDF().toDF("p_ts", "p_user", "purchase_id"),
+      views.toDF().toDF("v_ts", "v_user", "view_id"))
+      .select("purchase_id", "view_id")
+      .writeStream.format("memory").queryName("attr_out").outputMode("append").start()
+    try {
+      val h = 3600L * 1000
+      views.addData(
+        (new Timestamp(1000), 7L, 100L), // in window of purchase at h
+        (new Timestamp(10 * h), 7L, 101L)) // hours after the purchase → no match
+      purchases.addData((new Timestamp(h), 7L, 500L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_out").as[(Long, Long)].collect().toSet
+      assert(rows === Set((500L, 100L)))
+    } finally q.stop()
+  }
+
   test("dedupedIngest emits first occurrence per content hash only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
