@@ -61,6 +61,8 @@ object SparkEntry {
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    "search_bm25" -> ((s, dir) =>
+      SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
@@ -587,6 +589,31 @@ object SparkEntry {
          |scored AS (
          |  SELECT w.doc_id, round(sum(w.weight * qw.qw), 6) + 0 AS score
          |  FROM w JOIN qw USING (dim) GROUP BY 1)
+         |SELECT rank, doc_id, source, score FROM (
+         |  SELECT s.doc_id, s.score, d.source,
+         |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
+    // BM25 with k1=1.2, b=0.75 (so tf·(k1+1) = tf·2.2)
+    "search_bm25" ->
+      s"""WITH $duckToks,
+         |lens AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(len_d) AS avg_len FROM lens),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+         |qt AS (SELECT DISTINCT trim(u.tok) AS tok
+         |       FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |       WHERE trim(u.tok) <> ''),
+         |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+         |       FROM toks t JOIN qt USING (tok) GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT tf.doc_id,
+         |    round(sum(ln((nd.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))), 6) + 0
+         |      AS score
+         |  FROM tf JOIN dfc USING (tok) JOIN lens USING (doc_id), nd, stats
+         |  GROUP BY 1)
          |SELECT rank, doc_id, source, score FROM (
          |  SELECT s.doc_id, s.score, d.source,
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank

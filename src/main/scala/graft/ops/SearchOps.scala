@@ -44,4 +44,48 @@ object SearchOps {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
+
+  /** BM25 ranked retrieval (Robertson/Lucene form) — the lexical
+    * counterpart to [[searchText]]'s embedding cosine:
+    *
+    *   score(d) = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1)
+    *              · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl))
+    *
+    * Exact query terms (no hashing — df/idf want real term
+    * statistics). Term stats are computed only for the query's terms:
+    * the tf scan filters on the (tiny, broadcast-literal) term set,
+    * df derives from tf, and N/avgdl are 1-row aggregates broadcast
+    * in — one keyed shuffle on doc_id plus k-row top-k, same scale
+    * shape as searchText. */
+  def searchBm25(docs: DataFrame, queryText: String, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toks = EmbedOps.tokenize(docs)
+    val qTerms = queryText.split(" ").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+    val avgLen = lens.agg(avg(col("len_d")).as("avg_len"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val tf = toks.filter(col("tok").isin(qTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgLen))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_d") / col("avg_len"))))
+      .groupBy(col("doc_id"))
+      .agg(roundn(sum(col("contrib")), 6).as("score"))
+    val top = scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("score"))
+  }
 }

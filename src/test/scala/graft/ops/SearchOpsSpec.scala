@@ -1,0 +1,38 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "spark engine spark engine spark", "en", "a.docx", 30L),
+    (1L, "spark appears once here only today", "en", "b.docx", 33L),
+    (2L, "nothing relevant in this document at all", "en", "c.docx", 40L),
+    (3L, "engine engine engine engine engine engine", "en", "d.docx", 41L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("searchBm25: tf raises score, irrelevant docs absent, ranks deterministic") {
+    val r = SearchOps.searchBm25(docs, "spark", k = 3).orderBy("rank").collect()
+    // only docs containing 'spark' score
+    assert(r.map(_.getAs[Long]("doc_id")).toSet === Set(0L, 1L))
+    // higher tf wins rank 1
+    assert(r.head.getAs[Long]("doc_id") === 0L)
+    assert(r.head.getAs[Double]("score") > r(1).getAs[Double]("score"))
+  }
+
+  test("searchBm25: idf favors rarer terms at equal tf") {
+    // 'spark' (df 2) vs 'engine' (df 2)… make 'engine' common: df 2 vs 3
+    val d = Seq(
+      (0L, "spark one", "en", "a", 1L), (1L, "engine one", "en", "b", 1L),
+      (2L, "engine two", "en", "c", 1L), (3L, "engine spark", "en", "d", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.searchBm25(d, "spark engine", k = 4).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    // doc 0 (rare 'spark') outscores doc 1 (common 'engine'), equal tf & length
+    assert(r(0L) > r(1L))
+    // doc 3 has both terms: highest
+    assert(r(3L) > r(0L))
+  }
+}
