@@ -115,6 +115,15 @@ object SparkEntry {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_roundtrip_" +
         s.sparkContext.applicationId
       docs.write.mode("overwrite").parquet(tmp)
+      // bound tmp usage across runs: each run deletes its directory
+      // at JVM exit (it must outlive lazy evaluation of the result)
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(tmpPath))
+          java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
       CorpusOps.contentHash(s.read.parquet(tmp))
     }),
     // Multimodal plumbing (binary payload featurization). The full

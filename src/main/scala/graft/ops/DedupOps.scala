@@ -125,6 +125,9 @@ object DedupOps {
                    chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
+    // beyond the hash width every doc's high bits are 0 — the chunk
+    // covering them would equi-join ALL docs with ALL docs
+    require(bits <= 48, "signature width capped by hash48; wider bits need a wider hash")
     val chunkBits = bits / chunks
     val sh = simhash(docs, bits)
     val chunked = sh
@@ -156,23 +159,30 @@ object DedupOps {
     * cannot be near-dups). Cost is O(|pairs| · shingles-per-doc),
     * never O(N²). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, w: Int = 3,
-                    minJaccard: Double = 0.0): DataFrame = {
+                    minJaccard: Double = 0.0,
+                    passthrough: Seq[String] = Nil): DataFrame = {
     val sh = wordShingles(docs, w)
       .select(col("doc_id"), col("shingle"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // `passthrough` rides the grouping key (pair-functional columns
+    // like n_shared_bands), so the candidate pipeline is referenced
+    // ONCE — a separate join-back would plant the expensive subtree
+    // in the plan twice with differing column pruning, defeating
+    // exchange reuse
+    val keyCols = (Seq("a_id", "b_id") ++ passthrough).map(col)
     val inter = pairs
-      .select(col("a_id"), col("b_id"))
+      .select(keyCols: _*)
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
-      .groupBy(col("a_id"), col("b_id"))
+      .groupBy(keyCols: _*)
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
       .withColumn("jaccard", roundn(col("inter") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= minJaccard)
-      .select(col("a_id"), col("b_id"), col("inter"), col("jaccard"))
+      .select((keyCols :+ col("inter")) :+ col("jaccard"): _*)
   }
 
   /** End-to-end near-dup pipeline — the composed, uncapped form the
@@ -184,8 +194,7 @@ object DedupOps {
   def nearDupVerified(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
                       w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
     val cand = minhashCandidates(docs, numHashes, rowsPerBand, w)
-    jaccardVerify(docs, cand, w, minJaccard)
-      .join(cand.select(col("a_id"), col("b_id"), col("n_shared_bands")), Seq("a_id", "b_id"))
+    jaccardVerify(docs, cand, w, minJaccard, passthrough = Seq("n_shared_bands"))
       .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("inter"), col("jaccard"))
   }
 
@@ -308,9 +317,16 @@ object DedupOps {
       labels = next
       if (s == prevSum) converged = true else prevSum = s
     }
+    // materialize the result OFF the iteration caches
+    // (localCheckpoint truncates lineage and its blocks are released
+    // by the ContextCleaner when the result is dropped), then release
+    // every persist this op took — no cached datasets outlive the call
+    val result = labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+      .localCheckpoint(true)
+    labels.unpersist()
     edges.unpersist()
     undSelf.unpersist()
-    labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+    result
   }
 
   /** Declared end-to-end dedup clustering: LSH candidates → Jaccard

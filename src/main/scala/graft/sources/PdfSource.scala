@@ -85,7 +85,10 @@ object PdfSource {
   private[sources] def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 7 && new String(bytes.take(5), "ISO-8859-1") == "%PDF-"
 
-  private val DirectLen = """/Length\s+(\d+)(?!\s+\d+\s+R)""".r
+  // direct form must consume the FULL number ((?!\d) blocks the
+  // backtrack where `/Length 1234 0 R` matches digits "123" with a
+  // satisfied lookahead) and must not be an indirect reference
+  private val DirectLen = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
   private val IndirectLen = """/Length\s+(\d+)\s+\d+\s+R""".r
 
   /** Locate stream payloads. For each `stream` keyword the preceding
@@ -113,8 +116,10 @@ object PdfSource {
         if (dataStart < hay.length && hay.charAt(dataStart) == '\n') dataStart += 1
         val dict = dictBefore(hay, s)
         val declaredLen: Option[Int] = dict.flatMap { d =>
-          DirectLen.findFirstMatchIn(d).map(_.group(1).toInt)
-            .orElse(IndirectLen.findFirstMatchIn(d).flatMap(m => intObjs.get(m.group(1).toInt)))
+          // indirect first: a `N 0 R` reference must never be
+          // misread as a direct integer
+          IndirectLen.findFirstMatchIn(d).flatMap(m => intObjs.get(m.group(1).toInt))
+            .orElse(DirectLen.findFirstMatchIn(d).map(_.group(1).toInt))
         }
         val endByLen = declaredLen.collect {
           // sanity: `endstream` (after optional EOL) must follow the
@@ -229,24 +234,32 @@ object PdfSource {
       .map(g => cmap.getOrElse(Integer.parseInt(g, 16), "")).mkString
   }
 
-  private val TjOp = """\(((?:[^()\\]|\\.)*)\)\s*Tj""".r
-  private val TJArr = """\[((?:[^\[\]\\]|\\.)*)\]\s*TJ""".r
-  private val StrInArr = """\(((?:[^()\\]|\\.)*)\)""".r
-  private val HexTj = """<([0-9A-Fa-f\s]+)>\s*Tj""".r
-  private val HexInArr = """<([0-9A-Fa-f\s]+)>""".r
+  /** One master pattern over the three text-showing forms, so show
+    * operations are emitted in DOCUMENT ORDER (separate per-operator
+    * passes would group all literals before all hex and scramble
+    * mixed-font text): group 1 = literal Tj, group 2 = TJ array,
+    * group 3 = hex Tj. */
+  private val ShowOp =
+    ("""\(((?:[^()\\]|\\.)*)\)\s*Tj""" + "|" +
+      """\[((?:[^\[\]\\]|\\.)*)\]\s*TJ""" + "|" +
+      """<([0-9A-Fa-f\s]+)>\s*Tj""").r
+  /** Inside a TJ array: literal or hex string, again in order. */
+  private val ArrItem = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>""".r
 
   /** Pull text from Tj / TJ operators in a decoded content stream:
     * literal strings directly, hex strings through the ToUnicode
-    * CMap. */
+    * CMap; all show operations and array items keep document order. */
   private[sources] def extractTextOps(content: String, cmap: Map[Int, String] = Map.empty)
-      : String = {
-    val tj = TjOp.findAllMatchIn(content).map(m => unescapePdf(m.group(1)))
-    val tjArr = TJArr.findAllMatchIn(content).map(m =>
-      StrInArr.findAllMatchIn(m.group(1)).map(s => unescapePdf(s.group(1))).mkString +
-        HexInArr.findAllMatchIn(m.group(1)).map(h => decodeHexString(h.group(1), cmap)).mkString)
-    val hexTj = HexTj.findAllMatchIn(content).map(m => decodeHexString(m.group(1), cmap))
-    (tj ++ tjArr ++ hexTj).filter(_.nonEmpty).mkString(" ")
-  }
+      : String =
+    ShowOp.findAllMatchIn(content).map { m =>
+      if (m.group(1) != null) unescapePdf(m.group(1))
+      else if (m.group(2) != null)
+        ArrItem.findAllMatchIn(m.group(2)).map { it =>
+          if (it.group(1) != null) unescapePdf(it.group(1))
+          else decodeHexString(it.group(2), cmap)
+        }.mkString
+      else decodeHexString(m.group(3), cmap)
+    }.filter(_.nonEmpty).mkString(" ")
 
   private def unescapePdf(s: String): String = {
     val sb = new StringBuilder

@@ -81,13 +81,14 @@ class PdfSourceSpec extends SparkSpec {
       }
     val content = "BT /F1 12 Tf <00010002> Tj [<0010> <0011>] TJ <0012> Tj ET"
     val bos = new ByteArrayOutputStream()
-    bos.write(("%PDF-1.4\n4 0 obj\n" + content.length + "\nendobj\n" +
+    // MULTI-DIGIT length object number: `/Length 14 0 R` must resolve
+    // indirectly, not backtrack-match a truncated direct length ("1")
+    bos.write(("%PDF-1.4\n14 0 obj\n" + content.length + "\nendobj\n" +
       "2 0 obj\n<< /Length " + cmapPayload.length +
       (if (compressCmap) " /Filter /FlateDecode" else "") +
       " >>\nstream\n").getBytes("ISO-8859-1"))
     bos.write(cmapPayload)
-    // content stream /Length is INDIRECT (4 0 R) to exercise resolution
-    bos.write(("\nendstream\nendobj\n3 0 obj\n<< /Length 4 0 R >>\nstream\n" +
+    bos.write(("\nendstream\nendobj\n3 0 obj\n<< /Length 14 0 R >>\nstream\n" +
       content + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1"))
     bos.toByteArray
   }
@@ -102,6 +103,17 @@ class PdfSourceSpec extends SparkSpec {
         s"compressed=$compressed: bfrange offsets 하(D558) 학(D559)")
       assert(texts.head.contains("핚"), s"compressed=$compressed: third range code")
     }
+  }
+
+  test("mixed literal and hex text keeps document order within and across show ops") {
+    val cmap = "1 beginbfchar\n<0001> <C548>\nendbfchar"
+    val content = "BT (Hello ) Tj [(mid ) <0001> ( end)] TJ <0001> Tj (tail) Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + cmap.length + " >>\nstream\n" + cmap +
+      "\nendstream\nendobj\n2 0 obj\n<< /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val text = PdfSource.extractStreams(pdf).filter(_.trim.nonEmpty).head
+    // interleaving preserved: array item order AND operator order
+    assert(text === "Hello  mid 안 end 안 tail")
   }
 
   test("/Length is honored: binary streams containing literal 'endstream' do not truncate") {
