@@ -145,6 +145,9 @@ object SparkEntry {
     "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
     "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
+    "cube_pricing" -> ((s, dir) => RelationalOps.cubePricing(Tables.lineitem(s, dir))),
+    "salted_brand_revenue" -> ((s, dir) =>
+      RelationalOps.saltedRevenueByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
@@ -536,6 +539,19 @@ object SparkEntry {
         |       coalesce(l_linestatus, 'ALL') AS linestatus,
         |       round(sum(l_quantity), 2) + 0 AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "cube_pricing" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       round(sum(l_quantity), 2) + 0 AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    // the salting is an execution detail — the oracle is the PLAIN
+    // join+agg, which is exactly the row-identity guarantee salting
+    // must preserve
+    "salted_brand_revenue" ->
+      """SELECT p.p_brand,
+        |  round(sum(l.l_extendedprice), 2) + 0 AS revenue, count(*) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1""".stripMargin,
     "content_hash" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->

@@ -254,6 +254,32 @@ object RelationalOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
 
+  /** CUBE aggregation — all four grouping sets of (flag, status) in
+    * one pass (Expand + single hash aggregate), the grouping-sets
+    * class beyond [[rollupPricing]]'s hierarchy. */
+  def cubePricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(roundn(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+
+  /** Revenue by part brand via an EXPLICITLY SALTED fact⋈dim join —
+    * the declared, oracle-checked form of [[SkewOps.saltedEquiJoin]]:
+    * the skewed fact side salts on a stable discriminator, the dim
+    * side replicates ×salts, and the aggregated result is provably
+    * identical to the plain join (that is what the oracle checks). */
+  def saltedRevenueByBrand(lineitem: DataFrame, part: DataFrame, salts: Int = 4): DataFrame =
+    SkewOps.saltedEquiJoin(
+      lineitem.select(col("l_partkey").as("p_partkey"),
+        col("l_extendedprice"), col("l_orderkey")),
+      part.select(col("p_partkey"), col("p_brand")),
+      key = "p_partkey", discriminator = "l_orderkey", salts = salts)
+      .groupBy(col("p_brand"))
+      .agg(roundn(sum(col("l_extendedprice")), 2).as("revenue"), count(lit(1)).as("n_items"))
+
   /** TPC-H Q1-shaped pricing summary — the canonical partial-agg
     * rollup; one shuffle carrying 4-ish groups regardless of scale. */
   def pricingSummary(lineitem: DataFrame): DataFrame =
