@@ -58,6 +58,25 @@ object SparkEntry {
     // ---- P1/P2: vector search + embedding (SURVEY.md §2.9, §3.2) ----
     "knn_search" -> ((s, dir) => knnQuery(s, dir)),
     "mean_pool" -> ((s, dir) => VectorOps.meanPoolByLabel(Tables.embeddings(s, dir))),
+    "vector_stats" -> ((s, dir) => VectorOps.vectorStats(Tables.embeddings(s, dir))),
+    "customers_without_orders" -> ((s, dir) =>
+      RelationalOps.customersWithoutOrders(Tables.customer(s, dir), Tables.orders(s, dir))),
+    // JSON source/sink round-trip (persist_roundtrip's twin through a
+    // text format — JSON-lines escaping must preserve every byte)
+    "json_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonrt_" +
+        s.sparkContext.applicationId
+      docs.write.mode("overwrite").json(tmp)
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(tmpPath))
+          java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+      CorpusOps.contentHash(s.read.schema(docs.schema).json(tmp))
+    }),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
@@ -582,6 +601,20 @@ object SparkEntry {
          |SELECT row_number() OVER (ORDER BY l2_sq, vec_id) AS rank,
          |       vec_id, l2_sq, cos_sim, label
          |FROM s ORDER BY l2_sq, vec_id LIMIT 5""".stripMargin,
+    "vector_stats" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) + 0 AS l2_norm,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) + 0 AS v_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) + 0 AS v_max,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims
+        |FROM embeddings""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
+    "json_roundtrip" ->
+      "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "mean_pool" ->
       """SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
         |       round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS centroid_val

@@ -254,6 +254,19 @@ object RelationalOps {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("n"))
 
+  /** Anti join: customers with no order in the given status — the
+    * probe side is the full customer table, the build side only the
+    * filtered custkey projection (broadcast-able), never the orders
+    * fact. */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             status: String = "F"): DataFrame =
+    customer
+      .join(
+        orders.filter(col("o_orderstatus") === status)
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
   /** CUBE aggregation — all four grouping sets of (flag, status) in
     * one pass (Expand + single hash aggregate), the grouping-sets
     * class beyond [[rollupPricing]]'s hierarchy. */

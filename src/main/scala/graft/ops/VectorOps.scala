@@ -125,6 +125,22 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Per-vector stats via ARRAY higher-order folds (`aggregate` /
+    * `array_min`/`array_max`) — the brief's array-op surface for
+    * embedding columns, map-only over the scan. Fold order is array
+    * order on both engines, so sums are reproducible. (HOF lambdas
+    * don't whole-stage-codegen; for the hot distance paths the
+    * engine uses native expressions instead — this op is the
+    * schema/array-API surface, not the kernel.) */
+  def vectorStats(embeddings: DataFrame): DataFrame =
+    embeddings.select(
+      col("vec_id"),
+      roundn(sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("l2_norm"),
+      roundn(array_min(col("embedding")).cast("double"), 6).as("v_min"),
+      roundn(array_max(col("embedding")).cast("double"), 6).as("v_max"),
+      size(col("embedding")).cast("long").as("n_dims"))
+
   /** Relational Lloyd iterations: refine centroids by repeated
     * assign → per-cell mean, entirely in exploded-dim DataFrame form
     * (each iteration = one broadcast join + two keyed aggregations;
