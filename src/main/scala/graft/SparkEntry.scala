@@ -113,6 +113,22 @@ object SparkEntry {
     "corpus_curation" -> ((s, dir) => TextOps.curatedCorpus(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // benchmark stand-in: first 50 docs; corpus: the rest
+      DedupOps.decontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+    }),
+    "redact_pii" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      // deterministic PII injection: the synthetic corpus is PII-free,
+      // so redaction would otherwise verify vacuously; injected text
+      // varies per row via doc_id
+      val withPii = docs.withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1 555 000 1234")))
+      TextOps.redactPii(withPii)
+    }),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
@@ -380,6 +396,32 @@ object SparkEntry {
          |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
          |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
          |FROM h""".stripMargin,
+    "decontaminate" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |h AS (SELECT doc_id, pos, ${duckHash24("shingle")} AS h FROM shp),
+         |fps AS (SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h)
+         |SELECT c.doc_id, count(*) AS n_shared_fp
+         |FROM (SELECT doc_id, fp FROM fps WHERE doc_id >= 50) c
+         |JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id < 50) b USING (fp)
+         |GROUP BY 1""".stripMargin,
+    "redact_pii" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |       || '@example.com or +1 555 000 1234' AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.EmailRe}')) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '${graft.ops.TextOps.PhoneRe}')) AS BIGINT)
+         |    AS n_phones,
+         |  sha256(regexp_replace(regexp_replace(text, '${graft.ops.TextOps.EmailRe}',
+         |    '<EMAIL>', 'g'), '${graft.ops.TextOps.PhoneRe}', '<PHONE>', 'g'))
+         |    AS redacted_hash
+         |FROM t""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(list_transform(string_split(text, ' '), t -> trim(t)),

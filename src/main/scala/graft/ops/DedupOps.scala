@@ -335,6 +335,23 @@ object DedupOps {
   def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     connectedComponents(nearDupVerified(docs, minJaccard = minJaccard))
 
+  /** Benchmark decontamination — flag corpus documents sharing
+    * winnowing fingerprints with a held-out benchmark set (the check
+    * every pretraining pipeline runs so eval data doesn't leak into
+    * training data). The benchmark side reduces to its DISTINCT
+    * fingerprint set (small — broadcast-able); the corpus side joins
+    * on the fingerprint hash. Output: (doc_id, n_shared_fp) for
+    * corpus docs at or above `minShared`. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, w: Int = 3,
+                    window: Int = 4, minShared: Long = 1): DataFrame = {
+    val bfp = winnowFingerprints(benchmark, w, window).select(col("fp")).distinct()
+    winnowFingerprints(corpus, w, window)
+      .join(bfp, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     * hash every w-shingle, slide a window of `window` consecutive
     * shingle hashes, keep each window's minimum, emit the distinct

@@ -84,6 +84,24 @@ object TextOps {
       .select(col("doc_id"), col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
   }
 
+  /** Engine-portable PII patterns (kept to syntax shared by Java
+    * regex and RE2-style engines, so the oracle applies the SAME
+    * expressions). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
+
+  /** PII redaction — the scrubbing pass a training pipeline runs
+    * before tokenization: emails and phone-shaped numbers replaced by
+    * typed placeholders, with per-document match counts. Map-only;
+    * regexp_replace is codegen'd. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      sha2(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"), 256).as("redacted_hash"))
+
   /** Training-data curation filter — the composite every pretraining
     * pipeline runs before tokenization: keep documents in the target
     * language, above a quality floor, inside a token-count band. One

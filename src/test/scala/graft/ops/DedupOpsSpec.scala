@@ -103,6 +103,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(!comp.contains(3L)) // unrelated doc is in no cluster
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (100L, base), // contaminated: identical to benchmark doc
+      (101L, "completely unrelated corpus text with different vocabulary entirely here")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((0L, base)).toDF("doc_id", "text")
+    val flagged = DedupOps.decontaminate(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(100L) && flagged(100L) > 0L)
+    assert(!flagged.contains(101L))
+  }
+
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
     val fp = DedupOps.winnowFingerprints(docs)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -36,6 +36,24 @@ class TextOpsSpec extends SparkSpec {
     assert(p === Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "und"))
   }
 
+  test("redactPii counts and scrubs emails and phone numbers") {
+    val docs = Seq(
+      (0L, "mail me at jane.doe+x@corp.example.org or call +1 415 555-0199 thanks"),
+      (1L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val r = TextOps.redactPii(docs).collect().map(x =>
+      x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r(0L) === ((1L, 1L)))
+    assert(r(1L) === ((0L, 0L)))
+    // redacted text no longer matches the patterns
+    val redacted = docs.select($"doc_id",
+      regexp_replace(regexp_replace($"text", TextOps.EmailRe, "<EMAIL>"),
+        TextOps.PhoneRe, "<PHONE>").as("t"))
+      .filter($"doc_id" === 0).head().getString(1)
+    assert(redacted.contains("<EMAIL>") && redacted.contains("<PHONE>"))
+    assert(!redacted.contains("@") && !redacted.contains("555"))
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok
