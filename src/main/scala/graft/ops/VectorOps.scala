@@ -172,6 +172,18 @@ object VectorOps {
       .select(col("c_id").as("c_label"), col("dim"), col("cv"))
   }
 
+  /** [[kmeansCells]] with the cell count derived from the data:
+    * k = ceil(sqrt(N)). This is the policy the IVF scaladoc states —
+    * per-cell candidate lists and the cell index then grow together
+    * as √N instead of one of them growing linearly. The one eager
+    * action (`count()`) happens at query BUILD time and is the
+    * documented price of a data-dependent plan; the oracle mirrors it
+    * with `(SELECT ceil(sqrt(count(*))) FROM embeddings)`. */
+  def sqrtCells(embeddings: DataFrame, iters: Int): DataFrame = {
+    val k = math.ceil(math.sqrt(embeddings.count().toDouble)).toInt
+    kmeansCells(embeddings, k, iters)
+  }
+
   private def lloyd(embeddings: DataFrame, iters: Int, seedCent: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
