@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private val Repeats = 3
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -17,25 +18,39 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     try SparkEntry.queries.get("scan_documents").foreach(fn => fn(spark, sfDir).count())
     catch { case e: Throwable => System.err.println(s"[bench] warm-up failed: ${e.getMessage}") }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink forces FULL evaluation of every output column —
-      // count() would let Catalyst prune unevaluated projections and
-      // understate the work
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-        }
-      // a failed query reports -1, never a flattering near-zero time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // single-run times on iterative queries vary ±40% run-to-run —
+    // take the per-query MEDIAN of `Repeats` runs so round-over-round
+    // comparisons measure plan changes, not scheduler noise; min and
+    // spread are emitted alongside for the variance record
+    val results: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
+      val times = (1 to Repeats).map { _ =>
+        val t0 = System.nanoTime()
+        // noop sink forces FULL evaluation of every output column —
+        // count() would let Catalyst prune unevaluated projections
+        // and understate the work
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              false
+          }
+        // a failed query reports -1, never a flattering near-zero time
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def median(ts: Seq[Double]): Double =
+      if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    def jsonMap(f: Seq[Double] => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+    val medians = results.map { case (_, v) => median(v) }
+    val total = if (medians.nonEmpty) medians.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+      s""","repeats":$Repeats,"queries":${jsonMap(median)}""" +
+      s""","queries_min":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.min)}""" +
+      s""","queries_spread":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min)}""" +
+      s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -37,6 +37,16 @@ object DedupOps {
   /** Prime just above 2^24 for the universal-hash family. */
   val MinhashPrime: Long = 16777259L
 
+  /** Defensive round cap for [[connectedComponents]] (propagation
+    * needs <= component diameter rounds; real near-dup graphs sit far
+    * below this). */
+  val MaxCcRounds: Int = 1000
+
+  /** Lineage-truncation cadence for [[connectedComponents]]: every
+    * Nth round the labels are eagerly localCheckpoint'ed so the
+    * logical plan doesn't nest one round per iteration. */
+  val CcCheckpointEvery: Int = 5
+
   /** MinHash signature: (doc_id, seed, minh). The hash family is the
     * textbook universal construction h_i(x) = (a_i·h0(x) + b_i) mod p
     * over ONE sha-derived base hash per distinct shingle — seeded
@@ -304,14 +314,32 @@ object DedupOps {
       df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
+    var iter = 0
     while (!converged) {
-      val next = undSelf
+      iter += 1
+      // labels strictly decrease while unconverged, so termination is
+      // mathematically guaranteed in <= diameter rounds; the cap is a
+      // defensive guard against a logic regression livelocking the
+      // driver — fail loudly rather than loop silently
+      require(iter <= MaxCcRounds,
+        s"connectedComponents: no fixpoint after $MaxCcRounds rounds")
+      val joined = undSelf
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src"))
         .agg(min(col("nbr_comp")).as("comp"))
         .withColumnRenamed("src", "id")
         .repartition(parts, col("id")) // co-partition for next round's join
         .persist()
+      // every few rounds cut the lineage with an eager localCheckpoint:
+      // although each round's input is persisted, its LOGICAL plan
+      // still nests all previous rounds, so analysis/planning cost
+      // grows per round on deep-diameter graphs without this
+      val next =
+        if (iter % CcCheckpointEvery == 0) {
+          val pinned = joined.localCheckpoint(true)
+          joined.unpersist()
+          pinned
+        } else joined
       val s = labelSum(next)
       labels.unpersist()
       labels = next

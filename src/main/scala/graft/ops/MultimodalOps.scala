@@ -59,21 +59,31 @@ object MultimodalOps {
     }
   }
 
-  /** Decode step — STUB. A real deployment swaps this body for a
-    * codec call (JPEG/PNG decode, audio resample) inside the same
-    * mapPartitions shape; the deterministic fake derives "decoded"
-    * dimensions from the payload header bytes so tests are stable.
-    * Marked ok=false for empty payloads (the empty-text guard analog,
-    * reference app_callapi.py:112). */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
+  /** Decode step — REAL for images: `javax.imageio` (JDK-built-in,
+    * zero new dependencies) parses PNG/JPEG/GIF/BMP payloads to their
+    * true pixel dimensions, inside the same mapPartitions batch shape
+    * a GPU/codec stage would use. Undecodable, empty, or non-image
+    * payloads (audio/video — no JDK codec) are CONTAINED as ok=false
+    * rows (the empty-text guard analog, reference app_callapi.py:112),
+    * never an executor-killing throw; a real deployment swaps its
+    * audio/video codec call into the marked line. */
+  def decodeImage(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
-    media.map { row =>
-      if (row.content.isEmpty) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
-      else {
-        // STUB: fake decode — header bytes → dimensions
-        val w = ((row.content(0) & 0xff) << 4) + 16
-        val h = ((row.content(row.content.length / 2) & 0xff) << 4) + 16
-        DecodedMeta(row.media_id, row.modality, w, h, ok = true)
+    media.mapPartitions { it =>
+      // per-partition init: keep ImageIO off its disk scratch cache —
+      // per-row temp-file churn on executors for zero benefit
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        if (row.content.isEmpty) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
+        else
+          try {
+            val img = // codec call — swap here for audio/video decoders
+              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
+            if (img == null) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
+            else DecodedMeta(row.media_id, row.modality, img.getWidth, img.getHeight, ok = true)
+          } catch {
+            case _: Exception => DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
+          }
       }
     }
   }

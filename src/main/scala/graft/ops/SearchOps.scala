@@ -33,7 +33,9 @@ object SearchOps {
       .agg(roundn(sum(col("weight") * col("qw")), 6).as("score"))
     // orderBy.limit FIRST (plans as TakeOrderedAndProject — per-
     // partition top-k, no global single-reducer sort); the window
-    // then ranks only the k survivors
+    // then ranks only the k survivors (constant partition key: the
+    // ≤k-row single-partition window is intended, and the explicit
+    // key silences WindowExec's "No Partition Defined" alarm)
     val top = scored
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .orderBy(col("score").desc, col("doc_id"))
@@ -41,7 +43,8 @@ object SearchOps {
     top
       .withColumn(
         "rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
@@ -85,7 +88,8 @@ object SearchOps {
     top
       .withColumn(
         "rank",
-        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        row_number().over(
+          Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 }

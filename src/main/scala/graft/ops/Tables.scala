@@ -22,14 +22,25 @@ object Tables {
     * Downstream ops treat `ts` as ordered nanos and convert to
     * timestamps explicitly where calendar semantics are needed.
     *
-    * SESSION-WIDE SIDE EFFECT: `nanosAsLong` is a session conf, so
-    * this call changes how EVERY later nanos-timestamp parquet read
-    * in the session is typed. The engine's own entry points (Verify /
-    * Bench / PlansDump / SparkSpec) set it at session build; the set
-    * here is a fallback for externally-built sessions. */
+    * `nanosAsLong` is a session conf with no per-read option, so an
+    * externally-built session that lacks it gets a CHILD session
+    * (`newSession`: shared SparkContext and cached data, private
+    * SQLConf) with the flag set — the caller's session is never
+    * mutated. The engine's own entry points (Verify / Bench /
+    * PlansDump / SparkSpec) set it at session build and take the
+    * first branch. The conf must hold at ACTION time (planning
+    * captures it into the scan's Hadoop conf), which is why a
+    * set-then-restore around the lazy read would be wrong. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val s =
+      if (spark.conf.getOption(key).contains("true")) spark
+      else {
+        val child = spark.newSession()
+        child.conf.set(key, "true")
+        child
+      }
+    load(s, dir, "events")
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
