@@ -13,21 +13,26 @@ import scala.collection.mutable.ArrayBuffer
   *  dict's `/Length` (direct or indirect `N 0 R`) so binary streams
   *  containing the literal bytes `endstream` do not truncate, with a
   *  keyword-scan fallback when `/Length` is absent or inconsistent;
-  *  FlateDecode decompression (java.util.zip.Inflater); text from the
-  *  standard text-showing operators `(…) Tj` / `[(…)…] TJ` with PDF
+  *  `/Filter`-chain decoding — FlateDecode (java.util.zip.Inflater),
+  *  LZWDecode (ISO 32000 §7.4.4, 9→12-bit codes, early change) and
+  *  ASCIIHexDecode, applied in declared order including array chains
+  *  like `[/ASCIIHexDecode /FlateDecode]`; text from the standard
+  *  text-showing operators `(…) Tj` / `[(…)…] TJ` with PDF
   *  string-escape handling; and CID/Type0 composite fonts via the
   *  embedded ToUnicode CMap — `<hex> Tj` / hex items in `TJ` arrays
-  *  decode through parsed `bfchar`/`bfrange` mappings (the path a
-  *  Korean corpus like the reference's needs, app.py:21-24).
+  *  decode through parsed `bfchar`/`bfrange` mappings with the code
+  *  width taken from `begincodespacerange` (the path a Korean corpus
+  *  like the reference's needs, app.py:21-24).
   *
-  *  LIMITS: encrypted files and non-Flate filters yield NO text rows
-  *  (extraction returns nothing for such files — the per-file
-  *  containment rule, reference app_callapi.py:62-63); CID text
-  *  without a ToUnicode CMap (font-program-only mapping) cannot be
-  *  recovered; all ToUnicode CMaps in a file are merged (per-font
-  *  resource scoping is not tracked — collisions resolve first-wins,
-  *  which is exact for the overwhelmingly common one-composite-font
-  *  case).
+  *  LIMITS: encrypted files and image-codec filters (DCT/JPX) yield
+  *  NO text rows (extraction returns nothing for such streams — the
+  *  per-file containment rule, reference app_callapi.py:62-63);
+  *  LZW/Flate predictors are not applied (content streams don't use
+  *  them; xref streams that do carry no text); CID text without a
+  *  ToUnicode CMap (font-program-only mapping) cannot be recovered;
+  *  all ToUnicode CMaps in a file are merged (per-font resource
+  *  scoping is not tracked — collisions resolve first-wins, which is
+  *  exact for the overwhelmingly common one-composite-font case).
   *
   * Same pipeline shape as [[DocxSource]]: listing-time glob prune →
   * per-partition parse (map-only; payloads never shuffle).
@@ -71,16 +76,105 @@ object PdfSource {
     try {
       if (!isPdf(bytes)) Seq.empty
       else {
-        val decoded = streamSegments(bytes).map { seg =>
-          new String(tryInflate(seg).getOrElse(seg), "ISO-8859-1")
+        val decoded = streamSegments(bytes).map { case (dict, seg) =>
+          new String(decodeStream(dict, seg), "ISO-8859-1")
         }
         // one merged code→unicode map from every ToUnicode CMap in
-        // the file (first-wins on collision; see scaladoc LIMITS)
-        val cmap = decoded.filter(_.contains("beginbf"))
+        // the file (first-wins on collision; see scaladoc LIMITS),
+        // with the code byte-width taken from the CMaps' own
+        // codespacerange declarations when present
+        val cmapTexts = decoded.filter(_.contains("beginbf"))
+        val cmap = cmapTexts
           .foldLeft(Map.empty[Int, String])((acc, s) => parseCMap(s).concat(acc))
-        decoded.map(extractTextOps(_, cmap))
+        val width = cmapTexts.flatMap(codespaceWidth).headOption
+        decoded.map(extractTextOps(_, cmap, width))
       }
     } catch { case _: Exception => Seq.empty }
+
+  /** Apply the stream dict's `/Filter` chain. No declared filter →
+    * opportunistic inflate with raw passthrough (uncompressed content
+    * streams); declared Flate/LZW/ASCIIHex decode for real; any other
+    * filter (DCT/JPX/Crypt/…) carries no recoverable text — the
+    * stream is dropped rather than surfacing binary junk as "text". */
+  private[sources] def decodeStream(dict: Option[String], data: Array[Byte]): Array[Byte] = {
+    val filters = dict.toSeq.flatMap(filterChain)
+    if (filters.isEmpty) tryInflate(data).getOrElse(data)
+    else
+      filters.foldLeft(Option(data)) { (acc, f) =>
+        acc.flatMap(d => f match {
+          case "FlateDecode" | "Fl"     => tryInflate(d)
+          case "LZWDecode" | "LZW"      => lzwDecode(d)
+          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
+          case _                        => None
+        })
+      }.getOrElse(Array.emptyByteArray)
+  }
+
+  // single name (`/Filter /FlateDecode`) or array (`/Filter [/AHx /Fl]`)
+  private val FilterEntry = """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val NameToken = """/([A-Za-z0-9]+)""".r
+  private def filterChain(dict: String): Seq[String] =
+    FilterEntry.findFirstMatchIn(dict).toSeq.flatMap(m =>
+      NameToken.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+
+  /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first bit stream, 9→12-bit
+    * codes, 256 = clear-table, 257 = EOD, one-early code-width change
+    * (EarlyChange default 1). Predictors are not applied (content
+    * streams in the wild don't use them; xref streams — which do —
+    * carry no text). Returns None on malformed input (containment,
+    * like [[tryInflate]]). */
+  private[sources] def lzwDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var dict = ArrayBuffer.tabulate[Array[Byte]](258)(i =>
+        if (i < 256) Array(i.toByte) else Array.emptyByteArray)
+      var codeLen = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var eod = false
+      var i = 0
+      while (i < data.length && !eod) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xffL)
+        bitCnt += 8
+        while (bitCnt >= codeLen && !eod) {
+          val code = ((bitBuf >> (bitCnt - codeLen)) & ((1L << codeLen) - 1)).toInt
+          bitCnt -= codeLen
+          code match {
+            case 256 =>
+              dict = dict.take(258); codeLen = 9; prev = null
+            case 257 => eod = true
+            case _ =>
+              val entry =
+                if (code < dict.length) dict(code)
+                else if (prev != null && code == dict.length) prev :+ prev(0)
+                else throw new IllegalStateException(s"bad LZW code $code")
+              out.write(entry)
+              if (prev != null) dict += (prev :+ entry(0))
+              prev = entry
+              // one-early width change: the NEXT code to be assigned
+              // is dict.length, readable only at the wider size
+              if (dict.length + 1 >= (1 << codeLen) && codeLen < 12) codeLen += 1
+          }
+        }
+        i += 1
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** PDF ASCIIHexDecode: hex pairs → bytes, whitespace ignored, `>`
+    * is EOD, odd trailing digit padded with 0. */
+  private[sources] def asciiHexDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = new String(data, "ISO-8859-1")
+      val end = { val e = s.indexOf('>'); if (e < 0) s.length else e }
+      val hex0 = s.substring(0, end).filterNot(_.isWhitespace)
+      if (!hex0.forall(c => Character.digit(c, 16) >= 0)) None
+      else {
+        val hex = if (hex0.length % 2 == 1) hex0 + "0" else hex0
+        Some(hex.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray)
+      }
+    } catch { case _: Exception => None }
 
   private[sources] def isPdf(bytes: Array[Byte]): Boolean =
     bytes.length > 7 && new String(bytes.take(5), "ISO-8859-1") == "%PDF-"
@@ -98,13 +192,13 @@ object PdfSource {
     * Falls back to the `endstream` scan when `/Length` is missing or
     * fails its sanity check (an `endstream` keyword must follow the
     * claimed extent). */
-  private def streamSegments(bytes: Array[Byte]): Seq[Array[Byte]] = {
+  private def streamSegments(bytes: Array[Byte]): Seq[(Option[String], Array[Byte])] = {
     val hay = new String(bytes, "ISO-8859-1") // 1:1 byte↔char
     // integer objects (`7 0 obj 1234 endobj`) for indirect /Length
     val intObjs: Map[Int, Int] =
       """(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj""".r.findAllMatchIn(hay)
         .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
-    val out = ArrayBuffer.empty[Array[Byte]]
+    val out = ArrayBuffer.empty[(Option[String], Array[Byte])]
     var from = 0
     while ({ val s = hay.indexOf("stream", from); s >= 0 } ) {
       val s = hay.indexOf("stream", from)
@@ -132,13 +226,13 @@ object PdfSource {
         }
         endByLen match {
           case Some(e) =>
-            out += java.util.Arrays.copyOfRange(bytes, dataStart, e)
+            out += (dict -> java.util.Arrays.copyOfRange(bytes, dataStart, e))
             from = hay.indexOf("endstream", e) + "endstream".length
           case None =>
             val e = hay.indexOf("endstream", dataStart)
             if (e < 0) from = hay.length
             else {
-              out += java.util.Arrays.copyOfRange(bytes, dataStart, e)
+              out += (dict -> java.util.Arrays.copyOfRange(bytes, dataStart, e))
               from = e + "endstream".length
             }
         }
@@ -219,17 +313,30 @@ object PdfSource {
     out.toMap
   }
 
-  /** CID code width in bytes, from the source-code hex lengths (2 hex
-    * digits = 1 byte; Identity-H and CJK CMaps use 2). */
-  private def codeWidth(cmap: Map[Int, String]): Int =
+  private val CodespaceBlock = """(?s)begincodespacerange(.*?)endcodespacerange""".r
+
+  /** Authoritative CID code byte-width from the CMap's own
+    * `begincodespacerange <lo> <hi> endcodespacerange` declaration
+    * (hex digits of the bound / 2). This matters when a 2-byte CMap
+    * maps only codes <= 0xFF: key-based inference would decode one
+    * byte at a time and inject spurious glyphs wherever a low code is
+    * mapped. */
+  private[sources] def codespaceWidth(cmap: String): Option[Int] =
+    CodespaceBlock.findFirstMatchIn(cmap).flatMap(b =>
+      HexToken.findFirstMatchIn(b.group(1)).map(m => (m.group(1).length + 1) / 2))
+
+  /** Fallback CID code width when no codespacerange exists: inferred
+    * from the mapped key values (keys > 0xFF force 2 bytes). */
+  private def inferredWidth(cmap: Map[Int, String]): Int =
     if (cmap.keys.exists(_ > 0xff)) 2 else 1
 
   /** Decode a CID hex string through the merged ToUnicode map. Codes
     * with no mapping contribute nothing (they are unmapped glyphs). */
-  private def decodeHexString(hex: String, cmap: Map[Int, String]): String = {
+  private def decodeHexString(hex: String, cmap: Map[Int, String],
+                              width: Option[Int]): String = {
     if (cmap.isEmpty) return ""
     val clean = hex.filterNot(_.isWhitespace)
-    val w = codeWidth(cmap) * 2
+    val w = width.getOrElse(inferredWidth(cmap)) * 2
     clean.grouped(w).filter(_.length == w)
       .map(g => cmap.getOrElse(Integer.parseInt(g, 16), "")).mkString
   }
@@ -248,17 +355,18 @@ object PdfSource {
 
   /** Pull text from Tj / TJ operators in a decoded content stream:
     * literal strings directly, hex strings through the ToUnicode
-    * CMap; all show operations and array items keep document order. */
-  private[sources] def extractTextOps(content: String, cmap: Map[Int, String] = Map.empty)
-      : String =
+    * CMap (code width from codespacerange when declared); all show
+    * operations and array items keep document order. */
+  private[sources] def extractTextOps(content: String, cmap: Map[Int, String] = Map.empty,
+                                      width: Option[Int] = None): String =
     ShowOp.findAllMatchIn(content).map { m =>
       if (m.group(1) != null) unescapePdf(m.group(1))
       else if (m.group(2) != null)
         ArrItem.findAllMatchIn(m.group(2)).map { it =>
           if (it.group(1) != null) unescapePdf(it.group(1))
-          else decodeHexString(it.group(2), cmap)
+          else decodeHexString(it.group(2), cmap, width)
         }.mkString
-      else decodeHexString(m.group(3), cmap)
+      else decodeHexString(m.group(3), cmap, width)
     }.filter(_.nonEmpty).mkString(" ")
 
   private def unescapePdf(s: String): String = {

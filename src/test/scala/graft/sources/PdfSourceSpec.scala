@@ -136,6 +136,125 @@ class PdfSourceSpec extends SparkSpec {
     assert(PdfSource.extractStreams(bos.toByteArray).exists(_.contains("ok")))
   }
 
+  // ---- /Filter chains: LZWDecode, ASCIIHexDecode ----
+
+  /** PDF LZW encoder (test-side twin of PdfSource.lzwDecode): clear
+    * code first, 9→12-bit MSB-first codes, one-early width change. */
+  private def lzwEncode(input: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.Map[Seq[Byte], Int]()
+    for (i <- 0 until 256) dict(Seq(i.toByte)) = i
+    var nextCode = 258
+    var codeLen = 9
+    val out = new ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << codeLen) | code; bitCnt += codeLen
+      while (bitCnt >= 8) { out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8 }
+    }
+    emit(256)
+    var w = Seq.empty[Byte]
+    for (b <- input) {
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        emit(dict(w))
+        dict(wb) = nextCode; nextCode += 1
+        if (nextCode >= (1 << codeLen) && codeLen < 12) codeLen += 1
+        w = Seq(b)
+      }
+    }
+    if (w.nonEmpty) emit(dict(w))
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("lzwDecode: hand-computed 9-bit vector (ABABABA) decodes exactly") {
+    // codes 256,65,66,258,260,257 packed MSB-first — derived by hand,
+    // independent of the test-side encoder
+    val vec = Array(0x80, 0x10, 0x48, 0x50, 0x28, 0x24, 0x04).map(_.toByte)
+    assert(PdfSource.lzwDecode(vec).map(new String(_, "ISO-8859-1")) === Some("ABABABA"))
+  }
+
+  test("lzwDecode: round-trips across the 9->10-bit width change; junk is contained") {
+    // > 253 dictionary adds forces the code width to grow mid-stream
+    val text = (0 until 600).map(i => ((i * 37 + i / 7) % 90 + 33).toChar).mkString
+    val enc = lzwEncode(text.getBytes("ISO-8859-1"))
+    assert(PdfSource.lzwDecode(enc).map(new String(_, "ISO-8859-1")) === Some(text))
+    assert(PdfSource.lzwDecode("not lzw at all ÿþ".getBytes("ISO-8859-1"))
+      .forall(_.length >= 0)) // no throw
+  }
+
+  test("asciiHexDecode: pairs, whitespace, odd-digit pad, > EOD") {
+    def dec(s: String) = PdfSource.asciiHexDecode(s.getBytes("ISO-8859-1"))
+      .map(new String(_, "ISO-8859-1"))
+    assert(dec("48 65 6C 6c6F>ignored") === Some("Hello"))
+    assert(dec("definitely not hex") === None)
+    assert(dec("7>") === Some("p")) // odd digit pads with 0 -> 0x70
+  }
+
+  private def makeFilteredPdf(payload: Array[Byte], filterEntry: String): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + payload.length +
+      " " + filterEntry + " >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(payload)
+    bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("/Filter /LZWDecode streams extract text") {
+    val pdf = makeFilteredPdf(lzwEncode(contentStream.getBytes("ISO-8859-1")),
+      "/Filter /LZWDecode")
+    val texts = PdfSource.extractStreams(pdf)
+    assert(texts.exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("/Filter /ASCIIHexDecode and the [/ASCIIHexDecode /FlateDecode] chain extract text") {
+    val hexed = contentStream.getBytes("ISO-8859-1")
+      .map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val t1 = PdfSource.extractStreams(
+      makeFilteredPdf(hexed.getBytes("ISO-8859-1"), "/Filter /ASCIIHexDecode"))
+    assert(t1.exists(_.contains("Hello (PDF) world")))
+
+    val d = new Deflater()
+    d.setInput(contentStream.getBytes("ISO-8859-1")); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    val chained = out.toByteArray.map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val t2 = PdfSource.extractStreams(makeFilteredPdf(chained.getBytes("ISO-8859-1"),
+      "/Filter [/ASCIIHexDecode /FlateDecode]"))
+    assert(t2.exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("image-codec filters are contained: /DCTDecode stream yields no text") {
+    val pdf = makeFilteredPdf("(not really text) Tj".getBytes("ISO-8859-1"),
+      "/Filter /DCTDecode")
+    assert(PdfSource.extractStreams(pdf).forall(_.trim.isEmpty))
+  }
+
+  test("codespacerange fixes code width when a 2-byte CMap maps only low codes") {
+    // keys <= 0xFF but declared 2-byte codespace: key-width inference
+    // would decode byte-at-a-time and inject the 0x00 glyph everywhere
+    val cmap =
+      """begincodespacerange
+        |<0000> <00FF>
+        |endcodespacerange
+        |3 beginbfchar
+        |<0000> <0058>
+        |<0001> <0041>
+        |<0045> <0042>
+        |endbfchar""".stripMargin
+    val content = "BT <00010045> Tj ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + cmap.length + " >>\nstream\n" + cmap +
+      "\nendstream\nendobj\n2 0 obj\n<< /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val text = PdfSource.extractStreams(pdf).filter(_.trim.nonEmpty).mkString
+    assert(text.contains("AB"))
+    assert(!text.contains("X")) // the 1-byte misread would emit X (0x00) between glyphs
+  }
+
   test("end-to-end: scan directory → per-stream text rows") {
     val dir = Files.createTempDirectory("pdf_src").toFile
     val f = new FileOutputStream(new java.io.File(dir, "doc.pdf"))
