@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.util
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -11,6 +10,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
 
 /** DataSource V2 for the reference's document corpus — the
   * "custom DataSource in a later phase" promised by SURVEY §2 S1/S2:
@@ -19,14 +19,29 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * yields (source, kind, para_idx, text) rows for every `.docx`
   * paragraph and `.pdf` content stream under `dir` (Office lock
-  * files skipped — reference app.py:35-36,144), parsed by the same
+  * files skipped — reference app.py:35-36,144; extension checks are
+  * CASE-SENSITIVE exactly like the reference's `f.endswith('.pdf')`
+  * and [[graft.ops.CorpusOps.uploadSink]]), parsed by the same
   * JDK-only extractors as [[DocxSource]]/[[PdfSource]].
+  *
+  * Options:
+  *  - `recursive` (default true): descend into subdirectories.
+  *  - `maxFileBytes` (default 256 MiB): files above the bound yield
+  *    NO rows instead of buffering an executor into OOM — per-file
+  *    containment, same rule as a corrupt payload.
   *
   * Scale shape: one input partition PER FILE (Spark schedules files
   * across executors; payload bytes are read and parsed executor-side,
-  * never shipped through the driver), and the ScanBuilder implements
-  * column pruning — `select(source)` never materializes paragraph
-  * text (visible as the narrowed ReadSchema in explain output).
+  * never shipped through the driver — the filename filter is applied
+  * at LISTING time on the driver, so rejected files are never even
+  * scheduled). The ScanBuilder implements column pruning —
+  * `select(source)` never materializes paragraph text (visible as the
+  * narrowed ReadSchema in explain output). The session's Hadoop conf
+  * is captured at planning into a [[SerializableConfiguration]] so
+  * executor-side opens see the same filesystem settings (S3/ABFS
+  * credentials, custom schemes) the driver listed with. Listing is a
+  * driver-side RemoteIterator walk — fine for a documents corpus; a
+  * many-million-file lake would move listing into a metadata table.
   */
 class DocCorpusSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -42,6 +57,12 @@ object DocCorpusSource {
     StructField("kind", StringType, nullable = false),
     StructField("para_idx", IntegerType, nullable = false),
     StructField("text", StringType, nullable = false)))
+
+  val DefaultMaxFileBytes: Long = 256L * 1024 * 1024
+
+  /** The reference's exact (case-sensitive) acceptance rule. */
+  private[sources] def accepted(name: String): Boolean =
+    !name.startsWith("~$") && (name.endsWith(".docx") || name.endsWith(".pdf"))
 }
 
 class DocCorpusTable(path: String) extends Table with SupportsRead {
@@ -52,10 +73,12 @@ class DocCorpusTable(path: String) extends Table with SupportsRead {
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new DocCorpusScanBuilder(path)
+    new DocCorpusScanBuilder(path,
+      options.getBoolean("recursive", true),
+      options.getLong("maxFileBytes", DocCorpusSource.DefaultMaxFileBytes))
 }
 
-class DocCorpusScanBuilder(path: String)
+class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
 
   private var required: StructType = DocCorpusSource.Schema
@@ -72,52 +95,71 @@ class DocCorpusScanBuilder(path: String)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath.toString)
-      .filter { f =>
-        val n = f.substring(f.lastIndexOf('/') + 1)
-        !n.startsWith("~$") &&
-          (n.toLowerCase.endsWith(".docx") || n.toLowerCase.endsWith(".pdf"))
-      }
-      .sorted
-      .map(f => DocFilePartition(f): InputPartition)
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(p, recursive)
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (DocCorpusSource.accepted(n)) files += (st.getPath.toString -> st.getLen)
+    }
+    files.sortBy(_._1)
+      .map { case (f, len) => DocFilePartition(f, len): InputPartition }
+      .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new DocReaderFactory(required.fieldNames)
+    // capture the SESSION Hadoop conf for executor-side opens — a
+    // fresh Configuration() there would drop session-configured
+    // filesystem settings and resolve paths differently than the
+    // driver-side listing did
+    new DocReaderFactory(required.fieldNames,
+      new SerializableConfiguration(SparkSession.active.sparkContext.hadoopConfiguration),
+      maxFileBytes)
 }
 
-case class DocFilePartition(file: String) extends InputPartition
+case class DocFilePartition(file: String, length: Long) extends InputPartition
 
-class DocReaderFactory(fieldNames: Array[String]) extends PartitionReaderFactory {
+class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguration,
+                       maxFileBytes: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[DocFilePartition].file
+    val part = partition.asInstanceOf[DocFilePartition]
+    val file = part.file
     new PartitionReader[InternalRow] {
       private lazy val rows: Iterator[InternalRow] = {
-        val p = new Path(file)
-        val fs = p.getFileSystem(new Configuration())
-        val in = fs.open(p)
-        val bytes =
-          try {
-            val out = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](65536)
-            var n = in.read(buf)
-            while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-            out.toByteArray
-          } finally in.close()
-        val name = file.substring(file.lastIndexOf('/') + 1)
-        val isPdf = name.toLowerCase.endsWith(".pdf")
-        val texts =
-          if (isPdf) PdfSource.extractStreams(bytes).filter(_.trim.nonEmpty).map(_.trim)
-          else DocxSource.parseDocx(bytes)
-        val kind = if (isPdf) "pdf" else "docx"
-        texts.iterator.zipWithIndex.map { case (text, idx) =>
-          InternalRow.fromSeq(fieldNames.toSeq.map {
-            case "source" => UTF8String.fromString(name)
-            case "kind" => UTF8String.fromString(kind)
-            case "para_idx" => idx
-            case "text" => UTF8String.fromString(text)
-          })
+        // bounded-buffer rule: an over-limit file yields zero rows
+        // (checked against the listed length AND re-checked while
+        // streaming, in case the file grew after listing)
+        if (part.length > maxFileBytes) Iterator.empty
+        else {
+          val p = new Path(file)
+          val fs = p.getFileSystem(conf.value)
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val out = new java.io.ByteArrayOutputStream()
+              val buf = new Array[Byte](65536)
+              var total = 0L
+              var n = in.read(buf)
+              while (n >= 0 && total <= maxFileBytes) {
+                out.write(buf, 0, n); total += n; n = in.read(buf)
+              }
+              if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
+            } finally in.close()
+          val name = file.substring(file.lastIndexOf('/') + 1)
+          val isPdf = name.endsWith(".pdf")
+          val texts =
+            if (bytes.isEmpty) Seq.empty
+            else if (isPdf) PdfSource.extractStreams(bytes).filter(_.trim.nonEmpty).map(_.trim)
+            else DocxSource.parseDocx(bytes)
+          val kind = if (isPdf) "pdf" else "docx"
+          texts.iterator.zipWithIndex.map { case (text, idx) =>
+            InternalRow.fromSeq(fieldNames.toSeq.map {
+              case "source" => UTF8String.fromString(name)
+              case "kind" => UTF8String.fromString(kind)
+              case "para_idx" => idx
+              case "text" => UTF8String.fromString(text)
+            })
+          }
         }
       }
       private var current: InternalRow = _

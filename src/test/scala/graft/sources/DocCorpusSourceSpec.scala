@@ -61,4 +61,54 @@ class DocCorpusSourceSpec extends SparkSpec {
     assert(plan.contains("source") && !plan.contains("text"))
     assert(df.distinct().collect().length === 2)
   }
+
+  test("recursive listing descends into subdirectories; recursive=false stays flat") {
+    val dir = Files.createTempDirectory("doc_corpus_nested").toFile
+    val sub = new java.io.File(dir, "2026/q1"); sub.mkdirs()
+    def write(parent: java.io.File, name: String, bytes: Array[Byte]): Unit = {
+      val f = new FileOutputStream(new java.io.File(parent, name)); f.write(bytes); f.close()
+    }
+    write(dir, "top.docx", makeDocx(Seq("top para")))
+    write(sub, "deep.docx", makeDocx(Seq("deep para")))
+    val all = spark.read.format("graft.sources.DocCorpusSource")
+      .load(dir.getAbsolutePath)
+    assert(all.select("source").collect().map(_.getString(0)).toSet
+      === Set("top.docx", "deep.docx"))
+    val flat = spark.read.format("graft.sources.DocCorpusSource")
+      .option("recursive", "false").load(dir.getAbsolutePath)
+    assert(flat.select("source").collect().map(_.getString(0)).toSet === Set("top.docx"))
+  }
+
+  test("large files parse through the chunked read; over-limit files are contained") {
+    val dir = Files.createTempDirectory("doc_corpus_big").toFile
+    // incompressible (LCG-generated) payload so the FILE on disk is
+    // > 64 KB and the read crosses several 64 KB chunks
+    var seed = 12345L
+    val bigText = Array.fill(200000) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      ('a' + ((seed >>> 33) % 26)).toChar
+    }.mkString
+    val big = makeDocx(Seq(bigText, "tail para"))
+    assert(big.length > 65536) // the stored docx itself exceeds one read chunk
+    val f = new FileOutputStream(new java.io.File(dir, "big.docx")); f.write(big); f.close()
+    val df = spark.read.format("graft.sources.DocCorpusSource").load(dir.getAbsolutePath)
+    val texts = df.select("text").collect().map(_.getString(0))
+    assert(texts.exists(_.length === 200000) && texts.contains("tail para"))
+    // an over-limit file yields zero rows, not an executor OOM/throw
+    val bounded = spark.read.format("graft.sources.DocCorpusSource")
+      .option("maxFileBytes", "128").load(dir.getAbsolutePath)
+    assert(bounded.collect().isEmpty)
+  }
+
+  test("extension checks are case-sensitive, matching the reference and uploadSink") {
+    val dir = Files.createTempDirectory("doc_corpus_case").toFile
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val f = new FileOutputStream(new java.io.File(dir, name)); f.write(bytes); f.close()
+    }
+    write("ok.pdf", makePdf("BT (lower) Tj ET"))
+    write("SHOUT.PDF", makePdf("BT (upper) Tj ET")) // rejected: .PDF != .pdf
+    val names = spark.read.format("graft.sources.DocCorpusSource")
+      .load(dir.getAbsolutePath).select("source").collect().map(_.getString(0)).toSet
+    assert(names === Set("ok.pdf"))
+  }
 }

@@ -132,6 +132,51 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedIngest with TTL: state stays bounded across duplicate-heavy batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    // ProcessingTimeTimeout makes the engine request a follow-up batch
+    // after EVERY batch (processing time always advances), so
+    // processAllAvailable never sees quiescence — the TTL path must be
+    // driven by a timed trigger and observed by polling
+    val q = dedupedIngest(input.toDS(), ttl = Some("1 second")).writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
+      .format("memory").queryName("dedup_ttl_out").outputMode("append").start()
+    def eventually(what: String, deadlineMs: Long = 20000)(cond: => Boolean): Unit = {
+      val end = System.currentTimeMillis() + deadlineMs
+      while (!cond) {
+        assert(System.currentTimeMillis() < end, s"timed out waiting for: $what")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      def stateRows: Long =
+        Option(q.lastProgress).toSeq.flatMap(_.stateOperators.map(_.numRowsTotal)).sum
+      def emitted: Long = spark.table("dedup_ttl_out").count()
+      val texts = (0 until 10).map(i => s"text $i")
+      input.addData(texts.zipWithIndex.map { case (t, i) => Doc(i.toLong, "s", t) }: _*)
+      eventually("first batch emits 10 uniques")(emitted === 10L)
+      // duplicate-heavy batches: every row repeats one of the same 10
+      // hashes — state must track DISTINCT hashes, not batches seen
+      // (each duplicate also exercises the timeout RE-ARM path)
+      for (b <- 1 to 3) {
+        val before = Option(q.lastProgress).map(_.batchId).getOrElse(-1L)
+        input.addData(texts.zipWithIndex.map { case (t, i) =>
+          Doc((100 * b + i).toLong, "s", t)
+        }: _*)
+        eventually(s"dup batch $b processed")(
+          Option(q.lastProgress).exists(_.batchId > before + 1))
+        assert(emitted === 10L, s"batch $b: a duplicate leaked through")
+        assert(stateRows <= 10, s"batch $b: state grew past the distinct-hash bound")
+      }
+      // expiry: once the TTL passes, a later batch's timeout sweep
+      // removes the old keys — state does not accumulate forever
+      input.addData(Doc(999L, "s", "fresh text"))
+      eventually("fresh doc emitted")(emitted === 11L)
+      eventually("expired hash keys removed from the state store")(stateRows <= 1)
+    } finally q.stop()
+  }
+
   test("dedupedIngest emits first occurrence per content hash only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Doc]
