@@ -55,6 +55,16 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("content_hash"))
     }),
 
+    // §3.1 startup-ingest lineage as ONE composition: filter →
+    // hash-state anti-join → token-window segmentation → paragraph
+    // dedup → per-paragraph embed (same state convention as
+    // incremental_antijoin: even doc_ids are "already ingested")
+    "ingest_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val state = CorpusOps.contentHash(docs.filter(col("doc_id") % 2 === 0))
+      CorpusOps.ingestPipeline(docs, state)
+    }),
+
     // ---- P1/P2: vector search + embedding (SURVEY.md §2.9, §3.2) ----
     "knn_search" -> ((s, dir) => knnQuery(s, dir)),
     "mean_pool" -> ((s, dir) => VectorOps.meanPoolByLabel(Tables.embeddings(s, dir))),
@@ -201,6 +211,7 @@ object SparkEntry {
         .withColumn("hour_start", unix_timestamp(col("hour_start")))),
     "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir))),
+    "approx_stats_check" -> ((s, dir) => RelationalOps.approxStatsCheck(Tables.events(s, dir))),
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
     "set_except" -> ((s, dir) =>
       RelationalOps.exceptDocs(Tables.documents(s, dir), keepBelow = 300, dropBelow = 100)),
@@ -527,6 +538,48 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM scored)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // one CTE per pipeline stage, mirroring CorpusOps.ingestPipeline
+    "ingest_pipeline" ->
+      s"""WITH flt AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE NOT starts_with(source, '~$$')
+         |    AND (NOT contains(source, '.')
+         |         OR regexp_matches(lower(source), '\\.(pdf|docx)$$'))),
+         |chg AS (
+         |  SELECT d.doc_id, d.text FROM flt d
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM documents s
+         |    WHERE s.doc_id % 2 = 0 AND sha256(s.text) = sha256(d.text))),
+         |toks AS (
+         |  SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i]) AS tok
+         |  FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 512) AS parts
+         |        FROM chg) d,
+         |       unnest(range(1, len(parts)+1)) u(i)
+         |  WHERE trim(parts[u.i]) <> ''),
+         |paras AS (
+         |  SELECT doc_id, CAST(pos // 8 AS BIGINT) AS para_idx,
+         |         string_agg(tok, ' ' ORDER BY pos) AS para
+         |  FROM toks GROUP BY 1, 2),
+         |firsts AS (
+         |  SELECT doc_id, para_idx, para FROM (
+         |    SELECT doc_id, para_idx, para,
+         |      row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn
+         |    FROM paras) WHERE rn = 1),
+         |ptoks AS (
+         |  SELECT doc_id * 1000 + para_idx AS pkey, trim(parts[u.i]) AS tok
+         |  FROM (SELECT doc_id, para_idx,
+         |          list_slice(string_split(para, ' '), 1, 512) AS parts
+         |        FROM firsts) p,
+         |       unnest(range(1, len(parts)+1)) u(i)
+         |  WHERE trim(parts[u.i]) <> ''),
+         |hashed AS (SELECT pkey, ${duckHash24("tok")} % 64 AS dim FROM ptoks),
+         |tf AS (SELECT pkey, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT pkey, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
+         |SELECT CAST(t.pkey // 1000 AS BIGINT) AS doc_id,
+         |       CAST(t.pkey % 1000 AS BIGINT) AS para_idx,
+         |       t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |FROM tf t JOIN nrm n USING (pkey)""".stripMargin,
     "scan_documents" ->
       "SELECT doc_id, source, lang, n_chars FROM documents",
     "filter_sources" ->
@@ -566,12 +619,12 @@ object SparkEntry {
          |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |      FROM tf t JOIN nrm n USING (doc_id))
          |SELECT c.a_id, c.b_id,
-         |       round(sum(a.weight * b.weight), 6) + 0 AS cos_sim
+         |       round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0 AS cos_sim
          |FROM cand c
          |JOIN w a ON a.doc_id = c.a_id
          |JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
          |GROUP BY 1, 2
-         |HAVING round(sum(a.weight * b.weight), 6) + 0 >= 0.9""".stripMargin,
+         |HAVING round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0 >= 0.9""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000
@@ -705,7 +758,7 @@ object SparkEntry {
          |qw AS (SELECT dim, round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM qtf), 6) + 0 AS qw
          |       FROM qtf),
          |scored AS (
-         |  SELECT w.doc_id, round(sum(w.weight * qw.qw), 6) + 0 AS score
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
          |  FROM w JOIN qw USING (dim) GROUP BY 1)
          |SELECT rank, doc_id, source, score FROM (
          |  SELECT s.doc_id, s.score, d.source,
@@ -728,7 +781,8 @@ object SparkEntry {
          |  SELECT tf.doc_id,
          |    round(sum(ln((nd.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1)
          |      * (tf.tf * 2.2)
-         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))), 6) + 0
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))
+         |      ORDER BY tf.tok), 6) + 0
          |      AS score
          |  FROM tf JOIN dfc USING (tok) JOIN lens USING (doc_id), nd, stats
          |  GROUP BY 1)
@@ -850,6 +904,12 @@ object SparkEntry {
         |  round(min(value), 6) + 0 AS min_value,
         |  round(max(value), 6) + 0 AS max_value,
         |  round(avg(value), 6) + 0 AS avg_value
+        |FROM events GROUP BY 1""".stripMargin,
+    // the sketches' tolerance booleans are pinned true: a drifting
+    // HLL/quantile sketch breaks the hash gate
+    "approx_stats_check" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+        |       true AS approx_distinct_ok, true AS approx_p50_ok
         |FROM events GROUP BY 1""".stripMargin,
     "events_percentiles" ->
       """SELECT event_type, CAST(u.i - 1 AS BIGINT) AS qi,

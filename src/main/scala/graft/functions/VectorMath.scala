@@ -71,6 +71,23 @@ object VectorMath {
     * value hashing can't diverge on sign-of-zero. */
   def roundn(c: Column, n: Int): Column = round(c, n) + lit(0.0)
 
+  /** Order-deterministic grouped float sum: `value` accumulated
+    * SEQUENTIALLY in ascending `key` order. A plain `sum()` merges
+    * partition partials in a run-dependent order, and a float sum's
+    * low bits depend on that order — on values sitting near a
+    * 6-decimal rounding boundary the rounded result then flips
+    * between runs (observed on sparse-cosine scores at sf0.1). The
+    * DuckDB twin `sum(value ORDER BY key)` folds in the identical
+    * order, so both engines produce bit-equal sums every run. Cost:
+    * one collect_list per group — use only where the per-group term
+    * count is bounded (sparse-vector dims, query terms), never on
+    * data-sized groups. */
+  def orderedSum(key: Column, value: Column): Column =
+    aggregate(
+      transform(array_sort(collect_list(struct(key.as("k"), value.as("p")))),
+        x => x.getField("p")),
+      lit(0.0), (s, x) => s + x)
+
   /** L2-normalize an Array[Double] column (zero vector stays zero). */
   def l2Normalize(v: Column): Column = {
     val n = norm(v)

@@ -130,4 +130,54 @@ object CorpusOps {
     * a filter + union because identity is columnar). */
   def upsertSource(corpus: DataFrame, source: String, replacement: DataFrame): DataFrame =
     corpus.filter(col("source") =!= source).unionByName(replacement)
+
+  /** P1 variant — fixed-token-window segmentation: `window`-token
+    * chunks as (doc_id, para_idx, para). The reference segments on
+    * newlines (app.py:24); delimiter-free text (and every RAG chunker
+    * at scale) falls back to fixed token windows. One explode + one
+    * keyed agg; chunk membership derives from the token position, so
+    * the op is deterministic and oracle-replicable (DuckDB:
+    * string_agg ORDER BY pos). */
+  def chunkParagraphs(docs: DataFrame, window: Int = 8, maxTokens: Int = 512): DataFrame =
+    EmbedOps.tokenize(docs, maxTokens)
+      .withColumn("para_idx", expr(s"CAST(pos AS BIGINT) DIV $window"))
+      .groupBy(col("doc_id"), col("para_idx"))
+      // order inside the chunk is restored from pos via array_sort on
+      // (pos, tok) structs — collect_list alone is shuffle-ordered
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")),
+        " ").as("para"))
+
+  /** §3.1 — the reference's FULL startup ingest as one declared
+    * lineage (app_callapi.py:165-174 → 135-154): filter sources →
+    * anti-join the known-hash state (only changed docs proceed) →
+    * segment into token-window paragraphs → first-occurrence
+    * paragraph dedup (app.py:98-99, BEFORE the expensive embed, per
+    * the reference's own ordering) → hashed-TF embed per surviving
+    * paragraph. Output: (doc_id, para_idx, dim, weight).
+    *
+    * Composition only — every stage is a declared operator above /
+    * [[EmbedOps.embedSparse]]. The paragraph key is packed into a
+    * surrogate (doc_id·1000 + para_idx) for the doc-keyed embedder
+    * and unpacked at the end (para_idx < 1000 by construction:
+    * maxTokens/window ≤ 512). */
+  def ingestPipeline(docs: DataFrame, state: DataFrame, window: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val changed = incrementalAntiJoin(filterSources(docs), state)
+    val paras = chunkParagraphs(changed, window)
+    val firsts = paras
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_idx"))))
+      .filter(col("rn") === 1)
+    val keyed = firsts.select(
+      (col("doc_id") * 1000 + col("para_idx")).as("doc_id"),
+      col("para").as("text"))
+    EmbedOps.embedSparse(keyed, dim)
+      .withColumnRenamed("doc_id", "pkey")
+      .select(
+        expr("pkey DIV 1000").as("doc_id"),
+        (col("pkey") % 1000).as("para_idx"),
+        col("dim"), col("weight"))
+  }
 }

@@ -233,7 +233,10 @@ object DedupOps {
       .join(w.select(col("doc_id").as("b_id"), col("dim"), col("weight").as("wb")),
         Seq("b_id", "dim"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(roundn(sum(col("wa") * col("wb")), 6).as("cos_sim"))
+      // dim-ordered sequential fold, not sum(): partial-merge order
+      // varies run to run and flips boundary values at 6 decimals
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("dim"), col("wa") * col("wb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 
@@ -266,7 +269,8 @@ object DedupOps {
     a.join(b, Seq("dim"))
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(roundn(sum(col("wa") * col("wb")), 6).as("cos_sim"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("dim"), col("wa") * col("wb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

@@ -134,6 +134,45 @@ object RelationalOps {
         col("qi").cast("long").as("qi"),
         roundn(col("v"), 6).as("quantile_value"))
 
+  /** Approximate-statistics tier — the 100 TB form of
+    * [[valuePercentiles]]/[[distinctUsers]] made TESTABLE: HLL++
+    * (`approx_count_distinct`, rsd 1%) and the quantile sketch
+    * (`approx_percentile`, accuracy 10000) run next to their exact
+    * twins in the same keyed aggregation, and the query emits
+    * WITHIN-TOLERANCE booleans instead of raw sketch values. The
+    * oracle pins the booleans to true (plus the exact counts), so a
+    * sketch drifting past tolerance fails the hash gate — the
+    * approximate tier itself is verified, not just described. At
+    * scale the exact columns drop away and the sketches stay: both
+    * are one pass, no per-group value buffering (exact percentile
+    * buffers values per group — the thing that OOMs at 100 TB). */
+  def approxStatsCheck(events: DataFrame): DataFrame = {
+    // two aggregations, not one: countDistinct plans through Expand
+    // and the percentile pair through ObjectHashAggregate — fused
+    // they force a slow sort-based object agg over the expanded rows
+    // (measured 7 s -> sub-second split). The join key is the 5-row
+    // group set.
+    val counts = events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_distinct"),
+        approx_count_distinct(col("user_id"), rsd = 0.01).as("ad"))
+    val pcts = events
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+        (max(col("value")) - min(col("value"))).as("spread"))
+    counts.join(pcts, "event_type")
+      .select(
+        col("event_type"),
+        col("exact_distinct"),
+        (abs(col("ad") - col("exact_distinct"))
+          <= greatest(col("exact_distinct") * lit(0.1), lit(1.0))).as("approx_distinct_ok"),
+        (abs(col("p50") - col("ap50"))
+          <= greatest(col("spread") * lit(0.05), lit(1e-6))).as("approx_p50_ok"))
+  }
+
   /** Scalar-function breadth: JSON field extraction from events.props
     * (SURVEY.md §2.8 — `get_json_object` class). Implemented with
     * regexp_extract so the oracle needs no JSON extension; props shape

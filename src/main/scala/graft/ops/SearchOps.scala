@@ -30,7 +30,10 @@ object SearchOps {
     val scored = corpusW
       .join(broadcast(queryW), "dim")
       .groupBy(col("doc_id"))
-      .agg(roundn(sum(col("weight") * col("qw")), 6).as("score"))
+      // dim-ordered sequential fold — run-stable float sum (see
+      // VectorMath.orderedSum)
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("dim"), col("weight") * col("qw")), 6).as("score"))
     // orderBy.limit FIRST (plans as TakeOrderedAndProject — per-
     // partition top-k, no global single-reducer sort); the window
     // then ranks only the k survivors (constant partition key: the
@@ -80,7 +83,9 @@ object SearchOps {
         col("idf") * (col("tf") * (k1 + 1)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_d") / col("avg_len"))))
       .groupBy(col("doc_id"))
-      .agg(roundn(sum(col("contrib")), 6).as("score"))
+      // term-ordered sequential fold — run-stable float sum
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("tok"), col("contrib")), 6).as("score"))
     val top = scored
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .orderBy(col("score").desc, col("doc_id"))
