@@ -148,6 +148,8 @@ object SparkEntry {
       TextOps.redactPii(withPii)
     }),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    "repetition_score" -> ((s, dir) => TextOps.repetitionScore(Tables.documents(s, dir))),
+    "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
@@ -488,6 +490,20 @@ object SparkEntry {
         |    AS n_bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_measured
         |FROM documents""".stripMargin,
+    "repetition_score" ->
+      s"""WITH $duckToks,
+         |$duckShingles
+         |SELECT doc_id, count(*) AS n_shingles,
+         |       count(DISTINCT shingle) AS n_distinct_shingles,
+         |       round(1.0 - count(DISTINCT shingle) / count(*), 6) + 0 AS rep_ratio
+         |FROM shp GROUP BY 1""".stripMargin,
+    "corpus_split" ->
+      s"""WITH b AS (SELECT doc_id, ${duckHash24("text")} % 100 AS bucket
+         |           FROM documents)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 5 THEN 'test'
+         |       WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+         |FROM b""".stripMargin,
     "quality_score" ->
       s"""WITH $duckToks,
          |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,

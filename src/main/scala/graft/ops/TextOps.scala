@@ -108,6 +108,42 @@ object TextOps {
     * pass per signal, joined on doc_id (each side is one keyed agg of
     * the same tokenize scan; Catalyst reuses the scan), then a plain
     * conjunctive filter that pushes nothing to the driver. */
+  /** Repeated-n-gram ratio — the Gopher/C4-style repetition gate:
+    * heavily templated or looping text shows a high fraction of
+    * DUPLICATE word n-grams. rep_ratio = 1 − distinct/total over the
+    * doc's 3-shingles ([[DedupOps.wordShingles]] — same explode the
+    * dedup pipeline already runs, so at scale the two stages share
+    * one scan). Docs with < w tokens have no shingles and drop out
+    * (nothing to judge). One keyed agg; integer ratio arithmetic, so
+    * the rounded value is engine-exact. */
+  def repetitionScore(docs: DataFrame, w: Int = 3): DataFrame =
+    DedupOps.wordShingles(docs, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        countDistinct(col("shingle")).as("n_distinct_shingles"))
+      .select(
+        col("doc_id"), col("n_shingles"), col("n_distinct_shingles"),
+        roundn(lit(1.0) - col("n_distinct_shingles") / col("n_shingles"), 6)
+          .as("rep_ratio"))
+
+  /** Deterministic train/val/test corpus split — assignment is a pure
+    * function of the CONTENT (portable sha-derived bucket of the
+    * text), not of row order or an RNG: re-runs, reshuffles, and
+    * incremental appends all land a document in the same split, and
+    * exact duplicates land together (never train/test leakage from a
+    * dup straddling the boundary). Map-only; fractions hold in
+    * expectation via the uniform bucket. */
+  def hashSplit(docs: DataFrame, testPct: Int = 5, valPct: Int = 5): DataFrame =
+    docs
+      .withColumn("bucket", graft.functions.PortableHash.bucket(col("text"), 100))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train").as("split"))
+
   def curatedCorpus(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
                     minTokens: Long = 5, maxTokens: Long = 100000): DataFrame =
     qualityScore(docs)

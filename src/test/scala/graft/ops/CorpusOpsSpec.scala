@@ -89,4 +89,40 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_docs") === 5L)
     assert(r.getAs[Long]("total_chars") === 55L)
   }
+
+  test("chunkParagraphs groups tokens into ordered fixed windows") {
+    val docs = Seq((0L, "a b c d e f g", "en", "s", 13L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val paras = CorpusOps.chunkParagraphs(docs, window = 3)
+      .orderBy("para_idx").collect()
+      .map(r => r.getAs[Long]("para_idx") -> r.getAs[String]("para"))
+    assert(paras.toSeq === Seq(0L -> "a b c", 1L -> "d e f", 2L -> "g"))
+  }
+
+  test("chunkParagraphs restores in-chunk token order regardless of shuffle") {
+    val text = (0 until 64).map(i => s"t$i").mkString(" ")
+    val docs = Seq((0L, text, "en", "s", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(8)
+    val paras = CorpusOps.chunkParagraphs(docs, window = 8).collect()
+      .map(r => r.getAs[Long]("para_idx") -> r.getAs[String]("para")).toMap
+    assert(paras(0L) === (0 until 8).map(i => s"t$i").mkString(" "))
+    assert(paras(7L) === (56 until 64).map(i => s"t$i").mkString(" "))
+  }
+
+  test("ingestPipeline: changed docs only, dedup before embed, unit-norm output") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L), // in state → skipped
+      (1L, "epsilon zeta eta theta", "en", "s1", 22L), // new → embedded
+      (2L, "epsilon zeta eta theta", "en", "s2", 22L), // dup of 1 → deduped
+      (3L, "", "en", "s3", 0L) // empty → no tokens, no rows
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val state = CorpusOps.contentHash(docs.filter($"doc_id" === 0))
+    val out = CorpusOps.ingestPipeline(docs, state, window = 8)
+    val byDoc = out.collect().groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet === Set(1L)) // 0 unchanged, 2 deduped, 3 empty
+    assert(byDoc(1L).forall(_.getAs[Long]("para_idx") === 0L))
+    // L2 norm of the paragraph's weights = 1 (4 distinct tokens)
+    val norm = math.sqrt(byDoc(1L).map(r => math.pow(r.getAs[Double]("weight"), 2)).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+  }
 }

@@ -53,4 +53,17 @@ class KMeansSpec extends SparkSpec {
       centroids = Some(VectorOps.kmeansCells(emb, 4, 2))).collect()
     assert(r.map(_.getAs[Long]("vec_id")).toSet === Set(3L, 4L))
   }
+
+  test("sqrtCells derives k = ceil(sqrt(N)) from the data and is deterministic") {
+    // N=6 → k=3: seeds vec_id 0..2 (all cluster A); Lloyd may keep
+    // cells in A, but the OUTPUT CONTRACT is what matters — at most
+    // k distinct cells of (c_label, dim, cv), same result every call
+    val c1 = VectorOps.sqrtCells(emb, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val c2 = VectorOps.sqrtCells(emb, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(c1 === c2)
+    assert(c1.map(_._1).size <= 3) // ceil(sqrt(6)) = 3 cells max
+    assert(c1.map(_._2) === Set(0L, 1L)) // both dims present
+  }
 }

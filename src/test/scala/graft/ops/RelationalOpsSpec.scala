@@ -95,4 +95,18 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out(0).getAs[Double]("view_value") === 0.7)
     assert(out(1).isNullAt(out(1).fieldIndex("view_event_id")))
   }
+
+  test("approxStatsCheck: exact counts with in-tolerance sketches") {
+    val ev = (0 until 2000).map { i =>
+      (i.toLong, i.toLong, (i % 137).toLong, if (i % 2 == 0) "view" else "click",
+        (i % 97).toDouble, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = RelationalOps.approxStatsCheck(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(rows.keySet === Set("view", "click"))
+    // 137 distinct user_ids split across both types; every id hits both
+    assert(rows("view").getAs[Long]("exact_distinct") === 137L)
+    assert(rows.values.forall(_.getAs[Boolean]("approx_distinct_ok")))
+    assert(rows.values.forall(_.getAs[Boolean]("approx_p50_ok")))
+  }
 }

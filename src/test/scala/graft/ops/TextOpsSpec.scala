@@ -54,6 +54,38 @@ class TextOpsSpec extends SparkSpec {
     assert(!redacted.contains("@") && !redacted.contains("555"))
   }
 
+  test("repetitionScore: looping text scores high, varied text zero, short text absent") {
+    val docs = Seq(
+      (0L, "spam spam spam spam spam spam spam spam"), // one distinct 3-gram
+      (1L, "one two three four five six seven eight"), // all distinct
+      (2L, "too short") // < 3 tokens → no shingles → no row
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("rep_ratio")).toMap
+    assert(r.keySet === Set(0L, 1L))
+    assert(r(0L) > 0.8) // 6 shingles, 1 distinct → 1 - 1/6
+    assert(r(1L) === 0.0)
+  }
+
+  test("hashSplit: content-keyed, duplicate-safe, order-independent") {
+    val docs = (0 until 400).map(i => (i.toLong, s"document number ${i % 200}"))
+      .toDF("doc_id", "text") // each text appears exactly twice
+    val s1 = TextOps.hashSplit(docs)
+    val rows = s1.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    // duplicates (i and i+200 share text) always land in the SAME split
+    assert((0 until 200).forall(i => rows(i.toLong) === rows((i + 200).toLong)))
+    // all three splits materialize and train dominates
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+    // reshuffled input → identical assignment (pure function of content)
+    val s2 = TextOps.hashSplit(docs.repartition(13)).collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[String]("split"))).toMap
+    assert(s2 === rows)
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok
