@@ -14,9 +14,10 @@ import scala.collection.mutable.ArrayBuffer
   *  containing the literal bytes `endstream` do not truncate, with a
   *  keyword-scan fallback when `/Length` is absent or inconsistent;
   *  `/Filter`-chain decoding — FlateDecode (java.util.zip.Inflater),
-  *  LZWDecode (ISO 32000 §7.4.4, 9→12-bit codes, early change) and
-  *  ASCIIHexDecode, applied in declared order including array chains
-  *  like `[/ASCIIHexDecode /FlateDecode]`; text from the standard
+  *  LZWDecode (ISO 32000 §7.4.4, 9→12-bit codes, early change),
+  *  ASCIIHexDecode, ASCII85Decode and RunLengthDecode, applied in
+  *  declared order including array chains like
+  *  `[/ASCIIHexDecode /FlateDecode]`; text from the standard
   *  text-showing operators `(…) Tj` / `[(…)…] TJ` with PDF
   *  string-escape handling; and CID/Type0 composite fonts via the
   *  embedded ToUnicode CMap — `<hex> Tj` / hex items in `TJ` arrays
@@ -102,10 +103,12 @@ object PdfSource {
     else
       filters.foldLeft(Option(data)) { (acc, f) =>
         acc.flatMap(d => f match {
-          case "FlateDecode" | "Fl"     => tryInflate(d)
-          case "LZWDecode" | "LZW"      => lzwDecode(d)
-          case "ASCIIHexDecode" | "AHx" => asciiHexDecode(d)
-          case _                        => None
+          case "FlateDecode" | "Fl"      => tryInflate(d)
+          case "LZWDecode" | "LZW"       => lzwDecode(d)
+          case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
+          case "ASCII85Decode" | "A85"   => ascii85Decode(d)
+          case "RunLengthDecode" | "RL"  => runLengthDecode(d)
+          case _                         => None
         })
       }.getOrElse(Array.emptyByteArray)
   }
@@ -157,6 +160,68 @@ object PdfSource {
               if (dict.length + 1 >= (1 << codeLen) && codeLen < 12) codeLen += 1
           }
         }
+        i += 1
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** PDF ASCII85Decode: 5 chars in ['!','u'] → 4 bytes (base-85 big-
+    * endian), `z` = four zero bytes at a group boundary, whitespace
+    * skipped, `~` starts the EOD marker; a trailing partial group of
+    * n chars pads with 'u' and keeps n−1 bytes. */
+  private[sources] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val s = new String(data, "ISO-8859-1")
+      val out = new java.io.ByteArrayOutputStream()
+      val group = new Array[Int](5)
+      var n = 0
+      var i = 0
+      var done = false
+      def writeGroup(v: Long, nBytes: Int): Unit = {
+        val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+        out.write(bytes, 0, nBytes)
+      }
+      while (i < s.length && !done) {
+        val c = s.charAt(i)
+        if (c == '~') done = true
+        else if (c.isWhitespace) ()
+        else if (c == 'z' && n == 0) writeGroup(0L, 4)
+        else if (c >= '!' && c <= 'u') {
+          group(n) = c - '!'; n += 1
+          if (n == 5) {
+            var v = 0L
+            for (j <- 0 until 5) v = v * 85 + group(j)
+            writeGroup(v, 4)
+            n = 0
+          }
+        } else throw new IllegalArgumentException(s"bad ascii85 char '$c'")
+        i += 1
+      }
+      if (n == 1) throw new IllegalArgumentException("dangling ascii85 char")
+      if (n > 1) {
+        val k = n
+        for (j <- k until 5) group(j) = 84 // pad with 'u'
+        var v = 0L
+        for (j <- 0 until 5) v = v * 85 + group(j)
+        writeGroup(v, k - 1)
+      }
+      Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  /** PDF RunLengthDecode: length byte l — 0..127 copies the next l+1
+    * bytes literally, 129..255 repeats the next byte 257−l times,
+    * 128 is EOD. */
+  private[sources] def runLengthDecode(data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 0
+      var done = false
+      while (i < data.length && !done) {
+        val l = data(i) & 0xff
+        if (l == 128) done = true
+        else if (l < 128) { out.write(data, i + 1, l + 1); i += l + 1 }
+        else { val b = data(i + 1); for (_ <- 0 until 257 - l) out.write(b); i += 1 }
         i += 1
       }
       Some(out.toByteArray)

@@ -228,6 +228,53 @@ class PdfSourceSpec extends SparkSpec {
     assert(t2.exists(_.contains("Hello (PDF) world")))
   }
 
+  test("ascii85Decode: 'Man ' anchor, z shortcut, partial group, EOD") {
+    def dec(s: String) = PdfSource.ascii85Decode(s.getBytes("ISO-8859-1"))
+    // hand-verified base-85: value('9jqo^') = 0x4D616E20 = "Man "
+    assert(dec("9jqo^~>").map(new String(_, "ISO-8859-1")) === Some("Man "))
+    assert(dec("z~>").map(_.toSeq) === Some(Seq[Byte](0, 0, 0, 0)))
+    assert(dec("9jn~>").map(new String(_, "ISO-8859-1")) === Some("Ma")) // 3 chars -> 2 bytes
+    assert(dec("9jqo^~>ignored after eod").map(_.toSeq)
+      === dec("9jqo^~>").map(_.toSeq)) // '~' terminates
+    assert(dec("ÿÿ") === None) // out-of-alphabet contained
+  }
+
+  test("runLengthDecode: literal runs, repeats, EOD") {
+    val fixture = Array[Byte](2, 'a', 'b', 'c', (257 - 3).toByte, 'x', Byte.MinValue /*128=EOD*/,
+      'Z' /*past EOD, ignored*/)
+    assert(PdfSource.runLengthDecode(fixture).map(new String(_, "ISO-8859-1"))
+      === Some("abcxxx"))
+  }
+
+  test("/Filter /ASCII85Decode and /RunLengthDecode streams extract text") {
+    // test-side ASCII85 encoder (4 bytes -> 5 chars, partial -> n+1)
+    def a85Encode(input: Array[Byte]): String = {
+      val sb = new StringBuilder
+      for (g <- input.grouped(4)) {
+        val padded = g.padTo(4, 0.toByte)
+        var v = 0L
+        for (b <- padded) v = (v << 8) | (b & 0xffL)
+        val digits = new Array[Char](5)
+        for (j <- 4 to 0 by -1) { digits(j) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+        sb.appendAll(digits, 0, if (g.length == 4) 5 else g.length + 1)
+      }
+      sb.append("~>").toString
+    }
+    val t1 = PdfSource.extractStreams(makeFilteredPdf(
+      a85Encode(contentStream.getBytes("ISO-8859-1")).getBytes("ISO-8859-1"),
+      "/Filter /ASCII85Decode"))
+    assert(t1.exists(_.contains("Hello (PDF) world")))
+
+    // RunLength: all-literal encoding in 127-byte runs
+    val content = contentStream.getBytes("ISO-8859-1")
+    val rl = new ByteArrayOutputStream()
+    for (g <- content.grouped(127)) { rl.write(g.length - 1); rl.write(g) }
+    rl.write(128)
+    val t2 = PdfSource.extractStreams(
+      makeFilteredPdf(rl.toByteArray, "/Filter /RunLengthDecode"))
+    assert(t2.exists(_.contains("Hello (PDF) world")))
+  }
+
   test("image-codec filters are contained: /DCTDecode stream yields no text") {
     val pdf = makeFilteredPdf("(not really text) Tj".getBytes("ISO-8859-1"),
       "/Filter /DCTDecode")
