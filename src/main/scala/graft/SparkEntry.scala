@@ -206,6 +206,14 @@ object SparkEntry {
       RelationalOps.saltedRevenueByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
+    "revenue_by_region" -> ((s, dir) =>
+      RelationalOps.revenueByRegion(Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
+    "events_pivot" -> ((s, dir) => RelationalOps.eventTypePivot(Tables.events(s, dir))),
+    "dedup_edit_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.editDistanceVerify(docs, DedupOps.minhashCandidates(docs))
+    }),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
@@ -884,6 +892,36 @@ object SparkEntry {
     "semi_join_parts" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part p
         |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)""".stripMargin,
+    "revenue_by_region" ->
+      """SELECT r.r_name,
+        |  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2) + 0 AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY 1""".stripMargin,
+    // count(*) FILTER keeps every pivot column BIGINT (sum(CASE...)
+    // widens to HUGEINT in DuckDB and breaks the schema compare)
+    "events_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view
+        |FROM events GROUP BY 1""".stripMargin,
+    "dedup_edit_distance" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand
+         |SELECT c.a_id, c.b_id,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+         |  round(1.0 - levenshtein(da.text, db.text)
+         |        / greatest(length(da.text), length(db.text)), 6) + 0 AS edit_sim
+         |FROM cand c
+         |JOIN documents da ON da.doc_id = c.a_id
+         |JOIN documents db ON db.doc_id = c.b_id""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) + 0 AS sum_qty,

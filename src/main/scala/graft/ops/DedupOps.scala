@@ -274,6 +274,25 @@ object DedupOps {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** Edit-distance VERIFY kernel — character-level Levenshtein over
+    * candidate pairs, the fuzzy-match complement to token-set Jaccard
+    * (catches single-character noise/OCR drift that token shingles
+    * amplify). Like every quadratic kernel here it runs ONLY
+    * downstream of a candidate generator; Levenshtein itself is
+    * O(|a|·|b|) per pair, so the candidate count is the scale lever.
+    * Output: (a_id, b_id, edit_dist, edit_sim) with
+    * edit_sim = 1 − dist/max(len). */
+  def editDistanceVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val t = docs.select(col("doc_id"), col("text"))
+    pairs.select(col("a_id"), col("b_id"))
+      .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+      .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        roundn(lit(1.0) - levenshtein(col("ta"), col("tb")) /
+          greatest(length(col("ta")), length(col("tb"))).cast("double"), 6).as("edit_sim"))
+  }
+
   /** Connected components over near-dup PAIRS → dedup clusters: the
     * step that turns pairwise verdicts into "keep one representative
     * per group" (the reference's dedup keeps the first exact copy,

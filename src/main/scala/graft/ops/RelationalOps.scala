@@ -32,6 +32,40 @@ object RelationalOps {
       .groupBy(col("c_mktsegment"))
       .agg(roundn(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
 
+  /** Star-schema dimension chain (TPC-H Q5 shape): revenue rolled up
+    * to region through supplier → nation → region. All three
+    * dimension hops are EXPLICIT broadcasts — the fact table streams
+    * through one stage with zero fact-side shuffles before the final
+    * 5-group aggregation, the plan shape a 100 TB fact scan needs
+    * (dimension tables are KBs; re-shuffling the fact per hop would
+    * dominate the query). */
+  def revenueByRegion(lineitem: DataFrame, supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_suppkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_regionkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.select(col("r_regionkey"), col("r_name"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(roundn(sum(col("rev")), 2).as("revenue"), count(lit(1)).as("n_items"))
+
+  /** PIVOT class: per-user event counts spread into one column per
+    * event type. The value list is EXPLICIT — at scale the implicit
+    * form first runs a distinct-values job over the fact table and
+    * caps at spark.sql.pivotMaxValues; a declared dimension list
+    * keeps the pivot a single pass. Nulls (user never produced a
+    * type) coalesce to 0 so the output is dense. */
+  def eventTypePivot(events: DataFrame,
+                     types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
+      : DataFrame = {
+    val p = events.groupBy(col("user_id")).pivot("event_type", types).agg(count(lit(1)))
+    p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+  }
+
   /** Left-semi join: parts that appear in any lineitem. Semi stops at
     * first match — no row explosion, and Catalyst can pick
     * broadcast/shuffled-hash per side sizes. */

@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("revenue_by_region: all three dimension hops broadcast, fact never re-shuffled") {
+    val p = planOf("revenue_by_region")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 3)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+  }
+
   test("vector queries use the fused native expressions, not HOF lambdas") {
     // (WSCG participation itself is asserted in VectorExpressionsSpec
     // on a codegen-able stage; BroadcastNestedLoopJoin conditions are

@@ -115,6 +115,18 @@ class DedupOpsSpec extends SparkSpec {
     assert(!flagged.contains(101L))
   }
 
+  test("editDistanceVerify scores candidate pairs by normalized Levenshtein") {
+    val d = Seq((0L, "kitten"), (1L, "sitting"), (2L, "kitten"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
+    val out = DedupOps.editDistanceVerify(d, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out((0L, 1L)).getAs[Long]("edit_dist") === 3L) // classic kitten→sitting
+    assert(out((0L, 2L)).getAs[Long]("edit_dist") === 0L)
+    assert(out((0L, 2L)).getAs[Double]("edit_sim") === 1.0)
+    assert(math.abs(out((0L, 1L)).getAs[Double]("edit_sim") - (1.0 - 3.0 / 7)) < 1e-6)
+  }
+
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
     val fp = DedupOps.winnowFingerprints(docs)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

@@ -96,6 +96,32 @@ class RelationalOpsSpec extends SparkSpec {
     assert(out(1).isNullAt(out(1).fieldIndex("view_event_id")))
   }
 
+  test("revenueByRegion rolls the fact through the dimension chain") {
+    val li = Seq((1L, 10L, 100.0, 0.1), (2L, 20L, 50.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Seq((10L, 5L, "s1"), (20L, 6L, "s2"))
+      .toDF("s_suppkey", "s_nationkey", "s_name")
+    val nat = Seq((5L, 1L, "FRANCE"), (6L, 2L, "JAPAN"))
+      .toDF("n_nationkey", "n_regionkey", "n_name")
+    val reg = Seq((1L, "EUROPE"), (2L, "ASIA")).toDF("r_regionkey", "r_name")
+    val out = RelationalOps.revenueByRegion(li, sup, nat, reg).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out === Map("EUROPE" -> 90.0, "ASIA" -> 50.0))
+  }
+
+  test("eventTypePivot emits a dense count column per declared type") {
+    val ev = Seq(
+      (1L, 0L, 7L, "click", 0.0, "{}"), (2L, 0L, 7L, "click", 0.0, "{}"),
+      (3L, 0L, 7L, "view", 0.0, "{}"), (4L, 0L, 8L, "purchase", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = RelationalOps.eventTypePivot(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(rows(7L).getAs[Long]("n_click") === 2L)
+    assert(rows(7L).getAs[Long]("n_view") === 1L)
+    assert(rows(7L).getAs[Long]("n_purchase") === 0L) // absent type → dense 0
+    assert(rows(8L).getAs[Long]("n_purchase") === 1L)
+  }
+
   test("approxStatsCheck: exact counts with in-tolerance sketches") {
     val ev = (0 until 2000).map { i =>
       (i.toLong, i.toLong, (i % 137).toLong, if (i % 2 == 0) "view" else "click",
