@@ -225,6 +225,10 @@ object SparkEntry {
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
     "set_except" -> ((s, dir) =>
       RelationalOps.exceptDocs(Tables.documents(s, dir), keepBelow = 300, dropBelow = 100)),
+    "set_intersect" -> ((s, dir) =>
+      RelationalOps.intersectDocs(Tables.documents(s, dir), below = 300, atLeast = 100)),
+    "events_ntile" -> ((s, dir) => RelationalOps.valueQuartiles(Tables.events(s, dir))),
+    "ship_date_rollup" -> ((s, dir) => RelationalOps.shipDateRollup(Tables.lineitem(s, dir))),
     "user_event_paths" -> ((s, dir) => RelationalOps.userEventPaths(Tables.events(s, dir))),
     "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
   )
@@ -946,6 +950,22 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents WHERE doc_id < 300
         |EXCEPT
         |SELECT doc_id, source FROM documents WHERE doc_id < 100""".stripMargin,
+    "set_intersect" ->
+      """SELECT doc_id, source FROM documents WHERE doc_id < 300
+        |INTERSECT
+        |SELECT doc_id, source FROM documents WHERE doc_id >= 100""".stripMargin,
+    "events_ntile" ->
+      """SELECT event_id, event_type,
+        |  CAST(ntile(4) OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS BIGINT) AS value_quartile
+        |FROM events""".stripMargin,
+    "ship_date_rollup" ->
+      """SELECT CAST(date_part('year', l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(date_part('quarter', l_shipdate) AS BIGINT) AS ship_quarter,
+        |  count(*) AS n_items,
+        |  round(sum(l_quantity), 2) + 0 AS sum_qty,
+        |  round(avg(l_discount), 6) + 0 AS avg_discount
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "user_event_paths" ->
       """SELECT user_id,
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,

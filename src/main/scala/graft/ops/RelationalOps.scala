@@ -108,11 +108,42 @@ object RelationalOps {
         col("sum_value"))
 
   /** Set-operation class: EXCEPT with SQL DISTINCT semantics
-    * (Dataset.except ≡ EXCEPT DISTINCT in both engines). The engine's
-    * only other set op in anger is union (upsertSource). */
+    * (Dataset.except ≡ EXCEPT DISTINCT in both engines). Union is
+    * exercised by upsertSource, INTERSECT by [[intersectDocs]]. */
   def exceptDocs(docs: DataFrame, keepBelow: Long, dropBelow: Long): DataFrame =
     docs.select(col("doc_id"), col("source")).filter(col("doc_id") < keepBelow)
       .except(docs.select(col("doc_id"), col("source")).filter(col("doc_id") < dropBelow))
+
+  /** INTERSECT DISTINCT — completes the set-op family. Planned as a
+    * left-semi hash join over distinct rows (one shuffle on the full
+    * row key), same scale shape as except. */
+  def intersectDocs(docs: DataFrame, below: Long, atLeast: Long): DataFrame =
+    docs.select(col("doc_id"), col("source")).filter(col("doc_id") < below)
+      .intersect(docs.select(col("doc_id"), col("source")).filter(col("doc_id") >= atLeast))
+
+  /** Ranking-family breadth beyond row_number: ntile quartile
+    * assignment of each event's value within its type. Both engines
+    * define ntile identically (earlier buckets take the remainder);
+    * (value, event_id) ordering makes bucket edges deterministic. */
+  def valueQuartiles(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      ntile(4).over(Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))).cast("long").as("value_quartile"))
+
+  /** Date/time scalar class over the one DATE-bearing column in the
+    * corpus (l_shipdate): calendar rollup by year × quarter. At scale
+    * this is the query that partition pruning serves — a date-
+    * partitioned fact table turns the year predicate into pruned
+    * directories (PersistOps.writePartitioned). */
+  def shipDateRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(
+        year(col("l_shipdate")).cast("long").as("ship_year"),
+        quarter(col("l_shipdate")).cast("long").as("ship_quarter"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        roundn(sum(col("l_quantity")), 2).as("sum_qty"),
+        roundn(avg(col("l_discount")), 6).as("avg_discount"))
 
   /** Ordered array-aggregation class: each user's event-type path in
     * time order, rendered as a string (hash-comparable). Determinism:
