@@ -12,6 +12,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the engine's only unpartitioned windows rank ≤k-row tops (PLANS
+    // documents the bound) — WindowExec's blanket single-partition
+    // warning is noise here; a constant partition key cannot silence
+    // it (EliminateWindowPartitions folds it away), so quiet the
+    // logger directly
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm-up: JIT + codegen + parquet footer caches, so the first
     // timed query doesn't absorb session startup cost; guarded so a
     // bad sfDir still reaches the per-query loop (which reports -1s)

@@ -36,9 +36,10 @@ object SearchOps {
         col("dim"), col("weight") * col("qw")), 6).as("score"))
     // orderBy.limit FIRST (plans as TakeOrderedAndProject — per-
     // partition top-k, no global single-reducer sort); the window
-    // then ranks only the k survivors (constant partition key: the
-    // ≤k-row single-partition window is intended, and the explicit
-    // key silences WindowExec's "No Partition Defined" alarm)
+    // then ranks only the ≤k survivors, so its single-partition
+    // shape is intended (WindowExec's blanket warning is silenced at
+    // the logger in the entry points — a constant partition key
+    // can't do it, EliminateWindowPartitions folds it away)
     val top = scored
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .orderBy(col("score").desc, col("doc_id"))
@@ -46,8 +47,7 @@ object SearchOps {
     top
       .withColumn(
         "rank",
-        row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
@@ -93,8 +93,7 @@ object SearchOps {
     top
       .withColumn(
         "rank",
-        row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 }

@@ -42,14 +42,15 @@ object VectorOps {
       .orderBy(col("l2_sq"), col("vec_id"))
       .limit(k)
     scored
-      // constant partition key: the window ranks only the k survivors
-      // of the limit, so single-partition is the intended shape — the
-      // explicit key documents that and silences WindowExec's
-      // "No Partition Defined" alarm
+      // unpartitioned window over the k survivors of the limit:
+      // single-partition is the intended shape (bounded ≤ k rows).
+      // WindowExec still logs its blanket single-partition warning —
+      // a constant partition key can't silence it (Spark 4's
+      // EliminateWindowPartitions folds it away), so the entry
+      // points set that logger to ERROR instead.
       .withColumn(
         "rank",
-        row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("l2_sq"), col("vec_id"))).cast("long"))
+        row_number().over(Window.orderBy(col("l2_sq"), col("vec_id"))).cast("long"))
       .select(col("rank"), col("vec_id"), col("l2_sq"), col("cos_sim"), col("label"))
   }
 
