@@ -58,6 +58,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkParagraphs loses no tokens and keeps order") {
+    for (_ <- 1 to 5) {
+      val text = Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(20)}").mkString(" ")
+      val w = 1 + rnd.nextInt(7)
+      val docs = Seq((0L, text)).toDF("doc_id", "text")
+      val rebuilt = CorpusOps.chunkParagraphs(docs, window = w)
+        .orderBy("para_idx").select("para").as[String].collect().mkString(" ")
+      assert(rebuilt === text) // concatenating chunks reproduces the token stream
+    }
+  }
+
+  test("property: hashSplit is a total function with content-determined assignment") {
+    for (_ <- 1 to 3) {
+      val docs = (0 until 30).map(i => (i.toLong, randText() + s" tail${i % 10}"))
+        .toDF("doc_id", "text")
+      val out = TextOps.hashSplit(docs).collect()
+      assert(out.length === 30) // total: every doc assigned
+      assert(out.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+      val byText = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val splitOf = out.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+      // same text ⇒ same split, for every colliding pair
+      for (a <- byText.keys; b <- byText.keys if a < b && byText(a) == byText(b))
+        assert(splitOf(a) === splitOf(b))
+    }
+  }
+
+  test("property: edit similarity is symmetric, in [0,1], and 1 iff equal") {
+    for (_ <- 1 to 3) {
+      val texts = (0 until 6).map(i => (i.toLong, randText() + " x")).toDF("doc_id", "text")
+      val pairs = (for (a <- 0 until 6; b <- 0 until 6 if a < b)
+        yield (a.toLong, b.toLong)).toDF("a_id", "b_id")
+      val flipped = pairs.select($"b_id".as("a_id"), $"a_id".as("b_id"))
+      val f = DedupOps.editDistanceVerify(texts, pairs).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_sim"))).toMap
+      val g = DedupOps.editDistanceVerify(texts, flipped).collect()
+        .map(r => (r.getLong(1), r.getLong(0)) -> (r.getAs[Long]("edit_dist"), r.getAs[Double]("edit_sim"))).toMap
+      assert(f === g) // symmetric
+      val t = texts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      for (((a, b), (d, s)) <- f) {
+        assert(s >= 0.0 && s <= 1.0)
+        assert((d == 0L) === (t(a) == t(b)))
+      }
+    }
+  }
+
+  test("property: orderedSum equals plain sum on exactly-representable values") {
+    for (_ <- 1 to 3) {
+      val rows = (0 until 50).map(i => (i % 7, i.toLong, rnd.nextInt(1000).toDouble))
+        .toDF("g", "k", "v").repartition(8)
+      val a = rows.groupBy($"g")
+        .agg(VectorMath.orderedSum($"k", $"v").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val b = rows.groupBy($"g").agg(sum($"v").as("s"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(a === b) // integer-valued doubles: order can't matter
+    }
+  }
+
   test("property: upsert ≡ delete + insert (app_callapi.py:140-153)") {
     for (_ <- 1 to 3) {
       val docs = (0 until 6).map(i =>
