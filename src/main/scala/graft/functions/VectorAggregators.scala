@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** A1 (vector mean-pool) in its TYPED form — the
+  * `Aggregator[IN, BUF, OUT]` shape SURVEY §2.11 policy #2 reserves
+  * for vector aggregation (reference app.py:66
+  * `last_hidden_state.mean(dim=1)`).
+  *
+  * Complementary to [[graft.ops.VectorOps.meanPoolByLabel]] (the
+  * exploded relational form, which stays the oracle-checked declared
+  * surface): this form keeps vectors WHOLE through the aggregation —
+  * the group's partial state is ONE (sums, count) buffer instead of
+  * `dims` exploded rows, so the shuffle carries k·1 buffers rather
+  * than k·dims rows. The right shape when dims is large and groups
+  * are few; partial aggregation (map-side combine) applies to
+  * `reduce`, and `merge` combines executor-local buffers.
+  */
+object VectorAggregators {
+
+  type MeanBuf = (Array[Double], Long)
+
+  val meanPool: Aggregator[Array[Float], MeanBuf, Array[Float]] =
+    new Aggregator[Array[Float], MeanBuf, Array[Float]] {
+      override def zero: MeanBuf = (Array.emptyDoubleArray, 0L)
+
+      override def reduce(b: MeanBuf, a: Array[Float]): MeanBuf =
+        if (a == null) b
+        else {
+          val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+          var i = 0
+          while (i < a.length && i < acc.length) { acc(i) += a(i); i += 1 }
+          (acc, b._2 + 1)
+        }
+
+      override def merge(x: MeanBuf, y: MeanBuf): MeanBuf =
+        if (x._1.isEmpty) y
+        else if (y._1.isEmpty) x
+        else {
+          val acc = x._1
+          var i = 0
+          while (i < acc.length && i < y._1.length) { acc(i) += y._1(i); i += 1 }
+          (acc, x._2 + y._2)
+        }
+
+      override def finish(b: MeanBuf): Array[Float] =
+        if (b._2 == 0L) Array.emptyFloatArray
+        else b._1.map(s => (s / b._2).toFloat)
+
+      override def bufferEncoder: Encoder[MeanBuf] = ExpressionEncoder[MeanBuf]()
+      override def outputEncoder: Encoder[Array[Float]] = ExpressionEncoder[Array[Float]]()
+    }
+
+  /** Untyped-DataFrame form: `df.groupBy("label").agg(meanPoolUdaf(col("embedding")))`. */
+  def meanPoolUdaf: Column => Column = {
+    val fn = udaf(meanPool, ExpressionEncoder[Array[Float]]())
+    (c: Column) => fn(c)
+  }
+}

@@ -34,6 +34,23 @@ object StreamingOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time SESSION windows with a watermark — the streaming twin
+    * of [[graft.ops.RelationalOps.sessionize]]'s batch lag+cumsum:
+    * `session_window` merges events whose gaps stay under
+    * `gap`, closing a session (and emitting its row) once the
+    * watermark passes gap beyond its last event. State per key is one
+    * open session (bounded); late events beyond the horizon are
+    * dropped exactly like [[tumblingCounts]]. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
   /** Stream-stream interval join — the streaming twin of
     * RelationalOps.purchaseAttribution's batch as-of: purchases
     * joined to the same user's views from the trailing `maxGap`.

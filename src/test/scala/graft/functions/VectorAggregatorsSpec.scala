@@ -1,0 +1,41 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+class VectorAggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq(
+    (0L, Seq(1.0f, 2.0f, 3.0f), 0),
+    (1L, Seq(3.0f, 2.0f, 1.0f), 0),
+    (2L, Seq(10.0f, 0.0f, -2.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("typed mean-pool aggregator matches the relational explode/avg form") {
+    val typed = emb.groupBy($"label")
+      .agg(VectorAggregators.meanPoolUdaf($"embedding").as("centroid"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    assert(typed(0) === Seq(2.0f, 2.0f, 2.0f))
+    assert(typed(1) === Seq(10.0f, 0.0f, -2.0f))
+    // parity with the declared relational form, per (label, dim)
+    val relational = VectorOps.meanPoolByLabel(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    for ((label, vec) <- typed; (v, dim) <- vec.zipWithIndex)
+      assert(math.abs(relational((label, dim.toLong)) - v) < 1e-6)
+  }
+
+  test("mean-pool aggregator survives repartitioned input (merge path) and empty groups") {
+    val wide = (0 until 100).map(i => (i.toLong, Seq(i.toFloat, (i % 10).toFloat), i % 3))
+      .toDF("vec_id", "embedding", "label").repartition(16)
+    val out = wide.groupBy($"label")
+      .agg(VectorAggregators.meanPoolUdaf($"embedding").as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    // label 0: vec_ids 0,3,...,99 → mean of arithmetic sequence
+    val ids0 = (0 until 100).filter(_ % 3 == 0)
+    assert(math.abs(out(0).head - ids0.sum.toFloat / ids0.size) < 1e-4)
+    assert(out.keySet === Set(0, 1, 2))
+  }
+}

@@ -57,6 +57,31 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionCounts merges gap-contiguous events and splits across gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val q = sessionCounts(
+      input.toDF().toDF("ts", "user_id", "value"), gap = "30 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      val m = 60L * 1000
+      input.addData(
+        (new Timestamp(0), 7L, 1.0), // session A
+        (new Timestamp(10 * m), 7L, 2.0), // 10 min gap → still A
+        (new Timestamp(120 * m), 7L, 4.0)) // 110 min gap → session B
+      q.processAllAvailable()
+      // advance the watermark far enough to close both sessions
+      input.addData((new Timestamp(600 * m), 8L, 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .filter($"user_id" === 7L)
+        .select("n_events", "sum_value").as[(Long, Double)].collect().toSet
+      assert(rows === Set((2L, 3.0), (1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("fileIngest appends only hash-new docs across micro-batches") {
     val base = java.nio.file.Files.createTempDirectory("fileingest")
     val watch = base.resolve("watch"); val corpus = base.resolve("corpus")
