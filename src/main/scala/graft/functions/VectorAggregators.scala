@@ -27,24 +27,28 @@ object VectorAggregators {
     new Aggregator[Array[Float], MeanBuf, Array[Float]] {
       override def zero: MeanBuf = (Array.emptyDoubleArray, 0L)
 
+      // grow-to-max accumulation: ragged inputs pad with implicit
+      // zeros instead of silently truncating to the first-seen
+      // length (which would make results depend on encounter order)
+      private def addInto(sums: Array[Double], v: Array[Double]): Array[Double] = {
+        val acc = if (v.length > sums.length) java.util.Arrays.copyOf(sums, v.length)
+                  else sums
+        var i = 0
+        while (i < v.length) { acc(i) += v(i); i += 1 }
+        acc
+      }
+
+      // null/empty vectors contribute NOTHING and are not counted —
+      // the same semantics as the relational explode/avg form, where
+      // a row with no dims never reaches the aggregate
       override def reduce(b: MeanBuf, a: Array[Float]): MeanBuf =
-        if (a == null) b
-        else {
-          val acc = if (b._1.isEmpty) new Array[Double](a.length) else b._1
-          var i = 0
-          while (i < a.length && i < acc.length) { acc(i) += a(i); i += 1 }
-          (acc, b._2 + 1)
-        }
+        if (a == null || a.isEmpty) b
+        else (addInto(b._1, a.map(_.toDouble)), b._2 + 1)
 
       override def merge(x: MeanBuf, y: MeanBuf): MeanBuf =
-        if (x._1.isEmpty) y
-        else if (y._1.isEmpty) x
-        else {
-          val acc = x._1
-          var i = 0
-          while (i < acc.length && i < y._1.length) { acc(i) += y._1(i); i += 1 }
-          (acc, x._2 + y._2)
-        }
+        if (y._2 == 0L) x
+        else if (x._2 == 0L) y
+        else (addInto(x._1, y._1), x._2 + y._2)
 
       override def finish(b: MeanBuf): Array[Float] =
         if (b._2 == 0L) Array.emptyFloatArray

@@ -37,11 +37,6 @@ object DedupOps {
   /** Prime just above 2^24 for the universal-hash family. */
   val MinhashPrime: Long = 16777259L
 
-  /** Defensive round cap for [[connectedComponents]] (propagation
-    * needs <= component diameter rounds; real near-dup graphs sit far
-    * below this). */
-  val MaxCcRounds: Int = 1000
-
   /** Lineage-truncation cadence for [[connectedComponents]]: every
     * Nth round the labels are eagerly localCheckpoint'ed so the
     * logical plan doesn't nest one round per iteration. */
@@ -338,32 +333,35 @@ object DedupOps {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    // label-sum strictly decreases every unconverged round and rounds
+    // never exceed the component diameter (< node count <= 2·edges),
+    // so this bound is unreachable unless the propagation itself is
+    // broken — a data-derived defensive cap, not a tuning knob that
+    // could reject a legitimately deep graph
+    val maxRounds = 2L * math.max(1L, nEdges) + 16L
     while (!converged) {
       iter += 1
-      // labels strictly decrease while unconverged, so termination is
-      // mathematically guaranteed in <= diameter rounds; the cap is a
-      // defensive guard against a logic regression livelocking the
-      // driver — fail loudly rather than loop silently
-      require(iter <= MaxCcRounds,
-        s"connectedComponents: no fixpoint after $MaxCcRounds rounds")
+      require(iter <= maxRounds,
+        s"connectedComponents: no fixpoint after $maxRounds rounds (propagation broken)")
       val joined = undSelf
         .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
         .groupBy(col("src"))
         .agg(min(col("nbr_comp")).as("comp"))
         .withColumnRenamed("src", "id")
         .repartition(parts, col("id")) // co-partition for next round's join
-        .persist()
-      // every few rounds cut the lineage with an eager localCheckpoint:
-      // although each round's input is persisted, its LOGICAL plan
-      // still nests all previous rounds, so analysis/planning cost
-      // grows per round on deep-diameter graphs without this
+      // every few rounds cut the lineage with an eager localCheckpoint
+      // (whose materialized blocks double as the round's cache — no
+      // second persist): although each round's input is cached, its
+      // LOGICAL plan still nests all previous rounds, so
+      // analysis/planning cost grows per round without this
       val next =
-        if (iter % CcCheckpointEvery == 0) {
-          val pinned = joined.localCheckpoint(true)
-          joined.unpersist()
-          pinned
-        } else joined
+        if (iter % CcCheckpointEvery == 0) joined.localCheckpoint(true)
+        else joined.persist()
       val s = labelSum(next)
+      // monotonicity is the livelock detector: min-aggregation over
+      // self-inclusive neighborhoods can only lower each label
+      require(s <= prevSum,
+        s"connectedComponents: label sum increased ($prevSum -> $s) — propagation broken")
       labels.unpersist()
       labels = next
       if (s == prevSum) converged = true else prevSum = s

@@ -62,11 +62,15 @@ object MultimodalOps {
   /** Decode step — REAL for images: `javax.imageio` (JDK-built-in,
     * zero new dependencies) parses PNG/JPEG/GIF/BMP payloads to their
     * true pixel dimensions, inside the same mapPartitions batch shape
-    * a GPU/codec stage would use. Undecodable, empty, or non-image
+    * a GPU/codec stage would use. Dimensions come from the format
+    * READER'S HEADER (`getWidth(0)`/`getHeight(0)`), never a full
+    * `ImageIO.read` — a decompression bomb (KB-sized file declaring
+    * 50000×50000 pixels) would otherwise allocate the whole pixel
+    * buffer and OOM the executor. Undecodable, empty, or non-image
     * payloads (audio/video — no JDK codec) are CONTAINED as ok=false
     * rows (the empty-text guard analog, reference app_callapi.py:112),
     * never an executor-killing throw; a real deployment swaps its
-    * audio/video codec call into the marked line. */
+    * pixel decode into the same spot, bounding width×height first. */
   def decodeImage(media: Dataset[MediaRow]): Dataset[DecodedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
@@ -77,10 +81,22 @@ object MultimodalOps {
         if (row.content.isEmpty) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
         else
           try {
-            val img = // codec call — swap here for audio/video decoders
-              javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(row.content))
-            if (img == null) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
-            else DecodedMeta(row.media_id, row.modality, img.getWidth, img.getHeight, ok = true)
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(row.content))
+            try {
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
+              else {
+                val r = readers.next()
+                try {
+                  r.setInput(iis)
+                  // header-only; a bounded `r.read(0)` goes here when
+                  // pixel work is needed
+                  DecodedMeta(row.media_id, row.modality, r.getWidth(0), r.getHeight(0),
+                    ok = true)
+                } finally r.dispose()
+              }
+            } finally if (iis != null) iis.close()
           } catch {
             case _: Exception => DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
           }

@@ -37,6 +37,14 @@ object Tables {
       if (spark.conf.getOption(key).contains("true")) spark
       else {
         val child = spark.newSession()
+        // newSession starts from SparkConf defaults, NOT the caller's
+        // runtime confs — copy them over so the events scan runs under
+        // the same settings (timezone, rebase modes, partition sizing)
+        // as every other load in the caller's program, plus the flag.
+        // Static/read-only confs reject the set; skip those.
+        spark.conf.getAll.foreach { case (k, v) =>
+          try child.conf.set(k, v) catch { case _: Exception => () }
+        }
         child.conf.set(key, "true")
         child
       }

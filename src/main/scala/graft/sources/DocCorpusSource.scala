@@ -95,15 +95,24 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long)
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    // source identity = path RELATIVE to the load root, not the bare
+    // basename: with recursive listing two subdirectories can hold
+    // same-named files, and a basename identity would merge them in
+    // every downstream dedup/upsert keyed on `source` (flat dirs are
+    // unaffected — relative path ≡ basename there)
+    val rootPrefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val it = fs.listFiles(p, recursive)
     while (it.hasNext) {
       val st = it.next()
-      val n = st.getPath.getName
-      if (DocCorpusSource.accepted(n)) files += (st.getPath.toString -> st.getLen)
+      val full = st.getPath.toString
+      val rel = if (full.startsWith(rootPrefix)) full.substring(rootPrefix.length)
+                else st.getPath.getName
+      if (DocCorpusSource.accepted(st.getPath.getName))
+        files += ((full, rel, st.getLen))
     }
-    files.sortBy(_._1)
-      .map { case (f, len) => DocFilePartition(f, len): InputPartition }
+    files.sortBy(_._2)
+      .map { case (f, rel, len) => DocFilePartition(f, rel, len): InputPartition }
       .toArray
   }
 
@@ -117,7 +126,8 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long)
       maxFileBytes)
 }
 
-case class DocFilePartition(file: String, length: Long) extends InputPartition
+case class DocFilePartition(file: String, relPath: String, length: Long)
+  extends InputPartition
 
 class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguration,
                        maxFileBytes: Long) extends PartitionReaderFactory {
@@ -145,7 +155,7 @@ class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguratio
               }
               if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
             } finally in.close()
-          val name = file.substring(file.lastIndexOf('/') + 1)
+          val name = part.relPath
           val isPdf = name.endsWith(".pdf")
           val texts =
             if (bytes.isEmpty) Seq.empty

@@ -87,7 +87,15 @@ object PdfSource {
         val cmapTexts = decoded.filter(_.contains("beginbf"))
         val cmap = cmapTexts
           .foldLeft(Map.empty[Int, String])((acc, s) => parseCMap(s).concat(acc))
-        val width = cmapTexts.flatMap(codespaceWidth).headOption
+        // merged-map code width = MAX over every CMap's declared
+        // codespacerange AND the key-based inference: a single width
+        // must serve all fonts (per-font scoping untracked — scaladoc
+        // LIMITS), and under-reading a 2-byte CJK font injects wrong
+        // glyphs everywhere, while over-reading a (rare) hex-shown
+        // 1-byte font merely drops its run
+        val width =
+          if (cmap.isEmpty) None
+          else Some((cmapTexts.flatMap(codespaceWidth) :+ inferredWidth(cmap)).max)
         decoded.map(extractTextOps(_, cmap, width))
       }
     } catch { case _: Exception => Seq.empty }
@@ -390,9 +398,9 @@ object PdfSource {
     CodespaceBlock.findFirstMatchIn(cmap).flatMap(b =>
       HexToken.findFirstMatchIn(b.group(1)).map(m => (m.group(1).length + 1) / 2))
 
-  /** Fallback CID code width when no codespacerange exists: inferred
-    * from the mapped key values (keys > 0xFF force 2 bytes). */
-  private def inferredWidth(cmap: Map[Int, String]): Int =
+  /** Key-based CID code width: mapped keys > 0xFF force 2 bytes.
+    * Combined (max) with declared codespaceranges by the caller. */
+  private[sources] def inferredWidth(cmap: Map[Int, String]): Int =
     if (cmap.keys.exists(_ > 0xff)) 2 else 1
 
   /** Decode a CID hex string through the merged ToUnicode map. Codes

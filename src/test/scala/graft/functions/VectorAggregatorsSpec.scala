@@ -27,6 +27,22 @@ class VectorAggregatorsSpec extends SparkSpec {
       assert(math.abs(relational((label, dim.toLong)) - v) < 1e-6)
   }
 
+  test("empty vectors are uncounted and ragged vectors zero-pad, independent of partitioning") {
+    val rows = Seq(
+      (0L, Seq.empty[Float], 0),
+      (1L, Seq(2.0f), 0),
+      (2L, Seq(4.0f, 6.0f), 0) // longer than the first non-empty
+    ).toDF("vec_id", "embedding", "label")
+    for (parts <- Seq(1, 3)) {
+      val out = rows.repartition(parts).groupBy($"label")
+        .agg(VectorAggregators.meanPoolUdaf($"embedding").as("centroid"))
+        .collect().head.getSeq[Float](1)
+      // 2 counted rows; dim0 = (2+4)/2, dim1 = (0+6)/2 — same under
+      // any partitioning (merge must not drop counts or truncate)
+      assert(out === Seq(3.0f, 3.0f), s"parts=$parts")
+    }
+  }
+
   test("mean-pool aggregator survives repartitioned input (merge path) and empty groups") {
     val wide = (0 until 100).map(i => (i.toLong, Seq(i.toFloat, (i % 10).toFloat), i % 3))
       .toDF("vec_id", "embedding", "label").repartition(16)

@@ -70,10 +70,14 @@ class DocCorpusSourceSpec extends SparkSpec {
     }
     write(dir, "top.docx", makeDocx(Seq("top para")))
     write(sub, "deep.docx", makeDocx(Seq("deep para")))
+    // same basename as top.docx: the relative-path identity must keep
+    // them distinct (a basename identity would merge them in every
+    // downstream dedup/upsert keyed on `source`)
+    write(sub, "top.docx", makeDocx(Seq("shadow para")))
     val all = spark.read.format("graft.sources.DocCorpusSource")
       .load(dir.getAbsolutePath)
     assert(all.select("source").collect().map(_.getString(0)).toSet
-      === Set("top.docx", "deep.docx"))
+      === Set("top.docx", "2026/q1/deep.docx", "2026/q1/top.docx"))
     val flat = spark.read.format("graft.sources.DocCorpusSource")
       .option("recursive", "false").load(dir.getAbsolutePath)
     assert(flat.select("source").collect().map(_.getString(0)).toSet === Set("top.docx"))
