@@ -302,6 +302,24 @@ class PdfSourceSpec extends SparkSpec {
     assert(!text.contains("X")) // the 1-byte misread would emit X (0x00) between glyphs
   }
 
+  test("fuzz: extractStreams and every filter decoder contain arbitrary bytes") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 25) {
+      val bytes = Array.fill(rnd.nextInt(2048))(rnd.nextInt(256).toByte)
+      // none of these may throw — per-file containment is the rule
+      PdfSource.extractStreams(bytes)
+      PdfSource.extractStreams("%PDF-1.4\n".getBytes("ISO-8859-1") ++ bytes)
+      PdfSource.lzwDecode(bytes)
+      PdfSource.ascii85Decode(bytes)
+      PdfSource.asciiHexDecode(bytes)
+      PdfSource.runLengthDecode(bytes)
+      // and a malformed dict/stream skeleton around the noise
+      PdfSource.extractStreams(
+        ("%PDF-1.4\n1 0 obj\n<< /Length " + trial + " /Filter /LZWDecode >>\nstream\n")
+          .getBytes("ISO-8859-1") ++ bytes ++ "\nendstream".getBytes("ISO-8859-1"))
+    }
+  }
+
   test("end-to-end: scan directory → per-stream text rows") {
     val dir = Files.createTempDirectory("pdf_src").toFile
     val f = new FileOutputStream(new java.io.File(dir, "doc.pdf"))
