@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same timezone as Verify/PlansDump: tz-dependent queries
+      // (hour windows, date rollups) must benchmark the SAME
+      // computation that was verified, on any machine
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -53,7 +57,13 @@ object Bench {
     def jsonMap(f: Seq[Double] => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
     val medians = results.map { case (_, v) => median(v) }
-    val total = if (medians.nonEmpty) medians.sum else 0.0
+    // any failed query poisons the TOTAL to the -1 sentinel too:
+    // summing a -1 in would UNDERSTATE the total, making a breaking
+    // round read as a speedup in round-over-round comparison
+    val total =
+      if (medians.isEmpty) 0.0
+      else if (medians.exists(_ < 0)) -1.0
+      else medians.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
       s""","repeats":$Repeats,"queries":${jsonMap(median)}""" +
       s""","queries_min":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.min)}""" +

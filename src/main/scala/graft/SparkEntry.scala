@@ -20,6 +20,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     knnQuery(spark, "/root/testdata/sf0.001")
 
+  /** One JVM shutdown hook per unique tmp path (the roundtrip queries
+    * are constructed once per Bench repeat / Verify run — an inline
+    * sys.addShutdownHook there would accumulate a hook per call). */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(tmp: String): Unit =
+    if (cleanupRegistered.add(tmp)) {
+      val tmpPath = java.nio.file.Paths.get(tmp)
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        if (java.nio.file.Files.exists(tmpPath))
+          java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+
   private def knnQuery(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") === 0)
@@ -78,13 +93,7 @@ object SparkEntry {
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_jsonrt_" +
         s.sparkContext.applicationId
       docs.write.mode("overwrite").json(tmp)
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(tmpPath))
-          java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      cleanupOnExit(tmp)
       CorpusOps.contentHash(s.read.schema(docs.schema).json(tmp))
     }),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
@@ -173,13 +182,7 @@ object SparkEntry {
       docs.write.mode("overwrite").parquet(tmp)
       // bound tmp usage across runs: each run deletes its directory
       // at JVM exit (it must outlive lazy evaluation of the result)
-      val tmpPath = java.nio.file.Paths.get(tmp)
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        if (java.nio.file.Files.exists(tmpPath))
-          java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq.reverse
-            .foreach(f => java.nio.file.Files.deleteIfExists(f))
-      }
+      cleanupOnExit(tmp)
       CorpusOps.contentHash(s.read.parquet(tmp))
     }),
     // Multimodal plumbing (binary payload featurization). The full
@@ -335,6 +338,42 @@ object SparkEntry {
       |  JOIN sizes sa ON sa.doc_id = i.a_id
       |  JOIN sizes sb ON sb.doc_id = i.b_id)""".stripMargin
 
+  private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
+
+  /** DuckDB twin of TextOps.qualityScore as CTEs `q` + `qual` —
+    * stopword list interpolated from TextOps.EnStopwords (single
+    * source of truth; requires the `toks` CTE). Shared by the
+    * quality_score and corpus_curation oracles. */
+  private val duckQualityCtes =
+    s"""q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+       |        sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
+       |                 THEN 1 ELSE 0 END) AS n_stop
+       |      FROM toks GROUP BY 1),
+       |qual AS (SELECT doc_id, n_tok,
+       |    round(n_stop / n_tok, 6) + 0 AS stop_ratio,
+       |    round(n_distinct / n_tok, 6) + 0 AS distinct_ratio,
+       |    round(least(n_tok / 100.0, 1.0) * 0.3 + (1.0 - n_stop / n_tok) * 0.3
+       |          + (n_distinct / n_tok) * 0.4, 6) + 0 AS quality
+       |  FROM q)""".stripMargin
+
+  /** DuckDB twin of TextOps.langId as CTEs `c` + `lang` — marker
+    * lists interpolated from TextOps.LangMarkers. Shared by the
+    * lang_id and corpus_curation oracles. */
+  private val duckLangCtes = {
+    val counts = graft.ops.TextOps.LangMarkers.map { case (l, ms) =>
+      s"  sum(CASE WHEN tok IN (${sqlList(ms)}) THEN 1 ELSE 0 END) AS c_$l"
+    }.mkString(",\n")
+    s"""c AS (SELECT doc_id,
+       |$counts
+       |  FROM toks GROUP BY 1),
+       |lang AS (SELECT doc_id,
+       |  CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
+       |       WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
+       |       WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
+       |       WHEN c_de>=c_fr THEN 'de' ELSE 'fr' END AS predicted_lang
+       |  FROM c)""".stripMargin
+  }
+
   /** DuckDB twin of VectorOps.sqrtCells(emb, 2): CTE block ending in
     * `cent (c_label, dim, cv)` plus `dims` and `ranked` (per-vector
     * cell ranks) — k = ceil(sqrt(N)) from a scalar subquery, seeds =
@@ -432,32 +471,14 @@ object SparkEntry {
          |SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""".stripMargin,
     "corpus_curation" ->
       s"""WITH $duckToks,
-         |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
-         |        sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','it')
-         |                 THEN 1 ELSE 0 END) AS n_stop
-         |      FROM toks GROUP BY 1),
-         |qual AS (SELECT doc_id,
-         |    round(least(n_tok / 100.0, 1.0) * 0.3 + (1.0 - n_stop / n_tok) * 0.3
-         |          + (n_distinct / n_tok) * 0.4, 6) + 0 AS quality
-         |  FROM q),
-         |c AS (SELECT doc_id,
-         |  sum(CASE WHEN tok IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS c_en,
-         |  sum(CASE WHEN tok IN ('el','la','de','los','que','y') THEN 1 ELSE 0 END) AS c_es,
-         |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS c_de,
-         |  sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS c_fr
-         |  FROM toks GROUP BY 1),
-         |lang AS (SELECT doc_id,
-         |  CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
-         |       WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
-         |       WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
-         |       WHEN c_de>=c_fr THEN 'de' ELSE 'fr' END AS predicted_lang
-         |  FROM c),
+         |$duckQualityCtes,
+         |$duckLangCtes,
          |tc AS (SELECT doc_id,
          |  CAST(len(list_filter(list_transform(string_split(text, ' '), t -> trim(t)),
          |                       t -> t <> '')) AS BIGINT) AS n_ws_tokens
          |  FROM documents)
-         |SELECT q.doc_id, lang.predicted_lang, qual.quality, tc.n_ws_tokens
-         |FROM q JOIN qual USING (doc_id) JOIN lang USING (doc_id) JOIN tc USING (doc_id)
+         |SELECT qual.doc_id, lang.predicted_lang, qual.quality, tc.n_ws_tokens
+         |FROM qual JOIN lang USING (doc_id) JOIN tc USING (doc_id)
          |WHERE lang.predicted_lang = 'en' AND qual.quality >= 0.5
          |  AND tc.n_ws_tokens BETWEEN 5 AND 100000""".stripMargin,
     "doc_fingerprint" ->
@@ -518,32 +539,15 @@ object SparkEntry {
          |FROM b""".stripMargin,
     "quality_score" ->
       s"""WITH $duckToks,
-         |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
-         |        sum(CASE WHEN tok IN ('the','a','of','and','to','in','is','on','for','it')
-         |                 THEN 1 ELSE 0 END) AS n_stop
-         |      FROM toks GROUP BY 1)
-         |SELECT doc_id, n_tok,
-         |  round(n_stop / n_tok, 6) + 0 AS stop_ratio,
-         |  round(n_distinct / n_tok, 6) + 0 AS distinct_ratio,
-         |  round(least(n_tok / 100.0, 1.0) * 0.3 + (1.0 - n_stop / n_tok) * 0.3
-         |        + (n_distinct / n_tok) * 0.4, 6) + 0 AS quality
-         |FROM q""".stripMargin,
+         |$duckQualityCtes
+         |SELECT doc_id, n_tok, stop_ratio, distinct_ratio, quality FROM qual""".stripMargin,
     "lang_id" ->
       s"""WITH $duckToks,
-         |c AS (SELECT doc_id,
-         |  sum(CASE WHEN tok IN ('the','a','and','of','to','is') THEN 1 ELSE 0 END) AS c_en,
-         |  sum(CASE WHEN tok IN ('el','la','de','los','que','y') THEN 1 ELSE 0 END) AS c_es,
-         |  sum(CASE WHEN tok IN ('der','die','das','und','ist') THEN 1 ELSE 0 END) AS c_de,
-         |  sum(CASE WHEN tok IN ('le','la','les','et','est') THEN 1 ELSE 0 END) AS c_fr
-         |  FROM toks GROUP BY 1)
-         |SELECT doc_id,
-         |  CASE WHEN c_en=0 AND c_es=0 AND c_de=0 AND c_fr=0 THEN 'und'
-         |       WHEN c_en>=c_es AND c_en>=c_de AND c_en>=c_fr THEN 'en'
-         |       WHEN c_es>=c_de AND c_es>=c_fr THEN 'es'
-         |       WHEN c_de>=c_fr THEN 'de' ELSE 'fr' END AS predicted_lang,
+         |$duckLangCtes
+         |SELECT c.doc_id, lang.predicted_lang,
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
-         |FROM c""".stripMargin,
+         |FROM c JOIN lang USING (doc_id)""".stripMargin,
     // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
     // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))
     "ann_ivf" ->

@@ -56,7 +56,9 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("distinct_ratio"), col("quality"))
   }
 
-  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+  /** Marker tokens per language — shared with the oracle SQL (the
+    * DuckDB twins interpolate this list, single source of truth). */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "and", "of", "to", "is"),
     "es" -> Seq("el", "la", "de", "los", "que", "y"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -102,12 +104,6 @@ object TextOps {
       sha2(regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>"), 256).as("redacted_hash"))
 
-  /** Training-data curation filter — the composite every pretraining
-    * pipeline runs before tokenization: keep documents in the target
-    * language, above a quality floor, inside a token-count band. One
-    * pass per signal, joined on doc_id (each side is one keyed agg of
-    * the same tokenize scan; Catalyst reuses the scan), then a plain
-    * conjunctive filter that pushes nothing to the driver. */
   /** Repeated-n-gram ratio — the Gopher/C4-style repetition gate:
     * heavily templated or looping text shows a high fraction of
     * DUPLICATE word n-grams. rep_ratio = 1 − distinct/total over the
@@ -144,6 +140,12 @@ object TextOps {
           .when(col("bucket") < testPct + valPct, "val")
           .otherwise("train").as("split"))
 
+  /** Training-data curation filter — the composite every pretraining
+    * pipeline runs before tokenization: keep documents in the target
+    * language, above a quality floor, inside a token-count band. One
+    * pass per signal, joined on doc_id (each side is one keyed agg of
+    * the same tokenize scan; Catalyst reuses the scan), then a plain
+    * conjunctive filter that pushes nothing to the driver. */
   def curatedCorpus(docs: DataFrame, lang: String = "en", minQuality: Double = 0.5,
                     minTokens: Long = 5, maxTokens: Long = 100000): DataFrame =
     qualityScore(docs)
