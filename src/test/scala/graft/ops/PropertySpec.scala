@@ -14,9 +14,12 @@ import scala.util.Random
 class PropertySpec extends SparkSpec {
   import spark.implicits._
 
-  private val rnd = new Random(42)
+  // one Random PER TEST (seeded in the test body): a suite-shared
+  // mutable RNG makes each test's data depend on execution order, so
+  // a CI failure can't be reproduced by running that test alone
 
   test("property: knn returns min(k,n) rows with non-decreasing distances") {
+    val rnd = new Random(101)
     for (_ <- 1 to 5) {
       val n = 1 + rnd.nextInt(12)
       val k = 1 + rnd.nextInt(15)
@@ -33,14 +36,15 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  private def randText(): String =
+  private def randText(rnd: Random): String =
     Seq.fill(rnd.nextInt(12))(
       Seq("alpha", "beta", "gamma", "delta", "the", "a")(rnd.nextInt(6))).mkString(" ")
 
   test("property: dedupDocuments key set equals distinct (source, text)") {
+    val rnd = new Random(102)
     for (_ <- 1 to 5) {
       val docs = (0 until 6).map(i =>
-        (i.toLong, randText(), "en", s"s${i % 2}", i.toLong))
+        (i.toLong, randText(rnd), "en", s"s${i % 2}", i.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       val once = CorpusOps.dedupDocuments(docs)
       assert(once.count() === docs.select("source", "text").distinct().count())
@@ -48,8 +52,9 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: embedSparse weights always form (rounded) unit vectors") {
+    val rnd = new Random(103)
     for (_ <- 1 to 5) {
-      val docs = (0 until 4).map(i => (i.toLong, randText()))
+      val docs = (0 until 4).map(i => (i.toLong, randText(rnd)))
         .filter(_._2.nonEmpty).toDF("doc_id", "text")
       val norms = EmbedOps.embedSparse(docs, dim = 8)
         .groupBy("doc_id").agg(sum($"weight" * $"weight").as("n2"))
@@ -59,6 +64,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: chunkParagraphs loses no tokens and keeps order") {
+    val rnd = new Random(104)
     for (_ <- 1 to 5) {
       val text = Seq.fill(1 + rnd.nextInt(40))(s"w${rnd.nextInt(20)}").mkString(" ")
       val w = 1 + rnd.nextInt(7)
@@ -70,8 +76,9 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: hashSplit is a total function with content-determined assignment") {
+    val rnd = new Random(105)
     for (_ <- 1 to 3) {
-      val docs = (0 until 30).map(i => (i.toLong, randText() + s" tail${i % 10}"))
+      val docs = (0 until 30).map(i => (i.toLong, randText(rnd) + s" tail${i % 10}"))
         .toDF("doc_id", "text")
       val out = TextOps.hashSplit(docs).collect()
       assert(out.length === 30) // total: every doc assigned
@@ -85,8 +92,9 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: edit similarity is symmetric, in [0,1], and 1 iff equal") {
+    val rnd = new Random(106)
     for (_ <- 1 to 3) {
-      val texts = (0 until 6).map(i => (i.toLong, randText() + " x")).toDF("doc_id", "text")
+      val texts = (0 until 6).map(i => (i.toLong, randText(rnd) + " x")).toDF("doc_id", "text")
       val pairs = (for (a <- 0 until 6; b <- 0 until 6 if a < b)
         yield (a.toLong, b.toLong)).toDF("a_id", "b_id")
       val flipped = pairs.select($"b_id".as("a_id"), $"a_id".as("b_id"))
@@ -104,6 +112,7 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: orderedSum equals plain sum on exactly-representable values") {
+    val rnd = new Random(107)
     for (_ <- 1 to 3) {
       val rows = (0 until 50).map(i => (i % 7, i.toLong, rnd.nextInt(1000).toDouble))
         .toDF("g", "k", "v").repartition(8)
@@ -117,9 +126,10 @@ class PropertySpec extends SparkSpec {
   }
 
   test("property: upsert ≡ delete + insert (app_callapi.py:140-153)") {
+    val rnd = new Random(108)
     for (_ <- 1 to 3) {
       val docs = (0 until 6).map(i =>
-        (i.toLong, randText(), "en", s"s${i % 3}", i.toLong))
+        (i.toLong, randText(rnd), "en", s"s${i % 3}", i.toLong))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
       val repl = Seq((99L, "new", "en", "s1", 3L))
         .toDF("doc_id", "text", "lang", "source", "n_chars")

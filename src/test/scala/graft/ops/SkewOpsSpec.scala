@@ -20,10 +20,14 @@ class SkewOpsSpec extends SparkSpec {
 
   test("salting actually spreads the hot key across salt values") {
     val skewed = (1 to 100).map(i => (1L, s"row$i")).toDF("k", "payload")
-    val nSalts = skewed
-      .withColumn("_salt", pmod(xxhash64($"payload"), lit(4)))
-      .select("_salt").distinct().count()
-    assert(nSalts > 1)
+    // the OPERATOR'S salt expression (SkewOps.saltOf — the same one
+    // saltedEquiJoin applies), not a test-local copy: a regression to
+    // a constant or key-derived salt must fail here
+    val salts = skewed
+      .withColumn("_salt", SkewOps.saltOf($"payload", 4))
+      .select("_salt").distinct().collect().map(_.getLong(0)).toSet
+    assert(salts.size > 1, "hot key not spread across salt values")
+    assert(salts.forall(s => s >= 0 && s < 4))
   }
 
   test("keySkewProfile surfaces the hot key with its share") {

@@ -8,28 +8,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 class DocCorpusSourceSpec extends SparkSpec {
   import spark.implicits._
 
-  private def makeDocx(paras: Seq[String]): Array[Byte] = {
-    val xml =
-      """<?xml version="1.0" encoding="UTF-8"?><w:document
-        | xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>""".stripMargin +
-        paras.map(p => s"<w:p><w:r><w:t>$p</w:t></w:r></w:p>").mkString +
-        "</w:body></w:document>"
-    val bos = new ByteArrayOutputStream()
-    val zip = new ZipOutputStream(bos)
-    zip.putNextEntry(new ZipEntry("word/document.xml"))
-    zip.write(xml.getBytes("UTF-8"))
-    zip.closeEntry(); zip.close()
-    bos.toByteArray
-  }
-
-  private def makePdf(content: String): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + content.length + " >>\nstream\n")
-      .getBytes("ISO-8859-1"))
-    bos.write(content.getBytes("ISO-8859-1"))
-    bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
-    bos.toByteArray
-  }
+  import TestFixtures.{makeDocx, makePdf}
 
   private def corpusDir(): String = {
     val dir = Files.createTempDirectory("doc_corpus").toFile

@@ -9,20 +9,7 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 class DocxSourceSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Minimal valid docx: a zip with word/document.xml. */
-  private def makeDocx(paras: Seq[String]): Array[Byte] = {
-    val body = paras
-      .map(p => s"""<w:p><w:r><w:t xml:space="preserve">$p</w:t></w:r></w:p>""")
-      .mkString
-    val xml =
-      s"""<?xml version="1.0"?><w:document><w:body>$body</w:body></w:document>"""
-    val bos = new ByteArrayOutputStream()
-    val zos = new ZipOutputStream(bos)
-    zos.putNextEntry(new ZipEntry("word/document.xml"))
-    zos.write(xml.getBytes("UTF-8"))
-    zos.closeEntry(); zos.close()
-    bos.toByteArray
-  }
+  import TestFixtures.makeDocx
 
   test("parseDocx extracts paragraph texts in order, multi-run and escaped") {
     val multiRun =
@@ -47,6 +34,9 @@ class DocxSourceSpec extends SparkSpec {
   }
 
   test("extractParagraphs drops blank paragraphs and keeps positional index") {
+    // basename identity is THIS source's contract (flat-directory
+    // scan — see DocParagraph scaladoc); recursive corpora go through
+    // DocCorpusSource's root-relative identity instead
     val files = Seq(RawFile("/data/report.docx", makeDocx(Seq("first", "  ", "third")))).toDS()
     val rows = extractParagraphs(files).collect().sortBy(_.para_idx)
     assert(rows.map(r => (r.source, r.para_idx, r.text)).toSeq ===

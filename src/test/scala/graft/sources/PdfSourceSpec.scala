@@ -9,25 +9,7 @@ import java.util.zip.Deflater
 class PdfSourceSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Minimal PDF with one content stream (optionally Flate-compressed). */
-  private def makePdf(content: String, compress: Boolean): Array[Byte] = {
-    val payload =
-      if (!compress) content.getBytes("ISO-8859-1")
-      else {
-        val d = new Deflater()
-        d.setInput(content.getBytes("ISO-8859-1")); d.finish()
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        out.toByteArray
-      }
-    val bos = new ByteArrayOutputStream()
-    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + payload.length +
-      " >>\nstream\n").getBytes("ISO-8859-1"))
-    bos.write(payload)
-    bos.write("\nendstream\nendobj\n%%EOF".getBytes("ISO-8859-1"))
-    bos.toByteArray
-  }
+  import TestFixtures.{deflate, makePdf}
 
   private val contentStream =
     """BT /F1 12 Tf (Hello \(PDF\) world) Tj ET
@@ -43,6 +25,13 @@ class PdfSourceSpec extends SparkSpec {
   test("decompresses FlateDecode streams via Inflater") {
     val texts = PdfSource.extractStreams(makePdf(contentStream, compress = true))
     assert(texts.length === 1 && texts.head.contains("Hello (PDF) world"))
+  }
+
+  test("undeclared-filter compressed streams still decode (blind inflate fallback)") {
+    // no /Filter entry at all: real writers sometimes omit it on
+    // object streams — the opportunistic inflate-else-raw path
+    val pdf = makeFilteredPdf(deflate(contentStream.getBytes("ISO-8859-1")), "")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
   }
 
   test("non-pdf and corrupt input yield empty, not exceptions") {
@@ -71,14 +60,7 @@ class PdfSourceSpec extends SparkSpec {
         |endcmap CMapName currentdict /CMap defineresource pop end end""".stripMargin
     val cmapPayload =
       if (!compressCmap) cmap.getBytes("ISO-8859-1")
-      else {
-        val d = new Deflater()
-        d.setInput(cmap.getBytes("ISO-8859-1")); d.finish()
-        val out = new ByteArrayOutputStream()
-        val buf = new Array[Byte](8192)
-        while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-        out.toByteArray
-      }
+      else deflate(cmap.getBytes("ISO-8859-1"))
     val content = "BT /F1 12 Tf <00010002> Tj [<0010> <0011>] TJ <0012> Tj ET"
     val bos = new ByteArrayOutputStream()
     // MULTI-DIGIT length object number: `/Length 14 0 R` must resolve
@@ -217,12 +199,8 @@ class PdfSourceSpec extends SparkSpec {
       makeFilteredPdf(hexed.getBytes("ISO-8859-1"), "/Filter /ASCIIHexDecode"))
     assert(t1.exists(_.contains("Hello (PDF) world")))
 
-    val d = new Deflater()
-    d.setInput(contentStream.getBytes("ISO-8859-1")); d.finish()
-    val out = new ByteArrayOutputStream()
-    val buf = new Array[Byte](8192)
-    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
-    val chained = out.toByteArray.map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val chained = deflate(contentStream.getBytes("ISO-8859-1"))
+      .map(b => "%02X".format(b & 0xff)).mkString + ">"
     val t2 = PdfSource.extractStreams(makeFilteredPdf(chained.getBytes("ISO-8859-1"),
       "/Filter [/ASCIIHexDecode /FlateDecode]"))
     assert(t2.exists(_.contains("Hello (PDF) world")))
