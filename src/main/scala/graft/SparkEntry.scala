@@ -225,6 +225,9 @@ object SparkEntry {
     "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir))),
     "approx_stats_check" -> ((s, dir) => RelationalOps.approxStatsCheck(Tables.events(s, dir))),
+    "events_outliers" -> ((s, dir) => RelationalOps.valueOutliers(Tables.events(s, dir))),
+    "pricing_correlation" -> ((s, dir) =>
+      RelationalOps.pricingCorrelation(Tables.lineitem(s, dir))),
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
     "set_except" -> ((s, dir) =>
       RelationalOps.exceptDocs(Tables.documents(s, dir), keepBelow = 300, dropBelow = 100)),
@@ -983,6 +986,18 @@ object SparkEntry {
         |  round(max(value), 6) + 0 AS max_value,
         |  round(avg(value), 6) + 0 AS avg_value
         |FROM events GROUP BY 1""".stripMargin,
+    "events_outliers" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+        |           FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type, round(e.value, 6) + 0 AS value,
+        |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
+        |FROM events e JOIN s USING (event_type)
+        |WHERE abs(e.value - s.mu) > 3.0 * s.sd""".stripMargin,
+    "pricing_correlation" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the sketches' tolerance booleans are pinned true: a drifting
     // HLL/quantile sketch breaks the hash gate
     "approx_stats_check" ->

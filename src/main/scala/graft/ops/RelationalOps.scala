@@ -199,6 +199,32 @@ object RelationalOps {
         col("qi").cast("long").as("qi"),
         roundn(col("v"), 6).as("quantile_value"))
 
+  /** Anomaly gate: events whose value sits more than `z` sample
+    * standard deviations from their type's mean — the data-quality
+    * screen a pipeline runs before aggregating telemetry. The per-type
+    * moments are a 5-row broadcast; the fact scan is filtered map-side
+    * (one pass + one tiny join, no second shuffle of the fact). */
+  def valueOutliers(events: DataFrame, z: Double = 3.0): DataFrame = {
+    val stats = events.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
+    events.join(broadcast(stats), "event_type")
+      .filter(abs(col("value") - col("mu")) > lit(z) * col("sd"))
+      .select(col("event_id"), col("event_type"),
+        roundn(col("value"), 6).as("value"),
+        roundn((col("value") - col("mu")) / col("sd"), 4).as("z_score"))
+  }
+
+  /** Correlation family: sample Pearson correlation of quantity vs
+    * extended price per return flag. corr is scale-normalized, so the
+    * partial-merge float noise in the co-moments cancels — safe at
+    * 6 dp where raw covariance (magnitude ~1e5 with ~1e-2 merge-order
+    * noise) would not be; that is why the query emits corr only. */
+  def pricingCorrelation(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy(col("l_returnflag"))
+      .agg(
+        roundn(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        count(lit(1)).as("n"))
+
   /** Approximate-statistics tier — the 100 TB form of
     * [[valuePercentiles]]/[[distinctUsers]] made TESTABLE: HLL++
     * (`approx_count_distinct`, rsd 1%) and the quantile sketch

@@ -163,8 +163,11 @@ class StreamingOpsSpec extends SparkSpec {
     // ProcessingTimeTimeout makes the engine request a follow-up batch
     // after EVERY batch (processing time always advances), so
     // processAllAvailable never sees quiescence — the TTL path must be
-    // driven by a timed trigger and observed by polling
-    val q = dedupedIngest(input.toDS(), ttl = Some("1 second")).writeStream
+    // driven by a timed trigger and observed by polling. The TTL must
+    // comfortably exceed inter-batch polling latency, or keys expire
+    // BETWEEN duplicate batches and the re-emitted "duplicates" are
+    // legitimate firsts (observed flake at 1 s).
+    val q = dedupedIngest(input.toDS(), ttl = Some("10 seconds")).writeStream
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("50 milliseconds"))
       .format("memory").queryName("dedup_ttl_out").outputMode("append").start()
     def eventually(what: String, deadlineMs: Long = 20000)(cond: => Boolean): Unit = {
@@ -195,8 +198,10 @@ class StreamingOpsSpec extends SparkSpec {
         assert(emitted === 10L + b, s"batch $b: a duplicate leaked through")
         assert(stateRows <= 10L + b, s"batch $b: state grew past the distinct-hash bound")
       }
-      // expiry: once the TTL passes, a later batch's timeout sweep
-      // removes the old keys — state does not accumulate forever
+      // expiry: once the TTL passes since the LAST re-arm, a later
+      // batch's timeout sweep removes the old keys — state does not
+      // accumulate forever
+      Thread.sleep(11000)
       input.addData(Doc(999L, "s", "fresh text"))
       eventually("fresh doc emitted")(emitted >= 14L)
       assert(emitted === 14L)
