@@ -25,15 +25,22 @@ import scala.collection.mutable.ArrayBuffer
   *  width taken from `begincodespacerange` (the path a Korean corpus
   *  like the reference's needs, app.py:21-24).
   *
-  *  LIMITS: encrypted files and image-codec filters (DCT/JPX) yield
-  *  NO text rows (extraction returns nothing for such streams — the
-  *  per-file containment rule, reference app_callapi.py:62-63);
-  *  LZW/Flate predictors are not applied (content streams don't use
-  *  them; xref streams that do carry no text); CID text without a
-  *  ToUnicode CMap (font-program-only mapping) cannot be recovered;
-  *  all ToUnicode CMaps in a file are merged (per-font resource
-  *  scoping is not tracked — collisions resolve first-wins, which is
-  *  exact for the overwhelmingly common one-composite-font case).
+  *  REAL (round 4): standard-security-handler decryption (ISO 32000
+  *  §7.6) for the empty-user-password case the reference's PyMuPDF
+  *  opens transparently (app.py:21-24) — RC4-40/RC4-128 (/V 1|2,
+  *  /R 2|3) and AES-128-CBC (/V 4 /CFM /AESV2, /R 4), with the /U
+  *  entry verified (algorithm 6) before any stream is trusted; and
+  *  PNG (/Predictor 10–15) and TIFF (/Predictor 2) predictor
+  *  application after Flate/LZW per the stream's /DecodeParms.
+  *
+  *  LIMITS: password-protected files (non-empty user password) and
+  *  AES-256 (/V 5, R5/R6) yield NO text rows, as do image-codec
+  *  filters (DCT/JPX) — the per-file containment rule, reference
+  *  app_callapi.py:62-63; CID text without a ToUnicode CMap
+  *  (font-program-only mapping) cannot be recovered; all ToUnicode
+  *  CMaps in a file are merged (per-font resource scoping is not
+  *  tracked — collisions resolve first-wins, which is exact for the
+  *  overwhelmingly common one-composite-font case).
   *
   * Same pipeline shape as [[DocxSource]]: listing-time glob prune →
   * per-partition parse (map-only; payloads never shuffle).
@@ -77,8 +84,18 @@ object PdfSource {
     try {
       if (!isPdf(bytes)) Seq.empty
       else {
-        val decoded = streamSegments(bytes).map { case (dict, seg) =>
-          new String(decodeStream(dict, seg), "ISO-8859-1")
+        val hay = new String(bytes, "ISO-8859-1") // 1:1 byte↔char
+        val enc = encryptionState(hay)
+        if (enc == EncUnreadable) return Seq.empty
+        val decoded = streamSegments(bytes, hay).map { seg =>
+          val payload = enc match {
+            // xref streams are never encrypted (ISO 32000 §7.5.8.2)
+            case EncKey(key, info) if !seg.dict.exists(_.contains("/XRef")) =>
+              decryptBytes(key, info, seg.objNum, seg.gen, seg.data)
+                .getOrElse(Array.emptyByteArray)
+            case _ => seg.data
+          }
+          new String(decodeStream(seg.dict, payload), "ISO-8859-1")
         }
         // one merged code→unicode map from every ToUnicode CMap in
         // the file (first-wins on collision; see scaladoc LIMITS),
@@ -102,23 +119,28 @@ object PdfSource {
 
   /** Apply the stream dict's `/Filter` chain. No declared filter →
     * opportunistic inflate with raw passthrough (uncompressed content
-    * streams); declared Flate/LZW/ASCIIHex decode for real; any other
-    * filter (DCT/JPX/Crypt/…) carries no recoverable text — the
-    * stream is dropped rather than surfacing binary junk as "text". */
+    * streams); declared Flate/LZW/ASCIIHex decode for real, with the
+    * matching `/DecodeParms` predictor (PNG 10–15, TIFF 2) applied
+    * after Flate/LZW; any other filter (DCT/JPX/Crypt/…) carries no
+    * recoverable text — the stream is dropped rather than surfacing
+    * binary junk as "text". */
   private[sources] def decodeStream(dict: Option[String], data: Array[Byte]): Array[Byte] = {
     val filters = dict.toSeq.flatMap(filterChain)
     if (filters.isEmpty) tryInflate(data).getOrElse(data)
-    else
-      filters.foldLeft(Option(data)) { (acc, f) =>
+    else {
+      val parms = dict.map(decodeParmsChain).getOrElse(Seq.empty)
+        .padTo(filters.length, None)
+      filters.zip(parms).foldLeft(Option(data)) { case (acc, (f, parm)) =>
         acc.flatMap(d => f match {
-          case "FlateDecode" | "Fl"      => tryInflate(d)
-          case "LZWDecode" | "LZW"       => lzwDecode(d)
+          case "FlateDecode" | "Fl"      => tryInflate(d).flatMap(applyPredictor(parm, _))
+          case "LZWDecode" | "LZW"       => lzwDecode(d).flatMap(applyPredictor(parm, _))
           case "ASCIIHexDecode" | "AHx"  => asciiHexDecode(d)
           case "ASCII85Decode" | "A85"   => ascii85Decode(d)
           case "RunLengthDecode" | "RL"  => runLengthDecode(d)
           case _                         => None
         })
       }.getOrElse(Array.emptyByteArray)
+    }
   }
 
   // single name (`/Filter /FlateDecode`) or array (`/Filter [/AHx /Fl]`)
@@ -127,6 +149,114 @@ object PdfSource {
   private def filterChain(dict: String): Seq[String] =
     FilterEntry.findFirstMatchIn(dict).toSeq.flatMap(m =>
       NameToken.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+
+  /** Per-filter `/DecodeParms` (alias `/DP`): a single dict applies to
+    * the first filter; an array pairs element-for-element with the
+    * `/Filter` array (`null` = no parms for that position). Returns
+    * the raw parm-dict text per filter position. */
+  private[sources] def decodeParmsChain(dict: String): Seq[Option[String]] = {
+    val key = """/(?:DecodeParms|DP)(?![A-Za-z])""".r
+    key.findFirstMatchIn(dict) match {
+      case None => Seq.empty
+      case Some(m) =>
+        var i = skipWs(dict, m.end)
+        if (dict.startsWith("<<", i)) Seq(Some(parseObjectAt(dict, i)._1))
+        else if (i < dict.length && dict.charAt(i) == '[') {
+          val out = ArrayBuffer.empty[Option[String]]
+          i += 1
+          var done = false
+          while (!done) {
+            i = skipWs(dict, i)
+            if (i >= dict.length || dict.charAt(i) == ']') done = true
+            else {
+              val (raw, next) = parseObjectAt(dict, i)
+              out += (if (raw.startsWith("<<")) Some(raw) else None)
+              i = next
+            }
+          }
+          out.toSeq
+        } else Seq.empty
+    }
+  }
+
+  private def intEntry(dict: String, name: String): Option[Int] =
+    (name.replace("/", "") match { case n => s"/$n\\s+(-?\\d+)".r })
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Undo the row predictor declared in a filter's `/DecodeParms`
+    * (ISO 32000 §7.4.4.4): /Predictor 2 = TIFF horizontal
+    * differencing (8-bit components), 10–15 = PNG row filters
+    * (None/Sub/Up/Average/Paeth, chosen per row by the leading tag
+    * byte). Returns None on malformed input — containment, like the
+    * filters themselves. */
+  private[sources] def applyPredictor(parm: Option[String], data: Array[Byte]): Option[Array[Byte]] =
+    parm match {
+      case None => Some(data)
+      case Some(p) =>
+        val pred = intEntry(p, "Predictor").getOrElse(1)
+        if (pred <= 1) Some(data)
+        else
+          try {
+            val colors = intEntry(p, "Colors").getOrElse(1)
+            val bpc = intEntry(p, "BitsPerComponent").getOrElse(8)
+            val columns = intEntry(p, "Columns").getOrElse(1)
+            val bpp = math.max(1, colors * bpc / 8)
+            val rowLen = (columns * colors * bpc + 7) / 8
+            if (pred == 2) {
+              if (bpc != 8) None // sub-byte TIFF differencing: not text-bearing
+              else {
+                val out = data.clone()
+                var r = 0
+                while (r < out.length) {
+                  val end = math.min(r + rowLen, out.length)
+                  var i = r + bpp
+                  while (i < end) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+                  r += rowLen
+                }
+                Some(out)
+              }
+            } else pngPredictor(data, bpp, rowLen)
+          } catch { case _: Exception => None }
+    }
+
+  /** PNG unfiltering: each row is `tag || rowLen bytes`; tags 0–4 =
+    * None/Sub/Up/Average/Paeth against the previous (unfiltered) row. */
+  private def pngPredictor(data: Array[Byte], bpp: Int, rowLen: Int): Option[Array[Byte]] = {
+    if (rowLen <= 0) return None
+    val out = new java.io.ByteArrayOutputStream()
+    val prev = new Array[Int](rowLen)
+    var pos = 0
+    while (pos < data.length) {
+      val tag = data(pos) & 0xff
+      val n = math.min(rowLen, data.length - pos - 1)
+      if (n <= 0) return Some(out.toByteArray) // trailing tag w/o payload
+      val row = new Array[Int](rowLen)
+      var i = 0
+      while (i < n) {
+        val x = data(pos + 1 + i) & 0xff
+        val left = if (i >= bpp) row(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        row(i) = tag match {
+          case 0 => x
+          case 1 => (x + left) & 0xff
+          case 2 => (x + up) & 0xff
+          case 3 => (x + (left + up) / 2) & 0xff
+          case 4 =>
+            val pp = left + up - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+            val pr = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (x + pr) & 0xff
+          case _ => return None
+        }
+        out.write(row(i))
+        i += 1
+      }
+      System.arraycopy(row, 0, prev, 0, rowLen)
+      pos += 1 + n
+    }
+    Some(out.toByteArray)
+  }
 
   /** PDF LZWDecode (ISO 32000 §7.4.4): MSB-first bit stream, 9→12-bit
     * codes, 256 = clear-table, 257 = EOD, one-early code-width change
@@ -186,6 +316,10 @@ object PdfSource {
       var i = 0
       var done = false
       def writeGroup(v: Long, nBytes: Int): Unit = {
+        // ISO 32000 §7.4.3: a group whose base-85 value exceeds
+        // 2^32−1 is a decode error — contain it rather than silently
+        // truncating to the low 32 bits (e.g. 'uuuuu')
+        if (v > 0xFFFFFFFFL) throw new IllegalArgumentException("ascii85 group > 2^32-1")
         val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
           ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
         out.write(bytes, 0, nBytes)
@@ -258,6 +392,13 @@ object PdfSource {
   private val DirectLen = """/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)""".r
   private val IndirectLen = """/Length\s+(\d+)\s+\d+\s+R""".r
 
+  /** One located stream: its dict, the enclosing `N G obj` numbers
+    * (needed for per-object decryption keys), and the payload. */
+  private[sources] case class StreamSeg(dict: Option[String], objNum: Int,
+                                        gen: Int, data: Array[Byte])
+
+  private val ObjHeader = """(\d+)\s+(\d+)\s+obj\b""".r
+
   /** Locate stream payloads. For each `stream` keyword the preceding
     * dict's `/Length` (direct, or indirect resolved against the
     * file's integer objects) gives the exact byte count — required
@@ -265,13 +406,23 @@ object PdfSource {
     * Falls back to the `endstream` scan when `/Length` is missing or
     * fails its sanity check (an `endstream` keyword must follow the
     * claimed extent). */
-  private def streamSegments(bytes: Array[Byte]): Seq[(Option[String], Array[Byte])] = {
-    val hay = new String(bytes, "ISO-8859-1") // 1:1 byte↔char
+  private def streamSegments(bytes: Array[Byte], hay: String): Seq[StreamSeg] = {
     // integer objects (`7 0 obj 1234 endobj`) for indirect /Length
     val intObjs: Map[Int, Int] =
       """(\d+)\s+\d+\s+obj\s+(\d+)\s+endobj""".r.findAllMatchIn(hay)
         .map(m => m.group(1).toInt -> m.group(2).toInt).toMap
-    val out = ArrayBuffer.empty[(Option[String], Array[Byte])]
+    // `N G obj` header positions in order; the enclosing object of a
+    // stream at position s is the last header starting before s
+    val headers = ObjHeader.findAllMatchIn(hay)
+      .map(m => (m.start, m.group(1).toInt, m.group(2).toInt)).toArray
+    var hdrIdx = 0
+    def enclosing(pos: Int): (Int, Int) = {
+      while (hdrIdx + 1 < headers.length && headers(hdrIdx + 1)._1 < pos) hdrIdx += 1
+      if (headers.nonEmpty && headers(hdrIdx)._1 < pos)
+        (headers(hdrIdx)._2, headers(hdrIdx)._3)
+      else (0, 0)
+    }
+    val out = ArrayBuffer.empty[StreamSeg]
     var from = 0
     while ({ val s = hay.indexOf("stream", from); s >= 0 } ) {
       val s = hay.indexOf("stream", from)
@@ -297,15 +448,16 @@ object PdfSource {
               .forall(c => c == '\r' || c == '\n' || c == ' ') =>
             dataStart + n
         }
+        val (objNum, gen) = enclosing(s)
         endByLen match {
           case Some(e) =>
-            out += (dict -> java.util.Arrays.copyOfRange(bytes, dataStart, e))
+            out += StreamSeg(dict, objNum, gen, java.util.Arrays.copyOfRange(bytes, dataStart, e))
             from = hay.indexOf("endstream", e) + "endstream".length
           case None =>
             val e = hay.indexOf("endstream", dataStart)
             if (e < 0) from = hay.length
             else {
-              out += (dict -> java.util.Arrays.copyOfRange(bytes, dataStart, e))
+              out += StreamSeg(dict, objNum, gen, java.util.Arrays.copyOfRange(bytes, dataStart, e))
               from = e + "endstream".length
             }
         }
@@ -344,6 +496,330 @@ object PdfSource {
       }
       inf.end()
       Some(out.toByteArray)
+    } catch { case _: Exception => None }
+
+  // ---- Minimal PDF object tokenizer (dict entries, strings) ----
+  // Regexes over dict text break down once values nest (the /Encrypt
+  // dict's /CF sub-dict carries its own /Length) or carry binary
+  // string bytes, so encryption parsing uses a real tokenizer.
+
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && (s.charAt(i).isWhitespace || s.charAt(i) == 0)) i += 1
+    i
+  }
+
+  /** Parse one PDF object starting at `start` (which must not be
+    * whitespace): literal/hex string, dict, array, name, or bare
+    * token (number / bool / null / `N G R` indirect ref). Returns the
+    * raw text and the index one past it. */
+  private[sources] def parseObjectAt(s: String, start: Int): (String, Int) = {
+    val c = s.charAt(start)
+    if (c == '(') {
+      var depth = 1
+      var i = start + 1
+      while (i < s.length && depth > 0) {
+        s.charAt(i) match {
+          case '\\' => i += 1 // skip escaped char
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      (s.substring(start, i), i)
+    } else if (s.startsWith("<<", start)) {
+      var depth = 1
+      var i = start + 2
+      while (i < s.length && depth > 0) {
+        if (s.charAt(i) == '(') i = parseObjectAt(s, i)._2 // strings may hold << >>
+        else if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (s.startsWith(">>", i)) { depth -= 1; i += 2 }
+        else i += 1
+      }
+      (s.substring(start, i), i)
+    } else if (c == '<') {
+      val e = s.indexOf('>', start + 1)
+      val end = if (e < 0) s.length else e + 1
+      (s.substring(start, end), end)
+    } else if (c == '[') {
+      var i = start + 1
+      var done = false
+      while (!done && i < s.length) {
+        i = skipWs(s, i)
+        if (i >= s.length || s.charAt(i) == ']') { done = true; if (i < s.length) i += 1 }
+        else i = parseObjectAt(s, i)._2
+      }
+      (s.substring(start, i), i)
+    } else if (c == '/') {
+      var i = start + 1
+      while (i < s.length && !isDelim(s.charAt(i))) i += 1
+      (s.substring(start, i), i)
+    } else {
+      var i = start
+      while (i < s.length && !isDelim(s.charAt(i))) i += 1
+      val tok = s.substring(start, i)
+      // `N G R` indirect reference: consume all three tokens
+      if (tok.nonEmpty && tok.forall(_.isDigit)) {
+        val j = skipWs(s, i)
+        var k = j
+        while (k < s.length && s.charAt(k).isDigit) k += 1
+        if (k > j) {
+          val l = skipWs(s, k)
+          if (l < s.length && s.charAt(l) == 'R' &&
+            (l + 1 >= s.length || isDelim(s.charAt(l + 1))))
+            return (s.substring(start, l + 1), l + 1)
+        }
+      }
+      (tok, i)
+    }
+  }
+
+  private def isDelim(c: Char): Boolean =
+    c.isWhitespace || c == 0 || "()<>[]{}/%".indexOf(c) >= 0
+
+  /** Top-level `/Name value` entries of a `<< … >>` dict (raw value
+    * text); nested dict values come back as their full `<< … >>`. */
+  private[sources] def dictEntries(dict: String): Map[String, String] = {
+    val out = scala.collection.mutable.Map.empty[String, String]
+    val open = dict.indexOf("<<")
+    if (open < 0) return Map.empty
+    var i = open + 2
+    var done = false
+    while (!done) {
+      i = skipWs(dict, i)
+      if (i >= dict.length || dict.startsWith(">>", i)) done = true
+      else if (dict.charAt(i) == '/') {
+        val (name, afterName) = parseObjectAt(dict, i)
+        val j = skipWs(dict, afterName)
+        if (j >= dict.length || dict.startsWith(">>", j)) {
+          out(name.drop(1)) = ""; done = true
+        } else {
+          val (v, after) = parseObjectAt(dict, j)
+          out(name.drop(1)) = v; i = after
+        }
+      } else i += 1 // skip junk
+    }
+    out.toMap
+  }
+
+  /** PDF string token (`(…)` with escapes or `<hex>`) → raw bytes. */
+  private[sources] def pdfStringBytes(raw: String): Option[Array[Byte]] = {
+    val t = raw.trim
+    if (t.startsWith("(")) {
+      val out = new java.io.ByteArrayOutputStream()
+      var i = 1
+      var depth = 1
+      while (i < t.length && depth > 0) {
+        val c = t.charAt(i)
+        if (c == '\\' && i + 1 < t.length) {
+          t.charAt(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case '\n' => i += 2 // line continuation
+            case '\r' => i += (if (i + 2 < t.length && t.charAt(i + 2) == '\n') 3 else 2)
+            case d if d >= '0' && d <= '7' =>
+              val end = math.min(i + 4, t.length)
+              var j = i + 1
+              while (j < end && t.charAt(j) >= '0' && t.charAt(j) <= '7') j += 1
+              out.write(Integer.parseInt(t.substring(i + 1, j), 8) & 0xff)
+              i = j
+            case other => out.write(other & 0xff); i += 2
+          }
+        } else if (c == '(') { depth += 1; out.write(c); i += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) out.write(c); i += 1 }
+        else { out.write(c & 0xff); i += 1 }
+      }
+      Some(out.toByteArray)
+    } else if (t.startsWith("<") && !t.startsWith("<<")) {
+      val hex0 = t.drop(1).takeWhile(_ != '>').filterNot(_.isWhitespace)
+      if (!hex0.forall(c => Character.digit(c, 16) >= 0)) None
+      else {
+        val hex = if (hex0.length % 2 == 1) hex0 + "0" else hex0
+        Some(hex.grouped(2).map(p => Integer.parseInt(p, 16).toByte).toArray)
+      }
+    } else None
+  }
+
+  // ---- Standard security handler (ISO 32000 §7.6.3) ----
+  // The reference opens encrypted PDFs transparently when the user
+  // password is empty (PyMuPDF default, app.py:21-24). Same contract
+  // here: derive the file key from the empty user password, verify it
+  // against /U, and decrypt streams per-object; anything else
+  // (non-empty password, AES-256) is contained as no-rows.
+
+  private val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[sources] case class EncryptInfo(v: Int, r: Int, keyBytes: Int,
+    o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte],
+    encryptMetadata: Boolean, aes: Boolean, streamsEncrypted: Boolean)
+
+  private[sources] sealed trait EncState
+  private[sources] case object EncNone extends EncState
+  /** Encrypted and readable: the verified file key plus dict info. */
+  private[sources] case class EncKey(key: Array[Byte], info: EncryptInfo) extends EncState
+  /** Encrypted but not readable with an empty user password (or an
+    * unsupported scheme) — the whole file yields no rows. */
+  private[sources] case object EncUnreadable extends EncState
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 (hand-rolled: no provider/policy dependency). */
+  private[sources] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    i = 0; j = 0
+    var k = 0
+    while (k < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private val EncryptRef = """/Encrypt\s+(\d+)\s+(\d+)\s+R""".r
+  private val IdEntry = """/ID\s*\[""".r
+
+  /** Detect and classify the file's encryption: None / readable with
+    * the empty user password (key attached) / unreadable. */
+  private[sources] def encryptionState(hay: String): EncState = {
+    // last trailer wins (incremental updates append)
+    val ref = EncryptRef.findAllMatchIn(hay).toSeq.lastOption
+    val inline = if (ref.isEmpty) {
+      // rare inline form: `/Encrypt <<…>>`
+      val m = """/Encrypt\s*(?=<<)""".r.findAllMatchIn(hay).toSeq.lastOption
+      m.map(mm => parseObjectAt(hay, skipWs(hay, mm.end))._1)
+    } else None
+    if (ref.isEmpty && inline.isEmpty) return EncNone
+    try {
+      val dictText = inline.getOrElse {
+        val Seq(num, gen) = Seq(ref.get.group(1), ref.get.group(2))
+        val hdr = s"""(?<![0-9])$num\\s+$gen\\s+obj\\b""".r
+          .findFirstMatchIn(hay).getOrElse(return EncUnreadable)
+        parseObjectAt(hay, skipWs(hay, hdr.end))._1
+      }
+      parseEncryptInfo(dictText, hay) match {
+        case Some(info) =>
+          val key = fileKey(info)
+          if (emptyUserPasswordMatches(key, info)) EncKey(key, info) else EncUnreadable
+        case None => EncUnreadable
+      }
+    } catch { case _: Exception => EncUnreadable }
+  }
+
+  /** Parse the /Encrypt dict (+ first /ID element from the trailer).
+    * None = unsupported scheme. */
+  private[sources] def parseEncryptInfo(dictText: String, hay: String): Option[EncryptInfo] = {
+    val e = dictEntries(dictText)
+    if (!e.get("Filter").forall(_ == "/Standard")) return None
+    val v = e.get("V").map(_.trim.toInt).getOrElse(0)
+    val r = e.get("R").map(_.trim.toInt).getOrElse(return None)
+    if (v < 1 || v > 4 || r < 2 || r > 4) return None // AES-256 (V5/R5-6) unsupported
+    val o = e.get("O").flatMap(pdfStringBytes).getOrElse(return None)
+    val u = e.get("U").flatMap(pdfStringBytes).getOrElse(return None)
+    if (o.length < 32 || u.length < 16) return None
+    val p = e.get("P").map(_.trim.toLong.toInt).getOrElse(return None)
+    val keyBytes = if (v == 1) 5 else e.get("Length").map(_.trim.toInt / 8).getOrElse(5)
+    val encMeta = e.get("EncryptMetadata").forall(_.trim != "false")
+    // V4: the /StmF crypt filter (through /CF) decides stream handling
+    val (aes, streamsEnc) =
+      if (v < 4) (false, true)
+      else {
+        val stmF = e.get("StmF").map(_.drop(1)).getOrElse("Identity")
+        if (stmF == "Identity") (false, false)
+        else {
+          val cfm = for {
+            cf <- e.get("CF")
+            std <- dictEntries(cf).get(stmF)
+            m <- dictEntries(std).get("CFM")
+          } yield m.drop(1)
+          cfm match {
+            case Some("AESV2") => (true, true)
+            case Some("V2")    => (false, true)
+            case Some("None") | None => (false, false)
+            case _ => return None // AESV3 etc.
+          }
+        }
+      }
+    // first /ID element from the last trailer that declares one
+    val id0 = IdEntry.findAllMatchIn(hay).toSeq.lastOption.flatMap { m =>
+      val i = skipWs(hay, m.end - 0) // m ends right after '['
+      try pdfStringBytes(parseObjectAt(hay, i)._1) catch { case _: Exception => None }
+    }.getOrElse(Array.emptyByteArray)
+    Some(EncryptInfo(v, r, keyBytes, o.take(32), u, p, id0, encMeta, aes, streamsEnc))
+  }
+
+  /** Algorithm 2: file encryption key from the (empty) user password. */
+  private[sources] def fileKey(info: EncryptInfo): Array[Byte] = {
+    val n = if (info.r == 2) 5 else info.keyBytes
+    val pLE = Array[Byte]((info.p & 0xff).toByte, ((info.p >> 8) & 0xff).toByte,
+      ((info.p >> 16) & 0xff).toByte, ((info.p >> 24) & 0xff).toByte)
+    val noMeta: Array[Byte] =
+      if (info.r >= 4 && !info.encryptMetadata) Array(-1, -1, -1, -1) else Array.emptyByteArray
+    var h = md5(PasswordPad, info.o, pLE, info.id0, noMeta)
+    if (info.r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+    h.take(n)
+  }
+
+  /** Algorithm 6 (via 4/5): does the derived key reproduce /U? */
+  private[sources] def emptyUserPasswordMatches(key: Array[Byte], info: EncryptInfo): Boolean =
+    if (info.r == 2)
+      java.util.Arrays.equals(rc4(key, PasswordPad), info.u.take(32))
+    else {
+      var x = md5(PasswordPad, info.id0)
+      for (i <- 0 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+      java.util.Arrays.equals(x, info.u.take(16))
+    }
+
+  /** Algorithm 1: per-object key (MD5 of key ‖ objNum LE3 ‖ gen LE2,
+    * plus the `sAlT` marker for AESV2). */
+  private[sources] def objectKey(key: Array[Byte], objNum: Int, gen: Int,
+                                 aes: Boolean): Array[Byte] = {
+    val ext = Array[Byte]((objNum & 0xff).toByte, ((objNum >> 8) & 0xff).toByte,
+      ((objNum >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    val salt: Array[Byte] = if (aes) Array(0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    md5(key, ext, salt).take(math.min(key.length + 5, 16))
+  }
+
+  /** Decrypt one stream payload: RC4, or AES-128-CBC with the leading
+    * 16 bytes as IV and PKCS#5 padding. None on malformed ciphertext
+    * (containment) or when /StmF is Identity. */
+  private[sources] def decryptBytes(key: Array[Byte], info: EncryptInfo,
+                                    objNum: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] =
+    try {
+      if (!info.streamsEncrypted) Some(data)
+      else {
+        val ok = objectKey(key, objNum, gen, info.aes)
+        if (!info.aes) Some(rc4(ok, data))
+        else if (data.length < 32 || (data.length - 16) % 16 != 0) None
+        else {
+          val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(ok, "AES"),
+            new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOf(data, 16)))
+          Some(c.doFinal(data, 16, data.length - 16))
+        }
+      }
     } catch { case _: Exception => None }
 
   // ---- ToUnicode CMap parsing (CID/Type0 composite fonts) ----

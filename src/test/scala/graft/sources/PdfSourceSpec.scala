@@ -298,6 +298,276 @@ class PdfSourceSpec extends SparkSpec {
     }
   }
 
+  // ---- Predictors (/DecodeParms, ISO 32000 §7.4.4.4) ----
+
+  /** Test-side PNG row filter encoder: applies filter `tag` per row
+    * (cycling when tag < 0) — the inverse of PdfSource's unfilter. */
+  private def pngEncode(data: Array[Byte], rowLen: Int, bpp: Int, tag: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var prev = new Array[Int](rowLen)
+    var r = 0
+    var rowIdx = 0
+    while (r < data.length) {
+      val n = math.min(rowLen, data.length - r)
+      val row = Array.tabulate(n)(i => data(r + i) & 0xff)
+      val t = if (tag >= 0) tag else rowIdx % 5
+      out.write(t)
+      for (i <- 0 until n) {
+        val left = if (i >= bpp) row(i - bpp) else 0
+        val up = prev(i)
+        val ul = if (i >= bpp) prev(i - bpp) else 0
+        val x = row(i)
+        val f = t match {
+          case 0 => x
+          case 1 => (x - left) & 0xff
+          case 2 => (x - up) & 0xff
+          case 3 => (x - (left + up) / 2) & 0xff
+          case 4 =>
+            val pp = left + up - ul
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - ul)
+            val pr = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (x - pr) & 0xff
+        }
+        out.write(f)
+      }
+      prev = row.padTo(rowLen, 0)
+      r += n
+      rowIdx += 1
+    }
+    out.toByteArray
+  }
+
+  test("PNG predictor: every row filter (None/Sub/Up/Average/Paeth) unfilters exactly") {
+    val data = (0 until 640).map(i => ((i * 31 + i / 13) % 251).toByte).toArray
+    for (tag <- Seq(0, 1, 2, 3, 4, -1)) { // -1 = cycle tags across rows
+      val enc = pngEncode(data, rowLen = 16, bpp = 1, tag = tag)
+      val dec = PdfSource.applyPredictor(Some("<< /Predictor 12 /Columns 16 >>"), enc)
+      assert(dec.map(_.toSeq) === Some(data.toSeq), s"tag=$tag")
+    }
+  }
+
+  test("PNG predictor honors Colors/BitsPerComponent (bpp > 1) and partial last rows") {
+    val data = (0 until 90).map(i => (i * 7 % 256).toByte).toArray // not a row multiple
+    val enc = pngEncode(data, rowLen = 24, bpp = 3, tag = 4)
+    val dec = PdfSource.applyPredictor(
+      Some("<< /Predictor 15 /Colors 3 /BitsPerComponent 8 /Columns 8 >>"), enc)
+    assert(dec.map(_.toSeq) === Some(data.toSeq))
+  }
+
+  test("TIFF predictor 2 undoes horizontal differencing") {
+    val data = "the quick brown fox jumps over the lazy dog 0123456789".getBytes("ISO-8859-1")
+    val rowLen = 16
+    val enc = data.clone()
+    // difference each row right-to-left so lefts stay original
+    var r = 0
+    while (r < enc.length) {
+      val end = math.min(r + rowLen, enc.length)
+      var i = end - 1
+      while (i > r) { enc(i) = (enc(i) - enc(i - 1)).toByte; i -= 1 }
+      r += rowLen
+    }
+    val dec = PdfSource.applyPredictor(Some("<< /Predictor 2 /Columns 16 >>"), enc)
+    assert(dec.map(new String(_, "ISO-8859-1")) === Some(new String(data, "ISO-8859-1")))
+  }
+
+  test("predictor-wrapped FlateDecode content stream round-trips text end-to-end") {
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val pdf = makeFilteredPdf(deflate(pngEncode(raw, rowLen = 16, bpp = 1, tag = 2)),
+      "/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 16 >>")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("/DecodeParms array pairs with the /Filter array (null = no parms)") {
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val payload = deflate(pngEncode(raw, rowLen = 16, bpp = 1, tag = 2))
+      .map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val pdf = makeFilteredPdf(payload.getBytes("ISO-8859-1"),
+      "/Filter [/ASCIIHexDecode /FlateDecode] " +
+        "/DecodeParms [null << /Predictor 12 /Columns 16 >>]")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("LZWDecode with /DP predictor applies after decompression") {
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val pdf = makeFilteredPdf(lzwEncode(pngEncode(raw, rowLen = 16, bpp = 1, tag = 1)),
+      "/Filter /LZWDecode /DP << /Predictor 11 /Columns 16 >>")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("ascii85Decode rejects groups whose value exceeds 2^32-1") {
+    assert(PdfSource.ascii85Decode("uuuuu~>".getBytes("ISO-8859-1")) === None)
+    // boundary: 's8W-!' == 0xFFFFFFFF stays valid
+    assert(PdfSource.ascii85Decode("s8W-!~>".getBytes("ISO-8859-1"))
+      .map(_.toSeq) === Some(Seq[Byte](-1, -1, -1, -1)))
+  }
+
+  // ---- Encryption (standard security handler, ISO 32000 §7.6) ----
+  // The fixture encryptor below is an INDEPENDENT implementation of
+  // algorithms 2/3/4/5 written from the spec, so a key-derivation bug
+  // in PdfSource cannot cancel out against its own test.
+
+  private object Enc {
+    val pad: Array[Byte] = Array(
+      0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+      0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+      0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+    def md5(b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+    // independent RC4 (table copy + functional swap, unlike the prod loop)
+    def rc4(key: Array[Byte], in: Array[Byte]): Array[Byte] = {
+      var S = (0 until 256).toVector
+      var j = 0
+      for (i <- 0 until 256) {
+        j = (j + S(i) + (key(i % key.length) & 0xff)) % 256
+        S = S.updated(i, S(j)).updated(j, S(i))
+      }
+      var (x, y) = (0, 0)
+      in.map { b =>
+        x = (x + 1) % 256
+        y = (y + S(x)) % 256
+        S = S.updated(x, S(y)).updated(y, S(x))
+        (b ^ S((S(x) + S(y)) % 256)).toByte
+      }
+    }
+    def padPw(pw: Array[Byte]): Array[Byte] = (pw ++ pad).take(32)
+    def computeO(ownerPw: String, r: Int, n: Int): Array[Byte] = {
+      var h = md5(padPw(ownerPw.getBytes("ISO-8859-1")))
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+      val key = h.take(n)
+      var o = rc4(key, padPw(Array.emptyByteArray)) // empty USER password
+      if (r >= 3) for (i <- 1 to 19) o = rc4(key.map(b => (b ^ i).toByte), o)
+      o
+    }
+    def fileKey(o: Array[Byte], p: Int, id0: Array[Byte], r: Int, n: Int): Array[Byte] = {
+      val pLE = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+        ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+      var h = md5(padPw(Array.emptyByteArray) ++ o ++ pLE ++ id0)
+      if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+      h.take(n)
+    }
+    def computeU(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+      if (r == 2) rc4(key, pad)
+      else {
+        var x = md5(pad ++ id0)
+        for (i <- 0 to 19) x = rc4(key.map(b => (b ^ i).toByte), x)
+        x ++ new Array[Byte](16) // 32-byte entry: arbitrary 16-byte tail
+      }
+    def objKey(key: Array[Byte], num: Int, gen: Int, aes: Boolean): Array[Byte] = {
+      val ext = Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+        ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+      val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+      md5(key ++ ext ++ salt).take(math.min(key.length + 5, 16))
+    }
+    def aesEncrypt(key: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+      val iv = Array.tabulate[Byte](16)(i => (i * 17 + 3).toByte)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(plain)
+    }
+    def hex(b: Array[Byte]): String = "<" + b.map(x => "%02X".format(x & 0xff)).mkString + ">"
+  }
+
+  /** Build a one-content-stream PDF encrypted for the empty user
+    * password. mode: "rc4-40" (V1/R2), "rc4-128" (V2/R3), "aes" (V4/R4
+    * /AESV2). Owner password is non-empty to prove it isn't needed. */
+  private def makeEncryptedPdf(content: String, mode: String,
+                               breakU: Boolean = false): Array[Byte] = {
+    val (v, r, bits) = mode match {
+      case "rc4-40"  => (1, 2, 40)
+      case "rc4-128" => (2, 3, 128)
+      case "aes"     => (4, 4, 128)
+    }
+    val n = bits / 8
+    val p = -3904
+    val id0 = Array.tabulate[Byte](16)(i => (i * 29 + 5).toByte)
+    val o = Enc.computeO("owner-secret", r, n)
+    val key = Enc.fileKey(o, p, id0, r, n)
+    val u0 = Enc.computeU(key, id0, r)
+    val u = if (breakU) u0.map(b => (b ^ 0x55).toByte) else u0
+    val objK = Enc.objKey(key, 1, 0, aes = mode == "aes")
+    val payload =
+      if (mode == "aes") Enc.aesEncrypt(objK, content.getBytes("ISO-8859-1"))
+      else Enc.rc4(objK, content.getBytes("ISO-8859-1"))
+    // /CF deliberately BEFORE the top-level /Length: a regex grabbing
+    // the first /Length would read the nested crypt-filter length (16)
+    val encDict =
+      if (v < 4)
+        s"<< /Filter /Standard /V $v /R $r ${if (v == 2) s"/Length $bits " else ""}" +
+          s"/O ${Enc.hex(o)} /U ${Enc.hex(u)} /P $p >>"
+      else
+        s"<< /Filter /Standard /V 4 /R 4 " +
+          s"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> " +
+          s"/StmF /StdCF /StrF /StdCF /Length $bits " +
+          s"/O ${Enc.hex(o)} /U ${Enc.hex(u)} /P $p >>"
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + payload.length +
+      " >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(payload)
+    bos.write(("\nendstream\nendobj\n5 0 obj\n" + encDict + "\nendobj\n" +
+      "trailer\n<< /Root 9 0 R /Encrypt 5 0 R /ID [" + Enc.hex(id0) + " " +
+      Enc.hex(id0) + "] >>\n%%EOF").getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("encrypted PDFs (RC4-40, RC4-128, AES-128) extract the same text as plaintext twins") {
+    val plaintext = PdfSource.extractStreams(makePdf(contentStream, compress = false))
+      .filter(_.trim.nonEmpty)
+    assert(plaintext.nonEmpty)
+    for (mode <- Seq("rc4-40", "rc4-128", "aes")) {
+      val texts = PdfSource.extractStreams(makeEncryptedPdf(contentStream, mode))
+        .filter(_.trim.nonEmpty)
+      assert(texts === plaintext, s"mode=$mode")
+    }
+  }
+
+  test("a non-empty user password (U mismatch) contains the whole file as no-rows") {
+    for (mode <- Seq("rc4-40", "rc4-128", "aes")) {
+      val pdf = makeEncryptedPdf(contentStream, mode, breakU = true)
+      assert(PdfSource.extractStreams(pdf) === Seq.empty, s"mode=$mode")
+    }
+  }
+
+  test("unsupported AES-256 (/V 5) is contained as no-rows, not garbage") {
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n(x) Tj padpadpad\nendstream\n" +
+      "endobj\n5 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /O <00> /U <00> /P -3904 " +
+      ">>\nendobj\ntrailer\n<< /Encrypt 5 0 R >>\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfSource.extractStreams(pdf) === Seq.empty)
+  }
+
+  test("malformed AES ciphertext is contained per-stream") {
+    val info = PdfSource.EncryptInfo(4, 4, 16, new Array[Byte](32), new Array[Byte](32),
+      -3904, Array.emptyByteArray, encryptMetadata = true, aes = true, streamsEncrypted = true)
+    val key = new Array[Byte](16)
+    // not a block multiple / shorter than IV+1 block → None, no throw
+    assert(PdfSource.decryptBytes(key, info, 1, 0, new Array[Byte](37)) === None)
+    assert(PdfSource.decryptBytes(key, info, 1, 0, new Array[Byte](16)) === None)
+    // random "ciphertext" with a bad pad byte → None (BadPadding contained)
+    val junk = Array.tabulate[Byte](48)(i => (i * 73 + 11).toByte)
+    assert(PdfSource.decryptBytes(key, info, 1, 0, junk).isEmpty ||
+      PdfSource.decryptBytes(key, info, 1, 0, junk).get.length < 32) // never throws
+    // end-to-end: corrupting ciphertext never throws (partial text may
+    // survive — same contract as binary corruption in plaintext PDFs)
+    val pdf = makeEncryptedPdf(contentStream, "aes")
+    val idx = new String(pdf, "ISO-8859-1").indexOf("stream\n") + 24
+    pdf(idx) = (pdf(idx) ^ 0x7f).toByte
+    PdfSource.extractStreams(pdf) // must not throw
+  }
+
+  test("dictEntries tokenizer: nested dicts, hex strings, refs, names") {
+    val d = "<< /V 4 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /Length 128 " +
+      "/O <41424344> /Next 7 0 R /Flag true >>"
+    val e = PdfSource.dictEntries(d)
+    assert(e("V") === "4")
+    assert(e("Length") === "128") // top-level, not the nested 16
+    assert(!e.contains("CFM")) // nested keys not hoisted to the top level
+    assert(e("Next") === "7 0 R")
+    assert(PdfSource.pdfStringBytes(e("O")).map(new String(_, "ISO-8859-1")) === Some("ABCD"))
+    assert(PdfSource.pdfStringBytes("(a\\(b\\)c\\101)").map(new String(_, "ISO-8859-1"))
+      === Some("a(b)cA"))
+  }
+
   test("end-to-end: scan directory → per-stream text rows") {
     val dir = Files.createTempDirectory("pdf_src").toFile
     val f = new FileOutputStream(new java.io.File(dir, "doc.pdf"))
