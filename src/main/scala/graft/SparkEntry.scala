@@ -162,13 +162,18 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
-    // count at build time (23 at sf0.01's N=500, more at sf0.1 —
+    // count at build time (23 at sf0.01's N=500, 71 at sf0.1 —
     // hash-matching at BOTH SFs proves the policy, not a constant),
-    // seeded from the first k vectors, 2 Lloyd rounds
+    // seeded from the first k vectors, 2 Lloyd rounds; the probe
+    // budget derives from the cell count too (probePolicy: nProbe =
+    // max(2, ceil(cells/16)), nAssign = 2), so recall holds as cells
+    // grow with sqrt(N) instead of decaying at fixed constants
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = 2, k = 3,
-        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+      val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
+      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
+        centroids = Some(cent), nAssign = nAssign)
     }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
@@ -391,7 +396,8 @@ object SparkEntry {
       |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
       |c0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
       |       FROM dims WHERE vec_id < (SELECT k FROM kk)),
-      |cd1 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+      |cd1 AS (SELECT d.vec_id, c.c_id,
+      |          round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
       |        FROM dims d JOIN c0 c USING (dim) GROUP BY 1, 2),
       |a1 AS (SELECT vec_id, c_id FROM (
       |         SELECT vec_id, c_id,
@@ -399,7 +405,8 @@ object SparkEntry {
       |         FROM cd1) WHERE rn = 1),
       |c1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
       |       FROM dims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
-      |cd2 AS (SELECT d.vec_id, c.c_id, round(sum((d.x - c.cv)^2), 6) + 0 AS dist
+      |cd2 AS (SELECT d.vec_id, c.c_id,
+      |          round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
       |        FROM dims d JOIN c1 c USING (dim) GROUP BY 1, 2),
       |a2 AS (SELECT vec_id, c_id FROM (
       |         SELECT vec_id, c_id,
@@ -408,7 +415,8 @@ object SparkEntry {
       |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
       |         FROM dims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
       |cd AS (
-      |  SELECT d.vec_id, c.c_label, round(sum((d.x - c.cv)^2), 6) + 0 AS cdist
+      |  SELECT d.vec_id, c.c_label,
+      |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
       |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
       |ranked AS (
       |  SELECT vec_id, c_label,
@@ -553,13 +561,18 @@ object SparkEntry {
          |FROM c JOIN lang USING (doc_id)""".stripMargin,
     // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
     // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))
+    // probe budget mirrors VectorOps.probePolicy: nAssign = 2,
+    // nProbe = greatest(3, ceil(cells/16)) with cells = k from kk
     "ann_ivf" ->
       s"""WITH $duckSqrtCells,
-         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
          |probes AS (SELECT vec_id AS query_id, c_label FROM ranked
-         |           WHERE rn <= 2 AND vec_id < 10),
+         |           WHERE rn <= greatest(3, CAST(ceil((SELECT k FROM kk) / 16.0) AS BIGINT))
+         |             AND vec_id < 10),
          |cand AS (
-         |  SELECT p.query_id, a.vec_id
+         |  -- DISTINCT: with nAssign=2 a (query, vec) pair can meet in
+         |  -- two cells (Spark side deduplicates identically)
+         |  SELECT DISTINCT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a USING (c_label)
          |  WHERE a.vec_id <> p.query_id),
          |scored AS (
@@ -763,9 +776,12 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
     "json_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    // vec_id-ordered fold ÷ count — the deterministic-mean twin of
+    // VectorOps.meanPoolByLabel's orderedSum
     "mean_pool" ->
       """SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
-        |       round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS centroid_val
+        |       round(sum(CAST(embedding[u.i] AS DOUBLE) ORDER BY vec_id)
+        |             / count(*), 6) + 0 AS centroid_val
         |FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
         |GROUP BY label, dim""".stripMargin,
     "embed_text" ->
@@ -992,7 +1008,7 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, round(e.value, 6) + 0 AS value,
         |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
         |FROM events e JOIN s USING (event_type)
-        |WHERE abs(e.value - s.mu) > 3.0 * s.sd""".stripMargin,
+        |WHERE round(abs(e.value - s.mu) - 3.0 * s.sd, 6) + 0 > 0""".stripMargin,
     "pricing_correlation" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,

@@ -203,12 +203,17 @@ object RelationalOps {
     * standard deviations from their type's mean — the data-quality
     * screen a pipeline runs before aggregating telemetry. The per-type
     * moments are a 5-row broadcast; the fact scan is filtered map-side
-    * (one pass + one tiny join, no second shuffle of the fact). */
+    * (one pass + one tiny join, no second shuffle of the fact).
+    * The boundary predicate compares a ROUNDED excess: mu/sd are float
+    * aggregates whose low bits depend on partial-merge order, so a row
+    * sitting exactly on the z·sd boundary could otherwise flip
+    * membership between runs/engines (the same flake class
+    * VectorMath.orderedSum kills for sparse sums). */
   def valueOutliers(events: DataFrame, z: Double = 3.0): DataFrame = {
     val stats = events.groupBy(col("event_type"))
       .agg(avg(col("value")).as("mu"), stddev_samp(col("value")).as("sd"))
     events.join(broadcast(stats), "event_type")
-      .filter(abs(col("value") - col("mu")) > lit(z) * col("sd"))
+      .filter(roundn(abs(col("value") - col("mu")) - lit(z) * col("sd"), 6) > 0)
       .select(col("event_id"), col("event_type"),
         roundn(col("value"), 6).as("value"),
         roundn((col("value") - col("mu")) / col("sd"), 4).as("z_score"))

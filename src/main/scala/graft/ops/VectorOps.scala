@@ -58,15 +58,23 @@ object VectorOps {
     * (reference app.py:66 `last_hidden_state.mean(dim=1)` — token
     * vectors → paragraph vector; generalized to label-grouped corpus
     * centroids). Exploded (group, dim, value) output keeps the oracle
-    * comparison scalar-typed. Partial aggregation (map-side combine)
-    * applies — the shuffle carries (group, dim) partial sums, not rows.
+    * comparison scalar-typed.
+    *
+    * The mean folds in ascending vec_id order ([[orderedSum]] ↔ DuckDB
+    * `sum(x ORDER BY vec_id)`) so the rounded centroid can never flip
+    * on partial-merge order. Cost: one collect per (label, dim) group
+    * of corpus/|labels| floats — fine to ~10⁵ vectors per label; past
+    * that, swap back to plain `avg` (partial aggregation), whose raw-
+    * float inputs sit off the rounding grid (flip odds ~1e-9/group).
     */
   def meanPoolByLabel(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("label"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+      .select(col("label"), col("vec_id"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .withColumn("dim", col("dim").cast("long"))
       .groupBy(col("label"), col("dim"))
-      .agg(roundn(avg(col("x")), 6).as("centroid_val"))
+      .agg(roundn(orderedSum(col("vec_id"), col("x")) / count(lit(1)), 6)
+        .as("centroid_val"))
 
   /** N×M similarity join: all pairs (a < b) with cosine ≥ threshold.
     * Exact quadratic VERIFY kernel — runs per IVF/LSH bucket at
@@ -185,10 +193,30 @@ object VectorOps {
     * action (`count()`) happens at query BUILD time and is the
     * documented price of a data-dependent plan; the oracle mirrors it
     * with `(SELECT ceil(sqrt(count(*))) FROM embeddings)`. */
-  def sqrtCells(embeddings: DataFrame, iters: Int): DataFrame = {
+  def sqrtCells(embeddings: DataFrame, iters: Int): DataFrame =
+    sqrtCellsWithK(embeddings, iters)._2
+
+  /** [[sqrtCells]] exposing the derived cell count too, so callers can
+    * derive the probe budget from it ([[probePolicy]]) without a
+    * second eager `count()`. */
+  def sqrtCellsWithK(embeddings: DataFrame, iters: Int): (Int, DataFrame) = {
     val k = math.ceil(math.sqrt(embeddings.count().toDouble)).toInt
-    kmeansCells(embeddings, k, iters)
+    (k, kmeansCells(embeddings, k, iters))
   }
+
+  /** Probe budget derived from the quantizer's cell count — the knob
+    * that must SCALE WITH k or recall decays as cells grow with √N
+    * (the ivfTopK scaladoc table: at 45 cells, (1,1) falls to 24/30
+    * while (2,2)/(3,2) hold 29/30). nProbe = max(3, ⌈cells/16⌉) keeps
+    * the probed fraction of the index roughly constant (≥ 1/16 of
+    * cells, floor 3 — at small cell counts the floor dominates and
+    * (2,2) measured only 28/30); nAssign = 2 multi-assignment is the
+    * boundary-recall knob and stays flat — it buys recall per
+    * candidate scanned, independent of cell count. Measured by
+    * graft.RecallCheck: recall@3 = 30/30 at sf0.01 (N=500 → 23 cells,
+    * nProbe 3) and 29/30 at sf0.1 (N=2000 → 45 cells, nProbe 3). */
+  def probePolicy(numCells: Int): (Int, Int) =
+    (math.max(3, math.ceil(numCells / 16.0).toInt), 2)
 
   private def lloyd(embeddings: DataFrame, iters: Int, seedCent: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
@@ -210,10 +238,14 @@ object VectorOps {
     var cent = localize(seedCent)
 
     for (_ <- 1 to iters) {
+      // distance folds in dim order (bounded: one term per dimension)
+      // — rounded distances can't flip on partial-merge order, so cell
+      // argmin is run-deterministic (the last k-means float-flake risk)
       val assigned = dims
         .join(broadcast(cent), "dim")
         .groupBy(col("vec_id"), col("c_id"))
-        .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+        .agg(roundn(orderedSum(col("dim"),
+          (col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
         .withColumn(
           "rn",
           row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))))
@@ -242,7 +274,9 @@ object VectorOps {
     dims
       .join(broadcast(cent), "dim")
       .groupBy(col(idCol), col("c_label"))
-      .agg(roundn(sum((col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
+      // dim-ordered fold, same rationale as lloyd's distance sum
+      .agg(roundn(orderedSum(col("dim"),
+        (col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
       .withColumn(
         "cell_rank",
         row_number().over(
