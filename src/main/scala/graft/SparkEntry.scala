@@ -938,13 +938,15 @@ object SparkEntry {
         |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |  count(*) FILTER (WHERE event_type = 'view') AS n_view
         |FROM events GROUP BY 1""".stripMargin,
+    // least(d, 65) mirrors the engine's banded cap=64 sentinel (cap+1)
     "dedup_edit_distance" ->
       s"""WITH $duckToks,
          |$duckShingles,
          |$duckLshCand
          |SELECT c.a_id, c.b_id,
-         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
-         |  round(1.0 - levenshtein(da.text, db.text)
+         |  least(CAST(levenshtein(da.text, db.text) AS BIGINT), 65) AS edit_dist,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) <= 64 AS within_band,
+         |  round(1.0 - least(CAST(levenshtein(da.text, db.text) AS BIGINT), 65)
          |        / greatest(length(da.text), length(db.text)), 6) + 0 AS edit_sim
          |FROM cand c
          |JOIN documents da ON da.doc_id = c.a_id

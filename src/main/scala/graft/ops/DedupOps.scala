@@ -273,18 +273,32 @@ object DedupOps {
     * candidate pairs, the fuzzy-match complement to token-set Jaccard
     * (catches single-character noise/OCR drift that token shingles
     * amplify). Like every quadratic kernel here it runs ONLY
-    * downstream of a candidate generator; Levenshtein itself is
-    * O(|a|·|b|) per pair, so the candidate count is the scale lever.
-    * Output: (a_id, b_id, edit_dist, edit_sim) with
-    * edit_sim = 1 − dist/max(len). */
-  def editDistanceVerify(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    * downstream of a candidate generator.
+    *
+    * BANDED: distance runs through Spark's threshold form
+    * `levenshtein(a, b, cap)` — the banded early-exit algorithm
+    * (O(cap·min(len)) instead of O(|a|·|b|)) inside UTF8String, fully
+    * codegen'd, so a far pair of ~1 kB texts costs ~cap/len of the
+    * full DP table. A near-dup verifier only needs exactness NEAR
+    * zero: pairs farther than `cap` edits report the SENTINEL
+    * edit_dist = cap+1 (a floor on the true distance, mirrored in the
+    * oracle via `least(levenshtein(…), cap+1)`), within_band = false,
+    * and an edit_sim computed from the capped distance (an upper
+    * bound — "this pair is not a near-dup", not a measurement).
+    * Output: (a_id, b_id, edit_dist, within_band, edit_sim) with
+    * edit_sim = 1 − capped_dist/max(len). */
+  def editDistanceVerify(docs: DataFrame, pairs: DataFrame, cap: Int = 64): DataFrame = {
     val t = docs.select(col("doc_id"), col("text"))
     pairs.select(col("a_id"), col("b_id"))
       .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
-        roundn(lit(1.0) - levenshtein(col("ta"), col("tb")) /
+      // threshold form returns -1 beyond the band → sentinel cap+1
+      .withColumn("edit_dist",
+        when(levenshtein(col("ta"), col("tb"), cap) === -1, cap + 1)
+          .otherwise(levenshtein(col("ta"), col("tb"), cap)).cast("long"))
+      .select(col("a_id"), col("b_id"), col("edit_dist"),
+        (col("edit_dist") <= cap).as("within_band"),
+        roundn(lit(1.0) - col("edit_dist") /
           greatest(length(col("ta")), length(col("tb"))).cast("double"), 6).as("edit_sim"))
   }
 

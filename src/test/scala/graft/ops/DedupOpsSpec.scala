@@ -131,6 +131,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(out((0L, 2L)).getAs[Long]("edit_dist") === 0L)
     assert(out((0L, 2L)).getAs[Double]("edit_sim") === 1.0)
     assert(math.abs(out((0L, 1L)).getAs[Double]("edit_sim") - (1.0 - 3.0 / 7)) < 1e-6)
+    assert(out((0L, 1L)).getAs[Boolean]("within_band") && out((0L, 2L)).getAs[Boolean]("within_band"))
+  }
+
+  test("editDistanceVerify band: beyond-cap pairs report the cap+1 sentinel, in-band stay exact") {
+    val base = (0 until 200).map(i => ('a' + i % 23).toChar).mkString // 200 chars
+    val near = base.updated(7, 'Z').updated(90, 'Q') // distance 2
+    val far = (0 until 200).map(i => ('A' + (i * 7) % 26).toChar).mkString // distance >> 64
+    val d = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("a_id", "b_id")
+    val out = DedupOps.editDistanceVerify(d, pairs, cap = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    assert(out((0L, 1L)).getAs[Long]("edit_dist") === 2L)
+    assert(out((0L, 1L)).getAs[Boolean]("within_band"))
+    assert(out((0L, 2L)).getAs[Long]("edit_dist") === 65L) // sentinel = cap+1
+    assert(!out((0L, 2L)).getAs[Boolean]("within_band"))
+    // sentinel edit_sim is the documented clamp: 1 - (cap+1)/maxlen
+    assert(math.abs(out((0L, 2L)).getAs[Double]("edit_sim") - (1.0 - 65.0 / 200)) < 1e-6)
   }
 
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
