@@ -40,7 +40,16 @@ object VectorAggregators {
 
       // null/empty vectors contribute NOTHING and are not counted —
       // the same semantics as the relational explode/avg form, where
-      // a row with no dims never reaches the aggregate
+      // a row with no dims never reaches the aggregate.
+      // RAGGED inputs (unequal non-zero lengths) are where the two
+      // forms deliberately DIVERGE: here every dim divides by the
+      // TOTAL vector count (short vectors contribute implicit zeros),
+      // while the exploded form averages each dim over only the
+      // vectors that carry it. Zero-padding is the token-pooling
+      // semantics (a padded position is a zero contribution, the
+      // reference's mean(dim=1) over a padded batch); per-dim counts
+      // would silently up-weight dims that few vectors have. Equal-
+      // length inputs — every real embedding corpus — agree exactly.
       override def reduce(b: MeanBuf, a: Array[Float]): MeanBuf =
         if (a == null || a.isEmpty) b
         else (addInto(b._1, a.map(_.toDouble)), b._2 + 1)

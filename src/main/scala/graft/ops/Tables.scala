@@ -30,24 +30,39 @@ object Tables {
     * PlansDump / SparkSpec) set it at session build and take the
     * first branch. The conf must hold at ACTION time (planning
     * captures it into the scan's Hadoop conf), which is why a
-    * set-then-restore around the lazy read would be wrong. */
+    * set-then-restore around the lazy read would be wrong.
+    *
+    * The configured child is MEMOIZED per parent session (weak keys:
+    * an entry dies with its parent) — repeated events() calls from an
+    * external session reuse one child instead of accumulating
+    * sessions and re-copying confs per call. Runtime confs are thus
+    * captured at FIRST use; a caller changing session confs between
+    * events() calls should set nanosAsLong itself and take the first
+    * branch. */
+  private val childSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, SparkSession]())
+
   def events(spark: SparkSession, dir: String): DataFrame = {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val s =
       if (spark.conf.getOption(key).contains("true")) spark
-      else {
+      else childSessions.computeIfAbsent(spark, _ => {
         val child = spark.newSession()
         // newSession starts from SparkConf defaults, NOT the caller's
         // runtime confs — copy them over so the events scan runs under
         // the same settings (timezone, rebase modes, partition sizing)
         // as every other load in the caller's program, plus the flag.
-        // Static/read-only confs reject the set; skip those.
+        // Static/read-only confs reject the set (AnalysisException,
+        // e.g. "Cannot modify the value of a static config"); skip
+        // those, propagate anything unexpected.
         spark.conf.getAll.foreach { case (k, v) =>
-          try child.conf.set(k, v) catch { case _: Exception => () }
+          try child.conf.set(k, v)
+          catch { case _: org.apache.spark.sql.AnalysisException => () }
         }
         child.conf.set(key, "true")
         child
-      }
+      })
     load(s, dir, "events")
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")

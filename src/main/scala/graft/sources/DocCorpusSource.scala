@@ -29,6 +29,14 @@ import org.apache.spark.util.SerializableConfiguration
   *  - `maxFileBytes` (default 256 MiB): files above the bound yield
   *    NO rows instead of buffering an executor into OOM — per-file
   *    containment, same rule as a corrupt payload.
+  *  - `manifest`: path to a parquet metadata table with a `path`
+  *    column (and optional `length`) — the LAKE-SCALE alternative to
+  *    walking the directory: listing becomes a two-column columnar
+  *    scan of the manifest instead of one filesystem RPC per
+  *    directory, exactly how table formats (Delta/Iceberg/Hive
+  *    manifests) list many-million-file datasets. The filename
+  *    acceptance rule still applies; rows without `length` defer the
+  *    size bound to the streaming re-check in the reader.
   *
   * Scale shape: one input partition PER FILE (Spark schedules files
   * across executors; payload bytes are read and parsed executor-side,
@@ -39,9 +47,10 @@ import org.apache.spark.util.SerializableConfiguration
   * narrowed ReadSchema in explain output). The session's Hadoop conf
   * is captured at planning into a [[SerializableConfiguration]] so
   * executor-side opens see the same filesystem settings (S3/ABFS
-  * credentials, custom schemes) the driver listed with. Listing is a
-  * driver-side RemoteIterator walk — fine for a documents corpus; a
-  * many-million-file lake would move listing into a metadata table.
+  * credentials, custom schemes) the driver listed with. Default
+  * listing is a driver-side RemoteIterator walk — fine for a
+  * documents corpus; at lake scale pass `manifest` and no directory
+  * walk happens at all.
   */
 class DocCorpusSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -75,10 +84,12 @@ class DocCorpusTable(path: String) extends Table with SupportsRead {
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new DocCorpusScanBuilder(path,
       options.getBoolean("recursive", true),
-      options.getLong("maxFileBytes", DocCorpusSource.DefaultMaxFileBytes))
+      options.getLong("maxFileBytes", DocCorpusSource.DefaultMaxFileBytes),
+      Option(options.get("manifest")))
 }
 
-class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long)
+class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
+                           manifest: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with Scan with Batch {
 
   private var required: StructType = DocCorpusSource.Schema
@@ -93,23 +104,45 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long)
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+    val spark = SparkSession.active
     // source identity = path RELATIVE to the load root, not the bare
     // basename: with recursive listing two subdirectories can hold
     // same-named files, and a basename identity would merge them in
     // every downstream dedup/upsert keyed on `source` (flat dirs are
     // unaffected — relative path ≡ basename there)
-    val rootPrefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    val it = fs.listFiles(p, recursive)
-    while (it.hasNext) {
-      val st = it.next()
-      val full = st.getPath.toString
-      val rel = if (full.startsWith(rootPrefix)) full.substring(rootPrefix.length)
-                else st.getPath.getName
-      if (DocCorpusSource.accepted(st.getPath.getName))
-        files += ((full, rel, st.getLen))
+    def relOf(full: String, rootPrefix: String, name: String): String =
+      if (full.startsWith(rootPrefix)) full.substring(rootPrefix.length) else name
+    val files: Seq[(String, String, Long)] = manifest match {
+      case Some(m) =>
+        // lake path: no filesystem walk — (path[, length]) come from
+        // the metadata table; the load root only anchors identities.
+        // Paths may be qualified URIs or plain; try both prefixes.
+        val plainPrefix = path.stripSuffix("/") + "/"
+        val df = spark.read.parquet(m)
+        val withLen =
+          if (df.schema.fieldNames.contains("length"))
+            df.selectExpr("path", "CAST(length AS LONG) AS length")
+          else df.selectExpr("path", "CAST(-1 AS LONG) AS length") // unknown: reader stream-checks
+        withLen.collect().toSeq.map { r =>
+          val full = r.getString(0)
+          val name = full.substring(full.lastIndexOf('/') + 1)
+          (full, relOf(full, plainPrefix, name), r.getLong(1), name)
+        }.collect { case (full, rel, len, name) if DocCorpusSource.accepted(name) =>
+          (full, rel, len)
+        }
+      case None =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val rootPrefix = fs.makeQualified(p).toString.stripSuffix("/") + "/"
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val it = fs.listFiles(p, recursive)
+        while (it.hasNext) {
+          val st = it.next()
+          val full = st.getPath.toString
+          if (DocCorpusSource.accepted(st.getPath.getName))
+            out += ((full, relOf(full, rootPrefix, st.getPath.getName), st.getLen))
+        }
+        out.toSeq
     }
     files.sortBy(_._2)
       .map { case (f, rel, len) => DocFilePartition(f, rel, len): InputPartition }

@@ -94,4 +94,35 @@ class DocCorpusSourceSpec extends SparkSpec {
       .load(dir.getAbsolutePath).select("source").collect().map(_.getString(0)).toSet
     assert(names === Set("ok.pdf"))
   }
+
+  test("manifest listing: 10k synthetic paths plan without any driver directory walk") {
+    // the load root does NOT exist — a listing walk would throw; the
+    // manifest must be the only path source
+    val mDir = Files.createTempDirectory("doc_manifest").toFile
+    val mPath = new java.io.File(mDir, "manifest.parquet").getAbsolutePath
+    (0 until 10000).map(i => (s"/no/such/root/part=${i % 64}/doc_$i.pdf", 1000L + i))
+      .toDF("path", "length").write.parquet(mPath)
+    val sb = new DocCorpusScanBuilder("/no/such/root", recursive = true,
+      maxFileBytes = DocCorpusSource.DefaultMaxFileBytes, manifest = Some(mPath))
+    val parts = sb.planInputPartitions()
+    assert(parts.length === 10000)
+    val p0 = parts.head.asInstanceOf[DocFilePartition]
+    // identity is load-root-relative; declared length carried through
+    assert(p0.relPath.startsWith("part=") && p0.length >= 1000L)
+  }
+
+  test("manifest is authoritative: only manifested files read, walk-visible files ignored") {
+    val dir = corpusDir()
+    val mDir = Files.createTempDirectory("doc_manifest2").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    // list ONLY b.pdf (a.docx is on disk but not manifested); also a
+    // lock file and a .txt to prove the acceptance rule still applies,
+    // and no `length` column to exercise the unknown-length path
+    Seq(s"$dir/b.pdf", s"$dir/~$$a.docx", s"$dir/notes.txt")
+      .toDF("path").write.parquet(mPath)
+    val rows = spark.read.format("graft.sources.DocCorpusSource")
+      .option("manifest", mPath).load(dir)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("b.pdf", "pdf text here")))
+  }
 }
