@@ -162,12 +162,13 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
-    // count at build time (23 at sf0.01's N=500, 71 at sf0.1 —
-    // hash-matching at BOTH SFs proves the policy, not a constant),
-    // seeded from the first k vectors, 2 Lloyd rounds; the probe
-    // budget derives from the cell count too (probePolicy: nProbe =
-    // max(2, ceil(cells/16)), nAssign = 2), so recall holds as cells
-    // grow with sqrt(N) instead of decaying at fixed constants
+    // count at build time (23 at sf0.01's N=500, 45 at sf0.1's
+    // N=2000 — hash-matching at BOTH SFs proves the policy, not a
+    // constant), seeded from the first k vectors, 2 Lloyd rounds; the
+    // probe budget derives from the cell count too (probePolicy:
+    // nProbe = max(3, ceil(cells/16)), nAssign = 2), so recall holds
+    // as cells grow with sqrt(N) instead of decaying at fixed
+    // constants
     "ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
@@ -776,12 +777,12 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
     "json_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
-    // vec_id-ordered fold ÷ count — the deterministic-mean twin of
-    // VectorOps.meanPoolByLabel's orderedSum
+    // plain-avg twin of VectorOps.meanPoolByLabel — raw-float inputs
+    // sit off the 6dp rounding grid, so engine-order differences in
+    // the sum cannot flip the rounded mean in practice
     "mean_pool" ->
       """SELECT label, CAST(u.i - 1 AS BIGINT) AS dim,
-        |       round(sum(CAST(embedding[u.i] AS DOUBLE) ORDER BY vec_id)
-        |             / count(*), 6) + 0 AS centroid_val
+        |       round(avg(CAST(embedding[u.i] AS DOUBLE)), 6) + 0 AS centroid_val
         |FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)
         |GROUP BY label, dim""".stripMargin,
     "embed_text" ->

@@ -60,21 +60,21 @@ object VectorOps {
     * centroids). Exploded (group, dim, value) output keeps the oracle
     * comparison scalar-typed.
     *
-    * The mean folds in ascending vec_id order ([[orderedSum]] ↔ DuckDB
-    * `sum(x ORDER BY vec_id)`) so the rounded centroid can never flip
-    * on partial-merge order. Cost: one collect per (label, dim) group
-    * of corpus/|labels| floats — fine to ~10⁵ vectors per label; past
-    * that, swap back to plain `avg` (partial aggregation), whose raw-
-    * float inputs sit off the rounding grid (flip odds ~1e-9/group).
+    * Plain partial-aggregated `avg` over RAW floats: the inputs sit
+    * off the 6-decimal rounding grid, so a partial-merge-order flip of
+    * the rounded mean has ~1e-9/group odds — cheap codegen'd hash
+    * aggregation is the right trade here. (Order-hardened
+    * [[orderedSum]] is reserved for sums of already-ROUNDED values,
+    * which land on grid boundaries systematically — sparse cosine
+    * scores, search weights.)
     */
   def meanPoolByLabel(embeddings: DataFrame): DataFrame =
     embeddings
-      .select(col("label"), col("vec_id"),
+      .select(col("label"),
         posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
       .withColumn("dim", col("dim").cast("long"))
       .groupBy(col("label"), col("dim"))
-      .agg(roundn(orderedSum(col("vec_id"), col("x")) / count(lit(1)), 6)
-        .as("centroid_val"))
+      .agg(roundn(avg(col("x")), 6).as("centroid_val"))
 
   /** N×M similarity join: all pairs (a < b) with cosine ≥ threshold.
     * Exact quadratic VERIFY kernel — runs per IVF/LSH bucket at
@@ -221,66 +221,78 @@ object VectorOps {
   private def lloyd(embeddings: DataFrame, iters: Int, seedCent: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    // dims feeds BOTH steps of every iteration — persist once
-    val dims = embeddings
-      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
-      .withColumn("dim", col("dim").cast("long"))
+    // the narrow (vec_id, dense-array) projection feeds the assignment
+    // kernel every iteration; the exploded view derives from it for
+    // the per-dim mean update — persist the projection once
+    val vecs = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .persist()
+    def dims = vecs
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "x")))
+      .withColumn("dim", col("dim").cast("long"))
 
-    // centroids are k·dims rows: materialize them to the driver each
-    // iteration (the standard k-means-on-Spark shape) — otherwise the
-    // lineage nests one broadcast join per iteration and the final
-    // plan re-derives the explode ~2× per iteration
-    def localize(df: DataFrame): DataFrame =
-      df.select(col("c_id"), col("dim"), col("cv"))
-        .as[(Long, Long, Double)].collect().toSeq.toDF("c_id", "dim", "cv")
+    // centroids are k rows of dims doubles: materialize to the driver
+    // each iteration (the standard k-means-on-Spark shape) as DENSE
+    // arrays — the broadcast side of the codegen'd FastL2Sq kernel.
+    // A single-row array fold involves no aggregation, hence no
+    // partial-merge order to harden against: deterministic by
+    // construction, in ascending dim order like the oracle's
+    // sum(... ORDER BY dim).
+    def localizeDense(df: DataFrame): Seq[(Long, Seq[Double])] =
+      df.select(col("c_id"), col("dim"), col("cv")).as[(Long, Long, Double)]
+        .collect().toSeq.groupBy(_._1).toSeq
+        .map { case (id, rows) => (id, rows.sortBy(_._2).map(_._3)) }
+        .sortBy(_._1)
 
-    var cent = localize(seedCent)
+    var cent = localizeDense(seedCent)
 
     for (_ <- 1 to iters) {
-      // distance folds in dim order (bounded: one term per dimension)
-      // — rounded distances can't flip on partial-merge order, so cell
-      // argmin is run-deterministic (the last k-means float-flake risk)
-      val assigned = dims
-        .join(broadcast(cent), "dim")
-        .groupBy(col("vec_id"), col("c_id"))
-        .agg(roundn(orderedSum(col("dim"),
-          (col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("d"))
+      // map-only N×k distance rows through whole-stage codegen;
+      // distances rounded before the argmin, ties on c_id — cell
+      // assignment is run-deterministic
+      val assigned = vecs
+        .crossJoin(broadcast(cent.toDF("c_id", "cvec")))
+        .withColumn("d", roundn(fastL2Sq(col("e"), col("cvec")), 6))
         .withColumn(
           "rn",
           row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("d"), col("c_id"))))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id"))
-      cent = localize(
+      cent = localizeDense(
         dims
           .join(assigned, "vec_id")
           .groupBy(col("c_id"), col("dim"))
           .agg(roundn(avg(col("x")), 6).as("cv")))
     }
-    dims.unpersist()
-    cent
+    vecs.unpersist()
+    cent.flatMap { case (id, arr) =>
+      arr.zipWithIndex.map { case (v, d) => (id, d.toLong, v) }
+    }.toDF("c_id", "dim", "cv")
   }
 
-  /** Nearest-cells ranking per vector via exploded-dim equi-join on
-    * dim: the relational form of argmin distance to `cent` — no array
-    * rebuild, one shuffle keyed by (id, label). Output: (idCol,
-    * c_label, cdist, cell_rank). Shared by [[ivfTopK]] and
-    * [[similarityJoinIvf]]. */
+  /** Nearest-cells ranking per vector: broadcast the k centroids as
+    * DENSE arrays and evaluate the codegen'd [[fastL2Sq]] kernel over
+    * the map-only N×k cross join — no dim explosion, no aggregation
+    * (a single-row array fold in ascending dim order is bit-equal to
+    * the oracle's `sum((x-cv)^2 ORDER BY dim)` and deterministic by
+    * construction). The only shuffle is the per-id rank window.
+    * Output: (idCol, c_label, cdist, cell_rank). Shared by [[ivfTopK]]
+    * and [[similarityJoinIvf]]. */
   def cellRanks(df: DataFrame, cent: DataFrame, idCol: String): DataFrame = {
-    val dims = df.select(
-      col("vec_id").as(idCol),
-      posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
-      .withColumn("dim", col("dim").cast("long"))
-    dims
-      .join(broadcast(cent), "dim")
-      .groupBy(col(idCol), col("c_label"))
-      // dim-ordered fold, same rationale as lloyd's distance sum
-      .agg(roundn(orderedSum(col("dim"),
-        (col("x") - col("cv")) * (col("x") - col("cv"))), 6).as("cdist"))
+    // densify the exploded (c_label, dim, cv) interchange form into k
+    // broadcastable rows (c_label, cvec): the per-label collect is
+    // bounded by the dimension count, never by data size
+    val dense = cent.groupBy(col("c_label")).agg(
+      transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        s => s.getField("cv")).as("cvec"))
+    df.select(col("vec_id").as(idCol), asDouble(col("embedding")).as("e"))
+      .crossJoin(broadcast(dense))
+      .withColumn("cdist", roundn(fastL2Sq(col("e"), col("cvec")), 6))
       .withColumn(
         "cell_rank",
         row_number().over(
           Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("c_label"))))
+      .select(col(idCol), col("c_label"), col("cdist"), col("cell_rank"))
   }
 
   /** IVF-style approximate top-k — the 100 TB scale path for
