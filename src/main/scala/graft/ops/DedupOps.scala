@@ -292,10 +292,13 @@ object DedupOps {
     pairs.select(col("a_id"), col("b_id"))
       .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
       .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+      // ONE banded evaluation projected before use (a non-cheap
+      // expression referenced more than once keeps its own projection
+      // — no reliance on codegen CSE to dedupe the DP kernel);
       // threshold form returns -1 beyond the band → sentinel cap+1
+      .withColumn("lev", levenshtein(col("ta"), col("tb"), cap))
       .withColumn("edit_dist",
-        when(levenshtein(col("ta"), col("tb"), cap) === -1, cap + 1)
-          .otherwise(levenshtein(col("ta"), col("tb"), cap)).cast("long"))
+        when(col("lev") === -1, cap + 1).otherwise(col("lev")).cast("long"))
       .select(col("a_id"), col("b_id"), col("edit_dist"),
         (col("edit_dist") <= cap).as("within_band"),
         roundn(lit(1.0) - col("edit_dist") /

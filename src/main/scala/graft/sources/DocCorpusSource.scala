@@ -38,11 +38,18 @@ import org.apache.spark.util.SerializableConfiguration
   *    acceptance rule still applies; rows without `length` defer the
   *    size bound to the streaming re-check in the reader.
   *
-  * Scale shape: one input partition PER FILE (Spark schedules files
-  * across executors; payload bytes are read and parsed executor-side,
-  * never shipped through the driver — the filename filter is applied
+  * Scale shape: listed files BIN-PACK into size-bounded input
+  * partitions (the `FilePartition#maxSplitBytes` policy: target =
+  * min(maxPartitionBytes, max(openCostInBytes, totalCost/parallelism)),
+  * each file costed at length + openCostInBytes) — a million ~10 KB
+  * manifest entries schedule as ~thousands of tasks, not a million,
+  * while payload bytes are still read and parsed executor-side and
+  * never shipped through the driver. The filename filter is applied
   * at LISTING time on the driver, so rejected files are never even
-  * scheduled). The ScanBuilder implements column pruning —
+  * scheduled. Per-file containment survives packing: a corrupt,
+  * over-limit or vanished file yields zero rows without failing the
+  * files sharing its partition. The ScanBuilder implements column
+  * pruning —
   * `select(source)` never materializes paragraph text (visible as the
   * narrowed ReadSchema in explain output). The session's Hadoop conf
   * is captured at planning into a [[SerializableConfiguration]] so
@@ -117,13 +124,16 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
         // lake path: no filesystem walk — (path[, length]) come from
         // the metadata table; the load root only anchors identities.
         // Paths may be qualified URIs or plain; try both prefixes.
+        // Real metadata tables carry nullable columns: null paths are
+        // unlistable (dropped), null lengths coalesce to the -1
+        // unknown-length sentinel the reader stream-checks.
         val plainPrefix = path.stripSuffix("/") + "/"
         val df = spark.read.parquet(m)
         val withLen =
           if (df.schema.fieldNames.contains("length"))
-            df.selectExpr("path", "CAST(length AS LONG) AS length")
+            df.selectExpr("path", "coalesce(CAST(length AS LONG), CAST(-1 AS LONG)) AS length")
           else df.selectExpr("path", "CAST(-1 AS LONG) AS length") // unknown: reader stream-checks
-        withLen.collect().toSeq.map { r =>
+        withLen.where("path IS NOT NULL").collect().toSeq.map { r =>
           val full = r.getString(0)
           val name = full.substring(full.lastIndexOf('/') + 1)
           (full, relOf(full, plainPrefix, name), r.getLong(1), name)
@@ -144,10 +154,41 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
         }
         out.toSeq
     }
-    files.sortBy(_._2)
-      .map { case (f, rel, len) => DocFilePartition(f, rel, len): InputPartition }
-      .toArray
+    // bin-pack sorted files into size-bounded partitions (the
+    // FilePartition#maxSplitBytes policy): a million small files must
+    // not become a million tasks. Each file costs its length plus the
+    // per-open constant; unknown lengths (-1) cost the open constant
+    // only — the reader's streaming bound still contains each file.
+    val openCost = confBytes(spark, "spark.sql.files.openCostInBytes", 4L * 1024 * 1024)
+    val maxPartitionBytes =
+      confBytes(spark, "spark.sql.files.maxPartitionBytes", 128L * 1024 * 1024)
+    val sorted = files.sortBy(_._2)
+    val totalCost = sorted.iterator.map { case (_, _, len) => math.max(len, 0L) + openCost }.sum
+    val minPartitions = math.max(1, spark.sparkContext.defaultParallelism)
+    val target =
+      math.min(maxPartitionBytes, math.max(openCost, totalCost / minPartitions))
+    val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[DocFileRef]
+    var curSize = 0L
+    for ((f, rel, len) <- sorted) {
+      val cost = math.max(len, 0L) + openCost
+      if (cur.nonEmpty && curSize + cost > target) {
+        bins += DocFilePartition(cur.toSeq)
+        cur = scala.collection.mutable.ArrayBuffer.empty[DocFileRef]
+        curSize = 0L
+      }
+      cur += DocFileRef(f, rel, len)
+      curSize += cost
+    }
+    if (cur.nonEmpty) bins += DocFilePartition(cur.toSeq)
+    bins.toArray
   }
+
+  /** Byte-suffixed size conf ("128MB" / "134217728b" / plain). */
+  private def confBytes(spark: SparkSession, key: String, default: Long): Long =
+    try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get(key, default.toString))
+    catch { case _: Exception => default }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // capture the SESSION Hadoop conf for executor-side opens — a
@@ -159,36 +200,47 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
       maxFileBytes)
 }
 
-case class DocFilePartition(file: String, relPath: String, length: Long)
-  extends InputPartition
+case class DocFileRef(file: String, relPath: String, length: Long)
+
+/** One scheduled task = one size-bounded BIN of files. */
+case class DocFilePartition(files: Seq[DocFileRef]) extends InputPartition
 
 class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguration,
                        maxFileBytes: Long) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[DocFilePartition]
-    val file = part.file
     new PartitionReader[InternalRow] {
-      private lazy val rows: Iterator[InternalRow] = {
+      private lazy val rows: Iterator[InternalRow] =
+        part.files.iterator.flatMap(readFile)
+
+      /** Per-file containment INSIDE a packed bin: an over-limit,
+        * unreadable or vanished file yields zero rows without failing
+        * the other files sharing its partition (the parse-level
+        * containment the extractors already guarantee, extended to the
+        * IO that packing now amortizes). */
+      private def readFile(ref: DocFileRef): Iterator[InternalRow] = {
         // bounded-buffer rule: an over-limit file yields zero rows
         // (checked against the listed length AND re-checked while
         // streaming, in case the file grew after listing)
-        if (part.length > maxFileBytes) Iterator.empty
+        if (ref.length > maxFileBytes) Iterator.empty
         else {
-          val p = new Path(file)
-          val fs = p.getFileSystem(conf.value)
-          val in = fs.open(p)
           val bytes =
             try {
-              val out = new java.io.ByteArrayOutputStream()
-              val buf = new Array[Byte](65536)
-              var total = 0L
-              var n = in.read(buf)
-              while (n >= 0 && total <= maxFileBytes) {
-                out.write(buf, 0, n); total += n; n = in.read(buf)
-              }
-              if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
-            } finally in.close()
-          val name = part.relPath
+              val p = new Path(ref.file)
+              val fs = p.getFileSystem(conf.value)
+              val in = fs.open(p)
+              try {
+                val out = new java.io.ByteArrayOutputStream()
+                val buf = new Array[Byte](65536)
+                var total = 0L
+                var n = in.read(buf)
+                while (n >= 0 && total <= maxFileBytes) {
+                  out.write(buf, 0, n); total += n; n = in.read(buf)
+                }
+                if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
+              } finally in.close()
+            } catch { case _: java.io.IOException => Array.emptyByteArray }
+          val name = ref.relPath
           val isPdf = name.endsWith(".pdf")
           val texts =
             if (bytes.isEmpty) Seq.empty

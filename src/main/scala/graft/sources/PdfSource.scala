@@ -33,8 +33,13 @@ import scala.collection.mutable.ArrayBuffer
   *  PNG (/Predictor 10–15) and TIFF (/Predictor 2) predictor
   *  application after Flate/LZW per the stream's /DecodeParms.
   *
-  *  LIMITS: password-protected files (non-empty user password) and
-  *  AES-256 (/V 5, R5/R6) yield NO text rows, as do image-codec
+  *  REAL (round 5): AES-256 (/V 5, /R 5|6 /CFM /AESV3, ISO 32000-2
+  *  §7.6.4) — the hardened 2.B password hash for R6, empty-password
+  *  validation against /U's own receipt before the file key unwraps
+  *  from /UE, AES-256-CBC object decryption with the file key.
+  *
+  *  LIMITS: password-protected files (non-empty user password) yield
+  *  NO text rows, as do image-codec
   *  filters (DCT/JPX) — the per-file containment rule, reference
   *  app_callapi.py:62-63; CID text without a ToUnicode CMap
   *  (font-program-only mapping) cannot be recovered; all ToUnicode
@@ -128,8 +133,21 @@ object PdfSource {
     val filters = dict.toSeq.flatMap(filterChain)
     if (filters.isEmpty) tryInflate(data).getOrElse(data)
     else {
-      val parms = dict.map(decodeParmsChain).getOrElse(Seq.empty)
-        .padTo(filters.length, None)
+      val parms0 = dict.map(decodeParmsChain).getOrElse(Seq.empty)
+      // a LONE parms dict against a /Filter array attaches to the
+      // filter that takes parameters (first Flate/LZW), not blindly to
+      // position 0 — `/Filter [/AHx /Fl] /DecodeParms <</Predictor…>>`
+      // means the predictor runs after the Flate stage (lenient-reader
+      // behavior; strict pairing resumes for array-form /DecodeParms)
+      val parms =
+        if (parms0.length == 1 && parms0.head.isDefined && filters.length > 1) {
+          val idx = filters.indexWhere(f =>
+            f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW") match {
+            case -1 => 0
+            case i  => i
+          }
+          Seq.tabulate(filters.length)(i => if (i == idx) parms0.head else None)
+        } else parms0.padTo(filters.length, None)
       filters.zip(parms).foldLeft(Option(data)) { case (acc, (f, parm)) =>
         acc.flatMap(d => f match {
           case "FlateDecode" | "Fl"      => tryInflate(d).flatMap(applyPredictor(parm, _))
@@ -503,9 +521,21 @@ object PdfSource {
   // dict's /CF sub-dict carries its own /Length) or carry binary
   // string bytes, so encryption parsing uses a real tokenizer.
 
+  /** Skip whitespace AND `%`-to-EOL comments — comments are legal
+    * between any two tokens (ISO 32000 §7.2.4) and count as a single
+    * whitespace character. (Never called inside string literals, so
+    * `%` bytes in string data are unaffected.) */
   private def skipWs(s: String, from: Int): Int = {
     var i = from
-    while (i < s.length && (s.charAt(i).isWhitespace || s.charAt(i) == 0)) i += 1
+    var moved = true
+    while (moved) {
+      moved = false
+      while (i < s.length && (s.charAt(i).isWhitespace || s.charAt(i) == 0)) { i += 1; moved = true }
+      if (i < s.length && s.charAt(i) == '%') {
+        while (i < s.length && s.charAt(i) != '\r' && s.charAt(i) != '\n') i += 1
+        moved = true
+      }
+    }
     i
   }
 
@@ -558,6 +588,12 @@ object PdfSource {
     } else {
       var i = start
       while (i < s.length && !isDelim(s.charAt(i))) i += 1
+      // `start` sits ON a delimiter that opens nothing (')', '}', '{',
+      // stray '>'…): consume it as a one-char junk token — a zero-width
+      // return would spin every caller that loops on the end index
+      // (untrusted corpus: `/DecodeParms [ ) ]` must terminate, not
+      // hang the executor task)
+      if (i == start) return (s.substring(start, start + 1), start + 1)
       val tok = s.substring(start, i)
       // `N G R` indirect reference: consume all three tokens
       if (tok.nonEmpty && tok.forall(_.isDigit)) {
@@ -648,8 +684,8 @@ object PdfSource {
   // The reference opens encrypted PDFs transparently when the user
   // password is empty (PyMuPDF default, app.py:21-24). Same contract
   // here: derive the file key from the empty user password, verify it
-  // against /U, and decrypt streams per-object; anything else
-  // (non-empty password, AES-256) is contained as no-rows.
+  // against /U, and decrypt streams per-object (per-file for AESV3);
+  // anything else (a non-empty password) is contained as no-rows.
 
   private val PasswordPad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
@@ -658,7 +694,8 @@ object PdfSource {
 
   private[sources] case class EncryptInfo(v: Int, r: Int, keyBytes: Int,
     o: Array[Byte], u: Array[Byte], p: Int, id0: Array[Byte],
-    encryptMetadata: Boolean, aes: Boolean, streamsEncrypted: Boolean)
+    encryptMetadata: Boolean, aes: Boolean, streamsEncrypted: Boolean,
+    ue: Array[Byte] = Array.emptyByteArray)
 
   private[sources] sealed trait EncState
   private[sources] case object EncNone extends EncState
@@ -719,6 +756,10 @@ object PdfSource {
         parseObjectAt(hay, skipWs(hay, hdr.end))._1
       }
       parseEncryptInfo(dictText, hay) match {
+        case Some(info) if info.v == 5 =>
+          // AES-256: /U carries its own validation receipt; the file
+          // key only unwraps from /UE once that receipt checks out
+          fileKeyV5(info).map(k => EncKey(k, info)).getOrElse(EncUnreadable)
         case Some(info) =>
           val key = fileKey(info)
           if (emptyUserPasswordMatches(key, info)) EncKey(key, info) else EncUnreadable
@@ -734,40 +775,117 @@ object PdfSource {
     if (!e.get("Filter").forall(_ == "/Standard")) return None
     val v = e.get("V").map(_.trim.toInt).getOrElse(0)
     val r = e.get("R").map(_.trim.toInt).getOrElse(return None)
-    if (v < 1 || v > 4 || r < 2 || r > 4) return None // AES-256 (V5/R5-6) unsupported
+    val supported = (v >= 1 && v <= 4 && r >= 2 && r <= 4) ||
+      (v == 5 && (r == 5 || r == 6)) // AES-256 (ISO 32000-2)
+    if (!supported) return None
     val o = e.get("O").flatMap(pdfStringBytes).getOrElse(return None)
     val u = e.get("U").flatMap(pdfStringBytes).getOrElse(return None)
-    if (o.length < 32 || u.length < 16) return None
+    if (v == 5) { if (u.length < 48) return None } // 32 hash + 2×8 salts
+    else if (o.length < 32 || u.length < 16) return None
     val p = e.get("P").map(_.trim.toLong.toInt).getOrElse(return None)
-    val keyBytes = if (v == 1) 5 else e.get("Length").map(_.trim.toInt / 8).getOrElse(5)
     val encMeta = e.get("EncryptMetadata").forall(_.trim != "false")
-    // V4: the /StmF crypt filter (through /CF) decides stream handling
+    // V4/V5: the /StmF crypt filter (through /CF) decides stream
+    // handling; its dict may also carry the key /Length (see below)
+    val stmF = e.get("StmF").map(_.drop(1)).getOrElse("Identity")
+    def cfEntry(name: String): Option[String] = for {
+      cf <- e.get("CF")
+      std <- dictEntries(cf).get(stmF)
+      x <- dictEntries(std).get(name)
+    } yield x
     val (aes, streamsEnc) =
       if (v < 4) (false, true)
-      else {
-        val stmF = e.get("StmF").map(_.drop(1)).getOrElse("Identity")
-        if (stmF == "Identity") (false, false)
-        else {
-          val cfm = for {
-            cf <- e.get("CF")
-            std <- dictEntries(cf).get(stmF)
-            m <- dictEntries(std).get("CFM")
-          } yield m.drop(1)
-          cfm match {
-            case Some("AESV2") => (true, true)
-            case Some("V2")    => (false, true)
-            case Some("None") | None => (false, false)
-            case _ => return None // AESV3 etc.
-          }
-        }
+      else if (stmF == "Identity") (false, false)
+      else cfEntry("CFM").map(_.drop(1)) match {
+        case Some("AESV2") if v == 4 => (true, true)
+        case Some("V2") if v == 4    => (false, true)
+        case Some("AESV3") if v == 5 => (true, true)
+        case Some("None") | None     => (false, false)
+        case _ => return None
       }
+    val keyBytes =
+      if (v == 1) 5
+      else if (v == 5) 32
+      else e.get("Length").map(_.trim.toInt / 8).getOrElse {
+        if (v < 4) 5
+        else
+          // V4 writers may declare the length only on the crypt filter
+          // — in BYTES per ISO 32000 Table 25, though some emit bits
+          // (values ≥ 40 read as bits); AESV2 keys are always 16
+          cfEntry("Length").map(_.trim.toInt)
+            .map(n => if (n >= 40) n / 8 else n)
+            .getOrElse(if (aes) 16 else 5)
+      }
+    val ue =
+      if (v != 5) Array.emptyByteArray
+      else e.get("UE").flatMap(pdfStringBytes).filter(_.length >= 32)
+        .getOrElse(return None)
     // first /ID element from the last trailer that declares one
     val id0 = IdEntry.findAllMatchIn(hay).toSeq.lastOption.flatMap { m =>
       val i = skipWs(hay, m.end - 0) // m ends right after '['
       try pdfStringBytes(parseObjectAt(hay, i)._1) catch { case _: Exception => None }
     }.getOrElse(Array.emptyByteArray)
-    Some(EncryptInfo(v, r, keyBytes, o.take(32), u, p, id0, encMeta, aes, streamsEnc))
+    Some(EncryptInfo(v, r, keyBytes, o.take(if (v == 5) 48 else 32), u, p,
+      id0, encMeta, aes, streamsEnc, ue))
   }
+
+  /** ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 password hash:
+    * SHA-256 over (password ‖ salt ‖ udata) seeds K, then rounds of
+    * "repeat (password ‖ K ‖ udata) 64×, AES-128-CBC-encrypt with
+    * key=K[0..16)/iv=K[16..32), rehash with SHA-256/384/512 chosen by
+    * the first 16 ciphertext bytes mod 3" until at least 64 rounds ran
+    * AND the last ciphertext byte ≤ round − 32. (big-endian-int mod 3
+    * ≡ byte-sum mod 3, since 256 ≡ 1 mod 3.) */
+  private[sources] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+                              udata: Array[Byte]): Array[Byte] = {
+    def sha(bits: Int, data: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance(s"SHA-$bits").digest(data)
+    var k = sha(256, pwd ++ salt ++ udata)
+    var round = 0
+    var lastByte = 256 // > any real byte: enforces the 64-round floor
+    while (round < 64 || lastByte > round - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(java.util.Arrays.copyOfRange(k, 16, 32)))
+      val enc = c.doFinal(k1)
+      var s = 0
+      i = 0
+      while (i < 16) { s += enc(i) & 0xff; i += 1 }
+      k = sha(s % 3 match { case 0 => 256; case 1 => 384; case _ => 512 }, enc)
+      lastByte = enc(enc.length - 1) & 0xff
+      round += 1
+    }
+    k.take(32)
+  }
+
+  /** /V 5 (AES-256) empty-user-password path, ISO 32000-2
+    * §7.6.4.4.10/§7.6.4.3.3: hash the empty password with the /U
+    * VALIDATION salt (R6 via [[hash2B]], R5 via plain SHA-256) and
+    * require it to equal /U[0..32) BEFORE trusting anything; then
+    * rehash with the KEY salt and unwrap the 32-byte file key from
+    * /UE (AES-256-CBC, zero IV, no padding). None = wrong password /
+    * malformed dict — the file yields no rows. */
+  private[sources] def fileKeyV5(info: EncryptInfo): Option[Array[Byte]] =
+    try {
+      val valSalt = java.util.Arrays.copyOfRange(info.u, 32, 40)
+      val keySalt = java.util.Arrays.copyOfRange(info.u, 40, 48)
+      val empty = Array.emptyByteArray
+      def h(salt: Array[Byte]): Array[Byte] =
+        if (info.r == 6) hash2B(empty, salt, empty)
+        else java.security.MessageDigest.getInstance("SHA-256").digest(salt)
+      if (!java.util.Arrays.equals(h(valSalt), info.u.take(32))) None
+      else {
+        val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+        c.init(javax.crypto.Cipher.DECRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(h(keySalt), "AES"),
+          new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+        Some(c.doFinal(info.ue.take(32)))
+      }
+    } catch { case _: Exception => None }
 
   /** Algorithm 2: file encryption key from the (empty) user password. */
   private[sources] def fileKey(info: EncryptInfo): Array[Byte] = {
@@ -801,15 +919,16 @@ object PdfSource {
     md5(key, ext, salt).take(math.min(key.length + 5, 16))
   }
 
-  /** Decrypt one stream payload: RC4, or AES-128-CBC with the leading
-    * 16 bytes as IV and PKCS#5 padding. None on malformed ciphertext
-    * (containment) or when /StmF is Identity. */
+  /** Decrypt one stream payload: RC4, or AES-CBC with the leading
+    * 16 bytes as IV and PKCS#5 padding. AESV3 (/V 5) uses the file key
+    * directly — ISO 32000-2 drops the per-object MD5 derivation. None
+    * on malformed ciphertext (containment) or when /StmF is Identity. */
   private[sources] def decryptBytes(key: Array[Byte], info: EncryptInfo,
                                     objNum: Int, gen: Int, data: Array[Byte]): Option[Array[Byte]] =
     try {
       if (!info.streamsEncrypted) Some(data)
       else {
-        val ok = objectKey(key, objNum, gen, info.aes)
+        val ok = if (info.v == 5) key else objectKey(key, objNum, gen, info.aes)
         if (!info.aes) Some(rc4(ok, data))
         else if (data.length < 32 || (data.length - 16) % 16 != 0) None
         else {

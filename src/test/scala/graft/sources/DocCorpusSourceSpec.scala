@@ -22,7 +22,7 @@ class DocCorpusSourceSpec extends SparkSpec {
     dir.getAbsolutePath
   }
 
-  test("DSv2 source reads docx paragraphs and pdf streams, one partition per file") {
+  test("DSv2 source reads docx paragraphs and pdf streams across packed partitions") {
     val df = spark.read.format("graft.sources.DocCorpusSource").load(corpusDir())
     val rows = df.collect().map(r =>
       (r.getString(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
@@ -30,7 +30,9 @@ class DocCorpusSourceSpec extends SparkSpec {
       ("a.docx", "docx", 0, "alpha one"),
       ("a.docx", "docx", 1, "beta two"),
       ("b.pdf", "pdf", 0, "pdf text here")))
-    assert(df.rdd.getNumPartitions === 2) // one partition per accepted file
+    // two accepted files, each costing ~openCostInBytes: the packer
+    // keeps them parallel (2 bins), never exceeding the file count
+    assert(df.rdd.getNumPartitions === 2)
   }
 
   test("column pruning reaches the custom scan (text absent from ReadSchema)") {
@@ -105,10 +107,55 @@ class DocCorpusSourceSpec extends SparkSpec {
     val sb = new DocCorpusScanBuilder("/no/such/root", recursive = true,
       maxFileBytes = DocCorpusSource.DefaultMaxFileBytes, manifest = Some(mPath))
     val parts = sb.planInputPartitions()
-    assert(parts.length === 10000)
-    val p0 = parts.head.asInstanceOf[DocFilePartition]
+    val refs = parts.flatMap(_.asInstanceOf[DocFilePartition].files)
+    // every manifested file is scheduled exactly once, but packed into
+    // size-bounded bins — NOT one task per file
+    assert(refs.length === 10000)
+    assert(parts.length < 1000, s"10k files must bin-pack, got ${parts.length} partitions")
     // identity is load-root-relative; declared length carried through
+    val p0 = refs.head
     assert(p0.relPath.startsWith("part=") && p0.length >= 1000L)
+  }
+
+  test("bin-packing: 1000 small files plan into at most cores*4 partitions") {
+    val mDir = Files.createTempDirectory("doc_manifest_pack").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    (0 until 1000).map(i => (s"/no/such/root/doc_$i.pdf", 10000L))
+      .toDF("path", "length").write.parquet(mPath)
+    val sb = new DocCorpusScanBuilder("/no/such/root", recursive = true,
+      maxFileBytes = DocCorpusSource.DefaultMaxFileBytes, manifest = Some(mPath))
+    // the packer follows the session's file confs (the test host has
+    // few cores, so lift the 128 MB cap to let parallelism dominate)
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1g")
+    val parts =
+      try sb.planInputPartitions()
+      finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    val cores = spark.sparkContext.defaultParallelism
+    assert(parts.flatMap(_.asInstanceOf[DocFilePartition].files).length === 1000)
+    assert(parts.length <= math.max(1, cores) * 4,
+      s"1000 small files -> ${parts.length} partitions (cores=$cores)")
+    // a bin never splits one file: per-file containment is preserved
+    assert(parts.forall(_.asInstanceOf[DocFilePartition].files.nonEmpty))
+  }
+
+  test("manifest rows with null path or null length are contained, not NPEs") {
+    val dir = corpusDir()
+    val mDir = Files.createTempDirectory("doc_manifest_null").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(s"$dir/b.pdf", null), // null length -> -1 sentinel
+      org.apache.spark.sql.Row(null, 123L))          // null path -> dropped
+    spark.createDataFrame(rows, schema).write.parquet(mPath)
+    val out = spark.read.format("graft.sources.DocCorpusSource")
+      .option("manifest", mPath).load(dir)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("b.pdf", "pdf text here")))
   }
 
   test("manifest is authoritative: only manifested files read, walk-visible files ignored") {

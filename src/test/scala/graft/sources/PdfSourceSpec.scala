@@ -529,11 +529,94 @@ class PdfSourceSpec extends SparkSpec {
     }
   }
 
-  test("unsupported AES-256 (/V 5) is contained as no-rows, not garbage") {
+  test("malformed AES-256 (/V 5) dict (short /U, no /UE) is contained as no-rows") {
     val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length 20 >>\nstream\n(x) Tj padpadpad\nendstream\n" +
       "endobj\n5 0 obj\n<< /Filter /Standard /V 5 /R 6 /Length 256 /O <00> /U <00> /P -3904 " +
       ">>\nendobj\ntrailer\n<< /Encrypt 5 0 R >>\n%%EOF").getBytes("ISO-8859-1")
     assert(PdfSource.extractStreams(pdf) === Seq.empty)
+  }
+
+  // ---- AES-256 (/V 5, ISO 32000-2 §7.6.4) ----
+  // Independent test-side twin of algorithm 2.B: BigInt mod-3 digest
+  // selection and functional repeat, vs the prod byte-sum/arraycopy
+  // loop — a derivation bug cannot cancel out against its own test.
+
+  private object Enc256 {
+    import javax.crypto.Cipher
+    import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
+    def sha(bits: Int, b: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("SHA-" + bits).digest(b)
+    def aesCbcRaw(mode: Int, key: Array[Byte], iv: Array[Byte],
+                  data: Array[Byte]): Array[Byte] = {
+      val c = Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(mode, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+      c.doFinal(data)
+    }
+    def hash2B(pwd: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+      var k = sha(256, pwd ++ salt ++ udata)
+      var i = 0
+      var done = false
+      while (!done) {
+        val k1 = Array.fill(64)(pwd ++ k ++ udata).flatten
+        val e = aesCbcRaw(Cipher.ENCRYPT_MODE, k.slice(0, 16), k.slice(16, 32), k1)
+        val m = (BigInt(1, e.take(16)) mod 3).toInt
+        k = sha(Seq(256, 384, 512)(m), e)
+        i += 1
+        done = i >= 64 && (e.last & 0xff) <= i - 32
+      }
+      k.take(32)
+    }
+  }
+
+  /** One-content-stream PDF encrypted AES-256 for the EMPTY user
+    * password (r = 5 legacy SHA-256 or 6 hardened 2.B). The 32-byte
+    * file key is arbitrary; /U carries hash‖valSalt‖keySalt and /UE
+    * wraps the file key under the key-salt hash. */
+  private def makeAes256Pdf(content: String, r: Int, breakU: Boolean = false): Array[Byte] = {
+    import javax.crypto.Cipher
+    val fileKey = Array.tabulate[Byte](32)(i => (i * 41 + 7).toByte)
+    val valSalt = Array.tabulate[Byte](8)(i => (i * 13 + 1).toByte)
+    val keySalt = Array.tabulate[Byte](8)(i => (i * 19 + 3).toByte)
+    val none = Array.emptyByteArray
+    def h(salt: Array[Byte]) =
+      if (r == 6) Enc256.hash2B(none, salt, none) else Enc256.sha(256, salt)
+    val uHash0 = h(valSalt)
+    val uHash = if (breakU) uHash0.map(b => (b ^ 0x55).toByte) else uHash0
+    val u = uHash ++ valSalt ++ keySalt // 48 bytes
+    val ue = Enc256.aesCbcRaw(Cipher.ENCRYPT_MODE, h(keySalt), new Array[Byte](16), fileKey)
+    val o = Array.tabulate[Byte](48)(i => (i * 7 + 2).toByte) // unused for empty-user path
+    val oe = Array.tabulate[Byte](32)(i => (i * 11 + 5).toByte)
+    val payload = Enc.aesEncrypt(fileKey, content.getBytes("ISO-8859-1"))
+    val encDict =
+      s"<< /Filter /Standard /V 5 /R $r /Length 256 " +
+        s"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+        s"/StmF /StdCF /StrF /StdCF " +
+        s"/O ${Enc.hex(o)} /U ${Enc.hex(u)} /OE ${Enc.hex(oe)} /UE ${Enc.hex(ue)} " +
+        s"/P -3904 >>"
+    val bos = new ByteArrayOutputStream()
+    bos.write(("%PDF-1.4\n1 0 obj\n<< /Length " + payload.length +
+      " >>\nstream\n").getBytes("ISO-8859-1"))
+    bos.write(payload)
+    bos.write(("\nendstream\nendobj\n5 0 obj\n" + encDict + "\nendobj\n" +
+      "trailer\n<< /Root 9 0 R /Encrypt 5 0 R >>\n%%EOF").getBytes("ISO-8859-1"))
+    bos.toByteArray
+  }
+
+  test("AES-256 (R6 and legacy R5) empty-password PDFs extract text identical to plaintext twins") {
+    val plaintext = PdfSource.extractStreams(makePdf(contentStream, compress = false))
+      .filter(_.trim.nonEmpty)
+    assert(plaintext.nonEmpty)
+    for (r <- Seq(6, 5)) {
+      val texts = PdfSource.extractStreams(makeAes256Pdf(contentStream, r))
+        .filter(_.trim.nonEmpty)
+      assert(texts === plaintext, s"r=$r")
+    }
+  }
+
+  test("AES-256 with a non-empty user password (U receipt mismatch) yields no rows") {
+    for (r <- Seq(6, 5))
+      assert(PdfSource.extractStreams(makeAes256Pdf(contentStream, r, breakU = true))
+        === Seq.empty, s"r=$r")
   }
 
   test("malformed AES ciphertext is contained per-stream") {
@@ -553,6 +636,52 @@ class PdfSourceSpec extends SparkSpec {
     val idx = new String(pdf, "ISO-8859-1").indexOf("stream\n") + 24
     pdf(idx) = (pdf(idx) ^ 0x7f).toByte
     PdfSource.extractStreams(pdf) // must not throw
+  }
+
+  test("V4 AES without a top-level /Length derives the key size from the crypt filter") {
+    val plaintext = PdfSource.extractStreams(makePdf(contentStream, compress = false))
+      .filter(_.trim.nonEmpty)
+    // bytes form (/Length 16) and bits form (/Length 128) both read
+    for (cfLen <- Seq(16, 128)) {
+      val pdf = new String(makeEncryptedPdf(contentStream, "aes"), "ISO-8859-1")
+        .replace(s"/StrF /StdCF /Length 128 ", "/StrF /StdCF ") // drop top-level length
+        .replace("/CFM /AESV2 /AuthEvent /DocOpen /Length 16",
+          s"/CFM /AESV2 /AuthEvent /DocOpen /Length $cfLen")
+        .getBytes("ISO-8859-1")
+      assert(new String(pdf, "ISO-8859-1").contains("/StrF /StdCF /O"), "fixture rewrite applied")
+      val texts = PdfSource.extractStreams(pdf).filter(_.trim.nonEmpty)
+      assert(texts === plaintext, s"cfLen=$cfLen")
+    }
+  }
+
+  test("a lone /DecodeParms dict with a /Filter array attaches to the Flate stage") {
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val payload = deflate(pngEncode(raw, rowLen = 16, bpp = 1, tag = 2))
+      .map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val pdf = makeFilteredPdf(payload.getBytes("ISO-8859-1"),
+      "/Filter [/ASCIIHexDecode /FlateDecode] " +
+        "/DecodeParms << /Predictor 12 /Columns 16 >>")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
+  }
+
+  test("tokenizer terminates on zero-width junk and skips % comments between tokens") {
+    // ')' opens nothing: the old parse returned ("", start) and every
+    // array loop spun forever — now it consumes one junk char
+    assert(PdfSource.parseObjectAt("[ ) ]", 0)._2 === 5)
+    // % comments are whitespace between tokens (ISO 32000 §7.2.4)
+    assert(PdfSource.parseObjectAt("[ % comment\n 1 2 ]", 0)._2 === 18)
+    // end-to-end: a crafted /DecodeParms array with junk and comments
+    // must neither hang nor throw, and the predictor still pairs
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val payload = deflate(pngEncode(raw, rowLen = 16, bpp = 1, tag = 2))
+    val pdf = makeFilteredPdf(payload,
+      "/Filter [/FlateDecode] " +
+        "/DecodeParms [ % legal comment\n << /Predictor 12 /Columns 16 >> ) ]")
+    assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
+    // pure junk array: contained (no text), terminates
+    val junk = makeFilteredPdf("(x) Tj".getBytes("ISO-8859-1"),
+      "/DecodeParms [ ) } { ] /Other true")
+    PdfSource.extractStreams(junk) // must return, not hang
   }
 
   test("dictEntries tokenizer: nested dicts, hex strings, refs, names") {
