@@ -123,11 +123,20 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
       case Some(m) =>
         // lake path: no filesystem walk — (path[, length]) come from
         // the metadata table; the load root only anchors identities.
-        // Paths may be qualified URIs or plain; try both prefixes.
+        // Paths may be qualified URIs or plain, so BOTH prefixes are
+        // tried (a qualified 'file:/root/x.pdf' against a plain root
+        // '/root' must still yield the relative identity, or two
+        // same-named files in different subdirs merge downstream).
         // Real metadata tables carry nullable columns: null paths are
         // unlistable (dropped), null lengths coalesce to the -1
         // unknown-length sentinel the reader stream-checks.
         val plainPrefix = path.stripSuffix("/") + "/"
+        val qualPrefix =
+          try {
+            val p = new Path(path)
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .makeQualified(p).toString.stripSuffix("/") + "/"
+          } catch { case _: Exception => plainPrefix }
         val df = spark.read.parquet(m)
         val withLen =
           if (df.schema.fieldNames.contains("length"))
@@ -136,7 +145,11 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
         withLen.where("path IS NOT NULL").collect().toSeq.map { r =>
           val full = r.getString(0)
           val name = full.substring(full.lastIndexOf('/') + 1)
-          (full, relOf(full, plainPrefix, name), r.getLong(1), name)
+          val rel =
+            if (full.startsWith(plainPrefix)) full.substring(plainPrefix.length)
+            else if (full.startsWith(qualPrefix)) full.substring(qualPrefix.length)
+            else name
+          (full, rel, r.getLong(1), name)
         }.collect { case (full, rel, len, name) if DocCorpusSource.accepted(name) =>
           (full, rel, len)
         }
@@ -213,11 +226,13 @@ class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguratio
       private lazy val rows: Iterator[InternalRow] =
         part.files.iterator.flatMap(readFile)
 
-      /** Per-file containment INSIDE a packed bin: an over-limit,
-        * unreadable or vanished file yields zero rows without failing
-        * the other files sharing its partition (the parse-level
-        * containment the extractors already guarantee, extended to the
-        * IO that packing now amortizes). */
+      /** Per-file containment INSIDE a packed bin: an over-limit or
+        * VANISHED file (deleted/renamed between listing and read —
+        * a permanent condition retries cannot cure) yields zero rows
+        * without failing the other files sharing its partition, with
+        * a warning naming it. Transient IO failures (connection
+        * reset, socket timeout) PROPAGATE so Spark's task retry gets
+        * its chance — swallowing them would be silent data loss. */
       private def readFile(ref: DocFileRef): Iterator[InternalRow] = {
         // bounded-buffer rule: an over-limit file yields zero rows
         // (checked against the listed length AND re-checked while
@@ -239,7 +254,12 @@ class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguratio
                 }
                 if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
               } finally in.close()
-            } catch { case _: java.io.IOException => Array.emptyByteArray }
+            } catch {
+              case e: java.io.FileNotFoundException =>
+                org.slf4j.LoggerFactory.getLogger(classOf[DocReaderFactory])
+                  .warn(s"listed file vanished before read, yielding no rows: ${ref.file}", e)
+                Array.emptyByteArray
+            }
           val name = ref.relPath
           val isPdf = name.endsWith(".pdf")
           val texts =

@@ -133,14 +133,18 @@ object PdfSource {
     val filters = dict.toSeq.flatMap(filterChain)
     if (filters.isEmpty) tryInflate(data).getOrElse(data)
     else {
-      val parms0 = dict.map(decodeParmsChain).getOrElse(Seq.empty)
-      // a LONE parms dict against a /Filter array attaches to the
-      // filter that takes parameters (first Flate/LZW), not blindly to
-      // position 0 — `/Filter [/AHx /Fl] /DecodeParms <</Predictor…>>`
-      // means the predictor runs after the Flate stage (lenient-reader
-      // behavior; strict pairing resumes for array-form /DecodeParms)
+      val (parmsIsArray, parms0) =
+        dict.map(decodeParmsInfo).getOrElse((false, Seq.empty))
+      // a LONE (non-array) parms dict against a /Filter array attaches
+      // to the filter that takes parameters (first Flate/LZW), not
+      // blindly to position 0 — `/Filter [/AHx /Fl] /DecodeParms
+      // <</Predictor…>>` means the predictor runs after the Flate
+      // stage (lenient-reader behavior). Array-form /DecodeParms —
+      // even a single-element `[<<…>>]` — keeps strict positional
+      // pairing per the spec.
       val parms =
-        if (parms0.length == 1 && parms0.head.isDefined && filters.length > 1) {
+        if (!parmsIsArray && parms0.length == 1 && parms0.head.isDefined
+            && filters.length > 1) {
           val idx = filters.indexWhere(f =>
             f == "FlateDecode" || f == "Fl" || f == "LZWDecode" || f == "LZW") match {
             case -1 => 0
@@ -172,13 +176,19 @@ object PdfSource {
     * the first filter; an array pairs element-for-element with the
     * `/Filter` array (`null` = no parms for that position). Returns
     * the raw parm-dict text per filter position. */
-  private[sources] def decodeParmsChain(dict: String): Seq[Option[String]] = {
+  private[sources] def decodeParmsChain(dict: String): Seq[Option[String]] =
+    decodeParmsInfo(dict)._2
+
+  /** [[decodeParmsChain]] plus whether the entry used the ARRAY form —
+    * the caller's lenient single-dict reattachment must never fire on
+    * `[<<…>>]`, whose single element is positionally bound by spec. */
+  private[sources] def decodeParmsInfo(dict: String): (Boolean, Seq[Option[String]]) = {
     val key = """/(?:DecodeParms|DP)(?![A-Za-z])""".r
     key.findFirstMatchIn(dict) match {
-      case None => Seq.empty
+      case None => (false, Seq.empty)
       case Some(m) =>
         var i = skipWs(dict, m.end)
-        if (dict.startsWith("<<", i)) Seq(Some(parseObjectAt(dict, i)._1))
+        if (dict.startsWith("<<", i)) (false, Seq(Some(parseObjectAt(dict, i)._1)))
         else if (i < dict.length && dict.charAt(i) == '[') {
           val out = ArrayBuffer.empty[Option[String]]
           i += 1
@@ -192,8 +202,8 @@ object PdfSource {
               i = next
             }
           }
-          out.toSeq
-        } else Seq.empty
+          (true, out.toSeq)
+        } else (false, Seq.empty)
     }
   }
 

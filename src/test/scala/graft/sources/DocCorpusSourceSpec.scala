@@ -158,6 +158,39 @@ class DocCorpusSourceSpec extends SparkSpec {
     assert(out === Set(("b.pdf", "pdf text here")))
   }
 
+  test("qualified-URI manifest paths keep load-root-relative identities") {
+    val dir = Files.createTempDirectory("doc_corpus_qual").toFile
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    def write(parent: java.io.File, name: String, bytes: Array[Byte]): Unit = {
+      val f = new FileOutputStream(new java.io.File(parent, name)); f.write(bytes); f.close()
+    }
+    // same basename in root and subdir: a basename fallback would
+    // merge them downstream — the collision the relative identity
+    // exists to prevent
+    write(dir, "x.pdf", makePdf("BT (root doc) Tj ET"))
+    write(sub, "x.pdf", makePdf("BT (sub doc) Tj ET"))
+    val mDir = Files.createTempDirectory("doc_manifest_qual").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    Seq(s"file:${dir.getAbsolutePath}/x.pdf", s"file:${dir.getAbsolutePath}/sub/x.pdf")
+      .toDF("path").write.parquet(mPath)
+    val rows = spark.read.format("graft.sources.DocCorpusSource")
+      .option("manifest", mPath).load(dir.getAbsolutePath) // PLAIN root vs file: paths
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("x.pdf", "root doc"), ("sub/x.pdf", "sub doc")))
+  }
+
+  test("a vanished manifested file is contained; files sharing its bin still read") {
+    val dir = corpusDir()
+    val mDir = Files.createTempDirectory("doc_manifest_gone").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    Seq(s"$dir/b.pdf", s"$dir/ghost.pdf") // ghost.pdf was never written
+      .toDF("path").write.parquet(mPath)
+    val rows = spark.read.format("graft.sources.DocCorpusSource")
+      .option("manifest", mPath).load(dir)
+      .select("source").collect().map(_.getString(0)).toSet
+    assert(rows === Set("b.pdf")) // FileNotFound contained, not a task failure
+  }
+
   test("manifest is authoritative: only manifested files read, walk-visible files ignored") {
     val dir = corpusDir()
     val mDir = Files.createTempDirectory("doc_manifest2").toFile

@@ -664,6 +664,22 @@ class PdfSourceSpec extends SparkSpec {
     assert(PdfSource.extractStreams(pdf).exists(_.contains("Hello (PDF) world")))
   }
 
+  test("ARRAY-form single-element /DecodeParms keeps strict positional pairing") {
+    // parser-level: the two forms are distinguished
+    assert(PdfSource.decodeParmsInfo("<< /DecodeParms << /Predictor 12 >> >>")._1 === false)
+    assert(PdfSource.decodeParmsInfo("<< /DecodeParms [ << /Predictor 12 >> ] >>")._1 === true)
+    // behavioral: `[<<…>>]` binds to position 0 (AHx, which ignores
+    // parms) per spec — the predictor must NOT migrate to the Flate
+    // stage, so the Sub-filtered payload stays garbled
+    val raw = contentStream.getBytes("ISO-8859-1")
+    val payload = deflate(pngEncode(raw, rowLen = 16, bpp = 1, tag = 1))
+      .map(b => "%02X".format(b & 0xff)).mkString + ">"
+    val strict = makeFilteredPdf(payload.getBytes("ISO-8859-1"),
+      "/Filter [/ASCIIHexDecode /FlateDecode] " +
+        "/DecodeParms [ << /Predictor 12 /Columns 16 >> ]")
+    assert(!PdfSource.extractStreams(strict).exists(_.contains("Hello (PDF) world")))
+  }
+
   test("tokenizer terminates on zero-width junk and skips % comments between tokens") {
     // ')' opens nothing: the old parse returned ("", start) and every
     // array loop spun forever — now it consumes one junk char
