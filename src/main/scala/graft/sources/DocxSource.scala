@@ -77,9 +77,13 @@ object DocxSource {
     * the parser decodes natively). One paragraph per TOP-LEVEL
     * `<w:p>`; `<w:t>` runs at any nesting depth (text boxes) are
     * appended to the enclosing top-level paragraph, so no text is
-    * lost. DTD/external-entity processing is disabled (XXE).
-    * Corrupt/non-docx input → empty (per-file error containment).
-    * Package-private for tests. */
+    * lost. Paragraphs inside `<w:tbl>` are SKIPPED — python-docx's
+    * `.paragraphs` (the reference's read path, app.py:26-27) iterates
+    * body-level paragraphs only and never descends into tables, so
+    * including cell text would diverge from the reference on any
+    * corpus document containing a table. DTD/external-entity
+    * processing is disabled (XXE). Corrupt/non-docx input → empty
+    * (per-file error containment). Package-private for tests. */
   private[sources] def parseDocx(bytes: Array[Byte]): Seq[String] =
     try documentXml(bytes).map(parseParagraphs).getOrElse(Seq.empty)
     catch { case _: Exception => Seq.empty }
@@ -97,6 +101,8 @@ object DocxSource {
     val paras = Seq.newBuilder[String]
     val buf = new StringBuilder
     var pDepth = 0 // nesting depth of w:p elements
+    var tblDepth = 0 // nesting depth of w:tbl elements
+    var capturing = false // current top-level paragraph is body-level
     var inText = false
     def isName(n: String): Boolean = { // namespace-config-agnostic
       val ln = r.getLocalName
@@ -106,14 +112,18 @@ object DocxSource {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT =>
-            if (isName("p")) { pDepth += 1; if (pDepth == 1) buf.clear() }
-            else if (isName("t") && pDepth >= 1) inText = true
+            if (isName("tbl")) tblDepth += 1
+            else if (isName("p")) {
+              pDepth += 1
+              if (pDepth == 1) { buf.clear(); capturing = tblDepth == 0 }
+            } else if (isName("t") && pDepth >= 1 && capturing) inText = true
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             if (inText) buf.append(r.getText)
           case XMLStreamConstants.END_ELEMENT =>
-            if (isName("p")) {
+            if (isName("tbl")) tblDepth = math.max(0, tblDepth - 1)
+            else if (isName("p")) {
               pDepth -= 1
-              if (pDepth == 0) paras += buf.toString
+              if (pDepth == 0 && capturing) paras += buf.toString
             } else if (isName("t")) inText = false
           case _ =>
         }

@@ -18,7 +18,8 @@ import scala.collection.mutable.ArrayBuffer
   *  ASCIIHexDecode, ASCII85Decode and RunLengthDecode, applied in
   *  declared order including array chains like
   *  `[/ASCIIHexDecode /FlateDecode]`; text from the standard
-  *  text-showing operators `(…) Tj` / `[(…)…] TJ` with PDF
+  *  text-showing operators `(…) Tj` / `[(…)…] TJ` and the
+  *  next-line quote forms `(…) '` / `aw ac (…) "` with PDF
   *  string-escape handling; and CID/Type0 composite fonts via the
   *  embedded ToUnicode CMap — `<hex> Tj` / hex items in `TJ` arrays
   *  decode through parsed `bfchar`/`bfrange` mappings with the code
@@ -1019,15 +1020,20 @@ object PdfSource {
       .map(g => cmap.getOrElse(Integer.parseInt(g, 16), "")).mkString
   }
 
-  /** One master pattern over the three text-showing forms, so show
+  /** One master pattern over the text-showing forms, so show
     * operations are emitted in DOCUMENT ORDER (separate per-operator
     * passes would group all literals before all hex and scramble
     * mixed-font text): group 1 = literal Tj, group 2 = TJ array,
-    * group 3 = hex Tj. */
+    * group 3 = hex Tj, group 4/5 = literal/hex shown by the
+    * move-to-next-line quote operators `'` and `"` (ISO 32000
+    * §9.4.3 — `"` takes two leading numbers; the string sits right
+    * before the operator either way). */
   private val ShowOp =
     ("""\(((?:[^()\\]|\\.)*)\)\s*Tj""" + "|" +
       """\[((?:[^\[\]\\]|\\.)*)\]\s*TJ""" + "|" +
-      """<([0-9A-Fa-f\s]+)>\s*Tj""").r
+      """<([0-9A-Fa-f\s]+)>\s*Tj""" + "|" +
+      """\(((?:[^()\\]|\\.)*)\)\s*["']""" + "|" +
+      """<([0-9A-Fa-f\s]+)>\s*["']""").r
   /** Inside a TJ array: literal or hex string, again in order. */
   private val ArrItem = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>""".r
 
@@ -1044,7 +1050,9 @@ object PdfSource {
           if (it.group(1) != null) unescapePdf(it.group(1))
           else decodeHexString(it.group(2), cmap, width)
         }.mkString
-      else decodeHexString(m.group(3), cmap, width)
+      else if (m.group(3) != null) decodeHexString(m.group(3), cmap, width)
+      else if (m.group(4) != null) unescapePdf(m.group(4))
+      else decodeHexString(m.group(5), cmap, width)
     }.filter(_.nonEmpty).mkString(" ")
 
   private def unescapePdf(s: String): String = {

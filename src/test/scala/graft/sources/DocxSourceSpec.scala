@@ -28,6 +28,24 @@ class DocxSourceSpec extends SparkSpec {
     assert(paras === Seq("hello world", "", "a & b <tag>", ""))
   }
 
+  test("table-cell paragraphs are skipped, matching python-docx .paragraphs (app.py:26-27)") {
+    // body para + table with a cell para + trailing body para: the
+    // reference's python-docx .paragraphs never descends into w:tbl
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?><w:document
+        | xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"><w:body>
+        |<w:p><w:r><w:t>before table</w:t></w:r></w:p>
+        |<w:tbl><w:tr><w:tc><w:p><w:r><w:t>cell text</w:t></w:r></w:p></w:tc></w:tr></w:tbl>
+        |<w:p><w:r><w:t>after table</w:t></w:r></w:p>
+        |</w:body></w:document>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    zip.putNextEntry(new ZipEntry("word/document.xml"))
+    zip.write(xml.getBytes("UTF-8"))
+    zip.closeEntry(); zip.close()
+    assert(DocxSource.parseDocx(bos.toByteArray) === Seq("before table", "after table"))
+  }
+
   test("parseDocx on corrupt bytes yields empty, not an exception (app_callapi.py:62-63)") {
     assert(DocxSource.parseDocx("not a zip at all".getBytes) === Seq.empty)
     assert(DocxSource.parseDocx(Array[Byte]()) === Seq.empty)

@@ -87,6 +87,16 @@ class PdfSourceSpec extends SparkSpec {
     }
   }
 
+  test("quote show operators ' and \" extract literal and hex text in document order") {
+    val cmap = "1 beginbfchar\n<0001> <C548>\nendbfchar"
+    val content = "BT (first) Tj T* (second) ' 2 0.5 (third) \" <0001> ' ET"
+    val pdf = ("%PDF-1.4\n1 0 obj\n<< /Length " + cmap.length + " >>\nstream\n" + cmap +
+      "\nendstream\nendobj\n2 0 obj\n<< /Length " + content.length + " >>\nstream\n" +
+      content + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    val text = PdfSource.extractStreams(pdf).filter(_.trim.nonEmpty).head
+    assert(text === "first second third 안")
+  }
+
   test("mixed literal and hex text keeps document order within and across show ops") {
     val cmap = "1 beginbfchar\n<0001> <C548>\nendbfchar"
     val content = "BT (Hello ) Tj [(mid ) <0001> ( end)] TJ <0001> Tj (tail) Tj ET"
