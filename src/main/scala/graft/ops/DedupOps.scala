@@ -44,26 +44,31 @@ object DedupOps {
 
   /** MinHash signature: (doc_id, seed, minh). The hash family is the
     * textbook universal construction h_i(x) = (a_i·h0(x) + b_i) mod p
-    * over ONE sha-derived base hash per distinct shingle — seeded
-    * variants are pure arithmetic, so the sha cost is |shingle vocab|
-    * (not ×numHashes), and the whole family stays replicable in the
-    * oracle's SQL dialect. */
+    * over ONE sha-derived base hash per (doc, shingle) row — seeded
+    * variants are pure arithmetic evaluated as `numHashes` parallel
+    * `min` AGGREGATION COLUMNS, not an exploded seed dimension: the
+    * shuffle moves |doc shingles| rows once (map-side partial mins),
+    * never ×numHashes, and no vocabulary join materializes. The
+    * per-seed arithmetic is identical to the oracle's exploded form,
+    * and integer mins are merge-order-free, so results are bit-equal
+    * to the seed-exploded formulation. */
   def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame = {
     val docShingles = wordShingles(docs, w)
       .select(col("doc_id"), col("shingle"))
       .distinct()
     val p = MinhashPrime
-    val seeded = docShingles
-      .select(col("shingle")).distinct()
-      .withColumn("h0", PortableHash.hash24(col("shingle")))
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn(
-        "h",
-        expr(s"(((seed + 1) * 2654435761 % $p) * h0 + ((seed + 1) * 40503 + 12345) % $p) % $p"))
+    val minCols = (0 until numHashes).map { s =>
+      min(expr(
+        s"((${s + 1} * 2654435761 % $p) * h0 + (${s + 1} * 40503 + 12345) % $p) % $p"))
+        .as(s"_m$s")
+    }
     docShingles
-      .join(seeded, "shingle")
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minh"))
+      .withColumn("h0", PortableHash.hash24(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until numHashes).map(s => col(s"_m$s")): _*))
+          .as(Seq("seed", "minh")))
   }
 
   /** LSH band buckets: seeds grouped `rowsPerBand` at a time; the band
@@ -95,24 +100,29 @@ object DedupOps {
   /** SimHash per document over `bits` signature bits (default 48):
     * token hash bits weighted by tf, majority vote per bit (sum>0 →
     * 1). 48 bits (not the classic 64) because the portable sha-hex
-    * fold must stay exact in the oracle's DOUBLE arithmetic. */
+    * fold must stay exact in the oracle's DOUBLE arithmetic.
+    *
+    * Evaluated as `bits` parallel signed-sum AGGREGATION COLUMNS over
+    * the per-doc term table — map-side partials, one doc_id-keyed
+    * shuffle of |doc vocab| rows (never ×bits), no vocabulary join.
+    * Integer sums are merge-order-free, so the signature is bit-equal
+    * to the bit-exploded formulation the oracle uses. */
   def simhash(docs: DataFrame, bits: Int = 48): DataFrame = {
     val tf = EmbedOps
       .tokenize(docs)
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val vocab = tf.select(col("tok")).distinct()
       .withColumn("h",
         if (bits <= 24) PortableHash.hash24(col("tok")) else PortableHash.hash48(col("tok")))
-    tf
-      .join(vocab, "tok")
-      .withColumn("i", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("bit", expr("(h div cast(power(2, i) as bigint)) % 2"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
-      .withColumn("bitval", when(col("s") > 0, 1L).otherwise(0L))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("bitval") * expr("cast(power(2, i) as bigint)")).as("simhash"))
+    val sumCols = (0 until bits).map { i =>
+      sum(col("tf") * (expr(s"(h div cast(power(2, $i) as bigint)) % 2") * 2 - 1)).as(s"_s$i")
+    }
+    tf.groupBy(col("doc_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("doc_id"),
+        (0 until bits)
+          .map(i => when(col(s"_s$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** SimHash near-dup pairs with hamming ≤ maxHamming, by PIGEONHOLE
