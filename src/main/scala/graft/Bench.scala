@@ -54,8 +54,13 @@ object Bench {
     }
     def median(ts: Seq[Double]): Double =
       if (ts.contains(-1.0)) -1.0 else ts.sorted.apply(ts.size / 2)
+    // 3-dp times keep the stdout line under the harness's 2000-char
+    // stdout-tail capture (full-precision doubles pushed it to ~8 KB
+    // and the captured tail never parsed as JSON); 1 ms resolution
+    // is below run-to-run noise anyway
+    def r3(d: Double): Double = math.round(d * 1000).toDouble / 1000
     def jsonMap(f: Seq[Double] => Double): String =
-      results.map { case (k, v) => s"\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      results.map { case (k, v) => s"\"" + k + "\":" + r3(f(v)) }.mkString("{", ",", "}")
     val medians = results.map { case (_, v) => median(v) }
     // any failed query poisons the TOTAL to the -1 sentinel too:
     // summing a -1 in would UNDERSTATE the total, making a breaking
@@ -64,10 +69,12 @@ object Bench {
       if (medians.isEmpty) 0.0
       else if (medians.exists(_ < 0)) -1.0
       else medians.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec"""" +
+    // variance record goes to stderr so the ONE stdout JSON line
+    // stays within the harness tail capture
+    System.err.println(s"""{"queries_min":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.min)}""" +
+      s""","queries_spread":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","repeats":$Repeats,"queries":${jsonMap(median)}""" +
-      s""","queries_min":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.min)}""" +
-      s""","queries_spread":${jsonMap(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min)}""" +
       s""","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -101,6 +101,12 @@ object SparkEntry {
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // retrieval → token-budget prefix packing (the proposal flow's
+    // context-assembly step): top-50 ranked docs, keep while the
+    // running ws-token total stays within 400
+    "context_pack" -> ((s, dir) =>
+      SearchOps.contextPack(Tables.documents(s, dir), "spark vector hash join",
+        tokenBudget = 400, k = 50)),
     "ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
@@ -146,6 +152,19 @@ object SparkEntry {
       DedupOps.decontaminate(
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
     }),
+    // the 100 TB decontamination shape: benchmark fps → Bloom filter →
+    // broadcast map-side gate → exact verify of the sliver; output is
+    // the CLEAN set, and Bloom false positives cancel in the verify
+    // join, so the oracle is the plain exact anti-join
+    "decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.decontaminateBloom(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+    }),
+    // deterministic per-language keep rates (en 20%, es 50%, rest
+    // 100%) — reproducible data mixing, hash-salted off hashSplit
+    "stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir), Map("en" -> 20, "es" -> 50))),
     "redact_pii" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // deterministic PII injection: the synthetic corpus is PII-free,
@@ -513,6 +532,31 @@ object SparkEntry {
          |FROM (SELECT doc_id, fp FROM fps WHERE doc_id >= 50) c
          |JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id < 50) b USING (fp)
          |GROUP BY 1""".stripMargin,
+    // Bloom gate is an execution detail with no false negatives, and
+    // its false positives die in the exact verify join — the oracle
+    // is therefore the PLAIN exact anti-join over winnowed fps
+    "decontaminate_bloom" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |h AS (SELECT doc_id, pos, ${duckHash24("shingle")} AS h FROM shp),
+         |fps AS (SELECT DISTINCT doc_id,
+         |  min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM h),
+         |cfp AS (SELECT doc_id, fp FROM fps WHERE doc_id >= 50),
+         |bfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id < 50),
+         |dirty AS (SELECT DISTINCT c.doc_id FROM cfp c JOIN bfp b USING (fp))
+         |SELECT doc_id, count(*) AS n_fp FROM cfp
+         |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+         |GROUP BY 1""".stripMargin,
+    "stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${duckHash24("text || '|stratum'")} % 100 AS bucket,
+         |  CAST(CASE WHEN lang = 'en' THEN 20 WHEN lang = 'es' THEN 50
+         |            ELSE 100 END AS BIGINT) AS keep_pct
+         |  FROM documents)
+         |SELECT doc_id, lang, bucket, keep_pct FROM b
+         |WHERE bucket < keep_pct""".stripMargin,
     "redact_pii" ->
       s"""WITH t AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -843,6 +887,42 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
          |  FROM scored s JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // same ranking chain as search_text at k=50, then a prefix cut on
+    // the running token total (CAST: DuckDB widens sum(BIGINT) to
+    // HUGEINT; Spark's window sum stays BIGINT)
+    "context_pack" ->
+      s"""WITH $duckToks,
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id)),
+         |qtoks AS (SELECT trim(u.tok) AS tok
+         |          FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |qhashed AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM qtoks),
+         |qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM qhashed GROUP BY 1),
+         |qw AS (SELECT dim, round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM qtf), 6) + 0 AS qw
+         |       FROM qtf),
+         |scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM w JOIN qw USING (dim) GROUP BY 1),
+         |ranked AS (
+         |  SELECT rank, doc_id, score FROM (
+         |    SELECT s.doc_id, s.score,
+         |      row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+         |    FROM scored s) WHERE rank <= 50),
+         |tc AS (SELECT doc_id,
+         |  CAST(len(list_filter(list_transform(string_split(text, ' '), t -> trim(t)),
+         |                       t -> t <> '')) AS BIGINT) AS n_ws_tokens
+         |  FROM documents)
+         |SELECT rank, doc_id, score, n_ws_tokens, cum_tokens FROM (
+         |  SELECT r.rank, r.doc_id, r.score, tc.n_ws_tokens,
+         |    CAST(sum(tc.n_ws_tokens) OVER (ORDER BY r.rank
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM ranked r JOIN tc USING (doc_id))
+         |WHERE cum_tokens <= 400""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |           FROM embeddings WHERE vec_id < 10),

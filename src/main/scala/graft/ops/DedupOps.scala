@@ -448,4 +448,40 @@ object DedupOps {
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
+
+  /** Bloom-gated decontamination — the 100 TB shape of
+    * [[decontaminate]], inverted to return the CLEAN set. Plain
+    * decontaminate shuffles EVERY corpus fingerprint into the
+    * benchmark join; here the (small-by-definition) benchmark
+    * fingerprint set folds into a Bloom filter once
+    * (`DataFrameStatFunctions.bloomFilter` — distributed aggregate,
+    * only the ~`ln(1/fpp)·n/ln2²`-bit sketch reaches the driver),
+    * which broadcasts to every executor, and the corpus side is
+    * pre-filtered MAP-ONLY: only true hits plus an `fpp` sliver of
+    * false positives ever enter the exact verify join. The verify
+    * join restores exact semantics — Bloom false positives are
+    * eliminated there, so the output is bit-identical to the
+    * exact anti-join the oracle runs (false negatives don't exist
+    * in a Bloom filter).
+    *
+    * Returns (doc_id, n_fp): corpus documents sharing NO winnowed
+    * fingerprint with the benchmark, with their fingerprint count.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame, w: Int = 3,
+                         window: Int = 4, fpp: Double = 0.01): DataFrame = {
+    val bfp = winnowFingerprints(benchmark, w, window).select(col("fp")).distinct()
+    // eager count sizes the filter; the benchmark side is small (it's
+    // the eval set), so this is a cheap second scan of a tiny input
+    val expected = math.max(1L, bfp.count())
+    val bloom = bfp.stat.bloomFilter("fp", expected, fpp)
+    val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: Long) => bloomBc.value.mightContainLong(fp))
+    val cfp = winnowFingerprints(corpus, w, window)
+    val contaminated = cfp
+      .filter(mightContain(col("fp"))) // map-side gate: no shuffle for clean fps
+      .join(bfp, "fp")                 // exact verify over the surviving sliver
+      .select(col("doc_id")).distinct()
+    cfp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+      .join(contaminated, Seq("doc_id"), "left_anti")
+  }
 }

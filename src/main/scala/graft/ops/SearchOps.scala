@@ -96,4 +96,32 @@ object SearchOps {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
+
+  /** Token-budget context packing — the retrieval→prompt step of the
+    * reference's proposal flow (SURVEY §3.3 assembles retrieved
+    * keywords into a prompt; an LLM context has a hard token budget):
+    * rank the top-`k` documents for the query, then keep the ranked
+    * PREFIX whose running whitespace-token total stays within
+    * `tokenBudget`. Once the cumulative count passes the budget every
+    * later row is over too (running sums are monotone), so the filter
+    * is a true prefix cut, not a knapsack.
+    *
+    * Scale shape: [[searchText]] bounds the candidate set to k rows
+    * BEFORE the window, so the unpartitioned running-sum window ranks
+    * ≤k rows — never the corpus. Token counts join in AFTER the limit
+    * (k rows probe the per-doc counts), not before.
+    */
+  def contextPack(docs: DataFrame, queryText: String, tokenBudget: Long,
+                  k: Int = 50): DataFrame = {
+    val ranked = searchText(docs, queryText, k)
+    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_ws_tokens"))
+    val cum = Window.orderBy(col("rank"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked
+      .join(toks, "doc_id")
+      .withColumn("cum_tokens", sum(col("n_ws_tokens")).over(cum))
+      .filter(col("cum_tokens") <= tokenBudget)
+      .select(col("rank"), col("doc_id"), col("score"),
+        col("n_ws_tokens"), col("cum_tokens"))
+  }
 }

@@ -140,6 +140,34 @@ object TextOps {
           .when(col("bucket") < testPct + valPct, "val")
           .otherwise("train").as("split"))
 
+  /** Deterministic stratified sampling — per-language keep rates for
+    * corpus rebalancing (downsample the dominant language, keep the
+    * rest), the standard data-mixing step before pretraining. The
+    * keep decision is a pure function of the text (portable hash →
+    * bucket in [0,100), keep iff bucket < stratum rate), so the
+    * sample is REPRODUCIBLE across runs, engines, and partitionings —
+    * unlike `df.sample`, whose output depends on partition layout.
+    * The hash input is salted so sampling never correlates with
+    * [[hashSplit]]'s train/val/test assignment (same hash would nest
+    * the sample inside the test split).
+    *
+    * Scale shape: map-only — a filter over a scan, no shuffle, no
+    * sort, no driver state; rates are a literal CASE expression.
+    */
+  def stratifiedSample(docs: DataFrame, ratesPct: Map[String, Int],
+                       defaultPct: Int = 100): DataFrame = {
+    val bucket = graft.functions.PortableHash.bucket(
+      concat(col("text"), lit("|stratum")), 100)
+    val keepPct = ratesPct.foldLeft(lit(defaultPct)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    docs
+      .withColumn("bucket", bucket)
+      .withColumn("keep_pct", keepPct.cast("long"))
+      .filter(col("bucket") < col("keep_pct"))
+      .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
+  }
+
   /** Training-data curation filter — the composite every pretraining
     * pipeline runs before tokenization: keep documents in the target
     * language, above a quality floor, inside a token-count band. One

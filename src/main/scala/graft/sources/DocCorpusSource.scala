@@ -123,14 +123,23 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
       case Some(m) =>
         // lake path: no filesystem walk — (path[, length]) come from
         // the metadata table; the load root only anchors identities.
-        // Paths may be qualified URIs or plain, so BOTH prefixes are
-        // tried (a qualified 'file:/root/x.pdf' against a plain root
-        // '/root' must still yield the relative identity, or two
-        // same-named files in different subdirs merge downstream).
+        // Paths may be qualified URIs or plain with varying spellings
+        // (file:///x vs file:/x, authority-qualified vs not), so each
+        // manifest path is NORMALIZED through Path(..).toString —
+        // which collapses those spellings — and compared against both
+        // the plain and the makeQualified form of the root: a
+        // qualified 'file:/root/x.pdf' against a plain root '/root'
+        // must still yield the relative identity, or two same-named
+        // files in different subdirs merge downstream. Paths matching
+        // neither prefix fall back to basename identity with ONE
+        // aggregated warning (per-row logging on a million-file
+        // manifest would drown the driver log).
         // Real metadata tables carry nullable columns: null paths are
         // unlistable (dropped), null lengths coalesce to the -1
         // unknown-length sentinel the reader stream-checks.
-        val plainPrefix = path.stripSuffix("/") + "/"
+        val plainPrefix =
+          (try new Path(path).toString catch { case _: Exception => path })
+            .stripSuffix("/") + "/"
         val qualPrefix =
           try {
             val p = new Path(path)
@@ -142,17 +151,30 @@ class DocCorpusScanBuilder(path: String, recursive: Boolean, maxFileBytes: Long,
           if (df.schema.fieldNames.contains("length"))
             df.selectExpr("path", "coalesce(CAST(length AS LONG), CAST(-1 AS LONG)) AS length")
           else df.selectExpr("path", "CAST(-1 AS LONG) AS length") // unknown: reader stream-checks
-        withLen.where("path IS NOT NULL").collect().toSeq.map { r =>
+        var basenameFallbacks = 0L
+        var fallbackExample: String = null
+        val listed = withLen.where("path IS NOT NULL").collect().toSeq.map { r =>
           val full = r.getString(0)
-          val name = full.substring(full.lastIndexOf('/') + 1)
+          val norm = try new Path(full).toString catch { case _: Exception => full }
+          val name = norm.substring(norm.lastIndexOf('/') + 1)
           val rel =
-            if (full.startsWith(plainPrefix)) full.substring(plainPrefix.length)
-            else if (full.startsWith(qualPrefix)) full.substring(qualPrefix.length)
-            else name
+            if (norm.startsWith(plainPrefix)) norm.substring(plainPrefix.length)
+            else if (norm.startsWith(qualPrefix)) norm.substring(qualPrefix.length)
+            else {
+              basenameFallbacks += 1
+              if (fallbackExample == null) fallbackExample = full
+              name
+            }
           (full, rel, r.getLong(1), name)
         }.collect { case (full, rel, len, name) if DocCorpusSource.accepted(name) =>
           (full, rel, len)
         }
+        if (basenameFallbacks > 0)
+          org.slf4j.LoggerFactory.getLogger(classOf[DocCorpusScanBuilder]).warn(
+            s"$basenameFallbacks manifest path(s) outside load root '$path' fell back to " +
+              s"BASENAME identity (e.g. '$fallbackExample') — same-named files in different " +
+              "directories will merge downstream; anchor the load root above all manifest paths")
+        listed
       case None =>
         val p = new Path(path)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -220,6 +242,26 @@ case class DocFilePartition(files: Seq[DocFileRef]) extends InputPartition
 
 class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguration,
                        maxFileBytes: Long) extends PartitionReaderFactory {
+  /** Permanent not-found conditions across filesystem implementations:
+    * typed not-found exceptions anywhere in the cause chain, or an
+    * object-store IOException whose message carries 404 semantics. */
+  private[sources] def isNotFound(e: Throwable): Boolean = {
+    var t = e
+    var depth = 0
+    while (t != null && depth < 8) {
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _: java.nio.file.NoSuchFileException => return true
+        case _ =>
+      }
+      val msg = Option(t.getMessage).getOrElse("").toLowerCase(java.util.Locale.ROOT)
+      if (msg.contains("404") || msg.contains("not found") ||
+          msg.contains("nosuchkey") || msg.contains("does not exist")) return true
+      t = t.getCause
+      depth += 1
+    }
+    false
+  }
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[DocFilePartition]
     new PartitionReader[InternalRow] {
@@ -255,7 +297,15 @@ class DocReaderFactory(fieldNames: Array[String], conf: SerializableConfiguratio
                 if (total > maxFileBytes) Array.emptyByteArray else out.toByteArray
               } finally in.close()
             } catch {
-              case e: java.io.FileNotFoundException =>
+              // not-found surfaces differently per filesystem: local /
+              // HDFS / S3A raise FileNotFoundException, java.nio-backed
+              // stores NoSuchFileException, and some object-store
+              // connectors a generic IOException carrying 404 semantics
+              // in the message — all are the same permanent "vanished
+              // between listing and read" condition a task retry cannot
+              // cure, so all are contained per-file. Any other
+              // IOException still propagates for Spark's task retry.
+              case e: java.io.IOException if isNotFound(e) =>
                 org.slf4j.LoggerFactory.getLogger(classOf[DocReaderFactory])
                   .warn(s"listed file vanished before read, yielding no rows: ${ref.file}", e)
                 Array.emptyByteArray

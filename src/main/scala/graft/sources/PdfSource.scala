@@ -1027,13 +1027,17 @@ object PdfSource {
     * group 3 = hex Tj, group 4/5 = literal/hex shown by the
     * move-to-next-line quote operators `'` and `"` (ISO 32000
     * §9.4.3 — `"` takes two leading numbers; the string sits right
-    * before the operator either way). */
+    * before the operator either way). The quote alternatives demand
+    * a PDF token boundary after the operator (whitespace, a
+    * delimiter, or end of stream): unlike the named Tj/TJ operators
+    * a lone punctuation character has real false-positive odds in
+    * binary-ish streams, e.g. `(x)'s` inside non-text operands. */
   private val ShowOp =
     ("""\(((?:[^()\\]|\\.)*)\)\s*Tj""" + "|" +
       """\[((?:[^\[\]\\]|\\.)*)\]\s*TJ""" + "|" +
       """<([0-9A-Fa-f\s]+)>\s*Tj""" + "|" +
-      """\(((?:[^()\\]|\\.)*)\)\s*["']""" + "|" +
-      """<([0-9A-Fa-f\s]+)>\s*["']""").r
+      """\(((?:[^()\\]|\\.)*)\)\s*["'](?![^\s()<>\[\]{}/%])""" + "|" +
+      """<([0-9A-Fa-f\s]+)>\s*["'](?![^\s()<>\[\]{}/%])""").r
   /** Inside a TJ array: literal or hex string, again in order. */
   private val ArrItem = """\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]+)>""".r
 

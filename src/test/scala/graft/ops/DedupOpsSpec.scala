@@ -121,6 +121,28 @@ class DedupOpsSpec extends SparkSpec {
     assert(!flagged.contains(101L))
   }
 
+  test("decontaminateBloom returns the clean complement of decontaminate, exactly") {
+    val corpus = Seq(
+      (100L, base), // contaminated: identical to benchmark doc
+      (101L, "completely unrelated corpus text with different vocabulary entirely here"),
+      (102L, "another clean document talking about distributed query planning today")
+    ).toDF("doc_id", "text")
+    val benchmark = Seq((0L, base)).toDF("doc_id", "text")
+    val clean = DedupOps.decontaminateBloom(corpus, benchmark)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // contaminated doc excluded; both clean docs present with their
+    // full fingerprint counts — Bloom false positives must NOT drop
+    // clean docs (the exact verify join reinstates them)
+    assert(!clean.contains(100L))
+    assert(clean.contains(101L) && clean(101L) > 0L)
+    assert(clean.contains(102L) && clean(102L) > 0L)
+    // exact complement of decontaminate over the same corpus
+    val flagged = DedupOps.decontaminate(corpus, benchmark)
+      .collect().map(_.getLong(0)).toSet
+    assert(clean.keySet.intersect(flagged).isEmpty)
+    assert((clean.keySet ++ flagged) === Set(100L, 101L, 102L))
+  }
+
   test("editDistanceVerify scores candidate pairs by normalized Levenshtein") {
     val d = Seq((0L, "kitten"), (1L, "sitting"), (2L, "kitten"))
       .toDF("doc_id", "text")

@@ -22,6 +22,26 @@ class SearchOpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("score") > r(1).getAs[Double]("score"))
   }
 
+  test("contextPack: ranked prefix under the token budget, cut exactly at overflow") {
+    // every doc mentions 'spark' so all rank; 6 ws-tokens each
+    val d = Seq(
+      (0L, "spark spark spark spark spark spark", "en", "a", 1L),
+      (1L, "spark spark spark spark spark one", "en", "b", 1L),
+      (2L, "spark spark spark spark two three", "en", "c", 1L),
+      (3L, "spark spark spark four five six", "en", "d", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // budget 15 fits exactly two 6-token docs (12), not three (18)
+    val packed = SearchOps.contextPack(d, "spark", tokenBudget = 15, k = 10)
+      .orderBy("rank").collect()
+    assert(packed.length === 2)
+    assert(packed.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L)) // contiguous prefix
+    assert(packed.last.getAs[Long]("cum_tokens") === 12L)
+    // budget below the first doc → empty pack, not an error
+    assert(SearchOps.contextPack(d, "spark", tokenBudget = 5, k = 10).count() === 0L)
+    // a huge budget returns every ranked candidate
+    assert(SearchOps.contextPack(d, "spark", tokenBudget = 1000, k = 10).count() === 4L)
+  }
+
   test("searchBm25: idf favors rarer terms at equal tf") {
     // 'spark' (df 2) vs 'engine' (df 2)… make 'engine' common: df 2 vs 3
     val d = Seq(

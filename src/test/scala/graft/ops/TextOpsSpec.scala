@@ -86,6 +86,39 @@ class TextOpsSpec extends SparkSpec {
     assert(s2 === rows)
   }
 
+  test("stratifiedSample: per-stratum rates, reproducible, independent of hashSplit") {
+    val docs = (0 until 600).map { i =>
+      val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "de"
+      (i.toLong, s"stratified document body number $i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val kept = TextOps.stratifiedSample(docs, Map("en" -> 20, "es" -> 50))
+    val byLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // default stratum keeps EVERYTHING; sampled strata keep roughly
+    // their rate (hash-uniform: wide tolerance, zero flake)
+    assert(byLang("de") === 200L)
+    assert(byLang("en") > 10L && byLang("en") < 80L)   // ~40 expected
+    assert(byLang("es") > 60L && byLang("es") < 140L)  // ~100 expected
+    // keep_pct column reflects the stratum
+    val pcts = kept.select("lang", "keep_pct").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pcts === Map("en" -> 20L, "es" -> 50L, "de" -> 100L))
+    // pure function of content: a reshuffled input keeps the same ids
+    val ids1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = TextOps.stratifiedSample(docs.repartition(17), Map("en" -> 20, "es" -> 50))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 === ids2)
+    // salted off hashSplit: the en sample must NOT nest inside the
+    // test/val splits (same unsalted hash would force bucket<20 ⊂
+    // bucket<10 ∪ …; with the salt the buckets decorrelate)
+    val splits = TextOps.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val enKept = kept.filter($"lang" === "en").select("doc_id")
+      .collect().map(_.getLong(0))
+    assert(enKept.exists(id => splits(id) === "train"),
+      "sampled en docs all fell in test/val — sampling correlates with hashSplit")
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok

@@ -179,6 +179,43 @@ class DocCorpusSourceSpec extends SparkSpec {
     assert(rows === Set(("x.pdf", "root doc"), ("sub/x.pdf", "sub doc")))
   }
 
+  test("triple-slash and other URI spellings normalize to load-root-relative identities") {
+    val dir = Files.createTempDirectory("doc_corpus_slash").toFile
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    def write(parent: java.io.File, name: String, bytes: Array[Byte]): Unit = {
+      val f = new FileOutputStream(new java.io.File(parent, name)); f.write(bytes); f.close()
+    }
+    write(dir, "y.pdf", makePdf("BT (root y) Tj ET"))
+    write(sub, "y.pdf", makePdf("BT (sub y) Tj ET"))
+    val mDir = Files.createTempDirectory("doc_manifest_slash").toFile
+    val mPath = new java.io.File(mDir, "m.parquet").getAbsolutePath
+    // file:///x (triple slash) does not string-prefix-match either the
+    // plain root or makeQualified's file:/x — only Path normalization
+    // keeps the relative identity (pre-fix these merged on basename)
+    Seq(s"file://${dir.getAbsolutePath}/y.pdf", s"file://${dir.getAbsolutePath}/sub/y.pdf")
+      .toDF("path").write.parquet(mPath)
+    val rows = spark.read.format("graft.sources.DocCorpusSource")
+      .option("manifest", mPath).load(dir.getAbsolutePath)
+      .select("source", "text").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows === Set(("y.pdf", "root y"), ("sub/y.pdf", "sub y")))
+  }
+
+  test("isNotFound: typed + message-sniffed not-found contained, transient IO not") {
+    val rf = new DocReaderFactory(Array("source"),
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration), 1000L)
+    assert(rf.isNotFound(new java.io.FileNotFoundException("gone")))
+    assert(rf.isNotFound(new java.nio.file.NoSuchFileException("/x")))
+    // object-store style: generic IOException with 404 semantics, or
+    // a not-found wrapped as a cause
+    assert(rf.isNotFound(new java.io.IOException("GET /b/k: 404 NoSuchKey")))
+    assert(rf.isNotFound(new java.io.IOException("wrapper",
+      new java.io.FileNotFoundException("inner"))))
+    // transient conditions must PROPAGATE for task retry
+    assert(!rf.isNotFound(new java.io.IOException("Connection reset by peer")))
+    assert(!rf.isNotFound(new java.net.SocketTimeoutException("read timed out")))
+  }
+
   test("a vanished manifested file is contained; files sharing its bin still read") {
     val dir = corpusDir()
     val mDir = Files.createTempDirectory("doc_manifest_gone").toFile

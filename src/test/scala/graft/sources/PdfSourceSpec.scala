@@ -97,6 +97,21 @@ class PdfSourceSpec extends SparkSpec {
     assert(text === "first second third 안")
   }
 
+  test("quote operators demand a token boundary: (x)'s in non-text operands not extracted") {
+    // `'` glued to a following word char is NOT the show operator —
+    // it's binary-ish operand soup; requiring a PDF delimiter or
+    // whitespace after the quote keeps it out of extracted text
+    val junk = "BT (real) Tj ET q (junk)'n cm Q"
+    val pdfJunk = ("%PDF-1.4\n1 0 obj\n<< /Length " + junk.length + " >>\nstream\n" +
+      junk + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfSource.extractStreams(pdfJunk).filter(_.trim.nonEmpty).head === "real")
+    // but a quote at end-of-stream or before a delimiter still shows
+    val eol = "BT (a) ' (b)'(c) ' ET"
+    val pdfEol = ("%PDF-1.4\n1 0 obj\n<< /Length " + eol.length + " >>\nstream\n" +
+      eol + "\nendstream\nendobj\n%%EOF").getBytes("ISO-8859-1")
+    assert(PdfSource.extractStreams(pdfEol).filter(_.trim.nonEmpty).head === "a b c")
+  }
+
   test("mixed literal and hex text keeps document order within and across show ops") {
     val cmap = "1 beginbfchar\n<0001> <C548>\nendbfchar"
     val content = "BT (Hello ) Tj [(mid ) <0001> ( end)] TJ <0001> Tj (tail) Tj ET"
