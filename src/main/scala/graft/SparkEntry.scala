@@ -111,6 +111,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
     }),
+    // int8 codes rank candidates (integer-exact distances), floats
+    // touched only for the top-12-per-query exact-cosine rerank
+    "ann_quantized" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.annQuantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
+    }),
     // quantizer = ceil(sqrt(N)) k-means cells (NOT the 10 label
     // centroids: at fixed cell count candidate pairs grow ~N² — the
     // round-2 verdict's one remaining scale-killer). Same cells
@@ -165,6 +171,29 @@ object SparkEntry {
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
       TextOps.stratifiedSample(Tables.documents(s, dir), Map("en" -> 20, "es" -> 50))),
+    // rates DERIVED from the data (inverse-sqrt flattening anchored
+    // on the dominant domain) instead of given as constants
+    "domain_mix" -> ((s, dir) => TextOps.domainMix(Tables.documents(s, dir))),
+    // concat-and-chunk packing into 128-token sequences across 8
+    // hash-sharded streams
+    "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // CDC snapshot diff: the "new" snapshot derives deterministically
+    // from the corpus (bucket<5 removed, 5..9 changed, >=95 re-keyed
+    // as additions) so the change feed is oracle-checkable
+    "snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val b = graft.functions.PortableHash.bucket(concat(col("text"), lit("|snap")), 100)
+      val mutated = docs.withColumn("b", b)
+        .filter(col("b") >= 5)
+        .withColumn("text",
+          when(col("b") < 10, concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .drop("b")
+        .unionByName(docs.withColumn("b", b).filter(col("b") >= 95)
+          .withColumn("doc_id", col("doc_id") + 1000000)
+          .withColumn("text", concat(col("text"), lit(" addendum")))
+          .drop("b"))
+      CorpusOps.snapshotDiff(docs, mutated)
+    }),
     "redact_pii" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       // deterministic PII injection: the synthetic corpus is PII-free,
@@ -557,6 +586,56 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, lang, bucket, keep_pct FROM b
          |WHERE bucket < keep_pct""".stripMargin,
+    // inverse-sqrt domain flattening anchored on the dominant
+    // domain's exact integer count (no float sum across domains —
+    // bit-reproducible rates)
+    "domain_mix" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+         |mx AS (SELECT max(n_d) AS n_max FROM counts),
+         |rates AS (SELECT lang, n_d,
+         |    round(least(1.0, 0.5 * sqrt(CAST(n_max AS DOUBLE) / n_d)), 6) + 0 AS rate
+         |  FROM counts, mx)
+         |SELECT d.doc_id, d.lang, r.n_d, r.rate
+         |FROM documents d JOIN rates r USING (lang)
+         |WHERE ${duckHash24("d.text || '|mix'")} % 1000000
+         |      < CAST(round(r.rate * 1000000.0) AS BIGINT)""".stripMargin,
+    "pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok,
+         |    ${duckHash24("text || '|pack'")} % 8 AS stream_id
+         |  FROM documents),
+         |c AS (SELECT doc_id, stream_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY stream_id ORDER BY doc_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |  FROM t)
+         |SELECT doc_id, stream_id, n_tok,
+         |  CAST((cum_tok - n_tok) // 128 AS BIGINT) AS seq_id,
+         |  CAST((cum_tok - n_tok) % 128 AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin,
+    // old = documents; new derives via the same salted bucket the
+    // Spark side uses (bucket<5 removed, 5..9 changed, >=95 re-keyed
+    // additions); unchanged docs drop out of the change feed
+    "snapshot_diff" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |             ${duckHash24("text || '|snap'")} % 100 AS bkt
+         |           FROM documents),
+         |olds AS (SELECT doc_id, sha256(text) AS old_hash FROM documents),
+         |news AS (
+         |  SELECT doc_id,
+         |         sha256(CASE WHEN bkt < 10 THEN text || ' rev2' ELSE text END) AS new_hash
+         |  FROM b WHERE bkt >= 5
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, sha256(text || ' addendum') FROM b WHERE bkt >= 95),
+         |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, o.old_hash, n.new_hash
+         |      FROM olds o FULL JOIN news n ON o.doc_id = n.doc_id)
+         |SELECT doc_id,
+         |  CASE WHEN old_hash IS NULL THEN 'added'
+         |       WHEN new_hash IS NULL THEN 'removed'
+         |       ELSE 'changed' END AS change,
+         |  old_hash, new_hash
+         |FROM j
+         |WHERE old_hash IS NULL OR new_hash IS NULL OR old_hash <> new_hash""".stripMargin,
     "redact_pii" ->
       s"""WITH t AS (SELECT doc_id,
          |  text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -935,6 +1014,37 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM s)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // int8 scalar quantization: one global symmetric scale, integer
+    // code distances pick 12 candidates/query, exact cosine reranks
+    "ann_quantized" ->
+      s"""WITH s AS (
+         |  SELECT max(greatest(abs(CAST(list_min(embedding) AS DOUBLE)),
+         |                      abs(CAST(list_max(embedding) AS DOUBLE)))) AS qs
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 127.0 / s.qs) AS BIGINT)) AS qc
+         |       FROM embeddings, s),
+         |cd AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |         CAST(list_sum(list_transform(range(1, len(c.qc)+1),
+         |           i -> (c.qc[i] - q.qc[i]) * (c.qc[i] - q.qc[i]))) AS BIGINT) AS qdist
+         |       FROM qz c, qz q
+         |       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cand AS (SELECT query_id, vec_id, qdist FROM (
+         |           SELECT query_id, vec_id, qdist,
+         |             row_number() OVER (PARTITION BY query_id
+         |               ORDER BY qdist, vec_id) AS qrank
+         |           FROM cd) WHERE qrank <= 12),
+         |rr AS (SELECT cand.query_id, cand.vec_id, cand.qdist,
+         |         round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |       FROM cand
+         |       JOIN embeddings c ON c.vec_id = cand.vec_id
+         |       JOIN embeddings q ON q.vec_id = cand.query_id)
+         |SELECT query_id, rank, vec_id, qdist, cos_sim FROM (
+         |  SELECT query_id, vec_id, qdist, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr) WHERE rank <= 3""".stripMargin,
     // IVF-candidate form: sqrt(N) k-means cells (same quantizer CTE
     // chain as ann_ivf), nAssign=2 multi-assignment, exact cosine
     // only on co-resident pairs

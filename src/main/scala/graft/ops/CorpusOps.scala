@@ -124,6 +124,33 @@ object CorpusOps {
       .withColumn("content_hash", sha2(col("text"), 256))
       .join(state.select("content_hash"), Seq("content_hash"), "left_anti")
 
+  /** CDC-style snapshot diff — classify every document as added /
+    * removed / changed between two corpus snapshots (the generalized
+    * form of the reference's per-file sha change detection,
+    * app_callapi.py:117-120,139: there one file at a time against a
+    * hash dict; here whole snapshots, the incremental-ingest shape a
+    * periodically re-crawled 100 TB corpus needs). Unchanged
+    * documents are dropped — the output IS the change feed.
+    *
+    * Scale shape: each side projects to (doc_id, sha-256) MAP-SIDE
+    * before the join, so document text never enters the shuffle —
+    * the full-outer join moves two hash columns on a uniform key. At
+    * 100 TB with both snapshots bucketed by doc_id the join is
+    * exchange-free ([[graft.ops.PersistOps]] layout).
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val o = oldSnap.select(col("doc_id"), sha2(col("text"), 256).as("old_hash"))
+    val n = newSnap.select(col("doc_id"), sha2(col("text"), 256).as("new_hash"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn(
+        "change",
+        when(col("old_hash").isNull, lit("added"))
+          .when(col("new_hash").isNull, lit("removed"))
+          .when(col("old_hash") =!= col("new_hash"), lit("changed")))
+      .filter(col("change").isNotNull)
+      .select(col("doc_id"), col("change"), col("old_hash"), col("new_hash"))
+  }
+
   /** D2/D3 — delete-by-predicate + upsert: remove all rows of a
     * re-uploaded source and append its replacement rows (reference
     * app_callapi.py:122-130,140-153 — there a full FAISS rebuild; here

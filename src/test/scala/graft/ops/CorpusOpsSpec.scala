@@ -84,6 +84,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.count() === 4) // 3 others + 1 replacement
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b2"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val r = CorpusOps.snapshotDiff(oldSnap, newSnap).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r === Map(1L -> "removed", 2L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff of identical snapshots is an empty change feed") {
+    val snap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(CorpusOps.snapshotDiff(snap, snap).count() === 0)
+  }
+
   test("corpusStats aggregates per language") {
     val r = CorpusOps.corpusStats(corpus).head()
     assert(r.getAs[Long]("n_docs") === 5L)

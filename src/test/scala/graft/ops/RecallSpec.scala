@@ -34,4 +34,21 @@ class RecallSpec extends SparkSpec {
     assert(exact.size === 30)
     assert(hits >= 29, s"recall@3 $hits/${exact.size} under (nProbe=$nProbe, nAssign=$nAssign)")
   }
+
+  test("quantized-ANN recall@3 with 4x rerank is >= 29/30 at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"driver testdata missing at $dir")
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val exact = VectorOps.annTopK(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.annQuantizedTopK(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hits = exact.count(approx.contains)
+    assert(hits >= 29, s"quantized recall@3 $hits/${exact.size}")
+  }
 }

@@ -119,6 +119,38 @@ class TextOpsSpec extends SparkSpec {
       "sampled en docs all fell in test/val — sampling correlates with hashSplit")
   }
 
+  test("domainMix halves the dominant domain, keeps a 4x-smaller one fully") {
+    // en: 16 docs (dominant), de: 4 docs → rate_de = 0.5·√(16/4) = 1.0
+    val docs = ((0 until 16).map(i => (i.toLong, s"english document number $i", "en")) ++
+      (0 until 4).map(i => (100L + i, s"deutsches dokument nummer $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.domainMix(docs)
+    assert(r.filter($"lang" === "de").count() === 4) // rate 1.0 keeps all
+    val en = r.filter($"lang" === "en")
+    assert(en.count() < 16) // rate 0.5 drops some (hash-dependent, deterministic)
+    assert(en.select("rate").distinct().head().getDouble(0) === 0.5)
+    // reproducible: same input → same sample
+    assert(TextOps.domainMix(docs).collect().toSet === r.collect().toSet)
+  }
+
+  test("packSequences: stream-local cumsum drives seq ids and offsets") {
+    val docs = (0 until 20).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
+      .toDF("doc_id", "text")
+    val rows = TextOps.packSequences(docs, tokenBudget = 4, nStreams = 2).collect()
+    assert(rows.length === 20)
+    assert(rows.forall { x =>
+      val off = x.getAs[Long]("seq_offset"); off >= 0 && off < 4
+    })
+    rows.groupBy(_.getAs[Long]("stream_id")).foreach { case (_, stream) =>
+      val sorted = stream.sortBy(_.getAs[Long]("doc_id"))
+      val starts = sorted.scanLeft(0L)((acc, x) => acc + x.getAs[Long]("n_tok")).init
+      sorted.zip(starts).foreach { case (x, start) =>
+        assert(x.getAs[Long]("seq_id") === start / 4)
+        assert(x.getAs[Long]("seq_offset") === start % 4)
+      }
+    }
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok

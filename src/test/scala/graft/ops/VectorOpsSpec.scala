@@ -59,6 +59,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(r.filter($"query_id" === $"vec_id").count() === 0)
   }
 
+  test("annQuantizedTopK finds each query's near-twin; codes are integer-exact") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0.95f, 0.05f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (3L, Seq(0f, 0.9f, 0.1f, 0f), 0),
+      (4L, Seq(0f, 0f, 1f, 0f), 1),
+      (5L, Seq(0f, 0f, 0.9f, 0.1f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.annQuantizedTopK(vecs, vecs.filter($"vec_id".isin(0L, 2L, 4L)), k = 1)
+      .collect().map(x => x.getAs[Long]("query_id") -> x.getAs[Long]("vec_id")).toMap
+    assert(r === Map(0L -> 1L, 2L -> 3L, 4L -> 5L))
+    // identical vectors quantize identically → code distance 0
+    val twin = VectorOps.annQuantizedTopK(
+      vecs.union(Seq((6L, Seq(1f, 0f, 0f, 0f), 0)).toDF("vec_id", "embedding", "label")),
+      vecs.filter($"vec_id" === 0), k = 1).head()
+    assert(twin.getAs[Long]("vec_id") === 6L)
+    assert(twin.getAs[Long]("qdist") === 0L)
+    assert(twin.getAs[Double]("cos_sim") === 1.0)
+  }
+
   test("ivfTopK returns ranked neighbors from probed cells only") {
     val r = VectorOps.ivfTopK(emb, emb.filter($"vec_id" === 0), nProbe = 1, k = 3)
       .orderBy("rank").collect()
