@@ -174,6 +174,9 @@ object SparkEntry {
     // rates DERIVED from the data (inverse-sqrt flattening anchored
     // on the dominant domain) instead of given as constants
     "domain_mix" -> ((s, dir) => TextOps.domainMix(Tables.documents(s, dir))),
+    // deterministic "20 docs per language" via salted-hash ranking;
+    // WindowGroupLimit keeps the shuffle O(partitions·n) per group
+    "group_sample" -> ((s, dir) => TextOps.groupSample(Tables.documents(s, dir))),
     // concat-and-chunk packing into 128-token sequences across 8
     // hash-sharded streams
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
@@ -255,6 +258,9 @@ object SparkEntry {
       RelationalOps.revenueBySegment(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
+    // SCD2 history: per-user state change points with [valid_from,
+    // valid_to) validity and is_current on the open interval
+    "scd2_user_state" -> ((s, dir) => RelationalOps.scd2UserState(Tables.events(s, dir))),
     "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
     "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
@@ -599,6 +605,15 @@ object SparkEntry {
          |FROM documents d JOIN rates r USING (lang)
          |WHERE ${duckHash24("d.text || '|mix'")} % 1000000
          |      < CAST(round(r.rate * 1000000.0) AS BIGINT)""".stripMargin,
+    "group_sample" ->
+      s"""WITH s AS (SELECT doc_id, lang,
+         |  ${duckHash24("text || '|gsample'")} AS sample_key
+         |  FROM documents)
+         |SELECT doc_id, lang, sample_key, sample_rank FROM (
+         |  SELECT doc_id, lang, sample_key,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
+         |  FROM s) WHERE sample_rank <= 20""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
@@ -797,6 +812,21 @@ object SparkEntry {
          |JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
          |GROUP BY 1, 2
          |HAVING round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0 >= 0.9""".stripMargin,
+    "scd2_user_state" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |           FROM events),
+        |ch AS (SELECT user_id, ts_us, event_id, event_type FROM e
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  event_type AS state,
+        |  ts_us AS valid_from,
+        |  lead(ts_us) OVER w AS valid_to,
+        |  lead(ts_us) OVER w IS NULL AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000

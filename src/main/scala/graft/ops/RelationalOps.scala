@@ -299,6 +299,38 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** SCD2 state history from an event stream — the APPLY half of CDC
+    * ([[graft.ops.CorpusOps.snapshotDiff]] detects changes; this
+    * builds the slowly-changing-dimension history a warehouse keeps):
+    * collapse each user's event stream to its state CHANGE POINTS
+    * (event_type differs from the previous event) and emit one
+    * versioned row per state with [valid_from, valid_to) validity and
+    * an is_current flag on the open interval.
+    *
+    * Plan shape: one shuffle on user_id; the change-point filter
+    * preserves that partitioning, so the second window pass (version
+    * numbering + lead) adds only a partition-local sort, no second
+    * exchange. State per key is bounded by the frame machinery — at
+    * 100 TB this is the same single-key-shuffle family as
+    * [[sessionize]]. Validity bounds are on the µs time axis (oracle
+    * timestamp precision, same convention as [[purchaseAttribution]]);
+    * ties break on event_id, so versioning is deterministic on both
+    * engines even for events sharing a microsecond. */
+  def scd2UserState(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("version", row_number().over(byUser).cast("long"))
+      .withColumn("valid_to", lead(col("ts_us"), 1).over(byUser))
+      .select(
+        col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts_us").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Trailing event-time window per user — a RANGE frame over the
     * time axis (not ROWS): every event sees the count/sum of its
     * user's events in the preceding hour, however many rows that is.

@@ -174,6 +174,27 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("bucket"), col("keep_pct"))
   }
 
+  /** Deterministic per-group sampler — "n documents per domain", the
+    * eval-set / inspection-sample constructor. Rows are ranked inside
+    * each group by a salted content hash (a reproducible shuffle:
+    * same input → same sample on any engine, any partitioning) and
+    * the top n kept.
+    *
+    * Scale shape: rank-filter windows compile to WindowGroupLimit
+    * (Spark ≥3.5) — each input partition keeps only its local top-n
+    * per group BEFORE the shuffle, so the exchange moves
+    * O(partitions·n) rows per group, not the group's full data
+    * (asserted in PlanSpec). */
+  def groupSample(docs: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("sample_key"), col("doc_id"))
+    docs
+      .withColumn("sample_key", graft.functions.PortableHash.hash24(
+        concat(col("text"), lit("|gsample"))))
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= n)
+      .select(col("doc_id"), col("lang"), col("sample_key"), col("sample_rank"))
+  }
+
   /** Temperature-style domain rebalancing — the data-MIXING step that
     * decides how much of each domain (here: language) enters the
     * training mix. [[stratifiedSample]] takes rates as GIVEN; this op

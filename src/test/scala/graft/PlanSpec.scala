@@ -14,6 +14,10 @@ class PlanSpec extends SparkSpec {
   private def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("group_sample: rank filter compiles to a partial WindowGroupLimit before the shuffle") {
+    assert(planOf("group_sample").contains("WindowGroupLimit"))
+  }
+
   test("knn_search: top-k via TakeOrderedAndProject, query side broadcast, no global sort") {
     val p = planOf("knn_search")
     assert(p.contains("TakeOrderedAndProject"))

@@ -122,6 +122,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows(8L).getAs[Long]("n_purchase") === 1L)
   }
 
+  test("scd2UserState: change points become versioned validity intervals") {
+    // ts in nanos; validity bounds come out on the µs axis (div 1000)
+    val ev = Seq(
+      (1L, 100000L, 7L, "view", 0.0, "{}"),
+      (2L, 200000L, 7L, "view", 0.0, "{}"),  // same state — collapsed
+      (3L, 300000L, 7L, "cart", 0.0, "{}"),  // change point
+      (4L, 400000L, 7L, "view", 0.0, "{}"),  // change back = new version
+      (5L, 150000L, 8L, "click", 0.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.scd2UserState(ev).collect()
+      .map(x => (x.getLong(0), x.getLong(1)) -> x).toMap
+    assert(r.size === 4) // 3 versions for user 7, 1 for user 8
+    assert(r((7L, 1L)).getAs[String]("state") === "view")
+    assert(r((7L, 1L)).getAs[Long]("valid_from") === 100L)
+    assert(r((7L, 1L)).getAs[Long]("valid_to") === 300L)
+    assert(!r((7L, 1L)).getAs[Boolean]("is_current"))
+    assert(r((7L, 2L)).getAs[String]("state") === "cart")
+    assert(r((7L, 3L)).getAs[String]("state") === "view")
+    assert(r((7L, 3L)).isNullAt(r((7L, 3L)).fieldIndex("valid_to")))
+    assert(r((7L, 3L)).getAs[Boolean]("is_current"))
+    assert(r((8L, 1L)).getAs[Boolean]("is_current"))
+  }
+
   test("approxStatsCheck: exact counts with in-tolerance sketches") {
     val ev = (0 until 2000).map { i =>
       (i.toLong, i.toLong, (i % 137).toLong, if (i % 2 == 0) "view" else "click",

@@ -133,6 +133,17 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.domainMix(docs).collect().toSet === r.collect().toSet)
   }
 
+  test("groupSample keeps at most n per group, deterministically") {
+    val docs = ((0 until 30).map(i => (i.toLong, s"english doc $i", "en")) ++
+      (0 until 3).map(i => (100L + i, s"de doc $i", "de")))
+      .toDF("doc_id", "text", "lang")
+    val r = TextOps.groupSample(docs, n = 5)
+    val byLang = r.groupBy("lang").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byLang === Map("en" -> 5L, "de" -> 3L)) // clamps to group size
+    assert(TextOps.groupSample(docs, n = 5).collect().toSet === r.collect().toSet)
+  }
+
   test("packSequences: stream-local cumsum drives seq ids and offsets") {
     val docs = (0 until 20).map(i => (i.toLong, ("tok " * (i % 5 + 1)).trim))
       .toDF("doc_id", "text")
