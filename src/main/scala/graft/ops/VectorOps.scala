@@ -159,30 +159,88 @@ object VectorOps {
     */
   def annQuantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                        rerankFactor: Int = 4): DataFrame = {
-    // build-time scale: one scalar over the INDEXED vectors (queries
-    // reuse it — arriving queries can't rescale a built index)
-    val scale = corpus.agg(
-      max(greatest(abs(array_min(col("embedding")).cast("double")),
-        abs(array_max(col("embedding")).cast("double")))).as("qs"))
-    def quantize(e: Column): Column =
-      transform(asDouble(e), x => round(x * lit(127.0) / col("qs")).cast("long"))
-    val codes = corpus.crossJoin(broadcast(scale))
-      .select(col("vec_id"), quantize(col("embedding")).as("qc"))
-    val qcodes = queries.crossJoin(broadcast(scale))
-      .select(col("vec_id").as("query_id"), quantize(col("embedding")).as("qq"))
+    val scale = symmetricScale(corpus)
+    val codes = quantizedCodes(corpus, scale, "vec_id", "qc")
+    val qcodes = quantizedCodes(queries, scale, "query_id", "qq")
 
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
     val cand = codes.crossJoin(broadcast(qcodes))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("qdist",
-        aggregate(zip_with(col("qc"), col("qq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("qdist", intL2Sq(col("qc"), col("qq")))
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= k * rerankFactor)
       .select(col("query_id"), col("vec_id"), col("qdist"))
+    exactCosRerank(cand, corpus, queries, k)
+  }
 
-    // exact rerank: float vectors are touched only for candidates —
-    // a k·rerankFactor-per-query equi-join, never a second flat scan
+  /** The full production ANN funnel — IVF × scalar quantization
+    * (the IVFADC shape): cells prune WHICH vectors are scanned
+    * (equi-join candidate generation, [[ivfTopK]]), int8 codes prune
+    * the BYTES per candidate scanned (integer distances,
+    * [[annQuantizedTopK]]), and float vectors are touched only for
+    * the final k·rerankFactor exact-cosine rerank. At 100 TB the
+    * funnel reads: cell index (√N rows, broadcast) → code table
+    * (N·d bytes, 4× smaller than float32) → float table (random
+    * access, k·rerankFactor rows per query). */
+  def ivfQuantizedTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
+                       centroids: Option[DataFrame] = None, nAssign: Int = 1,
+                       rerankFactor: Int = 4): DataFrame = {
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(corpus)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
+    val assigned = cellRanks(corpus, cent, "vec_id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("vec_id"), col("c_label"))
+    val probes = cellRanks(queries, cent, "query_id")
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("c_label"))
+    val candidates = probes.join(assigned, "c_label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+      .distinct()
+
+    val scale = symmetricScale(corpus)
+    val codes = quantizedCodes(corpus, scale, "vec_id", "qc")
+    val qcodes = quantizedCodes(queries, scale, "query_id", "qq")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val cand = candidates
+      .join(codes, "vec_id")
+      .join(broadcast(qcodes), "query_id")
+      .withColumn("qdist", intL2Sq(col("qc"), col("qq")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+    exactCosRerank(cand, corpus, queries, k)
+  }
+
+  /** Build-time quantization scale: one scalar (max |component|) over
+    * the INDEXED vectors — queries reuse it; arriving queries can't
+    * rescale a built index. */
+  private def symmetricScale(corpus: DataFrame): DataFrame =
+    corpus.agg(
+      max(greatest(abs(array_min(col("embedding")).cast("double")),
+        abs(array_max(col("embedding")).cast("double")))).as("qs"))
+
+  /** int8 codes: round(x·127/s) per component, exact in both engines
+    * (round-half-away-from-zero parity). */
+  private def quantizedCodes(df: DataFrame, scale: DataFrame,
+                             idCol: String, codeCol: String): DataFrame =
+    df.crossJoin(broadcast(scale))
+      .select(col("vec_id").as(idCol),
+        transform(asDouble(col("embedding")),
+          x => round(x * lit(127.0) / col("qs")).cast("long")).as(codeCol))
+
+  /** Integer squared-L2 over code arrays — exact arithmetic, no float
+    * nondeterminism anywhere in candidate selection. */
+  private def intL2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact rerank: float vectors are touched only for candidate rows
+    * — a k·rerankFactor-per-query equi-join, never a second flat
+    * scan. `cand` carries (query_id, vec_id, qdist). */
+  private def exactCosRerank(cand: DataFrame, corpus: DataFrame, queries: DataFrame,
+                             k: Int): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))

@@ -51,4 +51,26 @@ class RecallSpec extends SparkSpec {
     val hits = exact.count(approx.contains)
     assert(hits >= 29, s"quantized recall@3 $hits/${exact.size}")
   }
+
+  test("composed IVF x quantized funnel recall@3 is >= 28/30 at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"driver testdata missing at $dir")
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb.filter(col("vec_id") < 10)
+    val k = 3
+    val exact = VectorOps.annTopK(emb, queries, k)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+    val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
+    val approx = VectorOps.ivfQuantizedTopK(emb, queries, nProbe = nProbe, k = k,
+        centroids = Some(cent), nAssign = nAssign)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the funnel loses at the union of both pruning stages: the gate
+    // is one miss looser than either stage alone
+    val hits = exact.count(approx.contains)
+    assert(hits >= 28, s"funnel recall@3 $hits/${exact.size}")
+  }
 }
