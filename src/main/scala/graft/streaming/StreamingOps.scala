@@ -112,6 +112,50 @@ object StreamingOps {
       }
   }
 
+  case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String)
+  case class StateVersion(user_id: Long, version: Long, state: String,
+                          valid_from: Long, valid_to: Long)
+  case class UserSt(version: Long, state: String, since: Long, lastTs: Long)
+
+  /** Streaming SCD2 — the streaming twin of
+    * [[graft.ops.RelationalOps.scd2UserState]]: keyed state carries
+    * each user's OPEN version (state, since, last-applied ts); when a
+    * later event changes the event_type, the closed version row
+    * [valid_from, valid_to) is EMITTED and the open version advances.
+    * Append-mode-clean: only closed (immutable) versions are output;
+    * the open version is exactly the keyed state, queryable from the
+    * state store rather than re-emitted per batch.
+    *
+    * Ordering: rows are applied in (ts, event_id) order WITHIN a
+    * batch; an event older than the state's last applied ts is
+    * dropped (the batch twin totally orders by ts — a streaming
+    * deployment bounds that loss with a watermark-sized buffer
+    * upstream or accepts drop-late semantics, same trade as
+    * [[tumblingCounts]]). State per user is one small case class —
+    * bounded without TTL. */
+  def stateHistoryStream(events: Dataset[Ev]): Dataset[StateVersion] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSt, StateVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserSt]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var cur = state.getOption.orNull
+          val out = Seq.newBuilder[StateVersion]
+          sorted.foreach { e =>
+            if (cur == null) cur = UserSt(1L, e.event_type, e.ts, e.ts)
+            else if (e.ts < cur.lastTs) () // late beyond applied state: dropped
+            else if (e.event_type != cur.state) {
+              out += StateVersion(uid, cur.version, cur.state, cur.since, e.ts)
+              cur = UserSt(cur.version + 1, e.event_type, e.ts, e.ts)
+            } else cur = cur.copy(lastTs = e.ts)
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Idempotent micro-batch commit: the batch's rows land in a
     * batchId-keyed partition directory with overwrite, so a replayed
     * batch (crash between sink write and checkpoint commit) rewrites

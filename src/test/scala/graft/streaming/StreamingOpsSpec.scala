@@ -223,4 +223,27 @@ class StreamingOpsSpec extends SparkSpec {
       assert(ids === Set(0L, 1L))
     } finally q.stop()
   }
+
+  test("stateHistoryStream emits closed versions across batch boundaries, drops stale events") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = stateHistoryStream(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 7 goes view -> cart (one closed version)
+      input.addData(
+        Ev(1L, 100L, 7L, "view"), Ev(2L, 200L, 7L, "view"), Ev(3L, 300L, 7L, "cart"))
+      q.processAllAvailable()
+      // batch 2: cart -> view closes version 2 across the boundary;
+      // a stale event (ts < last applied) is dropped, not applied
+      input.addData(Ev(4L, 400L, 7L, "view"), Ev(5L, 250L, 7L, "purchase"))
+      q.processAllAvailable()
+      val rows = spark.table("scd2_out")
+        .as[StateVersion].collect().sortBy(_.version)
+      assert(rows.toSeq === Seq(
+        StateVersion(7L, 1L, "view", 100L, 300L),
+        StateVersion(7L, 2L, "cart", 300L, 400L)))
+    } finally q.stop()
+  }
 }
