@@ -138,4 +138,55 @@ class PropertySpec extends SparkSpec {
       assert(up.exceptAll(manual).count() === 0 && manual.exceptAll(up).count() === 0)
     }
   }
+
+  test("property: snapshotDiff classification equals set algebra on random snapshots") {
+    val rnd = new Random(106)
+    for (_ <- 1 to 5) {
+      val oldRows = (0 until 8).map(i => (i.toLong, randText(rnd) + " x")).toMap
+      // new snapshot: drop some, mutate some, add some
+      val newRows = oldRows.collect {
+        case (id, t) if id % 3 != 0 => id -> (if (id % 3 == 1) t + " v2" else t)
+      } ++ (10 until 10 + rnd.nextInt(3)).map(i => i.toLong -> randText(rnd))
+      val oldDf = oldRows.toSeq.toDF("doc_id", "text")
+      val newDf = newRows.toSeq.toDF("doc_id", "text")
+      val got = CorpusOps.snapshotDiff(oldDf, newDf).collect()
+        .map(x => x.getLong(0) -> x.getString(1)).toMap
+      val want =
+        (oldRows.keySet -- newRows.keySet).map(_ -> "removed") ++
+          (newRows.keySet -- oldRows.keySet).map(_ -> "added") ++
+          (oldRows.keySet & newRows.keySet)
+            .filter(id => oldRows(id) != newRows(id)).map(_ -> "changed")
+      assert(got === want.toMap)
+    }
+  }
+
+  test("property: packSequences is invariant under input repartitioning") {
+    val rnd = new Random(107)
+    for (_ <- 1 to 3) {
+      val docs = (0 until 12).map(i => (i.toLong, randText(rnd) + " t"))
+        .toDF("doc_id", "text")
+      val base = TextOps.packSequences(docs, tokenBudget = 5, nStreams = 3)
+        .collect().toSet
+      val shuffled = TextOps.packSequences(docs.repartition(7), tokenBudget = 5, nStreams = 3)
+        .collect().toSet
+      assert(base === shuffled)
+      // offsets always inside the budget
+      assert(base.forall { r =>
+        val off = r.getAs[Long]("seq_offset"); off >= 0 && off < 5
+      })
+    }
+  }
+
+  test("property: domainMix keep decision is invariant under repartitioning and rates <= 1") {
+    val rnd = new Random(108)
+    for (_ <- 1 to 3) {
+      val docs = (0 until 20).map(i =>
+        (i.toLong, randText(rnd) + s" u$i", if (i % 4 == 0) "de" else "en"))
+        .toDF("doc_id", "text", "lang")
+      val a = TextOps.domainMix(docs).collect().toSet
+      val b = TextOps.domainMix(docs.repartition(5)).collect().toSet
+      assert(a === b)
+      assert(a.forall(_.getAs[Double]("rate") <= 1.0))
+    }
+  }
 }
