@@ -271,6 +271,9 @@ object SparkEntry {
     // SCD2 history: per-user state change points with [valid_from,
     // valid_to) validity and is_current on the open interval
     "scd2_user_state" -> ((s, dir) => RelationalOps.scd2UserState(Tables.events(s, dir))),
+    // non-equi band join via eps-wide bin bucketing: two equi-joins
+    // (same bin + adjacent bin) replace the quadratic theta join
+    "events_band_join" -> ((s, dir) => RelationalOps.valueBandJoin(Tables.events(s, dir))),
     "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
     "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
@@ -822,6 +825,20 @@ object SparkEntry {
          |JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
          |GROUP BY 1, 2
          |HAVING round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0 >= 0.9""".stripMargin,
+    "events_band_join" ->
+      """WITH e AS (SELECT event_id, value,
+        |             CAST(floor(value / 0.05) AS BIGINT) AS bin
+        |           FROM events WHERE event_type = 'purchase'),
+        |same AS (SELECT a.event_id AS a_id, b.event_id AS b_id,
+        |                a.value AS va, b.value AS vb
+        |         FROM e a JOIN e b ON a.bin = b.bin AND a.event_id < b.event_id),
+        |adj AS (SELECT least(a.event_id, b.event_id) AS a_id,
+        |               greatest(a.event_id, b.event_id) AS b_id,
+        |               a.value AS va, b.value AS vb
+        |        FROM e a JOIN e b ON a.bin + 1 = b.bin),
+        |u AS (SELECT * FROM same UNION ALL SELECT * FROM adj)
+        |SELECT a_id, b_id, round(abs(va - vb), 6) + 0 AS value_diff
+        |FROM u WHERE abs(va - vb) < 0.05""".stripMargin,
     "scd2_user_state" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
         |             lag(event_type) OVER (PARTITION BY user_id

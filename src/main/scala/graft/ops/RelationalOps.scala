@@ -299,6 +299,41 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** Numeric band join — all pairs of same-type events whose values
+    * lie within `eps` of each other, WITHOUT the quadratic theta
+    * join: values bucket into eps-wide bins (`floor(value/eps)`), a
+    * pair within eps must sit in the same or adjacent bins, so
+    * candidate generation is two EQUI-joins (same-bin + next-bin) and
+    * the exact |va−vb| < eps predicate runs only on candidates. This
+    * is the band/interval-join pattern every non-equi join at scale
+    * reduces to ([[purchaseAttribution]] plays the same trick on the
+    * time axis; LSH bands on the similarity axis).
+    *
+    * Scale notes: shuffle key is the bin — uniform when values are;
+    * heaped values (price points) make hot bins, handled by the same
+    * salting toolbox as any skewed equi-join ([[graft.ops.SkewOps]]).
+    * Pair identity is canonical (a_id < b_id): same-bin pairs order
+    * inside the join predicate, adjacent-bin pairs cannot repeat a
+    * same-bin pair (bins differ), and |diff| is symmetric so values
+    * need no realignment after least/greatest. */
+  def valueBandJoin(events: DataFrame, eps: Double = 0.05,
+                    eventType: String = "purchase"): DataFrame = {
+    val e = events.filter(col("event_type") === eventType)
+      .select(col("event_id"), col("value"))
+      .withColumn("bin", floor(col("value") / eps))
+    val a = e.select(col("event_id").as("a_id"), col("value").as("va"), col("bin"))
+    val b = e.select(col("event_id").as("b_id"), col("value").as("vb"), col("bin"))
+    val same = a.join(b, "bin").filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("va"), col("vb"))
+    val adj = a.withColumn("bin", col("bin") + 1).join(b, "bin")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("va"), col("vb"))
+    same.unionByName(adj)
+      .filter(abs(col("va") - col("vb")) < eps) // exact doubles, engine-identical
+      .select(col("a_id"), col("b_id"),
+        roundn(abs(col("va") - col("vb")), 6).as("value_diff"))
+  }
+
   /** SCD2 state history from an event stream — the APPLY half of CDC
     * ([[graft.ops.CorpusOps.snapshotDiff]] detects changes; this
     * builds the slowly-changing-dimension history a warehouse keeps):

@@ -122,6 +122,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows(8L).getAs[Long]("n_purchase") === 1L)
   }
 
+  test("valueBandJoin finds exactly the within-eps pairs, across bin boundaries too") {
+    val ev = Seq(
+      (1L, 0L, 1L, "purchase", 0.100, "{}"),
+      (2L, 0L, 1L, "purchase", 0.120, "{}"),  // same bin as 1 (|diff|=0.02)
+      (3L, 0L, 1L, "purchase", 0.149, "{}"),  // adjacent bin vs 2 (0.149 in bin 2)
+      (4L, 0L, 1L, "purchase", 0.400, "{}"),  // far from everything
+      (5L, 0L, 1L, "view", 0.101, "{}")       // wrong type — excluded
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val pairs = RelationalOps.valueBandJoin(ev, eps = 0.05).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // (1,2) same-bin; (2,3) adjacent-bin |diff|=0.029; (1,3) |diff|=0.049 adjacent
+    assert(pairs === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
+
   test("scd2UserState: change points become versioned validity intervals") {
     // ts in nanos; validity bounds come out on the µs axis (div 1000)
     val ev = Seq(
