@@ -222,6 +222,39 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // corpus-fit unigram LM (perplexity-proxy quality gate): vocab
+    // logprobs from one token-keyed agg, per-doc mean via tok-ordered
+    // fold — the KenLM-style filter at order 1
+    "lm_logprob" -> ((s, dir) => TextOps.lmLogprob(Tables.documents(s, dir))),
+    // positional-index phrase match: per-term postings equi-joined on
+    // (doc_id, seq+i) — token ADJACENCY, not bag-of-words
+    "phrase_search" -> ((s, dir) =>
+      SearchOps.phraseSearch(Tables.documents(s, dir), "stream table hash", k = 10)),
+    // damped power method over the verified near-dup graph — ranks
+    // the template among its copies (3 unrolled rounds, 6dp-rounded
+    // per round so the oracle replays them exactly)
+    "dedup_pagerank" -> ((s, dir) => DedupOps.dedupPageRank(Tables.documents(s, dir))),
+    // AllPairs/PPJoin prefix filtering: df-ascending prefixes → pair
+    // join on RARE shingles only → exact Jaccard verify; candidates
+    // have NO false negatives at the threshold (vs LSH's probabilistic
+    // guarantee), so the output is exactly {pairs : J ≥ 0.5}
+    "dedup_prefix_filter" -> ((s, dir) =>
+      DedupOps.prefixFilterNearDup(Tables.documents(s, dir))),
+    // grid generate + left join zero-fill: every (type, hour) cell
+    // between corpus min/max hours, absent hours explicit zeros
+    "events_gapfill" -> ((s, dir) => RelationalOps.hourlyGapFill(Tables.events(s, dir))),
+    // relational count-min sketch: portable integer cells, exact
+    // top-k twin carries est ≥ exact into the hash-checked output
+    "events_heavy_hitters" -> ((s, dir) =>
+      SketchOps.countMinHeavyHitters(Tables.events(s, dir))),
+    // z-order curve values (PersistOps.writeZOrdered's key): min/max
+    // quantization to 16 bits + Morton interleave — integer-exact on
+    // both engines, proving the layout key is engine-portable
+    "zorder_curve" -> ((s, dir) =>
+      PersistOps.zOrderValue(
+        Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
+        "user_id", "value")
+        .select(col("event_id"), col("zval"))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
     // count at build time (23 at sf0.01's N=500, 45 at sf0.1's
     // N=2000 — hash-matching at BOTH SFs proves the policy, not a
@@ -711,6 +744,144 @@ object SparkEntry {
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
          |FROM c JOIN lang USING (doc_id)""".stripMargin,
+    // unigram LM fit on the corpus itself: logprob = ln(cnt/total)
+    // rounded 6dp, per-doc fold over DISTINCT tokens in token order
+    "lm_logprob" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+         |lp AS (SELECT tok, round(ln(cnt / tot.total), 6) + 0 AS logprob
+         |       FROM vocab, tot),
+         |agg AS (
+         |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+         |    round(sum(t.tf * lp.logprob ORDER BY t.tok), 6) + 0 AS sum_logprob
+         |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tok, round(sum_logprob / n_tok, 6) + 0 AS avg_logprob
+         |FROM agg""".stripMargin,
+    // positional index: seq = blank-dropped token rank; an m-term
+    // phrase matches where each term's postings hold (doc, seq+i)
+    "phrase_search" ->
+      s"""WITH $duckToks,
+         |seqd AS (SELECT doc_id, tok,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS seq
+         |  FROM toks),
+         |m AS (SELECT a.doc_id, count(*) AS n_matches
+         |      FROM seqd a
+         |      JOIN seqd b ON b.doc_id = a.doc_id AND b.seq = a.seq + 1
+         |       AND b.tok = 'table'
+         |      JOIN seqd c ON c.doc_id = a.doc_id AND c.seq = a.seq + 2
+         |       AND c.tok = 'hash'
+         |      WHERE a.tok = 'stream'
+         |      GROUP BY 1)
+         |SELECT rank, doc_id, source, n_matches FROM (
+         |  SELECT m.doc_id, m.n_matches, d.source,
+         |    row_number() OVER (ORDER BY m.n_matches DESC, m.doc_id) AS rank
+         |  FROM m JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
+    // prefix = first n - ceil(0.5·n) + 1 shingles in (df, shingle)
+    // order; pair join on prefixes, then the shared Jaccard-verify
+    // CTE chain at the same threshold
+    "dedup_prefix_filter" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |sizes0 AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |dfreq AS (SELECT shingle, count(*) AS df FROM shd GROUP BY 1),
+         |rankedp AS (SELECT s.doc_id, s.shingle, z.n,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |                       ORDER BY d.df, s.shingle) AS rk
+         |  FROM shd s JOIN dfreq d USING (shingle) JOIN sizes0 z USING (doc_id)),
+         |pref AS (SELECT doc_id, shingle FROM rankedp
+         |         WHERE rk <= n - CAST(ceil(n * 0.5) AS BIGINT) + 1),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           count(*) AS n_shared_prefix
+         |         FROM pref a JOIN pref b USING (shingle)
+         |         WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |$duckJaccardVerify
+         |SELECT j.a_id, j.b_id, c.n_shared_prefix, j.inter, j.jaccard
+         |FROM jac j JOIN cand c USING (a_id, b_id)
+         |WHERE j.jaccard >= 0.5""".stripMargin,
+    // epoch-nanos integer-divided to hour indexes (// on BIGINT on
+    // both engines); grid = distinct types × generate_series
+    "events_gapfill" ->
+      """WITH h AS (SELECT event_type,
+        |             epoch_ns(ts) // 3600000000000 AS hour_idx FROM events),
+        |b AS (SELECT min(hour_idx) AS h0, max(hour_idx) AS h1 FROM h),
+        |grid AS (SELECT t.event_type, g.h AS hour_idx
+        |         FROM (SELECT DISTINCT event_type FROM h) t,
+        |              b, unnest(generate_series(b.h0, b.h1)) g(h)),
+        |c AS (SELECT event_type, hour_idx, count(*) AS n FROM h GROUP BY 1, 2)
+        |SELECT g.event_type, g.hour_idx, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_events
+        |FROM grid g LEFT JOIN c USING (event_type, hour_idx)""".stripMargin,
+    // 3 unrolled damped power-method rounds over the verified
+    // near-dup graph; (1.0 - 0.85) is written as the SUBTRACTION so
+    // both engines evaluate the identical IEEE constant
+    "dedup_pagerank" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+         |pr0 AS (SELECT src AS id, 1.0 AS pr FROM deg),
+         |pr1 AS (SELECT u.dst AS id,
+         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |  FROM und u JOIN pr0 p ON p.id = u.src JOIN deg d ON d.src = u.src
+         |  GROUP BY 1),
+         |pr2 AS (SELECT u.dst AS id,
+         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |  FROM und u JOIN pr1 p ON p.id = u.src JOIN deg d ON d.src = u.src
+         |  GROUP BY 1),
+         |pr3 AS (SELECT u.dst AS id,
+         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |  FROM und u JOIN pr2 p ON p.id = u.src JOIN deg d ON d.src = u.src
+         |  GROUP BY 1)
+         |SELECT id AS doc_id, pr AS pagerank FROM pr3""".stripMargin,
+    // 16-bit min/max quantization (floor before cast — Spark casts
+    // truncate, DuckDB's round) + Morton bit interleave, unrolled as
+    // a 16-term integer sum
+    "zorder_curve" ->
+      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) AS amin,
+         |                  max(CAST(user_id AS DOUBLE)) AS amax,
+         |                  min(value) AS bmin, max(value) AS bmax FROM events),
+         |q AS (SELECT event_id,
+         |    least(65535, CAST(floor((CAST(user_id AS DOUBLE) - b.amin) * 65535
+         |      / (b.amax - b.amin)) AS BIGINT)) AS qa,
+         |    least(65535, CAST(floor((value - b.bmin) * 65535
+         |      / (b.bmax - b.bmin)) AS BIGINT)) AS qb
+         |  FROM events, b)
+         |SELECT event_id,
+         |  CAST(list_sum(list_transform(range(0, 16), i ->
+         |    ((qa // CAST(power(2, i) AS BIGINT)) % 2) * CAST(power(2, 2*i+1) AS BIGINT)
+         |    + ((qb // CAST(power(2, i) AS BIGINT)) % 2) * CAST(power(2, 2*i) AS BIGINT)))
+         |    AS BIGINT) AS zval
+         |FROM q""".stripMargin,
+    // count-min sketch: 3 sha-salted hash rows × 64 buckets, exact
+    // top-10 twin carries the one-sided estimate into the output
+    "events_heavy_hitters" -> {
+      def cmsBucketSql(j: Int, src: String): String =
+        s"SELECT user_id, $j AS j, " +
+          s"${duckHash24(s"'cms$j:' || CAST(user_id AS VARCHAR)")} % 64 AS bucket FROM $src"
+      val upd = (0 until 3).map(j => cmsBucketSql(j, "events")).mkString("\n  UNION ALL ")
+      val probe = (0 until 3).map(j => cmsBucketSql(j, "top")).mkString("\n  UNION ALL ")
+      s"""WITH upd AS (
+         |  $upd),
+         |cms AS (SELECT j, bucket, count(*) AS c FROM upd GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1),
+         |top AS (SELECT user_id, exact_cnt FROM exact
+         |        ORDER BY exact_cnt DESC, user_id LIMIT 10),
+         |probe AS (
+         |  $probe),
+         |est AS (SELECT p.user_id, min(cms.c) AS cms_est
+         |        FROM probe p JOIN cms USING (j, bucket) GROUP BY 1)
+         |SELECT row_number() OVER (ORDER BY t.exact_cnt DESC, t.user_id) AS rank,
+         |  t.user_id, t.exact_cnt, e.cms_est,
+         |  e.cms_est - t.exact_cnt AS overcount,
+         |  e.cms_est >= t.exact_cnt AS est_ge_exact
+         |FROM top t JOIN est e USING (user_id)""".stripMargin
+    },
     // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
     // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))
     // probe budget mirrors VectorOps.probePolicy: nAssign = 2,

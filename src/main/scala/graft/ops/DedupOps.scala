@@ -411,6 +411,103 @@ object DedupOps {
   def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
     connectedComponents(nearDupVerified(docs, minJaccard = minJaccard))
 
+  /** Prefix-filter candidate generation (AllPairs/PPJoin family,
+    * Bayardo et al. WWW'07) — the DETERMINISTIC alternative to
+    * [[minhashCandidates]]: for Jaccard threshold `t`, order each
+    * document's shingles by ascending global frequency and keep only
+    * the first |d| − ⌈t·|d|⌉ + 1 ("prefix"); two documents with
+    * Jaccard ≥ t MUST share a prefix shingle (pigeonhole on the
+    * rarest-first order), so the candidate set has NO false negatives
+    * — a guarantee MinHash only offers probabilistically — at the
+    * cost of candidate counts that grow with document similarity
+    * skew instead of being band-tunable.
+    *
+    * Scale shape: the pair join runs on PREFIX shingles only, and
+    * the df-ascending order puts the RAREST shingles in prefixes —
+    * join keys are low-frequency by construction, the opposite of a
+    * skew magnet (the df table itself is one token-keyed agg). The
+    * per-doc ranking window is partitioned by doc_id (uniform). */
+  def prefixFilterCandidates(docs: DataFrame, t: Double = 0.5, w: Int = 3): DataFrame = {
+    val sh = wordShingles(docs, w).select(col("doc_id"), col("shingle")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh
+      .join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(rankW).cast("long"))
+      .join(sizes, "doc_id")
+      .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
+      .select(col("doc_id"), col("shingle"))
+    prefix.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_prefix"))
+  }
+
+  /** Declared composed form: prefix-filter candidates → exact Jaccard
+    * verify at the SAME threshold the prefixes were sized for (the
+    * no-false-negative guarantee makes verified output EXACTLY the
+    * set of pairs with Jaccard ≥ t — not a sample of it). */
+  def prefixFilterNearDup(docs: DataFrame, t: Double = 0.5, w: Int = 3): DataFrame =
+    jaccardVerify(docs, prefixFilterCandidates(docs, t, w), w, t,
+      passthrough = Seq("n_shared_prefix"))
+      .select(col("a_id"), col("b_id"), col("n_shared_prefix"), col("inter"), col("jaccard"))
+
+  /** PageRank over an undirected edge list — the graph-centrality
+    * sibling of [[connectedComponents]]: where components answer
+    * "which docs are the same?", PageRank over the near-dup graph
+    * answers "which doc is the TEMPLATE?" (a boilerplate page that
+    * near-matches many distinct documents out-ranks its copies —
+    * the canonical-representative picker for template-heavy web
+    * corpora). Standard damped power method, fixed `iters` rounds:
+    * pr ← (1−d) + d·Σ_nbr pr(nbr)/deg(nbr), pr₀ = 1.
+    *
+    * Determinism: pr is rounded to 6dp after every round, each
+    * contribution is one double division, and the per-node fold sums
+    * neighbor contributions in neighbor-id order
+    * ([[graft.functions.VectorMath.orderedSum]] — neighbor ids are
+    * unique per target, so the sequential fold is well-defined and
+    * the DuckDB oracle unrolls the identical iterations).
+    *
+    * Scale shape: each round is one equi-join of the edge list
+    * against the |nodes|-row rank table plus one dst-keyed agg — the
+    * [[connectedComponents]] cost family (edges are near-dup pairs,
+    * tiny vs the corpus). Fixed iteration count ⇒ a statically
+    * unrolled plan, no driver-side convergence loop; degrees join in
+    * once, pre-divided so each round moves (dst, contribution) pairs
+    * only. */
+  def pageRank(pairs: DataFrame, iters: Int = 3, damping: Double = 0.85): DataFrame = {
+    // materialize the (expensive) upstream candidate pipeline exactly
+    // once — the unrolled iterations below reference the edge list
+    // ~4 times per round, and lineage truncation keeps the candidate
+    // subtree out of every one of them (same rationale as
+    // connectedComponents; blocks are freed by the ContextCleaner
+    // when the result is dropped)
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var pr = deg.select(col("src").as("id"), lit(1.0).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(pr.select(col("id").as("src"), col("pr")), "src")
+        .join(deg, "src")
+        .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
+      pr = contrib
+        .groupBy(col("dst"))
+        .agg(roundn(lit(1.0 - damping) +
+          lit(damping) * graft.functions.VectorMath.orderedSum(col("src"), col("c")), 6)
+          .as("pr"))
+        .select(col("dst").as("id"), col("pr"))
+    }
+    pr.select(col("id").as("doc_id"), col("pr").as("pagerank"))
+  }
+
+  /** Declared form: PageRank over the verified near-dup graph. */
+  def dedupPageRank(docs: DataFrame, iters: Int = 3, minJaccard: Double = 0.5): DataFrame =
+    pageRank(nearDupVerified(docs, minJaccard = minJaccard), iters)
+
   /** Benchmark decontamination — flag corpus documents sharing
     * winnowing fingerprints with a held-out benchmark set (the check
     * every pretraining pipeline runs so eval data doesn't leak into

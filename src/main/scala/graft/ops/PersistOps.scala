@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persistence layout operators (SURVEY.md §2.1 S6/S7 at scale).
@@ -42,6 +42,59 @@ object PersistOps {
   def readPartition(spark: SparkSession, path: String, partitionCol: String,
                     value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
+
+  /** Morton/z-order curve value for two non-negative quantized
+    * coordinates: interleaves the low `bits` bits of `a` (odd
+    * positions) and `b` (even positions). Pure integer shift/mask
+    * arithmetic — the DuckDB oracle replays it term for term. */
+  def interleaveBits(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftright(a, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)) +
+        shiftright(b, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))
+    }
+
+  /** Quantize a numeric column to [0, 2^bits) by min/max scaling —
+    * floor() BEFORE the cast on both engines (Spark's cast truncates,
+    * DuckDB's rounds; floor makes them agree). */
+  def quantize(x: Column, xmin: Column, xmax: Column, bits: Int = 16): Column = {
+    val hi = (1L << bits) - 1
+    least(lit(hi), floor(
+      (x.cast("double") - xmin) * hi / (xmax - xmin)).cast("long"))
+  }
+
+  /** Z-order curve values for two dimensions of `df`: (row columns…,
+    * zval). Bounds come from ONE tiny min/max aggregate (4 values,
+    * broadcast); quantization and interleaving are map-side.
+    *
+    * Why z-order at 100 TB: sorting by ONE column makes that
+    * column's row-group min/max stats selective and leaves every
+    * other column's stats spanning the full range — a filter on the
+    * second column skips nothing. Laying files out along the z-curve
+    * bounds EVERY interleaved dimension's span within each file, so
+    * 2-d predicates (user × time, tenant × date) prune row groups on
+    * both axes from the same single layout. */
+  def zOrderValue(df: DataFrame, colA: String, colB: String, bits: Int = 16): DataFrame = {
+    val bounds = df.agg(
+      min(col(colA).cast("double")).as("amin"), max(col(colA).cast("double")).as("amax"),
+      min(col(colB).cast("double")).as("bmin"), max(col(colB).cast("double")).as("bmax"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn("zval", interleaveBits(
+        quantize(col(colA), col("amin"), col("amax"), bits),
+        quantize(col(colB), col("bmin"), col("bmax"), bits), bits))
+      .drop("amin", "amax", "bmin", "bmax")
+  }
+
+  /** Write `df` laid out along the z-curve of (colA, colB):
+    * range-partitioned into `nFiles` z-ranges, z-sorted within each —
+    * every output file covers a bounded rectangle of the 2-d key
+    * space, so min/max stats prune on both columns. */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    nFiles: Int = 16): Unit =
+    zOrderValue(df, colA, colB)
+      .repartitionByRange(nFiles, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(path)
 
   /** Bucketed + sorted table write: co-locates rows by join key so
     * equi-joins between tables bucketed the same way plan WITHOUT

@@ -299,6 +299,36 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** Calendar gap filling — the densification step time-series
+    * features need before windowed models (a missing hour must be an
+    * explicit zero row, not an absent one): per event type, one row
+    * for EVERY hour between the corpus' first and last event, with
+    * absent hours zero-filled via generate-and-left-join.
+    *
+    * Scale shape: the generated grid is |types| × |hours| — calendar
+    * rows, microscopic next to the event stream; the stream itself is
+    * reduced by one (type, hour)-keyed partial agg before it ever
+    * meets the grid, and the left join's build side is the tiny grid.
+    * Nothing here is a per-row sequence explode over the data. */
+  def hourlyGapFill(events: DataFrame): DataFrame = {
+    // integer `div`, not `/`: epoch-nanos exceed double's 53-bit
+    // mantissa, so float division could mis-bucket an hour boundary
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val h = events.select(col("event_type"),
+      expr(s"ts div ${hourNanos}L").as("hour_idx"))
+    val bounds = h.agg(min(col("hour_idx")).as("h0"), max(col("hour_idx")).as("h1"))
+    val grid = h.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("hour_idx"))
+    val counts = h.groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    grid
+      .join(counts, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
   /** Numeric band join — all pairs of same-type events whose values
     * lie within `eps` of each other, WITHOUT the quadratic theta
     * join: values bucket into eps-wide bins (`floor(value/eps)`), a

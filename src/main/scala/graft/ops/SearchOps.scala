@@ -97,6 +97,48 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** Positional-index phrase search — exact "quoted phrase" retrieval
+    * over the token stream (the lexical sibling of [[searchBm25]]:
+    * BM25 ranks bags of words; this matches token ADJACENCY). The
+    * token sequence index `seq` is the blank-dropped token rank (a
+    * per-doc window — index-build cost, amortized over queries at
+    * scale where the postings table is materialized once); a match of
+    * the m-term phrase is a position where each postings list for
+    * term i contains (doc, seq+i).
+    *
+    * Scale shape: each join side is first FILTERED to one phrase
+    * term's postings — the joins move only the phrase terms' postings
+    * lists, never the corpus token stream, and they are equi-joins on
+    * (doc_id, seq) (uniform). Top-k is orderBy.limit →
+    * TakeOrderedAndProject.
+    */
+  def phraseSearch(docs: DataFrame, phrase: String, k: Int): DataFrame = {
+    val terms = phrase.split(" ").map(_.trim).filter(_.nonEmpty)
+    require(terms.nonEmpty, "phrase must contain at least one term")
+    val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val postings = EmbedOps.tokenize(docs)
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .select(col("doc_id"), col("seq"), col("tok"))
+    val first = postings.filter(col("tok") === terms.head)
+      .select(col("doc_id"), col("seq"))
+    val matches = terms.zipWithIndex.tail.foldLeft(first) { case (acc, (t, i)) =>
+      acc.join(
+        postings.filter(col("tok") === t)
+          .select(col("doc_id"), (col("seq") - i).as("seq")),
+        Seq("doc_id", "seq"))
+    }
+    val counted = matches.groupBy(col("doc_id")).agg(count(lit(1)).as("n_matches"))
+    val top = counted
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("n_matches").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_matches"))
+  }
+
   /** Token-budget context packing — the retrieval→prompt step of the
     * reference's proposal flow (SURVEY §3.3 assembles retrieved
     * keywords into a prompt; an LLM context has a hard token budget):

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** Sketch-tier operators beyond Spark's built-ins: a relational
+  * count-min sketch (Cormode/Muthukrishnan '05) for heavy-hitter
+  * counting. `approx_stats_check` (RelationalOps) covers Spark's own
+  * HLL++/quantile sketches, which a DuckDB oracle can only bound with
+  * tolerance booleans; the CMS here is built from PORTABLE integer
+  * arithmetic (sha-derived bucket hashes + integer counts), so every
+  * cell and every estimate is bit-reproducible and the oracle checks
+  * exact values, not tolerances.
+  *
+  * Scale shape — why CMS at 100 TB: the sketch table is depth×width
+  * cells regardless of input size. The build is one groupBy over
+  * (row, bucket) with map-side partial counts, so each executor sends
+  * at most depth·width rows into the shuffle no matter how many
+  * billions of events it scanned; the merged sketch fits on a
+  * postcard and broadcasts to wherever estimates are probed.
+  */
+object SketchOps {
+
+  /** CMS bucket for one hash row: sha-derived, row-salted so the
+    * depth hash functions are independent. */
+  private def cmsBucket(key: Column, row: Int, width: Int): Column =
+    PortableHash.bucket(concat(lit(s"cms$row:"), key.cast("string")), width)
+
+  /** Count-min cell counts: (j, bucket, c) — depth·width rows. Each
+    * input row contributes one increment per hash row; partial
+    * aggregation compresses every map task's contribution to ≤
+    * depth·width update rows before the shuffle. */
+  def countMinTable(keyed: DataFrame, key: String, depth: Int, width: Int): DataFrame =
+    (0 until depth)
+      .map(j => keyed.select(lit(j).as("j"), cmsBucket(col(key), j, width).as("bucket")))
+      .reduce(_ union _)
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Heavy hitters with CMS verification: the exact top-`k` keys by
+    * frequency, each carrying its count-min estimate (the min over
+    * the sketch's depth rows — CMS guarantees est ≥ exact, with
+    * overcount bounded by collisions at ~N/width per row). The exact
+    * side is the verification twin: a drifting sketch shows up as a
+    * changed `cms_est`/`overcount`, and `est_ge_exact` pins the
+    * one-sided error guarantee into the hash-checked output.
+    *
+    * All integer arithmetic on portable hashes — deterministic on any
+    * engine, any partitioning (integer min/sum are merge-order-free).
+    */
+  def countMinHeavyHitters(events: DataFrame, key: String = "user_id",
+                           depth: Int = 3, width: Int = 64, k: Int = 10): DataFrame = {
+    val keyed = events.select(col(key))
+    val cms = countMinTable(keyed, key, depth, width)
+    val top = keyed
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col(key))
+      .limit(k)
+    val est = (0 until depth)
+      .map(j => top.select(col(key), lit(j).as("j"), cmsBucket(col(key), j, width).as("bucket")))
+      .reduce(_ union _)
+      .join(cms, Seq("j", "bucket"))
+      .groupBy(col(key))
+      .agg(min(col("c")).as("cms_est"))
+    top
+      .join(est, key)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("exact_cnt").desc, col(key))).cast("long"))
+      .select(col("rank"), col(key), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"),
+        (col("cms_est") >= col("exact_cnt")).as("est_ge_exact"))
+  }
+}

@@ -267,6 +267,47 @@ object TextOps {
         pmod(col("cum_tok") - col("n_tok"), lit(tokenBudget)).as("seq_offset"))
   }
 
+  /** Corpus-derived unigram language-model scoring — the
+    * perplexity-proxy quality filter (the KenLM-style gate of CCNet /
+    * RedPajama curation, degenerate order 1 so the DuckDB oracle can
+    * replay it exactly): estimate p(tok) from the corpus itself, then
+    * score each document by its mean token log-probability. Rare-token
+    * salad scores low; text made of common tokens scores high. No
+    * smoothing is needed because the model is fit on the very corpus
+    * it scores (every token has count ≥ 1).
+    *
+    * Determinism: logprob is ln of an exact integer ratio, rounded to
+    * 6dp before use (ln parity with DuckDB is established by the BM25
+    * oracle); the per-doc fold sums tf·logprob over DISTINCT tokens in
+    * token order ([[graft.functions.VectorMath.orderedSum]] — unique
+    * keys, so the sequential fold is well-defined), and the mean
+    * divides the rounded sum by an exact integer count.
+    *
+    * Scale shape: vocab is one token-keyed partial-agg (uniform keys,
+    * output |vocab| rows — orders of magnitude smaller than the token
+    * stream); the 1-row total broadcasts; scoring is an equi-join of
+    * per-doc term counts against the vocab table followed by one
+    * doc_id-keyed agg. No window, no skew candidates.
+    */
+  def lmLogprob(docs: DataFrame): DataFrame = {
+    val tf = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    val lp = vocab
+      .crossJoin(broadcast(total))
+      .select(col("tok"), roundn(log(col("cnt") / col("total")), 6).as("logprob"))
+    tf.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tok"),
+        roundn(graft.functions.VectorMath.orderedSum(
+          col("tok"), col("tf") * col("logprob")), 6).as("sum_logprob"))
+      .withColumn("avg_logprob", roundn(col("sum_logprob") / col("n_tok"), 6))
+      .select(col("doc_id"), col("n_tok"), col("avg_logprob"))
+  }
+
   /** Training-data curation filter — the composite every pretraining
     * pipeline runs before tokenization: keep documents in the target
     * language, above a quality floor, inside a token-count band. One

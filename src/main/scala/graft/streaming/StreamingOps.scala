@@ -112,6 +112,28 @@ object StreamingOps {
       }
   }
 
+  /** Watermark-bounded streaming dedup — the DECLARATIVE twin of
+    * [[dedupedIngest]]'s hand-rolled keyed state, via the engine's
+    * own `dropDuplicatesWithinWatermark`: a key's dedup state is
+    * evicted automatically once the event-time watermark passes its
+    * first-seen time plus the delay, so 24/7 state stays bounded
+    * WITHOUT ProcessingTimeTimeout's continuous timeout-check
+    * micro-batches (the livelock caveat on [[dedupedIngest]]). The
+    * trade: suppression is only guaranteed for duplicates arriving
+    * within the watermark delay of the first occurrence — a
+    * re-arrival after eviction re-emits (at-least-once dedup), which
+    * is the right contract when a downstream exact dedup
+    * (CorpusOps.dedupDocuments) runs at rest anyway.
+    *
+    * `events` must be a streaming DataFrame with an event-time
+    * column `tsCol`; dedup is by `keys`. */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           tsCol: String = "ts",
+                           watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   case class Ev(event_id: Long, ts: Long, user_id: Long, event_type: String)
   case class StateVersion(user_id: Long, version: Long, state: String,
                           valid_from: Long, valid_to: Long)

@@ -172,6 +172,57 @@ class DedupOpsSpec extends SparkSpec {
     assert(math.abs(out((0L, 2L)).getAs[Double]("edit_sim") - (1.0 - 65.0 / 200)) < 1e-6)
   }
 
+  test("prefix filter: no false negatives at the threshold; verified = exact ≥ t set") {
+    // ground truth: exact Jaccard over ALL pairs (quadratic — test-size only)
+    val ids = docs.select("doc_id").as[Long].collect().sorted
+    val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+      .toSeq.toDF("a_id", "b_id")
+    val truth = DedupOps.jaccardVerify(docs, allPairs, minJaccard = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty) // fixture sanity: 0-1 exact, 0-2 near
+    val cand = DedupOps.prefixFilterCandidates(docs, t = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // the pigeonhole guarantee: every true pair is a candidate
+    assert(truth.subsetOf(cand))
+    // the composed op returns EXACTLY the true set (verify prunes FPs)
+    val got = DedupOps.prefixFilterNearDup(docs)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got === truth)
+    // and the unrelated doc never pairs
+    assert(!got.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("pageRank: star center out-ranks leaves; symmetric nodes tie; deterministic") {
+    import spark.implicits._
+    // star: 0 linked to 1..4 (the "template" shape), plus isolated pair 5-6
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (5L, 6L))
+      .toDF("a_id", "b_id")
+    val pr = DedupOps.pageRank(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pagerank")).toMap
+    assert(pr.size === 7)
+    // the hub accumulates its leaves' full mass each round
+    assert((1L to 4L).forall(l => pr(0L) > pr(l)))
+    // leaves are structurally identical → identical ranks
+    assert((2L to 4L).forall(l => pr(l) === pr(1L)))
+    // a degree-1↔degree-1 pair holds the stationary value 1.0 exactly
+    assert(pr(5L) === 1.0 && pr(6L) === 1.0)
+    val pr2 = DedupOps.pageRank(pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pagerank")).toMap
+    assert(pr2 === pr)
+  }
+
+  test("pageRank: path graph matches the hand-unrolled power method") {
+    import spark.implicits._
+    val pairs = Seq((10L, 11L), (11L, 12L)).toDF("a_id", "b_id")
+    val pr = DedupOps.pageRank(pairs, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("pagerank")).toMap
+    // pr1: ends 0.575, middle 1.85; pr2: ends .15+.85*(1.85/2)=0.93625,
+    // middle .15+.85*(0.575+0.575)=1.1275
+    assert(math.abs(pr(10L) - 0.93625) < 1e-6)
+    assert(math.abs(pr(11L) - 1.1275) < 1e-6)
+    assert(math.abs(pr(12L) - 0.93625) < 1e-6)
+  }
+
   test("winnowing fingerprints: identical docs share all fingerprints; edits share some") {
     val fp = DedupOps.winnowFingerprints(docs)
       .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap

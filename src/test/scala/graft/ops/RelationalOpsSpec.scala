@@ -136,6 +136,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("hourlyGapFill: every (type, hour) cell present; missing hours are explicit zeros") {
+    val hr = 3600L * 1000 * 1000 * 1000
+    val ev = Seq(
+      (1L, 0L * hr, 1L, "view", 1.0, "{}"),
+      (2L, 0L * hr + 7, 1L, "view", 1.0, "{}"),
+      (3L, 3L * hr, 1L, "view", 1.0, "{}"),      // hours 1-2 are gaps
+      (4L, 1L * hr, 1L, "purchase", 1.0, "{}")   // purchase misses hours 0,2,3
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = RelationalOps.hourlyGapFill(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // dense grid: 2 types × 4 hours
+    assert(rows.size === 8)
+    assert(rows(("view", 0L)) === 2L && rows(("view", 3L)) === 1L)
+    assert(rows(("view", 1L)) === 0L && rows(("view", 2L)) === 0L)
+    assert(rows(("purchase", 1L)) === 1L)
+    assert(Seq(0L, 2L, 3L).forall(h => rows(("purchase", h)) === 0L))
+  }
+
   test("scd2UserState: change points become versioned validity intervals") {
     // ts in nanos; validity bounds come out on the µs axis (div 1000)
     val ev = Seq(

@@ -42,6 +42,29 @@ class SearchOpsSpec extends SparkSpec {
     assert(SearchOps.contextPack(d, "spark", tokenBudget = 1000, k = 10).count() === 4L)
   }
 
+  test("phraseSearch: counts adjacency matches, not bag-of-words hits") {
+    val d = Seq(
+      (0L, "big data merge wins big data merge", "en", "a", 1L), // 2 matches
+      (1L, "data big merge", "en", "b", 1L), // all terms, wrong order → 0
+      (2L, "big data x merge", "en", "c", 1L), // gap breaks adjacency → 0
+      (3L, "big data merge", "en", "d", 1L) // 1 match
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.phraseSearch(d, "big data merge", k = 10).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 3L))
+    assert(r.map(_.getAs[Long]("n_matches")).toSeq === Seq(2L, 1L))
+    assert(r.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L))
+  }
+
+  test("phraseSearch: seq index survives blank-dropped tokens and overlaps") {
+    val d = Seq(
+      (0L, "x  x   x", "en", "a", 1L), // double spaces; overlapping "x x" → 2
+      (1L, "y x", "en", "b", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.phraseSearch(d, "x x", k = 5).collect()
+    assert(r.map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("n_matches"))).toSeq
+      === Seq((0L, 2L)))
+  }
+
   test("searchBm25: idf favors rarer terms at equal tf") {
     // 'spark' (df 2) vs 'engine' (df 2)… make 'engine' common: df 2 vs 3
     val d = Seq(

@@ -162,6 +162,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("lmLogprob: corpus-fit unigram LM — exact values on a tiny corpus") {
+    // corpus tokens: a a b → p(a)=2/3, p(b)=1/3
+    val docs = Seq((0L, "a a"), (1L, "b")).toDF("doc_id", "text")
+    val r = TextOps.lmLogprob(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getAs[Long]("n_tok"), x.getAs[Double]("avg_logprob"))))
+      .toMap
+    assert(r(0L)._1 === 2L)
+    assert(math.abs(r(0L)._2 - math.log(2.0 / 3.0)) < 1e-5)
+    assert(math.abs(r(1L)._2 - math.log(1.0 / 3.0)) < 1e-5)
+  }
+
+  test("lmLogprob: rare-token salad scores below common-token text") {
+    val common = "the cat sat on the mat and the dog sat too"
+    val docs = Seq(
+      (0L, common), (1L, common), (2L, common),
+      (3L, "zxqv wkjh pqrs mnbv zxqv")) // tokens appearing nowhere else
+    .toDF("doc_id", "text")
+    val r = TextOps.lmLogprob(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_logprob")).toMap
+    assert(r(3L) < r(0L))
+    // common docs are identical → identical scores
+    assert(r(0L) === r(1L))
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok

@@ -57,6 +57,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupWithinWatermark suppresses in-horizon duplicates, re-emits after eviction") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = dedupWithinWatermark(
+      input.toDF().toDF("ts", "doc_id"), Seq("doc_id"), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ddww_out")
+      .outputMode("append").start()
+    try {
+      val m = 60L * 1000
+      input.addData((new Timestamp(0), 1L), (new Timestamp(m), 1L)) // in-batch dup
+      q.processAllAvailable()
+      input.addData((new Timestamp(2 * m), 1L)) // cross-batch dup, inside horizon
+      q.processAllAvailable()
+      // advance the watermark far past key 1's eviction point
+      input.addData((new Timestamp(100 * m), 2L))
+      q.processAllAvailable()
+      // key 1 re-arrives at a FRESH event time after state eviction:
+      // at-least-once contract → emitted again
+      input.addData((new Timestamp(101 * m), 1L))
+      q.processAllAvailable()
+      val byKey = spark.table("ddww_out").groupBy("doc_id").count()
+        .as[(Long, Long)].collect().toMap
+      assert(byKey === Map(1L -> 2L, 2L -> 1L))
+    } finally q.stop()
+  }
+
   test("sessionCounts merges gap-contiguous events and splits across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
