@@ -437,12 +437,44 @@ object DedupOps {
       .withColumn("rk", row_number().over(rankW).cast("long"))
       .join(sizes, "doc_id")
       .filter(col("rk") <= col("n") - ceil(col("n") * t) + 1)
-      .select(col("doc_id"), col("shingle"))
-    prefix.select(col("doc_id").as("a_id"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+      // df = 1 shingles can never be SHARED, so they cannot produce a
+      // pair — dropping them after the rank is result-identical (the
+      // rank itself must still see them) and shrinks the self-join's
+      // input to the shared sliver of the vocabulary
+      .filter(col("df") >= 2)
+      .select(col("doc_id"), col("shingle"), col("rk"), col("n"))
+      // the self-join below would otherwise plant the whole
+      // rank-window pipeline in the plan TWICE; the filtered prefix
+      // table is the shared sliver — materialize it once
+      .localCheckpoint(true)
+    prefix
+      .select(col("doc_id").as("a_id"), col("shingle"),
+        col("rk").as("rka"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("b_id"), col("shingle"),
+        col("rk").as("rkb"), col("n").as("nb")), "shingle")
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_shared_prefix"))
+      .agg(count(lit(1)).as("n_shared_prefix"),
+        max(col("rka")).as("mra"), max(col("rkb")).as("mrb"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      // Spark-side-only pruning of pairs that CANNOT reach J ≥ t —
+      // result-identical (verify would drop them), so the oracle
+      // keeps the plain form. Both are the standard AllPairs/PPJoin
+      // bounds, and both matter on low-entropy corpora where shingle
+      // collisions inflate the raw candidate set:
+      //  - LENGTH: J ≥ t forces t·|a| ≤ |b| and t·|b| ≤ |a|;
+      //  - POSITIONAL: every shared shingle has prefix rank ≤ the
+      //    pair's max observed rank, so overlap ≤ n_shared_prefix +
+      //    (n − max_rk) on each side; J ≥ t needs overlap ≥
+      //    t/(1+t)·(na+nb). df-ASCENDING prefix order puts COMMON
+      //    shingles late, so junk pairs (shared common shingles only)
+      //    have max_rk near the prefix end and fail this bound.
+      .filter(col("nb") >= ceil(col("na") * t) && col("na") >= ceil(col("nb") * t))
+      .filter(
+        least(col("n_shared_prefix") + col("na") - col("mra"),
+          col("n_shared_prefix") + col("nb") - col("mrb"))
+          >= ceil((col("na") + col("nb")) * lit(t / (1.0 + t))))
+      .select(col("a_id"), col("b_id"), col("n_shared_prefix"))
   }
 
   /** Declared composed form: prefix-filter candidates → exact Jaccard
