@@ -226,6 +226,9 @@ object SparkEntry {
     // logprobs from one token-keyed agg, per-doc mean via tok-ordered
     // fold — the KenLM-style filter at order 1
     "lm_logprob" -> ((s, dir) => TextOps.lmLogprob(Tables.documents(s, dir))),
+    // order-2 LM: Jelinek-Mercer interpolated bigram probabilities —
+    // frequent tokens in improbable ORDER score low
+    "lm_bigram" -> ((s, dir) => TextOps.lmBigramLogprob(Tables.documents(s, dir))),
     // positional-index phrase match: per-term postings equi-joined on
     // (doc_id, seq+i) — token ADJACENCY, not bag-of-words
     "phrase_search" -> ((s, dir) =>
@@ -755,9 +758,32 @@ object SparkEntry {
          |       FROM vocab, tot),
          |agg AS (
          |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
-         |    round(sum(t.tf * lp.logprob ORDER BY t.tok), 6) + 0 AS sum_logprob
+         |    sum(t.tf * lp.logprob ORDER BY t.tok) AS sum_lp_raw
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
-         |SELECT doc_id, n_tok, round(sum_logprob / n_tok, 6) + 0 AS avg_logprob
+         |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
+         |FROM agg""".stripMargin,
+    // interpolated bigram LM: 0.7/0.3 are DECIMAL literals DuckDB
+    // folds exactly; Spark mirrors via BigDecimal-derived doubles
+    "lm_bigram" ->
+      s"""WITH $duckToks,
+         |bi AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM toks)
+         |       WHERE nt IS NOT NULL),
+         |tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+         |cbi AS (SELECT w1, w2, sum(tf) AS c12 FROM tf GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(c12) AS c1 FROM cbi GROUP BY 1),
+         |uni AS (SELECT tok, count(*) AS cu FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+         |lp AS (SELECT c.w1, c.w2,
+         |         round(ln(0.7 * (c.c12 / cw1.c1) + 0.3 * (u.cu / tot.total)), 6) + 0
+         |           AS logprob
+         |       FROM cbi c JOIN cw1 USING (w1) JOIN uni u ON u.tok = c.w2, tot),
+         |agg AS (SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         |          sum(t.tf * lp.logprob ORDER BY t.w1 || ' ' || t.w2) AS sum_lp_raw
+         |        FROM tf t JOIN lp USING (w1, w2) GROUP BY 1)
+         |SELECT doc_id, n_bigrams, round(sum_lp_raw / n_bigrams, 6) + 0 AS avg_logprob
          |FROM agg""".stripMargin,
     // positional index: seq = blank-dropped token rank; an m-term
     // phrase matches where each term's postings hold (doc, seq+i)
@@ -814,8 +840,8 @@ object SparkEntry {
         |SELECT g.event_type, g.hour_idx, COALESCE(c.n, CAST(0 AS BIGINT)) AS n_events
         |FROM grid g LEFT JOIN c USING (event_type, hour_idx)""".stripMargin,
     // 3 unrolled damped power-method rounds over the verified
-    // near-dup graph; (1.0 - 0.85) is written as the SUBTRACTION so
-    // both engines evaluate the identical IEEE constant
+    // near-dup graph; 0.15 is a DECIMAL literal DuckDB folds exactly,
+    // mirrored by the BigDecimal-derived constant on the Spark side
     "dedup_pagerank" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -827,15 +853,15 @@ object SparkEntry {
          |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
          |pr0 AS (SELECT src AS id, 1.0 AS pr FROM deg),
          |pr1 AS (SELECT u.dst AS id,
-         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
          |  FROM und u JOIN pr0 p ON p.id = u.src JOIN deg d ON d.src = u.src
          |  GROUP BY 1),
          |pr2 AS (SELECT u.dst AS id,
-         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
          |  FROM und u JOIN pr1 p ON p.id = u.src JOIN deg d ON d.src = u.src
          |  GROUP BY 1),
          |pr3 AS (SELECT u.dst AS id,
-         |    round((1.0 - 0.85) + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+         |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
          |  FROM und u JOIN pr2 p ON p.id = u.src JOIN deg d ON d.src = u.src
          |  GROUP BY 1)
          |SELECT id AS doc_id, pr AS pagerank FROM pr3""".stripMargin,

@@ -520,6 +520,10 @@ object DedupOps {
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (1 − d) via BigDecimal: the oracle writes the decimal literal
+    // 0.15, which DuckDB folds EXACTLY in decimal before widening to
+    // double — Scala's 1.0 - 0.85 would differ in the last ulp
+    val base = (BigDecimal(1) - BigDecimal(damping)).toDouble
     var pr = deg.select(col("src").as("id"), lit(1.0).as("pr"))
     for (_ <- 1 to iters) {
       val contrib = und
@@ -528,7 +532,7 @@ object DedupOps {
         .select(col("dst"), col("src"), (col("pr") / col("deg")).as("c"))
       pr = contrib
         .groupBy(col("dst"))
-        .agg(roundn(lit(1.0 - damping) +
+        .agg(roundn(lit(base) +
           lit(damping) * graft.functions.VectorMath.orderedSum(col("src"), col("c")), 6)
           .as("pr"))
         .select(col("dst").as("id"), col("pr"))

@@ -298,14 +298,70 @@ object TextOps {
     val lp = vocab
       .crossJoin(broadcast(total))
       .select(col("tok"), roundn(log(col("cnt") / col("total")), 6).as("logprob"))
+    // the RAW fold sum divides by n_tok before the single rounding:
+    // rounding the sum first would snap it to the 1e-6 grid, and a
+    // grid value divided by a small integer lands EXACTLY on .5
+    // rounding boundaries (1/n of the time!) where engines' round
+    // implementations can disagree — one round after the division
+    // keeps the quotient off-grid
     tf.join(lp, "tok")
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("long").as("n_tok"),
-        roundn(graft.functions.VectorMath.orderedSum(
-          col("tok"), col("tf") * col("logprob")), 6).as("sum_logprob"))
-      .withColumn("avg_logprob", roundn(col("sum_logprob") / col("n_tok"), 6))
+        graft.functions.VectorMath.orderedSum(
+          col("tok"), col("tf") * col("logprob")).as("sum_lp_raw"))
+      .withColumn("avg_logprob", roundn(col("sum_lp_raw") / col("n_tok"), 6))
       .select(col("doc_id"), col("n_tok"), col("avg_logprob"))
+  }
+
+  /** Order-2 extension of [[lmLogprob]]: interpolated bigram LM
+    * scoring, p̂(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·p(w₂) — the
+    * Jelinek-Mercer mixture that keeps unseen-bigram mass nonzero
+    * through the unigram term (every w₂ occurs in the corpus, so the
+    * mixture is always positive and ln is defined). Catches
+    * word-salad text that unigram scoring misses: frequent tokens in
+    * improbable ORDER score low here.
+    *
+    * Determinism: counts are exact integers, (1−λ) comes from exact
+    * decimal subtraction (mirroring DuckDB's decimal literal), each
+    * bigram's ln is rounded to 6dp, and the per-doc fold orders by
+    * the distinct bigram string.
+    *
+    * Scale shape: like [[lmLogprob]] plus one lead() window per doc
+    * partition (uniform); the bigram model table is |bigram vocab|
+    * rows — token-keyed aggs all the way, no skew candidates. */
+  def lmBigramLogprob(docs: DataFrame, lambda: Double = 0.7): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = EmbedOps.tokenize(docs)
+    val bi = toks
+      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+    val tf = bi.groupBy(col("doc_id"), col("w1"), col("w2")).agg(count(lit(1)).as("tf"))
+    val cBi = tf.groupBy(col("w1"), col("w2")).agg(sum(col("tf")).as("c12"))
+    val cW1 = cBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("total"))
+    val oneMinus = (BigDecimal(1) - BigDecimal(lambda)).toDouble
+    val lp = cBi
+      .join(cW1, "w1")
+      .join(uni.select(col("tok").as("w2"), col("cu")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"),
+        roundn(log(lit(lambda) * (col("c12") / col("c1"))
+          + lit(oneMinus) * (col("cu") / col("total"))), 6).as("logprob"))
+    // raw fold sum / integer count, ONE rounding — see lmLogprob's
+    // boundary note (a pre-rounded sum divided by n lands on .5
+    // boundaries 1/n of the time; this bit sf0.01 doc 484)
+    tf.join(lp, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_bigrams"),
+        graft.functions.VectorMath.orderedSum(
+          concat_ws(" ", col("w1"), col("w2")), col("tf") * col("logprob"))
+          .as("sum_lp_raw"))
+      .withColumn("avg_logprob", roundn(col("sum_lp_raw") / col("n_bigrams"), 6))
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
   }
 
   /** Training-data curation filter — the composite every pretraining

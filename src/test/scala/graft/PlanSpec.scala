@@ -74,4 +74,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("graft_cosine"))
     assert(!p.contains("lambdafunction"))
   }
+
+  test("phrase_search: postings are term-filtered BEFORE every join; equi-joins only") {
+    val p = planOf("phrase_search")
+    // each phrase term's filter must sit under the join, not above it
+    // (the join must move one term's postings, never the token stream)
+    assert(p.contains("stream") && p.contains("table"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("TakeOrderedAndProject")) // top-k, no global sort
+  }
+
+  test("events_heavy_hitters: sketch build partial-aggregates before its exchange") {
+    // the 100 TB property: every map task compresses to <= depth*width
+    // cells pre-shuffle — visible as a partial HashAggregate on (j, bucket)
+    val p = planOf("events_heavy_hitters")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("zorder_curve: bounds broadcast in, curve itself is map-side") {
+    val p = planOf("zorder_curve")
+    // one tiny min/max aggregate broadcasts; the interleave must not
+    // introduce a data-sized shuffle or sort
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("events_gapfill: the generated grid joins the PRE-AGGREGATED counts") {
+    val p = planOf("events_gapfill")
+    // the left join's probe side is |types|x|hours| grid rows and the
+    // build side is the aggregated counts — never raw events
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("HashAggregate"))
+  }
 }

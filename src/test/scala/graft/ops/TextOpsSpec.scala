@@ -186,6 +186,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0L) === r(1L))
   }
 
+  test("lmBigramLogprob: same tokens in improbable order score lower") {
+    val docs = Seq(
+      (0L, "the cat sat"), (1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "cat the sat") // same unigrams, rare bigrams
+    ).toDF("doc_id", "text")
+    val r = TextOps.lmBigramLogprob(docs).collect()
+      .map(x => x.getLong(0) -> x.getAs[Double]("avg_logprob")).toMap
+    assert(r(3L) < r(0L)) // unigram LM would call these equal
+    assert(r(0L) === r(1L) && r(1L) === r(2L))
+    // mixture keeps unseen-bigram mass positive → every score finite
+    assert(r.values.forall(v => !v.isNaN && !v.isInfinite))
+  }
+
   test("curatedCorpus keeps only in-language, in-band, above-floor documents") {
     val docs = Seq(
       (0L, "the quick brown fox jumps over and beyond the lazy dog today"), // en, ok
