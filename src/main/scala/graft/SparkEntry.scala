@@ -96,6 +96,21 @@ object SparkEntry {
       cleanupOnExit(tmp)
       CorpusOps.contentHash(s.read.schema(docs.schema).json(tmp))
     }),
+    // CSV twin of json_roundtrip: quote/escape handling must preserve
+    // every byte (multiline fields enabled on the read side)
+    "csv_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csvrt_" +
+        s.sparkContext.applicationId
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+      cleanupOnExit(tmp)
+      CorpusOps.contentHash(
+        s.read.schema(docs.schema)
+          .option("header", "true").option("escape", "\"").option("multiLine", "true")
+          .csv(tmp))
+    }),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
@@ -1153,6 +1168,8 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o
         |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')""".stripMargin,
     "json_roundtrip" ->
+      "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    "csv_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     // plain-avg twin of VectorOps.meanPoolByLabel — raw-float inputs
     // sit off the 6dp rounding grid, so engine-order differences in
