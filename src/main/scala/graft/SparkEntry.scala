@@ -348,6 +348,9 @@ object SparkEntry {
         .withColumn("hour_start", unix_timestamp(col("hour_start")))),
     "json_extract" -> ((s, dir) => RelationalOps.extractJsonK(Tables.events(s, dir))),
     "events_percentiles" -> ((s, dir) => RelationalOps.valuePercentiles(Tables.events(s, dir))),
+    // robust-stats clipping census: per-type p05/p95 bounds (rounded
+    // before comparison) + tail counts the clip would touch
+    "events_winsorized" -> ((s, dir) => RelationalOps.winsorizeCounts(Tables.events(s, dir))),
     "approx_stats_check" -> ((s, dir) => RelationalOps.approxStatsCheck(Tables.events(s, dir))),
     "events_outliers" -> ((s, dir) => RelationalOps.valueOutliers(Tables.events(s, dir))),
     "pricing_correlation" -> ((s, dir) =>
@@ -1531,6 +1534,18 @@ object SparkEntry {
         |FROM (SELECT event_type, quantile_cont(value, [0.25, 0.5, 0.75]) AS ps
         |      FROM events GROUP BY 1) t,
         |     unnest(range(1, len(ps)+1)) u(i)""".stripMargin,
+    // bounds rounded BEFORE the tail comparisons on both engines
+    "events_winsorized" ->
+      """WITH b AS (SELECT event_type,
+        |            round(quantile_cont(value, 0.05), 6) + 0 AS p05,
+        |            round(quantile_cont(value, 0.95), 6) + 0 AS p95
+        |          FROM events GROUP BY 1)
+        |SELECT e.event_type, b.p05, b.p95,
+        |  CAST(sum(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |  count(*) AS n_total
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // oracle twin of the syntheticMedia → featurize pipeline's
     // SQL-expressible projection: payload = UTF-8 bytes of text, so
     // n_bytes = octet_length(encode(text)); modality = doc_id mod 3

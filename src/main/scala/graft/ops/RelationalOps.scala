@@ -199,6 +199,36 @@ object RelationalOps {
         col("qi").cast("long").as("qi"),
         roundn(col("v"), 6).as("quantile_value"))
 
+  /** Winsorization census — the robust-statistics clipping step
+    * (cap telemetry at per-group p05/p95 before aggregating, so a
+    * handful of wild values can't drag the means): per event type,
+    * the clip bounds and how many rows each tail would clip. Bounds
+    * are ROUNDED before the comparison on both engines, so a value
+    * equal to the printed bound classifies identically (the
+    * events_outliers boundary rule).
+    *
+    * Scale shape: one exact-percentile agg per type (|types| rows —
+    * becomes approx_percentile at 100 TB, the swap approx_stats_check
+    * already pins) broadcast back over the stream; counting is one
+    * map-side-combined agg. */
+  def winsorizeCounts(events: DataFrame): DataFrame = {
+    val bounds = events
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.05, 0.95))").as("ps"))
+      .select(col("event_type"),
+        roundn(element_at(col("ps"), 1), 6).as("p05"),
+        roundn(element_at(col("ps"), 2), 6).as("p95"))
+    events
+      .join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("p05")).as("p05"),
+        first(col("p95")).as("p95"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_above"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Anomaly gate: events whose value sits more than `z` sample
     * standard deviations from their type's mean — the data-quality
     * screen a pipeline runs before aggregating telemetry. The per-type

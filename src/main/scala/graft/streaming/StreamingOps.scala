@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues}
 
 /** Structured Streaming forms of the engine's ingest operators
   * (SURVEY.md §2.10). The reference ingests in batch at startup plus
@@ -176,6 +177,77 @@ object StreamingOps {
           if (cur != null) state.update(cur)
           out.result().iterator
       }
+  }
+
+  /** Input/output row for [[debounceStream]]: `ts` is a proper
+    * timestamp (the watermark column); `ts_ms` its epoch-millis twin
+    * for timer arithmetic. */
+  case class TimedEv(user_id: Long, ts: java.sql.Timestamp, ts_ms: Long, value: Double)
+
+  /** Event-time debounce via the transformWithState API (Spark 4.x
+    * arbitrary-state v2): a key's LATEST event is emitted only after
+    * `quietMs` of event-time silence — the "settle before acting"
+    * gate (a re-crawled page that updates five times in a burst
+    * triggers ONE downstream re-embed, of the final version).
+    *
+    * Mechanics: keyed ValueState holds the burst's latest event; each
+    * input re-arms an event-time TIMER at latest_ts + quietMs
+    * (deleting the previous one — StatefulProcessor timers are
+    * explicit, unlike GroupState's single implicit timeout); when the
+    * WATERMARK passes the timer, handleExpiredTimer emits the settled
+    * event and clears state. State per key is one event + one timer
+    * registration — bounded; emission is append-mode-clean (only
+    * settled, immutable rows leave).
+    *
+    * Late rows older than the stored burst tail are ignored (their
+    * burst already settled or a newer event supersedes them) —
+    * deterministic under the (ts_ms, user_id) max rule. Requires the
+    * RocksDB state store provider (transformWithState's backing
+    * store; set in the session conf, see StreamingOpsSpec). */
+  class DebounceProcessor(quietMs: Long)
+      extends StatefulProcessor[Long, TimedEv, TimedEv] {
+    @transient private var last: org.apache.spark.sql.streaming.ValueState[TimedEv] = _
+    @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      last = getHandle.getValueState[TimedEv]("last", Encoders.product[TimedEv], TTLConfig.NONE)
+      armed = getHandle.getValueState[Long]("armed", Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[TimedEv],
+                                 tv: TimerValues): Iterator[TimedEv] = {
+      var cur = if (last.exists()) last.get() else null
+      rows.foreach { e =>
+        if (cur == null || e.ts_ms > cur.ts_ms) cur = e
+      }
+      if (cur != null) {
+        last.update(cur)
+        if (armed.exists()) getHandle.deleteTimer(armed.get())
+        val fireAt = cur.ts_ms + quietMs
+        getHandle.registerTimer(fireAt)
+        armed.update(fireAt)
+      }
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                    info: ExpiredTimerInfo): Iterator[TimedEv] = {
+      val out =
+        if (last.exists()) Iterator.single(last.get()) else Iterator.empty
+      last.clear()
+      armed.clear()
+      out
+    }
+  }
+
+  /** Declared debounce entry point: `events` must be a streaming
+    * Dataset[TimedEv]; emits each key's burst-final event once the
+    * watermark passes quietMs beyond it. */
+  def debounceStream(events: Dataset[TimedEv], quietMs: Long,
+                     watermark: String = "10 seconds"): Dataset[TimedEv] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new DebounceProcessor(quietMs),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Idempotent micro-batch commit: the batch's rows land in a

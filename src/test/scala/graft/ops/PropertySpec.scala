@@ -189,4 +189,73 @@ class PropertySpec extends SparkSpec {
       assert(a.forall(_.getAs[Double]("rate") <= 1.0))
     }
   }
+
+  test("property: CMS estimate >= exact for every key at any width") {
+    val rnd = new Random(109)
+    for (trial <- 1 to 3) {
+      val keys = (0 until 60).map(_ => rnd.nextInt(8).toLong)
+      val df = keys.toDF("user_id")
+      val width = Seq(1, 4, 4096)(trial - 1)
+      val r = SketchOps.countMinHeavyHitters(df, depth = 2, width = width, k = 8).collect()
+      assert(r.nonEmpty)
+      assert(r.forall(x => x.getAs[Long]("cms_est") >= x.getAs[Long]("exact_cnt")))
+      if (width == 4096) // collision-free regime: estimates exact
+        assert(r.forall(_.getAs[Long]("overcount") == 0L))
+    }
+  }
+
+  test("property: Morton interleave is a bijection (decode returns the inputs)") {
+    val rnd = new Random(110)
+    val pairs = (0 until 30).map(_ => (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = pairs.toDF("a", "b")
+    def deinterleave(bits: Int, odd: Boolean) = (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftright($"z", 2 * i + (if (odd) 1 else 0)).bitwiseAND(lit(1L)) * lit(1L << i)
+    }
+    val rt = df
+      .withColumn("z", PersistOps.interleaveBits($"a", $"b"))
+      .select($"a", $"b", deinterleave(16, odd = true).as("a2"),
+        deinterleave(16, odd = false).as("b2"))
+      .collect()
+    assert(rt.forall(r => r.getLong(0) === r.getLong(2) && r.getLong(1) === r.getLong(3)))
+  }
+
+  test("property: prefix filter never misses a pair with Jaccard >= t") {
+    val rnd = new Random(111)
+    for (_ <- 1 to 3) {
+      // overlapping random docs: shared base + per-doc mutations
+      val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+      def doc() = Seq.fill(8 + rnd.nextInt(6))(words(rnd.nextInt(words.length))).mkString(" ")
+      val base = doc()
+      val docs = (0 until 8).map { i =>
+        val t = if (i % 2 == 0) base + " " + doc().split(" ").take(3).mkString(" ") else doc()
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+      val ids = docs.select("doc_id").as[Long].collect().sorted
+      val allPairs = (for (a <- ids; b <- ids if a < b) yield (a, b)).toSeq.toDF("a_id", "b_id")
+      val truth = DedupOps.jaccardVerify(docs, allPairs, minJaccard = 0.5)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val got = DedupOps.prefixFilterNearDup(docs)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got === truth) // no false negatives (and verify kills false positives)
+    }
+  }
+
+  test("property: pageRank conserves total rank mass across rounds") {
+    val rnd = new Random(112)
+    for (_ <- 1 to 3) {
+      val n = 6 + rnd.nextInt(5)
+      // random connected-ish graph: a path backbone plus random chords
+      val backbone = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      val chords = (0 until n / 2).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2)
+      val pairs = (backbone ++ chords).distinct.toDF("a_id", "b_id")
+      val pr = DedupOps.pageRank(pairs, iters = 3).collect()
+        .map(_.getAs[Double]("pagerank"))
+      // sum(pr) = 0.15·n + 0.85·sum(prev) stays n to rounding error
+      assert(math.abs(pr.sum - pr.length) < 1e-3)
+      assert(pr.forall(_ > 0))
+    }
+  }
 }

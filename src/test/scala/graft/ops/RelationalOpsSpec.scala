@@ -136,6 +136,21 @@ class RelationalOpsSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (2L, 3L), (1L, 3L)))
   }
 
+  test("winsorizeCounts: tails counted against rounded per-type bounds") {
+    val ev = (1 to 100).map(i =>
+      (i.toLong, 0L, 1L, "view", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.winsorizeCounts(ev).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // exact percentile of 1..100: p05 = 5.95, p95 = 95.05 (linear interp)
+    assert(math.abs(row.getAs[Double]("p05") - 5.95) < 1e-9)
+    assert(math.abs(row.getAs[Double]("p95") - 95.05) < 1e-9)
+    assert(row.getAs[Long]("n_below") === 5L) // values 1..5
+    assert(row.getAs[Long]("n_above") === 5L) // values 96..100
+    assert(row.getAs[Long]("n_total") === 100L)
+  }
+
   test("hourlyGapFill: every (type, hour) cell present; missing hours are explicit zeros") {
     val hr = 3600L * 1000 * 1000 * 1000
     val ev = Seq(

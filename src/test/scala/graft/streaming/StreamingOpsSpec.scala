@@ -83,6 +83,50 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debounceStream (transformWithState): burst emits ONE settled row after quiet period") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[TimedEv]
+    def ev(u: Long, sec: Long, v: Double) =
+      TimedEv(u, new Timestamp(sec * 1000), sec * 1000, v)
+    val q = debounceStream(input.toDS(), quietMs = 60000, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("debounce_out")
+      .outputMode("append").start()
+    try {
+      // burst for user 1: two updates 30 s apart — one settled emission
+      input.addData(ev(1L, 0, 1.0), ev(1L, 30, 2.0))
+      q.processAllAvailable()
+      input.addData(ev(2L, 100, 9.0)) // advances watermark to 90 s = user 1's timer
+      q.processAllAvailable()
+      input.addData(ev(2L, 200, 9.5)) // re-arms user 2; watermark 190 s fires nothing new for 1
+      q.processAllAvailable()
+      input.addData(ev(3L, 400, 0.0)) // watermark 390 s → user 2's 260 s timer fires
+      q.processAllAvailable()
+      val rows = spark.table("debounce_out").as[TimedEv].collect()
+      val byUser = rows.groupBy(_.user_id)
+      // user 1: exactly one emission, the burst-FINAL event (t=30, v=2.0)
+      assert(byUser(1L).map(e => (e.ts_ms, e.value)).toSeq === Seq((30000L, 2.0)))
+      // user 2: its own burst settled once with the later event
+      assert(byUser(2L).map(e => (e.ts_ms, e.value)).toSeq === Seq((200000L, 9.5)))
+      // a second burst for user 1 after settling re-arms and re-emits
+      input.addData(ev(1L, 500, 3.0))
+      q.processAllAvailable()
+      input.addData(ev(3L, 700, 0.0)) // watermark 690 s → fires 560 s timer
+      q.processAllAvailable()
+      val again = spark.table("debounce_out").as[TimedEv].collect()
+        .filter(_.user_id == 1L).map(e => (e.ts_ms, e.value)).toSeq
+      assert(again === Seq((30000L, 2.0), (500000L, 3.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionCounts merges gap-contiguous events and splits across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
