@@ -40,6 +40,18 @@ object RecallCheck {
       val hit = exact.count(approx.contains)
       println(s"""{"dir":"$dir","cells":$kCells,"nProbe":$nProbe,"nAssign":$nAssign,""" +
         s""""recall_at_$k":"$hit/${exact.size}"}""")
+      // PQ/ADC receipt — same queries, same exact baseline. 16-code
+      // 8-dim codebooks are deliberately coarse on near-random
+      // embeddings (the hardest PQ case: no cluster structure to
+      // exploit), so the rerank window carries the recall.
+      for (rf <- Seq(8, 16, 32)) {
+        val pq = VectorOps.pqTopK(emb, queries, k = k, rerankFactor = rf)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val pqHit = exact.count(pq.contains)
+        println(s"""{"dir":"$dir","op":"ann_pq","rerankFactor":$rf,""" +
+          s""""recall_at_$k":"$pqHit/${exact.size}"}""")
+      }
     } finally spark.stop()
   }
 }

@@ -132,6 +132,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annQuantizedTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
     }),
+    // product quantization (ADC): 8 subspaces × 16-code codebooks
+    // trained by per-subspace relational Lloyd; queries scan codes
+    // with broadcast lookup tables, floats only in the rerank
+    "ann_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      // 16-code/8-dim codebooks are a COARSE filter on these
+      // near-random embeddings — ADC ranks, a wide (16x) exact rerank
+      // decides; 48 candidate rows/query is still microscopic
+      VectorOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, rerankFactor = 16)
+    }),
     // the composed funnel (IVFADC shape): sqrt(N) cells prune rows,
     // int8 codes prune bytes, floats only for the final rerank —
     // same derived probe budget as ann_ivf
@@ -379,6 +389,25 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(CASE WHEN ${duckNorm(a)} * ${duckNorm(b)} = 0 THEN 0.0 " +
       s"ELSE ${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) END)"
+
+  /** DuckDB twin of one pqTopK assignment round: distance of every
+    * (vector, subspace) to every code of `centCte`, argmin with code
+    * tie-break → `pqa$r (vec_id, s, code)`. */
+  private def duckPqAssign(r: Int, centCte: String): String =
+    s"""pqd$r AS (SELECT d.vec_id, d.s, c.code,
+       |    round(sum((d.x - c.cv)^2 ORDER BY d.ld), 6) + 0 AS dist
+       |  FROM psd d JOIN $centCte c ON c.s = d.s AND c.ld = d.ld
+       |  GROUP BY 1, 2, 3),
+       |pqa$r AS (SELECT vec_id, s, code FROM (
+       |    SELECT vec_id, s, code,
+       |      row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, code) AS rn
+       |    FROM pqd$r) WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of one pqTopK centroid update from `pqa$r`. */
+  private def duckPqUpdate(r: Int): String =
+    s"""pqc$r AS (SELECT d.s, a.code, d.ld, round(avg(d.x), 6) + 0 AS cv
+       |  FROM psd d JOIN pqa$r a ON a.vec_id = d.vec_id AND a.s = d.s
+       |  GROUP BY 1, 2, 3)""".stripMargin
 
   /** DuckDB twin of graft.functions.PortableHash.hash24 — single
     * source of truth lives next to the Spark-side hash; only the
@@ -1319,6 +1348,46 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
          |  FROM rr) WHERE rank <= 3""".stripMargin,
+    // PQ/ADC: per-subspace Lloyd (seeds = first-16 subvectors, 2
+    // rounds, subspace rides every grouping key), encode with the
+    // final codebooks, ADC = per-query (s, code) partial distances
+    // summed in subspace order, exact-cosine rerank of the top 12
+    "ann_pq" ->
+      s"""WITH pdims AS (
+         |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+         |         CAST(embedding[u.i] AS DOUBLE) AS x
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |psd AS (SELECT vec_id, dim // 8 AS s, dim % 8 AS ld, x FROM pdims),
+         |pqc0 AS (SELECT s, vec_id AS code, ld, round(x, 6) + 0 AS cv
+         |         FROM psd WHERE vec_id < 16),
+         |${duckPqAssign(1, "pqc0")},
+         |${duckPqUpdate(1)},
+         |${duckPqAssign(2, "pqc1")},
+         |${duckPqUpdate(2)},
+         |${duckPqAssign(3, "pqc2")},
+         |qlut AS (SELECT q.vec_id AS query_id, c.s, c.code,
+         |    round(sum((q.x - c.cv)^2 ORDER BY q.ld), 6) + 0 AS pd
+         |  FROM psd q JOIN pqc2 c ON c.s = q.s AND c.ld = q.ld
+         |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+         |padc AS (SELECT l.query_id, k.vec_id,
+         |    round(sum(l.pd ORDER BY l.s), 6) + 0 AS qdist
+         |  FROM pqa3 k JOIN qlut l ON l.s = k.s AND l.code = k.code
+         |  WHERE k.vec_id <> l.query_id GROUP BY 1, 2),
+         |pcand AS (SELECT query_id, vec_id, qdist FROM (
+         |    SELECT query_id, vec_id, qdist,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qdist, vec_id) AS qrank
+         |    FROM padc) WHERE qrank <= 48),
+         |prr AS (SELECT pcand.query_id, pcand.vec_id, pcand.qdist,
+         |    round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM pcand
+         |  JOIN embeddings c ON c.vec_id = pcand.vec_id
+         |  JOIN embeddings q ON q.vec_id = pcand.query_id)
+         |SELECT query_id, rank, vec_id, qdist, cos_sim FROM (
+         |  SELECT query_id, vec_id, qdist, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM prr) WHERE rank <= 3""".stripMargin,
     // composed funnel: IVF candidate chain (same CTEs as ann_ivf) ->
     // int8 code distances pick 12/query -> exact cosine rerank
     "ann_ivf_quantized" ->

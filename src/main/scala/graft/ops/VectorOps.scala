@@ -213,6 +213,100 @@ object VectorOps {
     exactCosRerank(cand, corpus, queries, k)
   }
 
+  /** Product quantization top-k (ADC form, Jégou et al. TPAMI'11) —
+    * the codebook member of the ANN family: [[annQuantizedTopK]]'s
+    * scalar codes shrink each COMPONENT to int8 (d bytes/vector);
+    * PQ shrinks each SUBVECTOR to one codebook id (m bytes/vector —
+    * here 8 bytes for a 64-d float32 vector, 32× less scan bandwidth)
+    * and queries scan codes with per-subspace lookup tables instead
+    * of arithmetic on components.
+    *
+    * Build: split each vector into `m` contiguous subvectors (a
+    * map-side `slice`, no shuffle); per subspace, k-means with `ksub`
+    * centroids (the relational Lloyd shape of [[kmeansCells]] with
+    * the subspace id riding the grouping keys — ONE pipeline trains
+    * all m codebooks); encode = nearest-code argmin per (vector,
+    * subspace) via partial-aggregated `min_by` on rounded distances.
+    * At 100 TB train the codebooks on a SAMPLE (the standard PQ
+    * practice) and encode the full corpus with them; encoding is one
+    * broadcast join + one keyed min.
+    *
+    * Query (ADC): each query precomputes a lookup table of partial
+    * distances to every (subspace, code) — m·ksub rounded doubles,
+    * built as a broadcast MAP (code ids of emptied cells vanish, so
+    * positional arrays would misalign); scanning is a MAP-SIDE fold
+    * over each vector's m codes in subspace order (deterministic —
+    * no aggregation, no shuffle until the per-query top-k window).
+    * Floats are touched only for the exact-cosine rerank of the
+    * top k·rerankFactor survivors.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8, ksub: Int = 16,
+             iters: Int = 2, rerankFactor: Int = 4): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val dsub = d / m
+
+    // map-side subvector view: (id, s, sv[dsub]) — slice, never a shuffle
+    def subvecs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id").as(idCol), asDouble(col("embedding")).as("e"))
+      .withColumn("s", explode(sequence(lit(0L), lit(m - 1L))))
+      .select(col(idCol), col("s"),
+        slice(col("e"), (col("s") * dsub + 1).cast("int"), lit(dsub)).as("sv"))
+
+    // densify exploded (s, code, ld, cv) codebooks to broadcastable
+    // (s, code, cvec) rows — per-group collect bounded by dsub
+    def dense(centExpl: DataFrame): DataFrame = centExpl
+      .groupBy(col("s"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("ld"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+
+    // nearest-code argmin per (id, subspace): rounded distance, code
+    // tie-break, evaluated as a partial-aggregated min_by over the
+    // codegen'd dense-array kernel (no window over the N·m·ksub rows)
+    def assign(sv: DataFrame, idCol: String, centDense: DataFrame): DataFrame = sv
+      .join(broadcast(centDense), "s")
+      .withColumn("dist", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+      .groupBy(col(idCol), col("s"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+    val csv = subvecs(corpus, "vec_id")
+    // seeds: the first ksub vectors' subvectors, rounded like the oracle
+    var cent = subvecs(corpus.filter(col("vec_id") < ksub), "code")
+      .select(col("s"), col("code"), transform(col("sv"), x => roundn(x, 6)).as("cvec"))
+    for (_ <- 1 to iters) {
+      val a = assign(csv, "vec_id", cent)
+      cent = dense(
+        csv.join(a, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("ld", "x")))
+          .groupBy(col("s"), col("code"), col("ld"))
+          .agg(roundn(avg(col("x")), 6).as("cv")))
+    }
+
+    val codes = assign(csv, "vec_id", cent)
+    val codesArr = codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("carr"))
+    // per-query LUT as a MAP keyed by s·ksub + code (m·ksub entries)
+    val lut = subvecs(queries, "query_id")
+      .join(broadcast(cent), "s")
+      .withColumn("pd", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(
+        struct((col("s") * ksub + col("code")).as("idx"), col("pd")))).as("lut"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val cand = codesArr.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("query_id"))
+      // ADC: fold the m table lookups in subspace order — map-side,
+      // deterministic (mirrors the oracle's sum(pd ORDER BY s))
+      .withColumn("qdist", roundn(aggregate(
+        sequence(lit(0L), lit(m - 1L)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"), s * ksub + element_at(col("carr"), (s + 1).cast("int")))), 6))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+    exactCosRerank(cand, corpus, queries, k)
+  }
+
   /** Build-time quantization scale: one scalar (max |component|) over
     * the INDEXED vectors — queries reuse it; arriving queries can't
     * rescale a built index. */
