@@ -202,6 +202,11 @@ object SparkEntry {
       DedupOps.decontaminateBloom(
         docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
     }),
+    // exact substring dedup (Lee et al. ACL'22) in relational form:
+    // 8-token windows shared by >= 2 docs, per-doc interval-union
+    // span coverage — the fraction a span-removal pass would excise
+    "dedup_substrings" -> ((s, dir) =>
+      DedupOps.substringDupCoverage(Tables.documents(s, dir))),
     // deterministic per-language keep rates (en 20%, es 50%, rest
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
@@ -680,6 +685,36 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_fp FROM cfp
          |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          |GROUP BY 1""".stripMargin,
+    // 8-token lead chain mirrors wordShingles(w=8); interval union
+    // via the same lag-gap window; all-integer until the final ratio
+    "dedup_substrings" ->
+      s"""WITH $duckToks,
+         |sh8 AS (
+         |  SELECT doc_id, pos, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' ||
+         |         t4 || ' ' || t5 || ' ' || t6 || ' ' || t7 AS shingle
+         |  FROM (SELECT doc_id, pos, tok,
+         |          lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+         |          lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4,
+         |          lead(tok, 5) OVER w AS t5, lead(tok, 6) OVER w AS t6,
+         |          lead(tok, 7) OVER w AS t7
+         |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |  WHERE t7 IS NOT NULL),
+         |hh AS (SELECT doc_id, pos, ${duckHash24("shingle")} AS h FROM sh8),
+         |dup AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |dpos AS (SELECT doc_id, pos,
+         |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+         |  FROM hh JOIN dup USING (h)),
+         |cov AS (SELECT doc_id, count(*) AS dup_windows,
+         |    CAST(sum(CASE WHEN gap IS NULL OR gap > 8 THEN 8 ELSE gap END)
+         |         AS BIGINT) AS dup_tokens
+         |  FROM dpos GROUP BY 1),
+         |nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  CAST(coalesce(dup_windows, 0) AS BIGINT) AS dup_windows,
+         |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+         |  round(coalesce(dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6) + 0
+         |    AS dup_fraction
+         |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
     "stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |  ${duckHash24("text || '|stratum'")} % 100 AS bucket,

@@ -639,4 +639,50 @@ object DedupOps {
       .filter(col("dirty").isNull) // no suspect verified → clean
       .select(col("doc_id"), col("n_fp"))
   }
+
+  /** Exact duplicated-substring coverage (Lee et al., ACL'22: exact
+    * substring dedup removes spans repeated verbatim across training
+    * documents). Suffix arrays — the paper's tool — don't distribute;
+    * the scale-equivalent relational form hashes every w-token window
+    * and calls a window duplicated when its text occurs in >= 2
+    * DISTINCT documents (intra-doc repeats are self-repetition,
+    * [[graft.ops.TextOps.repetitionScore]]'s job, not dedup). Per doc
+    * the duplicated windows are collapsed to their interval UNION via
+    * one lag window — consecutive overlapping windows must not double
+    * count the tokens they share — yielding the span fraction a
+    * span-removal pass would excise.
+    *
+    * Scale shape: hash-keyed shuffles only (shingle vocab join,
+    * window-frequency agg, join-back, per-doc lag window); no
+    * driver-side state, no quadratic step anywhere — the 100 TB cost
+    * is O(corpus tokens) rows through three uniform shuffles. */
+  def substringDupCoverage(docs: DataFrame, w: Int = 8): DataFrame = {
+    // hash windows DIRECTLY — no vocab-distinct join: unlike the w=3
+    // minhash shingles, 8-token windows are nearly all unique, so a
+    // distinct-then-join "dedup" of sha calls is as large as the data
+    // and costs two extra shuffles for nothing
+    val hashed = wordShingles(docs, w)
+      .select(col("doc_id"), col("pos"), PortableHash.hash24(col("shingle")).as("h"))
+    val dupHashes = hashed
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cov = hashed.join(dupHashes, "h")
+      // interval union: each duplicated window adds min(w, gap to the
+      // previous duplicated window); the first adds w
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byPos))
+      .withColumn("contrib",
+        when(col("gap").isNull, lit(w.toLong))
+          .otherwise(least(lit(w.toLong), col("gap"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_windows"), sum(col("contrib")).as("dup_tokens"))
+    EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        roundn(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
+          .as("dup_fraction"))
+  }
 }

@@ -231,4 +231,24 @@ class DedupOpsSpec extends SparkSpec {
     assert(overlap > 0.5) // small edit keeps most local minima
     assert(fp(0L).intersect(fp(3L)).isEmpty)
   }
+
+  test("substringDupCoverage: interval union counts shared tokens once; unique docs zero") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (0L, shared + " kilo lima"),                    // 12 tokens, span at pos 0..9
+      (1L, "mike november " + shared),                // 12 tokens, span at pos 2..11
+      (2L, "oscar papa quebec romeo sierra tango uniform victor")) // unique, 8 tokens
+      .toDF("doc_id", "text")
+    val r = DedupOps.substringDupCoverage(d, w = 8).collect()
+      .map(x => x.getLong(0) -> x).toMap
+    // doc 0: positions 0,1,2 duplicated (windows of the 10 shared
+    // tokens) → union = 8 + 1 + 1 = 10 tokens, 3 windows
+    assert(r(0L).getAs[Long]("n_tokens") === 12)
+    assert(r(0L).getAs[Long]("dup_windows") === 3)
+    assert(r(0L).getAs[Long]("dup_tokens") === 10)
+    assert(r(1L).getAs[Long]("dup_tokens") === 10)
+    assert(r(2L).getAs[Long]("dup_windows") === 0)
+    assert(r(2L).getAs[Double]("dup_fraction") === 0.0)
+  }
 }
