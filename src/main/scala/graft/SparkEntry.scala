@@ -207,6 +207,9 @@ object SparkEntry {
     // span coverage — the fraction a span-removal pass would excise
     "dedup_substrings" -> ((s, dir) =>
       DedupOps.substringDupCoverage(Tables.documents(s, dir))),
+    // tokenizer training: first 6 BPE merges by frequency-weighted
+    // pair counting + greedy string-space merge (Sennrich ACL'16)
+    "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
     // deterministic per-language keep rates (en 20%, es 50%, rest
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
@@ -413,6 +416,25 @@ object SparkEntry {
     s"""pqc$r AS (SELECT d.s, a.code, d.ld, round(avg(d.x), 6) + 0 AS cv
        |  FROM psd d JOIN pqa$r a ON a.vec_id = d.vec_id AND a.s = d.s
        |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB twin of one TextOps.bpeMerges round: pair counts from
+    * `w$r`, argmax with (count desc, lhs, rhs) tie-break → `t$r`,
+    * greedy left-to-right merge in the double-space string encoding →
+    * `w${r+1}`. String slicing strips the sentinel flank spaces
+    * (1-based inclusive on both engines). */
+  private def duckBpeRound(r: Int): String =
+    s"""p$r AS (SELECT a[u.i] AS lhs, a[u.i + 1] AS rhs,
+       |    CAST(sum(wc) AS BIGINT) AS pair_count
+       |  FROM (SELECT wc, string_split(syms, '  ') AS a FROM w$r),
+       |       unnest(range(1, len(a))) u(i)
+       |  GROUP BY 1, 2),
+       |t$r AS (SELECT $r AS merge_round, lhs, rhs, pair_count FROM p$r
+       |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+       |w${r + 1} AS (SELECT wc, s2[2:length(s2) - 1] AS syms FROM (
+       |  SELECT w.wc, replace(' ' || w.syms || ' ',
+       |      ' ' || t.lhs || '  ' || t.rhs || ' ',
+       |      ' ' || t.lhs || t.rhs || ' ') AS s2
+       |  FROM w$r w, t$r t))""".stripMargin
 
   /** DuckDB twin of graft.functions.PortableHash.hash24 — single
     * source of truth lives next to the Spark-side hash; only the
@@ -685,6 +707,17 @@ object SparkEntry {
          |SELECT doc_id, count(*) AS n_fp FROM cfp
          |WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
          |GROUP BY 1""".stripMargin,
+    // six chained assignment/merge CTE rounds; character seeding via
+    // per-position slicing (both engines slice by character)
+    "bpe_merges" ->
+      s"""WITH $duckToks,
+         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                   i -> tok[i:i]), '  ') AS syms
+         |  FROM toks GROUP BY tok),
+         |${(1 to 6).map(duckBpeRound).mkString(",\n")}
+         |SELECT CAST(merge_round AS BIGINT) AS merge_round, lhs, rhs, pair_count
+         |FROM (${(1 to 6).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")})""".stripMargin,
     // 8-token lead chain mirrors wordShingles(w=8); interval union
     // via the same lag-gap window; all-integer until the final ratio
     "dedup_substrings" ->

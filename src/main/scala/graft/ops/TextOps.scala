@@ -378,4 +378,65 @@ object TextOps {
       .filter(col("predicted_lang") === lang && col("quality") >= minQuality &&
         col("n_ws_tokens").between(minTokens, maxTokens))
       .select(col("doc_id"), col("predicted_lang"), col("quality"), col("n_ws_tokens"))
+
+  /** First `rounds` BPE merges (Sennrich et al., ACL'16) trained
+    * relationally: word frequencies from one tokenize scan, symbols
+    * start as characters, and each round (a) counts adjacent symbol
+    * pairs weighted by word frequency — a map-side explode into one
+    * hash agg — and (b) merges the winning pair greedily left-to-right
+    * in every word. Returns (round, lhs, rhs, pair_count).
+    *
+    * The merge step stays MAP-ONLY by working in string space: words
+    * are kept as '  '-joined symbol strings wrapped in single spaces,
+    * so every symbol carries its own flank spaces and the pattern
+    * ` lhs  rhs ` → ` lhsrhs ` under left-to-right non-overlapping
+    * `replace` reproduces exactly BPE's greedy overlap rule (in
+    * ` a  a  a ` only the first pair merges; in ` a  a  a  a ` both
+    * disjoint pairs do — a single-space join would consume the shared
+    * boundary and under-merge).
+    *
+    * Driver state per round is ONE row (the argmax pair — same
+    * bounded-localize pattern as [[VectorOps.kmeansCells]]' k
+    * centroids); pair counting shuffles |vocab| rows, never the
+    * corpus. At 100 TB the vocab agg is the only data-sized stage
+    * and it is a uniform hash agg. Ties break (count desc, lhs asc,
+    * rhs asc) — both engines compare UTF-8 bytes. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var words = EmbedOps.tokenize(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat_ws("  ",
+        expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))")).as("syms"))
+    // vocab-sized; materialize once so each round's argmax job replays
+    // <= r map-only merges instead of re-running the corpus tokenize
+    words = words.localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val top = words
+        .select(col("wc"), split(col("syms"), "  ").as("a"))
+        // single-symbol words have no pairs — and sequence(1, 0)
+        // DESCENDS in Spark rather than being empty, so they must
+        // leave before the transform
+        .filter(size(col("a")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, size(a) - 1), i -> struct(a[i-1] AS lhs, a[i] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wc")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, l, rr, c))
+        // Column-typed literals, not SQL string interpolation — tokens
+        // can contain quotes
+        val wrapped = concat(lit(" "), col("syms"), lit(" "))
+        val s2 = org.apache.spark.sql.functions.replace(
+          wrapped, lit(s" $l  $rr "), lit(s" $l$rr "))
+        words = words.select(col("wc"),
+          s2.substr(lit(2), length(s2) - 2).as("syms"))
+      }
+    }
+    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
 }

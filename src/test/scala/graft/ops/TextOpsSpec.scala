@@ -210,4 +210,24 @@ class TextOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(kept === Set(0L))
   }
+
+  test("bpeMerges: the hand-computed low/lower merge sequence") {
+    val docs = Seq((0L, "low lower low")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, rounds = 4).orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // (l,o) and (o,w) tie at 3 → lhs tie-break picks (l,o); after
+    // low collapses, (e,r) wins its 1-count tie against (low,e)
+    assert(got === Seq((1L, "l", "o", 3L), (2L, "lo", "w", 3L),
+      (3L, "e", "r", 1L), (4L, "low", "er", 1L)))
+  }
+
+  test("bpeMerges: greedy left-to-right merges BOTH disjoint pairs of aaaa") {
+    val docs = Seq((0L, "aaaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeMerges(docs, rounds = 2).orderBy("merge_round")
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1 counts the three overlapping (a,a) pairs but merges only
+    // the two DISJOINT ones; an under-merging round 2 would instead
+    // emit (a,a) again from a leftover "aa a a" split
+    assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
+  }
 }
