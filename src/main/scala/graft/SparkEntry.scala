@@ -210,6 +210,12 @@ object SparkEntry {
     // tokenizer training: first 6 BPE merges by frequency-weighted
     // pair counting + greedy string-space merge (Sennrich ACL'16)
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
+    // DSIR importance weights: add-one unigram log-ratio vs the
+    // en-language target subset, shared raw vocabulary
+    "dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"))
+    }),
     // deterministic per-language keep rates (en 20%, es 50%, rest
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
@@ -876,6 +882,30 @@ object SparkEntry {
          |    sum(t.tf * lp.logprob ORDER BY t.tok) AS sum_lp_raw
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
+         |FROM agg""".stripMargin,
+    // shared-vocab add-one LMs; per-token 6dp ln-difference, tok-ordered
+    // fold, one rounding after the mean division (lm_logprob discipline)
+    "dsir_weights" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |rv AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
+         |tc AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS cnt_t_all
+         |       FROM toks t JOIN documents d USING (doc_id)
+         |       WHERE d.lang = 'en' GROUP BY 1),
+         |vocab AS (SELECT rv.tok, cnt_r, coalesce(cnt_t_all, 0) AS cnt_t
+         |          FROM rv LEFT JOIN tc USING (tok)),
+         |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS nr,
+         |               CAST(sum(cnt_t) AS BIGINT) AS nt,
+         |               CAST(count(*) AS BIGINT) AS v FROM vocab),
+         |lp AS (SELECT tok,
+         |    round(ln((cnt_t + 1) / CAST(nt + v AS DOUBLE))
+         |        - ln((cnt_r + 1) / CAST(nr + v AS DOUBLE)), 6) + 0 AS logratio
+         |  FROM vocab, tot),
+         |agg AS (
+         |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+         |    sum(t.tf * lp.logratio ORDER BY t.tok) AS sum_lr_raw
+         |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
+         |SELECT doc_id, n_tok, round(sum_lr_raw / n_tok, 6) + 0 AS dsir_weight
          |FROM agg""".stripMargin,
     // interpolated bigram LM: 0.7/0.3 are DECIMAL literals DuckDB
     // folds exactly; Spark mirrors via BigDecimal-derived doubles

@@ -379,6 +379,51 @@ object TextOps {
         col("n_ws_tokens").between(minTokens, maxTokens))
       .select(col("doc_id"), col("predicted_lang"), col("quality"), col("n_ws_tokens"))
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23: data
+    * selection via importance resampling): rank raw documents by
+    * avg_tok [ln p̂_target(tok) − ln p̂_raw(tok)] under add-one-smoothed
+    * unigram LMs — documents that look like the target domain float
+    * up, off-domain documents sink. Both LMs are smoothed over the
+    * SAME vocabulary (the raw corpus's), so the log-ratio is defined
+    * for every scored token, including those the target never saw.
+    *
+    * Determinism: counts are exact integers, each token's log-ratio
+    * is one 6dp-rounded ln difference, the per-doc fold sums over
+    * distinct tokens in token order, and the mean rounds once after
+    * the integer division (same off-grid discipline as [[lmLogprob]]).
+    *
+    * Scale shape: two token-keyed vocab aggs (the target one over the
+    * small in-domain subset), a broadcast 1-row totals join, then the
+    * same tf-join + doc-keyed agg as [[lmLogprob]]. No windows, no
+    * skew candidates; at 100 TB the raw vocab agg is the only
+    * data-sized stage. */
+  def dsirWeights(raw: DataFrame, target: DataFrame): DataFrame = {
+    val tf = EmbedOps.tokenize(raw)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val rawVocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt_r"))
+    val targetCounts = EmbedOps.tokenize(target)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt_t_all"))
+    val vocab = rawVocab.join(targetCounts, Seq("tok"), "left")
+      .select(col("tok"), col("cnt_r"),
+        coalesce(col("cnt_t_all"), lit(0L)).as("cnt_t"))
+    val tot = vocab.agg(
+      sum(col("cnt_r")).as("nr"), sum(col("cnt_t")).as("nt"),
+      count(lit(1)).as("v"))
+    val lp = vocab.crossJoin(broadcast(tot))
+      .select(col("tok"), roundn(
+        log((col("cnt_t") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+          log((col("cnt_r") + 1).cast("double") / (col("nr") + col("v")).cast("double")),
+        6).as("logratio"))
+    tf.join(lp, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_tok"),
+        graft.functions.VectorMath.orderedSum(
+          col("tok"), col("tf") * col("logratio")).as("sum_lr_raw"))
+      .withColumn("dsir_weight", roundn(col("sum_lr_raw") / col("n_tok"), 6))
+      .select(col("doc_id"), col("n_tok"), col("dsir_weight"))
+  }
+
   /** First `rounds` BPE merges (Sennrich et al., ACL'16) trained
     * relationally: word frequencies from one tokenize scan, symbols
     * start as characters, and each round (a) counts adjacent symbol

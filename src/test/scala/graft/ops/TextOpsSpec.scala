@@ -211,6 +211,18 @@ class TextOpsSpec extends SparkSpec {
     assert(kept === Set(0L))
   }
 
+  test("dsirWeights: target-like documents score positive, off-domain negative") {
+    val raw = Seq((0L, "x x y"), (1L, "z z w")).toDF("doc_id", "text")
+    val target = Seq((9L, "x y")).toDF("doc_id", "text")
+    val w = TextOps.dsirWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("dsir_weight")).toMap
+    // shared vocab {x,y,z,w}: doc 0's tokens all appear in the target
+    // (weight ≈ +0.24), doc 1's never do (≈ −0.45)
+    assert(w(0L) > 0.0, s"in-domain doc got ${w(0L)}")
+    assert(w(1L) < 0.0, s"off-domain doc got ${w(1L)}")
+    assert(w(0L) > w(1L))
+  }
+
   test("bpeMerges: the hand-computed low/lower merge sequence") {
     val docs = Seq((0L, "low lower low")).toDF("doc_id", "text")
     val got = TextOps.bpeMerges(docs, rounds = 4).orderBy("merge_round")

@@ -3,7 +3,7 @@
 the engine itself is pure Scala/Spark; this mirrors how the driver
 compares graft.Verify output against DuckDB on the same parquet).
 
-Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir>
+Usage: python3 tools/local_verify.py <sfDir> <verifyOutDir> [name ...]
 """
 import json
 import sys
@@ -21,12 +21,14 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
         try:
@@ -65,4 +67,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], set(sys.argv[3:]) or None))
