@@ -210,6 +210,9 @@ object SparkEntry {
     // tokenizer training: first 6 BPE merges by frequency-weighted
     // pair counting + greedy string-space merge (Sennrich ACL'16)
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
+    // the trained tokenizer APPLIED: encoded-corpus vocabulary census,
+    // top-20 symbols by frequency after the 6 merges
+    "bpe_encode" -> ((s, dir) => TextOps.bpeEncodedVocab(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -724,6 +727,21 @@ object SparkEntry {
          |${(1 to 6).map(duckBpeRound).mkString(",\n")}
          |SELECT CAST(merge_round AS BIGINT) AS merge_round, lhs, rhs, pair_count
          |FROM (${(1 to 6).map(r => s"SELECT * FROM t$r").mkString(" UNION ALL ")})""".stripMargin,
+    // same six training rounds, then the final word table's symbol
+    // histogram ranked (count desc, symbol) — top 20
+    "bpe_encode" ->
+      s"""WITH $duckToks,
+         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                   i -> tok[i:i]), '  ') AS syms
+         |  FROM toks GROUP BY tok),
+         |${(1 to 6).map(duckBpeRound).mkString(",\n")},
+         |hist AS (SELECT symbol, CAST(sum(wc) AS BIGINT) AS n_occ FROM (
+         |    SELECT wc, unnest(string_split(syms, '  ')) AS symbol FROM w7)
+         |  GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol) AS BIGINT)
+         |    AS rank, symbol, n_occ
+         |FROM hist ORDER BY n_occ DESC, symbol LIMIT 20""".stripMargin,
     // 8-token lead chain mirrors wordShingles(w=8); interval union
     // via the same lag-gap window; all-integer until the final ratio
     "dedup_substrings" ->

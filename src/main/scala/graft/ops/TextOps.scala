@@ -449,6 +449,30 @@ object TextOps {
   def bpeMerges(docs: DataFrame, rounds: Int = 6): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeLoop(docs, rounds)._1.toDF("merge_round", "lhs", "rhs", "pair_count")
+  }
+
+  /** The trained tokenizer APPLIED: after `rounds` BPE merges the
+    * word table's symbol sequences ARE the encoded corpus; this emits
+    * the top-`k` vocabulary census (symbol, occurrences) — the
+    * token-frequency table a sampling-temperature or vocab-size
+    * decision reads. Encoding is map-only string work over the
+    * vocab-sized word table; the census is one symbol-keyed agg and
+    * a k-row TakeOrdered. */
+  def bpeEncodedVocab(docs: DataFrame, rounds: Int = 6, k: Int = 20): DataFrame = {
+    val words = bpeLoop(docs, rounds)._2
+    val top = words
+      .select(col("wc"), explode(split(col("syms"), "  ")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wc")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("symbol")).limit(k)
+    // rank window runs over the k surviving rows only
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("symbol"))).cast("long"))
+      .select(col("rank"), col("symbol"), col("n_occ"))
+  }
+
+  private def bpeLoop(docs: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     var words = EmbedOps.tokenize(docs)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       .select(col("wc"), concat_ws("  ",
@@ -482,6 +506,6 @@ object TextOps {
           s2.substr(lit(2), length(s2) - 2).as("syms"))
       }
     }
-    merges.toSeq.toDF("merge_round", "lhs", "rhs", "pair_count")
+    (merges.toSeq, words)
   }
 }
