@@ -162,6 +162,13 @@ object SparkEntry {
       VectorOps.similarityJoinIvf(emb, threshold = 0.3,
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
+    // SemDeDup selection: cluster-scoped near-dup pairs → keep/prune
+    // verdict per vector (smaller-id representative survives)
+    "semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.semanticDedupKeep(emb, threshold = 0.3,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
 
     // ---- P2: keywords + prompt (SURVEY.md §2.5, §3.3) ----
     "keyword_topn" -> ((s, dir) => KeywordOps.keywordTopN(Tables.documents(s, dir))),
@@ -1561,6 +1568,27 @@ object SparkEntry {
          |JOIN embeddings ea ON ea.vec_id = p.a_id
          |JOIN embeddings eb ON eb.vec_id = p.b_id
          |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 >= 0.3""".stripMargin,
+    // same pair chain as similarity_join, folded to the per-vector
+    // keep/prune verdict (min smaller similar id = representative)
+    "semantic_dedup" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cpairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b USING (c_label)
+         |  WHERE a.vec_id < b.vec_id),
+         |sim AS (SELECT a_id, b_id, cos_sim FROM (
+         |    SELECT p.a_id, p.b_id,
+         |      round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 AS cos_sim
+         |    FROM cpairs p
+         |    JOIN embeddings ea ON ea.vec_id = p.a_id
+         |    JOIN embeddings eb ON eb.vec_id = p.b_id)
+         |  WHERE cos_sim >= 0.3),
+         |pruned AS (SELECT b_id AS vec_id, CAST(min(a_id) AS BIGINT) AS pruned_by,
+         |    max(cos_sim) AS max_cos
+         |  FROM sim GROUP BY 1)
+         |SELECT e.vec_id, pruned_by, max_cos, (pruned_by IS NULL) AS keep
+         |FROM embeddings e LEFT JOIN pruned USING (vec_id)""".stripMargin,
     "keyword_topn" ->
       s"$duckTopn\nSELECT doc_id, rank, keyword, tf FROM topn",
     "distinct_keywords" ->

@@ -123,6 +123,28 @@ object VectorOps {
       .select(col("a_id"), col("b_id"), col("cos_sim"))
   }
 
+  /** SemDeDup-style selection (Abbas et al., arXiv 2303.09540):
+    * semantic dedup PRUNES every vector that has a
+    * sufficiently-similar neighbor with a smaller id, keeping one
+    * representative per near-duplicate neighborhood. Candidates come
+    * from the same cluster-scoped pair join as [[similarityJoinIvf]]
+    * (quantizer cells bound the quadratic kernel; multi-assignment
+    * covers cell-boundary straddlers), so the decision column is the
+    * keep/prune verdict a curation pipeline filters on. Smaller-id
+    * representative is SemDeDup's deterministic tie-break; chains
+    * don't matter — any vector with a smaller similar neighbor is
+    * pruned whether or not that neighbor survives. */
+  def semanticDedupKeep(embeddings: DataFrame, threshold: Double = 0.3,
+                        centroids: Option[DataFrame] = None): DataFrame = {
+    val pruned = similarityJoinIvf(embeddings, threshold, centroids = centroids)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("pruned_by"), max(col("cos_sim")).as("max_cos"))
+    embeddings.select(col("vec_id"))
+      .join(pruned, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("pruned_by"), col("max_cos"),
+        col("pruned_by").isNull.as("keep"))
+  }
+
   /** Brute-force cosine top-k for a *set* of query vectors: per-query
     * ranked neighbors. The scale path replaces the cross join with an
     * LSH/IVF candidate join; this exact kernel then runs per bucket.

@@ -88,4 +88,21 @@ class VectorOpsSpec extends SparkSpec {
     val sims = r.map(_.getAs[Double]("cos_sim"))
     assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
+
+  test("semanticDedupKeep prunes the larger id of a near-dup pair, keeps the rest") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.01f, 0f, 0f), 0), // near-dup of 0 → pruned by 0
+      (2L, Seq(0f, 1f, 0f, 0f), 0)     // orthogonal → kept
+    ).toDF("vec_id", "embedding", "label")
+    // one zero centroid: every vector lands in the same cell, so the
+    // verdict isolates the prune rule from quantizer behavior
+    val cent = (0 until 4).map(d => (0L, d.toLong, 0.0)).toDF("c_label", "dim", "cv")
+    val r = VectorOps.semanticDedupKeep(vecs, threshold = 0.3, centroids = Some(cent))
+      .collect().map(x => x.getLong(0) ->
+        (x.getAs[Boolean]("keep"), Option(x.get(1)).map(_.asInstanceOf[Long]))).toMap
+    assert(r(0L) === ((true, None)))
+    assert(r(1L) === ((false, Some(0L))))
+    assert(r(2L) === ((true, None)))
+  }
 }
