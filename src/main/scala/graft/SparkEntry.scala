@@ -111,6 +111,16 @@ object SparkEntry {
           .option("header", "true").option("escape", "\"").option("multiLine", "true")
           .csv(tmp))
     }),
+    // ORC twin of the parquet/json/csv round-trips — the remaining
+    // built-in columnar format; byte-exact through writer+reader
+    "orc_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orcrt_" +
+        s.sparkContext.applicationId
+      docs.write.mode("overwrite").orc(tmp)
+      cleanupOnExit(tmp)
+      CorpusOps.contentHash(s.read.schema(docs.schema).orc(tmp))
+    }),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
@@ -226,6 +236,18 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextOps.dsirWeights(docs, docs.filter(col("lang") === "en"))
     }),
+    // DSIR's selection half: exact top-quarter by importance weight
+    // via the weight-histogram threshold (no global rank/sort)
+    "dsir_select" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.dsirSelect(docs, docs.filter(col("lang") === "en"))
+    }),
+    // learned quality gate: 8 full-batch GD steps of logistic
+    // regression on curation features, fixed-point integer gradient
+    // sums (exact, order-free — the scale-safe determinism path; see
+    // ClassifierOps scaladoc), then score + threshold every document
+    "quality_classifier" -> ((s, dir) =>
+      ClassifierOps.qualityClassifier(Tables.documents(s, dir))),
     // deterministic per-language keep rates (en 20%, es 50%, rest
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
@@ -353,6 +375,11 @@ object SparkEntry {
       RelationalOps.revenueBySegment(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
+    // interval × interval overlap join: heavy (≥3-event) sessions vs
+    // every other user's sessions — hour-bin equi-join candidates,
+    // exact overlap verify; no theta-join cross product
+    "sessions_overlap" -> ((s, dir) =>
+      RelationalOps.sessionsOverlap(Tables.events(s, dir))),
     // SCD2 history: per-user state change points with [valid_from,
     // valid_to) validity and is_current on the open interval
     "scd2_user_state" -> ((s, dir) => RelationalOps.scd2UserState(Tables.events(s, dir))),
@@ -438,6 +465,33 @@ object SparkEntry {
     * greedy left-to-right merge in the double-space string encoding →
     * `w${r+1}`. String slicing strips the sentinel flank spaces
     * (1-based inclusive on both engines). */
+  /** 6dp-rounded sigmoid of the step-`t` weights applied to feature
+    * row alias `f` — shared by every GD step and the final scoring
+    * projection of the quality_classifier oracle. */
+  private def duckSigmoid(w: String): String =
+    s"round(1 / (1 + exp(-round($w.b + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3, 6))), 6)"
+
+  /** One full-batch GD step of the quality_classifier oracle:
+    * fixed-point integer error per document (HUGEINT-exact sums, the
+    * twin of the engine's decimal(38,0) gradient aggregation), then
+    * the 6dp-rounded weight update at lr=4. */
+  private def duckLrStep(t: Int): String =
+    s"""lp$t AS (SELECT f.doc_id,
+       |    CAST(round(${duckSigmoid("w")} * 1000000.0) AS BIGINT)
+       |      - f.y * 1000000 AS err,
+       |    f.ix1, f.ix2, f.ix3
+       |  FROM cfi f, lw${t - 1} w),
+       |lw$t AS (SELECT
+       |    round(w.b - 4.0 * (CAST(sum(p.err) AS DOUBLE)
+       |      / (1000000.0 * count(*))), 6) + 0 AS b,
+       |    round(w.w1 - 4.0 * (CAST(sum(p.err * p.ix1) AS DOUBLE)
+       |      / (1000000000000.0 * count(*))), 6) + 0 AS w1,
+       |    round(w.w2 - 4.0 * (CAST(sum(p.err * p.ix2) AS DOUBLE)
+       |      / (1000000000000.0 * count(*))), 6) + 0 AS w2,
+       |    round(w.w3 - 4.0 * (CAST(sum(p.err * p.ix3) AS DOUBLE)
+       |      / (1000000000000.0 * count(*))), 6) + 0 AS w3
+       |  FROM lp$t p, lw${t - 1} w GROUP BY w.b, w.w1, w.w2, w.w3)""".stripMargin
+
   private def duckBpeRound(r: Int): String =
     s"""p$r AS (SELECT a[u.i] AS lhs, a[u.i + 1] AS rhs,
        |    CAST(sum(wc) AS BIGINT) AS pair_count
@@ -466,6 +520,31 @@ object SparkEntry {
       |        FROM documents) d,
       |       unnest(range(1, len(parts)+1)) u(i)
       |  WHERE trim(parts[u.i]) <> '')""".stripMargin
+
+  /** DuckDB twin of TextOps.dsirWeights as CTEs ending in `dw`
+    * (doc_id, n_tok, dsir_weight) — shared by the dsir_weights and
+    * dsir_select oracles. Depends on `toks` (duckToks). */
+  private val duckDsirCtes =
+    """tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |rv AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
+      |tc AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS cnt_t_all
+      |       FROM toks t JOIN documents d USING (doc_id)
+      |       WHERE d.lang = 'en' GROUP BY 1),
+      |vocab AS (SELECT rv.tok, cnt_r, coalesce(cnt_t_all, 0) AS cnt_t
+      |          FROM rv LEFT JOIN tc USING (tok)),
+      |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS nr,
+      |               CAST(sum(cnt_t) AS BIGINT) AS nt,
+      |               CAST(count(*) AS BIGINT) AS v FROM vocab),
+      |lp AS (SELECT tok,
+      |    round(ln((cnt_t + 1) / CAST(nt + v AS DOUBLE))
+      |        - ln((cnt_r + 1) / CAST(nr + v AS DOUBLE)), 6) + 0 AS logratio
+      |  FROM vocab, tot),
+      |agg AS (
+      |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+      |    sum(t.tf * lp.logratio ORDER BY t.tok) AS sum_lr_raw
+      |  FROM tf t JOIN lp USING (tok) GROUP BY 1),
+      |dw AS (SELECT doc_id, n_tok, round(sum_lr_raw / n_tok, 6) + 0 AS dsir_weight
+      |       FROM agg)""".stripMargin
 
   /** DuckDB twin of KeywordOps.keepKeyword (F4 stopword filter):
     * no constituent token in the English list, no Korean particle
@@ -886,6 +965,32 @@ object SparkEntry {
       s"""WITH $duckToks,
          |$duckQualityCtes
          |SELECT doc_id, n_tok, stop_ratio, distinct_ratio, quality FROM qual""".stripMargin,
+    // the oracle RETRAINS the classifier from scratch (8 unrolled GD
+    // steps as CTE pairs — weights are never taken from the engine):
+    // HUGEINT gradient sums twin the engine's decimal(38,0) ones
+    "quality_classifier" ->
+      s"""WITH $duckToks,
+         |cq AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+         |         sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
+         |             THEN 1 ELSE 0 END) AS n_stop
+         |       FROM toks GROUP BY 1),
+         |cf AS (SELECT cq.doc_id,
+         |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+         |    round(n_stop / n_tok, 6) + 0 AS x1,
+         |    round(n_distinct / n_tok, 6) + 0 AS x2,
+         |    round(least(n_tok, 100) / 100.0, 6) + 0 AS x3
+         |  FROM cq JOIN documents d ON cq.doc_id = d.doc_id),
+         |cfi AS (SELECT doc_id, y, x1, x2, x3,
+         |    CAST(round(x1 * 1000000.0) AS BIGINT) AS ix1,
+         |    CAST(round(x2 * 1000000.0) AS BIGINT) AS ix2,
+         |    CAST(round(x3 * 1000000.0) AS BIGINT) AS ix3
+         |  FROM cf),
+         |lw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+         |${(1 to 8).map(duckLrStep).mkString(",\n")}
+         |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+         |  ${duckSigmoid("w")} + 0 AS score,
+         |  CAST(round(${duckSigmoid("w")} * 1000000.0) AS BIGINT) >= 500000 AS predicted
+         |FROM cfi f, lw8 w""".stripMargin,
     "lang_id" ->
       s"""WITH $duckToks,
          |$duckLangCtes
@@ -912,26 +1017,19 @@ object SparkEntry {
     // fold, one rounding after the mean division (lm_logprob discipline)
     "dsir_weights" ->
       s"""WITH $duckToks,
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |rv AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY 1),
-         |tc AS (SELECT t.tok, CAST(count(*) AS BIGINT) AS cnt_t_all
-         |       FROM toks t JOIN documents d USING (doc_id)
-         |       WHERE d.lang = 'en' GROUP BY 1),
-         |vocab AS (SELECT rv.tok, cnt_r, coalesce(cnt_t_all, 0) AS cnt_t
-         |          FROM rv LEFT JOIN tc USING (tok)),
-         |tot AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS nr,
-         |               CAST(sum(cnt_t) AS BIGINT) AS nt,
-         |               CAST(count(*) AS BIGINT) AS v FROM vocab),
-         |lp AS (SELECT tok,
-         |    round(ln((cnt_t + 1) / CAST(nt + v AS DOUBLE))
-         |        - ln((cnt_r + 1) / CAST(nr + v AS DOUBLE)), 6) + 0 AS logratio
-         |  FROM vocab, tot),
-         |agg AS (
-         |  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
-         |    sum(t.tf * lp.logratio ORDER BY t.tok) AS sum_lr_raw
-         |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
-         |SELECT doc_id, n_tok, round(sum_lr_raw / n_tok, 6) + 0 AS dsir_weight
-         |FROM agg""".stripMargin,
+         |$duckDsirCtes
+         |SELECT doc_id, n_tok, dsir_weight FROM dw""".stripMargin,
+    // global (weight DESC, doc_id) top-ceil(n/4) — semantically what
+    // the engine's histogram-threshold selection computes without the
+    // global sort
+    "dsir_select" ->
+      s"""WITH $duckToks,
+         |$duckDsirCtes,
+         |kk AS (SELECT (count(*) + 3) // 4 AS k FROM dw),
+         |r AS (SELECT doc_id, n_tok, dsir_weight,
+         |        row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
+         |      FROM dw)
+         |SELECT doc_id, n_tok, dsir_weight FROM r, kk WHERE rn <= kk.k""".stripMargin,
     // interpolated bigram LM: 0.7/0.3 are DECIMAL literals DuckDB
     // folds exactly; Spark mirrors via BigDecimal-derived doubles
     "lm_bigram" ->
@@ -1232,6 +1330,31 @@ object SparkEntry {
         |        lag(epoch_ns(ts), 1) OVER (PARTITION BY user_id
         |          ORDER BY epoch_ns(ts), event_id) AS prev_ts
         |      FROM events)""".stripMargin,
+    // plain theta join twin of the hour-bin candidate reduction —
+    // same sessions CTE as sessionize, folded to intervals; the
+    // engine's binned equi-join must produce EXACTLY the pairs the
+    // naive overlap predicate does
+    "sessions_overlap" ->
+      """WITH s0 AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |        lag(epoch_us(ts), 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |      FROM events),
+        |s1 AS (SELECT user_id, ts_us,
+        |    sum(CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |             THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM s0),
+        |sess AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |    min(ts_us) AS start_ts, max(ts_us) AS end_ts, count(*) AS n
+        |  FROM s1 GROUP BY 1, 2)
+        |SELECT a.user_id AS a_user, a.session_idx AS a_session,
+        |       b.user_id AS b_user, b.session_idx AS b_session,
+        |       least(a.end_ts, b.end_ts) - greatest(a.start_ts, b.start_ts) AS overlap_us
+        |FROM sess a JOIN sess b
+        |  ON a.user_id <> b.user_id
+        | AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
+        |WHERE a.n >= 3""".stripMargin,
     // oracle twin of the union-tag as-of sweep, with identical tie
     // rules (right-before-left at equal ts; largest view_event_id
     // wins among same-ts views) — deterministic by construction, so
@@ -1325,6 +1448,8 @@ object SparkEntry {
     "json_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "csv_roundtrip" ->
+      "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    "orc_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     // plain-avg twin of VectorOps.meanPoolByLabel — raw-float inputs
     // sit off the 6dp rounding grid, so engine-order differences in

@@ -1,0 +1,150 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorMath.roundn
+
+/** A fasttext-style quality classifier trained INSIDE the engine —
+  * full-batch gradient-descent logistic regression over per-document
+  * curation features, the "model-based quality filtering" stage of a
+  * pretraining pipeline (the heuristic gates in [[TextOps]] feed it;
+  * this learns their weighting from labels instead of hardcoding it).
+  * Reference scope: the reference has no trained filter at all — its
+  * only quality gate is the blank-paragraph drop (app.py:35); this is
+  * the brief's "quality scoring" capability taken to its learned form.
+  *
+  * == Determinism at scale: fixed-point gradients ==
+  * The usual blocker for bit-reproducible distributed training is the
+  * GRADIENT SUM: a float sum's low bits depend on partition merge
+  * order. The engine's [[graft.functions.VectorMath.orderedSum]] fix
+  * (collect + ordered fold) is bounded-group-only — a gradient over
+  * the whole corpus is exactly the data-sized group it must never
+  * touch. Here the sum is made order-FREE instead of order-fixed:
+  * features and predictions are 6dp-rounded doubles, so scaling by
+  * 1e6 makes them exact integers, the per-document gradient terms
+  * (error × feature) are exact integer products ≤ 1e12, and the
+  * corpus-wide sum runs as decimal(38,0) — EXACT, associative,
+  * partial-aggregable. Any partition order yields the same bits, the
+  * plan is an ordinary codegen'd partial→final hash agg, and the
+  * DuckDB twin (HUGEINT sums) lands on identical integers. Per GD
+  * step the update divides by (scale · n) — both exact integers — and
+  * rounds once to 6dp (one-rounding discipline of
+  * [[TextOps.lmLogprob]]: round after the division, never before).
+  *
+  * Driver state per step is the weight vector (4 doubles) — the same
+  * bounded-localize pattern as [[VectorOps.kmeansCells]]' k centroids
+  * and [[TextOps.bpeMerges]]' argmax pair. The feature table (one row
+  * per document, 5 narrow columns) is localCheckpointed so the
+  * tokenize scan runs once, not once per step — at 100 TB persist the
+  * projected features before iterating, the standard iterative-ML
+  * practice; each step is then one map-side partial agg to 4 numbers.
+  *
+  * Sigmoid parity: exp() on both engines is correctly-rounded to
+  * ≤ 1 ulp, and p rounds to 6dp before integerization — the same
+  * cross-engine contract the ln-based scorers rely on (BM25,
+  * lm_logprob); a disagreement needs p within ~1e-10 of a rounding
+  * boundary, the accepted residual risk of every rounded-float twin.
+  */
+object ClassifierOps {
+
+  private val Scale = 1000000L // 6dp fixed-point
+
+  /** Per-document features + label: y = (n_chars ≥ minChars — see
+    * [[qualityClassifier]] on why the DEMO label is a length band),
+    * x1 = stopword ratio, x2 = distinct-token ratio, x3 = saturated
+    * length least(n_tok,100)/100 — each a 6dp-rounded exact integer
+    * ratio, plus its fixed-point integer twin ix*. One tokenize scan,
+    * one doc_id-keyed agg, one broadcast-able join back to the
+    * doc-level label column. */
+  def features(docs: DataFrame, minChars: Long = 300): DataFrame = {
+    val stats = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_distinct"),
+        sum(when(col("tok").isin(TextOps.EnStopwords: _*), 1L).otherwise(0L)).as("n_stop"))
+    val f = stats
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .select(
+        col("doc_id"),
+        when(col("n_chars") >= minChars, 1L).otherwise(0L).as("y"),
+        roundn(col("n_stop") / col("n_tok"), 6).as("x1"),
+        roundn(col("n_distinct") / col("n_tok"), 6).as("x2"),
+        roundn(least(col("n_tok"), lit(100L)) / 100.0, 6).as("x3"))
+    def fp(c: Column): Column = round(c * Scale.toDouble, 0).cast("long")
+    f.select(col("doc_id"), col("y"), col("x1"), col("x2"), col("x3"),
+      fp(col("x1")).as("ix1"), fp(col("x2")).as("ix2"), fp(col("x3")).as("ix3"))
+  }
+
+  /** One GD step's margin/probability columns for weights `w` =
+    * (bias, w1, w2, w3). z and p are 6dp-rounded so ip is an exact
+    * integer on both engines. */
+  private def sigmoid(w: Array[Double]): Column = {
+    val z = roundn(
+      lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") + lit(w(3)) * col("x3"), 6)
+    roundn(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  /** Mirror of DuckDB round(x, 6): half away from zero. */
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Train `steps` full-batch GD steps from zero weights; returns the
+    * weight trajectory ((step, bias, w1, w2, w3) per step — step 0 is
+    * the init). lr is kept to small powers of two so the update's
+    * multiply is exact. */
+  def train(feat: DataFrame, steps: Int = 8, lr: Double = 4.0): Seq[(Int, Array[Double])] = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    val traj = scala.collection.mutable.ArrayBuffer((0, w))
+    for (t <- 1 to steps) {
+      val errCol = round(sigmoid(w) * Scale.toDouble, 0).cast("long") - col("y") * Scale
+      val row = feat
+        .select(errCol.as("err"), col("ix1"), col("ix2"), col("ix3"))
+        .select(
+          count(lit(1)).as("n"),
+          sum(col("err").cast(dec)).as("gb"),
+          sum((col("err") * col("ix1")).cast(dec)).as("g1"),
+          sum((col("err") * col("ix2")).cast(dec)).as("g2"),
+          sum((col("err") * col("ix3")).cast(dec)).as("g3"))
+        .collect()(0)
+      val n = row.getLong(0)
+      def upd(j: Int, g: java.math.BigDecimal, scale: Double): Double =
+        round6(w(j) - lr * (g.doubleValue / (scale * n)))
+      w = Array(
+        upd(0, row.getDecimal(1), Scale.toDouble),
+        upd(1, row.getDecimal(2), Scale.toDouble * Scale),
+        upd(2, row.getDecimal(3), Scale.toDouble * Scale),
+        upd(3, row.getDecimal(4), Scale.toDouble * Scale))
+      traj += ((t, w))
+    }
+    traj.toSeq
+  }
+
+  /** The declared query: train on the corpus, score every document
+    * with the final weights — (doc_id, y, score, predicted). The
+    * feature table is checkpointed once and feeds both the 8 training
+    * aggs and the final scoring projection.
+    *
+    * On the demo LABEL: the trainer is label-agnostic (production
+    * labels come from an expensive teacher — an LLM judge or KenLM
+    * gate scoring a sample, the FineWeb/DCLM distillation shape).
+    * The driver's synthetic corpus carries no organic quality signal
+    * (its lang/source columns are independent of the text, and its
+    * unigram LM scores concentrate within ±0.003 — measured, not
+    * assumed), so the declared query trains against the one label the
+    * data makes separable, the n_chars ≥ 300 length band: the
+    * optimizer must actually LEARN it through the token-derived
+    * features (≈97% accuracy from a 50/50 base rate — asserted in
+    * ClassifierOpsSpec), which is the receipt that the GD machinery
+    * optimizes rather than memorizes. */
+  def qualityClassifier(docs: DataFrame, minChars: Long = 300,
+                        steps: Int = 8, lr: Double = 4.0): DataFrame = {
+    val feat = features(docs, minChars).localCheckpoint(true)
+    val w = train(feat, steps, lr).last._2
+    feat.select(
+      col("doc_id"), col("y"),
+      sigmoid(w).as("score"),
+      (round(sigmoid(w) * Scale.toDouble, 0).cast("long") >= Scale / 2).as("predicted"))
+  }
+}

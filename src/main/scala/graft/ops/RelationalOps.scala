@@ -329,6 +329,81 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** [[sessionize]] folded to one row per session: user_id,
+    * session_idx, [start_ts, end_ts] (Long nanos — exact interval
+    * arithmetic, no float time), n_events. Same single user_id
+    * shuffle; the window's partitioning carries into the group-by, so
+    * the agg adds no second exchange. */
+  def sessionIntervals(events: DataFrame,
+                       gapNanos: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Interval-OVERLAP join — the non-equi join family beyond as-of
+    * (point→latest-point) and band (point↔point within eps): interval
+    * × interval, `a.start ≤ b.end AND b.start ≤ a.end`. Probe side =
+    * "heavy" sessions (≥ `minEvents` events — the incident/campaign
+    * windows of a monitoring query); build side = every other user's
+    * sessions; output = concurrent session pairs with their exact
+    * overlap (0 for touching or instant-inside intervals).
+    *
+    * A theta join with that predicate is a nested-loop cross product —
+    * the plan that dies first at scale. Instead both interval sets
+    * explode into the fixed-width time bins they COVER (bin = hour;
+    * an interval overlapping another must share at least one covered
+    * bin with it, since overlap is a nonempty time range and bins
+    * tile the axis), candidates come from one bin-keyed EQUI-join,
+    * are deduped (a pair can co-reside in several bins), and the
+    * exact predicate runs on candidates only. Same reduction as
+    * [[valueBandJoin]] one dimension up: value-eps bins → time bins,
+    * point pairs → interval pairs.
+    *
+    * Scale notes: bins-per-interval = duration/binWidth + 1 — bounded
+    * because inactivity-gap sessions are duration-bounded in
+    * practice; for open-ended intervals pick binWidth ≥ the p99
+    * duration so the explode stays O(1) per row (the standard
+    * tradeoff: wider bins, fewer exploded rows, more candidates).
+    * Shuffle key is the time bin — hot bins (flash-crowd hours) are
+    * ordinary skewed-equi-join work for AQE/[[graft.ops.SkewOps]].
+    *
+    * Time axis is µs (oracle timestamp precision — the
+    * [[purchaseAttribution]]/[[scd2UserState]] convention): overlap
+    * LENGTHS and touch-boundary membership must agree exactly, so
+    * both engines truncate to the precision they share. */
+  def sessionsOverlap(events: DataFrame, minEvents: Long = 3,
+                      binMicros: Long = 3600L * 1000 * 1000): DataFrame = {
+    val sess = sessionIntervals(
+      events.withColumn("ts", expr("ts div 1000")),
+      gapNanos = 1800L * 1000 * 1000) // 30 min in µs on this axis
+    def binned(df: DataFrame, prefix: String): DataFrame =
+      df.select(
+        col("user_id").as(s"${prefix}_user"), col("session_idx").as(s"${prefix}_session"),
+        col("start_ts").as(s"${prefix}_start"), col("end_ts").as(s"${prefix}_end"),
+        explode(sequence(expr(s"start_ts div ${binMicros}L"),
+          expr(s"end_ts div ${binMicros}L"))).as("bin"))
+    val probe = binned(sess.filter(col("n_events") >= minEvents), "a")
+    val build = binned(sess, "b")
+    probe.join(build, "bin")
+      .filter(col("a_user") =!= col("b_user"))
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        col("a_start"), col("a_end"), col("b_start"), col("b_end"))
+      .distinct() // pairs sharing several bins collapse BEFORE the verify
+      .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select(col("a_user"), col("a_session"), col("b_user"), col("b_session"),
+        (least(col("a_end"), col("b_end"))
+          - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
+  }
+
   /** Calendar gap filling — the densification step time-series
     * features need before windowed models (a missing hour must be an
     * explicit zero row, not an absent one): per event type, one row

@@ -424,6 +424,48 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("dsir_weight"))
   }
 
+  /** The SELECTION half of DSIR: keep the top `keepNum/keepDen`
+    * fraction of documents by [[dsirWeights]] importance weight —
+    * exactly, deterministically, and WITHOUT a global rank. A
+    * `row_number()` over the whole corpus is a single-partition sort
+    * (the first thing that dies at scale); instead the 6dp-rounded
+    * weights are integerized to a bounded value grid and selection
+    * goes through a WEIGHT HISTOGRAM:
+    *
+    *   1. histogram: one keyed agg to |distinct weights| rows —
+    *      grid-bounded, corpus-size-independent;
+    *   2. cumulative counts from the top over that tiny table find
+    *      the threshold weight t and how many ties at t still fit;
+    *   3. keep = map-side `weight > t` filter, plus a doc_id-ordered
+    *      rank over ONLY the t-tied rows (one bounded group).
+    *
+    * Ties at t break by doc_id ascending — equivalent to a global
+    * (weight DESC, doc_id ASC) top-k, which is what the oracle
+    * computes. k = ceil(n·frac) in exact integer arithmetic. */
+  def dsirSelect(raw: DataFrame, target: DataFrame,
+                 keepNum: Long = 1, keepDen: Long = 4): DataFrame = {
+    val w = dsirWeights(raw, target)
+      .withColumn("iw", round(col("dsir_weight") * 1000000.0, 0).cast("long"))
+    val hist = w.groupBy(col("iw")).agg(count(lit(1)).as("cnt"))
+    val k = hist.agg(sum(col("cnt")).as("n"))
+      .select(expr(s"(n * $keepNum + $keepDen - 1) div ${keepDen}L").as("k")) // ceil, exact
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("iw").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(k))
+    val thr = cum
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("iw").as("t"), (col("k") - (col("cum") - col("cnt"))).as("keep_at_t"))
+    val above = w.crossJoin(broadcast(thr)).filter(col("iw") > col("t"))
+    val atT = w.crossJoin(broadcast(thr)).filter(col("iw") === col("t"))
+      .withColumn("tie_rank", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("doc_id"))))
+      .filter(col("tie_rank") <= col("keep_at_t"))
+    above.select(col("doc_id"), col("n_tok"), col("dsir_weight"))
+      .unionByName(atT.select(col("doc_id"), col("n_tok"), col("dsir_weight")))
+  }
+
   /** First `rounds` BPE merges (Sennrich et al., ACL'16) trained
     * relationally: word frequencies from one tokenize scan, symbols
     * start as characters, and each round (a) counts adjacent symbol

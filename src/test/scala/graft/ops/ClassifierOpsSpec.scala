@@ -1,0 +1,51 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class ClassifierOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Separable-by-construction corpus: short low-diversity docs below
+    * the n_chars band, long high-diversity docs above it. */
+  private def corpus: DataFrame = {
+    val rows = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "the a of " + s"tok$i tok$i", 120L)
+      else {
+        val words = (0 until 60).map(j => s"w${i}_$j").mkString(" ")
+        (i.toLong, words, 420L)
+      }
+    }
+    rows.toDF("doc_id", "text", "n_chars")
+  }
+
+  test("features: 6dp doubles and their fixed-point twins agree") {
+    val f = ClassifierOps.features(corpus).collect()
+    assert(f.length === 40)
+    f.foreach { r =>
+      Seq(("x1", "ix1"), ("x2", "ix2"), ("x3", "ix3")).foreach { case (x, ix) =>
+        assert(math.round(r.getAs[Double](x) * 1e6) === r.getAs[Long](ix))
+      }
+      assert(Set(0L, 1L).contains(r.getAs[Long]("y")))
+    }
+  }
+
+  test("train: deterministic across invocations, weights move") {
+    val feat = ClassifierOps.features(corpus).localCheckpoint(true)
+    val w1 = ClassifierOps.train(feat, steps = 4).last._2
+    val w2 = ClassifierOps.train(feat, steps = 4).last._2
+    assert(w1.toSeq === w2.toSeq) // exact fixed-point gradients → bit-equal
+    assert(w1.exists(_ != 0.0))
+  }
+
+  test("qualityClassifier learns the separable band (accuracy ≥ 0.9)") {
+    val out = ClassifierOps.qualityClassifier(corpus).collect()
+    val acc = out.count(r =>
+      r.getAs[Boolean]("predicted") === (r.getAs[Long]("y") == 1L)).toDouble / out.length
+    assert(acc >= 0.9, s"accuracy $acc")
+    // score/threshold consistency
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("predicted") === (r.getAs[Double]("score") >= 0.5))
+    }
+  }
+}

@@ -45,6 +45,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq(1L, 1L, 2L, 1L))
   }
 
+  test("sessionsOverlap: binned equi-join candidates reproduce the naive theta join") {
+    val m = 60L * 1000 * 1000 * 1000 // one minute in nanos
+    // user 1: one 3-event session spanning an hour boundary; users
+    // 2–4: sessions overlapping it, touching it exactly, and far away
+    val events = Seq(
+      (1L, 1L, 40 * m), (2L, 1L, 55 * m), (3L, 1L, 70 * m), // heavy: [40, 70]
+      (4L, 2L, 50 * m), (5L, 2L, 60 * m),                   // overlaps: [50, 60]
+      (6L, 3L, 70 * m),                                     // touches at 70 → overlap 0
+      (7L, 4L, 300 * m), (8L, 4L, 310 * m)                  // disjoint
+    ).toDF("event_id", "user_id", "ts")
+    val r = RelationalOps.sessionsOverlap(events)
+      .collect()
+      .map(x => (x.getAs[Long]("a_user"), x.getAs[Long]("b_user"),
+        x.getAs[Long]("overlap_us"))).toSet
+    assert(r === Set((1L, 2L, 10 * m / 1000), (1L, 3L, 0L)))
+    // naive twin over the same sessions (µs axis) — must agree exactly
+    val sess = RelationalOps.sessionIntervals(
+      events.withColumn("ts", expr("ts div 1000")), gapNanos = 1800L * 1000 * 1000)
+    val a = sess.filter($"n_events" >= 3)
+      .select($"user_id".as("au"), $"start_ts".as("as"), $"end_ts".as("ae"))
+    val b = sess.select($"user_id".as("bu"), $"start_ts".as("bs"), $"end_ts".as("be"))
+    val naive = a.crossJoin(b)
+      .filter($"au" =!= $"bu" && $"as" <= $"be" && $"bs" <= $"ae")
+      .select($"au", $"bu", (least($"ae", $"be") - greatest($"as", $"bs")).as("ov"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r === naive)
+  }
+
   test("rollupPricing emits leaf, subtotal, and grand-total rows") {
     val li = Seq(("A", "F", 1.0), ("A", "O", 2.0), ("R", "F", 4.0))
       .toDF("l_returnflag", "l_linestatus", "l_quantity")

@@ -223,6 +223,21 @@ class TextOpsSpec extends SparkSpec {
     assert(w(0L) > w(1L))
   }
 
+  test("dsirSelect: histogram threshold keeps exactly the global top-quarter") {
+    // 8 docs, distinct weights except a tie group straddling the cut
+    val raw = Seq(
+      (0L, "x x x"), (1L, "x x y"), (2L, "x y y"), (3L, "y y y"),
+      (4L, "x x z"), (5L, "x y z"), (6L, "y z z"), (7L, "z z z")
+    ).toDF("doc_id", "text")
+    val target = Seq((9L, "x x y")).toDF("doc_id", "text")
+    val sel = TextOps.dsirSelect(raw, target).select("doc_id").as[Long].collect().toSet
+    // k = ceil(8/4) = 2; global (weight desc, doc_id asc) top-2 twin
+    val w = TextOps.dsirWeights(raw, target).collect()
+      .map(r => (r.getLong(0), r.getAs[Double]("dsir_weight")))
+    val top2 = w.sortBy { case (id, dw) => (-dw, id) }.take(2).map(_._1).toSet
+    assert(sel === top2)
+  }
+
   test("bpeMerges: the hand-computed low/lower merge sequence") {
     val docs = Seq((0L, "low lower low")).toDF("doc_id", "text")
     val got = TextOps.bpeMerges(docs, rounds = 4).orderBy("merge_round")
