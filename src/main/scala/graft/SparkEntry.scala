@@ -230,6 +230,9 @@ object SparkEntry {
     // the trained tokenizer APPLIED: encoded-corpus vocabulary census,
     // top-20 symbols by frequency after the 6 merges
     "bpe_encode" -> ((s, dir) => TextOps.bpeEncodedVocab(Tables.documents(s, dir))),
+    // the encode step applied per document: ws-token count and
+    // encoded length under the 6-merge vocabulary
+    "bpe_tokenize" -> ((s, dir) => TextOps.bpeTokenize(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -297,6 +300,9 @@ object SparkEntry {
     // logprobs from one token-keyed agg, per-doc mean via tok-ordered
     // fold — the KenLM-style filter at order 1
     "lm_logprob" -> ((s, dir) => TextOps.lmLogprob(Tables.documents(s, dir))),
+    // Shannon char entropy — the exactly-replayable form of the
+    // gzip-compression-ratio junk gate
+    "char_entropy" -> ((s, dir) => TextOps.charEntropy(Tables.documents(s, dir))),
     // order-2 LM: Jelinek-Mercer interpolated bigram probabilities —
     // frequent tokens in improbable ORDER score low
     "lm_bigram" -> ((s, dir) => TextOps.lmBigramLogprob(Tables.documents(s, dir))),
@@ -828,6 +834,21 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY n_occ DESC, symbol) AS BIGINT)
          |    AS rank, symbol, n_occ
          |FROM hist ORDER BY n_occ DESC, symbol LIMIT 20""".stripMargin,
+    // same six training rounds; the encoder key is the symbol string
+    // with separators removed (a word IS its symbols re-joined)
+    "bpe_tokenize" ->
+      s"""WITH $duckToks,
+         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                   i -> tok[i:i]), '  ') AS syms
+         |  FROM toks GROUP BY tok),
+         |${(1 to 6).map(duckBpeRound).mkString(",\n")},
+         |enc AS (SELECT replace(syms, '  ', '') AS tok,
+         |    CAST(len(string_split(syms, '  ')) AS BIGINT) AS n_syms FROM w7),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
+         |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens
+         |FROM tf JOIN enc USING (tok) GROUP BY doc_id""".stripMargin,
     // 8-token lead chain mirrors wordShingles(w=8); interval union
     // via the same lag-gap window; all-integer until the final ratio
     "dedup_substrings" ->
@@ -991,6 +1012,18 @@ object SparkEntry {
          |  ${duckSigmoid("w")} + 0 AS score,
          |  CAST(round(${duckSigmoid("w")} * 1000000.0) AS BIGINT) >= 500000 AS predicted
          |FROM cfi f, lw8 w""".stripMargin,
+    // char-ordered bounded fold over per-doc character counts; ln
+    // rounded per char, one final rounding after the integer division
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
+        |    ascii(substring(text, u.i, 1)) AS cp
+        |  FROM documents, unnest(range(1, len(text)+1)) u(i)),
+        |cc AS (SELECT doc_id, n, cp, count(*) AS cnt FROM ch GROUP BY 1, 2, 3)
+        |SELECT doc_id, max(n) AS n_chars,
+        |  count(*) AS n_distinct_chars,
+        |  round(-sum(cnt * round(ln(cnt / CAST(n AS DOUBLE)), 6)
+        |             ORDER BY cp) / max(n), 6) + 0 AS entropy
+        |FROM cc GROUP BY doc_id""".stripMargin,
     "lang_id" ->
       s"""WITH $duckToks,
          |$duckLangCtes

@@ -424,6 +424,47 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("dsir_weight"))
   }
 
+  /** Character-entropy quality gate — the compression-ratio proxy
+    * filter (gzip-ratio gates in published curation stacks are
+    * entropy estimates; Shannon entropy is the same signal in closed
+    * form, and unlike a codec it is exactly replayable on any
+    * engine): H = −Σ p(c)·ln p(c) over the document's character
+    * distribution. Near-zero entropy = padding/repeated-char junk;
+    * the ceiling is ln(alphabet). Emitted in nats at 6dp.
+    *
+    * Determinism discipline: each character's ln(cnt/n) rounds to 6dp
+    * (ln parity per the BM25/lm_logprob contract), the per-doc fold
+    * sums cnt·logp over DISTINCT characters in character order
+    * (bounded group — ≤ alphabet size — so the ordered fold is the
+    * right tool), and the final division by the exact integer n
+    * rounds once ([[lmLogprob]]'s off-grid rule).
+    *
+    * Scale shape: one char-explode into a (doc_id, char)-keyed agg
+    * (≤ |alphabet| rows per doc), then the doc_id-keyed fold —
+    * uniform keys, no windows, no skew candidates. The distribution's
+    * denominator is `char_length(text)` carried through the explode
+    * (constant per doc), so no per-doc total agg or join exists at
+    * all: two hash aggs over one scan. */
+  def charEntropy(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), char_length(col("text")).cast("long").as("n"),
+        // ONE-PASS char split — indexed substring(text, i, 1) per char
+        // is O(doc²) (each call re-scans to the offset); split('')
+        // walks the string once. ascii() keys the agg by code point
+        // (narrow int keys; code-point order == char order for the
+        // fold key)
+        explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("n"), ascii(col("ch")).as("cp"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_chars"), // constant within the group
+        count(lit(1)).as("n_distinct_chars"),
+        graft.functions.VectorMath.orderedSum(
+          col("cp"), col("cnt") * roundn(log(col("cnt") / col("n")), 6)).as("s_raw"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        roundn(-col("s_raw") / col("n_chars"), 6).as("entropy"))
+
   /** The SELECTION half of DSIR: keep the top `keepNum/keepDen`
     * fraction of documents by [[dsirWeights]] importance weight —
     * exactly, deterministically, and WITHOUT a global rank. A
@@ -511,6 +552,33 @@ object TextOps {
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("n_occ").desc, col("symbol"))).cast("long"))
       .select(col("rank"), col("symbol"), col("n_occ"))
+  }
+
+  /** The trained tokenizer applied PER DOCUMENT — the actual encode
+    * step of the pipeline ([[bpeEncodedVocab]] is the vocabulary-side
+    * census; this is the corpus-side census): every document's
+    * whitespace-token count and its encoded length under the
+    * `rounds`-merge BPE vocabulary. The word table needs no extra
+    * key: a word IS its symbol string with the '  ' separators
+    * removed, so the encoder join key is derived, not threaded
+    * through the merge loop.
+    *
+    * Scale shape: the trained word table is |vocab|-sized and joins
+    * the per-doc term counts on the uniform token key (broadcast-able
+    * when the vocab fits); per-doc totals are one doc_id-keyed agg.
+    * The corpus is scanned once (the same tokenize the trainer used).
+    */
+  def bpeTokenize(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val enc = bpeLoop(docs, rounds)._2.select(
+      org.apache.spark.sql.functions.replace(col("syms"), lit("  "), lit("")).as("tok"),
+      size(split(col("syms"), "  ")).cast("long").as("n_syms"))
+    EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(enc, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("long").as("n_ws_tokens"),
+        sum(col("tf") * col("n_syms")).cast("long").as("n_bpe_tokens"))
   }
 
   private def bpeLoop(docs: DataFrame, rounds: Int)

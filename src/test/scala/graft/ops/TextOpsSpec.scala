@@ -223,6 +223,16 @@ class TextOpsSpec extends SparkSpec {
     assert(w(0L) > w(1L))
   }
 
+  test("charEntropy: 0 for constant text, ln(k) for uniform k-char text") {
+    val docs = Seq((0L, "aaaa"), (1L, "abab"), (2L, "abcd")).toDF("doc_id", "text")
+    val e = TextOps.charEntropy(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("entropy")).toMap
+    assert(e(0L) === 0.0)
+    assert(math.abs(e(1L) - math.log(2)) < 1e-5)
+    assert(math.abs(e(2L) - math.log(4)) < 1e-5)
+    assert(e(0L) < e(1L) && e(1L) < e(2L))
+  }
+
   test("dsirSelect: histogram threshold keeps exactly the global top-quarter") {
     // 8 docs, distinct weights except a tie group straddling the cut
     val raw = Seq(
@@ -236,6 +246,21 @@ class TextOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getAs[Double]("dsir_weight")))
     val top2 = w.sortBy { case (id, dw) => (-dw, id) }.take(2).map(_._1).toSet
     assert(sel === top2)
+  }
+
+  test("bpeTokenize: encoded lengths shrink as merges apply") {
+    val docs = Seq((0L, "low lower low"), (1L, "low")).toDF("doc_id", "text")
+    val r = TextOps.bpeTokenize(docs, rounds = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // after 4 merges (l+o, lo+w, e+r, low+er — see the merges spec)
+    // both "low" and "lower" are single symbols
+    assert(r(0L) === ((3L, 3L)))
+    assert(r(1L) === ((1L, 1L)))
+    // with zero merges the encoded length is the character census
+    val r0 = TextOps.bpeTokenize(docs, rounds = 0).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(r0(0L) === 11L) // 3+5+3 chars
+    assert(r0(1L) === 3L)
   }
 
   test("bpeMerges: the hand-computed low/lower merge sequence") {
