@@ -240,6 +240,59 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sessionsOverlap equals the naive theta join on random streams") {
+    val rnd = new Random(113)
+    for (_ <- 1 to 3) {
+      val m = 60L * 1000 * 1000 * 1000 // minute in nanos
+      val events = (0 until 60).map { i =>
+        (i.toLong, rnd.nextInt(6).toLong, rnd.nextInt(600) * m + rnd.nextInt(1000000).toLong)
+      }.toDF("event_id", "user_id", "ts")
+      val got = RelationalOps.sessionsOverlap(events)
+        .select("a_user", "a_session", "b_user", "b_session", "overlap_us")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val sess = RelationalOps.sessionIntervals(
+        events.withColumn("ts", expr("ts div 1000")), gapNanos = 1800L * 1000 * 1000)
+      val a = sess.filter($"n_events" >= 3).select($"user_id".as("au"),
+        $"session_idx".as("asx"), $"start_ts".as("ast"), $"end_ts".as("aen"))
+      val naive = a.crossJoin(sess)
+        .filter($"au" =!= $"user_id" && $"ast" <= $"end_ts" && $"start_ts" <= $"aen")
+        .select($"au", $"asx", $"user_id", $"session_idx",
+          (least($"aen", $"end_ts") - greatest($"ast", $"start_ts")).as("ov"))
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === naive)
+    }
+  }
+
+  test("property: dsirSelect equals the global (weight desc, id) top-quarter") {
+    val rnd = new Random(114)
+    for (_ <- 1 to 3) {
+      val words = Seq("x", "y", "z", "w", "v")
+      def doc() = Seq.fill(3 + rnd.nextInt(5))(words(rnd.nextInt(words.length))).mkString(" ")
+      val raw = (0 until 10 + rnd.nextInt(6)).map(i => (i.toLong, doc())).toDF("doc_id", "text")
+      val target = Seq((99L, doc())).toDF("doc_id", "text")
+      val sel = TextOps.dsirSelect(raw, target).select("doc_id").as[Long].collect().toSet
+      val w = TextOps.dsirWeights(raw, target).collect()
+        .map(r => (r.getLong(0), r.getAs[Double]("dsir_weight")))
+      val k = (w.length + 3) / 4
+      val topk = w.sortBy { case (id, dw) => (-dw, id) }.take(k).map(_._1).toSet
+      assert(sel === topk)
+      assert(sel.size === k)
+    }
+  }
+
+  test("property: charEntropy bounded by ln of the distinct-char count") {
+    val rnd = new Random(115)
+    val docs = (0 until 12).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(40))(('a' + rnd.nextInt(5)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    TextOps.charEntropy(docs).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val d = r.getAs[Long]("n_distinct_chars")
+      assert(h >= 0.0 && h <= math.log(d.toDouble) + 1e-4,
+        s"H=$h outside [0, ln($d)]")
+    }
+  }
+
   test("property: pageRank conserves total rank mass across rounds") {
     val rnd = new Random(112)
     for (_ <- 1 to 3) {
