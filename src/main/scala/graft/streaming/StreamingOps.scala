@@ -71,6 +71,26 @@ object StreamingOps {
         views.withWatermark("v_ts", maxGap),
         expr(s"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL $maxGap AND p_ts"))
 
+  /** Stream-static enrichment join + gate — the STATELESS streaming
+    * join family ([[attributionStream]] is the stateful one): each
+    * micro-batch of the stream hash-joins the static dimension and
+    * applies the quality floor, no watermark, no state store, because
+    * the static side is re-resolved per batch (a file-backed dim
+    * picks up new files; a broadcast-sized dim stays a broadcast hash
+    * join inside every batch). This is the streaming twin of the
+    * batch dimension hops in [[graft.ops.RelationalOps.revenueByRegion]]:
+    * at any scale the stream side never shuffles for the join.
+    *
+    * Inner join drops events with no dimension row — the
+    * "known-entity gate" shape of a production ingest (unknown keys
+    * go to a dead-letter sink in a real topology, expressible as the
+    * left-anti twin of this join). */
+  def enrichedStream(events: DataFrame, dim: DataFrame,
+                     minValue: Double = 0.0): DataFrame =
+    events
+      .filter(col("value") >= minValue)
+      .join(org.apache.spark.sql.functions.broadcast(dim), "user_id")
+
   case class Doc(doc_id: Long, source: String, text: String)
   case class KeyedDoc(content_hash: String, doc: Doc)
 

@@ -31,6 +31,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichedStream: stateless per-batch join against the static dim + gate") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val q = enrichedStream(
+      input.toDF().toDF("event_id", "user_id", "value"), dim, minValue = 1.0)
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, 1L, 5.0),  // joins gold
+        (11L, 2L, 0.5),  // fails the value gate
+        (12L, 3L, 9.0))  // unknown user -> dropped by inner join
+      q.processAllAvailable()
+      val rows = spark.table("enriched_out")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      assert(rows === Set((10L, "gold")))
+      // second batch joins the same static dim, no state carried
+      input.addData((13L, 2L, 2.0))
+      q.processAllAvailable()
+      val rows2 = spark.table("enriched_out")
+        .select("event_id", "tier").as[(Long, String)].collect().toSet
+      assert(rows2 === Set((10L, "gold"), (13L, "basic")))
+    } finally q.stop()
+  }
+
   test("tumblingCounts drops data later than the watermark horizon") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
