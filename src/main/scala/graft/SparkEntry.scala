@@ -386,6 +386,9 @@ object SparkEntry {
     // exact overlap verify; no theta-join cross product
     "sessions_overlap" -> ((s, dir) =>
       RelationalOps.sessionsOverlap(Tables.events(s, dir))),
+    // ordered view→click→purchase funnel in ONE shuffle: chained
+    // conditional window minima over the same user partitioning
+    "events_funnel" -> ((s, dir) => RelationalOps.funnelDepth(Tables.events(s, dir))),
     // SCD2 history: per-user state change points with [valid_from,
     // valid_to) validity and is_current on the open interval
     "scd2_user_state" -> ((s, dir) => RelationalOps.scd2UserState(Tables.events(s, dir))),
@@ -1388,6 +1391,26 @@ object SparkEntry {
         |  ON a.user_id <> b.user_id
         | AND a.start_ts <= b.end_ts AND b.start_ts <= a.end_ts
         |WHERE a.n >= 3""".stripMargin,
+    // chained conditional window minima, one CTE layer per stage (a
+    // stage's entry time is a per-user constant the next stage's
+    // filter references); strict > keeps simultaneous events at one
+    // stage only
+    "events_funnel" ->
+      """WITH fe AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |f1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM fe),
+        |f2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+        |                          AND ts_us > t1 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM f1),
+        |f3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+        |                          AND ts_us > t2 THEN ts_us END)
+        |         OVER (PARTITION BY user_id) AS t3 FROM f2)
+        |SELECT user_id, max(t1) AS t1_us, max(t2) AS t2_us, max(t3) AS t3_us,
+        |  CAST(CASE WHEN max(t3) IS NOT NULL THEN 3
+        |            WHEN max(t2) IS NOT NULL THEN 2
+        |            WHEN max(t1) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM f3 GROUP BY user_id""".stripMargin,
     // oracle twin of the union-tag as-of sweep, with identical tie
     // rules (right-before-left at equal ts; largest view_event_id
     // wins among same-ts views) — deterministic by construction, so

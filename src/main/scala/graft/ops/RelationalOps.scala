@@ -404,6 +404,46 @@ object RelationalOps {
           - greatest(col("a_start"), col("b_start"))).as("overlap_us"))
   }
 
+  /** Ordered funnel analysis — "how far did each user get through
+    * view → click → purchase, in ORDER": stage i counts only at a
+    * strictly later timestamp than the user's stage-(i−1) entry, so
+    * a purchase before any view is depth 0, not depth 3 (the
+    * sequencing that separates a funnel from three filters).
+    *
+    * Computed in ONE shuffle: all stage-entry times are conditional
+    * minima over the SAME user_id window partitioning —
+    * t1 = min(ts | stage1), t2 = min(ts | stage2 ∧ ts > t1), … —
+    * chained projections over one Exchange+Sort (each ti is a
+    * per-user constant the next window's filter references); the
+    * final per-user collapse groups on the preserved partitioning.
+    * The iterative twin (agg → join → agg per stage) would shuffle
+    * the event stream once PER STAGE.
+    *
+    * µs axis; strict `>` between stages, so simultaneous events never
+    * satisfy two stages — deterministic on values alone. */
+  def funnelDepth(events: DataFrame,
+                  stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    var df = events.select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      col("event_type"))
+    stages.zipWithIndex.foreach { case (s, i) =>
+      val cond =
+        if (i == 0) col("event_type") === s
+        else col("event_type") === s && col(s"t$i").isNotNull &&
+          col("ts_us") > col(s"t$i")
+      df = df.withColumn(s"t${i + 1}", min(when(cond, col("ts_us"))).over(w))
+    }
+    val ts = (1 to stages.length).map(i => max(col(s"t$i")).as(s"t${i}_us"))
+    // build innermost-out: stage i wraps i−1, so the DEEPEST reached
+    // stage is the outermost when and wins
+    val depth = (1 to stages.length).foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"t${i}_us").isNotNull, i.toLong).otherwise(acc)
+    }
+    df.groupBy(col("user_id"))
+      .agg(ts.head, ts.tail: _*) // per-user constants; max = the value
+      .withColumn("funnel_depth", depth)
+  }
+
   /** Calendar gap filling — the densification step time-series
     * features need before windowed models (a missing hour must be an
     * explicit zero row, not an absent one): per event type, one row
