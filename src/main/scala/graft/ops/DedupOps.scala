@@ -37,11 +37,6 @@ object DedupOps {
   /** Prime just above 2^24 for the universal-hash family. */
   val MinhashPrime: Long = 16777259L
 
-  /** Lineage-truncation cadence for [[connectedComponents]]: every
-    * Nth round the labels are eagerly localCheckpoint'ed so the
-    * logical plan doesn't nest one round per iteration. */
-  val CcCheckpointEvery: Int = 5
-
   /** MinHash signature: (doc_id, seed, minh). The hash family is the
     * textbook universal construction h_i(x) = (a_i·h0(x) + b_i) mod p
     * over ONE sha-derived base hash per (doc, shingle) row — seeded
@@ -319,90 +314,132 @@ object DedupOps {
     * step that turns pairwise verdicts into "keep one representative
     * per group" (the reference's dedup keeps the first exact copy,
     * app_callapi.py:117-120; transitively-linked NEAR-dups need the
-    * component, not the pair). Min-label propagation to the exact
-    * fixpoint: each node repeatedly adopts the smallest component id
-    * among itself and its neighbors — O(component diameter)
-    * iterations, each one keyed shuffle, nothing collects. The
-    * component id doubles as the canonical representative (smallest
-    * doc_id in the cluster).
+    * component, not the pair). Alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round rewires every node's larger
+    * neighbors (large-star) and then its smaller neighbors
+    * (small-star) to the minimum of the neighborhood, so the distance
+    * from any node to its component's minimum roughly HALVES per
+    * round — O(log n) rounds instead of the O(component diameter) a
+    * plain min-label propagation needs. Near-dup *chains* (A~B~C~…
+    * under drift) make diameter grow with corpus size; at 100 TB each
+    * extra round is a full edge-list shuffle, so the round count is
+    * the scale term that matters. The component id is the smallest
+    * doc_id in the cluster (edges only ever point to smaller ids, so
+    * every star converges rooted at its component minimum) — the same
+    * output contract as the recursive-CTE oracle.
     *
-    * Scale notes: each iteration does one join + one keyed agg over
-    * the EDGE list (near-dup pairs — tiny relative to the corpus);
-    * per-iteration `count` drives convergence and doubles as the
-    * action that materializes the persisted labels, truncating
-    * recomputation. At very large diameters swap in alternating
-    * large/small-star rounds (same join shape). */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id")).persist()
+    * Scale notes: both star ops are one keyed agg + one equi-join
+    * over the EDGE list (near-dup pairs — tiny relative to the
+    * corpus). The agg min is map-side partial, so hub nodes (which
+    * contraction deliberately creates) never skew the aggregation;
+    * the hub-keyed join is AQE-skew-splittable. groupBy+join is used
+    * instead of a window min precisely because a window would pin an
+    * entire component's edges into one task. Convergence = the edge
+    * set is a star forest (depth 1, one parent per child) — checked
+    * with two cheap jobs per round — with the monotone label-sum
+    * receipt kept as the livelock/correctness detector. */
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** Large-star: for every node u, connect each STRICTLY LARGER
+    * neighbor v to min(N(u) ∪ {u}). Processes the symmetric edge
+    * list, so every edge is rewired exactly once (from its smaller
+    * endpoint's perspective). Output keeps the src > dst orientation
+    * invariant: the emitted (v, m) has m ≤ u < v. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src").as("u"), col("dst").as("v"))
+      .union(e.select(col("dst").as("u"), col("src").as("v")))
+    val mins = sym.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("m"))
+    sym.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: for every node u (edges oriented src=u > dst), let
+    * m = min of u's smaller neighbors; rewire the other smaller
+    * neighbors to m and keep (u, m). Orientation is preserved: both
+    * emitted edge kinds point at m, the group minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+    val rewired = e.join(mins, "src")
+      .filter(col("dst") =!= col("m"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+    rewired.union(mins.select(col("src"), col("m").as("dst"))).distinct()
+  }
+
+  /** [[connectedComponents]] plus the number of contraction rounds it
+    * took — exposed so tests can pin the O(log n) guarantee (a
+    * 200-node path converges in ~log₂ rounds, not ~200). */
+  def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    val raw = pairs.select(col("a_id"), col("b_id")).persist()
     // materialize the (expensive) upstream candidate pipeline exactly
-    // once; every iteration below touches only the cached edge list.
-    // The count also SIZES the iteration: near-dup edge lists are
-    // usually tiny relative to the corpus, and per-round cost is then
-    // scheduling overhead, not data — so partition by measured edge
-    // count (~500k edges/partition), not the session default.
-    val nEdges = edges.count()
-    val parts = math.max(1, (nEdges / 500000L).toInt)
-    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-    val nodes = und.select(col("src").as("id")).distinct()
-    // self-loops fold the "keep my own label" term into the same
-    // min-aggregation as the neighbor terms: one join + one keyed agg
-    // per round, no second left-join against the previous labels
-    val undSelf = und.union(nodes.select(col("id").as("src"), col("id").as("dst")))
-      .repartition(parts, col("dst")).persist()
-    var labels = nodes.withColumn("comp", col("id"))
-      .repartition(parts, col("id")).persist()
-    // convergence via the label-sum invariant: comps only ever
-    // DECREASE, so an unchanged sum ⇔ a fixpoint — one scalar agg per
-    // round instead of a join-against-previous
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    // label-sum strictly decreases every unconverged round and rounds
-    // never exceed the component diameter (< node count <= 2·edges),
-    // so this bound is unreachable unless the propagation itself is
-    // broken — a data-derived defensive cap, not a tuning knob that
-    // could reject a legitimately deep graph
-    val maxRounds = 2L * math.max(1L, nEdges) + 16L
-    while (!converged) {
-      iter += 1
-      require(iter <= maxRounds,
-        s"connectedComponents: no fixpoint after $maxRounds rounds (propagation broken)")
-      val joined = undSelf
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbr_comp")), "dst")
-        .groupBy(col("src"))
-        .agg(min(col("nbr_comp")).as("comp"))
-        .withColumnRenamed("src", "id")
-        .repartition(parts, col("id")) // co-partition for next round's join
-      // every few rounds cut the lineage with an eager localCheckpoint
-      // (whose materialized blocks double as the round's cache — no
-      // second persist): although each round's input is cached, its
-      // LOGICAL plan still nests all previous rounds, so
-      // analysis/planning cost grows per round without this
-      val next =
-        if (iter % CcCheckpointEvery == 0) joined.localCheckpoint(true)
-        else joined.persist()
-      val s = labelSum(next)
-      // monotonicity is the livelock detector: min-aggregation over
-      // self-inclusive neighborhoods can only lower each label
-      require(s <= prevSum,
-        s"connectedComponents: label sum increased ($prevSum -> $s) — propagation broken")
-      labels.unpersist()
-      labels = next
-      if (s == prevSum) converged = true else prevSum = s
-    }
-    // materialize the result OFF the iteration caches
-    // (localCheckpoint truncates lineage and its blocks are released
-    // by the ContextCleaner when the result is dropped), then release
-    // every persist this op took — no cached datasets outlive the call
-    val result = labels.select(col("id").as("doc_id"), col("comp").as("component_id"))
+    // once; every round below touches only the checkpointed edge list.
+    val nEdges = raw.count()
+    val nodes = raw.select(col("a_id").as("id"))
+      .union(raw.select(col("b_id").as("id")))
+      .distinct().persist()
+    // orient src > dst (self-pairs drop; isolated nodes rejoin at the end)
+    var e = raw.filter(col("a_id") =!= col("b_id"))
+      .select(greatest(col("a_id"), col("b_id")).as("src"),
+        least(col("a_id"), col("b_id")).as("dst"))
+      .distinct()
       .localCheckpoint(true)
-    labels.unpersist()
-    edges.unpersist()
-    undSelf.unpersist()
-    result
+    // label(u) = min(u, smallest incident neighbor): monotone
+    // non-increasing under both star ops (every rewire points a node
+    // at something ≤ its previous parent), so an INCREASING sum means
+    // the contraction itself is broken — the round-over-round receipt
+    def labelSum(edges: DataFrame): Long = {
+      val m = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .withColumnRenamed("src", "id")
+      nodes.join(m, Seq("id"), "left")
+        .agg(coalesce(sum(coalesce(col("mn"), col("id")).cast("long")), lit(0L)))
+        .head().getLong(0)
+    }
+    // converged ⇔ star forest: no child is also a parent (depth 1)
+    // and every child has exactly one parent. Star forests are
+    // fixpoints of both ops, and both ops preserve the original
+    // component structure, so each star is exactly one component
+    // rooted at its minimum.
+    def isStarForest(edges: DataFrame): Boolean = {
+      val multiParent = edges.groupBy(col("src"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+      val chained = edges.join(
+        edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
+      multiParent.isEmpty && chained.isEmpty
+    }
+    var prevSum = labelSum(e)
+    var rounds = 0
+    // two-phase contraction provably converges in O(log² n) rounds and
+    // empirically in ~log₂ n; this cap is a defensive backstop far
+    // above either, not a tuning knob
+    val maxRounds = 64 + 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges)))
+    while (!isStarForest(e)) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connectedComponents: no star-forest fixpoint after $maxRounds rounds (contraction broken)")
+      // eager localCheckpoint per round: truncates the per-round plan
+      // nesting AND doubles as the round's cache (blocks released by
+      // the ContextCleaner once the next round drops the reference)
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val s = labelSum(next)
+      require(s <= prevSum,
+        s"connectedComponents: label sum increased ($prevSum -> $s) — contraction broken")
+      prevSum = s
+      e = next
+    }
+    // star forest edges ARE the labels: (child → component min); roots
+    // and isolated nodes label themselves
+    val result = nodes
+      .join(e.select(col("src").as("id"), col("dst").as("cmp")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("cmp"), col("id")).as("component_id"))
+      .localCheckpoint(true)
+    raw.unpersist()
+    nodes.unpersist()
+    (result, rounds)
   }
 
   /** Declared end-to-end dedup clustering: LSH candidates → Jaccard

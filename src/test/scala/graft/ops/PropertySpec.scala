@@ -293,6 +293,45 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: star contraction labels a 200-node path in O(log n) rounds") {
+    // the worst case for min-label propagation: a path 1-2-…-200 has
+    // diameter 199, so label propagation needs ~200 rounds; alternating
+    // large/small-star roughly halves every node's distance to the
+    // component minimum per round → ~log₂(200) ≈ 8 rounds
+    val n = 200
+    val pairs = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val (comp, rounds) = DedupOps.connectedComponentsWithRounds(pairs)
+    val labels = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size === n)
+    assert(labels.values.forall(_ == 1L), "every path node labels to the min id")
+    assert(rounds <= 10, s"path-200 took $rounds rounds; contraction must be O(log n)")
+  }
+
+  test("property: connectedComponents equals in-memory union-find on random graphs") {
+    val rnd = new Random(116)
+    for (_ <- 1 to 3) {
+      val n = 12 + rnd.nextInt(8)
+      val edges = (0 until n).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (a, b) // self-pairs allowed: node joins output as a singleton
+      }
+      val got = DedupOps.connectedComponents(edges.toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find with min-id representative
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val m = math.min(ra, rb); parent(math.max(ra, rb)) = m }
+      }
+      val want = parent.keys.map(x => x -> find(x)).toMap
+      assert(got === want)
+    }
+  }
+
   test("property: pageRank conserves total rank mass across rounds") {
     val rnd = new Random(112)
     for (_ <- 1 to 3) {
