@@ -1016,11 +1016,16 @@ object SparkEntry {
          |  CAST(round(${duckSigmoid("w")} * 1000000.0) AS BIGINT) >= 500000 AS predicted
          |FROM cfi f, lw8 w""".stripMargin,
     // char-ordered bounded fold over per-doc character counts; ln
-    // rounded per char, one final rounding after the integer division
+    // rounded per char, one final rounding after the integer division.
+    // len(text) > 0 on BOTH sides is the pinned edge contract (the
+    // engine filters char_length > 0): empty docs emit no row — the
+    // unnest here happens to drop them already, but the explicit
+    // predicate makes the contract visible rather than incidental
     "char_entropy" ->
       """WITH ch AS (SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
         |    ascii(substring(text, u.i, 1)) AS cp
-        |  FROM documents, unnest(range(1, len(text)+1)) u(i)),
+        |  FROM documents, unnest(range(1, len(text)+1)) u(i)
+        |  WHERE len(text) > 0),
         |cc AS (SELECT doc_id, n, cp, count(*) AS cnt FROM ch GROUP BY 1, 2, 3)
         |SELECT doc_id, max(n) AS n_chars,
         |  count(*) AS n_distinct_chars,

@@ -336,9 +336,12 @@ object DedupOps {
     * the hub-keyed join is AQE-skew-splittable. groupBy+join is used
     * instead of a window min precisely because a window would pin an
     * entire component's edges into one task. Convergence = the edge
-    * set is a star forest (depth 1, one parent per child) — checked
-    * with two cheap jobs per round — with the monotone label-sum
-    * receipt kept as the livelock/correctness detector. */
+    * set is a star forest (depth 1, one parent per child). The
+    * parent-count check and the monotone label-sum receipt (the
+    * livelock/correctness detector) share ONE groupBy(src) pass, so a
+    * round costs at most two driver-blocking jobs: the fused
+    * stats aggregate, plus the child-is-also-parent probe only when
+    * the first check passes. */
   def connectedComponents(pairs: DataFrame): DataFrame =
     connectedComponentsWithRounds(pairs)._1
 
@@ -387,59 +390,75 @@ object DedupOps {
         least(col("a_id"), col("b_id")).as("dst"))
       .distinct()
       .localCheckpoint(true)
-    // label(u) = min(u, smallest incident neighbor): monotone
-    // non-increasing under both star ops (every rewire points a node
-    // at something ≤ its previous parent), so an INCREASING sum means
-    // the contraction itself is broken — the round-over-round receipt
-    def labelSum(edges: DataFrame): Long = {
-      val m = edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+    // Per-round stats, ONE groupBy(src) pass shared by both consumers:
+    //  - label(u) = min(u, smallest incident neighbor): monotone
+    //    non-increasing under both star ops (every rewire points a
+    //    node at something ≤ its previous parent), so an INCREASING
+    //    sum means the contraction itself is broken — the
+    //    round-over-round receipt. Summed as decimal(38,0): billions
+    //    of nodes carrying wide hash-derived 64-bit ids would silently
+    //    wrap a Long sum and turn the receipt into garbage.
+    //  - multi-parent count: a star forest needs every child to have
+    //    exactly one parent.
+    // The child-is-also-parent probe (depth 1) is the only other job,
+    // and it is skipped when multi-parent already failed — at most two
+    // driver-blocking jobs per round.
+    def roundStats(edges: DataFrame): (Boolean, BigDecimal) = {
+      val m = edges.groupBy(col("src"))
+        .agg(min(col("dst")).as("mn"), count(lit(1)).as("c"))
         .withColumnRenamed("src", "id")
-      nodes.join(m, Seq("id"), "left")
-        .agg(coalesce(sum(coalesce(col("mn"), col("id")).cast("long")), lit(0L)))
-        .head().getLong(0)
+      val agg = nodes.join(m, Seq("id"), "left")
+        .agg(
+          coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).as("n_multi"),
+          coalesce(sum(coalesce(col("mn"), col("id")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO)).as("label_sum"))
+        .head()
+      val singleParent = agg.getLong(0) == 0L
+      // converged ⇔ star forest: no child is also a parent (depth 1)
+      // and every child has exactly one parent. Star forests are
+      // fixpoints of both ops, and both ops preserve the original
+      // component structure, so each star is exactly one component
+      // rooted at its minimum.
+      val starForest = singleParent && edges.join(
+        edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi").isEmpty
+      (starForest, BigDecimal(agg.getDecimal(1)))
     }
-    // converged ⇔ star forest: no child is also a parent (depth 1)
-    // and every child has exactly one parent. Star forests are
-    // fixpoints of both ops, and both ops preserve the original
-    // component structure, so each star is exactly one component
-    // rooted at its minimum.
-    def isStarForest(edges: DataFrame): Boolean = {
-      val multiParent = edges.groupBy(col("src"))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
-      val chained = edges.join(
-        edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi")
-      multiParent.isEmpty && chained.isEmpty
-    }
-    var prevSum = labelSum(e)
     var rounds = 0
-    // two-phase contraction provably converges in O(log² n) rounds and
-    // empirically in ~log₂ n; this cap is a defensive backstop far
-    // above either, not a tuning knob
-    val maxRounds = 64 + 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges)))
-    while (!isStarForest(e)) {
-      rounds += 1
-      require(rounds <= maxRounds,
-        s"connectedComponents: no star-forest fixpoint after $maxRounds rounds (contraction broken)")
-      // eager localCheckpoint per round: truncates the per-round plan
-      // nesting AND doubles as the round's cache (blocks released by
-      // the ContextCleaner once the next round drops the reference)
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val s = labelSum(next)
-      require(s <= prevSum,
-        s"connectedComponents: label sum increased ($prevSum -> $s) — contraction broken")
-      prevSum = s
-      e = next
+    try {
+      var (converged, prevSum) = roundStats(e)
+      // two-phase contraction provably converges in O(log² n) rounds and
+      // empirically in ~log₂ n; this cap is a defensive backstop far
+      // above either, not a tuning knob
+      val maxRounds = 64 + 4 * (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nEdges)))
+      while (!converged) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"connectedComponents: no star-forest fixpoint after $maxRounds rounds (contraction broken)")
+        // eager localCheckpoint per round: truncates the per-round plan
+        // nesting AND doubles as the round's cache (blocks released by
+        // the ContextCleaner once the next round drops the reference)
+        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        val (conv, s) = roundStats(next)
+        require(s <= prevSum,
+          s"connectedComponents: label sum increased ($prevSum -> $s) — contraction broken")
+        prevSum = s
+        e = next
+        converged = conv
+      }
+      // star forest edges ARE the labels: (child → component min); roots
+      // and isolated nodes label themselves
+      val result = nodes
+        .join(e.select(col("src").as("id"), col("dst").as("cmp")), Seq("id"), "left")
+        .select(col("id").as("doc_id"),
+          coalesce(col("cmp"), col("id")).as("component_id"))
+        .localCheckpoint(true)
+      (result, rounds)
+    } finally {
+      // unpersist on every exit path — a require throw must not leak
+      // the cached edge list and node set for the session's lifetime
+      raw.unpersist()
+      nodes.unpersist()
     }
-    // star forest edges ARE the labels: (child → component min); roots
-    // and isolated nodes label themselves
-    val result = nodes
-      .join(e.select(col("src").as("id"), col("dst").as("cmp")), Seq("id"), "left")
-      .select(col("id").as("doc_id"),
-        coalesce(col("cmp"), col("id")).as("component_id"))
-      .localCheckpoint(true)
-    raw.unpersist()
-    nodes.unpersist()
-    (result, rounds)
   }
 
   /** Declared end-to-end dedup clustering: LSH candidates → Jaccard

@@ -313,36 +313,41 @@ object RelationalOps {
         regexp_extract(col("props"), "\"k\"\\s*:\\s*(-?\\d+)", 1).cast("long").as("k"))
 
   /** Sessionization: split each user's event stream into sessions at
-    * inactivity gaps > `gapNanos`. The classic lag + cumulative-sum
+    * inactivity gaps > `gapTicks`. The classic lag + cumulative-sum
     * formulation — two window passes over the same (user_id, ts)
-    * partitioning, so Spark sorts once and reuses the shuffle. `ts`
-    * is Long nanos (Tables.events). */
-  def sessionize(events: DataFrame, gapNanos: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+    * partitioning, so Spark sorts once and reuses the shuffle.
+    *
+    * `gapTicks` is AXIS-NEUTRAL: it is compared directly against `ts`
+    * differences, so it must be in whatever unit the caller's `ts`
+    * column carries (Tables.events ships nanos; [[sessionsOverlap]]
+    * rescales to µs and passes a µs gap). */
+  def sessionize(events: DataFrame, gapTicks: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn(
         "new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapTicks, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_session")).over(byUser))
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
   /** [[sessionize]] folded to one row per session: user_id,
-    * session_idx, [start_ts, end_ts] (Long nanos — exact interval
+    * session_idx, [start_ts, end_ts] (exact integer interval
     * arithmetic, no float time), n_events. Same single user_id
     * shuffle; the window's partitioning carries into the group-by, so
-    * the agg adds no second exchange. */
+    * the agg adds no second exchange. `gapTicks` follows the caller's
+    * `ts` unit, as in [[sessionize]]. */
   def sessionIntervals(events: DataFrame,
-                       gapNanos: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
+                       gapTicks: Long = 1800L * 1000 * 1000 * 1000): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
       .select(col("event_id"), col("user_id"), col("ts"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn(
         "new_session",
-        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNanos, 1L).otherwise(0L))
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapTicks, 1L).otherwise(0L))
       .withColumn("session_idx", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
@@ -384,7 +389,7 @@ object RelationalOps {
                       binMicros: Long = 3600L * 1000 * 1000): DataFrame = {
     val sess = sessionIntervals(
       events.withColumn("ts", expr("ts div 1000")),
-      gapNanos = 1800L * 1000 * 1000) // 30 min in µs on this axis
+      gapTicks = 1800L * 1000 * 1000) // 30 min in µs on this axis
     def binned(df: DataFrame, prefix: String): DataFrame =
       df.select(
         col("user_id").as(s"${prefix}_user"), col("session_idx").as(s"${prefix}_session"),

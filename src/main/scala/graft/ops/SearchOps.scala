@@ -150,13 +150,19 @@ object SearchOps {
     *
     * Scale shape: [[searchText]] bounds the candidate set to k rows
     * BEFORE the window, so the unpartitioned running-sum window ranks
-    * ≤k rows — never the corpus. Token counts join in AFTER the limit
-    * (k rows probe the per-doc counts), not before.
+    * ≤k rows — never the corpus. Token counting is likewise bounded:
+    * the corpus is first LEFT-SEMI joined to the ≤k ranked doc_ids
+    * (broadcast — k rows), so the tokenize projection runs on the
+    * survivors only, never as a second full-corpus pass. Re-reading
+    * `docs` for its text column is a pruned (doc_id, text) scan; the
+    * expensive part — tokenization — touches k rows.
     */
   def contextPack(docs: DataFrame, queryText: String, tokenBudget: Long,
                   k: Int = 50): DataFrame = {
     val ranked = searchText(docs, queryText, k)
-    val toks = TextOps.tokenCounts(docs).select(col("doc_id"), col("n_ws_tokens"))
+    val toks = docs
+      .join(broadcast(ranked.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), TextOps.wsTokenCount(col("text")).as("n_ws_tokens"))
     val cum = Window.orderBy(col("rank"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranked

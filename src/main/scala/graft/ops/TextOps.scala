@@ -444,9 +444,20 @@ object TextOps {
     * uniform keys, no windows, no skew candidates. The distribution's
     * denominator is `char_length(text)` carried through the explode
     * (constant per doc), so no per-doc total agg or join exists at
-    * all: two hash aggs over one scan. */
+    * all: two hash aggs over one scan.
+    *
+    * Edge contract (pinned, not incidental): empty documents emit NO
+    * row — entropy of an empty distribution is undefined, and the
+    * `char_length > 0` filter makes both engines agree instead of one
+    * emitting a null-entropy row the other never produces. Character
+    * identity is the UTF-16 code unit keyed by `ascii()` (Spark's
+    * `split('')` walks code units): BMP text is exact; astral
+    * (non-BMP) characters count as their two surrogates. A
+    * cross-engine oracle comparing against a code-point engine must
+    * restrict to BMP input or normalize first. */
   def charEntropy(docs: DataFrame): DataFrame =
     docs
+      .filter(char_length(col("text")) > 0)
       .select(col("doc_id"), char_length(col("text")).cast("long").as("n"),
         // ONE-PASS char split — indexed substring(text, i, 1) per char
         // is O(doc²) (each call re-scans to the offset); split('')

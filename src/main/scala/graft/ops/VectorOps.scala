@@ -448,9 +448,32 @@ object VectorOps {
   def probePolicy(numCells: Int): (Int, Int) =
     (math.max(3, math.ceil(numCells / 16.0).toInt), 2)
 
+  /** Ceiling on the (c_id, dim) centroid cells [[lloyd]] will localize
+    * to the driver: 2²² ≈ 4.2M cells ≈ 32 MB of dense doubles (plus
+    * row overhead) — comfortably inside a default driver heap and the
+    * per-task broadcast budget. Under the √N-cells policy with
+    * d = 64 this allows k ≈ 65k cells ⇔ N ≈ 4.3B vectors; beyond
+    * that the centroid table itself must stay distributed (hierarchical
+    * / sharded k-means), which is a different algorithm — fail loudly
+    * rather than silently OOM the driver. */
+  private[ops] val MaxCentroidCells: Long = 1L << 22
+
+  /** The guard itself, factored out so the failure contract is
+    * unit-testable without materializing an over-limit table. */
+  private[ops] def requireCentroidBudget(nCells: Long, limit: Long = MaxCentroidCells): Unit =
+    require(nCells <= limit,
+      s"lloyd: centroid table has $nCells (c_id, dim) cells > limit $limit — centroids " +
+        s"localize to the driver and broadcast to every task each iteration " +
+        s"(~${nCells * 8} bytes dense + per-row overhead). At this k·d keep the " +
+        "centroid table distributed (hierarchical/sharded k-means) instead.")
+
   private def lloyd(embeddings: DataFrame, iters: Int, seedCent: DataFrame): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
+    // one cheap count on the (small) seed table bounds every
+    // localizeDense below: assignment never adds centroid ids and the
+    // dim set is fixed, so the seed's cell count is the loop's
+    requireCentroidBudget(seedCent.count())
     // the narrow (vec_id, dense-array) projection feeds the assignment
     // kernel every iteration; the exploded view derives from it for
     // the per-dim mean update — persist the projection once

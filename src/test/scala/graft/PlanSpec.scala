@@ -100,6 +100,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("context_pack: token counting runs ABOVE a broadcast semi-join — no second full-corpus pass") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Project}
+    val df = SparkEntry.queries("context_pack")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // every project computing/carrying n_ws_tokens must have the
+    // LeftSemi doc_id join BELOW it: tokenization touches only the ≤k
+    // ranked survivors, never the corpus (the round-6/7 perf-weak
+    // shape was the tokenize projection directly over the full scan)
+    val tokProjects = opt.collect {
+      case p: Project if p.projectList.exists(_.name == "n_ws_tokens") => p
+    }
+    assert(tokProjects.nonEmpty, "expected an n_ws_tokens projection in the optimized plan")
+    for (p <- tokProjects) {
+      val semiBelow = p.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semiBelow.nonEmpty,
+        "n_ws_tokens projection must sit above the LeftSemi doc_id join")
+    }
+    val exec = df.queryExecution.executedPlan.toString
+    assert(exec.contains("LeftSemi") && exec.contains("BroadcastExchange"))
+  }
+
   test("events_gapfill: the generated grid joins the PRE-AGGREGATED counts") {
     val p = planOf("events_gapfill")
     // the left join's probe side is |types|x|hours| grid rows and the

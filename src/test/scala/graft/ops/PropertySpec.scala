@@ -251,7 +251,7 @@ class PropertySpec extends SparkSpec {
         .select("a_user", "a_session", "b_user", "b_session", "overlap_us")
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       val sess = RelationalOps.sessionIntervals(
-        events.withColumn("ts", expr("ts div 1000")), gapNanos = 1800L * 1000 * 1000)
+        events.withColumn("ts", expr("ts div 1000")), gapTicks = 1800L * 1000 * 1000)
       val a = sess.filter($"n_events" >= 3).select($"user_id".as("au"),
         $"session_idx".as("asx"), $"start_ts".as("ast"), $"end_ts".as("aen"))
       val naive = a.crossJoin(sess)

@@ -62,7 +62,7 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r === Set((1L, 2L, 10 * m / 1000), (1L, 3L, 0L)))
     // naive twin over the same sessions (µs axis) — must agree exactly
     val sess = RelationalOps.sessionIntervals(
-      events.withColumn("ts", expr("ts div 1000")), gapNanos = 1800L * 1000 * 1000)
+      events.withColumn("ts", expr("ts div 1000")), gapTicks = 1800L * 1000 * 1000)
     val a = sess.filter($"n_events" >= 3)
       .select($"user_id".as("au"), $"start_ts".as("as"), $"end_ts".as("ae"))
     val b = sess.select($"user_id".as("bu"), $"start_ts".as("bs"), $"end_ts".as("be"))
@@ -71,6 +71,36 @@ class RelationalOpsSpec extends SparkSpec {
       .select($"au", $"bu", (least($"ae", $"be") - greatest($"as", $"bs")).as("ov"))
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(r === naive)
+  }
+
+  test("funnelDepth: strict ordering — purchase before view is depth 0 at that stage") {
+    val us = 1000L // µs → nanos (op truncates ts div 1000 to the µs axis)
+    val events = Seq(
+      // user 10: clean view → click → purchase, in order → depth 3
+      (10L, 100 * us, "view"), (10L, 200 * us, "click"), (10L, 300 * us, "purchase"),
+      // user 20: purchase BEFORE its first view → the purchase must not
+      // count; only the view does → depth 1
+      (20L, 100 * us, "purchase"), (20L, 200 * us, "view"),
+      // user 30: click SIMULTANEOUS with the view (strict > between
+      // stages) → click doesn't count → depth 1
+      (30L, 100 * us, "view"), (30L, 100 * us, "click"),
+      // user 40: click with no view at all → depth 0
+      (40L, 100 * us, "click"),
+      // user 50: out-of-order input rows; earliest qualifying click is
+      // the one AFTER the first view (400), and the purchase at 350
+      // precedes it → depth 2
+      (50L, 300 * us, "view"), (50L, 100 * us, "click"),
+      (50L, 400 * us, "click"), (50L, 350 * us, "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = RelationalOps.funnelDepth(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        (x.getAs[Long]("funnel_depth"),
+          Option(x.get(x.fieldIndex("t2_us"))).map(_.asInstanceOf[Long]))).toMap
+    assert(r(10L) === ((3L, Some(200L))))
+    assert(r(20L) === ((1L, None)))
+    assert(r(30L) === ((1L, None)))
+    assert(r(40L) === ((0L, None)))
+    assert(r(50L) === ((2L, Some(400L))))
   }
 
   test("rollupPricing emits leaf, subtotal, and grand-total rows") {

@@ -233,6 +233,17 @@ class TextOpsSpec extends SparkSpec {
     assert(e(0L) < e(1L) && e(1L) < e(2L))
   }
 
+  test("charEntropy edge contract: empty docs emit NO row (both engines agree)") {
+    val docs = Seq((0L, ""), (1L, "aab")).toDF("doc_id", "text")
+    val rows = TextOps.charEntropy(docs).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L)) // doc 0 filtered, never null-entropy
+    val r = rows.head
+    assert(r.getAs[Long]("n_chars") === 3L)
+    assert(r.getAs[Long]("n_distinct_chars") === 2L)
+    // -(2·round(ln(2/3),6) + round(ln(1/3),6)) / 3, rounded once
+    assert(math.abs(r.getAs[Double]("entropy") - 0.636514) < 1e-6)
+  }
+
   test("dsirSelect: histogram threshold keeps exactly the global top-quarter") {
     // 8 docs, distinct weights except a tie group straddling the cut
     val raw = Seq(

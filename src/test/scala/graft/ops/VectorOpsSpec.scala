@@ -105,4 +105,15 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(1L) === ((false, Some(0L))))
     assert(r(2L) === ((true, None)))
   }
+
+  test("centroid localize budget: over-limit k·d fails loudly with the broadcast math") {
+    VectorOps.requireCentroidBudget(5L, limit = 5L) // at the limit: fine
+    val ex = intercept[IllegalArgumentException] {
+      VectorOps.requireCentroidBudget(6L, limit = 5L)
+    }
+    assert(ex.getMessage.contains("6 (c_id, dim) cells > limit 5"))
+    assert(ex.getMessage.contains("48 bytes")) // the size math, not just a count
+    // the default ceiling is the documented 2^22
+    assert(VectorOps.MaxCentroidCells === (1L << 22))
+  }
 }
