@@ -233,6 +233,10 @@ object SparkEntry {
     // the encode step applied per document: ws-token count and
     // encoded length under the 6-merge vocabulary
     "bpe_tokenize" -> ((s, dir) => TextOps.bpeTokenize(Tables.documents(s, dir))),
+    // DEEP training guardrail: 64 merge rounds, vocabulary growth +
+    // compression curve sampled every 8 rounds — pins the trainer far
+    // past the 6-round census above
+    "bpe_vocab_size" -> ((s, dir) => TextOps.bpeVocabGrowth(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -502,6 +506,11 @@ object SparkEntry {
        |  FROM lp$t p, lw${t - 1} w GROUP BY w.b, w.w1, w.w2, w.w3)""".stripMargin
 
   private def duckBpeRound(r: Int): String =
+    // w CTEs are MATERIALIZED: each w$r is referenced twice (pair
+    // census + next round's merge) and, in the deep-training oracle,
+    // also by checkpoint censuses — DuckDB's per-reference inlining
+    // would otherwise re-expand the whole chain (and re-open the
+    // parquet scan) per reference, blowing the fd limit at 64 rounds
     s"""p$r AS (SELECT a[u.i] AS lhs, a[u.i + 1] AS rhs,
        |    CAST(sum(wc) AS BIGINT) AS pair_count
        |  FROM (SELECT wc, string_split(syms, '  ') AS a FROM w$r),
@@ -509,7 +518,7 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |t$r AS (SELECT $r AS merge_round, lhs, rhs, pair_count FROM p$r
        |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
-       |w${r + 1} AS (SELECT wc, s2[2:length(s2) - 1] AS syms FROM (
+       |w${r + 1} AS MATERIALIZED (SELECT wc, s2[2:length(s2) - 1] AS syms FROM (
        |  SELECT w.wc, replace(' ' || w.syms || ' ',
        |      ' ' || t.lhs || '  ' || t.rhs || ' ',
        |      ' ' || t.lhs || t.rhs || ' ') AS s2
@@ -815,7 +824,7 @@ object SparkEntry {
     // per-position slicing (both engines slice by character)
     "bpe_merges" ->
       s"""WITH $duckToks,
-         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,
          |    array_to_string(list_transform(range(1, length(tok) + 1),
          |                                   i -> tok[i:i]), '  ') AS syms
          |  FROM toks GROUP BY tok),
@@ -826,7 +835,7 @@ object SparkEntry {
     // histogram ranked (count desc, symbol) — top 20
     "bpe_encode" ->
       s"""WITH $duckToks,
-         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,
          |    array_to_string(list_transform(range(1, length(tok) + 1),
          |                                   i -> tok[i:i]), '  ') AS syms
          |  FROM toks GROUP BY tok),
@@ -841,7 +850,7 @@ object SparkEntry {
     // with separators removed (a word IS its symbols re-joined)
     "bpe_tokenize" ->
       s"""WITH $duckToks,
-         |w1 AS (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,
          |    array_to_string(list_transform(range(1, length(tok) + 1),
          |                                   i -> tok[i:i]), '  ') AS syms
          |  FROM toks GROUP BY tok),
@@ -852,6 +861,22 @@ object SparkEntry {
          |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_ws_tokens,
          |       CAST(sum(tf * n_syms) AS BIGINT) AS n_bpe_tokens
          |FROM tf JOIN enc USING (tok) GROUP BY doc_id""".stripMargin,
+    // 64 chained training rounds, then a live-symbol census of the
+    // word table at every 8th round: the growth/compression curve
+    "bpe_vocab_size" ->
+      s"""WITH $duckToks,
+         |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                   i -> tok[i:i]), '  ') AS syms
+         |  FROM toks GROUP BY tok),
+         |${(1 to 64).map(duckBpeRound).mkString(",\n")},
+         |${(8 to 64 by 8).map(c =>
+           s"""v$c AS (SELECT CAST($c AS BIGINT) AS merge_round,
+              |  CAST(count(DISTINCT symbol) AS BIGINT) AS vocab_size,
+              |  CAST(sum(wc) AS BIGINT) AS n_bpe_tokens
+              |  FROM (SELECT wc, unnest(string_split(syms, '  ')) AS symbol
+              |        FROM w${c + 1}))""".stripMargin).mkString(",\n")}
+         |SELECT * FROM (${(8 to 64 by 8).map(c => s"SELECT * FROM v$c").mkString(" UNION ALL ")})""".stripMargin,
     // 8-token lead chain mirrors wordShingles(w=8); interval union
     // via the same lag-gap window; all-integer until the final ratio
     "dedup_substrings" ->

@@ -592,16 +592,43 @@ object TextOps {
         sum(col("tf") * col("n_syms")).cast("long").as("n_bpe_tokens"))
   }
 
-  private def bpeLoop(docs: DataFrame, rounds: Int)
-      : (Seq[(Long, String, String, Long)], DataFrame) = {
+  /** The vocabulary GROWTH CURVE of a deep BPE training run — the
+    * guardrail a vocab-size decision reads (and the query that pins
+    * ≥64-round training against the oracle, not just the 6-round
+    * census): at every `every`-th merge round, the distinct-symbol
+    * count of the word table and the encoded corpus length
+    * Σ wc·|syms| (the compression curve — monotone non-increasing as
+    * merges land).
+    *
+    * Scale shape: identical to [[bpeMerges]] — the corpus is touched
+    * once (tokenize → word counts); all 64 rounds and the ≤ rounds/
+    * every census jobs run over the vocab-sized word table. The loop
+    * localCheckpoints every `every` rounds, so no job ever replays
+    * more than `every` map-only merge projections and the plan depth
+    * stays bounded at deep round counts. */
+  def bpeVocabGrowth(docs: DataFrame, rounds: Int = 64, every: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bpeLoop(docs, rounds, censusEvery = every)._3
+      .toDF("merge_round", "vocab_size", "n_bpe_tokens")
+  }
+
+  private def bpeLoop(docs: DataFrame, rounds: Int, censusEvery: Int = 0)
+      : (Seq[(Long, String, String, Long)], DataFrame, Seq[(Long, Long, Long)]) = {
     var words = EmbedOps.tokenize(docs)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       .select(col("wc"), concat_ws("  ",
         expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))")).as("syms"))
     // vocab-sized; materialize once so each round's argmax job replays
-    // <= r map-only merges instead of re-running the corpus tokenize
+    // bounded map-only merges instead of re-running the corpus tokenize
     words = words.localCheckpoint(true)
+    // re-checkpoint cadence: at deep round counts (64+) an unbounded
+    // merge chain would make round r's argmax replay r projections
+    // (O(r²) total) and grow the analysis-time plan linearly; every 8
+    // rounds bounds both
+    val checkpointEvery = 8
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
     for (r <- 1 to rounds) {
       val top = words
         .select(col("wc"), split(col("syms"), "  ").as("a"))
@@ -626,7 +653,17 @@ object TextOps {
         words = words.select(col("wc"),
           s2.substr(lit(2), length(s2) - 2).as("syms"))
       }
+      if (r % checkpointEvery == 0 && r < rounds) words = words.localCheckpoint(true)
+      if (censusEvery > 0 && r % censusEvery == 0) {
+        // one vocab-sized job: distinct live symbols + encoded length
+        val row = words
+          .select(col("wc"), explode(split(col("syms"), "  ")).as("symbol"))
+          .agg(countDistinct(col("symbol")).cast("long"),
+            sum(col("wc")).cast("long"))
+          .head()
+        curve += ((r.toLong, row.getLong(0), row.getLong(1)))
+      }
     }
-    (merges.toSeq, words)
+    (merges.toSeq, words, curve.toSeq)
   }
 }

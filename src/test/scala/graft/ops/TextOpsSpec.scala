@@ -284,6 +284,16 @@ class TextOpsSpec extends SparkSpec {
       (3L, "e", "r", 1L), (4L, "low", "er", 1L)))
   }
 
+  test("bpeVocabGrowth: live-symbol census and compression curve at checkpoints") {
+    val docs = Seq((0L, "low lower low")).toDF("doc_id", "text")
+    val got = TextOps.bpeVocabGrowth(docs, rounds = 4, every = 2)
+      .orderBy("merge_round").as[(Long, Long, Long)].collect().toSeq
+    // after r2 (l,o)+(lo,w): words are low×2, low|e|r×1 → 3 live
+    // symbols, encoded length 2·1 + 1·3 = 5; after r4 (e,r)+(low,er):
+    // low×2, lower×1 → 2 symbols, length 3
+    assert(got === Seq((2L, 3L, 5L), (4L, 2L, 3L)))
+  }
+
   test("bpeMerges: greedy left-to-right merges BOTH disjoint pairs of aaaa") {
     val docs = Seq((0L, "aaaa")).toDF("doc_id", "text")
     val got = TextOps.bpeMerges(docs, rounds = 2).orderBy("merge_round")
