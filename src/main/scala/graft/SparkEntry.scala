@@ -379,6 +379,18 @@ object SparkEntry {
       MultimodalOps.featurize(media).toDF()
         .select(col("media_id"), col("modality"), col("n_bytes"))
     }),
+    // Container-header round-trip: synthesize real WAV/MP4 bytes whose
+    // header fields are pure functions of (doc_id, n_chars), parse
+    // them back with the JDK-only header walkers, and let the oracle
+    // recompute what the parser must recover. Proves decodeMedia
+    // inverts the container spec, not just that it doesn't crash.
+    "media_metadata" -> ((s, dir) => {
+      val media = MultimodalOps.syntheticContainers(s, Tables.documents(s, dir))
+      MultimodalOps.decodeMedia(media).filter(_.ok).toDF()
+        .select(col("media_id"), col("modality"), col("container"),
+          col("sample_rate"), col("channels"), col("bits_per_sample"),
+          col("width"), col("height"), col("duration_ms"))
+    }),
 
     // ---- P3: relational breadth (SURVEY.md §2.3/2.5/2.10 north star) ----
     "join_orders_customers" -> ((s, dir) =>
@@ -1978,6 +1990,25 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+    // oracle twin of syntheticContainers → decodeMedia: recompute the
+    // header fields the WAV/MP4 parsers must recover. wav duration is
+    // data_bytes*1000 floor-div byte_rate (byte_rate = rate*ch*2 for
+    // 16-bit PCM); mp4 duration is units*1000 floor-div timescale
+    // (units = n_chars*3, timescale 600 → exactly n_chars*5)
+    "media_metadata" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'video' END AS modality,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS container,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 10) * 800 ELSE -1 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id % 4) // 2 ELSE -1 END AS INT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE -1 END AS INT) AS bits_per_sample,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE (doc_id % 1920) + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE (doc_id % 1080) + 1 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN ((n_chars % 256) + 1) * 1000
+        |            // ((8000 + (doc_id % 10) * 800) * (1 + (doc_id % 4) // 2) * 2)
+        |       ELSE n_chars * 5 END AS BIGINT) AS duration_ms
         |FROM documents""".stripMargin,
     "json_extract" ->
       """SELECT event_id,

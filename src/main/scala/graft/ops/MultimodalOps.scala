@@ -7,9 +7,12 @@ import org.apache.spark.sql.functions._
   * pipelines. The engine's stance (per the project brief): media
   * payloads are opaque `binary` columns with typed metadata; the
   * Spark-side machinery — schema, partition sizing, per-partition
-  * batch shape, UDF signatures — is real and tested, while the
-  * codec-dependent decode step is STUBBED deterministically (no
-  * image/audio libraries exist in this environment).
+  * batch shape, UDF signatures — is real and tested. The decode step
+  * is REAL where the JDK has a codec: images via header-only
+  * `javax.imageio` (`decodeImage`), WAV/RIFF and MP4 container
+  * headers via hand-rolled JDK-only parsers (`decodeMedia`).
+  * Payloads no JDK parser covers are CONTAINED as ok=false rows,
+  * never an executor-killing throw.
   *
   * Scale notes: rows carry megabyte-class payloads, so operators
   * must (a) never collect, (b) bound partition byte-size not row
@@ -100,6 +103,168 @@ object MultimodalOps {
           } catch {
             case _: Exception => DecodedMeta(row.media_id, row.modality, 0, 0, ok = false)
           }
+      }
+    }
+  }
+
+  /** Container metadata recovered from a media payload's HEADER bytes
+    * (never the sample data): WAV/RIFF `fmt `/`data` chunks, MP4
+    * `moov`/`mvhd`/`tkhd` boxes. Fields a container doesn't carry are
+    * -1 (e.g. width for audio, sample_rate for an MP4 header — stsd,
+    * where MP4 keeps codec sample rates, is codec territory, not
+    * container territory). */
+  case class MediaContainerMeta(media_id: Long, modality: String, container: String,
+                                sample_rate: Int, channels: Int, bits_per_sample: Int,
+                                width: Int, height: Int, duration_ms: Long, ok: Boolean)
+
+  private def leU16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def leU32(b: Array[Byte], off: Int): Long =
+    (leU16(b, off).toLong) | (leU16(b, off + 2).toLong << 16)
+  private def beU32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+  private def beU64(b: Array[Byte], off: Int): Long =
+    (beU32(b, off) << 32) | beU32(b, off + 4)
+  private def fourCC(b: Array[Byte], off: Int): String =
+    new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** WAV/RIFF header walk: `RIFF....WAVE` then (id, leU32 size) chunks
+    * to word-aligned boundaries; `fmt ` yields channels/rate/bits,
+    * `data`'s DECLARED size yields duration (declared, so a truncated
+    * tail payload still reports its intended length — header-only, no
+    * sample-data scan). */
+  private def parseWav(id: Long, modality: String, b: Array[Byte]): Option[MediaContainerMeta] = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE") return None
+    var off = 12
+    var channels = -1; var rate = -1; var bits = -1; var byteRate = -1L; var dataBytes = -1L
+    while (off + 8 <= b.length) {
+      val cid = fourCC(b, off); val sz = leU32(b, off + 4)
+      if (cid == "fmt " && sz >= 16 && off + 8 + 16 <= b.length) {
+        channels = leU16(b, off + 10); rate = leU32(b, off + 12).toInt
+        byteRate = leU32(b, off + 16); bits = leU16(b, off + 22)
+      } else if (cid == "data") dataBytes = sz
+      // chunks pad to even offsets; a size ≥ 2^31 (corrupt) would go
+      // negative on toInt and walk backwards — abort the walk instead
+      val szi = sz.toInt
+      if (szi < 0) off = b.length else off += 8 + szi + (szi & 1)
+    }
+    if (channels < 0 || dataBytes < 0 || byteRate <= 0) None
+    else Some(MediaContainerMeta(id, modality, "wav", rate, channels, bits, -1, -1,
+      dataBytes * 1000L / byteRate, ok = true))
+  }
+
+  /** MP4 box walk (ISO 14496-12): big-endian (size, 4CC type) boxes;
+    * `moov` recursed for `mvhd` (timescale + duration, v0/v1) and
+    * `trak`/`tkhd` (16.16 fixed-point presentation width/height,
+    * v0/v1). Only box headers are touched — `mdat` (the sample data,
+    * ~all the bytes at scale) is skipped by its declared size. */
+  private def parseMp4(id: Long, modality: String, b: Array[Byte]): Option[MediaContainerMeta] = {
+    if (b.length < 8 || fourCC(b, 4) != "ftyp") return None
+    var timescale = -1L; var duration = -1L; var width = -1; var height = -1
+    def walk(from: Int, to: Int, depth: Int): Unit = {
+      var off = from
+      while (off + 8 <= to) {
+        val sz = beU32(b, off); val typ = fourCC(b, off + 4)
+        if (sz < 8 || off + sz > to) return // malformed size: stop, keep what we have
+        val p = off + 8 // payload start
+        typ match {
+          case "moov" | "trak" if depth < 4 => walk(p, off + sz.toInt, depth + 1)
+          case "mvhd" if p + 4 <= to =>
+            val v = b(p) & 0xff
+            if (v == 1 && p + 28 <= to) { timescale = beU32(b, p + 20); duration = beU64(b, p + 24) }
+            else if (v == 0 && p + 20 <= to) { timescale = beU32(b, p + 12); duration = beU32(b, p + 16) }
+          case "tkhd" if p + 4 <= to =>
+            val v = b(p) & 0xff
+            val wOff = if (v == 1) p + 88 else p + 76
+            if (wOff + 8 <= to) { width = (beU32(b, wOff) >> 16).toInt; height = (beU32(b, wOff + 4) >> 16).toInt }
+          case _ => ()
+        }
+        off += sz.toInt
+      }
+    }
+    walk(0, b.length, 0)
+    if (timescale <= 0) None
+    else Some(MediaContainerMeta(id, modality, "mp4", -1, -1, -1, width, height,
+      duration * 1000L / timescale, ok = true))
+  }
+
+  /** Audio/video twin of [[decodeImage]]: recover container metadata
+    * from WAV/RIFF and MP4 payloads with JDK-only header parsers, in
+    * the same map-only mapPartitions batch shape. Unrecognized,
+    * truncated, or corrupt payloads are CONTAINED as ok=false rows. */
+  def decodeMedia(media: Dataset[MediaRow]): Dataset[MediaContainerMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        val contained = MediaContainerMeta(row.media_id, row.modality, "unknown",
+          -1, -1, -1, -1, -1, -1L, ok = false)
+        try {
+          parseWav(row.media_id, row.modality, row.content)
+            .orElse(parseMp4(row.media_id, row.modality, row.content))
+            .getOrElse(contained)
+        } catch { case _: Exception => contained }
+      }
+    }
+  }
+
+  /** Canonical 44-byte-header WAV bytes (PCM, zeroed samples). */
+  def wavBytes(sampleRate: Int, channels: Int, bitsPerSample: Int, nDataBytes: Int): Array[Byte] = {
+    val byteRate = sampleRate * channels * (bitsPerSample / 8)
+    val bb = java.nio.ByteBuffer.allocate(44 + nDataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + nDataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate).putInt(byteRate)
+      .putShort((channels * bitsPerSample / 8).toShort).putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(nDataBytes)
+    bb.array()
+  }
+
+  /** Minimal valid MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)). */
+  def mp4Bytes(timescale: Int, duration: Int, width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(16 + 216) // ftyp 16 + moov 216
+    bb.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0x200)
+    bb.putInt(216).put("moov".getBytes("US-ASCII"))
+    bb.putInt(108).put("mvhd".getBytes("US-ASCII")) // v0: 100-byte payload
+      .putInt(0).putInt(0).putInt(0)                // ver/flags, creation, modification
+      .putInt(timescale).putInt(duration)
+      .putInt(0x00010000).putShort(0x0100.toShort)  // rate 1.0, volume 1.0
+      .put(new Array[Byte](10))                     // reserved
+      .put(new Array[Byte](36))                     // matrix (zeros are fine for a header test)
+      .put(new Array[Byte](24))                     // pre_defined
+      .putInt(2)                                    // next_track_ID
+    bb.putInt(100).put("trak".getBytes("US-ASCII"))
+    bb.putInt(92).put("tkhd".getBytes("US-ASCII"))  // v0: 84-byte payload
+      .putInt(0).putInt(0).putInt(0)                // ver/flags, creation, modification
+      .putInt(1).putInt(0).putInt(duration)         // track_ID, reserved, duration
+      .put(new Array[Byte](8))                      // reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt_group, volume, reserved
+      .put(new Array[Byte](36))                     // matrix
+      .putInt(width << 16).putInt(height << 16)     // 16.16 fixed point
+    bb.array()
+  }
+
+  /** Deterministic container-bearing media table from `documents`:
+    * even doc_ids become PCM WAVs, odd doc_ids become MP4s, every
+    * header field a pure function of (doc_id, n_chars) — so a SQL
+    * oracle can recompute what [[decodeMedia]] must recover and the
+    * round-trip (synthesize → parse) is differential-testable. */
+  def syntheticContainers(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("n_chars")).as[(Long, Long)].mapPartitions { it =>
+      it.map { case (docId, nChars) =>
+        if (docId % 2 == 0) {
+          val rate = 8000 + (docId % 10).toInt * 800
+          val channels = 1 + ((docId % 4) / 2).toInt
+          val dataBytes = (nChars % 256).toInt + 1
+          MediaRow(docId, "audio", wavBytes(rate, channels, 16, dataBytes), -1, -1, rate, -1)
+        } else {
+          val w = (docId % 1920).toInt + 1; val h = (docId % 1080).toInt + 1
+          MediaRow(docId, "video", mp4Bytes(600, nChars.toInt * 3, w, h), w, h, -1, -1)
+        }
       }
     }
   }
