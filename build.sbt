@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout: sbt's logger wraps long
+// lines (~2.5 KB), which truncated Bench's single-line JSON in every
+// round's BENCH_r*.json capture. StdoutOutput inherits the real fd —
+// no [info] prefix, no wrapping.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -299,6 +299,14 @@ object SparkEntry {
     "repetition_score" -> ((s, dir) => TextOps.repetitionScore(Tables.documents(s, dir))),
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
+    "gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
+    // contrastive hard negatives: per anchor, the closest co-candidate
+    // with a DIFFERENT label (IVF cells bound the pair join)
+    "hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.hardNegatives(emb,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // corpus-fit unigram LM (perplexity-proxy quality gate): vocab
     // logprobs from one token-keyed agg, per-doc mean via tok-ordered
@@ -1026,6 +1034,50 @@ object SparkEntry {
       s"""WITH $duckToks,
          |$duckQualityCtes
          |SELECT doc_id, n_tok, stop_ratio, distinct_ratio, quality FROM qual""".stripMargin,
+    // Gopher §A1.1 word-level battery: every ratio is integer
+    // arithmetic rounded once; thresholds compare the ROUNDED value
+    "gopher_rules" ->
+      s"""WITH $duckToks,
+         |ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(length(tok)) AS BIGINT) AS tok_chars,
+         |         CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_alpha_words,
+         |         CAST(count(DISTINCT CASE WHEN tok IN (${sqlList(graft.ops.TextOps.GopherStopwords)})
+         |                             THEN tok END) AS BIGINT) AS n_req_stopwords
+         |       FROM toks GROUP BY 1),
+         |sy AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_syms
+         |       FROM documents),
+         |m AS (SELECT t.doc_id, n_words,
+         |        round(tok_chars / n_words, 6) + 0 AS mean_word_len,
+         |        round(n_alpha_words / n_words, 6) + 0 AS alpha_frac,
+         |        round(n_syms / n_words, 6) + 0 AS sym_ratio,
+         |        n_req_stopwords
+         |      FROM ta t JOIN sy s ON s.doc_id = t.doc_id)
+         |SELECT doc_id, n_words, mean_word_len, alpha_frac, sym_ratio, n_req_stopwords,
+         |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+         |   AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_req_stopwords >= 2)
+         |  AS passes
+         |FROM m""".stripMargin,
+    // same IVF cell chain as similarity_join, directed, label-filtered,
+    // folded to each anchor's top-1 cross-label neighbor
+    "hard_negatives" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cpairs AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+         |           FROM assigned a JOIN assigned b USING (c_label)
+         |           WHERE a.vec_id <> b.vec_id),
+         |sim AS (SELECT p.anchor_id, la.label AS anchor_label,
+         |          p.neg_id, lb.label AS neg_label,
+         |          round(${duckCos("la.embedding", "lb.embedding")}, 6) + 0 AS cos_sim
+         |        FROM cpairs p
+         |        JOIN embeddings la ON la.vec_id = p.anchor_id
+         |        JOIN embeddings lb ON lb.vec_id = p.neg_id
+         |        WHERE la.label <> lb.label)
+         |SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                               ORDER BY cos_sim DESC, neg_id) AS rn
+         |  FROM sim) WHERE rn = 1""".stripMargin,
     // the oracle RETRAINS the classifier from scratch (8 unrolled GD
     // steps as CTE pairs — weights are never taken from the engine):
     // HUGEINT gradient sums twin the engine's decimal(38,0) ones

@@ -62,6 +62,57 @@ object TextOps {
       .select(col("doc_id"), col("n_tok"), col("stop_ratio"), col("distinct_ratio"), col("quality"))
   }
 
+  /** Gopher's required-stopword list (Rae et al., arXiv 2112.11446
+    * §A1.1) — shared with the oracle SQL, single source of truth. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule battery (Rae et al., arXiv 2112.11446
+    * §A1.1) — the published heuristic gate MassiveText ran before
+    * training: per-document metrics plus the conjunctive pass flag.
+    * Word-level rules only — the corpus is single-line, so the
+    * line-shaped rules (bullet/ellipsis line fractions) have no
+    * denominator here and are deliberately omitted.
+    *
+    *  - 50 ≤ word count ≤ 100,000
+    *  - 3 ≤ mean word length ≤ 10
+    *  - (# of '#' or '...') / words ≤ 0.1
+    *  - ≥ 80% of words contain an alphabetic character
+    *  - ≥ 2 distinct required stopwords ([[GopherStopwords]])
+    *
+    * Scale shape: one tokenize → doc_id-keyed agg (uniform key,
+    * map-side partials) joined to a map-only symbol census on the
+    * same key; every ratio is integer arithmetic rounded once, and
+    * every threshold compares the ROUNDED value, so the pass flag is
+    * engine-exact. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val syms = docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit("#|\\.\\.\\."), lit(0)))
+        .cast("long").as("n_syms"))
+    EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("tok"))).as("tok_chars"),
+        sum(when(col("tok").rlike("[a-z]"), 1L).otherwise(0L)).as("n_alpha_words"),
+        countDistinct(when(col("tok").isin(GopherStopwords: _*), col("tok")))
+          .as("n_req_stopwords"))
+      .join(syms, "doc_id")
+      .withColumn("mean_word_len", roundn(col("tok_chars") / col("n_words"), 6))
+      .withColumn("alpha_frac", roundn(col("n_alpha_words") / col("n_words"), 6))
+      .withColumn("sym_ratio", roundn(col("n_syms") / col("n_words"), 6))
+      .withColumn("passes",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("sym_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_req_stopwords") >= 2L)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("alpha_frac"), col("sym_ratio"), col("n_req_stopwords"),
+        col("passes"))
+  }
+
   /** Marker tokens per language — shared with the oracle SQL (the
     * DuckDB twins interpolate this list, single source of truth). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -145,6 +145,52 @@ object VectorOps {
         col("pruned_by").isNull.as("keep"))
   }
 
+  /** Contrastive hard-negative mining — the training-pair step of an
+    * embedding-model data pipeline (in-batch negatives are easy; the
+    * informative negatives are the CLOSEST vectors with a different
+    * label): for every anchor vector, the highest-cosine co-candidate
+    * whose `label` differs. Candidates come from the same IVF
+    * cell-co-residency equi-join as [[similarityJoinIvf]] (directed —
+    * each anchor sees its co-residents both ways), labels join and
+    * the cross-label filter run BEFORE any float math, and the exact
+    * cosine kernel + per-anchor top-1 rank touch only surviving
+    * candidates. Anchors whose probed cells hold no cross-label
+    * vector drop out (approximate in [[ivfTopK]]'s boundary-loss
+    * sense; nAssign multi-assignment attacks exactly that).
+    *
+    * Determinism: rank on the ROUNDED cosine with a vec_id tie-break.
+    * Scale shape: cells bound the pair blowup, the rank window keys
+    * on the uniform anchor id, nothing driver-side. */
+  def hardNegatives(embeddings: DataFrame, nAssign: Int = 2,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(embeddings)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
+    val assigned = cellRanks(embeddings, cent, "id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("id"), col("c_label"))
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val cand = assigned.select(col("id").as("anchor_id"), col("c_label"))
+      .join(assigned.select(col("id").as("neg_id"), col("c_label")), "c_label")
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .select(col("anchor_id"), col("neg_id"))
+      .distinct() // a pair can share several cells
+      .join(lab.select(col("vec_id").as("anchor_id"), col("label").as("anchor_label")), "anchor_id")
+      .join(lab.select(col("vec_id").as("neg_id"), col("label").as("neg_label")), "neg_id")
+      .filter(col("anchor_label") =!= col("neg_label"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("neg_id"))
+    cand
+      .join(e.select(col("vec_id").as("anchor_id"), col("e").as("ea")), "anchor_id")
+      .join(e.select(col("vec_id").as("neg_id"), col("e").as("eb")), "neg_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("anchor_label"), col("neg_id"),
+        col("neg_label"), col("cos_sim"))
+  }
+
   /** Brute-force cosine top-k for a *set* of query vectors: per-query
     * ranked neighbors. The scale path replaces the cross join with an
     * LSH/IVF candidate join; this exact kernel then runs per bucket.

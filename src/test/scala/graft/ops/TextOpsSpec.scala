@@ -303,4 +303,28 @@ class TextOpsSpec extends SparkSpec {
     // emit (a,a) again from a leftover "aa a a" split
     assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
+
+  test("gopherRules: each word-level rule independently gates the pass flag") {
+    val fifty = (1 to 48).map(i => s"word$i").mkString(" ") // 48 filler words
+    val docs = Seq(
+      (0L, s"the of $fifty"),               // 50 words, 2 req stopwords → passes
+      (1L, "the of too short"),             // < 50 words
+      (2L, s"the the $fifty"),              // only ONE distinct req stopword
+      (3L, s"the of $fifty # # # # # # #"), // 7 syms / 57 words > 0.1
+      (4L, "the of " + (1 to 48).map(_ => "p").mkString(" ")) // mean len < 3
+    ).toDF("doc_id", "text")
+    val r = TextOps.gopherRules(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(0L).getAs[Boolean]("passes"))
+    assert(r(0L).getAs[Long]("n_words") === 50L)
+    assert(r(0L).getAs[Long]("n_req_stopwords") === 2L)
+    assert(r(0L).getAs[Double]("alpha_frac") === 1.0)
+    assert(!r(1L).getAs[Boolean]("passes"))
+    assert(!r(2L).getAs[Boolean]("passes") &&
+      r(2L).getAs[Long]("n_req_stopwords") === 1L)
+    assert(!r(3L).getAs[Boolean]("passes") &&
+      r(3L).getAs[Double]("sym_ratio") > 0.1)
+    assert(!r(4L).getAs[Boolean]("passes") &&
+      r(4L).getAs[Double]("mean_word_len") < 3.0)
+  }
 }

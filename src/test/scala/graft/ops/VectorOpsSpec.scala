@@ -106,6 +106,52 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(2L) === ((true, None)))
   }
 
+  test("hardNegatives: top-1 CROSS-label neighbor per anchor, same-label excluded") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0.01f, 0f, 0f), 0),  // closest to 0 overall but SAME label
+      (2L, Seq(1f, 0.1f, 0f, 0f), 1),   // closest cross-label to 0
+      (3L, Seq(0f, 1f, 0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // one zero centroid: all vectors co-resident, so the verdict
+    // isolates the mining rule from quantizer recall
+    val cent = (0 until 4).map(d => (0L, d.toLong, 0.0)).toDF("c_label", "dim", "cv")
+    val r = VectorOps.hardNegatives(vecs, centroids = Some(cent))
+      .collect().map(x => x.getAs[Long]("anchor_id") ->
+        (x.getAs[Long]("neg_id"), x.getAs[Int]("neg_label"))).toMap
+    assert(r.size === 4) // every anchor has some cross-label candidate
+    assert(r(0L) === ((2L, 1)))  // hardest negative, not same-label near-dup 1
+    assert(r(1L) === ((2L, 1)))
+    // cos(2,1) ≈ 0.99599 beats cos(2,0) ≈ 0.99504; cos(3,1) ≈ 0.01 beats 0
+    assert(r(2L) === ((1L, 0)))
+    assert(r(3L) === ((1L, 0)))
+  }
+
+  test("hardNegatives agrees with the brute-force cross-label argmax") {
+    val n = 12
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => ((i * 7 + d * 3) % 5 - 2).toFloat), i % 3)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = (0 until 4).map(d => (0L, d.toLong, 0.0)).toDF("c_label", "dim", "cv")
+    val got = VectorOps.hardNegatives(vecs, centroids = Some(cent))
+      .collect().map(x => x.getAs[Long]("anchor_id") -> x.getAs[Long]("neg_id")).toMap
+    // brute force in memory with the same rounded-cosine + id tie-break
+    val raw = (0 until n).map(i =>
+      i.toLong -> Seq.tabulate(4)(d => ((i * 7 + d * 3) % 5 - 2).toDouble)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      val c = if (na * nb == 0) 0.0 else dot / (na * nb)
+      BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (0 until n).foreach { i =>
+      val want = (0 until n).filter(j => j % 3 != i % 3)
+        .map(j => (j.toLong, cos(raw(i.toLong), raw(j.toLong))))
+        .sortBy { case (id, c) => (-c, id) }.head._1
+      assert(got(i.toLong) === want, s"anchor $i")
+    }
+  }
+
   test("centroid localize budget: over-limit k·d fails loudly with the broadcast math") {
     VectorOps.requireCentroidBudget(5L, limit = 5L) // at the limit: fine
     val ex = intercept[IllegalArgumentException] {

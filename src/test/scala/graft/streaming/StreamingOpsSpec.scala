@@ -342,4 +342,74 @@ class StreamingOpsSpec extends SparkSpec {
         StateVersion(7L, 2L, "cart", 300L, 400L)))
     } finally q.stop()
   }
+
+  test("golden e2e: fileIngest → corpus → enrichedStream over real file arrivals, " +
+       "crash-replay of the last batch is idempotent") {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Files.createTempDirectory("golden")
+    val watch = base.resolve("watch"); val corpus = base.resolve("corpus")
+    val ckpt = base.resolve("ckpt")
+    java.nio.file.Files.createDirectories(watch)
+    def drop(name: String, lines: Seq[String]): Unit =
+      java.nio.file.Files.write(watch.resolve(name),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+
+    // ---- stage 1: 24/7 file ingest with streaming dedup ----
+    drop("b1.json", Seq(
+      """{"doc_id": 1, "source": "web", "text": "alpha alpha alpha"}""",
+      """{"doc_id": 2, "source": "web", "text": "alpha alpha alpha"}""", // in-batch dup
+      """{"doc_id": 3, "source": "pdf", "text": "beta"}"""))
+    val q1 = fileIngest(spark, watch.toString, corpus.toString, ckpt.toString)
+    try {
+      q1.processAllAvailable()
+      drop("b2.json", Seq(
+        """{"doc_id": 4, "source": "pdf", "text": "beta"}""",          // cross-batch dup
+        """{"doc_id": 5, "source": "web", "text": "gamma gamma"}""")) // new
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val ingested = spark.read.parquet(corpus.toString)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(ingested === Seq(1L, 3L, 5L)) // multiset: dups suppressed exactly once
+
+    // ---- crash-replay: drop the LAST batch's commit marker and restart.
+    // Spark re-plans that batch from the checkpointed offsets, the state
+    // store rolls back to the pre-batch version with it, and the
+    // batchId-keyed sink overwrite rewrites the SAME directory — the
+    // re-delivered batch must change nothing.
+    val commits = ckpt.resolve("commits")
+    val last = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(last)
+    // the local ChecksumFs keeps a hidden CRC sidecar; a stale one
+    // blocks the re-commit rename on replay
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve("." + last.getFileName.toString + ".crc"))
+    val q2 = fileIngest(spark, watch.toString, corpus.toString, ckpt.toString)
+    try q2.processAllAvailable() finally q2.stop()
+    val replayed = spark.read.parquet(corpus.toString)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(replayed === Seq(1L, 3L, 5L)) // same multiset — no dup, no loss
+
+    // ---- stage 2: the ingested corpus is itself a streaming source;
+    // enrich it against a static dimension with a quality floor (the
+    // stream side never shuffles — per-batch broadcast hash join) ----
+    val dim = Seq(("web", "crawl"), ("pdf", "upload")).toDF("source", "channel")
+    val events = spark.readStream
+      .schema("doc_id LONG, source STRING, text STRING")
+      .parquet(corpus.toString + "/batch_id=*")
+      .withColumn("user_id", col("source")) // enrichedStream joins on user_id
+      .drop("source")
+      .withColumn("value", length(col("text")).cast("double"))
+    val q3 = enrichedStream(events, dim.withColumnRenamed("source", "user_id"),
+        minValue = 5.0) // "beta" (4 chars) fails the floor
+      .writeStream.format("memory").queryName("golden_enriched")
+      .outputMode("append").start()
+    try {
+      q3.processAllAvailable()
+      val out = spark.table("golden_enriched")
+        .select("doc_id", "channel").as[(Long, String)].collect().toSet
+      assert(out === Set((1L, "crawl"), (5L, "crawl")))
+    } finally q3.stop()
+  }
 }
