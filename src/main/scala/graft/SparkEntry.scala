@@ -300,6 +300,7 @@ object SparkEntry {
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
+    "gopher_repetition" -> ((s, dir) => TextOps.gopherRepetition(Tables.documents(s, dir))),
     // contrastive hard negatives: per anchor, the closest co-candidate
     // with a DIFFERENT label (IVF cells bound the pair join)
     "hard_negatives" -> ((s, dir) => {
@@ -1058,6 +1059,42 @@ object SparkEntry {
          |  (n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
          |   AND sym_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_req_stopwords >= 2)
          |  AS passes
+         |FROM m""".stripMargin,
+    // Gopher Table A1 repetition battery: top-n-gram (n≤4) and
+    // duplicated-n-gram (n≥5) character fractions; the top gram is
+    // pinned by (count DESC, gram ASC) so both engines pick the same
+    // one; thresholds compare the ROUNDED fraction
+    "gopher_repetition" ->
+      s"""WITH arr AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_chars,
+         |         list_filter(list_transform(list_slice(string_split(text, ' '), 1, 512),
+         |                                    t -> trim(t)), t -> t <> '') AS toks
+         |  FROM documents),
+         |grams AS (
+         |  SELECT doc_id, doc_chars, n.n,
+         |         array_to_string(list_slice(toks, u.i, u.i + n.n - 1), ' ') AS gram
+         |  FROM arr, unnest(range(2, 11)) n(n),
+         |       unnest(range(1, len(toks) - n.n + 2)) u(i)
+         |  WHERE len(toks) >= n.n),
+         |counted AS (SELECT doc_id, doc_chars, n, gram, CAST(count(*) AS BIGINT) AS cnt
+         |            FROM grams GROUP BY 1, 2, 3, 4),
+         |folded AS (
+         |  SELECT doc_id, doc_chars, n,
+         |    min(struct_pack(nc := -cnt, g := gram)).g AS top_gram,
+         |    max(cnt) AS top_cnt,
+         |    CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS BIGINT)
+         |      AS dup_chars
+         |  FROM counted GROUP BY 1, 2, 3),
+         |m AS (
+         |  SELECT doc_id, n,
+         |    CASE WHEN n <= 4 THEN 'top' ELSE 'dup' END AS kind,
+         |    round((CASE WHEN n <= 4 THEN top_cnt * length(top_gram)
+         |                ELSE dup_chars END) / doc_chars, 6) + 0 AS char_frac
+         |  FROM folded)
+         |SELECT doc_id, n, kind, char_frac,
+         |  char_frac <= (CASE n ${TextOps.GopherRepThresholds
+                            .map { case (n, t) => s"WHEN $n THEN $t" }.mkString(" ")}
+         |                END) AS ok
          |FROM m""".stripMargin,
     // same IVF cell chain as similarity_join, directed, label-filtered,
     // folded to each anchor's top-1 cross-label neighbor

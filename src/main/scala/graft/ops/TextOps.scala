@@ -113,6 +113,82 @@ object TextOps {
         col("passes"))
   }
 
+  /** Gopher's repetition thresholds (Rae et al. Table A1), keyed by
+    * n-gram length: top-n-gram character fraction for n=2..4,
+    * duplicated-n-gram character fraction for n=5..10 — shared with
+    * the oracle SQL, single source of truth. */
+  val GopherRepThresholds: Seq[(Int, Double)] = Seq(
+    2 -> 0.20, 3 -> 0.18, 4 -> 0.16,
+    5 -> 0.15, 6 -> 0.14, 7 -> 0.13, 8 -> 0.12, 9 -> 0.11, 10 -> 0.10)
+
+  /** Gopher's repetition-rule battery (Rae et al., arXiv 2112.11446
+    * §A1.1, Table A1) — the other half of [[gopherRules]]: per
+    * document and n-gram length n, the fraction of characters covered
+    * by repeated word n-grams, long format (one row per (doc, n)).
+    *
+    *  - n = 2..4  → kind `top`: chars of the MOST FREQUENT n-gram
+    *    (count × n-gram length incl. inner separators) / doc chars;
+    *    the top gram breaks count ties lexicographically smallest.
+    *  - n = 5..10 → kind `dup`: chars of ALL n-grams occurring ≥ 2
+    *    times (Σ count × length) / doc chars.
+    *  - `ok` compares the 6dp-ROUNDED fraction to Table A1's
+    *    threshold for that n ([[GopherRepThresholds]]).
+    *
+    * Contract notes: occurrences are counted independently (the
+    * published rule's overlap correction is implementation-defined;
+    * this engine pins the uncorrected Σ count × length form on both
+    * sides), the denominator is `char_length(text)`, and a doc emits
+    * a row for n only if it has ≥ n tokens — so `dup` fractions can
+    * exceed 1.0 on degenerate all-repeat docs, which Table A1's
+    * thresholds still classify correctly.
+    *
+    * Scale shape: n-gram generation is MAP-ONLY — the token array is
+    * built by string functions on the text column (no tokenize
+    * explode + re-collect shuffle) and all nine n values fan out of
+    * one projection; the only exchanges are the (doc, n, gram) count
+    * agg and the (doc, n) fold, both uniform sha-free keys with
+    * map-side partials; top-1 is an agg-side `min(struct)` (negated
+    * count, then gram) — no window over the corpus. */
+  def gopherRepetition(docs: DataFrame): DataFrame = {
+    // same token contract as EmbedOps.tokenize (slice 512, trim, drop
+    // empties) expressed as array ops: map-only, order preserved
+    val arr = docs.select(
+      col("doc_id"),
+      char_length(col("text")).cast("long").as("doc_chars"),
+      expr("filter(transform(slice(split(text, ' '), 1, 512), t -> trim(t)), t -> t <> '')")
+        .as("toks"))
+    val grams = arr
+      .select(col("doc_id"), col("doc_chars"), col("toks"),
+        explode(sequence(lit(2), lit(10))).as("n"))
+      .filter(size(col("toks")) >= col("n")) // sequence(1,0) would count DOWN
+      .select(col("doc_id"), col("doc_chars"), col("n"),
+        explode(expr(
+          "transform(sequence(1, size(toks) - n + 1), i -> array_join(slice(toks, i, n), ' '))"))
+          .as("gram"))
+    val counted = grams
+      .groupBy(col("doc_id"), col("doc_chars"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val thr = GopherRepThresholds
+      .foldLeft(lit(null).cast("double")) { case (acc, (n, t)) =>
+        when(col("n") === n, t).otherwise(acc) }
+    counted
+      .groupBy(col("doc_id"), col("doc_chars"), col("n"))
+      .agg(
+        // struct min: highest count first (negated), then lexicographically
+        // smallest gram — deterministic top-1 without a window
+        min(struct((-col("cnt")).as("nc"), col("gram").as("g")))("g").as("top_gram"),
+        max(col("cnt")).as("top_cnt"),
+        sum(when(col("cnt") >= 2L, col("cnt") * length(col("gram"))).otherwise(0L))
+          .as("dup_chars"))
+      .withColumn("kind", when(col("n") <= 4, "top").otherwise("dup"))
+      .withColumn("char_frac", roundn(
+        when(col("kind") === "top", col("top_cnt") * length(col("top_gram")))
+          .otherwise(col("dup_chars")) / col("doc_chars"), 6))
+      .withColumn("ok", col("char_frac") <= thr)
+      .select(col("doc_id"), col("n").cast("long").as("n"), col("kind"),
+        col("char_frac"), col("ok"))
+  }
+
   /** Marker tokens per language — shared with the oracle SQL (the
     * DuckDB twins interpolate this list, single source of truth). */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

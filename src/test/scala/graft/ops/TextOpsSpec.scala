@@ -304,6 +304,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got === Seq((1L, "a", "a", 3L), (2L, "aa", "aa", 1L)))
   }
 
+  test("gopherRepetition: top fraction picks the tie-broken top gram; dup sums repeats") {
+    // "a b a b a b" — 6 toks, 11 chars. 2-grams: "a b"×3, "b a"×2 →
+    // top = "a b" (count 3, 3 chars) → 9/11. dup over n=5: both
+    // 5-grams unique → 0.0
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val r = TextOps.gopherRepetition(docs).collect()
+      .map(x => x.getAs[Long]("n") ->
+        (x.getAs[String]("kind"), x.getAs[Double]("char_frac"), x.getAs[Boolean]("ok"))).toMap
+    assert(r.keySet === (2L to 6L).toSet) // only n ≤ token count emit
+    assert(r(2L) === (("top", 0.818182, false))) // 9/11 > 0.20
+    assert(r(4L)._1 === "top")
+    // 4-grams: "a b a b"×? positions 1..3: "a b a b","b a b a","a b a b" →
+    // top count 2, len 7 → 14/11 (uncorrected form may exceed 1)
+    assert(r(4L)._2 === 1.272727)
+    assert(r(5L) === (("dup", 0.0, true)))  // no repeated 5-gram
+    // count ties at n=6 (single gram, count 1): not dup → 0.0
+    assert(r(6L) === (("dup", 0.0, true)))
+  }
+
+  test("gopherRepetition: dup fraction counts every repeated gram's occurrences") {
+    // 10 toks, all "x": n=5 grams = 6 occurrences of "x x x x x"
+    // (9 chars) → dup_chars 54, doc_chars 19 → 2.842105
+    val docs = Seq((1L, Seq.fill(10)("x").mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.gopherRepetition(docs).collect()
+      .map(x => x.getAs[Long]("n") -> x.getAs[Double]("char_frac")).toMap
+    assert(r(5L) === 2.842105) // round(54/19, 6): the uncorrected form
+    assert(r(10L) === 0.0)     // exactly one 10-gram: count 1 is not a dup
+  }
+
   test("gopherRules: each word-level rule independently gates the pass flag") {
     val fifty = (1 to 48).map(i => s"word$i").mkString(" ") // 48 filler words
     val docs = Seq(
