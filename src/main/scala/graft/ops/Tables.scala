@@ -17,10 +17,18 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-    * reader rejects; read it as Long nanos-since-epoch (UTC) instead.
-    * Downstream ops treat `ts` as ordered nanos and convert to
-    * timestamps explicitly where calendar semantics are needed.
+  /** events.ts is surfaced to every downstream op as **Long
+    * nanos-since-epoch (UTC)** — the engine's event-time axis is a
+    * plain ordered integer, converted to calendar timestamps
+    * explicitly where needed. The parquet physical type has varied
+    * across driver-generated corpora (TIMESTAMP(NANOS) originally,
+    * TIMESTAMP(MICROS) since 2026-08-13), so [[events]] normalizes
+    * whatever the scan yields: a Long column (the nanos-as-long
+    * legacy read) passes through; a timestamp column is converted
+    * via `unix_micros * 1000` — exact Long arithmetic, no double
+    * rounding. DuckDB oracles read the same files with
+    * `epoch_ns(ts)` / `epoch_us(ts)`, which are storage-granularity
+    * agnostic, so engine and oracle stay value-identical.
     *
     * `nanosAsLong` is a session conf with no per-read option, so an
     * externally-built session that lacks it gets a CHILD session
@@ -63,7 +71,23 @@ object Tables {
         child.conf.set(key, "true")
         child
       })
-    load(s, dir, "events")
+    val df = load(s, dir, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.functions.expr
+    df.schema("ts").dataType match {
+      case LongType => df // legacy nanos read — already the contract
+      case TimestampType =>
+        df.withColumn("ts", expr("unix_micros(ts) * 1000L"))
+      case TimestampNTZType =>
+        // NTZ→TZ cast interprets wall-clock in the session zone; every
+        // engine entry point (Verify/Bench/PlansDump/SparkSpec) pins
+        // UTC, making the cast the identity instant mapping.
+        df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000L"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts read as unsupported type $other; expected long " +
+            "nanos, timestamp, or timestamp_ntz")
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
