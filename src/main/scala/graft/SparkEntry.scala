@@ -340,6 +340,10 @@ object SparkEntry {
     // top-k twin carries est ≥ exact into the hash-checked output
     "events_heavy_hitters" -> ((s, dir) =>
       SketchOps.countMinHeavyHitters(Tables.events(s, dir))),
+    // KMV distinct sketch (typed mergeable Aggregator) vs exact twin:
+    // k smallest portable hashes -> (k-1)*2^48 div U(k), Long-exact
+    "kmv_distinct" -> ((s, dir) =>
+      SketchOps.kmvDistinct(Tables.events(s, dir))),
     // z-order curve values (PersistOps.writeZOrdered's key): min/max
     // quantization to 16 bits + Morton interleave — integer-exact on
     // both engines, proving the layout key is engine-portable
@@ -1342,6 +1346,29 @@ object SparkEntry {
          |  e.cms_est - t.exact_cnt AS overcount,
          |  e.cms_est >= t.exact_cnt AS est_ge_exact
          |FROM top t JOIN est e USING (user_id)""".stripMargin
+    },
+    // KMV: rank the distinct 48-bit hashes per type; size < k ⇒ the
+    // sketch is exact, else the k-th smallest drives the estimator.
+    // 63 * 2^48 < 2^63 so the numerator is Long-exact; // is DuckDB
+    // integer div, the twin of Spark's `div`.
+    "kmv_distinct" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'kmv:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH h AS (SELECT DISTINCT event_type, $h48 AS h FROM events),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM h),
+         |sk AS (SELECT event_type,
+         |         CASE WHEN max(nd) < 64 THEN max(nd)
+         |              ELSE (63 * 281474976710656) // max(CASE WHEN rn = 64 THEN h END)
+         |         END AS n_kmv
+         |       FROM r GROUP BY 1),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |       FROM events GROUP BY 1)
+         |SELECT e.event_type, e.n_exact, s.n_kmv,
+         |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
+         |FROM ex e JOIN sk s USING (event_type)""".stripMargin
     },
     // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
     // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))

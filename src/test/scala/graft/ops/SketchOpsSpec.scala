@@ -33,4 +33,40 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.forall(x => x.getAs[Long]("cms_est") === 10L))
     assert(r.forall(_.getAs[Boolean]("est_ge_exact")))
   }
+
+  import graft.functions.SketchAggregators.{kmvInsert, kmvMerge}
+
+  test("kmv buffer ops: sorted-distinct take-k, any insert/merge order") {
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(500)(rnd.nextLong().abs % 100000L)
+    val k = 16
+    val expect = vals.distinct.sorted.take(k)
+    // sequential insert
+    val seqBuf = vals.foldLeft(Array.emptyLongArray)((b, v) => kmvInsert(b, v, k))
+    assert(seqBuf.toSeq === expect)
+    // arbitrary two-way split, merged
+    val (a, b) = vals.splitAt(137)
+    val m = kmvMerge(
+      a.foldLeft(Array.emptyLongArray)((x, v) => kmvInsert(x, v, k)),
+      b.foldLeft(Array.emptyLongArray)((x, v) => kmvInsert(x, v, k)), k)
+    assert(m.toSeq === expect)
+    // duplicates never inflate the sketch
+    val dup = kmvInsert(seqBuf, expect.head, k)
+    assert(dup.toSeq === expect)
+  }
+
+  test("kmv distinct: under-filled sketch is exact; filled sketch is within bound") {
+    // 40 distinct users of type 'a' (< k=64 → exact); 3000 of type 'b'
+    val rows =
+      (1L to 40L).map(u => ("a", u)) ++ (1L to 3000L).map(u => ("b", u))
+    val df = rows.toDF("event_type", "user_id")
+    val r = SketchOps.kmvDistinct(df, "user_id", k = 64)
+      .collect().map(x => x.getAs[String]("event_type") ->
+        (x.getAs[Long]("n_exact"), x.getAs[Long]("n_kmv"))).toMap
+    assert(r("a") === ((40L, 40L))) // sketch never filled ⇒ exact
+    val (exact, est) = r("b")
+    assert(exact === 3000L)
+    // KMV σ ≈ 1/√(k−2) ≈ 12.7%; allow 4σ
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.51, s"estimate $est too far")
+  }
 }
