@@ -301,6 +301,16 @@ object SparkEntry {
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
     "gopher_repetition" -> ((s, dir) => TextOps.gopherRepetition(Tables.documents(s, dir))),
+    // corpus statistics: fixed-point OLS of ln(freq) on ln(rank) —
+    // exact Long sums, so no float-order hazard crosses the oracle
+    "zipf_fit" -> ((s, dir) => TextOps.zipfFit(Tables.documents(s, dir))),
+    // vocabulary-coverage audit: broadcast top-k vocab membership
+    // probe over the token stream, per-source OOV fraction
+    "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
+    // k-means as a clustering result: per-cell member count + exact
+    // fixed-point inertia over the √N Lloyd codebook
+    "kmeans_clusters" -> ((s, dir) =>
+      VectorOps.kmeansClusterStats(Tables.embeddings(s, dir))),
     // contrastive hard negatives: per anchor, the closest co-candidate
     // with a DIFFERENT label (IVF cells bound the pair join)
     "hard_negatives" -> ((s, dir) => {
@@ -410,6 +420,9 @@ object SparkEntry {
       RelationalOps.revenueBySegment(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "sessionize" -> ((s, dir) => RelationalOps.sessionize(Tables.events(s, dir))),
+    // cohort retention matrix: first-active-day cohorts × day offset,
+    // user-keyed shuffles + broadcast cohort sizes
+    "events_retention" -> ((s, dir) => RelationalOps.cohortRetention(Tables.events(s, dir))),
     // interval × interval overlap join: heavy (≥3-event) sessions vs
     // every other user's sessions — hour-bin equi-join candidates,
     // exact overlap verify; no theta-join cross product
@@ -1021,6 +1034,43 @@ object SparkEntry {
         |    AS n_bpe_tokens,
         |  CAST(length(text) AS BIGINT) AS n_chars_measured
         |FROM documents""".stripMargin,
+    // fixed-point OLS twin: identical integer sums (DuckDB HUGEINT ⊇
+    // the Long-exact values), identical final double expressions
+    "zipf_fit" ->
+      s"""WITH $duckToks,
+         |cen AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1
+         |        ORDER BY n DESC, tok LIMIT 30),
+         |rk AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM cen),
+         |p AS (SELECT CAST(round(ln(rank) * 1000000) AS BIGINT) AS x6,
+         |             CAST(round(ln(n) * 1000000) AS BIGINT) AS y6 FROM rk),
+         |s AS (SELECT count(*) AS n_terms, sum(x6) AS sx, sum(y6) AS sy,
+         |             sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx FROM p)
+         |SELECT n_terms,
+         |  round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+         |        / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) + 0 AS slope,
+         |  round((CAST(sy AS DOUBLE) / 1000000
+         |         - (CAST(n_terms * sxy - sx * sy AS DOUBLE)
+         |            / CAST(n_terms * sxx - sx * sx AS DOUBLE))
+         |           * CAST(sx AS DOUBLE) / 1000000) / n_terms, 6) + 0 AS intercept
+         |FROM s""".stripMargin,
+    // vocabulary = corpus top-16 tokens; per-source stream coverage
+    "oov_rate" ->
+      """WITH st AS (
+        |  SELECT source, trim(parts[u.i]) AS tok
+        |  FROM (SELECT source, list_slice(string_split(text, ' '), 1, 512) AS parts
+        |        FROM documents) d,
+        |       unnest(range(1, len(parts)+1)) u(i)
+        |  WHERE trim(parts[u.i]) <> ''),
+        |v AS (SELECT tok FROM (
+        |        SELECT tok, count(*) AS n FROM st GROUP BY 1
+        |        ORDER BY n DESC, tok LIMIT 16)),
+        |j AS (SELECT s.source, (v.tok IS NOT NULL) AS iv
+        |      FROM st s LEFT JOIN v ON s.tok = v.tok)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        |  round(CAST(sum(CASE WHEN iv THEN 0 ELSE 1 END) AS BIGINT)
+        |        / count(*), 6) + 0 AS oov_rate
+        |FROM j GROUP BY 1""".stripMargin,
     "repetition_score" ->
       s"""WITH $duckToks,
          |$duckShingles
@@ -1370,6 +1420,17 @@ object SparkEntry {
          |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
          |FROM ex e JOIN sk s USING (event_type)""".stripMargin
     },
+    // per-cell stats over the same 2-round Lloyd codebook as ann_ivf:
+    // nearest cell from `ranked` (rn = 1), member distance from `cd`,
+    // inertia summed in integer micros (exact on both engines)
+    "kmeans_clusters" ->
+      s"""WITH $duckSqrtCells
+         |SELECT cd.c_label, count(*) AS n_vecs,
+         |  round(CAST(sum(CAST(round(cd.cdist * 1000000) AS BIGINT)) AS DOUBLE)
+         |        / 1000000, 6) + 0 AS inertia
+         |FROM cd JOIN ranked r USING (vec_id, c_label)
+         |WHERE r.rn = 1
+         |GROUP BY 1""".stripMargin,
     // cent = 2 Lloyd rounds from first-k seeds, k = ceil(sqrt(N)) via
     // scalar subquery (the DuckDB twin of VectorOps.sqrtCells(emb, 2))
     // probe budget mirrors VectorOps.probePolicy: nAssign = 2,
@@ -1513,6 +1574,19 @@ object SparkEntry {
         |  lead(ts_us) OVER w IS NULL AS is_current
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    // day index = floor-div on positive epoch nanos — `//` is the
+    // DuckDB twin of Spark's `div` here
+    "events_retention" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |             epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+        |cell AS (SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+        |           count(*) AS n_active
+        |         FROM d JOIN c USING (user_id) GROUP BY 1, 2),
+        |s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1)
+        |SELECT cell.cohort_day, cell.day_offset, cell.n_active, s.cohort_size,
+        |       round(cell.n_active / s.cohort_size, 6) + 0 AS retention
+        |FROM cell JOIN s USING (cohort_day)""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000

@@ -162,6 +162,39 @@ object RelationalOps {
           ">").as("path"),
         count(lit(1)).as("n_events"))
 
+  /** Cohort retention — the canonical product-analytics matrix: users
+    * cohorted by first-active day; each (cohort_day, day_offset) cell
+    * counts the cohort members active that day, with the retention
+    * rate against the cohort's size. Day index is integer `div` on
+    * the Long-nanos event axis (float division could mis-bucket a
+    * midnight boundary — same rationale as [[hourlyGapFill]]).
+    *
+    * Scale shape at 100 TB: the (user, day) distinct and the per-user
+    * min shuffle on the uniform user axis; the activity→cohort join
+    * is co-keyed on user_id (no re-shuffle under the same
+    * partitioning); the retention agg re-keys to (cohort, offset) —
+    * calendar-bounded cardinality; cohort sizes are |days| rows and
+    * broadcast into the final join. No window functions, no skew
+    * candidates (a hot DAY is absorbed by the user-keyed stages;
+    * cohort keys are date-bounded). */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val active = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .distinct()
+    val cohorts = active.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    val cells = active.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(count(lit(1)).as("n_active")) // (user, day) is distinct already
+    val sizes = cohorts.groupBy(col("cohort_day")).agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_day")
+      .withColumn("retention",
+        graft.functions.VectorMath.roundn(
+          col("n_active").cast("double") / col("cohort_size"), 6))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"), col("retention"))
+  }
+
   /** Count-distinct class: exact distinct users per event type.
     * (The approximate tier — approx_count_distinct/HLL — can't be
     * oracle-hash-checked; the exact form covers the semantics and at

@@ -793,4 +793,75 @@ object TextOps {
     }
     (merges.toSeq, words, curve.toSeq)
   }
+
+  /** Zipf rank-frequency fit — the corpus-statistics twin of the
+    * census queries: OLS of ln(freq) on ln(rank) over the top-`topN`
+    * tokens (Zipf's law predicts slope ≈ −1 on natural text; a
+    * near-zero slope is itself a synthetic-corpus signal, which makes
+    * the fit a useful drift alarm on training mixes).
+    *
+    * Determinism: the regression runs in FIXED-POINT — ln values are
+    * scaled to integer micros before any aggregation, so every sum is
+    * exact Long arithmetic (order-free, partial-aggregable) and the
+    * final doubles are computed from identical integers on engine and
+    * oracle. The usual float-sum-order hazard never arises. Magnitudes:
+    * |x6| ≤ ln(topN)·10⁶, so n·Σx6² stays far below 2⁶³ for any sane
+    * topN.
+    *
+    * Scale shape: token census = one uniform-keyed agg with map-side
+    * partials; top-N = TakeOrderedAndProject (no global sort); the
+    * rank window orders ≤ topN rows. */
+  def zipfFit(docs: DataFrame, topN: Int = 30): DataFrame = {
+    val census = EmbedOps.tokenize(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(topN)
+    val pts = census
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("x6"),
+        round(log(col("n").cast("double")) * 1e6).cast("long").as("y6"))
+    pts
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"))
+      .withColumn("slope_raw",
+        (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .select(col("n_terms"),
+        roundn(col("slope_raw"), 6).as("slope"),
+        roundn((col("sy").cast("double") / 1e6 -
+          col("slope_raw") * col("sx").cast("double") / 1e6) / col("n_terms"), 6)
+          .as("intercept"))
+  }
+
+  /** Out-of-vocabulary audit per source: with the vocabulary fixed to
+    * the corpus' top-`vocabSize` tokens, the fraction of each
+    * source's token stream that falls outside it — the coverage
+    * number a tokenizer/vocab decision is made on.
+    *
+    * Scale shape: the vocabulary is a TakeOrderedAndProject over the
+    * uniform token census, then a BROADCAST build side for the
+    * membership probe — the token stream is scanned once, map-side,
+    * and the only shuffle is the final per-source agg. `source` rides
+    * along from the scan, so no docs-side join re-keys the stream. */
+  def oovRate(docs: DataFrame, vocabSize: Int = 16, maxTokens: Int = 512): DataFrame = {
+    val toks = docs
+      .select(col("source"),
+        explode(slice(split(col("text"), " "), 1, maxTokens)).as("tok"))
+      .withColumn("tok", trim(col("tok")))
+      .filter(col("tok") =!= "")
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        roundn(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_rate"))
+  }
 }

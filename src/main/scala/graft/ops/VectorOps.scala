@@ -577,6 +577,35 @@ object VectorOps {
     * construction). The only shuffle is the per-id rank window.
     * Output: (idCol, c_label, cdist, cell_rank). Shared by [[ivfTopK]]
     * and [[similarityJoinIvf]]. */
+  /** K-means as a first-class clustering RESULT (not just the ANN
+    * quantizer it powers): per cluster, the member count and the
+    * inertia (Σ squared-L2 to the centroid) of the √N-cell Lloyd
+    * codebook [[sqrtCells]] trains. The pair is the elbow-curve /
+    * cluster-balance diagnostic a curation pipeline reads before
+    * trusting cell-scoped dedup ([[similarityJoinIvf]]) or IVF
+    * routing ([[ivfTopK]]).
+    *
+    * Determinism: per-member distances are rounded to 6dp, then
+    * scaled to integer micros BEFORE the sum — inertia aggregates in
+    * exact Long arithmetic (order-free, partial-aggregable), immune
+    * to float-sum-order drift; the displayed double is derived from
+    * that exact integer. Empty cells (seeds that lost every member)
+    * simply have no row, matching the oracle's GROUP BY.
+    *
+    * Scale shape: centroids broadcast ([[cellRanks]]); the argmin is
+    * a per-vector window over k broadcast rows; the stats agg shuffles
+    * on the uniform c_label key with map-side partials. */
+  def kmeansClusterStats(embeddings: DataFrame, iters: Int = 2): DataFrame = {
+    val cent = sqrtCells(embeddings, iters)
+    cellRanks(embeddings, cent, "vec_id")
+      .filter(col("cell_rank") === 1)
+      .groupBy(col("c_label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(round(col("cdist") * 1e6).cast("long")).as("inertia6"))
+      .select(col("c_label"), col("n_vecs"),
+        roundn(col("inertia6").cast("double") / 1e6, 6).as("inertia"))
+  }
+
   def cellRanks(df: DataFrame, cent: DataFrame, idCol: String): DataFrame = {
     // densify the exploded (c_label, dim, cv) interchange form into k
     // broadcastable rows (c_label, cvec): the per-label collect is

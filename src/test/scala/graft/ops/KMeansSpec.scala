@@ -66,4 +66,20 @@ class KMeansSpec extends SparkSpec {
     assert(c1.map(_._1).size <= 3) // ceil(sqrt(6)) = 3 cells max
     assert(c1.map(_._2) === Set(0L, 1L)) // both dims present
   }
+
+  test("kmeansClusterStats: counts cover the corpus, inertia is exact micros") {
+    val stats = VectorOps.kmeansClusterStats(emb, iters = 2).collect()
+    // every vector lands in exactly one cell
+    assert(stats.map(_.getAs[Long]("n_vecs")).sum === emb.count())
+    assert(stats.forall(_.getAs[Double]("inertia") >= 0.0))
+    // inertia is a 6dp-quantized value (integer-micros sum underneath)
+    assert(stats.forall { r =>
+      val v = r.getAs[Double]("inertia") * 1e6
+      math.abs(v - math.rint(v)) < 1e-3
+    })
+    // deterministic across invocations
+    val again = VectorOps.kmeansClusterStats(emb, iters = 2).collect()
+    assert(stats.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet ===
+      again.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet)
+  }
 }

@@ -263,4 +263,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_distinct_ok")))
     assert(rows.values.forall(_.getAs[Boolean]("approx_p50_ok")))
   }
+
+  test("cohortRetention: first-active-day cohorts with per-offset rates") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // u1: days 0,1,2; u2: day 0 only; u3: days 1,2 (cohort day 1);
+    // duplicate same-day events must not double-count
+    val ev = Seq(
+      (0L, 0L * day + 5, 1L), (1L, 0L * day + 9, 1L), // dup day for u1
+      (2L, 1L * day + 1, 1L), (3L, 2L * day + 1, 1L),
+      (4L, 0L * day + 2, 2L),
+      (5L, 1L * day + 3, 3L), (6L, 2L * day + 7, 3L)
+    ).map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.cohortRetention(ev).collect()
+      .map(x => (x.getAs[Long]("cohort_day"), x.getAs[Long]("day_offset")) ->
+        (x.getAs[Long]("n_active"), x.getAs[Long]("cohort_size"),
+          x.getAs[Double]("retention"))).toMap
+    assert(r((0L, 0L)) === ((2L, 2L, 1.0))) // u1, u2
+    assert(r((0L, 1L)) === ((1L, 2L, 0.5))) // u1 returned
+    assert(r((0L, 2L)) === ((1L, 2L, 0.5)))
+    assert(r((1L, 0L)) === ((1L, 1L, 1.0))) // u3's own cohort
+    assert(r((1L, 1L)) === ((1L, 1L, 1.0)))
+    assert(r.size === 5)
+  }
 }

@@ -356,4 +356,30 @@ class TextOpsSpec extends SparkSpec {
     assert(!r(4L).getAs[Boolean]("passes") &&
       r(4L).getAs[Double]("mean_word_len") < 3.0)
   }
+
+  test("zipfFit: a perfect 1/rank law fits slope -1, intercept ln(max)") {
+    // frequencies 12, 6, 4, 3 = 12/rank: ln n = ln 12 - 1 * ln rank
+    val words =
+      Seq.fill(12)("alpha") ++ Seq.fill(6)("beta") ++
+        Seq.fill(4)("gamma") ++ Seq.fill(3)("delta")
+    val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = TextOps.zipfFit(docs, topN = 4).collect()(0)
+    assert(r.getAs[Long]("n_terms") === 4L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-4)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
+  }
+
+  test("oovRate: tokens outside the top-k vocabulary are counted per source") {
+    val docs = Seq(
+      (0L, "a a a b b c", "s1"), // with vocab {a, b}: 1 OOV of 6
+      (1L, "a b rare", "s2")     // 1 OOV of 3
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.oovRate(docs, vocabSize = 2).collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("s1").getAs[Long]("n_tokens") === 6L)
+    assert(r("s1").getAs[Long]("n_oov") === 1L)
+    assert(r("s1").getAs[Double]("oov_rate") === 0.166667)
+    assert(r("s2").getAs[Long]("n_oov") === 1L)
+    assert(r("s2").getAs[Double]("oov_rate") === 0.333333)
+  }
 }
