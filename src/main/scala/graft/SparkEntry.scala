@@ -194,6 +194,13 @@ object SparkEntry {
     // (no id caps anywhere: candidate generation is always LSH / IVF
     // bucketing; quadratic kernels run only over candidates)
     "dedup_minhash_lsh" -> ((s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir))),
+    // direction-aware containment C(A→B)=|A∩B|/|A| over the same LSH
+    // candidates — catches subset duplication Jaccard dilutes away
+    "dedup_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.containmentVerify(docs, DedupOps.minhashCandidates(docs),
+        minContainment = 0.5)
+    }),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -785,6 +792,27 @@ object SparkEntry {
          |$duckLshCand,
          |$duckJaccardVerify
          |SELECT a_id, b_id, inter, jaccard FROM jac""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |inter AS (
+         |  SELECT c.a_id, c.b_id, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shd a ON a.doc_id = c.a_id
+         |  JOIN shd b ON b.doc_id = c.b_id AND b.shingle = a.shingle
+         |  GROUP BY 1, 2),
+         |cont AS (
+         |  SELECT i.a_id, i.b_id, i.inter,
+         |         round(i.inter / sa.n, 6) + 0 AS containment_a,
+         |         round(i.inter / sb.n, 6) + 0 AS containment_b
+         |  FROM inter i
+         |  JOIN sizes sa ON sa.doc_id = i.a_id
+         |  JOIN sizes sb ON sb.doc_id = i.b_id)
+         |SELECT a_id, b_id, inter, containment_a, containment_b
+         |FROM cont
+         |WHERE greatest(containment_a, containment_b) >= 0.5""".stripMargin,
     "dedup_near_verified" ->
       s"""WITH $duckToks,
          |$duckShingles,

@@ -195,6 +195,43 @@ object DedupOps {
       .select((keyCols :+ col("inter")) :+ col("jaccard"): _*)
   }
 
+  /** Asymmetric CONTAINMENT verify over LSH candidates — the
+    * direction-aware twin of [[jaccardVerify]]: C(A→B) = |A∩B|/|A|
+    * (Broder '97's containment, the quantity behind quote/excerpt/
+    * boilerplate detection). Jaccard misses subset duplication — a
+    * paragraph wholly embedded in a 100× larger doc has Jaccard
+    * ≈ 0.01 but containment 1.0 — so curation pipelines gate on
+    * max(C(A→B), C(B→A)), which this emits per pair.
+    *
+    * Same cost shape as [[jaccardVerify]] (the shingle equi-join runs
+    * only over candidate pairs, O(|pairs|·shingles/doc), never N²);
+    * the LSH generator's Jaccard bias does undercount candidates for
+    * extreme size ratios (a true-containment pair can band-collide
+    * rarely) — at scale the generator for pure containment hunting is
+    * a rare-shingle prefix join ([[prefixFilterCandidates]] family),
+    * while this op scores whatever candidate set it is given. */
+  def containmentVerify(docs: DataFrame, pairs: DataFrame, w: Int = 3,
+                        minContainment: Double = 0.0): DataFrame = {
+    val sh = wordShingles(docs, w)
+      .select(col("doc_id"), col("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .select(col("a_id"), col("b_id"))
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("containment_a", roundn(col("inter") / col("na"), 6))
+      .withColumn("containment_b", roundn(col("inter") / col("nb"), 6))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+      .select(col("a_id"), col("b_id"), col("inter"),
+        col("containment_a"), col("containment_b"))
+  }
+
   /** End-to-end near-dup pipeline — the composed, uncapped form the
     * reference runs as its dedup loop (app_callapi.py:117-142,
     * generalized from exact-hash to near-dup): MinHash-LSH candidate

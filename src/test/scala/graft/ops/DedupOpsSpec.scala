@@ -67,6 +67,25 @@ class DedupOpsSpec extends SparkSpec {
     assert(!j.contains((1L, 0L)))
   }
 
+  test("containmentVerify: embedded subset scores 1.0 on its side, Jaccard-diluted on the other") {
+    // doc 10 is wholly contained in doc 11, which is ~3x larger
+    val sub = "alpha beta gamma delta epsilon zeta"
+    val sup = sub + " one two three four five six seven eight nine ten"
+    val d = Seq((10L, sub), (11L, sup)).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("a_id", "b_id")
+    val r = DedupOps.containmentVerify(d, pairs).collect()(0)
+    // all 4 of sub's 3-shingles appear in sup
+    assert(r.getAs[Long]("inter") === 4L)
+    assert(r.getAs[Double]("containment_a") === 1.0)
+    assert(r.getAs[Double]("containment_b") < 0.5) // 4 of 14 shingles
+    // the same pair's Jaccard is below any useful near-dup threshold —
+    // the asymmetry is the point of this operator
+    val j = DedupOps.jaccardVerify(d, pairs).collect()(0).getAs[Double]("jaccard")
+    assert(j < 0.5)
+    // threshold keeps the pair via max(direction)
+    assert(DedupOps.containmentVerify(d, pairs, minContainment = 0.9).count() === 1L)
+  }
+
   test("nearDupVerified composes LSH candidates with Jaccard verification, thresholded") {
     val r = DedupOps.nearDupVerified(docs, minJaccard = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap
