@@ -201,6 +201,12 @@ object SparkEntry {
       DedupOps.containmentVerify(docs, DedupOps.minhashCandidates(docs),
         minContainment = 0.5)
     }),
+    // global triangle census of the verified near-dup graph: dense
+    // closures = template families, wedges without closure = noise
+    "dedup_triangles" -> ((s, dir) =>
+      DedupOps.triangleStats(
+        DedupOps.nearDupVerified(Tables.documents(s, dir))
+          .select(col("a_id"), col("b_id")))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -472,6 +478,9 @@ object SparkEntry {
     "events_winsorized" -> ((s, dir) => RelationalOps.winsorizeCounts(Tables.events(s, dir))),
     "approx_stats_check" -> ((s, dir) => RelationalOps.approxStatsCheck(Tables.events(s, dir))),
     "events_outliers" -> ((s, dir) => RelationalOps.valueOutliers(Tables.events(s, dir))),
+    // robust (median/MAD) outlier census — the 50%-breakdown sibling
+    // of the z-score screen
+    "events_mad" -> ((s, dir) => RelationalOps.madOutliers(Tables.events(s, dir))),
     "pricing_correlation" -> ((s, dir) =>
       RelationalOps.pricingCorrelation(Tables.lineitem(s, dir))),
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
@@ -821,6 +830,29 @@ object SparkEntry {
          |SELECT j.a_id, j.b_id, c.n_shared_bands, j.inter, j.jaccard
          |FROM jac j JOIN cand c USING (a_id, b_id)
          |WHERE j.jaccard >= 0.5""".stripMargin,
+    // id-ordered wedge join (a<b<c): e1=(a,b) ⋈ e2=(b,c) closed by
+    // e3=(a,c) — each triangle generated exactly once
+    "dedup_triangles" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |e AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |ne AS (SELECT count(*) AS n_edges FROM e),
+         |deg AS (SELECT id, count(*) AS d
+         |        FROM (SELECT a_id AS id FROM e
+         |              UNION ALL SELECT b_id AS id FROM e) GROUP BY 1),
+         |nw AS (SELECT coalesce(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0)
+         |         AS n_wedges FROM deg),
+         |nt AS (SELECT count(*) AS n_triangles
+         |       FROM e e1
+         |       JOIN e e2 ON e1.b_id = e2.a_id
+         |       JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+         |SELECT ne.n_edges, nw.n_wedges, nt.n_triangles,
+         |  CASE WHEN nw.n_wedges = 0 THEN 0.0
+         |       ELSE round(3 * nt.n_triangles / nw.n_wedges, 6) + 0
+         |  END AS clustering
+         |FROM ne, nw, nt""".stripMargin,
     // component id = min doc_id transitively reachable over verified
     // near-dup edges (recursive CTE = the oracle twin of Spark-side
     // min-label propagation to fixpoint)
@@ -2171,6 +2203,22 @@ object SparkEntry {
         |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
         |FROM events e JOIN s USING (event_type)
         |WHERE round(abs(e.value - s.mu) - 3.0 * s.sd, 6) + 0 > 0""".stripMargin,
+    // median rounded once; deviations are bit-identical raw doubles
+    // ((a+b)·0.5 interpolation is exact IEEE); threshold rounded once
+    "events_mad" ->
+      """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0 AS med
+        |           FROM events GROUP BY 1),
+        |d AS (SELECT e.event_type, m.med, abs(e.value - m.med) AS adev
+        |      FROM events e JOIN m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) + 0 AS mad
+        |       FROM d GROUP BY 1),
+        |t AS (SELECT event_type, mad,
+        |        round(3.0 * 1.4826 * mad, 6) + 0 AS threshold FROM md)
+        |SELECT d.event_type, max(d.med) AS med, max(t.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  count(*) AS n_total
+        |FROM d JOIN t USING (event_type) GROUP BY 1""".stripMargin,
     "pricing_correlation" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 6) + 0 AS qty_price_corr,

@@ -232,6 +232,40 @@ object DedupOps {
         col("containment_a"), col("containment_b"))
   }
 
+  /** Triangle census over an undirected edge list in canonical
+    * a_id < b_id form — the global clustering diagnostic for the
+    * near-dup graph (a template/boilerplate family shows up as dense
+    * triangle-rich neighborhoods; isolated accidental collisions
+    * produce wedges but few closures). One row: edge, wedge (open
+    * triad) and triangle counts plus the global clustering
+    * coefficient 3·triangles / wedges.
+    *
+    * Algorithm: the id-ordered wedge join (a<b<c) — each triangle is
+    * generated exactly once as wedge (a<b, b<c) closed by edge (a,c).
+    * Scale shape: two equi-joins on node ids plus a degree agg; at
+    * near-dup-graph density (edges ≪ corpus rows) this is the cheap
+    * tier. On a power-law web graph the standard hardening is
+    * degree-ordered orientation (orient each edge toward the
+    * higher-degree endpoint) so no wedge pivot exceeds ~√E neighbors;
+    * the pivot here is the id order, which suffices for the bounded-
+    * degree dedup graph and keeps the oracle a plain 2-join SQL. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a_id"), col("b_id"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    // d·(d−1) is always even — the integer div is exact
+    val nWedges = e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val nTri = e.select(col("a_id").as("a"), col("b_id").as("b"))
+      .join(e.select(col("a_id").as("b"), col("b_id").as("c")), "b")
+      .join(e.select(col("a_id").as("a"), col("b_id").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri)
+      .withColumn("clustering",
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(roundn(lit(3L) * col("n_triangles") / col("n_wedges").cast("double"), 6)))
+  }
+
   /** End-to-end near-dup pipeline — the composed, uncapped form the
     * reference runs as its dedup loop (app_callapi.py:117-142,
     * generalized from exact-hash to near-dup): MinHash-LSH candidate

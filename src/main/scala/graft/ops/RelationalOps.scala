@@ -262,6 +262,42 @@ object RelationalOps {
         count(lit(1)).as("n_total"))
   }
 
+  /** MAD (median-absolute-deviation) outlier census — the ROBUST
+    * sibling of [[valueOutliers]]: a z-score screen's mean/σ are
+    * themselves dragged by the outliers being hunted, while the
+    * median and MAD have a 50% breakdown point. Flags values beyond
+    * `k`·1.4826·MAD of the median (1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD to
+    * σ under normality — the standard consistency constant).
+    *
+    * Determinism: the median is ROUNDED once; the absolute deviation
+    * is computed from identical parquet doubles and the rounded
+    * median, so both engines derive bit-identical deviations; the MAD
+    * median interpolates those identical doubles ((a+b)·0.5 is exact
+    * IEEE) and rounds once; the threshold compare uses the rounded
+    * threshold. No grid-then-divide step anywhere (the SURVEY §
+    * float-determinism note's hazard).
+    *
+    * Scale shape: two tiny per-type percentile aggs (approx_percentile
+    * at 100 TB) broadcast back; tail counting is map-side-combined on
+    * the |types| key — the fact stream shuffles zero times beyond the
+    * final 5-row agg. */
+  def madOutliers(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val med = events.groupBy(col("event_type"))
+      .agg(roundn(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = events.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"),
+        roundn(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .withColumn("threshold", roundn(lit(k) * lit(1.4826) * col("mad"), 6))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        sum(when(col("adev") > col("threshold"), 1L).otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Anomaly gate: events whose value sits more than `z` sample
     * standard deviations from their type's mean — the data-quality
     * screen a pipeline runs before aggregating telemetry. The per-type

@@ -129,4 +129,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("HashAggregate"))
   }
+
+  test("oov_rate: vocabulary is a bounded TakeOrdered broadcast probed map-side") {
+    val p = planOf("oov_rate")
+    assert(p.contains("TakeOrderedAndProject")) // top-k vocab, no global sort
+    assert(p.contains("BroadcastHashJoin"), "vocab membership probe must broadcast")
+    assert(!p.contains("SortMergeJoin"), "token stream must never re-shuffle for the vocab probe")
+  }
+
+  test("kmv_distinct: the sketch partial-aggregates map-side before its exchange") {
+    val p = planOf("kmv_distinct")
+    assert(p.contains("ObjectHashAggregate") && p.contains("partial_"),
+      "KMV buffer must combine map-side — shipping raw hashes defeats the sketch")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_retention: joins stay broadcast/co-keyed, never cartesian") {
+    val p = planOf("events_retention")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
 }

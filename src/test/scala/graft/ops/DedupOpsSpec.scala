@@ -86,6 +86,21 @@ class DedupOpsSpec extends SparkSpec {
     assert(DedupOps.containmentVerify(d, pairs, minContainment = 0.9).count() === 1L)
   }
 
+  test("triangleStats: wedge join counts each closure once; coefficient = 3T/W") {
+    // 1-2-3 triangle plus pendant 4: degrees (2,2,3,1) → wedges 5
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    val r = DedupOps.triangleStats(e).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Long]("n_wedges") === 5L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Double]("clustering") === 0.6)
+    // triangle-free graph: zero closures, zero coefficient
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val p = DedupOps.triangleStats(path).collect()(0)
+    assert(p.getAs[Long]("n_triangles") === 0L)
+    assert(p.getAs[Double]("clustering") === 0.0)
+  }
+
   test("nearDupVerified composes LSH candidates with Jaccard verification, thresholded") {
     val r = DedupOps.nearDupVerified(docs, minJaccard = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap

@@ -264,6 +264,20 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_p50_ok")))
   }
 
+  test("madOutliers: median/MAD survive the outlier that drags the z-screen") {
+    // 1..9 plus one extreme: median 5.5, MAD 2.5, threshold 11.1195 —
+    // exactly the extreme row is flagged
+    val vals = (1 to 9).map(_.toDouble) :+ 1000.0
+    val ev = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong, i.toLong, "view", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.madOutliers(ev).collect()(0)
+    assert(r.getAs[Double]("med") === 5.5)
+    assert(r.getAs[Double]("mad") === 2.5)
+    assert(r.getAs[Long]("n_outliers") === 1L)
+    assert(r.getAs[Long]("n_total") === 10L)
+  }
+
   test("cohortRetention: first-active-day cohorts with per-offset rates") {
     val day = 86400L * 1000 * 1000 * 1000
     // u1: days 0,1,2; u2: day 0 only; u3: days 1,2 (cohort day 1);
