@@ -257,6 +257,59 @@ object StreamingOps {
     }
   }
 
+  /** Input row for [[kmvDistinctStream]]: a group key and a
+    * pre-hashed value (graft.functions.PortableHash.hash48 in the
+    * declared pipeline — any uniform Long hash works). */
+  case class KeyedHash(group: String, h: Long)
+
+  /** Output row: the group's current distinct-count estimate and the
+    * sketch fill level after the batch. */
+  case class KmvEstimate(group: String, n_distinct_est: Long, sketch_size: Int)
+
+  /** Streaming K-Minimum-Values distinct counting — the
+    * transformWithState twin of the batch `kmv_distinct` query,
+    * sharing the EXACT insert kernel
+    * ([[graft.functions.SketchAggregators.kmvInsert]]): because a KMV
+    * sketch is a mergeable summary, the streaming state IS the batch
+    * aggregation buffer, and a stream that has seen rows {r₁…rₙ} holds
+    * bit-identical state to the batch aggregate over the same rows —
+    * batch/stream parity by construction, spec-pinned.
+    *
+    * State per key is one sorted ≤k-element Long array (k·8 bytes,
+    * bounded forever — no TTL needed, the sketch cannot grow); each
+    * micro-batch folds its rows in and emits the refreshed estimate
+    * (Update mode). Unlike `approx_count_distinct` in streaming
+    * (unsupported as stateful agg state without HLL merge plumbing),
+    * the KMV buffer is just data — restart-safe through the state
+    * store like any value state. */
+  class KmvProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedHash, KmvEstimate] {
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Long]]("kmv",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedHash],
+                                 tv: TimerValues): Iterator[KmvEstimate] = {
+      var buf = if (sk.exists()) sk.get() else Array.emptyLongArray
+      rows.foreach(r => buf = graft.functions.SketchAggregators.kmvInsert(buf, r.h, k))
+      sk.update(buf)
+      val est =
+        if (buf.length < k) buf.length.toLong
+        else (k - 1).toLong * 281474976710656L / buf(k - 1)
+      Iterator.single(KmvEstimate(key, est, buf.length))
+    }
+  }
+
+  /** Declared entry point: per-group running distinct-count estimate
+    * over a stream of pre-hashed values. */
+  def kmvDistinctStream(hashes: Dataset[KeyedHash], k: Int = 64): Dataset[KmvEstimate] = {
+    import hashes.sparkSession.implicits._
+    hashes
+      .groupByKey(_.group)
+      .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Declared debounce entry point: `events` must be a streaming
     * Dataset[TimedEv]; emits each key's burst-final event once the
     * watermark passes quietMs beyond it. */

@@ -153,6 +153,45 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("kmvDistinctStream: streaming state equals the batch sketch over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{KeyedHash, KmvEstimate}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KeyedHash]
+    val q = StreamingOps.kmvDistinctStream(input.toDS(), k = 8)
+      .writeStream.format("memory").queryName("kmv_out")
+      .outputMode("update").start()
+    val rnd = new scala.util.Random(11)
+    val big = Seq.fill(200)(rnd.nextLong().abs % 1000000L)
+    try {
+      // batch 1: 3 distinct small-group hashes; batch 2: repeats + the big group
+      input.addData(Seq(10L, 20L, 30L).map(KeyedHash("small", _)): _*)
+      q.processAllAvailable()
+      input.addData(
+        (Seq(20L, 30L, 40L).map(KeyedHash("small", _)) ++
+          big.map(KeyedHash("big", _))): _*)
+      q.processAllAvailable()
+      val last = spark.table("kmv_out").as[KmvEstimate].collect()
+        .groupBy(_.group).map { case (g, rows) => g -> rows.last }
+      // under-filled sketch = exact distinct count (dup-immune)
+      assert(last("small").n_distinct_est === 4L)
+      // filled sketch state must equal the BATCH fold over the same rows
+      val expectBuf = big.foldLeft(Array.emptyLongArray)(
+        (b, h) => graft.functions.SketchAggregators.kmvInsert(b, h, 8))
+      val expectEst = 7L * 281474976710656L / expectBuf(7)
+      assert(last("big").sketch_size === 8)
+      assert(last("big").n_distinct_est === expectEst)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionCounts merges gap-contiguous events and splits across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
