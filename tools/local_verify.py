@@ -22,15 +22,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main(sf_dir: str, out_dir: str, only=None) -> int:
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     failures = 0
     for name, sql in sorted(oracle.items()):
+        # fresh connection per query: one shared connection accumulates
+        # temp/materialized-CTE memory across 100+ oracles at sf0.1 and
+        # late queries die with allocator OOM (observed 2026-08-13).
+        # A temp_directory lets the heavy oracles SPILL — an in-memory
+        # connection otherwise hard-fails at memory_limit.
+        con = duckdb.connect()
+        con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+        con.execute("PRAGMA memory_limit='90GB'")
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
@@ -38,6 +45,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         except Exception as e:
             print(f"FAIL {name}: {type(e).__name__}: {e}")
             failures += 1
+            con.close()
             continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
@@ -62,6 +70,7 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(g)} rows)")
+        con.close()
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     return 1 if failures else 0
 
