@@ -481,6 +481,10 @@ object SparkEntry {
     // robust (median/MAD) outlier census — the 50%-breakdown sibling
     // of the z-score screen
     "events_mad" -> ((s, dir) => RelationalOps.madOutliers(Tables.events(s, dir))),
+    // the salt-or-not measurement: top keys by row count with share —
+    // scalar total broadcast back, top-n as TakeOrderedAndProject
+    "key_skew_profile" -> ((s, dir) =>
+      SkewOps.keySkewProfile(Tables.events(s, dir), "user_id")),
     "pricing_correlation" -> ((s, dir) =>
       RelationalOps.pricingCorrelation(Tables.lineitem(s, dir))),
     "distinct_users" -> ((s, dir) => RelationalOps.distinctUsers(Tables.events(s, dir))),
@@ -2203,6 +2207,12 @@ object SparkEntry {
         |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
         |FROM events e JOIN s USING (event_type)
         |WHERE round(abs(e.value - s.mu) - 3.0 * s.sd, 6) + 0 > 0""".stripMargin,
+    "key_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
+        |t AS (SELECT sum(n_rows) AS total FROM c)
+        |SELECT c.user_id, c.n_rows,
+        |       round(c.n_rows / t.total, 6) + 0 AS share
+        |FROM c, t ORDER BY c.n_rows DESC, c.user_id LIMIT 10""".stripMargin,
     // median rounded once; deviations are bit-identical raw doubles
     // ((a+b)·0.5 interpolation is exact IEEE); threshold rounded once
     "events_mad" ->

@@ -44,17 +44,21 @@ object SkewOps {
   }
 
   /** Key-frequency profile — the measurement that decides whether to
-    * salt at all: top-n keys by row count with their share. Lazy and
-    * single-pass: the share denominator is a window sum over the
-    * (small) aggregated key set, not a second scan of the input. */
+    * salt at all: top-n keys by row count with their share. The share
+    * denominator is a 1-row scalar aggregate over the (already
+    * aggregated) key counts, broadcast back in — NOT a global window,
+    * whose single-partition sort would serialize the whole key set
+    * through one task at billion-key scale. Top-n compiles to
+    * TakeOrderedAndProject; tie-break (n_rows desc, key asc) is
+    * deterministic on both engines. */
   def keySkewProfile(df: DataFrame, key: String, topN: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorMath.roundn
-    df.groupBy(col(key))
-      .agg(count(lit(1)).as("n_rows"))
-      .withColumn(
-        "share",
-        roundn(col("n_rows") / sum(col("n_rows")).over(Window.partitionBy()), 6))
+    val counts = df.groupBy(col(key)).agg(count(lit(1)).as("n_rows"))
+    val total = counts.agg(sum(col("n_rows")).as("_total"))
+    counts
+      .crossJoin(broadcast(total))
+      .withColumn("share", roundn(col("n_rows") / col("_total"), 6))
+      .drop("_total")
       .orderBy(col("n_rows").desc, col(key))
       .limit(topN)
   }
