@@ -332,6 +332,9 @@ object SparkEntry {
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // classifier audit: langId predictions vs the gold lang column —
+    // |langs|² confusion cells with per-gold-label recall
+    "lang_confusion" -> ((s, dir) => TextOps.langConfusion(Tables.documents(s, dir))),
     // corpus-fit unigram LM (perplexity-proxy quality gate): vocab
     // logprobs from one token-keyed agg, per-doc mean via tok-ordered
     // fold — the KenLM-style filter at order 1
@@ -1283,6 +1286,17 @@ object SparkEntry {
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
          |FROM c JOIN lang USING (doc_id)""".stripMargin,
+    "lang_confusion" ->
+      s"""WITH $duckToks,
+         |$duckLangCtes,
+         |g AS (SELECT d.lang AS gold, lang.predicted_lang
+         |      FROM documents d JOIN lang USING (doc_id)),
+         |cell AS (SELECT gold, predicted_lang, count(*) AS n
+         |         FROM g GROUP BY 1, 2),
+         |tot AS (SELECT gold, count(*) AS t FROM g GROUP BY 1)
+         |SELECT c.gold AS lang, c.predicted_lang, c.n,
+         |       round(c.n / t.t, 6) + 0 AS recall
+         |FROM cell c JOIN tot t USING (gold)""".stripMargin,
     // unigram LM fit on the corpus itself: logprob = ln(cnt/total)
     // rounded 6dp, per-doc fold over DISTINCT tokens in token order
     "lm_logprob" ->

@@ -235,6 +235,27 @@ object TextOps {
       .select(col("doc_id"), col("predicted_lang"), col("c_en"), col("c_es"), col("c_de"), col("c_fr"))
   }
 
+  /** Classifier evaluation — the confusion matrix of [[langId]]'s
+    * heuristic predictions against the corpus' GOLD `lang` labels,
+    * with per-cell recall against the gold-label total. The shape
+    * every in-engine model audit takes (the quality_classifier's
+    * accuracy receipt lives in its spec; this is the declared,
+    * oracle-checked form for the one labeled column the corpus has).
+    *
+    * Scale shape: prediction join is co-keyed on doc_id; the matrix
+    * agg keys on (gold, predicted) — |langs|² bounded; gold totals
+    * are |langs| rows broadcast into the recall join. */
+  def langConfusion(docs: DataFrame): DataFrame = {
+    val gold = docs.select(col("doc_id"), col("lang"))
+      .join(langId(docs).select(col("doc_id"), col("predicted_lang")), "doc_id")
+    val cells = gold.groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val totals = gold.groupBy(col("lang")).agg(count(lit(1)).as("_t"))
+    cells.join(broadcast(totals), "lang")
+      .withColumn("recall", roundn(col("n") / col("_t"), 6))
+      .select(col("lang"), col("predicted_lang"), col("n"), col("recall"))
+  }
+
   /** Engine-portable PII patterns (kept to syntax shared by Java
     * regex and RE2-style engines, so the oracle applies the SAME
     * expressions). */

@@ -357,6 +357,22 @@ class TextOpsSpec extends SparkSpec {
       r(4L).getAs[Double]("mean_word_len") < 3.0)
   }
 
+  test("langConfusion: diagonal + off-diagonal cells with per-gold recall") {
+    val docs = Seq(
+      (0L, "the cat and the dog", "en"),   // en text, gold en → diagonal
+      (1L, "the end of it", "en"),          // en text, gold en
+      (2L, "el perro y la casa", "es"),     // es text, gold es
+      (3L, "the big party", "es")           // en text, gold es → off-diagonal
+    ).toDF("doc_id", "text", "lang")
+    val m = TextOps.langConfusion(docs).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("predicted_lang")) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("recall"))).toMap
+    assert(m(("en", "en")) === ((2L, 1.0)))
+    assert(m(("es", "es")) === ((1L, 0.5)))
+    assert(m(("es", "en")) === ((1L, 0.5)))
+    assert(m.size === 3)
+  }
+
   test("zipfFit: a perfect 1/rank law fits slope -1, intercept ln(max)") {
     // frequencies 12, 6, 4, 3 = 12/rank: ln n = ln 12 - 1 * ln rank
     val words =
