@@ -484,6 +484,9 @@ object SparkEntry {
     // robust (median/MAD) outlier census — the 50%-breakdown sibling
     // of the z-score screen
     "events_mad" -> ((s, dir) => RelationalOps.madOutliers(Tables.events(s, dir))),
+    // equi-width distribution histogram: broadcast bounds, map-side
+    // binning, bounded (type, bin) agg
+    "events_histogram" -> ((s, dir) => RelationalOps.valueHistogram(Tables.events(s, dir))),
     // the salt-or-not measurement: top keys by row count with share —
     // scalar total broadcast back, top-n as TakeOrderedAndProject
     "key_skew_profile" -> ((s, dir) =>
@@ -2221,6 +2224,21 @@ object SparkEntry {
         |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
         |FROM events e JOIN s USING (event_type)
         |WHERE round(abs(e.value - s.mu) - 3.0 * s.sd, 6) + 0 > 0""".stripMargin,
+    // bin expression shape MIRRORS the engine exactly — see the
+    // valueHistogram scaladoc on why the algebraic twin won't do
+    "events_histogram" ->
+      """WITH b AS (SELECT event_type, round(min(value), 6) + 0 AS lo,
+        |                  round(max(value), 6) + 0 AS hi
+        |           FROM events GROUP BY 1),
+        |binned AS (SELECT e.event_type,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE least(19, CAST(floor((e.value - b.lo) * 20 / (b.hi - b.lo)) AS BIGINT))
+        |    END AS bin
+        |  FROM events e JOIN b USING (event_type))
+        |SELECT n.event_type, n.bin, n.n, b.lo, b.hi
+        |FROM (SELECT event_type, bin, count(*) AS n
+        |      FROM binned GROUP BY 1, 2) n
+        |JOIN b USING (event_type)""".stripMargin,
     "key_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n_rows FROM events GROUP BY 1),
         |t AS (SELECT sum(n_rows) AS total FROM c)

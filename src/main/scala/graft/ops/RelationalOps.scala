@@ -262,6 +262,36 @@ object RelationalOps {
         count(lit(1)).as("n_total"))
   }
 
+  /** Equi-width value histogram per event type — the distribution
+    * primitive behind every profiling UI: `nBins` equal-width buckets
+    * between the type's min and max, value == max landing in the last
+    * bin (the standard half-open-buckets-plus-closed-top rule).
+    *
+    * Determinism across engines: lo/hi are rounded once; the bin
+    * index is `floor((value − lo) · nBins / (hi − lo))` with the SAME
+    * expression shape on the oracle side — every operand is a
+    * bit-identical double on both engines, and IEEE −, ·, /, floor
+    * are exactly specified, so boundary values bucket identically
+    * (mirroring the expression matters: the algebraically-equal
+    * `(value−lo)/((hi−lo)/nBins)` rounds differently).
+    *
+    * Scale shape: one tiny per-type bounds agg broadcast back; bin
+    * assignment map-side; final agg on the bounded (type, bin) key
+    * with map-side partials. Degenerate hi == lo collapses to bin 0. */
+  def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame = {
+    val bounds = events.groupBy(col("event_type"))
+      .agg(roundn(min(col("value")), 6).as("lo"), roundn(max(col("value")), 6).as("hi"))
+    events.join(broadcast(bounds), "event_type")
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(lit(nBins - 1).cast("long"),
+            floor((col("value") - col("lo")) * nBins / (col("hi") - col("lo"))))))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(bounds), "event_type")
+      .select(col("event_type"), col("bin"), col("n"), col("lo"), col("hi"))
+  }
+
   /** MAD (median-absolute-deviation) outlier census — the ROBUST
     * sibling of [[valueOutliers]]: a z-score screen's mean/σ are
     * themselves dragged by the outliers being hunted, while the

@@ -264,6 +264,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_p50_ok")))
   }
 
+  test("valueHistogram: equal-width bins, max value lands in the top bin") {
+    // values 0..10 over 20 bins of width 0.5: value v → bin 2v, 10 → 19
+    val ev = (0 to 10).map(v =>
+      (v.toLong, v.toLong, v.toLong, "view", v.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val bins = RelationalOps.valueHistogram(ev).collect()
+      .map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n")).toMap
+    assert(bins.values.sum === 11L)
+    assert(bins(0L) === 1L && bins(2L) === 1L && bins(18L) === 1L)
+    assert(bins(19L) === 1L) // the max value caps into the top bin
+    assert(!bins.contains(1L)) // odd bins are empty (integer values, width 0.5)
+    // degenerate type: single constant value → everything in bin 0
+    val const = Seq((0L, 0L, 0L, "click", 7.7, "{}"), (1L, 1L, 1L, "click", 7.7, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cb = RelationalOps.valueHistogram(const).collect()
+    assert(cb.length === 1 && cb(0).getAs[Long]("bin") === 0L && cb(0).getAs[Long]("n") === 2L)
+  }
+
   test("madOutliers: median/MAD survive the outlier that drags the z-screen") {
     // 1..9 plus one extreme: median 5.5, MAD 2.5, threshold 11.1195 —
     // exactly the extreme row is flagged
