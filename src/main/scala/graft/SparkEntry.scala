@@ -487,6 +487,9 @@ object SparkEntry {
     // equi-width distribution histogram: broadcast bounds, map-side
     // binning, bounded (type, bin) agg
     "events_histogram" -> ((s, dir) => RelationalOps.valueHistogram(Tables.events(s, dir))),
+    // sequence-model feature engineering: lag/delta/rolling-mean over
+    // one user-keyed exchange (lag + frame share one sort)
+    "events_lag_features" -> ((s, dir) => RelationalOps.lagFeatures(Tables.events(s, dir))),
     // the salt-or-not measurement: top keys by row count with share —
     // scalar total broadcast back, top-n as TakeOrderedAndProject
     "key_skew_profile" -> ((s, dir) =>
@@ -2224,6 +2227,19 @@ object SparkEntry {
         |       round((e.value - s.mu) / s.sd, 4) + 0 AS z_score
         |FROM events e JOIN s USING (event_type)
         |WHERE round(abs(e.value - s.mu) - 3.0 * s.sd, 6) + 0 > 0""".stripMargin,
+    "events_lag_features" ->
+      """SELECT event_id, user_id,
+        |  round(value, 6) + 0 AS value,
+        |  round(prev_value, 6) + 0 AS prev_value,
+        |  round(value - prev_value, 6) + 0 AS delta,
+        |  round(ra3, 6) + 0 AS rolling_avg3
+        |FROM (SELECT event_id, user_id, value,
+        |        lag(value, 1) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id) AS prev_value,
+        |        avg(value) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ra3
+        |      FROM events)""".stripMargin,
     // bin expression shape MIRRORS the engine exactly — see the
     // valueHistogram scaladoc on why the algebraic twin won't do
     "events_histogram" ->

@@ -262,6 +262,31 @@ object RelationalOps {
         count(lit(1)).as("n_total"))
   }
 
+  /** Per-user windowed lag features — the feature-engineering step a
+    * sequence model trains on: previous value, delta, and the
+    * 3-event rolling mean over each user's time-ordered stream.
+    * Ordering key is (ts, event_id) so simultaneous events resolve
+    * deterministically on both engines; the rolling mean's frame
+    * (ROWS 2 PRECEDING) fixes the fold order, so the float sum is
+    * bit-identical across engines and the one round suffices.
+    *
+    * Scale shape: ONE user-keyed exchange; lag and the rolling frame
+    * share the same (user, ts) sort — Spark plans one Window over one
+    * Sort, no second shuffle. State per row is the 3-row frame. */
+  def lagFeatures(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("delta", roundn(col("value") - col("prev_value"), 6))
+      .withColumn("rolling_avg3",
+        roundn(avg(col("value")).over(w.rowsBetween(-2, 0)), 6))
+      .select(col("event_id"), col("user_id"),
+        roundn(col("value"), 6).as("value"),
+        roundn(col("prev_value"), 6).as("prev_value"),
+        col("delta"), col("rolling_avg3"))
+  }
+
   /** Equi-width value histogram per event type — the distribution
     * primitive behind every profiling UI: `nBins` equal-width buckets
     * between the type's min and max, value == max landing in the last

@@ -101,6 +101,23 @@ class DedupOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("clustering") === 0.0)
   }
 
+  test("containment/jaccard invariants: J ≤ min(C_a, C_b); inter ≤ min(na, nb)") {
+    val cand = DedupOps.minhashCandidates(docs).select("a_id", "b_id")
+    val c = DedupOps.containmentVerify(docs, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Long]("inter"), r.getAs[Double]("containment_a"),
+          r.getAs[Double]("containment_b"))).toMap
+    val j = DedupOps.jaccardVerify(docs, cand).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("jaccard")).toMap
+    assert(c.nonEmpty && c.keySet === j.keySet)
+    for ((pair, (inter, ca, cb)) <- c) {
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0)
+      // |A∩B|/|A∪B| ≤ |A∩B|/max(|A|,|B|) = min(C_a, C_b); 1e-9 for the 6dp rounding
+      assert(j(pair) <= math.min(ca, cb) + 1e-9, s"$pair: J=${j(pair)} > min($ca,$cb)")
+      assert(inter >= 1L)
+    }
+  }
+
   test("nearDupVerified composes LSH candidates with Jaccard verification, thresholded") {
     val r = DedupOps.nearDupVerified(docs, minJaccard = 0.5)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Double]("jaccard"))).toMap

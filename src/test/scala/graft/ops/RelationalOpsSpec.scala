@@ -264,6 +264,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(rows.values.forall(_.getAs[Boolean]("approx_p50_ok")))
   }
 
+  test("lagFeatures: lag/delta/rolling mean over one user-ordered window") {
+    val ev = Seq(
+      (0L, 10L, 1L, 2.0), (1L, 20L, 1L, 4.0), (2L, 30L, 1L, 9.0),
+      (3L, 15L, 2L, 5.0)
+    ).map { case (id, ts, u, v) => (id, ts, u, "view", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.lagFeatures(ev).collect()
+      .map(x => x.getAs[Long]("event_id") -> x).toMap
+    assert(r(0L).getAs[Any]("prev_value") === null) // stream head
+    assert(r(1L).getAs[Double]("delta") === 2.0)
+    assert(r(2L).getAs[Double]("delta") === 5.0)
+    assert(r(2L).getAs[Double]("rolling_avg3") === 5.0) // (2+4+9)/3
+    assert(r(1L).getAs[Double]("rolling_avg3") === 3.0) // (2+4)/2 — partial frame
+    assert(r(3L).getAs[Double]("rolling_avg3") === 5.0) // other user, own frame
+  }
+
   test("valueHistogram: equal-width bins, max value lands in the top bin") {
     // values 0..10 over 20 bins of width 0.5: value v → bin 2v, 10 → 19
     val ev = (0 to 10).map(v =>
