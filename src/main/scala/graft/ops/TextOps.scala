@@ -142,13 +142,15 @@ object TextOps {
     * exceed 1.0 on degenerate all-repeat docs, which Table A1's
     * thresholds still classify correctly.
     *
-    * Scale shape: n-gram generation is MAP-ONLY — the token array is
-    * built by string functions on the text column (no tokenize
-    * explode + re-collect shuffle) and all nine n values fan out of
-    * one projection; the only exchanges are the (doc, n, gram) count
-    * agg and the (doc, n) fold, both uniform sha-free keys with
-    * map-side partials; top-1 is an agg-side `min(struct)` (negated
-    * count, then gram) — no window over the corpus. */
+    * Scale shape: the ENTIRE operator is map-only — repeat-count keys
+    * are (doc, n, gram), local to one row, so each row's gram array
+    * is sorted and run-length folded in a single `aggregate()` HOF
+    * (top gram, its count, and the duplicated-char mass in one pass);
+    * all nine n values fan out of one projection over string-function
+    * token arrays, and NO exchange exists anywhere in the plan (the
+    * earlier two-stage groupBy form shuffled the 9×-inflated gram
+    * stream twice). Ties: runs arrive in lexicographic order, so the
+    * strict `run > topc` update keeps the smallest max-count gram. */
   def gopherRepetition(docs: DataFrame): DataFrame = {
     // same token contract as EmbedOps.tokenize (slice 512, trim, drop
     // empties) expressed as array ops: map-only, order preserved
@@ -880,8 +882,10 @@ object TextOps {
     *
     * Scale shape: the vocabulary is a TakeOrderedAndProject over the
     * uniform token census, then a BROADCAST build side for the
-    * membership probe — the token stream is scanned once, map-side,
-    * and the only shuffle is the final per-source agg. `source` rides
+    * membership probe. Self-deriving the vocab costs a second corpus
+    * scan (census + probe); a production pipeline feeds a prior
+    * census and keeps only the probe scan, which is pure map-side —
+    * the only shuffle is the final per-source agg. `source` rides
     * along from the scan, so no docs-side join re-keys the stream. */
   def oovRate(docs: DataFrame, vocabSize: Int = 16, maxTokens: Int = 512): DataFrame = {
     val toks = docs
