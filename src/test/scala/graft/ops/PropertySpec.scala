@@ -350,4 +350,28 @@ class PropertySpec extends SparkSpec {
       assert(pr.forall(_ > 0))
     }
   }
+
+  test("property: KMV buffer is a mergeable summary — order/split invariant") {
+    import graft.functions.SketchAggregators.{kmvInsert, kmvMerge}
+    val rnd = new Random(401)
+    def fold(xs: Seq[Long], k: Int) =
+      xs.foldLeft(Array.emptyLongArray)((b, v) => kmvInsert(b, v, k))
+    for (trial <- 1 to 8) {
+      val k = 2 + rnd.nextInt(30)
+      val n = rnd.nextInt(400)
+      val xs = Seq.fill(n)(rnd.nextLong().abs % 5000L)
+      val truth = xs.distinct.sorted.take(k)
+      // insert order must not matter
+      assert(fold(rnd.shuffle(xs), k).toSeq === truth, s"trial $trial: order")
+      // any 3-way split merged in any association must equal the fold
+      val (p1, rest) = xs.splitAt(rnd.nextInt(n + 1))
+      val (p2, p3) = rest.splitAt(rnd.nextInt(rest.length + 1))
+      val (a, b, c) = (fold(p1, k), fold(p2, k), fold(p3, k))
+      assert(kmvMerge(kmvMerge(a, b, k), c, k).toSeq === truth, s"trial $trial: assoc-l")
+      assert(kmvMerge(a, kmvMerge(b, c, k), k).toSeq === truth, s"trial $trial: assoc-r")
+      assert(kmvMerge(b, a, k).toSeq === kmvMerge(a, b, k).toSeq, s"trial $trial: comm")
+      // idempotence: re-merging a sketch with itself changes nothing
+      assert(kmvMerge(a, a, k).toSeq === a.toSeq, s"trial $trial: idem")
+    }
+  }
 }
