@@ -214,7 +214,20 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // the bucket-size measurement that decides whether the clustering
+    // path needs the capped fallback: top LSH buckets by occupancy
+    // over exact-family representatives (keySkewProfile shape)
+    "lsh_bucket_profile" -> ((s, dir) => DedupOps.lshBucketProfile(Tables.documents(s, dir))),
     "corpus_curation" -> ((s, dir) => TextOps.curatedCorpus(Tables.documents(s, dir))),
+    // HTML → text with the jusText-shaped boilerplate gate: blocks at
+    // block-tag boundaries, length + link-density scoring. Pages are
+    // synthesized deterministically from the text corpus (testdata
+    // has no markup column), construction mirrored verbatim in the
+    // oracle; map-only until html_extract's one doc-keyed agg
+    "html_blocks" -> ((s, dir) =>
+      HtmlOps.htmlBlocks(HtmlOps.synthesizePages(Tables.documents(s, dir)))),
+    "html_extract" -> ((s, dir) =>
+      HtmlOps.htmlExtract(HtmlOps.synthesizePages(Tables.documents(s, dir)))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => {
@@ -332,6 +345,11 @@ object SparkEntry {
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
+    // LEARNED lang-id: hashed char-trigram Naive Bayes trained
+    // relationally on the gold labels (hash-split train buckets),
+    // fixed-point integer-micro log scores — catches zh, which the
+    // marker heuristic structurally cannot
+    "lang_id_learned" -> ((s, dir) => TextOps.langIdLearned(Tables.documents(s, dir))),
     // classifier audit: langId predictions vs the gold lang column —
     // |langs|² confusion cells with per-gold-label recall
     "lang_confusion" -> ((s, dir) => TextOps.langConfusion(Tables.documents(s, dir))),
@@ -706,6 +724,56 @@ object SparkEntry {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of HtmlOps.synthesizePages → htmlBlocks as a CTE
+    * block ending in `pg (doc_id, block_idx, txt, n_chars,
+    * link_density, stop_ratio, keep)` — page construction, script/
+    * style/comment removal, block split, tag-strip + entity decode +
+    * whitespace collapse, and the raw-double gate, all mirrored
+    * expression-for-expression. Shared by the html_blocks and
+    * html_extract oracles. */
+  private lazy val duckHtmlGate = {
+    // the normalize chain (strip tags → decode entities with &amp;
+    // last → collapse whitespace → trim), as a SQL-text function
+    def norm(src: String): String =
+      s"""trim(regexp_replace(replace(replace(replace(replace(replace(replace(
+         |    regexp_replace($src, '<[^>]*>', ' ', 'g'),
+         |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+         |    '&nbsp;', ' '), '&amp;', '&'),
+         |  '[ \\t\\n\\r]+', ' ', 'g'))""".stripMargin
+    s"""ph AS (SELECT doc_id,
+       |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |  '</title><style>p{margin:0}</style><script>var x=1;</script></head><body><div><a href="/">Home</a> <a href="/about">About</a> <a href="/contact">Contact</a></div><p>' ||
+       |  text || '</p><p>' || substring(text, 1, 15) ||
+       |  '</p><div>© 2026 <a href="/terms">Terms</a> <a href="/privacy">Privacy</a></div></body></html>' AS html
+       |  FROM documents),
+       |pc AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS content FROM ph),
+       |pb AS (SELECT doc_id, u.i - 1 AS block_idx, parts[u.i] AS raw
+       |  FROM (SELECT doc_id, string_split_regex(content,
+       |          '(?i)</?(?:p|div|h[1-6]|li|br|td|tr|ul|ol|section|article)[^>]*>') AS parts
+       |        FROM pc) s,
+       |  unnest(range(1, len(parts)+1)) u(i)),
+       |pt AS (SELECT doc_id, block_idx,
+       |  ${norm("raw")} AS txt,
+       |  ${norm(
+      // coalesce: duck's array_to_string([]) is NULL, Spark's array_join is ''
+      "coalesce(array_to_string(regexp_extract_all(raw, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS ltxt
+       |  FROM pb),
+       |pf AS (SELECT doc_id, block_idx, txt,
+       |    CAST(length(txt) AS BIGINT) AS n_chars,
+       |    length(ltxt) / greatest(length(txt), 1) AS ld_raw,
+       |    list_filter(string_split(txt, ' '), x -> x <> '') AS toks
+       |  FROM pt WHERE txt <> ''),
+       |pg AS (SELECT doc_id, block_idx, txt, n_chars,
+       |    round(least(1.0, ld_raw), 6) + 0 AS link_density,
+       |    round(len(list_filter(toks, x -> list_contains([${sqlList(graft.ops.TextOps.EnStopwords)}], x)))
+       |          / greatest(len(toks), 1), 6) + 0 AS stop_ratio,
+       |    (n_chars >= 25 AND ld_raw <= 0.3) AS keep
+       |  FROM pf)""".stripMargin
+  }
+
   /** DuckDB twin of TextOps.qualityScore as CTEs `q` + `qual` —
     * stopword list interpolated from TextOps.EnStopwords (single
     * source of truth; requires the `toks` CTE). Shared by the
@@ -882,6 +950,50 @@ object SparkEntry {
          |  UNION
          |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst)
          |SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1""".stripMargin,
+    // bucket occupancy over exact-family representatives (GROUP BY
+    // text ≡ the engine's sha2 families): the minhash/band chain over
+    // reps only, then the keySkewProfile shape — share against the
+    // full bucket total, top-10 with deterministic tie-break
+    "lsh_bucket_profile" ->
+      s"""WITH reps AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         |toks AS (
+         |  SELECT doc_id, u.i - 1 AS pos, trim(parts[u.i]) AS tok
+         |  FROM (SELECT d.doc_id, list_slice(string_split(d.text, ' '), 1, 512) AS parts
+         |        FROM documents d JOIN reps USING (doc_id)) d,
+         |       unnest(range(1, len(parts)+1)) u(i)
+         |  WHERE trim(parts[u.i]) <> ''),
+         |$duckShingles,
+         |v AS (SELECT shingle, ${duckHash24("shingle")} AS h0
+         |      FROM (SELECT DISTINCT shingle FROM shd)),
+         |mh AS (
+         |  SELECT d.doc_id, s.seed,
+         |    min((((s.seed + 1) * 2654435761 % 16777259) * v.h0
+         |         + ((s.seed + 1) * 40503 + 12345) % 16777259) % 16777259) AS minh
+         |  FROM shd d JOIN v USING (shingle), unnest(range(0, 12)) s(seed)
+         |  GROUP BY 1, 2),
+         |bk AS (
+         |  SELECT doc_id, seed // 3 AS band,
+         |         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
+         |  FROM mh GROUP BY 1, 2),
+         |counts AS (SELECT CAST(band AS VARCHAR) || '#' || band_sig AS bucket,
+         |                  count(*) AS n_rows
+         |           FROM bk GROUP BY 1),
+         |total AS (SELECT sum(n_rows) AS t FROM counts)
+         |SELECT bucket, n_rows, round(n_rows / t, 6) + 0 AS share
+         |FROM counts, total
+         |ORDER BY n_rows DESC, bucket LIMIT 10""".stripMargin,
+    "html_blocks" ->
+      s"""WITH $duckHtmlGate
+         |SELECT doc_id, block_idx, n_chars, link_density, stop_ratio, keep,
+         |       txt AS block_text
+         |FROM pg""".stripMargin,
+    "html_extract" ->
+      s"""WITH $duckHtmlGate
+         |SELECT doc_id, count(*) AS n_blocks,
+         |  CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY block_idx), '')
+         |    AS main_text
+         |FROM pg GROUP BY 1""".stripMargin,
     "corpus_curation" ->
       s"""WITH $duckToks,
          |$duckQualityCtes,
@@ -1292,6 +1404,54 @@ object SparkEntry {
          |  CAST(c_en AS BIGINT) AS c_en, CAST(c_es AS BIGINT) AS c_es,
          |  CAST(c_de AS BIGINT) AS c_de, CAST(c_fr AS BIGINT) AS c_fr
          |FROM c JOIN lang USING (doc_id)""".stripMargin,
+    // NB training unrolled in SQL: trigram tf → hashed buckets →
+    // (lang,bucket) counts on the train split → integer-micro log
+    // weights → per-(doc,lang) Long score sums → argmax window.
+    // Fixed-point ln(·)·1e6 on both engines; ties on lang asc
+    "lang_id_learned" ->
+      s"""WITH gr AS (
+         |  SELECT doc_id, substr(t, CAST(u.i AS INTEGER), 3) AS g
+         |  FROM (SELECT doc_id, lower(text) AS t FROM documents) d,
+         |       unnest(range(1, greatest(length(t) - 2, 0) + 1)) u(i)),
+         |gtf AS (SELECT doc_id, g, count(*) AS tf FROM gr GROUP BY 1, 2),
+         |vh AS (SELECT g, ${graft.functions.PortableHash.duckdbHash24("g")} % 4096 AS b
+         |       FROM (SELECT DISTINCT g FROM gtf)),
+         |ft AS (SELECT doc_id, b, CAST(sum(tf) AS BIGINT) AS tf
+         |       FROM gtf JOIN vh USING (g) GROUP BY 1, 2),
+         |tr AS (SELECT d.doc_id, d.lang FROM documents d
+         |       WHERE ${graft.functions.PortableHash.duckdbHash24("d.text")} % 100 >= 10),
+         |clb AS (SELECT tr.lang, ft.b, CAST(sum(ft.tf) AS BIGINT) AS c_lb
+         |        FROM ft JOIN tr USING (doc_id) GROUP BY 1, 2),
+         |cl AS (SELECT lang, CAST(sum(c_lb) AS BIGINT) AS c_l FROM clb GROUP BY 1),
+         |w AS (SELECT lang, b,
+         |        CAST(round(ln(CAST(c_lb + 1 AS DOUBLE) / CAST(c_l + 4096 AS DOUBLE))
+         |                   * 1000000) AS BIGINT) AS w_mu
+         |      FROM clb JOIN cl USING (lang)),
+         |dmu AS (SELECT lang,
+         |          CAST(round(ln(1.0 / CAST(c_l + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
+         |            AS d_mu
+         |        FROM cl),
+         |nl AS (SELECT lang, count(*) AS n_l FROM tr GROUP BY 1),
+         |nt AS (SELECT CAST(sum(n_l) AS DOUBLE) AS n FROM nl),
+         |pr AS (SELECT lang, CAST(round(ln(n_l / nt.n) * 1000000) AS BIGINT) AS prior_mu
+         |       FROM nl, nt),
+         |sc AS (SELECT ft.doc_id, dm.lang,
+         |         CAST(sum(ft.tf * coalesce(w.w_mu, dm.d_mu)) AS BIGINT) AS s
+         |       FROM ft CROSS JOIN dmu dm
+         |       LEFT JOIN w ON w.lang = dm.lang AND w.b = ft.b
+         |       GROUP BY 1, 2),
+         |sc2 AS (SELECT sc.doc_id, sc.lang, sc.s + pr.prior_mu AS score_micro
+         |        FROM sc JOIN pr USING (lang)),
+         |best AS (SELECT doc_id, lang, score_micro,
+         |           row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY score_micro DESC, lang) AS rn
+         |         FROM sc2),
+         |top AS (SELECT lang, prior_mu FROM pr ORDER BY prior_mu DESC, lang LIMIT 1)
+         |SELECT d.doc_id,
+         |  coalesce(b.lang, (SELECT lang FROM top)) AS predicted_lang,
+         |  coalesce(b.score_micro, (SELECT prior_mu FROM top)) AS score_micro
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
     "lang_confusion" ->
       s"""WITH $duckToks,
          |$duckLangCtes,
@@ -1495,7 +1655,7 @@ object SparkEntry {
          |      FROM h),
          |sk AS (SELECT event_type,
          |         CASE WHEN max(nd) < 64 THEN max(nd)
-         |              ELSE (63 * 281474976710656) // max(CASE WHEN rn = 64 THEN h END)
+         |              ELSE (63 * 281474976710656) // greatest(max(CASE WHEN rn = 64 THEN h END), 1)
          |         END AS n_kmv
          |       FROM r GROUP BY 1),
          |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
@@ -2248,7 +2408,7 @@ object SparkEntry {
         |           FROM events GROUP BY 1),
         |binned AS (SELECT e.event_type,
         |    CASE WHEN b.hi = b.lo THEN 0
-        |         ELSE least(19, CAST(floor((e.value - b.lo) * 20 / (b.hi - b.lo)) AS BIGINT))
+        |         ELSE least(19, greatest(0, CAST(floor((e.value - b.lo) * 20 / (b.hi - b.lo)) AS BIGINT)))
         |    END AS bin
         |  FROM events e JOIN b USING (event_type))
         |SELECT n.event_type, n.bin, n.n, b.lo, b.hi

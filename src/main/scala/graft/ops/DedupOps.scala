@@ -80,9 +80,86 @@ object DedupOps {
             x => x.getField("minh").cast("string")),
           "-").as("band_sig"))
 
-  /** MinHash-LSH candidate pairs: (a_id, b_id, n_shared_bands). */
-  def minhashCandidates(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
-                        w: Int = 3): DataFrame = {
+  /** Exact-duplicate family table: (doc_id, rep_id, fam_size) keyed
+    * by sha2(text) — the routing step that keeps identical copies OUT
+    * of LSH banding. A 10⁵-copy template family co-buckets in every
+    * band and would alone contribute ~10¹⁰ within-bucket candidate
+    * rows; collapsing each family to its min-doc_id representative
+    * BEFORE shingling makes the expensive stages (shingle explode,
+    * signatures, banding, verify joins) see one row per distinct
+    * text, and family members re-enter only at output expansion —
+    * cost proportional to the declared result, not to bucket².
+    *
+    * Scale shape: one sha2 map pass, one chash-keyed groupBy with
+    * map-side partials, one chash equi-join (a 10⁵-row family joins
+    * 10⁵×1 — linear). This is the same short-circuit the reference
+    * runs per file (app_callapi.py:117-120 skips unchanged sha-256
+    * hashes) lifted to corpus scale. */
+  def exactFamilies(docs: DataFrame): DataFrame = {
+    val fams = docs.select(col("doc_id"), sha2(col("text"), 256).as("chash"))
+    val reps = fams.groupBy(col("chash"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("fam_size"))
+    fams.join(reps, "chash").select(col("doc_id"), col("rep_id"), col("fam_size"))
+  }
+
+  /** The representative documents — one per exact-text family. */
+  private[ops] def repDocsOf(docs: DataFrame, members: DataFrame): DataFrame =
+    docs.join(
+      members.filter(col("doc_id") === col("rep_id")).select(col("doc_id")), "doc_id")
+
+  /** Expand representative-level pair rows (a_id, b_id, values…) back
+    * to member-level pairs: every member of a's family × every member
+    * of b's family, re-canonicalized to min/max id. Families are
+    * disjoint, so each member pair arises from exactly one rep pair;
+    * `valueCols` must be pair-symmetric (band counts, similarity) —
+    * identical texts make member values equal rep values by
+    * construction. Cost is exactly the output size — the inherent
+    * floor for a pair-emitting contract. */
+  private def expandRepPairs(repPairs: DataFrame, members: DataFrame,
+                             valueCols: Seq[String]): DataFrame = {
+    val ma = members.select(col("rep_id").as("a_rep"), col("doc_id").as("a_m"))
+    val mb = members.select(col("rep_id").as("b_rep"), col("doc_id").as("b_m"))
+    repPairs
+      .select(col("a_id").as("a_rep") +: col("b_id").as("b_rep") +: valueCols.map(col): _*)
+      .join(ma, "a_rep")
+      .join(mb, "b_rep")
+      .select(least(col("a_m"), col("b_m")).as("a_id") +:
+        greatest(col("a_m"), col("b_m")).as("b_id") +: valueCols.map(col): _*)
+  }
+
+  /** All within-family member pairs (a_id < b_id) for families whose
+    * representative appears in `repValues` (rep_id + the pair-value
+    * columns every intra pair inherits — exact copies are maximally
+    * similar by definition). C(fam,2) output rows: again the output
+    * floor, reached without any shuffle wider than the members
+    * table. */
+  private def intraFamilyPairs(members: DataFrame, repValues: DataFrame): DataFrame = {
+    val valueCols = repValues.columns.filter(_ != "rep_id").toSeq
+    val fam = members.select(col("rep_id"), col("doc_id")).join(repValues, "rep_id")
+    val a = fam.select(col("rep_id"), col("doc_id").as("a_id"))
+    val b = fam.select(col("rep_id") +: col("doc_id").as("b_id") +: valueCols.map(col): _*)
+    a.join(b, "rep_id")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id") +: col("b_id") +: valueCols.map(col): _*)
+  }
+
+  /** Distinct-shingle count per doc — doubles as the "has a MinHash
+    * signature at all" eligibility gate (a doc below w tokens has no
+    * shingles, hence no signature, no buckets, no pairs). */
+  private def shingleCounts(docs: DataFrame, w: Int): DataFrame =
+    wordShingles(docs, w).select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+
+  /** Raw band-bucket candidate pairs over the given docs — the
+    * pre-routing kernel: docs sharing any (band, signature) bucket
+    * pair up. Callers route exact-duplicate families out first
+    * ([[exactFamilies]]); within a bucket this is still quadratic in
+    * bucket size, which after routing means "quadratic in DISTINCT
+    * near-identical texts" — see [[lshBucketProfile]] for the
+    * measurement and [[clusterCandidatesCapped]] for the clustering
+    * fallback when even that residue is a mega family. */
+  private[ops] def bandCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
+                             w: Int): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, numHashes, w), rowsPerBand)
     val a = buckets.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = buckets.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
@@ -90,6 +167,28 @@ object DedupOps {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
+  /** MinHash-LSH candidate pairs: (a_id, b_id, n_shared_bands),
+    * exact-family-routed: banding runs over one REPRESENTATIVE per
+    * distinct text ([[exactFamilies]]); rep-level pairs expand back
+    * to member pairs, and within-family pairs (identical texts share
+    * every band by construction) are emitted directly for families
+    * whose rep has ≥1 shingle. Output is bit-identical to banding the
+    * full corpus — identical texts have identical signatures, so a
+    * member pair's shared-band count IS its rep pair's — but the
+    * quadratic bucket stage never sees a duplicate copy. */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
+                        w: Int = 3): DataFrame = {
+    val members = exactFamilies(docs).localCheckpoint(true)
+    val reps = repDocsOf(docs, members)
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val cross = expandRepPairs(
+      bandCandidates(reps, numHashes, rowsPerBand, w), members, Seq("n_shared_bands"))
+    val intra = intraFamilyPairs(members,
+      shingleCounts(reps, w)
+        .select(col("doc_id").as("rep_id"), lit(nBands.toLong).as("n_shared_bands")))
+    cross.unionByName(intra)
   }
 
   /** SimHash per document over `bits` signature bits (default 48):
@@ -133,6 +232,23 @@ object DedupOps {
     * together to keep N²/2^chunkBits candidates bounded. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3, bits: Int = 48,
                    chunks: Int = 4): DataFrame = {
+    // exact-family routing, same contract as [[minhashCandidates]]:
+    // identical texts have identical signatures (hamming 0 ≤ any
+    // threshold), so banding sees one rep per distinct text and
+    // members re-enter at output expansion only
+    val members = exactFamilies(docs).localCheckpoint(true)
+    val reps = repDocsOf(docs, members)
+    val cross = expandRepPairs(
+      simhashPairsRaw(reps, maxHamming, bits, chunks), members, Seq("hamming"))
+    val intra = intraFamilyPairs(members,
+      EmbedOps.tokenize(reps).select(col("doc_id")).distinct()
+        .select(col("doc_id").as("rep_id"), lit(0L).as("hamming")))
+    cross.unionByName(intra)
+  }
+
+  /** Pre-routing simhash banding kernel (see [[simhashPairs]]). */
+  private[ops] def simhashPairsRaw(docs: DataFrame, maxHamming: Int, bits: Int,
+                              chunks: Int): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
     // beyond the hash width every doc's high bits are 0 — the chunk
@@ -232,6 +348,32 @@ object DedupOps {
         col("containment_a"), col("containment_b"))
   }
 
+  /** Degree-ordered edge orientation — the standard triangle-counting
+    * hardening (Chiba/Nishizeki '85; the "forward" algorithm): point
+    * each undirected edge from its lower-(degree, id) endpoint to its
+    * higher-(degree, id) endpoint. The payoff is a worst-case bound:
+    * in the oriented graph NO node's out-degree exceeds ~√(2E)
+    * (a node with out-degree d has d neighbors of degree ≥ its own,
+    * so d² ≤ Σ degrees = 2E) — a hub of degree 10⁵ (exactly what a
+    * boilerplate/template family produces in a near-dup graph)
+    * contributes ZERO wedge pairs because every incident edge points
+    * AT it, while the id-ordered pivot would enumerate d²/4 pairs
+    * through it. Ties break on id, making the order total and the
+    * orientation acyclic. Exposed (not private) so the star-graph
+    * property spec can pin the fan-out bound on the real expression. */
+  def degreeOrientedEdges(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a_id"), col("b_id"))
+    val deg = e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("d"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a_id") < col("b_id"))
+    e.join(deg.select(col("id").as("a_id"), col("d").as("da")), "a_id")
+      .join(deg.select(col("id").as("b_id"), col("d").as("db")), "b_id")
+      .select(
+        when(aFirst, col("a_id")).otherwise(col("b_id")).as("src"),
+        when(aFirst, col("b_id")).otherwise(col("a_id")).as("dst"))
+  }
+
   /** Triangle census over an undirected edge list in canonical
     * a_id < b_id form — the global clustering diagnostic for the
     * near-dup graph (a template/boilerplate family shows up as dense
@@ -240,25 +382,35 @@ object DedupOps {
     * triad) and triangle counts plus the global clustering
     * coefficient 3·triangles / wedges.
     *
-    * Algorithm: the id-ordered wedge join (a<b<c) — each triangle is
-    * generated exactly once as wedge (a<b, b<c) closed by edge (a,c).
-    * Scale shape: two equi-joins on node ids plus a degree agg; at
-    * near-dup-graph density (edges ≪ corpus rows) this is the cheap
-    * tier. On a power-law web graph the standard hardening is
-    * degree-ordered orientation (orient each edge toward the
-    * higher-degree endpoint) so no wedge pivot exceeds ~√E neighbors;
-    * the pivot here is the id order, which suffices for the bounded-
-    * degree dedup graph and keeps the oracle a plain 2-join SQL. */
+    * Algorithm: wedge join over the DEGREE-ORIENTED graph
+    * ([[degreeOrientedEdges]]): each triangle {x,y,z} with x lowest
+    * in (degree, id) order has oriented edges x→y, x→z, y↔z, so it is
+    * generated exactly once — as the wedge {y,z} pivoting on x —
+    * and closed by the undirected edge {y,z}. The pivot is always the
+    * LOWEST-degree corner, so wedge fan-out per node is capped at
+    * ~√(2E) regardless of hub degree — the plan survives a mega
+    * duplicate family where the previous id-ordered pivot (b in
+    * a<b<c) would enumerate d² pairs through a middle-id hub. The
+    * oracle stays a plain 2-join SQL over the same edge list: the
+    * triangle SET is orientation-invariant, only the enumeration
+    * order changed. */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a_id"), col("b_id"))
+    // the edge list heads an expensive verify pipeline and is read by
+    // four consumers (count, degrees, wedges, closure) — materialize
+    // it once instead of planting the subtree four times
+    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint(true)
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     // d·(d−1) is always even — the integer div is exact
     val nWedges = e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("d"))
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
-    val nTri = e.select(col("a_id").as("a"), col("b_id").as("b"))
-      .join(e.select(col("a_id").as("b"), col("b_id").as("c")), "b")
-      .join(e.select(col("a_id").as("a"), col("b_id").as("c")), Seq("a", "c"))
+    val ori = degreeOrientedEdges(e)
+    val nTri = ori.select(col("src"), col("dst").as("v"))
+      .join(ori.select(col("src"), col("dst").as("w")), "src")
+      // v < w canonicalizes the out-neighbor pair once (ids, not
+      // orientation order — the closure edge below is id-canonical)
+      .filter(col("v") < col("w"))
+      .join(e.select(col("a_id").as("v"), col("b_id").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
     nEdges.crossJoin(nWedges).crossJoin(nTri)
       .withColumn("clustering",
@@ -274,8 +426,25 @@ object DedupOps {
     * only ever touches LSH candidates. */
   def nearDupVerified(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
                       w: Int = 3, minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashCandidates(docs, numHashes, rowsPerBand, w)
-    jaccardVerify(docs, cand, w, minJaccard, passthrough = Seq("n_shared_bands"))
+    // verify at the REPRESENTATIVE level, then expand: exact copies
+    // share their rep's shingle set, so a member pair's
+    // (inter, jaccard) IS its rep pair's, and intra-family pairs are
+    // jaccard 1.0 with inter = the family's shingle count. The
+    // shingle equi-joins — the expensive half — thus run over
+    // distinct texts only; expansion touches exactly the output rows.
+    val members = exactFamilies(docs).localCheckpoint(true)
+    val reps = repDocsOf(docs, members)
+    val repVer = jaccardVerify(reps,
+      bandCandidates(reps, numHashes, rowsPerBand, w), w, minJaccard,
+      passthrough = Seq("n_shared_bands"))
+    val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
+    val cross = expandRepPairs(repVer, members,
+      Seq("n_shared_bands", "inter", "jaccard"))
+    val intra = intraFamilyPairs(members,
+      shingleCounts(reps, w).select(col("doc_id").as("rep_id"),
+        lit(nBands.toLong).as("n_shared_bands"), col("n_sh").as("inter"),
+        lit(1.0).as("jaccard")))
+    cross.unionByName(intra)
       .select(col("a_id"), col("b_id"), col("n_shared_bands"), col("inter"), col("jaccard"))
   }
 
@@ -534,9 +703,103 @@ object DedupOps {
 
   /** Declared end-to-end dedup clustering: LSH candidates → Jaccard
     * verify → connected components. Output: every doc that belongs to
-    * a near-dup cluster, with its cluster's canonical id. */
-  def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
-    connectedComponents(nearDupVerified(docs, minJaccard = minJaccard))
+    * a near-dup cluster, with its cluster's canonical id.
+    *
+    * CONNECTIVITY NEEDS A STAR, NOT ALL PAIRS: unlike the
+    * pair-emitting queries, clustering never expands exact families
+    * into C(fam,2) member pairs — each family enters the graph as a
+    * linear star (rep → member), and verified REP pairs carry the
+    * cross-family links. A 10⁵-copy template family contributes 10⁵−1
+    * star edges instead of ~5·10⁹ clique edges, while the component
+    * set — and the min-doc_id component labels — are provably
+    * identical: a family star connects exactly what its clique
+    * connects, family reps are family minima, and every member of a
+    * shingled ≥2 family (the only docs the clique form would touch)
+    * appears as a star leaf. */
+  def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val members = exactFamilies(docs).localCheckpoint(true)
+    val reps = repDocsOf(docs, members)
+    val repVer = jaccardVerify(reps,
+      bandCandidates(reps, 12, 3, 3), 3, minJaccard)
+      .select(col("a_id"), col("b_id"))
+    // stars only for families that would have formed intra pairs:
+    // fam_size ≥ 2 (implied by doc_id ≠ rep_id) and a shingled rep
+    val stars = members.filter(col("doc_id") =!= col("rep_id"))
+      .join(shingleCounts(reps, 3).select(col("doc_id").as("rep_id")), "rep_id")
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    connectedComponents(repVer.unionByName(stars))
+  }
+
+  /** Band-bucket size profile — the measurement that decides whether
+    * the within-bucket pair stage needs the capped fallback: top-n
+    * LSH buckets by occupancy with their share, via
+    * [[SkewOps.keySkewProfile]] over the (band, band_sig) bucket key.
+    * Run it over the REPRESENTATIVE docs (post [[exactFamilies]]
+    * routing — the declared `lsh_bucket_profile` query does): a
+    * bucket of size s contributes ~s²/2 candidate rows, so any bucket
+    * whose share makes s² rival the corpus size is the signal to
+    * switch the clustering path to [[clusterCandidatesCapped]]. */
+  def lshBucketProfile(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
+                       w: Int = 3, topN: Int = 10): DataFrame = {
+    val members = exactFamilies(docs).localCheckpoint(true)
+    SkewOps.keySkewProfile(
+      lshBuckets(minhashSignatures(repDocsOf(docs, members), numHashes, w), rowsPerBand)
+        .select(concat_ws("#", col("band"), col("band_sig")).as("bucket")),
+      "bucket", topN)
+  }
+
+  /** Bucket-capped candidate generation for the CLUSTERING path — the
+    * documented fallback when even the post-routing residue holds a
+    * mega NEAR-dup family (10⁵ distinct-but-near-identical template
+    * variants co-bucketing in every band). Buckets at or below
+    * `maxBucket` enumerate pairs as usual; over-cap buckets emit a
+    * linear STAR to the bucket's min doc_id instead of s²/2 pairs —
+    * sufficient for connectivity (the clustering consumer), not for
+    * the pair contract, which is why this is a separate entry point
+    * and not a default inside [[minhashCandidates]].
+    *
+    * Semantics note (the documented approximation): downstream verify
+    * sees (bucketMin, member) edges only, so two over-cap members
+    * whose similarity passes the threshold pairwise but NOT via the
+    * bucket representative can land in different components. For
+    * template families — near-identical by construction — the star
+    * transitively verifies; profile first ([[lshBucketProfile]]),
+    * cap only what the measurement says is a family. */
+  def clusterCandidatesCapped(docs: DataFrame, maxBucket: Int,
+                              numHashes: Int = 12, rowsPerBand: Int = 3,
+                              w: Int = 3): DataFrame = {
+    val buckets = lshBuckets(minhashSignatures(docs, numHashes, w), rowsPerBand)
+      .localCheckpoint(true)
+    val sizes = buckets.groupBy(col("band"), col("band_sig"))
+      .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("bmin"))
+    val sized = buckets.join(sizes, Seq("band", "band_sig"))
+    val small = sized.filter(col("bsize") <= maxBucket)
+    val a = small.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
+    val b = small.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
+    val smallPairs = a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    val starPairs = sized.filter(col("bsize") > maxBucket && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"))
+    smallPairs.unionByName(starPairs).distinct()
+  }
+
+  /** Clustering with the bucket cap engaged end-to-end: capped
+    * candidates over exact-family reps → Jaccard verify → family
+    * stars → components. The 100 TB shape of [[dedupClusters]]; see
+    * [[clusterCandidatesCapped]] for the semantics it trades. */
+  def dedupClustersCapped(docs: DataFrame, maxBucket: Int,
+                          minJaccard: Double = 0.5): DataFrame = {
+    val members = exactFamilies(docs).localCheckpoint(true)
+    val reps = repDocsOf(docs, members)
+    val repVer = jaccardVerify(reps,
+      clusterCandidatesCapped(reps, maxBucket), 3, minJaccard)
+      .select(col("a_id"), col("b_id"))
+    val stars = members.filter(col("doc_id") =!= col("rep_id"))
+      .join(shingleCounts(reps, 3).select(col("doc_id").as("rep_id")), "rep_id")
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
+    connectedComponents(repVer.unionByName(stars))
+  }
 
   /** Prefix-filter candidate generation (AllPairs/PPJoin family,
     * Bayardo et al. WWW'07) — the DETERMINISTIC alternative to

@@ -302,7 +302,13 @@ object RelationalOps {
     *
     * Scale shape: one tiny per-type bounds agg broadcast back; bin
     * assignment map-side; final agg on the bounded (type, bin) key
-    * with map-side partials. Degenerate hi == lo collapses to bin 0. */
+    * with map-side partials. Degenerate hi == lo collapses to bin 0.
+    *
+    * Both ends are clamped: lo is ROUNDED min, so a boundary value
+    * with more decimals than the 6dp grid can sit a hair BELOW lo and
+    * floor() to −1 — greatest(0, …) pins the declared 0..nBins−1
+    * contract (mirrored in the oracle, same expression-shape rule as
+    * the top cap). */
   def valueHistogram(events: DataFrame, nBins: Int = 20): DataFrame = {
     val bounds = events.groupBy(col("event_type"))
       .agg(roundn(min(col("value")), 6).as("lo"), roundn(max(col("value")), 6).as("hi"))
@@ -310,7 +316,8 @@ object RelationalOps {
       .withColumn("bin",
         when(col("hi") === col("lo"), 0L)
           .otherwise(least(lit(nBins - 1).cast("long"),
-            floor((col("value") - col("lo")) * nBins / (col("hi") - col("lo"))))))
+            greatest(lit(0L),
+              floor((col("value") - col("lo")) * nBins / (col("hi") - col("lo")))))))
       .groupBy(col("event_type"), col("bin"))
       .agg(count(lit(1)).as("n"))
       .join(broadcast(bounds), "event_type")

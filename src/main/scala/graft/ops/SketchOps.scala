@@ -102,8 +102,11 @@ object SketchOps {
         countDistinct(col(key)).as("n_exact"),
         graft.functions.SketchAggregators.kmvUdaf(k)(col("h")).as("sk"))
       .withColumn("n_kmv",
+        // greatest(…, 1): hash48's range includes 0, so the k-th
+        // smallest hash can be 0 with probability ~k/2^48 — without
+        // the guard that corner divides by zero on both engines
         when(size(col("sk")) < k, size(col("sk")).cast("long"))
-          .otherwise(expr(s"(${k - 1}L * ${H}L) div element_at(sk, $k)")))
+          .otherwise(expr(s"(${k - 1}L * ${H}L) div greatest(element_at(sk, $k), 1L)")))
       .withColumn("rel_err",
         graft.functions.VectorMath.roundn(
           abs(col("n_kmv") - col("n_exact")).cast("double") / col("n_exact"), 6))

@@ -258,6 +258,95 @@ object TextOps {
       .select(col("lang"), col("predicted_lang"), col("n"), col("recall"))
   }
 
+  /** LEARNED language identification — a hashed char-trigram
+    * multinomial Naive Bayes (the fastText-nano shape: character
+    * n-grams → hashed buckets → linear log-score per class), trained
+    * RELATIONALLY on the corpus' gold `lang` labels over
+    * [[hashSplit]]'s deterministic train buckets and scored for every
+    * document. Replaces [[langId]]'s 5-language marker heuristic with
+    * a model that learns ANY labeled language from its character
+    * statistics — including zh, which has no function-word markers to
+    * vote on (the marker baseline structurally cannot predict it).
+    *
+    * Training is three aggregations — count(lang, bucket),
+    * count(lang), doc-count priors — i.e. the model IS a small
+    * DataFrame, broadcast back for scoring: per (doc, lang),
+    * score = prior + Σ_bucket tf · weight, with Laplace-1 smoothing
+    * and a per-lang default weight for unseen buckets.
+    *
+    * Determinism (fixed-point discipline, same as zipf_fit / kmeans
+    * inertia): every log-weight is computed once, scaled to INTEGER
+    * MICROS (cast(round(ln(p)·10⁶))), and doc scores are exact Long
+    * sums — merge-order-free, bit-identical across engines; argmax
+    * breaks ties on lang asc.
+    *
+    * Scale shape: trigram explode is map-side; the vocab is hashed
+    * once (distinct-gram join, the embedSparse pattern); training
+    * aggs key on (lang, bucket) ≤ |langs|·4096 rows — the weight
+    * table broadcasts; scoring is one (doc, bucket)-keyed agg fed by
+    * a broadcast join, then a per-doc 5-row argmax window. Nothing
+    * shuffles more than the trigram tf table. */
+  def langIdLearned(docs: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    import graft.functions.PortableHash
+    val micro = (c: Column) => round(c * 1000000).cast("long")
+
+    val grams = docs
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .select(col("doc_id"),
+        explode(when(length(col("t")) >= 3,
+          sequence(lit(1), length(col("t")) - 2)).otherwise(array()))
+          .as("i"), col("t"))
+      .select(col("doc_id"), expr("substring(t, i, 3)").as("g"))
+    val tf = grams.groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("tf"))
+    // hash each DISTINCT trigram once, join back (embedSparse pattern)
+    val vocab = tf.select(col("g")).distinct()
+      .withColumn("b", PortableHash.bucket(col("g"), nBuckets))
+    val feat = tf.join(vocab, "g")
+      .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
+
+    val train = docs
+      .join(hashSplit(docs).filter(col("split") === "train").select(col("doc_id")), "doc_id")
+      .select(col("doc_id"), col("lang"))
+    val clb = feat.join(train, "doc_id")
+      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c_lb"))
+    val cl = clb.groupBy(col("lang")).agg(sum(col("c_lb")).as("c_l"))
+    val weights = clb.join(cl, "lang")
+      .select(col("lang"), col("b"),
+        micro(log((col("c_lb") + 1).cast("double") /
+          (col("c_l") + nBuckets).cast("double"))).as("w_mu"))
+    val defaults = cl.select(col("lang"),
+      micro(log(lit(1.0) / (col("c_l") + nBuckets).cast("double"))).as("d_mu"))
+    val nl = train.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nTotal = nl.agg(sum(col("n_l")).cast("double").as("n"))
+    val priors = nl.crossJoin(broadcast(nTotal))
+      .select(col("lang"), micro(log(col("n_l") / col("n"))).as("prior_mu"))
+
+    val scores = feat
+      .crossJoin(broadcast(defaults))
+      .join(broadcast(weights), Seq("lang", "b"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("tf") * coalesce(col("w_mu"), col("d_mu"))).as("s"))
+      .join(broadcast(priors), "lang")
+      .select(col("doc_id"), col("lang"), (col("s") + col("prior_mu")).as("score_micro"))
+    val best = scores
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang").as("p_lang"), col("score_micro").as("p_score"))
+    // docs below 3 chars have no features: fall back to the prior
+    // argmax (ties on lang asc) — the Bayes answer for "no evidence"
+    val topPrior = priors
+      .orderBy(col("prior_mu").desc, col("lang")).limit(1)
+      .select(col("lang").as("tp_lang"), col("prior_mu").as("tp_score"))
+    docs.select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .crossJoin(broadcast(topPrior))
+      .select(col("doc_id"),
+        coalesce(col("p_lang"), col("tp_lang")).as("predicted_lang"),
+        coalesce(col("p_score"), col("tp_score")).as("score_micro"))
+  }
+
   /** Engine-portable PII patterns (kept to syntax shared by Java
     * regex and RE2-style engines, so the oracle applies the SAME
     * expressions). */

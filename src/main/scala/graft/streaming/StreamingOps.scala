@@ -296,7 +296,9 @@ object StreamingOps {
       sk.update(buf)
       val est =
         if (buf.length < k) buf.length.toLong
-        else (k - 1).toLong * 281474976710656L / buf(k - 1)
+        // max(…, 1): hash48 can emit 0 (p ≈ k/2^48); same guard as
+        // the batch estimator so stream/batch stay value-identical
+        else (k - 1).toLong * 281474976710656L / math.max(buf(k - 1), 1L)
       Iterator.single(KmvEstimate(key, est, buf.length))
     }
   }

@@ -101,6 +101,43 @@ class DedupOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("clustering") === 0.0)
   }
 
+  test("degreeOrientedEdges: hub fan-out bound — a degree-10³ star pivots zero wedges") {
+    // star with the hub in the MIDDLE of the id range: the id-ordered
+    // pivot (middle node b in a<b<c) would enumerate 500·500 = 250k
+    // wedge-join rows through it; degree orientation points every
+    // edge AT the hub, so its out-degree — and the wedge fan-out — is 0
+    val hub = 500L
+    val e = ((0L until hub).map(i => (i, hub)) ++ (501L to 1000L).map(j => (hub, j)))
+      .toDF("a_id", "b_id")
+    val ori = DedupOps.degreeOrientedEdges(e)
+    val outDeg = ori.groupBy($"src").agg(count(lit(1)).as("od"))
+      .agg(max($"od")).head().getLong(0)
+    assert(outDeg === 1L, s"leaf out-degree must be 1, hub 0; got max $outDeg")
+    assert(ori.filter($"src" === hub).count() === 0L, "every edge must point AT the hub")
+    val r = DedupOps.triangleStats(e).collect()(0)
+    assert(r.getAs[Long]("n_edges") === 1000L)
+    assert(r.getAs[Long]("n_wedges") === 1000L * 999L / 2)
+    assert(r.getAs[Long]("n_triangles") === 0L)
+    assert(r.getAs[Double]("clustering") === 0.0)
+  }
+
+  test("triangleStats: degree-oriented census matches brute force on a dense mixed graph") {
+    // K4 on {1..4} (4 triangles) + a pendant chain + an isolated edge;
+    // brute-force ground truth over all node triples
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (8L, 9L))
+    val adj = edges.toSet
+    def isEdge(a: Long, b: Long) = adj.contains((math.min(a, b), math.max(a, b)))
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = nodes.combinations(3).count {
+      case Seq(x, y, z) => isEdge(x, y) && isEdge(y, z) && isEdge(x, z)
+    }
+    val r = DedupOps.triangleStats(edges.toDF("a_id", "b_id")).collect()(0)
+    assert(r.getAs[Long]("n_triangles") === brute.toLong)
+    assert(brute === 4)
+  }
+
   test("containment/jaccard invariants: J ≤ min(C_a, C_b); inter ≤ min(na, nb)") {
     val cand = DedupOps.minhashCandidates(docs).select("a_id", "b_id")
     val c = DedupOps.containmentVerify(docs, cand).collect()
@@ -116,6 +153,96 @@ class DedupOpsSpec extends SparkSpec {
       assert(j(pair) <= math.min(ca, cb) + 1e-9, s"$pair: J=${j(pair)} > min($ca,$cb)")
       assert(inter >= 1L)
     }
+  }
+
+  // multi-family corpus: three exact families (sizes 3, 2, 1) across
+  // two near-dup groups plus an unrelated doc — exercises intra
+  // pairs, cross-family expansion, and singleton families at once
+  private def famDocs = {
+    val t1 = base
+    val t2 = base + " with a tiny edit"
+    val t3 = "completely different words about spark query engines at scale ok"
+    Seq((0L, t1), (1L, t1), (2L, t1), (3L, t2), (4L, t2), (5L, t3))
+      .toDF("doc_id", "text")
+  }
+
+  test("family routing is output-identical to unrouted banding (minhash, simhash, verify)") {
+    val routedCand = DedupOps.minhashCandidates(famDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rawCand = DedupOps.bandCandidates(famDocs, 12, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(routedCand === rawCand, "minhashCandidates must equal full-corpus banding")
+
+    val routedSim = DedupOps.simhashPairs(famDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rawSim = DedupOps.simhashPairsRaw(famDocs, 3, 48, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(routedSim === rawSim, "simhashPairs must equal full-corpus banding")
+
+    val routedVer = DedupOps.nearDupVerified(famDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    val rawVer = DedupOps.jaccardVerify(famDocs,
+        DedupOps.bandCandidates(famDocs, 12, 3, 3), 3, 0.5,
+        passthrough = Seq("n_shared_bands"))
+      .select($"a_id", $"b_id", $"n_shared_bands", $"inter", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(routedVer === rawVer, "nearDupVerified must equal unrouted verify")
+
+    val routedCc = DedupOps.dedupClusters(famDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawCc = DedupOps.connectedComponents(
+        DedupOps.jaccardVerify(famDocs,
+          DedupOps.bandCandidates(famDocs, 12, 3, 3), 3, 0.5)
+          .select($"a_id", $"b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(routedCc === rawCc, "star-form clusters must equal clique-form components")
+  }
+
+  test("mega-family: 10³ exact copies never enter banding; clusters stay linear stars") {
+    val n = 1000
+    val copies = (0L until n.toLong).map(i => (i, base))
+    val near = Seq((5000L, base + " with a tiny edit"), (6000L, "unrelated words " * 8))
+    val mega = (copies ++ near).toDF("doc_id", "text")
+    // banding sees ONE representative for the 1000-copy family
+    val members = DedupOps.exactFamilies(mega)
+    assert(members.filter($"rep_id" === 0L).count() === n.toLong)
+    val reps = DedupOps.repDocsOf(mega, members)
+    assert(reps.count() === 3L)
+    // candidate stage over reps: at most C(3,2) pairs — not ~500k
+    val repCand = DedupOps.bandCandidates(reps, 12, 3, 3).count()
+    assert(repCand <= 3L, s"rep-level candidates must be tiny, got $repCand")
+    // clustering connects all copies + the near dup through stars:
+    // one component rooted at doc 0, WITHOUT expanding C(1000,2) pairs
+    val cc = DedupOps.dedupClusters(mega)
+    assert(cc.filter($"component_id" === 0L).count() === n.toLong + 1)
+    assert(cc.filter($"doc_id" === 6000L).count() === 0L, "unrelated doc joins no cluster")
+  }
+
+  test("clusterCandidatesCapped: over-cap buckets contribute linear stars, components survive") {
+    // 40 distinct near-identical template variants (same 12-token base
+    // + unique suffix) co-bucket heavily; cap 8 forces the star path
+    val variants = (0L until 40L).map(i => (i, base + s" variant$i"))
+      .toDF("doc_id", "text")
+    val capped = DedupOps.clusterCandidatesCapped(variants, maxBucket = 8)
+    val uncapped = DedupOps.bandCandidates(variants, 12, 3, 3)
+    assert(capped.count() < uncapped.count(),
+      "cap must shrink the candidate set on a co-bucketing family")
+    // stars stay linear: every over-cap bucket of size s adds s-1 rows
+    assert(capped.count() <= 40L * 4 + 8L * 8 * 4,
+      "capped candidates must be bounded by stars + small-bucket pairs")
+    // connectivity survives the cap: with uniform within-family
+    // similarity every (bucketMin, member) star edge verifies, so the
+    // capped components EQUAL the uncapped ones (capped edges are a
+    // connectivity-preserving subset here; LSH may probabilistically
+    // miss a few variants entirely, identically in both forms)
+    val capCc = DedupOps.dedupClustersCapped(variants, maxBucket = 8, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullCc = DedupOps.dedupClusters(variants, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capCc === fullCc, "capped clustering must match uncapped on a uniform family")
+    assert(capCc.size >= 35, s"family must largely cluster, got ${capCc.size}")
   }
 
   test("nearDupVerified composes LSH candidates with Jaccard verification, thresholded") {

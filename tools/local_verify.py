@@ -31,22 +31,27 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         # temp/materialized-CTE memory across 100+ oracles at sf0.1 and
         # late queries die with allocator OOM (observed 2026-08-13).
         # A temp_directory lets the heavy oracles SPILL — an in-memory
-        # connection otherwise hard-fails at memory_limit.
+        # connection otherwise hard-fails at memory_limit. try/finally
+        # so close() runs on EVERY path — the fix was motivated by
+        # allocator pressure, so the lifetime must be explicit, not
+        # left to refcounting.
         con = duckdb.connect()
-        con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
-        con.execute("PRAGMA memory_limit='90GB'")
-        for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
-            want = con.execute(sql).df()
-        except Exception as e:
-            print(f"FAIL {name}: {type(e).__name__}: {e}")
-            failures += 1
+            con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
+            con.execute("PRAGMA memory_limit='90GB'")
+            for t in TABLES:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            try:
+                got = con.execute(
+                    f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+                want = con.execute(sql).df()
+            except Exception as e:
+                print(f"FAIL {name}: {type(e).__name__}: {e}")
+                failures += 1
+                continue
+        finally:
             con.close()
-            continue
         g, w = norm(got), norm(want)
         if list(g.columns) != list(w.columns):
             print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
@@ -70,7 +75,6 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(g)} rows)")
-        con.close()
     print(f"\n{len(oracle) - failures}/{len(oracle)} queries match")
     return 1 if failures else 0
 
