@@ -411,6 +411,14 @@ object SparkEntry {
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
         centroids = Some(cent), nAssign = nAssign)
     }),
+    // the recall-vs-nProbe curve as a DECLARED receipt: IVF@{1,2,3}
+    // probes vs the exact brute-force twin, both recomputed by the
+    // oracle — a probe-policy regression is a hash mismatch, not a
+    // spec-only signal
+    "ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.annRecallCurve(emb, emb.filter(col("vec_id") < 10), k = 3)
+    }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
     // round-trip → parquet round-trip; hashes prove fidelity)
@@ -1702,6 +1710,51 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM scored)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // the recall curve, both sides recomputed: IVF candidates per
+    // probe budget from the SAME ranked cell table (nAssign=1), exact
+    // ground truth as the brute-force cross join, hit join on
+    // (query_id, vec_id)
+    "ann_recall" ->
+      s"""WITH $duckSqrtCells,
+         |params AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS p),
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 1),
+         |pb AS (SELECT pr.p, r.vec_id AS query_id, r.c_label
+         |       FROM ranked r CROSS JOIN params pr
+         |       WHERE r.vec_id < 10 AND r.rn <= pr.p),
+         |cand AS (SELECT DISTINCT pb.p, pb.query_id, a.vec_id
+         |         FROM pb JOIN assigned a USING (c_label)
+         |         WHERE a.vec_id <> pb.query_id),
+         |scored AS (SELECT c.p, c.query_id, c.vec_id,
+         |    round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |rr AS (SELECT p, query_id, vec_id,
+         |         row_number() OVER (PARTITION BY p, query_id
+         |           ORDER BY cos_sim DESC, vec_id) AS rank
+         |       FROM scored),
+         |ivf AS (SELECT p, query_id, vec_id FROM rr WHERE rank <= 3),
+         |exq AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |          round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |        FROM embeddings e, embeddings q
+         |        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |exr AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos_sim DESC, vec_id) AS rank
+         |        FROM exq),
+         |ex AS (SELECT query_id, vec_id FROM exr WHERE rank <= 3),
+         |nex AS (SELECT count(*) AS n_exact FROM ex)
+         |SELECT 'ivf' AS method, i.p AS param,
+         |  count(*) AS n_returned,
+         |  CAST(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  nex.n_exact,
+         |  round(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / nex.n_exact, 6) + 0 AS recall
+         |FROM ivf i
+         |LEFT JOIN ex e2 ON e2.query_id = i.query_id AND e2.vec_id = i.vec_id
+         |CROSS JOIN nex
+         |GROUP BY i.p, nex.n_exact""".stripMargin,
     // one CTE per pipeline stage, mirroring CorpusOps.ingestPipeline
     "ingest_pipeline" ->
       s"""WITH flt AS (

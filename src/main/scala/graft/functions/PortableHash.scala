@@ -46,6 +46,16 @@ object PortableHash {
   def hash48(s: Column): Column =
     conv(substring(sha2(s.cast("string"), 256), 1, 12), 16, 10).cast("long")
 
+  /** Row-local JVM twin of [[hash24]] — the same value for the same
+    * string (first 3 sha-256 bytes = first 6 hex chars), for
+    * streaming kernels that fold one row at a time where a Column
+    * expression can't reach. Spec-pinned equal to the Column form. */
+  def hash24Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8")).take(3).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** SQL fragment for the DuckDB twin of [[hash24]], for oracle
     * authoring. `sExpr` is a SQL expression yielding the input string. */
   def duckdbHash24(sExpr: String): String =

@@ -730,6 +730,37 @@ object DedupOps {
     connectedComponents(repVer.unionByName(stars))
   }
 
+  /** Row-local JVM twin of the [[minhashSignatures]] → [[lshBuckets]]
+    * pipeline for ONE document — the streaming LSH kernel: a doc's
+    * signature depends only on its own text, so the stream computes
+    * it in a flatMap and only the BUCKET MEMBERSHIP needs keyed
+    * state. Bit-equal to the batch SQL (spec-pinned): same tokenize
+    * (first 512 raw space-separated parts, trimmed, blanks dropped —
+    * EmbedOps.tokenize's contract), same distinct w-shingles, same
+    * universal hash family over [[graft.functions.PortableHash]]'s
+    * sha-derived base hash, same seed-ordered band signature. Returns
+    * "band#minh-minh-minh" keys; empty for docs below w tokens
+    * (no shingles → no signature → no buckets, as in batch). */
+  def bandKeysJvm(text: String, numHashes: Int = 12, rowsPerBand: Int = 3,
+                  w: Int = 3): Seq[String] = {
+    val toks = text.split(" ", -1).take(512).map(_.trim).filter(_.nonEmpty)
+    if (toks.length < w) return Nil
+    val shingles = (0 to toks.length - w).map(i => toks.slice(i, i + w).mkString(" ")).distinct
+    val p = MinhashPrime
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      val h0 = graft.functions.PortableHash.hash24Jvm(sh)
+      var s = 0
+      while (s < numHashes) {
+        val v = (((s + 1) * 2654435761L % p) * h0 + ((s + 1) * 40503L + 12345L) % p) % p
+        if (v < sig(s)) sig(s) = v
+        s += 1
+      }
+    }
+    sig.grouped(rowsPerBand).zipWithIndex
+      .map { case (g, b) => s"$b#${g.mkString("-")}" }.toSeq
+  }
+
   /** Band-bucket size profile — the measurement that decides whether
     * the within-bucket pair stage needs the capped fallback: top-n
     * LSH buckets by occupancy with their share, via

@@ -687,4 +687,47 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
+
+  /** Declared ANN-recall receipt — the recall-vs-nProbe curve as an
+    * oracle-pinned query (the way `bpe_vocab_size` pins training
+    * depth): for each probe budget, recall@k of [[ivfTopK]] over the
+    * √N Lloyd codebook (nAssign = 1 so the curve isolates the probe
+    * axis) against the exact [[annTopK]] ground truth. Both sides are
+    * recomputed exactly by the DuckDB twin — the receipt is not a
+    * stored number but a replayable measurement, so a quantizer or
+    * probe-policy regression shows up as a hash mismatch.
+    *
+    * Output: (method, param, n_returned, n_hits, n_exact, recall) —
+    * one row per budget. n_returned can undershoot k·|queries| at
+    * small budgets (a 1-probe query may see < k candidates); that
+    * undershoot is part of what the curve documents.
+    *
+    * Scale shape: the exact side is the one cross join (queries
+    * broadcast — the receipt's cost is the ground truth, exactly as
+    * in [[graft.ops.SkewOps.keySkewProfile]]-style verification
+    * twins); each curve point is an ivfTopK plan over the SAME
+    * centroid table (one Lloyd run, reused), and the hit join keys on
+    * (query_id, vec_id) — k·|queries| rows per point. */
+  def annRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int = 3,
+                     nProbes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    val exact = annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val cent = sqrtCells(corpus, iters = 2).localCheckpoint(true)
+    val curve = nProbes.map { p =>
+      ivfTopK(corpus, queries, nProbe = p, k = k, centroids = Some(cent), nAssign = 1)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("method", lit("ivf"))
+        .withColumn("param", lit(p.toLong))
+    }.reduce(_ unionByName _)
+    curve
+      .join(exact.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
+      .groupBy(col("method"), col("param"))
+      .agg(count(lit(1)).as("n_returned"),
+        coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hits"))
+      .crossJoin(broadcast(nExact))
+      .withColumn("recall", roundn(col("n_hits") / col("n_exact").cast("double"), 6))
+      .select(col("method"), col("param"), col("n_returned"), col("n_hits"),
+        col("n_exact"), col("recall"))
+  }
 }

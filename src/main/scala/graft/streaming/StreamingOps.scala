@@ -312,6 +312,76 @@ object StreamingOps {
       .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input doc for [[lshDedupStream]]. */
+  case class StreamDoc(doc_id: Long, text: String)
+
+  /** One (band bucket, doc) occupancy row — the stream's shuffle key
+    * is the band bucket, exactly like the batch candidate join. */
+  case class BandHit(band_key: String, doc_id: Long)
+
+  /** Output: a near-dup candidate discovered across (or within)
+    * micro-batches — `earlier_id` was already remembered in the same
+    * band bucket when `doc_id` arrived. */
+  case class NearDupHit(doc_id: Long, earlier_id: Long, band_key: String)
+
+  /** Streaming MinHash-LSH near-dup detection — the stream twin of
+    * the batch [[graft.ops.DedupOps.minhashCandidates]] tier, closing
+    * the last batch/stream asymmetry (streaming previously had
+    * exact-hash dedup only). Each arriving doc computes its own
+    * signature row-locally ([[graft.ops.DedupOps.bandKeysJvm]] — the
+    * spec-pinned JVM twin of the batch SQL pipeline), fans out one
+    * row per band, and the ONLY keyed state is band-bucket
+    * membership: a ≤`maxPerBucket`-element doc-id array per bucket.
+    * A doc landing in a bucket reports a [[NearDupHit]] against every
+    * remembered occupant — a near-dup arriving hours after its
+    * original is caught as long as the bucket entry lives.
+    *
+    * Bounded state, two levers (the streaming mirror of the batch
+    * mega-family chapter in SCALE.md): the CAP keeps any bucket at
+    * `maxPerBucket` representative ids — a 10⁵-copy template family
+    * remembers its first k reps and every later copy still REPORTS
+    * against them (the star-to-representative semantics of
+    * `clusterCandidatesCapped`), state never grows; the optional TTL
+    * evicts cold buckets wholesale (TimeMode.ProcessingTime), so the
+    * bucket universe itself cannot accumulate forever on an unbounded
+    * corpus. */
+  class LshBucketProcessor(maxPerBucket: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, BandHit, NearDupHit] {
+    @transient private var ids: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ids = getHandle.getValueState[Array[Long]]("lshBucket",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](), ttl)
+    override def handleInputRows(key: String, rows: Iterator[BandHit],
+                                 tv: TimerValues): Iterator[NearDupHit] = {
+      var cur = if (ids.exists()) ids.get() else Array.emptyLongArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupHit]
+      rows.foreach { r =>
+        cur.foreach(e => if (e != r.doc_id) out += NearDupHit(r.doc_id, e, key))
+        if (cur.length < maxPerBucket && !cur.contains(r.doc_id)) cur = cur :+ r.doc_id
+      }
+      ids.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Declared entry point: near-dup candidates over a document
+    * stream. `ttl` engages processing-time state expiry (None = state
+    * lives for the query's lifetime, still cap-bounded per bucket). */
+  def lshDedupStream(docs: Dataset[StreamDoc], numHashes: Int = 12,
+                     rowsPerBand: Int = 3, w: Int = 3, maxPerBucket: Int = 8,
+                     ttl: Option[java.time.Duration] = None): Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    docs
+      .flatMap(d => graft.ops.DedupOps.bandKeysJvm(d.text, numHashes, rowsPerBand, w)
+        .map(k => BandHit(k, d.doc_id)))
+      .groupByKey(_.band_key)
+      .transformWithState(
+        new LshBucketProcessor(maxPerBucket,
+          ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
+  }
+
   /** Declared debounce entry point: `events` must be a streaming
     * Dataset[TimedEv]; emits each key's burst-final event once the
     * watermark passes quietMs beyond it. */

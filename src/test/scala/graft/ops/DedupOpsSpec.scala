@@ -101,6 +101,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(p.getAs[Double]("clustering") === 0.0)
   }
 
+  test("bandKeysJvm (streaming kernel) is bit-equal to the batch signature pipeline") {
+    val fixture = Seq(
+      (0L, base),
+      (2L, base + " with a tiny edit"),
+      (3L, "completely different words about spark query engines at scale ok"))
+    val batchKeys = DedupOps.lshBuckets(DedupOps.minhashSignatures(fixture.toDF("doc_id", "text")))
+      .select($"doc_id", concat_ws("#", $"band", $"band_sig").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).toSet }
+    for ((id, text) <- fixture)
+      assert(DedupOps.bandKeysJvm(text).toSet === batchKeys(id),
+        s"doc $id: JVM band keys must equal the batch pipeline's")
+    // below w tokens: no shingles → no signature → no buckets, as in batch
+    assert(DedupOps.bandKeysJvm("one two").isEmpty)
+  }
+
   test("degreeOrientedEdges: hub fan-out bound — a degree-10³ star pivots zero wedges") {
     // star with the hub in the MIDDLE of the id range: the id-ordered
     // pivot (middle node b in a<b<c) would enumerate 500·500 = 250k

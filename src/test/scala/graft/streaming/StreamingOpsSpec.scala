@@ -192,6 +192,77 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("lshDedupStream: a near-dup arriving in a LATER batch is caught; unrelated is not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{NearDupHit, StreamDoc}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.lshDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+    try {
+      input.addData(StreamDoc(0L, base))
+      q.processAllAvailable()
+      assert(spark.table("lsh_out").count() === 0L, "first doc has nothing to match")
+      input.addData(
+        StreamDoc(10L, base + " with a tiny edit"),
+        StreamDoc(20L, "completely different words about spark query engines at scale ok"))
+      q.processAllAvailable()
+      val hits = spark.table("lsh_out").as[NearDupHit].collect()
+      assert(hits.exists(h => h.doc_id == 10L && h.earlier_id == 0L),
+        "cross-batch near-dup must be reported against the remembered original")
+      assert(!hits.exists(h => h.doc_id == 20L || h.earlier_id == 20L),
+        "unrelated doc shares no bucket")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("lshDedupStream: bucket state is cap-bounded; late copies still report against reps") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{NearDupHit, StreamDoc}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.lshDedupStream(input.toDS(), maxPerBucket = 2)
+      .writeStream.format("memory").queryName("lsh_cap_out")
+      .outputMode("append").start()
+    try {
+      // an exact-copy family arriving over two batches: only the first
+      // 2 ids per bucket are ever remembered (the representatives)
+      input.addData((0L until 4L).map(i => StreamDoc(i, base)): _*)
+      q.processAllAvailable()
+      input.addData(StreamDoc(100L, base))
+      q.processAllAvailable()
+      val hits = spark.table("lsh_cap_out").as[NearDupHit].collect()
+      // the late copy matches ONLY the ≤2 remembered reps per bucket —
+      // state is bounded — but it IS detected (star-to-rep semantics)
+      val lateMatches = hits.filter(_.doc_id == 100L).map(_.earlier_id).distinct.sorted
+      assert(lateMatches.nonEmpty, "late family copy must still be detected")
+      assert(lateMatches.toSeq === Seq(0L, 1L),
+        s"only the first maxPerBucket reps may be remembered, got $lateMatches")
+      // and no doc ever reports more than 2 distinct partners per band
+      hits.groupBy(h => (h.doc_id, h.band_key)).foreach { case (_, g) =>
+        assert(g.map(_.earlier_id).distinct.length <= 2)
+      }
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionCounts merges gap-contiguous events and splits across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
