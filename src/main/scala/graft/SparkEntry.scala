@@ -229,6 +229,19 @@ object SparkEntry {
     "html_extract" -> ((s, dir) =>
       HtmlOps.htmlExtract(HtmlOps.synthesizePages(Tables.documents(s, dir)))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
+    // image perceptual hash over DECODED PNG pixels (javax.imageio,
+    // real bytes) — pixels are a pure function of media_id, so the
+    // oracle recomputes every pixel/mean/bit WITHOUT decoding: the
+    // differential proof that decode→hash inverts the encoder
+    "image_phash" -> ((s, dir) =>
+      MultimodalOps.imageAHash(
+        MultimodalOps.syntheticPngs(s, Tables.documents(s, dir)))
+        .filter(_.ok).toDF().select(col("media_id"), col("ahash"))),
+    // image near-dups: aHash through the SAME pigeonhole chunk join
+    // as dedup_simhash — the multimodal member of the dedup family
+    "image_near_dup" -> ((s, dir) =>
+      MultimodalOps.imageNearDup(
+        MultimodalOps.syntheticPngs(s, Tables.documents(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -350,6 +363,14 @@ object SparkEntry {
     // fixed-point integer-micro log scores — catches zh, which the
     // marker heuristic structurally cannot
     "lang_id_learned" -> ((s, dir) => TextOps.langIdLearned(Tables.documents(s, dir))),
+    // the learned model graded by the same audit as the marker
+    // baseline: confusion matrix + per-gold recall (round-8 verdict
+    // pointed at exactly this pairing)
+    "lang_confusion_learned" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.langConfusionOf(docs,
+        TextOps.langIdLearned(docs).select(col("doc_id"), col("predicted_lang")))
+    }),
     // classifier audit: langId predictions vs the gold lang column —
     // |langs|² confusion cells with per-gold-label recall
     "lang_confusion" -> ((s, dir) => TextOps.langConfusion(Tables.documents(s, dir))),
@@ -732,6 +753,74 @@ object SparkEntry {
 
   private def sqlList(xs: Seq[String]): String = xs.map(s => s"'$s'").mkString(", ")
 
+  /** DuckDB twin of MultimodalOps.pixelOf → imageAHash as a CTE block
+    * ending in `ah (media_id, ahash)` — every pixel, the integer
+    * mean, and each hash bit recomputed from the generator formula
+    * (idx = y·8 + x row-major; the perturbed pixel (3,2) is idx 19).
+    * Shared by the image_phash and image_near_dup oracles. */
+  private lazy val duckAhash =
+    """px AS (SELECT d.doc_id AS media_id, u.i AS idx,
+      |    (((d.doc_id % 97) + 3) * ((u.i % 8) * 7 + (u.i // 8) * 13 + 5)
+      |     + CASE WHEN d.doc_id // 97 = 1 AND u.i = 19 THEN 128 ELSE 0 END) % 256 AS p
+      |  FROM documents d, unnest(range(0, 48)) u(i)),
+      |mu AS (SELECT media_id, sum(p) // 48 AS mu FROM px GROUP BY 1),
+      |ah AS (SELECT px.media_id,
+      |         CAST(sum(CASE WHEN px.p > mu.mu THEN CAST(power(2, px.idx) AS BIGINT)
+      |                       ELSE 0 END) AS BIGINT) AS ahash
+      |       FROM px JOIN mu USING (media_id) GROUP BY 1)""".stripMargin
+
+  /** DuckDB twin of TextOps.langIdLearned as a CTE block ending in
+    * `nbp (doc_id, predicted_lang, score_micro)` — the NB training
+    * unrolled in SQL: trigram tf → hashed buckets → (lang, bucket)
+    * counts on the hash-split train buckets → integer-micro log
+    * weights → per-(doc, lang) Long score sums → argmax window, with
+    * the prior-argmax fallback for featureless docs. Shared by the
+    * lang_id_learned and lang_confusion_learned oracles. */
+  private lazy val duckNbCtes =
+    s"""gr AS (
+       |  SELECT doc_id, substr(t, CAST(u.i AS INTEGER), 3) AS g
+       |  FROM (SELECT doc_id, lower(text) AS t FROM documents) d,
+       |       unnest(range(1, greatest(length(t) - 2, 0) + 1)) u(i)),
+       |gtf AS (SELECT doc_id, g, count(*) AS tf FROM gr GROUP BY 1, 2),
+       |vh AS (SELECT g, ${graft.functions.PortableHash.duckdbHash24("g")} % 4096 AS b
+       |       FROM (SELECT DISTINCT g FROM gtf)),
+       |ft AS (SELECT doc_id, b, CAST(sum(tf) AS BIGINT) AS tf
+       |       FROM gtf JOIN vh USING (g) GROUP BY 1, 2),
+       |tr AS (SELECT d.doc_id, d.lang FROM documents d
+       |       WHERE ${graft.functions.PortableHash.duckdbHash24("d.text")} % 100 >= 10),
+       |clb AS (SELECT tr.lang, ft.b, CAST(sum(ft.tf) AS BIGINT) AS c_lb
+       |        FROM ft JOIN tr USING (doc_id) GROUP BY 1, 2),
+       |cl AS (SELECT lang, CAST(sum(c_lb) AS BIGINT) AS c_l FROM clb GROUP BY 1),
+       |w AS (SELECT lang, b,
+       |        CAST(round(ln(CAST(c_lb + 1 AS DOUBLE) / CAST(c_l + 4096 AS DOUBLE))
+       |                   * 1000000) AS BIGINT) AS w_mu
+       |      FROM clb JOIN cl USING (lang)),
+       |dmu AS (SELECT lang,
+       |          CAST(round(ln(1.0 / CAST(c_l + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
+       |            AS d_mu
+       |        FROM cl),
+       |nl AS (SELECT lang, count(*) AS n_l FROM tr GROUP BY 1),
+       |nt AS (SELECT CAST(sum(n_l) AS DOUBLE) AS n FROM nl),
+       |pr AS (SELECT lang, CAST(round(ln(n_l / nt.n) * 1000000) AS BIGINT) AS prior_mu
+       |       FROM nl, nt),
+       |sc AS (SELECT ft.doc_id, dm.lang,
+       |         CAST(sum(ft.tf * coalesce(w.w_mu, dm.d_mu)) AS BIGINT) AS s
+       |       FROM ft CROSS JOIN dmu dm
+       |       LEFT JOIN w ON w.lang = dm.lang AND w.b = ft.b
+       |       GROUP BY 1, 2),
+       |sc2 AS (SELECT sc.doc_id, sc.lang, sc.s + pr.prior_mu AS score_micro
+       |        FROM sc JOIN pr USING (lang)),
+       |best AS (SELECT doc_id, lang, score_micro,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY score_micro DESC, lang) AS rn
+       |         FROM sc2),
+       |top AS (SELECT lang, prior_mu FROM pr ORDER BY prior_mu DESC, lang LIMIT 1),
+       |nbp AS (SELECT d.doc_id,
+       |          coalesce(b.lang, (SELECT lang FROM top)) AS predicted_lang,
+       |          coalesce(b.score_micro, (SELECT prior_mu FROM top)) AS score_micro
+       |        FROM documents d
+       |        LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id))""".stripMargin
+
   /** DuckDB twin of HtmlOps.synthesizePages → htmlBlocks as a CTE
     * block ending in `pg (doc_id, block_idx, txt, n_chars,
     * link_density, stop_ratio, keep)` — page construction, script/
@@ -890,6 +979,18 @@ object SparkEntry {
          |$duckLshCand,
          |$duckJaccardVerify
          |SELECT a_id, b_id, inter, jaccard FROM jac""".stripMargin,
+    "image_phash" ->
+      s"""WITH $duckAhash
+         |SELECT media_id, ahash FROM ah""".stripMargin,
+    // quadratic twin over the formula hashes (DuckDB at oracle SF) —
+    // the engine side goes through the pigeonhole chunk join
+    "image_near_dup" ->
+      s"""WITH $duckAhash
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+         |FROM ah a, ah b
+         |WHERE a.media_id < b.media_id
+         |  AND bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
     "dedup_containment" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -1417,49 +1518,20 @@ object SparkEntry {
     // weights → per-(doc,lang) Long score sums → argmax window.
     // Fixed-point ln(·)·1e6 on both engines; ties on lang asc
     "lang_id_learned" ->
-      s"""WITH gr AS (
-         |  SELECT doc_id, substr(t, CAST(u.i AS INTEGER), 3) AS g
-         |  FROM (SELECT doc_id, lower(text) AS t FROM documents) d,
-         |       unnest(range(1, greatest(length(t) - 2, 0) + 1)) u(i)),
-         |gtf AS (SELECT doc_id, g, count(*) AS tf FROM gr GROUP BY 1, 2),
-         |vh AS (SELECT g, ${graft.functions.PortableHash.duckdbHash24("g")} % 4096 AS b
-         |       FROM (SELECT DISTINCT g FROM gtf)),
-         |ft AS (SELECT doc_id, b, CAST(sum(tf) AS BIGINT) AS tf
-         |       FROM gtf JOIN vh USING (g) GROUP BY 1, 2),
-         |tr AS (SELECT d.doc_id, d.lang FROM documents d
-         |       WHERE ${graft.functions.PortableHash.duckdbHash24("d.text")} % 100 >= 10),
-         |clb AS (SELECT tr.lang, ft.b, CAST(sum(ft.tf) AS BIGINT) AS c_lb
-         |        FROM ft JOIN tr USING (doc_id) GROUP BY 1, 2),
-         |cl AS (SELECT lang, CAST(sum(c_lb) AS BIGINT) AS c_l FROM clb GROUP BY 1),
-         |w AS (SELECT lang, b,
-         |        CAST(round(ln(CAST(c_lb + 1 AS DOUBLE) / CAST(c_l + 4096 AS DOUBLE))
-         |                   * 1000000) AS BIGINT) AS w_mu
-         |      FROM clb JOIN cl USING (lang)),
-         |dmu AS (SELECT lang,
-         |          CAST(round(ln(1.0 / CAST(c_l + 4096 AS DOUBLE)) * 1000000) AS BIGINT)
-         |            AS d_mu
-         |        FROM cl),
-         |nl AS (SELECT lang, count(*) AS n_l FROM tr GROUP BY 1),
-         |nt AS (SELECT CAST(sum(n_l) AS DOUBLE) AS n FROM nl),
-         |pr AS (SELECT lang, CAST(round(ln(n_l / nt.n) * 1000000) AS BIGINT) AS prior_mu
-         |       FROM nl, nt),
-         |sc AS (SELECT ft.doc_id, dm.lang,
-         |         CAST(sum(ft.tf * coalesce(w.w_mu, dm.d_mu)) AS BIGINT) AS s
-         |       FROM ft CROSS JOIN dmu dm
-         |       LEFT JOIN w ON w.lang = dm.lang AND w.b = ft.b
-         |       GROUP BY 1, 2),
-         |sc2 AS (SELECT sc.doc_id, sc.lang, sc.s + pr.prior_mu AS score_micro
-         |        FROM sc JOIN pr USING (lang)),
-         |best AS (SELECT doc_id, lang, score_micro,
-         |           row_number() OVER (PARTITION BY doc_id
-         |             ORDER BY score_micro DESC, lang) AS rn
-         |         FROM sc2),
-         |top AS (SELECT lang, prior_mu FROM pr ORDER BY prior_mu DESC, lang LIMIT 1)
-         |SELECT d.doc_id,
-         |  coalesce(b.lang, (SELECT lang FROM top)) AS predicted_lang,
-         |  coalesce(b.score_micro, (SELECT prior_mu FROM top)) AS score_micro
-         |FROM documents d
-         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)""".stripMargin,
+      s"""WITH $duckNbCtes
+         |SELECT doc_id, predicted_lang, score_micro FROM nbp""".stripMargin,
+    // the learned model graded by the SAME audit shape as the marker
+    // baseline: confusion matrix + per-gold-label recall
+    "lang_confusion_learned" ->
+      s"""WITH $duckNbCtes,
+         |g AS (SELECT d.lang AS gold, nbp.predicted_lang
+         |      FROM documents d JOIN nbp USING (doc_id)),
+         |cell AS (SELECT gold, predicted_lang, count(*) AS n
+         |         FROM g GROUP BY 1, 2),
+         |tot AS (SELECT gold, count(*) AS t FROM g GROUP BY 1)
+         |SELECT c.gold AS lang, c.predicted_lang, c.n,
+         |       round(c.n / t.t, 6) + 0 AS recall
+         |FROM cell c JOIN tot t USING (gold)""".stripMargin,
     "lang_confusion" ->
       s"""WITH $duckToks,
          |$duckLangCtes,

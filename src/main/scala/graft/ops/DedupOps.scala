@@ -248,24 +248,37 @@ object DedupOps {
 
   /** Pre-routing simhash banding kernel (see [[simhashPairs]]). */
   private[ops] def simhashPairsRaw(docs: DataFrame, maxHamming: Int, bits: Int,
-                              chunks: Int): DataFrame = {
+                              chunks: Int): DataFrame =
+    hammingBandPairs(
+      simhash(docs, bits).select(col("doc_id").as("id"), col("simhash").as("sig")),
+      maxHamming, bits, chunks)
+
+  /** GENERIC pigeonhole hamming join over ANY (id, sig) signature
+    * table (Manku et al., WWW'07) — the candidate machinery shared by
+    * text SimHash and the image perceptual-hash tier
+    * ([[MultimodalOps.imageNearDup]]): split each signature into
+    * `chunks` equal bit-chunks; hamming ≤ maxHamming < chunks forces
+    * ≥ 1 chunk to match exactly, so candidates come from an EQUI-JOIN
+    * on (chunk_idx, chunk_value) and only they pay the popcount.
+    * Output: (a_id, b_id, hamming), a_id < b_id. */
+  def hammingBandPairs(sigs: DataFrame, maxHamming: Int = 3, bits: Int = 48,
+                       chunks: Int = 4): DataFrame = {
     require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
     require(bits % chunks == 0, "chunks must divide bits")
     // beyond the hash width every doc's high bits are 0 — the chunk
     // covering them would equi-join ALL docs with ALL docs
     require(bits <= 48, "signature width capped by hash48; wider bits need a wider hash")
     val chunkBits = bits / chunks
-    val sh = simhash(docs, bits)
-    val chunked = sh
+    val chunked = sigs.select(col("id"), col("sig"))
       .withColumn("chunk_idx", explode(sequence(lit(0), lit(chunks - 1))))
       .withColumn(
         "chunk_val",
-        expr(s"(simhash div cast(power(2, chunk_idx * $chunkBits) as bigint)) " +
+        expr(s"(sig div cast(power(2, chunk_idx * $chunkBits) as bigint)) " +
           s"% ${1L << chunkBits}"))
     val a = chunked.select(
-      col("doc_id").as("a_id"), col("simhash").as("sh_a"), col("chunk_idx"), col("chunk_val"))
+      col("id").as("a_id"), col("sig").as("sh_a"), col("chunk_idx"), col("chunk_val"))
     val b = chunked.select(
-      col("doc_id").as("b_id"), col("simhash").as("sh_b"), col("chunk_idx"), col("chunk_val"))
+      col("id").as("b_id"), col("sig").as("sh_b"), col("chunk_idx"), col("chunk_val"))
     a.join(b, Seq("chunk_idx", "chunk_val"))
       .filter(col("a_id") < col("b_id"))
       // a pair matching on k chunks appears k times — dedupe BEFORE

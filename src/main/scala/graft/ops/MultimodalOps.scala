@@ -290,6 +290,114 @@ object MultimodalOps {
       col("height"), col("sample_rate"), col("n_frames"),
       length(col("content")).cast("long").as("n_bytes"))
 
+  case class ImageHash(media_id: Long, ahash: Long, ok: Boolean)
+
+  /** Deterministic pixel function behind [[syntheticPngs]] — pure in
+    * (media_id, x, y) so the DuckDB oracle recomputes every pixel,
+    * mean, and hash bit without decoding anything: 97 distinct base
+    * patterns (gid = media_id % 97 ⇒ exact-duplicate image families),
+    * and generation 1 (media_id div 97 == 1) perturbs ONE pixel by
+    * +17 — a NEAR-duplicate image whose aHash differs in a few bits. */
+  def pixelOf(mediaId: Long, x: Int, y: Int): Int = {
+    val gid = mediaId % 97
+    // +128 (half the range) so the perturbed pixel lands on the OTHER
+    // side of the mean for (almost) every gid — a small additive
+    // nudge often fails to cross the threshold and produces an
+    // identical hash instead of a near-dup
+    val perturb = if (mediaId / 97 == 1 && x == 3 && y == 2) 128 else 0
+    // gid scales the ramp MULTIPLICATIVELY: an additive offset would
+    // shift every pixel and the mean together, leaving the threshold
+    // bits identical across gids (one giant hash family — measured
+    // 4.2M pairs at sf0.1); distinct slopes wrap differently, so each
+    // gid is its own pattern and pairs stay family-local
+    (((gid + 3) * (x * 7 + y * 13 + 5) + perturb) % 256).toInt
+  }
+
+  /** REAL 8-bit grayscale 8×6 PNG bytes for [[pixelOf]]'s pattern —
+    * javax.imageio encode, JDK-only. */
+  def pngBytes(mediaId: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      8, 6, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val r = img.getRaster
+    var y = 0
+    while (y < 6) {
+      var x = 0
+      while (x < 8) { r.setSample(x, y, 0, pixelOf(mediaId, x, y)); x += 1 }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** One real PNG per document — the image-dedup test substrate
+    * (this environment has no media files; the pixels are a pure
+    * function of media_id, so decode→hash is differentially provable
+    * end to end, the media_metadata pattern). */
+  def syntheticPngs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map(id => MediaRow(id, "image", pngBytes(id), 8, 6, -1, -1))
+    }
+  }
+
+  /** Perceptual average-hash over DECODED pixels — the image twin of
+    * text SimHash: bit i of the 48-bit signature is 1 iff sample i
+    * (row-major, channel 0, first 48 samples — the 8×6 thumbnail
+    * contract; a production pipeline downscales first) exceeds the
+    * integer mean. Near-identical images differ in few bits, so the
+    * SAME pigeonhole chunk join that powers `dedup_simhash` finds
+    * image near-dups ([[imageNearDup]]). Map-only mapPartitions
+    * decode; junk/truncated payloads are CONTAINED as ok=false. */
+  def imageAHash(media: Dataset[MediaRow]): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { row =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.content))
+          if (img == null || img.getWidth.toLong * img.getHeight < 2)
+            ImageHash(row.media_id, 0L, ok = false)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val m = math.min(48, w * h)
+            val raster = img.getRaster
+            val px = new Array[Int](m)
+            var i = 0
+            var y = 0
+            while (y < h && i < m) {
+              var x = 0
+              while (x < w && i < m) { px(i) = raster.getSample(x, y, 0); i += 1; x += 1 }
+              y += 1
+            }
+            var sum = 0L
+            i = 0
+            while (i < m) { sum += px(i); i += 1 }
+            val mu = sum / m
+            var hash = 0L
+            i = 0
+            while (i < m) { if (px(i) > mu) hash |= (1L << i); i += 1 }
+            ImageHash(row.media_id, hash, ok = true)
+          }
+        } catch {
+          case _: Exception => ImageHash(row.media_id, 0L, ok = false)
+        }
+      }
+    }
+  }
+
+  /** Image near-duplicate pairs: aHash signatures through the generic
+    * pigeonhole hamming join ([[DedupOps.hammingBandPairs]]) — only
+    * decodable images participate; candidates come from the 12-bit
+    * chunk equi-join, never a cross join. */
+  def imageNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingBandPairs(
+      imageAHash(media).filter(_.ok).toDF()
+        .select(col("media_id").as("id"), col("ahash").as("sig")),
+      maxHamming)
+
   /** Synthesize a deterministic media table from the documents table
     * (text bytes as payload) — the test/bench substrate given this
     * environment has no real media files. */
