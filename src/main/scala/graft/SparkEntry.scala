@@ -228,6 +228,17 @@ object SparkEntry {
       HtmlOps.htmlBlocks(HtmlOps.synthesizePages(Tables.documents(s, dir)))),
     "html_extract" -> ((s, dir) =>
       HtmlOps.htmlExtract(HtmlOps.synthesizePages(Tables.documents(s, dir)))),
+    // URL canonicalization — the pre-content-dedup front door of a
+    // web pipeline (case-fold, default-port drop, utm_* strip, param
+    // sort, fragment drop); URLs synthesized pure-in-(doc_id, lang)
+    // so the oracle rebuilds the exact strings. Pure-expression
+    // parse, zero UDFs
+    "url_normalize" -> ((s, dir) =>
+      UrlOps.parseUrls(UrlOps.synthesizeUrls(Tables.documents(s, dir)))),
+    "url_dedup" -> ((s, dir) =>
+      UrlOps.urlDedup(UrlOps.parseUrls(UrlOps.synthesizeUrls(Tables.documents(s, dir))))),
+    "domain_stats" -> ((s, dir) =>
+      UrlOps.domainStats(UrlOps.parseUrls(UrlOps.synthesizeUrls(Tables.documents(s, dir))))),
     "dedup_embedding" -> ((s, dir) => DedupOps.embeddingNearDup(Tables.documents(s, dir))),
     // image perceptual hash over DECODED PNG pixels (javax.imageio,
     // real bytes) — pixels are a pure function of media_id, so the
@@ -242,6 +253,20 @@ object SparkEntry {
     "image_near_dup" -> ((s, dir) =>
       MultimodalOps.imageNearDup(
         MultimodalOps.syntheticPngs(s, Tables.documents(s, dir)))),
+    // audio fingerprint over DECODED PCM samples (RIFF data-chunk
+    // walk + LE16 decode, real WAV bytes) — samples are a pure
+    // function of media_id, so the oracle recomputes every sample,
+    // frame energy, and delta-sign bit without any decoder
+    "audio_fingerprint" -> ((s, dir) =>
+      MultimodalOps.audioFingerprint(
+        MultimodalOps.syntheticPcmWavs(s, Tables.documents(s, dir)))
+        .filter(_.ok).toDF().select(col("media_id"), col("fp"))),
+    // audio near-dups: fingerprints through the SAME pigeonhole
+    // chunk join as dedup_simhash/image_near_dup — the third
+    // modality in the dedup family
+    "audio_near_dup" -> ((s, dir) =>
+      MultimodalOps.audioNearDup(
+        MultimodalOps.syntheticPcmWavs(s, Tables.documents(s, dir)))),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -769,6 +794,26 @@ object SparkEntry {
       |                       ELSE 0 END) AS BIGINT) AS ahash
       |       FROM px JOIN mu USING (media_id) GROUP BY 1)""".stripMargin
 
+  /** DuckDB twin of MultimodalOps.pcmSampleOf → audioFingerprint as
+    * a CTE block ending in `afp (media_id, fp)` — every PCM sample,
+    * 4-sample frame energy, and delta-sign bit recomputed from the
+    * generator formula (frame f = i div 4; bit f set iff
+    * e[f] > e[f+1]). Shared by the audio_fingerprint and
+    * audio_near_dup oracles. */
+  private lazy val duckAudioFp =
+    """smp AS (SELECT d.doc_id AS media_id, u.i AS i,
+      |    ((((d.doc_id % 89) + 5) * (u.i * 37 + 11)
+      |      + CASE WHEN d.doc_id // 89 = 1 AND u.i = 100 THEN 1024 ELSE 0 END)
+      |     % 4096) - 2048 AS s
+      |  FROM documents d, unnest(range(0, 196)) u(i)),
+      |fe AS (SELECT media_id, i // 4 AS f, CAST(sum(s * s) AS BIGINT) AS e
+      |       FROM smp GROUP BY 1, 2),
+      |afp AS (SELECT a.media_id,
+      |          CAST(sum(CASE WHEN a.e > b.e THEN CAST(power(2, a.f) AS BIGINT)
+      |                        ELSE 0 END) AS BIGINT) AS fp
+      |        FROM fe a JOIN fe b ON b.media_id = a.media_id AND b.f = a.f + 1
+      |        GROUP BY 1)""".stripMargin
+
   /** DuckDB twin of TextOps.langIdLearned as a CTE block ending in
     * `nbp (doc_id, predicted_lang, score_micro)` — the NB training
     * unrolled in SQL: trigram tf → hashed buckets → (lang, bucket)
@@ -870,6 +915,54 @@ object SparkEntry {
        |    (n_chars >= 25 AND ld_raw <= 0.3) AS keep
        |  FROM pf)""".stripMargin
   }
+
+  /** DuckDB twin of UrlOps.synthesizeUrls → parseUrls as a CTE block
+    * ending in `upn (doc_id, url, host, domain, canonical)` — URL
+    * construction, regex parse, and the canonicalization chain
+    * (case-fold, default-port drop under the matching scheme only,
+    * utm_* strip, param sort, fragment drop) mirrored
+    * expression-for-expression. Shared by the url_normalize,
+    * url_dedup, and domain_stats oracles. NB: no continuation line
+    * in this block may START with '|' after the margin pipe — the
+    * outer oracle string applies stripMargin a SECOND time over the
+    * interpolated block and would eat one pipe of a leading `||`. */
+  private lazy val duckUrlCtes =
+    """uu AS (SELECT doc_id,
+      |  (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' ELSE 'http' END) || '://' ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN 'www.' WHEN doc_id % 4 = 1 THEN 'm.'
+      |        WHEN doc_id % 4 = 2 THEN '' ELSE 'CDN.' END) ||
+      |  'site' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 0 THEN '.com' ELSE '.org' END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN ':443'
+      |        WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) ||
+      |  '/articles/' || CAST(doc_id % 50 AS VARCHAR) ||
+      |  (CASE WHEN doc_id % 2 = 0
+      |        THEN '?id=' || CAST(doc_id % 20 AS VARCHAR) ||
+      |             '&utm_source=feed&lang=' || lang
+      |        ELSE '?lang=' || lang || '&id=' || CAST(doc_id % 20 AS VARCHAR) END) ||
+      |  (CASE WHEN doc_id % 6 = 0 THEN '#section2' ELSE '' END) AS url
+      |  FROM documents),
+      |up AS (SELECT doc_id, url,
+      |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS host_port,
+      |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path0,
+      |  regexp_extract(url, '\?([^#]*)', 1) AS query
+      |  FROM uu),
+      |up2 AS (SELECT doc_id, url, scheme,
+      |  lower(regexp_extract(host_port, '^([^:]+)', 1)) AS host,
+      |  regexp_extract(host_port, ':([0-9]+)$', 1) AS port,
+      |  CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+      |  coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+      |      p -> p <> '' AND p NOT LIKE 'utm_%')), '&'), '') AS cq
+      |  FROM up),
+      |upn AS (SELECT doc_id, url, host,
+      |  regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS domain,
+      |  scheme || '://' || host ||
+      |  (CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+      |             OR (scheme = 'http' AND port = '80')
+      |        THEN '' ELSE ':' || port END) ||
+      |  path || (CASE WHEN cq = '' THEN '' ELSE '?' || cq END) AS canonical
+      |  FROM up2)""".stripMargin
 
   /** DuckDB twin of TextOps.qualityScore as CTEs `q` + `qual` —
     * stopword list interpolated from TextOps.EnStopwords (single
@@ -991,6 +1084,18 @@ object SparkEntry {
          |FROM ah a, ah b
          |WHERE a.media_id < b.media_id
          |  AND bit_count(xor(a.ahash, b.ahash)) <= 3""".stripMargin,
+    "audio_fingerprint" ->
+      s"""WITH $duckAudioFp
+         |SELECT media_id, fp FROM afp""".stripMargin,
+    // quadratic twin over the formula fingerprints (DuckDB at oracle
+    // SF) — the engine side goes through the pigeonhole chunk join
+    "audio_near_dup" ->
+      s"""WITH $duckAudioFp
+         |SELECT a.media_id AS a_id, b.media_id AS b_id,
+         |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+         |FROM afp a, afp b
+         |WHERE a.media_id < b.media_id
+         |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
     "dedup_containment" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -1103,6 +1208,18 @@ object SparkEntry {
          |  coalesce(string_agg(CASE WHEN keep THEN txt END, ' ' ORDER BY block_idx), '')
          |    AS main_text
          |FROM pg GROUP BY 1""".stripMargin,
+    "url_normalize" ->
+      s"""WITH $duckUrlCtes
+         |SELECT doc_id, url, host, domain, canonical FROM upn""".stripMargin,
+    "url_dedup" ->
+      s"""WITH $duckUrlCtes
+         |SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_dup
+         |FROM upn GROUP BY 1""".stripMargin,
+    "domain_stats" ->
+      s"""WITH $duckUrlCtes
+         |SELECT domain, count(*) AS n_docs,
+         |       count(DISTINCT canonical) AS n_canonical
+         |FROM upn GROUP BY 1""".stripMargin,
     "corpus_curation" ->
       s"""WITH $duckToks,
          |$duckQualityCtes,

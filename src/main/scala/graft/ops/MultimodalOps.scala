@@ -398,6 +398,115 @@ object MultimodalOps {
         .select(col("media_id").as("id"), col("ahash").as("sig")),
       maxHamming)
 
+  case class AudioFp(media_id: Long, fp: Long, ok: Boolean)
+
+  /** Fingerprint geometry: 48 delta-sign bits need 49 frame energies
+    * of [[SamplesPerFrame]] samples each. */
+  val FpFrames = 48
+  val SamplesPerFrame = 4
+  val FpSamples: Int = (FpFrames + 1) * SamplesPerFrame // 196
+
+  /** Deterministic 16-bit PCM sample behind [[syntheticPcmWavs]] —
+    * pure in (media_id, i) so the DuckDB oracle recomputes every
+    * sample, frame energy, and fingerprint bit without any decoder
+    * (the [[pixelOf]] pattern, audio edition). gid = media_id % 89
+    * gives exact-duplicate waveform families; each gid's distinct
+    * LCG step (37·(gid+5) mod 4096) wraps differently, so frame
+    * energies — and fingerprints — are family-specific. Generation 1
+    * (media_id div 89 == 1) perturbs ONE sample in frame 25 by
+    * +1024: only energies e[25] changes, so only delta bits 24/25
+    * can flip — a NEAR-duplicate at hamming ≤ 2. */
+  def pcmSampleOf(mediaId: Long, i: Int): Int = {
+    val gid = mediaId % 89
+    val perturb = if (mediaId / 89 == 1 && i == 100) 1024 else 0
+    ((((gid + 5) * (i * 37 + 11) + perturb) % 4096) - 2048).toInt
+  }
+
+  /** REAL 16-bit mono little-endian PCM WAV bytes carrying
+    * [[pcmSampleOf]]'s waveform — the audio-dedup test substrate. */
+  def pcmWavBytes(mediaId: Long): Array[Byte] = {
+    val b = wavBytes(16000, 1, 16, FpSamples * 2)
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.position(44)
+    var i = 0
+    while (i < FpSamples) { bb.putShort(pcmSampleOf(mediaId, i).toShort); i += 1 }
+    b
+  }
+
+  /** One real PCM WAV per document (see [[syntheticPngs]]). */
+  def syntheticPcmWavs(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { it =>
+      it.map(id => MediaRow(id, "audio", pcmWavBytes(id), -1, -1, 16000, -1))
+    }
+  }
+
+  /** RIFF walk to the `data` chunk, decoded as signed LE16 samples.
+    * Truncated payloads yield only the samples actually present;
+    * non-WAV bytes yield None. */
+  private def pcmSamples(b: Array[Byte]): Option[Array[Int]] = {
+    if (b.length < 12 || fourCC(b, 0) != "RIFF" || fourCC(b, 8) != "WAVE") return None
+    var off = 12
+    while (off + 8 <= b.length) {
+      val cid = fourCC(b, off); val szi = leU32(b, off + 4).toInt
+      if (szi < 0) return None // corrupt size would walk backwards
+      if (cid == "data") {
+        val n = math.min(szi, b.length - off - 8) / 2
+        val out = new Array[Int](math.max(n, 0))
+        var i = 0
+        while (i < out.length) { out(i) = leU16(b, off + 8 + 2 * i).toShort.toInt; i += 1 }
+        return Some(out)
+      }
+      off += 8 + szi + (szi & 1)
+    }
+    None
+  }
+
+  /** Chromaprint-shaped fingerprint over DECODED PCM samples — the
+    * audio twin of [[imageAHash]]: frame the first 196 samples into
+    * 49 frames of 4, energy e[f] = Σ s², bit f = 1 iff
+    * e[f] > e[f+1] (the delta-sign filter at the heart of acoustic
+    * fingerprinting — level-invariant shape, not absolute energy).
+    * Map-only mapPartitions; junk/short payloads CONTAINED as
+    * ok=false, never a throw. */
+  def audioFingerprint(media: Dataset[MediaRow]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { row =>
+        try {
+          pcmSamples(row.content) match {
+            case Some(s) if s.length >= FpSamples =>
+              val e = new Array[Long](FpFrames + 1)
+              var f = 0
+              while (f <= FpFrames) {
+                var j = 0; var acc = 0L
+                while (j < SamplesPerFrame) {
+                  val v = s(f * SamplesPerFrame + j).toLong; acc += v * v; j += 1
+                }
+                e(f) = acc; f += 1
+              }
+              var fp = 0L
+              f = 0
+              while (f < FpFrames) { if (e(f) > e(f + 1)) fp |= (1L << f); f += 1 }
+              AudioFp(row.media_id, fp, ok = true)
+            case _ => AudioFp(row.media_id, 0L, ok = false)
+          }
+        } catch { case _: Exception => AudioFp(row.media_id, 0L, ok = false) }
+      }
+    }
+  }
+
+  /** Audio near-duplicate pairs: fingerprints through the generic
+    * pigeonhole hamming join — exact waveform copies pair at
+    * hamming 0, the one-sample-perturbed generation at ≤ 2 bits;
+    * candidates come from the 12-bit chunk equi-join, never a cross
+    * join ([[imageNearDup]], audio edition). */
+  def audioNearDup(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame =
+    DedupOps.hammingBandPairs(
+      audioFingerprint(media).filter(_.ok).toDF()
+        .select(col("media_id").as("id"), col("fp").as("sig")),
+      maxHamming)
+
   /** Synthesize a deterministic media table from the documents table
     * (text bytes as payload) — the test/bench substrate given this
     * environment has no real media files. */
