@@ -194,6 +194,15 @@ object SparkEntry {
     // (no id caps anywhere: candidate generation is always LSH / IVF
     // bucketing; quadratic kernels run only over candidates)
     "dedup_minhash_lsh" -> ((s, dir) => DedupOps.minhashCandidates(Tables.documents(s, dir))),
+    // incremental maintenance: docs < 400 are the indexed corpus,
+    // >= 400 the arriving batch; output must equal the full-corpus
+    // pair set restricted to pairs touching the batch (oracle-pinned
+    // equivalence — index staleness would hash-mismatch)
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      DedupOps.incrementalCandidates(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
+    }),
     // direction-aware containment C(A→B)=|A∩B|/|A| over the same LSH
     // candidates — catches subset duplication Jaccard dilutes away
     "dedup_containment" -> ((s, dir) => {
@@ -455,6 +464,18 @@ object SparkEntry {
       val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
       val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
+        centroids = Some(cent), nAssign = nAssign)
+    }),
+    // filtered vector search: the label % 2 = 0 predicate enters the
+    // ASSIGNMENT list (pre-filter — every candidate and result slot
+    // satisfies it), the codebook stays the full-corpus one (cells
+    // stable across predicates; one index serves every filter)
+    "ann_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+      val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
+      VectorOps.ivfFilteredTopK(emb, col("label") % 2 === 0,
+        emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
         centroids = Some(cent), nAssign = nAssign)
     }),
     // the recall-vs-nProbe curve as a DECLARED receipt: IVF@{1,2,3}
@@ -1045,6 +1066,15 @@ object SparkEntry {
          |$duckShingles,
          |$duckLshCand
          |SELECT a_id, b_id, n_shared_bands FROM cand""".stripMargin,
+    // full-recompute equivalence receipt: the incremental path must
+    // reproduce the complete-corpus candidate set restricted to
+    // pairs with at least one batch (>= 400) member
+    "dedup_incremental" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand
+         |SELECT a_id, b_id, n_shared_bands FROM cand
+         |WHERE a_id >= 400 OR b_id >= 400""".stripMargin,
     // banding on the Spark side is pigeonhole-exact, so the oracle
     // uses the plain quadratic form — same pair set by construction
     "dedup_simhash" ->
@@ -1885,6 +1915,32 @@ object SparkEntry {
          |cand AS (
          |  -- DISTINCT: with nAssign=2 a (query, vec) pair can meet in
          |  -- two cells (Spark side deduplicates identically)
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a USING (c_label)
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // same CTEs as ann_ivf with the label predicate applied to the
+    // ASSIGNED side only (queries and codebook untouched) — the
+    // pre-filter semantics mirrored exactly
+    "ann_filtered" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT r.vec_id, r.c_label FROM ranked r
+         |             JOIN embeddings e USING (vec_id)
+         |             WHERE r.rn <= 2 AND e.label % 2 = 0),
+         |probes AS (SELECT vec_id AS query_id, c_label FROM ranked
+         |           WHERE rn <= greatest(3, CAST(ceil((SELECT k FROM kk) / 16.0) AS BIGINT))
+         |             AND vec_id < 10),
+         |cand AS (
          |  SELECT DISTINCT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a USING (c_label)
          |  WHERE a.vec_id <> p.query_id),

@@ -191,6 +191,50 @@ object DedupOps {
     cross.unionByName(intra)
   }
 
+  /** INCREMENTAL near-dup maintenance — the production daily-ingest
+    * shape: an already-indexed corpus (`oldDocs` — at 100 TB its band
+    * buckets are a PERSISTED index, bucketed parquet keyed on
+    * (band, band_sig), not recomputed here) meets a new batch
+    * (`newDocs`), and only pairs TOUCHING the batch are produced:
+    * (new, old) via an equi-join of the batch's buckets against the
+    * index, plus (new, new) within the batch. Old-vs-old pairs are
+    * never re-enumerated — per-ingest cost is proportional to the
+    * batch, not the corpus (the batch mirror of
+    * [[graft.streaming.StreamingOps.lshDedupStream]]'s keyed state,
+    * and the corpus-scale lift of the reference's hash-incremental
+    * skip, app_callapi.py:117-120).
+    *
+    * Receipt: signatures are a pure function of text, so the output
+    * is EXACTLY the full-corpus [[minhashCandidates]] pair set
+    * restricted to pairs with ≥1 batch member — the oracle pins that
+    * equivalence, so index staleness bugs become hash mismatches.
+    *
+    * Scale shape: the (new ⋈ old) bucket join streams the small
+    * batch side against the index — a mega duplicate family in the
+    * OLD corpus contributes rows linear in its size (family × the
+    * few batch docs it buckets with), never family²; the only
+    * bucket-quadratic stage is within the batch itself, where
+    * [[exactFamilies]] routing applies as usual upstream. */
+  def incrementalCandidates(oldDocs: DataFrame, newDocs: DataFrame,
+                            numHashes: Int = 12, rowsPerBand: Int = 3,
+                            w: Int = 3): DataFrame = {
+    val oldB = lshBuckets(minhashSignatures(oldDocs, numHashes, w), rowsPerBand)
+    val newB = lshBuckets(minhashSignatures(newDocs, numHashes, w), rowsPerBand)
+    val newVsOld = newB.select(col("doc_id").as("n_id"), col("band"), col("band_sig"))
+      .join(oldB.select(col("doc_id").as("o_id"), col("band"), col("band_sig")),
+        Seq("band", "band_sig"))
+      .select(least(col("n_id"), col("o_id")).as("a_id"),
+        greatest(col("n_id"), col("o_id")).as("b_id"))
+    val a = newB.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
+    val b = newB.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
+    val newVsNew = a.join(b, Seq("band", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+    newVsOld.unionByName(newVsNew)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+  }
+
   /** SimHash per document over `bits` signature bits (default 48):
     * token hash bits weighted by tf, majority vote per bit (sum>0 →
     * 1). 48 bits (not the classic 64) because the portable sha-hex

@@ -688,6 +688,27 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Attribute-FILTERED ANN — metadata predicate + vector search in
+    * one query (the "filtered vector search" production shape: only
+    * permitted / in-tenant / in-language vectors may be returned).
+    * The predicate is applied PRE-candidate-generation: the
+    * assignment list shrinks before the cell equi-join, so every
+    * candidate — and all k result slots — satisfies the filter.
+    * Post-filtering an unfiltered top-k instead silently returns
+    * fewer than k rows (or none) whenever the neighborhood is
+    * dominated by filtered-out vectors — the classic recall hole.
+    * The codebook is TRAINED ON (and shared with) the full corpus:
+    * cells stay stable across predicates, so one persisted index
+    * serves every filter, and a selective predicate just means
+    * sparser cells (probe more cells to compensate — the
+    * nProbe-vs-selectivity trade is the operator's tuning axis).
+    * Cost shape identical to [[ivfTopK]]; the filter rides the
+    * corpus scan (predicate pushdown) before assignment. */
+  def ivfFilteredTopK(corpus: DataFrame, pred: Column, queries: DataFrame,
+                      nProbe: Int, k: Int, centroids: Option[DataFrame] = None,
+                      nAssign: Int = 1): DataFrame =
+    ivfTopK(corpus.filter(pred), queries, nProbe, k, centroids, nAssign)
+
   /** Declared ANN-recall receipt — the recall-vs-nProbe curve as an
     * oracle-pinned query (the way `bpe_vocab_size` pins training
     * depth): for each probe budget, recall@k of [[ivfTopK]] over the

@@ -445,4 +445,26 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(2L).getAs[Long]("dup_windows") === 0)
     assert(r(2L).getAs[Double]("dup_fraction") === 0.0)
   }
+
+  test("incrementalCandidates = full-corpus banding restricted to pairs touching the batch") {
+    // near-dups SPANNING the split (old 0..2 / new 3..5): family t1
+    // has members on both sides, t2 entirely new, plus an old-only
+    // exact pair that must NOT be re-emitted
+    val t1 = base
+    val t2 = base + " with a tiny edit"
+    val d = Seq((0L, t1), (1L, t1), (2L, "unrelated old words about engines ok"),
+      (3L, t1), (4L, t2), (5L, t2)).toDF("doc_id", "text")
+    val split = 3L
+    val inc = DedupOps.incrementalCandidates(
+      d.filter($"doc_id" < split), d.filter($"doc_id" >= split)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val full = DedupOps.bandCandidates(d, 12, 3, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inc === full.filter { case (a, b, _) => a >= split || b >= split })
+    // sanity on the semantics: cross-split near-dup found, old-old not
+    assert(inc.exists { case (a, b, _) => (a, b) == ((0L, 3L)) })
+    assert(!inc.exists { case (a, b, _) => a < split && b < split })
+    // batch-internal near-dup found too
+    assert(inc.exists { case (a, b, _) => (a, b) == ((4L, 5L)) })
+  }
 }

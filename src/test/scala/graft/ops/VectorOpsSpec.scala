@@ -89,6 +89,23 @@ class VectorOpsSpec extends SparkSpec {
     assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("ivfFilteredTopK: every result satisfies the predicate; equals filtered brute force") {
+    // query 0 = (1,0,0): its true nearest is 2 (label 1) — a
+    // post-filter of the unfiltered top-k would waste a slot on it;
+    // the pre-filter must rank only label-0 vectors
+    val q = emb.filter($"vec_id" === 0)
+    // probe every cell so IVF is exhaustive → must equal brute force
+    val r = VectorOps.ivfFilteredTopK(emb, $"label" === 0, q, nProbe = 10, k = 3)
+      .orderBy("rank").collect()
+    val labels = emb.collect().map(x => x.getLong(0) -> x.getInt(2)).toMap
+    assert(r.nonEmpty && r.forall(x => labels(x.getAs[Long]("vec_id")) === 0))
+    val brute = VectorOps.annTopK(emb.filter($"label" === 0), q, 3)
+      .orderBy("rank").collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq === brute)
+    // vec 1 (label 0) leads; vec 2 (label 1, nearer than 1) is absent
+    assert(r.head.getAs[Long]("vec_id") === 1L)
+  }
+
   test("semanticDedupKeep prunes the larger id of a near-dup pair, keeps the rest") {
     val vecs = Seq(
       (0L, Seq(1f, 0f, 0f, 0f), 0),
