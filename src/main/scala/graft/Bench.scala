@@ -34,7 +34,14 @@ object Bench {
     // take the per-query MEDIAN of `Repeats` runs so round-over-round
     // comparisons measure plan changes, not scheduler noise; min and
     // spread are emitted alongside for the variance record
-    val results: Map[String, Seq[Double]] = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2): time a few
+    // queries in isolation when adjudicating drift — the driver never
+    // sets it, so the per-round capture always covers the full surface
+    val selected = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').toSet)
+      .map(only => SparkEntry.queries.filter { case (n, _) => only(n) })
+      .getOrElse(SparkEntry.queries)
+    val results: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
       val times = (1 to Repeats).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation of every output column —

@@ -203,6 +203,23 @@ object SparkEntry {
       DedupOps.incrementalCandidates(
         docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400))
     }),
+    // the load half of load-or-create for the dedup index: persist
+    // the corpus's band buckets, reload from parquet, and answer the
+    // SAME incremental query — a reloaded index must be
+    // bit-identical to a freshly built one (same oracle as
+    // dedup_incremental; at 100 TB the write is bucketBy(band,
+    // band_sig) so the probe join reads the index shuffle-free)
+    "dedup_index_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_lshidx_" +
+        s.sparkContext.applicationId
+      DedupOps.lshBuckets(
+        DedupOps.minhashSignatures(docs.filter(col("doc_id") < 400)))
+        .write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      DedupOps.incrementalCandidatesFromIndex(
+        s.read.parquet(tmp), docs.filter(col("doc_id") >= 400))
+    }),
     // direction-aware containment C(A→B)=|A∩B|/|A| over the same LSH
     // candidates — catches subset duplication Jaccard dilutes away
     "dedup_containment" -> ((s, dir) => {
@@ -465,6 +482,22 @@ object SparkEntry {
       val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
         centroids = Some(cent), nAssign = nAssign)
+    }),
+    // load-or-create for the vector tier: the trained codebook
+    // persists to parquet and a reloaded codebook must answer the
+    // flagship IVF query bit-identically (same oracle as ann_ivf) —
+    // at 100 TB the codebook is the artifact you train ONCE and ship
+    // to every search job, never retrain per query
+    "ann_index_persist" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+      val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_ivfidx_" +
+        s.sparkContext.applicationId
+      cent.write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
+        centroids = Some(s.read.parquet(tmp)), nAssign = nAssign)
     }),
     // filtered vector search: the label % 2 = 0 predicate enters the
     // ASSIGNMENT list (pre-filter — every candidate and result slot
@@ -1060,7 +1093,9 @@ object SparkEntry {
       |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
       |  FROM cd)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase ++ persistedIndexOracles
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "dedup_minhash_lsh" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -2797,4 +2832,12 @@ object SparkEntry {
         |  CAST(regexp_extract(props, '"k"\s*:\s*(-?\d+)', 1) AS BIGINT) AS k
         |FROM events WHERE regexp_matches(props, '"k"\s*:\s*-?\d+')""".stripMargin
   )
+
+  /** The persisted-index queries assert "a reloaded index answers
+    * bit-identically to a freshly built one" — so their oracle IS
+    * the fresh-build oracle, shared by reference (any divergence
+    * between the two declared twins would itself be the bug). */
+  private def persistedIndexOracles: Map[String, String] = Map(
+    "dedup_index_persist" -> oracleSqlBase("dedup_incremental"),
+    "ann_index_persist" -> oracleSqlBase("ann_ivf"))
 }

@@ -217,8 +217,25 @@ object DedupOps {
     * [[exactFamilies]] routing applies as usual upstream. */
   def incrementalCandidates(oldDocs: DataFrame, newDocs: DataFrame,
                             numHashes: Int = 12, rowsPerBand: Int = 3,
-                            w: Int = 3): DataFrame = {
-    val oldB = lshBuckets(minhashSignatures(oldDocs, numHashes, w), rowsPerBand)
+                            w: Int = 3): DataFrame =
+    incrementalCandidatesFromIndex(
+      lshBuckets(minhashSignatures(oldDocs, numHashes, w), rowsPerBand),
+      newDocs, numHashes, rowsPerBand, w)
+
+  /** [[incrementalCandidates]] against a PRE-BUILT bucket index —
+    * the load half of the load-or-create contract (the reference's
+    * S6/S7 pickle-else-ingest lifecycle, app.py:121-137, lifted to
+    * the index tier): `oldBuckets` is the (doc_id, band, band_sig)
+    * table a previous run persisted. At 100 TB persist it with
+    * `bucketBy(band, band_sig)` so the probe join reads the index
+    * shuffle-free and only the batch side exchanges. A reloaded
+    * index must answer bit-identically to a freshly built one —
+    * `dedup_index_persist` pins that against the same oracle as
+    * `dedup_incremental`. */
+  def incrementalCandidatesFromIndex(oldBuckets: DataFrame, newDocs: DataFrame,
+                                     numHashes: Int = 12, rowsPerBand: Int = 3,
+                                     w: Int = 3): DataFrame = {
+    val oldB = oldBuckets
     val newB = lshBuckets(minhashSignatures(newDocs, numHashes, w), rowsPerBand)
     val newVsOld = newB.select(col("doc_id").as("n_id"), col("band"), col("band_sig"))
       .join(oldB.select(col("doc_id").as("o_id"), col("band"), col("band_sig")),

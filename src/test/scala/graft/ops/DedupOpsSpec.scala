@@ -467,4 +467,28 @@ class DedupOpsSpec extends SparkSpec {
     // batch-internal near-dup found too
     assert(inc.exists { case (a, b, _) => (a, b) == ((4L, 5L)) })
   }
+
+  test("incrementalCandidatesFromIndex: a parquet-reloaded bucket index answers identically") {
+    val t1 = base
+    val d = Seq((0L, t1), (1L, t1 + " with a tiny edit"),
+      (2L, "unrelated old words about engines ok"), (3L, t1), (4L, t1))
+      .toDF("doc_id", "text")
+    val oldDocs = d.filter($"doc_id" < 3)
+    val newDocs = d.filter($"doc_id" >= 3)
+    val fresh = DedupOps.incrementalCandidates(oldDocs, newDocs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lshidx_spec").toString
+    try {
+      DedupOps.lshBuckets(DedupOps.minhashSignatures(oldDocs))
+        .write.mode("overwrite").parquet(tmp)
+      val loaded = DedupOps.incrementalCandidatesFromIndex(
+        spark.read.parquet(tmp), newDocs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(loaded === fresh, "reloaded index must be bit-identical to fresh build")
+      assert(fresh.exists { case (a, b, _) => (a, b) == ((0L, 3L)) })
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(tmp)).deleteRecursively()
+    }
+  }
 }
