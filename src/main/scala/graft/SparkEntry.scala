@@ -565,6 +565,10 @@ object SparkEntry {
     // cohort retention matrix: first-active-day cohorts × day offset,
     // user-keyed shuffles + broadcast cohort sizes
     "events_retention" -> ((s, dir) => RelationalOps.cohortRetention(Tables.events(s, dir))),
+    // privacy-governance gate: quasi-identifier equivalence-class
+    // size distribution (k=1 rows are re-identifiable users; the low
+    // bands are what a generalize-further loop acts on)
+    "k_anonymity" -> ((s, dir) => RelationalOps.kAnonymity(Tables.events(s, dir))),
     // interval × interval overlap join: heavy (≥3-event) sessions vs
     // every other user's sessions — hour-bin equi-join candidates,
     // exact overlap verify; no theta-join cross product
@@ -2164,6 +2168,30 @@ object SparkEntry {
         |SELECT cell.cohort_day, cell.day_offset, cell.n_active, s.cohort_size,
         |       round(cell.n_active / s.cohort_size, 6) + 0 AS retention
         |FROM cell JOIN s USING (cohort_day)""".stripMargin,
+    "k_anonymity" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
+        |            FROM events GROUP BY 1, 2),
+        |tt AS (SELECT user_id, event_type AS top_type FROM (
+        |         SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY n_t DESC, event_type) AS rn
+        |         FROM tc) WHERE rn = 1),
+        |pr AS (SELECT user_id, count(*) AS n_ev,
+        |         count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+        |       FROM events GROUP BY 1),
+        |prof AS (SELECT user_id,
+        |           least(10, n_ev // 10) AS activity_bucket,
+        |           least(10, n_days // 3) AS days_bucket
+        |         FROM pr),
+        |cls AS (SELECT p.activity_bucket, t.top_type, p.days_bucket,
+        |          count(*) AS k
+        |        FROM prof p JOIN tt t USING (user_id) GROUP BY 1, 2, 3),
+        |band AS (SELECT CASE WHEN k = 1 THEN '1' WHEN k <= 4 THEN '2-4'
+        |                     WHEN k <= 19 THEN '5-19' ELSE '20+' END AS k_band,
+        |                k
+        |         FROM cls)
+        |SELECT k_band, count(*) AS n_classes, CAST(sum(k) AS BIGINT) AS n_users
+        |FROM band GROUP BY 1""".stripMargin,
     "sessionize" ->
       """SELECT event_id, user_id,
         |  CAST(sum(CASE WHEN prev_ts IS NULL OR ts_ns - prev_ts > 1800000000000

@@ -177,6 +177,53 @@ object RelationalOps {
     * broadcast into the final join. No window functions, no skew
     * candidates (a hot DAY is absorbed by the user-keyed stages;
     * cohort keys are date-bounded). */
+  /** k-anonymity audit — the privacy-governance gate a training
+    * corpus with user-derived rows needs before release (Sweeney,
+    * IJUFKS 2002): build each user's QUASI-IDENTIFIER profile
+    * (coarsened activity volume, dominant event type, coarsened
+    * active-day count — the attacker-observable shape of a user),
+    * group users into equivalence classes sharing a profile, and
+    * report the class-size (k) distribution. A class of k = 1 is a
+    * re-identifiable user; releases typically require min-k ≥ some
+    * threshold, and the 1 / 2-4 bands are exactly the rows a
+    * generalize-further loop would act on (coarser buckets → larger
+    * classes, the k-anonymity trade).
+    *
+    * Determinism: the dominant type is a row_number argmax with a
+    * (count desc, type asc) tie-break; buckets are integer floor-div
+    * — both engines agree exactly.
+    *
+    * Scale shape: two user-keyed aggs (uniform key, map-side
+    * partials) + one small join; class keys are bounded (buckets ×
+    * types), the band agg is 4 rows. No windows over unbounded sets
+    * (the argmax window partitions by user — bounded by |types|). */
+  def kAnonymity(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_t").desc, col("event_type"))
+    val topType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val profile = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_days"))
+      .select(col("user_id"),
+        least(lit(10L), expr("n_ev div 10")).as("activity_bucket"),
+        least(lit(10L), expr("n_days div 3")).as("days_bucket"))
+    val classes = profile.join(topType, "user_id")
+      .groupBy(col("activity_bucket"), col("top_type"), col("days_bucket"))
+      .agg(count(lit(1)).as("k"))
+    classes
+      .withColumn("k_band",
+        when(col("k") === 1, "1").when(col("k") <= 4, "2-4")
+          .when(col("k") <= 19, "5-19").otherwise("20+"))
+      .groupBy(col("k_band"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_users"))
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val dayNanos = 86400L * 1000 * 1000 * 1000
     val active = events

@@ -334,4 +334,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r((1L, 1L)) === ((1L, 1L, 1.0)))
     assert(r.size === 5)
   }
+
+  test("kAnonymity: singleton profile lands in band 1, twins in 2-4; tie-break deterministic") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // users 10/20: identical quasi-profile (2 events, 1 day, top 'a')
+    // → one class of k=2; user 30: 12 events over 4 days, top type
+    // tie between 'a' and 'b' (6 each) broken to 'a', singleton class
+    val rows =
+      Seq((10L, 0L, "a"), (10L, 1L, "a"), (20L, 0L, "a"), (20L, 1L, "a")) ++
+        (0 until 6).map(i => (30L, i * d, "b")) ++
+        (0 until 6).map(i => (30L, i * d + 1, "a"))
+    val events = rows.zipWithIndex
+      .map { case ((u, ts, t), i) => (i.toLong, u, ts, t, 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.kAnonymity(events).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // u30: 12 events → bucket 1, 6 days → bucket 2, top 'a' (tie);
+    // u10/u20: 2 events → bucket 0, 1 day → bucket 0, top 'a'
+    assert(r("1") === ((1L, 1L)))
+    assert(r("2-4") === ((1L, 2L)))
+    assert(r.size === 2)
+  }
 }
