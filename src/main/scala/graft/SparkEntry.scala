@@ -327,6 +327,13 @@ object SparkEntry {
     // compression curve sampled every 8 rounds — pins the trainer far
     // past the 6-round census above
     "bpe_vocab_size" -> ((s, dir) => TextOps.bpeVocabGrowth(Tables.documents(s, dir))),
+    // the OTHER tokenizer family: WordPiece-style greedy
+    // longest-match. The vocab query is the trained artifact; the
+    // encode query replays the greedy path itself (the oracle unrolls
+    // all 16 rounds as SQL stages, so a wrong match order — not just
+    // wrong final counts — hash-mismatches)
+    "wordpiece_vocab" -> ((s, dir) => TextOps.wordpieceVocab(Tables.documents(s, dir))),
+    "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -974,6 +981,60 @@ object SparkEntry {
        |  FROM pf)""".stripMargin
   }
 
+  /** DuckDB twin of TextOps.wordpieceCensus → wordpieceEncode as a
+    * CTE block (depends on `toks`): census, piece scoring, top-48 ∪
+    * single-char vocab, then the greedy longest-match loop UNROLLED
+    * into 16 SQL stages ws1..ws16 — each stage advances every
+    * unfinished word by its longest matching vocab prefix (QUALIFY
+    * argmax over the prefix-match join), finished words pass
+    * through. 16 = maxWordLen bounds the loop: worst case one char
+    * per round. Shared by wordpiece_vocab (census + scoring CTEs)
+    * and wordpiece_encode (the full chain). */
+  private lazy val duckWordpiece: String = {
+    // MATERIALIZED is load-bearing: every stage references its
+    // predecessor twice (pass-through + step), so inlined CTEs would
+    // re-evaluate ws0 2^16 times (observed: fd exhaustion on the
+    // documents scan before any result)
+    val stages = (1 to 16).map { i =>
+      s"""ws$i AS MATERIALIZED (
+         |  SELECT word, pos, pieces, n_pieces, fin FROM ws${i - 1} WHERE fin
+         |  UNION ALL
+         |  SELECT f.word, f.pos + length(v.piece) AS pos,
+         |         f.pieces || CASE WHEN f.pieces = '' THEN '' ELSE ' ' END ||
+         |           v.piece AS pieces,
+         |         f.n_pieces + 1 AS n_pieces,
+         |         f.pos + length(v.piece) >= length(f.word) AS fin
+         |  FROM (SELECT * FROM ws${i - 1} WHERE NOT fin) f
+         |  JOIN wpvocab v ON v.piece = substr(f.word, f.pos + 1, length(v.piece))
+         |  QUALIFY row_number() OVER (PARTITION BY f.word
+         |            ORDER BY length(v.piece) DESC) = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckWordpieceVocab,
+       |wpch AS (SELECT DISTINCT substr(word, CAST(u.s AS INTEGER), 1) AS piece
+       |         FROM wpw, unnest(range(1, length(word) + 1)) u(s)),
+       |wpvocab AS MATERIALIZED (SELECT piece FROM wpv UNION SELECT piece FROM wpch),
+       |ws0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS pieces,
+       |          CAST(0 AS BIGINT) AS n_pieces, false AS fin FROM wpw),
+       |$stages""".stripMargin
+  }
+
+  /** Census + piece-scoring + top-48 rank CTEs ending in
+    * `wpv (piece, score, rank)` — the shared head of the two
+    * wordpiece oracles. */
+  private lazy val duckWordpieceVocab =
+    """wpw AS MATERIALIZED (SELECT tok AS word, count(*) AS wc FROM toks
+      |        WHERE length(tok) <= 16 GROUP BY 1),
+      |wpsc AS (SELECT substr(word, CAST(u.s AS INTEGER), CAST(v.l AS INTEGER)) AS piece,
+      |           CAST(sum(wc) AS BIGINT) AS score
+      |         FROM wpw,
+      |              unnest(range(1, length(word) + 1)) u(s),
+      |              unnest(range(2, 5)) v(l)
+      |         WHERE u.s + v.l - 1 <= length(word)
+      |         GROUP BY 1),
+      |wpv AS (SELECT piece, score,
+      |          row_number() OVER (ORDER BY score DESC, piece) AS rank
+      |        FROM wpsc QUALIFY rank <= 48)""".stripMargin
+
   /** DuckDB twin of UrlOps.synthesizeUrls → parseUrls as a CTE block
     * ending in `upn (doc_id, url, host, domain, canonical)` — URL
     * construction, regex parse, and the canonicalization chain
@@ -1381,6 +1442,19 @@ object SparkEntry {
          |FROM tf JOIN enc USING (tok) GROUP BY doc_id""".stripMargin,
     // 64 chained training rounds, then a live-symbol census of the
     // word table at every 8th round: the growth/compression curve
+    "wordpiece_vocab" ->
+      s"""WITH $duckToks,
+         |$duckWordpieceVocab
+         |SELECT rank, piece, score FROM wpv""".stripMargin,
+    // the greedy path replayed: 16 unrolled longest-prefix-match
+    // stages; top-200 most frequent words emitted with their
+    // segmentation and piece count
+    "wordpiece_encode" ->
+      s"""WITH $duckToks,
+         |$duckWordpiece
+         |SELECT w.word, w.wc, s.n_pieces, s.pieces
+         |FROM ws16 s JOIN wpw w USING (word)
+         |QUALIFY row_number() OVER (ORDER BY w.wc DESC, w.word) <= 200""".stripMargin,
     "bpe_vocab_size" ->
       s"""WITH $duckToks,
          |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,

@@ -1005,4 +1005,115 @@ object TextOps {
         roundn(col("n_oov").cast("double") / col("n_tokens"), 6))
       .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_rate"))
   }
+
+  /** Word census behind the WordPiece tier — the same capped
+    * tokenize the BPE trainer reads, collapsed to (word, wc) and
+    * capped at `maxWordLen` chars (the editDistanceVerify-style
+    * bound that keeps the segmentation loop depth fixed). Zipf
+    * guarantees this table is vocabulary-sized at any corpus scale —
+    * the corpus is scanned once, everything after runs on the
+    * census. */
+  private def wordpieceCensus(docs: DataFrame, maxWordLen: Int): DataFrame =
+    EmbedOps.tokenize(docs)
+      .filter(length(col("tok")) <= maxWordLen)
+      .select(col("tok").as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+
+  /** Candidate subword pieces scored by weighted occurrence: every
+    * (start, len 2..maxPieceLen) substring of every census word,
+    * weighted by the word's corpus count — a piece that appears
+    * twice in one word counts twice. */
+  private def wordpiecePieces(words: DataFrame, maxPieceLen: Int): DataFrame =
+    words
+      .withColumn("s", explode(sequence(lit(1), length(col("word")))))
+      .withColumn("l", explode(sequence(lit(2), lit(maxPieceLen))))
+      .filter(col("s") + col("l") - lit(1) <= length(col("word")))
+      .select(expr("substring(word, s, l)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("score"))
+
+  /** WordPiece-style subword VOCABULARY — the greedy-tokenizer twin
+    * of the BPE trainer ([[bpeMerges]]): the top-`vocabSize`
+    * multi-char pieces by (weighted occurrence desc, piece asc).
+    * maxPieceLen defaults to 4 so longer census words genuinely
+    * segment under the declared vocabulary (a whole-word-dominated
+    * vocab would make [[wordpieceEncode]] a lookup, not a
+    * tokenizer).
+    *
+    * Scale shape: candidate explosion is census-bounded (≤ maxWordLen
+    * × (maxPieceLen−1) rows per DISTINCT word), one piece-keyed agg
+    * with map-side partials, top-V = TakeOrderedAndProject; the rank
+    * window runs over the V survivors only. */
+  def wordpieceVocab(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16): DataFrame = {
+    val top = wordpiecePieces(wordpieceCensus(docs, maxWordLen), maxPieceLen)
+      .orderBy(col("score").desc, col("piece")).limit(vocabSize)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("piece"))).cast("long"))
+      .select(col("rank"), col("piece"), col("score"))
+  }
+
+  /** The WordPiece vocabulary APPLIED: greedy longest-match
+    * segmentation of every census word under the top-V multi-char
+    * pieces ∪ all single chars (the completeness floor — greedy can
+    * never stall because every character is itself a piece, the
+    * standard WordPiece guarantee). Each round matches the LONGEST
+    * vocab piece prefixing the word at the current position via an
+    * EQUI-join: the frontier explodes its ≤ maxPieceLen candidate
+    * prefixes, joins the broadcast vocab on the piece string, and a
+    * per-word argmax keeps the longest — no theta join, no UDF. The
+    * loop is bounded by maxWordLen rounds (worst case one char per
+    * round) and the frontier SHRINKS as words finish; the oracle
+    * replays all 16 rounds as unrolled SQL stages, so the greedy
+    * path itself — not just the final counts — is pinned.
+    *
+    * Output: (word, wc, n_pieces, pieces) for the `topWords` most
+    * frequent words — the segmentation audit a tokenizer review
+    * reads (compare n_pieces against [[bpeTokenize]]'s n_bpe_tokens
+    * for the BPE-vs-WordPiece fertility comparison).
+    *
+    * Scale shape: the loop runs on the CENSUS (vocabulary-sized,
+    * Zipf-bounded), not the corpus; the vocab (V + alphabet rows)
+    * broadcasts; each round is one codegen'd generate + broadcast
+    * equi-join + |word|-bounded argmax window; driver state is zero
+    * (no collect anywhere — the early-exit probe is an isEmpty on a
+    * shrinking census-bounded table). */
+  def wordpieceEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
+                      maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val multi = wordpiecePieces(words, maxPieceLen)
+      .orderBy(col("score").desc, col("piece")).limit(vocabSize)
+      .select(col("piece"))
+    val chars = words
+      .withColumn("s", explode(sequence(lit(1), length(col("word")))))
+      .select(expr("substring(word, s, 1)").as("piece")).distinct()
+    val vocab = multi.unionByName(chars).distinct().localCheckpoint(true)
+    var frontier = words.select(col("word"), lit(0).as("pos"),
+      lit("").as("pieces"), lit(0L).as("n_pieces"))
+    var done = frontier.filter(lit(false))
+    var r = 0
+    while (r < maxWordLen && !frontier.isEmpty) {
+      val best = frontier
+        .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
+        .filter(col("pos") + col("plen") <= length(col("word")))
+        .withColumn("cand", expr("substring(word, pos + 1, plen)"))
+        .join(broadcast(vocab), col("cand") === col("piece"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("word")).orderBy(col("plen").desc)))
+        .filter(col("rn") === 1)
+        .select(col("word"), (col("pos") + col("plen")).as("pos"),
+          concat(col("pieces"),
+            when(col("pieces") === "", lit("")).otherwise(lit(" ")),
+            col("cand")).as("pieces"),
+          (col("n_pieces") + lit(1L)).as("n_pieces"))
+      done = done.unionByName(best.filter(col("pos") >= length(col("word"))))
+      frontier = best.filter(col("pos") < length(col("word")))
+      // cut lineage before it compounds across rounds (the BPE
+      // re-checkpoint discipline)
+      if (r % 4 == 3) frontier = frontier.localCheckpoint(true)
+      r += 1
+    }
+    done.join(words, "word")
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
+      .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
+  }
 }

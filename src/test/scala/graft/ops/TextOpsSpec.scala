@@ -479,4 +479,21 @@ class TextOpsSpec extends SparkSpec {
     assert(Set("en", "es", "de").contains(out(4L)),
       "featureless doc must take the prior argmax over trained langs")
   }
+
+  test("wordpiece: vocab ranking by weighted occurrence, greedy longest-match, char fallback") {
+    // census: abab (wc 2), cd (wc 1). Multi-char piece scores:
+    // ab appears twice per abab → 4; ba/aba/bab/abab → 2 each;
+    // cd → 1. vocabSize=2 keeps {ab, aba} (tie at 2 broken to the
+    // lexicographically smallest piece)
+    val docs = Seq((0L, "abab abab cd")).toDF("doc_id", "text")
+    val v = TextOps.wordpieceVocab(docs, vocabSize = 2).orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(v === Seq((1L, "ab", 4L), (2L, "aba", 2L)))
+    // greedy must take the LONGEST prefix: abab → 'aba' (3) not 'ab',
+    // then the char fallback 'b'; cd has no multi-char piece → chars
+    val e = TextOps.wordpieceEncode(docs, vocabSize = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(e("abab") === ((2L, 2L, "aba b")))
+    assert(e("cd") === ((1L, 2L, "c d")))
+  }
 }
