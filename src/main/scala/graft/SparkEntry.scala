@@ -332,6 +332,12 @@ object SparkEntry {
     // encode query replays the greedy path itself (the oracle unrolls
     // all 16 rounds as SQL stages, so a wrong match order — not just
     // wrong final counts — hash-mismatches)
+    // Unicode canonicalization via the native NfcNormalize codegen
+    // expression (Spark has no built-in NFC; a UDF would break
+    // whole-stage codegen) — decomposed accents compose, zero-width
+    // chars scrub, so hash-keyed dedup sees one codepoint sequence
+    // per visually-identical string
+    "text_normalize" -> ((s, dir) => TextOps.textNormalize(Tables.documents(s, dir))),
     "wordpiece_vocab" -> ((s, dir) => TextOps.wordpieceVocab(Tables.documents(s, dir))),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
@@ -1442,6 +1448,19 @@ object SparkEntry {
          |FROM tf JOIN enc USING (tok) GROUP BY doc_id""".stripMargin,
     // 64 chained training rounds, then a live-symbol census of the
     // word table at every 8th round: the growth/compression curve
+    // both engines implement UAX #15 NFC (java.text.Normalizer /
+    // nfc_normalize); the dirty twin is rebuilt from the same pure
+    // construction
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  length(text || ' cafe' || chr(769) || chr(8203) || chr(65279)) AS n_dirty,
+        |  length(nfc_normalize(regexp_replace(
+        |      text || ' cafe' || chr(769) || chr(8203) || chr(65279),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'))) AS n_norm,
+        |  right(nfc_normalize(regexp_replace(
+        |      text || ' cafe' || chr(769) || chr(8203) || chr(65279),
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')), 4) AS tail
+        |FROM documents""".stripMargin,
     "wordpiece_vocab" ->
       s"""WITH $duckToks,
          |$duckWordpieceVocab

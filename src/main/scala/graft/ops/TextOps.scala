@@ -1006,6 +1006,39 @@ object TextOps {
       .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_rate"))
   }
 
+  /** Unicode canonicalization — the cleaning stage a multilingual
+    * web corpus runs before ANY hash-keyed operation (exact dedup,
+    * shingling, token counts): visually identical strings with
+    * different codepoint sequences (decomposed accents) or invisible
+    * codepoints (zero-width space/joiners, BOM) hash apart and split
+    * duplicate families. The chain: strip zero-width characters by
+    * regex, then compose to Unicode NFC via the native
+    * [[graft.functions.expressions.NfcNormalize]] expression — a
+    * codegen'd static JDK call (Spark has no built-in; a UDF here
+    * would break whole-stage codegen for the whole projection).
+    *
+    * The corpus text is ASCII (NFC is identity there), so a dirty
+    * twin is synthesized pure-in-doc_id — combining-acute "cafe",
+    * zero-width space, BOM — and the oracle rebuilds it and runs
+    * DuckDB's `nfc_normalize` + the same regex: both engines
+    * implement UAX #15, so lengths and content match exactly.
+    *
+    * Map-only, zero shuffles; rides the scan at any scale. */
+  def textNormalize(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    // " cafe" + COMBINING ACUTE (U+0301, NFC-composes to é) + ZERO
+    // WIDTH SPACE (U+200B) + BOM (U+FEFF) -- escapes only, so no
+    // invisible characters live in this source file
+    val dirty = concat(col("text"),
+      lit(" cafe\u0301"), lit("\u200B"), lit("\uFEFF"))
+    val norm = column(graft.functions.expressions.NfcNormalize(expression(
+      regexp_replace(dirty, "[\u200B-\u200D\uFEFF]", ""))))
+    docs.select(col("doc_id"),
+      length(dirty).cast("long").as("n_dirty"),
+      length(norm).cast("long").as("n_norm"),
+      substring(norm, -4, 4).as("tail"))
+  }
+
   /** Word census behind the WordPiece tier — the same capped
     * tokenize the BPE trainer reads, collapsed to (word, wc) and
     * capped at `maxWordLen` chars (the editDistanceVerify-style
