@@ -374,4 +374,43 @@ class PropertySpec extends SparkSpec {
       assert(kmvMerge(a, a, k).toSeq === a.toSeq, s"trial $trial: idem")
     }
   }
+
+  test("property: wordpiece segmentation reassembles to the word, piece count consistent") {
+    val rnd = new Random(107)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcdexyz"
+      val words = (0 until 20).map(_ =>
+        (1 to (1 + rnd.nextInt(12))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val docs = Seq((0L, words.mkString(" "))).toDF("doc_id", "text")
+      val enc = TextOps.wordpieceEncode(docs, vocabSize = 8, topWords = 1000).collect()
+      assert(enc.nonEmpty, s"trial $trial: no output")
+      for (r <- enc) {
+        val word = r.getString(0)
+        val nPieces = r.getLong(2)
+        val pieces = r.getString(3)
+        // lossless: concatenating the greedy pieces rebuilds the word
+        assert(pieces.replace(" ", "") === word,
+          s"trial $trial: pieces '$pieces' must reassemble to '$word'")
+        assert(pieces.split(" ").length.toLong === nPieces,
+          s"trial $trial: n_pieces mismatch for '$word'")
+      }
+      // every census word is segmented exactly once
+      assert(enc.map(_.getString(0)).distinct.length === enc.length)
+      assert(enc.map(_.getString(0)).toSet === words.toSet.filter(_.length <= 16))
+    }
+  }
+
+  test("property: URL canonicalization is idempotent — parsing a canonical returns itself") {
+    val rnd = new Random(108)
+    for (trial <- 1 to 3) {
+      val docs = (0 until 40).map { i =>
+        (rnd.nextInt(100000).toLong, "t", Seq("en", "es", "de")(rnd.nextInt(3)))
+      }.toDF("doc_id", "text", "lang")
+      val first = UrlOps.parseUrls(UrlOps.synthesizeUrls(docs))
+        .select($"doc_id", $"canonical").distinct()
+      val again = UrlOps.parseUrls(first.select($"doc_id", $"canonical".as("url")))
+      val changed = again.filter($"canonical" =!= $"url").count()
+      assert(changed === 0L, s"trial $trial: canonicalization must be a fixpoint")
+    }
+  }
 }
