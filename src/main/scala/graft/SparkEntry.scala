@@ -261,6 +261,11 @@ object SparkEntry {
     // parse, zero UDFs
     "url_normalize" -> ((s, dir) =>
       UrlOps.parseUrls(UrlOps.synthesizeUrls(Tables.documents(s, dir)))),
+    // the web front door composed end-to-end: URL dedup → boilerplate
+    // extraction → cleanliness gate → per-source funnel (pages →
+    // unique → clean); each stage is an already-pinned kernel, this
+    // query pins their COMPOSITION
+    "web_ingest" -> ((s, dir) => HtmlOps.webIngest(Tables.documents(s, dir))),
     "url_dedup" -> ((s, dir) =>
       UrlOps.urlDedup(UrlOps.parseUrls(UrlOps.synthesizeUrls(Tables.documents(s, dir))))),
     "domain_stats" -> ((s, dir) =>
@@ -1347,6 +1352,31 @@ object SparkEntry {
     "url_normalize" ->
       s"""WITH $duckUrlCtes
          |SELECT doc_id, url, host, domain, canonical FROM upn""".stripMargin,
+    // the composition oracle: url survivors + the html gate + the
+    // cleanliness filter + the per-source funnel, all from the same
+    // shared CTE blocks the stage oracles use
+    "web_ingest" ->
+      s"""WITH $duckUrlCtes,
+         |$duckHtmlGate,
+         |surv AS (SELECT min(doc_id) AS doc_id FROM upn GROUP BY canonical),
+         |ext AS (SELECT doc_id,
+         |          CAST(coalesce(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT) AS n_kept,
+         |          length(coalesce(string_agg(CASE WHEN keep THEN txt END, ' '
+         |            ORDER BY block_idx), '')) AS clean_chars
+         |        FROM pg GROUP BY 1),
+         |cln AS (SELECT e.doc_id, e.clean_chars
+         |        FROM ext e JOIN surv USING (doc_id)
+         |        WHERE e.n_kept >= 1 AND e.clean_chars >= 50)
+         |SELECT d.source, count(*) AS n_pages,
+         |  CAST(coalesce(sum(CASE WHEN s.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |    AS n_unique,
+         |  CAST(coalesce(sum(CASE WHEN c.doc_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |    AS n_clean,
+         |  CAST(coalesce(sum(c.clean_chars), 0) AS BIGINT) AS clean_chars
+         |FROM documents d
+         |LEFT JOIN surv s USING (doc_id)
+         |LEFT JOIN cln c USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "url_dedup" ->
       s"""WITH $duckUrlCtes
          |SELECT canonical, min(doc_id) AS keep_id, count(*) AS n_dup

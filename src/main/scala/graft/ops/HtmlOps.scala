@@ -141,4 +141,40 @@ object HtmlOps {
         lit("</p><p>"), substring(col("text"), 1, 15),
         lit("</p><div>© 2026 <a href=\"/terms\">Terms</a> " +
           "<a href=\"/privacy\">Privacy</a></div></body></html>")).as("html"))
+
+  /** The web front door END TO END, as one query — the composition a
+    * crawl-corpus user actually runs, built from this round's pieces:
+    * (1) canonical-URL dedup keeps one page per canonical
+    * ([[UrlOps.urlDedup]] — tracking-param/case variants collapse
+    * before any extraction is paid); (2) survivors go through the
+    * jusText-shaped boilerplate gate ([[htmlExtract]]); (3) a
+    * cleanliness gate keeps pages with ≥1 kept block and ≥
+    * `minCleanChars` extracted chars; (4) the per-source funnel
+    * report (pages → unique → clean + clean chars) — the crawl
+    * dashboard row. Every stage is the already-oracle-pinned kernel;
+    * this pins their COMPOSITION.
+    *
+    * Scale shape: inherits each stage's (all uniform-key joins /
+    * map-only extraction); the funnel agg keys on the bounded source
+    * axis. At 100 TB the natural physical order is exactly this
+    * logical order — URL dedup first removes rows before the
+    * expensive parse. */
+  def webIngest(docs: DataFrame, minCleanChars: Int = 50): DataFrame = {
+    val parsed = UrlOps.parseUrls(UrlOps.synthesizeUrls(docs))
+    val surv = UrlOps.urlDedup(parsed)
+      .select(col("keep_id").as("doc_id"), lit(1L).as("is_surv"))
+    val clean = htmlExtract(synthesizePages(docs))
+      .join(surv.select(col("doc_id")), "doc_id")
+      .filter(col("n_kept") >= 1 && length(col("main_text")) >= minCleanChars)
+      .select(col("doc_id"), lit(1L).as("is_clean"),
+        length(col("main_text")).cast("long").as("clean_chars"))
+    docs.select(col("doc_id"), col("source"))
+      .join(surv, Seq("doc_id"), "left")
+      .join(clean, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pages"),
+        coalesce(sum(col("is_surv")), lit(0L)).as("n_unique"),
+        coalesce(sum(col("is_clean")), lit(0L)).as("n_clean"),
+        coalesce(sum(col("clean_chars")), lit(0L)).as("clean_chars"))
+  }
 }

@@ -83,4 +83,20 @@ class HtmlOpsSpec extends SparkSpec {
     assert(keepByDoc(0L))
     assert(!keepByDoc(1L))
   }
+
+  test("webIngest: funnel counts — URL dups drop at stage 1, short docs at the clean gate") {
+    import spark.implicits._
+    val long = ("spark " * 30).trim // extracts well past the 50-char gate
+    // ids 0 and 27300 share every residue class synthesizeUrls uses
+    // (27300 = lcm(3,4,13,2,5,7,50,20,6)) → identical URLs
+    val docs = Seq(
+      (0L, long, "en", "s1", long.length.toLong),
+      (27300L, long, "en", "s1", long.length.toLong), // exact URL twin of 0
+      (1L, "tiny", "en", "s2", 4L) // survives URL dedup, fails clean gate
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = HtmlOps.webIngest(docs).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("s1") === ((2L, 1L, 1L)), "URL twin collapses: 2 pages → 1 unique → 1 clean")
+    assert(r("s2") === ((1L, 1L, 0L)), "short doc passes dedup, fails the clean gate")
+  }
 }
