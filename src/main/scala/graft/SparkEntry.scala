@@ -472,6 +472,7 @@ object SparkEntry {
     "events_gapfill" -> ((s, dir) => RelationalOps.hourlyGapFill(Tables.events(s, dir))),
     // relational count-min sketch: portable integer cells, exact
     // top-k twin carries est ≥ exact into the hash-checked output
+    "cms_error_curve" -> ((s, dir) => SketchOps.cmsErrorCurve(Tables.events(s, dir))),
     "events_heavy_hitters" -> ((s, dir) =>
       SketchOps.countMinHeavyHitters(Tables.events(s, dir))),
     // KMV distinct sketch (typed mergeable Aggregator) vs exact twin:
@@ -2008,6 +2009,36 @@ object SparkEntry {
          |FROM q""".stripMargin,
     // count-min sketch: 3 sha-salted hash rows × 64 buckets, exact
     // top-10 twin carries the one-sided estimate into the output
+    // the sketch-tier receipt: CMS error profile per width, every
+    // distinct key probed, exact integer error numbers
+    "cms_error_curve" -> {
+      def bucketSql(j: Int, w: Int): String =
+        s"SELECT user_id, exact_cnt, $j AS j, " +
+          s"${duckHash24(s"'cms$j:' || CAST(user_id AS VARCHAR)")} % $w AS bucket FROM exact"
+      def updSql(j: Int, w: Int): String =
+        s"SELECT $j AS j, " +
+          s"${duckHash24(s"'cms$j:' || CAST(user_id AS VARCHAR)")} % $w AS bucket FROM events"
+      val perWidth = Seq(16, 64, 256).map { w =>
+        val upd = (0 until 3).map(j => updSql(j, w)).mkString("\n    UNION ALL ")
+        val probe = (0 until 3).map(j => bucketSql(j, w)).mkString("\n    UNION ALL ")
+        s"""SELECT CAST($w AS BIGINT) AS width, count(*) AS n_keys,
+           |  max(est - exact_cnt) AS max_overcount,
+           |  CAST(sum(est - exact_cnt) AS BIGINT) AS total_overcount,
+           |  CAST(min(CASE WHEN est >= exact_cnt THEN 1 ELSE 0 END) AS BOOLEAN)
+           |    AS all_ge_exact
+           |FROM (
+           |  SELECT p.user_id, p.exact_cnt, min(c.c) AS est
+           |  FROM (
+           |    $probe) p
+           |  JOIN (
+           |    SELECT j, bucket, count(*) AS c FROM (
+           |    $upd) u GROUP BY 1, 2) c USING (j, bucket)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH exact AS MATERIALIZED (
+         |  SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1)
+         |$perWidth""".stripMargin
+    },
     "events_heavy_hitters" -> {
       def cmsBucketSql(j: Int, src: String): String =
         s"SELECT user_id, $j AS j, " +

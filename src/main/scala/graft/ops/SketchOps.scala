@@ -74,6 +74,48 @@ object SketchOps {
         (col("cms_est") >= col("exact_cnt")).as("est_ge_exact"))
   }
 
+  /** CMS error-vs-width curve as a DECLARED receipt — the sketch-tier
+    * twin of `ann_recall`'s recall-vs-nProbe curve: for each width
+    * (depth fixed), probe EVERY distinct key against a freshly built
+    * sketch and report the achieved error profile — key count, max
+    * and total overcount, and the one-sided guarantee (est ≥ exact)
+    * as a pinned boolean. The curve makes the ε ≈ e/width capacity
+    * trade a replayable measurement: a hash change, a width
+    * misconfiguration, or a broken merge shows up as a hash mismatch
+    * on the error numbers themselves, not a tolerance flake —
+    * everything is integer arithmetic on portable hashes.
+    *
+    * Scale shape: the exact census is the ground-truth cost (same
+    * role as ann_recall's brute-force side, bounded by the key
+    * domain); each width's sketch build partial-aggregates to
+    * depth·width cells per map task; the probe is a census×depth
+    * equi-join on (j, bucket). */
+  def cmsErrorCurve(events: DataFrame, key: String = "user_id", depth: Int = 3,
+                    widths: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
+    val keyed = events.select(col(key))
+    val census = keyed.groupBy(col(key))
+      .agg(count(lit(1)).as("exact_cnt")).localCheckpoint(true)
+    widths.map { w =>
+      val cms = countMinTable(keyed, key, depth, w)
+      (0 until depth)
+        .map(j => census.select(col(key), col("exact_cnt"),
+          lit(j).as("j"), cmsBucket(col(key), j, w).as("bucket")))
+        .reduce(_ union _)
+        .join(cms, Seq("j", "bucket"))
+        .groupBy(col(key), col("exact_cnt"))
+        .agg(min(col("c")).as("est"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          max(col("est") - col("exact_cnt")).as("max_overcount"),
+          sum(col("est") - col("exact_cnt")).cast("long").as("total_overcount"),
+          min((col("est") >= col("exact_cnt")).cast("int")).cast("boolean")
+            .as("all_ge_exact"))
+        .withColumn("width", lit(w.toLong))
+        .select(col("width"), col("n_keys"), col("max_overcount"),
+          col("total_overcount"), col("all_ge_exact"))
+    }.reduce(_ unionByName _)
+  }
+
   /** KMV distinct-count estimate per event type, verified against the
     * exact count (Beyer et al. SIGMOD'07 unbiased estimator
     * (k−1)·H/U(k) over the 48-bit portable hash range H = 2^48; when

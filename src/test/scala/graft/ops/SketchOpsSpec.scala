@@ -17,6 +17,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(cells.map(_.getAs[Long]("c")).sum === 3L * 10)
   }
 
+  test("cmsErrorCurve: one-sided guarantee at every width; error shrinks as width grows") {
+    val rnd = new scala.util.Random(17)
+    val df = keyed((1L to 120L).map(u => u -> (1 + rnd.nextInt(20))).toMap)
+    val r = SketchOps.cmsErrorCurve(df, widths = Seq(4, 32, 1024)).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getBoolean(4)))).toMap
+    assert(r.keySet === Set(4L, 32L, 1024L))
+    // every key probed at every width, guarantee holds everywhere
+    assert(r.values.forall { case (n, _, _, ge) => n == 120L && ge })
+    // total overcount must strictly shrink from the collision-heavy
+    // width to the collision-free one (1024 buckets, 120 keys, 3 rows
+    // → expect zero or near-zero overcount)
+    val (_, _, t4, _) = r(4L); val (_, _, t32, _) = r(32L); val (_, _, t1024, _) = r(1024L)
+    assert(t4 > t32 && t32 >= t1024)
+    assert(r(1024L)._2 === 0L, "collision-free width must report zero max overcount")
+  }
+
   test("heavy hitters: one-sided guarantee est ≥ exact; wide sketch is collision-free") {
     val df = keyed(Map(1L -> 50, 2L -> 30, 3L -> 10, 4L -> 5, 5L -> 5))
     val r = SketchOps.countMinHeavyHitters(df, depth = 3, width = 4096, k = 5).collect()
