@@ -382,6 +382,85 @@ object StreamingOps {
         OutputMode.Append())
   }
 
+  case class SigDoc(media_id: Long, sig: Long)
+  case class ChunkHit(chunk_key: String, media_id: Long, sig: Long)
+  case class HammingHit(media_id: Long, other_id: Long, hamming: Long, chunk_key: String)
+
+  /** Row-local pigeonhole chunk keys — the JVM twin of
+    * [[graft.ops.DedupOps.hammingBandPairs]]'s chunk explode
+    * (`(sig div 2^(idx·chunkBits)) % 2^chunkBits`; signatures are
+    * < 2^48 so unsigned shift ≡ div). Spec-pinned against the batch
+    * SQL pipeline. */
+  def chunkKeysJvm(sig: Long, bits: Int = 48, chunks: Int = 4): Seq[String] = {
+    val chunkBits = bits / chunks
+    (0 until chunks).map(i => s"$i:${(sig >>> (i * chunkBits)) % (1L << chunkBits)}")
+  }
+
+  /** Keyed state for [[hammingDedupStream]]: per chunk bucket, an
+    * interleaved [id, sig, id, sig, …] array capped at
+    * `maxPerBucket` entries — the signature tier's mirror of
+    * [[LshBucketProcessor]], except membership alone is not enough:
+    * a chunk collision is only a CANDIDATE, so the stored signature
+    * pays the popcount verify before a hit is reported (exactly the
+    * batch join's verify step). Cap + optional TTL bound state the
+    * same way. */
+  class HammingBucketProcessor(maxPerBucket: Int, maxHamming: Int, ttl: TTLConfig)
+      extends StatefulProcessor[String, ChunkHit, HammingHit] {
+    @transient private var entries: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      entries = getHandle.getValueState[Array[Long]]("hammingBucket",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](), ttl)
+    override def handleInputRows(key: String, rows: Iterator[ChunkHit],
+                                 tv: TimerValues): Iterator[HammingHit] = {
+      var cur = if (entries.exists()) entries.get() else Array.emptyLongArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[HammingHit]
+      rows.foreach { r =>
+        var i = 0
+        var seen = false
+        while (i < cur.length) {
+          val eid = cur(i); val esig = cur(i + 1)
+          if (eid == r.media_id) seen = true
+          else {
+            val d = java.lang.Long.bitCount(r.sig ^ esig)
+            if (d <= maxHamming) out += HammingHit(r.media_id, eid, d.toLong, key)
+          }
+          i += 2
+        }
+        if (!seen && cur.length < maxPerBucket * 2) cur = cur ++ Array(r.media_id, r.sig)
+      }
+      entries.update(cur)
+      out.iterator
+    }
+  }
+
+  /** Streaming near-dup detection over a SIGNATURE stream — the
+    * multimodal closing of the batch/stream symmetry: batch has
+    * `hammingBandPairs` for text SimHash, image aHash, and audio
+    * fingerprints; this is its streaming twin. Each arriving
+    * (id, sig) fans out one row per pigeonhole chunk; keyed state is
+    * a cap-bounded (id, sig) list per chunk bucket, and a chunk
+    * collision only reports after the popcount verify — a
+    * near-duplicate image/audio/doc arriving hours later is caught
+    * against the remembered representatives. A pair sharing several
+    * chunks reports once per shared chunk (same contract as
+    * [[lshDedupStream]]'s per-band hits; consumers distinct on the
+    * id pair). */
+  def hammingDedupStream(sigs: Dataset[SigDoc], maxHamming: Int = 3,
+                         bits: Int = 48, chunks: Int = 4, maxPerBucket: Int = 8,
+                         ttl: Option[java.time.Duration] = None): Dataset[HammingHit] = {
+    import sigs.sparkSession.implicits._
+    require(maxHamming < chunks, "pigeonhole needs maxHamming < chunks")
+    sigs
+      .flatMap(d => chunkKeysJvm(d.sig, bits, chunks)
+        .map(k => ChunkHit(k, d.media_id, d.sig)))
+      .groupByKey(_.chunk_key)
+      .transformWithState(
+        new HammingBucketProcessor(maxPerBucket, maxHamming,
+          ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE)),
+        ttl.map(_ => TimeMode.ProcessingTime()).getOrElse(TimeMode.None()),
+        OutputMode.Append())
+  }
+
   /** Declared debounce entry point: `events` must be a streaming
     * Dataset[TimedEv]; emits each key's burst-final event once the
     * watermark passes quietMs beyond it. */

@@ -522,4 +522,57 @@ class StreamingOpsSpec extends SparkSpec {
       assert(out === Set((1L, "crawl"), (5L, "crawl")))
     } finally q3.stop()
   }
+
+  test("chunkKeysJvm is bit-equal to the batch hammingBandPairs chunk explode") {
+    import org.apache.spark.sql.functions._
+    val sigs = Seq(0L, 1L, (1L << 47) | 12345L, 0xABCDEF012345L).map(s => (s, s))
+      .toDF("id", "sig")
+    val chunkBits = 12
+    val batch = sigs
+      .withColumn("chunk_idx", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk_val",
+        expr(s"(sig div cast(power(2, chunk_idx * $chunkBits) as bigint)) % ${1L << chunkBits}"))
+      .select($"sig", concat($"chunk_idx", lit(":"), $"chunk_val").as("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val jvm = Seq(0L, 1L, (1L << 47) | 12345L, 0xABCDEF012345L)
+      .flatMap(s => StreamingOps.chunkKeysJvm(s).map(k => (s, k))).toSet
+    assert(jvm === batch)
+  }
+
+  test("hammingDedupStream: cross-batch near signature caught after popcount verify; far is not") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{HammingHit, SigDoc}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = 0x123456789ABCL
+    val input = MemoryStream[SigDoc]
+    val q = StreamingOps.hammingDedupStream(input.toDS())
+      .writeStream.format("memory").queryName("ham_out")
+      .outputMode("append").start()
+    try {
+      input.addData(SigDoc(0L, base))
+      q.processAllAvailable()
+      assert(spark.table("ham_out").count() === 0L)
+      input.addData(
+        SigDoc(10L, base), // exact copy → hamming 0
+        SigDoc(20L, base ^ 1L), // one bit off → hamming 1 (vs 0 and 10)
+        // shares only chunk 3 with base (top 12 bits kept, low 36
+        // inverted → hamming 36) — the CANDIDATE must die at the
+        // popcount verify
+        SigDoc(30L, (base & 0xFFF000000000L) | (~base & 0x000FFFFFFFFFL)))
+      q.processAllAvailable()
+      val hits = spark.table("ham_out").as[HammingHit].collect()
+      assert(hits.exists(h => h.media_id == 10L && h.other_id == 0L && h.hamming == 0L))
+      assert(hits.exists(h => h.media_id == 20L && h.hamming == 1L))
+      assert(!hits.exists(h => h.media_id == 30L || h.other_id == 30L),
+        "far signature sharing one chunk must fail the verify")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
