@@ -198,6 +198,10 @@ object SparkEntry {
     // >= 400 the arriving batch; output must equal the full-corpus
     // pair set restricted to pairs touching the batch (oracle-pinned
     // equivalence — index staleness would hash-mismatch)
+    // the LSH detection S-curve receipt: exact Jaccard of every
+    // probe-touching pair vs what the banded candidates caught, per
+    // Jaccard decile — the measured 1-(1-s^r)^b curve
+    "lsh_recall" -> ((s, dir) => DedupOps.lshRecallCurve(Tables.documents(s, dir))),
     "dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.incrementalCandidates(
@@ -1178,6 +1182,32 @@ object SparkEntry {
          |$duckShingles,
          |$duckLshCand
          |SELECT a_id, b_id, n_shared_bands FROM cand""".stripMargin,
+    // exact probe-pair Jaccard vs banded detection, per decile; the
+    // probe filter (a_id < 25) applies to BOTH sides identically
+    "lsh_recall" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |pint AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+         |         FROM (SELECT doc_id, shingle FROM shd WHERE doc_id < 25) a
+         |         JOIN shd b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |pjac AS (SELECT p.a_id, p.b_id,
+         |           round(p.inter / (sa.n + sb.n - p.inter), 6) + 0 AS jaccard
+         |         FROM pint p
+         |         JOIN sizes sa ON sa.doc_id = p.a_id
+         |         JOIN sizes sb ON sb.doc_id = p.b_id),
+         |det AS (SELECT a_id, b_id FROM cand WHERE a_id < 25)
+         |SELECT least(9, CAST(floor(j.jaccard * 10) AS BIGINT)) AS bucket,
+         |  count(*) AS n_pairs,
+         |  CAST(coalesce(sum(CASE WHEN d.a_id IS NOT NULL THEN 1 END), 0) AS BIGINT)
+         |    AS n_detected,
+         |  round(coalesce(sum(CASE WHEN d.a_id IS NOT NULL THEN 1 END), 0)
+         |        / count(*), 6) + 0 AS detect_rate
+         |FROM pjac j
+         |LEFT JOIN det d ON d.a_id = j.a_id AND d.b_id = j.b_id
+         |GROUP BY 1""".stripMargin,
     // full-recompute equivalence receipt: the incremental path must
     // reproduce the complete-corpus candidate set restricted to
     // pairs with at least one batch (>= 400) member

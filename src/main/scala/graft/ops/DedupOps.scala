@@ -252,6 +252,52 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_bands"))
   }
 
+  /** LSH detection S-curve as a DECLARED receipt — completing the
+    * receipt trilogy (`ann_recall` for the vector tier,
+    * `cms_error_curve` for the sketch tier): for a bounded PROBE set
+    * of documents, compute the exact Jaccard of every probe-touching
+    * pair (the ground-truth half, cost bounded by |probes| ×
+    * co-shingled docs — the ann_recall brute-force role), bucket
+    * pairs by Jaccard decile, and report what fraction of each
+    * bucket the banded MinHash candidates actually caught. This is
+    * the measured form of the theoretical 1−(1−s^r)^b S-curve: a
+    * hash change, a banding bug, or a bad (numHashes, rowsPerBand)
+    * choice reshapes the curve and hash-mismatches — detection
+    * probability becomes a replayable number, not a hope.
+    *
+    * Scale shape: the exact side restricts its shingle equi-join to
+    * the probe docs (a-side filter BEFORE the join), so cost is
+    * probe-bounded, never corpus²; the candidate side is the
+    * standard routed banding. Output is ≤10 rows. */
+  def lshRecallCurve(docs: DataFrame, probeIds: Long = 25, numHashes: Int = 12,
+                     rowsPerBand: Int = 3, w: Int = 3): DataFrame = {
+    val sh = wordShingles(docs, w).select(col("doc_id"), col("shingle")).distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // with a_id < b_id ordering, every probe-touching pair has its
+    // MIN id on the a side, so filtering a to the probe set keeps
+    // exactly the pairs with min(id) < probeIds
+    val pint = sh.filter(col("doc_id") < probeIds)
+      .select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), "shingle")
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
+    val jac = pint
+      .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        roundn(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+    val det = minhashCandidates(docs, numHashes, rowsPerBand, w)
+      .filter(col("a_id") < probeIds)
+      .select(col("a_id"), col("b_id"), lit(1L).as("detected"))
+    jac.join(det, Seq("a_id", "b_id"), "left")
+      .withColumn("bucket", least(lit(9L), floor(col("jaccard") * 10).cast("long")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        coalesce(sum(col("detected")), lit(0L)).as("n_detected"))
+      .withColumn("detect_rate",
+        roundn(col("n_detected").cast("double") / col("n_pairs"), 6))
+  }
+
   /** SimHash per document over `bits` signature bits (default 48):
     * token hash bits weighted by tf, majority vote per bit (sum>0 →
     * 1). 48 bits (not the classic 64) because the portable sha-hex

@@ -468,6 +468,30 @@ class DedupOpsSpec extends SparkSpec {
     assert(inc.exists { case (a, b, _) => (a, b) == ((4L, 5L)) })
   }
 
+  test("lshRecallCurve: identical pairs at rate 1.0, top bucket above bottom, pairs conserved") {
+    // family A: three identical docs (jaccard 1.0 pairs → bucket 9);
+    // family B: doc 10 vs 11 share a 4-word prefix of a 12-word text
+    // (low jaccard → bottom buckets); 20 is unrelated (no shared
+    // shingle → not a pair at all)
+    val tA = base
+    val tB = "one two three four penguin walrus otter ferret badger stoat marten weasel"
+    val tB2 = "one two three four alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((0L, tA), (1L, tA), (2L, tA), (10L, tB), (11L, tB2),
+      (20L, "completely disjoint vocabulary about engines and planners ok"))
+      .toDF("doc_id", "text")
+    val r = DedupOps.lshRecallCurve(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    // identical pairs: (0,1),(0,2),(1,2) — all share every band
+    assert(r(9L) === ((3L, 3L, 1.0)))
+    // the B pair shares 2 of ~10+10-2 shingles → jaccard ≈ 0.1, a
+    // bottom bucket; the curve's bottom must sit below its top
+    val bottom = r.keys.min
+    assert(bottom < 9L && r(bottom)._3 < 1.0)
+    // pair conservation: every probe-touching co-shingled pair is in
+    // exactly one bucket (3 identical + 1 cross-B pair)
+    assert(r.values.map(_._1).sum === 4L)
+  }
+
   test("incrementalCandidatesFromIndex: a parquet-reloaded bucket index answers identically") {
     val t1 = base
     val d = Seq((0L, t1), (1L, t1 + " with a tiny edit"),
