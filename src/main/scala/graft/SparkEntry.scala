@@ -592,6 +592,9 @@ object SparkEntry {
     // size distribution (k=1 rows are re-identifiable users; the low
     // bands are what a generalize-further loop acts on)
     "k_anonymity" -> ((s, dir) => RelationalOps.kAnonymity(Tables.events(s, dir))),
+    // diurnal baseline: volume + mean value per (type, hour-of-day),
+    // peak hour ranked — what seasonal anomaly screens compare against
+    "events_seasonality" -> ((s, dir) => RelationalOps.eventsSeasonality(Tables.events(s, dir))),
     // interval × interval overlap join: heavy (≥3-event) sessions vs
     // every other user's sessions — hour-bin equi-join candidates,
     // exact overlap verify; no theta-join cross product
@@ -2352,6 +2355,15 @@ object SparkEntry {
         |SELECT cell.cohort_day, cell.day_offset, cell.n_active, s.cohort_size,
         |       round(cell.n_active / s.cohort_size, 6) + 0 AS retention
         |FROM cell JOIN s USING (cohort_day)""".stripMargin,
+    "events_seasonality" ->
+      """WITH p AS (SELECT event_type,
+        |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+        |         count(*) AS n_events, round(avg(value), 6) + 0 AS avg_value
+        |       FROM events GROUP BY 1, 2)
+        |SELECT event_type, hour_of_day, n_events, avg_value,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_events DESC, hour_of_day) AS peak_rank
+        |FROM p""".stripMargin,
     "k_anonymity" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
         |            FROM events GROUP BY 1, 2),

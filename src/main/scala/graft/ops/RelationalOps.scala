@@ -177,6 +177,29 @@ object RelationalOps {
     * broadcast into the final join. No window functions, no skew
     * candidates (a hot DAY is absorbed by the user-keyed stages;
     * cohort keys are date-bounded). */
+  /** Seasonal (hour-of-day) profile per event type — the calendar
+    * baseline behind anomaly screens: event volume and mean value
+    * per (type, hour-of-day) cycle position, with each type's peak
+    * hour ranked (rank 1 = the type's busiest hour; the deterministic
+    * (n desc, hour asc) tie-break). Deviations-from-baseline screens
+    * ([[valueOutliers]], [[madOutliers]]-style) compare against THIS
+    * table instead of a global mean when traffic is diurnal.
+    *
+    * Scale shape: one (type, hod)-keyed agg with map-side partials
+    * over the stream (the key space is |types|·24 — bounded); the
+    * rank window partitions by type over ≤24 rows. */
+  def eventsSeasonality(events: DataFrame): DataFrame = {
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val prof = events
+      .select(col("event_type"),
+        (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
+      .groupBy(col("event_type"), col("hour_of_day"))
+      .agg(count(lit(1)).as("n_events"), roundn(avg(col("value")), 6).as("avg_value"))
+    prof.withColumn("peak_rank",
+      row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("n_events").desc, col("hour_of_day"))).cast("long"))
+  }
+
   /** k-anonymity audit — the privacy-governance gate a training
     * corpus with user-derived rows needs before release (Sweeney,
     * IJUFKS 2002): build each user's QUASI-IDENTIFIER profile

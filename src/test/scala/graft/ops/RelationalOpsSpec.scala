@@ -335,6 +335,19 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 5)
   }
 
+  test("eventsSeasonality: day-cycle folding and deterministic peak rank") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // hour 25 folds onto hour-of-day 1 (next day, same cycle slot)
+    val events = Seq(
+      (1L, 10L, h, "a", 2.0, "{}"), (2L, 10L, h + 7L, "a", 4.0, "{}"),
+      (3L, 11L, 25 * h, "a", 6.0, "{}"), (4L, 12L, 3 * h, "a", 10.0, "{}")
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsSeasonality(events).collect()
+      .map(x => x.getLong(1) -> ((x.getLong(2), x.getDouble(3), x.getLong(4)))).toMap
+    assert(r(1L) === ((3L, 4.0, 1L)), "hod 1 aggregates both days, peak rank 1")
+    assert(r(3L) === ((1L, 10.0, 2L)))
+  }
+
   test("kAnonymity: singleton profile lands in band 1, twins in 2-4; tie-break deterministic") {
     val d = 86400L * 1000 * 1000 * 1000
     // users 10/20: identical quasi-profile (2 events, 1 day, top 'a')
