@@ -349,6 +349,11 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) => TextOps.textNormalize(Tables.documents(s, dir))),
     "wordpiece_vocab" -> ((s, dir) => TextOps.wordpieceVocab(Tables.documents(s, dir))),
     "wordpiece_encode" -> ((s, dir) => TextOps.wordpieceEncode(Tables.documents(s, dir))),
+    // the THIRD tokenizer algorithm: unigram-LM Viterbi — max-
+    // likelihood segmentation under integer-micro log-probs; the
+    // oracle replays the dp itself (16 Bellman-Ford stages), pinning
+    // the winning path, not just its score
+    "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -1037,6 +1042,48 @@ object SparkEntry {
        |$stages""".stripMargin
   }
 
+  /** DuckDB twin of TextOps.unigramEncode (depends on `toks` and the
+    * wordpiece vocab CTEs): char scores + total → integer-micro
+    * unigram log-probs, then the VITERBI dp unrolled into 16
+    * MATERIALIZED stages — each stage relaxes one more edge
+    * (Bellman-Ford over the segmentation DAG): the previous state
+    * set unions with all one-piece extensions and a (word, pos)
+    * argmax keeps the single best (score desc, pieces asc), so the
+    * winning PATH — not just its score — is pinned. */
+  private lazy val duckUnigram: String = {
+    val stages = (1 to 16).map { i =>
+      s"""us$i AS MATERIALIZED (
+         |  SELECT word, pos, pieces, score_mu FROM (
+         |    SELECT word, pos, pieces, score_mu,
+         |      row_number() OVER (PARTITION BY word, pos
+         |        ORDER BY score_mu DESC, pieces) AS rn
+         |    FROM (
+         |      SELECT word, pos, pieces, score_mu FROM us${i - 1}
+         |      UNION ALL
+         |      SELECT s.word, s.pos + length(v.piece) AS pos,
+         |             s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE ' ' END ||
+         |               v.piece AS pieces,
+         |             s.score_mu + v.w_mu AS score_mu
+         |      FROM (SELECT * FROM us${i - 1} WHERE pos < length(word)) s
+         |      JOIN uvocab v ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
+         |    ) u) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckWordpieceVocab,
+       |uch AS (SELECT substr(word, CAST(u.s AS INTEGER), 1) AS piece,
+       |          CAST(sum(wc) AS BIGINT) AS score
+       |        FROM wpw, unnest(range(1, length(word) + 1)) u(s) GROUP BY 1),
+       |usc AS (SELECT piece, score FROM wpv
+       |        UNION ALL SELECT piece, score FROM uch),
+       |utot AS (SELECT CAST(sum(score) AS BIGINT) AS tot FROM usc),
+       |uvocab AS MATERIALIZED (SELECT piece,
+       |          CAST(round(ln(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE))
+       |                     * 1000000) AS BIGINT) AS w_mu
+       |        FROM usc, utot),
+       |us0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS pieces,
+       |          CAST(0 AS BIGINT) AS score_mu FROM wpw),
+       |$stages""".stripMargin
+  }
+
   /** Census + piece-scoring + top-48 rank CTEs ending in
     * `wpv (piece, score, rank)` — the shared head of the two
     * wordpiece oracles. */
@@ -1529,6 +1576,15 @@ object SparkEntry {
       s"""WITH $duckToks,
          |$duckWordpieceVocab
          |SELECT rank, piece, score FROM wpv""".stripMargin,
+    "unigram_encode" ->
+      s"""WITH $duckToks,
+         |$duckUnigram
+         |SELECT w.word, w.wc,
+         |  CAST(len(string_split(s.pieces, ' ')) AS BIGINT) AS n_pieces,
+         |  s.pieces, s.score_mu
+         |FROM us16 s JOIN wpw w USING (word)
+         |WHERE s.pos = length(s.word)
+         |QUALIFY row_number() OVER (ORDER BY w.wc DESC, w.word) <= 200""".stripMargin,
     // the greedy path replayed: 16 unrolled longest-prefix-match
     // stages; top-200 most frequent words emitted with their
     // segmentation and piece count

@@ -1085,6 +1085,77 @@ object TextOps {
       .select(col("rank"), col("piece"), col("score"))
   }
 
+  /** Unigram-LM (SentencePiece-shape) MAX-LIKELIHOOD segmentation —
+    * the third tokenizer algorithm next to BPE and greedy WordPiece:
+    * each vocab piece carries a unigram log-probability (its weighted
+    * occurrence share, in integer MICROS — the [[langIdLearned]]
+    * fixed-point recipe, so score sums are exact Long math), and
+    * every census word is segmented by VITERBI: dp over positions
+    * where dp[j] = max over pieces ending at j of
+    * dp[j−len] + log p(piece). Greedy longest-match is a heuristic;
+    * this is the optimum it approximates — on vocabularies where a
+    * long greedy first piece strands the remainder in single chars,
+    * the Viterbi path wins and the two queries' outputs diverge
+    * exactly there (the divergence IS the receipt's point).
+    *
+    * Relational DP: the state set holds ONE best (score, pieces)
+    * per (word, pos); each round extends every state through the
+    * prefix-match equi-join (the [[wordpieceEncode]] explode) and
+    * re-argmaxes per (word, pos) — ties broken (score desc, pieces
+    * asc), so the winning PATH is deterministic, not just its score.
+    * After ≤ maxWordLen rounds the dp is a fixpoint (longest path in
+    * a DAG with ≤ maxWordLen nodes); the oracle replays all 16
+    * rounds as unrolled MATERIALIZED stages.
+    *
+    * Scale shape: census-bounded like wordpieceEncode — states ≤
+    * |census| × maxWordLen rows, vocab broadcasts, every round one
+    * generate + broadcast equi-join + (word, pos)-keyed argmax. */
+  def unigramEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
+                    maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
+    val micro = (c: Column) => round(c * 1000000).cast("long")
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val multi = wordpiecePieces(words, maxPieceLen)
+      .orderBy(col("score").desc, col("piece")).limit(vocabSize)
+    val chars = words
+      .withColumn("s", explode(sequence(lit(1), length(col("word")))))
+      .select(expr("substring(word, s, 1)").as("piece"), col("wc"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("score"))
+    val scored = multi.unionByName(chars)
+    val vocab = scored
+      .crossJoin(broadcast(scored.agg(sum(col("score")).as("tot"))))
+      .select(col("piece"),
+        micro(log(col("score").cast("double") / col("tot").cast("double"))).as("w_mu"))
+      .localCheckpoint(true)
+    var states = words.select(col("word"), lit(0).as("pos"),
+      lit("").as("pieces"), lit(0L).as("score_mu"))
+    val w = Window.partitionBy(col("word"), col("pos"))
+      .orderBy(col("score_mu").desc, col("pieces"))
+    var r = 0
+    while (r < maxWordLen) {
+      val ext = states.filter(col("pos") < length(col("word")))
+        .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
+        .filter(col("pos") + col("plen") <= length(col("word")))
+        .withColumn("cand", expr("substring(word, pos + 1, plen)"))
+        .join(broadcast(vocab), col("cand") === col("piece"))
+        .select(col("word"), (col("pos") + col("plen")).as("pos"),
+          concat(col("pieces"),
+            when(col("pieces") === "", lit("")).otherwise(lit(" ")),
+            col("cand")).as("pieces"),
+          (col("score_mu") + col("w_mu")).as("score_mu"))
+      states = states.unionByName(ext)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      if (r % 4 == 3) states = states.localCheckpoint(true)
+      r += 1
+    }
+    states.filter(col("pos") === length(col("word")))
+      .join(words, "word")
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
+      .select(col("word"), col("wc"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"),
+        col("pieces"), col("score_mu"))
+  }
+
   /** The WordPiece vocabulary APPLIED: greedy longest-match
     * segmentation of every census word under the top-V multi-char
     * pieces ∪ all single chars (the completeness floor — greedy can

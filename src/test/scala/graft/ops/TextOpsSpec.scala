@@ -480,6 +480,24 @@ class TextOpsSpec extends SparkSpec {
       "featureless doc must take the prior argmax over trained langs")
   }
 
+  test("unigramEncode: Viterbi beats greedy exactly where long-first-piece stranding occurs") {
+    // census: ab×3, cd×3, abcd×1. Top-3 multi pieces: ab(4), cd(4),
+    // abc(1). Greedy on "abcd" takes the longest prefix 'abc' and
+    // strands 'd'; Viterbi scores ab+cd ≈ 2·ln(4/25) above
+    // abc+d ≈ ln(1/25)+ln(4/25) and picks the two frequent pieces —
+    // the exact divergence the max-likelihood dp exists to fix
+    val docs = Seq((0L, "ab cd ab cd ab cd abcd")).toDF("doc_id", "text")
+    val greedy = TextOps.wordpieceEncode(docs, vocabSize = 3).collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(greedy("abcd") === "abc d")
+    val vit = TextOps.unigramEncode(docs, vocabSize = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(vit("abcd") === ((2L, "ab cd")))
+    // frequent whole words segment as themselves under both
+    assert(vit("ab") === ((1L, "ab")))
+    assert(vit("cd") === ((1L, "cd")))
+  }
+
   test("wordpiece: vocab ranking by weighted occurrence, greedy longest-match, char fallback") {
     // census: abab (wc 2), cd (wc 1). Multi-char piece scores:
     // ab appears twice per abab → 4; ba/aba/bab/abab → 2 each;
