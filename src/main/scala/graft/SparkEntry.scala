@@ -354,6 +354,10 @@ object SparkEntry {
     // oracle replays the dp itself (16 Bellman-Ford stages), pinning
     // the winning path, not just its score
     "unigram_encode" -> ((s, dir) => TextOps.unigramEncode(Tables.documents(s, dir))),
+    // the capstone over the tokenizer triad: corpus-weighted pieces
+    // per word occurrence, greedy vs Viterbi, same vocabulary — the
+    // measured value of the better algorithm
+    "tokenizer_fertility" -> ((s, dir) => TextOps.tokenizerFertility(Tables.documents(s, dir))),
     // DSIR importance weights: add-one unigram log-ratio vs the
     // en-language target subset, shared raw vocabulary
     "dsir_weights" -> ((s, dir) => {
@@ -1050,39 +1054,50 @@ object SparkEntry {
     * set unions with all one-piece extensions and a (word, pos)
     * argmax keeps the single best (score desc, pieces asc), so the
     * winning PATH — not just its score — is pinned. */
-  private lazy val duckUnigram: String = {
-    val stages = (1 to 16).map { i =>
-      s"""us$i AS MATERIALIZED (
-         |  SELECT word, pos, pieces, score_mu FROM (
-         |    SELECT word, pos, pieces, score_mu,
-         |      row_number() OVER (PARTITION BY word, pos
-         |        ORDER BY score_mu DESC, pieces) AS rn
-         |    FROM (
-         |      SELECT word, pos, pieces, score_mu FROM us${i - 1}
-         |      UNION ALL
-         |      SELECT s.word, s.pos + length(v.piece) AS pos,
-         |             s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE ' ' END ||
-         |               v.piece AS pieces,
-         |             s.score_mu + v.w_mu AS score_mu
-         |      FROM (SELECT * FROM us${i - 1} WHERE pos < length(word)) s
-         |      JOIN uvocab v ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
-         |    ) u) t WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
+  private def unigramStage(i: Int): String =
+    s"""us$i AS MATERIALIZED (
+       |  SELECT word, pos, pieces, score_mu FROM (
+       |    SELECT word, pos, pieces, score_mu,
+       |      row_number() OVER (PARTITION BY word, pos
+       |        ORDER BY score_mu DESC, pieces) AS rn
+       |    FROM (
+       |      SELECT word, pos, pieces, score_mu FROM us${i - 1}
+       |      UNION ALL
+       |      SELECT s.word, s.pos + length(v.piece) AS pos,
+       |             s.pieces || CASE WHEN s.pieces = '' THEN '' ELSE ' ' END ||
+       |               v.piece AS pieces,
+       |             s.score_mu + v.w_mu AS score_mu
+       |      FROM (SELECT * FROM us${i - 1} WHERE pos < length(word)) s
+       |      JOIN uvocab v ON v.piece = substr(s.word, s.pos + 1, length(v.piece))
+       |    ) u) t WHERE rn = 1)""".stripMargin
+
+  private lazy val duckUnigram: String =
     s"""$duckWordpieceVocab,
-       |uch AS (SELECT substr(word, CAST(u.s AS INTEGER), 1) AS piece,
-       |          CAST(sum(wc) AS BIGINT) AS score
-       |        FROM wpw, unnest(range(1, length(word) + 1)) u(s) GROUP BY 1),
-       |usc AS (SELECT piece, score FROM wpv
-       |        UNION ALL SELECT piece, score FROM uch),
-       |utot AS (SELECT CAST(sum(score) AS BIGINT) AS tot FROM usc),
-       |uvocab AS MATERIALIZED (SELECT piece,
-       |          CAST(round(ln(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE))
-       |                     * 1000000) AS BIGINT) AS w_mu
-       |        FROM usc, utot),
-       |us0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS pieces,
-       |          CAST(0 AS BIGINT) AS score_mu FROM wpw),
-       |$stages""".stripMargin
+       |$duckUnigramTail""".stripMargin
+
+  /** The unigram chain MINUS the shared wordpiece-vocab head — so an
+    * oracle that already includes [[duckWordpiece]] (which embeds the
+    * same head) can append the Viterbi dp without duplicate CTE
+    * names (the tokenizer_fertility composition). */
+  private lazy val duckUnigramTail: String = {
+    val stages = (1 to 16).map(unigramStage).mkString(",\n")
+    s"$stagesPrefix$stages"
   }
+
+  private lazy val stagesPrefix =
+    """uch AS (SELECT substr(word, CAST(u.s AS INTEGER), 1) AS piece,
+      |          CAST(sum(wc) AS BIGINT) AS score
+      |        FROM wpw, unnest(range(1, length(word) + 1)) u(s) GROUP BY 1),
+      |usc AS (SELECT piece, score FROM wpv
+      |        UNION ALL SELECT piece, score FROM uch),
+      |utot AS (SELECT CAST(sum(score) AS BIGINT) AS tot FROM usc),
+      |uvocab AS MATERIALIZED (SELECT piece,
+      |          CAST(round(ln(CAST(score AS DOUBLE) / CAST(tot AS DOUBLE))
+      |                     * 1000000) AS BIGINT) AS w_mu
+      |        FROM usc, utot),
+      |us0 AS MATERIALIZED (SELECT word, 0 AS pos, '' AS pieces,
+      |          CAST(0 AS BIGINT) AS score_mu FROM wpw),
+      |""".stripMargin
 
   /** Census + piece-scoring + top-48 rank CTEs ending in
     * `wpv (piece, score, rank)` — the shared head of the two
@@ -1576,6 +1591,26 @@ object SparkEntry {
       s"""WITH $duckToks,
          |$duckWordpieceVocab
          |SELECT rank, piece, score FROM wpv""".stripMargin,
+    // both dp chains in one query (the shared wordpiece-vocab head
+    // appears once via duckWordpiece; the unigram TAIL appends)
+    "tokenizer_fertility" ->
+      s"""WITH $duckToks,
+         |$duckWordpiece,
+         |$duckUnigramTail,
+         |wfert AS (SELECT 'wordpiece_greedy' AS algorithm,
+         |    count(*) AS n_words,
+         |    CAST(sum(w.wc) AS BIGINT) AS n_occurrences,
+         |    CAST(sum(w.wc * s.n_pieces) AS BIGINT) AS n_pieces_total
+         |  FROM ws16 s JOIN wpw w USING (word) WHERE s.fin),
+         |ufert AS (SELECT 'unigram_viterbi' AS algorithm,
+         |    count(*) AS n_words,
+         |    CAST(sum(w.wc) AS BIGINT) AS n_occurrences,
+         |    CAST(sum(w.wc * len(string_split(s.pieces, ' '))) AS BIGINT)
+         |      AS n_pieces_total
+         |  FROM us16 s JOIN wpw w USING (word) WHERE s.pos = length(s.word))
+         |SELECT algorithm, n_words, n_occurrences, n_pieces_total,
+         |  round(n_pieces_total / n_occurrences, 6) + 0 AS fertility
+         |FROM (SELECT * FROM wfert UNION ALL SELECT * FROM ufert)""".stripMargin,
     "unigram_encode" ->
       s"""WITH $duckToks,
          |$duckUnigram

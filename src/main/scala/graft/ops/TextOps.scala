@@ -1156,6 +1156,36 @@ object TextOps {
         col("pieces"), col("score_mu"))
   }
 
+  /** Tokenizer FERTILITY comparison — the number a tokenizer review
+    * actually decides on: corpus-weighted pieces per word occurrence
+    * (Σ wc·n_pieces / Σ wc) for the greedy WordPiece and the Viterbi
+    * unigram segmenters over the SAME vocabulary. The two columns
+    * agree wherever greedy already finds a max-likelihood path and
+    * diverge exactly on the stranding cases the unigram spec pins
+    * (note Viterbi optimizes LIKELIHOOD, not piece count — it may
+    * pick more pieces when several frequent short pieces outscore
+    * one rare long one, so neither column dominates by
+    * construction; the comparison is the point). One row per
+    * algorithm — the capstone receipt over the tokenizer triad
+    * (BPE's fertility lives in `bpe_tokenize`'s per-doc ratio). */
+  def tokenizerFertility(docs: DataFrame, vocabSize: Int = 48,
+                         maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    def row(name: String, enc: DataFrame): DataFrame =
+      enc.agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wc")).cast("long").as("n_occurrences"),
+        sum(col("wc") * col("n_pieces")).cast("long").as("n_pieces_total"))
+        .withColumn("algorithm", lit(name))
+        .withColumn("fertility",
+          roundn(col("n_pieces_total").cast("double") / col("n_occurrences"), 6))
+        .select(col("algorithm"), col("n_words"), col("n_occurrences"),
+          col("n_pieces_total"), col("fertility"))
+    row("wordpiece_greedy",
+        wordpieceEncode(docs, vocabSize, maxPieceLen, maxWordLen, topWords = 1000000))
+      .unionByName(row("unigram_viterbi",
+        unigramEncode(docs, vocabSize, maxPieceLen, maxWordLen, topWords = 1000000)))
+  }
+
   /** The WordPiece vocabulary APPLIED: greedy longest-match
     * segmentation of every census word under the top-V multi-char
     * pieces ∪ all single chars (the completeness floor — greedy can

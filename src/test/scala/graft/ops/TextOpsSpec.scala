@@ -498,6 +498,19 @@ class TextOpsSpec extends SparkSpec {
     assert(vit("cd") === ((1L, "cd")))
   }
 
+  test("tokenizerFertility: both algorithms cover the same corpus; weighted totals exact") {
+    // greedy: ab×3 + cd×3 at 1 piece, abcd → 'abc d' (2 pieces);
+    // viterbi: abcd → 'ab cd' (also 2 pieces) — different PATH, same
+    // count, so fertility agrees at 8 pieces / 7 occurrences
+    val docs = Seq((0L, "ab cd ab cd ab cd abcd")).toDF("doc_id", "text")
+    val r = TextOps.tokenizerFertility(docs, vocabSize = 3).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(4)))).toMap
+    assert(r.keySet === Set("wordpiece_greedy", "unigram_viterbi"))
+    assert(r("wordpiece_greedy") === ((3L, 7L, 8L, 1.142857)))
+    assert(r("unigram_viterbi") === ((3L, 7L, 8L, 1.142857)))
+  }
+
   test("wordpiece: vocab ranking by weighted occurrence, greedy longest-match, char fallback") {
     // census: abab (wc 2), cd (wc 1). Multi-char piece scores:
     // ab appears twice per abab → 4; ba/aba/bab/abab → 2 each;
