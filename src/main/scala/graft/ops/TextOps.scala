@@ -1130,8 +1130,14 @@ object TextOps {
       lit("").as("pieces"), lit(0L).as("score_mu"))
     val w = Window.partitionBy(col("word"), col("pos"))
       .orderBy(col("score_mu").desc, col("pieces"))
+    // a word of length L needs ≤ L relaxation rounds, so the loop
+    // depth is the LONGEST word actually present, not the cap — a
+    // 1-value driver scalar (bounded driver state); the oracle's
+    // fixed 16 stages are a fixpoint beyond this, so outputs agree
+    val rounds = math.min(maxWordLen,
+      words.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0))
     var r = 0
-    while (r < maxWordLen) {
+    while (r < rounds) {
       val ext = states.filter(col("pos") < length(col("word")))
         .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
         .filter(col("pos") + col("plen") <= length(col("word")))
