@@ -486,6 +486,10 @@ object SparkEntry {
     // relational count-min sketch: portable integer cells, exact
     // top-k twin carries est ≥ exact into the hash-checked output
     "cms_error_curve" -> ((s, dir) => SketchOps.cmsErrorCurve(Tables.events(s, dir))),
+    // deterministic Poisson bootstrap: 95% order-statistic CI for the
+    // per-type mean, every resample draw hash-derived and fixed-point
+    // summed — the oracle pins the CI bounds exactly
+    "events_bootstrap" -> ((s, dir) => SketchOps.bootstrapCI(Tables.events(s, dir))),
     "events_heavy_hitters" -> ((s, dir) =>
       SketchOps.countMinHeavyHitters(Tables.events(s, dir))),
     // KMV distinct sketch (typed mergeable Aggregator) vs exact twin:
@@ -2133,6 +2137,43 @@ object SparkEntry {
          |FROM q""".stripMargin,
     // count-min sketch: 3 sha-salted hash rows × 64 buckets, exact
     // top-10 twin carries the one-sided estimate into the output
+    // the bootstrap replayed: same hash draws, same fixed thresholds
+    // (constants interpolated from SketchOps.PoissonT — single source
+    // of truth), same fixed-point mean arithmetic, same order stats
+    "events_bootstrap" -> {
+      val t = graft.ops.SketchOps.PoissonT
+      val uh = graft.functions.PortableHash.duckdbHash48(
+        "'boot:' || CAST(u.r AS VARCHAR) || ':' || CAST(event_id AS VARCHAR)")
+      s"""WITH bs AS (
+         |  SELECT event_type, u.r AS r,
+         |    CAST(round(value * 1000000) AS BIGINT) AS v_mu,
+         |    CAST($uh AS BIGINT) AS uh
+         |  FROM events, unnest(range(0, 40)) u(r)),
+         |wt AS (SELECT event_type, r, v_mu,
+         |    CASE WHEN uh < ${t(0)} THEN 0 WHEN uh < ${t(1)} THEN 1
+         |         WHEN uh < ${t(2)} THEN 2 WHEN uh < ${t(3)} THEN 3
+         |         WHEN uh < ${t(4)} THEN 4 WHEN uh < ${t(5)} THEN 5
+         |         ELSE 6 END AS w
+         |  FROM bs),
+         |m AS (SELECT event_type, r, CAST(sum(w) AS BIGINT) AS sw,
+         |        CAST(sum(w * v_mu) AS BIGINT) AS swv
+         |      FROM wt GROUP BY 1, 2),
+         |mr AS (SELECT event_type, r,
+         |         round(swv / (greatest(sw, 1) * 1000000.0), 6) + 0 AS mean_r
+         |       FROM m),
+         |rk AS (SELECT event_type, r, mean_r,
+         |         row_number() OVER (PARTITION BY event_type
+         |           ORDER BY mean_r, r) AS rn
+         |       FROM mr),
+         |st AS (SELECT event_type, count(*) AS n_rows,
+         |         round(avg(value), 6) + 0 AS mean_value
+         |       FROM events GROUP BY 1)
+         |SELECT st.event_type, st.n_rows, st.mean_value,
+         |       lo.mean_r AS ci_lo, hi.mean_r AS ci_hi
+         |FROM st
+         |JOIN (SELECT event_type, mean_r FROM rk WHERE rn = 2) lo USING (event_type)
+         |JOIN (SELECT event_type, mean_r FROM rk WHERE rn = 39) hi USING (event_type)""".stripMargin
+    },
     // the sketch-tier receipt: CMS error profile per width, every
     // distinct key probed, exact integer error numbers
     "cms_error_curve" -> {

@@ -116,6 +116,59 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Poisson(1) inverse-CDF thresholds on the 48-bit uniform hash —
+    * exact Long constants shared VERBATIM with the oracle (k = 0..5;
+    * the >t(5) tail, ~0.06%, draws 6). */
+  private[graft] val PoissonT = Seq(103548857136060L, 207097714272121L,
+    258872142840152L, 276130285696162L, 280444821410164L, 281307728552965L)
+
+  /** Deterministic POISSON BOOTSTRAP confidence intervals — the
+    * distributed bootstrap (each row's resample-r multiplicity drawn
+    * Poisson(1) instead of multinomial, the standard big-data form
+    * since exact n-out-of-n resampling needs global coordination):
+    * per event type, the mean of `value` with a 95% order-statistic
+    * CI over `b` resamples. Every draw derives from the portable
+    * 48-bit hash of (resample, event_id) through fixed integer CDF
+    * thresholds, and resample means sum in fixed-point micros — so
+    * the whole stochastic procedure is bit-reproducible and the
+    * oracle pins the CI bounds EXACTLY, the `cms_error_curve`
+    * discipline applied to resampling statistics.
+    *
+    * Scale shape: one b-way row explode with map-side partial aggs
+    * onto the bounded (type, resample) key — b× map work, tiny
+    * shuffle; order statistics rank b rows per type. At 100 TB the
+    * explode factor is the knob (b=40 ⇒ 40× map cost, same one
+    * shuffle). */
+  def bootstrapCI(events: DataFrame, b: Int = 40): DataFrame = {
+    val t = PoissonT
+    val base = events
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 1000000).cast("long").as("v_mu"), col("value"))
+      .withColumn("r", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("u", PortableHash.hash48(
+        concat(lit("boot:"), col("r"), lit(":"), col("event_id"))))
+      .withColumn("w",
+        when(col("u") < t(0), 0L).when(col("u") < t(1), 1L)
+          .when(col("u") < t(2), 2L).when(col("u") < t(3), 3L)
+          .when(col("u") < t(4), 4L).when(col("u") < t(5), 5L).otherwise(6L))
+    val means = base
+      .groupBy(col("event_type"), col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("v_mu")).as("swv"))
+      .withColumn("mean_r", graft.functions.VectorMath.roundn(
+        col("swv").cast("double") /
+          (greatest(col("sw"), lit(1L)).cast("double") * 1000000.0), 6))
+    val rk = means.withColumn("rn", row_number().over(
+      Window.partitionBy(col("event_type")).orderBy(col("mean_r"), col("r"))))
+    val stats = events.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.VectorMath.roundn(avg(col("value")), 6).as("mean_value"))
+    stats
+      .join(rk.filter(col("rn") === 2)
+        .select(col("event_type"), col("mean_r").as("ci_lo")), "event_type")
+      .join(rk.filter(col("rn") === b - 1)
+        .select(col("event_type"), col("mean_r").as("ci_hi")), "event_type")
+  }
+
   /** KMV distinct-count estimate per event type, verified against the
     * exact count (Beyer et al. SIGMOD'07 unbiased estimator
     * (k−1)·H/U(k) over the 48-bit portable hash range H = 2^48; when

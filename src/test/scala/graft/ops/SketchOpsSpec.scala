@@ -17,6 +17,23 @@ class SketchOpsSpec extends SparkSpec {
     assert(cells.map(_.getAs[Long]("c")).sum === 3L * 10)
   }
 
+  test("bootstrapCI: constant values give a degenerate CI; varied values bracket the mean") {
+    val const = (1L to 50L).map(i => (i, 10L, i, "a", 7.5, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val c = SketchOps.bootstrapCI(const).collect().head
+    // every resample of a constant sample has the same mean
+    assert(c.getDouble(2) === 7.5 && c.getDouble(3) === 7.5 && c.getDouble(4) === 7.5)
+    val rnd = new scala.util.Random(23)
+    val varied = (1L to 400L).map(i => (i, 10L, i, "b", 10.0 + rnd.nextInt(100), "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val v = SketchOps.bootstrapCI(varied).collect().head
+    val (mean, lo, hi) = (v.getDouble(2), v.getDouble(3), v.getDouble(4))
+    assert(lo < hi, "varied sample must produce a non-degenerate interval")
+    assert(lo <= mean && mean <= hi, "95% order-statistic CI must bracket the sample mean")
+    // CI width should be a few standard errors, not the data range
+    assert(hi - lo < 20.0)
+  }
+
   test("cmsErrorCurve: one-sided guarantee at every width; error shrinks as width grows") {
     val rnd = new scala.util.Random(17)
     val df = keyed((1L to 120L).map(u => u -> (1 + rnd.nextInt(20))).toMap)
