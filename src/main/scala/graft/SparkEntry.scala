@@ -386,6 +386,10 @@ object SparkEntry {
     // deterministic "20 docs per language" via salted-hash ranking;
     // WindowGroupLimit keeps the shuffle O(partitions·n) per group
     "group_sample" -> ((s, dir) => TextOps.groupSample(Tables.documents(s, dir))),
+    // Efraimidis–Spirakis weighted sampling without replacement:
+    // exponential race keys from portable hashes, top-k smallest =
+    // the weight-proportional sample (weight = n_chars)
+    "weighted_sample" -> ((s, dir) => TextOps.weightedSample(Tables.documents(s, dir))),
     // concat-and-chunk packing into 128-token sequences across 8
     // hash-sharded streams
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
@@ -425,6 +429,10 @@ object SparkEntry {
     // corpus statistics: fixed-point OLS of ln(freq) on ln(rank) —
     // exact Long sums, so no float-order hazard crosses the oracle
     "zipf_fit" -> ((s, dir) => TextOps.zipfFit(Tables.documents(s, dir))),
+    // PPMI collocations: map-only windowed pair generation (zip_with
+    // against the d-shifted self), ONE pair-keyed shuffle, marginals
+    // broadcast back, top-N as TakeOrderedAndProject
+    "word_pmi" -> ((s, dir) => TextOps.wordPmi(Tables.documents(s, dir))),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -496,6 +504,14 @@ object SparkEntry {
     // k smallest portable hashes -> (k-1)*2^48 div U(k), Long-exact
     "kmv_distinct" -> ((s, dir) =>
       SketchOps.kmvDistinct(Tables.events(s, dir))),
+    // bottom-k pair sketch (mergeable uniform row sample): sample
+    // percentiles vs exact type-1 percentiles, errors pinned exactly
+    "quantile_sketch" -> ((s, dir) =>
+      SketchOps.quantileSketch(Tables.events(s, dir))),
+    // error-vs-k receipt for the quantile sketch — the bottom-k twin
+    // of cms_error_curve's width sweep
+    "quantile_error_curve" -> ((s, dir) =>
+      SketchOps.quantileErrorCurve(Tables.events(s, dir))),
     // z-order curve values (PersistOps.writeZOrdered's key): min/max
     // quantization to 16 bits + Morton interleave — integer-exact on
     // both engines, proving the layout key is engine-portable
@@ -1707,6 +1723,23 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY lang
          |      ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
          |  FROM s) WHERE sample_rank <= 20""".stripMargin,
+    // A-ES race keys: SAME formula shape as the Spark side
+    // (ln(2^48) − ln(h+1), over the clamped weight, rounded once to
+    // micros), ties broken by doc_id after rounding
+    "weighted_sample" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'ws:' || CAST(doc_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH kdf AS (SELECT doc_id, n_chars,
+         |    CAST(round((ln(281474976710656.0) - ln($h48 + 1))
+         |      / greatest(CAST(n_chars AS DOUBLE), 1.0) * 1000000) AS BIGINT)
+         |      AS key_micro
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY key_micro, doc_id) AS BIGINT)
+         |           AS rank,
+         |         doc_id, n_chars, key_micro
+         |  FROM kdf) WHERE rank <= 50""".stripMargin
+    },
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
@@ -1785,6 +1818,36 @@ object SparkEntry {
          |            / CAST(n_terms * sxx - sx * sx AS DOUBLE))
          |           * CAST(sx AS DOUBLE) / 1000000) / n_terms, 6) + 0 AS intercept
          |FROM s""".stripMargin,
+    // PPMI pairs over the COMPACTED token list (blank-drop reindexes
+    // adjacency, same as the Spark filter); marginal sums CAST back
+    // to BIGINT (DuckDB sum→HUGEINT); single ln rounded once
+    "word_pmi" ->
+      """WITH tk AS (SELECT list_filter(list_transform(
+        |        list_slice(string_split(text, ' '), 1, 512), x -> trim(x)),
+        |        x -> x <> '') AS toks FROM documents),
+        |pr AS (SELECT least(toks[i], toks[i + d]) AS t1,
+        |              greatest(toks[i], toks[i + d]) AS t2
+        |       FROM tk, unnest(range(1, len(toks) + 1)) u(i),
+        |            (SELECT unnest([1, 2]) AS d) dd
+        |       WHERE i + d <= len(toks)),
+        |c AS (SELECT t1, t2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+        |m AS (SELECT tok, CAST(sum(c_xy) AS BIGINT) AS m FROM (
+        |        SELECT t1 AS tok, c_xy FROM c
+        |        UNION ALL SELECT t2 AS tok, c_xy FROM c)
+        |      GROUP BY 1),
+        |s AS (SELECT CAST(sum(c_xy) AS BIGINT) AS s_total FROM c)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, t1, t2) AS BIGINT)
+        |           AS rank, t1, t2, c_xy, m_x, m_y, pmi
+        |  FROM (SELECT c.t1, c.t2, c.c_xy, mx.m AS m_x, my.m AS m_y,
+        |          round(ln(CAST(c.c_xy * s.s_total AS DOUBLE)
+        |                   / CAST(mx.m * my.m AS DOUBLE)), 6) + 0 AS pmi
+        |        FROM c
+        |        JOIN m mx ON mx.tok = c.t1
+        |        JOIN m my ON my.tok = c.t2
+        |        CROSS JOIN s
+        |        WHERE c.c_xy >= 3))
+        |WHERE rank <= 100""".stripMargin,
     // vocabulary = corpus top-16 tokens; per-source stream coverage
     "oov_rate" ->
       """WITH st AS (
@@ -2248,6 +2311,76 @@ object SparkEntry {
          |SELECT e.event_type, e.n_exact, s.n_kmv,
          |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
          |FROM ex e JOIN sk s USING (event_type)""".stripMargin
+    },
+    // bottom-k pair sketch: DISTINCT (h, v_mu) pairs ranked by (h, v)
+    // are the sample (the aggregator's exact contract); type-1 ranks
+    // via integer (n*pct + 99) // 100 on both engines
+    "quantile_sketch" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'qsk:' || CAST(event_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH hv AS (SELECT event_type, event_id,
+         |        CAST(round(value * 1000000) AS BIGINT) AS v_mu, $h48 AS h
+         |      FROM events),
+         |p AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS pct),
+         |ex0 AS (SELECT event_type, v_mu,
+         |          row_number() OVER (PARTITION BY event_type
+         |            ORDER BY v_mu, event_id) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n_rows
+         |        FROM hv),
+         |ex AS (SELECT e.event_type, p.pct, e.n_rows, e.v_mu AS exact_mu
+         |       FROM ex0 e JOIN p
+         |         ON e.rn = greatest(1, (e.n_rows * p.pct + 99) // 100)),
+         |sr AS (SELECT event_type, v_mu,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h, v_mu) AS rh
+         |       FROM (SELECT DISTINCT event_type, h, v_mu FROM hv)),
+         |s0 AS (SELECT event_type, v_mu,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY v_mu) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n_sample
+         |       FROM sr WHERE rh <= 128),
+         |es AS (SELECT s.event_type, p.pct, s.n_sample, s.v_mu AS est_mu
+         |       FROM s0 s JOIN p
+         |         ON s.rn = greatest(1, (s.n_sample * p.pct + 99) // 100))
+         |SELECT e.event_type, e.pct, e.n_rows, s.n_sample,
+         |  round(e.exact_mu / 1000000.0, 6) + 0 AS exact_v,
+         |  round(s.est_mu / 1000000.0, 6) + 0 AS est_v,
+         |  round(abs(e.exact_mu - s.est_mu) / 1000000.0, 6) + 0 AS abs_err
+         |FROM ex e JOIN es s USING (event_type, pct)""".stripMargin
+    },
+    // same kernel swept over k ∈ {16, 64, 256}, collapsed to the
+    // error curve (the cms_error_curve discipline)
+    "quantile_error_curve" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'qsk:' || CAST(event_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH hv AS (SELECT event_type, event_id,
+         |        CAST(round(value * 1000000) AS BIGINT) AS v_mu, $h48 AS h
+         |      FROM events),
+         |p AS (SELECT CAST(unnest([25, 50, 75, 95]) AS BIGINT) AS pct),
+         |ks AS (SELECT CAST(unnest([16, 64, 256]) AS BIGINT) AS k),
+         |ex0 AS (SELECT event_type, v_mu,
+         |          row_number() OVER (PARTITION BY event_type
+         |            ORDER BY v_mu, event_id) AS rn,
+         |          count(*) OVER (PARTITION BY event_type) AS n_rows
+         |        FROM hv),
+         |ex AS (SELECT e.event_type, p.pct, e.v_mu AS exact_mu
+         |       FROM ex0 e JOIN p
+         |         ON e.rn = greatest(1, (e.n_rows * p.pct + 99) // 100)),
+         |sr AS (SELECT event_type, v_mu,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h, v_mu) AS rh
+         |       FROM (SELECT DISTINCT event_type, h, v_mu FROM hv)),
+         |s0 AS (SELECT ks.k, sr.event_type, sr.v_mu,
+         |         row_number() OVER (PARTITION BY ks.k, sr.event_type
+         |           ORDER BY sr.v_mu) AS rn,
+         |         count(*) OVER (PARTITION BY ks.k, sr.event_type) AS n_sample
+         |       FROM sr JOIN ks ON sr.rh <= ks.k),
+         |es AS (SELECT s.k, s.event_type, p.pct, s.v_mu AS est_mu
+         |       FROM s0 s JOIN p
+         |         ON s.rn = greatest(1, (s.n_sample * p.pct + 99) // 100))
+         |SELECT s.k, count(*) AS n_cells,
+         |  round(max(abs(e.exact_mu - s.est_mu)) / 1000000.0, 6) + 0 AS max_abs_err,
+         |  round(sum(abs(e.exact_mu - s.est_mu))
+         |        / (count(*) * 1000000.0), 6) + 0 AS avg_abs_err
+         |FROM ex e JOIN es s USING (event_type, pct)
+         |GROUP BY 1""".stripMargin
     },
     // per-cell stats over the same 2-round Lloyd codebook as ann_ivf:
     // nearest cell from `ranked` (rn = 1), member distance from `cd`,

@@ -85,4 +85,80 @@ object SketchAggregators {
     val fn = udaf(kmv(k), ExpressionEncoder[Long]())
     (c: Column) => fn(c)
   }
+
+  // ---- bottom-k (hash, value) pairs: the uniform-sample sketch ----
+
+  /** Lexicographic (h, v) compare over interleaved pairs:
+    * b(2i) = hash, b(2i+1) = value. */
+  private def pairLt(h1: Long, v1: Long, h2: Long, v2: Long): Boolean =
+    h1 < h2 || (h1 == h2 && v1 < v2)
+
+  /** Insert pair (h, v) into interleaved sorted-distinct `b`, keeping
+    * at most `k` smallest pairs by (h, v) order. Mirrors [[kmvInsert]]
+    * with a value payload riding each hash. */
+  private[graft] def pairInsert(b: Array[Long], h: Long, v: Long, k: Int): Array[Long] = {
+    val n = b.length / 2
+    // binary search over pair slots for the insertion point
+    var lo = 0; var hi = n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (pairLt(b(2 * mid), b(2 * mid + 1), h, v)) lo = mid + 1 else hi = mid
+    }
+    if (lo < n && b(2 * lo) == h && b(2 * lo + 1) == v) b // duplicate pair
+    else if (lo >= k) b // larger than the current k-th smallest
+    else {
+      val m = math.min(n + 1, k)
+      val out = new Array[Long](2 * m)
+      System.arraycopy(b, 0, out, 0, 2 * lo)
+      out(2 * lo) = h; out(2 * lo + 1) = v
+      System.arraycopy(b, 2 * lo, out, 2 * lo + 2, 2 * (m - lo - 1))
+      out
+    }
+  }
+
+  /** Merge two interleaved sorted-distinct pair arrays, keeping the k
+    * smallest pairs. */
+  private[graft] def pairMerge(x: Array[Long], y: Array[Long], k: Int): Array[Long] = {
+    if (y.isEmpty) return x
+    if (x.isEmpty) return y
+    val out = new Array[Long](math.min(x.length + y.length, 2 * k))
+    var i = 0; var j = 0; var n = 0
+    while (n < out.length && (i < x.length || j < y.length)) {
+      val takeX = j >= y.length ||
+        (i < x.length && !pairLt(y(j), y(j + 1), x(i), x(i + 1)))
+      val (h, v) = if (takeX) { val p = (x(i), x(i + 1)); i += 2; p }
+                   else { val p = (y(j), y(j + 1)); j += 2; p }
+      if (n == 0 || out(n - 2) != h || out(n - 1) != v) { out(n) = h; out(n + 1) = v; n += 2 }
+    }
+    if (n == out.length) out else java.util.Arrays.copyOf(out, n)
+  }
+
+  /** Bottom-k PAIR sketch: keep the k smallest distinct (hash, value)
+    * pairs in (h, v) lexicographic order, interleaved
+    * [h0,v0,h1,v1,…]. With a uniform hash over row identity this is a
+    * mergeable UNIFORM ROW SAMPLE of the group — the value payload
+    * turns the KMV distinct-counter into a quantile/statistics sketch
+    * (bottom-k sampling: Cohen & Kaplan, PODS'07). Same scale shape as
+    * [[kmv]]: ≤2k Longs per group through the shuffle regardless of
+    * input rows; merge is order-free because min-k of a set is
+    * order-free; ties on hash (48-bit collisions) stay deterministic
+    * because the VALUE breaks the order, not arrival order. */
+  def bottomKPairs(k: Int): Aggregator[(Long, Long), Array[Long], Array[Long]] = {
+    require(k >= 2, s"bottomKPairs needs k >= 2, got $k")
+    new Aggregator[(Long, Long), Array[Long], Array[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+      override def reduce(b: Array[Long], p: (Long, Long)): Array[Long] =
+        pairInsert(b, p._1, p._2, k)
+      override def merge(x: Array[Long], y: Array[Long]): Array[Long] = pairMerge(x, y, k)
+      override def finish(b: Array[Long]): Array[Long] = b
+      override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    }
+  }
+
+  /** Untyped form: `agg(bottomKPairsUdaf(128)(col("h"), col("v")))`. */
+  def bottomKPairsUdaf(k: Int): (Column, Column) => Column = {
+    val fn = udaf(bottomKPairs(k), ExpressionEncoder[(Long, Long)]())
+    (h: Column, v: Column) => fn(h, v)
+  }
 }

@@ -188,6 +188,104 @@ object SketchOps {
     * Estimator variance is ~1/√(k−2) ≈ 13% at k=64 — `rel_err` in the
     * output lets the oracle pin the achieved error, and the spec
     * asserts the theoretical bound on random inputs. */
+  /** Type-1 (no-interpolation) quantile rank: the 1-based index of the
+    * p-th percentile in an n-row sorted list, ceil(n·p/100) computed in
+    * exact integer arithmetic ((n·p + 99) div 100 — double mult stays
+    * below 2^53 up to n ≈ 9·10^13 rows even at p = 99). */
+  private def targetRank(n: Column, pct: Column): Column =
+    greatest(lit(1L), floor((n * pct + lit(99L)) / lit(100L)).cast("long"))
+
+  /** Exact type-1 percentiles per event type in value-micros:
+    * (event_type, pct, n_rows, exact_mu). The expensive ground-truth
+    * twin — it ranks EVERY row per type (same role as kmv_distinct's
+    * countDistinct side); a production pipeline keeps only the sketch.
+    * Ties on value break by event_id, so both engines rank
+    * identically. */
+  private def exactQuantiles(events: DataFrame, pcts: Seq[Int]): DataFrame = {
+    val vm = events.select(col("event_type"), col("event_id"),
+      round(col("value") * 1000000).cast("long").as("v_mu"))
+    vm
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("v_mu"), col("event_id"))).cast("long"))
+      .withColumn("n_rows", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("pct", explode(filter(
+        array(pcts.map(p => lit(p.toLong)): _*),
+        p => col("rn") === targetRank(col("n_rows"), p))))
+      .select(col("event_type"), col("pct"), col("n_rows"), col("v_mu").as("exact_mu"))
+  }
+
+  /** Sample percentiles from a bottom-k pair sketch:
+    * (event_type, pct, n_sample, est_mu). The sketch rows with the k
+    * smallest (hash, value) pairs are a uniform row sample (hash is
+    * over row identity), so the sample's type-1 percentile estimates
+    * the population's. Interleaved pairs [h0,v0,h1,v1,…]: values sit
+    * at odd 0-based slots. */
+  private def sampleQuantiles(events: DataFrame, k: Int, pcts: Seq[Int]): DataFrame = {
+    val h = events.select(col("event_type"),
+      PortableHash.hash48(concat(lit("qsk:"), col("event_id").cast("string"))).as("h"),
+      round(col("value") * 1000000).cast("long").as("v_mu"))
+    h.groupBy(col("event_type"))
+      .agg(graft.functions.SketchAggregators.bottomKPairsUdaf(k)(col("h"), col("v_mu")).as("sk"))
+      .withColumn("svals",
+        array_sort(expr("transform(sequence(1, size(sk) div 2), i -> sk[2*i - 1])")))
+      .withColumn("n_sample", (size(col("svals"))).cast("long"))
+      .withColumn("pct", explode(array(pcts.map(p => lit(p.toLong)): _*)))
+      .withColumn("est_mu",
+        element_at(col("svals"), targetRank(col("n_sample"), col("pct")).cast("int")))
+      .select(col("event_type"), col("pct"), col("n_sample"), col("est_mu"))
+  }
+
+  /** Mergeable SAMPLE-QUANTILE sketch, verified against exact
+    * percentiles — the third sketch in the family (CMS counts
+    * frequencies, KMV counts distincts, bottom-k pairs summarize a
+    * VALUE distribution): per event type and percentile, the type-1
+    * percentile of the k-row bottom-hash uniform sample next to the
+    * exact percentile of all rows, with the achieved absolute error.
+    * Every number derives from portable sha-hashes and fixed-point
+    * micros, so the whole stochastic procedure is bit-reproducible and
+    * the oracle pins estimates AND errors exactly (the `kmv_distinct`
+    * discipline applied to order statistics).
+    *
+    * Scale shape: the sketch side ships ≤2k Longs per (task × group)
+    * through the shuffle regardless of input rows (map-side combine on
+    * the Aggregator buffer); the exact side is the expensive
+    * ground-truth twin ranking every row. Sample error is the
+    * Dvoretzky–Kiefer–Wolfowitz envelope ~√(ln(2/δ)/2k) in rank space;
+    * the spec gates it, the output exposes it. */
+  def quantileSketch(events: DataFrame, k: Int = 128,
+                     pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
+    exactQuantiles(events, pcts)
+      .join(sampleQuantiles(events, k, pcts), Seq("event_type", "pct"))
+      .select(col("event_type"), col("pct"), col("n_rows"), col("n_sample"),
+        graft.functions.VectorMath.roundn(col("exact_mu") / 1e6, 6).as("exact_v"),
+        graft.functions.VectorMath.roundn(col("est_mu") / 1e6, 6).as("est_v"),
+        graft.functions.VectorMath.roundn(abs(col("exact_mu") - col("est_mu")) / 1e6, 6)
+          .as("abs_err"))
+
+  /** Quantile-sketch error-vs-k curve as a DECLARED receipt — the
+    * bottom-k twin of [[cmsErrorCurve]]: for each sample budget k,
+    * every (type, percentile) cell's absolute error against the exact
+    * percentile, collapsed to the curve (max and mean error per k).
+    * Monotone-shrinking error as k grows is the capacity trade made
+    * replayable; a broken merge or hash drift shows up as a hash
+    * mismatch on the error numbers themselves. */
+  def quantileErrorCurve(events: DataFrame, ks: Seq[Int] = Seq(16, 64, 256),
+                         pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    val exact = exactQuantiles(events, pcts).localCheckpoint(true)
+    ks.map { k =>
+      exact.join(sampleQuantiles(events, k, pcts), Seq("event_type", "pct"))
+        .select(col("event_type"), col("pct"),
+          abs(col("exact_mu") - col("est_mu")).as("err_mu"))
+        .agg(count(lit(1)).as("n_cells"),
+          graft.functions.VectorMath.roundn(max(col("err_mu")) / 1e6, 6).as("max_abs_err"),
+          graft.functions.VectorMath.roundn(sum(col("err_mu")) / (count(lit(1)) * 1e6), 6)
+            .as("avg_abs_err"))
+        .withColumn("k", lit(k.toLong))
+        .select(col("k"), col("n_cells"), col("max_abs_err"), col("avg_abs_err"))
+    }.reduce(_ unionByName _)
+  }
+
   def kmvDistinct(events: DataFrame, key: String = "user_id", k: Int = 64): DataFrame = {
     val H = 281474976710656L // 2^48, the PortableHash.hash48 range
     val h = events.select(col("event_type"), col(key),

@@ -461,6 +461,41 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("sample_rank"))
   }
 
+  /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    * (IPL 2006) one-pass reservoir form: each row draws an
+    * exponential race key e_i = −ln(u_i)/w_i from its deterministic
+    * uniform u_i (the portable 48-bit hash mapped into (0, 1]); the k
+    * smallest keys ARE a weight-proportional sample without
+    * replacement (the A-ES result: P(i first) = w_i/Σw, then
+    * recursively on the rest). Here weight = n_chars, the "sample
+    * long documents proportionally" curation step.
+    *
+    * Determinism: u derives from sha-256 of the doc_id (reproducible
+    * across runs/engines/partitionings — `df.sample` is none of
+    * those); the key is computed with the SAME formula on both
+    * engines (ln(2^48) − ln(h+1), divided by the weight) and rounded
+    * ONCE to integer micros, with doc_id breaking rounded ties — so
+    * selection and order are engine-exact.
+    *
+    * Scale shape: map-only key computation over the scan (reads 2
+    * columns), then top-k = orderBy.limit → TakeOrderedAndProject
+    * (each partition keeps its local k; no global sort). The rank
+    * window re-ranks only the k survivors. */
+  def weightedSample(docs: DataFrame, k: Int = 50): DataFrame = {
+    import graft.functions.PortableHash
+    val lnH = log(lit(281474976710656.0)) // ln 2^48, same fold both engines
+    val u = PortableHash.hash48(concat(lit("ws:"), col("doc_id").cast("string")))
+    val key = round(
+      (lnH - log(u.cast("double") + 1)) /
+        greatest(col("n_chars").cast("double"), lit(1.0)) * 1e6).cast("long")
+    docs
+      .select(col("doc_id"), col("n_chars"), key.as("key_micro"))
+      .orderBy(col("key_micro"), col("doc_id")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("key_micro"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("key_micro"))
+  }
+
   /** Temperature-style domain rebalancing — the data-MIXING step that
     * decides how much of each domain (here: language) enters the
     * training mix. [[stratifiedSample]] takes rates as GIVEN; this op
@@ -973,6 +1008,64 @@ object TextOps {
         roundn((col("sy").cast("double") / 1e6 -
           col("slope_raw") * col("sx").cast("double") / 1e6) / col("n_terms"), 6)
           .as("intercept"))
+  }
+
+  /** PMI word associations — the distributional-statistics pass
+    * (Church & Hanks, CL 1990) behind collocation mining, phrase
+    * vocabularies, and embedding sanity checks: count co-occurring
+    * token pairs within a ±`window` slide, then score each pair by
+    * pointwise mutual information ln(c_xy·S / (m_x·m_y)) where S is
+    * the total pair mass and m the pair-marginal of each token;
+    * report the strongest `topN` associations above a `minCount`
+    * support floor.
+    *
+    * Determinism: counts are exact integers; the single ln runs on an
+    * integer ratio whose parts stay below 2^53 (c_xy·S with both ≤
+    * ~10^10 needs care at extreme scale — document-capped token
+    * streams keep S ≈ window·tokens), rounded once to 6 decimals with
+    * (t1, t2) breaking rank ties — engine-exact.
+    *
+    * Scale shape: pair generation is MAP-ONLY (zip_with over the
+    * per-doc token array against its d-shifted self — no positional
+    * self-join, no window function); pairs then hit ONE shuffle (the
+    * (t1, t2)-keyed count with map-side partials). Marginals reduce
+    * the pair-count table (vocab-scale, far smaller than the pair
+    * stream) and broadcast back onto it; S is a 1-row scalar
+    * crossJoin. Top-N = TakeOrderedAndProject. */
+  def wordPmi(docs: DataFrame, window: Int = 2, minCount: Int = 3,
+              topN: Int = 100, maxTokens: Int = 512): DataFrame = {
+    val toks = expr(
+      s"filter(transform(slice(split(text, ' '), 1, $maxTokens), t -> trim(t)), t -> t <> '')")
+    val pairArr = (1 to window).map { d =>
+      zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0))),
+        (a, b) => struct(least(a, b).as("t1"), greatest(a, b).as("t2")))
+    }
+    val pairs = docs
+      .select(toks.as("toks"))
+      .select(explode(flatten(array(pairArr: _*))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+    val counts = pairs.groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_xy"))
+    val marginals = counts.select(col("t1").as("tok"), col("c_xy"))
+      .unionAll(counts.select(col("t2").as("tok"), col("c_xy")))
+      .groupBy(col("tok")).agg(sum(col("c_xy")).as("m"))
+    val total = counts.agg(sum(col("c_xy")).as("s_total"))
+    counts
+      .filter(col("c_xy") >= minCount)
+      .join(broadcast(marginals.withColumnRenamed("tok", "t1")
+        .withColumnRenamed("m", "m_x")), "t1")
+      .join(broadcast(marginals.withColumnRenamed("tok", "t2")
+        .withColumnRenamed("m", "m_y")), "t2")
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", roundn(
+        log((col("c_xy") * col("s_total")).cast("double") /
+          (col("m_x") * col("m_y")).cast("double")), 6))
+      .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("t1"), col("t2"))).cast("long"))
+      .select(col("rank"), col("t1"), col("t2"), col("c_xy"),
+        col("m_x"), col("m_y"), col("pmi"))
   }
 
   /** Out-of-vocabulary audit per source: with the vocabulary fixed to

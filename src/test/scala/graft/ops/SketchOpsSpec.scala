@@ -89,6 +89,66 @@ class SketchOpsSpec extends SparkSpec {
     assert(dup.toSeq === expect)
   }
 
+  import graft.functions.SketchAggregators.{pairInsert, pairMerge}
+
+  test("bottom-k pair buffer ops: sorted-distinct take-k pairs, any insert/merge order") {
+    val rnd = new scala.util.Random(11)
+    val pairs = Seq.fill(400)((rnd.nextLong().abs % 5000L, rnd.nextLong().abs % 100L))
+    val k = 12
+    val expect = pairs.distinct.sorted.take(k)
+    def ins(b: Array[Long], p: (Long, Long)) = pairInsert(b, p._1, p._2, k)
+    val seqBuf = pairs.foldLeft(Array.emptyLongArray)(ins)
+    assert(seqBuf.grouped(2).map(a => (a(0), a(1))).toSeq === expect)
+    // arbitrary split, merged — same k smallest pairs
+    val (a, b) = pairs.splitAt(251)
+    val m = pairMerge(
+      a.foldLeft(Array.emptyLongArray)(ins),
+      b.foldLeft(Array.emptyLongArray)(ins), k)
+    assert(m.grouped(2).map(x => (x(0), x(1))).toSeq === expect)
+    // hash ties break on VALUE, not arrival order
+    val t1 = ins(ins(Array.emptyLongArray, (7L, 9L)), (7L, 2L))
+    val t2 = ins(ins(Array.emptyLongArray, (7L, 2L)), (7L, 9L))
+    assert(t1.toSeq === Seq(7L, 2L, 7L, 9L) && t2.toSeq === t1.toSeq)
+    // duplicate pairs never inflate the sketch
+    assert(ins(seqBuf, expect.head).toSeq === seqBuf.toSeq)
+  }
+
+  private def valuedEvents(n: Int, seed: Int): org.apache.spark.sql.DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (1 to n).map(i => (i.toLong, 1L, i.toLong, "t", rnd.nextGaussian() * 10, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+  }
+
+  test("quantileSketch: under-filled sketch reproduces exact percentiles; filled sketch within DKW bound") {
+    // 60 rows < k=128 ⇒ the sample IS the population ⇒ zero error
+    val small = SketchOps.quantileSketch(valuedEvents(60, 3)).collect()
+    assert(small.length === 4)
+    assert(small.forall(_.getAs[Double]("abs_err") === 0.0))
+    assert(small.forall(r => r.getAs[Long]("n_sample") === 60L))
+    // 4000 rows, k=128: DKW rank error ε ≈ √(ln(2/δ)/2k) ≈ 0.17 at
+    // δ=0.01 — value error bounded via the quantile spacing; assert
+    // the observed rank-space error generously (4σ-ish)
+    val big = SketchOps.quantileSketch(valuedEvents(4000, 5)).collect()
+    assert(big.forall(r => r.getAs[Long]("n_sample") === 128L))
+    // N(0,10): p25↔p75 span ≈ 13.5; a 0.2-rank-error estimate stays
+    // within a few value units of exact
+    assert(big.forall(_.getAs[Double]("abs_err") < 6.0),
+      big.map(r => (r.getAs[Long]("pct"), r.getAs[Double]("abs_err"))).mkString(","))
+  }
+
+  test("quantileErrorCurve: error shrinks as the sample budget grows") {
+    val events = valuedEvents(4000, 7)
+    val r = SketchOps.quantileErrorCurve(events, ks = Seq(8, 64, 512)).collect()
+      .map(x => x.getAs[Long]("k") ->
+        ((x.getAs[Long]("n_cells"), x.getAs[Double]("avg_abs_err")))).toMap
+    assert(r.keySet === Set(8L, 64L, 512L))
+    assert(r.values.forall(_._1 == 4L)) // 1 type × 4 pcts at every k
+    // avg error must drop substantially from the 8-row sample to the
+    // 512-row sample (σ ∝ 1/√k — expect ~8× shrink, assert 2×)
+    assert(r(8L)._2 > 2 * r(512L)._2,
+      s"k=8 err ${r(8L)._2} should dominate k=512 err ${r(512L)._2}")
+  }
+
   test("kmv distinct: under-filled sketch is exact; filled sketch is within bound") {
     // 40 distinct users of type 'a' (< k=64 → exact); 3000 of type 'b'
     val rows =

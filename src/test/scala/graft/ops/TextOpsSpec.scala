@@ -373,6 +373,76 @@ class TextOpsSpec extends SparkSpec {
     assert(m.size === 3)
   }
 
+
+  test("weightedSample: matches a driver-side A-ES recomputation exactly") {
+    val docs = (1L to 300L).map(i => (i, "x" * (i % 7 + 1).toInt, 10L + (i % 90) * 37))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TextOps.weightedSample(docs, k = 25).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("key_micro")))
+    // brute-force twin: same hash, same formula, JVM doubles
+    val lnH = math.log(281474976710656.0)
+    def h48(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val hex = md.digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val brute = (1L to 300L).map { i =>
+      val w = math.max(10L + (i % 90) * 37, 1L).toDouble
+      val key = math.round((lnH - math.log(h48(s"ws:$i").toDouble + 1)) / w * 1e6)
+      (i, key)
+    }.sortBy(p => (p._2, p._1)).take(25).zipWithIndex
+      .map { case ((id, key), idx) => (idx + 1L, id, key) }
+    assert(got.toSeq === brute)
+  }
+
+  test("weightedSample: heavy-weight rows dominate the sample") {
+    // 500 light docs (w=20) vs 500 heavy docs (w=4000): heavy rows
+    // should win nearly every slot (w ratio 200:1)
+    val docs = ((1L to 500L).map(i => (i, "a", 20L)) ++
+      (501L to 1000L).map(i => (i, "b", 4000L))).toDF("doc_id", "text", "n_chars")
+    val picked = TextOps.weightedSample(docs, k = 60).collect().map(_.getAs[Long]("doc_id"))
+    val heavy = picked.count(_ > 500L)
+    assert(heavy >= 54, s"expected heavy docs to dominate, got $heavy/60")
+    // the sample is ranked by race key, ranks are 1..k dense
+    assert(picked.length === 60)
+  }
+
+  test("wordPmi: associated pair outranks frequent-but-independent pairs; window and support respected") {
+    // "alpha beta" always co-occur adjacently; "x"/"y" are frequent but
+    // appear in separate docs (never co-occur); "far gap gap gap end":
+    // far/end sit 4 apart — outside the ±2 window
+    val docs = (
+      (1L to 20L).map(i => (i, "alpha beta filler" + i)) ++
+      (21L to 40L).map(i => (i, s"x x x pad$i")) ++
+      (41L to 60L).map(i => (i, s"y y y pad$i")) ++
+      Seq((61L, "far gap gap gap end"))
+    ).toDF("doc_id", "text")
+    val r = TextOps.wordPmi(docs, window = 2, minCount = 3, topN = 50).collect()
+    val pairs = r.map(x => (x.getAs[String]("t1"), x.getAs[String]("t2"))).toSet
+    val pmiOf = r.map(x => ((x.getAs[String]("t1"), x.getAs[String]("t2")),
+      x.getAs[Double]("pmi"))).toMap
+    assert(pairs.contains(("alpha", "beta")))
+    assert(!pairs.contains(("end", "far")), "pair 4 apart must be outside the ±2 window")
+    // (x,x) co-occurs often but x is frequent everywhere → lower PMI
+    // than the perfectly-associated (alpha,beta)
+    assert(pmiOf(("alpha", "beta")) > pmiOf(("x", "x")))
+    // ranks dense from 1
+    assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
+  }
+
+  test("wordPmi: marginals are the pair-mass sums and S is their total") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    // pairs d=1: (a,b)x5 ; d=2: (a,a)x2, (b,b)x2 → S=9
+    val r = TextOps.wordPmi(docs, window = 2, minCount = 1, topN = 10).collect()
+      .map(x => ((x.getAs[String]("t1"), x.getAs[String]("t2")),
+        (x.getAs[Long]("c_xy"), x.getAs[Long]("m_x"), x.getAs[Long]("m_y")))).toMap
+    assert(r(("a", "b"))._1 === 5L)
+    assert(r(("a", "a"))._1 === 2L)
+    assert(r(("b", "b"))._1 === 2L)
+    // m(a) = 5 (from ab) + 2·2 (from aa twice, both sides) = 9
+    assert(r(("a", "b"))._2 === 9L && r(("a", "b"))._3 === 9L)
+  }
+
   test("zipfFit: a perfect 1/rank law fits slope -1, intercept ln(max)") {
     // frequencies 12, 6, 4, 3 = 12/rank: ln n = ln 12 - 1 * ln rank
     val words =
