@@ -478,6 +478,10 @@ object SparkEntry {
     // (doc_id, seq+i) — token ADJACENCY, not bag-of-words
     "phrase_search" -> ((s, dir) =>
       SearchOps.phraseSearch(Tables.documents(s, dir), "stream table hash", k = 10)),
+    // NEAR/5 proximity retrieval: both terms within 5 positions,
+    // scored by qualifying pair count, tightest gap breaks ties
+    "proximity_search" -> ((s, dir) =>
+      SearchOps.proximitySearch(Tables.documents(s, dir), "stream", "hash")),
     // damped power method over the verified near-dup graph — ranks
     // the template among its copies (3 unrolled rounds, 6dp-rounded
     // per round so the oracle replays them exactly)
@@ -669,6 +673,9 @@ object SparkEntry {
     // robust (median/MAD) outlier census — the 50%-breakdown sibling
     // of the z-score screen
     "events_mad" -> ((s, dir) => RelationalOps.madOutliers(Tables.events(s, dir))),
+    // deseasonalized robust screen: hour-of-day baseline broadcast
+    // back, median/MAD gate on the residuals
+    "events_anomaly" -> ((s, dir) => RelationalOps.seasonalAnomalies(Tables.events(s, dir))),
     // equi-width distribution histogram: broadcast bounds, map-side
     // binning, bounded (type, bin) agg
     "events_histogram" -> ((s, dir) => RelationalOps.valueHistogram(Tables.events(s, dir))),
@@ -2119,6 +2126,25 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY m.n_matches DESC, m.doc_id) AS rank
          |  FROM m JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // NEAR/5: postings band-join per doc on |Δseq| ≤ 5, self-pairs
+    // excluded; same positional index CTE as phrase_search
+    "proximity_search" ->
+      s"""WITH $duckToks,
+         |seqd AS (SELECT doc_id, tok,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS seq
+         |  FROM toks),
+         |pr AS (SELECT a.doc_id, abs(a.seq - b.seq) AS gap
+         |       FROM seqd a
+         |       JOIN seqd b ON b.doc_id = a.doc_id
+         |        AND abs(a.seq - b.seq) <= 5 AND a.seq <> b.seq
+         |       WHERE a.tok = 'stream' AND b.tok = 'hash'),
+         |m AS (SELECT doc_id, count(*) AS n_pairs, min(gap) AS min_gap
+         |      FROM pr GROUP BY 1)
+         |SELECT rank, doc_id, source, n_pairs, min_gap FROM (
+         |  SELECT m.doc_id, m.n_pairs, m.min_gap, d.source,
+         |    row_number() OVER (ORDER BY m.n_pairs DESC, m.min_gap, m.doc_id) AS rank
+         |  FROM m JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
     // prefix = first n - ceil(0.5·n) + 1 shingles in (df, shingle)
     // order; pair join on prefixes, then the shared Jaccard-verify
     // CTE chain at the same threshold
@@ -3257,6 +3283,30 @@ object SparkEntry {
         |SELECT d.event_type, max(d.med) AS med, max(t.mad) AS mad,
         |  CAST(sum(CASE WHEN d.adev > t.threshold THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_outliers,
+        |  count(*) AS n_total
+        |FROM d JOIN t USING (event_type) GROUP BY 1""".stripMargin,
+    // residuals vs the ROUNDED (type, hour) baseline, then the
+    // events_mad CTE chain on those residuals
+    "events_anomaly" ->
+      """WITH b AS (SELECT event_type,
+        |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day,
+        |         round(avg(value), 6) + 0 AS baseline
+        |       FROM events GROUP BY 1, 2),
+        |r AS (SELECT e.event_type, e.value - b.baseline AS resid
+        |      FROM events e JOIN b
+        |        ON b.event_type = e.event_type
+        |       AND b.hour_of_day = (epoch_ns(e.ts) // 3600000000000) % 24),
+        |m AS (SELECT event_type, round(quantile_cont(resid, 0.5), 6) + 0 AS med_resid
+        |      FROM r GROUP BY 1),
+        |d AS (SELECT r.event_type, m.med_resid, abs(r.resid - m.med_resid) AS adev
+        |      FROM r JOIN m USING (event_type)),
+        |md AS (SELECT event_type, round(quantile_cont(adev, 0.5), 6) + 0 AS mad
+        |       FROM d GROUP BY 1),
+        |t AS (SELECT event_type, mad,
+        |        round(3.0 * 1.4826 * mad, 6) + 0 AS threshold FROM md)
+        |SELECT d.event_type, max(d.med_resid) AS med_resid, max(t.mad) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
         |  count(*) AS n_total
         |FROM d JOIN t USING (event_type) GROUP BY 1""".stripMargin,
     "pricing_correlation" ->

@@ -430,6 +430,49 @@ object RelationalOps {
         count(lit(1)).as("n_total"))
   }
 
+  /** SEASONAL anomaly screen — [[madOutliers]] composed with the
+    * [[eventsSeasonality]] baseline: residuals against each (type,
+    * hour-of-day) mean, then the robust median/MAD gate on the
+    * residuals. A diurnal stream makes a global screen blind (a
+    * normal midnight value IS anomalous at the noon peak and vice
+    * versa); subtracting the cycle baseline first is the standard
+    * deseasonalize-then-screen decomposition.
+    *
+    * Determinism: the baseline is rounded ONCE per (type, hour) cell,
+    * so residuals are derived from identical doubles on both engines;
+    * the two residual percentiles follow [[madOutliers]]'s
+    * round-once-then-compare discipline (no grid-then-divide).
+    *
+    * Scale shape: the baseline is a |types|·24-cell agg with map-side
+    * partials, BROADCAST back onto the stream (map-side residuals, no
+    * fact re-shuffle); the med/MAD aggs key on |types| (exact
+    * percentile here; approx_percentile at 100 TB); the final census
+    * is one bounded agg. */
+  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val base = events.select(col("event_type"),
+      (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
+    val prof = base.groupBy(col("event_type"), col("hour_of_day"))
+      .agg(roundn(avg(col("value")), 6).as("baseline"))
+    val resid = base
+      .join(broadcast(prof), Seq("event_type", "hour_of_day"))
+      .withColumn("resid", col("value") - col("baseline"))
+    val med = resid.groupBy(col("event_type"))
+      .agg(roundn(expr("percentile(resid, 0.5)"), 6).as("med_resid"))
+    val dev = resid.join(broadcast(med), "event_type")
+      .withColumn("adev", abs(col("resid") - col("med_resid")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(first(col("med_resid")).as("med_resid"),
+        roundn(expr("percentile(adev, 0.5)"), 6).as("mad"))
+      .withColumn("threshold", roundn(lit(k) * lit(1.4826) * col("mad"), 6))
+    dev.select(col("event_type"), col("adev"))
+      .join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("med_resid")).as("med_resid"), first(col("mad")).as("mad"),
+        sum(when(col("adev") > col("threshold"), 1L).otherwise(0L)).as("n_anomalies"),
+        count(lit(1)).as("n_total"))
+  }
+
   /** Anomaly gate: events whose value sits more than `z` sample
     * standard deviations from their type's mean — the data-quality
     * screen a pipeline runs before aggregating telemetry. The per-type

@@ -139,6 +139,41 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("n_matches"))
   }
 
+  /** Proximity (NEAR/k) search — the retrieval operator between
+    * [[searchBm25]]'s bag-of-words and [[phraseSearch]]'s exact
+    * adjacency: rank documents where BOTH terms occur within
+    * `maxGap` token positions, scored by qualifying position-pair
+    * count with the tightest observed gap as the tie-break (closer
+    * co-mention = stronger signal — the classic proximity-scoring
+    * heuristic).
+    *
+    * Scale shape: same positional index as [[phraseSearch]] (per-doc
+    * rank window — index-build cost, amortized where the postings
+    * table is materialized once); each join side is FILTERED to one
+    * term's postings first, so the band-join on (doc_id, |Δseq| ≤
+    * maxGap) moves only those two postings lists. Per-doc pair
+    * enumeration is |A_d|·|B_d| — per-document term frequencies, not
+    * corpus-scale. Top-k = orderBy.limit → TakeOrderedAndProject. */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+                      maxGap: Long = 5, k: Int = 10): DataFrame = {
+    val seqW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val postings = EmbedOps.tokenize(docs)
+      .withColumn("seq", row_number().over(seqW).cast("long"))
+      .select(col("doc_id"), col("seq"), col("tok"))
+    val a = postings.filter(col("tok") === termA).select(col("doc_id"), col("seq").as("sa"))
+    val b = postings.filter(col("tok") === termB).select(col("doc_id"), col("seq").as("sb"))
+    val scored = a.join(b, "doc_id")
+      .filter(abs(col("sa") - col("sb")) <= maxGap && col("sa") =!= col("sb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), min(abs(col("sa") - col("sb"))).as("min_gap"))
+    scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("n_pairs").desc, col("min_gap"), col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_pairs").desc, col("min_gap"), col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_pairs"), col("min_gap"))
+  }
+
   /** Token-budget context packing — the retrieval→prompt step of the
     * reference's proposal flow (SURVEY §3.3 assembles retrieved
     * keywords into a prompt; an LLM context has a hard token budget):

@@ -312,6 +312,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_total") === 10L)
   }
 
+  test("seasonalAnomalies: diurnal swing is normal after deseasonalizing; the off-baseline spike is flagged") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // hour 0 runs at value 10, hour 12 at value 100 (a strong diurnal
+    // cycle a GLOBAL screen would misread); one hour-0 event at 90 is
+    // the true anomaly
+    val rows = (0 until 20).map(i => (i.toLong, 1L, i * 24 * h, "a", 10.0, "{}")) ++
+      (0 until 20).map(i => (100L + i, 1L, i * 24 * h + 12 * h, "a", 100.0, "{}")) :+
+      (999L, 1L, 20L * 24 * h, "a", 90.0, "{}")
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.seasonalAnomalies(ev).collect()(0)
+    // baselines: hour 0 → (20·10 + 90)/21, hour 12 → 100; every
+    // in-cycle row has residual ≈ const, MAD 0 → only the spike's
+    // residual exceeds the threshold
+    assert(r.getAs[Long]("n_total") === 41L)
+    assert(r.getAs[Long]("n_anomalies") === 1L,
+      s"expected exactly the planted spike, got ${r.getAs[Long]("n_anomalies")}")
+    // the same stream through the UNseasonal screen flags the entire
+    // noon half (or none) — never exactly the planted row
+    val g = RelationalOps.madOutliers(ev).collect()(0)
+    assert(g.getAs[Long]("n_outliers") !== 1L)
+  }
+
   test("cohortRetention: first-active-day cohorts with per-offset rates") {
     val day = 86400L * 1000 * 1000 * 1000
     // u1: days 0,1,2; u2: day 0 only; u3: days 1,2 (cohort day 1);

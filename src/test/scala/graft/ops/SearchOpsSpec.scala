@@ -65,6 +65,23 @@ class SearchOpsSpec extends SparkSpec {
       === Seq((0L, 2L)))
   }
 
+
+  test("proximitySearch: within-gap pairs only, pair count ranks, min gap breaks ties") {
+    val d = Seq(
+      (1L, "alpha x beta", "en", "s", 12L),                    // 1 pair, gap 2
+      (2L, "alpha x x x x x x beta", "en", "s", 22L),          // gap 7 > 5: absent
+      (3L, "alpha beta alpha", "en", "s", 16L),                // 2 pairs, min gap 1
+      (4L, "beta z alpha", "en", "s", 12L)                     // order-free: 1 pair, gap 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.proximitySearch(d, "alpha", "beta", maxGap = 5, k = 10).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") ->
+      ((x.getAs[Long]("rank"), x.getAs[Long]("n_pairs"), x.getAs[Long]("min_gap")))).toMap
+    assert(!byDoc.contains(2L), "7-apart pair must not qualify at maxGap=5")
+    assert(byDoc(3L) === ((1L, 2L, 1L)))
+    // docs 1 and 4 tie on (n_pairs=1, min_gap=2) -> doc_id breaks
+    assert(byDoc(1L) === ((2L, 1L, 2L)))
+    assert(byDoc(4L) === ((3L, 1L, 2L)))
+  }
   test("searchBm25: idf favors rarer terms at equal tf") {
     // 'spark' (df 2) vs 'engine' (df 2)… make 'engine' common: df 2 vs 3
     val d = Seq(
