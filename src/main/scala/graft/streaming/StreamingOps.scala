@@ -312,6 +312,58 @@ object StreamingOps {
       .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input row for [[quantileSketchStream]]: a group key, a uniform
+    * row-identity hash, and the value in fixed-point micros. */
+  case class KeyedHashValue(group: String, h: Long, v_mu: Long)
+
+  /** Output row: current sample percentiles (micros) per group. */
+  case class QuantileEstimate(group: String, n_sample: Int,
+                              p50_est_mu: Long, p95_est_mu: Long)
+
+  /** Streaming sample-quantile sketch — the transformWithState twin
+    * of the batch `quantile_sketch` query, sharing the EXACT pair
+    * insert kernel ([[graft.functions.SketchAggregators.pairInsert]]):
+    * the bottom-k (hash, value) pair set is a mergeable summary, so a
+    * stream that has seen rows {r₁…rₙ} holds bit-identical state to
+    * the batch aggregation buffer over the same rows — parity by
+    * construction, spec-pinned (same contract as [[KmvProcessor]]).
+    *
+    * State per key is one interleaved ≤2k-element Long array (16k
+    * bytes, bounded forever — no TTL needed, a min-k set cannot
+    * grow); each micro-batch folds its rows in and emits refreshed
+    * type-1 sample percentiles in Update mode. */
+  class QuantileProcessor(k: Int)
+      extends StatefulProcessor[String, KeyedHashValue, QuantileEstimate] {
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Long]]("qsk",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedHashValue],
+                                 tv: TimerValues): Iterator[QuantileEstimate] = {
+      var buf = if (sk.exists()) sk.get() else Array.emptyLongArray
+      rows.foreach(r =>
+        buf = graft.functions.SketchAggregators.pairInsert(buf, r.h, r.v_mu, k))
+      sk.update(buf)
+      val vals = Array.tabulate(buf.length / 2)(i => buf(2 * i + 1)).sorted
+      // type-1 rank: same integer (n·p + 99) / 100 as the batch query
+      def pick(p: Int): Long =
+        if (vals.isEmpty) 0L
+        else vals(math.max(1, (vals.length * p + 99) / 100) - 1)
+      Iterator.single(QuantileEstimate(key, vals.length, pick(50), pick(95)))
+    }
+  }
+
+  /** Declared entry point: per-group running sample percentiles over
+    * a stream of (hash, value-micros) rows. */
+  def quantileSketchStream(rows: Dataset[KeyedHashValue], k: Int = 128)
+      : Dataset[QuantileEstimate] = {
+    import rows.sparkSession.implicits._
+    rows
+      .groupByKey(_.group)
+      .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Input doc for [[lshDedupStream]]. */
   case class StreamDoc(doc_id: Long, text: String)
 

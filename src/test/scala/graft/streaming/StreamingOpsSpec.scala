@@ -192,6 +192,42 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileSketchStream: streaming state equals the batch pair fold over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{KeyedHashValue, QuantileEstimate}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[KeyedHashValue]
+    val q = StreamingOps.quantileSketchStream(input.toDS(), k = 16)
+      .writeStream.format("memory").queryName("qsk_out")
+      .outputMode("update").start()
+    val rnd = new scala.util.Random(29)
+    val all = Seq.fill(120)((rnd.nextLong().abs % 1000000L, rnd.nextLong().abs % 5000L))
+    val (b1, b2) = all.splitAt(47)
+    try {
+      input.addData(b1.map { case (h, v) => KeyedHashValue("g", h, v) }: _*)
+      q.processAllAvailable()
+      input.addData(b2.map { case (h, v) => KeyedHashValue("g", h, v) }: _*)
+      q.processAllAvailable()
+      val last = spark.table("qsk_out").as[QuantileEstimate].collect().last
+      // batch twin: fold ALL rows through the same kernel
+      val buf = all.foldLeft(Array.emptyLongArray) { case (b, (h, v)) =>
+        graft.functions.SketchAggregators.pairInsert(b, h, v, 16)
+      }
+      val vals = Array.tabulate(buf.length / 2)(i => buf(2 * i + 1)).sorted
+      assert(last.n_sample === 16)
+      assert(last.p50_est_mu === vals((16 * 50 + 99) / 100 - 1))
+      assert(last.p95_est_mu === vals((16 * 95 + 99) / 100 - 1))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("lshDedupStream: a near-dup arriving in a LATER batch is caught; unrelated is not") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{NearDupHit, StreamDoc}
