@@ -152,6 +152,12 @@ object SparkEntry {
       // decides; 48 candidate rows/query is still microscopic
       VectorOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, rerankFactor = 16)
     }),
+    // JL projection: deterministic ±1 hyperplanes as a literal matrix
+    // folded into map-only expressions; long-format coords
+    "rp_project" -> ((s, dir) => VectorOps.randomProject(Tables.embeddings(s, dir))),
+    // SRP-LSH (Charikar hyperplane bits, MinHash-style banding) — the
+    // third ANN method: sign-bit buckets prune, exact cosine reranks
+    "ann_srp" -> ((s, dir) => VectorOps.srpTopK(Tables.embeddings(s, dir))),
     // the composed funnel (IVFADC shape): sqrt(N) cells prune rows,
     // int8 codes prune bytes, floats only for the final rerank —
     // same derived probe budget as ann_ivf
@@ -712,6 +718,26 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(CASE WHEN ${duckNorm(a)} * ${duckNorm(b)} = 0 THEN 0.0 " +
       s"ELSE ${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) END)"
+
+  /** DuckDB twin of VectorOps.randomProject: per-output-dim sign
+    * lists from the srp hash parity, then the SAME sequential
+    * list_sum fold over embedding×sign the Spark zip_with/aggregate
+    * expression runs — `pr (vec_id, out_dim, proj)`. */
+  private def duckSrp(outDim: Int) = {
+    // ii/jj, NOT i/j: the duckdbHash24 fragment's own list_transform
+    // binds a lambda variable `i` that would SHADOW an outer column i
+    val h = graft.functions.PortableHash.duckdbHash24(
+      "'srp:' || CAST(ii AS VARCHAR) || ':' || CAST(jj AS VARCHAR)")
+    s"""sj AS (SELECT jj AS j, list(CASE WHEN $h % 2 = 0 THEN 1.0 ELSE -1.0 END
+       |          ORDER BY ii) AS slist
+       |      FROM (SELECT unnest(range(0, 64)) AS ii),
+       |           (SELECT unnest(range(0, $outDim)) AS jj)
+       |      GROUP BY jj),
+       |pr AS (SELECT e.vec_id, s.j AS out_dim,
+       |         round(list_sum(list_transform(range(1, len(e.embedding)+1),
+       |           i -> CAST(e.embedding[i] AS DOUBLE) * s.slist[i])), 6) + 0 AS proj
+       |       FROM embeddings e, sj s)""".stripMargin
+  }
 
   /** DuckDB twin of one pqTopK assignment round: distance of every
     * (vector, subspace) to every code of `centCte`, argmin with code
@@ -2973,6 +2999,32 @@ object SparkEntry {
          |       JOIN embeddings q ON q.vec_id = cand.query_id)
          |SELECT query_id, rank, vec_id, qdist, cos_sim FROM (
          |  SELECT query_id, vec_id, qdist, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr) WHERE rank <= 3""".stripMargin,
+    // JL projection: the shared duckSrp CTE chain IS the query
+    "rp_project" ->
+      s"""WITH ${duckSrp(16)}
+         |SELECT vec_id, out_dim, proj FROM pr""".stripMargin,
+    // SRP-LSH: sign bits of the shared projections, 4-bit banding,
+    // bucket equi-join candidates, exact-cosine rerank top-3
+    "ann_srp" ->
+      s"""WITH ${duckSrp(32)},
+         |sig AS (SELECT vec_id, out_dim // 4 AS band,
+         |          CAST(sum(CASE WHEN proj > 0
+         |            THEN 1 << CAST(out_dim % 4 AS INTEGER) ELSE 0 END) AS BIGINT)
+         |            AS band_sig
+         |        FROM pr GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, s.vec_id
+         |         FROM sig q JOIN sig s USING (band, band_sig)
+         |         WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id),
+         |rr AS (SELECT cand.query_id, cand.vec_id,
+         |         round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |       FROM cand
+         |       JOIN embeddings c ON c.vec_id = cand.vec_id
+         |       JOIN embeddings q ON q.vec_id = cand.query_id)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
          |  FROM rr) WHERE rank <= 3""".stripMargin,

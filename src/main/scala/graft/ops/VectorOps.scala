@@ -779,4 +779,79 @@ object VectorOps {
       .select(col("method"), col("param"), col("n_returned"), col("n_hits"),
         col("n_exact"), col("recall"))
   }
+
+  /** Deterministic ±1 sign matrix for signed random projection:
+    * signs(i)(j) from the parity of the portable 24-bit hash of
+    * "srp:i:j" — the JVM twin of the hash the oracle recomputes in
+    * SQL (PortableHashSpec pins JVM ≡ Column ≡ SQL). */
+  private[graft] def srpSigns(inDim: Int, outDim: Int): Array[Array[Double]] =
+    Array.tabulate(inDim, outDim)((i, j) =>
+      if (graft.functions.PortableHash.hash24Jvm(s"srp:$i:$j") % 2 == 0) 1.0 else -1.0)
+
+  /** Signed random projection (Achlioptas '03 / JL lemma): project
+    * each embedding onto `outDim` deterministic ±1 hyperplanes —
+    * dimensionality reduction whose pairwise distances concentrate
+    * around the originals (the spec gates the distortion), and whose
+    * SIGN BITS are the cosine-LSH signature [[srpTopK]] buckets on
+    * (Charikar STOC'02: P[sign match] = 1 − θ/π).
+    *
+    * Scale shape: MAP-ONLY — the sign matrix is a compile-time
+    * literal folded into the projection expressions (no join, no
+    * broadcast, no shuffle); each output coordinate is a sequential
+    * zip_with fold the oracle replays in the same order (list_sum
+    * over the per-j sign list), rounded once. Long-format output
+    * keeps the oracle comparison scalar-typed. */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16, inDim: Int = 64): DataFrame = {
+    val signs = srpSigns(inDim, outDim)
+    val e = asDouble(col("embedding"))
+    val projs = (0 until outDim).map { j =>
+      val signArr = array(signs.map(row => lit(row(j))).toIndexedSeq: _*)
+      struct(lit(j.toLong).as("out_dim"),
+        roundn(aggregate(zip_with(e, signArr, (x, s) => x * s),
+          lit(0.0), (acc, x) => acc + x), 6).as("proj"))
+    }
+    embeddings
+      .select(col("vec_id"), explode(array(projs: _*)).as("p"))
+      .select(col("vec_id"), col("p.out_dim"), col("p.proj"))
+  }
+
+  /** SRP-LSH approximate top-k — the third ANN indexing method next
+    * to IVF (cell pruning) and PQ (byte pruning): bucket vectors by
+    * the sign bits of their [[randomProject]] coordinates, banded
+    * `bandBits` bits at a time (any shared band ⇒ candidate — the
+    * MinHash banding construction applied to Charikar hyperplane
+    * bits), then exact-cosine rerank of the candidates only.
+    *
+    * Scale shape: signatures are map-only (the projection is a
+    * literal-matrix fold); candidates come from an EQUI-JOIN on
+    * (band, band_sig) — bounded buckets under uniform hashes;
+    * reranking touches floats only for candidate pairs; per-query
+    * top-k is a window over candidates. The probability knob is
+    * bands×bits: more bands → recall, longer bands → precision. */
+  def srpTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+              outDim: Int = 32, bandBits: Int = 4): DataFrame = {
+    val sig = randomProject(embeddings, outDim)
+      .withColumn("bit", (col("proj") > 0).cast("long"))
+      .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
+        .as("band_sig"))
+    val q = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
+    val cand = q.join(sig, Seq("band", "band_sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val c = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val qe = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
 }

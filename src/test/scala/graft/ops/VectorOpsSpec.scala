@@ -169,6 +169,37 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("randomProject: JL distance concentration at 1/sqrt(outDim) scaling; signs deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vecs = (0 until 40).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextGaussian().toFloat), i.toLong % 5))
+    val emb = vecs.toDF("vec_id", "embedding", "label")
+    val proj = VectorOps.randomProject(emb, outDim = 16).collect()
+      .groupBy(_.getAs[Long]("vec_id"))
+      .map { case (id, rows) =>
+        id -> rows.sortBy(_.getAs[Long]("out_dim")).map(_.getAs[Double]("proj"))
+      }
+    val orig = vecs.map { case (id, e, _) => id -> e.map(_.toDouble) }.toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||Pa−Pb||²] = outDim·||a−b||² for ±1 hyperplanes: the scaled
+    // squared-distance ratio concentrates around 1 (χ²₁₆/16 shape)
+    val ratios = for {
+      i <- 0L until 40L; j <- (i + 1) until 40L
+    } yield d2(proj(i), proj(j)) / (16.0 * d2(orig(i), orig(j)))
+    val sorted = ratios.sorted
+    val median = sorted(sorted.size / 2)
+    assert(median > 0.7 && median < 1.35, s"median distortion ratio $median")
+    val within = ratios.count(r => r > 0.25 && r < 2.5)
+    assert(within >= ratios.size * 95 / 100,
+      s"only $within/${ratios.size} pairs inside the loose JL envelope")
+    // the sign matrix is pure hash parity — rebuild equals itself
+    val s1 = VectorOps.srpSigns(64, 16)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    assert(s1.map(_.toSeq).toSeq === VectorOps.srpSigns(64, 16).map(_.toSeq).toSeq)
+  }
+
   test("centroid localize budget: over-limit k·d fails loudly with the broadcast math") {
     VectorOps.requireCentroidBudget(5L, limit = 5L) // at the limit: fine
     val ex = intercept[IllegalArgumentException] {
