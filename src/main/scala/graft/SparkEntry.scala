@@ -580,6 +580,7 @@ object SparkEntry {
     "ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annRecallCurve(emb, emb.filter(col("vec_id") < 10), k = 3)
+        .unionByName(VectorOps.srpRecallCurve(emb, k = 3))
     }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle
@@ -2506,9 +2507,9 @@ object SparkEntry {
       s"""WITH $duckSqrtCells,
          |params AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS p),
          |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 1),
-         |pb AS (SELECT pr.p, r.vec_id AS query_id, r.c_label
-         |       FROM ranked r CROSS JOIN params pr
-         |       WHERE r.vec_id < 10 AND r.rn <= pr.p),
+         |pb AS (SELECT pa.p, r.vec_id AS query_id, r.c_label
+         |       FROM ranked r CROSS JOIN params pa
+         |       WHERE r.vec_id < 10 AND r.rn <= pa.p),
          |cand AS (SELECT DISTINCT pb.p, pb.query_id, a.vec_id
          |         FROM pb JOIN assigned a USING (c_label)
          |         WHERE a.vec_id <> pb.query_id),
@@ -2531,7 +2532,29 @@ object SparkEntry {
          |            ORDER BY cos_sim DESC, vec_id) AS rank
          |        FROM exq),
          |ex AS (SELECT query_id, vec_id FROM exr WHERE rank <= 3),
-         |nex AS (SELECT count(*) AS n_exact FROM ex)
+         |nex AS (SELECT count(*) AS n_exact FROM ex),
+         |${duckSrp(32)},
+         |sig AS (SELECT vec_id, out_dim // 4 AS band,
+         |          CAST(sum(CASE WHEN proj > 0
+         |            THEN 1 << CAST(out_dim % 4 AS INTEGER) ELSE 0 END) AS BIGINT)
+         |            AS band_sig
+         |        FROM pr GROUP BY 1, 2),
+         |sbp AS (SELECT CAST(unnest([2, 4, 8]) AS BIGINT) AS b),
+         |spairs AS (SELECT q.vec_id AS query_id, s.vec_id,
+         |             min(q.band) AS first_band
+         |           FROM sig q JOIN sig s USING (band, band_sig)
+         |           WHERE q.vec_id < 10 AND s.vec_id <> q.vec_id
+         |           GROUP BY 1, 2),
+         |sscored AS (SELECT sp.query_id, sp.vec_id, sp.first_band,
+         |    round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM spairs sp
+         |  JOIN embeddings e ON e.vec_id = sp.vec_id
+         |  JOIN embeddings q ON q.vec_id = sp.query_id),
+         |srr AS (SELECT sbp.b, ss.query_id, ss.vec_id,
+         |          row_number() OVER (PARTITION BY sbp.b, ss.query_id
+         |            ORDER BY ss.cos_sim DESC, ss.vec_id) AS rank
+         |        FROM sscored ss JOIN sbp ON ss.first_band < sbp.b),
+         |srp AS (SELECT b, query_id, vec_id FROM srr WHERE rank <= 3)
          |SELECT 'ivf' AS method, i.p AS param,
          |  count(*) AS n_returned,
          |  CAST(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2542,7 +2565,19 @@ object SparkEntry {
          |FROM ivf i
          |LEFT JOIN ex e2 ON e2.query_id = i.query_id AND e2.vec_id = i.vec_id
          |CROSS JOIN nex
-         |GROUP BY i.p, nex.n_exact""".stripMargin,
+         |GROUP BY i.p, nex.n_exact
+         |UNION ALL
+         |SELECT 'srp' AS method, s2.b AS param,
+         |  count(*) AS n_returned,
+         |  CAST(sum(CASE WHEN e3.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  nex.n_exact,
+         |  round(sum(CASE WHEN e3.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / nex.n_exact, 6) + 0 AS recall
+         |FROM srp s2
+         |LEFT JOIN ex e3 ON e3.query_id = s2.query_id AND e3.vec_id = s2.vec_id
+         |CROSS JOIN nex
+         |GROUP BY s2.b, nex.n_exact""".stripMargin,
     // one CTE per pipeline stage, mirroring CorpusOps.ingestPipeline
     "ingest_pipeline" ->
       s"""WITH flt AS (

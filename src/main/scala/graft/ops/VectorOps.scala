@@ -769,6 +769,13 @@ object VectorOps {
         .withColumn("method", lit("ivf"))
         .withColumn("param", lit(p.toLong))
     }.reduce(_ unionByName _)
+    recallAgg(curve, exact, nExact)
+  }
+
+  /** Shared receipt tail: hit-join a (method, param, query_id,
+    * vec_id) curve against the exact ground truth and collapse to
+    * one recall row per (method, param). */
+  private def recallAgg(curve: DataFrame, exact: DataFrame, nExact: DataFrame): DataFrame =
     curve
       .join(exact.withColumn("hit", lit(1)), Seq("query_id", "vec_id"), "left")
       .groupBy(col("method"), col("param"))
@@ -778,6 +785,52 @@ object VectorOps {
       .withColumn("recall", roundn(col("n_hits") / col("n_exact").cast("double"), 6))
       .select(col("method"), col("param"), col("n_returned"), col("n_hits"),
         col("n_exact"), col("recall"))
+
+  /** SRP leg of the recall receipt — recall-vs-bands for [[srpTopK]]'s
+    * hyperplane-bit index, same schema as [[annRecallCurve]] (method
+    * 'srp', param = band budget). Mirrors the first_probe trick: a
+    * candidate pair's FIRST matching band index is the smallest band
+    * budget that reaches it, so signatures, the bucket join, and every
+    * candidate cosine are computed once and each curve point is a
+    * `first_band < b` filter + re-rank over the same checkpointed
+    * table. */
+  def srpRecallCurve(corpus: DataFrame, k: Int = 3,
+                     bands: Seq[Int] = Seq(2, 4, 8), outDim: Int = 32,
+                     bandBits: Int = 4, nQueries: Int = 10): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val exact = annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val sig = randomProject(corpus, outDim)
+      .withColumn("bit", (col("proj") > 0).cast("long"))
+      .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
+        .as("band_sig"))
+    val qsig = sig.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
+    val pairs = qsig.join(sig, Seq("band", "band_sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(min(col("band")).as("first_band"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val qe = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val scored = pairs
+      .join(c, "vec_id")
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"), col("first_band"), col("cos_sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val curve = bands.map { b =>
+      scored.filter(col("first_band") < b)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("method", lit("srp"))
+        .withColumn("param", lit(b.toLong))
+    }.reduce(_ unionByName _)
+    recallAgg(curve, exact, nExact)
   }
 
   /** Deterministic ±1 sign matrix for signed random projection:
