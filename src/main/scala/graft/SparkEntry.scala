@@ -152,6 +152,10 @@ object SparkEntry {
       // decides; 48 candidate rows/query is still microscopic
       VectorOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, rerankFactor = 16)
     }),
+    // diagonal-Mahalanobis mislabel screen: per-label centroid +
+    // variance broadcast back, dim-ordered score fold, top-20
+    "embedding_outliers" -> ((s, dir) =>
+      VectorOps.embeddingOutliers(Tables.embeddings(s, dir))),
     // JL projection: deterministic ±1 hyperplanes as a literal matrix
     // folded into map-only expressions; long-format coords
     "rp_project" -> ((s, dir) => VectorOps.randomProject(Tables.embeddings(s, dir))),
@@ -439,6 +443,9 @@ object SparkEntry {
     // against the d-shifted self), ONE pair-keyed shuffle, marginals
     // broadcast back, top-N as TakeOrderedAndProject
     "word_pmi" -> ((s, dir) => TextOps.wordPmi(Tables.documents(s, dir))),
+    // facet-dependence diagnostic: MI(lang; source) + entropies + NMI
+    // from three bounded censuses, key-ordered ln-term folds
+    "lang_source_mi" -> ((s, dir) => TextOps.langSourceMi(Tables.documents(s, dir))),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -3037,6 +3044,51 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
          |  FROM rr) WHERE rank <= 3""".stripMargin,
+    // diagonal Mahalanobis: rounded centroid/variance, dim-ordered
+    // score fold (sum ORDER BY dim — the orderedSum twin)
+    "embedding_outliers" ->
+      """WITH d AS (SELECT vec_id, label, u.i - 1 AS dim,
+        |        CAST(embedding[u.i] AS DOUBLE) AS x
+        |      FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+        |c AS (SELECT label, dim, round(avg(x), 6) + 0 AS cv FROM d GROUP BY 1, 2),
+        |dev AS (SELECT d.vec_id, d.label, d.dim, d.x - c.cv AS dv
+        |        FROM d JOIN c USING (label, dim)),
+        |v AS (SELECT label, dim, round(avg(dv * dv), 6) + 0 AS vr
+        |      FROM dev GROUP BY 1, 2),
+        |sc AS (SELECT dev.vec_id, dev.label,
+        |         round(sum(dev.dv * dev.dv / (v.vr + 0.000001)
+        |               ORDER BY dev.dim), 6) + 0 AS score
+        |       FROM dev JOIN v USING (label, dim)
+        |       GROUP BY 1, 2)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT)
+        |           AS rank, vec_id, label, score
+        |  FROM sc) WHERE rank <= 20""".stripMargin,
+    // three censuses + scalar total; every ln term the same integer
+    // ratio on both engines, folded in facet-key order
+    "lang_source_mi" ->
+      """WITH j AS (SELECT lang, source, count(*) AS n_ls FROM documents GROUP BY 1, 2),
+        |ml AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+        |ms AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1),
+        |t AS (SELECT count(*) AS n_rows FROM documents),
+        |mi AS (SELECT max(t.n_rows) AS n_rows, count(*) AS n_cells,
+        |         round(sum(CAST(j.n_ls AS DOUBLE) / t.n_rows
+        |               * ln(CAST(j.n_ls AS DOUBLE) * t.n_rows
+        |                    / (CAST(ml.n_l AS DOUBLE) * ms.n_s))
+        |               ORDER BY j.lang || '|' || j.source), 6) + 0 AS mi
+        |       FROM j JOIN ml USING (lang) JOIN ms USING (source) CROSS JOIN t),
+        |hl AS (SELECT round(-sum(CAST(n_l AS DOUBLE) / t.n_rows
+        |                * ln(CAST(n_l AS DOUBLE) / t.n_rows)
+        |                ORDER BY lang), 6) + 0 AS h_lang
+        |       FROM ml CROSS JOIN t),
+        |hs AS (SELECT round(-sum(CAST(n_s AS DOUBLE) / t.n_rows
+        |                * ln(CAST(n_s AS DOUBLE) / t.n_rows)
+        |                ORDER BY source), 6) + 0 AS h_source
+        |       FROM ms CROSS JOIN t)
+        |SELECT mi.n_rows, mi.n_cells, mi.mi, hl.h_lang, hs.h_source,
+        |  CASE WHEN hl.h_lang * hs.h_source = 0 THEN 0.0
+        |       ELSE round(mi.mi / sqrt(hl.h_lang * hs.h_source), 6) + 0 END AS nmi
+        |FROM mi CROSS JOIN hl CROSS JOIN hs""".stripMargin,
     // JL projection: the shared duckSrp CTE chain IS the query
     "rp_project" ->
       s"""WITH ${duckSrp(16)}

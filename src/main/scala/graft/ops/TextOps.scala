@@ -1068,6 +1068,54 @@ object TextOps {
         col("m_x"), col("m_y"), col("pmi"))
   }
 
+  /** Mutual information between two corpus facets (lang × source) —
+    * the mix-design diagnostic: MI ≈ 0 says the facets are
+    * independent (sources are language-balanced); high MI says
+    * sampling by one facet silently skews the other (the trap a
+    * domain-rebalancing step must know about). Emits MI, both
+    * entropies, and the normalized MI / √(H_l·H_s) in one row.
+    *
+    * Determinism: every probability is an integer ratio; each ln term
+    * is computed with the same formula on both engines and the
+    * bounded cell sums fold in (lang, source) key order
+    * ([[graft.functions.VectorMath.orderedSum]]) — no float-sum-order
+    * hazard. NMI guards the single-facet corner (H = 0 ⇒ 0).
+    *
+    * Scale shape: three bounded aggs (|langs|·|sources| cells,
+    * map-side partials) + 1-row scalar crossJoins; everything after
+    * the counts is arithmetic over a postcard-sized table. */
+  def langSourceMi(docs: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.orderedSum
+    val joint = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_ls"))
+    val ml = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val ms = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val tot = docs.agg(count(lit(1)).as("n_rows"))
+    val mi = joint
+      .join(broadcast(ml), "lang").join(broadcast(ms), "source")
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        col("n_ls").cast("double") / col("n_rows") *
+          log(col("n_ls").cast("double") * col("n_rows") /
+            (col("n_l").cast("double") * col("n_s"))))
+      .agg(max(col("n_rows")).as("n_rows"), count(lit(1)).as("n_cells"),
+        roundn(orderedSum(concat_ws("|", col("lang"), col("source")), col("term")), 6)
+          .as("mi"))
+    val hl = ml.crossJoin(broadcast(tot))
+      .agg(roundn(-orderedSum(col("lang"),
+        col("n_l").cast("double") / col("n_rows") *
+          log(col("n_l").cast("double") / col("n_rows"))), 6).as("h_lang"))
+    val hs = ms.crossJoin(broadcast(tot))
+      .agg(roundn(-orderedSum(col("source"),
+        col("n_s").cast("double") / col("n_rows") *
+          log(col("n_s").cast("double") / col("n_rows"))), 6).as("h_source"))
+    mi.crossJoin(broadcast(hl)).crossJoin(broadcast(hs))
+      .withColumn("nmi",
+        when(col("h_lang") * col("h_source") === 0.0, lit(0.0))
+          .otherwise(roundn(col("mi") / sqrt(col("h_lang") * col("h_source")), 6)))
+      .select(col("n_rows"), col("n_cells"), col("mi"),
+        col("h_lang"), col("h_source"), col("nmi"))
+  }
+
   /** Out-of-vocabulary audit per source: with the vocabulary fixed to
     * the corpus' top-`vocabSize` tokens, the fraction of each
     * source's token stream that falls outside it — the coverage

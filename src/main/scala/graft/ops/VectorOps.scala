@@ -833,6 +833,44 @@ object VectorOps {
     recallAgg(curve, exact, nExact)
   }
 
+  /** Embedding-space outlier screen — the mislabeled-data detector a
+    * curated corpus runs before contrastive training: each vector's
+    * variance-normalized squared distance to its LABEL centroid
+    * (diagonal-covariance Mahalanobis), ranked; the top scorers are
+    * the rows whose embedding disagrees most with their label
+    * assignment (wrong label, polluted text, or a genuine hard
+    * example — all worth surfacing).
+    *
+    * Determinism: centroids and per-dim variances are rounded ONCE;
+    * per-vector scores sum the 64 rounded-input terms in DIM ORDER
+    * ([[graft.functions.VectorMath.orderedSum]] — terms derived from
+    * rounded values land on grid boundaries systematically, the exact
+    * hazard class orderedSum exists for).
+    *
+    * Scale shape: two (label, dim)-keyed aggs (bounded: |labels|·64
+    * cells) BROADCAST back; scoring shuffles the exploded stream once
+    * on the uniform vec_id key; top-k = TakeOrderedAndProject. */
+  def embeddingOutliers(embeddings: DataFrame, k: Int = 20,
+                        eps: Double = 1e-6): DataFrame = {
+    val d = embeddings.select(col("vec_id"), col("label"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val cent = d.groupBy(col("label"), col("dim"))
+      .agg(roundn(avg(col("x")), 6).as("cv"))
+    val dev = d.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("dv", col("x") - col("cv"))
+    val vr = dev.groupBy(col("label"), col("dim"))
+      .agg(roundn(avg(col("dv") * col("dv")), 6).as("vr"))
+    val scored = dev.join(broadcast(vr), Seq("label", "dim"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("dim"), col("dv") * col("dv") / (col("vr") + lit(eps))), 6).as("score"))
+    scored
+      .orderBy(col("score").desc, col("vec_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("label"), col("score"))
+  }
+
   /** Deterministic ±1 sign matrix for signed random projection:
     * signs(i)(j) from the parity of the portable 24-bit hash of
     * "srp:i:j" — the JVM twin of the hash the oracle recomputes in

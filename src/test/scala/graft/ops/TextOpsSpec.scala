@@ -430,6 +430,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
   }
 
+  test("langSourceMi: independent facets give MI 0; a bijection gives MI = H and NMI 1") {
+    // independent: every (lang, source) cell equally filled
+    val ind = (for { l <- Seq("en", "es"); s <- Seq("a", "b"); i <- 1 to 5 }
+      yield (s"$l$s$i", l, s)).zipWithIndex
+      .map { case ((t, l, s), i) => (i.toLong, t, l, s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r1 = TextOps.langSourceMi(ind).collect()(0)
+    assert(r1.getAs[Double]("mi") === 0.0)
+    assert(r1.getAs[Double]("nmi") === 0.0)
+    assert(r1.getAs[Long]("n_cells") === 4L)
+    // bijective: source determines lang exactly → MI = H(lang), NMI = 1
+    val dep = (for { (l, s) <- Seq(("en", "a"), ("es", "b")); i <- 1 to 6 }
+      yield (l, s)).zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, s"t$i", l, s, 10L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r2 = TextOps.langSourceMi(dep).collect()(0)
+    assert(r2.getAs[Double]("mi") === r2.getAs[Double]("h_lang"))
+    assert(r2.getAs[Double]("nmi") === 1.0)
+    assert(math.abs(r2.getAs[Double]("h_lang") - math.log(2)) < 1e-5)
+  }
+
   test("wordPmi: marginals are the pair-mass sums and S is their total") {
     val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
     // pairs d=1: (a,b)x5 ; d=2: (a,a)x2, (b,b)x2 → S=9

@@ -169,6 +169,23 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("embeddingOutliers: the label-swapped vector ranks first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // two tight clusters around distinct centers; vec 99 carries
+    // cluster-1 geometry but label 0 — the planted mislabel
+    def around(c: Double) = Array.fill(64)((c + rnd.nextGaussian() * 0.05).toFloat)
+    val rows = (0 until 30).map(i => (i.toLong, around(0.0), 0L)) ++
+      (30 until 60).map(i => (i.toLong, around(5.0), 1L)) :+
+      ((99L, around(5.0), 0L))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = VectorOps.embeddingOutliers(emb, k = 5).collect()
+    assert(r.head.getAs[Long]("vec_id") === 99L)
+    assert(r.head.getAs[Long]("rank") === 1L)
+    // and by a wide margin over the in-cluster runner-up
+    assert(r.head.getAs[Double]("score") > 10 * r(1).getAs[Double]("score"))
+  }
+
   test("randomProject: JL distance concentration at 1/sqrt(outDim) scaling; signs deterministic") {
     import spark.implicits._
     val rnd = new scala.util.Random(41)
