@@ -690,6 +690,9 @@ object SparkEntry {
     // deseasonalized robust screen: hour-of-day baseline broadcast
     // back, median/MAD gate on the residuals
     "events_anomaly" -> ((s, dir) => RelationalOps.seasonalAnomalies(Tables.events(s, dir))),
+    // Goh-Barabási burstiness: decimal(38,0) gap-square sums, one
+    // user-keyed exchange
+    "events_burstiness" -> ((s, dir) => RelationalOps.eventsBurstiness(Tables.events(s, dir))),
     // equi-width distribution histogram: broadcast bounds, map-side
     // binning, bounded (type, bin) agg
     "events_histogram" -> ((s, dir) => RelationalOps.valueHistogram(Tables.events(s, dir))),
@@ -3424,6 +3427,31 @@ object SparkEntry {
         |    AS n_outliers,
         |  count(*) AS n_total
         |FROM d JOIN t USING (event_type) GROUP BY 1""".stripMargin,
+    // HUGEINT gap/square sums (the decimal(38,0) twin), population
+    // variance from the two exact sums, mirrored expression shapes
+    "events_burstiness" ->
+      """WITH g AS (SELECT user_id,
+        |        epoch_ns(ts) - lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+        |          ORDER BY epoch_ns(ts), event_id) AS gap
+        |      FROM events),
+        |a AS (SELECT user_id, count(*) AS n_gaps, sum(gap) AS sg,
+        |        sum(CAST(gap AS HUGEINT) * gap) AS sg2
+        |      FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |b AS (SELECT user_id, n_gaps,
+        |        CAST(sg AS DOUBLE) / n_gaps AS mean_gap,
+        |        CAST(sg2 AS DOUBLE) / n_gaps
+        |          - (CAST(sg AS DOUBLE) / n_gaps) * (CAST(sg AS DOUBLE) / n_gaps)
+        |          AS var_gap
+        |      FROM a WHERE n_gaps >= 4),
+        |c AS (SELECT user_id, n_gaps, mean_gap,
+        |        CASE WHEN mean_gap = 0 THEN 0.0
+        |             ELSE sqrt(greatest(var_gap, 0.0)) / mean_gap END AS cv
+        |      FROM b)
+        |SELECT user_id, n_gaps,
+        |  round(mean_gap / 1000000000.0, 3) + 0 AS mean_gap_s,
+        |  round(cv, 6) + 0 AS cv,
+        |  round((cv - 1) / (cv + 1), 6) + 0 AS burstiness
+        |FROM c""".stripMargin,
     // residuals vs the ROUNDED (type, hour) baseline, then the
     // events_mad CTE chain on those residuals
     "events_anomaly" ->

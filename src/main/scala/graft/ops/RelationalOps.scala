@@ -357,6 +357,52 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Inter-arrival burstiness per user (Goh & Barabási, EPL 2008):
+    * the coefficient of variation of a user's event gaps and the
+    * bounded burstiness index B = (cv−1)/(cv+1) — B ≈ −1 metronome,
+    * 0 Poisson, → 1 bursty. The bot/scraper screen a telemetry
+    * pipeline runs: human activity is bursty, schedulers are
+    * periodic, and both ends of the index are suspicious.
+    *
+    * Determinism: gaps are exact Long nano ticks; Σg fits a Long but
+    * Σg² does NOT (a 3-hour gap squared is ~10^26), so the square sum
+    * accumulates in decimal(38,0) — the overflow-free-receipt rule
+    * from the dedup cluster checksum; population variance derives
+    * from the two exact sums in one double expression rounded once,
+    * with the same expression SHAPE on the oracle (mirroring matters:
+    * algebraically-equal forms round differently).
+    *
+    * Scale shape: one user-keyed exchange (lag shares the sort),
+    * then a user-keyed agg with map-side partials; output is bounded
+    * by the user census, not the stream. */
+  def eventsBurstiness(events: DataFrame, minEvents: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap")).as("sg"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap")).as("sg2"))
+      .filter(col("n_gaps") >= minEvents - 1)
+      .withColumn("mean_gap", col("sg").cast("double") / col("n_gaps"))
+      .withColumn("var_gap",
+        col("sg2").cast("double") / col("n_gaps") - col("mean_gap") * col("mean_gap"))
+      .withColumn("cv",
+        when(col("mean_gap") === 0.0, lit(0.0))
+          .otherwise(sqrt(greatest(col("var_gap"), lit(0.0))) / col("mean_gap")))
+      .withColumn("burstiness", roundn((col("cv") - 1) / (col("cv") + 1), 6))
+      // mean gap reported in SECONDS at ms resolution: a ~10^4-second
+      // double rounded at 6 decimals sits within one ulp of the
+      // half-step (observed 1 flip / 1500 users at sf0.1); 3 decimals
+      // leaves 3 orders of guard band
+      .select(col("user_id"), col("n_gaps"),
+        roundn(col("mean_gap") / 1e9, 3).as("mean_gap_s"),
+        roundn(col("cv"), 6).as("cv"), col("burstiness"))
+  }
+
   /** Equi-width value histogram per event type — the distribution
     * primitive behind every profiling UI: `nBins` equal-width buckets
     * between the type's min and max, value == max landing in the last

@@ -334,6 +334,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("eventsBurstiness: metronome at -1, bursty positive, square-sum exact at 10^26 scale") {
+    val h = 3600L * 1000 * 1000 * 1000
+    // u1 metronome: identical gaps → cv 0 → B = -1
+    // u2 bursty: 5 events packed in seconds, then 3 hours, repeat
+    val rows =
+      (0 until 8).map(i => (100L + i, i * h, 1L)) ++
+        (0 until 10).map { i =>
+          val burst = i / 5; val in = i % 5
+          (200L + i, burst * 3 * h + in * 1000000L, 2L)
+        }
+    val ev = rows.map { case (id, ts, u) => (id, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.eventsBurstiness(ev, minEvents = 5).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Double]("cv"), x.getAs[Double]("burstiness")))).toMap
+    assert(r(1L)._1 === 0.0 && r(1L)._2 === -1.0)
+    assert(r(2L)._2 > 0.4, s"bursty user should score high, got ${r(2L)}")
+    // gap² for a 3-hour gap is ~1.2e26 — past Long range; the decimal
+    // accumulator must survive it (any overflow would corrupt cv)
+    assert(r(2L)._1 > 1.0)
+  }
+
   test("cohortRetention: first-active-day cohorts with per-offset rates") {
     val day = 86400L * 1000 * 1000 * 1000
     // u1: days 0,1,2; u2: day 0 only; u3: days 1,2 (cohort day 1);
