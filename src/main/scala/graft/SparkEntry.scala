@@ -446,6 +446,9 @@ object SparkEntry {
     // facet-dependence diagnostic: MI(lang; source) + entropies + NMI
     // from three bounded censuses, key-ordered ln-term folds
     "lang_source_mi" -> ((s, dir) => TextOps.langSourceMi(Tables.documents(s, dir))),
+    // DoReMi-shaped mixture reweighting: fixed-point per-domain LM
+    // loss vs the corpus reference, exp(excess) normalized
+    "domain_weights" -> ((s, dir) => TextOps.domainWeights(Tables.documents(s, dir))),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -2103,6 +2106,37 @@ object SparkEntry {
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
          |FROM agg""".stripMargin,
+    // fixed-point per-domain LM loss (integer-micro logprobs, HUGEINT
+    // sums — the decimal(38,0) twin), excess vs the exact-sum
+    // reference, source-ordered exp normalization
+    "domain_weights" ->
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+         |lp6 AS (SELECT tok, CAST(round(ln(cnt / tot.total) * 1000000) AS BIGINT)
+         |          AS lp6 FROM vocab, tot),
+         |stf AS (SELECT d.source, t.tok, sum(t.tf) AS tf
+         |        FROM tf t JOIN documents d USING (doc_id) GROUP BY 1, 2),
+         |bysrc AS (SELECT s.source, CAST(sum(s.tf) AS BIGINT) AS n_tok,
+         |            sum(CAST(s.tf AS HUGEINT) * l.lp6) AS sum_lp6
+         |          FROM stf s JOIN lp6 l USING (tok) GROUP BY 1),
+         |av AS (SELECT source, n_tok, sum_lp6,
+         |         round(CAST(sum_lp6 AS DOUBLE) / (n_tok * 1000000.0), 6) + 0
+         |           AS avg_logprob
+         |       FROM bysrc),
+         |rf AS (SELECT round(CAST(sum(sum_lp6) AS DOUBLE)
+         |               / (CAST(sum(n_tok) AS DOUBLE) * 1000000.0), 6) + 0
+         |          AS ref_avg FROM bysrc),
+         |ex AS (SELECT a.source, a.n_tok, a.avg_logprob,
+         |         round(greatest(rf.ref_avg - a.avg_logprob, 0.0), 6) + 0 AS excess
+         |       FROM av a CROSS JOIN rf),
+         |wr AS (SELECT source, n_tok, avg_logprob, excess,
+         |         exp(1.0 * excess) AS w_raw FROM ex),
+         |nm AS (SELECT round(sum(w_raw ORDER BY source), 6) + 0 AS w_total FROM wr)
+         |SELECT wr.source, wr.n_tok, wr.avg_logprob, wr.excess,
+         |  round(wr.w_raw / nm.w_total, 6) + 0 AS weight
+         |FROM wr CROSS JOIN nm""".stripMargin,
     // shared-vocab add-one LMs; per-token 6dp ln-difference, tok-ordered
     // fold, one rounding after the mean division (lm_logprob discipline)
     "dsir_weights" ->

@@ -1068,6 +1068,63 @@ object TextOps {
         col("m_x"), col("m_y"), col("pmi"))
   }
 
+  /** DoReMi-shaped domain reweighting (Xie et al., NeurIPS'23 — the
+    * excess-loss form, with the corpus-wide unigram LM standing in
+    * for the reference model): per source-domain, the average
+    * per-token log-probability under the corpus LM; domains scoring
+    * WORSE than the corpus average carry positive excess loss and are
+    * upweighted exp(α·excess), normalized into a mixture. The
+    * reweight-hard-domains step of mixture optimization, runnable
+    * entirely in-engine.
+    *
+    * Determinism: token log-probs are FIXED-POINT integer micros
+    * (the zipf_fit discipline), so every per-domain sum is exact
+    * integer arithmetic — order-free, partial-aggregable, no
+    * per-group ordered fold needed (a vocab-sized orderedSum per
+    * domain would collect unboundedly at 100 TB; integer partials
+    * shuffle nothing extra). Σ(tf·lp6) accumulates in decimal(38,0)
+    * (10^12 tokens × 3·10^7 micros overflows Long). The bounded
+    * domain-level exp/normalize folds in source order.
+    *
+    * Scale shape: tokenize → (doc, tok) tf agg → co-keyed doc_id
+    * join for `source` → (source, tok) agg → |sources| rows; the LM
+    * table is the vocab census joined back on the token key; the
+    * reference loss is the exact sum of the per-domain integer sums
+    * (one more bounded agg), scalar-crossJoined back. */
+  def domainWeights(docs: DataFrame, alpha: Double = 1.0): DataFrame = {
+    import graft.functions.VectorMath.orderedSum
+    val tf = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val vocab = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
+    val total = vocab.agg(sum(col("cnt")).cast("double").as("total"))
+    val lp6 = vocab
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt") / col("total")) * 1e6).cast("long").as("lp6"))
+    val srcTf = tf
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"), col("tok")).agg(sum(col("tf")).as("tf"))
+    val bySrc = srcTf.join(lp6, "tok")
+      .groupBy(col("source"))
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+        sum(col("tf").cast("decimal(38,0)") * col("lp6")).as("sum_lp6"))
+      .withColumn("avg_logprob",
+        roundn(col("sum_lp6").cast("double") / (col("n_tok") * 1e6), 6))
+    val ref = bySrc.agg(
+      (sum(col("sum_lp6")).cast("double") /
+        (sum(col("n_tok")).cast("double") * 1e6)).as("ref_raw"))
+      .select(roundn(col("ref_raw"), 6).as("ref_avg"))
+    val scored = bySrc.crossJoin(broadcast(ref))
+      .withColumn("excess",
+        roundn(greatest(col("ref_avg") - col("avg_logprob"), lit(0.0)), 6))
+      .withColumn("w_raw", exp(lit(alpha) * col("excess")))
+    val norm = scored.agg(
+      roundn(orderedSum(col("source"), col("w_raw")), 6).as("w_total"))
+    scored.crossJoin(broadcast(norm))
+      .select(col("source"), col("n_tok"), col("avg_logprob"), col("excess"),
+        roundn(col("w_raw") / col("w_total"), 6).as("weight"))
+  }
+
   /** Mutual information between two corpus facets (lang × source) —
     * the mix-design diagnostic: MI ≈ 0 says the facets are
     * independent (sources are language-balanced); high MI says

@@ -430,6 +430,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
   }
 
+  test("domainWeights: the rare-token domain carries the excess loss and the larger weight") {
+    // srcA speaks in corpus-common tokens; srcB in tokens that appear
+    // nowhere else (low corpus probability → worse LM loss → excess)
+    val docs = ((1 to 20).map(i => (i.toLong, "the cat sat on the mat", "en", "srcA", 22L)) ++
+      (21 to 24).map(i => (i.toLong, s"zyx$i wvu$i tsr$i qpo$i nml$i kji$i", "en", "srcB", 30L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.domainWeights(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Double]("excess"), x.getAs[Double]("weight")))).toMap
+    assert(r("srcA")._1 === 0.0, "the easy domain sits below the reference: excess clips to 0")
+    assert(r("srcB")._1 > 0.0)
+    assert(r("srcB")._2 > r("srcA")._2)
+    // weights are a mixture: they sum to ~1
+    val tot = r.values.map(_._2).sum
+    assert(math.abs(tot - 1.0) < 1e-4, s"weights sum $tot")
+  }
+
   test("langSourceMi: independent facets give MI 0; a bijection gives MI = H and NMI 1") {
     // independent: every (lang, source) cell equally filled
     val ind = (for { l <- Seq("en", "es"); s <- Seq("a", "b"); i <- 1 to 5 }
