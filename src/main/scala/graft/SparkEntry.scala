@@ -449,6 +449,9 @@ object SparkEntry {
     // DoReMi-shaped mixture reweighting: fixed-point per-domain LM
     // loss vs the corpus reference, exp(excess) normalized
     "domain_weights" -> ((s, dir) => TextOps.domainWeights(Tables.documents(s, dir))),
+    // percentile-ensemble curation score: three broadcast histogram
+    // CDFs (no global sort), blended on the common percentile scale
+    "quality_blend" -> ((s, dir) => TextOps.qualityBlend(Tables.documents(s, dir))),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -2106,6 +2109,47 @@ object SparkEntry {
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
          |FROM agg""".stripMargin,
+    // three metric chains → per-metric 64-bin census CDF (same clamp
+    // and expression shape as events_histogram) → map-side percentile
+    // lookup, averaged
+    "quality_blend" -> {
+      def pctCte(src: String, v: String, p: String) =
+        s"""${p}b AS (SELECT round(min($v), 6) + 0 AS lo, round(max($v), 6) + 0 AS hi,
+           |          count(*) AS n FROM $src),
+           |${p}bin AS (SELECT s.doc_id,
+           |    CASE WHEN b.hi = b.lo THEN 0
+           |         ELSE least(63, greatest(0,
+           |           CAST(floor(($v - b.lo) * 64 / (b.hi - b.lo)) AS BIGINT))) END
+           |      AS bin, b.n
+           |  FROM $src s CROSS JOIN ${p}b b),
+           |${p}cdf AS (SELECT bin, sum(count(*))
+           |    OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM ${p}bin GROUP BY bin),
+           |${p}p AS (SELECT x.doc_id, round(c.cum / x.n, 6) + 0 AS $p
+           |  FROM ${p}bin x JOIN ${p}cdf c USING (bin))""".stripMargin
+      s"""WITH $duckToks,
+         |$duckQualityCtes,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT tok, sum(tf) AS cnt FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+         |lp AS (SELECT tok, round(ln(cnt / tot.total), 6) + 0 AS logprob
+         |       FROM vocab, tot),
+         |lm AS (SELECT t.doc_id,
+         |         round(sum(t.tf * lp.logprob ORDER BY t.tok)
+         |               / CAST(sum(t.tf) AS BIGINT), 6) + 0 AS avg_logprob
+         |       FROM tf t JOIN lp USING (tok) GROUP BY 1),
+         |qm AS (SELECT doc_id, quality AS v FROM qual),
+         |lmm AS (SELECT doc_id, avg_logprob AS v FROM lm),
+         |lnm AS (SELECT doc_id, CAST(n_chars AS DOUBLE) AS v FROM documents),
+         |${pctCte("qm", "v", "p_quality")},
+         |${pctCte("lmm", "v", "p_logprob")},
+         |${pctCte("lnm", "v", "p_length")}
+         |SELECT q.doc_id, q.p_quality, l.p_logprob, n.p_length,
+         |  round((q.p_quality + l.p_logprob + n.p_length) / 3, 6) + 0 AS blend
+         |FROM p_qualityp q
+         |JOIN p_logprobp l USING (doc_id)
+         |JOIN p_lengthp n USING (doc_id)""".stripMargin
+    },
     // fixed-point per-domain LM loss (integer-micro logprobs, HUGEINT
     // sums — the decimal(38,0) twin), excess vs the exact-sum
     // reference, source-ordered exp normalization

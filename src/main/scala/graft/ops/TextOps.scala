@@ -1068,6 +1068,65 @@ object TextOps {
         col("m_x"), col("m_y"), col("pmi"))
   }
 
+  /** Histogram-CDF percentile of one (doc_id, value) metric —
+    * percentile normalization WITHOUT a global sort: a corpus-rank
+    * percent_rank() would be one unpartitioned window over every row
+    * (the exact shape the engine bans); instead the metric's 64-bin
+    * equi-width census (bounded agg, map-side partials — the
+    * [[graft.ops.RelationalOps.valueHistogram]] binning contract,
+    * same clamps, same expression shape) yields a broadcastable CDF
+    * and each row looks its percentile up map-side. 64 levels of
+    * resolution is the trade, and it is the 100 TB-correct one —
+    * the same histogram-threshold move `dsir_select` makes. */
+  private def histPercentile(metric: DataFrame, valueCol: String, outCol: String,
+                             nBins: Int): DataFrame = {
+    val b = metric.agg(
+      roundn(min(col(valueCol)), 6).as("lo"),
+      roundn(max(col(valueCol)), 6).as("hi"),
+      count(lit(1)).as("n"))
+    val binned = metric.crossJoin(broadcast(b))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), 0L)
+          .otherwise(least(lit(nBins - 1).cast("long"),
+            greatest(lit(0L),
+              floor((col(valueCol) - col("lo")) * nBins / (col("hi") - col("lo")))))))
+    val census = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("bin"), col("cum"))
+    binned.join(broadcast(census), "bin")
+      .select(col("doc_id"), roundn(col("cum") / col("n"), 6).as(outCol))
+  }
+
+  /** Model-signal quality ENSEMBLE — the curation scorer that blends
+    * heterogeneous metrics on a common scale: heuristic quality
+    * ([[qualityScore]]), LM fluency ([[lmLogprob]]), and length are
+    * each percentile-normalized through [[histPercentile]]'s
+    * broadcast CDF (no global sort anywhere) and averaged. Blending
+    * percentiles instead of raw scores is the standard fix for
+    * metrics with incomparable units/heavy tails (FineWeb-style
+    * multi-filter ensembles).
+    *
+    * Scale shape: each metric costs its own bounded censuses; the
+    * three percentile lookups are map-side against broadcast 64-row
+    * CDFs; the final join keys on uniform doc_id. */
+  def qualityBlend(docs: DataFrame, nBins: Int = 64): DataFrame = {
+    val pq = histPercentile(
+      qualityScore(docs).select(col("doc_id"), col("quality")),
+      "quality", "p_quality", nBins)
+    val pl = histPercentile(
+      lmLogprob(docs).select(col("doc_id"), col("avg_logprob")),
+      "avg_logprob", "p_logprob", nBins)
+    val pn = histPercentile(
+      docs.select(col("doc_id"), col("n_chars").cast("double").as("len_v")),
+      "len_v", "p_length", nBins)
+    pq.join(pl, "doc_id").join(pn, "doc_id")
+      .withColumn("blend",
+        roundn((col("p_quality") + col("p_logprob") + col("p_length")) / 3, 6))
+      .select(col("doc_id"), col("p_quality"), col("p_logprob"),
+        col("p_length"), col("blend"))
+  }
+
   /** DoReMi-shaped domain reweighting (Xie et al., NeurIPS'23 — the
     * excess-loss form, with the corpus-wide unigram LM standing in
     * for the reference model): per source-domain, the average

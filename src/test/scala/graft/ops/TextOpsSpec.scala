@@ -430,6 +430,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
   }
 
+  test("qualityBlend: percentiles are monotone in the metric and the blend averages them") {
+    // 20 docs with strictly increasing length; quality/fluency held
+    // constant-ish by identical text, so p_length drives the blend
+    val docs = (1 to 20).map(i =>
+      (i.toLong, "alpha beta gamma delta", "en", "s", i * 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.qualityBlend(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("p_length"), x.getAs[Double]("blend")))).toMap
+    // longer doc → higher (never lower) length percentile
+    val ps = (1 to 20).map(i => r(i.toLong)._1)
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b })
+    assert(ps.head < ps.last)
+    // identical text ⇒ p_quality == p_logprob == 1.0 (single bin),
+    // so blend = (2 + p_length) / 3 exactly
+    (1 to 20).foreach { i =>
+      val (pl, bl) = r(i.toLong)
+      assert(math.abs(bl - (2.0 + pl) / 3.0) < 2e-6, s"doc $i: $bl vs ${(2.0 + pl) / 3}")
+    }
+  }
+
   test("domainWeights: the rare-token domain carries the excess loss and the larger weight") {
     // srcA speaks in corpus-common tokens; srcB in tokens that appear
     // nowhere else (low corpus probability → worse LM loss → excess)
