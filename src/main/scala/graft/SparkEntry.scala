@@ -248,6 +248,9 @@ object SparkEntry {
         DedupOps.nearDupVerified(Tables.documents(s, dir))
           .select(col("a_id"), col("b_id")))),
     "dedup_simhash" -> ((s, dir) => DedupOps.simhashPairs(Tables.documents(s, dir))),
+    // novelty profile: first-occurrence table from one shingle-keyed
+    // min, own-first fraction per doc
+    "ngram_novelty" -> ((s, dir) => DedupOps.ngramNovelty(Tables.documents(s, dir))),
     "ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       DedupOps.jaccardVerify(docs, DedupOps.minhashCandidates(docs))
@@ -1379,6 +1382,19 @@ object SparkEntry {
          |$duckLshCand,
          |$duckJaccardVerify
          |SELECT a_id, b_id, inter, jaccard FROM jac""".stripMargin,
+    // first-occurrence = min doc_id per shingle; novelty = own-first
+    // fraction of the doc's distinct shingles
+    "ngram_novelty" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |fs AS (SELECT shingle, min(doc_id) AS first_doc FROM shd GROUP BY 1)
+         |SELECT s.doc_id, count(*) AS n_shingles,
+         |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_novel,
+         |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+         |        / CAST(count(*) AS DOUBLE), 6) + 0 AS novelty
+         |FROM shd s JOIN fs f USING (shingle)
+         |GROUP BY 1""".stripMargin,
     "image_phash" ->
       s"""WITH $duckAhash
          |SELECT media_id, ahash FROM ah""".stripMargin,

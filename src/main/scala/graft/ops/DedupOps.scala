@@ -34,6 +34,35 @@ object DedupOps {
       .select(col("doc_id"), col("pos"), concat_ws(" ", cols: _*).as("shingle"))
   }
 
+  /** N-gram NOVELTY profile — the corpus-order diagnostic behind
+    * "how much of this document is new text": per document, the
+    * fraction of its distinct shingles whose FIRST corpus occurrence
+    * (min doc_id over the shingle) is this document. A near-zero
+    * novelty doc is assembled from earlier material (boilerplate,
+    * quotation, template reuse) even when no single pairwise overlap
+    * crosses a dedup threshold — the aggregate view the pair-tier
+    * misses.
+    *
+    * Scale shape: one shingle-keyed agg (uniform sha-shaped keys,
+    * map-side partial mins) produces the first-occurrence table; the
+    * membership probe is the SAME (doc, shingle) stream joined back
+    * on the shingle key (co-keyed, no re-shuffle of the heavy side
+    * beyond the one exchange), then a doc-keyed census. Integer
+    * ratios rounded once. */
+  def ngramNovelty(docs: DataFrame, w: Int = 3): DataFrame = {
+    val shd = wordShingles(docs, w)
+      .select(col("doc_id"), col("shingle")).distinct()
+    val firstSeen = shd.groupBy(col("shingle"))
+      .agg(min(col("doc_id")).as("first_doc"))
+    shd.join(firstSeen, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        graft.functions.VectorMath.roundn(
+          col("n_novel").cast("double") / col("n_shingles"), 6))
+  }
+
   /** Prime just above 2^24 for the universal-hash family. */
   val MinhashPrime: Long = 16777259L
 

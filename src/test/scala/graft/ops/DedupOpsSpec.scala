@@ -20,6 +20,20 @@ class DedupOpsSpec extends SparkSpec {
     assert(sh.head.getString(2) === "the quick brown")
   }
 
+  test("ngramNovelty: the first copy owns its shingles; the exact dup scores zero") {
+    val r = DedupOps.ngramNovelty(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_shingles"), x.getAs[Long]("n_novel"),
+          x.getAs[Double]("novelty")))).toMap
+    assert(r(0L)._3 === 1.0, "first occurrence owns every shingle")
+    assert(r(1L)._3 === 0.0, "the exact duplicate owns nothing")
+    // the near-dup owns only the shingles its edit introduced
+    assert(r(2L)._3 > 0.0 && r(2L)._3 < 0.5, s"near dup: ${r(2L)}")
+    assert(r(3L)._3 === 1.0, "unrelated text is fully novel")
+    // distinct-shingle census consistent with wordShingles
+    assert(r(0L)._1 === 10L && r(1L)._1 === 10L)
+  }
+
   test("minhash candidates include exact and near duplicates, not unrelated docs") {
     val pairs = DedupOps.minhashCandidates(docs)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
