@@ -455,6 +455,10 @@ object SparkEntry {
     // percentile-ensemble curation score: three broadcast histogram
     // CDFs (no global sort), blended on the common percentile scale
     "quality_blend" -> ((s, dir) => TextOps.qualityBlend(Tables.documents(s, dir))),
+    // in-engine PLSA: 2 EM rounds with integer-micro responsibilities
+    // (exact order-free M-step sums), top words per topic
+    "topic_model" -> ((s, dir) =>
+      TopicOps.plsaTopics(Tables.documents(s, dir), rounds = 6)),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -2125,6 +2129,54 @@ object SparkEntry {
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
          |FROM agg""".stripMargin,
+    // PLSA, 2 EM rounds unrolled: init mass from sha parity, a_z =
+    // (u_z/N_z)·t_z with the division first, FIXED-order 4-term
+    // normalizer, responsibilities rounded once to integer micros,
+    // HUGEINT M-step sums (the decimal(38,0) twin)
+    "topic_model" -> {
+      val zs = 0 until 4
+      def h(z: Int) = graft.functions.PortableHash.duckdbHash24(s"'plsa:' || tok || ':$z'")
+      val initCols = zs.map(z => s"CAST(${h(z)} % 1000 + 1 AS BIGINT) AS u$z").mkString(", ")
+      def nzCols = zs.map(z => s"sum(u$z) AS n$z").mkString(", ")
+      def aCols = zs.map(z =>
+        s"CAST(p.u$z AS DOUBLE) / CAST(n.n$z AS DOUBLE) * CAST(t.t$z AS DOUBLE) AS a$z")
+        .mkString(", ")
+      val den = "(((a0 + a1) + a2) + a3)"
+      def rCols = zs.map(z =>
+        s"CAST(round(a$z / $den * 1000000) AS BIGINT) AS r$z").mkString(", ")
+      def phiCols = zs.map(z => s"sum(CAST(tf AS HUGEINT) * r$z) AS u$z").mkString(", ")
+      def thCols = zs.map(z => s"sum(tf * r$z) AS t$z").mkString(", ")
+      val unpiv = zs.map(z =>
+          s"SELECT CAST($z AS BIGINT) AS topic, tok, CAST(u$z AS HUGEINT) AS u FROM phi6")
+        .mkString(" UNION ALL ")
+      val rounds = 6
+      val roundCtes = (1 to rounds).map { r =>
+        val (pp, tp, np) = (s"phi${r - 1}", s"th${r - 1}", s"nz${r - 1}")
+        s"""e$r AS (SELECT f.doc_id, f.tok, f.tf, $aCols
+           |       FROM tf f JOIN $pp p USING (tok) JOIN $tp t USING (doc_id)
+           |       CROSS JOIN $np n),
+           |r$r AS MATERIALIZED (SELECT doc_id, tok, tf, $rCols FROM e$r),
+           |phi$r AS MATERIALIZED (SELECT tok, $phiCols FROM r$r GROUP BY 1),
+           |th$r AS MATERIALIZED (SELECT doc_id, $thCols FROM r$r GROUP BY 1),
+           |nz$r AS MATERIALIZED (SELECT $nzCols FROM phi$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $duckToks,
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |phi0 AS MATERIALIZED (SELECT tok, $initCols FROM (SELECT DISTINCT tok FROM tf)),
+         |th0 AS (SELECT DISTINCT doc_id, 1 AS t0, 1 AS t1, 1 AS t2, 1 AS t3 FROM tf),
+         |nz0 AS (SELECT $nzCols FROM phi0),
+         |$roundCtes,
+         |fin AS ($unpiv),
+         |nzf AS (SELECT topic, sum(u) AS nu FROM fin GROUP BY 1),
+         |rk AS (SELECT topic, tok, u,
+         |         CAST(row_number() OVER (PARTITION BY topic
+         |           ORDER BY u DESC, tok) AS BIGINT) AS rank
+         |       FROM fin)
+         |SELECT r.topic, r.rank, r.tok,
+         |  round(CAST(r.u AS DOUBLE) / CAST(z.nu AS DOUBLE), 6) + 0 AS weight
+         |FROM rk r JOIN nzf z USING (topic)
+         |WHERE r.rank <= 8""".stripMargin
+    },
     // three metric chains → per-metric 64-bin census CDF (same clamp
     // and expression shape as events_histogram) → map-side percentile
     // lookup, averaged

@@ -1,0 +1,105 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.PortableHash
+
+/** In-engine topic modeling — PLSA (Hofmann, SIGIR'99) trained
+  * relationally, the latent-factor sibling of the engine's other
+  * in-engine trainers (`quality_classifier` fixed-point GD,
+  * `bpe_merges` greedy merges, `ann_*` Lloyd rounds): k topics over
+  * the (doc, word) count matrix via EM, every responsibility a
+  * FIXED-POINT integer micro so both engines replay training
+  * bit-for-bit.
+  *
+  * EM, relationally:
+  *  - E-step: r(z|d,w) ∝ p(w|z)·p(z|d). Both factors are ratios of
+  *    integer tables (φ word-mass and θ doc-mass from the previous
+  *    round); a_z = (u_z/N_z)·t_z is computed with one division then
+  *    one multiply (identical expression on both engines), the
+  *    4-term normalizer sums in FIXED z order (an explicit
+  *    ((a0+a1)+a2)+a3 — never an agg whose merge order floats), and
+  *    the responsibility rounds ONCE into integer micros.
+  *  - M-step: φ'(w,z) = Σ_d tf·r6 and θ'(d,z) = Σ_w tf·r6 are sums
+  *    of INTEGERS — exact, order-free, partial-aggregable. φ sums
+  *    accumulate in decimal(38,0) (corpus tokens × 10⁶ micros passes
+  *    Long range at 100 TB — the overflow-free-receipt rule); θ sums
+  *    stay in Long (docs are 512-token bounded).
+  *
+  * Scale shape: tf is one (doc, tok) agg; each round joins tf to the
+  * vocab-scale φ (broadcastable) on tok and to θ co-keyed on doc_id,
+  * then reduces back to those two keys with map-side partials —
+  * no row ever carries more than k extra columns, no vocab-sized
+  * collect, no unbounded window (the final top-n ranks per topic
+  * compile to WindowGroupLimit). Rounds are unrolled and
+  * localCheckpointed so plan depth stays bounded.
+  */
+object TopicOps {
+
+  /** Deterministic init mass for (tok, z): sha-parity spread in
+    * [1, 1000] — asymmetric across topics so EM has gradients to
+    * follow, identical on both engines. */
+  private def initMass(z: Int): Column =
+    (PortableHash.hash24(concat(lit("plsa:"), col("tok"), lit(s":$z"))) % 1000 + 1)
+      .cast("long")
+
+  /** PLSA topic-word summary after `rounds` EM rounds: (topic, rank,
+    * tok, weight) — the top-`topN` words per topic with their final
+    * φ share. */
+  def plsaTopics(docs: DataFrame, k: Int = 4, rounds: Int = 2, topN: Int = 8): DataFrame = {
+    require(k >= 2 && rounds >= 1)
+    val zs = 0 until k
+    val tf = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    var phi = tf.select(col("tok")).distinct()
+      .select(col("tok") +: zs.map(z => initMass(z).as(s"u$z")): _*)
+      .localCheckpoint(true)
+    var theta = tf.select(col("doc_id")).distinct()
+      .select(col("doc_id") +: zs.map(z => lit(1L).as(s"t$z")): _*)
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val nz = phi.agg(
+        sum(col("u0").cast("decimal(38,0)")).as("n0"),
+        zs.tail.map(z => sum(col(s"u$z").cast("decimal(38,0)")).as(s"n$z")): _*)
+      val joined = tf
+        .join(phi, "tok")
+        .join(theta, "doc_id")
+        .crossJoin(broadcast(nz))
+      val withA = joined.select(
+        col("doc_id") +: col("tok") +: col("tf") +:
+          zs.map(z => (col(s"u$z").cast("double") / col(s"n$z").cast("double") *
+            col(s"t$z").cast("double")).as(s"a$z")): _*)
+      // FIXED-order 4-term normalizer: left-assoc chain, never an agg
+      val denom = zs.map(z => col(s"a$z")).reduce(_ + _)
+      val resp = withA.select(
+        col("doc_id") +: col("tok") +: col("tf") +:
+          zs.map(z => round(col(s"a$z") / denom * 1e6).cast("long").as(s"r$z")): _*)
+        .localCheckpoint(true)
+      phi = resp.groupBy(col("tok"))
+        .agg(sum(col("tf").cast("decimal(38,0)") * col("r0")).as("u0"),
+          zs.tail.map(z =>
+            sum(col("tf").cast("decimal(38,0)") * col(s"r$z")).as(s"u$z")): _*)
+        .localCheckpoint(true)
+      theta = resp.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("r0")).as("t0"),
+          zs.tail.map(z => sum(col("tf") * col(s"r$z")).as(s"t$z")): _*)
+        .localCheckpoint(true)
+    }
+    val long = zs.map(z =>
+        phi.select(lit(z.toLong).as("topic"), col("tok"),
+          col(s"u$z").cast("decimal(38,0)").as("u")))
+      .reduce(_ unionByName _)
+    val nzFin = long.groupBy(col("topic")).agg(sum(col("u")).as("nu"))
+    long
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("topic"))
+          .orderBy(col("u").desc, col("tok"))).cast("long"))
+      .filter(col("rank") <= topN)
+      .join(broadcast(nzFin), "topic")
+      .select(col("topic"), col("rank"), col("tok"),
+        graft.functions.VectorMath.roundn(
+          col("u").cast("double") / col("nu").cast("double"), 6).as("weight"))
+  }
+}

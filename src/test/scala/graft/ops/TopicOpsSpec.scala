@@ -1,0 +1,55 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class TopicOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies in two doc blocks — the planted
+  // structure EM should discover
+  private def blockDocs = {
+    val va = Seq("alpha", "bravo", "charlie", "delta", "echo")
+    val vb = Seq("zulu", "yankee", "xray", "whiskey", "victor")
+    ((1 to 12).map(i => (i.toLong, Seq.fill(4)(va((i + 0) % 5)).mkString(" ") + " " +
+        va((i + 1) % 5) + " " + va((i + 2) % 5))) ++
+      (13 to 24).map(i => (i.toLong, Seq.fill(4)(vb(i % 5)).mkString(" ") + " " +
+        vb((i + 1) % 5) + " " + vb((i + 2) % 5))))
+      .toDF("doc_id", "text")
+  }
+
+  test("plsaTopics: shape contract — dense ranks, weights in (0,1], descending per topic") {
+    val r = TopicOps.plsaTopics(blockDocs, k = 4, rounds = 2, topN = 5).collect()
+    val byTopic = r.groupBy(_.getAs[Long]("topic"))
+    assert(byTopic.keySet === Set(0L, 1L, 2L, 3L))
+    byTopic.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq === (1L to sorted.length))
+      val ws = sorted.map(_.getAs[Double]("weight"))
+      assert(ws.forall(w => w > 0 && w <= 1))
+      assert(ws.zip(ws.tail).forall { case (a, b) => a >= b },
+        "rank order must follow weight order")
+    }
+  }
+
+  test("plsaTopics: EM separates the two planted vocabularies") {
+    val va = Set("alpha", "bravo", "charlie", "delta", "echo")
+    val r = TopicOps.plsaTopics(blockDocs, k = 4, rounds = 6, topN = 5).collect()
+    // for each topic, measure block purity of its top-5 words; at
+    // least two topics (one per block) must be ≥ 4/5 pure
+    val purities = r.groupBy(_.getAs[Long]("topic")).map { case (_, rows) =>
+      val words = rows.map(_.getAs[String]("tok"))
+      val inA = words.count(va.contains)
+      math.max(inA, words.length - inA)
+    }.toSeq
+    assert(purities.count(_ >= 4) >= 2,
+      s"expected block-pure topics, purities over top-5: $purities")
+  }
+
+  test("plsaTopics: deterministic — identical output across recomputation") {
+    val a = TopicOps.plsaTopics(blockDocs, k = 4, rounds = 2, topN = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3))).toSeq
+    val b = TopicOps.plsaTopics(blockDocs, k = 4, rounds = 2, topN = 5).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3))).toSeq
+    assert(a === b)
+  }
+}
