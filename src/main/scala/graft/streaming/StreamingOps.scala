@@ -364,6 +364,61 @@ object StreamingOps {
       .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Input row for [[cmsHeavyStream]]: a group key and the item whose
+    * frequency is being sketched. */
+  case class CmsEvent(group: String, item: String)
+
+  /** Output row: the item's refreshed count-min estimate. */
+  case class CmsEstimate(group: String, item: String, cms_est: Long)
+
+  /** Streaming count-min frequency sketching — the transformWithState
+    * twin of the batch `events_heavy_hitters` CMS, completing the
+    * sketch symmetry (KMV and the quantile pair sketch already have
+    * stream forms): per group, state is ONE depth×width Long cell
+    * array — bounded forever regardless of item cardinality, the
+    * whole point of CMS — updated additively per arrival, with each
+    * batch emitting refreshed estimates for the items it touched
+    * (Update mode). Buckets come from
+    * [[graft.functions.PortableHash.hash24Jvm]], the spec-pinned JVM
+    * twin of the batch SQL bucket hash, so stream cells are
+    * bit-identical to `SketchOps.countMinTable` over the same rows
+    * and the one-sided est ≥ exact guarantee carries over. */
+  class CmsProcessor(depth: Int, width: Int)
+      extends StatefulProcessor[String, CmsEvent, CmsEstimate] {
+    @transient private var sk: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    private def bucket(j: Int, item: String): Int =
+      (graft.functions.PortableHash.hash24Jvm(s"cms$j:$item") % width).toInt
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sk = getHandle.getValueState[Array[Long]]("cms",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[CmsEvent],
+                                 tv: TimerValues): Iterator[CmsEstimate] = {
+      val buf = if (sk.exists()) sk.get() else new Array[Long](depth * width)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      rows.foreach { r =>
+        var j = 0
+        while (j < depth) { buf(j * width + bucket(j, r.item)) += 1; j += 1 }
+        seen += r.item
+      }
+      sk.update(buf)
+      seen.iterator.map { item =>
+        val est = (0 until depth).map(j => buf(j * width + bucket(j, item))).min
+        CmsEstimate(key, item, est)
+      }
+    }
+  }
+
+  /** Declared entry point: per-group running count-min estimates for
+    * the items each micro-batch touches. */
+  def cmsHeavyStream(events: Dataset[CmsEvent], depth: Int = 3,
+                     width: Int = 64): Dataset[CmsEstimate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.group)
+      .transformWithState(new CmsProcessor(depth, width), TimeMode.None(), OutputMode.Update())
+  }
+
   /** Input doc for [[lshDedupStream]]. */
   case class StreamDoc(doc_id: Long, text: String)
 

@@ -192,6 +192,49 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("cmsHeavyStream: stream estimates equal the batch CMS table over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{CmsEstimate, CmsEvent}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CmsEvent]
+    val q = StreamingOps.cmsHeavyStream(input.toDS(), depth = 3, width = 8)
+      .writeStream.format("memory").queryName("cms_out")
+      .outputMode("update").start()
+    val items = Seq.fill(40)("hot") ++ (1 to 25).map(i => s"cold$i")
+    val (b1, b2) = items.splitAt(30)
+    try {
+      input.addData(b1.map(CmsEvent("g", _)): _*)
+      q.processAllAvailable()
+      input.addData(b2.map(CmsEvent("g", _)): _*)
+      q.processAllAvailable()
+      val last = spark.table("cms_out").as[CmsEstimate].collect()
+        .groupBy(_.item).map { case (i, rows) => i -> rows.last.cms_est }
+      // batch twin: the SQL-hashed countMinTable over the same rows
+      import spark.implicits._
+      val cells = graft.ops.SketchOps.countMinTable(
+          items.toDF("user_id"), "user_id", depth = 3, width = 8)
+        .collect().map(r => (r.getAs[Int]("j"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("c")).toMap
+      def batchEst(item: String): Long = (0 until 3).map { j =>
+        val b = graft.functions.PortableHash.hash24Jvm(s"cms$j:$item") % 8
+        cells.getOrElse((j, b), 0L)
+      }.min
+      assert(last("hot") === batchEst("hot"))
+      assert(last("cold1") === batchEst("cold1"))
+      // one-sided guarantee carries over: est >= exact
+      assert(last("hot") >= 40L)
+      assert(last("cold1") >= 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("quantileSketchStream: streaming state equals the batch pair fold over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{KeyedHashValue, QuantileEstimate}
