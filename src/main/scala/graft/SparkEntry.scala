@@ -534,6 +534,15 @@ object SparkEntry {
     // k smallest portable hashes -> (k-1)*2^48 div U(k), Long-exact
     "kmv_distinct" -> ((s, dir) =>
       SketchOps.kmvDistinct(Tables.events(s, dir))),
+    // mergeability receipt: day-sketch bottom-k union must equal the
+    // one-pass whole-period sketch, element for element
+    "kmv_union" -> ((s, dir) => SketchOps.kmvUnionReceipt(Tables.events(s, dir))),
+    // one-scan column census (nulls/distincts/bounds), long format
+    "table_profile" -> ((s, dir) => RelationalOps.tableProfile(Tables.lineitem(s, dir))),
+    // constraint gate: FK / uniqueness / range / null contracts, one
+    // row per check with both counts
+    "dq_checks" -> ((s, dir) => RelationalOps.dqChecks(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // bottom-k pair sketch (mergeable uniform row sample): sample
     // percentiles vs exact type-1 percentiles, errors pinned exactly
     "quantile_sketch" -> ((s, dir) =>
@@ -2521,6 +2530,84 @@ object SparkEntry {
          |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
          |FROM ex e JOIN sk s USING (event_type)""".stripMargin
     },
+    // day-wise bottom-k tiers replayed by rank windows; merged list
+    // vs whole-period list compared element-for-element
+    "kmv_union" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'kmv:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |        epoch_ns(ts) // 86400000000000 AS day, $h48 AS h
+         |      FROM events),
+         |rd AS (SELECT event_type, day, h,
+         |         row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+         |       FROM h),
+         |dsk AS (SELECT event_type, day, h FROM rd WHERE rn <= 64),
+         |nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM h GROUP BY 1),
+         |rm AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM (SELECT DISTINCT event_type, h FROM dsk)),
+         |msk AS (SELECT event_type, list(h ORDER BY h) AS ml FROM rm
+         |        WHERE rn <= 64 GROUP BY 1),
+         |rw AS (SELECT event_type, h,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |       FROM (SELECT DISTINCT event_type, h FROM h)),
+         |wsk AS (SELECT event_type, list(h ORDER BY h) AS wl FROM rw
+         |        WHERE rn <= 64 GROUP BY 1)
+         |SELECT m.event_type, d.n_days,
+         |  CAST(len(m.ml) AS BIGINT) AS size_merged,
+         |  CAST(len(w.wl) AS BIGINT) AS size_whole,
+         |  m.ml = w.wl AS merged_eq_whole,
+         |  CASE WHEN len(m.ml) < 64 THEN CAST(len(m.ml) AS BIGINT)
+         |       ELSE (63 * 281474976710656) // greatest(m.ml[64], 1)
+         |  END AS n_kmv
+         |FROM msk m JOIN wsk w USING (event_type) JOIN nd d USING (event_type)""".stripMargin
+    },
+    // single-statement census per column, unioned long-format
+    "table_profile" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      cols.map(c =>
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  round(CAST(min($c) AS DOUBLE), 6) + 0 AS min_v,
+           |  round(CAST(max($c) AS DOUBLE), 6) + 0 AS max_v
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")
+    },
+    // one SELECT per constraint; FK checks via left-join null probe
+    "dq_checks" ->
+      """SELECT 'fk_orders_customer' AS "check", count(*) AS n_checked,
+        |  CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violations,
+        |  sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 AS pass
+        |FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |  ON c.c_custkey = o.o_custkey
+        |UNION ALL
+        |SELECT 'fk_lineitem_orders', count(*),
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |  ON o.o_orderkey = l.l_orderkey
+        |UNION ALL
+        |SELECT 'unique_customer_key', count(*),
+        |  count(*) - count(DISTINCT c_custkey),
+        |  count(*) - count(DISTINCT c_custkey) = 0
+        |FROM customer
+        |UNION ALL
+        |SELECT 'range_l_discount', count(*),
+        |  CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |       AS BIGINT),
+        |  sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'positive_l_quantity', count(*),
+        |  CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'nonnull_o_orderdate', count(*),
+        |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+        |FROM orders""".stripMargin,
     // bottom-k pair sketch: DISTINCT (h, v_mu) pairs ranked by (h, v)
     // are the sample (the aggregator's exact contract); type-1 ranks
     // via integer (n*pct + 99) // 100 on both engines

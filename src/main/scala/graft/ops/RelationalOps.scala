@@ -357,6 +357,76 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Column profiler — the data-quality census every warehouse runs
+    * before trusting a table: per column, row count, null count,
+    * distinct count, and rounded min/max, in ONE scan (all profile
+    * aggregates ride a single agg; the multi-countDistinct expands
+    * via Catalyst's Expand, still one pass over the data) and long
+    * format for the oracle.
+    *
+    * Scale shape: one full-scan agg with map-side partials; the
+    * unpivot explodes a 1-row result — no second scan, no shuffle
+    * beyond the agg. */
+  def tableProfile(df: DataFrame,
+                   cols: Seq[String] = Seq("l_quantity", "l_extendedprice",
+                     "l_discount", "l_tax")): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"null_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      roundn(min(col(c)).cast("double"), 6).as(s"min_$c"),
+      roundn(max(col(c)).cast("double"), 6).as(s"max_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map(c => struct(
+      lit(c).as("column"), col("n_rows"),
+      col(s"null_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+      col(s"min_$c").as("min_v"), col(s"max_$c").as("max_v")))
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Declarative data-quality gate — the constraint checks a pipeline
+    * runs before publishing a snapshot: referential integrity
+    * (orders→customer, lineitem→orders), key uniqueness, value-range
+    * and null contracts, each emitting (check, n_checked,
+    * n_violations, pass). FK checks use a LEFT join + null-probe so
+    * one pass yields both counts; dimension sides broadcast.
+    *
+    * Scale shape: each check is one scan + (for FKs) one broadcast
+    * join; unioned results are |checks| rows. At 100 TB the FK right
+    * sides are the dimension tables — broadcastable by construction
+    * in a star schema. */
+  def dqChecks(customer: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    def check(name: String, checked: Column, violations: Column, src: DataFrame): DataFrame =
+      src.agg(checked.as("n_checked"), violations.cast("long").as("n_violations"))
+        .select(lit(name).as("check"), col("n_checked"), col("n_violations"),
+          (col("n_violations") === 0L).as("pass"))
+    // DISTINCT key sets: a duplicate dimension key would otherwise
+    // multiply matching fact rows through the left join and corrupt
+    // n_checked (the uniqueness check reports the dup separately)
+    val custKeys = customer.select(col("c_custkey").as("o_custkey"))
+      .distinct().withColumn("_m", lit(1L))
+    val fkOrders = check("fk_orders_customer",
+      count(lit(1)), sum(when(col("_m").isNull, 1L).otherwise(0L)),
+      orders.join(broadcast(custKeys), Seq("o_custkey"), "left"))
+    val orderKeys = orders.select(col("o_orderkey").as("l_orderkey"))
+      .distinct().withColumn("_m", lit(1L))
+    val fkLineitem = check("fk_lineitem_orders",
+      count(lit(1)), sum(when(col("_m").isNull, 1L).otherwise(0L)),
+      lineitem.join(broadcast(orderKeys), Seq("l_orderkey"), "left"))
+    val uniqCust = check("unique_customer_key",
+      count(lit(1)), count(lit(1)) - countDistinct(col("c_custkey")), customer)
+    val rangeDisc = check("range_l_discount",
+      count(lit(1)),
+      sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L)),
+      lineitem)
+    val posQty = check("positive_l_quantity",
+      count(lit(1)), sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)), lineitem)
+    val nullDate = check("nonnull_o_orderdate",
+      count(lit(1)), sum(when(col("o_orderdate").isNull, 1L).otherwise(0L)), orders)
+    Seq(fkOrders, fkLineitem, uniqCust, rangeDisc, posQty, nullDate)
+      .reduce(_ unionByName _)
+  }
+
   /** Inter-arrival burstiness per user (Goh & Barabási, EPL 2008):
     * the coefficient of variation of a user's event gaps and the
     * bounded burstiness index B = (cv−1)/(cv+1) — B ≈ −1 metronome,

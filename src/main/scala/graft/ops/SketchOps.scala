@@ -286,6 +286,44 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** KMV MERGEABILITY as a declared receipt — the distributed-sketch
+    * contract ("merge of partials equals the sketch of the union")
+    * pinned by the oracle instead of only by specs: per event type,
+    * the bottom-k union of per-DAY sketches must equal the sketch
+    * built over the whole period in one pass, element for element.
+    * This is the exact property that lets a 1000-executor job keep
+    * k·8-byte partials per (task × group) and merge them on the
+    * reduce side; a broken insert/merge shows up as
+    * `merged_eq_whole = false` — a hash mismatch, not a flake.
+    *
+    * Scale shape: the per-day tier is a (type, day)-keyed agg with
+    * map-side sketch partials; the merge tier re-aggregates the
+    * ≤k-element day arrays (explode moves k rows per day, not the
+    * stream); the whole-period twin is the receipt's cost. */
+  def kmvUnionReceipt(events: DataFrame, k: Int = 64): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val H = 281474976710656L
+    val kmv = graft.functions.SketchAggregators.kmvUdaf(k)
+    val h = events.select(col("event_type"),
+      expr(s"ts div ${dayNanos}L").as("day"),
+      PortableHash.hash48(concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+    val perDay = h.groupBy(col("event_type"), col("day")).agg(kmv(col("h")).as("sk"))
+    val merged = perDay
+      .select(col("event_type"), col("day"), explode(col("sk")).as("h"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"), kmv(col("h")).as("sk_merged"))
+    val whole = h.groupBy(col("event_type")).agg(kmv(col("h")).as("sk_whole"))
+    merged.join(whole, "event_type")
+      .withColumn("n_kmv",
+        when(size(col("sk_merged")) < k, size(col("sk_merged")).cast("long"))
+          .otherwise(expr(s"(${k - 1}L * ${H}L) div greatest(element_at(sk_merged, $k), 1L)")))
+      .select(col("event_type"), col("n_days"),
+        size(col("sk_merged")).cast("long").as("size_merged"),
+        size(col("sk_whole")).cast("long").as("size_whole"),
+        (col("sk_merged") === col("sk_whole")).as("merged_eq_whole"),
+        col("n_kmv"))
+  }
+
   def kmvDistinct(events: DataFrame, key: String = "user_id", k: Int = 64): DataFrame = {
     val H = 281474976710656L // 2^48, the PortableHash.hash48 range
     val h = events.select(col("event_type"), col(key),

@@ -334,6 +334,42 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("tableProfile: nulls, distincts, and bounds per column from one scan") {
+    val df = Seq(
+      (Some(1.0), 10.0), (Some(2.0), 10.0), (None, 30.0), (Some(2.0), -5.5)
+    ).toDF("a", "b")
+    val r = RelationalOps.tableProfile(df, Seq("a", "b")).collect()
+      .map(x => x.getAs[String]("column") ->
+        ((x.getAs[Long]("n_rows"), x.getAs[Long]("n_null"), x.getAs[Long]("n_distinct"),
+          x.getAs[Double]("min_v"), x.getAs[Double]("max_v")))).toMap
+    assert(r("a") === ((4L, 1L, 2L, 1.0, 2.0)))
+    assert(r("b") === ((4L, 0L, 3L, -5.5, 30.0)))
+  }
+
+  test("dqChecks: planted FK orphan, duplicate key, and negative quantity are each caught") {
+    val customer = Seq((1L, "x", 0L, 0.0, "m"), (2L, "y", 0L, 0.0, "m"), (2L, "y2", 0L, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((10L, 1L, "O", 5.0, "1996-01-01", "1-URGENT"),
+        (11L, 99L, "O", 6.0, null, "1-URGENT")) // orphan custkey + null date
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = Seq((10L, 1L, 1L, 1L, -3.0, 1.0, 0.05, 0.01, "N", "O", "1996-01-02"),
+        (77L, 1L, 1L, 1L, 4.0, 1.0, 1.75, 0.01, "N", "O", "1996-01-02")) // orphan + bad disc
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val r = RelationalOps.dqChecks(customer, orders, lineitem).collect()
+      .map(x => x.getAs[String]("check") ->
+        ((x.getAs[Long]("n_checked"), x.getAs[Long]("n_violations"),
+          x.getAs[Boolean]("pass")))).toMap
+    assert(r("fk_orders_customer") === ((2L, 1L, false)))
+    assert(r("fk_lineitem_orders") === ((2L, 1L, false)))
+    assert(r("unique_customer_key") === ((3L, 1L, false)))
+    assert(r("range_l_discount") === ((2L, 1L, false)))
+    assert(r("positive_l_quantity") === ((2L, 1L, false)))
+    assert(r("nonnull_o_orderdate") === ((2L, 1L, false)))
+  }
+
   test("eventsBurstiness: metronome at -1, bursty positive, square-sum exact at 10^26 scale") {
     val h = 3600L * 1000 * 1000 * 1000
     // u1 metronome: identical gaps → cv 0 → B = -1

@@ -149,6 +149,27 @@ class SketchOpsSpec extends SparkSpec {
       s"k=8 err ${r(8L)._2} should dominate k=512 err ${r(512L)._2}")
   }
 
+  test("kmvUnionReceipt: day-sketch union equals the whole-period sketch, filled or not") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rnd = new scala.util.Random(31)
+    // type 'a': 30 users spread over 3 days with overlap (< k ⇒ exact);
+    // type 'b': 500 users over 4 days (fills the k=64 sketch)
+    val rows =
+      (1 to 60).map { i => (i.toLong, (i % 30).toLong + 1, (i % 3) * day + i, "a", 1.0, "{}") } ++
+      (1 to 900).map { i =>
+        (1000L + i, 100L + rnd.nextInt(500), (i % 4) * day + i, "b", 1.0, "{}")
+      }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = SketchOps.kmvUnionReceipt(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_days"), x.getAs[Long]("size_merged"),
+          x.getAs[Boolean]("merged_eq_whole"), x.getAs[Long]("n_kmv")))).toMap
+    assert(r("a")._1 === 3L && r("b")._1 === 4L)
+    assert(r.values.forall(_._3), "merge-of-partials must equal sketch-of-union")
+    assert(r("a")._2 === 30L && r("a")._4 === 30L, "under-filled union stays exact")
+    assert(r("b")._2 === 64L)
+  }
+
   test("kmv distinct: under-filled sketch is exact; filled sketch is within bound") {
     // 40 distinct users of type 'a' (< k=64 → exact); 3000 of type 'b'
     val rows =
