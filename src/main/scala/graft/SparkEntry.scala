@@ -537,6 +537,14 @@ object SparkEntry {
     // mergeability receipt: day-sketch bottom-k union must equal the
     // one-pass whole-period sketch, element for element
     "kmv_union" -> ((s, dir) => SketchOps.kmvUnionReceipt(Tables.events(s, dir))),
+    // CUSUM level-shift detection over the calendar-bounded daily
+    // mean series
+    "events_changepoint" -> ((s, dir) =>
+      RelationalOps.eventsChangepoint(Tables.events(s, dir))),
+    // AMS/CMS inner-product join-size estimation vs the exact join —
+    // the cardinality-estimator receipt with a one-sided guarantee
+    "join_size_sketch" -> ((s, dir) => SketchOps.joinSizeSketch(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // one-scan column census (nulls/distincts/bounds), long format
     "table_profile" -> ((s, dir) => RelationalOps.tableProfile(Tables.lineitem(s, dir))),
     // constraint gate: FK / uniqueness / range / null contracts, one
@@ -2529,6 +2537,58 @@ object SparkEntry {
          |SELECT e.event_type, e.n_exact, s.n_kmv,
          |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
          |FROM ex e JOIN sk s USING (event_type)""".stripMargin
+    },
+    // daily means rounded once; period mean from the day-ordered
+    // fold; frame-ordered running CUSUM; argmax on rounded |cusum|
+    "events_changepoint" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         round(avg(value), 6) + 0 AS m
+        |       FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, count(*) AS n_days,
+        |        round(sum(m ORDER BY day), 6) + 0 AS sm
+        |      FROM daily GROUP BY 1),
+        |p2 AS (SELECT event_type, n_days, round(sm / n_days, 6) + 0 AS mm FROM p),
+        |c AS (SELECT d.event_type, p2.n_days, d.day,
+        |        round(abs(sum(d.m - p2.mm) OVER (PARTITION BY d.event_type
+        |          ORDER BY d.day ROWS UNBOUNDED PRECEDING)), 6) + 0 AS abs_cusum
+        |      FROM daily d JOIN p2 USING (event_type))
+        |SELECT event_type, n_days, day AS cp_day, abs_cusum AS max_abs_cusum
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs_cusum DESC, day) AS rn FROM c)
+        |WHERE rn = 1""".stripMargin,
+    // per-side CMS cells from the shared bucket hash, cell-aligned
+    // HUGEINT inner product, min over rows; exact join twin beside it
+    "join_size_sketch" -> {
+      def side(cte: String, src: String, key: String) = {
+        val h = graft.functions.PortableHash.duckdbHash24(
+          s"'cms' || CAST(jj.j AS VARCHAR) || ':' || CAST($key AS VARCHAR)")
+        s"""${cte}0 AS (SELECT jj.j, CAST($h % 64 AS BIGINT) AS bucket
+           |       FROM $src, (SELECT unnest([0, 1, 2]) AS j) jj),
+           |$cte AS (SELECT j, bucket, count(*) AS c_$cte FROM ${cte}0 GROUP BY 1, 2)"""
+          .stripMargin
+      }
+      s"""WITH ${side("ca", "orders", "o_custkey")},
+         |${side("cb", "customer", "c_custkey")},
+         |${side("cc", "lineitem", "l_orderkey")},
+         |${side("cd", "orders", "o_orderkey")},
+         |d1 AS (SELECT a.j, sum(CAST(a.c_ca AS HUGEINT) * b.c_cb) AS dot
+         |       FROM ca a JOIN cb b USING (j, bucket) GROUP BY 1),
+         |e1 AS (SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM d1),
+         |x1 AS (SELECT count(*) AS exact_size FROM orders o
+         |       JOIN customer c ON c.c_custkey = o.o_custkey),
+         |d2 AS (SELECT a.j, sum(CAST(a.c_cc AS HUGEINT) * b.c_cd) AS dot
+         |       FROM cc a JOIN cd b USING (j, bucket) GROUP BY 1),
+         |e2 AS (SELECT CAST(min(dot) AS BIGINT) AS cms_est FROM d2),
+         |x2 AS (SELECT count(*) AS exact_size FROM lineitem l
+         |       JOIN orders o ON o.o_orderkey = l.l_orderkey)
+         |SELECT 'orders_customer' AS join_name, x1.exact_size, e1.cms_est,
+         |  e1.cms_est - x1.exact_size AS overcount,
+         |  e1.cms_est >= x1.exact_size AS est_ge_exact
+         |FROM x1, e1
+         |UNION ALL
+         |SELECT 'lineitem_orders', x2.exact_size, e2.cms_est,
+         |  e2.cms_est - x2.exact_size, e2.cms_est >= x2.exact_size
+         |FROM x2, e2""".stripMargin
     },
     // day-wise bottom-k tiers replayed by rank windows; merged list
     // vs whole-period list compared element-for-element

@@ -357,6 +357,48 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Offline changepoint detection — CUSUM over the per-type DAILY
+    * mean series (Page 1954; the batch screen for "when did this
+    * metric shift"): cumulative sum of (daily mean − period mean),
+    * whose extremum marks the most likely level-shift day. Runs on
+    * the calendar-bounded day series, never the raw stream, so the
+    * sequential scan a changepoint statistic needs stays bounded.
+    *
+    * Determinism: daily means are rounded once; the period mean folds
+    * the bounded day series in day order; the running CUSUM is a
+    * frame-ordered window sum over 6dp-grid values (sequential on
+    * both engines); the argmax ranks on the ROUNDED |cusum| with the
+    * day as tie-break.
+    *
+    * Scale shape: one (type, day)-keyed agg with map-side partials
+    * reduces the stream to a calendar-bounded table; everything after
+    * — the period mean, the running sum, the argmax window — runs on
+    * |types|·|days| rows. */
+  def eventsChangepoint(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+    val period = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        roundn(graft.functions.VectorMath.orderedSum(col("day"), col("m")), 6).as("sm"))
+      .withColumn("mm", roundn(col("sm") / col("n_days"), 6))
+      .select(col("event_type"), col("n_days"), col("mm"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cusum = daily.join(broadcast(period), "event_type")
+      .withColumn("cusum", sum(col("m") - col("mm")).over(w))
+      .withColumn("abs_cusum", roundn(abs(col("cusum")), 6))
+    cusum
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("abs_cusum").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n_days"), col("day").as("cp_day"),
+        col("abs_cusum").as("max_abs_cusum"))
+  }
+
   /** Column profiler — the data-quality census every warehouse runs
     * before trusting a table: per column, row count, null count,
     * distinct count, and rounded min/max, in ONE scan (all profile

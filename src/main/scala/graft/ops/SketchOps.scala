@@ -286,6 +286,44 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Sketch-based JOIN-SIZE ESTIMATION — the cardinality-estimator
+    * receipt (Alon-Matias-Szegedy lineage; the CMS inner-product
+    * form, Cormode & Muthukrishnan §4.2): |A ⋈ B| on an equi-key is
+    * the inner product of the two frequency vectors, which two
+    * count-min sketches estimate as min_j Σ_b ca(j,b)·cb(j,b) — an
+    * OVERESTIMATE (collision terms are nonnegative), so est ≥ exact
+    * is a pinnable one-sided guarantee, exactly the shape a join
+    * planner needs for safe sizing. The exact join count beside it is
+    * the verification twin.
+    *
+    * Scale shape: each side reduces to depth·width cells with
+    * map-side partials regardless of input rows; the estimate is a
+    * cell-aligned equi-join over two postcard tables; the exact twin
+    * is the receipt's cost (the real join). Cell products accumulate
+    * in decimal(38,0) — two 10^12-row sides put cell counts near
+    * 10^12 and products near 10^24, far past Long. */
+  def joinSizeSketch(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                     depth: Int = 3, width: Int = 64): DataFrame = {
+    def one(name: String, a: DataFrame, aKey: String, b: DataFrame, bKey: String): DataFrame = {
+      val cmsA = countMinTable(a.select(col(aKey).as("k")), "k", depth, width)
+        .withColumnRenamed("c", "ca")
+      val cmsB = countMinTable(b.select(col(bKey).as("k")), "k", depth, width)
+        .withColumnRenamed("c", "cb")
+      val est = cmsA.join(cmsB, Seq("j", "bucket"))
+        .groupBy(col("j"))
+        .agg(sum(col("ca").cast("decimal(38,0)") * col("cb")).as("dot"))
+        .agg(min(col("dot")).cast("long").as("cms_est"))
+      val exact = a.select(col(aKey).as("k")).join(b.select(col(bKey).as("k")), "k")
+        .agg(count(lit(1)).as("exact_size"))
+      exact.crossJoin(est)
+        .select(lit(name).as("join_name"), col("exact_size"), col("cms_est"),
+          (col("cms_est") - col("exact_size")).as("overcount"),
+          (col("cms_est") >= col("exact_size")).as("est_ge_exact"))
+    }
+    one("orders_customer", orders, "o_custkey", customer, "c_custkey")
+      .unionByName(one("lineitem_orders", lineitem, "l_orderkey", orders, "o_orderkey"))
+  }
+
   /** KMV MERGEABILITY as a declared receipt — the distributed-sketch
     * contract ("merge of partials equals the sketch of the union")
     * pinned by the oracle instead of only by specs: per event type,

@@ -334,6 +334,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("eventsChangepoint: CUSUM extremum lands on the planted level shift") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 20 days at level 10, then 20 days at level 50: |CUSUM| peaks at
+    // the last pre-shift day (day 19)
+    val rows = (0 until 40).flatMap { d =>
+      val level = if (d < 20) 10.0 else 50.0
+      (0 until 3).map(i => ((d * 10 + i).toLong, 1L, d * day + i, "a", level, "{}"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsChangepoint(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") === 40L)
+    assert(r.getAs[Long]("cp_day") === 19L, s"got day ${r.getAs[Long]("cp_day")}")
+    // |CUSUM| at the split = 20·|10 − 30| = 400
+    assert(r.getAs[Double]("max_abs_cusum") === 400.0)
+  }
+
   test("tableProfile: nulls, distincts, and bounds per column from one scan") {
     val df = Seq(
       (Some(1.0), 10.0), (Some(2.0), 10.0), (None, 30.0), (Some(2.0), -5.5)

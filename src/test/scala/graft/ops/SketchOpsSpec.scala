@@ -149,6 +149,32 @@ class SketchOpsSpec extends SparkSpec {
       s"k=8 err ${r(8L)._2} should dominate k=512 err ${r(512L)._2}")
   }
 
+  test("joinSizeSketch: wide sketch estimates the join size exactly; guarantee is one-sided") {
+    import spark.implicits._
+    val customer = (1L to 20L).map(k => (k, s"c$k", 0L, 0.0, "m"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    // orders: customer k gets k orders → join size = Σk = 210
+    val orders = (1L to 20L).flatMap(k => (1L to k).map(i =>
+        (k * 100 + i, k, "O", 1.0, "1996-01-01", "p")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val lineitem = orders.select(col("o_orderkey").as("l_orderkey"))
+      .withColumn("l_partkey", lit(1L)).withColumn("l_suppkey", lit(1L))
+      .withColumn("l_linenumber", lit(1L)).withColumn("l_quantity", lit(1.0))
+      .withColumn("l_extendedprice", lit(1.0)).withColumn("l_discount", lit(0.0))
+      .withColumn("l_tax", lit(0.0)).withColumn("l_returnflag", lit("N"))
+      .withColumn("l_linestatus", lit("O")).withColumn("l_shipdate", lit("1996-01-02"))
+    val r = SketchOps.joinSizeSketch(customer, orders, lineitem, depth = 3, width = 4096)
+      .collect().map(x => x.getAs[String]("join_name") ->
+        ((x.getAs[Long]("exact_size"), x.getAs[Long]("cms_est"),
+          x.getAs[Boolean]("est_ge_exact")))).toMap
+    assert(r("orders_customer")._1 === 210L)
+    // 20 + 210 keys into 3×4096 buckets: collision-free → exact
+    assert(r("orders_customer")._2 === 210L)
+    assert(r.values.forall(_._3), "CMS inner product must never underestimate")
+    assert(r("lineitem_orders")._1 === 210L) // 1 lineitem per order
+  }
+
   test("kmvUnionReceipt: day-sketch union equals the whole-period sketch, filled or not") {
     val day = 86400L * 1000 * 1000 * 1000
     val rnd = new scala.util.Random(31)
