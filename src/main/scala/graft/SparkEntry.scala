@@ -541,6 +541,12 @@ object SparkEntry {
     // mean series
     "events_changepoint" -> ((s, dir) =>
       RelationalOps.eventsChangepoint(Tables.events(s, dir))),
+    // fixed-point OLS drift per type over the daily means
+    "events_trend" -> ((s, dir) => RelationalOps.eventsTrend(Tables.events(s, dir))),
+    // decomposable-state merge identity: base + delta == full, exact
+    "ivm_agg" -> ((s, dir) => RelationalOps.ivmReceipt(Tables.lineitem(s, dir))),
+    // portable-hash Bloom FPR-vs-bits curve with the theory value
+    "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // AMS/CMS inner-product join-size estimation vs the exact join —
     // the cardinality-estimator receipt with a one-sided guarantee
     "join_size_sketch" -> ((s, dir) => SketchOps.joinSizeSketch(
@@ -2537,6 +2543,78 @@ object SparkEntry {
          |SELECT e.event_type, e.n_exact, s.n_kmv,
          |       round(abs(s.n_kmv - e.n_exact) / e.n_exact, 6) + 0 AS rel_err
          |FROM ex e JOIN sk s USING (event_type)""".stripMargin
+    },
+    // per-type integer-micro OLS over (day, daily mean) — the
+    // zipf_fit twin per group (HUGEINT sums ⊇ the Long-exact values)
+    "events_trend" ->
+      """WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS x,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS y6
+        |       FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y6) AS sy,
+        |        sum(x * y6) AS sxy, sum(x * x) AS sxx
+        |      FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |        / (CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000), 6) + 0 AS slope,
+        |  round((CAST(sy AS DOUBLE) / 1000000
+        |         - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+        |            / (CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000))
+        |           * CAST(sx AS DOUBLE)) / n_days, 6) + 0 AS intercept
+        |FROM s""".stripMargin,
+    // decomposable integer state: base/delta/full aggs on the same
+    // key, merged counts and cent sums compared exactly
+    "ivm_agg" ->
+      """WITH b AS (SELECT l_returnflag, count(*) AS base_n,
+        |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |          AS base_cents
+        |      FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+        |d AS (SELECT l_returnflag, count(*) AS delta_n,
+        |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |          AS delta_cents
+        |      FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+        |f AS (SELECT l_returnflag, count(*) AS full_n,
+        |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |          AS full_cents
+        |      FROM lineitem GROUP BY 1)
+        |SELECT f.l_returnflag, f.full_n, f.full_cents,
+        |  coalesce(b.base_n, 0) + coalesce(d.delta_n, 0) AS merged_n,
+        |  coalesce(b.base_cents, 0) + coalesce(d.delta_cents, 0) AS merged_cents,
+        |  f.full_n = coalesce(b.base_n, 0) + coalesce(d.delta_n, 0)
+        |    AND f.full_cents = coalesce(b.base_cents, 0) + coalesce(d.delta_cents, 0)
+        |    AS maintained_ok
+        |FROM f LEFT JOIN b USING (l_returnflag) LEFT JOIN d USING (l_returnflag)""".stripMargin,
+    // portable-hash Bloom: per width, distinct bit positions over k
+    // seeded hashes; negative probes false-positive iff all k hit
+    "bloom_fpr_curve" -> {
+      def posExpr(j: Int, key: String, m: Int) =
+        s"CAST(${graft.functions.PortableHash.duckdbHash24(s"'bf$j:' || $key")} % $m AS BIGINT)"
+      val widths = Seq(256, 1024, 4096)
+      widths.map { m =>
+        val bitsSel = (0 until 3).map(j =>
+          s"SELECT DISTINCT ${posExpr(j, "k.key", m)} AS pos FROM ks k").mkString(" UNION ")
+        val probeSel = (0 until 3).map(j =>
+          s"SELECT p.key, $j AS j, ${posExpr(j, "p.key", m)} AS pos FROM pk p")
+          .mkString(" UNION ALL ")
+        s"""SELECT CAST($m AS BIGINT) AS m_bits,
+           |  (SELECT count(*) FROM ks) AS n_inserted,
+           |  (SELECT count(*) FROM ($bitsSel)) AS n_bits_set,
+           |  CAST(2000 AS BIGINT) AS n_probed,
+           |  (SELECT count(*) FROM (
+           |     SELECT pr.key FROM ($probeSel) pr
+           |     JOIN ($bitsSel) bt USING (pos)
+           |     GROUP BY pr.key HAVING count(DISTINCT pr.j) = 3)) AS n_false_pos,
+           |  round((SELECT count(*) FROM (
+           |     SELECT pr.key FROM ($probeSel) pr
+           |     JOIN ($bitsSel) bt USING (pos)
+           |     GROUP BY pr.key HAVING count(DISTINCT pr.j) = 3)) / 2000.0, 6) + 0
+           |    AS fpr,
+           |  round(power(1.0 - power(1.0 - 1.0 / $m,
+           |        (SELECT count(*) FROM ks) * 3), 3.0), 6) + 0 AS theory_fpr""".stripMargin
+      }.mkString(
+        "WITH ks AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS key FROM events),\n" +
+          "pk AS (SELECT 'neg:' || CAST(u.i AS VARCHAR) AS key\n" +
+          "       FROM unnest(range(0, 2000)) u(i))\n",
+        "\nUNION ALL\n", "")
     },
     // daily means rounded once; period mean from the day-ordered
     // fold; frame-ordered running CUSUM; argmax on rounded |cusum|

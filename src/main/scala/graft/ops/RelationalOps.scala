@@ -357,6 +357,76 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Per-type metric TREND — fixed-point OLS of the daily mean
+    * against the day index (the `zipf_fit` integer-micro regression
+    * applied per group): slope sign and magnitude are the
+    * drift-direction diagnostic next to [[eventsChangepoint]]'s
+    * level-shift screen and [[eventsSeasonality]]'s cycle baseline.
+    *
+    * Determinism: daily means round once; x = raw day index (exact
+    * integer), y = mean in integer micros; the per-type OLS sums are
+    * exact Long arithmetic (order-free, partial-aggregable) and the
+    * two final doubles are computed from identical integers on both
+    * engines.
+    *
+    * Scale shape: the stream reduces to the calendar-bounded daily
+    * table (map-side partials); the regression is one bounded
+    * per-type agg — no windows, no sorts. */
+  def eventsTrend(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day").as("x"),
+        round(col("m") * 1e6).cast("long").as("y6"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x") * col("y6")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("slope_raw",
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          ((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6))
+      .select(col("event_type"), col("n_days"),
+        roundn(col("slope_raw"), 6).as("slope"),
+        roundn((col("sy").cast("double") / 1e6 -
+          col("slope_raw") * col("sx").cast("double")) / col("n_days"), 6)
+          .as("intercept"))
+  }
+
+  /** Incremental-view-maintenance receipt — the contract behind every
+    * streaming/merge-on-read aggregate: a DECOMPOSABLE aggregate
+    * state (integer cent sums + counts) computed over base and delta
+    * partitions SEPARATELY and merged must equal the single-pass
+    * aggregate over the union, exactly. Pinned per group as a
+    * boolean: float sums would make this flaky (merge order), integer
+    * state makes it an identity — which is precisely why the engine
+    * keeps money in cents and responsibilities in micros everywhere.
+    *
+    * Scale shape: three aggs on the same uniform group key (two over
+    * disjoint partition slices, one over the whole), merged with a
+    * bounded join. At 100 TB the "full" twin is the receipt's cost —
+    * production keeps only base state + delta merge. */
+  def ivmReceipt(lineitem: DataFrame): DataFrame = {
+    def agg(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as(s"${pfx}_n"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as(s"${pfx}_cents"))
+    val base = agg(lineitem.filter(col("l_orderkey") % 2 === 0), "base")
+    val delta = agg(lineitem.filter(col("l_orderkey") % 2 === 1), "delta")
+    val full = agg(lineitem, "full")
+    full.join(base, Seq("l_returnflag"), "left").join(delta, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("full_n"), col("full_cents"),
+        (coalesce(col("base_n"), lit(0L)) + coalesce(col("delta_n"), lit(0L)))
+          .as("merged_n"),
+        (coalesce(col("base_cents"), lit(0L)) + coalesce(col("delta_cents"), lit(0L)))
+          .as("merged_cents"))
+      .withColumn("maintained_ok",
+        col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
+  }
+
   /** Offline changepoint detection — CUSUM over the per-type DAILY
     * mean series (Page 1954; the batch screen for "when did this
     * metric shift"): cumulative sum of (daily mean − period mean),

@@ -286,6 +286,57 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Bloom-filter FPR-vs-bits curve as a DECLARED receipt — the
+    * membership-sketch member of the error-curve family
+    * (cms_error_curve counts, quantile_error_curve order statistics,
+    * this one set membership): build a k-hash Bloom filter over the
+    * distinct user keys at several bit widths FROM PORTABLE HASHES
+    * (unlike `decontaminate_bloom`'s built-in `stat.bloomFilter`,
+    * whose bit layout a foreign oracle cannot replay), probe it with
+    * keys known to be absent, and pin the measured false-positive
+    * rate next to the (1 − (1 − 1/m)^{kn})^k theory value. No false
+    * negatives is part of the pinned contract (every inserted key
+    * re-probes positive — checked by construction: the measured FPR
+    * uses only disjoint probe keys).
+    *
+    * Scale shape: the bit table is ≤m rows per width (distinct over
+    * the keys' hash positions, map-side partials); probes explode
+    * k rows each and equi-join the bit table (broadcastable — m is
+    * the SKETCH size); a probe is a false positive iff all k
+    * positions hit. */
+  def bloomFprCurve(events: DataFrame, ms: Seq[Int] = Seq(256, 1024, 4096),
+                    k: Int = 3, nProbe: Int = 2000): DataFrame = {
+    val spark = events.sparkSession
+    val keys = events.select(col("user_id").cast("string").as("key")).distinct()
+      .localCheckpoint(true)
+    val nIns = keys.agg(count(lit(1)).as("n_inserted"))
+    val probes = spark.range(nProbe).select(concat(lit("neg:"), col("id")).as("key"))
+    ms.map { m =>
+      val bits = (0 until k)
+        .map(j => keys.select(
+          PortableHash.bucket(concat(lit(s"bf$j:"), col("key")), m).as("pos")))
+        .reduce(_ union _).distinct()
+      val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+      val probed = (0 until k)
+        .map(j => probes.select(col("key"), lit(j).as("j"),
+          PortableHash.bucket(concat(lit(s"bf$j:"), col("key")), m).as("pos")))
+        .reduce(_ union _)
+      val fps = probed.join(bits, "pos")
+        .groupBy(col("key")).agg(countDistinct(col("j")).as("nh"))
+        .filter(col("nh") === k)
+        .agg(count(lit(1)).as("n_false_pos"))
+      fps.crossJoin(nIns).crossJoin(nBits)
+        .select(
+          lit(m.toLong).as("m_bits"), col("n_inserted"), col("n_bits_set"),
+          lit(nProbe.toLong).as("n_probed"), col("n_false_pos"),
+          graft.functions.VectorMath.roundn(
+            col("n_false_pos") / lit(nProbe.toDouble), 6).as("fpr"),
+          graft.functions.VectorMath.roundn(
+            pow(lit(1.0) - pow(lit(1.0 - 1.0 / m),
+              col("n_inserted") * k), lit(k.toDouble)), 6).as("theory_fpr"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Sketch-based JOIN-SIZE ESTIMATION — the cardinality-estimator
     * receipt (Alon-Matias-Szegedy lineage; the CMS inner-product
     * form, Cormode & Muthukrishnan §4.2): |A ⋈ B| on an equi-key is

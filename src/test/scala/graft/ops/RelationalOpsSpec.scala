@@ -334,6 +334,34 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("eventsTrend: recovers the slope of a planted linear drift exactly") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // daily mean = 5 + 2·day, exactly
+    val rows = (0 until 30).flatMap(d =>
+      (0 until 2).map(i => ((d * 2 + i).toLong, 1L, d * day + i, "a", 5.0 + 2.0 * d, "{}")))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsTrend(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") === 30L)
+    assert(r.getAs[Double]("slope") === 2.0)
+    assert(r.getAs[Double]("intercept") === 5.0)
+  }
+
+  test("ivmReceipt: base+delta integer state merges to the full aggregate exactly") {
+    val li = (1L to 50L).map(k => (k, k, k, 1L, 1.0, 10.01 * k, 0.0, 0.0,
+        if (k % 3 == 0) "A" else "N", "O", "1996-01-01"))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+        "l_shipdate")
+    val r = RelationalOps.ivmReceipt(li).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Boolean]("maintained_ok")),
+      "integer-state merge must be an identity")
+    r.foreach { x =>
+      assert(x.getAs[Long]("full_n") === x.getAs[Long]("merged_n"))
+      assert(x.getAs[Long]("full_cents") === x.getAs[Long]("merged_cents"))
+    }
+  }
+
   test("eventsChangepoint: CUSUM extremum lands on the planted level shift") {
     val day = 86400L * 1000 * 1000 * 1000
     // 20 days at level 10, then 20 days at level 50: |CUSUM| peaks at

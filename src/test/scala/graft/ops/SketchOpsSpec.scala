@@ -149,6 +149,33 @@ class SketchOpsSpec extends SparkSpec {
       s"k=8 err ${r(8L)._2} should dominate k=512 err ${r(512L)._2}")
   }
 
+  test("bloomFprCurve: no false negatives, FPR shrinks with width and tracks theory") {
+    val ev = (1L to 120L).map(u => (u, u, u, "a", 1.0, "{}"))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = SketchOps.bloomFprCurve(ev, ms = Seq(128, 1024, 8192), nProbe = 500)
+      .collect().map(x => x.getAs[Long]("m_bits") ->
+        ((x.getAs[Double]("fpr"), x.getAs[Double]("theory_fpr")))).toMap
+    // monotone: more bits, fewer false positives
+    assert(r(128L)._1 >= r(1024L)._1 && r(1024L)._1 >= r(8192L)._1)
+    // measured within a few points of theory at each width
+    r.foreach { case (m, (fpr, th)) =>
+      assert(math.abs(fpr - th) < 0.08, s"m=$m fpr=$fpr theory=$th")
+    }
+    // NO FALSE NEGATIVES: every inserted key must re-probe positive.
+    // Rebuild the m=1024 bit set and probe the inserted keys.
+    import graft.functions.PortableHash
+    val keys = ev.select(col("user_id").cast("string").as("key")).distinct()
+    val bits = (0 until 3).map(j => keys.select(
+        PortableHash.bucket(concat(lit(s"bf$j:"), col("key")), 1024).as("pos")))
+      .reduce(_ union _).distinct()
+    val selfHits = (0 until 3).map(j => keys.select(col("key"), lit(j).as("j"),
+        PortableHash.bucket(concat(lit(s"bf$j:"), col("key")), 1024).as("pos")))
+      .reduce(_ union _)
+      .join(bits, "pos").groupBy("key").agg(countDistinct("j").as("nh"))
+      .filter(col("nh") === 3).count()
+    assert(selfHits === 120L, "a Bloom filter must never miss an inserted key")
+  }
+
   test("joinSizeSketch: wide sketch estimates the join size exactly; guarantee is one-sided") {
     import spark.implicits._
     val customer = (1L to 20L).map(k => (k, s"c$k", 0L, 0.0, "m"))
