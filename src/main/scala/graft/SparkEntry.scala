@@ -156,6 +156,12 @@ object SparkEntry {
     // variance broadcast back, dim-ordered score fold, top-20
     "embedding_outliers" -> ((s, dir) =>
       VectorOps.embeddingOutliers(Tables.embeddings(s, dir))),
+    // semantic decontamination: nearest benchmark vector per corpus
+    // vector via IVF co-residency, flagged over tau
+    "decontaminate_semantic" -> ((s, dir) =>
+      VectorOps.decontaminateSemantic(Tables.embeddings(s, dir))),
+    // power-of-two sequence bucketing with the padding-waste audit
+    "length_buckets" -> ((s, dir) => TextOps.lengthBuckets(Tables.documents(s, dir))),
     // JL projection: deterministic ±1 hyperplanes as a literal matrix
     // folded into map-only expressions; long-format coords
     "rp_project" -> ((s, dir) => VectorOps.randomProject(Tables.embeddings(s, dir))),
@@ -2057,6 +2063,41 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |                               ORDER BY cos_sim DESC, neg_id) AS rn
          |  FROM sim) WHERE rn = 1""".stripMargin,
+    // corpus (vec >= 50) × benchmark (vec < 50) through the shared
+    // cell table; per-corpus argmax with bench_id tie-break
+    "decontaminate_semantic" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cp AS (SELECT DISTINCT a.vec_id AS corpus_id, b.vec_id AS bench_id
+         |       FROM assigned a JOIN assigned b USING (c_label)
+         |       WHERE a.vec_id >= 50 AND b.vec_id < 50),
+         |sim AS (SELECT cp.corpus_id, cp.bench_id,
+         |          round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 AS cos_sim
+         |        FROM cp
+         |        JOIN embeddings ea ON ea.vec_id = cp.corpus_id
+         |        JOIN embeddings eb ON eb.vec_id = cp.bench_id)
+         |SELECT corpus_id, bench_id, cos_sim, cos_sim >= 0.35 AS contaminated
+         |FROM (SELECT *, row_number() OVER (PARTITION BY corpus_id
+         |        ORDER BY cos_sim DESC, bench_id) AS rn FROM sim)
+         |WHERE rn = 1""".stripMargin,
+    // same CASE-chain bucket assignment (no float log2), one bounded
+    // agg, one rounded waste ratio
+    "length_buckets" -> {
+      val pows = Seq(1, 2, 4, 8, 16, 32, 64, 128, 256)
+      val chain = pows.map(p => s"WHEN n_tok <= $p THEN $p").mkString(" ")
+      s"""WITH t AS (SELECT CAST(len(list_filter(list_transform(
+         |        string_split(text, ' '), x -> trim(x)), x -> x <> '')) AS BIGINT)
+         |        AS n_tok FROM documents),
+         |b AS (SELECT n_tok,
+         |        CAST(CASE $chain ELSE 512 END AS BIGINT) AS bucket FROM t),
+         |g AS (SELECT bucket, count(*) AS n_docs,
+         |        CAST(sum(least(n_tok, bucket)) AS BIGINT) AS used_tokens
+         |      FROM b GROUP BY 1)
+         |SELECT bucket, n_docs, used_tokens, bucket * n_docs AS capacity,
+         |  round(1.0 - used_tokens / CAST(bucket * n_docs AS DOUBLE), 6) + 0
+         |    AS padding_waste
+         |FROM g""".stripMargin
+    },
     // the oracle RETRAINS the classifier from scratch (8 unrolled GD
     // steps as CTE pairs — weights are never taken from the engine):
     // HUGEINT gradient sums twin the engine's decimal(38,0) ones

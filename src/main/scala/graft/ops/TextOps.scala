@@ -1068,6 +1068,42 @@ object TextOps {
         col("m_x"), col("m_y"), col("pmi"))
   }
 
+  /** Sequence-length BUCKETING diagnostic — the batching-efficiency
+    * audit behind bucketed training (docs padded to their bucket's
+    * capacity; docs past the cap truncate): assign each document to
+    * the smallest power-of-two token bucket that holds it (capped),
+    * then report per bucket the doc count, used tokens, padded
+    * capacity, and the padding-waste fraction — the number a
+    * bucket-boundary decision is made on.
+    *
+    * Determinism: integer token counts through an explicit
+    * CASE-chain (no float log2, whose boundary at exact powers of
+    * two is an engine-dependent ulp); waste is one rounded integer
+    * ratio.
+    *
+    * Scale shape: map-only token count + bucket assignment over the
+    * scan, one bounded (≤10-bucket) agg with map-side partials. */
+  def lengthBuckets(docs: DataFrame, cap: Int = 512): DataFrame = {
+    val pows = Iterator.iterate(1)(_ * 2).takeWhile(_ <= cap).toSeq
+    val n = size(filter(transform(split(col("text"), " "), t => trim(t)), t => t =!= ""))
+      .cast("long")
+    val bucket = pows.init.reverse.foldLeft(lit(cap.toLong)) {
+      case (acc, p) => when(col("n_tok") <= p, lit(p.toLong)).otherwise(acc)
+    }
+    docs
+      .select(n.as("n_tok"))
+      .withColumn("bucket", bucket)
+      .withColumn("used", least(col("n_tok"), col("bucket")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("used")).as("used_tokens"))
+      .withColumn("capacity", col("bucket") * col("n_docs"))
+      .withColumn("padding_waste",
+        roundn(lit(1.0) - col("used_tokens").cast("double") / col("capacity"), 6))
+      .select(col("bucket"), col("n_docs"), col("used_tokens"),
+        col("capacity"), col("padding_waste"))
+  }
+
   /** Histogram-CDF percentile of one (doc_id, value) metric —
     * percentile normalization WITHOUT a global sort: a corpus-rank
     * percent_rank() would be one unpartitioned window over every row

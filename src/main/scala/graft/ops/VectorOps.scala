@@ -191,6 +191,46 @@ object VectorOps {
         col("neg_label"), col("cos_sim"))
   }
 
+  /** SEMANTIC decontamination — the embedding-tier member of the
+    * decontamination family (`decontaminate` = exact 13-gram overlap,
+    * `decontaminate_bloom` = map-side membership prefilter, this =
+    * near-duplicate MEANING): for every corpus vector, its nearest
+    * benchmark vector via IVF cell co-residency, flagged when cosine
+    * clears `tau`. Catches the paraphrased benchmark leak that no
+    * n-gram tier can see (the SemDeDup/semantic-contamination
+    * argument applied across the corpus/benchmark boundary).
+    *
+    * Scale shape: identical to [[hardNegatives]] — shared codebook,
+    * cell equi-join candidates only (a corpus vector is scored
+    * against benchmark vectors in its cells, never all of them),
+    * exact cosine on the candidate sliver, per-corpus-vector argmax
+    * window bounded by cell occupancy. */
+  def decontaminateSemantic(embeddings: DataFrame, nBench: Long = 50,
+                            tau: Double = 0.35, nAssign: Int = 2,
+                            centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(sqrtCells(embeddings, iters = 2))
+    val assigned = cellRanks(embeddings, cent, "id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("id"), col("c_label"))
+    val cand = assigned.filter(col("id") >= nBench)
+      .select(col("id").as("corpus_id"), col("c_label"))
+      .join(assigned.filter(col("id") < nBench)
+        .select(col("id").as("bench_id"), col("c_label")), "c_label")
+      .select(col("corpus_id"), col("bench_id")).distinct()
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    cand
+      .join(e.select(col("vec_id").as("corpus_id"), col("e").as("ec")), "corpus_id")
+      .join(broadcast(e.filter(col("vec_id") < nBench)
+        .select(col("vec_id").as("bench_id"), col("e").as("eb"))), "bench_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("ec"), col("eb")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("corpus_id"))
+          .orderBy(col("cos_sim").desc, col("bench_id"))))
+      .filter(col("rn") === 1)
+      .select(col("corpus_id"), col("bench_id"), col("cos_sim"),
+        (col("cos_sim") >= tau).as("contaminated"))
+  }
+
   /** Brute-force cosine top-k for a *set* of query vectors: per-query
     * ranked neighbors. The scale path replaces the cross join with an
     * LSH/IVF candidate join; this exact kernel then runs per bucket.

@@ -430,6 +430,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
   }
 
+  test("lengthBuckets: power-of-two assignment, truncation at the cap, exact waste ratio") {
+    val docs = Seq(
+      (1L, "a"),                          // 1 tok  → bucket 1
+      (2L, "a b c"),                      // 3 tok  → bucket 4
+      (3L, "a b c d"),                    // 4 tok  → bucket 4
+      (4L, Seq.fill(600)("x").mkString(" ")) // 600 tok → capped at 512, truncated
+    ).toDF("doc_id", "text")
+    val r = TextOps.lengthBuckets(docs).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("used_tokens"),
+          x.getAs[Long]("capacity"), x.getAs[Double]("padding_waste")))).toMap
+    assert(r(1L) === ((1L, 1L, 1L, 0.0)))
+    // bucket 4: docs of 3 and 4 tokens → used 7 of capacity 8
+    assert(r(4L) === ((2L, 7L, 8L, 0.125)))
+    // the 600-token doc truncates to the 512 cap: zero padding waste
+    assert(r(512L) === ((1L, 512L, 512L, 0.0)))
+    assert(r.size === 3)
+  }
+
   test("qualityBlend: percentiles are monotone in the metric and the blend averages them") {
     // 20 docs with strictly increasing length; quality/fluency held
     // constant-ish by identical text, so p_length drives the blend

@@ -169,6 +169,27 @@ class VectorOpsSpec extends SparkSpec {
     }
   }
 
+  test("decontaminateSemantic: the planted benchmark copy is flagged; distant vectors are not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val bench = (0L until 50L).map(i => (i, vec(), i % 5))
+    // corpus vec 60 IS bench vec 7 (a leaked benchmark row); the rest random
+    val corpus = (50L until 100L).map {
+      case 60L => (60L, bench(7)._2.clone(), 0L)
+      case i   => (i, vec(), i % 5)
+    }
+    val emb = (bench ++ corpus).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.decontaminateSemantic(emb, nBench = 50, tau = 0.9)
+      .collect().map(x => x.getAs[Long]("corpus_id") ->
+        ((x.getAs[Long]("bench_id"), x.getAs[Double]("cos_sim"),
+          x.getAs[Boolean]("contaminated")))).toMap
+    assert(r(60L)._1 === 7L && r(60L)._2 === 1.0 && r(60L)._3,
+      s"leaked row must flag against its source: ${r.get(60L)}")
+    // random 64-dim vectors never clear tau = 0.9
+    assert(r.filterKeys(_ != 60L).values.forall(!_._3))
+  }
+
   test("embeddingOutliers: the label-swapped vector ranks first") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
