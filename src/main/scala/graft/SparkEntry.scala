@@ -50,6 +50,12 @@ object SparkEntry {
     "segment_paragraphs" -> ((s, dir) =>
       CorpusOps.segmentParagraphs(Tables.documents(s, dir))
         .withColumn("para_idx", col("para_idx").cast("long"))),
+    // overlapping RAG chunking: stride-sequence explode, map-only
+    "chunk_overlap" -> ((s, dir) => CorpusOps.chunkOverlap(Tables.documents(s, dir))),
+    // related-items retrieval: the seed doc's sparse vector IS the
+    // query; broadcast dims, one doc-keyed score agg, top-k
+    "more_like_this" -> ((s, dir) =>
+      SearchOps.moreLikeThis(Tables.documents(s, dir), seedDocId = 42)),
     "dedup_documents" -> ((s, dir) => CorpusOps.dedupDocuments(Tables.documents(s, dir))),
     "dedup_paragraphs" -> ((s, dir) => CorpusOps.dedupParagraphs(Tables.documents(s, dir))),
     "content_hash" -> ((s, dir) => CorpusOps.contentHash(Tables.documents(s, dir))),
@@ -3354,6 +3360,39 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
          |  FROM scored s JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // the search_text CTE chain with the seed doc's own weights as
+    // the query side, self excluded
+    "more_like_this" ->
+      s"""WITH $duckToks,
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id)),
+         |qw AS (SELECT dim, weight AS qw FROM w WHERE doc_id = 42),
+         |scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM w JOIN qw USING (dim) WHERE w.doc_id <> 42 GROUP BY 1)
+         |SELECT rank, doc_id, source, score FROM (
+         |  SELECT s.doc_id, s.score, d.source,
+         |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
+         |  FROM scored s JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
+    // stride-4 starts over the compacted token list; inclusive list
+    // slice mirrors Spark's slice(toks, start, 8)
+    "chunk_overlap" ->
+      """WITH tk AS (SELECT doc_id, list_filter(list_transform(
+        |        list_slice(string_split(text, ' '), 1, 512), x -> trim(x)),
+        |        x -> x <> '') AS toks FROM documents),
+        |st AS (SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start
+        |       FROM tk, unnest(range(1, len(toks) + 1, 4)) u(s)
+        |       WHERE len(toks) > 0)
+        |SELECT doc_id, (start - 1) // 4 AS chunk_idx, start,
+        |  least(CAST(len(toks) AS BIGINT) - start + 1, 8) AS n_tok,
+        |  array_to_string(toks[CAST(start AS INTEGER):CAST(start + 7 AS INTEGER)], ' ')
+        |    AS chunk
+        |FROM st""".stripMargin,
     // BM25 with k1=1.2, b=0.75 (so tf·(k1+1) = tf·2.2)
     "search_bm25" ->
       s"""WITH $duckToks,

@@ -64,6 +64,36 @@ object CorpusOps {
       .withColumn("para", trim(col("para")))
       .filter(col("para") =!= "")
 
+  /** Overlapping token-window CHUNKING — the RAG indexing primitive
+    * [[segmentParagraphs]]'s disjoint windows can't express: chunks
+    * of `chunkSize` tokens every `stride` tokens (50% overlap at the
+    * defaults), so a sentence straddling a boundary is always whole
+    * in SOME chunk — the retrieval-recall argument for overlap. The
+    * trailing chunk may run short; it is kept (its tail tokens exist
+    * nowhere else).
+    *
+    * Scale shape: MAP-ONLY — the token array, the stride-sequence
+    * explode, and each chunk's slice are all expressions over the
+    * scan; no shuffle, no window. Chunk volume is
+    * ~(chunkSize/stride)× the token stream — the overlap factor IS
+    * the cost knob, stated, not hidden. */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int = 8, stride: Int = 4,
+                   maxTokens: Int = 512): DataFrame = {
+    val toks = expr(
+      s"filter(transform(slice(split(text, ' '), 1, $maxTokens), t -> trim(t)), t -> t <> '')")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("start", explode(expr(s"sequence(1, size(toks), $stride)")))
+      .withColumn("start", col("start").cast("long"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("start"),
+        least(size(col("toks")) - col("start") + 1, lit(chunkSize)).cast("long")
+          .as("n_tok"),
+        expr(s"concat_ws(' ', slice(toks, start, $chunkSize))").as("chunk"))
+  }
+
   /** D1 — exact dedup, deterministic representative: group by the
     * natural key and keep the smallest doc_id (reference app.py:98-99
     * skips already-seen (file, i); dropDuplicates would keep an

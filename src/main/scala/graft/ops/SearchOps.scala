@@ -51,6 +51,33 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** More-like-this — [[searchText]] with a DOCUMENT as the query
+    * (the related-items primitive): the seed doc's own sparse
+    * hashed-TF vector retrieves its nearest corpus documents by
+    * cosine over shared dims, self excluded. Same plan skeleton:
+    * the ≤`dim`-row query side broadcasts, the only wide exchange is
+    * the per-doc score agg, top-k is TakeOrderedAndProject. */
+  def moreLikeThis(docs: DataFrame, seedDocId: Long, k: Int = 10,
+                   dim: Int = 64): DataFrame = {
+    val corpusW = EmbedOps.embedSparse(docs, dim)
+    val queryW = corpusW.filter(col("doc_id") === seedDocId)
+      .select(col("dim"), col("weight").as("qw"))
+    val scored = corpusW
+      .filter(col("doc_id") =!= seedDocId)
+      .join(broadcast(queryW), "dim")
+      .groupBy(col("doc_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("dim"), col("weight") * col("qw")), 6).as("score"))
+    val top = scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("score"))
+  }
+
   /** BM25 ranked retrieval (Robertson/Lucene form) — the lexical
     * counterpart to [[searchText]]'s embedding cosine:
     *

@@ -28,6 +28,25 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.filterSources(df).count() === 1)
   }
 
+
+  test("chunkOverlap: stride starts, boundary token shared, short tail kept") {
+    import spark.implicits._
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val r = CorpusOps.chunkOverlap(docs, chunkSize = 8, stride = 4).collect()
+      .map(x => x.getAs[Long]("chunk_idx") ->
+        ((x.getAs[Long]("start"), x.getAs[Long]("n_tok"), x.getAs[String]("chunk")))).toMap
+    // 10 tokens, stride 4 → starts 1, 5, 9
+    assert(r.keySet === Set(0L, 1L, 2L))
+    assert(r(0L) === ((1L, 8L, (1 to 8).map(i => s"t$i").mkString(" "))))
+    assert(r(1L) === ((5L, 6L, (5 to 10).map(i => s"t$i").mkString(" "))))
+    assert(r(2L) === ((9L, 2L, "t9 t10")))
+    // the overlap property: token t8 (a boundary token) appears in
+    // BOTH chunk 0 and chunk 1 — what disjoint windows cannot give
+    assert(r(0L)._3.contains("t8") && r(1L)._3.contains("t8"))
+    // empty doc yields no chunks
+    assert(CorpusOps.chunkOverlap(Seq((2L, "   ")).toDF("doc_id", "text")).count() === 0L)
+  }
+
   test("segmentParagraphs splits, trims, drops blanks, numbers by position") {
     val rows = CorpusOps
       .segmentParagraphs(corpus.filter($"doc_id" === 0), delim = "\n")

@@ -66,6 +66,19 @@ class SearchOpsSpec extends SparkSpec {
   }
 
 
+  test("moreLikeThis: the near-copy ranks first, the seed is excluded") {
+    val d = Seq(
+      (0L, "spark engine shuffle broadcast join", "en", "s", 35L),
+      (1L, "spark engine shuffle broadcast join extra", "en", "s", 41L), // near copy
+      (2L, "spark appears once", "en", "s", 18L),
+      (3L, "totally unrelated words here", "en", "s", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.moreLikeThis(d, seedDocId = 0L, k = 3).collect()
+    assert(!r.map(_.getAs[Long]("doc_id")).contains(0L), "seed must not retrieve itself")
+    assert(r.head.getAs[Long]("doc_id") === 1L)
+    assert(r.head.getAs[Double]("score") > r(1).getAs[Double]("score"))
+  }
+
   test("proximitySearch: within-gap pairs only, pair count ranks, min gap breaks ties") {
     val d = Seq(
       (1L, "alpha x beta", "en", "s", 12L),                    // 1 pair, gap 2
