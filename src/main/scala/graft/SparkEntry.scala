@@ -634,8 +634,12 @@ object SparkEntry {
     // spec-only signal
     "ann_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      VectorOps.annRecallCurve(emb, emb.filter(col("vec_id") < 10), k = 3)
-        .unionByName(VectorOps.srpRecallCurve(emb, k = 3))
+      val q = emb.filter(col("vec_id") < 10)
+      // ONE brute-force ground truth serves both method curves
+      val exact = VectorOps.annTopK(emb, q, 3)
+        .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+      VectorOps.annRecallCurve(emb, q, k = 3, groundTruth = Some(exact))
+        .unionByName(VectorOps.srpRecallCurve(emb, k = 3, groundTruth = Some(exact)))
     }),
 
     // S6/S7 — persistence sink + load (reference app.py:161-168 pickle

@@ -777,9 +777,10 @@ object VectorOps {
     * sf0.1 vs the ivfTopK-per-point form; output identical, which
     * the unchanged oracle pins). */
   def annRecallCurve(corpus: DataFrame, queries: DataFrame, k: Int = 3,
-                     nProbes: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    val exact = annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+                     nProbes: Seq[Int] = Seq(1, 2, 3),
+                     groundTruth: Option[DataFrame] = None): DataFrame = {
+    val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val cent = sqrtCells(corpus, iters = 2).localCheckpoint(true)
     val maxP = nProbes.max
@@ -836,10 +837,14 @@ object VectorOps {
     * table. */
   def srpRecallCurve(corpus: DataFrame, k: Int = 3,
                      bands: Seq[Int] = Seq(2, 4, 8), outDim: Int = 32,
-                     bandBits: Int = 4, nQueries: Int = 10): DataFrame = {
+                     bandBits: Int = 4, nQueries: Int = 10,
+                     groundTruth: Option[DataFrame] = None): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
-    val exact = annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    // ann_recall computes both method curves against ONE ground
+    // truth — the brute-force side is the receipt's dominant cost,
+    // so the ivf leg's checkpointed exact table is reused here
+    val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val sig = randomProject(corpus, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
