@@ -555,6 +555,10 @@ object SparkEntry {
       RelationalOps.eventsChangepoint(Tables.events(s, dir))),
     // fixed-point OLS drift per type over the daily means
     "events_trend" -> ((s, dir) => RelationalOps.eventsTrend(Tables.events(s, dir))),
+    // seasonal-naive backtest: train-half hour-of-day baseline scores
+    // the test half out-of-sample; MAE + bias per type
+    "events_forecast" -> ((s, dir) =>
+      RelationalOps.eventsForecastBacktest(Tables.events(s, dir))),
     // decomposable-state merge identity: base + delta == full, exact
     "ivm_agg" -> ((s, dir) => RelationalOps.ivmReceipt(Tables.lineitem(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
@@ -2612,6 +2616,29 @@ object SparkEntry {
         |            / (CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000))
         |           * CAST(sx AS DOUBLE)) / n_days, 6) + 0 AS intercept
         |FROM s""".stripMargin,
+    // midpoint split via integer day bounds, train-only baseline,
+    // test scored through the broadcast profile
+    "events_forecast" ->
+      """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value
+        |       FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day) + 1) // 2 AS split_day
+        |       FROM b GROUP BY 1),
+        |tr AS (SELECT b.* FROM b JOIN sp USING (event_type)
+        |       WHERE b.day < sp.split_day),
+        |te AS (SELECT b.* FROM b JOIN sp USING (event_type)
+        |       WHERE b.day >= sp.split_day),
+        |pf AS (SELECT event_type, hour_of_day, round(avg(value), 6) + 0 AS baseline
+        |       FROM tr GROUP BY 1, 2),
+        |nt AS (SELECT event_type, count(*) AS n_train FROM tr GROUP BY 1),
+        |sc AS (SELECT t.event_type, t.value - p.baseline AS resid
+        |       FROM te t JOIN pf p USING (event_type, hour_of_day))
+        |SELECT s.event_type, sp.split_day, nt.n_train,
+        |  count(*) AS n_test,
+        |  round(avg(abs(s.resid)), 6) + 0 AS mae,
+        |  round(avg(s.resid), 6) + 0 AS bias
+        |FROM sc s JOIN sp USING (event_type) JOIN nt USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     // decomposable integer state: base/delta/full aggs on the same
     // key, merged counts and cent sums compared exactly
     "ivm_agg" ->

@@ -357,6 +357,54 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Seasonal-naive FORECAST BACKTEST — the evaluation loop behind
+    * any metric-forecasting claim, run in-engine: split each type's
+    * calendar at its midpoint, fit the hour-of-day baseline on the
+    * TRAIN half only ([[eventsSeasonality]]'s profile, honestly
+    * out-of-sample), predict every TEST-half event by its cycle slot,
+    * and report MAE and signed bias. A later model must beat THIS
+    * number to justify itself — the backtest receipt.
+    *
+    * Determinism: the split day is integer arithmetic on the per-type
+    * day bounds; baselines are rounded once; residuals derive from
+    * identical doubles; the error means are plain partial aggregates
+    * over raw-magnitude doubles (off-grid inputs — the meanPool
+    * trade, not the rounded-sum hazard class).
+    *
+    * Scale shape: one bounds agg broadcast back (split assignment is
+    * map-side); the baseline is a bounded (type, hod) agg over the
+    * train slice; the test slice joins it BROADCAST and reduces to
+    * |types| rows. An unmatched test hour (slot absent from train)
+    * drops from the join — n_test counts scored rows only. */
+  def eventsForecastBacktest(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val base = events.select(col("event_type"),
+      expr(s"ts div ${dayNanos}L").as("day"),
+      (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
+    val bounds = base.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("split_day", expr("(d0 + d1 + 1) div 2"))
+      .select(col("event_type"), col("split_day"))
+    val marked = base.join(broadcast(bounds), "event_type")
+    val train = marked.filter(col("day") < col("split_day"))
+    val test = marked.filter(col("day") >= col("split_day"))
+    val profile = train.groupBy(col("event_type"), col("hour_of_day"))
+      .agg(roundn(avg(col("value")), 6).as("baseline"))
+    val nTrain = train.groupBy(col("event_type")).agg(count(lit(1)).as("n_train"))
+    test
+      .join(broadcast(profile), Seq("event_type", "hour_of_day"))
+      .withColumn("resid", col("value") - col("baseline"))
+      .groupBy(col("event_type"))
+      .agg(first(col("split_day")).as("split_day"),
+        count(lit(1)).as("n_test"),
+        roundn(avg(abs(col("resid"))), 6).as("mae"),
+        roundn(avg(col("resid")), 6).as("bias"))
+      .join(broadcast(nTrain), "event_type")
+      .select(col("event_type"), col("split_day"), col("n_train"),
+        col("n_test"), col("mae"), col("bias"))
+  }
+
   /** Per-type metric TREND — fixed-point OLS of the daily mean
     * against the day index (the `zipf_fit` integer-micro regression
     * applied per group): slope sign and magnitude are the

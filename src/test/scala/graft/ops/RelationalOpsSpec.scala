@@ -334,6 +334,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("eventsForecastBacktest: a stable diurnal cycle backtests to zero error; a shifted one shows the bias") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val h = 3600L * 1000 * 1000 * 1000
+    // type 'a': value = f(hour) constant across all 20 days → the
+    // train-half baseline predicts the test half perfectly
+    val stable = (0 until 20).flatMap(d => Seq(0, 12).map(hr =>
+      ((d * 100 + hr).toLong, 1L, d * day + hr * h, "a", if (hr == 0) 5.0 else 50.0, "{}")))
+    // type 'b': test half runs +10 above the train half → mae = bias = 10
+    val shifted = (0 until 20).map(d =>
+      ((2000 + d).toLong, 1L, d * day + 3 * h, "b", if (d < 10) 7.0 else 17.0, "{}"))
+    val ev = (stable ++ shifted)
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsForecastBacktest(ev).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("split_day"), x.getAs[Long]("n_train"), x.getAs[Long]("n_test"),
+          x.getAs[Double]("mae"), x.getAs[Double]("bias")))).toMap
+    assert(r("a") === ((10L, 20L, 20L, 0.0, 0.0)))
+    assert(r("b") === ((10L, 10L, 10L, 10.0, 10.0)))
+  }
+
   test("eventsTrend: recovers the slope of a planted linear drift exactly") {
     val day = 86400L * 1000 * 1000 * 1000
     // daily mean = 5 + 2·day, exactly
