@@ -724,7 +724,11 @@ object RelationalOps {
     * fact re-shuffle); the med/MAD aggs key on |types| (exact
     * percentile here; approx_percentile at 100 TB); the final census
     * is one bounded agg. */
-  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+  /** The trained artifacts of [[seasonalAnomalies]], exposed so the
+    * STREAMING twin can score arrivals against the same gates:
+    * (baseline (event_type, hour_of_day, baseline),
+    *  gates (event_type, med_resid, mad, threshold)). */
+  def seasonalGates(events: DataFrame, k: Double = 3.0): (DataFrame, DataFrame) = {
     val hourNanos = 3600L * 1000 * 1000 * 1000
     val base = events.select(col("event_type"),
       (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
@@ -741,8 +745,22 @@ object RelationalOps {
       .agg(first(col("med_resid")).as("med_resid"),
         roundn(expr("percentile(adev, 0.5)"), 6).as("mad"))
       .withColumn("threshold", roundn(lit(k) * lit(1.4826) * col("mad"), 6))
-    dev.select(col("event_type"), col("adev"))
-      .join(broadcast(mad), "event_type")
+    (prof, mad)
+  }
+
+  def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val (prof, mad) = seasonalGates(events, k)
+    val base = events.select(col("event_type"),
+      (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
+    val dev = base
+      .join(broadcast(prof), Seq("event_type", "hour_of_day"))
+      .withColumn("resid", col("value") - col("baseline"))
+      .join(broadcast(mad.select(col("event_type"), col("med_resid"))), "event_type")
+      .withColumn("adev", abs(col("resid") - col("med_resid")))
+    dev.select(col("event_type"), col("adev"), col("med_resid"))
+      .join(broadcast(mad.select(col("event_type"), col("mad"), col("threshold"))),
+        "event_type")
       .groupBy(col("event_type"))
       .agg(first(col("med_resid")).as("med_resid"), first(col("mad")).as("mad"),
         sum(when(col("adev") > col("threshold"), 1L).otherwise(0L)).as("n_anomalies"),

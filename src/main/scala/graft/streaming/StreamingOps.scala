@@ -364,6 +364,35 @@ object StreamingOps {
       .transformWithState(new QuantileProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Streaming seasonal-anomaly gate — the stream twin of the batch
+    * `events_anomaly` screen, scoring each ARRIVING event against
+    * gates trained in batch ([[graft.ops.RelationalOps.seasonalGates]]:
+    * the (type, hour-of-day) baseline and the per-type med/MAD
+    * thresholds). STATELESS: both gate tables are static broadcast
+    * joins re-resolved per micro-batch (a nightly-retrained gate file
+    * is picked up automatically — the [[enrichedStream]] contract),
+    * the flag is a map-side filter, no watermark, no state store.
+    * This is the standard train-in-batch / score-in-stream split:
+    * the expensive percentile fits stay in the batch tier, the
+    * stream pays one broadcast hash join per gate.
+    *
+    * `events` is a streaming DataFrame with (event_id, ts Long-nanos,
+    * event_type, value); emits the anomalous rows with their
+    * residuals. */
+  def anomalyStream(events: DataFrame, baseline: DataFrame,
+                    gates: DataFrame): DataFrame = {
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    events
+      .withColumn("hour_of_day", expr(s"ts div ${hourNanos}L") % 24)
+      .join(org.apache.spark.sql.functions.broadcast(baseline),
+        Seq("event_type", "hour_of_day"))
+      .join(org.apache.spark.sql.functions.broadcast(gates
+        .select(col("event_type"), col("med_resid"), col("threshold"))), "event_type")
+      .withColumn("resid", col("value") - col("baseline"))
+      .filter(abs(col("resid") - col("med_resid")) > col("threshold"))
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"), col("resid"))
+  }
+
   /** Input row for [[cmsHeavyStream]]: a group key and the item whose
     * frequency is being sketched. */
   case class CmsEvent(group: String, item: String)

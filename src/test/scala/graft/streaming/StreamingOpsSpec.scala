@@ -192,6 +192,34 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("anomalyStream: batch-trained gates flag exactly the planted spike; stateless append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000
+    // train: hour 0 at 10, hour 12 at 100 (strong diurnal cycle)
+    val train = ((0 until 20).map(i => (i.toLong, 1L, i * 24 * h, "a", 10.0, "{}")) ++
+      (0 until 20).map(i => (100L + i, 1L, i * 24 * h + 12 * h, "a", 100.0, "{}")))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val (baseline, gates) = graft.ops.RelationalOps.seasonalGates(train)
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val stream = input.toDS().toDF("event_id", "ts", "event_type", "value")
+    val q = StreamingOps.anomalyStream(stream, baseline, gates)
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start() // append works: the gate is stateless
+    try {
+      input.addData(
+        (1000L, 21L * 24 * h, "a", 10.0),               // normal midnight
+        (1001L, 21L * 24 * h + 12 * h, "a", 100.0),     // normal noon
+        (1002L, 22L * 24 * h, "a", 95.0))               // midnight spike
+      q.processAllAvailable()
+      val out = spark.table("anom_out").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("resid")))
+      assert(out.map(_._1).toSet === Set(1002L),
+        s"only the planted spike should flag, got ${out.mkString(",")}")
+      assert(math.abs(out.head._2 - 85.0) < 0.01) // 95 − baseline 10
+    } finally q.stop()
+  }
+
   test("cmsHeavyStream: stream estimates equal the batch CMS table over the same rows") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOps.{CmsEstimate, CmsEvent}
