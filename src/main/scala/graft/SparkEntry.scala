@@ -415,6 +415,8 @@ object SparkEntry {
     // exponential race keys from portable hashes, top-k smallest =
     // the weight-proportional sample (weight = n_chars)
     "weighted_sample" -> ((s, dir) => TextOps.weightedSample(Tables.documents(s, dir))),
+    // deterministic stratified k-fold census with per-lang shares
+    "cv_folds" -> ((s, dir) => TextOps.cvFolds(Tables.documents(s, dir))),
     // concat-and-chunk packing into 128-token sequences across 8
     // hash-sharded streams
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
@@ -1836,6 +1838,16 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY lang
          |      ORDER BY sample_key, doc_id) AS BIGINT) AS sample_rank
          |  FROM s) WHERE sample_rank <= 20""".stripMargin,
+    // salted hash fold + (fold, lang) census + broadcast lang totals
+    "cv_folds" -> {
+      val h = graft.functions.PortableHash.duckdbHash24("text || '|fold'")
+      s"""WITH a AS (SELECT lang, CAST($h % 5 AS BIGINT) AS fold FROM documents),
+         |c AS (SELECT fold, lang, count(*) AS n_docs FROM a GROUP BY 1, 2),
+         |t AS (SELECT lang, CAST(sum(n_docs) AS BIGINT) AS n_lang FROM c GROUP BY 1)
+         |SELECT c.fold, c.lang, c.n_docs,
+         |  round(c.n_docs / CAST(t.n_lang AS DOUBLE), 6) + 0 AS share_of_lang
+         |FROM c JOIN t USING (lang)""".stripMargin
+    },
     // A-ES race keys: SAME formula shape as the Spark side
     // (ln(2^48) − ln(h+1), over the clamped weight, rounded once to
     // micros), ties broken by doc_id after rounding

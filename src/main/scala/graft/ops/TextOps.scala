@@ -461,6 +461,30 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("sample_key"), col("sample_rank"))
   }
 
+  /** Deterministic k-FOLD assignment with a stratification audit —
+    * the cross-validation primitive beside [[hashSplit]]'s one-shot
+    * train/val/test: every document's fold is a pure function of its
+    * text (salted portable hash, so folds never correlate with the
+    * split or sample salts), and the emitted table is the per-(fold,
+    * lang) census with each fold's share of its language — the
+    * balance evidence a CV protocol cites. Reproducible across runs,
+    * engines, partitionings.
+    *
+    * Scale shape: map-only assignment over the scan; one bounded
+    * (k·|langs|)-cell agg with map-side partials; the per-lang
+    * totals broadcast back for the share. */
+  def cvFolds(docs: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.PortableHash
+    val assigned = docs.select(col("lang"),
+      PortableHash.bucket(concat(col("text"), lit("|fold")), k).as("fold"))
+    val census = assigned.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totals = census.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_lang"))
+    census.join(broadcast(totals), "lang")
+      .select(col("fold"), col("lang"), col("n_docs"),
+        roundn(col("n_docs").cast("double") / col("n_lang"), 6).as("share_of_lang"))
+  }
+
   /** Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
     * (IPL 2006) one-pass reservoir form: each row draws an
     * exponential race key e_i = −ln(u_i)/w_i from its deterministic

@@ -430,6 +430,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length))
   }
 
+  test("cvFolds: deterministic assignment, complete partition, roughly balanced strata") {
+    val docs = (1 to 500).map(i => (i.toLong, s"document number $i with text", "en", "s", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextOps.cvFolds(docs, k = 5).collect()
+      .map(x => x.getAs[Long]("fold") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Double]("share_of_lang")))).toMap
+    assert(r.keySet === (0L until 5L).toSet, "every fold populated")
+    assert(r.values.map(_._1).sum === 500L, "folds partition the corpus")
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-4)
+    // hash balance: each fold within [0.1, 0.3] of the 0.2 ideal
+    assert(r.values.forall(v => v._2 > 0.1 && v._2 < 0.3), r.toString)
+    // determinism across recomputation
+    val again = TextOps.cvFolds(docs, k = 5).collect()
+      .map(x => (x.getLong(0), x.getAs[Long]("n_docs"))).toMap
+    assert((0L until 5L).forall(f => again(f) === r(f)._1))
+  }
+
   test("lengthBuckets: power-of-two assignment, truncation at the cap, exact waste ratio") {
     val docs = Seq(
       (1L, "a"),                          // 1 tok  → bucket 1
