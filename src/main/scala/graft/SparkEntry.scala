@@ -561,6 +561,9 @@ object SparkEntry {
     // the test half out-of-sample; MAE + bias per type
     "events_forecast" -> ((s, dir) =>
       RelationalOps.eventsForecastBacktest(Tables.events(s, dir))),
+    // market-basket lift over per-(user, day) type sets; pair
+    // generation map-only from sorted basket arrays
+    "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
     // decomposable-state merge identity: base + delta == full, exact
     "ivm_agg" -> ((s, dir) => RelationalOps.ivmReceipt(Tables.lineitem(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
@@ -2628,6 +2631,30 @@ object SparkEntry {
         |            / (CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000))
         |           * CAST(sx AS DOUBLE)) / n_days, 6) + 0 AS intercept
         |FROM s""".stripMargin,
+    // basket = DISTINCT (user, day, type); the oracle's pair join is
+    // the relational twin of the engine's map-only array pairs
+    "basket_lift" ->
+      """WITH b AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |         event_type
+        |       FROM events),
+        |nb AS (SELECT count(*) AS n_baskets FROM
+        |        (SELECT DISTINCT user_id, day FROM b)),
+        |s AS (SELECT event_type, count(*) AS n_single FROM b GROUP BY 1),
+        |p AS (SELECT x.event_type AS a, y.event_type AS b2, count(*) AS n_ab
+        |      FROM b x JOIN b y
+        |        ON y.user_id = x.user_id AND y.day = x.day
+        |       AND x.event_type < y.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.a, p.b2 AS b, p.n_ab, sa.n_single AS n_a, sb.n_single AS n_b,
+        |  round(p.n_ab * CAST(nb.n_baskets AS DOUBLE)
+        |        / (CAST(sa.n_single AS DOUBLE) * sb.n_single), 6) + 0 AS lift,
+        |  round(p.n_ab / CAST(sa.n_single AS DOUBLE), 6) + 0 AS conf_a_to_b,
+        |  round(p.n_ab / CAST(sb.n_single AS DOUBLE), 6) + 0 AS conf_b_to_a
+        |FROM p
+        |JOIN s sa ON sa.event_type = p.a
+        |JOIN s sb ON sb.event_type = p.b2
+        |CROSS JOIN nb
+        |WHERE p.n_ab >= 5""".stripMargin,
     // midpoint split via integer day bounds, train-only baseline,
     // test scored through the broadcast profile
     "events_forecast" ->

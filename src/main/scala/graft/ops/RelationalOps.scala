@@ -357,6 +357,54 @@ object RelationalOps {
         col("delta"), col("rolling_avg3"))
   }
 
+  /** Association mining over behavior BASKETS — market-basket lift
+    * (Agrawal/Srikant lineage) on event types: a basket is the
+    * distinct type set a user touches in a day; for every type pair,
+    * support and lift = P(ab)/(P(a)·P(b)) (> 1 ⇒ the types co-occur
+    * beyond independence — the cross-feature signal segmentation and
+    * recommendation start from), plus both directional confidences.
+    *
+    * Scale shape: baskets reduce via one (user, day)-keyed agg
+    * (sorted sets — collect_set order is run-dependent, sort_array
+    * pins it); PAIR GENERATION IS MAP-ONLY from each basket's array
+    * (nested transform over index pairs — never a per-basket
+    * self-join shuffle; baskets are ≤|types| wide so the expression
+    * is bounded); pair counts and singles are bounded aggs; the
+    * basket total is a 1-row scalar crossJoin. */
+  def basketLift(events: DataFrame, minSupport: Int = 5): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val baskets = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"), col("event_type"))
+      .distinct()
+      .groupBy(col("user_id"), col("day"))
+      .agg(sort_array(collect_set(col("event_type"))).as("items"))
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val singles = baskets
+      .select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_single"))
+    val pairs = baskets
+      // singleton baskets have no pairs — and sequence(1, 0) DESCENDS
+      // in Spark rather than being empty (the bpeLoop lesson), so
+      // they must leave before the transform
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(items) - 1), i ->
+          |  transform(sequence(i + 1, size(items)), j ->
+          |    struct(items[i - 1] AS a, items[j - 1] AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(broadcast(singles.select(col("item").as("a"), col("n_single").as("n_a"))), "a")
+      .join(broadcast(singles.select(col("item").as("b"), col("n_single").as("n_b"))), "b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        roundn(col("n_ab").cast("double") * col("n_baskets") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"),
+        roundn(col("n_ab").cast("double") / col("n_a"), 6).as("conf_a_to_b"),
+        roundn(col("n_ab").cast("double") / col("n_b"), 6).as("conf_b_to_a"))
+  }
+
   /** Seasonal-naive FORECAST BACKTEST — the evaluation loop behind
     * any metric-forecasting claim, run in-engine: split each type's
     * calendar at its midpoint, fit the hour-of-day baseline on the

@@ -334,6 +334,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_outliers") !== 1L)
   }
 
+  test("basketLift: coupled types lift above 1, anti-coupled below; singleton baskets contribute no pairs") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // users 1-10: {buy, pay} together daily (perfectly coupled);
+    // users 11-20: {view} alone on even days, {search} alone on odd
+    // (never co-occur); user 30: singleton baskets only
+    val rows =
+      (1 to 10).flatMap(u => (0 until 3).flatMap(d => Seq(
+        ((u * 100 + d * 2).toLong, u.toLong, d * day + 1, "buy", 1.0, "{}"),
+        ((u * 100 + d * 2 + 1).toLong, u.toLong, d * day + 2, "pay", 1.0, "{}")))) ++
+      (11 to 20).flatMap(u => (0 until 4).map(d => (
+        (u * 100 + d).toLong, u.toLong, d * day + 1,
+        if (d % 2 == 0) "view" else "search", 1.0, "{}"))) :+
+      ((9999L, 30L, 1L, "buy", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.basketLift(ev, minSupport = 2).collect()
+      .map(x => (x.getAs[String]("a"), x.getAs[String]("b")) ->
+        ((x.getAs[Long]("n_ab"), x.getAs[Double]("lift"),
+          x.getAs[Double]("conf_a_to_b")))).toMap
+    val bp = r(("buy", "pay"))
+    assert(bp._1 === 30L)
+    assert(bp._2 > 1.5, s"coupled pair must lift above independence: $bp")
+    // buy⇒pay confidence: pay follows buy in 30 of buy's 31 baskets
+    assert(math.abs(bp._3 - 30.0 / 31) < 1e-5)
+    assert(!r.contains(("search", "view")), "never-co-occurring pair has zero support")
+    assert(r.keySet === Set(("buy", "pay")))
+  }
+
   test("eventsForecastBacktest: a stable diurnal cycle backtests to zero error; a shifted one shows the bias") {
     val day = 86400L * 1000 * 1000 * 1000
     val h = 3600L * 1000 * 1000 * 1000
