@@ -456,6 +456,10 @@ object SparkEntry {
     // corpus statistics: fixed-point OLS of ln(freq) on ln(rank) —
     // exact Long sums, so no float-order hazard crosses the oracle
     "zipf_fit" -> ((s, dir) => TextOps.zipfFit(Tables.documents(s, dir))),
+    // Heaps'-law V(n)=K·n^β growth fit: conditional aggs against a
+    // broadcast geometric doc-prefix grid (no cumulative window),
+    // same fixed-point log-log OLS as zipf_fit
+    "heaps_fit" -> ((s, dir) => TextOps.heapsFit(Tables.documents(s, dir))),
     // PPMI collocations: map-only windowed pair generation (zip_with
     // against the d-shifted self), ONE pair-keyed shuffle, marginals
     // broadcast back, top-N as TakeOrderedAndProject
@@ -469,7 +473,7 @@ object SparkEntry {
     // percentile-ensemble curation score: three broadcast histogram
     // CDFs (no global sort), blended on the common percentile scale
     "quality_blend" -> ((s, dir) => TextOps.qualityBlend(Tables.documents(s, dir))),
-    // in-engine PLSA: 2 EM rounds with integer-micro responsibilities
+    // in-engine PLSA: 6 EM rounds with integer-micro responsibilities
     // (exact order-free M-step sums), top words per topic
     "topic_model" -> ((s, dir) =>
       TopicOps.plsaTopics(Tables.documents(s, dir), rounds = 6)),
@@ -551,6 +555,12 @@ object SparkEntry {
     // mergeability receipt: day-sketch bottom-k union must equal the
     // one-pass whole-period sketch, element for element
     "kmv_union" -> ((s, dir) => SketchOps.kmvUnionReceipt(Tables.events(s, dir))),
+    // portable 64-register HyperLogLog vs exact twin: hash48 top bits
+    // index, integer bin-length rank, exact 2^(43-M) numerator sum
+    "hll_distinct" -> ((s, dir) => SketchOps.hllDistinct(Tables.events(s, dir))),
+    // HLL mergeability receipt: per-day registers max-merged must
+    // equal the whole-stream registers, register for register
+    "hll_union" -> ((s, dir) => SketchOps.hllUnionReceipt(Tables.events(s, dir))),
     // CUSUM level-shift detection over the calendar-bounded daily
     // mean series
     "events_changepoint" -> ((s, dir) =>
@@ -774,6 +784,21 @@ object SparkEntry {
     "events_ntile" -> ((s, dir) => RelationalOps.valueQuartiles(Tables.events(s, dir))),
     "ship_date_rollup" -> ((s, dir) => RelationalOps.shipDateRollup(Tables.lineitem(s, dir))),
     "user_event_paths" -> ((s, dir) => RelationalOps.userEventPaths(Tables.events(s, dir))),
+    // first-order Markov transition matrix: lead() over the per-user
+    // (ts, event_id) order, bounded |types|² count + broadcast totals
+    "event_transitions" -> ((s, dir) =>
+      RelationalOps.eventTransitions(Tables.events(s, dir))),
+    // MP4 sample-table demux: stts/stsz/stco/stss walk over synthetic
+    // containers whose tables are pure media_id arithmetic — the
+    // oracle recomputes every frame row decoder-free
+    "video_frames" -> ((s, dir) => {
+      MultimodalOps.videoFrames(
+        MultimodalOps.syntheticVideos(s, Tables.documents(s, dir)))
+        .toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("sample_idx").cast("long").as("sample_idx"),
+          col("pts_ticks"), col("offset"), col("size"), col("keyframe"))
+    }),
     "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
   )
 
@@ -1946,6 +1971,40 @@ object SparkEntry {
          |            / CAST(n_terms * sxx - sx * sx AS DOUBLE))
          |           * CAST(sx AS DOUBLE) / 1000000) / n_terms, 6) + 0 AS intercept
          |FROM s""".stripMargin,
+    // Heaps fit: V/T sampled at a geometric doc-prefix grid, then the
+    // zipf_fit OLS; k_coef = exp(intercept_raw) rounds once
+    "heaps_fit" ->
+      s"""WITH $duckToks,
+         |dt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+         |fd AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+         |grid AS (SELECT DISTINCT CAST(round(power(
+         |           CAST((SELECT max(doc_id) FROM documents) AS DOUBLE),
+         |           CAST(g.kk AS DOUBLE) / 16.0)) AS BIGINT) AS t
+         |         FROM unnest(range(1, 17)) g(kk)),
+         |tt AS (SELECT g.t, CAST(sum(d.n_tok) AS BIGINT) AS cum_tokens
+         |       FROM grid g JOIN dt d ON d.doc_id <= g.t GROUP BY 1),
+         |vv AS (SELECT g.t, count(*) AS vocab
+         |       FROM grid g JOIN fd f ON f.first_doc <= g.t GROUP BY 1),
+         |p AS (SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+         |          AS x6,
+         |        CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000) AS BIGINT) AS y6
+         |      FROM tt JOIN vv USING (t)),
+         |s AS (SELECT count(*) AS n_points, sum(x6) AS sx, sum(y6) AS sy,
+         |        sum(x6 * y6) AS sxy, sum(x6 * x6) AS sxx FROM p),
+         |f AS (SELECT n_points,
+         |        CAST(n_points * sxy - sx * sy AS DOUBLE)
+         |          / CAST(n_points * sxx - sx * sx AS DOUBLE) AS slope_raw,
+         |        sx, sy
+         |      FROM s WHERE n_points * sxx - sx * sx <> 0),
+         |g2 AS (SELECT n_points, slope_raw,
+         |         (CAST(sy AS DOUBLE) / 1000000
+         |          - slope_raw * CAST(sx AS DOUBLE) / 1000000) / n_points
+         |           AS intercept_raw
+         |       FROM f)
+         |SELECT n_points, round(slope_raw, 6) + 0 AS beta,
+         |  round(intercept_raw, 6) + 0 AS intercept,
+         |  round(exp(intercept_raw), 6) + 0 AS k_coef
+         |FROM g2""".stripMargin,
     // PPMI pairs over the COMPACTED token list (blank-drop reindexes
     // adjacency, same as the Spark filter); marginal sums CAST back
     // to BIGINT (DuckDB sum→HUGEINT); single ln rounded once
@@ -1968,8 +2027,8 @@ object SparkEntry {
         |  SELECT CAST(row_number() OVER (ORDER BY pmi DESC, t1, t2) AS BIGINT)
         |           AS rank, t1, t2, c_xy, m_x, m_y, pmi
         |  FROM (SELECT c.t1, c.t2, c.c_xy, mx.m AS m_x, my.m AS m_y,
-        |          round(ln(CAST(c.c_xy * s.s_total AS DOUBLE)
-        |                   / CAST(mx.m * my.m AS DOUBLE)), 6) + 0 AS pmi
+        |          round(ln((CAST(c.c_xy AS DOUBLE) * CAST(s.s_total AS DOUBLE))
+        |                   / (CAST(mx.m AS DOUBLE) * CAST(my.m AS DOUBLE))), 6) + 0 AS pmi
         |        FROM c
         |        JOIN m mx ON mx.tok = c.t1
         |        JOIN m my ON my.tok = c.t2
@@ -2222,7 +2281,7 @@ object SparkEntry {
          |  FROM tf t JOIN lp USING (tok) GROUP BY 1)
          |SELECT doc_id, n_tok, round(sum_lp_raw / n_tok, 6) + 0 AS avg_logprob
          |FROM agg""".stripMargin,
-    // PLSA, 2 EM rounds unrolled: init mass from sha parity, a_z =
+    // PLSA, 6 EM rounds unrolled: init mass from sha parity, a_z =
     // (u_z/N_z)·t_z with the division first, FIXED-order 4-term
     // normalizer, responsibilities rounded once to integer micros,
     // HUGEINT M-step sums (the decimal(38,0) twin)
@@ -2622,7 +2681,7 @@ object SparkEntry {
         |       FROM events GROUP BY 1, 2),
         |s AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y6) AS sy,
         |        sum(x * y6) AS sxy, sum(x * x) AS sxx
-        |      FROM daily GROUP BY 1)
+        |      FROM daily GROUP BY 1 HAVING count(*) >= 2)
         |SELECT event_type, n_days,
         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
         |        / (CAST(n_days * sxx - sx * sx AS DOUBLE) * 1000000), 6) + 0 AS slope,
@@ -2816,6 +2875,88 @@ object SparkEntry {
          |       ELSE (63 * 281474976710656) // greatest(m.ml[64], 1)
          |  END AS n_kmv
          |FROM msk m JOIN wsk w USING (event_type) JOIN nd d USING (event_type)""".stripMargin
+    },
+    // portable HLL: hash48 → idx = top 6 bits, rho = 43 − bitlength of
+    // the 42-bit remainder (integer bin-length, no float log2); Z's
+    // reciprocal sum as the exact 2^(43−M) numerator; branch on the
+    // once-rounded raw estimate so both engines take the same arm
+    "hll_distinct" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'hll:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH hh AS (SELECT DISTINCT event_type, $h48 AS h FROM events),
+         |rr AS (SELECT event_type, h // 4398046511104 AS idx,
+         |         h % 4398046511104 AS r2 FROM hh),
+         |rho AS (SELECT event_type, idx,
+         |          CASE WHEN r2 = 0 THEN 43 ELSE 43 - length(bin(r2)) END AS rho
+         |        FROM rr),
+         |regs AS (SELECT event_type, idx, CAST(max(rho) AS BIGINT) AS m_j
+         |         FROM rho GROUP BY 1, 2),
+         |ag AS (SELECT event_type, count(*) AS n_regs,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER)) AS BIGINT)
+         |           AS sum_present
+         |       FROM regs GROUP BY 1),
+         |e2 AS (SELECT event_type, CAST(n_regs AS BIGINT) AS n_regs,
+         |         CAST(64 - n_regs AS BIGINT) AS v0,
+         |         round(CAST(0.709 AS DOUBLE) * 4096.0 * 8796093022208.0 /
+         |           CAST(sum_present + (64 - n_regs) * 8796093022208 AS DOUBLE), 6) + 0
+         |           AS est_raw
+         |       FROM ag),
+         |fin AS (SELECT event_type, n_regs, v0,
+         |          CASE WHEN v0 > 0 AND est_raw <= 160.0
+         |               THEN round(ln(64.0 / CAST(v0 AS DOUBLE)) * 64.0, 6) + 0
+         |               ELSE est_raw END AS n_hll
+         |        FROM e2),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |       FROM events GROUP BY 1)
+         |SELECT x.event_type, x.n_exact, f.n_regs, f.v0, f.n_hll,
+         |  round(abs(f.n_hll - CAST(x.n_exact AS DOUBLE))
+         |        / CAST(x.n_exact AS DOUBLE), 6) + 0 AS rel_err
+         |FROM ex x JOIN fin f USING (event_type)""".stripMargin
+    },
+    // HLL mergeability: per-day register tables max-merged must equal
+    // the whole-stream register table (idx-sorted struct lists), with
+    // the merged-register estimate beside it
+    "hll_union" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'hll:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH hh AS (SELECT DISTINCT event_type,
+         |        epoch_ns(ts) // 86400000000000 AS day, $h48 AS h FROM events),
+         |rr AS (SELECT event_type, day, h // 4398046511104 AS idx,
+         |         h % 4398046511104 AS r2 FROM hh),
+         |rho AS (SELECT event_type, day, idx,
+         |          CASE WHEN r2 = 0 THEN 43 ELSE 43 - length(bin(r2)) END AS rho
+         |        FROM rr),
+         |pd AS (SELECT event_type, day, idx, CAST(max(rho) AS BIGINT) AS m_j
+         |       FROM rho GROUP BY 1, 2, 3),
+         |mg AS (SELECT event_type, idx, max(m_j) AS m_j FROM pd GROUP BY 1, 2),
+         |wh AS (SELECT event_type, idx, CAST(max(rho) AS BIGINT) AS m_j
+         |       FROM rho GROUP BY 1, 2),
+         |nd AS (SELECT event_type, count(DISTINCT day) AS n_days FROM hh GROUP BY 1),
+         |ma AS (SELECT event_type,
+         |         list(struct_pack(idx := idx, m_j := m_j) ORDER BY idx) AS rm
+         |       FROM mg GROUP BY 1),
+         |wa AS (SELECT event_type,
+         |         list(struct_pack(idx := idx, m_j := m_j) ORDER BY idx) AS rw
+         |       FROM wh GROUP BY 1),
+         |ag AS (SELECT event_type, count(*) AS n_regs,
+         |         CAST(sum(CAST(1 AS BIGINT) << CAST(43 - m_j AS INTEGER)) AS BIGINT)
+         |           AS sum_present
+         |       FROM mg GROUP BY 1),
+         |e2 AS (SELECT event_type, CAST(64 - n_regs AS BIGINT) AS v0,
+         |         round(CAST(0.709 AS DOUBLE) * 4096.0 * 8796093022208.0 /
+         |           CAST(sum_present + (64 - n_regs) * 8796093022208 AS DOUBLE), 6) + 0
+         |           AS est_raw
+         |       FROM ag),
+         |fin AS (SELECT event_type,
+         |          CASE WHEN v0 > 0 AND est_raw <= 160.0
+         |               THEN round(ln(64.0 / CAST(v0 AS DOUBLE)) * 64.0, 6) + 0
+         |               ELSE est_raw END AS n_hll
+         |        FROM e2)
+         |SELECT m.event_type, d.n_days,
+         |  CAST(len(m.rm) AS BIGINT) AS n_regs_merged,
+         |  m.rm = w.rw AS merged_eq_whole, f.n_hll
+         |FROM ma m JOIN wa w USING (event_type) JOIN nd d USING (event_type)
+         |JOIN fin f USING (event_type)""".stripMargin
     },
     // single-statement census per column, unioned long-format
     "table_profile" -> {
@@ -3456,7 +3597,7 @@ object SparkEntry {
         |        list_slice(string_split(text, ' '), 1, 512), x -> trim(x)),
         |        x -> x <> '') AS toks FROM documents),
         |st AS (SELECT doc_id, toks, CAST(u.s AS BIGINT) AS start
-        |       FROM tk, unnest(range(1, len(toks) + 1, 4)) u(s)
+        |       FROM tk, unnest(range(1, greatest(len(toks) - 8, 0) + 5, 4)) u(s)
         |       WHERE len(toks) > 0)
         |SELECT doc_id, (start - 1) // 4 AS chunk_idx, start,
         |  least(CAST(len(toks) AS BIGINT) - start + 1, 8) AS n_tok,
@@ -3883,6 +4024,41 @@ object SparkEntry {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
         |  count(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+    // every sample row recomputed from media_id arithmetic: n=id%7+4,
+    // delta=100+(id%5)·20, size_i=50+((id·31+i·17)%100), chunk offset
+    // 376+4n+4nk with a per-media running size prefix, sync every 3rd
+    "video_frames" ->
+      """WITH v AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+        |p AS (SELECT media_id, CAST((media_id % 7) + 4 AS BIGINT) AS n,
+        |        CAST(100 + (media_id % 5) * 20 AS BIGINT) AS delta
+        |      FROM v),
+        |p2 AS (SELECT *, (n + 2) // 3 AS nk FROM p),
+        |s AS (SELECT media_id, n, delta, nk, CAST(u.si AS BIGINT) AS sample_idx
+        |      FROM p2, unnest(range(1, n + 1)) u(si)),
+        |z AS (SELECT *,
+        |        50 + ((media_id * 31 + (sample_idx - 1) * 17) % 100) AS sz
+        |      FROM s)
+        |SELECT media_id, sample_idx,
+        |  (sample_idx - 1) * delta AS pts_ticks,
+        |  CAST(376 + 4 * n + 4 * nk + COALESCE(sum(sz) OVER (PARTITION BY media_id
+        |    ORDER BY sample_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS "offset",
+        |  sz AS size, (sample_idx % 3 = 1) AS keyframe
+        |FROM z""".stripMargin,
+    "event_transitions" ->
+      """WITH ord AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS next_type
+        |      FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        count(*) AS n_trans
+        |      FROM ord WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |       FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n_trans, f.n_from,
+        |  round(CAST(c.n_trans AS DOUBLE) / CAST(f.n_from AS DOUBLE), 6) + 0
+        |    AS p_trans
+        |FROM c JOIN ft f USING (from_type)""".stripMargin,
     "events_value_stats" ->
       """SELECT event_type,
         |  round(stddev_samp(value), 4) + 0 AS sd_value,

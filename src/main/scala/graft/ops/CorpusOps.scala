@@ -69,8 +69,11 @@ object CorpusOps {
     * of `chunkSize` tokens every `stride` tokens (50% overlap at the
     * defaults), so a sentence straddling a boundary is always whole
     * in SOME chunk — the retrieval-recall argument for overlap. The
-    * trailing chunk may run short; it is kept (its tail tokens exist
-    * nowhere else).
+    * trailing chunk may run short; it is kept only while it carries
+    * tokens no earlier chunk covers: start generation stops once the
+    * previous chunk already reaches the end of the doc (a start past
+    * `size - chunkSize + stride` would emit a pure sub-span of its
+    * predecessor — duplicate index rows, zero recall gain).
     *
     * Scale shape: MAP-ONLY — the token array, the stride-sequence
     * explode, and each chunk's slice are all expressions over the
@@ -84,7 +87,8 @@ object CorpusOps {
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("start", explode(expr(s"sequence(1, size(toks), $stride)")))
+      .withColumn("start", explode(expr(
+        s"sequence(1, greatest(size(toks) - $chunkSize, 0) + $stride, $stride)")))
       .withColumn("start", col("start").cast("long"))
       .select(col("doc_id"),
         ((col("start") - 1) / stride).cast("long").as("chunk_idx"),

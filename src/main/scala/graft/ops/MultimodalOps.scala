@@ -507,6 +507,177 @@ object MultimodalOps {
         .select(col("media_id").as("id"), col("fp").as("sig")),
       maxHamming)
 
+  /** One demuxed video sample (frame): presentation order index,
+    * timestamp in track ticks, byte extent in the container, and
+    * whether the sample is a sync (key) frame. ok=false marks a
+    * contained corrupt/truncated payload (sample_idx −1). */
+  case class VideoFrame(media_id: Long, sample_idx: Int, pts_ticks: Long,
+                        offset: Long, size: Long, keyframe: Boolean, ok: Boolean)
+
+  /** Deterministic MP4 WITH REAL SAMPLE TABLES, pure in media_id —
+    * the differential substrate for [[videoFrames]] (the image_phash /
+    * audio_fingerprint proof pattern, video edition): ftyp + moov
+    * (mvhd, trak(tkhd, mdia(mdhd, minf(stbl(stts, stsz, stco,
+    * stss))))) + mdat. Every table entry is integer arithmetic on
+    * media_id — n = id%7+4 samples, tick delta 100+(id%5)·20 at
+    * timescale 600, size_i = 50+((id·31+i·17)%100), one chunk at
+    * offset 376+4n+4nk, sync samples every 3rd from 1 — so a SQL
+    * oracle recomputes every frame row the demuxer must emit without
+    * parsing a byte. */
+  def mp4SampleTableBytes(mediaId: Long): Array[Byte] = {
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val n = (mediaId % 7).toInt + 4
+    val delta = 100 + (mediaId % 5).toInt * 20
+    val nk = (n + 2) / 3
+    val sizes = (0 until n).map(i => 50 + ((mediaId * 31 + i * 17) % 100).toInt)
+    val stblSz = 88 + 4 * n + 4 * nk // 8 + stts 24 + stsz (20+4n) + stco 20 + stss (16+4nk)
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz // = 352 + 4n + 4nk
+    val mdatPayload = sizes.sum
+    val chunkOffset = 16 + moovSz + 8 // = 376 + 4n + 4nk
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatPayload)
+    bb.putInt(16).put(ascii("ftyp")).put(ascii("isom")).putInt(0x200)
+    bb.putInt(moovSz).put(ascii("moov"))
+    bb.putInt(108).put(ascii("mvhd")) // v0, timescale 600, duration n·delta
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt(n * delta)
+      .putInt(0x00010000).putShort(0x0100.toShort)
+      .put(new Array[Byte](10)).put(new Array[Byte](36)).put(new Array[Byte](24))
+      .putInt(2)
+    bb.putInt(trakSz).put(ascii("trak"))
+    bb.putInt(92).put(ascii("tkhd")) // v0
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(0).putInt(n * delta)
+      .put(new Array[Byte](8))
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .put(new Array[Byte](36))
+      .putInt(((mediaId % 640).toInt + 1) << 16).putInt(((mediaId % 480).toInt + 1) << 16)
+    bb.putInt(mdiaSz).put(ascii("mdia"))
+    bb.putInt(32).put(ascii("mdhd")) // v0: ts 600, duration n·delta, und language
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(n * delta)
+      .putShort(0x55c4.toShort).putShort(0)
+    bb.putInt(minfSz).put(ascii("minf"))
+    bb.putInt(stblSz).put(ascii("stbl"))
+    bb.putInt(24).put(ascii("stts")).putInt(0).putInt(1).putInt(n).putInt(delta)
+    bb.putInt(20 + 4 * n).put(ascii("stsz")).putInt(0).putInt(0).putInt(n)
+    sizes.foreach(bb.putInt)
+    bb.putInt(20).put(ascii("stco")).putInt(0).putInt(1).putInt(chunkOffset)
+    bb.putInt(16 + 4 * nk).put(ascii("stss")).putInt(0).putInt(nk)
+    (1 to n by 3).foreach(bb.putInt)
+    bb.putInt(8 + mdatPayload).put(ascii("mdat"))
+    var i = 0
+    while (i < mdatPayload) { bb.put(((chunkOffset + i) % 251).toByte); i += 1 }
+    bb.array()
+  }
+
+  /** Sample-table-bearing synthetic video corpus: odd doc_ids (the
+    * [[syntheticContainers]] video half), payload =
+    * [[mp4SampleTableBytes]]. */
+  def syntheticVideos(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        MediaRow(id, "video", mp4SampleTableBytes(id),
+          (id % 640).toInt + 1, (id % 480).toInt + 1, -1, -1)
+      })
+  }
+
+  /** VIDEO FRAME-SAMPLE demux — the sample-table walk behind keyframe
+    * extraction: parse stts (decode deltas), stsz (byte sizes), stco
+    * (chunk offsets) and stss (sync samples) out of the stbl and emit
+    * one row per sample with its presentation tick, byte extent, and
+    * keyframe flag — the exact plan a downstream decode stage
+    * (`frameSample` / a Pandas-UDF decoder at 100 TB) consumes to
+    * read ONLY keyframe byte ranges instead of the whole mdat.
+    *
+    * Header-only and map-only like [[decodeMedia]]: sample DATA is
+    * never touched; the single-chunk contiguous layout (no stsc ⇒
+    * chunk 0 holds all samples back to back) is resolved to absolute
+    * offsets by a running size sum, and a sample extending past the
+    * payload end is flagged ok=false rather than thrown. Unparseable
+    * payloads contain to one ok=false row ([[decodeMedia]]'s
+    * discipline).
+    *
+    * Reference: the reference has no video path at all (app.py:17-39
+    * reads PDF/DOCX only) — this is north-star multimodal surface. */
+  def videoFrames(media: Dataset[MediaRow]): Dataset[VideoFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { row =>
+        val bad = Seq(VideoFrame(row.media_id, -1, -1L, -1L, -1L,
+          keyframe = false, ok = false))
+        try {
+          val b = row.content
+          if (b.length < 8 || fourCC(b, 4) != "ftyp") bad
+          else {
+            var sttsE: Array[(Long, Long)] = null
+            var sizesE: Array[Long] = null
+            var chunksE: Array[Long] = null
+            var syncE: Array[Long] = null
+            def walk(from: Int, to: Int, depth: Int): Unit = {
+              var off = from
+              while (off + 8 <= to) {
+                val sz = beU32(b, off); val typ = fourCC(b, off + 4)
+                if (sz < 8 || off + sz > to) return
+                val p = off + 8
+                typ match {
+                  case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
+                    walk(p, off + sz.toInt, depth + 1)
+                  case "stts" if p + 8 <= to =>
+                    val cnt = beU32(b, p + 4).toInt
+                    if (p + 8 + 8L * cnt <= to)
+                      sttsE = Array.tabulate(cnt)(e =>
+                        (beU32(b, p + 8 + 8 * e), beU32(b, p + 12 + 8 * e)))
+                  case "stsz" if p + 12 <= to =>
+                    val fixed = beU32(b, p + 4); val cnt = beU32(b, p + 8).toInt
+                    // fixed-size branch has no table to bound-check the
+                    // count against — cap it so a corrupt header can't
+                    // allocate unbounded (2^22 samples ≫ any real track
+                    // this demuxer will meet; larger counts are junk)
+                    if (fixed != 0 && cnt >= 0 && cnt <= (1 << 22))
+                      sizesE = Array.fill(cnt)(fixed)
+                    else if (p + 12 + 4L * cnt <= to)
+                      sizesE = Array.tabulate(cnt)(e => beU32(b, p + 12 + 4 * e))
+                  case "stco" if p + 8 <= to =>
+                    val cnt = beU32(b, p + 4).toInt
+                    if (p + 8 + 4L * cnt <= to)
+                      chunksE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
+                  case "stss" if p + 8 <= to =>
+                    val cnt = beU32(b, p + 4).toInt
+                    if (p + 8 + 4L * cnt <= to)
+                      syncE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
+                  case _ => ()
+                }
+                off += sz.toInt
+              }
+            }
+            walk(0, b.length, 0)
+            if (sttsE == null || sizesE == null || chunksE == null ||
+                chunksE.isEmpty) bad
+            else {
+              val deltas = sttsE.flatMap { case (c, d) =>
+                Iterator.fill(math.min(c, sizesE.length.toLong).toInt)(d) }
+              val n = sizesE.length
+              if (deltas.length != n) bad
+              else {
+                val sync: Set[Long] =
+                  if (syncE == null) (1 to n).map(_.toLong).toSet else syncE.toSet
+                var pts = 0L; var off = chunksE(0)
+                (1 to n).map { si =>
+                  val f = VideoFrame(row.media_id, si, pts, off, sizesE(si - 1),
+                    sync.contains(si.toLong), ok = off + sizesE(si - 1) <= b.length)
+                  pts += deltas(si - 1); off += sizesE(si - 1); f
+                }
+              }
+            }
+          }
+        } catch { case _: Exception => bad }
+      }
+    }
+  }
+
   /** Synthesize a deterministic media table from the documents table
     * (text bytes as payload) — the test/bench substrate given this
     * environment has no real media files. */

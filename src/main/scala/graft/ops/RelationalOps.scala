@@ -162,6 +162,41 @@ object RelationalOps {
           ">").as("path"),
         count(lit(1)).as("n_events"))
 
+  /** First-order Markov TRANSITION MATRIX over per-user event
+    * sequences — the behavioral-model summary [[userEventPaths]]'s
+    * rendered strings can't aggregate: for every consecutive
+    * (event → next event) pair within a user's time-ordered stream,
+    * the transition count and the conditional probability
+    * P(to | from) = n(from→to) / n(from→·). The matrix is what
+    * next-event prediction baselines, funnel-leak triage, and
+    * session-simulation samplers are built from.
+    *
+    * Determinism: successor via lead() over (ts, event_id) — the
+    * total order both engines agree on; probabilities are one integer
+    * ratio rounded once.
+    *
+    * Scale shape: ONE shuffle (the user-partitioned window, uniform
+    * user axis — same shape as sessionize); pair counts reduce onto
+    * the bounded |types|² key with map-side partials; row totals are
+    * a |types|-row agg broadcast back. No global windows, no joins on
+    * the fact stream. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTotals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n_trans")).as("n_from"))
+    counts.join(broadcast(fromTotals), "from_type")
+      .withColumn("p_trans",
+        roundn(col("n_trans").cast("double") / col("n_from").cast("double"), 6))
+      .select(col("from_type"), col("to_type"), col("n_trans"), col("n_from"),
+        col("p_trans"))
+  }
+
   /** Cohort retention — the canonical product-analytics matrix: users
     * cohorted by first-active day; each (cohort_day, day_offset) cell
     * counts the cohort members active that day, with the retention
@@ -467,7 +502,10 @@ object RelationalOps {
     *
     * Scale shape: the stream reduces to the calendar-bounded daily
     * table (map-side partials); the regression is one bounded
-    * per-type agg — no windows, no sorts. */
+    * per-type agg — no windows, no sorts. Types observed on a single
+    * day are dropped (n_days ≥ 2): one point defines no slope, and
+    * the OLS denominator n·sxx − sx² is 0 there (NaN on both
+    * engines otherwise). */
   def eventsTrend(events: DataFrame): DataFrame = {
     val dayNanos = 86400L * 1000 * 1000 * 1000
     val daily = events
@@ -482,6 +520,7 @@ object RelationalOps {
         sum(col("x")).as("sx"), sum(col("y6")).as("sy"),
         sum(col("x") * col("y6")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n_days") >= 2)
       .withColumn("slope_raw",
         (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
           ((col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") * 1e6))
@@ -754,24 +793,6 @@ object RelationalOps {
         count(lit(1)).as("n_total"))
   }
 
-  /** SEASONAL anomaly screen — [[madOutliers]] composed with the
-    * [[eventsSeasonality]] baseline: residuals against each (type,
-    * hour-of-day) mean, then the robust median/MAD gate on the
-    * residuals. A diurnal stream makes a global screen blind (a
-    * normal midnight value IS anomalous at the noon peak and vice
-    * versa); subtracting the cycle baseline first is the standard
-    * deseasonalize-then-screen decomposition.
-    *
-    * Determinism: the baseline is rounded ONCE per (type, hour) cell,
-    * so residuals are derived from identical doubles on both engines;
-    * the two residual percentiles follow [[madOutliers]]'s
-    * round-once-then-compare discipline (no grid-then-divide).
-    *
-    * Scale shape: the baseline is a |types|·24-cell agg with map-side
-    * partials, BROADCAST back onto the stream (map-side residuals, no
-    * fact re-shuffle); the med/MAD aggs key on |types| (exact
-    * percentile here; approx_percentile at 100 TB); the final census
-    * is one bounded agg. */
   /** The trained artifacts of [[seasonalAnomalies]], exposed so the
     * STREAMING twin can score arrivals against the same gates:
     * (baseline (event_type, hour_of_day, baseline),
@@ -796,6 +817,27 @@ object RelationalOps {
     (prof, mad)
   }
 
+  /** SEASONAL anomaly screen — [[madOutliers]] composed with the
+    * [[eventsSeasonality]] baseline: residuals against each (type,
+    * hour-of-day) mean, then the robust median/MAD gate on the
+    * residuals. A diurnal stream makes a global screen blind (a
+    * normal midnight value IS anomalous at the noon peak and vice
+    * versa); subtracting the cycle baseline first is the standard
+    * deseasonalize-then-screen decomposition.
+    *
+    * Determinism: the baseline is rounded ONCE per (type, hour) cell,
+    * so residuals are derived from identical doubles on both engines;
+    * the two residual percentiles follow [[madOutliers]]'s
+    * round-once-then-compare discipline (no grid-then-divide).
+    *
+    * Scale shape: the baseline is a |types|·24-cell agg with map-side
+    * partials, BROADCAST back onto the stream (map-side residuals, no
+    * fact re-shuffle); the med/MAD aggs key on |types| (exact
+    * percentile here; approx_percentile at 100 TB); the final census
+    * is one bounded agg.
+    *
+    * The screen's trained artifacts live in [[seasonalGates]] so the
+    * STREAMING twin can score arrivals against the same gates. */
   def seasonalAnomalies(events: DataFrame, k: Double = 3.0): DataFrame = {
     val hourNanos = 3600L * 1000 * 1000 * 1000
     val (prof, mad) = seasonalGates(events, k)

@@ -432,4 +432,117 @@ object SketchOps {
           abs(col("n_kmv") - col("n_exact")).cast("double") / col("n_exact"), 6))
       .select(col("event_type"), col("n_exact"), col("n_kmv"), col("rel_err"))
   }
+
+  /** HyperLogLog registers for one keyed stream — the OTHER
+    * mergeable cardinality sketch beside [[kmvDistinct]] (Flajolet et
+    * al. '07, the industry default: fixed 64-register state vs KMV's
+    * k hashes, register-wise max merge vs KMV's sorted-merge).
+    * `approx_stats_check` only tolerance-bounds Spark's built-in
+    * HLL++; this one is built from PORTABLE arithmetic (hash48 →
+    * top-6-bit register index, leading-zero rank of the low 42 bits
+    * via integer bin-length — no float log2), so every register and
+    * the final estimate replay exactly in the oracle.
+    *
+    * Returns (event_type, idx, m_j): the occupied registers. */
+  private def hllRegisters(events: DataFrame, key: String): DataFrame = {
+    val two42 = 4398046511104L // 2^42
+    events
+      .select(col("event_type"),
+        PortableHash.hash48(concat(lit("hll:"), col(key).cast("string"))).as("h"))
+      .select(col("event_type"),
+        shiftright(col("h"), 42).as("idx"),
+        (col("h") % two42).as("rr"))
+      // rank of the first 1-bit in the 42-bit remainder: 43 - bitlength
+      // (rr = 0 → all zeros → rank 43). bin() length is exact integer
+      // arithmetic on both engines — no float log2 boundary hazard.
+      .select(col("event_type"), col("idx"),
+        when(col("rr") === 0L, lit(43L))
+          .otherwise(lit(43L) - length(bin(col("rr")))).as("rho"))
+      .groupBy(col("event_type"), col("idx"))
+      .agg(max(col("rho")).as("m_j"))
+  }
+
+  /** HLL estimate per type from occupied registers: the harmonic-mean
+    * raw estimate with the standard small-range linear-counting
+    * correction. Z's reciprocal-power sum is computed as an EXACT
+    * integer numerator over 2^43 (each term 2^(43−m_j) ≤ 2^43, 64
+    * terms < 2^49 — no float sum order anywhere); the branch compares
+    * the ONCE-rounded raw estimate so both engines take the same arm. */
+  private def hllEstimate(regs: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val two43 = 8796093022208L // 2^43
+    regs
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(1L, cast(43 - m_j as int))")).as("sum_present"))
+      .withColumn("v0", lit(64L) - col("n_regs"))
+      .withColumn("sum_num", col("sum_present") + col("v0") * two43)
+      .withColumn("est_raw", roundn(
+        lit(0.709) * lit(4096.0) * lit(8796093022208.0) /
+          col("sum_num").cast("double"), 6))
+      .withColumn("n_hll",
+        when(col("v0") > 0L && col("est_raw") <= lit(160.0),
+          roundn(log(lit(64.0) / col("v0").cast("double")) * 64.0, 6))
+          .otherwise(col("est_raw")))
+      .select(col("event_type"), col("n_regs"), col("v0"), col("n_hll"))
+  }
+
+  /** Declared query: per-type distinct-user estimate from a 64-register
+    * portable HLL beside the exact count — registers, estimate, and
+    * relative error all pinned exactly by the oracle.
+    *
+    * Scale shape: one sha per row map-side, registers reduce on the
+    * (type, idx) key (≤ 64·|types| rows into the final agg regardless
+    * of input size — the postcard-sized state that makes HLL the 100 TB
+    * default); the exact twin is the receipt's cost, production keeps
+    * registers only. */
+  def hllDistinct(events: DataFrame, key: String = "user_id"): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val est = hllEstimate(hllRegisters(events, key))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col(key)).as("n_exact"))
+    est.join(exact, "event_type")
+      .withColumn("rel_err",
+        roundn(abs(col("n_hll") - col("n_exact").cast("double")) /
+          col("n_exact").cast("double"), 6))
+      .select(col("event_type"), col("n_exact"), col("n_regs"), col("v0"),
+        col("n_hll"), col("rel_err"))
+  }
+
+  /** Declared query: the HLL mergeability receipt, [[kmvUnionReceipt]]'s
+    * twin — per-day register tables max-merged must equal the
+    * whole-stream register table, register for register (the property
+    * that makes HLL state a shuffle-safe partial aggregate), pinned as
+    * a boolean beside the merged estimate. */
+  def hllUnionReceipt(events: DataFrame, key: String = "user_id"): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val two42 = 4398046511104L
+    val perDay = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"),
+        PortableHash.hash48(concat(lit("hll:"), col(key).cast("string"))).as("h"))
+      .select(col("event_type"), col("day"),
+        shiftright(col("h"), 42).as("idx"),
+        (col("h") % two42).as("rr"))
+      .select(col("event_type"), col("day"), col("idx"),
+        when(col("rr") === 0L, lit(43L))
+          .otherwise(lit(43L) - length(bin(col("rr")))).as("rho"))
+      .groupBy(col("event_type"), col("day"), col("idx"))
+      .agg(max(col("rho")).as("m_j"))
+    val merged = perDay.groupBy(col("event_type"), col("idx"))
+      .agg(max(col("m_j")).as("m_j"))
+    val nDays = perDay.select(col("event_type"), col("day")).distinct()
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val whole = hllRegisters(events, key)
+    def packed(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("idx"), col("m_j")))).as(out))
+    packed(merged, "regs_merged")
+      .join(packed(whole, "regs_whole"), "event_type")
+      .join(nDays, "event_type")
+      .join(hllEstimate(merged).select(col("event_type"), col("n_hll")), "event_type")
+      .select(col("event_type"), col("n_days"),
+        size(col("regs_merged")).cast("long").as("n_regs_merged"),
+        (col("regs_merged") === col("regs_whole")).as("merged_eq_whole"),
+        col("n_hll"))
+  }
 }

@@ -1034,6 +1034,65 @@ object TextOps {
           .as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — [[zipfFit]]'s companion
+    * corpus statistic (Heaps '78: V(n) = K·n^β, the sublinear
+    * vocabulary growth every tokenizer-vocab and shard-size decision
+    * leans on): sample the (cumulative tokens, cumulative vocabulary)
+    * curve along the doc_id axis at a GEOMETRIC grid of ≤ `nPoints`
+    * prefix boundaries, then fit β and K by the same fixed-point
+    * log-log OLS as zipfFit.
+    *
+    * The curve needs no running window: V(t) is the count of tokens
+    * whose FIRST occurrence (min doc_id — one vocab-keyed agg) falls
+    * at or before the boundary, T(t) the occurrence mass of docs ≤ t
+    * — both are conditional aggregates against a broadcast ≤16-row
+    * grid, NOT a global cumulative window over the corpus (the
+    * unpartitioned-window shape the engine bans at 100 TB).
+    *
+    * Determinism: grid boundaries round once from max_doc^(k/n);
+    * ln(integer count)·1e6 rounds once per point; OLS sums are exact
+    * Long arithmetic (≤16 points × (1.5e7)² products — no overflow);
+    * degenerate grids (OLS denominator 0) drop the output row rather
+    * than emit NaN.
+    *
+    * Scale shape: one token-census pass (doc-keyed + vocab-keyed
+    * aggs, map-side partials), a ≤16× conditional fan-out against the
+    * broadcast grid, and a 1-row OLS. */
+  def heapsFit(docs: DataFrame, nPoints: Int = 16): DataFrame = {
+    val toks = EmbedOps.tokenize(docs).select(col("doc_id"), col("tok"))
+    val grid = docs.agg(max(col("doc_id")).as("max_doc"))
+      .select(col("max_doc"),
+        explode(sequence(lit(1), lit(nPoints))).as("kk"))
+      .select(round(pow(col("max_doc").cast("double"),
+        col("kk").cast("double") / lit(nPoints.toDouble))).cast("long").as("t"))
+      .distinct()
+    val tt = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      .join(broadcast(grid), col("doc_id") <= col("t"))
+      .groupBy(col("t")).agg(sum(col("n_tok")).as("cum_tokens"))
+    val vv = toks.groupBy(col("tok")).agg(min(col("doc_id")).as("first_doc"))
+      .join(broadcast(grid), col("first_doc") <= col("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("vocab"))
+    tt.join(vv, "t")
+      .select(
+        round(log(col("cum_tokens").cast("double")) * 1e6).cast("long").as("x6"),
+        round(log(col("vocab").cast("double")) * 1e6).cast("long").as("y6"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"))
+      .filter(col("n_points") * col("sxx") - col("sx") * col("sx") =!= 0L)
+      .withColumn("slope_raw",
+        (col("n_points") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("intercept_raw",
+        (col("sy").cast("double") / 1e6 -
+          col("slope_raw") * col("sx").cast("double") / 1e6) / col("n_points"))
+      .select(col("n_points"),
+        roundn(col("slope_raw"), 6).as("beta"),
+        roundn(col("intercept_raw"), 6).as("intercept"),
+        roundn(exp(col("intercept_raw")), 6).as("k_coef"))
+  }
+
   /** PMI word associations — the distributional-statistics pass
     * (Church & Hanks, CL 1990) behind collocation mining, phrase
     * vocabularies, and embedding sanity checks: count co-occurring
@@ -1043,11 +1102,13 @@ object TextOps {
     * report the strongest `topN` associations above a `minCount`
     * support floor.
     *
-    * Determinism: counts are exact integers; the single ln runs on an
-    * integer ratio whose parts stay below 2^53 (c_xy·S with both ≤
-    * ~10^10 needs care at extreme scale — document-capped token
-    * streams keep S ≈ window·tokens), rounded once to 6 decimals with
-    * (t1, t2) breaking rank ties — engine-exact.
+    * Determinism: counts are exact integers; each count casts to
+    * double BEFORE the products (a Long·Long intermediate would wrap
+    * or throw past 2^63 at extreme corpus scale, and the two engines
+    * disagree on which) — Longs below 2^53 convert exactly and the
+    * double product rounds the exact product once, so both engines
+    * compute bit-identical ratios; the single ln rounds once to 6
+    * decimals with (t1, t2) breaking rank ties.
     *
     * Scale shape: pair generation is MAP-ONLY (zip_with over the
     * per-doc token array against its d-shifted self — no positional
@@ -1083,8 +1144,8 @@ object TextOps {
         .withColumnRenamed("m", "m_y")), "t2")
       .crossJoin(broadcast(total))
       .withColumn("pmi", roundn(
-        log((col("c_xy") * col("s_total")).cast("double") /
-          (col("m_x") * col("m_y")).cast("double")), 6))
+        log((col("c_xy").cast("double") * col("s_total").cast("double")) /
+          (col("m_x").cast("double") * col("m_y").cast("double"))), 6))
       .orderBy(col("pmi").desc, col("t1"), col("t2")).limit(topN)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("pmi").desc, col("t1"), col("t2"))).cast("long"))

@@ -423,7 +423,19 @@ object StreamingOps {
         TTLConfig.NONE)
     override def handleInputRows(key: String, rows: Iterator[CmsEvent],
                                  tv: TimerValues): Iterator[CmsEstimate] = {
-      val buf = if (sk.exists()) sk.get() else new Array[Long](depth * width)
+      // The cell array is NOT reshapeable: a restored state sized for a
+      // different (depth, width) would silently misattribute counts (or
+      // index out of bounds mid-batch) if reused. Fail fast instead of
+      // corrupting estimates — restarting with new dimensions requires a
+      // fresh checkpoint by contract.
+      val buf = if (sk.exists()) {
+        val restored = sk.get()
+        require(restored.length == depth * width,
+          s"CmsProcessor state has ${restored.length} cells but depth*width = " +
+            s"${depth * width}; the sketch is not reshapeable — restart from a " +
+            "fresh checkpoint to change dimensions")
+        restored
+      } else new Array[Long](depth * width)
       val seen = scala.collection.mutable.LinkedHashSet.empty[String]
       rows.foreach { r =>
         var j = 0

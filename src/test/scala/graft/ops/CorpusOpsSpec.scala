@@ -29,20 +29,31 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
 
-  test("chunkOverlap: stride starts, boundary token shared, short tail kept") {
+  test("chunkOverlap: stride starts, boundary token shared, no contained tail") {
     import spark.implicits._
     val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
     val r = CorpusOps.chunkOverlap(docs, chunkSize = 8, stride = 4).collect()
       .map(x => x.getAs[Long]("chunk_idx") ->
         ((x.getAs[Long]("start"), x.getAs[Long]("n_tok"), x.getAs[String]("chunk")))).toMap
-    // 10 tokens, stride 4 → starts 1, 5, 9
-    assert(r.keySet === Set(0L, 1L, 2L))
+    // 10 tokens, stride 4 → starts 1, 5 only: the start=5 chunk already
+    // covers t5..t10, so a start=9 chunk would be a pure sub-span of it
+    // (every token duplicated) and is NOT emitted
+    assert(r.keySet === Set(0L, 1L))
     assert(r(0L) === ((1L, 8L, (1 to 8).map(i => s"t$i").mkString(" "))))
     assert(r(1L) === ((5L, 6L, (5 to 10).map(i => s"t$i").mkString(" "))))
-    assert(r(2L) === ((9L, 2L, "t9 t10")))
     // the overlap property: token t8 (a boundary token) appears in
     // BOTH chunk 0 and chunk 1 — what disjoint windows cannot give
     assert(r(0L)._3.contains("t8") && r(1L)._3.contains("t8"))
+    // a genuinely-new-token tail IS kept: 13 tokens → starts 1, 5, 9,
+    // and the start=9 chunk carries t13, which no earlier chunk holds
+    val r13 = CorpusOps.chunkOverlap(
+      Seq((3L, (1 to 13).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text"),
+      chunkSize = 8, stride = 4).collect().map(_.getAs[Long]("start")).sorted
+    assert(r13.toSeq === Seq(1L, 5L, 9L))
+    // every chunk covers at least one token index no predecessor covers
+    // (starts ascend by stride; last start ≤ size - chunkSize + stride)
+    assert(CorpusOps.chunkOverlap(docs, chunkSize = 4, stride = 2)
+      .collect().map(_.getAs[Long]("start")).max <= 10L - 4L + 2L)
     // empty doc yields no chunks
     assert(CorpusOps.chunkOverlap(Seq((2L, "   ")).toDF("doc_id", "text")).count() === 0L)
   }

@@ -393,6 +393,35 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("eventTransitions: per-user consecutive pairs with row-normalized probabilities") {
+    // user 1: a→b→a→c; user 2: b→a. Transitions: (a,b) 1, (b,a) 2, (a,c) 1
+    val rows = Seq(
+      (1L, 1L, 100L, "a", 0.0, "{}"), (2L, 1L, 200L, "b", 0.0, "{}"),
+      (3L, 1L, 300L, "a", 0.0, "{}"), (4L, 1L, 400L, "c", 0.0, "{}"),
+      (5L, 2L, 100L, "b", 0.0, "{}"), (6L, 2L, 200L, "a", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventTransitions(ev).collect()
+      .map(x => (x.getAs[String]("from_type"), x.getAs[String]("to_type")) ->
+        ((x.getAs[Long]("n_trans"), x.getAs[Double]("p_trans")))).toMap
+    assert(r.keySet === Set(("a", "b"), ("b", "a"), ("a", "c")))
+    assert(r(("a", "b")) === ((1L, 0.5)))
+    assert(r(("a", "c")) === ((1L, 0.5)))
+    assert(r(("b", "a")) === ((2L, 1.0)))
+    // no cross-user pair: user 1's trailing c never transitions to user 2's b
+  }
+
+  test("eventsTrend: a single-day type is dropped, not a NaN row") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // type "a" spans 3 days (fit is defined); type "b" has one day only —
+    // its OLS denominator n·sxx − sx² is 0, so the row must be absent
+    val rows = (0 until 3).map(d => (d.toLong, 1L, d * day, "a", 1.0 + d, "{}")) :+
+      ((99L, 1L, 5 * day, "b", 7.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsTrend(ev).collect()
+    assert(r.map(_.getAs[String]("event_type")).toSet === Set("a"))
+    assert(!r.exists(x => x.getAs[Double]("slope").isNaN))
+  }
+
   test("ivmReceipt: base+delta integer state merges to the full aggregate exactly") {
     val li = (1L to 50L).map(k => (k, k, k, 1L, 1.0, 10.01 * k, 0.0, 0.0,
         if (k % 3 == 0) "A" else "N", "O", "1996-01-01"))

@@ -237,4 +237,39 @@ class SketchOpsSpec extends SparkSpec {
     // KMV σ ≈ 1/√(k−2) ≈ 12.7%; allow 4σ
     assert(math.abs(est - 3000.0) / 3000.0 < 0.51, s"estimate $est too far")
   }
+
+  test("hll distinct: small cardinality exact-ish via linear counting, large within bound") {
+    val rows =
+      (1L to 30L).map(u => ("a", u)) ++ (1L to 4000L).map(u => ("b", u))
+    val df = rows.toDF("event_type", "user_id")
+    val r = SketchOps.hllDistinct(df, "user_id")
+      .collect().map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_exact"), x.getAs[Long]("n_regs"),
+          x.getAs[Double]("n_hll")))).toMap
+    val (exA, regsA, estA) = r("a")
+    assert(exA === 30L && regsA <= 64L)
+    // linear-counting regime: 64·ln(64/v0) is tight at n ≪ m
+    assert(math.abs(estA - 30.0) / 30.0 < 0.35, s"small-n estimate $estA")
+    val (exB, regsB, estB) = r("b")
+    assert(exB === 4000L && regsB <= 64L)
+    // HLL σ ≈ 1.04/√64 ≈ 13%; allow 4σ
+    assert(math.abs(estB - 4000.0) / 4000.0 < 0.52, s"estimate $estB too far")
+  }
+
+  test("hll union receipt: day-partial max-merge equals whole-stream registers") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // users spread over 5 days, with overlap across days
+    val rows = (0 until 5).flatMap(d =>
+      (1L to 200L).map(u => (d * 40 + u, 1L, d * day + u, "a", 1.0, "{}")))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+      .withColumn("user_id", col("event_id") % 300) // cross-day repeats
+    val r = SketchOps.hllUnionReceipt(ev, "user_id").collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Boolean]("merged_eq_whole"),
+        "register-wise max merge must equal the one-pass registers")
+      assert(x.getAs[Long]("n_regs_merged") <= 64L)
+      assert(x.getAs[Long]("n_days") === 5L)
+    }
+  }
 }

@@ -550,6 +550,25 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
   }
 
+  test("heapsFit: every-token-new corpus fits beta 1, K 1 exactly") {
+    // doc i = one unique word ⇒ V(n) = T(n) = n at every prefix:
+    // ln V = 1·ln T + 0, so the fit must recover beta 1, k_coef 1
+    val docs = (1L to 64L).map(i => (i, s"w$i")).toDF("doc_id", "text")
+    val r = TextOps.heapsFit(docs).collect()(0)
+    assert(r.getAs[Long]("n_points") >= 2L)
+    assert(math.abs(r.getAs[Double]("beta") - 1.0) < 1e-4)
+    assert(math.abs(r.getAs[Double]("k_coef") - 1.0) < 1e-3)
+  }
+
+  test("heapsFit: a saturating vocabulary fits sublinear beta") {
+    // first 8 docs introduce words, the remaining 120 repeat word w1 —
+    // vocabulary growth stalls while token mass keeps rising
+    val docs = ((1L to 8L).map(i => (i, s"w$i")) ++
+      (9L to 128L).map(i => (i, "w1 w1 w1"))).toDF("doc_id", "text")
+    val beta = TextOps.heapsFit(docs).collect()(0).getAs[Double]("beta")
+    assert(beta > 0.0 && beta < 0.9, s"expected sublinear growth, got $beta")
+  }
+
   test("oovRate: tokens outside the top-k vocabulary are counted per source") {
     val docs = Seq(
       (0L, "a a a b b c", "s1"), // with vocab {a, b}: 1 OOV of 6
