@@ -561,6 +561,11 @@ object SparkEntry {
     // HLL mergeability receipt: per-day registers max-merged must
     // equal the whole-stream registers, register for register
     "hll_union" -> ((s, dir) => SketchOps.hllUnionReceipt(Tables.events(s, dir))),
+    // range-partition planning receipt: boundaries from the bottom-k
+    // sample's rank statistics, rows routed by boundary compares, per-
+    // partition balance pinned — the sorted-write plan audit
+    "range_boundaries" -> ((s, dir) =>
+      SketchOps.rangeBoundaries(Tables.events(s, dir))),
     // CUSUM level-shift detection over the calendar-bounded daily
     // mean series
     "events_changepoint" -> ((s, dir) =>
@@ -3037,6 +3042,40 @@ object SparkEntry {
          |  round(s.est_mu / 1000000.0, 6) + 0 AS est_v,
          |  round(abs(e.exact_mu - s.est_mu) / 1000000.0, 6) + 0 AS abs_err
          |FROM ex e JOIN es s USING (event_type, pct)""".stripMargin
+    },
+    // range-partition receipt: boundaries at the n·i/8 rank statistics
+    // of the bottom-256 pair sample, rows routed by counting
+    // boundaries strictly below, balance = frac·parts
+    "range_boundaries" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'rb:' || CAST(event_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH hv AS (SELECT CAST(round(value * 1000000) AS BIGINT) AS v_mu,
+         |        $h48 AS h
+         |      FROM events),
+         |sr AS (SELECT v_mu, row_number() OVER (ORDER BY h, v_mu) AS rh
+         |       FROM (SELECT DISTINCT h, v_mu FROM hv)),
+         |s0 AS (SELECT v_mu, row_number() OVER (ORDER BY v_mu) AS rn,
+         |         count(*) OVER () AS n_sample
+         |       FROM sr WHERE rh <= 256),
+         |b AS (SELECT g.bi, s0.v_mu AS bval
+         |      FROM unnest(range(1, 8)) g(bi) JOIN s0
+         |        ON s0.rn = greatest(1, (s0.n_sample * g.bi) // 8)),
+         |bl AS (SELECT list(bval ORDER BY bi) AS bs FROM b),
+         |a AS (SELECT hv.v_mu,
+         |        CAST(list_sum(list_transform(bl.bs,
+         |          bb -> CASE WHEN hv.v_mu > bb THEN 1 ELSE 0 END)) AS BIGINT)
+         |          AS part_idx
+         |      FROM hv, bl),
+         |g2 AS (SELECT part_idx, count(*) AS n_rows, min(v_mu) AS min_mu,
+         |         max(v_mu) AS max_mu
+         |       FROM a GROUP BY 1),
+         |t AS (SELECT count(*) AS n_total FROM hv)
+         |SELECT part_idx, round(min_mu / 1000000.0, 6) + 0 AS min_v,
+         |  round(max_mu / 1000000.0, 6) + 0 AS max_v, n_rows,
+         |  round(CAST(n_rows AS DOUBLE) / CAST(n_total AS DOUBLE), 6) + 0 AS frac,
+         |  round(CAST(n_rows AS DOUBLE) * 8 / CAST(n_total AS DOUBLE), 6) + 0
+         |    AS balance
+         |FROM g2, t""".stripMargin
     },
     // same kernel swept over k ∈ {16, 64, 256}, collapsed to the
     // error curve (the cms_error_curve discipline)

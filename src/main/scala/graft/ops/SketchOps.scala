@@ -433,6 +433,57 @@ object SketchOps {
       .select(col("event_type"), col("n_exact"), col("n_kmv"), col("rel_err"))
   }
 
+  /** RANGE-PARTITION boundary planning + balance audit — what
+    * `repartitionByRange` / a sorted-parquet write does internally
+    * (sample → pick split points → route rows), surfaced as a
+    * DETERMINISTIC, oracle-replayable receipt: boundaries are the
+    * n·i/parts rank statistics of the bottom-k pair sketch's uniform
+    * row sample (the [[quantileSketch]] kernel — Spark's own
+    * RangePartitioner does exactly this with a non-reproducible
+    * reservoir), every row is routed by counting boundaries below its
+    * value, and the output pins each partition's row count, value
+    * range, and balance factor (frac·parts; 1.0 = perfectly even).
+    * The balance column is the number a 100 TB sorted-write plan is
+    * approved on — a skewed boundary set shows up as balance ≫ 1
+    * before any executor OOMs on the real write.
+    *
+    * Scale shape: the sketch ships ≤2k Longs per map task; boundaries
+    * broadcast (parts−1 Longs); routing is map-side integer compares;
+    * the audit agg keys on ≤parts values. No global sort anywhere —
+    * that is the point. */
+  def rangeBoundaries(events: DataFrame, nParts: Int = 8, k: Int = 256): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val h = events.select(
+      PortableHash.hash48(concat(lit("rb:"), col("event_id").cast("string"))).as("h"),
+      round(col("value") * 1000000).cast("long").as("v_mu"))
+    val bounds = h
+      .agg(graft.functions.SketchAggregators.bottomKPairsUdaf(k)(
+        col("h"), col("v_mu")).as("sk"))
+      .withColumn("svals",
+        array_sort(expr("transform(sequence(1, size(sk) div 2), i -> sk[2*i - 1])")))
+      .withColumn("n_sample", size(col("svals")).cast("long"))
+      .select(expr(
+        s"""transform(sequence(1, ${nParts - 1}), bi ->
+           |  element_at(svals, cast(greatest(1L, (n_sample * bi) div ${nParts}L) as int)))
+           |""".stripMargin).as("bs"))
+    val total = h.agg(count(lit(1)).as("n_total"))
+    h.crossJoin(broadcast(bounds))
+      .withColumn("part_idx",
+        expr("aggregate(bs, 0L, (acc, b) -> acc + if(v_mu > b, 1L, 0L))"))
+      .groupBy(col("part_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v_mu")).as("min_mu"), max(col("v_mu")).as("max_mu"))
+      .crossJoin(broadcast(total))
+      .select(col("part_idx"),
+        roundn(col("min_mu") / 1e6, 6).as("min_v"),
+        roundn(col("max_mu") / 1e6, 6).as("max_v"),
+        col("n_rows"),
+        roundn(col("n_rows").cast("double") / col("n_total").cast("double"), 6)
+          .as("frac"),
+        roundn(col("n_rows").cast("double") * nParts /
+          col("n_total").cast("double"), 6).as("balance"))
+  }
+
   /** HyperLogLog registers for one keyed stream — the OTHER
     * mergeable cardinality sketch beside [[kmvDistinct]] (Flajolet et
     * al. '07, the industry default: fixed 64-register state vs KMV's

@@ -238,6 +238,25 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(est - 3000.0) / 3000.0 < 0.51, s"estimate $est too far")
   }
 
+  test("rangeBoundaries: partitions cover all rows, respect value order, stay balanced") {
+    // uniform values 1..4000 → 8 sample-planned ranges should be
+    // roughly even and strictly ordered
+    val rows = (1L to 4000L).map(i => (i, 1L, i, "a", i.toDouble, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = SketchOps.rangeBoundaries(ev, nParts = 8, k = 256)
+      .collect().sortBy(_.getAs[Long]("part_idx"))
+    assert(r.map(_.getAs[Long]("part_idx")).toSeq === (0L to 7L))
+    assert(r.map(_.getAs[Long]("n_rows")).sum === 4000L)
+    // ranges are disjoint and ordered: each partition's min exceeds
+    // the previous partition's max
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("max_v") < b.getAs[Double]("min_v"))
+    }
+    // sample-planned balance: every partition within 2× of even
+    r.foreach(x => assert(x.getAs[Double]("balance") < 2.0 &&
+      x.getAs[Double]("balance") > 0.3, s"unbalanced: $x"))
+  }
+
   test("hll distinct: small cardinality exact-ish via linear counting, large within bound") {
     val rows =
       (1L to 30L).map(u => ("a", u)) ++ (1L to 4000L).map(u => ("b", u))
