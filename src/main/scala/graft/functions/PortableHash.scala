@@ -56,6 +56,15 @@ object PortableHash {
     java.lang.Long.parseLong(hex, 16)
   }
 
+  /** Row-local JVM twin of [[hash48]] (first 6 sha-256 bytes = first
+    * 12 hex chars) — for streaming kernels. Spec-pinned equal to the
+    * Column form. */
+  def hash48Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val hex = md.digest(s.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
+  }
+
   /** SQL fragment for the DuckDB twin of [[hash24]], for oracle
     * authoring. `sExpr` is a SQL expression yielding the input string. */
   def duckdbHash24(sExpr: String): String =

@@ -312,6 +312,75 @@ object StreamingOps {
       .transformWithState(new KmvProcessor(k), TimeMode.None(), OutputMode.Update())
   }
 
+  /** Output row: the group's current HLL estimate and register
+    * occupancy after the batch. */
+  case class HllEstimate(group: String, n_regs: Int, n_hll: Double)
+
+  /** Row-local twin of the batch HLL register kernel
+    * (SketchOps.hllRegisters): hash48 → (top-6-bit register index,
+    * 43 − bitlength of the low 42 bits). Spec-pinned bit-equal to the
+    * SQL expression chain. */
+  def hllIdxRhoJvm(h: Long): (Int, Int) = {
+    val idx = (h >>> 42).toInt
+    val r = h & 4398046511103L // 2^42 − 1
+    val rho = if (r == 0L) 43 else 43 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+    (idx, rho)
+  }
+
+  /** Streaming HyperLogLog distinct counting — the transformWithState
+    * twin of the batch `hll_distinct` query, completing the sketch
+    * symmetry (KMV, CMS, and the quantile pair sketch already have
+    * stream forms): per group, state is ONE 64-slot register array
+    * (max rho per slot — 512 bytes forever, the HLL contract); each
+    * batch folds arrivals through [[hllIdxRhoJvm]] (bit-equal to the
+    * batch SQL kernel, so stream registers = batch registers over the
+    * same rows) and emits the refreshed estimate with the same
+    * raw/linear-counting branch arithmetic as the batch estimator. */
+  class HllProcessor
+      extends StatefulProcessor[String, KeyedHash, HllEstimate] {
+    @transient private var regs: org.apache.spark.sql.streaming.ValueState[Array[Long]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getValueState[Array[Long]]("hll",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]](),
+        TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[KeyedHash],
+                                 tv: TimerValues): Iterator[HllEstimate] = {
+      val m = if (regs.exists()) regs.get() else new Array[Long](64)
+      require(m.length == 64, s"HLL state has ${m.length} registers, expected 64")
+      rows.foreach { r =>
+        val (idx, rho) = hllIdxRhoJvm(r.h)
+        if (rho > m(idx)) m(idx) = rho
+      }
+      regs.update(m)
+      // identical arithmetic to the batch estimator: exact 2^(43−M)
+      // numerator (empty register ⇒ M=0 ⇒ 2^43), branch on the
+      // once-rounded raw estimate
+      var sumNum = 0L; var v0 = 0; var occupied = 0
+      var j = 0
+      while (j < 64) {
+        if (m(j) == 0L) v0 += 1 else occupied += 1
+        sumNum += (1L << (43 - m(j))); j += 1
+      }
+      def round6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      val estRaw = round6(0.709 * 4096.0 * 8796093022208.0 / sumNum.toDouble)
+      val est =
+        if (v0 > 0 && estRaw <= 160.0) round6(math.log(64.0 / v0) * 64.0)
+        else estRaw
+      Iterator.single(HllEstimate(key, occupied, est))
+    }
+  }
+
+  /** Declared entry point: per-group running HLL distinct estimate
+    * over a stream of pre-hashed values ([[kmvDistinctStream]]'s HLL
+    * sibling — same input shape, different sketch contract). */
+  def hllDistinctStream(hashes: Dataset[KeyedHash]): Dataset[HllEstimate] = {
+    import hashes.sparkSession.implicits._
+    hashes
+      .groupByKey(_.group)
+      .transformWithState(new HllProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Input row for [[quantileSketchStream]]: a group key, a uniform
     * row-identity hash, and the value in fixed-point micros. */
   case class KeyedHashValue(group: String, h: Long, v_mu: Long)

@@ -26,6 +26,18 @@ class PortableHashSpec extends SparkSpec {
     assert(hs(0) !== hs(1))
   }
 
+  test("hash48Jvm and hash24Jvm match the Column forms on tricky inputs") {
+    val inputs = Seq("tok", "", "한국어", "hll:42", "a b c")
+    val rows = inputs.toDF("s").select(
+      col("s"), PortableHash.hash24(col("s")).as("h24"),
+      PortableHash.hash48(col("s")).as("h48"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    inputs.foreach { s =>
+      assert(PortableHash.hash24Jvm(s) === rows(s)._1, s"hash24 of '$s'")
+      assert(PortableHash.hash48Jvm(s) === rows(s)._2, s"hash48 of '$s'")
+    }
+  }
+
   test("bucket stays within range and seeded hashes differ by seed") {
     val df = Seq("x").toDF("s").select(
       PortableHash.bucket(col("s"), 64).as("b"),

@@ -192,6 +192,52 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("hllDistinctStream: stream estimate equals the batch hll_distinct over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{HllEstimate, KeyedHash}
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the stream sees the same "hll:<user>" hashes the batch kernel derives
+    def h(u: Long) = graft.functions.PortableHash.hash48Jvm(s"hll:$u")
+    val input = MemoryStream[KeyedHash]
+    val q = StreamingOps.hllDistinctStream(input.toDS())
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("update").start()
+    try {
+      input.addData((1L to 400L).map(u => KeyedHash("a", h(u))): _*)
+      q.processAllAvailable()
+      // second batch: repeats (register no-ops) + 400 new users
+      input.addData((201L to 800L).map(u => KeyedHash("a", h(u))): _*)
+      q.processAllAvailable()
+      val last = spark.table("hll_out").as[HllEstimate].collect().last
+      val batch = graft.ops.SketchOps.hllDistinct(
+        (1L to 800L).map(u => ("a", u)).toDF("event_type", "user_id"),
+        "user_id").collect()(0)
+      assert(last.n_regs === batch.getAs[Long]("n_regs").toInt,
+        "stream registers must equal the batch registers")
+      assert(last.n_hll === batch.getAs[Double]("n_hll"),
+        "stream estimate arithmetic must equal the batch estimator")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("hllIdxRhoJvm matches the batch SQL register kernel") {
+    import graft.streaming.StreamingOps.hllIdxRhoJvm
+    val hs = Seq(0L, 1L, 4398046511103L, 4398046511104L, 281474976710655L,
+      graft.functions.PortableHash.hash48Jvm("hll:7"))
+    val sql = hs.toDF("h").selectExpr("h",
+      "cast(shiftright(h, 42) as int) as idx",
+      "cast(if(h % 4398046511104L = 0, 43, 43 - length(bin(h % 4398046511104L))) as int) as rho")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    hs.foreach(h => assert(hllIdxRhoJvm(h) === sql(h), s"kernel mismatch at h=$h"))
+  }
+
   test("anomalyStream: batch-trained gates flag exactly the planted spike; stateless append") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
