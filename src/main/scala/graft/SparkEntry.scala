@@ -395,6 +395,9 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextOps.dsirSelect(docs, docs.filter(col("lang") === "en"))
     }),
+    // RHO-loss-shaped selection: excess of the bigram LM over the
+    // order-blind unigram LM, top quarter via the histogram threshold
+    "rho_select" -> ((s, dir) => TextOps.rhoSelect(Tables.documents(s, dir))),
     // learned quality gate: 8 full-batch GD steps of logistic
     // regression on curation features, fixed-point integer gradient
     // sums (exact, order-free — the scale-safe determinism path; see
@@ -715,6 +718,9 @@ object SparkEntry {
     // size distribution (k=1 rows are re-identifiable users; the low
     // bands are what a generalize-further loop acts on)
     "k_anonymity" -> ((s, dir) => RelationalOps.kAnonymity(Tables.events(s, dir))),
+    // ε-DP Laplace counts with deterministic inverse-CDF noise from
+    // the portable hash — the mechanism pinned exactly at 3 budgets
+    "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
     // diurnal baseline: volume + mean value per (type, hour-of-day),
     // peak hour ranked — what seasonal anomaly screens compare against
     "events_seasonality" -> ((s, dir) => RelationalOps.eventsSeasonality(Tables.events(s, dir))),
@@ -2423,6 +2429,47 @@ object SparkEntry {
          |        row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
          |      FROM dw)
          |SELECT doc_id, n_tok, dsir_weight FROM r, kk WHERE rn <= kk.k""".stripMargin,
+    // rho = bigram avg logprob − unigram avg logprob per doc (both LM
+    // legs share the vocab census), top ceil(n/4) by (rho desc,
+    // doc_id) — the rank form the engine's histogram threshold
+    // provably equals (same oracle shape as dsir_select)
+    "rho_select" ->
+      s"""WITH $duckToks,
+         |utf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |vocab AS (SELECT tok, sum(tf) AS cnt FROM utf GROUP BY 1),
+         |vtot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab),
+         |ulp AS (SELECT tok, round(ln(cnt / vtot.total), 6) + 0 AS logprob
+         |        FROM vocab, vtot),
+         |uagg AS (SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tok,
+         |           sum(t.tf * ulp.logprob ORDER BY t.tok) AS sum_lp_raw
+         |         FROM utf t JOIN ulp USING (tok) GROUP BY 1),
+         |udoc AS (SELECT doc_id, round(sum_lp_raw / n_tok, 6) + 0 AS lp_uni
+         |         FROM uagg),
+         |bi AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM toks)
+         |       WHERE nt IS NOT NULL),
+         |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY 1, 2, 3),
+         |cbi AS (SELECT w1, w2, sum(tf) AS c12 FROM btf GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, sum(c12) AS c1 FROM cbi GROUP BY 1),
+         |blp AS (SELECT c.w1, c.w2,
+         |          round(ln(0.7 * (c.c12 / cw1.c1)
+         |                   + 0.3 * (v.cnt / vtot.total)), 6) + 0 AS logprob
+         |        FROM cbi c JOIN cw1 USING (w1) JOIN vocab v ON v.tok = c.w2, vtot),
+         |bagg AS (SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_bigrams,
+         |           sum(t.tf * blp.logprob ORDER BY t.w1 || ' ' || t.w2)
+         |             AS sum_lp_raw
+         |         FROM btf t JOIN blp USING (w1, w2) GROUP BY 1),
+         |bdoc AS (SELECT doc_id, round(sum_lp_raw / n_bigrams, 6) + 0 AS lp_bi
+         |         FROM bagg),
+         |j AS (SELECT u.doc_id, u.lp_uni, b.lp_bi,
+         |        round(b.lp_bi - u.lp_uni, 6) + 0 AS rho
+         |      FROM udoc u JOIN bdoc b USING (doc_id)),
+         |kk AS (SELECT (count(*) + 3) // 4 AS k FROM j),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rho DESC, doc_id) AS rn
+         |      FROM j)
+         |SELECT doc_id, lp_uni, lp_bi, rho FROM r, kk WHERE rn <= kk.k""".stripMargin,
     // interpolated bigram LM: 0.7/0.3 are DECIMAL literals DuckDB
     // folds exactly; Spark mirrors via BigDecimal-derived doubles
     "lm_bigram" ->
@@ -3394,6 +3441,28 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY n_events DESC, hour_of_day) AS peak_rank
         |FROM p""".stripMargin,
+    // Laplace counts at ε ∈ {0.5, 1, 2}: u = (hash48('dp<i>:'||type)
+    // + ½)/2⁴⁸, noise = (−1·sign(u−½))·ln(1−2|u−½|)/ε — exact mirror
+    "dp_counts" -> {
+      def leg(ei: Int, eps: String): String = {
+        val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+          s"'dp$ei:' || event_type")} AS BIGINT)"
+        s"""SELECT CAST($eps AS DOUBLE) AS epsilon, event_type, n_true, noise,
+           |  round(n_true + noise, 6) + 0 AS n_noisy
+           |FROM (SELECT event_type, n_true,
+           |        round((-1.0 * sign(u - 0.5)) * ln(1.0 - 2.0 * abs(u - 0.5))
+           |              / $eps, 6) + 0 AS noise
+           |      FROM (SELECT event_type, n_true,
+           |              ($h48 + 0.5) / 281474976710656.0 AS u
+           |            FROM b))""".stripMargin
+      }
+      s"""WITH b AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1)
+         |${leg(0, "0.5")}
+         |UNION ALL
+         |${leg(1, "1.0")}
+         |UNION ALL
+         |${leg(2, "2.0")}""".stripMargin
+    },
     "k_anonymity" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
         |            FROM events GROUP BY 1, 2),

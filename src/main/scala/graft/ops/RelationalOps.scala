@@ -282,6 +282,42 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_users"))
   }
 
+  /** Differentially-private count release, the mechanism made
+    * REPLAYABLE — [[kAnonymity]]'s sibling in the governance family
+    * (k-anonymity audits re-identifiability; this is the other
+    * standard release path, ε-DP noisy counts): per event type, the
+    * Laplace(1/ε) mechanism at three ε budgets, with the noise drawn
+    * DETERMINISTICALLY by inverse-CDF on the portable 48-bit hash of
+    * (ε index, type) — u = (h+½)/2⁴⁸, noise = −sign(u−½)·ln(1−2|u−½|)/ε
+    * — so the whole stochastic mechanism is bit-reproducible and the
+    * oracle pins every noisy count exactly (the `events_bootstrap`
+    * discipline applied to privacy noise). The ε sweep is the
+    * privacy/utility trade as a receipt: half the budget, double the
+    * expected |noise|.
+    *
+    * True counts ride along as the receipt's ground truth (this is a
+    * mechanism test, not a release); a production release would emit
+    * n_noisy only.
+    *
+    * Scale shape: one bounded |types| agg with map-side partials; the
+    * noise arithmetic is per-output-row scalar work. */
+  def dpCounts(events: DataFrame,
+               epsilons: Seq[Double] = Seq(0.5, 1.0, 2.0)): DataFrame = {
+    val base = events.groupBy(col("event_type")).agg(count(lit(1)).as("n_true"))
+    epsilons.zipWithIndex.map { case (eps, ei) =>
+      base
+        .withColumn("u",
+          (graft.functions.PortableHash.hash48(
+            concat(lit(s"dp$ei:"), col("event_type"))) + lit(0.5)) /
+            lit(281474976710656.0))
+        .withColumn("noise", roundn(
+          (lit(-1.0) * signum(col("u") - lit(0.5))) *
+            log(lit(1.0) - lit(2.0) * abs(col("u") - lit(0.5))) / lit(eps), 6))
+        .select(lit(eps).as("epsilon"), col("event_type"), col("n_true"),
+          col("noise"), roundn(col("n_true") + col("noise"), 6).as("n_noisy"))
+    }.reduce(_ unionByName _)
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val dayNanos = 86400L * 1000 * 1000 * 1000
     val active = events

@@ -843,6 +843,51 @@ object TextOps {
       .unionByName(atT.select(col("doc_id"), col("n_tok"), col("dsir_weight")))
   }
 
+  /** RHO-loss-SHAPED selection (Mindermann et al. '22 / RHO-1 shape:
+    * prioritize examples by EXCESS loss under a reference model) with
+    * both models trained in-engine: rho = bigram avg logprob − unigram
+    * avg logprob. The unigram model is order-blind, so rho isolates
+    * how much the document's token ORDER adds beyond its token mix —
+    * coherent prose scores high, shuffled word salad near zero or
+    * negative — exactly the learnability signal frequency-based
+    * filters ([[dsirWeights]], [[qualityScore]]) cannot see. Keeps the
+    * top keepNum/keepDen quarter by the [[dsirSelect]] histogram
+    * threshold (NO global sort): integer-micro rho histogram →
+    * cumulative threshold → map-side filter + doc_id-ordered rank over
+    * only the threshold ties.
+    *
+    * Documents with fewer than 2 tokens have no bigram leg and are
+    * not scored (inner join) — stated, not silent.
+    *
+    * Scale shape: the two LM legs are token-keyed aggs sharing one
+    * tokenize scan; the histogram is value-bounded (≤ |rho grid|
+    * rows); selection is a broadcast-threshold map filter. */
+  def rhoSelect(docs: DataFrame, keepNum: Long = 1, keepDen: Long = 4): DataFrame = {
+    val w = lmLogprob(docs).select(col("doc_id"), col("avg_logprob").as("lp_uni"))
+      .join(lmBigramLogprob(docs)
+        .select(col("doc_id"), col("avg_logprob").as("lp_bi")), "doc_id")
+      .withColumn("rho", roundn(col("lp_bi") - col("lp_uni"), 6))
+      .withColumn("iw", round(col("rho") * 1000000.0, 0).cast("long"))
+    val hist = w.groupBy(col("iw")).agg(count(lit(1)).as("cnt"))
+    val k = hist.agg(sum(col("cnt")).as("n"))
+      .select(expr(s"(n * $keepNum + $keepDen - 1) div ${keepDen}L").as("k"))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(
+        Window.orderBy(col("iw").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(k))
+    val thr = cum
+      .filter(col("cum") >= col("k") && col("cum") - col("cnt") < col("k"))
+      .select(col("iw").as("t"), (col("k") - (col("cum") - col("cnt"))).as("keep_at_t"))
+    val above = w.crossJoin(broadcast(thr)).filter(col("iw") > col("t"))
+    val atT = w.crossJoin(broadcast(thr)).filter(col("iw") === col("t"))
+      .withColumn("tie_rank", row_number().over(
+        Window.partitionBy(col("t")).orderBy(col("doc_id"))))
+      .filter(col("tie_rank") <= col("keep_at_t"))
+    above.select(col("doc_id"), col("lp_uni"), col("lp_bi"), col("rho"))
+      .unionByName(atT.select(col("doc_id"), col("lp_uni"), col("lp_bi"), col("rho")))
+  }
+
   /** First `rounds` BPE merges (Sennrich et al., ACL'16) trained
     * relationally: word frequencies from one tokenize scan, symbols
     * start as characters, and each round (a) counts adjacent symbol

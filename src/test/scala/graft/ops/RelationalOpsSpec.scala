@@ -393,6 +393,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("dpCounts: deterministic Laplace noise, zero-centered scale shrinks with epsilon") {
+    val rows = (1L to 300L).map(i => (i, i % 7, i, s"t${i % 5}", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.dpCounts(ev).collect()
+    assert(r.length === 15) // 5 types × 3 epsilons
+    // determinism: a second run produces the identical noise values
+    val r2 = RelationalOps.dpCounts(ev).collect()
+    assert(r.map(_.toSeq).toSet === r2.map(_.toSeq).toSet)
+    // n_noisy = n_true + noise exactly, at every epsilon
+    r.foreach { x =>
+      assert(math.abs(x.getAs[Double]("n_noisy") -
+        (x.getAs[Long]("n_true") + x.getAs[Double]("noise"))) < 1e-9)
+    }
+    // privacy/utility trade: mean |noise| at eps 0.5 exceeds eps 2.0
+    // (expected |Laplace(1/eps)| = 1/eps — a 4x gap over 5 draws)
+    def meanAbs(eps: Double) = r.filter(_.getAs[Double]("epsilon") == eps)
+      .map(x => math.abs(x.getAs[Double]("noise"))).sum / 5
+    assert(meanAbs(0.5) > meanAbs(2.0),
+      s"eps 0.5 noise ${meanAbs(0.5)} should exceed eps 2.0 noise ${meanAbs(2.0)}")
+  }
+
   test("eventTransitions: per-user consecutive pairs with row-normalized probabilities") {
     // user 1: a→b→a→c; user 2: b→a. Transitions: (a,b) 1, (b,a) 2, (a,c) 1
     val rows = Seq(

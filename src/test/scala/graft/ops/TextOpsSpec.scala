@@ -550,6 +550,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
   }
 
+  test("rhoSelect: token order drives rho; top quarter selected with dominance") {
+    // 7 docs share the corpus-dominant bigram pattern a→b→c; doc 8 has
+    // the SAME unigram profile but scrambled order — identical lp_uni,
+    // rare bigrams ⇒ lower lp_bi ⇒ lower rho
+    val docs = ((1L to 7L).map(i => (i, "a b c a b c a b c")) :+
+      ((8L, "a a a b b b c c c"))).toDF("doc_id", "text")
+    val all = TextOps.lmLogprob(docs)
+      .select(col("doc_id"), col("avg_logprob").as("lp_uni"))
+      .join(TextOps.lmBigramLogprob(docs)
+        .select(col("doc_id"), col("avg_logprob").as("lp_bi")), "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("lp_uni"), r.getAs[Double]("lp_bi")))).toMap
+    assert(all(8L)._1 === all(1L)._1, "same token mix ⇒ same unigram score")
+    assert(all(8L)._2 < all(1L)._2, "scrambled order must score lower on bigrams")
+    val sel = TextOps.rhoSelect(docs).collect()
+    assert(sel.length === 2) // ceil(8/4)
+    assert(sel.forall(_.getAs[Long]("doc_id") <= 7L),
+      "the scrambled doc must not be selected")
+    // dominance: every selected rho ≥ every excluded rho
+    val selRho = sel.map(_.getAs[Double]("rho")).min
+    val exclRho = all(8L)._2 - all(8L)._1
+    assert(selRho >= exclRho)
+  }
+
   test("heapsFit: every-token-new corpus fits beta 1, K 1 exactly") {
     // doc i = one unique word ⇒ V(n) = T(n) = n at every prefix:
     // ln V = 1·ln T + 0, so the fit must recover beta 1, k_coef 1
