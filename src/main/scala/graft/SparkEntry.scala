@@ -533,6 +533,10 @@ object SparkEntry {
     // the template among its copies (3 unrolled rounds, 6dp-rounded
     // per round so the oracle replays them exactly)
     "dedup_pagerank" -> ((s, dir) => DedupOps.dedupPageRank(Tables.documents(s, dir))),
+    // synchronous label propagation (4 rounds, count-desc/label-asc
+    // argmax) — community structure inside the near-dup components
+    "dedup_communities" -> ((s, dir) =>
+      DedupOps.dedupCommunities(Tables.documents(s, dir))),
     // AllPairs/PPJoin prefix filtering: df-ascending prefixes → pair
     // join on RARE shingles only → exact Jaccard verify; candidates
     // have NO false negatives at the threshold (vs LSH's probabilistic
@@ -612,6 +616,11 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
         "user_id", "value")
         .select(col("event_id"), col("zval"))),
+    // min/max data-skipping receipt: natural vs time-clustered file
+    // layouts under the same ship-date predicate — skip fractions and
+    // the no-qualifying-row-skipped invariant pinned
+    "file_skipping" -> ((s, dir) =>
+      PersistOps.fileSkipping(Tables.lineitem(s, dir))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
     // count at build time (23 at sf0.01's N=500, 45 at sf0.1's
     // N=2000 — hash-matching at BOTH SFs proves the policy, not a
@@ -2592,6 +2601,62 @@ object SparkEntry {
          |  FROM und u JOIN pr2 p ON p.id = u.src JOIN deg d ON d.src = u.src
          |  GROUP BY 1)
          |SELECT id AS doc_id, pr AS pagerank FROM pr3""".stripMargin,
+    // 4 synchronous LPA rounds unrolled; per round: neighbor-label
+    // count + (count desc, label asc) argmax — MATERIALIZED so the
+    // recursion doesn't inline exponentially
+    "dedup_communities" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT dst AS id, label FROM (
+           |    SELECT dst, label,
+           |      row_number() OVER (PARTITION BY dst ORDER BY n DESC, label) AS rn
+           |    FROM (SELECT u.dst, l.label, count(*) AS n
+           |          FROM und u JOIN $prev l ON l.id = u.src GROUP BY 1, 2))
+           |  WHERE rn = 1)""".stripMargin
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |l0 AS (SELECT DISTINCT src AS id, src AS label FROM und),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")},
+         |${round("l3", "l4")}
+         |SELECT id AS doc_id, label AS community FROM l4""".stripMargin
+    },
+    // natural (orderkey-range) vs time-clustered (calendar-month)
+    // layouts audited under ship_d >= 1999-01-01; a skipped bin is
+    // one whose max stat falls below the predicate bound
+    "file_skipping" -> {
+      def leg(src: String, layout: String): String =
+        s"""SELECT '$layout' AS layout, count(*) AS n_bins,
+           |  CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+           |  round(CAST(sum(CASE WHEN skipped THEN 1 ELSE 0 END) AS DOUBLE)
+           |        / CAST(count(*) AS DOUBLE), 6) + 0 AS bin_skip_frac,
+           |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           |  CAST(sum(CASE WHEN skipped THEN n_rows ELSE 0 END) AS BIGINT)
+           |    AS rows_skipped,
+           |  round(CAST(sum(CASE WHEN skipped THEN n_rows ELSE 0 END) AS DOUBLE)
+           |        / CAST(sum(n_rows) AS DOUBLE), 6) + 0 AS row_skip_frac,
+           |  max(CASE WHEN skipped THEN n_match ELSE 0 END) = 0 AS prune_exact
+           |FROM (SELECT bin, count(*) AS n_rows, max(ship_d) AS max_d,
+           |        CAST(sum(CASE WHEN ship_d >= DATE '1999-01-01' THEN 1 ELSE 0 END)
+           |          AS BIGINT) AS n_match,
+           |        max(ship_d) < DATE '1999-01-01' AS skipped
+           |      FROM $src GROUP BY 1)""".stripMargin
+      s"""WITH mx AS (SELECT max(l_orderkey) AS max_key FROM lineitem),
+         |nat AS (SELECT l_orderkey // ((mx.max_key // 32) + 1) AS bin,
+         |          CAST(l_shipdate AS DATE) AS ship_d FROM lineitem, mx),
+         |clu AS (SELECT CAST(year(CAST(l_shipdate AS DATE)) * 12
+         |            + month(CAST(l_shipdate AS DATE)) AS BIGINT) AS bin,
+         |          CAST(l_shipdate AS DATE) AS ship_d FROM lineitem)
+         |${leg("nat", "natural")}
+         |UNION ALL
+         |${leg("clu", "time_clustered")}""".stripMargin
+    },
     // 16-bit min/max quantization (floor before cast — Spark casts
     // truncate, DuckDB's round) + Morton bit interleave, unrolled as
     // a 16-term integer sum

@@ -1114,6 +1114,53 @@ object DedupOps {
   def dedupPageRank(docs: DataFrame, iters: Int = 3, minJaccard: Double = 0.5): DataFrame =
     pageRank(nearDupVerified(docs, minJaccard = minJaccard), iters)
 
+  /** Synchronous LABEL PROPAGATION (Raghavan et al. '07) over an
+    * undirected edge list — the community-structure lens between
+    * [[connectedComponents]] (which fuses everything reachable) and
+    * [[pageRank]] (which ranks inside the blob): after k synchronous
+    * rounds of "adopt the most frequent neighbor label", two template
+    * families bridged by one incidental near-dup edge keep DISTINCT
+    * labels while a component collapses them — the diagnostic for
+    * "is this dup cluster one family or several stitched together?".
+    *
+    * Determinism (classic LPA is notoriously order-dependent; this
+    * one is not): updates are SYNCHRONOUS (round t reads only round
+    * t−1 labels — no within-round adoption order), and the per-node
+    * argmax breaks ties (count desc, label asc), so every round is a
+    * pure function of the previous label table and the DuckDB oracle
+    * unrolls identical rounds. Labels start as node ids. Fixed k
+    * rounds (statically unrolled plan), not run-to-convergence — the
+    * same training-depth-as-parameter stance as `bpe_vocab_size`.
+    *
+    * Scale shape: each round is one edge⋈label equi-join + one
+    * (dst, label)-keyed count + one per-dst argmax window (dst axis —
+    * uniform); edge list is near-dup pairs, tiny vs the corpus, and
+    * localCheckpointed once like [[pageRank]]. */
+  def labelPropagation(pairs: DataFrame, iters: Int = 4): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var lab = und.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    for (_ <- 1 to iters) {
+      lab = und
+        .join(lab.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst")).orderBy(col("n").desc, col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("label"))
+    }
+    lab.select(col("id").as("doc_id"), col("label").as("community"))
+  }
+
+  /** Declared form: label-propagation communities over the verified
+    * near-dup graph. */
+  def dedupCommunities(docs: DataFrame, iters: Int = 4,
+                       minJaccard: Double = 0.5): DataFrame =
+    labelPropagation(nearDupVerified(docs, minJaccard = minJaccard), iters)
+
   /** Benchmark decontamination — flag corpus documents sharing
     * winnowing fingerprints with a held-out benchmark set (the check
     * every pretraining pipeline runs so eval data doesn't leak into

@@ -96,6 +96,57 @@ object PersistOps {
       .sortWithinPartitions(col("zval"))
       .write.mode("overwrite").parquet(path)
 
+  /** MIN/MAX DATA-SKIPPING receipt — the measurement behind every
+    * lakehouse layout decision ([[zOrderValue]]'s scaladoc states the
+    * lesson; this query PROVES it on real data): simulate two file
+    * layouts of lineitem — `natural` (files cut along the ingest
+    * order, l_orderkey ranges) and `time_clustered` (files cut along
+    * calendar months of l_shipdate) — compute each file's min/max
+    * shipdate stats, apply a ship-date predicate, and pin per layout
+    * how many files and rows the stats would skip, plus the
+    * correctness receipt (no skipped file contains a qualifying row —
+    * the invariant min/max pruning rests on). On this corpus the
+    * natural layout skips ~nothing (every orderkey bin spans the full
+    * date range) while the clustered layout skips every pre-cutoff
+    * month — the quantified argument for clustering by the filter
+    * column before a 100 TB scan.
+    *
+    * Scale shape: two bounded bin aggs with map-side partials (the
+    * orderkey bound is one broadcast scalar); no sort, no shuffle
+    * beyond the ≤|bins| keys. */
+  def fileSkipping(lineitem: DataFrame, nBins: Int = 32,
+                   cutoff: String = "1999-01-01"): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val d = to_date(col("l_shipdate"))
+    val cut = to_date(lit(cutoff))
+    val mx = lineitem.agg(max(col("l_orderkey")).as("max_key"))
+    val natural = lineitem.select(col("l_orderkey"), d.as("ship_d"))
+      .crossJoin(broadcast(mx))
+      .select(expr(s"l_orderkey div ((max_key div ${nBins}L) + 1L)").as("bin"),
+        col("ship_d"))
+    val clustered = lineitem.select(
+      (year(d) * 12 + month(d)).cast("long").as("bin"), d.as("ship_d"))
+    def audit(df: DataFrame, layout: String): DataFrame =
+      df.groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_rows"), max(col("ship_d")).as("max_d"),
+          sum(when(col("ship_d") >= cut, 1L).otherwise(0L)).as("n_match"))
+        .withColumn("skipped", col("max_d") < cut)
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("skipped"), 1L).otherwise(0L)).as("n_skipped"),
+          sum(col("n_rows")).as("rows_total"),
+          sum(when(col("skipped"), col("n_rows")).otherwise(0L)).as("rows_skipped"),
+          max(when(col("skipped"), col("n_match")).otherwise(0L))
+            .as("max_match_in_skipped"))
+        .select(lit(layout).as("layout"), col("n_bins"), col("n_skipped"),
+          roundn(col("n_skipped").cast("double") / col("n_bins").cast("double"), 6)
+            .as("bin_skip_frac"),
+          col("rows_total"), col("rows_skipped"),
+          roundn(col("rows_skipped").cast("double") /
+            col("rows_total").cast("double"), 6).as("row_skip_frac"),
+          (col("max_match_in_skipped") === 0L).as("prune_exact"))
+    audit(natural, "natural").unionByName(audit(clustered, "time_clustered"))
+  }
+
   /** Bucketed + sorted table write: co-locates rows by join key so
     * equi-joins between tables bucketed the same way plan WITHOUT
     * shuffle exchanges — the storage-layout answer to the "big

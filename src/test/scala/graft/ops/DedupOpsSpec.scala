@@ -310,6 +310,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("labelPropagation: bridged cliques keep distinct communities where components fuse") {
+    // two 4-cliques joined by the single bridge 4-10: one connected
+    // component, but LPA's majority rule resists the lone bridge vote
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val pairs = (clique(Seq(1L, 2L, 3L, 4L)) ++ clique(Seq(10L, 11L, 12L, 13L)) :+
+      ((4L, 10L))).toDF("a_id", "b_id")
+    val comm = DedupOps.labelPropagation(pairs, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comm(_) === 1L), s"clique A: $comm")
+    assert(Seq(10L, 11L, 12L, 13L).forall(comm(_) === 10L), s"clique B: $comm")
+    val comp = DedupOps.connectedComponents(pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(comp.length === 1, "the same graph is ONE component")
+  }
+
   test("dedupClusters groups the exact+near duplicates under the smallest doc_id") {
     val comp = DedupOps.dedupClusters(docs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

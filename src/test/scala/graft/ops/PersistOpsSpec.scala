@@ -92,4 +92,19 @@ class PersistOpsSpec extends SparkSpec {
     val dirs = new java.io.File(path).listFiles().map(_.getName).filter(_.startsWith("lang="))
     assert(dirs.length >= 2 && dirs.contains("lang=es"))
   }
+
+  test("fileSkipping: clustered layout skips, natural layout doesn't, pruning stays exact") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = PersistOps.fileSkipping(li).collect()
+      .map(x => x.getAs[String]("layout") -> x).toMap
+    // the invariant min/max pruning rests on, on BOTH layouts
+    assert(r.values.forall(_.getAs[Boolean]("prune_exact")))
+    // same table, same predicate — row totals agree
+    assert(r("natural").getAs[Long]("rows_total") ===
+      r("time_clustered").getAs[Long]("rows_total"))
+    // uncorrelated layout prunes ~nothing; clustered layout prunes the
+    // pre-cutoff majority — the quantified clustering lesson
+    assert(r("natural").getAs[Double]("row_skip_frac") < 0.05)
+    assert(r("time_clustered").getAs[Double]("row_skip_frac") > 0.4)
+  }
 }
