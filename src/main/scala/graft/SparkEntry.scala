@@ -162,6 +162,11 @@ object SparkEntry {
     // variance broadcast back, dim-ordered score fold, top-20
     "embedding_outliers" -> ((s, dir) =>
       VectorOps.embeddingOutliers(Tables.embeddings(s, dir))),
+    // principal component by relational power iteration: exact
+    // integer covariance (4096 cells), 8 unrolled matvec+normalize
+    // rounds, explained-variance ratio alongside
+    "embedding_pca" -> ((s, dir) =>
+      VectorOps.embeddingPca(Tables.embeddings(s, dir))),
     // semantic decontamination: nearest benchmark vector per corpus
     // vector via IVF co-residency, flagged over tau
     "decontaminate_semantic" -> ((s, dir) =>
@@ -3882,6 +3887,44 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
          |  FROM rr) WHERE rank <= 3""".stripMargin,
+    // power iteration unrolled: exact integer covariance, 8 rounds of
+    // matvec (sum ORDER BY dj) + norm + 6dp re-round; evr =
+    // (v·Cv / v·v) / tr C with the identical division order
+    "embedding_pca" -> {
+      def round(prev: String, i: Int): String =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT c.di AS dim, sum(CAST(c.c AS DOUBLE) * v.v ORDER BY c.dj) AS w
+           |  FROM cov c JOIN $prev v ON v.dim = c.dj GROUP BY 1),
+           |n$i AS (SELECT sqrt(sum(w * w ORDER BY dim)) AS nrm FROM w$i),
+           |v$i AS MATERIALIZED (
+           |  SELECT dim, round(w / n$i.nrm, 6) + 0 AS v FROM w$i, n$i)""".stripMargin
+      val rounds = (1 to 8).map(i => round(if (i == 1) "v0" else s"v${i - 1}", i))
+        .mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, CAST(u.ii - 1 AS BIGINT) AS dim,
+         |        CAST(round(CAST(embedding[u.ii] AS DOUBLE) * 1000000) AS BIGINT)
+         |          AS x6
+         |      FROM embeddings, unnest(range(1, len(embedding)+1)) u(ii)),
+         |mu AS (SELECT dim, CAST(round(avg(x6)) AS BIGINT) AS mu6
+         |       FROM x GROUP BY 1),
+         |dx AS MATERIALIZED (SELECT vec_id, dim, x6 - mu6 AS dx
+         |      FROM x JOIN mu USING (dim)),
+         |cov AS MATERIALIZED (
+         |  SELECT a.dim AS di, b.dim AS dj, CAST(sum(a.dx * b.dx) AS BIGINT) AS c
+         |  FROM dx a JOIN dx b USING (vec_id) GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT di AS dim,
+         |         CASE WHEN di = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
+         |$rounds,
+         |wf AS (SELECT c.di AS dim, sum(CAST(c.c AS DOUBLE) * v.v ORDER BY c.dj) AS w
+         |       FROM cov c JOIN v8 v ON v.dim = c.dj GROUP BY 1),
+         |sc AS (SELECT sum(v.v * w.w ORDER BY v.dim) AS num,
+         |         sum(v.v * v.v ORDER BY v.dim) AS den
+         |       FROM v8 v JOIN wf w USING (dim)),
+         |tr AS (SELECT CAST(sum(c) AS DOUBLE) AS tr FROM cov WHERE di = dj),
+         |evr AS (SELECT round(sc.num / sc.den / tr.tr, 6) + 0 AS explained_ratio
+         |        FROM sc, tr)
+         |SELECT v.dim, v.v AS loading, evr.explained_ratio
+         |FROM v8 v, evr""".stripMargin
+    },
     // diagonal Mahalanobis: rounded centroid/variance, dim-ordered
     // score fold (sum ORDER BY dim — the orderedSum twin)
     "embedding_outliers" ->

@@ -990,4 +990,79 @@ object VectorOps {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
+
+  /** PRINCIPAL COMPONENT by relational POWER ITERATION — the eigen
+    * member of the in-engine training family (GD logistic regression,
+    * PLSA EM, Lloyd k-means, NB counting, OLS — and now iterative
+    * linear algebra): center the embedding matrix in fixed-point
+    * micros, form the UNNORMALIZED covariance C = Σᵥ dxᵥdxᵥᵀ EXACTLY
+    * (integer products, order-free sums — the scale-safe determinism
+    * path), then run `iters` rounds of v ← round₆(C·v / ‖C·v‖)
+    * starting from e₀. Output: the 64 loadings of the `iters`-round
+    * iterate plus the explained-variance ratio vᵀCv/(vᵀv·tr C) — the
+    * number a whitening / dimensionality decision is made on
+    * (SemDeDup-style pipelines whiten before cosine thresholds).
+    *
+    * Determinism: components round once into micros; means round once
+    * per dim; every C entry is an exact integer; each matvec sums 64
+    * terms in dim order ([[graft.functions.VectorMath.orderedSum]]);
+    * the iterate re-rounds to 6dp per round so both engines carry
+    * identical doubles into the next round. Fixed `iters` (statically
+    * unrolled plan, the bpe_vocab_size training-depth stance); the
+    * result is "the iters-round iterate", pinned — not a convergence
+    * promise.
+    *
+    * Scale shape: the only corpus-sized stage is the covariance
+    * (per-vec d² products map-side via a vec_id equi-join, reduced
+    * onto the bounded d² key with partial aggs — at d=64 that is 4096
+    * cells regardless of row count; Long sums hold to ~10⁶ rows of
+    * unit vectors, decimal(38,0) beyond); every iteration then runs
+    * on the 4096-row C (localCheckpointed once) and a 64-row vector.
+    * No driver-side numerics at all.
+    *
+    * Start-vector caveat (mirrored by the oracle, so never a
+    * divergence): if dimension 0 had exactly zero covariance with
+    * every dimension, C·e₀ = 0 and the iterate NaNs out — real
+    * embedding corpora always carry variance in every dimension. */
+  def embeddingPca(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("xf").cast("double") * 1e6).cast("long").as("x6"))
+    val mu = x.groupBy(col("dim")).agg(round(avg(col("x6"))).cast("long").as("mu6"))
+    val dx = x.join(broadcast(mu), "dim")
+      .select(col("vec_id"), col("dim"), (col("x6") - col("mu6")).as("dx"))
+    val cov = dx.select(col("vec_id"), col("dim").as("di"), col("dx").as("dxa"))
+      .join(dx.select(col("vec_id"), col("dim").as("dj"), col("dx").as("dxb")),
+        "vec_id")
+      .groupBy(col("di"), col("dj"))
+      .agg(sum(col("dxa") * col("dxb")).as("c"))
+      .localCheckpoint(true)
+    var v = cov.select(col("di").as("dim")).distinct()
+      .withColumn("v", when(col("dim") === 0L, lit(1.0)).otherwise(lit(0.0)))
+    def matvec(vec: DataFrame): DataFrame =
+      cov.join(vec.select(col("dim").as("dj"), col("v")), "dj")
+        .groupBy(col("di").as("dim"))
+        .agg(orderedSum(col("dj"), col("c").cast("double") * col("v")).as("w"))
+    for (_ <- 1 to iters) {
+      val w = matvec(v)
+      val nrm = w.agg(sqrt(orderedSum(col("dim"), col("w") * col("w"))).as("nrm"))
+      // truncate the iterate's lineage every round: v is 64 rows, but
+      // without this each round's plan nests all previous rounds and
+      // planning time dwarfs the (tiny) execution
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("dim"), roundn(col("w") / col("nrm"), 6).as("v"))
+        .localCheckpoint(true)
+    }
+    val wf = matvec(v)
+    val scalars = v.join(wf, "dim")
+      .agg(orderedSum(col("dim"), col("v") * col("w")).as("num"),
+        orderedSum(col("dim"), col("v") * col("v")).as("den"))
+    val trace = cov.filter(col("di") === col("dj"))
+      .agg(sum(col("c")).cast("double").as("tr"))
+    val evr = scalars.crossJoin(trace)
+      .select(roundn(col("num") / col("den") / col("tr"), 6).as("explained_ratio"))
+    v.crossJoin(broadcast(evr))
+      .select(col("dim"), col("v").as("loading"), col("explained_ratio"))
+  }
 }

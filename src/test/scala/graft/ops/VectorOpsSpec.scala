@@ -248,4 +248,28 @@ class VectorOpsSpec extends SparkSpec {
     // the default ceiling is the documented 2^22
     assert(VectorOps.MaxCentroidCells === (1L << 22))
   }
+
+  test("embeddingPca: recovers a planted rank-1 direction with evr ~ 1") {
+    import spark.implicits._
+    // all variance lies along the direction (0.01, 0, 0, 0.1, 0, …):
+    // dims 0 and 3 move together 1:10, every other dim is constant —
+    // the top PC must weight dim 3 ten times dim 0 and explain ~all
+    // variance
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(64)(0.5f)
+      v(0) = (0.5 + i * 0.01).toFloat
+      v(3) = (0.5 + i * 0.1).toFloat
+      (i.toLong, v, 0L)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = VectorOps.embeddingPca(emb).collect()
+      .map(x => x.getAs[Long]("dim") -> x).toMap
+    val l0 = r(0L).getAs[Double]("loading")
+    val l3 = r(3L).getAs[Double]("loading")
+    assert(math.abs(math.abs(l3 / l0) - 10.0) < 0.01, s"loading ratio $l3/$l0")
+    assert(math.abs(l3 * l3 + l0 * l0 - 1.0) < 1e-3, "unit iterate on the support")
+    (0L to 63L).filterNot(d => d == 0L || d == 3L)
+      .foreach(d => assert(math.abs(r(d).getAs[Double]("loading")) < 1e-6))
+    assert(r(0L).getAs[Double]("explained_ratio") > 0.999)
+  }
 }
