@@ -626,6 +626,18 @@ object SparkEntry {
     // the no-qualifying-row-skipped invariant pinned
     "file_skipping" -> ((s, dir) =>
       PersistOps.fileSkipping(Tables.lineitem(s, dir))),
+    // schema evolution: v1/v2 writer batches read back mergeSchema —
+    // union schema, v1 rows null-filled, no row lost; null census
+    "schema_merge" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_schmerge_" +
+        s.sparkContext.applicationId
+      cleanupOnExit(tmp)
+      PersistOps.schemaMergeReceipt(Tables.documents(s, dir), tmp)
+    }),
+    // small-file compaction plan: running-total binning of ingest-
+    // order file metadata into target-sized contiguous merge groups
+    "compaction_plan" -> ((s, dir) =>
+      PersistOps.compactionPlan(Tables.documents(s, dir))),
     // quantizer = ceil(sqrt(N)) k-means cells derived from an eager
     // count at build time (23 at sf0.01's N=500, 45 at sf0.1's
     // N=2000 — hash-matching at BOTH SFs proves the policy, not a
@@ -2632,6 +2644,28 @@ object SparkEntry {
          |${round("l3", "l4")}
          |SELECT id AS doc_id, label AS community FROM l4""".stripMargin
     },
+    // which rows rode the v1 writer is the doc_id%2 predicate, so the
+    // merged-read null census replays without touching parquet
+    "schema_merge" ->
+      """WITH n AS (SELECT count(*) AS n_rows,
+        |             CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_even
+        |           FROM documents)
+        |SELECT 'lang' AS col_name, n_even AS n_null, n_rows FROM n
+        |UNION ALL SELECT 'n_chars', n_even, n_rows FROM n
+        |UNION ALL SELECT 'source', CAST(0 AS BIGINT), n_rows FROM n""".stripMargin,
+    // running-total binning over ingest-order file metadata: group =
+    // prior-bytes div target, contiguous spans by construction
+    "compaction_plan" ->
+      """WITH c AS (SELECT doc_id, n_chars AS bytes,
+        |        COALESCE(sum(n_chars) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |      FROM documents)
+        |SELECT CAST(prior AS BIGINT) // 65536 AS grp, count(*) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  round(CAST(sum(bytes) AS DOUBLE) / 65536.0, 6) + 0 AS fill_ratio
+        |FROM c GROUP BY 1""".stripMargin,
     // natural (orderkey-range) vs time-clustered (calendar-month)
     // layouts audited under ship_d >= 1999-01-01; a skipped bin is
     // one whose max stat falls below the predicate bound

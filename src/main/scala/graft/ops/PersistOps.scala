@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Persistence layout operators (SURVEY.md §2.1 S6/S7 at scale).
   * The reference pickles four Python lists (app.py:161-168); the
@@ -145,6 +146,69 @@ object PersistOps {
             col("rows_total").cast("double"), 6).as("row_skip_frac"),
           (col("max_match_in_skipped") === 0L).as("prune_exact"))
     audit(natural, "natural").unionByName(audit(clustered, "time_clustered"))
+  }
+
+  /** SCHEMA-EVOLUTION merge receipt — what actually happens when a
+    * 100 TB table's writer gains columns mid-life: batch 1 is written
+    * with the v1 schema (doc_id, source), batch 2 with the v2 schema
+    * (+ lang, n_chars), and the table is read back with
+    * `mergeSchema=true`. The receipt pins the contract: the merged
+    * read carries the UNION schema, v1 rows surface the new columns
+    * as NULL (never defaults, never errors), and no row is lost —
+    * per-column null counts against the row total, oracle-replayable
+    * because which rows rode which writer is a pure doc_id predicate.
+    *
+    * Scale shape: two narrow writes + one merged scan with a single
+    * agg (map-side partials); mergeSchema's footer-union cost is
+    * per-FILE metadata work, not data work. */
+  def schemaMergeReceipt(docs: DataFrame, tmpBase: String): DataFrame = {
+    val spark = docs.sparkSession
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmpBase/v1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmpBase/v2")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$tmpBase/v1", s"$tmpBase/v2")
+    merged
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+        sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("null_n_chars"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"))
+      .select(expr(
+        "stack(3, 'lang', null_lang, 'n_chars', null_n_chars, " +
+          "'source', null_source) as (col_name, n_null)"),
+        col("n_rows"))
+      .select(col("col_name"), col("n_null"), col("n_rows"))
+  }
+
+  /** Small-file COMPACTION planner — the other half of the layout
+    * story ([[fileSkipping]] decides how to cut files; this decides
+    * how to heal a table that accumulated too many): treat each doc
+    * as an ingest-order file of n_chars bytes and coalesce runs of
+    * adjacent files into merge groups by running-total binning
+    * (group = prior_bytes div target — the deterministic form of
+    * first-fit-in-order every compactor uses; an oversized file
+    * naturally owns its group). Output per group: file count, bytes,
+    * the doc_id span (compaction must preserve ingest clustering, so
+    * groups are contiguous spans), and the fill ratio against target.
+    *
+    * The one global window runs over FILE METADATA, not data — at
+    * 100 TB that is ~10⁶ rows on one task, the same planner-side cost
+    * every table-maintenance service pays (and far from the engine's
+    * unbounded-corpus-window ban). */
+  def compactionPlan(docs: DataFrame, targetBytes: Long = 65536): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), col("n_chars").as("bytes"))
+      .withColumn("prior", coalesce(sum(col("bytes")).over(w), lit(0L)))
+      .withColumn("grp", expr(s"prior div ${targetBytes}L"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio",
+        roundn(col("bytes").cast("double") / targetBytes.toDouble, 6))
   }
 
   /** Bucketed + sorted table write: co-locates rows by join key so

@@ -107,4 +107,38 @@ class PersistOpsSpec extends SparkSpec {
     assert(r("natural").getAs[Double]("row_skip_frac") < 0.05)
     assert(r("time_clustered").getAs[Double]("row_skip_frac") > 0.4)
   }
+
+  test("schemaMergeReceipt: union schema, v1 rows null-filled, no row lost") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val tmp = java.nio.file.Files.createTempDirectory("schmerge").toString
+    val r = PersistOps.schemaMergeReceipt(docs, tmp).collect()
+      .map(x => x.getAs[String]("col_name") -> x).toMap
+    val total = docs.count()
+    val v1Rows = docs.filter($"doc_id" % 2 === 0).count()
+    assert(r("lang").getAs[Long]("n_rows") === total) // no row lost
+    // exactly the v1-writer rows surface the evolved columns as null
+    assert(r("lang").getAs[Long]("n_null") === v1Rows)
+    assert(r("n_chars").getAs[Long]("n_null") === v1Rows)
+    assert(r("source").getAs[Long]("n_null") === 0L) // shared column intact
+  }
+
+  test("compactionPlan: contiguous spans, all bytes accounted, oversized file isolated") {
+    // files: 10,20,30,100(oversized),5,5 with target 50
+    val docs = Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 100L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "n_chars")
+    val r = PersistOps.compactionPlan(docs, targetBytes = 50L)
+      .collect().sortBy(_.getAs[Long]("grp"))
+    assert(r.map(_.getAs[Long]("bytes")).sum === 170L) // nothing dropped
+    // spans are contiguous and ordered
+    r.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+    }
+    // prior sums 0,10,30,60,160,165 → groups 0,0,0,1,3,3: the
+    // oversized file owns group 1 alone
+    val byGrp = r.map(x => x.getAs[Long]("grp") ->
+      ((x.getAs[Long]("n_files"), x.getAs[Long]("bytes")))).toMap
+    assert(byGrp(0L) === ((3L, 60L)))
+    assert(byGrp(1L) === ((1L, 100L)))
+    assert(byGrp(3L) === ((2L, 10L)))
+  }
 }
