@@ -132,6 +132,11 @@ object SparkEntry {
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // query expansion: top-2 co-occurrence partners per query term
+    // (count-ranked), originals at 1.0 / expansions at 0.5, weighted
+    // postings top-k
+    "search_expanded" -> ((s, dir) =>
+      SearchOps.searchExpanded(Tables.documents(s, dir))),
     // retrieval → token-budget prefix packing (the proposal flow's
     // context-assembly step): top-50 ranked docs, keep while the
     // running ws-token total stays within 400
@@ -3816,6 +3821,47 @@ object SparkEntry {
         |  array_to_string(toks[CAST(start AS INTEGER):CAST(start + 7 AS INTEGER)], ' ')
         |    AS chunk
         |FROM st""".stripMargin,
+    // expansion partners mined from ±2 pairs touching a query term
+    // (count desc, partner asc, top 2 per term), originals 1.0 /
+    // expansions 0.5, weighted tf scoring
+    "search_expanded" ->
+      s"""WITH $duckToks,
+         |qt AS (SELECT DISTINCT trim(u.tok) AS tok
+         |       FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |       WHERE trim(u.tok) <> ''),
+         |tk2 AS (SELECT list_filter(list_transform(
+         |          list_slice(string_split(text, ' '), 1, 512), x -> trim(x)),
+         |          x -> x <> '') AS tl FROM documents),
+         |pr AS (SELECT least(tl[ii], tl[ii + dd]) AS t1,
+         |              greatest(tl[ii], tl[ii + dd]) AS t2
+         |       FROM tk2, unnest(range(1, len(tl) + 1)) u(ii),
+         |            (SELECT unnest([1, 2]) AS dd) d
+         |       WHERE ii + dd <= len(tl)),
+         |tc AS (SELECT CASE WHEN t1 IN (SELECT tok FROM qt) THEN t1 ELSE t2 END AS q,
+         |              CASE WHEN t1 IN (SELECT tok FROM qt) THEN t2 ELSE t1 END
+         |                AS partner
+         |       FROM pr
+         |       WHERE t1 IN (SELECT tok FROM qt) OR t2 IN (SELECT tok FROM qt)),
+         |co AS (SELECT q, partner, count(*) AS n_co FROM tc
+         |       WHERE partner NOT IN (SELECT tok FROM qt) GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT partner AS tok, 0.5 AS w FROM (
+         |         SELECT q, partner,
+         |           row_number() OVER (PARTITION BY q
+         |             ORDER BY n_co DESC, partner) AS rn
+         |         FROM co) WHERE rn <= 2),
+         |tw AS (SELECT tok, CAST(max(w) AS DOUBLE) AS w FROM (
+         |         SELECT tok, 1.0 AS w FROM qt
+         |         UNION ALL SELECT tok, w FROM ex) GROUP BY 1),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |sc AS (SELECT t.doc_id,
+         |         round(CAST(sum(t.tf * w.w ORDER BY t.tok) AS DOUBLE), 6) + 0
+         |           AS score
+         |       FROM tf t JOIN tw w USING (tok) GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+         |           AS rank, s.doc_id, d.source, s.score
+         |  FROM sc s JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
     // BM25 with k1=1.2, b=0.75 (so tf·(k1+1) = tf·2.2)
     "search_bm25" ->
       s"""WITH $duckToks,

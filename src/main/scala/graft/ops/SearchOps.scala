@@ -234,4 +234,70 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("score"),
         col("n_ws_tokens"), col("cum_tokens"))
   }
+
+  /** QUERY EXPANSION retrieval — the co-occurrence-thesaurus step a
+    * plain term-match search lacks (a query for "vector" should also
+    * surface docs saying only its habitual collocates): each query
+    * term is expanded with its top-`mExpand` ±`window` co-occurrence
+    * partners mined from the corpus itself (count-ranked, partner-asc
+    * ties; partners that are query terms dedup at weight 1.0), then
+    * documents score Σ tf·w with originals at 1.0 and expansions at
+    * 0.5 — weighted postings, top-k as TakeOrderedAndProject.
+    *
+    * Determinism: co-occurrence counts are exact integers with an
+    * (n_co desc, partner) argmax; weights are exact halves, so the
+    * score fold is exact in floating point (kept dim-ordered by the
+    * house discipline anyway).
+    *
+    * Scale shape: pair generation is the wordPmi MAP-ONLY zip_with
+    * shape, but filtered to pairs TOUCHING a query term before the
+    * count (broadcast literal array — the selective predicate rides
+    * the map side); the expansion table is ≤ |q|·m rows broadcast
+    * into the tf join; one doc-keyed score agg; top-k never sorts the
+    * corpus. */
+  def searchExpanded(docs: DataFrame, queryText: String = "spark vector hash join",
+                     k: Int = 10, mExpand: Int = 2, window: Int = 2,
+                     maxTokens: Int = 512): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val qTerms = queryText.split(" ").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val toks = expr(
+      s"filter(transform(slice(split(text, ' '), 1, $maxTokens), t -> trim(t)), t -> t <> '')")
+    val pairArr = (1 to window).map { d =>
+      zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0))),
+        (a, b) => struct(least(a, b).as("t1"), greatest(a, b).as("t2")))
+    }
+    val qlit = array(qTerms.map(lit): _*)
+    val touching = docs.select(toks.as("toks"))
+      .select(explode(flatten(array(pairArr: _*))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+      .filter(array_contains(qlit, col("t1")) || array_contains(qlit, col("t2")))
+      .select(
+        when(array_contains(qlit, col("t1")), col("t1")).otherwise(col("t2")).as("q"),
+        when(array_contains(qlit, col("t1")), col("t2")).otherwise(col("t1")).as("partner"))
+      .filter(!array_contains(qlit, col("partner")))
+    val expansions = touching
+      .groupBy(col("q"), col("partner")).agg(count(lit(1)).as("n_co"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q")).orderBy(col("n_co").desc, col("partner"))))
+      .filter(col("rn") <= mExpand)
+      .select(col("partner").as("tok"), lit(0.5).as("w"))
+      .distinct()
+    val terms = qTerms.toDF("tok").withColumn("w", lit(1.0))
+      .unionByName(expansions)
+      .groupBy(col("tok")).agg(max(col("w")).as("w"))
+    val scored = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(terms), "tok")
+      .groupBy(col("doc_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("tok"), col("tf") * col("w")), 6).as("score"))
+    scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("score"))
+  }
 }

@@ -108,4 +108,22 @@ class SearchOpsSpec extends SparkSpec {
     // doc 3 has both terms: highest
     assert(r(3L) > r(0L))
   }
+
+  test("searchExpanded: a collocate-only doc is found; expansion weighs half") {
+    import spark.implicits._
+    // "vector" habitually co-occurs with "faiss" (5 training docs);
+    // doc 100 mentions ONLY faiss — invisible to plain term match,
+    // reachable through the expansion at half weight
+    val docs = ((1L to 5L).map(i => (i, "vector faiss index build", "s")) ++ Seq(
+      (100L, "faiss faiss faiss", "s"),
+      (200L, "unrelated words entirely here", "s"))).toDF("doc_id", "text", "source")
+    val r = SearchOps.searchExpanded(docs, queryText = "vector", k = 10)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    assert(r.contains(100L), "collocate-only doc must surface via expansion")
+    assert(!r.contains(200L), "unrelated doc stays invisible")
+    // doc 100: tf(faiss)=3 at w=0.5 → 1.5; training docs: vector 1.0 +
+    // their own expansion hits
+    assert(r(100L) === 1.5)
+    assert(r(1L) >= 1.0 + 0.5, "original term plus at least one expansion hit")
+  }
 }
