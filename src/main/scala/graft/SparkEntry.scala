@@ -766,6 +766,13 @@ object SparkEntry {
     // SCD2 history: per-user state change points with [valid_from,
     // valid_to) validity and is_current on the open interval
     "scd2_user_state" -> ((s, dir) => RelationalOps.scd2UserState(Tables.events(s, dir))),
+    // SCD2 point-in-time lookup: each purchase joined to the state
+    // version valid at its timestamp (co-keyed on user_id)
+    "scd2_lookup" -> ((s, dir) => RelationalOps.scd2Lookup(Tables.events(s, dir))),
+    // watermark-delay profile: bucket-granular high-water mark,
+    // per-type lateness percentiles — the withWatermark number
+    "watermark_profile" -> ((s, dir) =>
+      RelationalOps.watermarkProfile(Tables.events(s, dir))),
     // non-equi band join via eps-wide bin bucketing: two equi-joins
     // (same bin + adjacent bin) replace the quadratic theta join
     "events_band_join" -> ((s, dir) => RelationalOps.valueBandJoin(Tables.events(s, dir))),
@@ -3528,6 +3535,27 @@ object SparkEntry {
         |  lead(ts_us) OVER w IS NULL AS is_current
         |FROM ch
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    // same history CTE, then the interval-containment lookup per
+    // purchase (valid_from inclusive, valid_to exclusive/open)
+    "scd2_lookup" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev_type
+        |           FROM events),
+        |ch AS (SELECT user_id, ts_us, event_id, event_type FROM e
+        |       WHERE prev_type IS NULL OR prev_type <> event_type),
+        |h AS (SELECT user_id,
+        |        CAST(row_number() OVER w AS BIGINT) AS version,
+        |        event_type AS state, ts_us AS valid_from,
+        |        lead(ts_us) OVER w AS valid_to
+        |      FROM ch
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts_us, h.version, h.state
+        |FROM p JOIN h ON h.user_id = p.user_id
+        | AND h.valid_from <= p.ts_us
+        | AND (h.valid_to IS NULL OR p.ts_us < h.valid_to)""".stripMargin,
     // day index = floor-div on positive epoch nanos — `//` is the
     // DuckDB twin of Spark's `div` here
     "events_retention" ->
@@ -4406,6 +4434,24 @@ object SparkEntry {
         |FROM c, t ORDER BY c.n_rows DESC, c.user_id LIMIT 10""".stripMargin,
     // median rounded once; deviations are bit-identical raw doubles
     // ((a+b)·0.5 interpolation is exact IEEE); threshold rounded once
+    "watermark_profile" ->
+      """WITH b AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn,
+        |             event_id // 64 AS bk FROM events),
+        |h AS (SELECT bk, max(tsn) AS bk_max FROM b GROUP BY 1),
+        |hw AS (SELECT bk, max(bk_max) OVER (ORDER BY bk
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_prior
+        |       FROM h),
+        |l AS (SELECT b.event_type,
+        |        CASE WHEN hw.hw_prior IS NULL THEN 0
+        |             ELSE greatest(0, (hw.hw_prior - b.tsn) // 1000000) END
+        |          AS late_ms
+        |      FROM b JOIN hw USING (bk))
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN late_ms > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  round(quantile_cont(late_ms, 0.5), 6) + 0 AS p50_ms,
+        |  round(quantile_cont(late_ms, 0.95), 6) + 0 AS p95_ms,
+        |  CAST(max(late_ms) AS BIGINT) AS max_ms
+        |FROM l GROUP BY 1""".stripMargin,
     "events_mad" ->
       """WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) + 0 AS med
         |           FROM events GROUP BY 1),

@@ -1210,6 +1210,68 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** WATERMARK-DELAY profile — the measurement `withWatermark`'s
+    * delay parameter should be SET from, instead of guessed: how far
+    * behind the high-water mark do events actually arrive? Arrival
+    * order is the event_id axis (generation order — the stream's
+    * delivery proxy); the high-water mark is tracked at ARRIVAL-BUCKET
+    * granularity (event_id div bucket) so no unpartitioned row-level
+    * window ever runs: per-bucket max-ts agg (bounded), running max
+    * over the ≤|buckets| rows, broadcast back, and each row's
+    * lateness = prior-bucket high-water − its ts (clamped at 0;
+    * bucket-granular by construction — stated, not hidden). Per type:
+    * late-row count and the p50/p95/max lateness in ms — p95/max IS
+    * the watermark recommendation.
+    *
+    * Scale shape: one bounded bucket agg + a window over bucket COUNT
+    * rows + a broadcast join back onto the stream + a |types| agg —
+    * the key_skew_profile family; nothing row-level is globally
+    * sorted. */
+  def watermarkProfile(events: DataFrame, bucket: Long = 64L): DataFrame = {
+    val b = events.select(col("event_id"), col("event_type"), col("ts"),
+      expr(s"event_id div ${bucket}L").as("bk"))
+    val hw = b.groupBy(col("bk")).agg(max(col("ts")).as("bk_max"))
+      .withColumn("hw_prior", max(col("bk_max")).over(
+        Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bk"), col("hw_prior"))
+    b.join(broadcast(hw), "bk")
+      .withColumn("late_ms",
+        when(col("hw_prior").isNull, 0L)
+          .otherwise(greatest(lit(0L), expr("(hw_prior - ts) div 1000000L"))))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("late_ms") > 0L, 1L).otherwise(0L)).as("n_late"),
+        roundn(expr("percentile(late_ms, 0.5)"), 6).as("p50_ms"),
+        roundn(expr("percentile(late_ms, 0.95)"), 6).as("p95_ms"),
+        max(col("late_ms")).as("max_ms"))
+  }
+
+  /** SCD2 POINT-IN-TIME LOOKUP — the READ half of the slowly-changing
+    * dimension ([[scd2UserState]] builds the history; this is the
+    * warehouse query it exists for): attach to every purchase event
+    * the user-state version VALID AT that event's timestamp
+    * (valid_from ≤ ts < valid_to, open interval current). Because the
+    * version intervals partition each user's timeline from their
+    * first event, every purchase matches exactly one version — a
+    * purchase that itself opens a version sees that version
+    * (valid_from inclusive), the as-of-including-self convention.
+    *
+    * Scale shape: the history and the fact side both key on user_id —
+    * the join is co-keyed with the window shuffle that built the
+    * history (no extra exchange under the same partitioning); the
+    * interval predicate filters the per-user version list, which is
+    * bounded by that user's state CHANGES, not their event count. */
+  def scd2Lookup(events: DataFrame): DataFrame = {
+    val hist = scd2UserState(events)
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ts_us"))
+      .join(hist, Seq("user_id"))
+      .filter(col("valid_from") <= col("ts_us") &&
+        (col("valid_to").isNull || col("ts_us") < col("valid_to")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("version"), col("state"))
+  }
+
   /** Trailing event-time window per user — a RANGE frame over the
     * time axis (not ROWS): every event sees the count/sum of its
     * user's events in the preceding hour, however many rows that is.

@@ -393,6 +393,42 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("scd2Lookup: each purchase sees exactly the version valid at its timestamp") {
+    // user 1: click t1 → purchase t2 (opens v2) → purchase t3 (same
+    // state, no new version) → signup t4
+    val us = 1000L // ns per µs
+    val rows = Seq(
+      (1L, 1L, 1000L * us, "click", 0.0, "{}"),
+      (2L, 1L, 2000L * us, "purchase", 0.0, "{}"),
+      (3L, 1L, 3000L * us, "purchase", 0.0, "{}"),
+      (4L, 1L, 4000L * us, "signup", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.scd2Lookup(ev).collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((x.getAs[Long]("version"), x.getAs[String]("state")))).toMap
+    assert(r.keySet === Set(2L, 3L)) // one row per purchase, no duplicates
+    assert(r(2L) === ((2L, "purchase"))) // self-opened version, from-inclusive
+    assert(r(3L) === ((2L, "purchase"))) // mid-interval lookup
+  }
+
+  test("watermarkProfile: a late arrival is measured against the prior-bucket high water") {
+    // ids 0..7 arrive in order, ts = (id+1) seconds — except id 6,
+    // which carries a 0.5 s timestamp (arrives 5.5 s late vs the
+    // high-water mark of buckets 0..2, which is id 5's 6 s)
+    val sec = 1000L * 1000 * 1000
+    val rows = (0L to 7L).map { id =>
+      val ts = if (id == 6L) sec / 2 else (id + 1) * sec
+      (id, 1L, ts, if (id == 6L) "late" else "ok", 0.0, "{}")
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.watermarkProfile(ev, bucket = 2L).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("late").getAs[Long]("n_late") === 1L)
+    assert(r("late").getAs[Long]("max_ms") === 5500L)
+    assert(r("ok").getAs[Long]("n_late") === 0L) // in-order stream is never late
+    assert(r("ok").getAs[Double]("p95_ms") === 0.0)
+  }
+
   test("dpCounts: deterministic Laplace noise, zero-centered scale shrinks with epsilon") {
     val rows = (1L to 300L).map(i => (i, i % 7, i, s"t${i % 5}", 1.0, "{}"))
     val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
