@@ -600,6 +600,11 @@ object SparkEntry {
     "ivm_agg" -> ((s, dir) => RelationalOps.ivmReceipt(Tables.lineitem(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
+    // runtime-filter receipt: Bloom over the filtered build side
+    // probes the fact stream pre-shuffle; pass fraction + the pruned
+    // join must equal the unpruned join (no false negatives)
+    "bloom_join" -> ((s, dir) =>
+      SketchOps.bloomJoin(Tables.orders(s, dir), Tables.customer(s, dir))),
     // AMS/CMS inner-product join-size estimation vs the exact join —
     // the cardinality-estimator receipt with a one-sided guarantee
     "join_size_sketch" -> ((s, dir) => SketchOps.joinSizeSketch(
@@ -2929,6 +2934,36 @@ object SparkEntry {
         |FROM f LEFT JOIN b USING (l_returnflag) LEFT JOIN d USING (l_returnflag)""".stripMargin,
     // portable-hash Bloom: per width, distinct bit positions over k
     // seeded hashes; negative probes false-positive iff all k hit
+    // same portable bit table, applied as a pre-join probe filter
+    "bloom_join" -> {
+      def posExpr(j: Int, key: String) =
+        s"CAST(${graft.functions.PortableHash.duckdbHash24(s"'bj$j:' || $key")} % 4096 AS BIGINT)"
+      val bitsSel = (0 until 3).map(j =>
+        s"SELECT DISTINCT ${posExpr(j, "b.key")} AS pos FROM bk b").mkString(" UNION ")
+      val probeSel = (0 until 3).map(j =>
+        s"SELECT o.o_orderkey, o.o_custkey, $j AS j, " +
+          s"${posExpr(j, "CAST(o.o_custkey AS VARCHAR)")} AS pos FROM orders o")
+        .mkString(" UNION ALL ")
+      s"""WITH br AS (SELECT c_custkey FROM customer
+         |            WHERE c_mktsegment = 'BUILDING'),
+         |bk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key FROM br),
+         |bt AS ($bitsSel),
+         |ps AS (SELECT pr.o_orderkey, pr.o_custkey FROM ($probeSel) pr
+         |       JOIN bt USING (pos)
+         |       GROUP BY 1, 2 HAVING count(DISTINCT pr.j) = 3)
+         |SELECT (SELECT count(*) FROM bk) AS n_build_keys,
+         |  (SELECT count(*) FROM bt) AS n_bits_set,
+         |  (SELECT count(*) FROM orders) AS n_probe_rows,
+         |  (SELECT count(*) FROM ps) AS n_pass,
+         |  round((SELECT count(*) FROM ps)
+         |        / CAST((SELECT count(*) FROM orders) AS DOUBLE), 6) + 0
+         |    AS pass_frac,
+         |  (SELECT count(*) FROM orders o JOIN br
+         |     ON o.o_custkey = br.c_custkey) AS n_join_rows,
+         |  (SELECT count(*) FROM ps p JOIN br ON p.o_custkey = br.c_custkey)
+         |    = (SELECT count(*) FROM orders o JOIN br
+         |         ON o.o_custkey = br.c_custkey) AS join_unchanged""".stripMargin
+    },
     "bloom_fpr_curve" -> {
       def posExpr(j: Int, key: String, m: Int) =
         s"CAST(${graft.functions.PortableHash.duckdbHash24(s"'bf$j:' || $key")} % $m AS BIGINT)"

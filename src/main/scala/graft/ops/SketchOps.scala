@@ -337,6 +337,61 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** BLOOM-PRUNED JOIN receipt — runtime filtering, THE 100 TB join
+    * optimization (Spark's own runtime row-group filters / DPP do
+    * this opaquely; here it is explicit and oracle-replayable): build
+    * a k-hash Bloom over the FILTERED build side's join keys
+    * (customers in one market segment), probe every fact row map-side
+    * BEFORE the join shuffle, and pin the two numbers that justify
+    * the technique — the fraction of probe rows that survive (shuffle
+    * bytes saved ≈ 1 − pass_frac) and the equality of the pruned join
+    * with the unpruned join (Bloom has NO false negatives, so pruning
+    * can never drop a join row — a pinned boolean, not a hope).
+    *
+    * Scale shape: the bit table is ≤m distinct positions (broadcast);
+    * probing is k map-side hash rows per fact row against the
+    * broadcast bits; only survivors reach the join exchange. The
+    * receipt's exact twin joins the unpruned side once. */
+  def bloomJoin(orders: DataFrame, customer: DataFrame,
+                segment: String = "BUILDING", m: Int = 4096, k: Int = 3): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val buildRows = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey")).localCheckpoint(true)
+    val build = buildRows.select(col("c_custkey").cast("string").as("key")).distinct()
+    val bits = (0 until k)
+      .map(j => build.select(
+        PortableHash.bucket(concat(lit(s"bj$j:"), col("key")), m).as("pos")))
+      .reduce(_ union _).distinct().localCheckpoint(true)
+    val passed = (0 until k)
+      .map(j => orders.select(col("o_orderkey"), col("o_custkey"), lit(j).as("j"),
+        PortableHash.bucket(
+          concat(lit(s"bj$j:"), col("o_custkey").cast("string")), m).as("pos")))
+      .reduce(_ union _)
+      .join(broadcast(bits), "pos")
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(countDistinct(col("j")).as("nh"))
+      .filter(col("nh") === k)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val nBuild = build.agg(count(lit(1)).as("n_build_keys"))
+    val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+    val nProbe = orders.agg(count(lit(1)).as("n_probe_rows"))
+    val nPass = passed.agg(count(lit(1)).as("n_pass"))
+    val joinFull = orders
+      .join(buildRows, orders("o_custkey") === buildRows("c_custkey"))
+      .agg(count(lit(1)).as("n_join_rows"))
+    val joinPruned = passed
+      .join(buildRows, passed("o_custkey") === buildRows("c_custkey"))
+      .agg(count(lit(1)).as("n_join_pruned"))
+    nBuild.crossJoin(nBits).crossJoin(nProbe).crossJoin(nPass)
+      .crossJoin(joinFull).crossJoin(joinPruned)
+      .select(col("n_build_keys"), col("n_bits_set"), col("n_probe_rows"),
+        col("n_pass"),
+        roundn(col("n_pass").cast("double") / col("n_probe_rows").cast("double"), 6)
+          .as("pass_frac"),
+        col("n_join_rows"),
+        (col("n_join_rows") === col("n_join_pruned")).as("join_unchanged"))
+  }
+
   /** Sketch-based JOIN-SIZE ESTIMATION — the cardinality-estimator
     * receipt (Alon-Matias-Szegedy lineage; the CMS inner-product
     * form, Cormode & Muthukrishnan §4.2): |A ⋈ B| on an equi-key is

@@ -238,6 +238,22 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(est - 3000.0) / 3000.0 < 0.51, s"estimate $est too far")
   }
 
+  test("bloomJoin: prunes non-matching probes, never drops a join row") {
+    // 100 customers, 10 in the target segment; 500 orders spread
+    // uniformly — ~90% of probe rows should fail the filter
+    val cust = (1L to 100L)
+      .map(c => (c, if (c <= 10) "BUILDING" else "OTHER"))
+      .toDF("c_custkey", "c_mktsegment")
+    val ords = (1L to 500L).map(o => (o, o % 100 + 1)).toDF("o_orderkey", "o_custkey")
+    val r = SketchOps.bloomJoin(ords, cust).collect()(0)
+    assert(r.getAs[Boolean]("join_unchanged"), "Bloom must not drop join rows")
+    assert(r.getAs[Long]("n_build_keys") === 10L)
+    assert(r.getAs[Long]("n_join_rows") === 50L) // 5 orders per custkey
+    // every true match passes; false positives only ever ADD rows
+    assert(r.getAs[Long]("n_pass") >= 50L)
+    assert(r.getAs[Double]("pass_frac") < 0.3, s"filter too weak: $r")
+  }
+
   test("rangeBoundaries: partitions cover all rows, respect value order, stay balanced") {
     // uniform values 1..4000 → 8 sample-planned ranges should be
     // roughly even and strictly ordered
