@@ -408,6 +408,9 @@ object SparkEntry {
     // RHO-loss-shaped selection: excess of the bigram LM over the
     // order-blind unigram LM, top quarter via the histogram threshold
     "rho_select" -> ((s, dir) => TextOps.rhoSelect(Tables.documents(s, dir))),
+    // in-engine model selection: 3:1 hash split, per-lambda held-out
+    // avg logprob of the JM bigram mixture, argmax flagged
+    "lm_tune" -> ((s, dir) => TextOps.lmTune(Tables.documents(s, dir))),
     // learned quality gate: 8 full-batch GD steps of logistic
     // regression on curation features, fixed-point integer gradient
     // sums (exact, order-free — the scale-safe determinism path; see
@@ -2472,6 +2475,57 @@ object SparkEntry {
          |        row_number() OVER (ORDER BY dsir_weight DESC, doc_id) AS rn
          |      FROM dw)
          |SELECT doc_id, n_tok, dsir_weight FROM r, kk WHERE rn <= kk.k""".stripMargin,
+    // 3:1 doc_id-hash split; per-λ leg re-aggregates the same joined
+    // held-out bigram table; OOV-w2 bigrams skipped and counted
+    "lm_tune" -> {
+      val h24 = s"CAST(${graft.functions.PortableHash.duckdbHash24(
+        "'lmt:' || CAST(doc_id AS VARCHAR)")} AS BIGINT)"
+      def leg(lam: String, oneMinus: String): String =
+        s"""SELECT CAST($lam AS DOUBLE) AS lambda,
+           |  CAST(sum(tf) AS BIGINT) AS n_scored,
+           |  (SELECT n_oov FROM ov) AS n_oov,
+           |  round(sum(tf * round(ln($lam * COALESCE(CAST(c12 AS DOUBLE)
+           |          / CAST(c1 AS DOUBLE), 0.0)
+           |        + $oneMinus * (cu / total)), 6)
+           |      ORDER BY w1 || ' ' || w2)
+           |    / CAST(sum(tf) AS DOUBLE), 6) + 0 AS avg_logprob
+           |FROM iv""".stripMargin
+      s"""WITH $duckToks,
+         |tr AS (SELECT * FROM toks WHERE $h24 % 4 <> 0),
+         |he AS (SELECT * FROM toks WHERE $h24 % 4 = 0),
+         |bt AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM tr) WHERE nt IS NOT NULL),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bt GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cbi GROUP BY 1),
+         |uni AS (SELECT tok, count(*) AS cu FROM tr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+         |hb AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM he) WHERE nt IS NOT NULL),
+         |htf AS (SELECT w1, w2, count(*) AS tf FROM hb GROUP BY 1, 2),
+         |j AS MATERIALIZED (SELECT h.w1, h.w2, h.tf, u.cu, c.c12, w.c1, tot.total
+         |      FROM htf h
+         |      LEFT JOIN uni u ON u.tok = h.w2
+         |      LEFT JOIN cbi c ON c.w1 = h.w1 AND c.w2 = h.w2
+         |      LEFT JOIN cw1 w ON w.w1 = h.w1, tot),
+         |iv AS (SELECT * FROM j WHERE cu IS NOT NULL),
+         |ov AS (SELECT COALESCE(CAST(sum(tf) AS BIGINT), 0) AS n_oov
+         |       FROM j WHERE cu IS NULL),
+         |legs AS (
+         |${leg("0.3", "0.7")}
+         |UNION ALL
+         |${leg("0.5", "0.5")}
+         |UNION ALL
+         |${leg("0.7", "0.3")}
+         |UNION ALL
+         |${leg("0.9", "0.1")})
+         |SELECT lambda, n_scored, n_oov, avg_logprob,
+         |  avg_logprob = max(avg_logprob) OVER () AS is_best
+         |FROM legs""".stripMargin
+    },
     // rho = bigram avg logprob − unigram avg logprob per doc (both LM
     // legs share the vocab census), top ceil(n/4) by (rho desc,
     // doc_id) — the rank form the engine's histogram threshold

@@ -843,6 +843,77 @@ object TextOps {
       .unionByName(atT.select(col("doc_id"), col("n_tok"), col("dsir_weight")))
   }
 
+  /** HYPERPARAMETER TUNING in-engine — model selection as a declared
+    * receipt (the engine trains GD/EM/NB/Lloyd models; this closes
+    * the loop by CHOOSING between them on held-out data, the step a
+    * real pipeline never skips): hash-split documents 3:1 into
+    * train/held-out, fit the Jelinek-Mercer bigram mixture's counts
+    * on train only, score the held-out bigram stream at each λ in
+    * the grid, and pin the per-λ held-out avg logprob with the argmax
+    * flagged — the λ [[lmBigramLogprob]] should RUN with, measured
+    * rather than guessed.
+    *
+    * Held-out bigrams whose w2 never appeared in train are SKIPPED
+    * and counted (`n_oov`) — the mixture's unigram floor is 0 there
+    * and ln undefined; reporting the skip count keeps the receipt
+    * honest about coverage.
+    *
+    * Determinism: the split is a pure doc_id hash predicate; per-
+    * bigram ln rounds once; the fold orders by the bigram string; the
+    * one division rounds once. λ and (1−λ) literals follow the
+    * lm_bigram BigDecimal ↔ DECIMAL convention.
+    *
+    * Scale shape: the model tables are token-keyed aggs of the train
+    * split (one tokenize scan serves both splits); each λ leg re-aggs
+    * the SAME joined held-out table (Catalyst reuses the subtree, and
+    * the λ arithmetic is per-row map work); no new shuffle per λ
+    * beyond the 1-row agg. */
+  def lmTune(docs: DataFrame, lambdas: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9),
+             maxTokens: Int = 512): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val toks = EmbedOps.tokenize(docs, maxTokens)
+    val isTrain = graft.functions.PortableHash.hash24(
+      concat(lit("lmt:"), col("doc_id").cast("string"))) % 4 =!= 0
+    val train = toks.filter(isTrain)
+    val held = toks.filter(!isTrain)
+    def bigrams(t: DataFrame): DataFrame = t
+      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
+      .filter(col("w2").isNotNull)
+      .select(col("tok").as("w1"), col("w2"))
+    val cBi = bigrams(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val cW1 = cBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = train.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("total"))
+    val joined = bigrams(held).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu"))), Seq("w2"), "left")
+      .join(cBi, Seq("w1", "w2"), "left")
+      .join(broadcast(cW1), Seq("w1"), "left")
+      .crossJoin(broadcast(total))
+      .localCheckpoint(true)
+    val inVocab = joined.filter(col("cu").isNotNull)
+    val nOov = joined.filter(col("cu").isNull)
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("n_oov"))
+    lambdas.map { lam =>
+      val oneMinus = (BigDecimal(1) - BigDecimal(lam)).toDouble
+      val lp = roundn(log(
+        lit(lam) * coalesce(
+          col("c12").cast("double") / col("c1").cast("double"), lit(0.0)) +
+          lit(oneMinus) * (col("cu") / col("total"))), 6)
+      inVocab.select(col("w1"), col("w2"), col("tf"), lp.as("lp"))
+        .agg(sum(col("tf")).as("n_scored"),
+          graft.functions.VectorMath.orderedSum(
+            concat_ws(" ", col("w1"), col("w2")), col("tf") * col("lp")).as("raw"))
+        .crossJoin(broadcast(nOov))
+        .select(lit(lam).as("lambda"), col("n_scored"), col("n_oov"),
+          roundn(col("raw") / col("n_scored"), 6).as("avg_logprob"))
+    }.reduce(_ unionByName _)
+      .withColumn("is_best",
+        col("avg_logprob") === max(col("avg_logprob")).over(
+          Window.partitionBy(lit(1))))
+  }
+
   /** RHO-loss-SHAPED selection (Mindermann et al. '22 / RHO-1 shape:
     * prioritize examples by EXCESS loss under a reference model) with
     * both models trained in-engine: rho = bigram avg logprob − unigram

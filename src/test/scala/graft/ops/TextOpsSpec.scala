@@ -550,6 +550,30 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
   }
 
+  test("lmTune: deterministic bigram structure selects the high-lambda mixture; OOV counted") {
+    import graft.functions.PortableHash.hash24Jvm
+    // every doc is the same a→b→c cycle: each held-out bigram has
+    // c12/c1 = 1.0 in train vs unigram mass 1/3, so the mixture
+    // λ·1 + (1−λ)/3 grows with λ — λ=0.9 must win
+    def heldOut(id: Long) = hash24Jvm(s"lmt:$id") % 4 == 0
+    val ids = 1L to 40L
+    assert(ids.exists(heldOut) && ids.exists(!heldOut(_)), "both splits populated")
+    // one held-out doc carries a word absent from train → OOV bigrams
+    val oovId = ids.find(heldOut).get
+    val docs = ids.map { i =>
+      (i, if (i == oovId) "a zzz_unseen" else "a b c a b c a b c")
+    }.toDF("doc_id", "text")
+    val r = TextOps.lmTune(docs).collect()
+      .map(x => x.getAs[Double]("lambda") -> x).toMap
+    assert(r.size === 4)
+    assert(r(0.9).getAs[Boolean]("is_best"), s"high lambda must win: $r")
+    assert(!r(0.3).getAs[Boolean]("is_best"))
+    // the (a, zzz_unseen) bigram is skipped and counted, not scored
+    assert(r(0.5).getAs[Long]("n_oov") === 1L)
+    // monotone in lambda on this corpus
+    assert(r(0.9).getAs[Double]("avg_logprob") > r(0.3).getAs[Double]("avg_logprob"))
+  }
+
   test("rhoSelect: token order drives rho; top quarter selected with dominance") {
     // 7 docs share the corpus-dominant bigram pattern a→b→c; doc 8 has
     // the SAME unigram profile but scrambled order — identical lp_uni,
