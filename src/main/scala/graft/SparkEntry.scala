@@ -581,6 +581,16 @@ object SparkEntry {
     // HLL mergeability receipt: per-day registers max-merged must
     // equal the whole-stream registers, register for register
     "hll_union" -> ((s, dir) => SketchOps.hllUnionReceipt(Tables.events(s, dir))),
+    // theta-style KMV intersection: retained sets cut at the shared
+    // theta, |S_A ∩ S_B|·2^48/theta vs the exact overlap
+    "kmv_intersect" -> ((s, dir) => SketchOps.kmvIntersect(Tables.events(s, dir))),
+    // error-vs-registers curve: HLL at m in {16,64,256} vs the exact
+    // distinct count — the 1.04/sqrt(m) trade as a receipt
+    "hll_error_curve" -> ((s, dir) => SketchOps.hllErrorCurve(Tables.events(s, dir))),
+    // view→purchase conversion latency: first view to first
+    // subsequent purchase per user, p50/p95/max minutes
+    "funnel_latency" -> ((s, dir) =>
+      RelationalOps.funnelLatency(Tables.events(s, dir))),
     // range-partition planning receipt: boundaries from the bottom-k
     // sample's rank statistics, rows routed by boundary compares, per-
     // partition balance pinned — the sorted-write plan audit
@@ -2988,6 +2998,103 @@ object SparkEntry {
         |FROM f LEFT JOIN b USING (l_returnflag) LEFT JOIN d USING (l_returnflag)""".stripMargin,
     // portable-hash Bloom: per width, distinct bit positions over k
     // seeded hashes; negative probes false-positive iff all k hit
+    // per-m legs share the hash; register index = top log2(m) bits,
+    // rank = (48-p+1) - bitlength(remainder); alpha literals shared
+    "hll_error_curve" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'hll:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      def leg(m: Int, p: Int, alpha: String): String = {
+        val rbits = 48 - p
+        val maxRho = rbits + 1
+        val two = 1L << maxRho
+        s"""SELECT CAST($m AS BIGINT) AS m_regs,
+           |  CAST(n_regs AS BIGINT) AS n_regs,
+           |  CAST($m - n_regs AS BIGINT) AS v0,
+           |  CASE WHEN $m - n_regs > 0 AND round(CAST($alpha AS DOUBLE)
+           |        * ${m.toLong * m}.0 * $two.0
+           |        / CAST(sum_present + ($m - n_regs) * $two AS DOUBLE), 6) + 0
+           |        <= ${2.5 * m}
+           |       THEN round(ln($m.0 / CAST($m - n_regs AS DOUBLE)) * $m.0, 6) + 0
+           |       ELSE round(CAST($alpha AS DOUBLE) * ${m.toLong * m}.0 * $two.0
+           |        / CAST(sum_present + ($m - n_regs) * $two AS DOUBLE), 6) + 0
+           |  END AS n_hll,
+           |  (SELECT n_exact FROM ex) AS n_exact,
+           |  round(abs(CASE WHEN $m - n_regs > 0 AND round(CAST($alpha AS DOUBLE)
+           |        * ${m.toLong * m}.0 * $two.0
+           |        / CAST(sum_present + ($m - n_regs) * $two AS DOUBLE), 6) + 0
+           |        <= ${2.5 * m}
+           |       THEN round(ln($m.0 / CAST($m - n_regs AS DOUBLE)) * $m.0, 6) + 0
+           |       ELSE round(CAST($alpha AS DOUBLE) * ${m.toLong * m}.0 * $two.0
+           |        / CAST(sum_present + ($m - n_regs) * $two AS DOUBLE), 6) + 0 END
+           |     - CAST((SELECT n_exact FROM ex) AS DOUBLE))
+           |     / CAST((SELECT n_exact FROM ex) AS DOUBLE), 6) + 0 AS rel_err
+           |FROM (
+           |  SELECT count(*) AS n_regs,
+           |    CAST(sum(CAST(1 AS BIGINT) << CAST($maxRho - m_j AS INTEGER))
+           |      AS BIGINT) AS sum_present
+           |  FROM (SELECT idx, CAST(max(rho) AS BIGINT) AS m_j FROM (
+           |          SELECT h // ${1L << rbits} AS idx,
+           |            CASE WHEN h % ${1L << rbits} = 0 THEN $maxRho
+           |                 ELSE $maxRho - length(bin(h % ${1L << rbits})) END AS rho
+           |          FROM hh) GROUP BY 1))""".stripMargin
+      }
+      s"""WITH hh AS (SELECT DISTINCT $h48 AS h FROM events),
+         |ex AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+         |${leg(16, 4, "0.673")}
+         |UNION ALL
+         |${leg(64, 6, "0.709")}
+         |UNION ALL
+         |${leg(256, 8, "0.7182725932495458")}""".stripMargin
+    },
+    // first view -> first subsequent purchase per user, integer
+    // minutes on the nanos axis
+    "funnel_latency" ->
+      """WITH v AS (SELECT user_id, min(epoch_ns(ts)) AS first_view
+        |           FROM events WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT p.user_id, v.first_view,
+        |        min(epoch_ns(p.ts)) AS first_purchase
+        |      FROM events p JOIN v USING (user_id)
+        |      WHERE p.event_type = 'purchase'
+        |        AND epoch_ns(p.ts) >= v.first_view
+        |      GROUP BY 1, 2),
+        |l AS (SELECT (first_purchase - first_view) // 60000000000 AS latency_min
+        |      FROM c)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(latency_min, 0.5), 6) + 0 AS p50_min,
+        |  round(quantile_cont(latency_min, 0.95), 6) + 0 AS p95_min,
+        |  CAST(max(latency_min) AS BIGINT) AS max_min
+        |FROM l""".stripMargin,
+    // retained-set intersection under the shared theta; under-filled
+    // sides contribute theta = 2^48 (they are their full sets)
+    "kmv_intersect" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'kmv:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH ua AS (SELECT DISTINCT user_id FROM events
+         |            WHERE event_type = 'view'),
+         |ub AS (SELECT DISTINCT user_id FROM events
+         |       WHERE event_type = 'purchase'),
+         |ha AS (SELECT $h48 AS h FROM ua),
+         |hb AS (SELECT $h48 AS h FROM ub),
+         |ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS n FROM ha),
+         |rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn,
+         |         count(*) OVER () AS n FROM hb),
+         |ska AS (SELECT h FROM ra WHERE rn <= 64),
+         |skb AS (SELECT h FROM rb WHERE rn <= 64),
+         |ta AS (SELECT CASE WHEN max(n) < 64 THEN 281474976710656
+         |              ELSE max(CASE WHEN rn = 64 THEN h END) END AS th FROM ra),
+         |tb AS (SELECT CASE WHEN max(n) < 64 THEN 281474976710656
+         |              ELSE max(CASE WHEN rn = 64 THEN h END) END AS th FROM rb),
+         |th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+         |si AS (SELECT count(*) AS n_si FROM ska JOIN skb USING (h), th
+         |       WHERE ska.h < th.theta),
+         |ex AS (SELECT count(*) AS n_exact_inter FROM ua JOIN ub USING (user_id))
+         |SELECT ex.n_exact_inter, th.theta, CAST(si.n_si AS BIGINT) AS n_si,
+         |  (si.n_si * 281474976710656) // th.theta AS n_inter_est,
+         |  round(abs((si.n_si * 281474976710656) // th.theta - ex.n_exact_inter)
+         |        / CAST(greatest(ex.n_exact_inter, 1) AS DOUBLE), 6) + 0 AS rel_err
+         |FROM ex, th, si""".stripMargin
+    },
     // same portable bit table, applied as a pre-join probe filter
     "bloom_join" -> {
       def posExpr(j: Int, key: String) =

@@ -1210,6 +1210,33 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** FUNNEL LATENCY — the time dimension `events_funnel`'s conversion
+    * counts flatten away: for every user who purchases at or after
+    * their first view, the view→purchase latency (first view to the
+    * FIRST subsequent purchase), summarized as count + p50/p95/max
+    * minutes — the numbers an activation-flow decision is made on.
+    *
+    * Scale shape: two type-filtered user-keyed aggs + one co-keyed
+    * join on user_id + a 1-row summary agg (exact percentile here;
+    * approx_percentile at 100 TB, the madOutliers note). Integer
+    * minute arithmetic on the nanos axis — no float time. */
+  def funnelLatency(events: DataFrame): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_view"))
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"))
+    v.join(p, "user_id")
+      .filter(col("pts") >= col("first_view"))
+      .groupBy(col("user_id"), col("first_view"))
+      .agg(min(col("pts")).as("first_purchase"))
+      .withColumn("latency_min",
+        expr("(first_purchase - first_view) div 60000000000"))
+      .agg(count(lit(1)).as("n_converted"),
+        roundn(expr("percentile(latency_min, 0.5)"), 6).as("p50_min"),
+        roundn(expr("percentile(latency_min, 0.95)"), 6).as("p95_min"),
+        max(col("latency_min")).as("max_min"))
+  }
+
   /** WATERMARK-DELAY profile — the measurement `withWatermark`'s
     * delay parameter should be SET from, instead of guessed: how far
     * behind the high-water mark do events actually arrive? Arrival

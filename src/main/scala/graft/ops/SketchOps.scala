@@ -337,6 +337,51 @@ object SketchOps {
     }.reduce(_ unionByName _)
   }
 
+  /** KMV SET-INTERSECTION estimate (theta-sketch style) — the
+    * audience-overlap primitive [[kmvDistinct]] can't answer alone:
+    * |viewers ∩ purchasers| from two k-min sketches. θ = the smaller
+    * of the two k-th minima (an under-filled sketch contributes
+    * θ = 2⁴⁸ — it IS its full set); both retained sets cut at θ are
+    * uniform samples of their sets at the SAME known rate θ/2⁴⁸, so
+    * the intersection estimate is |S_A ∩ S_B| · 2⁴⁸ / θ, exact Long
+    * arithmetic throughout. The exact distinct-intersection twin
+    * rides along; when both sketches are under-filled the estimate
+    * degenerates to the exact count by construction.
+    *
+    * Scale shape: two sketch builds (map-side k·8-byte partials),
+    * a 1×1 crossJoin of sketch rows, array arithmetic on ≤k
+    * elements; the exact twin's distinct-intersect is the receipt's
+    * cost only. */
+  def kmvIntersect(events: DataFrame, typeA: String = "view",
+                   typeB: String = "purchase", k: Int = 64): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val H = 281474976710656L // 2^48
+    def side(t: String, nm: String): DataFrame =
+      events.filter(col("event_type") === t)
+        .select(col("user_id")).distinct()
+        .select(PortableHash.hash48(
+          concat(lit("kmv:"), col("user_id").cast("string"))).as("h"))
+        .agg(graft.functions.SketchAggregators.kmvUdaf(k)(col("h")).as(nm))
+    val ex = events.filter(col("event_type") === typeA)
+      .select(col("user_id")).distinct()
+      .intersect(events.filter(col("event_type") === typeB)
+        .select(col("user_id")).distinct())
+      .agg(count(lit(1)).as("n_exact_inter"))
+    side(typeA, "ska").crossJoin(side(typeB, "skb")).crossJoin(ex)
+      .withColumn("tha",
+        when(size(col("ska")) < k, lit(H)).otherwise(element_at(col("ska"), k)))
+      .withColumn("thb",
+        when(size(col("skb")) < k, lit(H)).otherwise(element_at(col("skb"), k)))
+      .withColumn("theta", least(col("tha"), col("thb")))
+      .withColumn("n_si", size(expr(
+        "array_intersect(filter(ska, x -> x < theta), filter(skb, x -> x < theta))"))
+        .cast("long"))
+      .withColumn("n_inter_est", expr(s"(n_si * ${H}L) div theta"))
+      .select(col("n_exact_inter"), col("theta"), col("n_si"), col("n_inter_est"),
+        roundn(abs(col("n_inter_est") - col("n_exact_inter")).cast("double") /
+          greatest(col("n_exact_inter"), lit(1L)).cast("double"), 6).as("rel_err"))
+  }
+
   /** BLOOM-PRUNED JOIN receipt — runtime filtering, THE 100 TB join
     * optimization (Spark's own runtime row-group filters / DPP do
     * this opaquely; here it is explicit and oracle-replayable): build
@@ -613,6 +658,58 @@ object SketchOps {
           col("n_exact").cast("double"), 6))
       .select(col("event_type"), col("n_exact"), col("n_regs"), col("v0"),
         col("n_hll"), col("rel_err"))
+  }
+
+  /** HLL error-vs-registers curve — the cardinality member of the
+    * error-curve family (cms_error_curve counts, quantile_error_curve
+    * order statistics, bloom_fpr_curve membership, this one distinct
+    * counting): the full stream's distinct-user estimate at m ∈ {16,
+    * 64, 256} registers beside the exact count — the σ ≈ 1.04/√m
+    * capacity trade made a replayable measurement. Register index =
+    * top log₂m hash bits, rank = bitlength of the remainder, α the
+    * standard per-m constant (0.673 / 0.709 / 0.7213·(1+1.079/m)⁻¹ as
+    * a shared decimal literal).
+    *
+    * Scale shape: one sha per row map-side per leg; each leg reduces
+    * onto its ≤m register key; everything downstream is postcard
+    * arithmetic. */
+  def hllErrorCurve(events: DataFrame,
+                    ms: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val alphas = Map(16 -> 0.673, 64 -> 0.709, 256 -> 0.7182725932495458)
+    val exact = events.agg(countDistinct(col("user_id")).as("n_exact"))
+      .localCheckpoint(true)
+    val h = events.select(PortableHash.hash48(
+      concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .localCheckpoint(true)
+    ms.map { m =>
+      val p = (math.log(m) / math.log(2)).round.toInt
+      val maxRho = 48 - p + 1
+      val two = math.pow(2.0, maxRho).toLong
+      val alpha = alphas(m)
+      val regs = h
+        .select(shiftright(col("h"), 48 - p).as("idx"),
+          (col("h") % lit(1L << (48 - p))).as("rr"))
+        .select(col("idx"),
+          when(col("rr") === 0L, lit(maxRho.toLong))
+            .otherwise(lit(maxRho.toLong) - length(bin(col("rr")))).as("rho"))
+        .groupBy(col("idx")).agg(max(col("rho")).as("m_j"))
+      regs.agg(count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(1L, cast($maxRho - m_j as int))")).as("sum_present"))
+        .withColumn("v0", lit(m.toLong) - col("n_regs"))
+        .withColumn("est_raw", roundn(
+          lit(alpha) * lit((m.toLong * m).toDouble) * lit(two.toDouble) /
+            (col("sum_present") + col("v0") * two).cast("double"), 6))
+        .withColumn("n_hll",
+          when(col("v0") > 0L && col("est_raw") <= lit(2.5 * m),
+            roundn(log(lit(m.toDouble) / col("v0").cast("double")) * m.toDouble, 6))
+            .otherwise(col("est_raw")))
+        .crossJoin(broadcast(exact))
+        .select(lit(m.toLong).as("m_regs"), col("n_regs"), col("v0"),
+          col("n_hll"), col("n_exact"),
+          roundn(abs(col("n_hll") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"), 6).as("rel_err"))
+    }.reduce(_ unionByName _)
   }
 
   /** Declared query: the HLL mergeability receipt, [[kmvUnionReceipt]]'s

@@ -393,6 +393,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("funnelLatency: first view to first subsequent purchase, pre-view purchases ignored") {
+    val min = 60L * 1000 * 1000 * 1000
+    val rows = Seq(
+      // user 1: view at t0, purchases at +30min and +10min → first is +10
+      (1L, 1L, 0L, "view", 0.0, "{}"),
+      (2L, 1L, 30 * min, "purchase", 0.0, "{}"),
+      (3L, 1L, 10 * min, "purchase", 0.0, "{}"),
+      // user 2: purchase BEFORE any view → not a conversion
+      (4L, 2L, 0L, "purchase", 0.0, "{}"),
+      (5L, 2L, 5 * min, "view", 0.0, "{}"),
+      // user 3: view only → not converted
+      (6L, 3L, 0L, "view", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.funnelLatency(ev).collect()(0)
+    assert(r.getAs[Long]("n_converted") === 1L)
+    assert(r.getAs[Long]("max_min") === 10L)
+    assert(r.getAs[Double]("p50_min") === 10.0)
+  }
+
   test("scd2Lookup: each purchase sees exactly the version valid at its timestamp") {
     // user 1: click t1 → purchase t2 (opens v2) → purchase t3 (same
     // state, no new version) → signup t4

@@ -238,6 +238,40 @@ class SketchOpsSpec extends SparkSpec {
     assert(math.abs(est - 3000.0) / 3000.0 < 0.51, s"estimate $est too far")
   }
 
+  test("kmvIntersect: under-filled sketches are exact; filled estimate within bound") {
+    // overlap of 'view' users {1..200} and 'purchase' users {101..300}
+    // = 100; both sides exceed k=64 so theta-estimation engages
+    val rows = (1L to 200L).map(u => (u, u, u, "view", 0.0, "{}")) ++
+      (101L to 300L).map(u => (u + 1000, u, u, "purchase", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = SketchOps.kmvIntersect(ev).collect()(0)
+    assert(r.getAs[Long]("n_exact_inter") === 100L)
+    val est = r.getAs[Long]("n_inter_est")
+    assert(math.abs(est - 100.0) / 100.0 < 0.6, s"estimate $est too far from 100")
+    // tiny sets: sketches under-filled ⇒ theta = 2^48 ⇒ exact
+    val small = (1L to 10L).map(u => (u, u, u, "view", 0.0, "{}")) ++
+      (6L to 15L).map(u => (u + 100, u, u, "purchase", 0.0, "{}"))
+    val r2 = SketchOps.kmvIntersect(
+      small.toDF("event_id", "user_id", "ts", "event_type", "value", "props"))
+      .collect()(0)
+    assert(r2.getAs[Long]("theta") === 281474976710656L)
+    assert(r2.getAs[Long]("n_inter_est") === 5L)
+    assert(r2.getAs[Double]("rel_err") === 0.0)
+  }
+
+  test("hllErrorCurve: more registers give a tighter estimate; registers stay bounded") {
+    val rows = (1L to 5000L).map(u => (u, u, u, "a", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = SketchOps.hllErrorCurve(ev).collect()
+      .map(x => x.getAs[Long]("m_regs") -> x).toMap
+    assert(r.keySet === Set(16L, 64L, 256L))
+    r.foreach { case (m, x) => assert(x.getAs[Long]("n_regs") <= m) }
+    // 4 sigma envelopes: 1.04/sqrt(m)
+    assert(r(256L).getAs[Double]("rel_err") < 4 * 1.04 / 16)
+    assert(r(256L).getAs[Double]("rel_err") < r(16L).getAs[Double]("rel_err") + 0.1,
+      "the wide sketch must not be meaningfully worse than the narrow one")
+  }
+
   test("bloomJoin: prunes non-matching probes, never drops a join row") {
     // 100 customers, 10 in the target segment; 500 orders spread
     // uniformly — ~90% of probe rows should fail the filter
