@@ -591,6 +591,12 @@ object SparkEntry {
     // subsequent purchase per user, p50/p95/max minutes
     "funnel_latency" -> ((s, dir) =>
       RelationalOps.funnelLatency(Tables.events(s, dir))),
+    // BPE losslessness: census <-> decoded word table reconciliation
+    "tokenizer_roundtrip" -> ((s, dir) =>
+      TextOps.tokenizerRoundtrip(Tables.documents(s, dir))),
+    // gaps-and-islands interval union: per-user active minutes under
+    // a 10-min presence hold
+    "active_time" -> ((s, dir) => RelationalOps.activeTime(Tables.events(s, dir))),
     // range-partition planning receipt: boundaries from the bottom-k
     // sample's rank statistics, rows routed by boundary compares, per-
     // partition balance pinned — the sorted-write plan audit
@@ -3046,6 +3052,49 @@ object SparkEntry {
          |UNION ALL
          |${leg(256, 8, "0.7182725932495458")}""".stripMargin
     },
+    // same six training rounds; decoded word = separators stripped;
+    // full-outer reconciliation against the tokenize census
+    "tokenizer_roundtrip" ->
+      s"""WITH $duckToks,
+         |w1 AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS wc,
+         |    array_to_string(list_transform(range(1, length(tok) + 1),
+         |                                   i -> tok[i:i]), '  ') AS syms
+         |  FROM toks GROUP BY tok),
+         |${(1 to 6).map(duckBpeRound).mkString(",\n")},
+         |cen AS (SELECT tok, count(*) AS n FROM toks GROUP BY 1),
+         |dec AS (SELECT replace(syms, '  ', '') AS tok, wc FROM w7),
+         |j AS (SELECT cen.n, dec.wc
+         |      FROM cen FULL OUTER JOIN dec USING (tok))
+         |SELECT count(*) AS n_words,
+         |  CAST(sum(CASE WHEN n = wc THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_roundtrip_ok,
+         |  CAST(sum(CASE WHEN n IS NULL OR wc IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_unmatched,
+         |  CAST(sum(CASE WHEN n = wc THEN 1 ELSE 0 END) AS BIGINT) = count(*)
+         |    AS all_ok
+         |FROM j""".stripMargin,
+    // running max end over earlier rows opens/extends islands; two
+    // user-keyed aggs fold islands to minutes
+    "active_time" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |             epoch_ns(ts) + 600000000000 AS iv_end FROM events),
+        |m AS (SELECT *, max(iv_end) OVER (PARTITION BY user_id
+        |         ORDER BY tsn, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM e),
+        |f AS (SELECT *, CASE WHEN prev_end IS NULL OR tsn > prev_end
+        |                     THEN 1 ELSE 0 END AS new_island FROM m),
+        |i AS (SELECT *, CAST(sum(new_island) OVER (PARTITION BY user_id
+        |         ORDER BY tsn, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS island
+        |      FROM f),
+        |g AS (SELECT user_id, island, min(tsn) AS start_ts,
+        |        max(iv_end) AS end_ts
+        |      FROM i GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_islands,
+        |  CAST(sum(end_ts - start_ts) AS BIGINT) // 60000000000 AS active_min
+        |FROM g GROUP BY 1""".stripMargin,
     // first view -> first subsequent purchase per user, integer
     // minutes on the nanos axis
     "funnel_latency" ->

@@ -1210,6 +1210,38 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** ACTIVE-TIME accounting by interval union — the gaps-and-islands
+    * pattern ([[sessionIntervals]] SEPARATES by gap; this MERGES
+    * overlapping activity holds): every event opens a `holdNanos`
+    * presence interval, overlapping intervals fuse into islands
+    * (new island ⇔ the event starts after the running max end of all
+    * earlier intervals), and each user reports island count + total
+    * covered minutes — the billing/engagement number a raw event
+    * count inflates whenever events cluster.
+    *
+    * Scale shape: one user-keyed sort carries both windows (running
+    * max end + island prefix sum — same exchange), then two
+    * user-keyed aggs; integer nanos throughout. */
+  def activeTime(events: DataFrame,
+                 holdNanos: Long = 600L * 1000 * 1000 * 1000): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevRows = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events.select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("iv_end", col("ts") + holdNanos)
+      .withColumn("prev_end", max(col("iv_end")).over(prevRows))
+      .withColumn("new_island",
+        when(col("prev_end").isNull || col("ts") > col("prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("new_island")).over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts")).as("start_ts"), max(col("iv_end")).as("end_ts"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("end_ts") - col("start_ts")).as("active_ns"))
+      .select(col("user_id"), col("n_islands"),
+        expr("active_ns div 60000000000").as("active_min"))
+  }
+
   /** FUNNEL LATENCY — the time dimension `events_funnel`'s conversion
     * counts flatten away: for every user who purchases at or after
     * their first view, the view→purchase latency (first view to the

@@ -843,6 +843,30 @@ object TextOps {
       .unionByName(atT.select(col("doc_id"), col("n_tok"), col("dsir_weight")))
   }
 
+  /** Tokenizer LOSSLESSNESS receipt — the property a tokenizer is
+    * useless without, pinned instead of assumed: after `rounds` BPE
+    * merges, stripping the separators from every word's symbol string
+    * must reproduce the word, and the trained word table must carry
+    * EXACTLY the tokenize census (same words, same counts, nothing
+    * gained or lost through the merge loop). Reported as a full-outer
+    * census↔decode reconciliation — any merge bug that corrupts a
+    * symbol string or drops a word flips `all_ok`.
+    *
+    * Scale shape: the census and the word table are both vocab-sized;
+    * the reconciliation is one token-keyed full-outer join. */
+  def tokenizerRoundtrip(docs: DataFrame, rounds: Int = 6): DataFrame = {
+    val census = EmbedOps.tokenize(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    val decoded = bpeLoop(docs, rounds)._2
+      .select(expr("replace(syms, '  ', '')").as("tok"), col("wc"))
+    census.join(decoded, Seq("tok"), "full_outer")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("n") === col("wc"), 1L).otherwise(0L)).as("n_roundtrip_ok"),
+        sum(when(col("n").isNull || col("wc").isNull, 1L).otherwise(0L))
+          .as("n_unmatched"))
+      .withColumn("all_ok", col("n_roundtrip_ok") === col("n_words"))
+  }
+
   /** HYPERPARAMETER TUNING in-engine — model selection as a declared
     * receipt (the engine trains GD/EM/NB/Lloyd models; this closes
     * the loop by CHOOSING between them on held-out data, the step a

@@ -393,6 +393,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("activeTime: overlapping holds fuse, a gap opens a new island") {
+    val min = 60L * 1000 * 1000 * 1000
+    // user 1: events at 0 and 5min (holds overlap → one island of
+    // 15 min), then at 60min (new island, 10 min) → 25 active minutes
+    val rows = Seq(
+      (1L, 1L, 0L, "a", 0.0, "{}"),
+      (2L, 1L, 5 * min, "a", 0.0, "{}"),
+      (3L, 1L, 60 * min, "a", 0.0, "{}"),
+      // user 2: one event → one 10-min island
+      (4L, 2L, 0L, "a", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.activeTime(ev).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_islands"), x.getAs[Long]("active_min")))).toMap
+    assert(r(1L) === ((2L, 25L)))
+    assert(r(2L) === ((1L, 10L)))
+  }
+
   test("funnelLatency: first view to first subsequent purchase, pre-view purchases ignored") {
     val min = 60L * 1000 * 1000 * 1000
     val rows = Seq(

@@ -550,6 +550,15 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
   }
 
+  test("tokenizerRoundtrip: merges stay lossless — census and decode reconcile exactly") {
+    val docs = Seq((1L, "banana bandana ban banana"), (2L, "an and banana"))
+      .toDF("doc_id", "text")
+    val r = TextOps.tokenizerRoundtrip(docs).collect()(0)
+    assert(r.getAs[Boolean]("all_ok"), s"roundtrip broken: $r")
+    assert(r.getAs[Long]("n_unmatched") === 0L)
+    assert(r.getAs[Long]("n_words") === 5L) // banana bandana ban an and
+  }
+
   test("lmTune: deterministic bigram structure selects the high-lambda mixture; OOV counted") {
     import graft.functions.PortableHash.hash24Jvm
     // every doc is the same a→b→c cycle: each held-out bigram has
