@@ -594,6 +594,10 @@ object SparkEntry {
     // BPE losslessness: census <-> decoded word table reconciliation
     "tokenizer_roundtrip" -> ((s, dir) =>
       TextOps.tokenizerRoundtrip(Tables.documents(s, dir))),
+    // the pretraining funnel end to end: raw -> curated -> exact
+    // dedup -> near-dup prune, per-stage doc + token totals
+    "pretrain_pipeline" -> ((s, dir) =>
+      TextOps.pretrainPipeline(Tables.documents(s, dir))),
     // gaps-and-islands interval union: per-user active minutes under
     // a 10-min presence hold
     "active_time" -> ((s, dir) => RelationalOps.activeTime(Tables.events(s, dir))),
@@ -3052,6 +3056,41 @@ object SparkEntry {
          |UNION ALL
          |${leg(256, 8, "0.7182725932495458")}""".stripMargin
     },
+    // every stage a pinned kernel's CTE, the composition pinned:
+    // curation gate, min-id exact dedup, b_id near-dup drop
+    "pretrain_pipeline" ->
+      s"""WITH $duckToks,
+         |$duckQualityCtes,
+         |$duckLangCtes,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |tc AS (SELECT doc_id,
+         |  CAST(len(list_filter(list_transform(string_split(text, ' '),
+         |                                      t -> trim(t)),
+         |                       t -> t <> '')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |cur AS (SELECT qual.doc_id
+         |        FROM qual JOIN lang USING (doc_id) JOIN tc USING (doc_id)
+         |        WHERE lang.predicted_lang = 'en' AND qual.quality >= 0.5
+         |          AND tc.n_tok BETWEEN 5 AND 100000),
+         |ex AS (SELECT min(d.doc_id) AS doc_id
+         |       FROM documents d JOIN cur ON cur.doc_id = d.doc_id
+         |       GROUP BY d.text),
+         |dr AS (SELECT DISTINCT b_id AS doc_id FROM jac WHERE jaccard >= 0.5),
+         |ne AS (SELECT doc_id FROM ex
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM dr))
+         |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+         |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM tc
+         |UNION ALL
+         |SELECT 2, 'curated', count(*), CAST(sum(n_tok) AS BIGINT)
+         |FROM cur JOIN tc USING (doc_id)
+         |UNION ALL
+         |SELECT 3, 'exact_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
+         |FROM ex JOIN tc USING (doc_id)
+         |UNION ALL
+         |SELECT 4, 'near_dedup', count(*), CAST(sum(n_tok) AS BIGINT)
+         |FROM ne JOIN tc USING (doc_id)""".stripMargin,
     // same six training rounds; decoded word = separators stripped;
     // full-outer reconciliation against the tokenize census
     "tokenizer_roundtrip" ->

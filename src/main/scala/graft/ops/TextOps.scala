@@ -843,6 +843,43 @@ object TextOps {
       .unionByName(atT.select(col("doc_id"), col("n_tok"), col("dsir_weight")))
   }
 
+  /** THE PRETRAINING FUNNEL as one declared query — the engine's
+    * whole reason-to-exist composed end to end (every stage is an
+    * already-pinned kernel; this pins their COMPOSITION, the
+    * `web_ingest` pattern at corpus scale): raw corpus → curation
+    * gate ([[curatedCorpus]]: language + quality + token band) →
+    * exact dedup (min-doc_id representative per text) → near-dup
+    * prune (drop every non-canonical member of a corpus-wide verified
+    * near-dup pair), with per-stage document and token totals — the
+    * funnel table a data lead reads before any training run is
+    * approved.
+    *
+    * Scale shape: the token census is computed once and joined per
+    * stage; each stage is a semi/anti-join on doc_id against a
+    * bounded survivor list; the near-dup relation is the standard
+    * LSH-routed pair pipeline, never all-pairs. */
+  def pretrainPipeline(docs: DataFrame): DataFrame = {
+    val tc = docs.select(col("doc_id"),
+      size(filter(transform(split(col("text"), " "), t => trim(t)), t => t =!= ""))
+        .cast("long").as("n_tok"))
+    def stageOf(ord: Int, name: String, ids: DataFrame): DataFrame =
+      ids.join(tc, "doc_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .select(lit(ord.toLong).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"))
+    val curated = curatedCorpus(docs).select(col("doc_id"))
+    val exact = docs.join(curated, "doc_id")
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val dropIds = DedupOps.nearDupVerified(docs)
+      .select(col("b_id").as("doc_id")).distinct()
+    val near = exact.join(dropIds, Seq("doc_id"), "left_anti")
+    stageOf(1, "raw", docs.select(col("doc_id")))
+      .unionByName(stageOf(2, "curated", curated))
+      .unionByName(stageOf(3, "exact_dedup", exact))
+      .unionByName(stageOf(4, "near_dedup", near))
+  }
+
   /** Tokenizer LOSSLESSNESS receipt — the property a tokenizer is
     * useless without, pinned instead of assumed: after `rounds` BPE
     * merges, stripping the separators from every word's symbol string

@@ -550,6 +550,21 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - math.log(12.0)) < 1e-4)
   }
 
+  test("pretrainPipeline: monotone funnel, each stage drops what it should") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val r = TextOps.pretrainPipeline(docs).collect()
+      .map(x => x.getAs[Long]("stage") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_tokens")))).toMap
+    assert(r.keySet === Set(1L, 2L, 3L, 4L))
+    // monotone non-increasing in both docs and tokens
+    (1L to 3L).foreach { s =>
+      assert(r(s)._1 >= r(s + 1)._1, s"stage $s docs")
+      assert(r(s)._2 >= r(s + 1)._2, s"stage $s tokens")
+    }
+    // every stage retains something on the real corpus
+    assert(r(4L)._1 > 0L && r(4L)._2 > 0L)
+  }
+
   test("tokenizerRoundtrip: merges stay lossless — census and decode reconcile exactly") {
     val docs = Seq((1L, "banana bandana ban banana"), (2L, "an and banana"))
       .toDF("doc_id", "text")
