@@ -601,6 +601,13 @@ object SparkEntry {
     // gaps-and-islands interval union: per-user active minutes under
     // a 10-min presence hold
     "active_time" -> ((s, dir) => RelationalOps.activeTime(Tables.events(s, dir))),
+    // drift family: binned two-sample KS per type over shared edges
+    "value_drift" -> ((s, dir) => RelationalOps.valueDrift(Tables.events(s, dir))),
+    // chi-square of the late half's type mix vs early-share scaling
+    "mix_drift" -> ((s, dir) => RelationalOps.mixDrift(Tables.events(s, dir))),
+    // centroid shift between embedding halves: L2 + worst dimension
+    "embedding_drift" -> ((s, dir) =>
+      VectorOps.embeddingDrift(Tables.embeddings(s, dir))),
     // range-partition planning receipt: boundaries from the bottom-k
     // sample's rank statistics, rows routed by boundary compares, per-
     // partition balance pinned — the sorted-write plan audit
@@ -3112,6 +3119,111 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN n = wc THEN 1 ELSE 0 END) AS BIGINT) = count(*)
          |    AS all_ok
          |FROM j""".stripMargin,
+    // shared bin edges from global bounds; per-half CDFs carried
+    // forward over the union of occupied bins; KS = max CDF gap
+    "value_drift" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS d0,
+        |             max(epoch_ns(ts) // 86400000000000) AS d1,
+        |             min(value) AS vmin, max(value) AS vmax FROM events),
+        |h AS (SELECT event_type,
+        |        CASE WHEN epoch_ns(ts) // 86400000000000
+        |                  < (b.d0 + b.d1 + 1) // 2
+        |             THEN 'early' ELSE 'late' END AS half,
+        |        least(63, CAST(floor((value - b.vmin) * 64
+        |          / (b.vmax - b.vmin)) AS BIGINT)) AS bin
+        |      FROM events, b),
+        |c AS (SELECT event_type, half, bin, count(*) AS c FROM h
+        |      GROUP BY 1, 2, 3),
+        |cd AS (SELECT *, sum(c) OVER (PARTITION BY event_type, half) AS n_half,
+        |         sum(c) OVER (PARTITION BY event_type, half ORDER BY bin
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |       FROM c),
+        |e AS (SELECT event_type, bin, cum AS cum_e, n_half AS n_e
+        |      FROM cd WHERE half = 'early'),
+        |l AS (SELECT event_type, bin, cum AS cum_l, n_half AS n_l
+        |      FROM cd WHERE half = 'late'),
+        |j AS (SELECT COALESCE(e.event_type, l.event_type) AS event_type,
+        |        COALESCE(e.bin, l.bin) AS bin, e.cum_e, e.n_e, l.cum_l, l.n_l
+        |      FROM e FULL OUTER JOIN l
+        |        ON l.event_type = e.event_type AND l.bin = e.bin),
+        |f AS (SELECT event_type,
+        |        last_value(cum_e IGNORE NULLS) OVER w AS ce,
+        |        last_value(cum_l IGNORE NULLS) OVER w AS cl,
+        |        max(n_e) OVER (PARTITION BY event_type) AS ne,
+        |        max(n_l) OVER (PARTITION BY event_type) AS nl
+        |      FROM j
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY bin
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (SELECT event_type,
+        |        CAST(max(ne) AS BIGINT) AS n_early,
+        |        CAST(max(nl) AS BIGINT) AS n_late,
+        |        round(max(abs(COALESCE(ce, 0) / CAST(ne AS DOUBLE)
+        |          - COALESCE(cl, 0) / CAST(nl AS DOUBLE))), 6) + 0 AS ks_stat
+        |      FROM f GROUP BY 1)
+        |SELECT event_type, n_early, n_late, ks_stat,
+        |  round(CAST(1.358 AS DOUBLE)
+        |        * sqrt(CAST(n_early + n_late AS DOUBLE)
+        |          / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE))), 6) + 0
+        |    AS ks_crit,
+        |  ks_stat > round(CAST(1.358 AS DOUBLE)
+        |        * sqrt(CAST(n_early + n_late AS DOUBLE)
+        |          / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE))), 6) + 0
+        |    AS drifted
+        |FROM g""".stripMargin,
+    // per-type contributions + one chi2/df/crit row broadcast back
+    "mix_drift" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS d0,
+        |             max(epoch_ns(ts) // 86400000000000) AS d1 FROM events),
+        |c AS (SELECT event_type,
+        |        CASE WHEN epoch_ns(ts) // 86400000000000
+        |                  < (b.d0 + b.d1 + 1) // 2
+        |             THEN 'early' ELSE 'late' END AS half
+        |      FROM events, b),
+        |w AS (SELECT event_type,
+        |        CAST(sum(CASE WHEN half = 'early' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_early,
+        |        CAST(sum(CASE WHEN half = 'late' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_late
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_early) AS BIGINT) AS te,
+        |        CAST(sum(n_late) AS BIGINT) AS tl FROM w),
+        |k AS (SELECT w.*, round(CAST(n_early AS DOUBLE) / CAST(te AS DOUBLE)
+        |          * CAST(tl AS DOUBLE), 6) + 0 AS exp_late FROM w, t),
+        |k2 AS (SELECT *, round((CAST(n_late AS DOUBLE) - exp_late)
+        |          * (CAST(n_late AS DOUBLE) - exp_late) / exp_late, 6) + 0
+        |          AS contrib FROM k),
+        |ch AS (SELECT round(sum(contrib ORDER BY event_type), 6) + 0 AS chi2,
+        |         CAST(count(*) - 1 AS BIGINT) AS df FROM k2),
+        |ch2 AS (SELECT chi2, df,
+        |          CAST(CASE df WHEN 1 THEN 3.841 WHEN 2 THEN 5.991
+        |               WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 WHEN 5 THEN 11.07
+        |               WHEN 6 THEN 12.592 WHEN 7 THEN 14.067
+        |               WHEN 8 THEN 15.507 END AS DOUBLE) AS chi2_crit_95
+        |        FROM ch)
+        |SELECT k2.event_type, k2.n_early, k2.n_late, k2.exp_late, k2.contrib,
+        |  ch2.chi2, ch2.df, ch2.chi2_crit_95,
+        |  ch2.chi2 > ch2.chi2_crit_95 AS drifted
+        |FROM k2, ch2""".stripMargin,
+    // fixed-point per-dim means per id-half, dim-ordered L2 fold
+    "embedding_drift" ->
+      """WITH m AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
+        |x AS (SELECT CASE WHEN vec_id < m.mid THEN 'a' ELSE 'b' END AS half,
+        |        CAST(u.ii - 1 AS BIGINT) AS dim,
+        |        CAST(round(CAST(embedding[u.ii] AS DOUBLE) * 1000000) AS BIGINT)
+        |          AS x6
+        |      FROM embeddings, m, unnest(range(1, len(embedding) + 1)) u(ii)),
+        |mu AS (SELECT half, dim, CAST(round(avg(x6)) AS BIGINT) AS mu6,
+        |         count(*) AS n
+        |       FROM x GROUP BY 1, 2),
+        |a AS (SELECT dim, mu6 AS ma, n AS na FROM mu WHERE half = 'a'),
+        |b2 AS (SELECT dim, mu6 AS mb, n AS nb FROM mu WHERE half = 'b')
+        |SELECT CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  round(sqrt(sum((CAST(ma - mb AS DOUBLE) / 1000000.0)
+        |    * (CAST(ma - mb AS DOUBLE) / 1000000.0) ORDER BY dim)), 6) + 0
+        |    AS centroid_l2,
+        |  round(CAST(max(abs(ma - mb)) AS DOUBLE) / 1000000.0, 6) + 0
+        |    AS max_dim_shift
+        |FROM a JOIN b2 USING (dim)""".stripMargin,
     // running max end over earlier rows opens/extends islands; two
     // user-keyed aggs fold islands to minutes
     "active_time" ->

@@ -1210,6 +1210,120 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Distribution DRIFT monitor (binned two-sample KS) — the check a
+    * production pipeline runs before trusting this week's data with
+    * last week's thresholds: split the stream at its calendar
+    * midpoint, build each half's 64-bin value histogram per type over
+    * SHARED bin edges (global min/max broadcast — identical bucketing
+    * by construction), and report the binned Kolmogorov–Smirnov
+    * statistic max|F_early − F_late| beside the 95% two-sample
+    * rejection bound 1.358·√((n₁+n₂)/(n₁·n₂)). Binned KS is stated,
+    * not hidden: the statistic is computed on the 64-bin CDFs, a
+    * lower bound of the exact KS (binning can only merge mass).
+    *
+    * Scale shape: one bounds agg broadcast back; counts reduce onto
+    * the bounded (type, half, bin) key with map-side partials; the
+    * CDF windows run over ≤64 rows per (type, half). */
+  def valueDrift(events: DataFrame, nBins: Int = 64): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val bounds = events.agg(
+      min(expr(s"ts div ${dayNanos}L")).as("d0"),
+      max(expr(s"ts div ${dayNanos}L")).as("d1"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val binned = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") < expr("(d0 + d1 + 1) div 2"), "early").otherwise("late"))
+      .withColumn("bin", least(lit(nBins - 1L), floor(
+        (col("value") - col("vmin")) * nBins / (col("vmax") - col("vmin")))
+        .cast("long")))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val cdf = binned
+      .withColumn("n_half", sum(col("c")).over(
+        Window.partitionBy(col("event_type"), col("half"))))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type"), col("half")).orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("event_type"), col("half"), col("bin"),
+        col("cum"), col("n_half"))
+    // align halves on the union of occupied bins: carry each half's
+    // cumulative forward with a running max over the bin axis
+    val e = cdf.filter(col("half") === "early")
+      .select(col("event_type"), col("bin"), col("cum").as("cum_e"),
+        col("n_half").as("n_e"))
+    val l = cdf.filter(col("half") === "late")
+      .select(col("event_type"), col("bin"), col("cum").as("cum_l"),
+        col("n_half").as("n_l"))
+    val byBin = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.join(l, Seq("event_type", "bin"), "full_outer")
+      .withColumn("ce", last(col("cum_e"), ignoreNulls = true).over(byBin))
+      .withColumn("cl", last(col("cum_l"), ignoreNulls = true).over(byBin))
+      .withColumn("ne", max(col("n_e")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("nl", max(col("n_l")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("d", abs(
+        coalesce(col("ce"), lit(0L)).cast("double") / col("ne").cast("double") -
+          coalesce(col("cl"), lit(0L)).cast("double") / col("nl").cast("double")))
+      .groupBy(col("event_type"))
+      .agg(max(col("ne")).as("n_early"), max(col("nl")).as("n_late"),
+        roundn(max(col("d")), 6).as("ks_stat"))
+      .withColumn("ks_crit", roundn(lit(1.358) *
+        sqrt((col("n_early") + col("n_late")).cast("double") /
+          (col("n_early").cast("double") * col("n_late").cast("double"))), 6))
+      .withColumn("drifted", col("ks_stat") > col("ks_crit"))
+  }
+
+  /** Composition DRIFT monitor — [[valueDrift]]'s categorical
+    * sibling: does the event-type MIX shift between the two calendar
+    * halves? Pearson chi-square of the late half's type counts
+    * against expectations scaled from the early half's shares, with
+    * per-type contributions (the triage column: WHICH type moved) and
+    * the df = |types|−1 critical value at 95%.
+    *
+    * Scale shape: one bounded (half, type) agg; everything downstream
+    * is |types|-row arithmetic. */
+  def mixDrift(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val bounds = events.agg(
+      min(expr(s"ts div ${dayNanos}L")).as("d0"),
+      max(expr(s"ts div ${dayNanos}L")).as("d1"))
+    val counts = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") < expr("(d0 + d1 + 1) div 2"), "early").otherwise("late"))
+      .groupBy(col("event_type"), col("half")).agg(count(lit(1)).as("c"))
+    val wide = counts.groupBy(col("event_type"))
+      .agg(sum(when(col("half") === "early", col("c")).otherwise(0L)).as("n_early"),
+        sum(when(col("half") === "late", col("c")).otherwise(0L)).as("n_late"))
+    val tot = wide.agg(sum(col("n_early")).as("te"), sum(col("n_late")).as("tl"))
+    // chi-square 95% critical values for df 1..8 (bounded type axis)
+    val crit = Map(1 -> 3.841, 2 -> 5.991, 3 -> 7.815, 4 -> 9.488,
+      5 -> 11.07, 6 -> 12.592, 7 -> 14.067, 8 -> 15.507)
+    val critExpr = crit.foldLeft(lit(Double.NaN)) { case (acc, (df, v)) =>
+      when(col("df") === df.toLong, lit(v)).otherwise(acc)
+    }
+    val contribs = wide.crossJoin(broadcast(tot))
+      .withColumn("exp_late",
+        roundn(col("n_early").cast("double") / col("te").cast("double") *
+          col("tl").cast("double"), 6))
+      .withColumn("contrib", roundn(
+        (col("n_late").cast("double") - col("exp_late")) *
+          (col("n_late").cast("double") - col("exp_late")) / col("exp_late"), 6))
+      .localCheckpoint(true)
+    val chi = contribs
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("event_type"), col("contrib")), 6).as("chi2"),
+        (count(lit(1)) - 1L).as("df"))
+      .withColumn("chi2_crit_95", critExpr)
+    contribs.crossJoin(broadcast(chi))
+      .withColumn("drifted", col("chi2") > col("chi2_crit_95"))
+      .select(col("event_type"), col("n_early"), col("n_late"), col("exp_late"),
+        col("contrib"), col("chi2"), col("df"), col("chi2_crit_95"), col("drifted"))
+  }
+
   /** ACTIVE-TIME accounting by interval union — the gaps-and-islands
     * pattern ([[sessionIntervals]] SEPARATES by gap; this MERGES
     * overlapping activity holds): every event opens a `holdNanos`

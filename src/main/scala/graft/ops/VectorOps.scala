@@ -991,6 +991,44 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** EMBEDDING DRIFT monitor — the vector member of the drift family
+    * (valueDrift distributions, mixDrift composition, this one
+    * feature space): split the embedding table at its id midpoint and
+    * measure how far the two halves’ centroids moved — the L2
+    * centroid shift and the single worst-moving dimension. An
+    * upstream encoder change, a normalization bug, or genuine
+    * data drift all surface here before any ANN index is rebuilt on
+    * mixed geometry.
+    *
+    * Determinism: components fix-point to micros (exact integer sums
+    * via the avg-of-Long convention shared with [[embeddingPca]]),
+    * per-dim means round once, the L2 fold runs in dim order.
+    *
+    * Scale shape: one (half, dim)-keyed agg with map-side partials
+    * (≤ 2d cells), then d-row arithmetic. */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val mid = emb.agg(expr("(max(vec_id) + 1) div 2").as("mid"))
+    val mu = emb.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("vec_id") < col("mid"), "a").otherwise("b"))
+      .select(col("half"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("half"), col("dim").cast("long").as("dim"),
+        round(col("xf").cast("double") * 1e6).cast("long").as("x6"))
+      .groupBy(col("half"), col("dim"))
+      .agg(round(avg(col("x6"))).cast("long").as("mu6"), count(lit(1)).as("n"))
+    val a = mu.filter(col("half") === "a")
+      .select(col("dim"), col("mu6").as("ma"), col("n").as("na"))
+    val b = mu.filter(col("half") === "b")
+      .select(col("dim"), col("mu6").as("mb"), col("n").as("nb"))
+    a.join(b, "dim")
+      .withColumn("d", (col("ma") - col("mb")).cast("double") / 1e6)
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        roundn(sqrt(graft.functions.VectorMath.orderedSum(
+          col("dim"), col("d") * col("d"))), 6).as("centroid_l2"),
+        roundn(max(abs(col("ma") - col("mb"))).cast("double") / 1e6, 6)
+          .as("max_dim_shift"))
+  }
+
   /** PRINCIPAL COMPONENT by relational POWER ITERATION — the eigen
     * member of the in-engine training family (GD logistic regression,
     * PLSA EM, Lloyd k-means, NB counting, OLS — and now iterative

@@ -393,6 +393,40 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("valueDrift: a planted location shift trips KS; a stable type does not") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // type s: early values in [0,1), late values in [10,11) — KS ~ 1
+    // type ok: same uniform grid in both halves — KS ~ 0
+    val rows = (0 until 200).flatMap { i =>
+      val (d, base) = if (i < 100) (i % 10, 0.0) else (10 + i % 10, 10.0)
+      Seq(((i * 2).toLong, 1L, d * day, "s", base + (i % 10) / 10.0, "{}"),
+        ((i * 2 + 1).toLong, 1L, d * day, "ok", (i % 10) / 10.0, "{}"))
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.valueDrift(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("s").getAs[Boolean]("drifted"), s"shifted type must drift: ${r("s")}")
+    assert(r("s").getAs[Double]("ks_stat") > 0.9)
+    assert(!r("ok").getAs[Boolean]("drifted"), s"stable type must not: ${r("ok")}")
+  }
+
+  test("mixDrift: a type tripling its share dominates the chi-square") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // early: 100 a / 100 b; late: 100 a / 300 b
+    val rows = (0 until 200).map(i =>
+      (i.toLong, 1L, (i % 10) * day, if (i < 100) "a" else "b", 0.0, "{}")) ++
+      (0 until 400).map(i =>
+        ((1000 + i).toLong, 1L, (20 + i % 10) * day,
+          if (i < 100) "a" else "b", 0.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.mixDrift(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r("a").getAs[Long]("df") === 1L)
+    assert(r("b").getAs[Boolean]("drifted"), s"mix change must drift: $r")
+    assert(r("b").getAs[Double]("contrib") > 0.0)
+    assert(r("a").getAs[Double]("chi2") === r("b").getAs[Double]("chi2"))
+  }
+
   test("activeTime: overlapping holds fuse, a gap opens a new island") {
     val min = 60L * 1000 * 1000 * 1000
     // user 1: events at 0 and 5min (holds overlap → one island of

@@ -249,6 +249,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(VectorOps.MaxCentroidCells === (1L << 22))
   }
 
+  test("embeddingDrift: a planted per-dimension shift is measured exactly") {
+    import spark.implicits._
+    // first half constant 0.5 everywhere; second half +0.25 in dim 5
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(64)(0.5f)
+      if (i >= 50) v(5) = 0.75f
+      (i.toLong, v, 0L)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val r = VectorOps.embeddingDrift(emb).collect()(0)
+    assert(r.getAs[Long]("n_a") === 50L && r.getAs[Long]("n_b") === 50L)
+    assert(r.getAs[Double]("max_dim_shift") === 0.25)
+    assert(math.abs(r.getAs[Double]("centroid_l2") - 0.25) < 1e-6)
+  }
+
   test("embeddingPca: recovers a planted rank-1 direction with evr ~ 1") {
     import spark.implicits._
     // all variance lies along the direction (0.01, 0, 0, 0.1, 0, …):
