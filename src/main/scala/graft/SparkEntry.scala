@@ -787,6 +787,10 @@ object SparkEntry {
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
+    // erasure audit: rebuild-from-survivors must equal full minus the
+    // deleted cohort's exact integer contribution
+    "delete_propagation" -> ((s, dir) =>
+      RelationalOps.deletePropagation(Tables.events(s, dir))),
     // diurnal baseline: volume + mean value per (type, hour-of-day),
     // peak hour ranked — what seasonal anomaly screens compare against
     "events_seasonality" -> ((s, dir) => RelationalOps.eventsSeasonality(Tables.events(s, dir))),
@@ -3974,6 +3978,28 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY n_events DESC, hour_of_day) AS peak_rank
         |FROM p""".stripMargin,
+    // hash-cohort deletion; integer cents subtract exactly
+    "delete_propagation" -> {
+      val h24 = s"CAST(${graft.functions.PortableHash.duckdbHash24(
+        "'gdpr:' || CAST(user_id AS VARCHAR)")} AS BIGINT)"
+      s"""WITH f AS (SELECT event_type, count(*) AS n_full,
+         |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |          AS cents_full
+         |      FROM events GROUP BY 1),
+         |d AS (SELECT event_type, count(*) AS n_del,
+         |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |          AS cents_del
+         |      FROM events WHERE $h24 % 20 = 0 GROUP BY 1),
+         |r AS (SELECT event_type, count(*) AS n_rebuilt,
+         |        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         |          AS cents_rebuilt
+         |      FROM events WHERE $h24 % 20 <> 0 GROUP BY 1)
+         |SELECT f.event_type, f.n_full, COALESCE(d.n_del, 0) AS n_del,
+         |  r.n_rebuilt,
+         |  r.n_rebuilt = f.n_full - COALESCE(d.n_del, 0) AS n_ok,
+         |  r.cents_rebuilt = f.cents_full - COALESCE(d.cents_del, 0) AS cents_ok
+         |FROM f LEFT JOIN d USING (event_type) JOIN r USING (event_type)""".stripMargin
+    },
     // Laplace counts at ε ∈ {0.5, 1, 2}: u = (hash48('dp<i>:'||type)
     // + ½)/2⁴⁸, noise = (−1·sign(u−½))·ln(1−2|u−½|)/ε — exact mirror
     "dp_counts" -> {

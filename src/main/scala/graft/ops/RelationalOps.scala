@@ -1210,6 +1210,40 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** RIGHT-TO-BE-FORGOTTEN propagation receipt — the deletion half of
+    * the governance trio ([[kAnonymity]] audits re-identifiability,
+    * [[dpCounts]] releases safely; this audits ERASURE): a hash-
+    * selected ~5% user cohort is deleted, and every per-type
+    * aggregate rebuilt from the surviving rows must equal the
+    * original aggregate minus the cohort's exact contribution —
+    * count-for-count and cent-for-cent. This is [[ivmReceipt]]'s
+    * contract run in reverse (decomposable integer state SUBTRACTS
+    * exactly; float sums would leave residue), which is precisely
+    * what makes targeted deletion auditable at 100 TB without a full
+    * recompute: production subtracts contributions, the receipt
+    * proves subtract ≡ rebuild.
+    *
+    * Scale shape: three aggs on the bounded type key (two over
+    * complementary user slices — one scan each with map-side
+    * partials), merged with a bounded join. */
+  def deletePropagation(events: DataFrame): DataFrame = {
+    val forget = graft.functions.PortableHash.hash24(
+      concat(lit("gdpr:"), col("user_id").cast("string"))) % 20 === 0L
+    def agg(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_$pfx"),
+          sum(round(col("value") * 100).cast("long")).as(s"cents_$pfx"))
+    agg(events, "full")
+      .join(agg(events.filter(forget), "del"), Seq("event_type"), "left")
+      .join(agg(events.filter(!forget), "rebuilt"), Seq("event_type"))
+      .select(col("event_type"), col("n_full"),
+        coalesce(col("n_del"), lit(0L)).as("n_del"), col("n_rebuilt"),
+        (col("n_rebuilt") === col("n_full") - coalesce(col("n_del"), lit(0L)))
+          .as("n_ok"),
+        (col("cents_rebuilt") ===
+          col("cents_full") - coalesce(col("cents_del"), lit(0L))).as("cents_ok"))
+  }
+
   /** Distribution DRIFT monitor (binned two-sample KS) — the check a
     * production pipeline runs before trusting this week's data with
     * last week's thresholds: split the stream at its calendar

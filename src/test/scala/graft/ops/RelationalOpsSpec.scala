@@ -393,6 +393,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("deletePropagation: rebuild equals full minus the cohort, exactly") {
+    import graft.functions.PortableHash.hash24Jvm
+    val rows = (1L to 400L).map(u => (u, u, u, s"t${u % 3}", u * 0.01, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val forgotten = (1L to 400L).count(u => hash24Jvm(s"gdpr:$u") % 20 == 0)
+    assert(forgotten > 0, "fixture must actually delete someone")
+    val r = RelationalOps.deletePropagation(ev).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Boolean]("n_ok"), s"count residue: $x")
+      assert(x.getAs[Boolean]("cents_ok"), s"cents residue: $x")
+      assert(x.getAs[Long]("n_full") ===
+        x.getAs[Long]("n_rebuilt") + x.getAs[Long]("n_del"))
+    }
+    assert(r.map(_.getAs[Long]("n_del")).sum === forgotten.toLong)
+  }
+
   test("valueDrift: a planted location shift trips KS; a stable type does not") {
     val day = 86400L * 1000 * 1000 * 1000
     // type s: early values in [0,1), late values in [10,11) — KS ~ 1
