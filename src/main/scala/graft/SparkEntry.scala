@@ -314,6 +314,16 @@ object SparkEntry {
     // real bytes) — pixels are a pure function of media_id, so the
     // oracle recomputes every pixel/mean/bit WITHOUT decoding: the
     // differential proof that decode→hash inverts the encoder
+    // box-filter half-scale resize over decoded pixels, pooled means
+    // recomputed decoder-free by the oracle
+    "image_resize" -> ((s, dir) => {
+      MultimodalOps.imageResize(
+        MultimodalOps.syntheticPngs(s, Tables.documents(s, dir)))
+        .toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("tx").cast("long").as("tx"),
+          col("ty").cast("long").as("ty"), col("v").cast("long").as("v"))
+    }),
     "image_phash" -> ((s, dir) =>
       MultimodalOps.imageAHash(
         MultimodalOps.syntheticPngs(s, Tables.documents(s, dir)))
@@ -1560,6 +1570,30 @@ object SparkEntry {
          |        / CAST(count(*) AS DOUBLE), 6) + 0 AS novelty
          |FROM shd s JOIN fs f USING (shingle)
          |GROUP BY 1""".stripMargin,
+    // p(x,y) = ((gid+3)(7x+13y+5)+perturb) % 256; pooled value =
+    // floor mean of each non-overlapping 2x2 block
+    "image_resize" ->
+      """WITH g AS (SELECT doc_id AS media_id, doc_id % 97 AS gid,
+        |             doc_id // 97 AS gen FROM documents),
+        |t AS (SELECT media_id, gid, gen, u.tx, v.ty
+        |      FROM g, unnest(range(0, 4)) u(tx), unnest(range(0, 3)) v(ty)),
+        |q AS (SELECT media_id, tx, ty,
+        |        ((gid + 3) * ((2 * tx) * 7 + (2 * ty) * 13 + 5)
+        |         + CASE WHEN gen = 1 AND 2 * tx = 3 AND 2 * ty = 2
+        |                THEN 128 ELSE 0 END) % 256 AS p00,
+        |        ((gid + 3) * ((2 * tx + 1) * 7 + (2 * ty) * 13 + 5)
+        |         + CASE WHEN gen = 1 AND 2 * tx + 1 = 3 AND 2 * ty = 2
+        |                THEN 128 ELSE 0 END) % 256 AS p10,
+        |        ((gid + 3) * ((2 * tx) * 7 + (2 * ty + 1) * 13 + 5)
+        |         + CASE WHEN gen = 1 AND 2 * tx = 3 AND 2 * ty + 1 = 2
+        |                THEN 128 ELSE 0 END) % 256 AS p01,
+        |        ((gid + 3) * ((2 * tx + 1) * 7 + (2 * ty + 1) * 13 + 5)
+        |         + CASE WHEN gen = 1 AND 2 * tx + 1 = 3 AND 2 * ty + 1 = 2
+        |                THEN 128 ELSE 0 END) % 256 AS p11
+        |      FROM t)
+        |SELECT media_id, CAST(tx AS BIGINT) AS tx, CAST(ty AS BIGINT) AS ty,
+        |  CAST((p00 + p10 + p01 + p11) // 4 AS BIGINT) AS v
+        |FROM q""".stripMargin,
     "image_phash" ->
       s"""WITH $duckAhash
          |SELECT media_id, ahash FROM ah""".stripMargin,

@@ -342,6 +342,49 @@ object MultimodalOps {
     }
   }
 
+  /** One 2×2-average-pooled thumbnail pixel. ok=false marks a
+    * contained undecodable payload (coordinates −1). */
+  case class ThumbPixel(media_id: Long, tx: Int, ty: Int, v: Int, ok: Boolean)
+
+  /** Image RESIZE (box-filter downsample) over DECODED pixels — the
+    * brief's resize step made real: decode the PNG, average-pool
+    * non-overlapping 2×2 blocks (integer floor mean — the exact
+    * arithmetic of a box filter at scale ½), emit one row per
+    * thumbnail pixel. Because [[pixelOf]] is pure in (media_id, x, y)
+    * the oracle recomputes every pooled value DECODER-FREE — the
+    * image_phash differential proof applied to actual pixel
+    * processing, not just hashing.
+    *
+    * Map-only mapPartitions decode like [[imageAHash]]; junk or
+    * sub-2×2 payloads contain to one ok=false row. */
+  def imageResize(media: Dataset[MediaRow]): Dataset[ThumbPixel] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val bad = Seq(ThumbPixel(row.media_id, -1, -1, -1, ok = false))
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(row.content))
+          if (img == null || img.getWidth < 2 || img.getHeight < 2) bad
+          else {
+            val r = img.getRaster
+            for {
+              ty <- 0 until img.getHeight / 2
+              tx <- 0 until img.getWidth / 2
+            } yield {
+              val s = r.getSample(2 * tx, 2 * ty, 0) +
+                r.getSample(2 * tx + 1, 2 * ty, 0) +
+                r.getSample(2 * tx, 2 * ty + 1, 0) +
+                r.getSample(2 * tx + 1, 2 * ty + 1, 0)
+              ThumbPixel(row.media_id, tx, ty, s / 4, ok = true)
+            }
+          }
+        } catch { case _: Exception => bad }
+      }
+    }
+  }
+
   /** Perceptual average-hash over DECODED pixels — the image twin of
     * text SimHash: bit i of the 48-bit signature is 1 iff sample i
     * (row-major, channel 0, first 48 samples — the 8×6 thumbnail
