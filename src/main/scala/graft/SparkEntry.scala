@@ -503,6 +503,10 @@ object SparkEntry {
     // (exact order-free M-step sums), top words per topic
     "topic_model" -> ((s, dir) =>
       TopicOps.plsaTopics(Tables.documents(s, dir), rounds = 6)),
+    // PLSA quality audit: mean NPMI over each topic's top-word pairs
+    // under document co-occurrence (+1-smoothed), micro-exact
+    "topic_coherence" -> ((s, dir) =>
+      TopicOps.topicCoherence(Tables.documents(s, dir))),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -1416,6 +1420,51 @@ object SparkEntry {
     * stopword list interpolated from TextOps.EnStopwords (single
     * source of truth; requires the `toks` CTE). Shared by the
     * quality_score and corpus_curation oracles. */
+  /** DuckDB twin of TopicOps.plsaTopics' six EM rounds as a CTE chain
+    * ending in `rk (topic, tok, u, rank)` + `nzf (topic, nu)` —
+    * shared by the topic_model and topic_coherence oracles. Every
+    * per-round CTE is MATERIALIZED (DuckDB would otherwise inline the
+    * recursion exponentially). */
+  private lazy val duckPlsaCtes: String = {
+    val zs = 0 until 4
+    def h(z: Int) = graft.functions.PortableHash.duckdbHash24(s"'plsa:' || tok || ':$z'")
+    val initCols = zs.map(z => s"CAST(${h(z)} % 1000 + 1 AS BIGINT) AS u$z").mkString(", ")
+    def nzCols = zs.map(z => s"sum(u$z) AS n$z").mkString(", ")
+    def aCols = zs.map(z =>
+      s"CAST(p.u$z AS DOUBLE) / CAST(n.n$z AS DOUBLE) * CAST(t.t$z AS DOUBLE) AS a$z")
+      .mkString(", ")
+    val den = "(((a0 + a1) + a2) + a3)"
+    def rCols = zs.map(z =>
+      s"CAST(round(a$z / $den * 1000000) AS BIGINT) AS r$z").mkString(", ")
+    def phiCols = zs.map(z => s"sum(CAST(tf AS HUGEINT) * r$z) AS u$z").mkString(", ")
+    def thCols = zs.map(z => s"sum(tf * r$z) AS t$z").mkString(", ")
+    val unpiv = zs.map(z =>
+        s"SELECT CAST($z AS BIGINT) AS topic, tok, CAST(u$z AS HUGEINT) AS u FROM phi6")
+      .mkString(" UNION ALL ")
+    val roundCtes = (1 to 6).map { r =>
+      val (pp, tp, np) = (s"phi${r - 1}", s"th${r - 1}", s"nz${r - 1}")
+      s"""e$r AS (SELECT f.doc_id, f.tok, f.tf, $aCols
+         |       FROM tf f JOIN $pp p USING (tok) JOIN $tp t USING (doc_id)
+         |       CROSS JOIN $np n),
+         |r$r AS MATERIALIZED (SELECT doc_id, tok, tf, $rCols FROM e$r),
+         |phi$r AS MATERIALIZED (SELECT tok, $phiCols FROM r$r GROUP BY 1),
+         |th$r AS MATERIALIZED (SELECT doc_id, $thCols FROM r$r GROUP BY 1),
+         |nz$r AS MATERIALIZED (SELECT $nzCols FROM phi$r)""".stripMargin
+    }.mkString(",\n")
+    s"""$duckToks,
+       |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |phi0 AS MATERIALIZED (SELECT tok, $initCols FROM (SELECT DISTINCT tok FROM tf)),
+       |th0 AS (SELECT DISTINCT doc_id, 1 AS t0, 1 AS t1, 1 AS t2, 1 AS t3 FROM tf),
+       |nz0 AS (SELECT $nzCols FROM phi0),
+       |$roundCtes,
+       |fin AS ($unpiv),
+       |nzf AS (SELECT topic, sum(u) AS nu FROM fin GROUP BY 1),
+       |rk AS (SELECT topic, tok, u,
+       |         CAST(row_number() OVER (PARTITION BY topic
+       |           ORDER BY u DESC, tok) AS BIGINT) AS rank
+       |       FROM fin)""".stripMargin
+  }
+
   private val duckQualityCtes =
     s"""q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
        |        sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
@@ -2407,50 +2456,45 @@ object SparkEntry {
     // (u_z/N_z)·t_z with the division first, FIXED-order 4-term
     // normalizer, responsibilities rounded once to integer micros,
     // HUGEINT M-step sums (the decimal(38,0) twin)
-    "topic_model" -> {
-      val zs = 0 until 4
-      def h(z: Int) = graft.functions.PortableHash.duckdbHash24(s"'plsa:' || tok || ':$z'")
-      val initCols = zs.map(z => s"CAST(${h(z)} % 1000 + 1 AS BIGINT) AS u$z").mkString(", ")
-      def nzCols = zs.map(z => s"sum(u$z) AS n$z").mkString(", ")
-      def aCols = zs.map(z =>
-        s"CAST(p.u$z AS DOUBLE) / CAST(n.n$z AS DOUBLE) * CAST(t.t$z AS DOUBLE) AS a$z")
-        .mkString(", ")
-      val den = "(((a0 + a1) + a2) + a3)"
-      def rCols = zs.map(z =>
-        s"CAST(round(a$z / $den * 1000000) AS BIGINT) AS r$z").mkString(", ")
-      def phiCols = zs.map(z => s"sum(CAST(tf AS HUGEINT) * r$z) AS u$z").mkString(", ")
-      def thCols = zs.map(z => s"sum(tf * r$z) AS t$z").mkString(", ")
-      val unpiv = zs.map(z =>
-          s"SELECT CAST($z AS BIGINT) AS topic, tok, CAST(u$z AS HUGEINT) AS u FROM phi6")
-        .mkString(" UNION ALL ")
-      val rounds = 6
-      val roundCtes = (1 to rounds).map { r =>
-        val (pp, tp, np) = (s"phi${r - 1}", s"th${r - 1}", s"nz${r - 1}")
-        s"""e$r AS (SELECT f.doc_id, f.tok, f.tf, $aCols
-           |       FROM tf f JOIN $pp p USING (tok) JOIN $tp t USING (doc_id)
-           |       CROSS JOIN $np n),
-           |r$r AS MATERIALIZED (SELECT doc_id, tok, tf, $rCols FROM e$r),
-           |phi$r AS MATERIALIZED (SELECT tok, $phiCols FROM r$r GROUP BY 1),
-           |th$r AS MATERIALIZED (SELECT doc_id, $thCols FROM r$r GROUP BY 1),
-           |nz$r AS MATERIALIZED (SELECT $nzCols FROM phi$r)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $duckToks,
-         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
-         |phi0 AS MATERIALIZED (SELECT tok, $initCols FROM (SELECT DISTINCT tok FROM tf)),
-         |th0 AS (SELECT DISTINCT doc_id, 1 AS t0, 1 AS t1, 1 AS t2, 1 AS t3 FROM tf),
-         |nz0 AS (SELECT $nzCols FROM phi0),
-         |$roundCtes,
-         |fin AS ($unpiv),
-         |nzf AS (SELECT topic, sum(u) AS nu FROM fin GROUP BY 1),
-         |rk AS (SELECT topic, tok, u,
-         |         CAST(row_number() OVER (PARTITION BY topic
-         |           ORDER BY u DESC, tok) AS BIGINT) AS rank
-         |       FROM fin)
+    // same EM chain; pairs under doc co-occurrence; npmi in micros,
+    // mean = floor of the exact double quotient (negative-safe)
+    "topic_coherence" ->
+      s"""WITH $duckPlsaCtes,
+         |tw AS (SELECT topic, tok FROM rk WHERE rank <= 8),
+         |dw AS (SELECT DISTINCT doc_id, tok FROM toks
+         |       WHERE tok IN (SELECT tok FROM tw)),
+         |dd AS (SELECT count(DISTINCT doc_id) AS dd FROM toks),
+         |wc AS (SELECT tok, count(*) AS c FROM dw GROUP BY 1),
+         |co AS (SELECT x.tok AS w1, y.tok AS w2, count(*) AS cij
+         |       FROM dw x JOIN dw y ON y.doc_id = x.doc_id AND x.tok < y.tok
+         |       GROUP BY 1, 2),
+         |pr AS (SELECT a.topic, a.tok AS w1, b.tok AS w2
+         |       FROM tw a JOIN tw b ON b.topic = a.topic AND a.tok < b.tok),
+         |sc AS (SELECT pr.topic,
+         |         CASE WHEN COALESCE(co.cij, 0) = dd.dd THEN 1000000
+         |         ELSE CAST(round(
+         |           ln((CAST(COALESCE(co.cij, 0) + 1 AS DOUBLE)
+         |               / CAST(dd.dd + 1 AS DOUBLE))
+         |              / ((CAST(c1.c AS DOUBLE) / CAST(dd.dd AS DOUBLE))
+         |                 * (CAST(c2.c AS DOUBLE) / CAST(dd.dd AS DOUBLE))))
+         |           / (0.0 - ln(CAST(COALESCE(co.cij, 0) + 1 AS DOUBLE)
+         |               / CAST(dd.dd + 1 AS DOUBLE))) * 1000000) AS BIGINT)
+         |         END AS npmi6
+         |       FROM pr
+         |       LEFT JOIN co ON co.w1 = pr.w1 AND co.w2 = pr.w2
+         |       JOIN wc c1 ON c1.tok = pr.w1
+         |       JOIN wc c2 ON c2.tok = pr.w2, dd)
+         |SELECT topic, count(*) AS n_pairs,
+         |  CAST(sum(npmi6) AS BIGINT) AS npmi_sum6,
+         |  CAST(floor(CAST(sum(npmi6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+         |    AS BIGINT) AS mean_npmi_micro
+         |FROM sc GROUP BY 1""".stripMargin,
+    "topic_model" ->
+      s"""WITH $duckPlsaCtes
          |SELECT r.topic, r.rank, r.tok,
          |  round(CAST(r.u AS DOUBLE) / CAST(z.nu AS DOUBLE), 6) + 0 AS weight
          |FROM rk r JOIN nzf z USING (topic)
-         |WHERE r.rank <= 8""".stripMargin
-    },
+         |WHERE r.rank <= 8""".stripMargin,
     // three metric chains → per-metric 64-bin census CDF (same clamp
     // and expression shape as events_histogram) → map-side percentile
     // lookup, averaged

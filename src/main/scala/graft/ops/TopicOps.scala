@@ -102,4 +102,66 @@ object TopicOps {
         graft.functions.VectorMath.roundn(
           col("u").cast("double") / col("nu").cast("double"), 6).as("weight"))
   }
+
+  /** TOPIC COHERENCE (NPMI, Bouma '09 / Röder '15 shape) — the
+    * model-quality audit for [[plsaTopics]], completing the
+    * every-trained-model-has-its-audit pattern (NB → lang_confusion,
+    * GD classifier → cv_folds, ANN → ann_recall, LM → lm_tune, PLSA →
+    * this): for each topic's top-`topN` words, the mean normalized
+    * PMI of all word pairs under DOCUMENT co-occurrence — coherent
+    * topics put words that actually co-occur together; a degenerate
+    * topic scores near 0 or negative.
+    *
+    * Determinism: doc co-occurrence counts are exact integers; each
+    * pair's NPMI uses the +1-smoothed p_ij = (c_ij+1)/(D+1) (the
+    * c_ij = D corner pins to exactly 1.0 on both engines) and rounds
+    * once to micros; the per-topic mean is an INTEGER floor division
+    * of the exact micro sum by the pair count — no grid-divided-by-n
+    * rounding boundary anywhere.
+    *
+    * Scale shape: the top-word set is k·topN rows broadcast into the
+    * token stream; co-occurrence self-joins only the FILTERED
+    * (doc, top-word) rows (≤ k·topN words); everything downstream is
+    * ≤ k·C(topN,2)-row arithmetic. */
+  def topicCoherence(docs: DataFrame, k: Int = 4, rounds: Int = 6,
+                     topN: Int = 8): DataFrame = {
+    import graft.functions.VectorMath.roundn
+    val tw = plsaTopics(docs, k, rounds, topN)
+      .select(col("topic"), col("tok")).localCheckpoint(true)
+    val toks = EmbedOps.tokenize(docs).select(col("doc_id"), col("tok"))
+    val dw = toks.join(broadcast(tw.select(col("tok")).distinct()), "tok")
+      .distinct().localCheckpoint(true)
+    val dd = toks.select(col("doc_id")).distinct().agg(count(lit(1)).as("dd"))
+    val wc = dw.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val co = dw.select(col("doc_id"), col("tok").as("w1"))
+      .join(dw.select(col("doc_id"), col("tok").as("w2")), "doc_id")
+      .filter(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cij"))
+    val pairs = tw.select(col("topic"), col("tok").as("w1"))
+      .join(tw.select(col("topic"), col("tok").as("w2")), "topic")
+      .filter(col("w1") < col("w2"))
+    pairs
+      .join(co, Seq("w1", "w2"), "left")
+      .join(broadcast(wc.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(wc.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(dd))
+      .withColumn("cij0", coalesce(col("cij"), lit(0L)))
+      .withColumn("pij",
+        (col("cij0") + 1L).cast("double") / (col("dd") + 1L).cast("double"))
+      .withColumn("npmi6",
+        when(col("cij0") === col("dd"), lit(1000000L))
+          .otherwise(round(
+            log(col("pij") /
+              ((col("c1").cast("double") / col("dd").cast("double")) *
+                (col("c2").cast("double") / col("dd").cast("double")))) /
+              (lit(0.0) - log(col("pij"))) * 1e6).cast("long")))
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("npmi6")).as("npmi_sum6"))
+      .select(col("topic"), col("n_pairs"), col("npmi_sum6"),
+        // floor of the exact double quotient: Spark's integer `div`
+        // truncates toward zero while DuckDB's `//` floors — on a
+        // NEGATIVE sum they disagree, so both engines floor doubles
+        floor(col("npmi_sum6").cast("double") / col("n_pairs").cast("double"))
+          .cast("long").as("mean_npmi_micro"))
+  }
 }

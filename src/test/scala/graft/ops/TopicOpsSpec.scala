@@ -52,4 +52,24 @@ class TopicOpsSpec extends SparkSpec {
       .map(x => (x.getLong(0), x.getLong(1), x.getString(2), x.getDouble(3))).toSeq
     assert(a === b)
   }
+
+  test("topicCoherence: block-pure topics score strongly positive NPMI") {
+    // the planted blocks make every within-topic word pair a genuine
+    // co-occurrence pattern — coherence must be clearly positive for
+    // every discovered topic, and pairs = C(5,2) per topic
+    val r = TopicOps.topicCoherence(blockDocs, k = 4, rounds = 6, topN = 5)
+      .collect()
+    assert(r.length === 4)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_pairs") === 10L)
+      // each doc carries a rotating 3-of-5 subset of its block's
+      // vocabulary, so pairwise NPMI is moderate — the claim is
+      // CLEARLY POSITIVE coherence on every topic, not near-1
+      assert(x.getAs[Long]("mean_npmi_micro") > 50000L,
+        s"block-pure topic should cohere: $x")
+      assert(x.getAs[Long]("mean_npmi_micro") ===
+        math.floor(x.getAs[Long]("npmi_sum6").toDouble /
+          x.getAs[Long]("n_pairs")).toLong)
+    }
+  }
 }
