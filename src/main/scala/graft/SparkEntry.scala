@@ -805,6 +805,10 @@ object SparkEntry {
     // deleted cohort's exact integer contribution
     "delete_propagation" -> ((s, dir) =>
       RelationalOps.deletePropagation(Tables.events(s, dir))),
+    // exact Gini + top-decile share from the counts-of-counts census
+    // (grouped rank-sum identity — no per-user global sort)
+    "activity_gini" -> ((s, dir) =>
+      RelationalOps.activityGini(Tables.events(s, dir))),
     // diurnal baseline: volume + mean value per (type, hour-of-day),
     // peak hour ranked — what seasonal anomaly screens compare against
     "events_seasonality" -> ((s, dir) => RelationalOps.eventsSeasonality(Tables.events(s, dir))),
@@ -4056,6 +4060,39 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY event_type
         |    ORDER BY n_events DESC, hour_of_day) AS peak_rank
         |FROM p""".stripMargin,
+    // grouped rank-sum Gini over the counts-of-counts table; the
+    // top-decile boundary tie group splits in exact integers
+    "activity_gini" ->
+      """WITH cen AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |gr AS (SELECT c, count(*) AS n_g FROM cen GROUP BY 1),
+        |g2 AS (SELECT *, COALESCE(sum(n_g) OVER (ORDER BY c
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a_g,
+        |         COALESCE(sum(n_g) OVER (ORDER BY c DESC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS taken_before
+        |       FROM gr),
+        |g3 AS (SELECT *, CAST(c AS HUGEINT)
+        |         * CAST(n_g * a_g + (n_g * (n_g + 1)) // 2 AS HUGEINT)
+        |           AS ranksum
+        |       FROM g2),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_users,
+        |        CAST(sum(c * n_g) AS BIGINT) AS n_events,
+        |        sum(ranksum) AS s
+        |      FROM g3),
+        |tk AS (SELECT CAST(max(t.n_users // 10) AS BIGINT) AS top10_users,
+        |         CAST(sum(greatest(0, least(g3.n_g,
+        |           t.n_users // 10 - g3.taken_before)) * g3.c) AS BIGINT)
+        |           AS top10_events
+        |       FROM g3, t)
+        |SELECT t.n_users, t.n_events,
+        |  round(2.0 * CAST(t.s AS DOUBLE)
+        |        / (CAST(t.n_users AS DOUBLE) * CAST(t.n_events AS DOUBLE))
+        |      - CAST(t.n_users + 1 AS DOUBLE) / CAST(t.n_users AS DOUBLE), 6) + 0
+        |    AS gini,
+        |  tk.top10_users,
+        |  round(CAST(tk.top10_events AS DOUBLE) / CAST(t.n_events AS DOUBLE), 6)
+        |    + 0 AS top10_share
+        |FROM t, tk""".stripMargin,
     // hash-cohort deletion; integer cents subtract exactly
     "delete_propagation" -> {
       val h24 = s"CAST(${graft.functions.PortableHash.duckdbHash24(

@@ -1210,6 +1210,58 @@ object RelationalOps {
         col("valid_to").isNull.as("is_current"))
   }
 
+  /** Activity CONCENTRATION receipt — the Gini coefficient and
+    * top-decile share of per-user event volume, the inequality
+    * numbers behind every "10% of keys carry 90% of traffic"
+    * capacity decision ([[kAnonymity]] reads the same census for
+    * privacy; this reads it for skew). Exact Gini WITHOUT a per-user
+    * global sort: the user census collapses to counts-of-counts
+    * (one bounded row per distinct activity level), and the grouped
+    * rank-sum identity Σ i·xᵢ = Σ_g c_g·(n_g·a_g + n_g(n_g+1)/2)
+    * (a_g = users ranked below group g) folds over that tiny table —
+    * all integer arithmetic until the two final divisions. The
+    * top-decile share splits the boundary tie group proportionally in
+    * exact integers.
+    *
+    * Scale shape: one user-keyed census agg, one counts-of-counts agg
+    * (value-bounded key), cumulative windows over the ≤|distinct
+    * levels| rows — the key_skew_profile family. Rank-sum products
+    * reach n·c·n scale: decimal(38,0) territory at extreme corpus
+    * sizes (the HUGEINT twin already covers it). */
+  def activityGini(events: DataFrame): DataFrame = {
+    val census = events.groupBy(col("user_id")).agg(count(lit(1)).as("c"))
+    val groups = census.groupBy(col("c")).agg(count(lit(1)).as("n_g"))
+    val byC = Window.orderBy(col("c"))
+    val byCDesc = Window.orderBy(col("c").desc)
+    val g = groups
+      .withColumn("a_g", coalesce(sum(col("n_g")).over(
+        byC.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("ranksum", expr(
+        "cast(c as decimal(38,0)) * " +
+          "cast(n_g * a_g + (n_g * (n_g + 1)) div 2 as decimal(38,0))"))
+      .withColumn("taken_before", coalesce(sum(col("n_g")).over(
+        byCDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = g.agg(
+      sum(col("n_g")).as("n_users"),
+      sum(col("c") * col("n_g")).as("n_events"),
+      sum(col("ranksum")).cast("decimal(38,0)").as("s"))
+    val topK = g.crossJoin(broadcast(tot))
+      .withColumn("k", expr("n_users div 10"))
+      .withColumn("take",
+        greatest(lit(0L), least(col("n_g"), col("k") - col("taken_before"))))
+      .agg(max(expr("n_users div 10")).as("top10_users"),
+        sum(col("take") * col("c")).as("top10_events"))
+    tot.crossJoin(broadcast(topK))
+      .select(col("n_users"), col("n_events"),
+        roundn(lit(2.0) * col("s").cast("double") /
+          (col("n_users").cast("double") * col("n_events").cast("double")) -
+          (col("n_users") + 1L).cast("double") / col("n_users").cast("double"), 6)
+          .as("gini"),
+        col("top10_users"),
+        roundn(col("top10_events").cast("double") /
+          col("n_events").cast("double"), 6).as("top10_share"))
+  }
+
   /** RIGHT-TO-BE-FORGOTTEN propagation receipt — the deletion half of
     * the governance trio ([[kAnonymity]] audits re-identifiability,
     * [[dpCounts]] releases safely; this audits ERASURE): a hash-

@@ -393,6 +393,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") === 5.0)
   }
 
+  test("activityGini: uniform activity scores 0; extreme concentration nears 1") {
+    def ev(counts: Seq[Long]) = counts.zipWithIndex.flatMap { case (c, u) =>
+      (1L to c).map(i => (u * 10000 + i, u.toLong, i, "a", 0.0, "{}"))
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    // 20 users × 5 events each: perfect equality
+    val eq = RelationalOps.activityGini(ev(Seq.fill(20)(5L))).collect()(0)
+    assert(eq.getAs[Double]("gini") === 0.0)
+    assert(eq.getAs[Long]("top10_users") === 2L)
+    assert(eq.getAs[Double]("top10_share") === 0.1) // 2 of 20 users = 10% of volume
+    // 19 users with 1 event, 1 user with 981: near-total concentration
+    val sk = RelationalOps.activityGini(ev(Seq.fill(19)(1L) :+ 981L)).collect()(0)
+    assert(sk.getAs[Double]("gini") > 0.9, s"skewed gini: $sk")
+    // top decile (2 users) = the whale + one single-event user
+    assert(sk.getAs[Double]("top10_share") === 0.982)
+  }
+
   test("deletePropagation: rebuild equals full minus the cohort, exactly") {
     import graft.functions.PortableHash.hash24Jvm
     val rows = (1L to 400L).map(u => (u, u, u, s"t${u % 3}", u * 0.01, "{}"))
