@@ -393,10 +393,12 @@ object SketchOps {
     * with the unpruned join (Bloom has NO false negatives, so pruning
     * can never drop a join row — a pinned boolean, not a hope).
     *
-    * Scale shape: the bit table is ≤m distinct positions (broadcast);
-    * probing is k map-side hash rows per fact row against the
-    * broadcast bits; only survivors reach the join exchange. The
-    * receipt's exact twin joins the unpruned side once. */
+    * Scale shape: the bit table folds into ONE broadcast sorted
+    * array of ≤m positions; probing is k conjunctive
+    * `array_contains` tests per fact row inside a single map-side
+    * Filter — zero exchanges touch the fact table before pruning;
+    * only survivors reach the join exchange. The receipt's exact
+    * twin joins the unpruned side once. */
   def bloomJoin(orders: DataFrame, customer: DataFrame,
                 segment: String = "BUILDING", m: Int = 4096, k: Int = 3): DataFrame = {
     import graft.functions.VectorMath.roundn
@@ -407,15 +409,17 @@ object SketchOps {
       .map(j => build.select(
         PortableHash.bucket(concat(lit(s"bj$j:"), col("key")), m).as("pos")))
       .reduce(_ union _).distinct().localCheckpoint(true)
-    val passed = (0 until k)
-      .map(j => orders.select(col("o_orderkey"), col("o_custkey"), lit(j).as("j"),
+    // Map-side probe: the ≤m set positions fold into ONE broadcast
+    // sorted array; every fact row tests its k bucket positions in a
+    // single conjunctive Filter — no exchange touches the fact table
+    // before pruning (the receipt's own claim, now true in the plan).
+    val bitsArr = bits.agg(array_sort(collect_set(col("pos"))).as("bits_arr"))
+    val passed = orders.select(col("o_orderkey"), col("o_custkey"))
+      .crossJoin(broadcast(bitsArr))
+      .filter((0 until k).map(j => array_contains(col("bits_arr"),
         PortableHash.bucket(
-          concat(lit(s"bj$j:"), col("o_custkey").cast("string")), m).as("pos")))
-      .reduce(_ union _)
-      .join(broadcast(bits), "pos")
-      .groupBy(col("o_orderkey"), col("o_custkey"))
-      .agg(countDistinct(col("j")).as("nh"))
-      .filter(col("nh") === k)
+          concat(lit(s"bj$j:"), col("o_custkey").cast("string")), m)))
+        .reduce(_ && _))
       .select(col("o_orderkey"), col("o_custkey"))
     val nBuild = build.agg(count(lit(1)).as("n_build_keys"))
     val nBits = bits.agg(count(lit(1)).as("n_bits_set"))

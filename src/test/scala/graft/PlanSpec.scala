@@ -144,6 +144,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("bloom_join: probe is one map-side conjunctive gate — no union/groupBy of fact copies") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Union}
+    val df = SparkEntry.queries("bloom_join")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    // the round-10 weak shape unioned k=3 hashed copies of orders and
+    // shuffled them on (o_orderkey,o_custkey) BEFORE pruning; the fix
+    // tests all k positions in one conjunctive gate over a broadcast
+    // array (Catalyst may fold the Filter into the join condition)
+    val gateConds = opt.collect {
+      case f: Filter if f.condition.toString.contains("array_contains") =>
+        f.condition.toString
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.exists(_.toString.contains("array_contains")) =>
+        j.condition.get.toString
+    }
+    assert(gateConds.nonEmpty, "expected the broadcast-bitmap probe gate")
+    assert("array_contains".r.findAllIn(gateConds.mkString).size >= 3,
+      "all k membership tests must sit in one conjunctive gate")
+    assert(opt.collect { case u: Union => u }.isEmpty,
+      "no union of fact-table copies may survive")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Union") && !p.contains("SortMergeJoin"))
+  }
+
   test("events_retention: joins stay broadcast/co-keyed, never cartesian") {
     val p = planOf("events_retention")
     assert(p.contains("BroadcastHashJoin"))
