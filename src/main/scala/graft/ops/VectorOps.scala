@@ -1050,32 +1050,51 @@ object VectorOps {
     * result is "the iters-round iterate", pinned — not a convergence
     * promise.
     *
-    * Scale shape: the only corpus-sized stage is the covariance
-    * (per-vec d² products map-side via a vec_id equi-join, reduced
-    * onto the bounded d² key with partial aggs — at d=64 that is 4096
-    * cells regardless of row count; Long sums hold to ~10⁶ rows of
-    * unit vectors, decimal(38,0) beyond); every iteration then runs
-    * on the 4096-row C (localCheckpointed once) and a 64-row vector.
-    * No driver-side numerics at all.
+    * Scale shape: the only corpus-sized stage is the covariance, and
+    * it is MAP-ONLY — the outer product is row-local, so the d²
+    * centered products are generated per row from the array column
+    * (nested transform + flatten over the broadcast-centered
+    * embedding, no vec_id self-join, no join at all) and partial
+    * aggregation reduces each map task to ≤d²=4096 cells before the
+    * single exchange onto the bounded (di,dj) key; Long sums hold to
+    * ~10⁶ rows of unit vectors, decimal(38,0) beyond. Every
+    * iteration then runs on the 4096-row C (localCheckpointed once)
+    * and a 64-row vector. No driver-side numerics at all.
     *
     * Start-vector caveat (mirrored by the oracle, so never a
     * divergence): if dimension 0 had exactly zero covariance with
     * every dimension, C·e₀ = 0 and the iterate NaNs out — real
     * embedding corpora always carry variance in every dimension. */
+  /** The map-only covariance stage of [[embeddingPca]], exposed so
+    * PlanSpec can pin its shape (the eager localCheckpoint hides it
+    * from the final query plan): the d² centered products are
+    * generated ROW-LOCALLY (nested transform + flatten, zero joins —
+    * `muArr` is a broadcast 1-row scalar) and partial aggregation
+    * reduces each map task to ≤d² cells before the one exchange. */
+  private[graft] def covarianceCells(emb: DataFrame, muArr: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(muArr))
+      .select(expr("transform(embedding, (xf, ii) -> " +
+        "cast(round(cast(xf as double) * 1e6) as bigint) - mu6_arr[ii])").as("dx6"))
+      .select(explode(expr(
+        "flatten(transform(dx6, (a, ii) -> transform(dx6, (b, jj) -> " +
+        "struct(cast(ii as bigint) as di, cast(jj as bigint) as dj, a * b as p))))"))
+        .as("cell"))
+      .groupBy(col("cell.di").as("di"), col("cell.dj").as("dj"))
+      .agg(sum(col("cell.p")).as("c"))
+
   def embeddingPca(emb: DataFrame, iters: Int = 8): DataFrame = {
     val x = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
       .select(col("vec_id"), col("dim").cast("long").as("dim"),
         round(col("xf").cast("double") * 1e6).cast("long").as("x6"))
     val mu = x.groupBy(col("dim")).agg(round(avg(col("x6"))).cast("long").as("mu6"))
-    val dx = x.join(broadcast(mu), "dim")
-      .select(col("vec_id"), col("dim"), (col("x6") - col("mu6")).as("dx"))
-    val cov = dx.select(col("vec_id"), col("dim").as("di"), col("dx").as("dxa"))
-      .join(dx.select(col("vec_id"), col("dim").as("dj"), col("dx").as("dxb")),
-        "vec_id")
-      .groupBy(col("di"), col("dj"))
-      .agg(sum(col("dxa") * col("dxb")).as("c"))
-      .localCheckpoint(true)
+    // per-dim means as ONE broadcast array (sorted-struct fold keeps
+    // the dim order deterministic), so centering is a row-local
+    // transform — no per-dim join back onto the exploded table
+    val muArr = mu.agg(expr(
+      "transform(array_sort(collect_list(struct(dim, mu6))), s -> s.mu6)")
+      .as("mu6_arr"))
+    val cov = covarianceCells(emb, muArr).localCheckpoint(true)
     var v = cov.select(col("di").as("dim")).distinct()
       .withColumn("v", when(col("dim") === 0L, lit(1.0)).otherwise(lit(0.0)))
     def matvec(vec: DataFrame): DataFrame =

@@ -168,6 +168,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union") && !p.contains("SortMergeJoin"))
   }
 
+  test("embedding_pca: covariance is map-only — row-local outer product, one exchange, no self-join") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // the round-10 weak shape self-joined the exploded centered table
+    // on vec_id (two corpus-sized shuffles); the fix generates the d²
+    // products row-locally and partial-aggregates onto the 4096 cells
+    val muArr = emb
+      .select(org.apache.spark.sql.functions.posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .groupBy(col("dim"))
+      .agg(expr("cast(round(avg(cast(round(cast(xf as double)*1e6) as bigint))) as bigint)").as("mu6"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu6))), s -> s.mu6)").as("mu6_arr"))
+    val cov = graft.ops.VectorOps.covarianceCells(emb, muArr)
+    val opt = cov.queryExecution.optimizedPlan
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    // the only join is the 1-row broadcast of the means array
+    assert(joins.forall(_.condition.isEmpty), "no equi/self-join in the covariance stage")
+    assert(joins.size <= 1, "only the scalar means broadcast may join")
+    val p = cov.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "cells must partial-aggregate map-side before the exchange")
+  }
+
   test("events_retention: joins stay broadcast/co-keyed, never cartesian") {
     val p = planOf("events_retention")
     assert(p.contains("BroadcastHashJoin"))
