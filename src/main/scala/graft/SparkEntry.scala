@@ -3216,7 +3216,7 @@ object SparkEntry {
         |                  < (b.d0 + b.d1 + 1) // 2
         |             THEN 'early' ELSE 'late' END AS half,
         |        least(63, CAST(floor((value - b.vmin) * 64
-        |          / (b.vmax - b.vmin)) AS BIGINT)) AS bin
+        |          / greatest(b.vmax - b.vmin, 1e-12)) AS BIGINT)) AS bin
         |      FROM events, b),
         |c AS (SELECT event_type, half, bin, count(*) AS c FROM h
         |      GROUP BY 1, 2, 3),
@@ -3241,20 +3241,23 @@ object SparkEntry {
         |      WINDOW w AS (PARTITION BY event_type ORDER BY bin
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
         |g AS (SELECT event_type,
-        |        CAST(max(ne) AS BIGINT) AS n_early,
-        |        CAST(max(nl) AS BIGINT) AS n_late,
+        |        CAST(COALESCE(max(ne), 0) AS BIGINT) AS n_early,
+        |        CAST(COALESCE(max(nl), 0) AS BIGINT) AS n_late,
         |        round(max(abs(COALESCE(ce, 0) / CAST(ne AS DOUBLE)
         |          - COALESCE(cl, 0) / CAST(nl AS DOUBLE))), 6) + 0 AS ks_stat
         |      FROM f GROUP BY 1)
         |SELECT event_type, n_early, n_late, ks_stat,
-        |  round(CAST(1.358 AS DOUBLE)
+        |  n_early > 0 AND n_late > 0 AS comparable,
+        |  CASE WHEN n_early > 0 AND n_late > 0
+        |    THEN round(CAST(1.358 AS DOUBLE)
         |        * sqrt(CAST(n_early + n_late AS DOUBLE)
         |          / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE))), 6) + 0
-        |    AS ks_crit,
-        |  ks_stat > round(CAST(1.358 AS DOUBLE)
+        |    END AS ks_crit,
+        |  CASE WHEN n_early > 0 AND n_late > 0
+        |    THEN ks_stat > round(CAST(1.358 AS DOUBLE)
         |        * sqrt(CAST(n_early + n_late AS DOUBLE)
         |          / (CAST(n_early AS DOUBLE) * CAST(n_late AS DOUBLE))), 6) + 0
-        |    AS drifted
+        |    END AS drifted
         |FROM g""".stripMargin,
     // per-type contributions + one chi2/df/crit row broadcast back
     "mix_drift" ->
@@ -4110,10 +4113,12 @@ object SparkEntry {
          |          AS cents_rebuilt
          |      FROM events WHERE $h24 % 20 <> 0 GROUP BY 1)
          |SELECT f.event_type, f.n_full, COALESCE(d.n_del, 0) AS n_del,
-         |  r.n_rebuilt,
-         |  r.n_rebuilt = f.n_full - COALESCE(d.n_del, 0) AS n_ok,
-         |  r.cents_rebuilt = f.cents_full - COALESCE(d.cents_del, 0) AS cents_ok
-         |FROM f LEFT JOIN d USING (event_type) JOIN r USING (event_type)""".stripMargin
+         |  COALESCE(r.n_rebuilt, 0) AS n_rebuilt,
+         |  COALESCE(r.n_rebuilt, 0) = f.n_full - COALESCE(d.n_del, 0) AS n_ok,
+         |  COALESCE(r.cents_rebuilt, 0)
+         |    = f.cents_full - COALESCE(d.cents_del, 0) AS cents_ok
+         |FROM f LEFT JOIN d USING (event_type)
+         |  LEFT JOIN r USING (event_type)""".stripMargin
     },
     // Laplace counts at ε ∈ {0.5, 1, 2}: u = (hash48('dp<i>:'||type)
     // + ½)/2⁴⁸, noise = (−1·sign(u−½))·ln(1−2|u−½|)/ε — exact mirror
@@ -4972,8 +4977,10 @@ object SparkEntry {
     // median rounded once; deviations are bit-identical raw doubles
     // ((a+b)·0.5 interpolation is exact IEEE); threshold rounded once
     "watermark_profile" ->
-      """WITH b AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn,
-        |             event_id // 64 AS bk FROM events),
+      """WITH w AS (SELECT greatest(1, (max(event_id) + 4096) // 4096) AS wdt
+        |           FROM events),
+        |b AS (SELECT event_id, event_type, epoch_ns(ts) AS tsn,
+        |             event_id // (SELECT wdt FROM w) AS bk FROM events),
         |h AS (SELECT bk, max(tsn) AS bk_max FROM b GROUP BY 1),
         |hw AS (SELECT bk, max(bk_max) OVER (ORDER BY bk
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw_prior

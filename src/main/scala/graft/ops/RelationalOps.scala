@@ -1285,14 +1285,20 @@ object RelationalOps {
       df.groupBy(col("event_type"))
         .agg(count(lit(1)).as(s"n_$pfx"),
           sum(round(col("value") * 100).cast("long")).as(s"cents_$pfx"))
+    // both slice aggs join LEFT from the full aggregate: a type whose
+    // rows all fall in the forget cohort must still appear in the
+    // audit with n_rebuilt=0 and its ok flags evaluated (an inner
+    // join would silently drop the fully-erased type — the worst row
+    // to lose from an erasure receipt)
     agg(events, "full")
       .join(agg(events.filter(forget), "del"), Seq("event_type"), "left")
-      .join(agg(events.filter(!forget), "rebuilt"), Seq("event_type"))
+      .join(agg(events.filter(!forget), "rebuilt"), Seq("event_type"), "left")
       .select(col("event_type"), col("n_full"),
-        coalesce(col("n_del"), lit(0L)).as("n_del"), col("n_rebuilt"),
-        (col("n_rebuilt") === col("n_full") - coalesce(col("n_del"), lit(0L)))
-          .as("n_ok"),
-        (col("cents_rebuilt") ===
+        coalesce(col("n_del"), lit(0L)).as("n_del"),
+        coalesce(col("n_rebuilt"), lit(0L)).as("n_rebuilt"),
+        (coalesce(col("n_rebuilt"), lit(0L)) ===
+          col("n_full") - coalesce(col("n_del"), lit(0L))).as("n_ok"),
+        (coalesce(col("cents_rebuilt"), lit(0L)) ===
           col("cents_full") - coalesce(col("cents_del"), lit(0L))).as("cents_ok"))
   }
 
@@ -1306,6 +1312,10 @@ object RelationalOps {
     * rejection bound 1.358·√((n₁+n₂)/(n₁·n₂)). Binned KS is stated,
     * not hidden: the statistic is computed on the 64-bin CDFs, a
     * lower bound of the exact KS (binning can only merge mass).
+    * Degenerate inputs are defined, not accidental: a constant value
+    * column bins everything to bin 0 (epsilon-guarded denominator),
+    * and a type with every row in one calendar half reports
+    * `comparable = false` with null stat/bound/verdict.
     *
     * Scale shape: one bounds agg broadcast back; counts reduce onto
     * the bounded (type, half, bin) key with map-side partials; the
@@ -1322,7 +1332,8 @@ object RelationalOps {
       .withColumn("half",
         when(col("day") < expr("(d0 + d1 + 1) div 2"), "early").otherwise("late"))
       .withColumn("bin", least(lit(nBins - 1L), floor(
-        (col("value") - col("vmin")) * nBins / (col("vmax") - col("vmin")))
+        (col("value") - col("vmin")) * nBins /
+          greatest(col("vmax") - col("vmin"), lit(1e-12)))
         .cast("long")))
       .groupBy(col("event_type"), col("half"), col("bin"))
       .agg(count(lit(1)).as("c"))
@@ -1353,12 +1364,18 @@ object RelationalOps {
         coalesce(col("ce"), lit(0L)).cast("double") / col("ne").cast("double") -
           coalesce(col("cl"), lit(0L)).cast("double") / col("nl").cast("double")))
       .groupBy(col("event_type"))
-      .agg(max(col("ne")).as("n_early"), max(col("nl")).as("n_late"),
+      .agg(coalesce(max(col("ne")), lit(0L)).as("n_early"),
+        coalesce(max(col("nl")), lit(0L)).as("n_late"),
         roundn(max(col("d")), 6).as("ks_stat"))
-      .withColumn("ks_crit", roundn(lit(1.358) *
+      // a type with every row in one calendar half has no two-sample
+      // question to ask: flag it not-comparable explicitly (counts 0,
+      // stat/bound/verdict null) instead of leaking nulls silently
+      .withColumn("comparable", col("n_early") > 0L && col("n_late") > 0L)
+      .withColumn("ks_crit", when(col("comparable"), roundn(lit(1.358) *
         sqrt((col("n_early") + col("n_late")).cast("double") /
-          (col("n_early").cast("double") * col("n_late").cast("double"))), 6))
-      .withColumn("drifted", col("ks_stat") > col("ks_crit"))
+          (col("n_early").cast("double") * col("n_late").cast("double"))), 6)))
+      .withColumn("drifted",
+        when(col("comparable"), col("ks_stat") > col("ks_crit")))
   }
 
   /** Composition DRIFT monitor — [[valueDrift]]'s categorical
@@ -1474,21 +1491,28 @@ object RelationalOps {
     * behind the high-water mark do events actually arrive? Arrival
     * order is the event_id axis (generation order — the stream's
     * delivery proxy); the high-water mark is tracked at ARRIVAL-BUCKET
-    * granularity (event_id div bucket) so no unpartitioned row-level
-    * window ever runs: per-bucket max-ts agg (bounded), running max
-    * over the ≤|buckets| rows, broadcast back, and each row's
-    * lateness = prior-bucket high-water − its ts (clamped at 0;
+    * granularity so no unpartitioned row-level window ever runs, and
+    * the bucket WIDTH scales with the data — width =
+    * ceil((max_id+1)/targetBuckets) — so the bucket COUNT is bounded
+    * at `targetBuckets` however large the stream grows (a fixed width
+    * would make the single-task running-max window linear in volume —
+    * the round-10 ADVICE finding): per-bucket max-ts agg (bounded),
+    * running max over ≤targetBuckets rows, broadcast back, and each
+    * row's lateness = prior-bucket high-water − its ts (clamped at 0;
     * bucket-granular by construction — stated, not hidden). Per type:
     * late-row count and the p50/p95/max lateness in ms — p95/max IS
     * the watermark recommendation.
     *
-    * Scale shape: one bounded bucket agg + a window over bucket COUNT
-    * rows + a broadcast join back onto the stream + a |types| agg —
-    * the key_skew_profile family; nothing row-level is globally
-    * sorted. */
-  def watermarkProfile(events: DataFrame, bucket: Long = 64L): DataFrame = {
-    val b = events.select(col("event_id"), col("event_type"), col("ts"),
-      expr(s"event_id div ${bucket}L").as("bk"))
+    * Scale shape: one scalar max broadcast + one bounded bucket agg +
+    * a window over ≤targetBuckets rows + a broadcast join back onto
+    * the stream + a |types| agg — the key_skew_profile family;
+    * nothing row-level is globally sorted. */
+  def watermarkProfile(events: DataFrame, targetBuckets: Long = 4096L): DataFrame = {
+    val widthDf = events.agg(greatest(lit(1L),
+      expr(s"(max(event_id) + ${targetBuckets}L) div ${targetBuckets}L")).as("wdt"))
+    val b = events.crossJoin(broadcast(widthDf))
+      .select(col("event_id"), col("event_type"), col("ts"),
+        expr("event_id div wdt").as("bk"))
     val hw = b.groupBy(col("bk")).agg(max(col("ts")).as("bk_max"))
       .withColumn("hw_prior", max(col("bk_max")).over(
         Window.orderBy(col("bk")).rowsBetween(Window.unboundedPreceding, -1)))

@@ -671,33 +671,67 @@ object SketchOps {
     * 64, 256} registers beside the exact count — the σ ≈ 1.04/√m
     * capacity trade made a replayable measurement. Register index =
     * top log₂m hash bits, rank = bitlength of the remainder, α the
-    * standard per-m constant (0.673 / 0.709 / 0.7213·(1+1.079/m)⁻¹ as
-    * a shared decimal literal).
+    * standard constant (0.673 / 0.697 / 0.709 for m = 16 / 32 / 64,
+    * 0.7213/(1 + 1.079/m) for m ≥ 128 — Flajolet et al. 2007, so any
+    * power-of-two m is accepted, not just the three defaults).
     *
-    * Scale shape: one sha per row map-side per leg; each leg reduces
-    * onto its ≤m register key; everything downstream is postcard
-    * arithmetic. */
+    * Scale shape: the stream is scanned ONCE — one sha per row
+    * map-side reducing onto the FINEST register key (≤2^pmax rows);
+    * every coarser leg is an exact fold of that postcard table (a
+    * coarse register's remainder is [dropped idx bits ∥ fine
+    * remainder], so its rank is bitlength arithmetic on the dropped
+    * bits when they are nonzero and a shift of the fine rank when
+    * they are zero — max commutes with the fold). Nothing
+    * corpus-sized is ever materialized; the round-10 shape
+    * localCheckpointed the full hashed stream to serve the legs. */
   def hllErrorCurve(events: DataFrame,
                     ms: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
     import graft.functions.VectorMath.roundn
-    val alphas = Map(16 -> 0.673, 64 -> 0.709, 256 -> 0.7182725932495458)
+    def alphaFor(m: Int): Double = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case mm if mm >= 128 => 0.7213 / (1.0 + 1.079 / mm)
+      case mm => throw new IllegalArgumentException(
+        s"hllErrorCurve: m must be >= 16, got $mm")
+    }
+    def pOf(m: Int): Int = {
+      val p = (math.log(m) / math.log(2)).round.toInt
+      require((1L << p) == m && p >= 4 && p <= 20,
+        s"hllErrorCurve: m must be a power of two in [16, 2^20], got $m")
+      p
+    }
     val exact = events.agg(countDistinct(col("user_id")).as("n_exact"))
       .localCheckpoint(true)
-    val h = events.select(PortableHash.hash48(
-      concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+    val pmax = ms.map(pOf).max
+    val maxRhoMax = 48 - pmax + 1
+    // one corpus pass: registers at the finest precision (postcard)
+    val baseRegs = events
+      .select(PortableHash.hash48(
+        concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+      .select(shiftright(col("h"), 48 - pmax).as("idx"),
+        (col("h") % lit(1L << (48 - pmax))).as("rr"))
+      .select(col("idx"),
+        when(col("rr") === 0L, lit(maxRhoMax.toLong))
+          .otherwise(lit(maxRhoMax.toLong) - length(bin(col("rr")))).as("rho"))
+      .groupBy(col("idx")).agg(max(col("rho")).as("m_j"))
       .localCheckpoint(true)
     ms.map { m =>
-      val p = (math.log(m) / math.log(2)).round.toInt
+      val p = pOf(m)
       val maxRho = 48 - p + 1
       val two = math.pow(2.0, maxRho).toLong
-      val alpha = alphas(m)
-      val regs = h
-        .select(shiftright(col("h"), 48 - p).as("idx"),
-          (col("h") % lit(1L << (48 - p))).as("rr"))
-        .select(col("idx"),
-          when(col("rr") === 0L, lit(maxRho.toLong))
-            .otherwise(lit(maxRho.toLong) - length(bin(col("rr")))).as("rho"))
-        .groupBy(col("idx")).agg(max(col("rho")).as("m_j"))
+      val alpha = alphaFor(m)
+      val shift = pmax - p
+      val regs =
+        if (shift == 0) baseRegs
+        else baseRegs
+          .select(shiftright(col("idx"), shift).as("cidx"),
+            (col("idx") % lit(1L << shift)).as("extra"), col("m_j"))
+          .select(col("cidx").as("idx"),
+            when(col("extra") =!= 0L,
+              lit(shift.toLong + 1L) - length(bin(col("extra"))))
+              .otherwise(lit(shift.toLong) + col("m_j")).as("rho"))
+          .groupBy(col("idx")).agg(max(col("rho")).as("m_j"))
       regs.agg(count(lit(1)).as("n_regs"),
         sum(expr(s"shiftleft(1L, cast($maxRho - m_j as int))")).as("sum_present"))
         .withColumn("v0", lit(m.toLong) - col("n_regs"))

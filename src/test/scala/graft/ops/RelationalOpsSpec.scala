@@ -426,6 +426,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_del")).sum === forgotten.toLong)
   }
 
+  test("deletePropagation: a fully-erased type still appears with n_rebuilt=0 and ok flags true") {
+    import graft.functions.PortableHash.hash24Jvm
+    val victim = (1L to 100000L).find(u => hash24Jvm(s"gdpr:$u") % 20 == 0).get
+    val keeper = (1L to 100000L).find(u => hash24Jvm(s"gdpr:$u") % 20 != 0).get
+    // type 'gone' has ONLY cohort rows; an inner rebuilt join would drop it
+    val rows = Seq((1L, victim, 1L, "gone", 2.5, "{}"),
+      (2L, victim, 2L, "gone", 1.5, "{}"), (3L, keeper, 3L, "kept", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.deletePropagation(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    assert(r.contains("gone"), "fully-erased type must stay in the audit")
+    assert(r("gone").getAs[Long]("n_rebuilt") === 0L)
+    assert(r("gone").getAs[Long]("n_del") === 2L)
+    assert(r("gone").getAs[Boolean]("n_ok") && r("gone").getAs[Boolean]("cents_ok"))
+    assert(r("kept").getAs[Long]("n_del") === 0L)
+  }
+
   test("valueDrift: a planted location shift trips KS; a stable type does not") {
     val day = 86400L * 1000 * 1000 * 1000
     // type s: early values in [0,1), late values in [10,11) — KS ~ 1
@@ -441,6 +458,28 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r("s").getAs[Boolean]("drifted"), s"shifted type must drift: ${r("s")}")
     assert(r("s").getAs[Double]("ks_stat") > 0.9)
     assert(!r("ok").getAs[Boolean]("drifted"), s"stable type must not: ${r("ok")}")
+    assert(r.values.forall(_.getAs[Boolean]("comparable")))
+  }
+
+  test("valueDrift: degenerate inputs get defined answers, not nulls or crashes") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // type c: constant value (vmax == vmin for its rows) in both halves;
+    // type one: every row in the early half — no two-sample question
+    val rows = (0 until 40).map { i =>
+      val d = if (i % 2 == 0) 0L else 19L
+      (i.toLong, 1L, d * day, "c", 5.0, "{}")
+    } ++ (0 until 10).map(i => ((100 + i).toLong, 1L, 0L, "one", 5.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.valueDrift(ev).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    // constant column: everything bins to 0, KS = 0, no drift, no NaN
+    assert(r("c").getAs[Boolean]("comparable"))
+    assert(r("c").getAs[Double]("ks_stat") === 0.0)
+    assert(!r("c").getAs[Boolean]("drifted"))
+    // one-half type: flagged not-comparable, verdict null, counts defined
+    assert(!r("one").getAs[Boolean]("comparable"))
+    assert(r("one").getAs[Long]("n_late") === 0L)
+    assert(r("one").isNullAt(r("one").fieldIndex("drifted")))
   }
 
   test("mixDrift: a type tripling its share dominates the chi-square") {
@@ -525,12 +564,27 @@ class RelationalOpsSpec extends SparkSpec {
       (id, 1L, ts, if (id == 6L) "late" else "ok", 0.0, "{}")
     }
     val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
-    val r = RelationalOps.watermarkProfile(ev, bucket = 2L).collect()
+    // targetBuckets=4 over ids 0..7 → width ceil(8/4)=2: buckets
+    // {0,1},{2,3},{4,5},{6,7} — id 6's prior high water is id 5's 6 s
+    val r = RelationalOps.watermarkProfile(ev, targetBuckets = 4L).collect()
       .map(x => x.getAs[String]("event_type") -> x).toMap
     assert(r("late").getAs[Long]("n_late") === 1L)
     assert(r("late").getAs[Long]("max_ms") === 5500L)
     assert(r("ok").getAs[Long]("n_late") === 0L) // in-order stream is never late
     assert(r("ok").getAs[Double]("p95_ms") === 0.0)
+  }
+
+  test("watermarkProfile: bucket count stays bounded however large the id space grows") {
+    // ids span 0..10^6 — a fixed width would put ~16k rows under the
+    // unpartitioned running-max window; the derived width keeps it ≤4096
+    val sec = 1000L * 1000 * 1000
+    val rows = (0 until 500).map { i =>
+      val id = i.toLong * 2000L // sparse ids up to 10^6
+      (id, 1L, (i + 1) * sec, "ok", 0.0, "{}")
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.watermarkProfile(ev).collect()
+    assert(r.length === 1 && r(0).getAs[Long]("n_late") === 0L)
   }
 
   test("dpCounts: deterministic Laplace noise, zero-centered scale shrinks with epsilon") {
