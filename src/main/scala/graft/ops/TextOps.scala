@@ -293,9 +293,17 @@ object TextOps {
     * a broadcast join, then a per-doc 5-row argmax window. Nothing
     * shuffles more than the trigram tf table. */
   def langIdLearned(docs: DataFrame, nBuckets: Int = 4096): DataFrame = {
-    import graft.functions.PortableHash
-    val micro = (c: Column) => round(c * 1000000).cast("long")
+    val feat = nbLangFeatures(docs, nBuckets)
+    nbLangApply(docs, feat, nbLangTrain(docs, feat, nBuckets))
+  }
 
+  /** The hashed char-trigram feature table (doc_id, bucket, tf) both
+    * NB halves consume — materialized once: TWO consumers (training
+    * counts + scoring) would otherwise plant the explode→tf→hash→
+    * bucket chain in the plan twice (measured 7.8 → ~4.5 s at sf0.1;
+    * blocks freed by the ContextCleaner when dropped). */
+  def nbLangFeatures(docs: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    import graft.functions.PortableHash
     val grams = docs
       .select(col("doc_id"), lower(col("text")).as("t"))
       .select(col("doc_id"),
@@ -307,14 +315,21 @@ object TextOps {
     // hash each DISTINCT trigram once, join back (embedSparse pattern)
     val vocab = tf.select(col("g")).distinct()
       .withColumn("b", PortableHash.bucket(col("g"), nBuckets))
-    // TWO consumers (training counts + scoring) — materialize the
-    // explode→tf→hash→bucket chain once instead of planting the
-    // 5M-row subtree in the plan twice (measured 7.8 → ~4.5 s at
-    // sf0.1; blocks freed by the ContextCleaner when dropped)
-    val feat = tf.join(vocab, "g")
+    tf.join(vocab, "g")
       .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
       .localCheckpoint(true)
+  }
 
+  /** NB TRAINING → the model AS A DATAFRAME (the artifact the
+    * production pipeline persists — train once, ship the table):
+    * long format (kind, lang, b, mu) holding the per-(lang, bucket)
+    * log-weights (kind 'w'), the per-lang unseen-bucket default
+    * (kind 'd', b = −1) and the log-priors (kind 'p', b = −1). Every
+    * mu is INTEGER micros, so the artifact parquet-round-trips
+    * bit-identically — reload ≡ retrain is pinnable, not hoped. */
+  def nbLangTrain(docs: DataFrame, feat: DataFrame,
+                  nBuckets: Int = 4096): DataFrame = {
+    val micro = (c: Column) => round(c * 1000000).cast("long")
     val train = docs
       .join(hashSplit(docs).filter(col("split") === "train").select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("lang"))
@@ -322,16 +337,29 @@ object TextOps {
       .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c_lb"))
     val cl = clb.groupBy(col("lang")).agg(sum(col("c_lb")).as("c_l"))
     val weights = clb.join(cl, "lang")
-      .select(col("lang"), col("b"),
+      .select(lit("w").as("kind"), col("lang"), col("b"),
         micro(log((col("c_lb") + 1).cast("double") /
-          (col("c_l") + nBuckets).cast("double"))).as("w_mu"))
-    val defaults = cl.select(col("lang"),
-      micro(log(lit(1.0) / (col("c_l") + nBuckets).cast("double"))).as("d_mu"))
+          (col("c_l") + nBuckets).cast("double"))).as("mu"))
+    val defaults = cl.select(lit("d").as("kind"), col("lang"), lit(-1L).as("b"),
+      micro(log(lit(1.0) / (col("c_l") + nBuckets).cast("double"))).as("mu"))
     val nl = train.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
     val nTotal = nl.agg(sum(col("n_l")).cast("double").as("n"))
     val priors = nl.crossJoin(broadcast(nTotal))
-      .select(col("lang"), micro(log(col("n_l") / col("n"))).as("prior_mu"))
+      .select(lit("p").as("kind"), col("lang"), lit(-1L).as("b"),
+        micro(log(col("n_l") / col("n"))).as("mu"))
+    weights.unionByName(defaults).unionByName(priors)
+  }
 
+  /** NB SCORING from a (possibly reloaded) model artifact — the
+    * apply half: per (doc, lang) exact Long score sums, argmax with
+    * lang-asc tie-break, prior-argmax fallback for featureless docs. */
+  def nbLangApply(docs: DataFrame, feat: DataFrame, model: DataFrame): DataFrame = {
+    val weights = model.filter(col("kind") === "w")
+      .select(col("lang"), col("b"), col("mu").as("w_mu"))
+    val defaults = model.filter(col("kind") === "d")
+      .select(col("lang"), col("mu").as("d_mu"))
+    val priors = model.filter(col("kind") === "p")
+      .select(col("lang"), col("mu").as("prior_mu"))
     val scores = feat
       .crossJoin(broadcast(defaults))
       .join(broadcast(weights), Seq("lang", "b"), "left")
@@ -544,7 +572,7 @@ object TextOps {
   def domainMix(docs: DataFrame, baseFrac: Double = 0.5): DataFrame = {
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
     val rates = counts
-      .crossJoin(counts.agg(max(col("n_d")).as("n_max")))
+      .crossJoin(broadcast(counts.agg(max(col("n_d")).as("n_max"))))
       .withColumn("rate",
         roundn(least(lit(1.0), lit(baseFrac) * sqrt(col("n_max").cast("double") / col("n_d"))), 6))
       .select(col("lang"), col("n_d"), col("rate"))

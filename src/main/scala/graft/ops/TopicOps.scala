@@ -47,7 +47,16 @@ object TopicOps {
   /** PLSA topic-word summary after `rounds` EM rounds: (topic, rank,
     * tok, weight) — the top-`topN` words per topic with their final
     * φ share. */
-  def plsaTopics(docs: DataFrame, k: Int = 4, rounds: Int = 2, topN: Int = 8): DataFrame = {
+  def plsaTopics(docs: DataFrame, k: Int = 4, rounds: Int = 2, topN: Int = 8): DataFrame =
+    plsaTopicsFromPhi(plsaPhi(docs, k, rounds), k, topN)
+
+  /** PLSA TRAINING → the φ table AS THE MODEL ARTIFACT (tok,
+    * u0..u{k−1} unnormalized decimal(38,0) topic-word masses): the
+    * DataFrame a production pipeline persists after the EM spend —
+    * exact integers, so a parquet round-trip reloads bit-identically
+    * and every summary derived from the reloaded φ equals the
+    * retrain-from-scratch answer. */
+  def plsaPhi(docs: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
     require(k >= 2 && rounds >= 1)
     val zs = 0 until k
     val tf = EmbedOps.tokenize(docs)
@@ -87,6 +96,14 @@ object TopicOps {
           zs.tail.map(z => sum(col("tf") * col(s"r$z")).as(s"t$z")): _*)
         .localCheckpoint(true)
     }
+    phi.select(col("tok") +:
+      zs.map(z => col(s"u$z").cast("decimal(38,0)").as(s"u$z")): _*)
+  }
+
+  /** The top-`topN`-per-topic summary from a (possibly reloaded) φ
+    * artifact — [[plsaTopics]]' output half. */
+  def plsaTopicsFromPhi(phi: DataFrame, k: Int = 4, topN: Int = 8): DataFrame = {
+    val zs = 0 until k
     val long = zs.map(z =>
         phi.select(lit(z.toLong).as("topic"), col("tok"),
           col(s"u$z").cast("decimal(38,0)").as("u")))
