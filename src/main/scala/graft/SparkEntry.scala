@@ -421,12 +421,37 @@ object SparkEntry {
     // in-engine model selection: 3:1 hash split, per-lambda held-out
     // avg logprob of the JM bigram mixture, argmax flagged
     "lm_tune" -> ((s, dir) => TextOps.lmTune(Tables.documents(s, dir))),
+    // load-or-create for the JM bigram LM: the exact-Long count
+    // tables persist to parquet and the reloaded artifact's held-out
+    // λ sweep must equal retrain-from-scratch (lm_tune's oracle,
+    // shared by reference)
+    "lm_model_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_lmmodel_" +
+        s.sparkContext.applicationId
+      TextOps.lmTrain(docs).write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      TextOps.lmTuneFromModel(docs, s.read.parquet(tmp))
+    }),
     // learned quality gate: 8 full-batch GD steps of logistic
     // regression on curation features, fixed-point integer gradient
     // sums (exact, order-free — the scale-safe determinism path; see
     // ClassifierOps scaladoc), then score + threshold every document
     "quality_classifier" -> ((s, dir) =>
       ClassifierOps.qualityClassifier(Tables.documents(s, dir))),
+    // load-or-create for the GD classifier: the weight trajectory
+    // persists to parquet (IEEE754 bits verbatim) and the reloaded
+    // final weights must score every document bit-identically to
+    // train-then-score (quality_classifier's oracle, shared by
+    // reference)
+    "gd_model_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_gdmodel_" +
+        s.sparkContext.applicationId
+      ClassifierOps.qualityModel(docs).write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      ClassifierOps.qualityApply(docs, s.read.parquet(tmp))
+    }),
     // deterministic per-language keep rates (en 20%, es 50%, rest
     // 100%) — reproducible data mixing, hash-salted off hashSplit
     "stratified_sample" -> ((s, dir) =>
@@ -507,6 +532,18 @@ object SparkEntry {
     // under document co-occurrence (+1-smoothed), micro-exact
     "topic_coherence" -> ((s, dir) =>
       TopicOps.topicCoherence(Tables.documents(s, dir))),
+    // load-or-create for the PLSA model: the decimal(38,0) φ masses
+    // persist to parquet and the reloaded artifact's topic summary
+    // must equal retrain-from-scratch (topic_model's oracle, shared
+    // by reference) — the EM spend happens once, not per consumer
+    "plsa_model_persist" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_plsamodel_" +
+        s.sparkContext.applicationId
+      TopicOps.plsaPhi(Tables.documents(s, dir), rounds = 6)
+        .write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      TopicOps.plsaTopicsFromPhi(s.read.parquet(tmp))
+    }),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -534,6 +571,20 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       TextOps.langConfusionOf(docs,
         TextOps.langIdLearned(docs).select(col("doc_id"), col("predicted_lang")))
+    }),
+    // load-or-create for the TRAINED NB model: the integer-micro
+    // weight table persists to parquet and a reloaded artifact must
+    // predict bit-identically to retrain-from-scratch (same oracle as
+    // lang_id_learned, shared by reference) — at 100 TB the model is
+    // trained ONCE and shipped to every scoring job
+    "nb_model_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val feat = TextOps.nbLangFeatures(docs)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_nbmodel_" +
+        s.sparkContext.applicationId
+      TextOps.nbLangTrain(docs, feat).write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      TextOps.nbLangApply(docs, feat, s.read.parquet(tmp))
     }),
     // classifier audit: langId predictions vs the gold lang column —
     // |langs|² confusion cells with per-gold-label recall
@@ -5128,5 +5179,9 @@ object SparkEntry {
     * between the two declared twins would itself be the bug). */
   private def persistedIndexOracles: Map[String, String] = Map(
     "dedup_index_persist" -> oracleSqlBase("dedup_incremental"),
-    "ann_index_persist" -> oracleSqlBase("ann_ivf"))
+    "ann_index_persist" -> oracleSqlBase("ann_ivf"),
+    "nb_model_persist" -> oracleSqlBase("lang_id_learned"),
+    "plsa_model_persist" -> oracleSqlBase("topic_model"),
+    "lm_model_persist" -> oracleSqlBase("lm_tune"),
+    "gd_model_persist" -> oracleSqlBase("quality_classifier"))
 }

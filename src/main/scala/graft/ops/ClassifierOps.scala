@@ -142,9 +142,42 @@ object ClassifierOps {
                         steps: Int = 8, lr: Double = 4.0): DataFrame = {
     val feat = features(docs, minChars).localCheckpoint(true)
     val w = train(feat, steps, lr).last._2
+    scoreWith(feat, w)
+  }
+
+  /** GD TRAINING → the weight trajectory AS A DATAFRAME (step, bias,
+    * wx1, wx2, wx3) — the model artifact a production pipeline
+    * persists after the training spend. The weights are 6dp-rounded
+    * doubles (the one-rounding update discipline), and parquet stores
+    * IEEE754 bits verbatim, so a reloaded artifact scores
+    * bit-identically to the in-memory trajectory. */
+  def qualityModel(docs: DataFrame, minChars: Long = 300,
+                   steps: Int = 8, lr: Double = 4.0): DataFrame = {
+    val feat = features(docs, minChars).localCheckpoint(true)
+    val s = docs.sparkSession
+    import s.implicits._
+    train(feat, steps, lr)
+      .map { case (t, w) => (t, w(0), w(1), w(2), w(3)) }
+      .toDF("step", "bias", "wx1", "wx2", "wx3")
+  }
+
+  /** Scoring from a (possibly reloaded) weight artifact — the apply
+    * half of [[qualityClassifier]]: localizes the max-step row (4
+    * doubles, the bounded-localize pattern) and scores every
+    * document with it. */
+  def qualityApply(docs: DataFrame, model: DataFrame,
+                   minChars: Long = 300): DataFrame = {
+    val last = model.orderBy(col("step").desc).limit(1).collect()(0)
+    val w = Array(last.getDouble(1), last.getDouble(2),
+      last.getDouble(3), last.getDouble(4))
+    scoreWith(features(docs, minChars), w)
+  }
+
+  /** The shared scoring projection: (doc_id, y, score, predicted)
+    * under weights `w`. */
+  private def scoreWith(feat: DataFrame, w: Array[Double]): DataFrame =
     feat.select(
       col("doc_id"), col("y"),
       sigmoid(w).as("score"),
       (round(sigmoid(w) * Scale.toDouble, 0).cast("long") >= Scale / 2).as("predicted"))
-  }
 }

@@ -963,23 +963,51 @@ object TextOps {
     * the λ arithmetic is per-row map work); no new shuffle per λ
     * beyond the 1-row agg. */
   def lmTune(docs: DataFrame, lambdas: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9),
-             maxTokens: Int = 512): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val toks = EmbedOps.tokenize(docs, maxTokens)
-    val isTrain = graft.functions.PortableHash.hash24(
+             maxTokens: Int = 512): DataFrame =
+    lmTuneFromModel(docs, lmTrain(docs, maxTokens), lambdas, maxTokens)
+
+  /** The doc-hash 3:1 split predicate both LM-tuning halves agree on. */
+  private def lmIsTrain: Column =
+    graft.functions.PortableHash.hash24(
       concat(lit("lmt:"), col("doc_id").cast("string"))) % 4 =!= 0
-    val train = toks.filter(isTrain)
-    val held = toks.filter(!isTrain)
-    def bigrams(t: DataFrame): DataFrame = t
-      .withColumn("w2", lead(col("tok"), 1).over(byDoc))
-      .filter(col("w2").isNotNull)
-      .select(col("tok").as("w1"), col("w2"))
-    val cBi = bigrams(train).groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
+
+  /** The per-doc time-ordered bigram stream (w1, w2) of a token slice. */
+  private def lmBigramsOf(t: DataFrame): DataFrame = t
+    .withColumn("w2", lead(col("tok"), 1)
+      .over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+    .filter(col("w2").isNotNull)
+    .select(col("tok").as("w1"), col("w2"))
+
+  /** JM bigram-mixture TRAINING → the count tables AS THE MODEL
+    * ARTIFACT: long format (kind, w1, w2, c) holding the train-split
+    * bigram counts (kind 'b') and unigram counts (kind 'u', w2 = '').
+    * All exact Longs, so the artifact parquet-round-trips
+    * bit-identically; the marginals (c1 per w1, the corpus total) are
+    * DERIVED from the artifact at apply time and cannot drift from
+    * the counts they summarize. */
+  def lmTrain(docs: DataFrame, maxTokens: Int = 512): DataFrame = {
+    val train = EmbedOps.tokenize(docs, maxTokens).filter(lmIsTrain)
+    val bi = lmBigramsOf(train).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .select(lit("b").as("kind"), col("w1"), col("w2"), col("c"))
+    val uni = train.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .select(lit("u").as("kind"), col("tok").as("w1"), lit("").as("w2"), col("c"))
+    bi.unionByName(uni)
+  }
+
+  /** Held-out λ sweep from a (possibly reloaded) count artifact — the
+    * apply half of [[lmTune]]. */
+  def lmTuneFromModel(docs: DataFrame, model: DataFrame,
+                      lambdas: Seq[Double] = Seq(0.3, 0.5, 0.7, 0.9),
+                      maxTokens: Int = 512): DataFrame = {
+    val held = EmbedOps.tokenize(docs, maxTokens).filter(!lmIsTrain)
+    val cBi = model.filter(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+    val uni = model.filter(col("kind") === "u")
+      .select(col("w1").as("tok"), col("c").as("cu"))
     val cW1 = cBi.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val uni = train.groupBy(col("tok")).agg(count(lit(1)).as("cu"))
     val total = uni.agg(sum(col("cu")).cast("double").as("total"))
-    val joined = bigrams(held).groupBy(col("w1"), col("w2"))
+    val joined = lmBigramsOf(held).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("tf"))
       .join(broadcast(uni.select(col("tok").as("w2"), col("cu"))), Seq("w2"), "left")
       .join(cBi, Seq("w1", "w2"), "left")
