@@ -890,6 +890,12 @@ object SparkEntry {
     "cube_pricing" -> ((s, dir) => RelationalOps.cubePricing(Tables.lineitem(s, dir))),
     "salted_brand_revenue" -> ((s, dir) =>
       RelationalOps.saltedRevenueByBrand(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // the three-strategy skew receipt: shuffle (the leg AQE
+    // skew-splits at runtime), broadcast, and manual salt must agree
+    // bit-for-bit on the same fact-dim aggregate; SkewOpsSpec drives
+    // the planted-hot-key AQE split itself
+    "skew_join_receipt" -> ((s, dir) =>
+      SkewOps.skewJoinReceipt(Tables.lineitem(s, dir), Tables.part(s, dir))),
     "semi_join_parts" -> ((s, dir) =>
       RelationalOps.partsWithSales(Tables.part(s, dir), Tables.lineitem(s, dir))),
     "revenue_by_region" -> ((s, dir) =>
@@ -4321,6 +4327,14 @@ object SparkEntry {
         |  round(sum(l.l_extendedprice), 2) + 0 AS revenue, count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
+    "skew_join_receipt" ->
+      """WITH t AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CAST(round(l.l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS revenue_cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
+        |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
     "content_hash" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->

@@ -43,6 +43,51 @@ object SkewOps {
     salted.join(replicated, Seq(key, SaltCol)).drop(SaltCol)
   }
 
+  /** The three-strategy skew-join receipt — pins that every join
+    * strategy the engine would pick under skew agrees bit-for-bit on
+    * the same fact⋈dim aggregate:
+    *
+    *   - `shuffle`: the plain shuffled equi-join (`shuffle_hash`
+    *     hint), i.e. the leg AQE's OptimizeSkewedJoin splits at
+    *     runtime when a reducer partition outgrows the skew
+    *     threshold — the zero-code modern default;
+    *   - `broadcast`: the map-side join when the dim fits in memory;
+    *   - `salted`: [[saltedEquiJoin]] — the MANUAL fallback that
+    *     still matters at 100 TB exactly where the other two fail
+    *     together: the build side too big to broadcast AND the hot
+    *     key so dominant that even AQE's split leaves every sub-split
+    *     of it joining the same dim row on one upstream exchange.
+    *
+    * Each leg aggregates to exact integers (row count + cents as
+    * decimal(38,0)→long), then compares against the broadcast truth —
+    * a strategy-dependent result would flip `agrees` and hash-fail.
+    * SkewOpsSpec additionally drives the shuffle leg under lowered
+    * AQE thresholds on a planted hot key and asserts the executed
+    * plan really contains the skew-split AQEShuffleRead. */
+  def skewJoinReceipt(lineitem: DataFrame, part: DataFrame,
+                      salts: Int = 8): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val li = lineitem.select(
+      col("l_partkey").as("p_partkey"),
+      round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    val pt = part.select(col("p_partkey"))
+    def summarize(j: DataFrame, m: String): DataFrame = j
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("cents").cast(dec)).cast("long").as("revenue_cents"))
+      .select(lit(m).as("method"), col("n_rows"), col("revenue_cents"))
+    val legs = Seq(
+      summarize(li.join(pt.hint("shuffle_hash"), "p_partkey"), "shuffle"),
+      summarize(li.join(broadcast(pt), "p_partkey"), "broadcast"),
+      summarize(saltedEquiJoin(li, pt, "p_partkey", "cents", salts), "salted"))
+      .reduce(_ unionByName _)
+    val truth = summarize(li.join(broadcast(pt), "p_partkey"), "t")
+      .select(col("n_rows").as("t_n"), col("revenue_cents").as("t_rc"))
+    legs.crossJoin(broadcast(truth))
+      .select(col("method"), col("n_rows"), col("revenue_cents"),
+        (col("n_rows") === col("t_n") &&
+          col("revenue_cents") === col("t_rc")).as("agrees"))
+  }
+
   /** Key-frequency profile — the measurement that decides whether to
     * salt at all: top-n keys by row count with their share. The share
     * denominator is a 1-row scalar aggregate over the (already
