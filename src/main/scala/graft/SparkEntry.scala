@@ -137,6 +137,11 @@ object SparkEntry {
     // postings top-k
     "search_expanded" -> ((s, dir) =>
       SearchOps.searchExpanded(Tables.documents(s, dir))),
+    // late-interaction MaxSim (ColBERT shape): per-token trigram
+    // vectors, per-(doc, query-token) max cosine, doc-keyed sum —
+    // "sorting"/"merged" reach "sort"/"merge" through shared trigrams
+    "maxsim_search" -> ((s, dir) =>
+      SearchOps.maxsimSearch(Tables.documents(s, dir), "sorting merged sparkly", k = 10)),
     // retrieval → token-budget prefix packing (the proposal flow's
     // context-assembly step): top-50 ranked docs, keep while the
     // running ws-token total stays within 400
@@ -4400,6 +4405,47 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    "maxsim_search" ->
+      s"""WITH $duckToks,
+         |dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+         |vocab AS (SELECT DISTINCT tok FROM dtoks),
+         |vg AS (SELECT tok,
+         |         CASE WHEN length(tok) >= 3 THEN substring(tok, u.ii, 3)
+         |              ELSE tok END AS g
+         |       FROM vocab,
+         |            unnest(range(1, greatest(length(tok) - 2, 1) + 1)) u(ii)),
+         |vh AS (SELECT tok, ${duckHash24("g")} % 4096 AS tdim,
+         |              CAST(sum(cnt) AS BIGINT) AS cnt
+         |       FROM (SELECT tok, g, count(*) AS cnt FROM vg GROUP BY 1, 2)
+         |       GROUP BY 1, 2),
+         |vn AS (SELECT tok, sqrt(sum(cnt * cnt)) AS nrm FROM vh GROUP BY 1),
+         |vw AS (SELECT vh.tok, vh.tdim, round(vh.cnt / vn.nrm, 6) + 0 AS w
+         |       FROM vh JOIN vn USING (tok)),
+         |qtoks AS (SELECT DISTINCT trim(u.tok) AS tok
+         |          FROM unnest(string_split('sorting merged sparkly', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |qg AS (SELECT tok,
+         |         CASE WHEN length(tok) >= 3 THEN substring(tok, u.ii, 3)
+         |              ELSE tok END AS g
+         |       FROM qtoks,
+         |            unnest(range(1, greatest(length(tok) - 2, 1) + 1)) u(ii)),
+         |qh AS (SELECT tok, ${duckHash24("g")} % 4096 AS tdim,
+         |              CAST(sum(cnt) AS BIGINT) AS cnt
+         |       FROM (SELECT tok, g, count(*) AS cnt FROM qg GROUP BY 1, 2)
+         |       GROUP BY 1, 2),
+         |qn AS (SELECT tok, sqrt(sum(cnt * cnt)) AS nrm FROM qh GROUP BY 1),
+         |qw AS (SELECT qh.tok AS qtok, qh.tdim, round(qh.cnt / qn.nrm, 6) + 0 AS w
+         |       FROM qh JOIN qn USING (tok)),
+         |sims AS (SELECT vw.tok, qw.qtok, round(sum(vw.w * qw.w), 6) + 0 AS sim
+         |         FROM vw JOIN qw ON vw.tdim = qw.tdim GROUP BY 1, 2),
+         |best AS (SELECT d.doc_id, s.qtok, max(s.sim) AS best
+         |         FROM dtoks d JOIN sims s USING (tok) GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, round(sum(best), 6) + 0 AS score FROM best GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY sc.score DESC, sc.doc_id) AS BIGINT)
+         |         AS rank,
+         |       sc.doc_id, d.source, sc.score
+         |FROM sc JOIN documents d USING (doc_id)
+         |ORDER BY sc.score DESC, sc.doc_id LIMIT 10""".stripMargin,
     "search_text" ->
       s"""WITH $duckToks,
          |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),

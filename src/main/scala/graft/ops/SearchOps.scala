@@ -300,4 +300,78 @@ object SearchOps {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
+
+  /** Per-token char-trigram hashed vector (tok, tdim, w): trigrams
+    * (the whole token when shorter than 3 chars) → distinct-gram
+    * hash bucket in [0, tdims) → per-(tok, tdim) counts →
+    * L2-normalized 6dp weights. The subword geometry behind
+    * [[maxsimSearch]]: tokens sharing surface form ("sort" /
+    * "sorting") land on shared buckets and cosine-overlap; unrelated
+    * tokens at tdims = 4096 almost never collide. */
+  def tokenTrigramVec(toks: DataFrame, tdims: Int = 4096): DataFrame = {
+    import graft.functions.PortableHash
+    val grams = toks
+      .select(col("tok"),
+        explode(when(length(col("tok")) >= 3,
+          expr("transform(sequence(1, length(tok) - 2), ii -> substring(tok, ii, 3))"))
+          .otherwise(array(col("tok")))).as("g"))
+    val hashed = grams.groupBy(col("tok"), col("g")).agg(count(lit(1)).as("cnt"))
+      .withColumn("tdim", PortableHash.bucket(col("g"), tdims))
+      .groupBy(col("tok"), col("tdim")).agg(sum(col("cnt")).as("cnt"))
+    val nrm = hashed.groupBy(col("tok"))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+    hashed.join(nrm, "tok")
+      .select(col("tok"), col("tdim"), roundn(col("cnt") / col("nrm"), 6).as("w"))
+  }
+
+  /** Late-interaction retrieval (the ColBERT MaxSim shape, Khattab &
+    * Zaharia '20) — the modern reranking primitive the bag-of-words
+    * scorers can't express: score(d) = Σ_{query tokens q} max_{doc
+    * tokens t} cos(vec(q), vec(t)). Each TOKEN keeps its own vector
+    * (here the deterministic [[tokenTrigramVec]] subword embedding —
+    * the engine's zero-egress stand-in for contextual token
+    * embeddings), so a query token is satisfied by its single best
+    * match in the document: full query COVERAGE beats one-term
+    * repetition (a doc spamming one query term caps that term's
+    * contribution at its max), and surface variants ("sorting" vs
+    * "sort") still match through shared trigrams — both pinned in
+    * SearchOpsSpec against [[searchText]]'s cosine, which ranks the
+    * opposite way on the repetition fixture.
+    *
+    * Scale shape: token vectors are computed once over the DISTINCT
+    * vocab (never the token stream); the query side is ≤|q|·dims
+    * rows, broadcast into the vocab-keyed sim table, which is itself
+    * ≤|trigram-sharing vocab|·|q| rows and broadcasts into one
+    * doc-token-keyed pass; the only wide exchanges are the distinct
+    * doc-token agg and the per-doc score agg — the searchText
+    * skeleton with a vocab-sized sim stage in between. Absent
+    * (doc, qtok) pairs contribute exactly 0 (no shared trigram ⇒
+    * cosine 0), so the sum over present pairs IS the MaxSim total.
+    * Determinism: sims and scores are 6dp-rounded, max is
+    * order-free, sums are key-ordered folds. */
+  def maxsimSearch(docs: DataFrame, queryText: String, k: Int = 10,
+                   tdims: Int = 4096): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dtoks = EmbedOps.tokenize(docs).select(col("doc_id"), col("tok")).distinct()
+    val tokVec = tokenTrigramVec(dtoks.select(col("tok")).distinct(), tdims)
+    val qtoks = queryText.split(" ").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val qVec = tokenTrigramVec(qtoks.toDF("tok"), tdims)
+      .select(col("tok").as("qtok"), col("tdim"), col("w").as("qw"))
+    val sims = tokVec.join(broadcast(qVec), "tdim")
+      .groupBy(col("tok"), col("qtok"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("tdim"), col("w") * col("qw")), 6).as("sim"))
+    val scored = dtoks.join(broadcast(sims), "tok")
+      .groupBy(col("doc_id"), col("qtok"))
+      .agg(max(col("sim")).as("best"))
+      .groupBy(col("doc_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("qtok"), col("best")), 6).as("score"))
+    scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("score"))
+  }
 }

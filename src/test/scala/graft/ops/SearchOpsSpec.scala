@@ -126,4 +126,38 @@ class SearchOpsSpec extends SparkSpec {
     assert(r(100L) === 1.5)
     assert(r(1L) >= 1.0 + 0.5, "original term plus at least one expansion hit")
   }
+
+  test("maxsimSearch: full coverage beats one-term repetition (cosine ranks the opposite way)") {
+    import spark.implicits._
+    // doc 1 covers all three query tokens once, diluted by 13 fillers;
+    // doc 2 spams the single token "sort"
+    val fillers = (1 to 13).map(j => s"filler$j").mkString(" ")
+    val docs = Seq(
+      (1L, s"sort merge spark $fillers", "s"),
+      (2L, "sort sort sort sort sort sort sort sort", "s"))
+      .toDF("doc_id", "text", "source")
+    val q = "sort merge spark"
+    val maxsim = SearchOps.maxsimSearch(docs, q, k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(maxsim(1L) === 1L, "coverage must win under MaxSim")
+    assert(maxsim(2L) === 2L)
+    // the bag-of-words cosine prefers the spammer: doc 2's whole mass
+    // sits on the one query dim, doc 1's is diluted across 16 dims
+    val cos = SearchOps.searchText(docs, q, k = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    assert(cos(2L) === 1L, "fixture must be one where cosine ranks the spammer first")
+  }
+
+  test("maxsimSearch: surface variants reach through shared trigrams") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "sort algorithms run here", "s"),
+      (2L, "table widths vary here", "s")).toDF("doc_id", "text", "source")
+    // "sorting" appears in NEITHER doc — bag-of-words has nothing to
+    // match; MaxSim reaches "sort" through the shared sor/ort trigrams
+    val r = SearchOps.maxsimSearch(docs, "sorting", k = 2)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Double]("score")).toMap
+    assert(r.getOrElse(1L, 0.0) > 0.3, s"subword match must score: $r")
+    assert(r.getOrElse(2L, 0.0) < r(1L) * 0.5, s"unrelated doc must trail: $r")
+  }
 }
