@@ -142,6 +142,11 @@ object SparkEntry {
     // "sorting"/"merged" reach "sort"/"merge" through shared trigrams
     "maxsim_search" -> ((s, dir) =>
       SearchOps.maxsimSearch(Tables.documents(s, dir), "sorting merged sparkly", k = 10)),
+    // hybrid retrieval: reciprocal-rank fusion of the cosine, BM25,
+    // and MaxSim top-20 legs — score-free combination, n_lists as
+    // the per-doc agreement receipt
+    "search_rrf" -> ((s, dir) =>
+      SearchOps.searchRrf(Tables.documents(s, dir), "spark merge sort join", k = 10)),
     // retrieval → token-budget prefix packing (the proposal flow's
     // context-assembly step): top-50 ranked docs, keep while the
     // running ws-token total stays within 400
@@ -4405,6 +4410,101 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    // the three ranker CTE chains replayed side by side (ct_ cosine /
+    // bm_ BM25 / mx_ maxsim), then the RRF fold over their top-20s
+    "search_rrf" ->
+      s"""WITH $duckToks,
+         |q_toks AS (SELECT trim(u.tok) AS tok
+         |           FROM unnest(string_split('spark merge sort join', ' ')) u(tok)
+         |           WHERE trim(u.tok) <> ''),
+         |ct_hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |ct_tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |          FROM ct_hashed GROUP BY 1, 2),
+         |ct_nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM ct_tf GROUP BY 1),
+         |ct_w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |         FROM ct_tf t JOIN ct_nrm n USING (doc_id)),
+         |ct_qh AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM q_toks),
+         |ct_qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM ct_qh GROUP BY 1),
+         |ct_qw AS (SELECT dim,
+         |            round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM ct_qtf), 6) + 0 AS qw
+         |          FROM ct_qtf),
+         |ct_scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM ct_w w JOIN ct_qw qw USING (dim) GROUP BY 1),
+         |ct_ranked AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |              FROM ct_scored),
+         |lens AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(len_d) AS avg_len FROM lens),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+         |bm_tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+         |          FROM toks t JOIN (SELECT DISTINCT tok FROM q_toks) q USING (tok)
+         |          GROUP BY 1, 2),
+         |bm_df AS (SELECT tok, count(*) AS df FROM bm_tf GROUP BY 1),
+         |bm_scored AS (
+         |  SELECT bm_tf.doc_id,
+         |    round(sum(ln((nd.n_docs - bm_df.df + 0.5) / (bm_df.df + 0.5) + 1)
+         |      * (bm_tf.tf * 2.2)
+         |      / (bm_tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))
+         |      ORDER BY bm_tf.tok), 6) + 0 AS score
+         |  FROM bm_tf JOIN bm_df USING (tok) JOIN lens USING (doc_id), nd, stats
+         |  GROUP BY 1),
+         |bm_ranked AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |              FROM bm_scored),
+         |mx_dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),
+         |mx_vocab AS (SELECT DISTINCT tok FROM mx_dtoks),
+         |mx_vg AS (SELECT tok,
+         |            CASE WHEN length(tok) >= 3 THEN substring(tok, u.ii, 3)
+         |                 ELSE tok END AS g
+         |          FROM mx_vocab,
+         |               unnest(range(1, greatest(length(tok) - 2, 1) + 1)) u(ii)),
+         |mx_vh AS (SELECT tok, ${duckHash24("g")} % 4096 AS tdim,
+         |                 CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM (SELECT tok, g, count(*) AS cnt FROM mx_vg GROUP BY 1, 2)
+         |          GROUP BY 1, 2),
+         |mx_vn AS (SELECT tok, sqrt(sum(cnt * cnt)) AS nrm FROM mx_vh GROUP BY 1),
+         |mx_vw AS (SELECT mx_vh.tok, mx_vh.tdim, round(mx_vh.cnt / mx_vn.nrm, 6) + 0 AS w
+         |          FROM mx_vh JOIN mx_vn USING (tok)),
+         |mx_qg AS (SELECT tok,
+         |            CASE WHEN length(tok) >= 3 THEN substring(tok, u.ii, 3)
+         |                 ELSE tok END AS g
+         |          FROM (SELECT DISTINCT tok FROM q_toks),
+         |               unnest(range(1, greatest(length(tok) - 2, 1) + 1)) u(ii)),
+         |mx_qh AS (SELECT tok, ${duckHash24("g")} % 4096 AS tdim,
+         |                 CAST(sum(cnt) AS BIGINT) AS cnt
+         |          FROM (SELECT tok, g, count(*) AS cnt FROM mx_qg GROUP BY 1, 2)
+         |          GROUP BY 1, 2),
+         |mx_qn AS (SELECT tok, sqrt(sum(cnt * cnt)) AS nrm FROM mx_qh GROUP BY 1),
+         |mx_qw AS (SELECT mx_qh.tok AS qtok, mx_qh.tdim,
+         |                 round(mx_qh.cnt / mx_qn.nrm, 6) + 0 AS w
+         |          FROM mx_qh JOIN mx_qn USING (tok)),
+         |mx_sims AS (SELECT mx_vw.tok, mx_qw.qtok,
+         |                   round(sum(mx_vw.w * mx_qw.w), 6) + 0 AS sim
+         |            FROM mx_vw JOIN mx_qw ON mx_vw.tdim = mx_qw.tdim GROUP BY 1, 2),
+         |mx_best AS (SELECT d.doc_id, s.qtok, max(s.sim) AS best
+         |            FROM mx_dtoks d JOIN mx_sims s USING (tok) GROUP BY 1, 2),
+         |mx_scored AS (SELECT doc_id, round(sum(best), 6) + 0 AS score
+         |              FROM mx_best GROUP BY 1),
+         |mx_ranked AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |              FROM mx_scored),
+         |legs AS (
+         |  SELECT doc_id, 'cosine' AS ranker, rnk FROM ct_ranked WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT doc_id, 'bm25' AS ranker, rnk FROM bm_ranked WHERE rnk <= 20
+         |  UNION ALL
+         |  SELECT doc_id, 'maxsim' AS ranker, rnk FROM mx_ranked WHERE rnk <= 20),
+         |fused AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists,
+         |         round(sum(round(CAST(1 AS DOUBLE) / (60 + rnk), 6)
+         |           ORDER BY ranker), 6) + 0 AS rrf
+         |  FROM legs GROUP BY 1)
+         |SELECT rank, doc_id, source, n_lists, rrf FROM (
+         |  SELECT f.doc_id, f.n_lists, f.rrf, d.source,
+         |    CAST(row_number() OVER (ORDER BY f.rrf DESC, f.doc_id) AS BIGINT) AS rank
+         |  FROM fused f JOIN documents d USING (doc_id))
+         |WHERE rank <= 10""".stripMargin,
     "maxsim_search" ->
       s"""WITH $duckToks,
          |dtoks AS (SELECT DISTINCT doc_id, tok FROM toks),

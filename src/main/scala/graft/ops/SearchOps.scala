@@ -374,4 +374,41 @@ object SearchOps {
         Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. '09 —
+    * the standard score-free way to combine heterogeneous rankers):
+    * rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the engine's three ranking
+    * families — [[searchText]] (hashed-TF cosine), [[searchBm25]]
+    * (lexical), [[maxsimSearch]] (late-interaction subword). Rank
+    * fusion needs no score calibration across legs, which is exactly
+    * why production hybrid search uses it over score blending.
+    * `n_lists` reports how many legs surfaced each doc — the fusion
+    * triage column.
+    *
+    * Scale shape: each leg is its own TakeOrderedAndProject top-
+    * `perLeg` pipeline (the legs' costs, not fusion's); fusion itself
+    * unions 3·perLeg rows and aggregates on doc_id — driver-bounded.
+    * Determinism: contributions are 6dp-rounded, summed by
+    * ranker-name-ordered fold, re-rounded once. */
+  def searchRrf(docs: DataFrame, queryText: String, k: Int = 10,
+                perLeg: Int = 20, k0: Int = 60): DataFrame = {
+    val legs = Seq(
+      ("cosine", searchText(docs, queryText, perLeg)),
+      ("bm25", searchBm25(docs, queryText, perLeg)),
+      ("maxsim", maxsimSearch(docs, queryText, perLeg)))
+    val union = legs.map { case (m, df) =>
+      df.select(col("doc_id"), lit(m).as("ranker"), col("rank"))
+    }.reduce(_ unionByName _)
+    val fused = union
+      .withColumn("contrib", roundn(lit(1.0) / (lit(k0.toLong) + col("rank")), 6))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lists"),
+        roundn(graft.functions.VectorMath.orderedSum(
+          col("ranker"), col("contrib")), 6).as("rrf"))
+    fused.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("n_lists"), col("rrf"))
+  }
 }

@@ -148,6 +148,25 @@ class SearchOpsSpec extends SparkSpec {
     assert(cos(2L) === 1L, "fixture must be one where cosine ranks the spammer first")
   }
 
+  test("searchRrf: cross-ranker agreement outranks any single-leg win") {
+    import spark.implicits._
+    // doc 1 is a balanced match every leg surfaces; doc 2 is a
+    // one-term spammer that tops cosine but is weak elsewhere;
+    // doc 3 is pure filler
+    val docs = Seq(
+      (1L, "spark merge sort join pipeline notes", "s"),
+      (2L, "spark spark spark spark spark spark spark spark", "s"),
+      (3L, "unrelated filler text entirely elsewhere", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = SearchOps.searchRrf(docs, "spark merge sort join", k = 3).collect()
+    val byDoc = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("rank"), r.getAs[Long]("n_lists"))).toMap
+    assert(byDoc(1L)._1 === 1L, s"full coverage must fuse to rank 1: ${byDoc}")
+    assert(byDoc(1L)._2 === 3L, "doc 1 must appear on all three legs")
+    assert(byDoc(2L)._1 === 2L)
+    assert(!byDoc.contains(3L) || byDoc(3L)._1 > 2L)
+  }
+
   test("maxsimSearch: surface variants reach through shared trigrams") {
     import spark.implicits._
     val docs = Seq(
