@@ -449,6 +449,11 @@ object SparkEntry {
     // ClassifierOps scaladoc), then score + threshold every document
     "quality_classifier" -> ((s, dir) =>
       ClassifierOps.qualityClassifier(Tables.documents(s, dir))),
+    // reliability diagram + ECE for the trained gate: integer-micro
+    // decile bins, per-bin confidence vs empirical rate, n-weighted
+    // mean |gap| — the calibration audit beside the accuracy audit
+    "gd_calibration" -> ((s, dir) =>
+      ClassifierOps.qualityCalibration(Tables.documents(s, dir))),
     // load-or-create for the GD classifier: the weight trajectory
     // persists to parquet (IEEE754 bits verbatim) and the reloaded
     // final weights must score every document bit-identically to
@@ -1059,6 +1064,32 @@ object SparkEntry {
        |    round(w.w3 - 4.0 * (CAST(sum(p.err * p.ix3) AS DOUBLE)
        |      / (1000000000000.0 * count(*))), 6) + 0 AS w3
        |  FROM lp$t p, lw${t - 1} w GROUP BY w.b, w.w1, w.w2, w.w3)""".stripMargin
+
+  /** The full GD-retrain CTE chain (features → 8 unrolled steps →
+    * final-weight scores) ending in `gds (doc_id, y BIGINT, score)` —
+    * shared by the quality_classifier and gd_calibration oracles. */
+  private def duckGdScored: String =
+    s"""$duckToks,
+       |cq AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+       |         sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
+       |             THEN 1 ELSE 0 END) AS n_stop
+       |       FROM toks GROUP BY 1),
+       |cf AS (SELECT cq.doc_id,
+       |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
+       |    round(n_stop / n_tok, 6) + 0 AS x1,
+       |    round(n_distinct / n_tok, 6) + 0 AS x2,
+       |    round(least(n_tok, 100) / 100.0, 6) + 0 AS x3
+       |  FROM cq JOIN documents d ON cq.doc_id = d.doc_id),
+       |cfi AS (SELECT doc_id, y, x1, x2, x3,
+       |    CAST(round(x1 * 1000000.0) AS BIGINT) AS ix1,
+       |    CAST(round(x2 * 1000000.0) AS BIGINT) AS ix2,
+       |    CAST(round(x3 * 1000000.0) AS BIGINT) AS ix3
+       |  FROM cf),
+       |lw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+       |${(1 to 8).map(duckLrStep).mkString(",\n")},
+       |gds AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
+       |          ${duckSigmoid("w")} + 0 AS score
+       |        FROM cfi f, lw8 w)""".stripMargin
 
   private def duckBpeRound(r: Int): String =
     // w CTEs are MATERIALIZED: each w$r is referenced twice (pair
@@ -2432,28 +2463,34 @@ object SparkEntry {
     // steps as CTE pairs — weights are never taken from the engine):
     // HUGEINT gradient sums twin the engine's decimal(38,0) ones
     "quality_classifier" ->
-      s"""WITH $duckToks,
-         |cq AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
-         |         sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
-         |             THEN 1 ELSE 0 END) AS n_stop
-         |       FROM toks GROUP BY 1),
-         |cf AS (SELECT cq.doc_id,
-         |    CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END AS y,
-         |    round(n_stop / n_tok, 6) + 0 AS x1,
-         |    round(n_distinct / n_tok, 6) + 0 AS x2,
-         |    round(least(n_tok, 100) / 100.0, 6) + 0 AS x3
-         |  FROM cq JOIN documents d ON cq.doc_id = d.doc_id),
-         |cfi AS (SELECT doc_id, y, x1, x2, x3,
-         |    CAST(round(x1 * 1000000.0) AS BIGINT) AS ix1,
-         |    CAST(round(x2 * 1000000.0) AS BIGINT) AS ix2,
-         |    CAST(round(x3 * 1000000.0) AS BIGINT) AS ix3
-         |  FROM cf),
-         |lw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-         |${(1 to 8).map(duckLrStep).mkString(",\n")}
-         |SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
-         |  ${duckSigmoid("w")} + 0 AS score,
-         |  CAST(round(${duckSigmoid("w")} * 1000000.0) AS BIGINT) >= 500000 AS predicted
-         |FROM cfi f, lw8 w""".stripMargin,
+      s"""WITH $duckGdScored
+         |SELECT doc_id, y, score,
+         |  CAST(round(score * 1000000.0) AS BIGINT) >= 500000 AS predicted
+         |FROM gds""".stripMargin,
+    // reliability diagram + ECE over the SAME retrained-from-scratch
+    // scores: integer-micro bin assignment (no float-boundary floor),
+    // exact micro sums per bin, one rounded division per statistic
+    "gd_calibration" ->
+      s"""WITH $duckGdScored,
+         |smt AS (SELECT CAST(round(score * 1000000.0) AS BIGINT) AS s_micro, y
+         |        FROM gds),
+         |bt AS (SELECT least((s_micro * 10) // 1000000, 9) AS bin_id, s_micro, y
+         |       FROM smt),
+         |pb AS (SELECT bin_id, count(*) AS n, CAST(sum(s_micro) AS BIGINT) AS sms,
+         |              CAST(sum(y) AS BIGINT) AS n_pos
+         |       FROM bt GROUP BY 1),
+         |cal AS (SELECT bin_id, n,
+         |          round(CAST(sms AS DOUBLE) / (n * 1000000.0), 6) + 0 AS mean_conf,
+         |          round(n_pos / CAST(n AS DOUBLE), 6) + 0 AS frac_pos
+         |        FROM pb),
+         |cg AS (SELECT *, CAST(round(round(abs(mean_conf - frac_pos), 6)
+         |                 * 1000000.0) AS BIGINT) AS gap_micro
+         |       FROM cal),
+         |et AS (SELECT round(CAST(sum(n * gap_micro) AS DOUBLE)
+         |               / (sum(n) * 1000000.0), 6) + 0 AS ece FROM cg)
+         |SELECT cg.bin_id, cg.n, cg.mean_conf, cg.frac_pos,
+         |       round(cg.gap_micro / 1000000.0, 6) + 0 AS gap, et.ece
+         |FROM cg, et""".stripMargin,
     // char-ordered bounded fold over per-doc character counts; ln
     // rounded per char, one final rounding after the integer division.
     // len(text) > 0 on BOTH sides is the pinned edge contract (the

@@ -145,6 +145,43 @@ object ClassifierOps {
     scoreWith(feat, w)
   }
 
+  /** Reliability diagram + expected calibration error for the trained
+    * classifier — the audit that asks whether score 0.8 MEANS 80%:
+    * scores bucket into `bins` integer-micro deciles (bin from the
+    * exact micro value, never a float-boundary floor), each bin pins
+    * (n, mean confidence, empirical positive rate, |gap|), and ECE is
+    * the n-weighted mean gap. A confidently miscalibrated retrain
+    * shifts a bin's frac_pos and hash-fails.
+    *
+    * Determinism: scores are 6dp ⇒ micros exact; per-bin sums are
+    * decimal(38,0); each emitted statistic is one exact-integer
+    * division rounded once. Scale shape: one pass over the scored
+    * docs into a ≤`bins`-row agg; ECE is a 1-row broadcast-back. */
+  def qualityCalibration(docs: DataFrame, minChars: Long = 300,
+                         bins: Int = 10): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val scored = qualityClassifier(docs, minChars)
+      .withColumn("s_micro", round(col("score") * 1000000.0, 0).cast("long"))
+      .withColumn("bin_id",
+        expr(s"least((s_micro * $bins) div 1000000L, ${bins - 1}L)"))
+    val perBin = scored.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("s_micro").cast(dec)).cast("long").as("sms"),
+        sum(col("y")).as("n_pos"))
+      .withColumn("mean_conf",
+        roundn(col("sms").cast("double") / (col("n") * 1000000.0), 6))
+      .withColumn("frac_pos", roundn(col("n_pos") / col("n").cast("double"), 6))
+      .withColumn("gap_micro",
+        round(roundn(abs(col("mean_conf") - col("frac_pos")), 6) * 1000000.0, 0)
+          .cast("long"))
+    val ece = perBin.agg(
+      roundn(sum((col("n") * col("gap_micro")).cast(dec)).cast("double") /
+        (sum(col("n")) * 1000000.0), 6).as("ece"))
+    perBin.crossJoin(broadcast(ece))
+      .select(col("bin_id"), col("n"), col("mean_conf"), col("frac_pos"),
+        roundn(col("gap_micro") / 1000000.0, 6).as("gap"), col("ece"))
+  }
+
   /** GD TRAINING → the weight trajectory AS A DATAFRAME (step, bias,
     * wx1, wx2, wx3) — the model artifact a production pipeline
     * persists after the training spend. The weights are 6dp-rounded

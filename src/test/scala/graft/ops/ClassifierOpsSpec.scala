@@ -30,6 +30,28 @@ class ClassifierOpsSpec extends SparkSpec {
     }
   }
 
+  test("qualityCalibration: bins partition the corpus and ECE is the weighted mean gap") {
+    val cal = ClassifierOps.qualityCalibration(corpus, minChars = 300).collect()
+    assert(cal.nonEmpty)
+    assert(cal.map(_.getAs[Long]("n")).sum === 40L)
+    val binIds = cal.map(_.getAs[Long]("bin_id"))
+    assert(binIds.distinct.length === binIds.length)
+    assert(binIds.forall(b => b >= 0 && b <= 9))
+    cal.foreach { r =>
+      assert(r.getAs[Double]("mean_conf") >= 0.0 && r.getAs[Double]("mean_conf") <= 1.0)
+      assert(r.getAs[Double]("frac_pos") >= 0.0 && r.getAs[Double]("frac_pos") <= 1.0)
+      assert(r.getAs[Double]("gap") >= 0.0)
+    }
+    // every row carries the same ECE, and it equals the n-weighted
+    // mean gap recomputed from the emitted bins
+    val eces = cal.map(_.getAs[Double]("ece")).distinct
+    assert(eces.length === 1)
+    val n = cal.map(_.getAs[Long]("n").toDouble)
+    val gaps = cal.map(_.getAs[Double]("gap"))
+    val expected = n.zip(gaps).map { case (a, g) => a * g }.sum / n.sum
+    assert(math.abs(eces.head - expected) < 2e-6)
+  }
+
   test("train: deterministic across invocations, weights move") {
     val feat = ClassifierOps.features(corpus).localCheckpoint(true)
     val w1 = ClassifierOps.train(feat, steps = 4).last._2
