@@ -864,6 +864,10 @@ object SparkEntry {
     // size distribution (k=1 rows are re-identifiable users; the low
     // bands are what a generalize-further loop acts on)
     "k_anonymity" -> ((s, dir) => RelationalOps.kAnonymity(Tables.events(s, dir))),
+    // l-diversity of the dominant event type within each
+    // (activity, days) quasi-identifier class — k-anonymity's
+    // sensitive-attribute companion, l >= 3 as the release gate
+    "l_diversity" -> ((s, dir) => RelationalOps.lDiversity(Tables.events(s, dir))),
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
@@ -4246,6 +4250,27 @@ object SparkEntry {
          |UNION ALL
          |${leg(2, "2.0")}""".stripMargin
     },
+    "l_diversity" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
+        |            FROM events GROUP BY 1, 2),
+        |tt AS (SELECT user_id, event_type AS top_type FROM (
+        |         SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY n_t DESC, event_type) AS rn
+        |         FROM tc) WHERE rn = 1),
+        |pr AS (SELECT user_id, count(*) AS n_ev,
+        |         count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+        |       FROM events GROUP BY 1),
+        |prof AS (SELECT user_id,
+        |           least(10, n_ev // 10) AS activity_bucket,
+        |           least(10, n_days // 3) AS days_bucket
+        |         FROM pr)
+        |SELECT p.activity_bucket, p.days_bucket,
+        |       count(*) AS k,
+        |       CAST(count(DISTINCT t.top_type) AS BIGINT) AS l_distinct,
+        |       count(DISTINCT t.top_type) >= 3 AS diverse_ok
+        |FROM prof p JOIN tt t USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "k_anonymity" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
         |            FROM events GROUP BY 1, 2),

@@ -282,6 +282,41 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_users"))
   }
 
+  /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala
+    * et al. '07): k-anonymity bounds re-IDENTIFICATION, but a class
+    * whose members all share one sensitive value still leaks it to
+    * anyone who places a user in the class. Here the quasi-identifier
+    * class is the (activity_bucket, days_bucket) profile and the
+    * sensitive attribute is the user's dominant event type: per
+    * class, k members, l = distinct sensitive values, and the
+    * release gate l ≥ `lMin` (distinct-l-diversity).
+    *
+    * Scale shape: two user-keyed aggs sharing the events scan shape
+    * kAnonymity uses, then a bounded-key (≤ 11·11) class agg —
+    * nothing wider than the per-user reduction. */
+  def lDiversity(events: DataFrame, lMin: Long = 3): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_t").desc, col("event_type"))
+    val topType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val profile = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_days"))
+      .select(col("user_id"),
+        least(lit(10L), expr("n_ev div 10")).as("activity_bucket"),
+        least(lit(10L), expr("n_days div 3")).as("days_bucket"))
+    profile.join(topType, "user_id")
+      .groupBy(col("activity_bucket"), col("days_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("top_type")).as("l_distinct"))
+      .withColumn("diverse_ok", col("l_distinct") >= lMin)
+  }
+
   /** Differentially-private count release, the mechanism made
     * REPLAYABLE — [[kAnonymity]]'s sibling in the governance family
     * (k-anonymity audits re-identifiability; this is the other

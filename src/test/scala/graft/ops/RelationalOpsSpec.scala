@@ -783,4 +783,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r("2-4") === ((1L, 2L)))
     assert(r.size === 2)
   }
+
+  test("lDiversity: a same-sensitive class fails the gate, a diverse one passes") {
+    // users 1/2/3 share the quasi-profile (2 events, 1 day) with
+    // distinct top types (l=3, passes); users 5/6/7 in a second
+    // profile (12 events → activity bucket 1, 1 day) all share top
+    // 'x' (l=1, fails)
+    val rows =
+      Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"), (3L, "c"), (3L, "c")) ++
+        Seq(5L, 6L, 7L).flatMap(u => (0 until 12).map(_ => (u, "x")))
+    val events = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, (i % 2).toLong, t, 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.lDiversity(events).collect()
+      .map(x => (x.getAs[Long]("activity_bucket"), x.getAs[Long]("days_bucket")) ->
+        ((x.getAs[Long]("k"), x.getAs[Long]("l_distinct"), x.getAs[Boolean]("diverse_ok"))))
+      .toMap
+    assert(r((0L, 0L)) === ((3L, 3L, true)))  // 2-event users, 3 distinct tops
+    assert(r((0L, 0L))._3)
+    assert(r.size === 2)
+    val uniform = r.values.find(_._2 === 1L).get
+    assert(uniform === ((3L, 1L, false)), "all-same-sensitive class must fail")
+  }
 }
