@@ -147,6 +147,11 @@ object SparkEntry {
     // the per-doc agreement receipt
     "search_rrf" -> ((s, dir) =>
       SearchOps.searchRrf(Tables.documents(s, dir), "spark merge sort join", k = 10)),
+    // best-window snippet: the 10-token span with the most query-term
+    // hits per doc (hit-anchored, hit-bounded self-join), text
+    // reconstructed in seq order
+    "search_snippet" -> ((s, dir) =>
+      SearchOps.searchSnippet(Tables.documents(s, dir), "spark merge sort join", k = 10)),
     // retrieval → token-budget prefix packing (the proposal flow's
     // context-assembly step): top-50 ranked docs, keep while the
     // running ws-token total stays within 400
@@ -4472,6 +4477,30 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    "search_snippet" ->
+      s"""WITH $duckToks,
+         |sq AS (SELECT doc_id, tok,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+         |           AS BIGINT) AS seq
+         |       FROM toks),
+         |qt AS (SELECT DISTINCT trim(u.tok) AS tok
+         |       FROM unnest(string_split('spark merge sort join', ' ')) u(tok)
+         |       WHERE trim(u.tok) <> ''),
+         |hits AS (SELECT s.doc_id, s.seq FROM sq s JOIN qt USING (tok)),
+         |wins AS (SELECT a.doc_id, a.seq AS win_start, count(*) AS n_hits
+         |         FROM hits a JOIN hits b ON a.doc_id = b.doc_id
+         |           AND b.seq >= a.seq AND b.seq < a.seq + 10
+         |         GROUP BY 1, 2),
+         |best AS (SELECT doc_id, win_start, n_hits FROM (
+         |           SELECT *, row_number() OVER (PARTITION BY doc_id
+         |             ORDER BY n_hits DESC, win_start) AS rn FROM wins)
+         |         WHERE rn = 1),
+         |topd AS (SELECT * FROM best ORDER BY n_hits DESC, doc_id LIMIT 10)
+         |SELECT t.doc_id, t.win_start, t.n_hits,
+         |       string_agg(s.tok, ' ' ORDER BY s.seq) AS snippet
+         |FROM topd t JOIN sq s ON s.doc_id = t.doc_id
+         |  AND s.seq >= t.win_start AND s.seq < t.win_start + 10
+         |GROUP BY 1, 2, 3""".stripMargin,
     // the three ranker CTE chains replayed side by side (ct_ cosine /
     // bm_ BM25 / mx_ maxsim), then the RRF fold over their top-20s
     "search_rrf" ->

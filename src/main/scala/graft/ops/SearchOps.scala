@@ -375,6 +375,49 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** Best-window snippet extraction — the passage-selection step
+    * between ranking and display (and the passage-chunking shape RAG
+    * pipelines feed the generator): for each doc containing a query
+    * term, the `window`-token span holding the most query-term hits,
+    * emitted with its reconstructed text. Windows are anchored at a
+    * hit (WLOG optimal: shifting a window right until its first hit
+    * leads it keeps every hit), tie-break earliest start; top-`k`
+    * docs by (hits desc, doc_id).
+    *
+    * Scale shape: the hit table holds only query-term OCCURRENCES, so
+    * the window self-join is hit-bounded (never the token stream);
+    * the token stream is touched once for the seq index and once,
+    * broadcast-pruned by the ≤k winners, for snippet text. The seq
+    * index is the same per-doc build cost [[phraseSearch]] amortizes
+    * at scale by materializing the postings table once. */
+  def searchSnippet(docs: DataFrame, queryText: String, window: Int = 10,
+                    k: Int = 10): DataFrame = {
+    val qTerms = queryText.split(" ").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val seqd = EmbedOps.tokenize(docs)
+      .withColumn("seq", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("pos"))).cast("long"))
+    val hits = seqd.filter(col("tok").isin(qTerms: _*))
+      .select(col("doc_id"), col("seq"))
+    val wins = hits.as("a").join(hits.as("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.seq") >= col("a.seq") &&
+          col("b.seq") < col("a.seq") + window)
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.seq").as("win_start"))
+      .agg(count(lit(1)).as("n_hits"))
+    val best = wins.withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("n_hits").desc, col("win_start"))))
+      .filter(col("rn") === 1).drop("rn")
+    val top = best.orderBy(col("n_hits").desc, col("doc_id")).limit(k)
+    seqd.join(broadcast(top), Seq("doc_id"))
+      .filter(col("seq") >= col("win_start") &&
+        col("seq") < col("win_start") + window)
+      .groupBy(col("doc_id"), col("win_start"), col("n_hits"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(seq, tok))), x -> x.tok), ' ')")
+        .as("snippet"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. '09 —
     * the standard score-free way to combine heterogeneous rankers):
     * rrf(d) = Σ_r 1/(k0 + rank_r(d)) over the engine's three ranking

@@ -148,6 +148,28 @@ class SearchOpsSpec extends SparkSpec {
     assert(cos(2L) === 1L, "fixture must be one where cosine ranks the spammer first")
   }
 
+  test("searchSnippet: densest window wins, text reconstructs in order") {
+    import spark.implicits._
+    // doc 1: hits at seqs 1, 12, 13, 14 → the window anchored at 12
+    // holds 3 hits; doc 2: one isolated hit; doc 3: no hits
+    val d1 = "spark " + (1 to 10).map(j => s"f$j").mkString(" ") +
+      " spark sort join tail words here"
+    val docs = Seq(
+      (1L, d1, "s"),
+      (2L, "before spark after", "s"),
+      (3L, "nothing relevant here", "s")).toDF("doc_id", "text", "source")
+    val rows = SearchOps.searchSnippet(docs, "spark sort join", window = 10, k = 10)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("win_start"), r.getAs[Long]("n_hits"), r.getAs[String]("snippet"))))
+      .toMap
+    assert(rows.keySet === Set(1L, 2L))
+    assert(rows(1L)._1 === 12L && rows(1L)._2 === 3L)
+    assert(rows(1L)._3.startsWith("spark sort join"))
+    assert(rows(1L)._3 === "spark sort join tail words here",
+      "window clipped at doc end")
+    assert(rows(2L) === ((2L, 1L, "spark after")))
+  }
+
   test("searchRrf: cross-ranker agreement outranks any single-leg win") {
     import spark.implicits._
     // doc 1 is a balanced match every leg surfaces; doc 2 is a
