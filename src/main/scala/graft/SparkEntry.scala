@@ -152,6 +152,10 @@ object SparkEntry {
     // reconstructed in seq order
     "search_snippet" -> ((s, dir) =>
       SearchOps.searchSnippet(Tables.documents(s, dir), "spark merge sort join", k = 10)),
+    // MMR diversified top-5 over the cosine top-20: greedy
+    // λ·rel − (1−λ)·max-sim-to-selected, candidate-bounded localize
+    "search_mmr" -> ((s, dir) =>
+      SearchOps.searchMmr(Tables.documents(s, dir), "spark merge sort join", k = 5)),
     // retrieval → token-budget prefix packing (the proposal flow's
     // context-assembly step): top-50 ranked docs, keep while the
     // running ws-token total stays within 400
@@ -1073,6 +1077,28 @@ object SparkEntry {
        |    round(w.w3 - 4.0 * (CAST(sum(p.err * p.ix3) AS DOUBLE)
        |      / (1000000000000.0 * count(*))), 6) + 0 AS w3
        |  FROM lp$t p, lw${t - 1} w GROUP BY w.b, w.w1, w.w2, w.w3)""".stripMargin
+
+  /** One unrolled greedy MMR round for the search_mmr oracle:
+    * remaining candidates × already-selected set → max pairwise sim
+    * (missing pair ⇒ 0) → rounded λ·rel − (1−λ)·ms argmax appended.
+    * MATERIALIZED per round — selu$t is referenced three times in
+    * round t+1 and DuckDB would otherwise inline the chain
+    * exponentially. */
+  private def duckMmrRound(t: Int): String =
+    s"""m$t AS MATERIALIZED (
+       |  SELECT c.doc_id, c.rel_micro,
+       |         max(coalesce(sp.sim_micro, 0)) AS ms_micro
+       |  FROM cand c CROSS JOIN selu${t - 1} s
+       |  LEFT JOIN simp sp ON sp.d1 = least(c.doc_id, s.doc_id)
+       |                   AND sp.d2 = greatest(c.doc_id, s.doc_id)
+       |  WHERE c.doc_id NOT IN (SELECT doc_id FROM selu${t - 1})
+       |  GROUP BY 1, 2),
+       |pick$t AS MATERIALIZED (
+       |  SELECT CAST($t AS BIGINT) AS sel_rank, doc_id,
+       |    7 * rel_micro - 3 * ms_micro AS s7
+       |  FROM m$t ORDER BY s7 DESC, doc_id LIMIT 1),
+       |selu$t AS MATERIALIZED (
+       |  SELECT * FROM selu${t - 1} UNION ALL SELECT * FROM pick$t)""".stripMargin
 
   /** The full GD-retrain CTE chain (features → 8 unrolled steps →
     * final-weight scores) ending in `gds (doc_id, y BIGINT, score)` —
@@ -4477,6 +4503,51 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    // the cosine chain's top-20 as candidates, candidate-only
+    // pairwise sims, then 4 unrolled greedy rounds after the
+    // relevance-argmax seed
+    "search_mmr" ->
+      s"""WITH $duckToks,
+         |q_toks AS (SELECT trim(u.tok) AS tok
+         |           FROM unnest(string_split('spark merge sort join', ' ')) u(tok)
+         |           WHERE trim(u.tok) <> ''),
+         |ct_hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |ct_tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |          FROM ct_hashed GROUP BY 1, 2),
+         |ct_nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM ct_tf GROUP BY 1),
+         |ct_w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |         FROM ct_tf t JOIN ct_nrm n USING (doc_id)),
+         |ct_qh AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM q_toks),
+         |ct_qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM ct_qh GROUP BY 1),
+         |ct_qw AS (SELECT dim,
+         |            round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM ct_qtf), 6) + 0 AS qw
+         |          FROM ct_qtf),
+         |ct_scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM ct_w w JOIN ct_qw qw USING (dim) GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT doc_id, score AS rel,
+         |         CAST(round(score * 1000000.0) AS BIGINT) AS rel_micro
+         |  FROM (
+         |    SELECT doc_id, score,
+         |      row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |    FROM ct_scored) WHERE rnk <= 20),
+         |cw AS MATERIALIZED (
+         |  SELECT w.doc_id, w.dim, w.weight FROM ct_w w JOIN cand USING (doc_id)),
+         |simp AS MATERIALIZED (
+         |  SELECT x.doc_id AS d1, y.doc_id AS d2,
+         |         CAST(round(round(sum(x.weight * y.weight ORDER BY x.dim), 6)
+         |           * 1000000.0) AS BIGINT) AS sim_micro
+         |  FROM cw x JOIN cw y ON x.dim = y.dim AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2),
+         |selu1 AS MATERIALIZED (
+         |  SELECT CAST(1 AS BIGINT) AS sel_rank, doc_id, 7 * rel_micro AS s7
+         |  FROM cand ORDER BY s7 DESC, doc_id LIMIT 1),
+         |${(2 to 5).map(duckMmrRound).mkString(",\n")}
+         |SELECT s.sel_rank, s.doc_id, d.source, c.rel,
+         |       s.s7 / 10000000.0 AS mmr_score
+         |FROM selu5 s JOIN cand c USING (doc_id)
+         |JOIN documents d USING (doc_id)""".stripMargin,
     "search_snippet" ->
       s"""WITH $duckToks,
          |sq AS (SELECT doc_id, tok,

@@ -375,6 +375,72 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    * '98) — diversified top-k: greedily pick argmax of
+    * λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s), so each new result
+    * adds relevance the already-selected set doesn't cover. The
+    * de-duplication knob for retrieval over near-duplicate corpora —
+    * plain cosine top-k returns k copies of the best template; MMR
+    * returns one plus what else matches (pinned in SearchOpsSpec).
+    *
+    * Scale shape: relevance top-`cand` is [[searchText]]'s
+    * TakeOrderedAndProject pipeline; pairwise sims join only the
+    * ≤cand candidate vectors (dim-keyed equi-join, never the corpus);
+    * the greedy loop localizes ≤cand rels + ≤cand² sims — BOUNDED BY
+    * THE cand PARAMETER by construction (the kmeansCells / bpeMerges
+    * bounded-localize pattern), then k driver-side folds over ≤cand
+    * entries. Determinism: rel and sim are 6dp ⇒ exact integer
+    * micros, λ is an exact tenth, so every mmr score is the EXACT
+    * Long λ₁₀·rel_micro − (10−λ₁₀)·ms_micro in deci-micros — no
+    * rounded float ever enters the argmax (0.7·rel lands ON the 6dp
+    * half-step whenever rel's last digit is odd — measured, the
+    * round-then-compare form diverged at sf0.1); ties break doc_id
+    * asc. The emitted double is one exact-integer division, bit-equal
+    * across engines. */
+  def searchMmr(docs: DataFrame, queryText: String, k: Int = 5,
+                cand: Int = 20, lambda: Double = 0.7,
+                dim: Int = 64): DataFrame = {
+    val l10 = math.round(lambda * 10).toInt
+    require(l10 >= 0 && l10 <= 10 && math.abs(lambda * 10 - l10) < 1e-9,
+      "lambda must be an exact tenth for the fixed-point mmr fold")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val topc = searchText(docs, queryText, cand)
+      .select(col("doc_id"), col("score").as("rel")).localCheckpoint(true)
+    val w = EmbedOps.embedSparse(docs, dim)
+      .join(broadcast(topc.select(col("doc_id"))), "doc_id")
+    val sims = w.as("x").join(w.as("y"), col("x.dim") === col("y.dim"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("x.dim"), col("x.weight") * col("y.weight")), 6).as("sim"))
+    val rels = topc.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val relM = rels.map { case (d, r) => d -> math.round(r * 1e6) }
+    val simM = sims.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), math.round(r.getDouble(2) * 1e6)))
+      .toMap
+    def simOf(a: Long, b: Long): Long =
+      simM.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+    var selected = Vector.empty[(Long, Long)] // (doc_id, score in deci-micros)
+    val remaining = scala.collection.mutable.SortedSet(relM.keys.toSeq: _*)
+    for (_ <- 0 until math.min(k, relM.size)) {
+      val best = remaining.toSeq.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(s => simOf(c, s._1)).max
+        (c, l10 * relM(c) - (10L - l10) * maxSim)
+      }.minBy { case (c, m) => (-m, c) }
+      selected :+= best
+      remaining -= best._1
+    }
+    val sel = selected.zipWithIndex
+      .map { case ((d, s7), i) => (i + 1L, d, rels(d), s7 / 1.0e7) }
+      .toDF("sel_rank", "doc_id", "rel", "mmr_score")
+    sel.join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("sel_rank"), col("doc_id"), col("source"),
+        col("rel"), col("mmr_score"))
+  }
+
   /** Best-window snippet extraction — the passage-selection step
     * between ranking and display (and the passage-chunking shape RAG
     * pipelines feed the generator): for each doc containing a query

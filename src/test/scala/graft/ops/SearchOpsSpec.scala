@@ -148,6 +148,28 @@ class SearchOpsSpec extends SparkSpec {
     assert(cos(2L) === 1L, "fixture must be one where cosine ranks the spammer first")
   }
 
+  test("searchMmr: diversification picks one duplicate, cosine picks both") {
+    import spark.implicits._
+    // docs 1/2 are identical strong matches (pairwise sim 1.0, so the
+    // duplicate's penalty is maximal); doc 3 matches a DIFFERENT part
+    // of the query with zero overlap with doc 1; doc 4 is filler
+    val docs = Seq(
+      (1L, "spark merge sort join junk1 junk2", "s"),
+      (2L, "spark merge sort join junk1 junk2", "s"),
+      (3L, "filter scan other words", "s"),
+      (4L, "unrelated filler entirely", "s")).toDF("doc_id", "text", "source")
+    val q = "spark merge sort join filter scan"
+    val cosTop2 = SearchOps.searchText(docs, q, k = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cosTop2 === Set(1L, 2L), "cosine must return the duplicate pair")
+    val mmr = SearchOps.searchMmr(docs, q, k = 2)
+      .collect().sortBy(_.getAs[Long]("sel_rank"))
+    assert(mmr.head.getAs[Long]("doc_id") === 1L, "seed = relevance argmax, doc_id tie-break")
+    assert(mmr(1).getAs[Long]("doc_id") === 3L,
+      "second pick must skip the duplicate for the diverse doc")
+    assert(mmr(1).getAs[Double]("mmr_score") < mmr.head.getAs[Double]("mmr_score"))
+  }
+
   test("searchSnippet: densest window wins, text reconstructs in order") {
     import spark.implicits._
     // doc 1: hits at seqs 1, 12, 13, 14 → the window anchored at 12
