@@ -913,6 +913,11 @@ object SparkEntry {
     // (same bin + adjacent bin) replace the quadratic theta join
     "events_band_join" -> ((s, dir) => RelationalOps.valueBandJoin(Tables.events(s, dir))),
     "asof_attribution" -> ((s, dir) => RelationalOps.purchaseAttribution(Tables.events(s, dir))),
+    // first/last/linear multi-touch credit side by side on the
+    // view-hour axis — exact integer-micro conservation (remainder
+    // to the last touch), 7-day lookback band join
+    "attribution_compare" -> ((s, dir) =>
+      RelationalOps.attributionCompare(Tables.events(s, dir))),
     "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
     "cube_pricing" -> ((s, dir) => RelationalOps.cubePricing(Tables.lineitem(s, dir))),
@@ -4438,6 +4443,34 @@ object SparkEntry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
         |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
+    "attribution_compare" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_ns(ts) // 1000 AS v_ts, event_id AS v_id
+        |      FROM events WHERE event_type = 'view'),
+        |tch AS (SELECT p.p_id, v.v_ts, v.v_id,
+        |          count(*) OVER (PARTITION BY p.p_id) AS n,
+        |          row_number() OVER (PARTITION BY p.p_id
+        |            ORDER BY v.v_ts, v.v_id) AS rn_first,
+        |          row_number() OVER (PARTITION BY p.p_id
+        |            ORDER BY v.v_ts DESC, v.v_id DESC) AS rn_last,
+        |          (v.v_ts // 3600000000) % 24 AS view_hour
+        |        FROM p JOIN v USING (user_id)
+        |        WHERE v.v_ts < p.p_ts AND v.v_ts >= p.p_ts - 604800000000),
+        |legs AS (
+        |  SELECT 'first_touch' AS model, view_hour, 1000000 AS credit_micro
+        |  FROM tch WHERE rn_first = 1
+        |  UNION ALL
+        |  SELECT 'last_touch' AS model, view_hour, 1000000 AS credit_micro
+        |  FROM tch WHERE rn_last = 1
+        |  UNION ALL
+        |  SELECT 'linear' AS model, view_hour,
+        |    1000000 // n + CASE WHEN rn_last = 1
+        |      THEN 1000000 - n * (1000000 // n) ELSE 0 END AS credit_micro
+        |  FROM tch)
+        |SELECT model, view_hour, count(*) AS n_touches,
+        |       CAST(sum(credit_micro) AS BIGINT) AS credit_micro
+        |FROM legs GROUP BY 1, 2""".stripMargin,
     "content_hash" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->

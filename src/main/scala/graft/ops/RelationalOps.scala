@@ -1667,6 +1667,64 @@ object RelationalOps {
         roundn(col("asof_value"), 6).as("view_value"))
   }
 
+  /** Multi-touch attribution model comparison — [[purchaseAttribution]]
+    * answers "which view gets the credit" under ONE model (last
+    * touch); this replays the same purchase→view credit under all
+    * three standard models side by side, credited onto the view's
+    * hour-of-day axis, so the model choice's effect is a pinned
+    * receipt instead of a dashboard argument:
+    *
+    *   - `first_touch` / `last_touch`: the full 1e6-micro credit to
+    *     the earliest / latest prior view;
+    *   - `linear`: 1e6 div n to each of the n touches, the division
+    *     remainder to the LAST touch — credit conservation is EXACT
+    *     in integer micros (Σ credit ≡ 1e6 per attributed purchase,
+    *     spec-pinned), where a float 1/n split would leak ulps.
+    *
+    * Touch lists come from a 7-day-lookback band join (the
+    * events_band_join discipline: a production history is unbounded,
+    * the lookback is what keeps the per-purchase touch set small);
+    * ties break on event_id. Scale shape: one user-keyed equi-join
+    * band-filtered map-side, two windows over the same purchase
+    * partitioning, and a ≤ 3·24-key final agg. */
+  def attributionCompare(events: DataFrame,
+                         lookbackDays: Int = 7): DataFrame = {
+    val lookbackUs = lookbackDays * 86400L * 1000 * 1000
+    val ev = events.withColumn("ts_us", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts_us").as("p_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts_us").as("v_ts"),
+        col("event_id").as("v_id"))
+    val byP = Window.partitionBy(col("p_id"))
+    val touches = purchases.join(views, "user_id")
+      .filter(col("v_ts") < col("p_ts") &&
+        col("v_ts") >= col("p_ts") - lookbackUs)
+      .withColumn("n", count(lit(1)).over(byP))
+      .withColumn("rn_first", row_number().over(
+        byP.orderBy(col("v_ts"), col("v_id"))))
+      .withColumn("rn_last", row_number().over(
+        byP.orderBy(col("v_ts").desc, col("v_id").desc)))
+      .withColumn("view_hour", expr("(v_ts div 3600000000L) % 24"))
+    val first = touches.filter(col("rn_first") === 1)
+      .select(lit("first_touch").as("model"), col("view_hour"),
+        lit(1000000L).as("credit_micro"))
+    val last = touches.filter(col("rn_last") === 1)
+      .select(lit("last_touch").as("model"), col("view_hour"),
+        lit(1000000L).as("credit_micro"))
+    val linear = touches
+      .select(lit("linear").as("model"), col("view_hour"),
+        (expr("1000000L div n") +
+          when(col("rn_last") === 1,
+            lit(1000000L) - col("n") * expr("1000000L div n"))
+            .otherwise(lit(0L))).as("credit_micro"))
+    first.unionByName(last).unionByName(linear)
+      .groupBy(col("model"), col("view_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+  }
+
   /** Rollup aggregation (grouping-sets class): per (flag, status),
     * per flag subtotals, and grand total in one pass — Catalyst
     * expands to a single Expand + hash aggregate. NULL group markers

@@ -784,6 +784,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("attributionCompare: exact conservation, models credit different hours") {
+    val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
+    // user 1: views at hours 1, 2, 5 then purchase at hour 6 (3
+    // touches); user 2: one view at hour 2, purchase at hour 3
+    val rows = Seq(
+      (10L, 1L, 1 * h, "view"), (11L, 1L, 2 * h, "view"), (12L, 1L, 5 * h, "view"),
+      (13L, 1L, 6 * h, "purchase"),
+      (20L, 2L, 2 * h, "view"), (21L, 2L, 3 * h, "purchase"))
+    val events = rows.map { case (e, u, ts, t) => (e, u, ts, t, 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.attributionCompare(events).collect()
+      .map(x => (x.getAs[String]("model"), x.getAs[Long]("view_hour")) ->
+        ((x.getAs[Long]("n_touches"), x.getAs[Long]("credit_micro")))).toMap
+    // conservation: each model's total credit = 1e6 per attributed purchase
+    Seq("first_touch", "last_touch", "linear").foreach { m =>
+      val tot = r.collect { case ((`m`, _), (_, c)) => c }.sum
+      assert(tot === 2000000L, s"$m must conserve credit exactly")
+    }
+    assert(r(("first_touch", 1L))._2 === 1000000L)
+    assert(r(("last_touch", 5L))._2 === 1000000L)
+    // linear: u1 splits 333333/333333/333334 (remainder to LAST touch
+    // = hour 5), u2's single view takes the full credit at hour 2
+    assert(r(("linear", 1L))._2 === 333333L)
+    assert(r(("linear", 2L))._2 === 333333L + 1000000L)
+    assert(r(("linear", 5L))._2 === 333334L)
+  }
+
   test("lDiversity: a same-sensitive class fails the gate, a diverse one passes") {
     // users 1/2/3 share the quasi-profile (2 events, 1 day) with
     // distinct top types (l=3, passes); users 5/6/7 in a second
