@@ -918,6 +918,11 @@ object SparkEntry {
     // to the last touch), 7-day lookback band join
     "attribution_compare" -> ((s, dir) =>
       RelationalOps.attributionCompare(Tables.events(s, dir))),
+    // the dbt-test/GE expectation audit in-engine: pk/fk/range/
+    // domain/null/temporal checks, one pinned row each
+    "data_quality_checks" -> ((s, dir) =>
+      RelationalOps.dataQualityChecks(Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.customer(s, dir))),
     "events_sliding_hour" -> ((s, dir) => RelationalOps.trailingHourStats(Tables.events(s, dir))),
     "rollup_pricing" -> ((s, dir) => RelationalOps.rollupPricing(Tables.lineitem(s, dir))),
     "cube_pricing" -> ((s, dir) => RelationalOps.cubePricing(Tables.lineitem(s, dir))),
@@ -4471,6 +4476,51 @@ object SparkEntry {
         |SELECT model, view_hour, count(*) AS n_touches,
         |       CAST(sum(credit_micro) AS BIGINT) AS credit_micro
         |FROM legs GROUP BY 1, 2""".stripMargin,
+    "data_quality_checks" ->
+      """WITH pk AS (SELECT 'orders_pk_unique' AS check_name,
+        |         CAST(count(*) AS BIGINT) AS n_checked,
+        |         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |           AS n_violations
+        |       FROM orders),
+        |fklo AS (SELECT 'lineitem_fk_orders' AS check_name,
+        |           (SELECT count(*) FROM lineitem) AS n_checked,
+        |           count(*) FILTER (WHERE o.o_orderkey IS NULL) AS n_violations
+        |         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |fkoc AS (SELECT 'orders_fk_customer' AS check_name,
+        |           (SELECT count(*) FROM orders) AS n_checked,
+        |           count(*) FILTER (WHERE c.c_custkey IS NULL) AS n_violations
+        |         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey),
+        |qty AS (SELECT 'lineitem_quantity_range' AS check_name,
+        |          count(*) AS n_checked,
+        |          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |        FROM lineitem),
+        |disc AS (SELECT 'lineitem_discount_range' AS check_name,
+        |           count(*) AS n_checked,
+        |           CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1
+        |                         THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |         FROM lineitem),
+        |dom AS (SELECT 'orders_status_domain' AS check_name,
+        |          count(*) AS n_checked,
+        |          CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |        FROM orders),
+        |bal AS (SELECT 'customer_acctbal_not_null' AS check_name,
+        |          count(*) AS n_checked,
+        |          CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_violations
+        |        FROM customer),
+        |shp AS (SELECT 'lineitem_ship_after_order' AS check_name,
+        |          count(*) AS n_checked,
+        |          CAST(sum(CASE WHEN l.l_shipdate < o.o_orderdate
+        |                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        |        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked, n_violations,
+        |       n_violations = 0 AS ok
+        |FROM (SELECT * FROM pk UNION ALL SELECT * FROM fklo
+        |      UNION ALL SELECT * FROM fkoc UNION ALL SELECT * FROM qty
+        |      UNION ALL SELECT * FROM disc UNION ALL SELECT * FROM dom
+        |      UNION ALL SELECT * FROM bal UNION ALL SELECT * FROM shp)""".stripMargin,
     "content_hash" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->

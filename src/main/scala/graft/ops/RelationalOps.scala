@@ -1667,6 +1667,68 @@ object RelationalOps {
         roundn(col("asof_value"), 6).as("view_value"))
   }
 
+  /** Declarative data-quality expectation audit (the dbt-test /
+    * Great Expectations receipt, run in-engine): eight standard
+    * checks over the order pipeline — primary-key uniqueness,
+    * both foreign-key orphan counts, numeric range bounds, a value
+    * domain, a null census, and the cross-table temporal invariant
+    * (no lineitem ships before its order) — each one row
+    * (check_name, n_checked, n_violations, ok). The gate a 100 TB
+    * ingest promotes a batch on; a check that "fails" is a
+    * MEASUREMENT, pinned exactly, not an assertion error.
+    *
+    * Scale shape: every check is one scan-and-aggregate or one
+    * key-join (the FK legs are anti-joins on the join key, the
+    * temporal leg rides the fact-dim equi-join); all results are
+    * 1-row aggs unioned driver-free. */
+  def dataQualityChecks(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame): DataFrame = {
+    def fin(name: String, agg: DataFrame): DataFrame = agg
+      .select(lit(name).as("check_name"),
+        col("n_checked").cast("long").as("n_checked"),
+        col("n_violations").cast("long").as("n_violations"))
+      .withColumn("ok", col("n_violations") === 0L)
+    val pkU = fin("orders_pk_unique",
+      orders.groupBy(col("o_orderkey")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n_checked"),
+          coalesce(sum(col("c") - 1), lit(0L)).as("n_violations")))
+    val fkLo = fin("lineitem_fk_orders",
+      lineitem.select(col("l_orderkey"))
+        .join(orders.select(col("o_orderkey").as("l_orderkey")),
+          Seq("l_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(lineitem.agg(count(lit(1)).as("n_checked")))))
+    val fkOc = fin("orders_fk_customer",
+      orders.select(col("o_custkey"))
+        .join(customer.select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .crossJoin(broadcast(orders.agg(count(lit(1)).as("n_checked")))))
+    val qty = fin("lineitem_quantity_range",
+      lineitem.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val disc = fin("lineitem_discount_range",
+      lineitem.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("n_violations")))
+    val dom = fin("orders_status_domain",
+      orders.agg(count(lit(1)).as("n_checked"),
+        sum(when(!col("o_orderstatus").isin("F", "O", "P"), 1L)
+          .otherwise(0L)).as("n_violations")))
+    val bal = fin("customer_acctbal_not_null",
+      customer.agg(count(lit(1)).as("n_checked"),
+        sum(when(col("c_acctbal").isNull, 1L).otherwise(0L)).as("n_violations")))
+    val ship = fin("lineitem_ship_after_order",
+      lineitem.select(col("l_orderkey"), col("l_shipdate"))
+        .join(orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+          "l_orderkey")
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("l_shipdate") < col("o_orderdate"), 1L)
+            .otherwise(0L)).as("n_violations")))
+    Seq(pkU, fkLo, fkOc, qty, disc, dom, bal, ship).reduce(_ unionByName _)
+  }
+
   /** Multi-touch attribution model comparison — [[purchaseAttribution]]
     * answers "which view gets the credit" under ONE model (last
     * touch); this replays the same purchase→view credit under all

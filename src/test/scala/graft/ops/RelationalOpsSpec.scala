@@ -784,6 +784,38 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("dataQualityChecks: planted violations are counted exactly, clean checks pass") {
+    import java.sql.Date
+    val li = Seq(
+      (1L, 5.0, 0.05, Date.valueOf("2024-02-01")),  // clean
+      (1L, 99.0, 0.05, Date.valueOf("2024-02-01")), // quantity out of range
+      (7L, 5.0, 0.30, Date.valueOf("2024-02-01")),  // fk orphan + discount
+      (2L, 5.0, 0.05, Date.valueOf("2023-12-31")))  // ships before its order
+      .toDF("l_orderkey", "l_quantity", "l_discount", "l_shipdate")
+    val ord = Seq(
+      (1L, 10L, "F", Date.valueOf("2024-01-01")),
+      (1L, 10L, "F", Date.valueOf("2024-01-01")),   // pk duplicate
+      (2L, 99L, "X", Date.valueOf("2024-01-01")))   // fk orphan + bad status
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    val cust = Seq((10L, Some(5.0)), (11L, None))
+      .toDF("c_custkey", "c_acctbal")
+    val r = RelationalOps.dataQualityChecks(li, ord, cust).collect()
+      .map(x => x.getAs[String]("check_name") ->
+        ((x.getAs[Long]("n_checked"), x.getAs[Long]("n_violations"), x.getAs[Boolean]("ok"))))
+      .toMap
+    assert(r("orders_pk_unique") === ((3L, 1L, false)))
+    assert(r("lineitem_fk_orders") === ((4L, 1L, false)))
+    assert(r("orders_fk_customer") === ((3L, 1L, false)))
+    assert(r("lineitem_quantity_range") === ((4L, 1L, false)))
+    assert(r("lineitem_discount_range") === ((4L, 1L, false)))
+    assert(r("orders_status_domain") === ((3L, 1L, false)))
+    assert(r("customer_acctbal_not_null") === ((2L, 1L, false)))
+    // orderkey 1 is duplicated in orders, so its 2 lineitems match
+    // twice each: 5 joined rows checked, only the early ship violates
+    assert(r("lineitem_ship_after_order") === ((5L, 1L, false)))
+    assert(r.size === 8)
+  }
+
   test("attributionCompare: exact conservation, models credit different hours") {
     val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
     // user 1: views at hours 1, 2, 5 then purchase at hour 6 (3
