@@ -717,6 +717,10 @@ object SparkEntry {
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
     // decomposable-state merge identity: base + delta == full, exact
     "ivm_agg" -> ((s, dir) => RelationalOps.ivmReceipt(Tables.lineitem(s, dir))),
+    // join-delta identity: (A∪ΔA)⋈(B∪ΔB) maintained from three
+    // delta-sized joins must equal recompute-from-scratch exactly
+    "ivm_join" -> ((s, dir) =>
+      RelationalOps.ivmJoinReceipt(Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // runtime-filter receipt: Bloom over the filtered build side
@@ -3228,6 +3232,32 @@ object SparkEntry {
         |GROUP BY 1, 2, 3""".stripMargin,
     // decomposable integer state: base/delta/full aggs on the same
     // key, merged counts and cent sums compared exactly
+    "ivm_join" -> {
+      def leg(pfx: String, aPred: String, bPred: String): String =
+        s"""$pfx AS (SELECT o.o_orderstatus, count(*) AS ${pfx}_n,
+           |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           |      AS ${pfx}_cents
+           |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           |  WHERE $aPred AND $bPred GROUP BY 1)""".stripMargin
+      s"""WITH ${leg("f", "TRUE", "TRUE")},
+         |${leg("bb", "o.o_orderkey % 2 = 0", "l.l_linenumber % 2 = 0")},
+         |${leg("db", "o.o_orderkey % 2 = 1", "l.l_linenumber % 2 = 0")},
+         |${leg("bd", "o.o_orderkey % 2 = 0", "l.l_linenumber % 2 = 1")},
+         |${leg("dd", "o.o_orderkey % 2 = 1", "l.l_linenumber % 2 = 1")}
+         |SELECT f.o_orderstatus, f.f_n AS full_n, f.f_cents AS full_cents,
+         |  coalesce(bb_n, 0) + coalesce(db_n, 0) + coalesce(bd_n, 0)
+         |    + coalesce(dd_n, 0) AS merged_n,
+         |  coalesce(bb_cents, 0) + coalesce(db_cents, 0) + coalesce(bd_cents, 0)
+         |    + coalesce(dd_cents, 0) AS merged_cents,
+         |  f.f_n = coalesce(bb_n, 0) + coalesce(db_n, 0) + coalesce(bd_n, 0)
+         |    + coalesce(dd_n, 0)
+         |  AND f.f_cents = coalesce(bb_cents, 0) + coalesce(db_cents, 0)
+         |    + coalesce(bd_cents, 0) + coalesce(dd_cents, 0) AS maintained_ok
+         |FROM f LEFT JOIN bb USING (o_orderstatus)
+         |LEFT JOIN db USING (o_orderstatus)
+         |LEFT JOIN bd USING (o_orderstatus)
+         |LEFT JOIN dd USING (o_orderstatus)""".stripMargin
+    },
     "ivm_agg" ->
       """WITH b AS (SELECT l_returnflag, count(*) AS base_n,
         |        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)

@@ -633,6 +633,47 @@ object RelationalOps {
         col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
   }
 
+  /** Incremental view maintenance for a JOIN — [[ivmReceipt]]'s
+    * sibling for the other expensive view class. The delta identity
+    *
+    *   (A∪ΔA) ⋈ (B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB
+    *
+    * is what lets a 100 TB materialized join absorb a batch by
+    * joining ONLY the deltas against the other side (three
+    * delta-sized joins) instead of recomputing A⋈B. The receipt
+    * splits both inputs on independent axes, aggregates each of the
+    * four legs to exact integers per order status, and pins
+    * merged ≡ recomputed-from-scratch count-for-count and
+    * cent-for-cent — a leg lost or double-counted flips
+    * maintained_ok. */
+  def ivmJoinReceipt(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val aOld = orders.filter(col("o_orderkey") % 2 === 0)
+    val aDel = orders.filter(col("o_orderkey") % 2 === 1)
+    val bOld = lineitem.filter(col("l_linenumber") % 2 === 0)
+    val bDel = lineitem.filter(col("l_linenumber") % 2 === 1)
+    def agg(a: DataFrame, b: DataFrame, pfx: String): DataFrame = a
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .join(b.select(col("l_orderkey").as("o_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+        "o_orderkey")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as(s"${pfx}_n"), sum(col("cents")).as(s"${pfx}_cents"))
+    val full = agg(orders, lineitem, "full")
+    val merged = Seq(
+      agg(aOld, bOld, "bb"), agg(aDel, bOld, "db"),
+      agg(aOld, bDel, "bd"), agg(aDel, bDel, "dd"))
+      .foldLeft(full) { (acc, leg) => acc.join(leg, Seq("o_orderstatus"), "left") }
+    def tot(suffix: String): Column =
+      Seq("bb", "db", "bd", "dd")
+        .map(p => coalesce(col(s"${p}_$suffix"), lit(0L)))
+        .reduce(_ + _)
+    merged.select(col("o_orderstatus"), col("full_n"), col("full_cents"),
+      tot("n").as("merged_n"), tot("cents").as("merged_cents"))
+      .withColumn("maintained_ok",
+        col("full_n") === col("merged_n") &&
+          col("full_cents") === col("merged_cents"))
+  }
+
   /** Offline changepoint detection — CUSUM over the per-type DAILY
     * mean series (Page 1954; the batch screen for "when did this
     * metric shift"): cumulative sum of (daily mean − period mean),

@@ -784,6 +784,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("ivmJoinReceipt: four delta legs reassemble the full join exactly") {
+    val ord = Seq((1L, "F"), (2L, "O"), (3L, "F"), (4L, "O"))
+      .toDF("o_orderkey", "o_orderstatus")
+    // every (orderkey, linenumber parity) combination populated so
+    // all four legs contribute
+    val li = (1L to 4L).flatMap(k => Seq((k, 1L, 10.0), (k, 2L, 20.0)))
+      .toDF("l_orderkey", "l_linenumber", "l_extendedprice")
+    val r = RelationalOps.ivmJoinReceipt(ord, li).collect()
+    assert(r.length === 2)
+    r.foreach { x =>
+      assert(x.getAs[Boolean]("maintained_ok"))
+      assert(x.getAs[Long]("full_n") === 4L) // 2 orders × 2 lineitems
+      assert(x.getAs[Long]("full_cents") === 2 * (1000L + 2000L))
+      assert(x.getAs[Long]("merged_n") === x.getAs[Long]("full_n"))
+      assert(x.getAs[Long]("merged_cents") === x.getAs[Long]("full_cents"))
+    }
+  }
+
   test("dataQualityChecks: planted violations are counted exactly, clean checks pass") {
     import java.sql.Date
     val li = Seq(
