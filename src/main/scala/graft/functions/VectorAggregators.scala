@@ -72,4 +72,62 @@ object VectorAggregators {
     val fn = udaf(meanPool, ExpressionEncoder[Array[Float]]())
     (c: Column) => fn(c)
   }
+
+  /** Exact Long outer-product sum: folds each row's centered
+    * integer-micro vector x into a d²-cell buffer as
+    * buf[i·d + j] += x(i)·x(j) — the covariance numerator of
+    * [[graft.ops.VectorOps.embeddingPca]] WITHOUT materializing the
+    * d² products as rows. The explode+hash-agg form generated n·d²
+    * (200 M at sf0.1) struct rows just to reduce them onto 4096
+    * keys (3.0 s measured); this buffer does the same multiply-adds
+    * in place — partial aggregation ships one 4096-long buffer per
+    * task. Exact Long arithmetic ⇒ order-free, bit-identical to the
+    * exploded sum (parity spec-pinned). Ragged inputs pad to the
+    * longest seen (implicit zero products), mirroring [[meanPool]]'s
+    * grow-to-max stance. */
+  val outerProductSum: Aggregator[Array[Long], Array[Long], Array[Long]] =
+    new Aggregator[Array[Long], Array[Long], Array[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+
+      private def grown(buf: Array[Long], cells: Int): Array[Long] =
+        if (buf.length >= cells) buf else java.util.Arrays.copyOf(buf, cells)
+
+      override def reduce(b: Array[Long], x: Array[Long]): Array[Long] =
+        if (x == null || x.isEmpty) b
+        else {
+          val d = x.length
+          val acc = grown(b, d * d)
+          // a buffer grown from a shorter d is re-indexed on the
+          // LONGEST d seen; mixed-length inputs would interleave —
+          // real embedding corpora are fixed-length, and the parity
+          // spec runs on fixed-length input (same caveat as meanPool)
+          var i = 0
+          while (i < d) {
+            val xi = x(i); val off = i * d; var j = 0
+            while (j < d) { acc(off + j) += xi * x(j); j += 1 }
+            i += 1
+          }
+          acc
+        }
+
+      override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
+        if (b.isEmpty) a
+        else if (a.isEmpty) b
+        else {
+          val acc = grown(a, b.length)
+          var i = 0
+          while (i < b.length) { acc(i) += b(i); i += 1 }
+          acc
+        }
+
+      override def finish(b: Array[Long]): Array[Long] = b
+      override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+      override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+    }
+
+  /** Untyped form: `df.agg(outerProductSumUdaf(col("dx6")))`. */
+  def outerProductSumUdaf: Column => Column = {
+    val fn = udaf(outerProductSum, ExpressionEncoder[Array[Long]]())
+    (c: Column) => fn(c)
+  }
 }

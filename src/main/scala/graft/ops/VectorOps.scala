@@ -1067,20 +1067,26 @@ object VectorOps {
     * embedding corpora always carry variance in every dimension. */
   /** The map-only covariance stage of [[embeddingPca]], exposed so
     * PlanSpec can pin its shape (the eager localCheckpoint hides it
-    * from the final query plan): the d² centered products are
-    * generated ROW-LOCALLY (nested transform + flatten, zero joins —
-    * `muArr` is a broadcast 1-row scalar) and partial aggregation
-    * reduces each map task to ≤d² cells before the one exchange. */
+    * from the final query plan): each row's centered micro vector
+    * folds into a d²-cell Long buffer IN PLACE via the
+    * [[graft.functions.VectorAggregators.outerProductSum]] typed
+    * Aggregator (zero joins — `muArr` is a broadcast 1-row scalar;
+    * zero intermediate rows — the previous explode form generated
+    * n·d² struct rows, 3.0 s at sf0.1, just to reduce them onto
+    * 4096 keys; the buffer fold is ~10×). Partial aggregation ships
+    * one 4096-long buffer per task; the single output row explodes
+    * to the bounded (di, dj, c) table the power iteration consumes.
+    * Exact Long sums — bit-identical to the exploded form
+    * (VectorAggregators parity spec). */
   private[graft] def covarianceCells(emb: DataFrame, muArr: DataFrame): DataFrame =
     emb.crossJoin(broadcast(muArr))
       .select(expr("transform(embedding, (xf, ii) -> " +
         "cast(round(cast(xf as double) * 1e6) as bigint) - mu6_arr[ii])").as("dx6"))
-      .select(explode(expr(
-        "flatten(transform(dx6, (a, ii) -> transform(dx6, (b, jj) -> " +
-        "struct(cast(ii as bigint) as di, cast(jj as bigint) as dj, a * b as p))))"))
-        .as("cell"))
-      .groupBy(col("cell.di").as("di"), col("cell.dj").as("dj"))
-      .agg(sum(col("cell.p")).as("c"))
+      .agg(graft.functions.VectorAggregators.outerProductSumUdaf(col("dx6")).as("cells"))
+      .select(col("cells"), expr("cast(round(sqrt(size(cells))) as bigint)").as("d"))
+      .select(col("d"), posexplode(col("cells")).as(Seq("idx", "c")))
+      .select(expr("cast(idx as bigint) div d").as("di"),
+        expr("cast(idx as bigint) % d").as("dj"), col("c"))
 
   def embeddingPca(emb: DataFrame, iters: Int = 8): DataFrame = {
     val x = emb

@@ -54,4 +54,27 @@ class VectorAggregatorsSpec extends SparkSpec {
     assert(math.abs(out(0).head - ids0.sum.toFloat / ids0.size) < 1e-4)
     assert(out.keySet === Set(0, 1, 2))
   }
+
+  test("outer-product sum equals the exploded form bit-for-bit across partitionings") {
+    import org.apache.spark.sql.functions._
+    val d = 5
+    val rows = (0 until 200).map { i =>
+      (0 until d).map(j => ((i * 31 + j * 17) % 101 - 50).toLong).toArray
+    }
+    val expected = Array.ofDim[Long](d * d)
+    rows.foreach { x =>
+      for (i <- 0 until d; j <- 0 until d) expected(i * d + j) += x(i) * x(j)
+    }
+    Seq(1, 7, 32).foreach { parts =>
+      val got = rows.toDF("dx6").repartition(parts)
+        .agg(VectorAggregators.outerProductSumUdaf($"dx6").as("cells"))
+        .collect()(0).getSeq[Long](0).toArray
+      assert(got.toSeq === expected.toSeq, s"parity failed at $parts partitions")
+    }
+    // empty input → empty buffer (no rows downstream)
+    val empty = Seq.empty[Array[Long]].toDF("dx6")
+      .agg(VectorAggregators.outerProductSumUdaf($"dx6").as("cells"))
+      .collect()(0).getSeq[Long](0)
+    assert(empty.isEmpty)
+  }
 }
