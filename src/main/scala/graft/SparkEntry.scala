@@ -721,6 +721,9 @@ object SparkEntry {
     // delta-sized joins must equal recompute-from-scratch exactly
     "ivm_join" -> ((s, dir) =>
       RelationalOps.ivmJoinReceipt(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // pooled two-proportion z over the parity cohorts: exact counts,
+    // one rounded double formula, |z| > 1.96 call
+    "ab_test" -> ((s, dir) => RelationalOps.abTest(Tables.events(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // runtime-filter receipt: Bloom over the filtered build side
@@ -4478,6 +4481,35 @@ object SparkEntry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
         |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
+    "ab_test" ->
+      """WITH u AS (SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |                   >= 15 THEN 1 ELSE 0 END AS converted,
+        |         user_id % 2 AS cohort
+        |       FROM events GROUP BY user_id),
+        |c AS (SELECT
+        |        CAST(sum(CASE WHEN cohort = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN cohort = 0 THEN converted ELSE 0 END) AS BIGINT)
+        |          AS conv_a,
+        |        CAST(sum(CASE WHEN cohort = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |        CAST(sum(CASE WHEN cohort = 1 THEN converted ELSE 0 END) AS BIGINT)
+        |          AS conv_b
+        |      FROM u),
+        |s AS (SELECT *,
+        |        sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |          * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+        |          * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
+        |      FROM c),
+        |zz AS (SELECT *,
+        |         CASE WHEN se > 0
+        |           THEN round((conv_a / n_a - conv_b / n_b) / se, 6) + 0
+        |           ELSE 0.0 END AS z
+        |       FROM s)
+        |SELECT n_a, conv_a, n_b, conv_b,
+        |  round(conv_a / n_a, 6) + 0 AS rate_a,
+        |  round(conv_b / n_b, 6) + 0 AS rate_b,
+        |  z, abs(z) > 1.96 AS significant
+        |FROM zz""".stripMargin,
     "attribution_compare" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_ts
         |           FROM events WHERE event_type = 'purchase'),

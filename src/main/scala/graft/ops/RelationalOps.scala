@@ -633,6 +633,47 @@ object RelationalOps {
         col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
   }
 
+  /** Two-proportion A/B test receipt — the experiment-analysis
+    * primitive: users split by the deterministic user_id parity
+    * (stand-in for an assignment column), conversion = a per-user
+    * engagement threshold (≥ `minPurchases` purchase events — an
+    * any-purchase metric saturates to p = 1 on this corpus and
+    * degenerates the variance), and the pooled two-proportion z with
+    * the |z| > 1.96 call. z is computed from EXACT Long counts in one
+    * double expression and rounded once; significance compares the
+    * ROUNDED z — both engines land on identical bits given identical
+    * integer inputs (IEEE +,·,/,√ are correctly rounded). Degenerate
+    * pools (p = 0 or p = 1 ⇒ zero pooled variance) emit z = 0 / not
+    * significant EXPLICITLY — Spark's ANSI mode throws on the 0/0 a
+    * naive formula produces, DuckDB NaNs: the guard is the only
+    * portable semantics.
+    *
+    * Scale shape: one user-keyed agg (map-side partial sum) collapses
+    * the stream to a user table, then a single 4-counter global agg —
+    * the entire test is two bounded reductions. */
+  def abTest(events: DataFrame, minPurchases: Long = 15): DataFrame = {
+    val users = events.groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("n_purch"))
+      .select(col("user_id"),
+        when(col("n_purch") >= minPurchases, 1L).otherwise(0L).as("converted"))
+      .withColumn("cohort", col("user_id") % 2)
+    val p = (col("conv_a") + col("conv_b")) / (col("n_a") + col("n_b"))
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    users.agg(
+      sum(when(col("cohort") === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("cohort") === 0, col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(col("cohort") === 1, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("cohort") === 1, col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("rate_a", roundn(col("conv_a") / col("n_a"), 6))
+      .withColumn("rate_b", roundn(col("conv_b") / col("n_b"), 6))
+      .withColumn("z", when(se > 0.0, roundn(
+        (col("conv_a") / col("n_a") - col("conv_b") / col("n_b")) / se, 6))
+        .otherwise(lit(0.0)))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
   /** Incremental view maintenance for a JOIN — [[ivmReceipt]]'s
     * sibling for the other expensive view class. The delta identity
     *

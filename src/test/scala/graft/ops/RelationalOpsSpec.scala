@@ -784,6 +784,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("abTest: exact counts, a planted lift is significant, degenerate pools guard to z=0") {
+    // 40 even users: 30 convert (3 purchases); 40 odd users: 6 convert
+    def ev(u: Long, purchases: Int) =
+      (0 until purchases).map(i => (u * 100 + i, u, i.toLong, "purchase", 1.0, "{}")) :+
+        ((u * 100 + 99, u, 99L, "view", 1.0, "{}"))
+    val rows = (0 until 80).flatMap { i =>
+      val u = i.toLong
+      val converts = if (u % 2 == 0) (u / 2) % 4 != 0 else (u / 2) % 7 == 0
+      ev(u, if (converts) 3 else 1)
+    }
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.abTest(events, minPurchases = 3).head()
+    assert(r.getAs[Long]("n_a") === 40L && r.getAs[Long]("n_b") === 40L)
+    assert(r.getAs[Long]("conv_a") === 30L && r.getAs[Long]("conv_b") === 6L)
+    assert(r.getAs[Boolean]("significant"), "a 75% vs 15% lift must be significant")
+    assert(r.getAs[Double]("z") > 1.96)
+    // degenerate: everyone converts → zero pooled variance → the
+    // explicit z=0 guard, not an ANSI divide-by-zero
+    val all = (0 until 10).flatMap(i => ev(i.toLong, 3))
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val d = RelationalOps.abTest(all, minPurchases = 3).head()
+    assert(d.getAs[Double]("z") === 0.0 && !d.getAs[Boolean]("significant"))
+  }
+
   test("ivmJoinReceipt: four delta legs reassemble the full join exactly") {
     val ord = Seq((1L, "F"), (2L, "O"), (3L, "F"), (4L, "O"))
       .toDF("o_orderkey", "o_orderstatus")
