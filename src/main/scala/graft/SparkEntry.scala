@@ -724,6 +724,9 @@ object SparkEntry {
     // pooled two-proportion z over the parity cohorts: exact counts,
     // one rounded double formula, |z| > 1.96 call
     "ab_test" -> ((s, dir) => RelationalOps.abTest(Tables.events(s, dir))),
+    // Kaplan-Meier time-to-churn: censored horizon users, per-duration
+    // at-risk/churned counts, S(t) via the exact log-micro fold
+    "survival_curve" -> ((s, dir) => RelationalOps.survivalCurve(Tables.events(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // runtime-filter receipt: Bloom over the filtered build side
@@ -4481,6 +4484,40 @@ object SparkEntry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
         |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
+    "survival_curve" ->
+      """WITH bu AS (SELECT user_id,
+        |         min(epoch_ns(ts) // 86400000000000) AS d0,
+        |         max(epoch_ns(ts) // 86400000000000) AS d1
+        |       FROM events GROUP BY 1),
+        |mx AS (SELECT max(d1) AS max_day FROM bu),
+        |u AS (SELECT d1 - d0 + 1 AS duration,
+        |        CASE WHEN d1 < mx.max_day THEN 1 ELSE 0 END AS churned
+        |      FROM bu, mx),
+        |pt AS (SELECT duration, count(*) AS n_t,
+        |         CAST(sum(churned) AS BIGINT) AS n_churned
+        |       FROM u GROUP BY 1),
+        |rk AS (SELECT *, n_t - n_churned AS n_censored,
+        |         CAST(sum(n_t) OVER (ORDER BY duration DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS n_risk
+        |       FROM pt),
+        |lf AS (SELECT *,
+        |         CASE WHEN n_churned = n_risk THEN 0
+        |           ELSE CAST(round(ln(1 - n_churned / CAST(n_risk AS DOUBLE))
+        |             * 1000000.0) AS BIGINT) END AS lf_micro,
+        |         max(CASE WHEN n_churned = n_risk THEN 1 ELSE 0 END)
+        |           OVER (ORDER BY duration
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zero_seen
+        |       FROM rk),
+        |cm AS (SELECT *,
+        |         CAST(sum(lf_micro) OVER (ORDER BY duration
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS cum_lf
+        |       FROM lf)
+        |SELECT duration, n_risk, n_churned, n_censored,
+        |  CASE WHEN zero_seen = 1 THEN 0.0
+        |       ELSE round(exp(cum_lf / 1000000.0), 6) + 0 END AS survival
+        |FROM cm""".stripMargin,
     "ab_test" ->
       """WITH u AS (SELECT user_id,
         |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)

@@ -633,6 +633,59 @@ object RelationalOps {
         col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
   }
 
+  /** Kaplan-Meier survival curve over user activity spans — the
+    * time-to-churn member of the statistics family (Kaplan & Meier
+    * '58): duration = a user's active span in days, the churn EVENT
+    * is a last-active day before the corpus horizon, and a user
+    * still active on the horizon day is CENSORED (their span is a
+    * lower bound, which is exactly what the KM estimator is for —
+    * a naive "mean lifetime" silently treats them as churned).
+    * Per distinct duration t: at-risk n_t (span ≥ t), churn count
+    * d_t, censored count, and S(t) = Π_{j≤t} (1 − d_j/n_j).
+    *
+    * Determinism (the lm_logprob log-fold discipline): each factor's
+    * ln rounds once to integer micros, the cumulative product is an
+    * exact windowed micro SUM, and S = exp(·) rounds once at output;
+    * a d = n step (zero factor, ln −∞) sets an explicit zero flag
+    * carried by a windowed max — S is 0.0 from there on, no ±inf
+    * crosses an engine boundary.
+    *
+    * Scale shape: one user-keyed agg collapses the stream; every
+    * window runs over the ≤|distinct durations| (calendar-bounded)
+    * table — the single-partition windows are bounded by
+    * construction, never corpus-sized. */
+  def survivalCurve(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val byUser = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val maxDay = byUser.agg(max(col("d1")).as("max_day"))
+    val u = byUser.crossJoin(broadcast(maxDay))
+      .select((col("d1") - col("d0") + 1).as("duration"),
+        when(col("d1") < col("max_day"), 1L).otherwise(0L).as("churned"))
+    val perT = u.groupBy(col("duration"))
+      .agg(count(lit(1)).as("n_t"), sum(col("churned")).as("n_churned"))
+      .withColumn("n_censored", col("n_t") - col("n_churned"))
+    val wDesc = Window.orderBy(col("duration").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("duration"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perT.withColumn("n_risk", sum(col("n_t")).over(wDesc))
+      .withColumn("lf_micro",
+        when(col("n_churned") === col("n_risk"), lit(0L))
+          .otherwise(round(log(lit(1.0) -
+            col("n_churned") / col("n_risk")) * 1e6).cast("long")))
+      .withColumn("zero_seen",
+        max((col("n_churned") === col("n_risk")).cast("int")).over(wAsc))
+      .withColumn("cum_lf", sum(col("lf_micro")).over(wAsc))
+      .select(col("duration"), col("n_risk"), col("n_churned"),
+        col("n_censored"),
+        when(col("zero_seen") === 1, lit(0.0))
+          .otherwise(roundn(exp(col("cum_lf") / lit(1000000.0)), 6))
+          .as("survival"))
+  }
+
   /** Two-proportion A/B test receipt — the experiment-analysis
     * primitive: users split by the deterministic user_id parity
     * (stand-in for an assignment column), conversion = a per-user

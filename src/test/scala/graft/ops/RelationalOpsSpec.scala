@@ -784,6 +784,29 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("survivalCurve: textbook KM on a planted cohort, censoring respected") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // 10 users all starting day 0: 4 churn with span 2 (last day 1),
+    // 3 churn with span 5, 3 survive to the horizon day 9 (span 10,
+    // censored). KM: S(2) = 1 - 4/10 = 0.6; S(5) = 0.6 * (1 - 3/6)
+    // = 0.3; S(10): d=0 at the censored duration -> stays 0.3.
+    val rows =
+      (0 until 4).flatMap(u => Seq((u.toLong, 0L), (u.toLong, d))) ++
+        (4 until 7).flatMap(u => Seq((u.toLong, 0L), (u.toLong, 4 * d))) ++
+        (7 until 10).flatMap(u => Seq((u.toLong, 0L), (u.toLong, 9 * d)))
+    val events = rows.zipWithIndex
+      .map { case ((u, ts), i) => (i.toLong, u, ts, "view", 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.survivalCurve(events).collect()
+      .map(x => x.getAs[Long]("duration") ->
+        ((x.getAs[Long]("n_risk"), x.getAs[Long]("n_churned"),
+          x.getAs[Long]("n_censored"), x.getAs[Double]("survival")))).toMap
+    assert(r(2L) === ((10L, 4L, 0L, 0.6)))
+    assert(r(5L)._1 === 6L && r(5L)._2 === 3L)
+    assert(math.abs(r(5L)._4 - 0.3) < 2e-6)
+    assert(r(10L) === ((3L, 0L, 3L, r(5L)._4)), "censored tail keeps S flat")
+  }
+
   test("abTest: exact counts, a planted lift is significant, degenerate pools guard to z=0") {
     // 40 even users: 30 convert (3 purchases); 40 odd users: 6 convert
     def ev(u: Long, purchases: Int) =
