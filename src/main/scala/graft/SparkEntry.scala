@@ -727,6 +727,10 @@ object SparkEntry {
     // Kaplan-Meier time-to-churn: censored horizon users, per-duration
     // at-risk/churned counts, S(t) via the exact log-micro fold
     "survival_curve" -> ((s, dir) => RelationalOps.survivalCurve(Tables.events(s, dir))),
+    // sequence mining at fixed depth: the exact 3-type path before
+    // each purchase, counted/ranked — three lag taps on one sort
+    "pre_purchase_paths" -> ((s, dir) =>
+      RelationalOps.prePurchasePaths(Tables.events(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // runtime-filter receipt: Bloom over the filtered build side
@@ -4484,6 +4488,26 @@ object SparkEntry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
         |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
+    "pre_purchase_paths" ->
+      """WITH s AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
+        |           FROM events),
+        |lagd AS (SELECT event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+        |      AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+        |      AS p2,
+        |    lag(event_type, 3) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+        |      AS p3
+        |  FROM s),
+        |p AS (SELECT p3 || '>' || p2 || '>' || p1 AS path, count(*) AS n
+        |      FROM lagd WHERE event_type = 'purchase' AND p3 IS NOT NULL
+        |      GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tt FROM p)
+        |SELECT CAST(row_number() OVER (ORDER BY p.n DESC, p.path) AS BIGINT)
+        |         AS rank,
+        |       p.path, p.n, round(p.n / t.tt, 6) + 0 AS share
+        |FROM p, t
+        |QUALIFY row_number() OVER (ORDER BY p.n DESC, p.path) <= 10""".stripMargin,
     "survival_curve" ->
       """WITH bu AS (SELECT user_id,
         |         min(epoch_ns(ts) // 86400000000000) AS d0,

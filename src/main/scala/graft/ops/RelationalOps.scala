@@ -633,6 +633,36 @@ object RelationalOps {
         col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
   }
 
+  /** Pre-conversion path mining — the sequence-pattern member of the
+    * events family (the SPADE/PrefixSpan question asked at fixed
+    * depth): for every purchase, the exact 3-event-type path that
+    * immediately preceded it in the user's stream, counted and
+    * ranked with its share — "what do users DO right before they
+    * convert", which the unordered funnel counts flatten away.
+    *
+    * Scale shape: three lag() taps over ONE user-keyed sort (the
+    * [[funnelDepth]] discipline — never a shuffle per depth), a
+    * |types|³-bounded path agg, a 1-row total broadcast back, and a
+    * TakeOrderedAndProject top-k. */
+  def prePurchasePaths(events: DataFrame, k: Int = 10): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val seq = events
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("p3", lag(col("event_type"), 3).over(w))
+      .filter(col("event_type") === "purchase" && col("p3").isNotNull)
+    val paths = seq
+      .groupBy(concat_ws(">", col("p3"), col("p2"), col("p1")).as("path"))
+      .agg(count(lit(1)).as("n"))
+    val total = paths.agg(sum(col("n")).as("t"))
+    paths.crossJoin(broadcast(total))
+      .select(col("path"), col("n"), roundn(col("n") / col("t"), 6).as("share"))
+      .orderBy(col("n").desc, col("path")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n").desc, col("path"))).cast("long"))
+      .select(col("rank"), col("path"), col("n"), col("share"))
+  }
+
   /** Kaplan-Meier survival curve over user activity spans — the
     * time-to-churn member of the statistics family (Kaplan & Meier
     * '58): duration = a user's active span in days, the churn EVENT

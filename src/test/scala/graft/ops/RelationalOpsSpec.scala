@@ -784,6 +784,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("prePurchasePaths: exact predecessor triple, early purchases excluded") {
+    // user 1: view > click > view > purchase (path view>click>view);
+    // user 2: purchase with only 2 predecessors -> excluded;
+    // user 3: same path as user 1
+    def stream(u: Long, types: Seq[String]) = types.zipWithIndex.map {
+      case (t, i) => (u * 100 + i, u, i.toLong * 1000, t, 1.0, "{}")
+    }
+    val rows = stream(1L, Seq("view", "click", "view", "purchase")) ++
+      stream(2L, Seq("view", "click", "purchase")) ++
+      stream(3L, Seq("view", "click", "view", "purchase"))
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.prePurchasePaths(events).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("path") === "view>click>view")
+    assert(r.head.getAs[Long]("n") === 2L)
+    assert(r.head.getAs[Double]("share") === 1.0)
+  }
+
   test("survivalCurve: textbook KM on a planted cohort, censoring respected") {
     val d = 86400L * 1000 * 1000 * 1000
     // 10 users all starting day 0: 4 churn with span 2 (last day 1),
