@@ -1003,6 +1003,10 @@ object SparkEntry {
     // (ts, event_id) order, bounded |types|² count + broadcast totals
     "event_transitions" -> ((s, dir) =>
       RelationalOps.eventTransitions(Tables.events(s, dir))),
+    // the Markov model's audit: train-half argmax next-type graded on
+    // the held-out calendar half, per-from accuracy
+    "markov_accuracy" -> ((s, dir) =>
+      RelationalOps.markovAccuracy(Tables.events(s, dir))),
     // MP4 sample-table demux: stts/stsz/stco/stss walk over synthetic
     // containers whose tables are pure media_id arithmetic — the
     // oracle recomputes every frame row decoder-free
@@ -5490,6 +5494,31 @@ object SparkEntry {
         |    AS BIGINT) AS "offset",
         |  sz AS size, (sample_idx % 3 = 1) AS keyframe
         |FROM z""".stripMargin,
+    "markov_accuracy" ->
+      """WITH pr AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |          AS to_type,
+        |        epoch_ns(ts) // 86400000000000 AS day
+        |      FROM events),
+        |pairs AS (SELECT * FROM pr WHERE to_type IS NOT NULL),
+        |b AS (SELECT min(day) AS dmin, max(day) AS dmax FROM pairs),
+        |sp AS (SELECT p.*, p.day < (b.dmin + b.dmax + 1) // 2 AS is_train
+        |       FROM pairs p, b),
+        |m AS (SELECT from_type, to_type AS predicted_next FROM (
+        |        SELECT from_type, to_type,
+        |          row_number() OVER (PARTITION BY from_type
+        |            ORDER BY count(*) DESC, to_type) AS rn
+        |        FROM sp WHERE is_train GROUP BY from_type, to_type)
+        |      WHERE rn = 1)
+        |SELECT t.from_type, max(m.predicted_next) AS predicted_next,
+        |  count(*) AS n_test,
+        |  CAST(sum(CASE WHEN t.to_type = m.predicted_next THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_correct,
+        |  round(CAST(sum(CASE WHEN t.to_type = m.predicted_next THEN 1 ELSE 0 END)
+        |    AS BIGINT) / CAST(count(*) AS DOUBLE), 6) + 0 AS accuracy
+        |FROM sp t LEFT JOIN m USING (from_type)
+        |WHERE NOT t.is_train
+        |GROUP BY t.from_type""".stripMargin,
     "event_transitions" ->
       """WITH ord AS (SELECT event_type,
         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

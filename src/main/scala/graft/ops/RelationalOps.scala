@@ -197,6 +197,49 @@ object RelationalOps {
         col("p_trans"))
   }
 
+  /** The Markov model's declared AUDIT — [[eventTransitions]] trains
+    * a transition matrix; this grades it on data it never saw (the
+    * NB→confusion / GD→cv_folds / ANN→recall convention): adjacent
+    * (from, to) pairs split at the calendar midpoint of the FROM
+    * event's day, the train half's per-from argmax becomes the
+    * predicted next type, and the test half reports per-from
+    * accuracy. A from-type unseen in training predicts null and
+    * scores 0 — stated, not silent.
+    *
+    * Scale shape: one user-keyed sort serves the lead() tap; the
+    * model is a |types|²-bounded agg broadcast into the test pairs;
+    * the audit agg keys on |types|. */
+  def markovAccuracy(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .select(col("event_type").as("from_type"), col("to_type"),
+        expr(s"ts div ${dayNanos}L").as("day"))
+    val bounds = pairs.agg(min(col("day")).as("dmin"), max(col("day")).as("dmax"))
+    val split = pairs.crossJoin(broadcast(bounds))
+      .withColumn("is_train", col("day") < expr("(dmin + dmax + 1) div 2"))
+    val model = split.filter(col("is_train"))
+      .groupBy(col("from_type"), col("to_type")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("from_type"))
+          .orderBy(col("c").desc, col("to_type"))))
+      .filter(col("rn") === 1)
+      .select(col("from_type"), col("to_type").as("predicted_next"))
+    split.filter(!col("is_train"))
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy(col("from_type"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("to_type") === col("predicted_next"), 1L).otherwise(0L))
+          .as("n_correct"),
+        max(col("predicted_next")).as("predicted_next"))
+      .withColumn("accuracy", roundn(col("n_correct") / col("n_test"), 6))
+      .select(col("from_type"), col("predicted_next"), col("n_test"),
+        col("n_correct"), col("accuracy"))
+  }
+
   /** Cohort retention — the canonical product-analytics matrix: users
     * cohorted by first-active day; each (cohort_day, day_offset) cell
     * counts the cohort members active that day, with the retention

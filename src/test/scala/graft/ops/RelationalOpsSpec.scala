@@ -784,6 +784,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("markovAccuracy: held-out grading, unseen from-type scores 0 with null prediction") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // 10-day calendar -> pairs with from-day < 5 train, >= 5 test.
+    // user 1 (train days 0-3): a->b three times, a->c once => predict b.
+    // user 2 (test days 6-9): a->b, a->b, a->c => accuracy 2/3.
+    // user 3 (test days 6-7): x->y, never seen in train.
+    val rows =
+      Seq((1L, 0L, "a"), (1L, 0L, "b"), (1L, 1L, "a"), (1L, 1L, "b"),
+        (1L, 2L, "a"), (1L, 2L, "b"), (1L, 3L, "a"), (1L, 3L, "c")) ++
+        Seq((2L, 6L, "a"), (2L, 6L, "b"), (2L, 7L, "a"), (2L, 7L, "b"),
+          (2L, 8L, "a"), (2L, 8L, "c"), (2L, 9L, "z")) ++
+        Seq((3L, 6L, "x"), (3L, 7L, "y"))
+    val events = rows.zipWithIndex.map { case ((u, day, t), i) =>
+      (i.toLong, u, day * d + i, t, 1.0, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.markovAccuracy(events).collect()
+      .map(x => x.getAs[String]("from_type") ->
+        ((Option(x.getAs[String]("predicted_next")), x.getAs[Long]("n_test"),
+          x.getAs[Long]("n_correct"), x.getAs[Double]("accuracy")))).toMap
+    assert(r("a") === ((Some("b"), 3L, 2L, 0.666667)))
+    assert(r("x") === ((None, 1L, 0L, 0.0)), "unseen from-type: null prediction, 0 accuracy")
+    // the z event and user-2's c->z pair land where expected: c seen
+    // in train (from a->c's c? no - c only as a TO type), so c->z is
+    // also an unseen from
+    assert(r.get("c").forall(_._1.isEmpty))
+  }
+
   test("prePurchasePaths: exact predecessor triple, early purchases excluded") {
     // user 1: view > click > view > purchase (path view>click>view);
     // user 2: purchase with only 2 predecessors -> excluded;
