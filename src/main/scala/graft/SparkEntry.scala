@@ -498,6 +498,26 @@ object SparkEntry {
     // CDC snapshot diff: the "new" snapshot derives deterministically
     // from the corpus (bucket<5 removed, 5..9 changed, >=95 re-keyed
     // as additions) so the change feed is oracle-checkable
+    // MERGE INTO / CDC-apply: a two-version changelog (updates,
+    // deletes, an override, a resurrection) collapses latest-wins
+    // and merges onto the base — the output IS the final state
+    "cdc_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val nullText = lit(null).cast("string")
+      val ch = docs.filter(col("doc_id") % 10 === 1)
+        .select(col("doc_id"), lit(1L).as("version"), lit("U").as("op"),
+          concat(col("text"), lit(" u1")).as("text"))
+        .unionByName(docs.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), lit(1L).as("version"), lit("D").as("op"),
+            nullText.as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 1)
+          .select(col("doc_id"), lit(2L).as("version"), lit("U").as("op"),
+            concat(col("text"), lit(" u2")).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 20 === 0)
+          .select(col("doc_id"), lit(2L).as("version"), lit("I").as("op"),
+            concat(lit("resurrected "), col("doc_id").cast("string")).as("text")))
+      CorpusOps.cdcApply(docs, ch)
+    }),
     "snapshot_diff" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val b = graft.functions.PortableHash.bucket(concat(col("text"), lit("|snap")), 100)
@@ -2246,6 +2266,24 @@ object SparkEntry {
     // old = documents; new derives via the same salted bucket the
     // Spark side uses (bucket<5 removed, 5..9 changed, >=95 re-keyed
     // additions); unchanged docs drop out of the change feed
+    "cdc_apply" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 1 AS version, 'U' AS op, text || ' u1' AS text
+        |  FROM documents WHERE doc_id % 10 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'D', NULL FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'U', text || ' u2'
+        |  FROM documents WHERE doc_id % 20 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'I', 'resurrected ' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |latest AS (SELECT doc_id, op, text AS new_text FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY version DESC, op) AS rn FROM ch) WHERE rn = 1)
+        |SELECT doc_id, sha256(coalesce(l.new_text, d.text)) AS content_hash
+        |FROM documents d FULL JOIN latest l USING (doc_id)
+        |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin,
     "snapshot_diff" ->
       s"""WITH b AS (SELECT doc_id, text,
          |             ${duckHash24("text || '|snap'")} % 100 AS bkt

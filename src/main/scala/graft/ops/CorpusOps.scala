@@ -185,6 +185,38 @@ object CorpusOps {
       .select(col("doc_id"), col("change"), col("old_hash"), col("new_hash"))
   }
 
+  /** Changelog application — the MERGE INTO / CDC-apply shape
+    * ([[snapshotDiff]] PRODUCES a change feed; this CONSUMES one):
+    * a versioned (doc_id, version, op ∈ {I, U, D}, text) changelog
+    * collapses to its latest op per key (version desc, op asc
+    * tie-break — deterministic even on a malformed same-version
+    * pair), then merges onto the base snapshot: D drops the row,
+    * I/U upserts the new text (including re-inserting a previously
+    * deleted key — the resurrection case the naive anti-join form
+    * gets wrong), untouched keys pass through. Output is the merged
+    * state's (doc_id, content_hash) — the receipt IS the final
+    * table.
+    *
+    * Scale shape: the latest-op window runs on the CHANGELOG
+    * (delta-sized, never the base); the merge is one full-outer join
+    * on the uniform doc_id key with both sides projected map-side to
+    * (id, hash-sized columns); with a doc_id-bucketed base the join
+    * is exchange-free on the base side — the Delta/Iceberg MERGE
+    * cost model. */
+  def cdcApply(base: DataFrame, changes: DataFrame): DataFrame = {
+    val latest = changes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("version").desc, col("op"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("op"), col("text").as("new_text"))
+    base.select(col("doc_id"), col("text"))
+      .join(latest, Seq("doc_id"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(col("doc_id"),
+        sha2(coalesce(col("new_text"), col("text")), 256).as("content_hash"))
+  }
+
   /** D2/D3 — delete-by-predicate + upsert: remove all rows of a
     * re-uploaded source and append its replacement rows (reference
     * app_callapi.py:122-130,140-153 — there a full FAISS rebuild; here

@@ -127,6 +127,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(CorpusOps.snapshotDiff(snap, snap).count() === 0)
   }
 
+  test("cdcApply: latest-wins merge with delete, override, resurrection, and a fresh insert") {
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, 1L, "U", "one-v1"), (1L, 2L, "U", "one-v2"), // override
+      (2L, 1L, "D", null),                              // delete stays deleted
+      (3L, 1L, "D", null), (3L, 2L, "I", "three-back"), // resurrection
+      (9L, 1L, "I", "nine"))                            // fresh insert
+      .toDF("doc_id", "version", "op", "text")
+    val r = CorpusOps.cdcApply(base, changes).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("content_hash")).toMap
+    assert(r.keySet === Set(1L, 3L, 4L, 9L))
+    assert(r(1L) === sha("one-v2"), "v2 update must override v1")
+    assert(r(3L) === sha("three-back"), "re-insert must resurrect a deleted key")
+    assert(r(4L) === sha("four"), "untouched key passes through")
+    assert(r(9L) === sha("nine"), "fresh insert lands")
+  }
+
   test("corpusStats aggregates per language") {
     val r = CorpusOps.corpusStats(corpus).head()
     assert(r.getAs[Long]("n_docs") === 5L)
