@@ -748,4 +748,65 @@ object StreamingOps {
   private def sha256Hex(s: String): String =
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Output row of [[nbScoreStream]] — the batch
+    * [[graft.ops.TextOps.nbLangApply]] schema. */
+  case class LangScore(doc_id: Long, predicted_lang: String, score_micro: Long)
+
+  /** Row-local JVM twin of the batch NB scoring kernel
+    * ([[graft.ops.TextOps.nbLangApply]]): char-trigram counts of the
+    * lowercased text → hashed buckets ([[graft.functions.PortableHash.hash24Jvm]],
+    * the spec-pinned twin of the Column hash) → per-lang exact Long
+    * score sums → argmax with lang-asc tie-break; a featureless doc
+    * (< 3 chars) falls back to the prior argmax. Spec-pinned equal to
+    * the batch apply over the same rows. */
+  def nbScoreJvm(docId: Long, text: String, nBuckets: Int,
+                 weights: Map[(String, Long), Long],
+                 defaults: Map[String, Long],
+                 priors: Map[String, Long]): LangScore = {
+    val t = if (text == null) "" else text.toLowerCase
+    val tf = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i + 3 <= t.length) {
+      val b = graft.functions.PortableHash.hash24Jvm(t.substring(i, i + 3)) % nBuckets
+      tf(b) = tf.getOrElse(b, 0L) + 1L
+      i += 1
+    }
+    if (tf.isEmpty) {
+      val (lang, mu) = priors.toSeq.minBy { case (l, m) => (-m, l) }
+      LangScore(docId, lang, mu)
+    } else {
+      val (lang, s) = priors.keys.toSeq.sorted.map { lang =>
+        val d = defaults(lang)
+        var s = priors(lang)
+        tf.foreach { case (b, n) => s += n * weights.getOrElse((lang, b), d) }
+        (lang, s)
+      }.minBy { case (l, s) => (-s, l) }
+      LangScore(docId, lang, s)
+    }
+  }
+
+  /** Streaming NB language-ID scoring — the train-once/score-forever
+    * closing of the model-persistence loop: the (bounded,
+    * ≤ |langs|·(buckets+2)-row) model artifact from
+    * [[graft.ops.TextOps.nbLangTrain]] (fresh or parquet-reloaded)
+    * localizes into the closure once, and every micro-batch scores
+    * STATELESSLY row-by-row through [[nbScoreJvm]] — no state store,
+    * no watermark, no shuffle; scoring throughput is map-parallel at
+    * any scale. The spec pins the stream's output bit-identical to
+    * the batch [[graft.ops.TextOps.nbLangApply]] over the same rows. */
+  def nbScoreStream(docs: Dataset[Doc], model: org.apache.spark.sql.DataFrame,
+                    nBuckets: Int = 4096): Dataset[LangScore] = {
+    val rows = model.collect()
+    def mu(r: org.apache.spark.sql.Row) = r.getAs[Long]("mu")
+    val weights = rows.filter(_.getAs[String]("kind") == "w")
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("b")) -> mu(r)).toMap
+    val defaults = rows.filter(_.getAs[String]("kind") == "d")
+      .map(r => r.getAs[String]("lang") -> mu(r)).toMap
+    val priors = rows.filter(_.getAs[String]("kind") == "p")
+      .map(r => r.getAs[String]("lang") -> mu(r)).toMap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.map(d => nbScoreJvm(d.doc_id, d.text, nBuckets, weights, defaults, priors))
+  }
 }

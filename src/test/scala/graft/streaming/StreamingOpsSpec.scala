@@ -728,4 +728,45 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("nbScoreStream: cross-batch stream scoring equals batch nbLangApply bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    // train on a corpus with clear per-lang trigram signal
+    val trainDocs = (0 until 40).map { i =>
+      val lang = if (i % 2 == 0) "en" else "es"
+      val base = if (lang == "en") "the quick brown fox jumps over the dog"
+                 else "el rapido zorro marron salta sobre el perro"
+      (i.toLong, base + s" doc$i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val feat = graft.ops.TextOps.nbLangFeatures(trainDocs)
+    val model = graft.ops.TextOps.nbLangTrain(trainDocs, feat)
+    // stream docs: two english-ish, one spanish-ish, one featureless
+    val streamRows = Seq(
+      Doc(100L, "s", "the brown fox jumps quick"),
+      Doc(101L, "s", "el zorro marron salta"),
+      Doc(102L, "s", "ab"), // < 3 chars -> prior argmax fallback
+      Doc(103L, "s", "over the dog the dog"))
+    val input = MemoryStream[Doc]
+    val q = nbScoreStream(input.toDS(), model)
+      .writeStream.format("memory").queryName("nb_out")
+      .outputMode("append").start()
+    try {
+      input.addData(streamRows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(streamRows.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("nb_out").as[LangScore].collect()
+        .map(s => s.doc_id -> ((s.predicted_lang, s.score_micro))).toMap
+      // the batch apply over the SAME rows is the ground truth
+      val batchDocs = streamRows.map(d => (d.doc_id, d.text))
+        .toDF("doc_id", "text")
+      val expect = graft.ops.TextOps.nbLangApply(
+        batchDocs, graft.ops.TextOps.nbLangFeatures(batchDocs), model)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("predicted_lang"), r.getAs[Long]("score_micro")))).toMap
+      assert(got === expect)
+      assert(got(100L)._1 === "en" && got(101L)._1 === "es")
+    } finally q.stop()
+  }
 }
