@@ -393,6 +393,18 @@ object SparkEntry {
     // the trained tokenizer APPLIED: encoded-corpus vocabulary census,
     // top-20 symbols by frequency after the 6 merges
     "bpe_encode" -> ((s, dir) => TextOps.bpeEncodedVocab(Tables.documents(s, dir))),
+    // load-or-create for the BPE tokenizer: the merge list persists
+    // to parquet and the reloaded artifact's replayed encode must
+    // equal train-then-encode (bpe_encode's oracle, shared by
+    // reference) — ship the merges, not the trainer
+    "bpe_model_persist" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_bpemodel_" +
+        s.sparkContext.applicationId
+      TextOps.bpeMerges(docs).write.mode("overwrite").parquet(tmp)
+      cleanupOnExit(tmp)
+      TextOps.bpeEncodedVocabFromMerges(docs, s.read.parquet(tmp))
+    }),
     // the encode step applied per document: ws-token count and
     // encoded length under the 6-merge vocabulary
     "bpe_tokenize" -> ((s, dir) => TextOps.bpeTokenize(Tables.documents(s, dir))),
@@ -5776,6 +5788,7 @@ object SparkEntry {
     "dedup_index_persist" -> oracleSqlBase("dedup_incremental"),
     "ann_index_persist" -> oracleSqlBase("ann_ivf"),
     "nb_model_persist" -> oracleSqlBase("lang_id_learned"),
+    "bpe_model_persist" -> oracleSqlBase("bpe_encode"),
     "plsa_model_persist" -> oracleSqlBase("topic_model"),
     "lm_model_persist" -> oracleSqlBase("lm_tune"),
     "gd_model_persist" -> oracleSqlBase("quality_classifier"))

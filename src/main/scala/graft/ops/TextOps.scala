@@ -1134,6 +1134,40 @@ object TextOps {
       .select(col("rank"), col("symbol"), col("n_occ"))
   }
 
+  /** The encoded-vocabulary census from a (possibly reloaded) MERGE
+    * LIST artifact — the apply half of the BPE pair: [[bpeMerges]]'
+    * output (round, lhs, rhs, pair_count — exact strings and Longs,
+    * so parquet round-trips bit-identically) IS the tokenizer model,
+    * and replaying its merges in round order over a fresh character
+    * census must reproduce [[bpeEncodedVocab]] exactly. The merge
+    * list localizes (≤ rounds rows — bounded by the training
+    * parameter); each replayed merge is the same map-only wrapped
+    * string replace the trainer used. */
+  def bpeEncodedVocabFromMerges(docs: DataFrame, merges: DataFrame,
+                                k: Int = 20): DataFrame = {
+    val ms = merges.orderBy(col("merge_round")).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+    var words = EmbedOps.tokenize(docs)
+      .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"), concat_ws("  ",
+        expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))"))
+        .as("syms"))
+      .localCheckpoint(true)
+    ms.foreach { case (l, rr) =>
+      val wrapped = concat(lit(" "), col("syms"), lit(" "))
+      val s2 = org.apache.spark.sql.functions.replace(
+        wrapped, lit(s" $l  $rr "), lit(s" $l$rr "))
+      words = words.select(col("wc"), s2.substr(lit(2), length(s2) - 2).as("syms"))
+    }
+    val top = words
+      .select(col("wc"), explode(split(col("syms"), "  ")).as("symbol"))
+      .groupBy(col("symbol")).agg(sum(col("wc")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("symbol")).limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occ").desc, col("symbol"))).cast("long"))
+      .select(col("rank"), col("symbol"), col("n_occ"))
+  }
+
   /** The trained tokenizer applied PER DOCUMENT — the actual encode
     * step of the pipeline ([[bpeEncodedVocab]] is the vocabulary-side
     * census; this is the corpus-side census): every document's

@@ -76,6 +76,16 @@ class ModelPersistSpec extends SparkSpec {
     assert(fresh === dump(TextOps.lmTune(docs)))
   }
 
+  test("BPE: reloaded merge list re-encodes bit-identically") {
+    val docs = corpus
+    val merges = TextOps.bpeMerges(docs, rounds = 4)
+    val fresh = dump(TextOps.bpeEncodedVocabFromMerges(docs, merges, k = 10))
+    val reloaded =
+      dump(TextOps.bpeEncodedVocabFromMerges(docs, roundtrip(merges, "bpe"), k = 10))
+    assert(reloaded === fresh)
+    assert(fresh === dump(TextOps.bpeEncodedVocab(docs, rounds = 4, k = 10)))
+  }
+
   test("GD classifier: reloaded trajectory scores bit-identically") {
     val docs = corpus
     val model = ClassifierOps.qualityModel(docs, minChars = 120)
