@@ -763,6 +763,9 @@ object SparkEntry {
     // each purchase, counted/ranked — three lag taps on one sort
     "pre_purchase_paths" -> ((s, dir) =>
       RelationalOps.prePurchasePaths(Tables.events(s, dir))),
+    // RFM customer-value grid with census-based value quintiles (no
+    // corpus-wide ntile sort), standard segment rules
+    "rfm_segments" -> ((s, dir) => RelationalOps.rfmSegments(Tables.events(s, dir))),
     // portable-hash Bloom FPR-vs-bits curve with the theory value
     "bloom_fpr_curve" -> ((s, dir) => SketchOps.bloomFprCurve(Tables.events(s, dir))),
     // runtime-filter receipt: Bloom over the filtered build side
@@ -4542,6 +4545,51 @@ object SparkEntry {
         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT m.method, t.n_rows, t.revenue_cents, TRUE AS agrees
         |FROM (VALUES ('shuffle'), ('broadcast'), ('salted')) m(method), t""".stripMargin,
+    "rfm_segments" ->
+      """WITH p AS (SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+        |             CAST(round(value * 100) AS BIGINT) AS cents
+        |           FROM events WHERE event_type = 'purchase'),
+        |h AS (SELECT max(day) AS hday FROM p),
+        |rfm AS (SELECT user_id, max(day) AS last_day, count(*) AS f,
+        |          CAST(sum(cents) AS BIGINT) AS m_cents
+        |        FROM p GROUP BY 1),
+        |r2 AS (SELECT user_id, h.hday - last_day AS r_days, f, m_cents
+        |       FROM rfm, h),
+        |nn AS (SELECT count(*) AS n FROM r2),
+        |rs AS (SELECT r_days, (5 * cum + nn.n - 1) // nn.n AS r_days_score
+        |       FROM (SELECT r_days,
+        |               CAST(sum(cnt) OVER (ORDER BY r_days DESC
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS BIGINT) AS cum
+        |             FROM (SELECT r_days, count(*) AS cnt FROM r2 GROUP BY 1)),
+        |            nn),
+        |fs AS (SELECT f, (5 * cum + nn.n - 1) // nn.n AS f_score
+        |       FROM (SELECT f,
+        |               CAST(sum(cnt) OVER (ORDER BY f
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS BIGINT) AS cum
+        |             FROM (SELECT f, count(*) AS cnt FROM r2 GROUP BY 1)),
+        |            nn),
+        |ms AS (SELECT m_cents, (5 * cum + nn.n - 1) // nn.n AS m_cents_score
+        |       FROM (SELECT m_cents,
+        |               CAST(sum(cnt) OVER (ORDER BY m_cents
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                 AS BIGINT) AS cum
+        |             FROM (SELECT m_cents, count(*) AS cnt FROM r2 GROUP BY 1)),
+        |            nn),
+        |sc AS (SELECT r2.*, rs.r_days_score, fs.f_score, ms.m_cents_score
+        |       FROM r2 JOIN rs USING (r_days) JOIN fs USING (f)
+        |       JOIN ms USING (m_cents))
+        |SELECT CASE WHEN r_days_score >= 4 AND f_score >= 4 THEN 'champion'
+        |            WHEN f_score >= 4 THEN 'loyal'
+        |            WHEN m_cents_score >= 4 THEN 'big_spender'
+        |            WHEN r_days_score <= 2 AND f_score <= 2 THEN 'hibernating'
+        |            WHEN r_days_score <= 2 THEN 'at_risk'
+        |            ELSE 'regular' END AS segment,
+        |       count(*) AS n_users,
+        |       CAST(sum(m_cents) AS BIGINT) AS total_m_cents,
+        |       round(avg(r_days), 6) + 0 AS avg_r_days
+        |FROM sc GROUP BY 1""".stripMargin,
     "pre_purchase_paths" ->
       """WITH s AS (SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn
         |           FROM events),

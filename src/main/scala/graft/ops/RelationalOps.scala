@@ -676,6 +676,69 @@ object RelationalOps {
         col("full_n") === col("merged_n") && col("full_cents") === col("merged_cents"))
   }
 
+  /** RFM segmentation — the classic customer-value grid
+    * (recency / frequency / monetary), scored WITHOUT a corpus-wide
+    * sort: ntile's position-based buckets would need one global sort
+    * per dimension (the single-partition window the engine bans on
+    * data-sized tables — the watermark_profile lesson), so scores are
+    * VALUE-based cumulative quintiles instead: per metric, a
+    * distinct-value census with a cumulative count window (census is
+    * calendar-/count-/|users|-bounded, never event-sized), and
+    * score(v) = ceil(5·c(v)/n) as exact integer arithmetic — ties
+    * share a score by construction, which is also the defensible
+    * semantics (two identical customers never land in different
+    * bands). Recency cumulates DESCENDING (most recent ⇒ 5).
+    *
+    * Output: per segment (the standard champion/loyal/big-spender/
+    * at-risk/hibernating/regular rules over the score grid) —
+    * n_users, total monetary cents, mean recency days.
+    *
+    * Scale shape: one user-keyed purchase agg; three census aggs with
+    * windows over distinct-value tables; three broadcast score-map
+    * joins back; a ≤6-key final agg. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val horizon = p.agg(max(col("day")).as("hday"))
+    val rfm = p.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("f"),
+        sum(col("cents")).as("m_cents"))
+      .crossJoin(broadcast(horizon))
+      .withColumn("r_days", col("hday") - col("last_day"))
+      .localCheckpoint(true)
+    // value-census quintile map for one metric: score(v) =
+    // ceil(5 · cum(v) / n) over the ordered distinct-value census
+    def scoreMap(metric: String, descending: Boolean): DataFrame = {
+      val census = rfm.groupBy(col(metric)).agg(count(lit(1)).as("cnt"))
+      val w = (if (descending) Window.orderBy(col(metric).desc)
+               else Window.orderBy(col(metric)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      census
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(rfm.agg(count(lit(1)).as("n"))))
+        .select(col(metric),
+          expr("(5 * cum + n - 1) div n").as(s"${metric}_score"))
+    }
+    val scored = rfm
+      .join(broadcast(scoreMap("r_days", descending = true)), "r_days")
+      .join(broadcast(scoreMap("f", descending = false)), "f")
+      .join(broadcast(scoreMap("m_cents", descending = false)), "m_cents")
+    scored
+      .withColumn("segment",
+        when(col("r_days_score") >= 4 && col("f_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("m_cents_score") >= 4, "big_spender")
+          .when(col("r_days_score") <= 2 && col("f_score") <= 2, "hibernating")
+          .when(col("r_days_score") <= 2, "at_risk")
+          .otherwise("regular"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("m_cents")).as("total_m_cents"),
+        roundn(avg(col("r_days")), 6).as("avg_r_days"))
+  }
+
   /** Pre-conversion path mining — the sequence-pattern member of the
     * events family (the SPADE/PrefixSpan question asked at fixed
     * depth): for every purchase, the exact 3-event-type path that

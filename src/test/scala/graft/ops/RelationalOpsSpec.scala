@@ -784,6 +784,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("rfmSegments: value quintiles share scores on ties, segments partition users") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // 10 users; user u purchases (u+1) times of value 10.0 on day u
+    // (horizon day 9) — every metric strictly increases with u
+    val rows = (0 until 10).flatMap { u =>
+      (0 to u).map(k => (u.toLong * 100 + k, u.toLong, u * d + k, "purchase", 10.0, "{}"))
+    }
+    val events = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val segs = RelationalOps.rfmSegments(events).collect()
+      .map(x => x.getAs[String]("segment") -> x.getAs[Long]("n_users")).toMap
+    assert(segs.values.sum === 10L, "segments partition the user base")
+    // user 9: most recent, most frequent, highest spend -> champion;
+    // user 0: oldest, least frequent -> hibernating
+    assert(segs.getOrElse("champion", 0L) >= 1L)
+    assert(segs.getOrElse("hibernating", 0L) >= 1L)
+    // determinism across runs
+    val again = RelationalOps.rfmSegments(events).collect()
+      .map(x => x.getAs[String]("segment") -> x.getAs[Long]("n_users")).toMap
+    assert(again === segs)
+  }
+
   test("markovAccuracy: held-out grading, unseen from-type scores 0 with null prediction") {
     val d = 86400L * 1000 * 1000 * 1000
     // 10-day calendar -> pairs with from-day < 5 train, >= 5 test.
