@@ -744,6 +744,10 @@ object SparkEntry {
     // the test half out-of-sample; MAE + bias per type
     "events_forecast" -> ((s, dir) =>
       RelationalOps.eventsForecastBacktest(Tables.events(s, dir))),
+    // split-conformal intervals: thirds split (fit / calibrate
+    // residual q05-q95 / measure TRUE held-out coverage)
+    "forecast_interval" -> ((s, dir) =>
+      RelationalOps.forecastInterval(Tables.events(s, dir))),
     // market-basket lift over per-(user, day) type sets; pair
     // generation map-only from sorted basket arrays
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
@@ -3276,6 +3280,37 @@ object SparkEntry {
         |WHERE p.n_ab >= 5""".stripMargin,
     // midpoint split via integer day bounds, train-only baseline,
     // test scored through the broadcast profile
+    "forecast_interval" ->
+      """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value
+        |       FROM events),
+        |cuts AS (SELECT event_type,
+        |           min(day) + (max(day) - min(day) + 1) // 3 AS cut1,
+        |           min(day) + (2 * (max(day) - min(day) + 1)) // 3 AS cut2
+        |         FROM b GROUP BY 1),
+        |tr AS (SELECT b.* FROM b JOIN cuts USING (event_type)
+        |       WHERE b.day < cuts.cut1),
+        |ca AS (SELECT b.* FROM b JOIN cuts USING (event_type)
+        |       WHERE b.day >= cuts.cut1 AND b.day < cuts.cut2),
+        |ho AS (SELECT b.* FROM b JOIN cuts USING (event_type)
+        |       WHERE b.day >= cuts.cut2),
+        |pf AS (SELECT event_type, hour_of_day, round(avg(value), 6) + 0 AS baseline
+        |       FROM tr GROUP BY 1, 2),
+        |qs AS (SELECT c.event_type,
+        |         round(quantile_cont(c.value - p.baseline, 0.05), 6) + 0 AS q05,
+        |         round(quantile_cont(c.value - p.baseline, 0.95), 6) + 0 AS q95
+        |       FROM ca c JOIN pf p USING (event_type, hour_of_day) GROUP BY 1)
+        |SELECT h.event_type, q.q05, q.q95, count(*) AS n_eval,
+        |  CAST(sum(CASE WHEN h.value - p.baseline >= q.q05
+        |                 AND h.value - p.baseline <= q.q95
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(CAST(sum(CASE WHEN h.value - p.baseline >= q.q05
+        |                       AND h.value - p.baseline <= q.q95
+        |                      THEN 1 ELSE 0 END) AS BIGINT)
+        |        / CAST(count(*) AS DOUBLE), 6) + 0 AS coverage
+        |FROM ho h JOIN pf p USING (event_type, hour_of_day)
+        |JOIN qs q USING (event_type)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_forecast" ->
       """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value

@@ -602,6 +602,58 @@ object RelationalOps {
         col("n_test"), col("mae"), col("bias"))
   }
 
+  /** Split-conformal prediction intervals for the seasonal-naive
+    * forecaster — [[eventsForecastBacktest]] grades the POINT
+    * forecast; this attaches honest uncertainty: the calendar splits
+    * in THIRDS per type (train fits the hour-of-day baseline, the
+    * CALIBRATION third yields empirical q05/q95 residual quantiles —
+    * the split-conformal recipe, Vovk et al. — and the held-out
+    * final third measures the interval's TRUE coverage). Computing
+    * quantiles and coverage on the same rows would make ~90%
+    * tautological; the three-way split is what makes the receipt a
+    * claim.
+    *
+    * Determinism: baselines and quantile bounds round once; the
+    * coverage comparison uses the ROUNDED bounds (the winsorize
+    * boundary rule). Scale shape: bounded (type, hod) baseline and
+    * |types|-row quantile aggs broadcast back; exact percentile
+    * becomes approx_percentile at 100 TB (the approx_stats_check
+    * swap). */
+  def forecastInterval(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val hourNanos = 3600L * 1000 * 1000 * 1000
+    val base = events.select(col("event_type"),
+      expr(s"ts div ${dayNanos}L").as("day"),
+      (expr(s"ts div ${hourNanos}L") % 24).as("hour_of_day"), col("value"))
+    val bounds = base.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("cut1", expr("d0 + (d1 - d0 + 1) div 3"))
+      .withColumn("cut2", expr("d0 + (2 * (d1 - d0 + 1)) div 3"))
+      .select(col("event_type"), col("cut1"), col("cut2"))
+    val marked = base.join(broadcast(bounds), "event_type")
+    val train = marked.filter(col("day") < col("cut1"))
+    val cal = marked.filter(col("day") >= col("cut1") && col("day") < col("cut2"))
+    val hold = marked.filter(col("day") >= col("cut2"))
+    val profile = train.groupBy(col("event_type"), col("hour_of_day"))
+      .agg(roundn(avg(col("value")), 6).as("baseline"))
+    val qs = cal.join(broadcast(profile), Seq("event_type", "hour_of_day"))
+      .withColumn("resid", col("value") - col("baseline"))
+      .groupBy(col("event_type"))
+      .agg(expr("percentile(resid, array(0.05, 0.95))").as("ps"))
+      .select(col("event_type"),
+        roundn(element_at(col("ps"), 1), 6).as("q05"),
+        roundn(element_at(col("ps"), 2), 6).as("q95"))
+    hold.join(broadcast(profile), Seq("event_type", "hour_of_day"))
+      .join(broadcast(qs), "event_type")
+      .withColumn("resid", col("value") - col("baseline"))
+      .groupBy(col("event_type"))
+      .agg(first(col("q05")).as("q05"), first(col("q95")).as("q95"),
+        count(lit(1)).as("n_eval"),
+        sum(when(col("resid") >= col("q05") && col("resid") <= col("q95"), 1L)
+          .otherwise(0L)).as("n_covered"))
+      .withColumn("coverage", roundn(col("n_covered") / col("n_eval"), 6))
+  }
+
   /** Per-type metric TREND — fixed-point OLS of the daily mean
     * against the day index (the `zipf_fit` integer-micro regression
     * applied per group): slope sign and magnitude are the

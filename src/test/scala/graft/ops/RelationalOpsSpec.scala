@@ -784,6 +784,27 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("forecastInterval: calibrated interval covers the held-out third, outliers excluded") {
+    val d = 86400L * 1000 * 1000 * 1000
+    val h = 3600L * 1000 * 1000 * 1000
+    // 9-day calendar -> days 0-2 train, 3-5 calibrate, 6-8 evaluate.
+    // hour-0 values: train flat 10.0; calibration residuals in
+    // [-1, 1]; eval has two in-band values and one wild outlier
+    val rows =
+      (0 until 3).map(day => (day * d, 10.0)) ++         // train
+        Seq((3 * d, 9.5), (4 * d, 10.5), (5 * d, 10.0),  // cal: resid -0.5, 0.5, 0
+          (5 * d + 1, 9.0), (5 * d + 2, 11.0)) ++        // cal tails: -1, 1
+        Seq((6 * d, 10.2), (7 * d, 9.8), (8 * d, 99.0))  // eval: 2 in, 1 out
+    val events = rows.zipWithIndex.map { case ((ts, v), i) =>
+      (i.toLong, 1L, ts, "m", v, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.forecastInterval(events).head()
+    assert(r.getAs[Long]("n_eval") === 3L)
+    assert(r.getAs[Long]("n_covered") === 2L, "the outlier must fall outside")
+    assert(r.getAs[Double]("coverage") === 0.666667)
+    assert(r.getAs[Double]("q05") < 0.0 && r.getAs[Double]("q95") > 0.0)
+  }
+
   test("rfmSegments: value quintiles share scores on ties, segments partition users") {
     val d = 86400L * 1000 * 1000 * 1000
     // 10 users; user u purchases (u+1) times of value 10.0 on day u
