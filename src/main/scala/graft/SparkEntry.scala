@@ -998,6 +998,11 @@ object SparkEntry {
       DedupOps.editDistanceVerify(docs, DedupOps.minhashCandidates(docs))
     }),
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
+    // TPC-H Q3: segment dim broadcast, pushed date filters, exact
+    // cent×pct revenue, orderkey-keyed agg, top-10
+    "q3_shipping_priority" -> ((s, dir) =>
+      RelationalOps.q3ShippingPriority(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -4572,6 +4577,26 @@ object SparkEntry {
         |  round(sum(l.l_extendedprice), 2) + 0 AS revenue, count(*) AS n_items
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY 1""".stripMargin,
+    "q3_shipping_priority" ->
+      """WITH j AS (
+        |  SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |    CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+        |      AS revenue_cp,
+        |    count(*) AS n_items
+        |  FROM customer c
+        |  JOIN orders o ON c.c_custkey = o.o_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE c.c_mktsegment = 'BUILDING'
+        |    AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |    AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(row_number() OVER (ORDER BY revenue_cp DESC, o_orderkey)
+        |         AS BIGINT) AS rank,
+        |       o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |       o_orderpriority, revenue_cp, n_items
+        |FROM j
+        |QUALIFY row_number() OVER (ORDER BY revenue_cp DESC, o_orderkey) <= 10""".stripMargin,
     "skew_join_receipt" ->
       """WITH t AS (
         |  SELECT count(*) AS n_rows,

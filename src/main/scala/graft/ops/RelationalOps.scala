@@ -2110,6 +2110,42 @@ object RelationalOps {
         sum(col("credit_micro")).as("credit_micro"))
   }
 
+  /** TPC-H Q3 (shipping priority) — the canonical 3-table
+    * filter→join→agg→top-k shape, in exact integer units: revenue =
+    * Σ extendedprice·(1 − discount) carried as cents × discount-
+    * percent Longs (a float sum over an unbounded group is the
+    * hash-flake class the engine bans), top-k by revenue with
+    * orderkey tie-break.
+    *
+    * Scale shape: both date filters push to the parquet scans; the
+    * filtered customer segment is a broadcast dim (the
+    * revenue_by_region pattern); the only wide exchange is the
+    * orderkey-keyed aggregation; top-k is TakeOrderedAndProject. */
+  def q3ShippingPriority(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, segment: String = "BUILDING",
+                         cutDate: String = "1998-06-01", k: Int = 10): DataFrame = {
+    val cut = to_timestamp(lit(cutDate))
+    val c = customer.filter(col("c_mktsegment") === segment)
+      .select(col("c_custkey"))
+    val o = orders.filter(col("o_orderdate") < cut)
+      .select(col("o_custkey").as("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem.filter(col("l_shipdate") > cut)
+      .select(col("l_orderkey").as("o_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    o.join(broadcast(c), "c_custkey")
+      .join(l, "o_orderkey")
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cp").desc, col("o_orderkey")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue_cp").desc, col("o_orderkey"))).cast("long"))
+      .select(col("rank"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("o_orderpriority"), col("revenue_cp"), col("n_items"))
+  }
+
   /** Rollup aggregation (grouping-sets class): per (flag, status),
     * per flag subtotals, and grand total in one pass — Catalyst
     * expands to a single Expand + hash aggregate. NULL group markers

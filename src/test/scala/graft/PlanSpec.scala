@@ -193,6 +193,19 @@ class PlanSpec extends SparkSpec {
       "cells must partial-aggregate map-side before the exchange")
   }
 
+  test("q3_shipping_priority: date filters pushed to scans, dim broadcast, top-k not global sort") {
+    val p = planOf("q3_shipping_priority")
+    assert(p.contains("PushedFilters"), "scan-level pushdown must exist")
+    assert(p.contains("BroadcastHashJoin"), "the segment dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not be a global sort")
+    assert(!p.contains("CartesianProduct"))
+    // both date predicates reach parquet (orderdate on orders,
+    // shipdate on lineitem)
+    assert(p.contains("o_orderdate"), p)
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      "l_shipdate filter must be pushed")
+  }
+
   test("events_retention: joins stay broadcast/co-keyed, never cartesian") {
     val p = planOf("events_retention")
     assert(p.contains("BroadcastHashJoin"))
