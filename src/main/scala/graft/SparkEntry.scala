@@ -203,6 +203,10 @@ object SparkEntry {
     // SRP-LSH (Charikar hyperplane bits, MinHash-style banding) — the
     // third ANN method: sign-bit buckets prune, exact cosine reranks
     "ann_srp" -> ((s, dir) => VectorOps.srpTopK(Tables.embeddings(s, dir))),
+    // multi-probe SRP: also probe each band's lowest-margin-bit flip
+    // — one extra probe per band instead of another hash table
+    "ann_srp_multiprobe" -> ((s, dir) =>
+      VectorOps.srpMultiProbeTopK(Tables.embeddings(s, dir))),
     // the composed funnel (IVFADC shape): sqrt(N) cells prune rows,
     // int8 codes prune bytes, floats only for the final rerank —
     // same derived probe budget as ann_ivf
@@ -5367,6 +5371,38 @@ object SparkEntry {
          |SELECT vec_id, out_dim, proj FROM pr""".stripMargin,
     // SRP-LSH: sign bits of the shared projections, 4-bit banding,
     // bucket equi-join candidates, exact-cosine rerank top-3
+    "ann_srp_multiprobe" ->
+      s"""WITH ${duckSrp(32)},
+         |sig AS (SELECT vec_id, out_dim // 4 AS band,
+         |          CAST(sum(CASE WHEN proj > 0
+         |            THEN 1 << CAST(out_dim % 4 AS INTEGER) ELSE 0 END) AS BIGINT)
+         |            AS band_sig
+         |        FROM pr GROUP BY 1, 2),
+         |fb AS (SELECT vec_id, band, CAST(out_dim % 4 AS INTEGER) AS flip_pos
+         |       FROM (SELECT vec_id, out_dim, out_dim // 4 AS band,
+         |               row_number() OVER (PARTITION BY vec_id, out_dim // 4
+         |                 ORDER BY abs(proj), out_dim) AS rn
+         |             FROM pr WHERE vec_id < 10)
+         |       WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, band, band_sig FROM sig WHERE vec_id < 10
+         |  UNION ALL
+         |  SELECT s.vec_id, s.band, xor(s.band_sig, CAST(1 << f.flip_pos AS BIGINT))
+         |  FROM sig s JOIN fb f ON s.vec_id = f.vec_id AND s.band = f.band
+         |  WHERE s.vec_id < 10),
+         |cand AS (SELECT DISTINCT p.query_id, s.vec_id
+         |         FROM probes p JOIN sig s USING (band, band_sig)
+         |         WHERE s.vec_id <> p.query_id),
+         |rr AS (SELECT cand.query_id, cand.vec_id,
+         |         round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |       FROM cand
+         |       JOIN embeddings c ON c.vec_id = cand.vec_id
+         |       JOIN embeddings q ON q.vec_id = cand.query_id)
+         |SELECT query_id, rank, vec_id, cos_sim FROM (
+         |  SELECT query_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM rr) WHERE rank <= 3""".stripMargin,
     "ann_srp" ->
       s"""WITH ${duckSrp(32)},
          |sig AS (SELECT vec_id, out_dim // 4 AS band,

@@ -991,6 +991,91 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
   }
 
+  /** Multi-probe SRP-LSH (Lv et al., VLDB'07 applied to the Charikar
+    * signature): [[srpTopK]] probes only each query's HOME bucket per
+    * band; this also probes the bucket with the band's lowest-margin
+    * bit flipped — the projection coordinate nearest the hyperplane
+    * is the bit most likely to differ for a true neighbor, so one
+    * extra probe per band buys the recall another hash TABLE would
+    * cost memory for (the multi-probe trade). Candidates are a strict
+    * SUPERSET of single-probe's (home probes are included —
+    * spec-pinned), reranked by exact cosine identically.
+    *
+    * Scale shape: identical to srpTopK plus one |queries|·|bands|-row
+    * flip computation (a per-(query, band) argmin window over
+    * bandBits rows) — the probe union doubles only the QUERY side of
+    * the candidate equi-join, never the corpus signatures. */
+  def srpMultiProbeTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
+                        outDim: Int = 32, bandBits: Int = 4): DataFrame = {
+    val proj = randomProject(embeddings, outDim)
+      .withColumn("bit", (col("proj") > 0).cast("long"))
+      .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+    val sig = proj
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
+        .as("band_sig"))
+    val flip = proj.filter(col("vec_id") < nQueries)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id"), col("band"))
+          .orderBy(abs(col("proj")), col("out_dim"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("band"),
+        (col("out_dim") % bandBits).as("flip_pos"))
+    val home = sig.filter(col("vec_id") < nQueries)
+    val probes = home
+      .select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
+      .unionByName(home.join(flip, Seq("vec_id", "band"))
+        .select(col("vec_id").as("query_id"), col("band"),
+          expr("band_sig ^ shiftleft(1L, cast(flip_pos as int))").as("band_sig")))
+    val cand = probes.join(sig, Seq("band", "band_sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val c = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val qe = embeddings.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(qe), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** The candidate sets of the single- and multi-probe SRP tiers for
+    * the same queries — the superset receipt [[srpMultiProbeTopK]]'s
+    * spec pins (exposed for tests; not a declared query). */
+  private[graft] def srpCandidates(embeddings: DataFrame, multiProbe: Boolean,
+                                   nQueries: Int = 10, outDim: Int = 32,
+                                   bandBits: Int = 4): DataFrame = {
+    val proj = randomProject(embeddings, outDim)
+      .withColumn("bit", (col("proj") > 0).cast("long"))
+      .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+    val sig = proj
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
+        .as("band_sig"))
+    val home = sig.filter(col("vec_id") < nQueries)
+    val base = home.select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
+    val probes = if (!multiProbe) base else {
+      val flip = proj.filter(col("vec_id") < nQueries)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("vec_id"), col("band"))
+            .orderBy(abs(col("proj")), col("out_dim"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("band"),
+          (col("out_dim") % bandBits).as("flip_pos"))
+      base.unionByName(home.join(flip, Seq("vec_id", "band"))
+        .select(col("vec_id").as("query_id"), col("band"),
+          expr("band_sig ^ shiftleft(1L, cast(flip_pos as int))").as("band_sig")))
+    }
+    probes.join(sig, Seq("band", "band_sig"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+  }
+
   /** EMBEDDING DRIFT monitor — the vector member of the drift family
     * (valueDrift distributions, mixDrift composition, this one
     * feature space): split the embedding table at its id midpoint and

@@ -108,6 +108,29 @@ class RecallSpec extends SparkSpec {
     assert(nCand < 10 * n / 2, s"SRP candidates $nCand should prune the ${10 * n} scan")
   }
 
+  test("multi-probe SRP: candidates strictly superset single-probe, recall never worse") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"driver testdata missing at $dir")
+    val emb = Tables.embeddings(spark, dir)
+    def candSet(multi: Boolean) =
+      VectorOps.srpCandidates(emb, multiProbe = multi)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = candSet(multi = false)
+    val multi = candSet(multi = true)
+    assert(single.subsetOf(multi), "home probes must be included")
+    assert(multi.size > single.size,
+      s"the flipped probe must reach NEW buckets (single ${single.size}, multi ${multi.size})")
+    // recall: multi-probe hits >= single-probe hits against brute force
+    val exact = VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), 3)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      exact.count(df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.contains)
+    assert(hits(VectorOps.srpMultiProbeTopK(emb)) >= hits(VectorOps.srpTopK(emb)))
+  }
+
   test("PQ/ADC recall@3 with 16x rerank is >= 24/30 at sf0.01") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$dir/embeddings.parquet").exists(),
