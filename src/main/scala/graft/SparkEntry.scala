@@ -752,6 +752,11 @@ object SparkEntry {
     // residual q05-q95 / measure TRUE held-out coverage)
     "forecast_interval" -> ((s, dir) =>
       RelationalOps.forecastInterval(Tables.events(s, dir))),
+    // lag-1..7 autocorrelation of the daily series: calendar-key lag
+    // pairing (gaps break pairs), day-ordered folds, zero-variance
+    // guard
+    "events_autocorr" -> ((s, dir) =>
+      RelationalOps.eventsAutocorr(Tables.events(s, dir))),
     // market-basket lift over per-(user, day) type sets; pair
     // generation map-only from sorted basket arrays
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
@@ -3289,6 +3294,30 @@ object SparkEntry {
         |WHERE p.n_ab >= 5""".stripMargin,
     // midpoint split via integer day bounds, train-only baseline,
     // test scored through the broadcast profile
+    "events_autocorr" -> {
+      def lagLeg(k: Int): String =
+        s"""SELECT a.event_type, CAST($k AS BIGINT) AS lag,
+           |  count(*) AS n_pairs,
+           |  round(sum(a.dev * b.dev ORDER BY a.day), 6) + 0 AS num
+           |FROM dv a JOIN dv b ON a.event_type = b.event_type
+           |  AND b.day = a.day + $k
+           |GROUP BY 1""".stripMargin
+      s"""WITH daily AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+         |         round(avg(value), 6) + 0 AS m
+         |       FROM events GROUP BY 1, 2),
+         |mn AS (SELECT event_type,
+         |         round(round(sum(m ORDER BY day), 6) / count(*), 6) + 0 AS mm
+         |       FROM daily GROUP BY 1),
+         |dv AS (SELECT d.event_type, d.day, d.m - mn.mm AS dev
+         |       FROM daily d JOIN mn USING (event_type)),
+         |dn AS (SELECT event_type, round(sum(dev * dev ORDER BY day), 6) + 0 AS den
+         |       FROM dv GROUP BY 1),
+         |lg AS (${(1 to 7).map(lagLeg).mkString("\nUNION ALL\n")})
+         |SELECT lg.event_type, lg.lag, lg.n_pairs,
+         |  CASE WHEN dn.den > 0 THEN round(lg.num / dn.den, 6) + 0
+         |       ELSE 0.0 END AS autocorr
+         |FROM lg JOIN dn USING (event_type)""".stripMargin
+    },
     "forecast_interval" ->
       """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value

@@ -602,6 +602,54 @@ object RelationalOps {
         col("n_test"), col("mae"), col("bias"))
   }
 
+  /** Lag-k autocorrelation of the per-type DAILY mean series — the
+    * time-series diagnostic that justifies (or kills) the seasonal
+    * baseline: r_k = Σ(y_t−ȳ)(y_{t+k}−ȳ) / Σ(y_t−ȳ)² for k = 1..7.
+    * Lag pairing is a calendar-key self-join (day+k = day'), NOT a
+    * lead() over observed rows — gaps in the calendar must break
+    * pairs, not silently shift them.
+    *
+    * Determinism: daily means round once; deviations live on the 6dp
+    * grid; numerator and denominator are day-ordered folds rounded
+    * once; a zero denominator (constant series) emits an explicit
+    * 0.0 (the abTest guard — ANSI throws on the naive 0/0).
+    *
+    * Scale shape: one (type, day) agg collapses the stream; all lag
+    * joins and folds run on the calendar-bounded daily table. */
+  def eventsAutocorr(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+    val mean = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        roundn(graft.functions.VectorMath.orderedSum(col("day"), col("m")), 6).as("sm"))
+      .withColumn("mm", roundn(col("sm") / col("n_days"), 6))
+      .select(col("event_type"), col("mm"))
+    val d = daily.join(broadcast(mean), "event_type")
+      .withColumn("dev", col("m") - col("mm"))
+      .select(col("event_type"), col("day"), col("dev"))
+      .localCheckpoint(true)
+    val den = d.groupBy(col("event_type"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("day"), col("dev") * col("dev")), 6).as("den"))
+    val lags = (1 to maxLag).map { k =>
+      d.join(d.select(col("event_type"), (col("day") - k).as("day"),
+          col("dev").as("dev_k")), Seq("event_type", "day"))
+        .groupBy(col("event_type"))
+        .agg(roundn(graft.functions.VectorMath.orderedSum(
+          col("day"), col("dev") * col("dev_k")), 6).as("num"),
+          count(lit(1)).as("n_pairs"))
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    lags.join(broadcast(den), "event_type")
+      .withColumn("autocorr",
+        when(col("den") > 0.0, roundn(col("num") / col("den"), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("lag"), col("n_pairs"), col("autocorr"))
+  }
+
   /** Split-conformal prediction intervals for the seasonal-naive
     * forecaster — [[eventsForecastBacktest]] grades the POINT
     * forecast; this attaches honest uncertainty: the calendar splits

@@ -784,6 +784,25 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.size === 2)
   }
 
+  test("eventsAutocorr: alternating series gives r1 near -1, calendar gaps break pairs") {
+    val d = 86400L * 1000 * 1000 * 1000
+    // type 'alt': perfectly alternating daily means over days 0..9
+    // -> lag-1 autocorr -1 (up to the n-pair edge effect), lag-2 +1-ish
+    val alt = (0 until 10).map(day => (day * d, if (day % 2 == 0) 10.0 else 20.0, "alt"))
+    // type 'gap': days 0,1,5,6 - lag-1 pairs only (0,1) and (5,6)
+    val gap = Seq(0, 1, 5, 6).map(day => (day * d, day * 1.0, "gap"))
+    val events = (alt ++ gap).zipWithIndex.map { case ((ts, v, t), i) =>
+      (i.toLong, 1L, ts, t, v, "{}")
+    }.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsAutocorr(events).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("lag")) ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Double]("autocorr")))).toMap
+    assert(r(("alt", 1L))._2 < -0.8)
+    assert(r(("alt", 2L))._2 > 0.7)
+    assert(r(("gap", 1L))._1 === 2L, "gap days must not pair across the hole")
+    assert(!r.contains(("gap", 3L)) || r(("gap", 3L))._1 <= 1L)
+  }
+
   test("forecastInterval: calibrated interval covers the held-out third, outliers excluded") {
     val d = 86400L * 1000 * 1000 * 1000
     val h = 3600L * 1000 * 1000 * 1000
