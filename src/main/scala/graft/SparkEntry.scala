@@ -128,6 +128,10 @@ object SparkEntry {
       CorpusOps.contentHash(s.read.schema(docs.schema).orc(tmp))
     }),
     "embed_text" -> ((s, dir) => EmbedOps.embedSparse(Tables.documents(s, dir))),
+    // hashing-trick collision receipt: distinct vocab bucketed at 3
+    // widths — buckets used, worst bucket, collided-token fraction
+    "hash_collision_audit" -> ((s, dir) =>
+      EmbedOps.hashCollisionAudit(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "search_bm25" -> ((s, dir) =>
@@ -671,6 +675,15 @@ object SparkEntry {
     // the template among its copies (3 unrolled rounds, 6dp-rounded
     // per round so the oracle replays them exactly)
     "dedup_pagerank" -> ((s, dir) => DedupOps.dedupPageRank(Tables.documents(s, dir))),
+    // Adamic-Adar link prediction over the part co-purchase graph:
+    // distance-2 wedge candidates, existing edges anti-joined away,
+    // per-neighbor 1/ln(deg) terms rounded to the grid pre-fold,
+    // deterministic top-50 cut
+    "link_prediction" -> ((s, dir) =>
+      DedupOps.linkPrediction(Tables.lineitem(s, dir))),
+    // golden-record survivorship after clustering: longest-text
+    // canonical with deterministic tie-break + merge censuses
+    "golden_record" -> ((s, dir) => DedupOps.goldenRecord(Tables.documents(s, dir))),
     // synchronous label propagation (4 rounds, count-desc/label-asc
     // argmax) — community structure inside the near-dup components
     "dedup_communities" -> ((s, dir) =>
@@ -939,6 +952,23 @@ object SparkEntry {
     // (activity, days) quasi-identifier class — k-anonymity's
     // sensitive-attribute companion, l >= 3 as the release gate
     "l_diversity" -> ((s, dir) => RelationalOps.lDiversity(Tables.events(s, dir))),
+    // t-closeness of the same class/sensitive split — the third
+    // anonymity metric: exact integer TVD between each class's
+    // sensitive mix and the global one, gate tvd <= 0.25
+    "t_closeness" -> ((s, dir) => RelationalOps.tCloseness(Tables.events(s, dir))),
+    // Mann-Whitney U early-vs-late value drift per type: doubled
+    // integer average ranks (exact Longs), tie-corrected z rounded
+    // once, degenerate variance guards to z=0
+    "mann_whitney" -> ((s, dir) => RelationalOps.mannWhitney(Tables.events(s, dir))),
+    // Theil-Sen robust slope of the daily series: median pairwise
+    // slope in exact integer micros (pmod-floored division, doubled
+    // median) — the outlier-proof companion to events_trend's OLS
+    "theil_sen_trend" -> ((s, dir) =>
+      RelationalOps.theilSenTrend(Tables.events(s, dir))),
+    // Benford first-digit screen over order totals: string-of-cents
+    // digits, literal integer-micros expectation table, digit-ordered
+    // chi-square fold rounded once
+    "benford_audit" -> ((s, dir) => RelationalOps.benfordAudit(Tables.orders(s, dir))),
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
@@ -3040,6 +3070,63 @@ object SparkEntry {
          |  FROM und u JOIN pr2 p ON p.id = u.src JOIN deg d ON d.src = u.src
          |  GROUP BY 1)
          |SELECT id AS doc_id, pr AS pagerank FROM pr3""".stripMargin,
+    // wedge candidates from the und self-join, existing edges
+    // anti-joined, per-term 6dp rounding BEFORE the mid-ordered fold
+    "link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS (SELECT x.l_partkey AS a_id, y.l_partkey AS b_id
+        |          FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |            AND x.l_partkey < y.l_partkey
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |        UNION ALL SELECT b_id, a_id FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        |nbr AS (SELECT u.src AS mid, u.dst, d.deg
+        |        FROM und u JOIN deg d USING (src)),
+        |wedge AS (SELECT x.dst AS a_id, y.dst AS b_id, x.mid, x.deg
+        |          FROM nbr x JOIN nbr y ON x.mid = y.mid AND x.dst < y.dst),
+        |wcand AS (SELECT w.* FROM wedge w
+        |         WHERE NOT EXISTS (SELECT 1 FROM edges e
+        |           WHERE e.a_id = w.a_id AND e.b_id = w.b_id)),
+        |sc AS (SELECT a_id, b_id, count(*) AS n_common,
+        |         round(sum(round(1.0 / ln(CAST(deg AS DOUBLE)), 6) + 0
+        |           ORDER BY mid), 6) + 0 AS aa_score
+        |       FROM wcand GROUP BY 1, 2)
+        |SELECT * FROM sc
+        |ORDER BY aa_score DESC, a_id, b_id LIMIT 50""".stripMargin,
+    // components via the recursive reach, canonical = (n_chars desc,
+    // doc_id asc) argmax, censuses on the cluster-sized table
+    "golden_record" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS cluster_id
+         |         FROM reach GROUP BY 1),
+         |mem AS (SELECT c.cluster_id, d.doc_id, d.lang, d.source, d.n_chars
+         |        FROM comp c JOIN documents d USING (doc_id)),
+         |canon AS (SELECT cluster_id, doc_id AS canonical_doc,
+         |            n_chars AS canonical_chars, source AS canonical_source
+         |          FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |              ORDER BY n_chars DESC, doc_id) AS rn FROM mem)
+         |          WHERE rn = 1),
+         |st AS (SELECT cluster_id, count(*) AS n_members,
+         |         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |         CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |         min(doc_id) AS first_doc
+         |       FROM mem GROUP BY 1)
+         |SELECT c.cluster_id, s.n_members, c.canonical_doc,
+         |  c.canonical_chars, c.canonical_source, s.n_langs, s.n_sources,
+         |  s.total_chars, s.first_doc
+         |FROM canon c JOIN st s USING (cluster_id)""".stripMargin,
     // 4 synchronous LPA rounds unrolled; per round: neighbor-label
     // count + (count desc, label asc) argmax — MATERIALIZED so the
     // recursion doesn't inline exponentially
@@ -4482,6 +4569,142 @@ object SparkEntry {
         |       count(DISTINCT t.top_type) >= 3 AS diverse_ok
         |FROM prof p JOIN tt t USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+    // exact integer TVD on the class×type spine: |cnt·gn − g·k|
+    // summed, floor-quotient micros, no float anywhere
+    "t_closeness" ->
+      """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
+        |            FROM events GROUP BY 1, 2),
+        |tt AS (SELECT user_id, event_type AS top_type FROM (
+        |         SELECT user_id, event_type,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY n_t DESC, event_type) AS rn
+        |         FROM tc) WHERE rn = 1),
+        |pr AS (SELECT user_id, count(*) AS n_ev,
+        |         count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+        |       FROM events GROUP BY 1),
+        |prof AS (SELECT user_id,
+        |           least(10, n_ev // 10) AS activity_bucket,
+        |           least(10, n_days // 3) AS days_bucket
+        |         FROM pr),
+        |u AS (SELECT p.activity_bucket, p.days_bucket, t.top_type
+        |      FROM prof p JOIN tt t USING (user_id)),
+        |gl AS (SELECT top_type, count(*) AS g FROM u GROUP BY 1),
+        |gt AS (SELECT count(*) AS gn FROM u),
+        |cl AS (SELECT activity_bucket, days_bucket, count(*) AS k
+        |       FROM u GROUP BY 1, 2),
+        |cc AS (SELECT activity_bucket, days_bucket, top_type, count(*) AS cnt
+        |       FROM u GROUP BY 1, 2, 3),
+        |sp AS (SELECT cl.activity_bucket, cl.days_bucket, cl.k, gl.top_type,
+        |         gl.g, gt.gn, coalesce(cc.cnt, 0) AS cnt0
+        |       FROM cl CROSS JOIN gl CROSS JOIN gt
+        |       LEFT JOIN cc ON cc.activity_bucket = cl.activity_bucket
+        |         AND cc.days_bucket = cl.days_bucket
+        |         AND cc.top_type = gl.top_type),
+        |ag AS (SELECT activity_bucket, days_bucket, any_value(k) AS k,
+        |         any_value(gn) AS gn,
+        |         sum(abs(cnt0 * gn - g * k)) AS num
+        |       FROM sp GROUP BY 1, 2)
+        |SELECT activity_bucket, days_bucket, k,
+        |  CAST((num * 1000000) // (2 * k * gn) AS BIGINT) AS tvd_micro,
+        |  CAST((num * 1000000) // (2 * k * gn) AS BIGINT) <= 250000 AS t_ok
+        |FROM ag""".stripMargin,
+    // doubled integer average ranks from the value census; the
+    // tie-corrected z is the single rounded double
+    "mann_whitney" ->
+      """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
+        |         value + 0.0 AS v FROM events),
+        |sp AS (SELECT event_type, (min(day) + max(day) + 1) // 2 AS split_day
+        |       FROM b GROUP BY 1),
+        |ce AS (SELECT b.event_type, b.v,
+        |         CAST(sum(CASE WHEN b.day < sp.split_day THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN b.day < sp.split_day THEN 0 ELSE 1 END)
+        |           AS BIGINT) AS c2,
+        |         count(*) AS c
+        |       FROM b JOIN sp USING (event_type) GROUP BY 1, 2),
+        |rk AS (SELECT *, CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+        |           ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), 0) AS BIGINT) AS below
+        |       FROM ce),
+        |ag AS (SELECT event_type,
+        |         CAST(sum(c1) AS BIGINT) AS n1,
+        |         CAST(sum(c2) AS BIGINT) AS n2,
+        |         CAST(sum(c1 * (2 * below + c + 1)) AS BIGINT) AS r1_x2,
+        |         CAST(sum(c * c * c - c) AS BIGINT) AS tie3
+        |       FROM rk GROUP BY 1),
+        |st AS (SELECT event_type, n1, n2,
+        |         r1_x2 - n1 * (n1 + 1) AS u1_x2,
+        |         CAST(n1 * n2 AS DOUBLE) / 12.0 *
+        |           (CAST(n1 + n2 + 1 AS DOUBLE) -
+        |            CAST(tie3 AS DOUBLE) /
+        |              CAST((n1 + n2) * (n1 + n2 - 1) AS DOUBLE)) AS varu
+        |       FROM ag),
+        |z AS (SELECT event_type, n1 AS n_early, n2 AS n_late, u1_x2,
+        |        CASE WHEN varu > 0.0
+        |          THEN round(CAST(u1_x2 - n1 * n2 AS DOUBLE) /
+        |                 (2.0 * sqrt(varu)), 6) + 0
+        |          ELSE 0.0 END AS z
+        |      FROM st)
+        |SELECT event_type, n_early, n_late, u1_x2, z,
+        |  abs(z) > 1.96 AS significant
+        |FROM z""".stripMargin,
+    // pmod-floored slope micros, doubled median over the rank window
+    "theil_sen_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |pr AS (SELECT a.event_type, b.mm - a.mm AS num, b.day - a.day AS den
+        |       FROM daily a JOIN daily b ON a.event_type = b.event_type
+        |         AND a.day < b.day),
+        |sl AS (SELECT event_type,
+        |         (num - ((num % den) + den) % den) // den AS slope_micro
+        |       FROM pr),
+        |ct AS (SELECT event_type, count(*) AS n_pairs,
+        |         (count(*) + 1) // 2 AS lo, count(*) // 2 + 1 AS hi
+        |       FROM sl GROUP BY 1),
+        |rk AS (SELECT s.event_type, s.slope_micro, ct.n_pairs, ct.lo, ct.hi,
+        |         row_number() OVER (PARTITION BY s.event_type
+        |           ORDER BY s.slope_micro) AS rn
+        |       FROM sl s JOIN ct USING (event_type)),
+        |ag AS (SELECT event_type, any_value(n_pairs) AS n_pairs,
+        |         sum(CASE WHEN rn = lo THEN slope_micro ELSE 0 END) +
+        |         sum(CASE WHEN rn = hi THEN slope_micro ELSE 0 END) AS med_x2
+        |       FROM rk GROUP BY 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily GROUP BY 1)
+        |SELECT ag.event_type, nd.n_days, ag.n_pairs,
+        |  CAST(ag.med_x2 AS BIGINT) AS med_x2,
+        |  CAST((ag.med_x2 - ((ag.med_x2 % 2) + 2) % 2) // 2 AS BIGINT)
+        |    AS ts_slope_micro
+        |FROM ag JOIN nd USING (event_type)""".stripMargin,
+    // string-of-cents first digit, literal micros expectation table
+    // (sums to exactly 1e6), digit-ordered chi-square fold
+    "benford_audit" ->
+      """WITH spn AS (SELECT * FROM (VALUES (1, 301030), (2, 176091),
+        |         (3, 124939), (4, 96910), (5, 79181), (6, 66947),
+        |         (7, 57992), (8, 51153), (9, 45757)) t(digit, benford_micro)),
+        |ce AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+        |         AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        |       FROM orders),
+        |ob AS (SELECT digit, count(*) AS n_obs FROM ce GROUP BY 1),
+        |nn AS (SELECT count(*) AS n FROM ce),
+        |j AS (SELECT spn.digit, coalesce(ob.n_obs, 0) AS n_obs,
+        |        spn.benford_micro, nn.n,
+        |        nn.n * spn.benford_micro AS exp_micro
+        |      FROM spn LEFT JOIN ob USING (digit) CROSS JOIN nn),
+        |c AS (SELECT *,
+        |        CAST(n_obs * 1000000 - exp_micro AS DOUBLE) *
+        |        CAST(n_obs * 1000000 - exp_micro AS DOUBLE) /
+        |        CAST(exp_micro * 1000000 AS DOUBLE) AS contrib_raw
+        |      FROM j),
+        |ch AS (SELECT round(sum(contrib_raw ORDER BY digit), 6) + 0 AS chi2
+        |       FROM c)
+        |SELECT CAST(c.digit AS BIGINT) AS digit, c.n_obs,
+        |  CAST((c.n_obs * 1000000) // c.n AS BIGINT) AS share_micro,
+        |  CAST(c.benford_micro AS BIGINT) AS benford_micro,
+        |  round(c.contrib_raw, 6) + 0 AS chi2_contrib,
+        |  ch.chi2, ch.chi2 <= 15.507313 AS benford_ok
+        |FROM c CROSS JOIN ch""".stripMargin,
     "k_anonymity" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
         |            FROM events GROUP BY 1, 2),
@@ -4904,6 +5127,25 @@ object SparkEntry {
          |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1)
          |SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
          |FROM tf t JOIN nrm n USING (doc_id)""".stripMargin,
+    // distinct-vocab bucket census at three widths; fraction is a
+    // floor-quotient in micros — all integer
+    "hash_collision_audit" -> {
+      def leg(d: Int): String =
+        s"""SELECT CAST($d AS BIGINT) AS dim,
+           |  CAST(sum(n_toks) AS BIGINT) AS n_vocab,
+           |  count(*) AS n_buckets_used, max(n_toks) AS max_bucket,
+           |  CAST(sum(CASE WHEN n_toks >= 2 THEN n_toks ELSE 0 END)
+           |    AS BIGINT) AS n_collided
+           |FROM (SELECT ${duckHash24("tok")} % $d AS bucket,
+           |        count(*) AS n_toks
+           |      FROM vocab GROUP BY 1)""".stripMargin
+      s"""WITH $duckToks,
+         |vocab AS (SELECT DISTINCT tok FROM toks),
+         |legs AS (${Seq(256, 4096, 65536).map(leg).mkString("\nUNION ALL\n")})
+         |SELECT dim, n_vocab, n_buckets_used, max_bucket, n_collided,
+         |  CAST((n_collided * 1000000) // n_vocab AS BIGINT) AS collided_micro
+         |FROM legs""".stripMargin
+    },
     // the cosine chain's top-20 as candidates, candidate-only
     // pairwise sims, then 4 unrolled greedy rounds after the
     // relevance-argmax seed

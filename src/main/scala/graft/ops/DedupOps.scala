@@ -1302,4 +1302,109 @@ object DedupOps {
         roundn(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_fraction"))
   }
+  /** Adamic–Adar link prediction KERNEL over an undirected edge list
+    * (a_id, b_id) — the missing-edge lens on the near-dup graph: a
+    * pair of docs that are NOT verified near-dups but share verified
+    * neighbors is where the next true duplicate family member (or a
+    * threshold-straddling variant) hides; AA weights each common
+    * neighbor by 1/ln(deg) so promiscuous hub docs count less
+    * (Adamic & Adar '03). Candidates are exactly the distance-2
+    * pairs, generated by one mid-keyed self-join of the neighbor
+    * list; existing edges drop via an anti-join.
+    *
+    * Determinism: a common neighbor always has deg ≥ 2 (it touches
+    * both endpoints), so ln(deg) ≥ ln 2 — no zero division; each
+    * 1/ln(deg) term rounds to the 6dp grid BEFORE the fold and the
+    * fold runs in neighbor-id order, so the score never depends on
+    * partition merge order.
+    *
+    * Scale shape: everything runs on the verified-pair list (tiny vs
+    * the corpus — the [[pageRank]] precondition); the mid-keyed
+    * self-join is the same √-bounded wedge enumeration
+    * [[triangleStats]] does. */
+  def adamicAdar(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nbr = und.join(deg, "src")
+      .select(col("src").as("mid"), col("dst"), col("deg"))
+    nbr.as("x").join(nbr.as("y"),
+        col("x.mid") === col("y.mid") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a_id"), col("y.dst").as("b_id"),
+        col("x.mid").as("mid"), col("x.deg").as("deg"))
+      .join(edges, Seq("a_id", "b_id"), "left_anti")
+      .withColumn("term", roundn(lit(1.0) / log(col("deg").cast("double")), 6))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_common"),
+        roundn(graft.functions.VectorMath.orderedSum(col("mid"), col("term")), 6)
+          .as("aa_score"))
+  }
+
+  /** Declared form: Adamic–Adar over the PART CO-PURCHASE graph —
+    * the recommendation shape of [[adamicAdar]] (the verified
+    * near-dup graph is a union of closed cliques on this corpus, so
+    * its distance-2 set is empty by construction — measured, not
+    * assumed). Parts are linked when they co-occur in ≥ `minCount`
+    * orders; the predictions are the co-purchase pairs the data has
+    * not yet witnessed but the neighborhood structure implies —
+    * "bought together next". Top-k by score with a full (score desc,
+    * a, b) tie order so the cut is deterministic.
+    *
+    * Scale shape: the per-order pair explode is bounded by
+    * lines-per-order (≤7) and co-partitioned on l_orderkey; the
+    * ≥ minCount filter keeps the edge list |parts|-sized, and the
+    * wedge join runs on that bounded list, never on lineitem. */
+  def linkPrediction(lineitem: DataFrame, minCount: Long = 2,
+                     topK: Int = 50): DataFrame = {
+    val li = lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = li.as("x").join(li.as("y"),
+        col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+      .groupBy(col("x.l_partkey").as("a_id"), col("y.l_partkey").as("b_id"))
+      .agg(count(lit(1)).as("n_co"))
+      .filter(col("n_co") >= minCount)
+      .select(col("a_id"), col("b_id"))
+    adamicAdar(edges)
+      .orderBy(col("aa_score").desc, col("a_id"), col("b_id"))
+      .limit(topK)
+  }
+
+  /** Golden-record survivorship — the MDM step AFTER
+    * [[dedupClusters]]: a component tells you WHICH docs are one
+    * entity; this picks the record that survives and summarizes what
+    * merges into it. Canonical = longest text, doc_id ascending as
+    * the tie-break (deterministic where "pick any" is not);
+    * membership/source/language censuses ride along so a reviewer
+    * sees what the merge discards.
+    *
+    * Scale shape: the cluster table is near-dup-family-sized, tiny vs
+    * the corpus; the canonical window partitions by cluster over that
+    * table only, and the attribute join back to `documents` is
+    * doc_id-keyed (broadcastable cluster side at 100 TB). */
+  def goldenRecord(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    val clusters = dedupClusters(docs, minJaccard)
+      .select(col("doc_id"), col("component_id").as("cluster_id"))
+    val membered = clusters.join(
+      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+      "doc_id")
+      .localCheckpoint(true)
+    val wCanon = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val canon = membered.withColumn("rn", row_number().over(wCanon))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("canonical_doc"),
+        col("n_chars").as("canonical_chars"),
+        col("source").as("canonical_source"))
+    val stats = membered.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+    canon.join(stats, "cluster_id")
+      .select(col("cluster_id"), col("n_members"), col("canonical_doc"),
+        col("canonical_chars"), col("canonical_source"), col("n_langs"),
+        col("n_sources"), col("total_chars"), col("first_doc"))
+  }
 }

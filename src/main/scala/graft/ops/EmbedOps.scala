@@ -78,4 +78,35 @@ object EmbedOps {
           d => coalesce(element_at(col("m"), d.cast("long")), lit(0.0)).cast("float")))
     dense.select(col("doc_id"), col("embedding"))
   }
+  /** Hashing-trick collision audit — the receipt for the cost
+    * [[embedSparse]] silently pays: hashed-TF folds an unbounded
+    * vocabulary into `dim` buckets, and every collision conflates two
+    * unrelated tokens' weights. Per candidate width, the DISTINCT
+    * token vocabulary is bucketed once and censused: buckets used,
+    * worst bucket, and the fraction of tokens that share a bucket
+    * with at least one other token — the number that justifies (or
+    * indicts) a chosen dim before an embedding ships. All integer
+    * (the fraction is a floor-quotient in micros).
+    *
+    * Scale shape: the vocab (distinct tokens — orders of magnitude
+    * smaller than the token stream) materializes once and each width
+    * leg is one bounded-key bucket agg over it; the widths axis is a
+    * 3-leg union, not a data multiplier. */
+  def hashCollisionAudit(docs: DataFrame,
+                         dims: Seq[Int] = Seq(256, 4096, 65536)): DataFrame = {
+    val vocab = tokenize(docs).select(col("tok")).distinct().localCheckpoint(true)
+    dims.map { d =>
+      vocab.withColumn("bucket", PortableHash.bucket(col("tok"), d))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))
+        .groupBy()
+        .agg(sum(col("n_toks")).as("n_vocab"),
+          count(lit(1)).as("n_buckets_used"),
+          max(col("n_toks")).as("max_bucket"),
+          sum(when(col("n_toks") >= 2, col("n_toks")).otherwise(lit(0L)))
+            .as("n_collided"))
+        .select(lit(d.toLong).as("dim"), col("n_vocab"), col("n_buckets_used"),
+          col("max_bucket"), col("n_collided"),
+          expr("(n_collided * 1000000L) div n_vocab").as("collided_micro"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -2257,4 +2257,230 @@ object RelationalOps {
         roundn(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
         roundn(avg(col("l_quantity")), 4).as("avg_qty"),
         count(lit(1)).as("count_order"))
+
+  /** t-closeness audit — the THIRD anonymity metric beside
+    * [[kAnonymity]] and [[lDiversity]] (Li et al. '07): l-diversity
+    * counts distinct sensitive values per class, but a class can hold
+    * l values in wildly unrepresentative proportions and still leak
+    * (99% one type is a near-certain inference even at l = 3).
+    * t-closeness bounds the DISTANCE between each class's sensitive
+    * distribution and the global one; for a categorical sensitive
+    * attribute the earth-mover distance collapses to total variation,
+    * tvd = ½·Σ_v |p_class(v) − p_global(v)|, and the release gate is
+    * tvd ≤ t.
+    *
+    * Exactness: the TVD numerator Σ|cnt·gn − g·k| is exact Long
+    * arithmetic on counts and tvd_micro = ⌊num·10⁶ / (2·k·gn)⌋ stays
+    * integer end to end — no float enters the receipt (the search_mmr
+    * lesson: rounded-quotient comparisons on dense grids diverge).
+    *
+    * Scale shape: the same two user-keyed aggs the other two audits
+    * run (the per-user reduction is the only event-sized work,
+    * materialized once for its four consumers — user-bounded, not
+    * event-bounded); everything downstream lives on the
+    * ≤(11·11·|types|) class×type spine, bounded regardless of corpus
+    * size. */
+  def tCloseness(events: DataFrame, tMaxMicro: Long = 250000L): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val wTop = Window.partitionBy(col("user_id"))
+      .orderBy(col("n_t").desc, col("event_type"))
+    val topType = events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_t"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("top_type"))
+    val profile = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_days"))
+      .select(col("user_id"),
+        least(lit(10L), expr("n_ev div 10")).as("activity_bucket"),
+        least(lit(10L), expr("n_days div 3")).as("days_bucket"))
+    val users = profile.join(topType, "user_id")
+      .select(col("activity_bucket"), col("days_bucket"), col("top_type"))
+      .localCheckpoint(true)
+    val global = users.groupBy(col("top_type")).agg(count(lit(1)).as("g"))
+    val gn = users.groupBy().agg(count(lit(1)).as("gn"))
+    val classes = users.groupBy(col("activity_bucket"), col("days_bucket"))
+      .agg(count(lit(1)).as("k"))
+    val classCnt = users
+      .groupBy(col("activity_bucket"), col("days_bucket"), col("top_type"))
+      .agg(count(lit(1)).as("cnt"))
+    classes.crossJoin(broadcast(global)).crossJoin(broadcast(gn))
+      .join(classCnt, Seq("activity_bucket", "days_bucket", "top_type"), "left")
+      .withColumn("cnt0", coalesce(col("cnt"), lit(0L)))
+      .withColumn("num", abs(col("cnt0") * col("gn") - col("g") * col("k")))
+      .groupBy(col("activity_bucket"), col("days_bucket"))
+      .agg(first(col("k")).as("k"), first(col("gn")).as("gn"),
+        sum(col("num")).as("num"))
+      .withColumn("tvd_micro", expr("(num * 1000000L) div (2L * k * gn)"))
+      .select(col("activity_bucket"), col("days_bucket"), col("k"),
+        col("tvd_micro"), (col("tvd_micro") <= lit(tMaxMicro)).as("t_ok"))
+  }
+
+  /** Mann–Whitney U drift test — the NONPARAMETRIC member of the
+    * drift family ([[valueDrift]]'s KS compares binned CDFs; this
+    * ranks): per event type, did the value distribution shift between
+    * the early and late calendar halves? U is computed from the
+    * value CENSUS (value → early/late counts), with average ranks for
+    * ties carried in DOUBLED integer units (rank2 = 2·below + c + 1)
+    * so R₁ and U₁ stay exact Longs; the tie-corrected normal
+    * approximation z = (U₁ − n₁n₂/2)/σ is the single rounded double.
+    *
+    * Exactness: rank sums and the tie term Σ(c³−c) are exact integer
+    * folds; only z touches float, computed once from exact integer
+    * inputs and rounded once. A degenerate variance (one half empty,
+    * or all values tied) guards to z = 0 (the abTest convention).
+    *
+    * Scale shape: one (type, value) census agg collapses the stream;
+    * the rank window runs over the per-type census, which is
+    * value-cardinality-bounded — exact ranks are the receipt tier; at
+    * 100 TB the census window swaps for binned ranks (the same
+    * exact→approx swap approx_stats_check documents), and the Long
+    * rank sums for decimal(38,0). */
+  def mannWhitney(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val base = events.select(col("event_type"),
+      expr(s"ts div ${dayNanos}L").as("day"),
+      (col("value") + lit(0.0)).as("v"))
+    val bounds = base.groupBy(col("event_type"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .withColumn("split_day", expr("(d0 + d1 + 1) div 2"))
+      .select(col("event_type"), col("split_day"))
+    val census = base.join(broadcast(bounds), "event_type")
+      .withColumn("early", (col("day") < col("split_day")).cast("long"))
+      .groupBy(col("event_type"), col("v"))
+      .agg(sum(col("early")).as("c1"), sum(lit(1L) - col("early")).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val agg = census
+      .withColumn("below", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("rank2", lit(2L) * col("below") + col("c") + lit(1L))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+        sum(col("c1") * col("rank2")).as("r1_x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("tie3"))
+    agg
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("varu",
+        (col("n1") * col("n2")).cast("double") / lit(12.0) *
+          ((col("nn") + lit(1L)).cast("double") -
+            col("tie3").cast("double") /
+              (col("nn") * (col("nn") - lit(1L))).cast("double")))
+      .withColumn("z",
+        when(col("varu") > 0.0,
+          roundn((col("u1_x2") - col("n1") * col("n2")).cast("double") /
+            (lit(2.0) * sqrt(col("varu"))), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n1").as("n_early"),
+        col("n2").as("n_late"), col("u1_x2"), col("z"),
+        (abs(col("z")) > lit(1.96)).as("significant"))
+  }
+
+  /** Theil–Sen slope — the ROBUST companion to [[eventsTrend]]'s OLS
+    * drift: the median of all pairwise slopes of the per-type daily
+    * mean series shrugs off the outlier days that drag a
+    * least-squares line (breakdown point ~29% vs OLS's single-point
+    * sensitivity). Slopes are computed in exact integer micros with
+    * an explicit FLOOR division on both engines (Spark `div`
+    * truncates toward zero and DuckDB `//` floors — on negative
+    * numerators they disagree, so the quotient is floored via pmod
+    * before dividing); the median of an even count is carried DOUBLED
+    * (med_x2 = sum of the two middle slopes) so the receipt never
+    * leaves integer units — the q3_shipping_priority convention.
+    *
+    * Scale shape: one (type, day) agg collapses the stream to the
+    * calendar-bounded daily table; the pair self-join and the rank
+    * window run over ≤ days²/2 rows per type — bounded by the
+    * calendar, not the data. */
+  def theilSenTrend(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val pairs = daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") < col("b.day"))
+      .select(col("a.event_type").as("event_type"),
+        (col("b.mm") - col("a.mm")).as("num"),
+        (col("b.day") - col("a.day")).as("den"))
+      .withColumn("slope_micro", expr("(num - pmod(num, den)) div den"))
+    val cnt = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("lo", expr("(n_pairs + 1) div 2"))
+      .withColumn("hi", expr("n_pairs div 2 + 1"))
+    val nDays = daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("slope_micro"))
+    pairs
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(cnt), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n_pairs")).as("n_pairs"),
+        sum(when(col("rn") === col("lo"), col("slope_micro"))
+          .otherwise(lit(0L))).as("s_lo"),
+        sum(when(col("rn") === col("hi"), col("slope_micro"))
+          .otherwise(lit(0L))).as("s_hi"))
+      .withColumn("med_x2", col("s_lo") + col("s_hi"))
+      .withColumn("ts_slope_micro", expr("(med_x2 - pmod(med_x2, 2)) div 2"))
+      .join(broadcast(nDays), "event_type")
+      .select(col("event_type"), col("n_days"), col("n_pairs"),
+        col("med_x2"), col("ts_slope_micro"))
+  }
+
+  /** Benford first-digit audit — the fraud/generation-artifact screen
+    * of the data-quality family ([[dataQualityChecks]] gates on
+    * declared constraints; this checks a STATISTICAL law): naturally
+    * occurring money amounts follow P(d) = log₁₀(1 + 1/d), and a χ²
+    * distance from that curve is the classic fabricated-data tripwire
+    * (synthetic generators usually fail it — the receipt says by how
+    * much). The first significant digit is taken from the STRING of
+    * the exact cent integer (×100 never changes the leading digit) —
+    * no float log10 near a digit boundary can misbin.
+    *
+    * Exactness: the Benford table is a compile-time integer-micros
+    * literal on BOTH engines (it sums to exactly 10⁶), expected
+    * counts and observed shares stay integer (share_micro is a floor
+    * quotient), and only the χ² terms touch float — each computed
+    * once from exact integer inputs, folded in digit order, rounded
+    * once. Digits absent from the data keep a spine row (n_obs = 0).
+    *
+    * Scale shape: one 9-key agg with map-side partials; everything
+    * after the census is a 9-row spine. */
+  def benfordAudit(orders: DataFrame): DataFrame = {
+    val benfordMicro = "array(301030L, 176091L, 124939L, 96910L, 79181L, " +
+      "66947L, 57992L, 51153L, 45757L)"
+    val digits = orders.sparkSession.range(1, 10)
+      .select(col("id").as("digit"))
+      .withColumn("benford_micro",
+        expr(s"element_at($benfordMicro, CAST(digit AS INT))"))
+    val cents = orders.select(
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val obs = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val n = cents.groupBy().agg(count(lit(1)).as("n"))
+    val joined = digits.join(obs, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("exp_micro", col("n") * col("benford_micro"))
+      .withColumn("diff",
+        (col("n_obs") * lit(1000000L) - col("exp_micro")).cast("double"))
+      .withColumn("contrib_raw", col("diff") * col("diff") /
+        (col("exp_micro") * lit(1000000L)).cast("double"))
+    val chi2 = joined.groupBy()
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("digit"), col("contrib_raw")), 6).as("chi2"))
+    joined.crossJoin(broadcast(chi2))
+      .select(col("digit"), col("n_obs"),
+        expr("(n_obs * 1000000L) div n").as("share_micro"),
+        col("benford_micro"),
+        roundn(col("contrib_raw"), 6).as("chi2_contrib"),
+        col("chi2"),
+        (col("chi2") <= lit(15.507313)).as("benford_ok"))
+  }
 }

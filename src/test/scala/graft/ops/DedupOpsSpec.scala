@@ -545,4 +545,57 @@ class DedupOpsSpec extends SparkSpec {
       new Directory(new java.io.File(tmp)).deleteRecursively()
     }
   }
+  test("adamicAdar: path predicts the closure, triangle predicts nothing, star scores 1/ln(deg)") {
+    // path 1-2-3: (1,3) predicted through mid 2 (deg 2) → 1/ln2
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val rp = DedupOps.adamicAdar(path).collect()
+    assert(rp.length === 1)
+    assert(rp.head.getAs[Long]("a_id") === 1L && rp.head.getAs[Long]("b_id") === 3L)
+    assert(rp.head.getAs[Long]("n_common") === 1L)
+    assert(rp.head.getAs[Double]("aa_score") === 1.442695)
+    // triangle: every distance-2 pair is already an edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a_id", "b_id")
+    assert(DedupOps.adamicAdar(tri).count() === 0L)
+    // star around hub 1 (deg 3): all leaf pairs predicted at 1/ln3
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a_id", "b_id")
+    val rs = DedupOps.adamicAdar(star).collect()
+      .map(x => (x.getAs[Long]("a_id"), x.getAs[Long]("b_id")) ->
+        x.getAs[Double]("aa_score")).toMap
+    assert(rs.keySet === Set((2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(rs.values.toSet === Set(0.910239))
+  }
+
+  test("linkPrediction: co-purchase closure surfaces the unseen pair") {
+    // parts 10,20 co-occur in orders 1,2; parts 20,30 in orders 3,4;
+    // (10,30) never seen → the predicted link through mid 20
+    val li = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L),
+      (3L, 20L), (3L, 30L), (4L, 20L), (4L, 30L))
+      .toDF("l_orderkey", "l_partkey")
+    val r = DedupOps.linkPrediction(li).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[Long]("a_id") === 10L && r.head.getAs[Long]("b_id") === 30L)
+    assert(r.head.getAs[Double]("aa_score") === 1.442695)
+  }
+
+  test("goldenRecord: longest-text canonical, censuses over the merged family") {
+    val gdocs = Seq(
+      (0L, base, "en", "web", 60L),
+      (1L, base, "en", "crawl", 60L), // exact dup
+      (2L, base + " with a tiny edit", "de", "web", 77L), // near dup, longest
+      (3L, "completely different words about spark query engines at scale ok",
+        "en", "web", 64L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DedupOps.goldenRecord(gdocs).collect()
+    assert(r.length === 1, "the unrelated doc joins no cluster")
+    val g = r.head
+    assert(g.getAs[Long]("cluster_id") === 0L)
+    assert(g.getAs[Long]("n_members") === 3L)
+    assert(g.getAs[Long]("canonical_doc") === 2L, "longest text survives")
+    assert(g.getAs[Long]("canonical_chars") === 77L)
+    assert(g.getAs[String]("canonical_source") === "web")
+    assert(g.getAs[Long]("n_langs") === 2L)
+    assert(g.getAs[Long]("n_sources") === 2L)
+    assert(g.getAs[Long]("total_chars") === 197L)
+    assert(g.getAs[Long]("first_doc") === 0L)
+  }
 }

@@ -41,4 +41,22 @@ class EmbedOpsSpec extends SparkSpec {
     val v0 = d.filter($"doc_id" === 0).head().getSeq[Float](1)
     assert(math.abs(v0.map(x => x * x).sum - 1f) < 1e-3)
   }
+  test("hashCollisionAudit: width-1 census exact, wide census matches the JVM hash twin") {
+    val docs = Seq((0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val r = EmbedOps.hashCollisionAudit(docs, Seq(1, 1048576)).collect()
+      .map(x => x.getAs[Long]("dim") ->
+        ((x.getAs[Long]("n_vocab"), x.getAs[Long]("n_buckets_used"),
+          x.getAs[Long]("max_bucket"), x.getAs[Long]("n_collided"),
+          x.getAs[Long]("collided_micro"))))
+      .toMap
+    assert(r(1L) === ((5L, 1L, 5L, 5L, 1000000L)),
+      "width 1: every token collides in the single bucket")
+    // wide leg: recompute the expected census from the JVM hash twin
+    val toks = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val buckets = toks.map(t => graft.functions.PortableHash.hash24Jvm(t) % 1048576L)
+    val byBucket = buckets.groupBy(identity).map(_._2.size)
+    val collided = byBucket.filter(_ >= 2).sum.toLong
+    assert(r(1048576L) === ((5L, byBucket.size.toLong, byBucket.max.toLong,
+      collided, collided * 1000000L / 5L)))
+  }
 }

@@ -1035,4 +1035,94 @@ class RelationalOpsSpec extends SparkSpec {
     val uniform = r.values.find(_._2 === 1L).get
     assert(uniform === ((3L, 1L, false)), "all-same-sensitive class must fail")
   }
+
+  test("tCloseness: representative class passes, skewed class fails, TVD exact") {
+    // class (0,0): u1..u4, 2 events each, tops a,a,b,b (mix 1/2 vs
+    // global 2/3 a) — num = |2*6-4*4| + |2*6-2*4| = 8, tvd_micro =
+    // 8e6/(2*4*6) = 166666 → passes; class (1,0): u5,u6 with 12 'a'
+    // events each (all-a mix vs 2/3 global) — 8e6/(2*2*6) = 333333 →
+    // fails
+    val rows =
+      Seq((1L, "a"), (1L, "a"), (2L, "a"), (2L, "a"),
+        (3L, "b"), (3L, "b"), (4L, "b"), (4L, "b")) ++
+        Seq(5L, 6L).flatMap(u => (0 until 12).map(_ => (u, "a")))
+    val events = rows.zipWithIndex
+      .map { case ((u, t), i) => (i.toLong, u, 0L, t, 1.0, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.tCloseness(events).collect()
+      .map(x => (x.getAs[Long]("activity_bucket"), x.getAs[Long]("days_bucket")) ->
+        ((x.getAs[Long]("k"), x.getAs[Long]("tvd_micro"), x.getAs[Boolean]("t_ok"))))
+      .toMap
+    assert(r((0L, 0L)) === ((4L, 166666L, true)))
+    assert(r((1L, 0L)) === ((2L, 333333L, false)))
+    assert(r.size === 2)
+  }
+
+  test("mannWhitney: complete separation is significant, all-tied variance guards to 0") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // type 'up': early {1,2,3,4} strictly below late {11,12,13,14} →
+    // U1 = 0, z = -16/(2*sqrt(12)) = -2.309401; type 'flat': all
+    // values tied → tie-corrected variance 0 → z = 0
+    val rows =
+      Seq(1.0, 2.0, 3.0, 4.0).zipWithIndex.map { case (v, i) =>
+        ((i % 2).toLong * day, "up", v) } ++
+      Seq(11.0, 12.0, 13.0, 14.0).zipWithIndex.map { case (v, i) =>
+        ((2 + i % 2).toLong * day, "up", v) } ++
+      (0 until 8).map(i => ((i % 4).toLong * day, "flat", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.mannWhitney(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_early"), x.getAs[Long]("n_late"),
+          x.getAs[Long]("u1_x2"), x.getAs[Double]("z"),
+          x.getAs[Boolean]("significant"))))
+      .toMap
+    assert(r("up") === ((4L, 4L, 0L, -2.309401, true)))
+    // flat: single census row, rank2 = N+1 → u1_x2 = n1*n2 = 16, z=0
+    assert(r("flat") === ((4L, 4L, 16L, 0.0, false)))
+  }
+
+  test("theilSenTrend: exact medians, outlier resistance, floored negative slope") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 'lin': perfectly linear, every pairwise slope = 1e6 micros;
+    // 'out': one exploding day — the median shrugs where OLS (~30.1)
+    // is dragged; 'neg2': num=-1 over den=2 pins FLOOR division
+    // (truncation toward zero would give 0, floor gives -1)
+    val rows =
+      Seq(0.0, 1.0, 2.0, 3.0).zipWithIndex.map { case (v, d) =>
+        (d.toLong * day, "lin", v) } ++
+      Seq(0.0, 1.0, 2.0, 100.0).zipWithIndex.map { case (v, d) =>
+        (d.toLong * day, "out", v) } ++
+      Seq((0L * day, "neg2", 1.0), (2L * day, "neg2", 0.999999))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.theilSenTrend(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_days"), x.getAs[Long]("n_pairs"),
+          x.getAs[Long]("med_x2"), x.getAs[Long]("ts_slope_micro"))))
+      .toMap
+    assert(r("lin") === ((4L, 6L, 2000000L, 1000000L)))
+    // out slopes (micros): 1e6 x3, 33333333, 49500000, 98000000 →
+    // middle two are 1e6 and 33333333
+    assert(r("out") === ((4L, 6L, 34333333L, 17166666L)))
+    assert(r("neg2") === ((2L, 1L, -2L, -1L)))
+  }
+
+  test("benfordAudit: string-of-cents digits, zero-obs spine rows, exact table") {
+    // cents: 100→1, 250→2, 3000→3, 95→9, 9500→9
+    val orders = Seq(1.00, 2.50, 30.00, 0.95, 95.00).toDF("o_totalprice")
+    val r = RelationalOps.benfordAudit(orders).collect()
+      .map(x => x.getAs[Long]("digit") ->
+        ((x.getAs[Long]("n_obs"), x.getAs[Long]("share_micro"),
+          x.getAs[Long]("benford_micro"))))
+      .toMap
+    assert(r.size === 9, "all nine digits keep a spine row")
+    assert(r(1L)._1 === 1L && r(2L)._1 === 1L && r(3L)._1 === 1L)
+    assert(r(9L) === ((2L, 400000L, 45757L)))
+    assert(r(4L)._1 === 0L && r(4L)._2 === 0L, "absent digit keeps n_obs = 0")
+    assert(r.values.map(_._3).sum === 1000000L,
+      "the literal Benford table partitions unity in micros exactly")
+  }
 }
