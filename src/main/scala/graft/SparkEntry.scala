@@ -368,6 +368,11 @@ object SparkEntry {
       MultimodalOps.audioFingerprint(
         MultimodalOps.syntheticPcmWavs(s, Tables.documents(s, dir)))
         .filter(_.ok).toDF().select(col("media_id"), col("fp"))),
+    // short-time DFT spectrogram over decoded PCM: pure-Long energies
+    // against the fixed-point trig tables the oracle shares verbatim
+    "audio_spectrogram" -> ((s, dir) =>
+      MultimodalOps.audioSpectrogram(
+        MultimodalOps.syntheticPcmWavs(s, Tables.documents(s, dir))).toDF()),
     // audio near-dups: fingerprints through the SAME pigeonhole
     // chunk join as dedup_simhash/image_near_dup — the third
     // modality in the dedup family
@@ -1039,6 +1044,14 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, dir) => RelationalOps.pricingSummary(Tables.lineitem(s, dir))),
     // TPC-H Q3: segment dim broadcast, pushed date filters, exact
     // cent×pct revenue, orderkey-keyed agg, top-10
+    // TPC-H Q18 shape: HAVING filter on lineitem alone prunes before
+    // any join; exact integer units, deterministic top-100 cut
+    "q18_large_orders" -> ((s, dir) =>
+      RelationalOps.q18LargeOrders(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // expire-snapshots planning: per-snapshot live census + the
+    // last-reference cohorts a vacuum run frees — metadata-only
+    "vacuum_plan" -> ((s, dir) => PersistOps.vacuumPlan(Tables.documents(s, dir))),
     "q3_shipping_priority" -> ((s, dir) =>
       RelationalOps.q3ShippingPriority(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
@@ -1393,12 +1406,30 @@ object SparkEntry {
     * generator formula (frame f = i div 4; bit f set iff
     * e[f] > e[f+1]). Shared by the audio_fingerprint and
     * audio_near_dup oracles. */
-  private lazy val duckAudioFp =
+  /** DuckDB twin of MultimodalOps.pcmSampleOf as a CTE `smp` —
+    * shared by the audio fingerprint and spectrogram oracles. */
+  private lazy val duckPcmSmp =
     """smp AS (SELECT d.doc_id AS media_id, u.i AS i,
       |    ((((d.doc_id % 89) + 5) * (u.i * 37 + 11)
       |      + CASE WHEN d.doc_id // 89 = 1 AND u.i = 100 THEN 1024 ELSE 0 END)
       |     % 4096) - 2048 AS s
-      |  FROM documents d, unnest(range(0, 196)) u(i)),
+      |  FROM documents d, unnest(range(0, 196)) u(i))""".stripMargin
+
+  /** The fixed-point DFT trig tables rendered from
+    * MultimodalOps.dftCosMicro/dftSinMicro — the SAME Long values the
+    * engine multiplies, so no libm cos enters the oracle. */
+  private lazy val duckTrig = {
+    val rows = for {
+      bi <- graft.ops.MultimodalOps.DftBins.indices
+      n <- 0 until 64
+    } yield s"(${graft.ops.MultimodalOps.DftBins(bi)},$n," +
+      s"${graft.ops.MultimodalOps.dftCosMicro(bi)(n)}," +
+      s"${graft.ops.MultimodalOps.dftSinMicro(bi)(n)})"
+    s"trig AS (SELECT * FROM (VALUES ${rows.mkString(",")}) t(bin, n, cosm, sinm))"
+  }
+
+  private lazy val duckAudioFp =
+    s"""$duckPcmSmp,
       |fe AS (SELECT media_id, i // 4 AS f, CAST(sum(s * s) AS BIGINT) AS e
       |       FROM smp GROUP BY 1, 2),
       |afp AS (SELECT a.media_id,
@@ -1906,6 +1937,28 @@ object SparkEntry {
     "audio_fingerprint" ->
       s"""WITH $duckAudioFp
          |SELECT media_id, fp FROM afp""".stripMargin,
+    // formula samples ⋈ the engine's exact trig literals; millis
+    // floor-scale before squaring, lowest-bin dominant tie-break
+    "audio_spectrogram" ->
+      s"""WITH $duckPcmSmp,
+         |$duckTrig,
+         |fr AS (SELECT media_id, i // 64 AS frame, i % 64 AS n, s
+         |       FROM smp WHERE i < 192),
+         |cs AS (SELECT f.media_id, f.frame, t.bin,
+         |         CAST(sum(f.s * t.cosm) AS BIGINT) AS cmic,
+         |         CAST(sum(f.s * t.sinm) AS BIGINT) AS smic
+         |       FROM fr f JOIN trig t ON t.n = f.n GROUP BY 1, 2, 3),
+         |en AS (SELECT media_id, frame, bin,
+         |         (cmic - ((cmic % 1000) + 1000) % 1000) // 1000 AS cm,
+         |         (smic - ((smic % 1000) + 1000) % 1000) // 1000 AS sm
+         |       FROM cs),
+         |ee AS (SELECT media_id, frame, bin,
+         |         CAST(cm * cm + sm * sm AS BIGINT) AS energy FROM en),
+         |dm AS (SELECT *, row_number() OVER (PARTITION BY media_id, frame
+         |           ORDER BY energy DESC, bin) AS rn FROM ee)
+         |SELECT media_id, CAST(frame AS INT) AS frame,
+         |  CAST(bin AS INT) AS bin, energy, rn = 1 AS dominant
+         |FROM dm""".stripMargin,
     // quadratic twin over the formula fingerprints (DuckDB at oracle
     // SF) — the engine side goes through the pigeonhole chunk join
     "audio_near_dup" ->
@@ -4853,6 +4906,45 @@ object SparkEntry {
         |       o_orderpriority, revenue_cp, n_items
         |FROM j
         |QUALIFY row_number() OVER (ORDER BY revenue_cp DESC, o_orderkey) <= 10""".stripMargin,
+    // lineitem-only HAVING prune, then orders + customer joins;
+    // exact cents/units with the full tie order
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        |    AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300),
+        |j AS (
+        |  SELECT c.c_name, c.c_custkey, o.o_orderkey,
+        |    strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |    CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+        |    b.sum_qty
+        |  FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey)
+        |SELECT CAST(row_number() OVER (ORDER BY total_cents DESC, o_orderkey)
+        |         AS BIGINT) AS rank,
+        |       c_name, c_custkey, o_orderkey, order_date, total_cents, sum_qty
+        |FROM j
+        |QUALIFY row_number() OVER (ORDER BY total_cents DESC, o_orderkey)
+        |  <= 100""".stripMargin,
+    // pure-in-doc_id snapshot lineage; live census per snapshot and
+    // last-reference cohorts, all integer
+    "vacuum_plan" ->
+      """WITH f AS (SELECT doc_id, n_chars AS bytes, doc_id % 3 AS add_snap,
+        |         least(doc_id % 3 + 1 + doc_id % 4, 5) AS del_snap
+        |       FROM documents),
+        |snaps AS (SELECT unnest(range(0, 5)) AS snapshot),
+        |live AS (SELECT s.snapshot, count(*) AS n_live,
+        |           CAST(sum(f.bytes) AS BIGINT) AS live_bytes
+        |         FROM f CROSS JOIN snaps s
+        |         WHERE s.snapshot >= f.add_snap AND s.snapshot < f.del_snap
+        |         GROUP BY 1),
+        |lr AS (SELECT del_snap - 1 AS snapshot, count(*) AS n_last_ref,
+        |         CAST(sum(bytes) AS BIGINT) AS last_ref_bytes
+        |       FROM f GROUP BY 1)
+        |SELECT live.snapshot, live.snapshot >= 3 AS kept, live.n_live,
+        |  live.live_bytes, coalesce(lr.n_last_ref, 0) AS n_last_ref,
+        |  coalesce(lr.last_ref_bytes, 0) AS last_ref_bytes
+        |FROM live LEFT JOIN lr USING (snapshot)""".stripMargin,
     "skew_join_receipt" ->
       """WITH t AS (
         |  SELECT count(*) AS n_rows,

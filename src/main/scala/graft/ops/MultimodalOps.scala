@@ -737,4 +737,66 @@ object MultimodalOps {
       (col("n_chars") % 100 + 1).cast("int").as("n_frames"))
       .as[MediaRow]
   }
+  /** DFT analysis bins (harmonics of the 64-sample frame) and their
+    * FIXED-POINT trig tables in integer micros — the shared kernel of
+    * [[audioSpectrogram]] and its oracle: SparkEntry renders these
+    * exact Long values into the DuckDB VALUES literal, so both
+    * engines multiply identical integers and no libm cos ever enters
+    * the comparison. */
+  val DftBins: Array[Int] = Array(1, 2, 4, 8)
+  lazy val dftCosMicro: Array[Array[Long]] = DftBins.map(k =>
+    Array.tabulate(64)(n => Math.round(math.cos(2 * math.Pi * k * n / 64) * 1e6)))
+  lazy val dftSinMicro: Array[Array[Long]] = DftBins.map(k =>
+    Array.tabulate(64)(n => Math.round(math.sin(2 * math.Pi * k * n / 64) * 1e6)))
+
+  /** One spectrogram cell: frame (0..2, 64-sample hop), analysis bin
+    * (harmonic index), integer energy, and whether this bin dominates
+    * its frame. frame = −1 marks a contained junk/short payload. */
+  case class SpectroRow(media_id: Long, frame: Int, bin: Int,
+                        energy: Long, dominant: Boolean)
+
+  /** Short-time DFT spectrogram over DECODED PCM — the frequency-
+    * domain member of the audio family ([[audioFingerprint]] reads
+    * time-domain energy deltas; this reads WHERE the energy lives):
+    * 3 non-overlapping 64-sample frames × 4 harmonic bins, energy =
+    * (Σs·cos)² + (Σs·sin)² in pure Long arithmetic against the
+    * fixed-point trig tables (micros products floor-scaled to millis
+    * before squaring so the square stays inside Long), dominant-bin
+    * argmax with the lowest-bin tie-break. The waveform is pure in
+    * media_id, so the oracle recomputes every sample, correlation,
+    * and energy decoder-free — the [[audioFingerprint]] differential
+    * proof lifted to the frequency domain.
+    *
+    * Scale shape: map-only mapPartitions decode+DFT (768 integer
+    * multiplies per row), 12 output rows per media; junk/truncated
+    * payloads CONTAINED as frame = −1, never a throw. */
+  def audioSpectrogram(media: Dataset[MediaRow]): Dataset[SpectroRow] = {
+    import media.sparkSession.implicits._
+    val cosT = dftCosMicro; val sinT = dftSinMicro; val bins = DftBins
+    media.flatMap { row =>
+      try {
+        pcmSamples(row.content) match {
+          case Some(s) if s.length >= 192 =>
+            (0 until 3).flatMap { f =>
+              val energies = bins.indices.map { bi =>
+                var c = 0L; var sn = 0L; var n = 0
+                while (n < 64) {
+                  val v = s(f * 64 + n).toLong
+                  c += v * cosT(bi)(n); sn += v * sinT(bi)(n); n += 1
+                }
+                val cm = Math.floorDiv(c, 1000L)
+                val sm = Math.floorDiv(sn, 1000L)
+                cm * cm + sm * sm
+              }
+              val dom = energies.indices.minBy(i => (-energies(i), i))
+              energies.indices.map(bi =>
+                SpectroRow(row.media_id, f, bins(bi), energies(bi), bi == dom))
+            }
+          case _ => Seq(SpectroRow(row.media_id, -1, -1, 0L, dominant = false))
+        }
+      } catch {
+        case _: Exception => Seq(SpectroRow(row.media_id, -1, -1, 0L, dominant = false))
+      }
+    }
+  }
 }

@@ -225,4 +225,46 @@ object PersistOps {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(tableName)
+  /** Snapshot-retention vacuum planning — the expire-snapshots step
+    * of the lakehouse maintenance pair ([[compactionPlan]] merges
+    * small files; this reclaims unreferenced ones): a table's history
+    * is a set of snapshots each referencing a file set; retention
+    * keeps the newest `keepLast`, and a file is reclaimable only when
+    * NO kept snapshot references it. The receipt censuses each
+    * snapshot (live files/bytes, kept flag) and each file cohort by
+    * LAST-referencing snapshot — n_last_ref/last_ref_bytes at
+    * snapshot s is exactly what expiring s (and everything older)
+    * frees, the number a vacuum run is approved on.
+    *
+    * Snapshot membership is synthesized pure-in-doc_id (the
+    * snapshot_diff convention): file f enters at doc_id % 3 and
+    * leaves at enter + 1 + doc_id % 4 (capped by the history length),
+    * so both engines derive identical lineage with zero state.
+    *
+    * Scale shape: membership is a broadcast-spine explode (|files| ×
+    * nSnaps rows, map-only); both censuses reduce onto the
+    * nSnaps-bounded key. The planner never touches file CONTENT —
+    * metadata-only, like every layout receipt. */
+  def vacuumPlan(docs: DataFrame, nSnaps: Int = 5, keepLast: Int = 2): DataFrame = {
+    val cut = (nSnaps - keepLast).toLong
+    val files = docs.select(col("doc_id"), col("n_chars").as("bytes"))
+      .withColumn("add_snap", expr("doc_id % 3"))
+      .withColumn("del_snap",
+        least(expr("doc_id % 3 + 1 + doc_id % 4"), lit(nSnaps.toLong)))
+      .withColumn("last_ref", col("del_snap") - 1)
+    val snaps = docs.sparkSession.range(0, nSnaps)
+      .select(col("id").as("snapshot"))
+    val live = files.crossJoin(broadcast(snaps))
+      .filter(col("snapshot") >= col("add_snap") &&
+        col("snapshot") < col("del_snap"))
+      .groupBy(col("snapshot"))
+      .agg(count(lit(1)).as("n_live"), sum(col("bytes")).as("live_bytes"))
+    val lastRef = files.groupBy(col("last_ref").as("snapshot"))
+      .agg(count(lit(1)).as("n_last_ref"), sum(col("bytes")).as("last_ref_bytes"))
+    live.join(lastRef, Seq("snapshot"), "left")
+      .select(col("snapshot"), (col("snapshot") >= lit(cut)).as("kept"),
+        col("n_live"), col("live_bytes"),
+        coalesce(col("n_last_ref"), lit(0L)).as("n_last_ref"),
+        coalesce(col("last_ref_bytes"), lit(0L)).as("last_ref_bytes"))
+  }
 }

@@ -2483,4 +2483,36 @@ object RelationalOps {
         col("chi2"),
         (col("chi2") <= lit(15.507313)).as("benford_ok"))
   }
+  /** TPC-H Q18 (large-volume orders) — the group-by-HAVING semi-join
+    * chain: orders whose lineitems sum past `minQty` units, joined
+    * back to customer and ranked by order value. The classic plan
+    * trap is aggregating the 3-way join; here the HAVING filter runs
+    * on lineitem ALONE first (one orderkey-keyed agg that prunes
+    * ~99% of orders), and only survivors join orders and the
+    * broadcast customer dim — the filter-before-join shape that
+    * survives a 100× fact scale-up.
+    *
+    * Exactness: quantities are integral by data contract (cast to
+    * Long, summed exactly); order value ranks in exact cents with
+    * o_orderkey as the total tie order — the q3 convention. */
+  def q18LargeOrders(customer: DataFrame, orders: DataFrame,
+                     lineitem: DataFrame, minQty: Long = 300,
+                     k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        round(col("o_totalprice") * 100).cast("long").as("total_cents"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_cents").desc, col("o_orderkey")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total_cents").desc, col("o_orderkey"))).cast("long"))
+      .select(col("rank"), col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("total_cents"), col("sum_qty"))
+  }
 }

@@ -141,4 +141,24 @@ class PersistOpsSpec extends SparkSpec {
     assert(byGrp(1L) === ((1L, 100L)))
     assert(byGrp(3L) === ((2L, 10L)))
   }
+  test("vacuumPlan: hand-checked lineage, kept flags, last-reference cohorts") {
+    import spark.implicits._
+    // docs 0..5, bytes 10*(id+1); add = id%3, del = min(add+1+id%4, 5)
+    val docs = (0L to 5L).map(i => (i, "t", "en", "web", 10L * (i + 1)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = PersistOps.vacuumPlan(docs).collect()
+      .map(x => x.getAs[Long]("snapshot") ->
+        ((x.getAs[Boolean]("kept"), x.getAs[Long]("n_live"),
+          x.getAs[Long]("live_bytes"), x.getAs[Long]("n_last_ref"),
+          x.getAs[Long]("last_ref_bytes"))))
+      .toMap
+    assert(r(0L) === ((false, 2L, 50L, 1L, 10L)))
+    assert(r(1L) === ((false, 3L, 110L, 1L, 50L)))
+    assert(r(2L) === ((false, 4L, 150L, 1L, 20L)))
+    assert(r(3L) === ((true, 3L, 130L, 2L, 100L)))
+    assert(r(4L) === ((true, 1L, 30L, 1L, 30L)))
+    // retention invariant: expiring 0..2 frees exactly the cohorts
+    // whose last reference precedes the cut
+    assert(Seq(0L, 1L, 2L).map(k => r(k)._4).sum === 3L)
+  }
 }

@@ -1125,4 +1125,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.values.map(_._3).sum === 1000000L,
       "the literal Benford table partitions unity in micros exactly")
   }
+  test("q18LargeOrders: strict HAVING cut, exact cents, broadcast dim attributes") {
+    val customer = Seq((7L, "Customer#7", 1, 0.0, "BUILDING"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val t0 = java.sql.Timestamp.valueOf("1997-03-05 00:00:00")
+    val orders = Seq(
+      (1L, 7L, "F", 1234.56, t0, "1-URGENT"),
+      (2L, 7L, "F", 99.99, t0, "2-HIGH"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    // order 1 sums 301 (> 300, kept); order 2 sums exactly 300 (cut)
+    val lineitem = Seq((1L, 200.0), (1L, 101.0), (2L, 300.0))
+      .toDF("l_orderkey", "l_quantity")
+    val r = RelationalOps.q18LargeOrders(customer, orders, lineitem).collect()
+    assert(r.length === 1)
+    val g = r.head
+    assert(g.getAs[Long]("rank") === 1L)
+    assert(g.getAs[String]("c_name") === "Customer#7")
+    assert(g.getAs[Long]("o_orderkey") === 1L)
+    assert(g.getAs[String]("order_date") === "1997-03-05")
+    assert(g.getAs[Long]("total_cents") === 123456L)
+    assert(g.getAs[Long]("sum_qty") === 301L)
+  }
 }
