@@ -584,6 +584,10 @@ object SparkEntry {
     // against the d-shifted self), ONE pair-keyed shuffle, marginals
     // broadcast back, top-N as TakeOrderedAndProject
     "word_pmi" -> ((s, dir) => TextOps.wordPmi(Tables.documents(s, dir))),
+    // TextRank: PageRank (the shared graph kernel) over the word
+    // co-occurrence graph; centrality beats raw frequency
+    "textrank_keywords" -> ((s, dir) =>
+      TextOps.textrankKeywords(Tables.documents(s, dir))),
     // facet-dependence diagnostic: MI(lang; source) + entropies + NMI
     // from three bounded censuses, key-ordered ln-term folds
     "lang_source_mi" -> ((s, dir) => TextOps.langSourceMi(Tables.documents(s, dir))),
@@ -775,6 +779,10 @@ object SparkEntry {
     // guard
     "events_autocorr" -> ((s, dir) =>
       RelationalOps.eventsAutocorr(Tables.events(s, dir))),
+    // exact dyadic EWMA (alpha = 1/2) over the trailing-32-day daily
+    // series: shiftleft weights in decimal(38,0), pmod-floored
+    // divisions — no float anywhere
+    "events_ewma" -> ((s, dir) => RelationalOps.eventsEwma(Tables.events(s, dir))),
     // market-basket lift over per-(user, day) type sets; pair
     // generation map-only from sorted basket arrays
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
@@ -2525,6 +2533,41 @@ object SparkEntry {
         |        CROSS JOIN s
         |        WHERE c.c_xy >= 3))
         |WHERE rank <= 100""".stripMargin,
+    // wordPmi's pair CTEs feed the SAME 3-round PR unroll as
+    // dedup_pagerank; top-20 on the (score desc, word) total order
+    "textrank_keywords" ->
+      """WITH tk AS (SELECT list_filter(list_transform(
+        |        list_slice(string_split(text, ' '), 1, 512), x -> trim(x)),
+        |        x -> x <> '') AS toks FROM documents),
+        |pr AS (SELECT least(toks[i], toks[i + d]) AS t1,
+        |              greatest(toks[i], toks[i + d]) AS t2
+        |       FROM tk, unnest(range(1, len(toks) + 1)) u(i),
+        |            (SELECT unnest([1, 2]) AS d) dd
+        |       WHERE i + d <= len(toks)),
+        |c AS (SELECT t1, t2, count(*) AS c_xy FROM pr GROUP BY 1, 2),
+        |edges AS (SELECT t1 AS a_id, t2 AS b_id FROM c
+        |          WHERE c_xy >= 2 AND t1 <> t2),
+        |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+        |        UNION ALL SELECT b_id, a_id FROM edges),
+        |deg AS (SELECT src, count(*) AS deg FROM und GROUP BY 1),
+        |pr0 AS (SELECT src AS id, 1.0 AS pr FROM deg),
+        |pr1 AS (SELECT u.dst AS id,
+        |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+        |  FROM und u JOIN pr0 p ON p.id = u.src JOIN deg d ON d.src = u.src
+        |  GROUP BY 1),
+        |pr2 AS (SELECT u.dst AS id,
+        |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+        |  FROM und u JOIN pr1 p ON p.id = u.src JOIN deg d ON d.src = u.src
+        |  GROUP BY 1),
+        |pr3 AS (SELECT u.dst AS id,
+        |    round(0.15 + 0.85 * sum(p.pr / d.deg ORDER BY u.src), 6) + 0 AS pr
+        |  FROM und u JOIN pr2 p ON p.id = u.src JOIN deg d ON d.src = u.src
+        |  GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(row_number() OVER (ORDER BY pr DESC, id) AS BIGINT)
+        |           AS rank, id AS word, pr AS score
+        |  FROM pr3)
+        |WHERE rank <= 20""".stripMargin,
     // vocabulary = corpus top-16 tokens; per-source stream coverage
     "oov_rate" ->
       """WITH st AS (
@@ -3458,6 +3501,34 @@ object SparkEntry {
          |       ELSE 0.0 END AS autocorr
          |FROM lg JOIN dn USING (event_type)""".stripMargin
     },
+    // closed-form dyadic weights in HUGEINT; arg_max last day,
+    // pmod-floored divisions mirror the engine exactly
+    "events_ewma" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |bd AS (SELECT event_type, max(day) AS d1 FROM daily GROUP BY 1),
+        |rk AS (SELECT d.event_type, d.day, d.mm,
+        |         row_number() OVER (PARTITION BY d.event_type
+        |           ORDER BY d.day) AS t
+        |       FROM daily d JOIN bd USING (event_type)
+        |       WHERE d.day > bd.d1 - 32),
+        |sc AS (SELECT event_type, count(*) AS n_days,
+        |         CAST(sum(mm) AS HUGEINT) AS msum,
+        |         sum(CAST(mm AS HUGEINT) *
+        |             CASE WHEN t = 1 THEN CAST(1 AS HUGEINT)
+        |                  ELSE CAST(power(2, t - 2) AS HUGEINT) END) AS scaled,
+        |         arg_max(mm, t) AS last_micro
+        |       FROM rk GROUP BY 1),
+        |fin AS (SELECT *, CAST(power(2, n_days - 1) AS HUGEINT) AS denom
+        |        FROM sc)
+        |SELECT event_type, n_days, last_micro,
+        |  CAST((msum - ((msum % n_days) + n_days) % n_days) // n_days
+        |    AS BIGINT) AS mean_micro,
+        |  CAST((scaled - ((scaled % denom) + denom) % denom) // denom
+        |    AS BIGINT) AS ewma_micro
+        |FROM fin""".stripMargin,
     "forecast_interval" ->
       """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value

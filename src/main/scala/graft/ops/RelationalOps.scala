@@ -2515,4 +2515,50 @@ object RelationalOps {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
         col("total_cents"), col("sum_qty"))
   }
+  /** Exponentially-weighted daily mean (α = ½) in EXACT integer
+    * arithmetic — the smoothing member of the forecasting family
+    * ([[eventsForecastBacktest]] grades a point model; this is the
+    * classic low-lag level estimate monitoring dashboards track):
+    * S_t = (S_{t−1} + m_t)/2 unrolls to the closed form
+    * S_T·2^(T−1) = m_1 + Σ_{t≥2} m_t·2^(t−2), computed in
+    * decimal(38,0) with shiftleft weights so NO float enters —
+    * the sequential recurrence becomes one order-free exact sum.
+    * The window is the trailing `windowDays` days: weights below
+    * 2^−32 are sub-micro (beneath the output grid by construction),
+    * so truncation is exact at the receipt's own resolution, and the
+    * scaled sum stays bounded (2^30·10⁹ ≪ 10³⁸) at ANY corpus size.
+    * Floored divisions use the pmod idiom (the theilSenTrend rule)
+    * so negative daily means divide identically on both engines.
+    *
+    * Scale shape: one (type, day) agg collapses the stream; ranking
+    * and the weighted fold run on the ≤ windowDays-row-per-type
+    * table. */
+  def eventsEwma(events: DataFrame, windowDays: Int = 32): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val bd = daily.groupBy(col("event_type")).agg(max(col("day")).as("d1"))
+    val rk = daily.join(broadcast(bd), "event_type")
+      .filter(col("day") > col("d1") - windowDays)
+      .withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    rk.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("mm")).as("msum"),
+        sum(expr("CAST(mm AS DECIMAL(38,0)) * CAST(CASE WHEN t = 1 THEN 1L " +
+          "ELSE shiftleft(1L, CAST(t - 2 AS INT)) END AS DECIMAL(38,0))"))
+          .as("scaled"),
+        expr("max_by(mm, t)").as("last_micro"))
+      .withColumn("denom",
+        expr("CAST(shiftleft(1L, CAST(n_days - 1 AS INT)) AS DECIMAL(38,0))"))
+      .withColumn("ewma_micro",
+        expr("CAST((scaled - pmod(scaled, denom)) div denom AS BIGINT)"))
+      .withColumn("mean_micro", expr("(msum - pmod(msum, n_days)) div n_days"))
+      .select(col("event_type"), col("n_days"), col("last_micro"),
+        col("mean_micro"), col("ewma_micro"))
+  }
 }

@@ -1912,4 +1912,47 @@ object TextOps {
       .orderBy(col("wc").desc, col("word")).limit(topWords)
       .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
   }
+  /** TextRank keyword extraction (Mihalcea & Tarau '04) — the
+    * GRAPH-centrality member of the keyword family
+    * ([[graft.ops.KeywordOps]] ranks by tf·idf; this ranks by
+    * co-occurrence topology): words are nodes, ±`window` co-occurrence
+    * (count ≥ `minCount`, self-pairs dropped) are edges, and
+    * [[graft.ops.DedupOps.pageRank]] — the SAME kernel the near-dup
+    * graph uses, ids are type-agnostic — scores centrality over 3
+    * unrolled rounds. A word that bridges many contexts outranks a
+    * merely frequent one; the spec pins exactly that separation.
+    *
+    * Determinism: pair generation is [[wordPmi]]'s map-only zip_with
+    * (no positional self-join); the PR rounds round once per node per
+    * round with src-ordered folds; the top-k cut orders by
+    * (score desc, word) — a total order on the 6dp grid.
+    *
+    * Scale shape: the graph is vocab-bounded (pairs pruned at
+    * minCount), orders of magnitude smaller than the token stream;
+    * each PR round is one edge⋈score equi-join + a dst-keyed fold. */
+  def textrankKeywords(docs: DataFrame, window: Int = 2, minCount: Long = 2,
+                       iters: Int = 3, k: Int = 20,
+                       maxTokens: Int = 512): DataFrame = {
+    val toks = expr(
+      s"filter(transform(slice(split(text, ' '), 1, $maxTokens), t -> trim(t)), t -> t <> '')")
+    val pairArr = (1 to window).map { d =>
+      zip_with(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - d, lit(0))),
+        slice(col("toks"), lit(1 + d), greatest(size(col("toks")) - d, lit(0))),
+        (a, b) => struct(least(a, b).as("t1"), greatest(a, b).as("t2")))
+    }
+    val edges = docs
+      .select(toks.as("toks"))
+      .select(explode(flatten(array(pairArr: _*))).as("p"))
+      .select(col("p.t1"), col("p.t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount && col("t1") =!= col("t2"))
+      .select(col("t1").as("a_id"), col("t2").as("b_id"))
+    graft.ops.DedupOps.pageRank(edges, iters)
+      .orderBy(col("pagerank").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pagerank").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id").as("word"),
+        col("pagerank").as("score"))
+  }
 }

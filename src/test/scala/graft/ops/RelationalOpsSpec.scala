@@ -1147,4 +1147,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("total_cents") === 123456L)
     assert(g.getAs[Long]("sum_qty") === 301L)
   }
+  test("eventsEwma: textbook recurrence, trailing-window cut, floored negatives") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 'abc': days 0..2 values 4,2,8 → S = ((4)+2)/2 = 3, (3+8)/2 = 5.5
+    // 'long': 40 constant days → only the trailing 32 enter
+    // 'neg': days 0,1 values 0, -0.000001 → scaled -1, denom 2 →
+    //        floor gives -1 where truncation would give 0
+    val rows =
+      Seq((0L, 4.0), (1L, 2.0), (2L, 8.0)).map { case (d, v) => (d * day, "abc", v) } ++
+      (0L until 40L).map(d => (d * day, "long", 7.0)) ++
+      Seq((0L * day, "neg", 0.0), (1L * day, "neg", -0.000001))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsEwma(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_days"), x.getAs[Long]("last_micro"),
+          x.getAs[Long]("mean_micro"), x.getAs[Long]("ewma_micro"))))
+      .toMap
+    assert(r("abc") === ((3L, 8000000L, 4666666L, 5500000L)))
+    assert(r("long") === ((32L, 7000000L, 7000000L, 7000000L)))
+    assert(r("neg") === ((2L, -1L, -1L, -1L)), "floored, not truncated")
+  }
 }

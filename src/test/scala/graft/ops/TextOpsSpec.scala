@@ -783,4 +783,22 @@ class TextOpsSpec extends SparkSpec {
     assert(e("abab") === ((2L, 2L, "aba b")))
     assert(e("cd") === ((1L, 2L, "c d")))
   }
+  test("textrankKeywords: the bridging hub outranks leaves, self-pairs carry nothing") {
+    // hub co-occurs with four distinct leaves (each pair twice, past
+    // minCount); 'spam' repeats within its own doc only — self-pairs
+    // are dropped, so raw frequency alone earns NO rank
+    val docs = (Seq.fill(2)(Seq("hub a", "hub b", "hub c", "hub d")).flatten ++
+      Seq("spam spam spam spam spam spam"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = TextOps.textrankKeywords(docs).collect()
+      .map(x => x.getAs[Long]("rank") ->
+        ((x.getAs[String]("word"), x.getAs[Double]("score"))))
+      .toMap
+    assert(r(1L)._1 === "hub", "graph centrality, not raw frequency")
+    assert(!r.values.exists(_._1 === "spam"))
+    assert(Seq(2L, 3L, 4L, 5L).map(r(_)._1) === Seq("a", "b", "c", "d"),
+      "tied leaves order by word")
+    assert(r(1L)._2 > r(2L)._2)
+  }
 }
