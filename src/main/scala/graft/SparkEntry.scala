@@ -488,6 +488,10 @@ object SparkEntry {
     // mean |gap| — the calibration audit beside the accuracy audit
     "gd_calibration" -> ((s, dir) =>
       ClassifierOps.qualityCalibration(Tables.documents(s, dir))),
+    // MI(feature bin; label) selection receipt: constant bin edges,
+    // 8-cell censuses, langSourceMi fold conventions
+    "feature_mi" -> ((s, dir) =>
+      ClassifierOps.featureMi(Tables.documents(s, dir))),
     // load-or-create for the GD classifier: the weight trajectory
     // persists to parquet (IEEE754 bits verbatim) and the reloaded
     // final weights must score every document bit-identically to
@@ -693,6 +697,10 @@ object SparkEntry {
     // golden-record survivorship after clustering: longest-text
     // canonical with deterministic tie-break + merge censuses
     "golden_record" -> ((s, dir) => DedupOps.goldenRecord(Tables.documents(s, dir))),
+    // meta-receipt: MinHash-tier vs embedding-tier verified pair
+    // sets full-outer-joined — do the two thresholds agree?
+    "dedup_tier_agreement" -> ((s, dir) =>
+      DedupOps.dedupTierAgreement(Tables.documents(s, dir))),
     // synchronous label propagation (4 rounds, count-desc/label-asc
     // argmax) — community structure inside the near-dup components
     "dedup_communities" -> ((s, dir) =>
@@ -783,6 +791,10 @@ object SparkEntry {
     // series: shiftleft weights in decimal(38,0), pmod-floored
     // divisions — no float anywhere
     "events_ewma" -> ((s, dir) => RelationalOps.eventsEwma(Tables.events(s, dir))),
+    // exact DFT periodogram of the trailing-28-day daily series:
+    // fixed-point trig, decimal(38,0) energies, k=4 is the week
+    "events_periodogram" -> ((s, dir) =>
+      RelationalOps.eventsPeriodogram(Tables.events(s, dir))),
     // market-basket lift over per-(user, day) type sets; pair
     // generation map-only from sorted basket arrays
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
@@ -1235,7 +1247,10 @@ object SparkEntry {
   /** The full GD-retrain CTE chain (features → 8 unrolled steps →
     * final-weight scores) ending in `gds (doc_id, y BIGINT, score)` —
     * shared by the quality_classifier and gd_calibration oracles. */
-  private def duckGdScored: String =
+  /** DuckDB twin of ClassifierOps.features as CTEs ending in `cfi`
+    * (doc_id, y, x1..x3, ix1..ix3) — shared by the GD-training
+    * oracles and feature_mi. */
+  private def duckGdFeatures: String =
     s"""$duckToks,
        |cq AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
        |         sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
@@ -1251,7 +1266,10 @@ object SparkEntry {
        |    CAST(round(x1 * 1000000.0) AS BIGINT) AS ix1,
        |    CAST(round(x2 * 1000000.0) AS BIGINT) AS ix2,
        |    CAST(round(x3 * 1000000.0) AS BIGINT) AS ix3
-       |  FROM cf),
+       |  FROM cf)""".stripMargin
+
+  private def duckGdScored: String =
+    s"""$duckGdFeatures,
        |lw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
        |${(1 to 8).map(duckLrStep).mkString(",\n")},
        |gds AS (SELECT f.doc_id, CAST(f.y AS BIGINT) AS y,
@@ -3529,6 +3547,51 @@ object SparkEntry {
         |  CAST((scaled - ((scaled % denom) + denom) % denom) // denom
         |    AS BIGINT) AS ewma_micro
         |FROM fin""".stripMargin,
+    // trig literals rendered from the engine's own tables; HUGEINT
+    // correlations cast to DECIMAL(38,0) energies
+    "events_periodogram" -> {
+      val trig = (for {
+        ki <- graft.ops.RelationalOps.PeriodogramBins.indices
+        n <- 0 until 28
+      } yield s"(${graft.ops.RelationalOps.PeriodogramBins(ki)},$n," +
+        s"${graft.ops.RelationalOps.pgCosMicro(ki)(n)}," +
+        s"${graft.ops.RelationalOps.pgSinMicro(ki)(n)})").mkString(",")
+      s"""WITH trig AS (SELECT * FROM (VALUES $trig) t(k, n, cosm, sinm)),
+         |daily AS (SELECT event_type,
+         |         epoch_ns(ts) // 86400000000000 AS day,
+         |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+         |       FROM events GROUP BY 1, 2),
+         |bd AS (SELECT event_type, max(day) AS d1 FROM daily GROUP BY 1),
+         |win AS (SELECT d.event_type, d.mm, d.day - (bd.d1 - 27) AS n
+         |        FROM daily d JOIN bd USING (event_type)
+         |        WHERE d.day > bd.d1 - 28),
+         |mn AS (SELECT event_type, CAST(sum(mm) AS BIGINT) AS msum,
+         |         count(*) AS cnt FROM win GROUP BY 1),
+         |mn2 AS (SELECT event_type,
+         |          (msum - ((msum % cnt) + cnt) % cnt) // cnt AS mean_micro
+         |        FROM mn),
+         |dv AS (SELECT w.event_type, w.n, w.mm - m.mean_micro AS dev
+         |       FROM win w JOIN mn2 m USING (event_type)),
+         |cs AS (SELECT d.event_type, t.k,
+         |         CAST(sum(d.dev * t.cosm) AS BIGINT) AS cmic,
+         |         CAST(sum(d.dev * t.sinm) AS BIGINT) AS smic
+         |       FROM dv d JOIN trig t USING (n) GROUP BY 1, 2),
+         |en AS (SELECT event_type, k,
+         |         (cmic - ((cmic % 1000) + 1000) % 1000) // 1000 AS cm,
+         |         (smic - ((smic % 1000) + 1000) % 1000) // 1000 AS sm
+         |       FROM cs),
+         |ee AS (SELECT event_type, k,
+         |         CAST(CAST(cm AS HUGEINT) * CAST(cm AS HUGEINT) +
+         |              CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
+         |           AS DECIMAL(38,0)) AS energy
+         |       FROM en),
+         |dm AS (SELECT *, row_number() OVER (PARTITION BY event_type
+         |           ORDER BY energy DESC, k) AS rn FROM ee)
+         |SELECT event_type, CAST(k AS BIGINT) AS k,
+         |  CAST(28 // k AS BIGINT) AS period_days, energy,
+         |  rn = 1 AS dominant
+         |FROM dm""".stripMargin
+    },
     "forecast_interval" ->
       """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value
@@ -4521,6 +4584,42 @@ object SparkEntry {
          |JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
          |GROUP BY 1, 2
          |HAVING round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0 >= 0.9""".stripMargin,
+    // MinHash pairs (jac >= 0.5) vs embedding pairs (cos >= 0.9)
+    // full-outer-joined; floor-quotient agreement in micros
+    "dedup_tier_agreement" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |mhpairs AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 65536 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id)),
+         |em AS (SELECT c.a_id, c.b_id
+         |       FROM cand c
+         |       JOIN w a ON a.doc_id = c.a_id
+         |       JOIN w b ON b.doc_id = c.b_id AND b.dim = a.dim
+         |       GROUP BY 1, 2
+         |       HAVING round(sum(a.weight * b.weight ORDER BY a.dim), 6) + 0
+         |         >= 0.9),
+         |fo AS (SELECT m.a_id IS NOT NULL AS in_mh, e.a_id IS NOT NULL AS in_em
+         |       FROM mhpairs m FULL OUTER JOIN em e
+         |         ON m.a_id = e.a_id AND m.b_id = e.b_id),
+         |ag AS (SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_minhash,
+         |         CAST(sum(CASE WHEN in_em THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_embedding,
+         |         CAST(sum(CASE WHEN in_mh AND in_em THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS n_both,
+         |         count(*) AS n_either
+         |       FROM fo)
+         |SELECT *, CASE WHEN n_either = 0 THEN 1000000
+         |  ELSE CAST((n_both * 1000000) // n_either AS BIGINT) END
+         |    AS agreement_micro
+         |FROM ag""".stripMargin,
     "events_band_join" ->
       """WITH e AS (SELECT event_id, value,
         |             CAST(floor(value / 0.05) AS BIGINT) AS bin
@@ -5308,6 +5407,36 @@ object SparkEntry {
          |SELECT dim, n_vocab, n_buckets_used, max_bucket, n_collided,
          |  CAST((n_collided * 1000000) // n_vocab AS BIGINT) AS collided_micro
          |FROM legs""".stripMargin
+    },
+    // shared features fragment + constant-edge bins; key-ordered ln
+    // folds, langSourceMi conventions
+    "feature_mi" -> {
+      def leg(fx: String): String =
+        s"""SELECT '$fx' AS feature, mi.n_rows, mi.n_cells, mi.mi, hy.h_y,
+           |  CASE WHEN hy.h_y = 0.0 THEN 0.0
+           |       ELSE round(mi.mi / hy.h_y, 6) + 0 END AS nmi
+           |FROM (
+           |  SELECT max(n_rows) AS n_rows, count(*) AS n_cells,
+           |    round(sum(CAST(n_by AS DOUBLE) / n_rows *
+           |      ln(CAST(n_by AS DOUBLE) * n_rows /
+           |         (CAST(n_b AS DOUBLE) * n_y))
+           |      ORDER BY b || '|' || y), 6) + 0 AS mi
+           |  FROM (
+           |    SELECT j.b, j.y, j.n_by, mb.n_b, my.n_y, tt.n_rows
+           |    FROM (SELECT least(3, $fx // 250000) AS b, y, count(*) AS n_by
+           |          FROM cfi GROUP BY 1, 2) j
+           |    JOIN (SELECT least(3, $fx // 250000) AS b, count(*) AS n_b
+           |          FROM cfi GROUP BY 1) mb USING (b)
+           |    JOIN (SELECT y, count(*) AS n_y FROM cfi GROUP BY 1) my USING (y)
+           |    CROSS JOIN (SELECT count(*) AS n_rows FROM cfi) tt)) mi
+           |CROSS JOIN (
+           |  SELECT round(-sum(CAST(n_y AS DOUBLE) / n_rows *
+           |      ln(CAST(n_y AS DOUBLE) / n_rows) ORDER BY y), 6) + 0 AS h_y
+           |  FROM (SELECT y, count(*) AS n_y FROM cfi GROUP BY 1) my
+           |  CROSS JOIN (SELECT count(*) AS n_rows FROM cfi) tt) hy""".stripMargin
+      s"""WITH $duckGdFeatures
+         |${Seq("ix1", "ix2", "ix3").map(leg).mkString("\nUNION ALL\n")}"""
+        .stripMargin
     },
     // the cosine chain's top-20 as candidates, candidate-only
     // pairwise sims, then 4 unrolled greedy rounds after the

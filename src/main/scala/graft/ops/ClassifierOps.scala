@@ -217,4 +217,51 @@ object ClassifierOps {
       col("doc_id"), col("y"),
       sigmoid(w).as("score"),
       (round(sigmoid(w) * Scale.toDouble, 0).cast("long") >= Scale / 2).as("predicted"))
+  /** Mutual-information feature audit — the SELECTION receipt for the
+    * quality gate ([[qualityClassifier]] learns a weighting;
+    * this asks whether each feature carries label information at
+    * all): each fixed-point feature bins into 4 equal-width bins over
+    * its [0, 10⁶] range (no data-dependent quantiles — the bin edges
+    * are constants, so the receipt replays at any scale), and
+    * MI(bin; y) = Σ p·ln(p_by·N/(n_b·n_y)) folds key-ordered over the
+    * ≤8-cell census, with H(y) and the normalized MI alongside (the
+    * [[graft.ops.TextOps.langSourceMi]] conventions). A feature with
+    * nmi ≈ 0 is dead weight; the audit says so before training pays
+    * for it.
+    *
+    * Scale shape: one features scan materialized for the three legs;
+    * each leg is a bounded (4×2)-cell census — nothing wider than the
+    * per-doc reduction. */
+  def featureMi(docs: DataFrame, minChars: Long = 300): DataFrame = {
+    import graft.functions.VectorMath.orderedSum
+    val f = features(docs, minChars).localCheckpoint(true)
+    Seq("ix1", "ix2", "ix3").map { fx =>
+      val b = f.select(col("y"),
+        least(lit(3L), expr(s"$fx div 250000")).as("b"))
+      val joint = b.groupBy(col("b"), col("y")).agg(count(lit(1)).as("n_by"))
+      val mb = b.groupBy(col("b")).agg(count(lit(1)).as("n_b"))
+      val my = b.groupBy(col("y")).agg(count(lit(1)).as("n_y"))
+      val tot = b.groupBy().agg(count(lit(1)).as("n_rows"))
+      val mi = joint.join(broadcast(mb), "b").join(broadcast(my), "y")
+        .crossJoin(broadcast(tot))
+        .withColumn("term",
+          col("n_by").cast("double") / col("n_rows") *
+            log(col("n_by").cast("double") * col("n_rows") /
+              (col("n_b").cast("double") * col("n_y"))))
+        .groupBy()
+        .agg(max(col("n_rows")).as("n_rows"), count(lit(1)).as("n_cells"),
+          roundn(orderedSum(concat_ws("|", col("b"), col("y")),
+            col("term")), 6).as("mi"))
+      val hy = my.crossJoin(broadcast(tot))
+        .groupBy()
+        .agg(roundn(-orderedSum(col("y"),
+          col("n_y").cast("double") / col("n_rows") *
+            log(col("n_y").cast("double") / col("n_rows"))), 6).as("h_y"))
+      mi.crossJoin(broadcast(hy))
+        .withColumn("nmi", when(col("h_y") === 0.0, lit(0.0))
+          .otherwise(roundn(col("mi") / col("h_y"), 6)))
+        .select(lit(fx).as("feature"), col("n_rows"), col("n_cells"),
+          col("mi"), col("h_y"), col("nmi"))
+    }.reduce(_ unionByName _)
+  }
 }

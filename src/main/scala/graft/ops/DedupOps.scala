@@ -1385,9 +1385,9 @@ object DedupOps {
   def goldenRecord(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val clusters = dedupClusters(docs, minJaccard)
       .select(col("doc_id"), col("component_id").as("cluster_id"))
-    val membered = clusters.join(
-      docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
-      "doc_id")
+    val membered = docs
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .join(broadcast(clusters), "doc_id")
       .localCheckpoint(true)
     val wCanon = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
@@ -1406,5 +1406,35 @@ object DedupOps {
       .select(col("cluster_id"), col("n_members"), col("canonical_doc"),
         col("canonical_chars"), col("canonical_source"), col("n_langs"),
         col("n_sources"), col("total_chars"), col("first_doc"))
+  }
+  /** Dedup tier agreement — the META-receipt over the two near-dup
+    * detectors: the MinHash/Jaccard tier ([[nearDupVerified]], surface
+    * overlap) and the embedding-cosine tier ([[embeddingNearDup]],
+    * weighted-profile similarity) hunt the same prey with different
+    * senses; this full-outer-joins their verified pair sets and
+    * reports the overlap — the calibration number that says whether
+    * the two thresholds (0.5 Jaccard, 0.9 cosine) describe the same
+    * "duplicate". Pairs only one tier catches are exactly the review
+    * queue for threshold tuning.
+    *
+    * Scale shape: both generators are candidate-based (never N²); the
+    * agreement join runs over the two pair lists, tiny vs the corpus.
+    * An empty union guards to agreement 10⁶ (vacuously aligned). */
+  def dedupTierAgreement(docs: DataFrame): DataFrame = {
+    val mh = nearDupVerified(docs).select(col("a_id"), col("b_id"))
+      .withColumn("in_mh", lit(true))
+    val em = embeddingNearDup(docs).select(col("a_id"), col("b_id"))
+      .withColumn("in_em", lit(true))
+    mh.join(em, Seq("a_id", "b_id"), "full_outer")
+      .select(coalesce(col("in_mh"), lit(false)).as("in_mh"),
+        coalesce(col("in_em"), lit(false)).as("in_em"))
+      .groupBy()
+      .agg(sum(when(col("in_mh"), 1L).otherwise(0L)).as("n_minhash"),
+        sum(when(col("in_em"), 1L).otherwise(0L)).as("n_embedding"),
+        sum(when(col("in_mh") && col("in_em"), 1L).otherwise(0L)).as("n_both"),
+        count(lit(1)).as("n_either"))
+      .withColumn("agreement_micro",
+        when(col("n_either") === 0, lit(1000000L))
+          .otherwise(expr("(n_both * 1000000L) div n_either")))
   }
 }

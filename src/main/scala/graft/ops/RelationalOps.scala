@@ -2561,4 +2561,71 @@ object RelationalOps {
       .select(col("event_type"), col("n_days"), col("last_micro"),
         col("mean_micro"), col("ewma_micro"))
   }
+  /** Periodogram analysis bins for the 28-day window (harmonic k ↔
+    * period 28/k days — k=4 IS the weekly cycle) and their
+    * fixed-point trig tables, shared verbatim with the oracle (the
+    * [[graft.ops.MultimodalOps.dftCosMicro]] convention on the time
+    * axis). */
+  val PeriodogramBins: Array[Int] = Array(1, 2, 4, 7, 14)
+  lazy val pgCosMicro: Array[Array[Long]] = PeriodogramBins.map(k =>
+    Array.tabulate(28)(n => Math.round(math.cos(2 * math.Pi * k * n / 28) * 1e6)))
+  lazy val pgSinMicro: Array[Array[Long]] = PeriodogramBins.map(k =>
+    Array.tabulate(28)(n => Math.round(math.sin(2 * math.Pi * k * n / 28) * 1e6)))
+
+  /** Exact DFT periodogram of the per-type daily series — WHICH cycle
+    * drives the signal, where [[eventsSeasonality]] assumes the
+    * daily cycle and folds by hour: the trailing 28 days (gap days
+    * contribute zero after mean-centering — the standard missing-
+    * data convention, stated not hidden), 5 harmonic bins with k=4 ↔
+    * the 7-day week, energies in EXACT integer arithmetic against the
+    * fixed-point trig tables (micro products floor-scaled to millis,
+    * squared in decimal(38,0) so no bound on the daily means can
+    * overflow), dominant bin per type with the lowest-k tie-break.
+    *
+    * Scale shape: one (type, day) agg collapses the stream; the trig
+    * join and DFT folds run over ≤ 28·5 rows per type — calendar-
+    * bounded. The 28-row trig spine broadcasts. */
+  def eventsPeriodogram(events: DataFrame): DataFrame = {
+    val ss = events.sparkSession
+    import ss.implicits._
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val trig = (for {
+      ki <- PeriodogramBins.indices
+      n <- 0 until 28
+    } yield (PeriodogramBins(ki).toLong, n.toLong,
+      pgCosMicro(ki)(n), pgSinMicro(ki)(n)))
+      .toDF("k", "n", "cosm", "sinm")
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+      // bounded (type, day) table serving three legs — one stream scan
+      .localCheckpoint(true)
+    val bd = daily.groupBy(col("event_type")).agg(max(col("day")).as("d1"))
+    val win = daily.join(broadcast(bd), "event_type")
+      .filter(col("day") > col("d1") - 28)
+      .withColumn("n", col("day") - (col("d1") - 27))
+    val mean = win.groupBy(col("event_type"))
+      .agg(sum(col("mm")).as("msum"), count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("(msum - pmod(msum, cnt)) div cnt").as("mean_micro"))
+    val dev = win.join(broadcast(mean), "event_type")
+      .select(col("event_type"), col("n"), (col("mm") - col("mean_micro")).as("dev"))
+    val energies = dev.join(broadcast(trig), "n")
+      .groupBy(col("event_type"), col("k"))
+      .agg(sum(col("dev") * col("cosm")).as("cmic"),
+        sum(col("dev") * col("sinm")).as("smic"))
+      .withColumn("cm", expr("(cmic - pmod(cmic, 1000L)) div 1000L"))
+      .withColumn("sm", expr("(smic - pmod(smic, 1000L)) div 1000L"))
+      .withColumn("energy", expr(
+        "CAST(CAST(cm AS DECIMAL(38,0)) * CAST(cm AS DECIMAL(38,0)) + " +
+          "CAST(sm AS DECIMAL(38,0)) * CAST(sm AS DECIMAL(38,0)) AS DECIMAL(38,0))"))
+    energies
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("energy").desc, col("k"))))
+      .select(col("event_type"), col("k"), expr("28L div k").as("period_days"),
+        col("energy"), (col("rn") === 1).as("dominant"))
+  }
 }

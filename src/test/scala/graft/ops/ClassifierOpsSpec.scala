@@ -70,4 +70,20 @@ class ClassifierOpsSpec extends SparkSpec {
       assert(r.getAs[Boolean]("predicted") === (r.getAs[Double]("score") >= 0.5))
     }
   }
+  test("featureMi: a label-determining feature scores nmi 1, a constant feature 0") {
+    // short docs: 3 tokens, n_chars 50 → y=0, ix3 bin 0; long docs:
+    // 100 tokens, n_chars 400 → y=1, ix3 bin 3 — ix3 determines y
+    // exactly. No stopwords anywhere → ix1 is constant → MI 0.
+    val longText = (1 to 100).map(i => s"tok$i").mkString(" ")
+    val docs = ((0L to 3L).map(i => (i, "alpha beta gamma", 50L)) ++
+      (4L to 7L).map(i => (i, longText, 400L)))
+      .toDF("doc_id", "text", "n_chars")
+    val r = ClassifierOps.featureMi(docs).collect()
+      .map(x => x.getAs[String]("feature") ->
+        ((x.getAs[Double]("mi"), x.getAs[Double]("h_y"), x.getAs[Double]("nmi"))))
+      .toMap
+    assert(r("ix3")._3 === 1.0, "length feature carries the whole label")
+    assert(r("ix3")._1 === 0.693147)
+    assert(r("ix1") === ((0.0, 0.693147, 0.0)), "constant feature carries nothing")
+  }
 }

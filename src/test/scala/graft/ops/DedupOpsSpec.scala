@@ -598,4 +598,15 @@ class DedupOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("total_chars") === 197L)
     assert(g.getAs[Long]("first_doc") === 0L)
   }
+  test("dedupTierAgreement: the mid-similarity pair splits the tiers") {
+    // docs fixture: exact dup (0,1) passes BOTH tiers (jaccard 1,
+    // cosine 1); the tiny-edit pairs (0,2),(1,2) pass Jaccard 0.82
+    // but sit at cosine 16/(4*sqrt(20)) = 0.894 < 0.9 — minhash-only
+    val r = DedupOps.dedupTierAgreement(docs).collect().head
+    assert(r.getAs[Long]("n_minhash") === 3L)
+    assert(r.getAs[Long]("n_embedding") === 1L)
+    assert(r.getAs[Long]("n_both") === 1L)
+    assert(r.getAs[Long]("n_either") === 3L)
+    assert(r.getAs[Long]("agreement_micro") === 333333L)
+  }
 }

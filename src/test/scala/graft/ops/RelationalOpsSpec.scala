@@ -1169,4 +1169,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r("long") === ((32L, 7000000L, 7000000L, 7000000L)))
     assert(r("neg") === ((2L, -1L, -1L, -1L)), "floored, not truncated")
   }
+  test("eventsPeriodogram: weekly square wave puts the energy at k=4, constant ties to k=1") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 'weekly': 28 days, 3 high days then 4 low per week; 'flat':
+    // constant — all energies 0, dominant falls to lowest k by tie
+    val rows =
+      (0L until 28L).map(d => (d * day, "weekly", if (d % 7 < 3) 10.0 else 2.0)) ++
+      (0L until 28L).map(d => (d * day, "flat", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsPeriodogram(events).collect()
+    val weeklyDom = r.filter(x => x.getAs[String]("event_type") == "weekly"
+      && x.getAs[Boolean]("dominant"))
+    assert(weeklyDom.length === 1)
+    assert(weeklyDom.head.getAs[Long]("k") === 4L, "k=4 IS the 7-day cycle")
+    assert(weeklyDom.head.getAs[Long]("period_days") === 7L)
+    val flat = r.filter(_.getAs[String]("event_type") == "flat")
+    assert(flat.forall(x => x.getAs[java.math.BigDecimal]("energy")
+      .compareTo(java.math.BigDecimal.ZERO) == 0))
+    assert(flat.filter(_.getAs[Boolean]("dominant")).head.getAs[Long]("k") === 1L)
+    assert(r.count(_.getAs[Boolean]("dominant")) === 2, "one dominant per type")
+  }
 }
