@@ -994,6 +994,20 @@ object SparkEntry {
     // digits, literal integer-micros expectation table, digit-ordered
     // chi-square fold rounded once
     "benford_audit" -> ((s, dir) => RelationalOps.benfordAudit(Tables.orders(s, dir))),
+    // Population Stability Index over 10 shared bins, Laplace-smoothed
+    // cells on an explicit type-by-bin spine, 0.1/0.2 verdicts
+    "psi_drift" -> ((s, dir) => RelationalOps.psiDrift(Tables.events(s, dir))),
+    // Spearman rho of the daily series vs the day axis: doubled
+    // average ranks from the value census, exact Long sums, one
+    // rounded division — the monotone-trend detector
+    "spearman_trend" -> ((s, dir) =>
+      RelationalOps.spearmanTrend(Tables.events(s, dir))),
+    // Wald-Wolfowitz runs test vs the exact doubled median:
+    // above/below runs counted by one lag, z from exact integers
+    "runs_test" -> ((s, dir) => RelationalOps.runsTest(Tables.events(s, dir))),
+    // Pareto frontier (skyline) under min-price/max-size: census +
+    // two running maxima on the distinct-price spine, no self-join
+    "pareto_front" -> ((s, dir) => RelationalOps.paretoFront(Tables.part(s, dir))),
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
@@ -4871,6 +4885,151 @@ object SparkEntry {
         |SELECT event_type, n_early, n_late, u1_x2, z,
         |  abs(z) > 1.96 AS significant
         |FROM z""".stripMargin,
+    // Laplace-smoothed bin shares on the full type-by-bin spine;
+    // bin-ordered ln fold rounded once; 0.1/0.2 verdict bands
+    "psi_drift" ->
+      """WITH b AS (SELECT min(epoch_ns(ts) // 86400000000000) AS d0,
+        |         max(epoch_ns(ts) // 86400000000000) AS d1,
+        |         min(value) AS vmin, max(value) AS vmax FROM events),
+        |cnt AS (SELECT event_type,
+        |         CASE WHEN epoch_ns(ts) // 86400000000000 < (d0 + d1 + 1) // 2
+        |           THEN 'early' ELSE 'late' END AS half,
+        |         least(9, CAST(floor((value - vmin) * 10 /
+        |           greatest(vmax - vmin, 1e-12)) AS BIGINT)) AS bin,
+        |         count(*) AS c
+        |       FROM events CROSS JOIN b GROUP BY 1, 2, 3),
+        |spine AS (SELECT event_type, bin
+        |          FROM (SELECT DISTINCT event_type FROM cnt)
+        |          CROSS JOIN (SELECT unnest(range(0, 10)) AS bin)),
+        |cells AS (SELECT s.event_type, s.bin,
+        |           coalesce(e.c, 0) AS c_e, coalesce(l.c, 0) AS c_l
+        |         FROM spine s
+        |         LEFT JOIN (SELECT event_type, bin, c FROM cnt
+        |                    WHERE half = 'early') e USING (event_type, bin)
+        |         LEFT JOIN (SELECT event_type, bin, c FROM cnt
+        |                    WHERE half = 'late') l USING (event_type, bin)),
+        |tot AS (SELECT event_type, CAST(sum(c_e) AS BIGINT) AS n_early,
+        |          CAST(sum(c_l) AS BIGINT) AS n_late
+        |        FROM cells GROUP BY 1),
+        |ps AS (SELECT c.event_type, max(t.n_early) AS n_early,
+        |         max(t.n_late) AS n_late,
+        |         round(sum(
+        |           ((c.c_l + 1) / CAST(t.n_late + 10 AS DOUBLE) -
+        |            (c.c_e + 1) / CAST(t.n_early + 10 AS DOUBLE)) *
+        |           ln(((c.c_l + 1) / CAST(t.n_late + 10 AS DOUBLE)) /
+        |              ((c.c_e + 1) / CAST(t.n_early + 10 AS DOUBLE)))
+        |           ORDER BY c.bin), 6) + 0 AS psi
+        |       FROM cells c JOIN tot t USING (event_type) GROUP BY 1)
+        |SELECT event_type, n_early, n_late,
+        |  n_early > 0 AND n_late > 0 AS comparable,
+        |  CASE WHEN n_early > 0 AND n_late > 0 THEN psi END AS psi,
+        |  CASE WHEN NOT (n_early > 0 AND n_late > 0) THEN NULL
+        |       WHEN psi < 0.1 THEN 'stable'
+        |       WHEN psi < 0.2 THEN 'moderate'
+        |       ELSE 'major' END AS verdict
+        |FROM ps""".stripMargin,
+    // doubled ranks on both axes (distinct days, census-averaged
+    // values); five exact Long sums, one rounded division
+    "spearman_trend" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |cen AS (SELECT event_type, mm, count(*) AS c FROM daily GROUP BY 1, 2),
+        |yr AS (SELECT event_type, mm,
+        |         2 * CAST(coalesce(sum(c) OVER (PARTITION BY event_type
+        |             ORDER BY mm ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND 1 PRECEDING), 0) AS BIGINT) + c + 1 AS ry2
+        |       FROM cen),
+        |rx AS (SELECT event_type, mm,
+        |         2 * row_number() OVER (PARTITION BY event_type
+        |             ORDER BY day) AS rx2
+        |       FROM daily),
+        |j AS (SELECT r.event_type, r.rx2, y.ry2
+        |      FROM rx r JOIN yr y USING (event_type, mm)),
+        |s AS (SELECT event_type, count(*) AS n_days,
+        |        CAST(sum(rx2) AS BIGINT) AS sx,
+        |        CAST(sum(ry2) AS BIGINT) AS sy,
+        |        CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+        |        CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+        |        CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+        |      FROM j GROUP BY 1),
+        |r AS (SELECT event_type, n_days,
+        |        CASE WHEN n_days * sxx - sx * sx > 0
+        |              AND n_days * syy - sy * sy > 0
+        |          THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE) /
+        |                 sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE) *
+        |                      CAST(n_days * syy - sy * sy AS DOUBLE)), 6) + 0
+        |          ELSE 0.0 END AS rho
+        |      FROM s)
+        |SELECT event_type, n_days, rho, abs(rho) > 0.5 AS monotone
+        |FROM r""".stripMargin,
+    // doubled-median sign filter (exact-median days dropped), one
+    // lag for the run count, z from exact (n1, n2, R)
+    "runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |cen AS (SELECT event_type, mm, count(*) AS c FROM daily GROUP BY 1, 2),
+        |cum AS (SELECT *, sum(c) OVER (PARTITION BY event_type ORDER BY mm
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |       FROM cen),
+        |med AS (SELECT event_type,
+        |          sum(CASE WHEN cum - c < (n + 1) // 2 AND (n + 1) // 2 <= cum
+        |            THEN mm ELSE 0 END) +
+        |          sum(CASE WHEN cum - c < n // 2 + 1 AND n // 2 + 1 <= cum
+        |            THEN mm ELSE 0 END) AS med_x2
+        |        FROM cum GROUP BY 1),
+        |sg AS (SELECT d.event_type, d.day,
+        |         CASE WHEN 2 * d.mm > m.med_x2 THEN 1 ELSE 0 END AS above
+        |       FROM daily d JOIN med m USING (event_type)
+        |       WHERE 2 * d.mm <> m.med_x2),
+        |lg AS (SELECT event_type, above, lag(above) OVER (
+        |         PARTITION BY event_type ORDER BY day) AS prev
+        |       FROM sg),
+        |ag AS (SELECT event_type, CAST(sum(above) AS BIGINT) AS n1,
+        |         CAST(sum(1 - above) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN prev IS NULL OR prev <> above
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        |       FROM lg GROUP BY 1),
+        |st AS (SELECT *,
+        |         CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+        |           THEN 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) /
+        |                (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))
+        |           ELSE 0.0 END AS varr
+        |       FROM ag)
+        |SELECT event_type, n1 AS n_above, n2 AS n_below, n_runs,
+        |  CASE WHEN varr > 0.0
+        |    THEN round((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+        |           sqrt(varr), 6) + 0
+        |    ELSE 0.0 END AS z,
+        |  abs(CASE WHEN varr > 0.0
+        |    THEN round((n_runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0)) /
+        |           sqrt(varr), 6) + 0
+        |    ELSE 0.0 END) > 1.96 AS nonrandom
+        |FROM st""".stripMargin,
+    // skyline via two running maxima on the distinct-price spine;
+    // exact cents; ties on both axes survive together
+    "pareto_front" ->
+      """WITH cen AS (SELECT CAST(round(p_retailprice * 100) AS BIGINT)
+        |           AS price_cp,
+        |         CAST(p_size AS BIGINT) AS p_size, count(*) AS n_parts,
+        |         min(p_partkey) AS first_part
+        |       FROM part GROUP BY 1, 2),
+        |lvl AS (SELECT price_cp, max(p_size) AS smax FROM cen GROUP BY 1),
+        |lv2 AS (SELECT price_cp, smax, max(smax) OVER (ORDER BY price_cp
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rbmax
+        |        FROM lvl),
+        |fr AS (SELECT c.price_cp, c.p_size, c.n_parts, c.first_part
+        |       FROM cen c JOIN lv2 l USING (price_cp)
+        |       WHERE (l.rbmax IS NULL OR l.rbmax < c.p_size)
+        |         AND l.smax <= c.p_size)
+        |SELECT CAST(row_number() OVER (ORDER BY price_cp, p_size) AS BIGINT)
+        |    AS rank,
+        |  price_cp, p_size, CAST(n_parts AS BIGINT) AS n_parts, first_part
+        |FROM fr""".stripMargin,
     // pmod-floored slope micros, doubled median over the rank window
     "theil_sen_trend" ->
       """WITH daily AS (SELECT event_type,

@@ -2628,4 +2628,238 @@ object RelationalOps {
       .select(col("event_type"), col("k"), expr("28L div k").as("period_days"),
         col("energy"), (col("rn") === 1).as("dominant"))
   }
+
+  /** Population Stability Index — the industry-standard drift score
+    * beside [[valueDrift]]'s KS (distribution shape) and
+    * [[mixDrift]]'s chi-square (composition): per type, the early and
+    * late calendar halves' value distributions over 10 SHARED
+    * equal-width bins (global bounds broadcast, the valueDrift
+    * convention), PSI = sum((p_l - p_e) * ln(p_l / p_e)). Empty bins
+    * are Laplace-smoothed (p = (c+1)/(n+10)) — deterministic on both
+    * engines, no epsilon hack — and every bin participates via an
+    * explicit type-by-bin spine so a bin empty in BOTH halves still
+    * contributes its (tiny, n-dependent) smoothing term. The 0.1 /
+    * 0.2 industry thresholds are emitted as the verdict column.
+    *
+    * Scale shape: one (type, half, bin) agg collapses the stream
+    * (map-side partial); the spine, smoothing, and key-ordered ln
+    * fold run over |types| * 10 rows. */
+  def psiDrift(events: DataFrame, nBins: Int = 10): DataFrame = {
+    import graft.functions.VectorMath.orderedSum
+    val ss = events.sparkSession
+    import ss.implicits._
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val bounds = events.agg(
+      min(expr(s"ts div ${dayNanos}L")).as("d0"),
+      max(expr(s"ts div ${dayNanos}L")).as("d1"),
+      min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val counts = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"),
+        col("value"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(col("day") < expr("(d0 + d1 + 1) div 2"), "early").otherwise("late"))
+      .withColumn("bin", least(lit(nBins - 1L), floor(
+        (col("value") - col("vmin")) * nBins /
+          greatest(col("vmax") - col("vmin"), lit(1e-12)))
+        .cast("long")))
+      .groupBy(col("event_type"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val spine = counts.select(col("event_type")).distinct()
+      .crossJoin(broadcast((0L until nBins.toLong).toDF("bin")))
+    val cells = spine
+      .join(counts.filter(col("half") === "early")
+        .select(col("event_type"), col("bin"), col("c").as("c_e")),
+        Seq("event_type", "bin"), "left")
+      .join(counts.filter(col("half") === "late")
+        .select(col("event_type"), col("bin"), col("c").as("c_l")),
+        Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_e", "c_l"))
+    val totals = cells.groupBy(col("event_type"))
+      .agg(sum(col("c_e")).as("n_early"), sum(col("c_l")).as("n_late"))
+    cells.join(broadcast(totals), "event_type")
+      .withColumn("pe",
+        (col("c_e") + lit(1L)).cast("double") / (col("n_early") + lit(nBins.toLong)))
+      .withColumn("pl",
+        (col("c_l") + lit(1L)).cast("double") / (col("n_late") + lit(nBins.toLong)))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_early")).as("n_early"), max(col("n_late")).as("n_late"),
+        roundn(orderedSum(col("bin"),
+          (col("pl") - col("pe")) * log(col("pl") / col("pe"))), 6).as("psi"))
+      // a type with every row in one half has no two-sample question:
+      // flag not-comparable explicitly (the valueDrift convention)
+      .withColumn("comparable", col("n_early") > 0L && col("n_late") > 0L)
+      .withColumn("verdict", when(!col("comparable"), lit(null).cast("string"))
+        .when(col("psi") < 0.1, lit("stable"))
+        .when(col("psi") < 0.2, lit("moderate"))
+        .otherwise(lit("major")))
+      .select(col("event_type"), col("n_early"), col("n_late"),
+        col("comparable"), when(col("comparable"), col("psi")).as("psi"),
+        col("verdict"))
+  }
+
+  /** Spearman rank correlation of the per-type daily series against
+    * the day axis — the MONOTONE-trend detector beside
+    * [[eventsTrend]]'s OLS slope (linear) and [[theilSenTrend]]'s
+    * median slope (robust linear): rho is invariant to any monotone
+    * transform of the values, so it answers "does this series go up"
+    * without assuming a line. Day ranks are distinct (row_number on
+    * the calendar axis); value ranks handle ties with AVERAGE ranks
+    * carried DOUBLED from the value census (the [[mannWhitney]]
+    * rank2 convention — never a fractional rank), and Pearson on
+    * doubled ranks equals Pearson on ranks exactly (scale cancels).
+    * All five correlation sums are exact Longs (n <= calendar days,
+    * rank2 <= 2n+1 => sums < 8n^4, overflow-free for any calendar);
+    * the single double division happens once at the end. A constant
+    * series (zero rank variance) emits rho = 0 / not-monotone
+    * EXPLICITLY — the only portable semantics vs a 0/0.
+    *
+    * Scale shape: one (type, day) agg collapses the stream; ranks,
+    * census, and sums all run over the calendar-bounded daily table. */
+  def spearmanTrend(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val census = daily.groupBy(col("event_type"), col("mm"))
+      .agg(count(lit(1)).as("c"))
+    val wBelow = Window.partitionBy(col("event_type")).orderBy(col("mm"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val yRank = census
+      .withColumn("below", coalesce(sum(col("c")).over(wBelow), lit(0L)))
+      .select(col("event_type"), col("mm"),
+        (lit(2L) * col("below") + col("c") + lit(1L)).as("ry2"))
+    val ranked = daily
+      .withColumn("rx2", lit(2L) * row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))).cast("long"))
+      .join(yRank, Seq("event_type", "mm"))
+    ranked.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("rx2")).as("sx"), sum(col("ry2")).as("sy"),
+        sum(col("rx2") * col("rx2")).as("sxx"),
+        sum(col("ry2") * col("ry2")).as("syy"),
+        sum(col("rx2") * col("ry2")).as("sxy"))
+      .withColumn("varx", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vary", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn("rho",
+        when(col("varx") > 0L && col("vary") > 0L,
+          roundn((col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(col("varx").cast("double") * col("vary").cast("double")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n_days"), col("rho"),
+        (abs(col("rho")) > 0.5).as("monotone"))
+  }
+
+  /** Wald–Wolfowitz runs test — the RANDOMNESS audit of the per-type
+    * daily series beside [[benfordAudit]]'s digit screen: too FEW
+    * runs of above/below-median days means trending or sticky
+    * regimes, too MANY means oscillation — either way the
+    * i.i.d.-noise assumption behind [[eventsForecast]]'s residual
+    * bands is broken. The median is exact from the value census
+    * (med_x2 = sum of the two middle values, the [[theilSenTrend]]
+    * doubled-median convention); exact-median days are DROPPED (the
+    * standard treatment, stated not hidden); runs count via one lag
+    * over the day-ordered daily table; z from the exact (n1, n2, R)
+    * integers in one rounded double expression, with degenerate
+    * one-sided series (n1 = 0 or n2 = 0 => zero variance) emitting
+    * z = 0 / random EXPLICITLY. A fully-CONSTANT series has every day
+    * equal to its median and drops out entirely — it has no runs
+    * question to ask (stated, not hidden; both engines agree by the
+    * same filter).
+    *
+    * Scale shape: one (type, day) agg collapses the stream; census,
+    * median, lag, and counts all run over the calendar-bounded daily
+    * table. */
+  def runsTest(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val census = daily.groupBy(col("event_type"), col("mm"))
+      .agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("mm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("lo", expr("(n + 1) div 2"))
+      .withColumn("hi", expr("n div 2 + 1"))
+    val med = cum
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("cum") - col("c") < col("lo") && col("lo") <= col("cum"),
+          col("mm")).otherwise(lit(0L))).as("m_lo"),
+        sum(when(col("cum") - col("c") < col("hi") && col("hi") <= col("cum"),
+          col("mm")).otherwise(lit(0L))).as("m_hi"))
+      .select(col("event_type"), (col("m_lo") + col("m_hi")).as("med_x2"))
+    val signed = daily.join(broadcast(med), "event_type")
+      .filter(lit(2L) * col("mm") =!= col("med_x2"))
+      .withColumn("above", (lit(2L) * col("mm") > col("med_x2")).cast("long"))
+    val wLag = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    signed
+      .withColumn("prev", lag(col("above"), 1).over(wLag))
+      .groupBy(col("event_type"))
+      .agg(sum(col("above")).as("n1"),
+        sum(lit(1L) - col("above")).as("n2"),
+        (sum(when(col("prev").isNull || col("prev") =!= col("above"), 1L)
+          .otherwise(0L))).as("n_runs"))
+      .withColumn("nn", col("n1") + col("n2"))
+      .withColumn("mu",
+        lit(2.0) * col("n1") * col("n2") / col("nn") + lit(1.0))
+      .withColumn("varr",
+        when(col("n1") > 0L && col("n2") > 0L && col("nn") > 1L,
+          lit(2.0) * col("n1") * col("n2") *
+            (lit(2.0) * col("n1") * col("n2") - col("n1") - col("n2")) /
+            (col("nn").cast("double") * col("nn") * (col("nn") - lit(1L))))
+          .otherwise(lit(0.0)))
+      .withColumn("z",
+        when(col("varr") > 0.0,
+          roundn((col("n_runs") - col("mu")) / sqrt(col("varr")), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n1").as("n_above"),
+        col("n2").as("n_below"), col("n_runs"), col("z"),
+        (abs(col("z")) > 1.96).as("nonrandom"))
+  }
+
+  /** Pareto frontier (skyline) over parts — the preference-query
+    * operator class: the set of parts no other part dominates under
+    * (MINIMIZE retail price, MAXIMIZE size). A pair census collapses
+    * the table; dominance tests reduce to two running maxima on the
+    * distinct-price spine (a part is dominated iff a strictly
+    * cheaper price level reaches its size, or its own price level
+    * holds a strictly larger size) — no pairwise self-join, exact
+    * integer cents throughout. Ties on BOTH axes survive together
+    * (dominance requires one strict inequality — standard skyline).
+    *
+    * Scale shape: the (price, size) census is a map-side-partial
+    * group-by; the running max runs over the distinct-price spine —
+    * bounded by the price DOMAIN, not the row count (TPC-H prices
+    * are formula-generated: ~O(100k) levels at any SF). The output
+    * frontier is the maximal antichain — O(log n) expected on
+    * independent axes — so the final rank window is trivially
+    * bounded. */
+  def paretoFront(part: DataFrame): DataFrame = {
+    val census = part
+      .select(round(col("p_retailprice") * 100).cast("long").as("price_cp"),
+        col("p_size").cast("long").as("p_size"), col("p_partkey"))
+      .groupBy(col("price_cp"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("first_part"))
+    val level = census.groupBy(col("price_cp"))
+      .agg(max(col("p_size")).as("smax"))
+      .withColumn("rbmax", max(col("smax")).over(
+        Window.orderBy(col("price_cp"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    census.join(level, "price_cp")
+      .filter((col("rbmax").isNull || col("rbmax") < col("p_size")) &&
+        col("smax") <= col("p_size"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("price_cp"), col("p_size"))).cast("long"))
+      .select(col("rank"), col("price_cp"), col("p_size"),
+        col("n_parts"), col("first_part"))
+  }
 }

@@ -1191,4 +1191,86 @@ class RelationalOpsSpec extends SparkSpec {
     assert(flat.filter(_.getAs[Boolean]("dominant")).head.getAs[Long]("k") === 1L)
     assert(r.count(_.getAs[Boolean]("dominant")) === 2, "one dominant per type")
   }
+
+  test("psiDrift: a total shift is major, an identical mix is stable, a one-half type is flagged") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // global bounds: days 0..9 (split at 5), values 0..10 (bin = v)
+    val rows =
+      (0L until 5L).map(d => (d * day, "shifted", 0.0)) ++
+      (5L until 10L).map(d => (d * day, "shifted", 10.0)) ++
+      (0L until 10L).map(d => (d * day, "same", 5.0)) ++
+      (0L until 2L).map(d => (d * day, "onlyearly", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.psiDrift(events).collect()
+      .map(x => x.getAs[String]("event_type") -> x).toMap
+    // shifted: bin0 (6/15 -> 1/15) + bin9 (1/15 -> 6/15), each
+    // (1/3)*ln(6) = 0.597253 -> psi 1.194506
+    assert(r("shifted").getAs[Double]("psi") === 1.194506)
+    assert(r("shifted").getAs[String]("verdict") === "major")
+    assert(r("same").getAs[Double]("psi") === 0.0, "equal halves smooth to equal shares")
+    assert(r("same").getAs[String]("verdict") === "stable")
+    assert(!r("onlyearly").getAs[Boolean]("comparable"))
+    assert(r("onlyearly").isNullAt(r("onlyearly").fieldIndex("psi")))
+    assert(r("onlyearly").isNullAt(r("onlyearly").fieldIndex("verdict")))
+  }
+
+  test("spearmanTrend: monotone rise scores 1, ties use average ranks, constant guards to 0") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (0L until 10L).map(d => (d * day, "up", d.toDouble)) ++
+      (0L until 10L).map(d => (d * day, "const", 5.0)) ++
+      // steps 1,1,2,2: ry2 = 3,3,7,7 against rx2 = 2,4,6,8
+      Seq((0L * day, "steps", 1.0), (1L * day, "steps", 1.0),
+        (2L * day, "steps", 2.0), (3L * day, "steps", 2.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.spearmanTrend(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_days"), x.getAs[Double]("rho"),
+          x.getAs[Boolean]("monotone")))).toMap
+    assert(r("up") === ((10L, 1.0, true)))
+    assert(r("const") === ((10L, 0.0, false)), "zero rank variance guards, not 0/0")
+    // 64 / sqrt(80 * 64) = 0.894427
+    assert(r("steps") === ((4L, 0.894427, true)))
+  }
+
+  test("runsTest: alternation and blocks both reject randomness; a constant series drops out") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (0L until 10L).map(d => (d * day, "alt", if (d % 2 == 0) 10.0 else 0.0)) ++
+      (0L until 10L).map(d => (d * day, "blocks", if (d < 5) 10.0 else 0.0)) ++
+      (0L until 10L).map(d => (d * day, "const", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.runsTest(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_above"), x.getAs[Long]("n_below"),
+          x.getAs[Long]("n_runs"), x.getAs[Double]("z"),
+          x.getAs[Boolean]("nonrandom")))).toMap
+    // n1 = n2 = 5: mu = 6, sd = sqrt(2000/900) = 1.490712
+    assert(r("alt") === ((5L, 5L, 10L, 2.683282, true)), "too many runs")
+    assert(r("blocks") === ((5L, 5L, 2L, -2.683282, true)), "too few runs")
+    assert(!r.contains("const"), "every day equals the median - no runs question")
+  }
+
+  test("paretoFront: dominated points drop, equal-price smaller sizes drop, exact ties survive together") {
+    val part = Seq(
+      (1L, 100.0, 5), (2L, 100.0, 7), (3L, 200.0, 10), (4L, 150.0, 7),
+      (5L, 300.0, 10), (6L, 50.0, 1), (7L, 200.0, 10)
+    ).toDF("p_partkey", "p_retailprice", "p_size")
+    val r = RelationalOps.paretoFront(part).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[Long]("price_cp"),
+        x.getAs[Long]("p_size"), x.getAs[Long]("n_parts"),
+        x.getAs[Long]("first_part")))
+    assert(r.toSeq === Seq(
+      (1L, 5000L, 1L, 1L, 6L),    // cheapest: nothing cheaper reaches size 1
+      (2L, 10000L, 7L, 1L, 2L),   // (100, 5) dominated by its own price level
+      (3L, 20000L, 10L, 2L, 3L))) // the (200, 10) duplicates survive together
+    // (150, 7) dominated by the cheaper equal-size (100, 7);
+    // (300, 10) dominated by the cheaper equal-size (200, 10)
+  }
 }
