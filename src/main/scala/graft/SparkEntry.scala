@@ -231,6 +231,13 @@ object SparkEntry {
       VectorOps.similarityJoinIvf(emb, threshold = 0.3,
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
+    // density-relative outliers: IVF-candidate kNN, reach-distance
+    // lrd, LOF = neighbor-density ratio; top-20
+    "lof_outliers" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.lofOutliers(emb,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
     // SemDeDup selection: cluster-scoped near-dup pairs → keep/prune
     // verdict per vector (smaller-id representative survives)
     "semantic_dedup" -> ((s, dir) => {
@@ -6242,6 +6249,45 @@ object SparkEntry {
          |JOIN embeddings ea ON ea.vec_id = p.a_id
          |JOIN embeddings eb ON eb.vec_id = p.b_id
          |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 >= 0.3""".stripMargin,
+    // directed candidate pairs from the similarity_join cell chain;
+    // deterministic first-k kNN, reach-dist/lrd/LOF mirrored
+    "lof_outliers" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS MATERIALIZED (SELECT vec_id, c_label FROM ranked
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS p_id, b.vec_id AS o_id
+         |  FROM assigned a JOIN assigned b USING (c_label)
+         |  WHERE a.vec_id < b.vec_id),
+         |distu AS MATERIALIZED (SELECT c.p_id, c.o_id,
+         |    round(sqrt(round(${duckL2Sq("ea.embedding", "eb.embedding")}, 6)
+         |      + 0), 6) + 0 AS d
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.p_id
+         |  JOIN embeddings eb ON eb.vec_id = c.o_id),
+         |dist AS (SELECT p_id, o_id, d FROM distu
+         |         UNION ALL
+         |         SELECT o_id AS p_id, p_id AS o_id, d FROM distu),
+         |knn AS MATERIALIZED (SELECT p_id, o_id, d FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY p_id
+         |      ORDER BY d, o_id) AS rn FROM dist) WHERE rn <= 5),
+         |kd AS MATERIALIZED (SELECT p_id, count(*) AS n, max(d) AS kdist
+         |       FROM knn GROUP BY 1),
+         |lr AS (SELECT r.p_id,
+         |         sum(greatest(r.d, ko.kdist) ORDER BY r.o_id) AS sr
+         |       FROM knn r JOIN kd ko ON ko.p_id = r.o_id GROUP BY 1),
+         |lrd AS MATERIALIZED (SELECT lr.p_id, kd.n, kd.kdist,
+         |          round(kd.n / greatest(lr.sr, 1e-6), 6) + 0 AS lrd
+         |        FROM lr JOIN kd USING (p_id)),
+         |lof AS (SELECT k.p_id,
+         |          sum(lo.lrd ORDER BY k.o_id) AS slrd
+         |        FROM knn k JOIN lrd lo ON lo.p_id = k.o_id GROUP BY 1),
+         |fin AS (SELECT f.p_id AS vec_id, l.n AS n_k, l.kdist, l.lrd,
+         |          round(f.slrd / l.n / l.lrd, 6) + 0 AS lof
+         |        FROM lof f JOIN lrd l USING (p_id))
+         |SELECT CAST(row_number() OVER (ORDER BY lof DESC, vec_id) AS BIGINT)
+         |    AS rank, vec_id, n_k, kdist, lrd, lof
+         |FROM (SELECT * FROM fin ORDER BY lof DESC, vec_id LIMIT 20)""".stripMargin,
     // same pair chain as similarity_join, folded to the per-vector
     // keep/prune verdict (min smaller similar id = representative)
     "semantic_dedup" ->

@@ -1213,4 +1213,80 @@ object VectorOps {
     v.crossJoin(broadcast(evr))
       .select(col("dim"), col("v").as("loading"), col("explained_ratio"))
   }
+
+  /** Local Outlier Factor (Breunig et al., SIGMOD 2000) — the
+    * DENSITY-relative outlier screen beside [[embeddingOutliers]]'s
+    * centroid distance: a point on the edge of a tight cluster and a
+    * point inside a diffuse one can share the same centroid score;
+    * LOF compares each point's local reachability density to its
+    * NEIGHBORS' and only flags points sparser than their own
+    * neighborhood (LOF >> 1).
+    *
+    * Candidates come from the IVF cell co-residency join (the
+    * [[similarityJoinIvf]] generator, directed) — never all pairs.
+    * kNN keeps exactly the first k by (rounded distance, id) — the
+    * deterministic tie policy in place of the classic
+    * all-ties-at-k-distance set, stated not hidden. reach-dist =
+    * max(d, k-distance(o)) on once-rounded distances; lrd's division
+    * is floored at 1e-6 so exact-duplicate neighborhoods (sum of
+    * reach distances 0) emit a large-but-finite density instead of a
+    * divide-by-zero. Isolated points (no co-resident candidate) have
+    * no local density question and drop out — at scale they surface
+    * through the cell-occupancy tripwire instead.
+    *
+    * Scale shape: candidate generation is the cell equi-join; every
+    * downstream stage (kNN rank, k-distance, reach, lrd, LOF) is a
+    * candidate-keyed agg or a k-bounded window partitioned by the
+    * uniform point id; top-N = TakeOrderedAndProject. */
+  def lofOutliers(embeddings: DataFrame, k: Int = 5, nAssign: Int = 2,
+                  topN: Int = 20, centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(embeddings)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
+    val assigned = cellRanks(embeddings, cent, "id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("id"), col("c_label"))
+    // distances once per UNDIRECTED pair (L2 is symmetric), mirrored
+    // after the kernel — halves the fold work on both engines
+    val cand = assigned.select(col("id").as("p_id"), col("c_label"))
+      .join(assigned.select(col("id").as("o_id"), col("c_label")), "c_label")
+      .filter(col("p_id") < col("o_id"))
+      .select(col("p_id"), col("o_id"))
+      .distinct()
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val distU = cand
+      .join(e.select(col("vec_id").as("p_id"), col("e").as("ep")), "p_id")
+      .join(e.select(col("vec_id").as("o_id"), col("e").as("eo")), "o_id")
+      .select(col("p_id"), col("o_id"),
+        roundn(sqrt(roundn(fastL2Sq(col("ep"), col("eo")), 6)), 6).as("d"))
+    val dist = distU.unionByName(distU.select(
+      col("o_id").as("p_id"), col("p_id").as("o_id"), col("d")))
+    val knn = dist
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("p_id")).orderBy(col("d"), col("o_id"))))
+      .filter(col("rn") <= k)
+      .select(col("p_id"), col("o_id"), col("d"))
+      .localCheckpoint(true) // k rows per point, serves 3 legs
+    val kd = knn.groupBy(col("p_id"))
+      .agg(count(lit(1)).as("n"), max(col("d")).as("kdist"))
+    val lrd = knn
+      .join(kd.select(col("p_id").as("o_id"), col("kdist").as("kdist_o")), "o_id")
+      .withColumn("reach", greatest(col("d"), col("kdist_o")))
+      .groupBy(col("p_id"))
+      .agg(graft.functions.VectorMath.orderedSum(col("o_id"), col("reach")).as("sr"))
+      .join(kd, "p_id")
+      .select(col("p_id"), col("n"), col("kdist"),
+        roundn(col("n") / greatest(col("sr"), lit(1e-6)), 6).as("lrd"))
+    knn
+      .join(lrd.select(col("p_id").as("o_id"), col("lrd").as("lrd_o")), "o_id")
+      .groupBy(col("p_id"))
+      .agg(graft.functions.VectorMath.orderedSum(col("o_id"), col("lrd_o")).as("slrd"))
+      .join(lrd, "p_id")
+      .withColumn("lof", roundn(col("slrd") / col("n") / col("lrd"), 6))
+      .orderBy(col("lof").desc, col("p_id")).limit(topN)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("lof").desc, col("p_id"))).cast("long"))
+      .select(col("rank"), col("p_id").as("vec_id"), col("n").as("n_k"),
+        col("kdist"), col("lrd"), col("lof"))
+  }
 }

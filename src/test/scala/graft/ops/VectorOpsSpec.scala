@@ -287,4 +287,30 @@ class VectorOpsSpec extends SparkSpec {
       .foreach(d => assert(math.abs(r(d).getAs[Double]("loading")) < 1e-6))
     assert(r(0L).getAs[Double]("explained_ratio") > 0.999)
   }
+
+  test("lofOutliers: the density outlier scores >> 1, uniform-cluster members score 1") {
+    import spark.implicits._
+    // one shared cell so candidates are all pairs: line points
+    // x = 0, 1, 2, 3 plus the far point x = 100; k = 2.
+    // Hand-derived: every cluster lrd = 2/3, p4's lrd = 2/195;
+    // every cluster LOF = 1.0, LOF(4) = 0.666667 / 0.010256 ~ 65.
+    val emb = Seq(0.0, 1.0, 2.0, 3.0, 100.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x.toFloat, 0f), 0L) }
+      .toDF("vec_id", "embedding", "label")
+    val cent = Seq((0L, 0L, 0.0), (0L, 1L, 0.0))
+      .toDF("c_label", "dim", "cv")
+    val r = VectorOps.lofOutliers(emb, k = 2, centroids = Some(cent))
+      .collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        ((x.getAs[Long]("rank"), x.getAs[Long]("n_k"),
+          x.getAs[Double]("kdist"), x.getAs[Double]("lrd"),
+          x.getAs[Double]("lof")))).toMap
+    assert(r(4L)._1 === 1L, "the far point ranks first")
+    assert(r(4L)._3 === 98.0 && r(4L)._4 === 0.010256)
+    assert(r(4L)._5 > 60.0 && r(4L)._5 < 70.0)
+    Seq(0L, 1L, 2L, 3L).foreach { p =>
+      assert(r(p)._5 === 1.0, s"uniform-density member $p scores exactly 1")
+      assert(r(p)._4 === 0.666667)
+    }
+  }
 }
