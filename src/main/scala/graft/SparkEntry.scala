@@ -857,6 +857,10 @@ object SparkEntry {
         Tables.events(s, dir).select(col("event_id"), col("user_id"), col("value")),
         "user_id", "value")
         .select(col("event_id"), col("zval"))),
+    // Hilbert vs z-order bounding-box receipt on the same 8-bit grid:
+    // branch-free unrolled xy2d, value-range bins, exact spans
+    "curve_locality" -> ((s, dir) =>
+      PersistOps.curveLocality(Tables.events(s, dir))),
     // min/max data-skipping receipt: natural vs time-clustered file
     // layouts under the same ship-date predicate — skip fractions and
     // the no-qualifying-row-skipped invariant pinned
@@ -3359,6 +3363,58 @@ object SparkEntry {
          |    + ((qb // CAST(power(2, i) AS BIGINT)) % 2) * CAST(power(2, 2*i) AS BIGINT)))
          |    AS BIGINT) AS zval
          |FROM q""".stripMargin,
+    // the same unrolled branch-free xy2d rounds the engine runs
+    // (pure integer arithmetic — no dialect CASE), z-curve twin from
+    // the zorder fragment at 8 bits; exact spans, floored micro mean.
+    // 655 = 65536 div 100 — deliberately NOT 4^k-aligned (see
+    // PersistOps.curveLocality)
+    "curve_locality" -> {
+      val bits = 8
+      val n1 = (1L << bits) - 1
+      val rounds = (bits - 1 to 0 by -1).zipWithIndex.map { case (i, r) =>
+        val s = 1L << i
+        s"""h${r + 1} AS (SELECT qx, qy,
+           |  hd + ${s * s} * (3*rx + ry - 2*rx*ry) AS hd,
+           |  ry*hx + (1-ry)*((1-rx)*hy + rx*($n1 - hy)) AS hx,
+           |  ry*hy + (1-ry)*((1-rx)*hx + rx*($n1 - hx)) AS hy
+           |FROM (SELECT *, (hx // $s) % 2 AS rx, (hy // $s) % 2 AS ry
+           |      FROM h$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) AS amin,
+         |                  max(CAST(user_id AS DOUBLE)) AS amax,
+         |                  min(value) AS bmin, max(value) AS bmax FROM events),
+         |q AS (SELECT
+         |    least($n1, CAST(floor((CAST(user_id AS DOUBLE) - b.amin) * $n1
+         |      / (b.amax - b.amin)) AS BIGINT)) AS qx,
+         |    least($n1, CAST(floor((value - b.bmin) * $n1
+         |      / (b.bmax - b.bmin)) AS BIGINT)) AS qy
+         |  FROM events, b),
+         |h0 AS (SELECT qx, qy, qx AS hx, qy AS hy, 0 AS hd FROM q),
+         |$rounds,
+         |cv AS (SELECT qx, qy, hd AS hval,
+         |    CAST(list_sum(list_transform(range(0, $bits), i ->
+         |      ((qx // CAST(power(2, i) AS BIGINT)) % 2)
+         |        * CAST(power(2, 2*i+1) AS BIGINT)
+         |      + ((qy // CAST(power(2, i) AS BIGINT)) % 2)
+         |        * CAST(power(2, 2*i) AS BIGINT))) AS BIGINT) AS zval
+         |  FROM h$bits),
+         |lng AS (SELECT 'hilbert' AS curve, hval // 655 AS bin, qx, qy FROM cv
+         |        UNION ALL
+         |        SELECT 'zorder' AS curve, zval // 655 AS bin, qx, qy FROM cv),
+         |bb AS (SELECT curve, bin, count(*) AS n_rows,
+         |         max(qx) - min(qx) + 1 AS span_x,
+         |         max(qy) - min(qy) + 1 AS span_y
+         |       FROM lng GROUP BY 1, 2),
+         |ag AS (SELECT curve, count(*) AS n_bins,
+         |         CAST(sum(n_rows) AS BIGINT) AS n_rows,
+         |         CAST(max(span_x * span_y) AS BIGINT) AS max_area,
+         |         CAST(sum(span_x * span_y) AS BIGINT) AS area_sum
+         |       FROM bb GROUP BY 1)
+         |SELECT curve, n_bins, n_rows, max_area,
+         |  (area_sum * 1000000 - ((area_sum * 1000000 % n_bins) + n_bins)
+         |    % n_bins) // n_bins AS mean_area_micro
+         |FROM ag""".stripMargin
+    },
     // count-min sketch: 3 sha-salted hash rows × 64 buckets, exact
     // top-10 twin carries the one-sided estimate into the output
     // the bootstrap replayed: same hash draws, same fixed thresholds

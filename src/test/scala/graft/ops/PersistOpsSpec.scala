@@ -161,4 +161,57 @@ class PersistOpsSpec extends SparkSpec {
     // whose last reference precedes the cut
     assert(Seq(0L, 1L, 2L).map(k => r(k)._4).sum === 3L)
   }
+
+  test("withHilbert: matches the reference xy2d on the full 16x16 grid; unit-step continuity") {
+    def xy2d(n: Int, x0: Int, y0: Int): Long = {
+      var (x, y, d, s) = (x0, y0, 0L, n / 2)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val grid = (for { x <- 0L until 16L; y <- 0L until 16L } yield (x, y))
+      .toDF("qx", "qy")
+    val got = PersistOps.withHilbert(grid, "qx", "qy", "hval", bits = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("qx"), r.getAs[Long]("qy")) -> r.getAs[Long]("hval"))
+      .toMap
+    got.foreach { case ((x, y), h) => assert(h === xy2d(16, x.toInt, y.toInt)) }
+    // bijective onto 0..255 and every consecutive pair is one cell apart
+    val byD = got.toSeq.sortBy(_._2)
+    assert(byD.map(_._2) === (0L until 256L))
+    byD.sliding(2).foreach { case Seq(((x1, y1), _), ((x2, y2), _)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+  }
+
+  test("curveLocality: 4^k-aligned ranges tie (exact quadrants); unaligned ranges open the hilbert gap") {
+    val events = (for { u <- 0L until 256L; v <- 0L until 256L }
+      yield (u, v.toDouble)).toDF("user_id", "value")
+    def run(nFiles: Int) = PersistOps.curveLocality(events, nFiles = nFiles)
+      .collect()
+      .map(x => x.getAs[String]("curve") ->
+        ((x.getAs[Long]("n_bins"), x.getAs[Long]("n_rows"),
+          x.getAs[Long]("max_area"), x.getAs[Long]("mean_area_micro")))).toMap
+    // 1024 = 4^5: every range is an exact 32x32 quadrant on BOTH curves
+    val aligned = run(64)
+    assert(aligned("hilbert") === ((64L, 65536L, 1024L, 1024000000L)))
+    assert(aligned("zorder") === ((64L, 65536L, 1024L, 1024000000L)))
+    // 655-cell ranges straddle quadrant seams: the z-curve's jump
+    // blows its bounding boxes, hilbert's continuity bounds them
+    val unaligned = run(100)
+    assert(unaligned("hilbert")._2 === 65536L)
+    assert(unaligned("zorder")._2 === 65536L)
+    assert(unaligned("hilbert")._3 < unaligned("zorder")._3,
+      s"max box: ${unaligned("hilbert")._3} vs ${unaligned("zorder")._3}")
+    assert(unaligned("hilbert")._4 < unaligned("zorder")._4,
+      s"mean box: ${unaligned("hilbert")._4} vs ${unaligned("zorder")._4}")
+  }
 }
