@@ -472,6 +472,10 @@ object SparkEntry {
     // in-engine model selection: 3:1 hash split, per-lambda held-out
     // avg logprob of the JM bigram mixture, argmax flagged
     "lm_tune" -> ((s, dir) => TextOps.lmTune(Tables.documents(s, dir))),
+    // Kneser-Ney vs JM on shared held-out bigrams: continuation-
+    // probability backoff, D=0.75 absolute discount, argmax flagged
+    "lm_kneser_ney" -> ((s, dir) =>
+      TextOps.lmKneserNey(Tables.documents(s, dir))),
     // load-or-create for the JM bigram LM: the exact-Long count
     // tables persist to parquet and the reloaded artifact's held-out
     // λ sweep must equal retrain-from-scratch (lm_tune's oracle,
@@ -3043,6 +3047,67 @@ object SparkEntry {
          |UNION ALL
          |${leg("0.9", "0.1")})
          |SELECT lambda, n_scored, n_oov, avg_logprob,
+         |  avg_logprob = max(avg_logprob) OVER () AS is_best
+         |FROM legs""".stripMargin
+    },
+    // the lm_tune CTE skeleton + continuation counts; KN's discounted
+    // head + continuation backoff vs the λ=0.7 JM mixture on the
+    // SHARED in-vocab-and-continuable held-out domain
+    "lm_kneser_ney" -> {
+      val h24 = s"CAST(${graft.functions.PortableHash.duckdbHash24(
+        "'lmt:' || CAST(doc_id AS VARCHAR)")} AS BIGINT)"
+      def leg(name: String, p: String): String =
+        s"""SELECT '$name' AS model,
+           |  CAST(sum(tf) AS BIGINT) AS n_scored,
+           |  (SELECT n_oov FROM ov) AS n_oov,
+           |  round(sum(tf * round(ln($p), 6) ORDER BY w1 || ' ' || w2)
+           |      / CAST(sum(tf) AS DOUBLE), 6) + 0 AS avg_logprob
+           |FROM iv""".stripMargin
+      val pKn =
+        """CASE WHEN c1 IS NOT NULL
+          |    THEN greatest(COALESCE(CAST(c12 AS DOUBLE), 0.0) - 0.75, 0.0)
+          |           / CAST(c1 AS DOUBLE)
+          |         + 0.75 * CAST(n1p_w1 AS DOUBLE) / CAST(c1 AS DOUBLE)
+          |           * (CAST(n1p_w2 AS DOUBLE) / n_types)
+          |    ELSE CAST(n1p_w2 AS DOUBLE) / n_types END""".stripMargin
+      val pJm =
+        """0.7 * COALESCE(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE), 0.0)
+          |  + 0.3 * (cu / total)""".stripMargin
+      s"""WITH $duckToks,
+         |tr AS (SELECT * FROM toks WHERE $h24 % 4 <> 0),
+         |he AS (SELECT * FROM toks WHERE $h24 % 4 = 0),
+         |bt AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM tr) WHERE nt IS NOT NULL),
+         |cbi AS (SELECT w1, w2, count(*) AS c12 FROM bt GROUP BY 1, 2),
+         |cw1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+         |          count(*) AS n1p_w1 FROM cbi GROUP BY 1),
+         |cont AS (SELECT w2, count(*) AS n1p_w2 FROM cbi GROUP BY 1),
+         |nt AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM cbi),
+         |uni AS (SELECT tok, count(*) AS cu FROM tr GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cu) AS DOUBLE) AS total FROM uni),
+         |hb AS (SELECT doc_id, tok AS w1, nt AS w2 FROM (
+         |         SELECT doc_id, tok,
+         |           lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+         |         FROM he) WHERE nt IS NOT NULL),
+         |htf AS (SELECT w1, w2, count(*) AS tf FROM hb GROUP BY 1, 2),
+         |j AS MATERIALIZED (SELECT h.w1, h.w2, h.tf, u.cu, ct.n1p_w2,
+         |        c.c12, w.c1, w.n1p_w1, nt.n_types, tot.total
+         |      FROM htf h
+         |      LEFT JOIN uni u ON u.tok = h.w2
+         |      LEFT JOIN cont ct ON ct.w2 = h.w2
+         |      LEFT JOIN cbi c ON c.w1 = h.w1 AND c.w2 = h.w2
+         |      LEFT JOIN cw1 w ON w.w1 = h.w1, nt, tot),
+         |iv AS (SELECT * FROM j
+         |       WHERE cu IS NOT NULL AND n1p_w2 IS NOT NULL),
+         |ov AS (SELECT COALESCE(CAST(sum(tf) AS BIGINT), 0) AS n_oov
+         |       FROM j WHERE cu IS NULL OR n1p_w2 IS NULL),
+         |legs AS (
+         |${leg("kneser_ney", pKn)}
+         |UNION ALL
+         |${leg("jelinek_mercer", pJm)})
+         |SELECT model, n_scored, n_oov, avg_logprob,
          |  avg_logprob = max(avg_logprob) OVER () AS is_best
          |FROM legs""".stripMargin
     },

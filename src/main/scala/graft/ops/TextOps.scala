@@ -1036,6 +1036,77 @@ object TextOps {
           Window.partitionBy(lit(1))))
   }
 
+  /** Interpolated Kneser–Ney vs Jelinek–Mercer — the SMOOTHING
+    * shoot-out on shared held-out data (Kneser & Ney '95, Chen &
+    * Goodman '98): KN replaces the unigram back-off with the
+    * CONTINUATION probability (in how many distinct contexts does w2
+    * appear, over the bigram-type count) and absolute-discounts seen
+    * bigrams by D = 0.75, so a frequent-but-context-locked word
+    * ("francisco") stops leaking probability into novel contexts —
+    * the failure mode JM's raw-frequency floor cannot see. Both
+    * models score the SAME held-out bigram set (w2 must be in-vocab
+    * AND have a continuation count — the shared-domain rule that
+    * makes the comparison fair; skipped mass counted once), trained
+    * on the same [[lmTrain]] split; per-bigram ln rounds once, folds
+    * order by the bigram string, argmax flagged.
+    *
+    * An unseen-w1 bigram backs off entirely to the continuation
+    * probability (c1 null ⇒ no discount mass to distribute) —
+    * stated, mirrored.
+    *
+    * Scale shape: the KN statistics are two more token-keyed aggs of
+    * the SAME train bigram table (continuations per w2, distinct
+    * continuations per w1 riding the existing c1 agg); both legs
+    * re-agg one checkpointed held-out join. */
+  def lmKneserNey(docs: DataFrame, discount: Double = 0.75,
+                  jmLambda: Double = 0.7, maxTokens: Int = 512): DataFrame = {
+    val model = lmTrain(docs, maxTokens)
+    val held = EmbedOps.tokenize(docs, maxTokens).filter(!lmIsTrain)
+    val cBi = model.filter(col("kind") === "b")
+      .select(col("w1"), col("w2"), col("c").as("c12"))
+    val uni = model.filter(col("kind") === "u")
+      .select(col("w1").as("tok"), col("c").as("cu"))
+    val cW1 = cBi.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_w1"))
+    val contW2 = cBi.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val nTypes = cBi.agg(count(lit(1)).cast("double").as("n_types"))
+    val total = uni.agg(sum(col("cu")).cast("double").as("total"))
+    val joined = lmBigramsOf(held).groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(uni.select(col("tok").as("w2"), col("cu"))), Seq("w2"), "left")
+      .join(broadcast(contW2), Seq("w2"), "left")
+      .join(cBi, Seq("w1", "w2"), "left")
+      .join(broadcast(cW1), Seq("w1"), "left")
+      .crossJoin(broadcast(nTypes)).crossJoin(broadcast(total))
+      .localCheckpoint(true)
+    val inVocab = joined.filter(col("cu").isNotNull && col("n1p_w2").isNotNull)
+    val nOov = joined.filter(col("cu").isNull || col("n1p_w2").isNull)
+      .agg(coalesce(sum(col("tf")), lit(0L)).as("n_oov"))
+    val pc = col("n1p_w2").cast("double") / col("n_types")
+    val pKn = when(col("c1").isNotNull,
+      greatest(coalesce(col("c12").cast("double"), lit(0.0)) - lit(discount),
+        lit(0.0)) / col("c1").cast("double") +
+        lit(discount) * col("n1p_w1").cast("double") / col("c1").cast("double") * pc)
+      .otherwise(pc)
+    val oneMinus = (BigDecimal(1) - BigDecimal(jmLambda)).toDouble
+    val pJm = lit(jmLambda) * coalesce(
+      col("c12").cast("double") / col("c1").cast("double"), lit(0.0)) +
+      lit(oneMinus) * (col("cu") / col("total"))
+    def leg(name: String, p: Column): DataFrame =
+      inVocab
+        .select(col("w1"), col("w2"), col("tf"), roundn(log(p), 6).as("lp"))
+        .agg(sum(col("tf")).as("n_scored"),
+          graft.functions.VectorMath.orderedSum(
+            concat_ws(" ", col("w1"), col("w2")), col("tf") * col("lp")).as("raw"))
+        .crossJoin(broadcast(nOov))
+        .select(lit(name).as("model"), col("n_scored"), col("n_oov"),
+          roundn(col("raw") / col("n_scored"), 6).as("avg_logprob"))
+    leg("kneser_ney", pKn).unionByName(leg("jelinek_mercer", pJm))
+      .withColumn("is_best",
+        col("avg_logprob") === max(col("avg_logprob")).over(
+          Window.partitionBy(lit(1))))
+  }
+
   /** RHO-loss-SHAPED selection (Mindermann et al. '22 / RHO-1 shape:
     * prioritize examples by EXCESS loss under a reference model) with
     * both models trained in-engine: rho = bigram avg logprob − unigram

@@ -598,6 +598,39 @@ class TextOpsSpec extends SparkSpec {
     assert(r(0.9).getAs[Double]("avg_logprob") > r(0.3).getAs[Double]("avg_logprob"))
   }
 
+  test("lmKneserNey: continuation backoff beats the frequency floor on novel contexts") {
+    import graft.functions.PortableHash.hash24Jvm
+    def heldOut(id: Long) = hash24Jvm(s"lmt:$id") % 4 == 0
+    val ids = 1L to 40L
+    val oovId = ids.find(heldOut).get
+    // train: "the" continues MANY distinct contexts (high continuation
+    // probability, modest unigram share); "francisco" is frequent but
+    // context-locked to "san". Held-out docs reuse "<x> the" bigrams —
+    // mostly unseen as bigrams, so both models live on their backoff:
+    // JM's unigram floor underrates "the" (its mass sits with
+    // francisco), KN's continuation count nails it.
+    val trainText = "q1 the q2 the q3 the q4 the san francisco " +
+      "san francisco san francisco san francisco san francisco"
+    // q1 leads (it is never a continuation in train — as w2 it would
+    // fall outside the shared scoring domain); q2..q4 follow "the"
+    val heldText = "q1 the q3 the q2 the q4 the"
+    val docs = ids.map { i =>
+      (i, if (i == oovId) "q1 zzz_unseen"
+          else if (heldOut(i)) heldText else trainText)
+    }.toDF("doc_id", "text")
+    val r = TextOps.lmKneserNey(docs).collect()
+      .map(x => x.getAs[String]("model") ->
+        ((x.getAs[Long]("n_scored"), x.getAs[Long]("n_oov"),
+          x.getAs[Double]("avg_logprob"), x.getAs[Boolean]("is_best")))).toMap
+    assert(r.size === 2)
+    assert(r("kneser_ney")._1 === r("jelinek_mercer")._1,
+      "both models score the SAME held-out domain")
+    assert(r("kneser_ney")._2 === 1L, "the zzz bigram skipped once, shared")
+    assert(r("kneser_ney")._3 > r("jelinek_mercer")._3,
+      s"KN must win on continuation-skewed held-out: $r")
+    assert(r("kneser_ney")._4 && !r("jelinek_mercer")._4)
+  }
+
   test("rhoSelect: token order drives rho; top quarter selected with dominance") {
     // 7 docs share the corpus-dominant bigram pattern a→b→c; doc 8 has
     // the SAME unigram profile but scrambled order — identical lp_uni,
