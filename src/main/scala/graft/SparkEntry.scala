@@ -1023,6 +1023,11 @@ object SparkEntry {
     // Pareto frontier (skyline) under min-price/max-size: census +
     // two running maxima on the distinct-price spine, no self-join
     "pareto_front" -> ((s, dir) => RelationalOps.paretoFront(Tables.part(s, dir))),
+    // eager vs late aggregation around the 3-table revenue join,
+    // pinned equal cent-for-cent with measured row-collapse factors
+    "eager_agg" -> ((s, dir) =>
+      RelationalOps.eagerAggReceipt(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
@@ -5138,6 +5143,37 @@ object SparkEntry {
         |           sqrt(varr), 6) + 0
         |    ELSE 0.0 END) > 1.96 AS nonrandom
         |FROM st""".stripMargin,
+    // both aggregation orders in one query; decomposable-SUM identity
+    "eager_agg" ->
+      """WITH rev AS (SELECT l_orderkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |       FROM lineitem),
+        |late AS (SELECT n.n_name, CAST(sum(r.rev_cp) AS BIGINT) AS rev_late_cp
+        |         FROM rev r
+        |         JOIN orders o ON o.o_orderkey = r.l_orderkey
+        |         JOIN customer c ON c.c_custkey = o.o_custkey
+        |         JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |         GROUP BY 1),
+        |po AS (SELECT l_orderkey, CAST(sum(rev_cp) AS BIGINT) AS rev_cp,
+        |         count(*) AS n_items
+        |       FROM rev GROUP BY 1),
+        |pc AS (SELECT o.o_custkey, CAST(sum(p.rev_cp) AS BIGINT) AS rev_cp,
+        |         CAST(sum(p.n_items) AS BIGINT) AS n_items,
+        |         count(*) AS n_orders
+        |       FROM po p JOIN orders o ON o.o_orderkey = p.l_orderkey
+        |       GROUP BY 1),
+        |eag AS (SELECT n.n_name, CAST(sum(p.rev_cp) AS BIGINT) AS revenue_cp,
+        |          CAST(sum(p.n_items) AS BIGINT) AS n_lineitems,
+        |          CAST(sum(p.n_orders) AS BIGINT) AS n_orders,
+        |          count(*) AS n_customers
+        |        FROM pc p
+        |        JOIN customer c ON c.c_custkey = p.o_custkey
+        |        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |        GROUP BY 1)
+        |SELECT e.n_name, e.n_lineitems, e.n_orders, e.n_customers,
+        |  e.revenue_cp, e.revenue_cp = l.rev_late_cp AS ok
+        |FROM eag e JOIN late l USING (n_name)""".stripMargin,
     // skyline via two running maxima on the distinct-price spine;
     // exact cents; ties on both axes survive together
     "pareto_front" ->

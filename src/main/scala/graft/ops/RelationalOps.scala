@@ -2826,6 +2826,57 @@ object RelationalOps {
         (abs(col("z")) > 1.96).as("nonrandom"))
   }
 
+  /** Eager-aggregation receipt — THE join strategy a 100 TB revenue
+    * rollup lives by, pinned as an identity: revenue per customer
+    * nation computed (a) LATE — join lineitem through orders and
+    * customer to nation first, aggregate last (every lineitem row
+    * rides every shuffle) — and (b) EAGER — partially aggregate
+    * lineitem onto o_orderkey BEFORE the orders join, re-aggregate
+    * onto o_custkey before the customer join, so each join moves
+    * pre-collapsed rows (SUM is decomposable; the same algebra
+    * behind [[ivmAggReceipt]]). The two plans must agree
+    * cent-for-cent per nation; the measured row-collapse factors
+    * (lineitems → orders → customers) are emitted alongside — the
+    * quantified reason eager wins: every subsequent shuffle moves
+    * that many times fewer rows.
+    *
+    * Scale shape: leg (b) IS the shape to ship — bounded-key partial
+    * aggs between every join, nation broadcast; leg (a) exists to be
+    * pinned against and is itself map-side-partial aggregated. */
+  def eagerAggReceipt(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame): DataFrame = {
+    val rev = lineitem.select(col("l_orderkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    val o = orders.select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+    val late = rev
+      .join(o, "l_orderkey")
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cp")).as("rev_late_cp"))
+    val perOrder = rev.groupBy(col("l_orderkey"))
+      .agg(sum(col("rev_cp")).as("rev_cp"), count(lit(1)).as("n_items"))
+    val perCust = perOrder.join(o, "l_orderkey")
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_cp")).as("rev_cp"), sum(col("n_items")).as("n_items"),
+        count(lit(1)).as("n_orders"))
+    val eager = perCust
+      .join(customer.select(col("c_custkey").as("o_custkey"), col("c_nationkey")),
+        "o_custkey")
+      .join(broadcast(nation.select(col("n_nationkey").as("c_nationkey"),
+        col("n_name"))), "c_nationkey")
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), sum(col("n_items")).as("n_lineitems"),
+        sum(col("n_orders")).as("n_orders"), count(lit(1)).as("n_customers"))
+    eager.join(late, "n_name")
+      .select(col("n_name"), col("n_lineitems"), col("n_orders"),
+        col("n_customers"), col("revenue_cp"),
+        (col("revenue_cp") === col("rev_late_cp")).as("ok"))
+  }
+
   /** Pareto frontier (skyline) over parts — the preference-query
     * operator class: the set of parts no other part dominates under
     * (MINIMIZE retail price, MAXIMIZE size). A pair census collapses

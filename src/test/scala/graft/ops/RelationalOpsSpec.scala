@@ -1257,6 +1257,26 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!r.contains("const"), "every day equals the median - no runs question")
   }
 
+  test("eagerAggReceipt: eager and late aggregation agree cent-for-cent; collapse factors counted") {
+    val nation = Seq((1L, "A", 0L), (2L, "B", 0L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((10L, 1L), (11L, 2L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq((100L, 10L), (101L, 10L), (102L, 11L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (100L, 10.0, 0.10), (100L, 10.0, 0.10),
+      (101L, 20.0, 0.00), (102L, 5.0, 0.25)
+    ).toDF("l_orderkey", "l_extendedprice", "l_discount")
+    val r = RelationalOps.eagerAggReceipt(customer, orders, lineitem, nation)
+      .collect()
+      .map(x => x.getAs[String]("n_name") ->
+        ((x.getAs[Long]("n_lineitems"), x.getAs[Long]("n_orders"),
+          x.getAs[Long]("n_customers"), x.getAs[Long]("revenue_cp"),
+          x.getAs[Boolean]("ok")))).toMap
+    assert(r("A") === ((3L, 2L, 1L, 380000L, true)))
+    assert(r("B") === ((1L, 1L, 1L, 37500L, true)))
+  }
+
   test("paretoFront: dominated points drop, equal-price smaller sizes drop, exact ties survive together") {
     val part = Seq(
       (1L, 100.0, 5), (2L, 100.0, 7), (3L, 200.0, 10), (4L, 150.0, 7),
