@@ -231,6 +231,10 @@ object SparkEntry {
       VectorOps.similarityJoinIvf(emb, threshold = 0.3,
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
+    // farthest-first k-center coreset: 6 selections, far_dist = the
+    // coverage radius curve; one map pass + one argmax per round
+    "kcenter_select" -> ((s, dir) =>
+      VectorOps.kCenterSelect(Tables.embeddings(s, dir))),
     // density-relative outliers: IVF-candidate kNN, reach-distance
     // lrd, LOF = neighbor-density ratio; top-20
     "lof_outliers" -> ((s, dir) => {
@@ -6406,6 +6410,42 @@ object SparkEntry {
          |JOIN embeddings ea ON ea.vec_id = p.a_id
          |JOIN embeddings eb ON eb.vec_id = p.b_id
          |WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 >= 0.3""".stripMargin,
+    // the same greedy rounds unrolled: per round one materialized
+    // running-min table and one (mind desc, vec_id) LIMIT 1 argmax
+    // excluding the accumulated selection
+    "kcenter_select" -> {
+      val k = 6
+      def d(a: String, b: String) =
+        s"round(sqrt(round(${duckL2Sq(a, b)}, 6) + 0), 6) + 0"
+      val steps = (2 to k).map { r =>
+        val prevSel = (1 until r).map(i => s"SELECT sid FROM s$i")
+          .mkString(" UNION ALL ")
+        s"""s$r AS (SELECT vec_id AS sid, mind FROM m${r - 1}
+           |  WHERE vec_id NOT IN ($prevSel)
+           |  ORDER BY mind DESC, vec_id LIMIT 1),
+           |m$r AS MATERIALIZED (
+           |  SELECT m.vec_id,
+           |    least(m.mind, ${d("e.embedding", "s.embedding")}) AS mind
+           |  FROM m${r - 1} m
+           |  JOIN embeddings e ON e.vec_id = m.vec_id
+           |  CROSS JOIN embeddings s CROSS JOIN s$r
+           |  WHERE s.vec_id = s$r.sid)""".stripMargin
+      }.mkString(",\n")
+      val out = (2 to k)
+        .map(r => s"SELECT ${r}::BIGINT AS sel_rank, sid AS vec_id, " +
+          s"mind AS far_dist FROM s$r")
+        .mkString("\nUNION ALL\n")
+      s"""WITH s1 AS (SELECT min(vec_id) AS sid FROM embeddings),
+         |m1 AS MATERIALIZED (
+         |  SELECT e.vec_id, ${d("e.embedding", "s.embedding")} AS mind
+         |  FROM embeddings e CROSS JOIN embeddings s CROSS JOIN s1
+         |  WHERE s.vec_id = s1.sid),
+         |$steps
+         |SELECT 1::BIGINT AS sel_rank, sid AS vec_id,
+         |  CAST(NULL AS DOUBLE) AS far_dist FROM s1
+         |UNION ALL
+         |$out""".stripMargin
+    },
     // directed candidate pairs from the similarity_join cell chain;
     // deterministic first-k kNN, reach-dist/lrd/LOF mirrored
     "lof_outliers" ->

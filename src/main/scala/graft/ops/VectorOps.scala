@@ -1214,6 +1214,56 @@ object VectorOps {
       .select(col("dim"), col("v").as("loading"), col("explained_ratio"))
   }
 
+  /** Greedy k-center (farthest-first traversal, Gonzalez '85) — the
+    * DIVERSITY member of the data-selection family ([[graft.ops.TextOps.dsirSelect]]
+    * picks by importance, [[graft.ops.TextOps.rhoSelect]] by
+    * learnability, [[semanticDedupKeep]] drops redundancy; this picks
+    * the k points that COVER the embedding space, 2-approximation to
+    * the optimal k-center radius): seed at the smallest vec_id, then
+    * k−1 rounds of "take the point farthest from everything selected
+    * so far". Each selection's `far_dist` IS the coverage radius of
+    * the set before it — the radius curve a coreset budget is chosen
+    * from.
+    *
+    * Scale shape: the accumulator carries one (vec_id, embedding,
+    * min-dist) row per point; each round is ONE map pass folding the
+    * single new center (broadcast 1-row cross join) into the running
+    * min plus one TakeOrdered(1) argmax — k bounded (≤8), so the
+    * whole op is k map passes, with the accumulator re-materialized
+    * per round (k corpus-width checkpoints beats the k²/2 lineage
+    * recompute; the driver localizes exactly 1 row per round). Ties
+    * break on vec_id; duplicates are safe — a selected point's
+    * min-dist is 0 and selected ids are excluded from the argmax. */
+  def kCenterSelect(embeddings: DataFrame, k: Int = 6): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e0 = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    def distTo(se: Column): Column =
+      roundn(sqrt(roundn(fastL2Sq(col("e"), se), 6)), 6)
+    val seedId = e0.agg(min(col("vec_id"))).head().getLong(0)
+    var sel = Vector[(Long, Option[Double])]((seedId, None))
+    var acc = e0
+      .crossJoin(broadcast(e0.filter(col("vec_id") === seedId)
+        .select(col("e").as("se"))))
+      .select(col("vec_id"), col("e"), distTo(col("se")).as("mind"))
+      .localCheckpoint(true)
+    for (_ <- 2 to k) {
+      val top = acc.filter(!col("vec_id").isInCollection(sel.map(_._1)))
+        .orderBy(col("mind").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("mind")).head()
+      sel :+= ((top.getLong(0), Some(top.getDouble(1))))
+      acc = acc
+        .crossJoin(broadcast(e0.filter(col("vec_id") === top.getLong(0))
+          .select(col("e").as("se"))))
+        .select(col("vec_id"), col("e"),
+          least(col("mind"), distTo(col("se"))).as("mind"))
+        .localCheckpoint(true)
+    }
+    sel.zipWithIndex
+      .map { case ((id, d), i) => (i + 1L, id, d) }
+      .toDF("sel_rank", "vec_id", "far_dist")
+  }
+
   /** Local Outlier Factor (Breunig et al., SIGMOD 2000) — the
     * DENSITY-relative outlier screen beside [[embeddingOutliers]]'s
     * centroid distance: a point on the edge of a tight cluster and a

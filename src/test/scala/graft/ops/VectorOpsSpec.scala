@@ -288,6 +288,21 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(0L).getAs[Double]("explained_ratio") > 0.999)
   }
 
+  test("kCenterSelect: farthest-first picks the far point first, then fills gaps; ties break on id") {
+    import spark.implicits._
+    // line x = 0,1,2,3,100: seed id0 (min id), then id4 (far 100),
+    // then id3 (coverage radius 3), then the 1.0-tie -> id1, id2
+    val emb = Seq(0.0, 1.0, 2.0, 3.0, 100.0).zipWithIndex
+      .map { case (x, i) => (i.toLong, Array(x.toFloat, 0f), 0L) }
+      .toDF("vec_id", "embedding", "label")
+    val r = VectorOps.kCenterSelect(emb, k = 5).orderBy("sel_rank").collect()
+      .map(x => (x.getAs[Long]("sel_rank"), x.getAs[Long]("vec_id"),
+        Option(x.get(x.fieldIndex("far_dist")))))
+    assert(r.toSeq === Seq(
+      (1L, 0L, None), (2L, 4L, Some(100.0)), (3L, 3L, Some(3.0)),
+      (4L, 1L, Some(1.0)), (5L, 2L, Some(1.0))))
+  }
+
   test("lofOutliers: the density outlier scores >> 1, uniform-cluster members score 1") {
     import spark.implicits._
     // one shared cell so candidates are all pairs: line points
