@@ -1032,6 +1032,10 @@ object SparkEntry {
     "eager_agg" -> ((s, dir) =>
       RelationalOps.eagerAggReceipt(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // quantity-weighted exact median price per return flag beside the
+    // unweighted one: integer cumulative weights, doubled medians
+    "weighted_median" -> ((s, dir) =>
+      RelationalOps.weightedMedian(Tables.lineitem(s, dir))),
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
@@ -5147,6 +5151,37 @@ object SparkEntry {
         |           sqrt(varr), 6) + 0
         |    ELSE 0.0 END) > 1.96 AS nonrandom
         |FROM st""".stripMargin,
+    // one price census, two cumulative-weight rank picks
+    "weighted_median" ->
+      """WITH cen AS (SELECT l_returnflag AS flag,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cp,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w,
+        |         count(*) AS c
+        |       FROM lineitem GROUP BY 1, 2),
+        |cum AS (SELECT *,
+        |         sum(w) OVER (PARTITION BY flag ORDER BY price_cp
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |         sum(c) OVER (PARTITION BY flag ORDER BY price_cp
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+        |         sum(w) OVER (PARTITION BY flag) AS tw,
+        |         sum(c) OVER (PARTITION BY flag) AS tc
+        |       FROM cen),
+        |ag AS (SELECT flag, CAST(max(tw) AS BIGINT) AS total_qty,
+        |         CAST(max(tc) AS BIGINT) AS n_lines,
+        |         CAST(sum(CASE WHEN cw - w < (tw + 1) // 2
+        |             AND (tw + 1) // 2 <= cw THEN price_cp ELSE 0 END) +
+        |           sum(CASE WHEN cw - w < tw // 2 + 1
+        |             AND tw // 2 + 1 <= cw THEN price_cp ELSE 0 END)
+        |           AS BIGINT) AS wmed_x2,
+        |         CAST(sum(CASE WHEN cc - c < (tc + 1) // 2
+        |             AND (tc + 1) // 2 <= cc THEN price_cp ELSE 0 END) +
+        |           sum(CASE WHEN cc - c < tc // 2 + 1
+        |             AND tc // 2 + 1 <= cc THEN price_cp ELSE 0 END)
+        |           AS BIGINT) AS med_x2
+        |       FROM cum GROUP BY 1)
+        |SELECT flag, total_qty, n_lines,
+        |  wmed_x2 // 2 AS weighted_median_cp, med_x2 // 2 AS median_cp
+        |FROM ag""".stripMargin,
     // both aggregation orders in one query; decomposable-SUM identity
     "eager_agg" ->
       """WITH rev AS (SELECT l_orderkey,

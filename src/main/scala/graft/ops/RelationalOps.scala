@@ -2826,6 +2826,51 @@ object RelationalOps {
         (abs(col("z")) > 1.96).as("nonrandom"))
   }
 
+  /** Exact weighted median — the weighted ORDER STATISTIC the plain
+    * median family lacks: per return flag, the price below which half
+    * the shipped QUANTITY sits (not half the line items — a
+    * 50-unit line counts 50×). Both medians ride one price census
+    * with integer cumulative weights (quantity is integral, so the
+    * weighted rank positions stay exact Longs); the doubled-median
+    * convention ([[theilSenTrend]]) carries even-total splits without
+    * leaving integer cents; the unweighted median is emitted beside
+    * it so the weighting's pull is visible in the receipt itself.
+    *
+    * Scale shape: one (flag, price) census with map-side partials;
+    * the cumulative windows run over the bounded distinct-price
+    * spine per flag (TPC-H prices are formula-generated — domain-
+    * bounded, the [[paretoFront]] argument). */
+  def weightedMedian(lineitem: DataFrame): DataFrame = {
+    val census = lineitem
+      .select(col("l_returnflag").as("flag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cp"),
+        col("l_quantity").cast("long").as("q"))
+      .groupBy(col("flag"), col("price_cp"))
+      .agg(sum(col("q")).as("w"), count(lit(1)).as("c"))
+    val wCum = Window.partitionBy(col("flag")).orderBy(col("price_cp"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("flag"))
+    val cum = census
+      .withColumn("cw", sum(col("w")).over(wCum))
+      .withColumn("cc", sum(col("c")).over(wCum))
+      .withColumn("tw", sum(col("w")).over(tot))
+      .withColumn("tc", sum(col("c")).over(tot))
+      .withColumn("wlo", expr("(tw + 1) div 2"))
+      .withColumn("whi", expr("tw div 2 + 1"))
+      .withColumn("clo", expr("(tc + 1) div 2"))
+      .withColumn("chi", expr("tc div 2 + 1"))
+    def pick(rank: String, cumCol: String, weight: String): Column =
+      sum(when(col(cumCol) - col(weight) < col(rank) &&
+        col(rank) <= col(cumCol), col("price_cp")).otherwise(lit(0L)))
+    cum.groupBy(col("flag"))
+      .agg(max(col("tw")).as("total_qty"), max(col("tc")).as("n_lines"),
+        (pick("wlo", "cw", "w") + pick("whi", "cw", "w")).as("wmed_x2"),
+        (pick("clo", "cc", "c") + pick("chi", "cc", "c")).as("med_x2"))
+      .select(col("flag"), col("total_qty"), col("n_lines"),
+        expr("wmed_x2 div 2").as("weighted_median_cp"),
+        expr("med_x2 div 2").as("median_cp"))
+  }
+
   /** Eager-aggregation receipt — THE join strategy a 100 TB revenue
     * rollup lives by, pinned as an identity: revenue per customer
     * nation computed (a) LATE — join lineitem through orders and

@@ -1257,6 +1257,22 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!r.contains("const"), "every day equals the median - no runs question")
   }
 
+  test("weightedMedian: quantity weight pulls the median; even totals split in exact half-cents") {
+    val li = Seq(
+      ("A", 1.0, 1L), ("A", 2.0, 10L), ("A", 3.0, 1L),
+      ("B", 1.0, 100L), ("B", 2.0, 1L), ("B", 3.0, 1L),
+      ("C", 1.0, 1L), ("C", 2.0, 1L)
+    ).toDF("l_returnflag", "l_extendedprice", "l_quantity")
+    val r = RelationalOps.weightedMedian(li).collect()
+      .map(x => x.getAs[String]("flag") ->
+        ((x.getAs[Long]("total_qty"), x.getAs[Long]("n_lines"),
+          x.getAs[Long]("weighted_median_cp"), x.getAs[Long]("median_cp")))).toMap
+    assert(r("A") === ((12L, 3L, 200L, 200L)))
+    assert(r("B") === ((102L, 3L, 100L, 200L)),
+      "the 100-unit line drags the weighted median to its price")
+    assert(r("C") === ((2L, 2L, 150L, 150L)), "even split floors to half-cents")
+  }
+
   test("eagerAggReceipt: eager and late aggregation agree cent-for-cent; collapse factors counted") {
     val nation = Seq((1L, "A", 0L), (2L, "B", 0L))
       .toDF("n_nationkey", "n_name", "n_regionkey")
