@@ -57,6 +57,15 @@ object Bench {
         // a failed query reports -1, never a flattering near-zero time
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      // drop this query's leftover localCheckpoint/cache blocks NOW:
+      // the ContextCleaner only frees them on GC, which a 128 GB heap
+      // may not run for hundreds of queries — accumulated blocks eat
+      // execution memory and contaminated later queries' timings by
+      // up to 10x in long captures (r11: embedding_pca 2.5 s isolated
+      // vs 26 s late in a 258-query run). No cross-query DataFrame
+      // reuse exists, so unpersisting between entries is safe.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       name -> times
     }
     def median(ts: Seq[Double]): Double =
