@@ -507,6 +507,10 @@ object SparkEntry {
     // 8-cell censuses, langSourceMi fold conventions
     "feature_mi" -> ((s, dir) =>
       ClassifierOps.featureMi(Tables.documents(s, dir))),
+    // gains/lift table for the trained gate: shared calibration bins,
+    // per-bin + cumulative-from-top lift in exact floored micros
+    "gd_lift" -> ((s, dir) =>
+      ClassifierOps.qualityLift(Tables.documents(s, dir))),
     // load-or-create for the GD classifier: the weight trajectory
     // persists to parquet (IEEE754 bits verbatim) and the reloaded
     // final weights must score every document bit-identically to
@@ -2811,6 +2815,35 @@ object SparkEntry {
          |SELECT cg.bin_id, cg.n, cg.mean_conf, cg.frac_pos,
          |       round(cg.gap_micro / 1000000.0, 6) + 0 AS gap, et.ece
          |FROM cg, et""".stripMargin,
+    // same gds chain + calibration bins; cumulative window descends
+    // from the top bin; all ratios floored micro-quotients
+    "gd_lift" ->
+      s"""WITH $duckGdScored,
+         |bt AS (SELECT least((CAST(round(score * 1000000.0) AS BIGINT) * 10)
+         |           // 1000000, 9) AS bin_id, y
+         |       FROM gds),
+         |pb AS (SELECT bin_id, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos
+         |       FROM bt GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |         CAST(sum(n_pos) AS BIGINT) AS pp FROM pb),
+         |cu AS (SELECT pb.*, tt.nn, tt.pp,
+         |         CAST(sum(n) OVER (ORDER BY bin_id DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_n,
+         |         CAST(sum(n_pos) OVER (ORDER BY bin_id DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS BIGINT) AS cum_pos
+         |       FROM pb, tt)
+         |SELECT bin_id, n, n_pos,
+         |  (n_pos * 1000000) // n AS resp_micro,
+         |  CASE WHEN pp > 0 THEN (n_pos * nn * 1000000) // (n * pp) END
+         |    AS lift_micro,
+         |  cum_n, cum_pos,
+         |  CASE WHEN pp > 0 THEN (cum_pos * 1000000) // pp END
+         |    AS cum_capture_micro,
+         |  CASE WHEN pp > 0 THEN (cum_pos * nn * 1000000) // (cum_n * pp) END
+         |    AS cum_lift_micro
+         |FROM cu""".stripMargin,
     // char-ordered bounded fold over per-doc character counts; ln
     // rounded per char, one final rounding after the integer division.
     // len(text) > 0 on BOTH sides is the pinned edge contract (the

@@ -182,6 +182,47 @@ object ClassifierOps {
         roundn(col("gap_micro") / 1000000.0, 6).as("gap"), col("ece"))
   }
 
+  /** Cumulative gains / lift table — the TARGETING audit beside
+    * [[qualityCalibration]]'s honesty audit (calibration asks "do the
+    * scores mean what they say"; lift asks "how much better than
+    * random is acting on the top of the ranking"): the same 10
+    * equal-width score bins as the calibration receipt (value bins,
+    * stated — not equal-population deciles, so the two audits share
+    * one binning), per-bin response rate and lift vs the base rate,
+    * plus the cumulative capture and cumulative lift walking DOWN
+    * from the top bin — the gains curve a selection budget is read
+    * off. All ratios are exact floored micro-quotients of Long
+    * counts; an all-negative corpus emits null lifts explicitly.
+    *
+    * Scale shape: one doc-keyed scoring pass (the trained gate),
+    * one 10-cell census, windows over the 10-row bin table. */
+  def qualityLift(docs: DataFrame, minChars: Long = 300,
+                  bins: Int = 10): DataFrame = {
+    val scored = qualityClassifier(docs, minChars)
+      .withColumn("s_micro", round(col("score") * 1000000.0, 0).cast("long"))
+      .withColumn("bin_id",
+        expr(s"least((s_micro * $bins) div 1000000L, ${bins - 1}L)"))
+    val perBin = scored.groupBy(col("bin_id"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val tot = perBin.agg(sum(col("n")).as("nn"), sum(col("n_pos")).as("pp"))
+    import org.apache.spark.sql.expressions.Window
+    val wDesc = Window.orderBy(col("bin_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBin.crossJoin(broadcast(tot))
+      .withColumn("cum_n", sum(col("n")).over(wDesc))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wDesc))
+      .withColumn("resp_micro", expr("(n_pos * 1000000L) div n"))
+      .withColumn("lift_micro", when(col("pp") > 0L,
+        expr("(n_pos * nn * 1000000L) div (n * pp)")))
+      .withColumn("cum_capture_micro", when(col("pp") > 0L,
+        expr("(cum_pos * 1000000L) div pp")))
+      .withColumn("cum_lift_micro", when(col("pp") > 0L,
+        expr("(cum_pos * nn * 1000000L) div (cum_n * pp)")))
+      .select(col("bin_id"), col("n"), col("n_pos"), col("resp_micro"),
+        col("lift_micro"), col("cum_n"), col("cum_pos"),
+        col("cum_capture_micro"), col("cum_lift_micro"))
+  }
+
   /** GD TRAINING → the weight trajectory AS A DATAFRAME (step, bias,
     * wx1, wx2, wx3) — the model artifact a production pipeline
     * persists after the training spend. The weights are 6dp-rounded

@@ -52,6 +52,28 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(math.abs(eces.head - expected) < 2e-6)
   }
 
+  test("qualityLift: bins partition the corpus; cumulative columns reconcile; top beats base rate") {
+    val r = ClassifierOps.qualityLift(corpus, minChars = 300).collect()
+      .sortBy(-_.getAs[Long]("bin_id"))
+    assert(r.map(_.getAs[Long]("n")).sum === 40L)
+    val nn = r.map(_.getAs[Long]("n")).sum
+    val pp = r.map(_.getAs[Long]("n_pos")).sum
+    // cumulative columns are exactly the running sums from the top bin
+    var (cn, cp) = (0L, 0L)
+    r.foreach { x =>
+      cn += x.getAs[Long]("n"); cp += x.getAs[Long]("n_pos")
+      assert(x.getAs[Long]("cum_n") === cn)
+      assert(x.getAs[Long]("cum_pos") === cp)
+      assert(x.getAs[Long]("cum_capture_micro") === cp * 1000000L / pp)
+      assert(x.getAs[Long]("cum_lift_micro") === cp * nn * 1000000L / (cn * pp))
+    }
+    // the bottom row's cumulative lift is exactly 1x by construction
+    assert(r.last.getAs[Long]("cum_lift_micro") === 1000000L)
+    // the trained gate ranks positives above the base rate at the top
+    assert(r.head.getAs[Long]("lift_micro") > 1000000L,
+      "top score bin must beat the base rate")
+  }
+
   test("train: deterministic across invocations, weights move") {
     val feat = ClassifierOps.features(corpus).localCheckpoint(true)
     val w1 = ClassifierOps.train(feat, steps = 4).last._2
