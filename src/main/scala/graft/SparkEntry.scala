@@ -814,6 +814,10 @@ object SparkEntry {
     // fixed-point trig, decimal(38,0) energies, k=4 is the week
     "events_periodogram" -> ((s, dir) =>
       RelationalOps.eventsPeriodogram(Tables.events(s, dir))),
+    // STL-lite: centered-7-day trend on full contiguous weeks, per-dow
+    // seasonal means, exact residual remainder; strength receipt
+    "seasonal_decompose" -> ((s, dir) =>
+      RelationalOps.seasonalDecompose(Tables.events(s, dir))),
     // market-basket lift over per-(user, day) type sets; pair
     // generation map-only from sorted basket arrays
     "basket_lift" -> ((s, dir) => RelationalOps.basketLift(Tables.events(s, dir))),
@@ -3780,6 +3784,44 @@ object SparkEntry {
          |  rn = 1 AS dominant
          |FROM dm""".stripMargin
     },
+    // full-contiguous-week MA window, floored per-dow means, strength
+    // = 1 - sum|resid|/sum|det| floored and clamped at 0
+    "seasonal_decompose" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |win AS (SELECT *,
+        |         count(*) OVER w7 AS wn,
+        |         max(day) OVER w7 - min(day) OVER w7 AS wspan,
+        |         CAST(sum(mm) OVER w7 AS BIGINT) AS tsum
+        |       FROM daily
+        |       WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT event_type, day, mm,
+        |         (tsum - ((tsum % 7) + 7) % 7) // 7 AS trend,
+        |         mm - (tsum - ((tsum % 7) + 7) % 7) // 7 AS det,
+        |         ((day % 7) + 7) % 7 AS dow
+        |       FROM win WHERE wn = 7 AND wspan = 6),
+        |seas AS (SELECT event_type, dow, count(*) AS n_days,
+        |          CAST(sum(det) AS BIGINT) AS ssum
+        |        FROM det GROUP BY 1, 2),
+        |seas2 AS (SELECT event_type, dow, n_days,
+        |           (ssum - ((ssum % n_days) + n_days) % n_days) // n_days
+        |             AS seasonal_micro
+        |         FROM seas),
+        |st AS (SELECT d.event_type,
+        |         CAST(sum(abs(d.det - s.seasonal_micro)) AS BIGINT) AS sr,
+        |         CAST(sum(abs(d.det)) AS BIGINT) AS sd
+        |       FROM det d JOIN seas2 s USING (event_type, dow) GROUP BY 1),
+        |st2 AS (SELECT event_type,
+        |          CASE WHEN sd > 0
+        |            THEN greatest(0, 1000000 - (sr * 1000000) // sd) END
+        |            AS strength_micro
+        |        FROM st)
+        |SELECT s.event_type, s.dow, s.n_days, s.seasonal_micro,
+        |  t.strength_micro
+        |FROM seas2 s JOIN st2 t USING (event_type)""".stripMargin,
     "forecast_interval" ->
       """WITH b AS (SELECT event_type, epoch_ns(ts) // 86400000000000 AS day,
         |         (epoch_ns(ts) // 3600000000000) % 24 AS hour_of_day, value

@@ -2826,6 +2826,61 @@ object RelationalOps {
         (abs(col("z")) > 1.96).as("nonrandom"))
   }
 
+  /** STL-lite seasonal decomposition — the three-way split the
+    * events family's separate trend/seasonality queries imply but
+    * never pin together: series = trend + seasonal + residual, all
+    * in exact integer micros. Trend is the centered 7-day moving
+    * average (floored), taken ONLY on days whose window is a full
+    * contiguous calendar week (count 7 AND span 6 — a gap day
+    * invalidates the week, stated not hidden); seasonal is the
+    * floored per-day-of-week mean of the detrended series; residual
+    * is the exact remainder. The receipt column is the SEASONAL
+    * STRENGTH — 1 − Σ|residual|/Σ|detrended| in floored micros,
+    * clamped at 0 — the number that says whether the weekly profile
+    * explains the series (1e6 = perfectly periodic) or is noise
+    * being dressed up; a flat series (zero detrended mass) emits a
+    * null strength explicitly rather than a 0/0.
+    *
+    * Scale shape: one (type, day) agg collapses the stream; the MA
+    * window, dow census, and strength sums all run over the
+    * calendar-bounded daily table. */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val w7 = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("wn", count(lit(1)).over(w7))
+      .withColumn("wspan", max(col("day")).over(w7) - min(col("day")).over(w7))
+      .withColumn("tsum", sum(col("mm")).over(w7))
+      .filter(col("wn") === 7L && col("wspan") === 6L)
+      .withColumn("trend", expr("(tsum - pmod(tsum, 7)) div 7"))
+      .withColumn("det", col("mm") - col("trend"))
+      .withColumn("dow", pmod(col("day"), lit(7L)))
+      .localCheckpoint(true)
+    val seasonal = det.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("det")).as("ssum"))
+      .withColumn("seasonal_micro",
+        expr("(ssum - pmod(ssum, n_days)) div n_days"))
+      .select(col("event_type"), col("dow"), col("n_days"), col("seasonal_micro"))
+    val strength = det.join(broadcast(seasonal), Seq("event_type", "dow"))
+      .withColumn("resid", col("det") - col("seasonal_micro"))
+      .groupBy(col("event_type"))
+      .agg(sum(abs(col("resid"))).as("sr"), sum(abs(col("det"))).as("sd"))
+      .select(col("event_type"),
+        when(col("sd") > 0L,
+          greatest(lit(0L), lit(1000000L) - expr("(sr * 1000000L) div sd")))
+          .as("strength_micro"))
+    seasonal.join(broadcast(strength), "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        col("seasonal_micro"), col("strength_micro"))
+  }
+
   /** Exact weighted median — the weighted ORDER STATISTIC the plain
     * median family lacks: per return flag, the price below which half
     * the shipped QUANTITY sits (not half the line items — a

@@ -1257,6 +1257,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(!r.contains("const"), "every day equals the median - no runs question")
   }
 
+  test("seasonalDecompose: a pure weekly pattern decomposes with zero residual; flat series guards") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 'weekly': value 8 on dow 0, 1 otherwise — MA over any full week
+    // is constant 2, so detrended IS the seasonal profile exactly
+    val rows =
+      (0L until 28L).map(d => (d * day, "weekly", if (d % 7 == 0) 8.0 else 1.0)) ++
+      (0L until 28L).map(d => (d * day, "flat", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.seasonalDecompose(events).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("dow")) ->
+        ((x.getAs[Long]("seasonal_micro"),
+          Option(x.get(x.fieldIndex("strength_micro")))))).toMap
+    assert(r(("weekly", 0L))._1 === 6000000L)
+    (1L to 6L).foreach(d => assert(r(("weekly", d))._1 === -1000000L))
+    assert(r(("weekly", 3L))._2 === Some(1000000L),
+      "perfectly periodic: the weekly profile explains everything")
+    (0L to 6L).foreach { d =>
+      assert(r(("flat", d))._1 === 0L)
+      assert(r(("flat", d))._2 === None, "zero detrended mass guards to null")
+    }
+  }
+
   test("weightedMedian: quantity weight pulls the median; even totals split in exact half-cents") {
     val li = Seq(
       ("A", 1.0, 1L), ("A", 2.0, 10L), ("A", 3.0, 1L),
