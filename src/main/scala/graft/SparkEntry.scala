@@ -890,6 +890,14 @@ object SparkEntry {
       cleanupOnExit(tmp)
       PersistOps.schemaMergeReceipt(Tables.documents(s, dir), tmp)
     }),
+    // runtime partition pruning: fact partitioned by type, dim = the
+    // runtime top-2 types; the DPP subquery is pinned in PersistOpsSpec
+    "dpp_receipt" -> ((s, dir) => {
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_" +
+        s.sparkContext.applicationId
+      cleanupOnExit(tmp)
+      PersistOps.dppReceipt(Tables.events(s, dir), tmp)
+    }),
     // small-file compaction plan: running-total binning of ingest-
     // order file metadata into target-sized contiguous merge groups
     "compaction_plan" -> ((s, dir) =>
@@ -3784,6 +3792,18 @@ object SparkEntry {
          |  rn = 1 AS dominant
          |FROM dm""".stripMargin
     },
+    // the pruning itself is a plan property (pinned in PersistOpsSpec);
+    // the oracle replays the VALUES: 0.8*max literal-shaped dim filter
+    "dpp_receipt" ->
+      """WITH dim AS (SELECT DISTINCT event_type FROM events
+        |       WHERE value >= 0.8 * (SELECT max(value) FROM events)),
+        |np AS (SELECT count(DISTINCT event_type) AS n_part FROM events)
+        |SELECT e.event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+        |    AS sum_micro,
+        |  CAST(np.n_part AS BIGINT) AS n_partitions_on_disk
+        |FROM events e JOIN dim USING (event_type), np
+        |GROUP BY e.event_type, np.n_part""".stripMargin,
     // full-contiguous-week MA window, floored per-dow means, strength
     // = 1 - sum|resid|/sum|det| floored and clamped at 0
     "seasonal_decompose" ->

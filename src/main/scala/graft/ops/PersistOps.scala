@@ -148,6 +148,50 @@ object PersistOps {
     audit(natural, "natural").unionByName(audit(clustered, "time_clustered"))
   }
 
+  /** Dynamic-partition-pruning receipt — the RUNTIME sibling of
+    * [[fileSkipping]]'s static min/max pruning: the fact table is
+    * written PARTITIONED BY the join column, and the dimension side
+    * is the classic star-schema selective filter (the types that
+    * ever see a high-value event — WHICH types survive is only known
+    * at runtime), so the only way the scan avoids reading every
+    * partition is Spark's DPP subquery broadcasting the surviving
+    * dim values into the partition filter. The dim-side Filter must
+    * be a plain selective predicate — an aggregate+limit dim does
+    * NOT qualify for `PartitionPruning`'s selectivity test (measured:
+    * no DPP expression is inserted), which is itself a lesson this
+    * receipt documents. The receipt emits the joined per-type
+    * aggregate plus the partition census; `PersistOpsSpec` pins the
+    * `dynamicpruning` expression in the executed plan — the receipt
+    * that the 100 TB fact scan reads the surviving partitions, not
+    * all of them.
+    *
+    * Scale shape: one partitioned write (bounded partition count =
+    * |types|), a filtered-distinct dim (bounded), and the pruned
+    * scan's per-type agg. */
+  def dppReceipt(events: DataFrame, tmpBase: String,
+                 frac: Double = 0.8): DataFrame = {
+    val spark = events.sparkSession
+    events.select(col("event_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmpBase/pt")
+    val fact = spark.read.parquet(s"$tmpBase/pt")
+    val nPart = events.select(col("event_type")).distinct().count()
+    // threshold = frac of the global max — ONE localized scalar (the
+    // bounded-localize convention), so the dim filter is a plain
+    // literal comparison (DPP-eligible) yet adapts to the corpus
+    val vmax = events.agg(max(col("value"))).head().getDouble(0)
+    val dim = events.filter(col("value") >= frac * vmax)
+      .select(col("event_type")).distinct()
+    fact.join(dim, "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)")
+          .as("sum_micro"))
+      .withColumn("n_partitions_on_disk", lit(nPart))
+      .select(col("event_type"), col("n_rows"), col("sum_micro"),
+        col("n_partitions_on_disk"))
+  }
+
   /** Hilbert-curve index of pre-quantized coordinates — the
     * locality-superior sibling of [[interleaveBits]]' z-curve: the
     * standard iterative xy2d (Wikipedia's public formulation),

@@ -162,6 +162,30 @@ class PersistOpsSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L).map(k => r(k)._4).sum === 3L)
   }
 
+  test("dppReceipt: the fact scan carries a dynamic-pruning partition filter; values reconcile") {
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    // global max 10 → threshold 8: 'a' (peak 10) and 'b' (peak 9)
+    // qualify, 'c' (peak 3) is pruned at the partition level
+    // the fixture must come FROM A FILE SOURCE like the real call: an
+    // in-memory Seq lets Catalyst fold the dim filter into the
+    // LocalTableScan and no Filter node survives for DPP to key on
+    ((1 to 4).map(i => (i.toLong, "a", 1.0)) ++
+      Seq((5L, "a", 10.0), (6L, "b", 2.0), (7L, "b", 2.0), (8L, "b", 9.0),
+        (9L, "c", 3.0)))
+      .toDF("event_id", "event_type", "value")
+      .select(col("event_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val events = spark.read.parquet(s"$tmp/src")
+    val df = PersistOps.dppReceipt(events, tmp)
+    val plan = df.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("dynamicpruning"),
+      s"the partition filter must be a DPP subquery, got:\n$plan")
+    val r = df.collect().map(x => x.getAs[String]("event_type") ->
+      ((x.getAs[Long]("n_rows"), x.getAs[Long]("sum_micro"),
+        x.getAs[Long]("n_partitions_on_disk")))).toMap
+    assert(r === Map("a" -> ((5L, 14000000L, 3L)), "b" -> ((3L, 13000000L, 3L))))
+  }
+
   test("withHilbert: matches the reference xy2d on the full 16x16 grid; unit-step continuity") {
     def xy2d(n: Int, x0: Int, y0: Int): Long = {
       var (x, y, d, s) = (x0, y0, 0L, n / 2)
