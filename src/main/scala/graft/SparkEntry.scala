@@ -136,6 +136,10 @@ object SparkEntry {
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // nDCG@10 of BM25 against the cosine-graded truth; the
+    // cosine_self leg must emit exactly 1.0 (the metric's own pin)
+    "ndcg_audit" -> ((s, dir) =>
+      SearchOps.ndcgAudit(Tables.documents(s, dir), "spark vector hash join")),
     // query expansion: top-2 co-occurrence partners per query term
     // (count-ranked), originals at 1.0 / expansions at 0.5, weighted
     // postings top-k
@@ -6223,6 +6227,72 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
          |  FROM scored s JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // both ranker chains (search_text / search_bm25 CTEs, ct_/bm_
+    // prefixed), truth grades 11-rank, position-ordered rounded DCG
+    // terms, one normalizing division; cosine_self must emit 1.0
+    "ndcg_audit" ->
+      s"""WITH $duckToks,
+         |ct_hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |ct_tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |          FROM ct_hashed GROUP BY 1, 2),
+         |ct_nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM ct_tf GROUP BY 1),
+         |ct_w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |         FROM ct_tf t JOIN ct_nrm n USING (doc_id)),
+         |ct_qt AS (SELECT trim(u.tok) AS tok
+         |          FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |ct_qh AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM ct_qt),
+         |ct_qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM ct_qh GROUP BY 1),
+         |ct_qw AS (SELECT dim,
+         |            round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM ct_qtf), 6) + 0 AS qw
+         |          FROM ct_qtf),
+         |ct_scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM ct_w w JOIN ct_qw qw USING (dim) GROUP BY 1),
+         |ct_ranked AS (SELECT doc_id,
+         |                row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |              FROM ct_scored),
+         |truth AS (SELECT doc_id, 11 - rnk AS rel FROM ct_ranked WHERE rnk <= 10),
+         |idcg AS (SELECT round(sum(round(rel * ln(2) / ln(pos + 1.0), 6)
+         |             ORDER BY pos), 6) + 0 AS idcg
+         |         FROM (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id)
+         |                 AS pos FROM truth)),
+         |lens AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(len_d) AS avg_len FROM lens),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+         |bm_qt AS (SELECT DISTINCT trim(u.tok) AS tok
+         |          FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |bm_tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+         |          FROM toks t JOIN bm_qt USING (tok) GROUP BY 1, 2),
+         |bm_dfc AS (SELECT tok, count(*) AS df FROM bm_tf GROUP BY 1),
+         |bm_scored AS (
+         |  SELECT bm_tf.doc_id,
+         |    round(sum(ln((nd.n_docs - bm_dfc.df + 0.5) / (bm_dfc.df + 0.5) + 1)
+         |      * (bm_tf.tf * 2.2)
+         |      / (bm_tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))
+         |      ORDER BY bm_tf.tok), 6) + 0 AS score
+         |  FROM bm_tf JOIN bm_dfc USING (tok) JOIN lens USING (doc_id), nd, stats
+         |  GROUP BY 1),
+         |bm_top AS (SELECT doc_id, pos FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS pos
+         |    FROM bm_scored) WHERE pos <= 10),
+         |ct_top AS (SELECT doc_id, rnk AS pos FROM ct_ranked WHERE rnk <= 10),
+         |leg_bm AS (SELECT 'bm25' AS system,
+         |    CAST(sum(CASE WHEN COALESCE(t.rel, 0) > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_overlap,
+         |    round(sum(round(COALESCE(t.rel, 0) * ln(2) / ln(b.pos + 1.0), 6)
+         |      ORDER BY b.pos), 6) + 0 AS dcg
+         |  FROM bm_top b LEFT JOIN truth t USING (doc_id)),
+         |leg_ct AS (SELECT 'cosine_self' AS system,
+         |    CAST(sum(CASE WHEN COALESCE(t.rel, 0) > 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_overlap,
+         |    round(sum(round(COALESCE(t.rel, 0) * ln(2) / ln(c.pos + 1.0), 6)
+         |      ORDER BY c.pos), 6) + 0 AS dcg
+         |  FROM ct_top c LEFT JOIN truth t USING (doc_id))
+         |SELECT system, n_overlap, dcg, idcg.idcg,
+         |  round(dcg / idcg.idcg, 6) + 0 AS ndcg
+         |FROM (SELECT * FROM leg_bm UNION ALL SELECT * FROM leg_ct), idcg""".stripMargin,
     // same ranking chain as search_text at k=50, then a prefix cut on
     // the running token total (CAST: DuckDB widens sum(BIGINT) to
     // HUGEINT; Spark's window sum stays BIGINT)

@@ -520,4 +520,42 @@ object SearchOps {
         Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
       .select(col("rank"), col("doc_id"), col("source"), col("n_lists"), col("rrf"))
   }
+
+  /** nDCG@k ranking-quality audit — the graded IR metric the search
+    * family's rankers are MEASURED with (ann_recall audits the ANN
+    * tier; this audits the text tier): the cosine ranking is the
+    * graded ground truth (rel = k+1 − cosine rank), and each system's
+    * DCG = Σ rel(doc at system pos i) · ln2/ln(i+1) is normalized by
+    * the ideal DCG of those grades. The `cosine_self` leg scores the
+    * ground-truth ranking against itself and must emit ndcg = 1.0
+    * exactly — the internal invariant that pins the metric's own
+    * arithmetic; the `bm25` row is the measured audit. Per-position
+    * terms round once, fold in position order, divide once.
+    *
+    * Scale shape: both rankers end in TakeOrderedAndProject; every
+    * nDCG table is ≤ k rows. */
+  def ndcgAudit(docs: DataFrame, queryText: String, k: Int = 10): DataFrame = {
+    val truth = searchText(docs, queryText, k)
+      .select(col("doc_id"), (lit(k + 1L) - col("rank")).as("rel"))
+      .localCheckpoint(true)
+    def term(rel: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
+      roundn(rel.cast("double") * log(lit(2.0)) / log(pos + lit(1.0)), 6)
+    val idcg = truth
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("pos"), term(col("rel"), col("pos"))), 6).as("idcg"))
+    def leg(name: String, sys: DataFrame): DataFrame =
+      sys.select(col("rank").as("pos"), col("doc_id"))
+        .join(truth, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("rel"))
+        .agg(sum(when(col("rel") > 0L, 1L).otherwise(0L)).as("n_overlap"),
+          roundn(graft.functions.VectorMath.orderedSum(
+            col("pos"), term(col("rel"), col("pos"))), 6).as("dcg"))
+        .crossJoin(broadcast(idcg))
+        .select(lit(name).as("system"), col("n_overlap"), col("dcg"),
+          col("idcg"), roundn(col("dcg") / col("idcg"), 6).as("ndcg"))
+    leg("bm25", searchBm25(docs, queryText, k))
+      .unionByName(leg("cosine_self", searchText(docs, queryText, k)))
+  }
 }

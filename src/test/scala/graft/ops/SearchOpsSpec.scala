@@ -223,4 +223,27 @@ class SearchOpsSpec extends SparkSpec {
     assert(r.getOrElse(1L, 0.0) > 0.3, s"subword match must score: $r")
     assert(r.getOrElse(2L, 0.0) < r(1L) * 0.5, s"unrelated doc must trail: $r")
   }
+
+  test("ndcgAudit: the self leg scores exactly 1, the bm25 leg is measured in (0, 1]") {
+    val r = SearchOps.ndcgAudit(docs, "spark engine").collect()
+      .map(x => x.getAs[String]("system") ->
+        ((x.getAs[Long]("n_overlap"), x.getAs[Double]("dcg"),
+          x.getAs[Double]("idcg"), x.getAs[Double]("ndcg")))).toMap
+    assert(r.size === 2)
+    val self = r("cosine_self")
+    assert(self._4 === 1.0, s"ground truth vs itself must be exactly 1: $self")
+    assert(self._2 === self._3, "self DCG is the ideal DCG")
+    val bm = r("bm25")
+    assert(bm._4 > 0.0 && bm._4 <= 1.0, s"bm25 nDCG must be a valid grade: $bm")
+    assert(bm._3 === self._3, "one shared normalizer")
+    // all 4 docs score under HASHED cosine (doc 2 shares no term but
+    // its hashed dims collide with the query's): grades 10, 9, 8, 7
+    // at positions 1..4 — the ideal DCG is the analytic fold
+    val k = 10L
+    val expectedIdcg = (1 to 4).map { i =>
+      val rel = (k + 1 - i).toDouble
+      math.round(rel * math.log(2.0) / math.log(i + 1.0) * 1e6) / 1e6
+    }.sum
+    assert(math.abs(self._3 - expectedIdcg) < 2e-6, s"${self._3} vs $expectedIdcg")
+  }
 }
