@@ -555,7 +555,11 @@ object SearchOps {
         .crossJoin(broadcast(idcg))
         .select(lit(name).as("system"), col("n_overlap"), col("dcg"),
           col("idcg"), roundn(col("dcg") / col("idcg"), 6).as("ndcg"))
+    // the self leg's ranking IS the truth ranking — derive it from
+    // the checkpointed truth instead of re-running the cosine chain
+    val selfSys = truth.withColumn("rank", row_number().over(
+      Window.orderBy(col("rel").desc, col("doc_id"))).cast("long"))
     leg("bm25", searchBm25(docs, queryText, k))
-      .unionByName(leg("cosine_self", searchText(docs, queryText, k)))
+      .unionByName(leg("cosine_self", selfSys))
   }
 }
