@@ -1137,6 +1137,12 @@ object SparkEntry {
     "q3_shipping_priority" -> ((s, dir) =>
       RelationalOps.q3ShippingPriority(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // TPC-H Q5: the correlated 6-table local-supplier join (customer
+    // and supplier share a nation), exact cent-x-pct units
+    "q5_local_supplier" -> ((s, dir) =>
+      RelationalOps.q5LocalSupplier(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -5250,6 +5256,30 @@ object SparkEntry {
         |           sqrt(varr), 6) + 0
         |    ELSE 0.0 END) > 1.96 AS nonrandom
         |FROM st""".stripMargin,
+    // the correlated join as one SQL statement; cent-x-pct BIGINTs
+    "q5_local_supplier" ->
+      """WITH rev AS (SELECT l_orderkey, l_suppkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |       FROM lineitem),
+        |ag AS (SELECT n.n_name,
+        |         CAST(sum(r.rev_cp) AS BIGINT) AS revenue_cp,
+        |         count(*) AS n_items
+        |       FROM orders o
+        |       JOIN customer c ON c.c_custkey = o.o_custkey
+        |       JOIN rev r ON r.l_orderkey = o.o_orderkey
+        |       JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |         AND s.s_nationkey = c.c_nationkey
+        |       JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |       JOIN region rg ON rg.r_regionkey = n.n_regionkey
+        |       WHERE rg.r_name = 'ASIA'
+        |         AND o.o_orderdate >= DATE '1996-01-01'
+        |         AND o.o_orderdate < DATE '1997-01-01'
+        |       GROUP BY 1)
+        |SELECT CAST(row_number() OVER (ORDER BY revenue_cp DESC, n_name)
+        |    AS BIGINT) AS rank,
+        |  n_name, revenue_cp, n_items
+        |FROM ag""".stripMargin,
     // one price census, two cumulative-weight rank picks
     "weighted_median" ->
       """WITH cen AS (SELECT l_returnflag AS flag,

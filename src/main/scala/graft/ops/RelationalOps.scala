@@ -2826,6 +2826,50 @@ object RelationalOps {
         (abs(col("z")) > 1.96).as("nonrandom"))
   }
 
+  /** TPC-H Q5 (local supplier volume) — the CORRELATED 6-table join
+    * the simpler rollups dodge: revenue only counts when the customer
+    * and the supplier share a nation (`c_nationkey = s_nationkey` —
+    * the equality that makes this a correlation query, not a chain of
+    * lookups), region-filtered and windowed to one order year, in
+    * exact cent×pct units (the [[q3ShippingPriority]] convention).
+    *
+    * Scale shape: region/nation broadcast into the filter side;
+    * customer joins orders on custkey, lineitem joins on orderkey and
+    * carries its suppkey to the supplier join; the nation equality is
+    * a residual predicate on two already-joined columns — no extra
+    * shuffle. The final agg is |nations|-bounded. */
+  def q5LocalSupplier(customer: DataFrame, orders: DataFrame,
+                      lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame, region: DataFrame,
+                      regionName: String = "ASIA",
+                      yearStart: String = "1996-01-01"): DataFrame = {
+    val start = to_timestamp(lit(yearStart))
+    val rn = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    val c = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+    val o = orders
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 12))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem.select(col("l_orderkey"), col("l_suppkey"),
+      (round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), count(lit(1)).as("n_items"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue_cp").desc, col("n_name"))).cast("long"))
+      .select(col("rank"), col("n_name"), col("revenue_cp"), col("n_items"))
+  }
+
   /** STL-lite seasonal decomposition — the three-way split the
     * events family's separate trend/seasonality queries imply but
     * never pin together: series = trend + seasonal + residual, all

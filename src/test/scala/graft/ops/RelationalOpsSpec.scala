@@ -1125,6 +1125,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.values.map(_._3).sum === 1000000L,
       "the literal Benford table partitions unity in micros exactly")
   }
+  test("q5LocalSupplier: only same-nation customer-supplier pairs count, window and region filter hold") {
+    val region = Seq((0L, "ASIA"), (1L, "OTHER")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "N1", 0L), (2L, "N2", 0L), (3L, "N3", 1L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val customer = Seq((10L, 1L), (11L, 2L), (12L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+    val supplier = Seq((20L, 1L), (21L, 2L), (22L, 3L))
+      .toDF("s_suppkey", "s_nationkey")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (100L, 10L, ts("1996-02-01")), (101L, 11L, ts("1996-07-01")),
+      (102L, 12L, ts("1996-03-01")), // region OTHER — filtered
+      (103L, 10L, ts("1997-06-01"))) // out of the year window
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (100L, 20L, 10.0, 0.0), // N1 customer x N1 supplier: counts
+      (100L, 21L, 10.0, 0.0), // N1 customer x N2 supplier: NOT local
+      (101L, 21L, 10.0, 0.0), // N2 x N2: counts
+      (102L, 22L, 10.0, 0.0), (103L, 20L, 10.0, 0.0))
+      .toDF("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q5LocalSupplier(customer, orders, lineitem,
+        supplier, nation, region).orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[String]("n_name"),
+        x.getAs[Long]("revenue_cp"), x.getAs[Long]("n_items")))
+    assert(r.toSeq === Seq((1L, "N1", 100000L, 1L), (2L, "N2", 100000L, 1L)))
+  }
+
   test("q18LargeOrders: strict HAVING cut, exact cents, broadcast dim attributes") {
     val customer = Seq((7L, "Customer#7", 1, 0.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
