@@ -1143,6 +1143,11 @@ object SparkEntry {
       RelationalOps.q5LocalSupplier(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.supplier(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir))),
+    // TPC-H Q10: top-20 customers by returned-item revenue for one
+    // quarter, nation carried; agg BEFORE the broadcast dim joins
+    "q10_returned_items" -> ((s, dir) =>
+      RelationalOps.q10ReturnedItems(Tables.customer(s, dir), Tables.orders(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -5256,6 +5261,28 @@ object SparkEntry {
         |           sqrt(varr), 6) + 0
         |    ELSE 0.0 END) > 1.96 AS nonrandom
         |FROM st""".stripMargin,
+    // agg-then-broadcast-dims order mirrored; quarter + 'R' filters
+    "q10_returned_items" ->
+      """WITH l AS (SELECT l_orderkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp
+        |       FROM lineitem WHERE l_returnflag = 'R'),
+        |ag AS (SELECT o.o_custkey,
+        |         CAST(sum(l.rev_cp) AS BIGINT) AS revenue_cp,
+        |         count(*) AS n_returned
+        |       FROM orders o JOIN l ON l.l_orderkey = o.o_orderkey
+        |       WHERE o.o_orderdate >= DATE '1996-01-01'
+        |         AND o.o_orderdate < DATE '1996-04-01'
+        |       GROUP BY 1),
+        |top AS (SELECT * FROM ag ORDER BY revenue_cp DESC, o_custkey LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY t.revenue_cp DESC, c.c_custkey)
+        |    AS BIGINT) AS rank,
+        |  c.c_custkey, c.c_name, n.n_name,
+        |  round(c.c_acctbal, 2) + 0 AS c_acctbal,
+        |  t.revenue_cp, t.n_returned
+        |FROM top t
+        |JOIN customer c ON c.c_custkey = t.o_custkey
+        |JOIN nation n ON n.n_nationkey = c.c_nationkey""".stripMargin,
     // the correlated join as one SQL statement; cent-x-pct BIGINTs
     "q5_local_supplier" ->
       """WITH rev AS (SELECT l_orderkey, l_suppkey,

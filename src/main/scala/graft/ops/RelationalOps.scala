@@ -2870,6 +2870,46 @@ object RelationalOps {
       .select(col("rank"), col("n_name"), col("revenue_cp"), col("n_items"))
   }
 
+  /** TPC-H Q10 (returned-item reporting) — the churn-triage classic
+    * completing the Q1/Q3/Q5/Q18 set: top customers by revenue on
+    * RETURNED items ('R' flag) for one order quarter, with the
+    * customer's nation carried for the follow-up call. Exact
+    * cent×pct units; top-k via TakeOrderedAndProject with the
+    * (revenue desc, custkey) tie-break.
+    *
+    * Scale shape: the quarter filter pushes to the orders scan and
+    * the flag filter to the lineitem scan; customer and nation
+    * broadcast around the fact probe; the agg key (custkey) is
+    * uniform. */
+  def q10ReturnedItems(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, nation: DataFrame,
+                       quarterStart: String = "1996-01-01",
+                       k: Int = 20): DataFrame = {
+    val start = to_timestamp(lit(quarterStart))
+    val o = orders
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 3))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val l = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    val c = customer.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_nationkey"))
+    val n = nation.select(col("n_nationkey"), col("n_name"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev_cp")).as("revenue_cp"), count(lit(1)).as("n_returned"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .orderBy(col("revenue_cp").desc, col("c_custkey")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("revenue_cp").desc, col("c_custkey"))).cast("long"))
+      .select(col("rank"), col("c_custkey"), col("c_name"), col("n_name"),
+        roundn(col("c_acctbal"), 2).as("c_acctbal"),
+        col("revenue_cp"), col("n_returned"))
+  }
+
   /** STL-lite seasonal decomposition — the three-way split the
     * events family's separate trend/seasonality queries imply but
     * never pin together: series = trend + seasonal + residual, all

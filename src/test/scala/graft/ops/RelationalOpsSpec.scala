@@ -1152,6 +1152,30 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.toSeq === Seq((1L, "N1", 100000L, 1L), (2L, "N2", 100000L, 1L)))
   }
 
+  test("q10ReturnedItems: only R-flag lines in the quarter count; exact cents; ranked") {
+    val customer = Seq((7L, "C7", 12.345, 1L), (8L, "C8", 0.0, 1L))
+      .toDF("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, 7L, ts("1996-02-01")), (2L, 8L, ts("1996-03-15")),
+      (3L, 7L, ts("1995-12-31")), (4L, 7L, ts("1996-02-02")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, "R", 10.0, 0.0), (1L, "N", 10.0, 0.0), // N flag excluded
+      (2L, "R", 20.0, 0.5), (4L, "R", 5.0, 0.0),
+      (3L, "R", 10.0, 0.0)) // out of the quarter
+      .toDF("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q10ReturnedItems(customer, orders, lineitem, nation)
+      .orderBy("rank").collect()
+      .map(x => (x.getAs[Long]("rank"), x.getAs[String]("c_name"),
+        x.getAs[String]("n_name"), x.getAs[Double]("c_acctbal"),
+        x.getAs[Long]("revenue_cp"), x.getAs[Long]("n_returned")))
+    assert(r.toSeq === Seq(
+      (1L, "C7", "N1", 12.35, 150000L, 2L),
+      (2L, "C8", "N1", 0.0, 100000L, 1L)))
+  }
+
   test("q18LargeOrders: strict HAVING cut, exact cents, broadcast dim attributes") {
     val customer = Seq((7L, "Customer#7", 1, 0.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
