@@ -1148,6 +1148,24 @@ object SparkEntry {
     "q10_returned_items" -> ((s, dir) =>
       RelationalOps.q10ReturnedItems(Tables.customer(s, dir), Tables.orders(s, dir),
         Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // the correlated-subquery class (oracle states EXISTS / NOT
+    // EXISTS / scalar subqueries verbatim; the engine decorrelates):
+    // Q4 EXISTS -> one left-semi join
+    "q4_order_priority" -> ((s, dir) =>
+      RelationalOps.q4OrderPriority(Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // Q21 EXISTS + NOT EXISTS on the same fact -> semi + anti on a
+    // shared late-incident table
+    "q21_suppliers_kept_waiting" -> ((s, dir) =>
+      RelationalOps.q21SuppliersKeptWaiting(Tables.supplier(s, dir),
+        Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // Q2 correlated scalar-min -> per-part min agg equi-joined back
+    "q2_min_cost_supplier" -> ((s, dir) =>
+      RelationalOps.q2MinCostSupplier(Tables.part(s, dir), Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // Q13 correlated COUNT -> aggregate-before-join + coalesce(0)
+    "q13_customer_distribution" -> ((s, dir) =>
+      RelationalOps.q13CustomerDistribution(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -1207,6 +1225,22 @@ object SparkEntry {
         .select(col("media_id"), col("sample_idx").cast("long").as("sample_idx"),
           col("pts_ticks"), col("offset"), col("size"), col("keyframe"))
     }),
+    // demux -> keyframe byte-range reads -> REAL ImageIO decode; the
+    // oracle recomputes the decoded pixels from the pure pixelOf
+    // formula, decoder-free
+    "video_keyframes" -> ((s, dir) => {
+      MultimodalOps.videoKeyframes(
+        MultimodalOps.syntheticKeyframeVideos(s, Tables.documents(s, dir)))
+        .toDF()
+        .filter(col("ok"))
+        .select(col("media_id"), col("sample_idx").cast("long").as("sample_idx"),
+          col("pts_ticks"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"), col("px_sum"))
+    }),
+    // percent_rank/cume_dist/first_value/nth_value over the per-type
+    // daily series — one shared window spec, one exchange + one sort
+    "events_rank_profile" -> ((s, dir) =>
+      RelationalOps.eventsRankProfile(Tables.events(s, dir))),
     "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
   )
 
@@ -3763,7 +3797,9 @@ object SparkEntry {
         |    AS BIGINT) AS ewma_micro
         |FROM fin""".stripMargin,
     // trig literals rendered from the engine's own tables; HUGEINT
-    // correlations cast to DECIMAL(38,0) energies
+    // energies order the dominant pick at full precision, then
+    // floor-divide to BIGINT-safe energy_milli2 (< 2^53) so the
+    // declared output stays inside the driver's hashable envelope
     "events_periodogram" -> {
       val trig = (for {
         ki <- graft.ops.RelationalOps.PeriodogramBins.indices
@@ -3796,17 +3832,34 @@ object SparkEntry {
          |         (smic - ((smic % 1000) + 1000) % 1000) // 1000 AS sm
          |       FROM cs),
          |ee AS (SELECT event_type, k,
-         |         CAST(CAST(cm AS HUGEINT) * CAST(cm AS HUGEINT) +
-         |              CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT)
-         |           AS DECIMAL(38,0)) AS energy
+         |         CAST(cm AS HUGEINT) * CAST(cm AS HUGEINT) +
+         |              CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT) AS energy
          |       FROM en),
          |dm AS (SELECT *, row_number() OVER (PARTITION BY event_type
          |           ORDER BY energy DESC, k) AS rn FROM ee)
          |SELECT event_type, CAST(k AS BIGINT) AS k,
-         |  CAST(28 // k AS BIGINT) AS period_days, energy,
+         |  CAST(28 // k AS BIGINT) AS period_days,
+         |  CAST(energy // 1000000 AS BIGINT) AS energy_milli2,
          |  rn = 1 AS dominant
          |FROM dm""".stripMargin
     },
+    // one window spec serves all four rank builtins; unique (mm, day)
+    // ordering keeps the fractions exact rationals on both engines
+    "events_rank_profile" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, mm,
+        |  round(percent_rank() OVER w, 6) + 0 AS pr,
+        |  round(cume_dist() OVER w, 6) + 0 AS cd,
+        |  first_value(mm) OVER wf AS first_mm,
+        |  nth_value(mm, 2) OVER wf AS second_mm
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY mm, day),
+        |  wf AS (PARTITION BY event_type ORDER BY mm, day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |""".stripMargin,
     // the pruning itself is a plan property (pinned in PersistOpsSpec);
     // the oracle replays the VALUES: 0.8*max literal-shaped dim filter
     "dpp_receipt" ->
@@ -5307,6 +5360,67 @@ object SparkEntry {
         |    AS BIGINT) AS rank,
         |  n_name, revenue_cp, n_items
         |FROM ag""".stripMargin,
+    // the correlated EXISTS stated verbatim — the engine's left-semi
+    // decorrelation must reproduce it
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= DATE '1996-01-01'
+        |  AND o.o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1""".stripMargin,
+    // EXISTS + NOT EXISTS on the same fact, stated verbatim — the
+    // engine's semi + anti pair must reproduce it
+    "q21_suppliers_kept_waiting" ->
+      """WITH late AS (
+        |  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY),
+        |kept AS (
+        |  SELECT * FROM late t
+        |  WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |          WHERE l2.l_orderkey = t.l_orderkey
+        |            AND l2.l_suppkey <> t.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM late y
+        |          WHERE y.l_orderkey = t.l_orderkey
+        |            AND y.l_suppkey <> t.l_suppkey)),
+        |ag AS (SELECT l_suppkey, count(*) AS numwait FROM kept GROUP BY 1),
+        |top AS (SELECT a.numwait, s.s_name, n.n_name FROM ag a
+        |        JOIN supplier s ON s.s_suppkey = a.l_suppkey
+        |        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |        ORDER BY a.numwait DESC, s.s_name LIMIT 20)
+        |SELECT CAST(row_number() OVER (ORDER BY numwait DESC, s_name)
+        |    AS BIGINT) AS rank,
+        |  s_name, n_name, numwait
+        |FROM top""".stripMargin,
+    // the correlated scalar-min subquery stated verbatim — the
+    // engine's min-agg + equi-join-back must reproduce it, ties kept
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cp
+        |       FROM lineitem GROUP BY 1, 2)
+        |SELECT round(s.s_acctbal, 2) + 0 AS s_acctbal, s.s_name, n.n_name,
+        |  p.p_partkey, p.p_name, p.p_type, ps.cost_cp
+        |FROM part p
+        |JOIN ps ON ps.l_partkey = p.p_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_size = 15
+        |  AND ps.cost_cp = (SELECT min(ps2.cost_cp) FROM ps ps2
+        |                    WHERE ps2.l_partkey = p.p_partkey)""".stripMargin,
+    // the correlated scalar COUNT stated verbatim — the engine's
+    // aggregate-before-join + coalesce(0) must reproduce it,
+    // zero-order customers included
+    "q13_customer_distribution" ->
+      """WITH co AS (SELECT c.c_custkey,
+        |         (SELECT count(*) FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderpriority <> '1-URGENT') AS c_count
+        |       FROM customer c)
+        |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
     // one price census, two cumulative-weight rank picks
     "weighted_median" ->
       """WITH cen AS (SELECT l_returnflag AS flag,
@@ -6910,6 +7024,29 @@ object SparkEntry {
         |    AS BIGINT) AS "offset",
         |  sz AS size, (sample_idx % 3 = 1) AS keyframe
         |FROM z""".stripMargin,
+    // the decoded keyframe pixels replayed from the pure pixelOf
+    // formula: kid = media_id*7919 + si, pixel(x,y) =
+    // ((kid%97 + 3)*(7x + 13y + 5)) % 256 (the perturb branch needs
+    // kid div 97 = 1, unreachable at kid >= 7919) — no decoder, no
+    // byte parsing, yet it must match ImageIO's output bit-for-bit
+    "video_keyframes" ->
+      """WITH v AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 2 = 1),
+        |p AS (SELECT media_id, CAST((media_id % 7) + 4 AS BIGINT) AS n,
+        |        CAST(100 + (media_id % 5) * 20 AS BIGINT) AS delta
+        |      FROM v),
+        |s AS (SELECT media_id, delta, CAST(u.si AS BIGINT) AS sample_idx
+        |      FROM p, unnest(range(1, n + 1)) u(si)
+        |      WHERE u.si % 3 = 1),
+        |k AS (SELECT *, media_id * 7919 + sample_idx AS kid FROM s),
+        |px AS (SELECT k.media_id, k.sample_idx, k.delta,
+        |         ((kid % 97 + 3) * (x.x * 7 + y.y * 13 + 5)) % 256 AS pv
+        |       FROM k, unnest(range(0, 8)) x(x), unnest(range(0, 6)) y(y))
+        |SELECT media_id, sample_idx,
+        |  (sample_idx - 1) * delta AS pts_ticks,
+        |  CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(sum(pv) AS BIGINT) AS px_sum
+        |FROM px
+        |GROUP BY media_id, sample_idx, delta""".stripMargin,
     "markov_accuracy" ->
       """WITH pr AS (SELECT event_type AS from_type,
         |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)

@@ -2581,6 +2581,12 @@ object RelationalOps {
     * fixed-point trig tables (micro products floor-scaled to millis,
     * squared in decimal(38,0) so no bound on the daily means can
     * overflow), dominant bin per type with the lowest-k tie-break.
+    * The decimal energy stays INTERNAL (it orders the dominant pick
+    * at full precision); the declared output floor-divides it to
+    * `energy_milli2` — a BIGINT whose values fit 2^53 — per the
+    * SURVEY §5 rule that declared outputs carry only driver-hashable
+    * types (the r11 lesson: a DECIMAL(38,0) column with ~6.2e21
+    * values hashed unequal across engines despite identical values).
     *
     * Scale shape: one (type, day) agg collapses the stream; the trig
     * join and DFT folds run over ≤ 28·5 rows per type — calendar-
@@ -2626,7 +2632,45 @@ object RelationalOps {
       .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
         .orderBy(col("energy").desc, col("k"))))
       .select(col("event_type"), col("k"), expr("28L div k").as("period_days"),
-        col("energy"), (col("rn") === 1).as("dominant"))
+        expr("energy div 1000000L").as("energy_milli2"),
+        (col("rn") === 1).as("dominant"))
+  }
+
+  /** Rank-profile of the per-type daily series — the last unexercised
+    * window builtins in one query: `percent_rank` and `cume_dist`
+    * place each day's mean within its type's distribution, and
+    * `first_value` / `nth_value` over the full frame carry the
+    * distribution's two smallest values alongside every row (the
+    * "how far above the floor is today" lens). All four share ONE
+    * window spec — partition by event_type, order by (mm, day) —
+    * so the plan pays a single exchange and a single sort.
+    *
+    * Determinism: the (mm, day) ordering is unique per partition, so
+    * the rank fractions are exact rationals both engines compute
+    * identically; rounded to the 6dp grid anyway per convention.
+    *
+    * Scale shape: one (type, day) agg collapses the stream; the
+    * window runs over the calendar-bounded daily table, partitioned
+    * on the uniform type key. */
+  def eventsRankProfile(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("mm"), col("day"))
+    val full = byVal.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    daily
+      .withColumn("pr", roundn(percent_rank().over(byVal), 6))
+      .withColumn("cd", roundn(cume_dist().over(byVal), 6))
+      .withColumn("first_mm", first(col("mm")).over(full))
+      .withColumn("second_mm", nth_value(col("mm"), 2).over(full))
+      .select(col("event_type"), col("day"), col("mm"), col("pr"),
+        col("cd"), col("first_mm"), col("second_mm"))
   }
 
   /** Population Stability Index — the industry-standard drift score
@@ -2908,6 +2952,170 @@ object RelationalOps {
       .select(col("rank"), col("c_custkey"), col("c_name"), col("n_name"),
         roundn(col("c_acctbal"), 2).as("c_acctbal"),
         col("revenue_cp"), col("n_returned"))
+  }
+
+  /** TPC-H Q4 (order-priority checking) — the first member of the
+    * CORRELATED-SUBQUERY class (EXISTS over the fact keyed by the
+    * outer row): count one quarter's orders per priority where at
+    * least one lineitem shipped late (here: > 60 days after the order
+    * date — the synthetic schema has no commit/receipt dates, so
+    * lateness correlates on the OUTER's o_orderdate, which keeps the
+    * subquery genuinely correlated rather than a plain filter). The
+    * oracle states the EXISTS form verbatim; the engine decorrelates
+    * it into ONE left-semi join whose condition mixes the orderkey
+    * equality with the non-equi lateness predicate — no
+    * re-scan-per-outer-row anywhere.
+    *
+    * Scale shape: the quarter filter pushes to the orders scan; the
+    * semi join shuffles both sides once on orderkey (equi-keyed — the
+    * lateness residual rides the join, it doesn't degrade it to a
+    * nested loop); the final agg is |priorities|-bounded. */
+  def q4OrderPriority(orders: DataFrame, lineitem: DataFrame,
+                      quarterStart: String = "1996-01-01",
+                      lateDays: Int = 60): DataFrame = {
+    val start = to_timestamp(lit(quarterStart))
+    val o = orders
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 3))
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val l = lineitem.select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l, col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q21 (suppliers who kept orders waiting) — the classic hard
+    * correlated query: EXISTS and NOT EXISTS over the SAME fact table,
+    * keyed by the outer lineitem's order. A supplier is charged with a
+    * wait when, on a finished ('F') order, it shipped late (> 60 days
+    * after the order date — the [[q4OrderPriority]] lateness
+    * convention) while some OTHER supplier participated in the order
+    * (EXISTS) and no other supplier was also late (NOT EXISTS).
+    * Waits are counted per DISTINCT (order, supplier) incident. The
+    * oracle states both correlated subqueries verbatim; the engine
+    * decorrelates them into one left-semi and one left-anti join on
+    * the shared late-incident table.
+    *
+    * Scale shape: lateness needs o_orderdate, so late incidents are
+    * computed ONCE ([[org.apache.spark.sql.Dataset!.localCheckpoint(eager:Boolean):org.apache.spark.sql.Dataset[T]* localCheckpoint]]ed — they feed the probe side AND the
+    * anti side) as an orderkey-keyed equi-join; the semi probes the
+    * raw fact on orderkey with the supplier inequality as residual;
+    * the anti probes the bounded incident table. Supplier/nation
+    * broadcast at the end; the agg key (suppkey) is uniform. */
+  def q21SuppliersKeptWaiting(supplier: DataFrame, orders: DataFrame,
+                              lineitem: DataFrame, nation: DataFrame,
+                              lateDays: Int = 60, k: Int = 20): DataFrame = {
+    val o = orders.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // distinct late (order, supplier) incidents on finished orders —
+    // bounded by the fact, reused by the base, EXISTS and NOT EXISTS
+    // legs, so evaluate once
+    val late = lineitem.select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .distinct()
+      .localCheckpoint(true)
+    val others = lineitem.select(col("l_orderkey").as("x_orderkey"),
+      col("l_suppkey").as("x_suppkey"))
+    val kept = late
+      // EXISTS: some other supplier participated in the order
+      .join(others, col("l_orderkey") === col("x_orderkey") &&
+        col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+      // NOT EXISTS: no other supplier was ALSO late on it
+      .join(late.select(col("l_orderkey").as("y_orderkey"),
+          col("l_suppkey").as("y_suppkey")),
+        col("l_orderkey") === col("y_orderkey") &&
+          col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+    kept.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_nationkey"))), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("numwait").desc, col("s_name"))).cast("long"))
+      .select(col("rank"), col("s_name"), col("n_name"), col("numwait"))
+  }
+
+  /** TPC-H Q2 (minimum-cost supplier) — the correlated SCALAR-min
+    * subquery: for every part of a given size, keep exactly the
+    * supplier(s) whose offer equals that part's minimum cost, where
+    * the minimum is itself a subquery correlated on the outer's
+    * partkey. The synthetic schema has no partsupp table, so the
+    * offer book derives from the fact: a supplier's offer for a part
+    * is its cheapest observed sale in exact cents (min over lineitem
+    * of round(extendedprice·100)). The oracle states the correlated
+    * scalar subquery verbatim; the engine decorrelates it into ONE
+    * per-part min aggregate equi-joined back onto the offers — the
+    * textbook magic-set rewrite, no per-part re-scan. Ties (two
+    * suppliers at the same minimum) keep both rows, exactly the
+    * subquery semantics.
+    *
+    * Scale shape: the size filter pushes to the part scan and prunes
+    * offers via the part join BEFORE the min/agg pair; offers and
+    * mins join on the uniform (partkey, cost) key; supplier/nation
+    * broadcast for the detail columns. */
+  def q2MinCostSupplier(part: DataFrame, supplier: DataFrame,
+                        lineitem: DataFrame, nation: DataFrame,
+                        size: Int = 15): DataFrame = {
+    val p = part.filter(col("p_size") === size)
+      .select(col("p_partkey"), col("p_name"), col("p_type"))
+    val offers = lineitem
+      .join(broadcast(p.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cp"))
+      // offers feed the per-part min AND the join-back — pin the
+      // bounded (part, supplier) table so the fact scans once
+      .localCheckpoint(true)
+    val mins = offers.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("cost_cp")).as("min_cp"))
+    offers
+      .join(mins, col("l_partkey") === col("m_partkey") &&
+        col("cost_cp") === col("min_cp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"),
+        col("s_acctbal"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(roundn(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_name"), col("p_type"),
+        col("cost_cp"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+  }
+
+  /** TPC-H Q13 (customer distribution) — the correlated COUNT
+    * subquery as a histogram: how many customers placed exactly N
+    * qualifying orders (priority filter standing in for the comment
+    * LIKE — the synthetic orders carry no comment), INCLUDING the
+    * zero-order customers the inner join would drop. The oracle
+    * states the correlated scalar count; the engine decorrelates it
+    * into aggregate-before-join — orders collapse to per-customer
+    * counts FIRST, then a left join + coalesce(0) recovers the
+    * zero-count customers, then the second agg folds counts into the
+    * histogram.
+    *
+    * Scale shape: the priority filter pushes to the orders scan; the
+    * first agg shrinks orders to ≤|customers| rows BEFORE the join
+    * (the eager-agg receipt's shape), so the left join moves counts,
+    * not order rows; the histogram agg is tiny. */
+  def q13CustomerDistribution(customer: DataFrame, orders: DataFrame,
+                              excludePriority: String = "1-URGENT"): DataFrame = {
+    val counts = orders.filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    customer.select(col("c_custkey"))
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
   }
 
   /** STL-lite seasonal decomposition — the three-way split the

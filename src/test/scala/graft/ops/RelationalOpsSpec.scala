@@ -1198,6 +1198,85 @@ class RelationalOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("total_cents") === 123456L)
     assert(g.getAs[Long]("sum_qty") === 301L)
   }
+
+  test("q4OrderPriority: EXISTS semantics — one count per order, strict lateness, window cut") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val orders = Seq(
+      (1L, ts("1996-02-01"), "1-URGENT"), // two late lines -> counted ONCE
+      (2L, ts("1996-02-01"), "2-HIGH"),   // on-time + exactly-60-days -> excluded
+      (3L, ts("1995-12-01"), "1-URGENT")) // late line but out of quarter
+      .toDF("o_orderkey", "o_orderdate", "o_orderpriority")
+    val lineitem = Seq(
+      (1L, ts("1996-05-01")), (1L, ts("1996-06-01")),
+      (2L, ts("1996-02-10")), (2L, ts("1996-04-01")), // +60 days exactly: NOT late
+      (3L, ts("1996-06-01")))
+      .toDF("l_orderkey", "l_shipdate")
+    val r = RelationalOps.q4OrderPriority(orders, lineitem).collect()
+      .map(x => x.getAs[String]("o_orderpriority") -> x.getAs[Long]("order_count"))
+    assert(r.toSeq === Seq("1-URGENT" -> 1L))
+  }
+
+  test("q21SuppliersKeptWaiting: sole-late charged; co-late, solo-supplier and open orders not") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val supplier = Seq((10L, "S10", 1L), (20L, "S20", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val orders = Seq(
+      (1L, "F", ts("1996-01-01")), // s10 late, s20 on time -> s10 charged
+      (2L, "F", ts("1996-01-01")), // both late -> NOT EXISTS kills both
+      (3L, "F", ts("1996-01-01")), // s10 late but SOLE supplier -> EXISTS kills
+      (4L, "O", ts("1996-01-01"))) // open order -> status filter kills
+      .toDF("o_orderkey", "o_orderstatus", "o_orderdate")
+    val late = ts("1996-06-01"); val ok = ts("1996-01-15")
+    val lineitem = Seq(
+      (1L, 10L, late), (1L, 10L, late), (1L, 20L, ok), // dup late lines: ONE incident
+      (2L, 10L, late), (2L, 20L, late),
+      (3L, 10L, late),
+      (4L, 10L, late), (4L, 20L, ok))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+    val r = RelationalOps.q21SuppliersKeptWaiting(supplier, orders, lineitem, nation)
+      .collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("s_name") === "S10")
+    assert(r.head.getAs[String]("n_name") === "N1")
+    assert(r.head.getAs[Long]("numwait") === 1L, "distinct incidents, not line rows")
+    assert(r.head.getAs[Long]("rank") === 1L)
+  }
+
+  test("q2MinCostSupplier: correlated-min ties keep both suppliers; size filter prunes") {
+    val part = Seq(
+      (1L, "P1", "STANDARD", 15), (2L, "P2", "PROMO", 15), (3L, "P3", "SMALL", 9))
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+    val supplier = Seq(
+      (1L, "S1", 100.0, 1L), (2L, "S2", 50.0, 1L), (3L, "S3", 10.0, 1L))
+      .toDF("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val lineitem = Seq(
+      (1L, 1L, 10.0), (1L, 1L, 11.0), // s1 offer for p1: min 1000 cents
+      (1L, 2L, 10.0),                 // s2 ties at 1000 -> BOTH kept
+      (1L, 3L, 12.0),                 // s3 above the min -> dropped
+      (2L, 1L, 5.0),                  // p2: s1 alone
+      (3L, 1L, 1.0))                  // p3 excluded by size
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice")
+    val r = RelationalOps.q2MinCostSupplier(part, supplier, lineitem, nation)
+      .collect()
+      .map(x => (x.getAs[String]("s_name"), x.getAs[Long]("p_partkey"),
+        x.getAs[Long]("cost_cp"), x.getAs[Double]("s_acctbal")))
+    // ordered by s_acctbal desc then part
+    assert(r.toSeq === Seq(
+      ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
+  }
+
+  test("q13CustomerDistribution: zero-order customers land in the 0 bucket; priority excluded") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (1L, 1L, "2-HIGH"), (2L, 1L, "5-LOW"), (3L, 1L, "1-URGENT"), // urgent excluded
+      (4L, 2L, "1-URGENT")) // customer 2's only order excluded -> 0 bucket
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+    val r = RelationalOps.q13CustomerDistribution(customer, orders).collect()
+      .map(x => (x.getAs[Long]("c_count"), x.getAs[Long]("custdist")))
+    assert(r.toSeq === Seq((0L, 2L), (2L, 1L)), "custdist desc, c_count desc")
+  }
   test("eventsEwma: textbook recurrence, trailing-window cut, floored negatives") {
     val day = 86400L * 1000 * 1000 * 1000
     // 'abc': days 0..2 values 4,2,8 → S = ((4)+2)/2 = 3, (3+8)/2 = 5.5
@@ -1237,10 +1316,33 @@ class RelationalOpsSpec extends SparkSpec {
     assert(weeklyDom.head.getAs[Long]("k") === 4L, "k=4 IS the 7-day cycle")
     assert(weeklyDom.head.getAs[Long]("period_days") === 7L)
     val flat = r.filter(_.getAs[String]("event_type") == "flat")
-    assert(flat.forall(x => x.getAs[java.math.BigDecimal]("energy")
-      .compareTo(java.math.BigDecimal.ZERO) == 0))
+    assert(flat.forall(_.getAs[Long]("energy_milli2") === 0L))
+    // declared output is BIGINT, not DECIMAL — the driver-hashable
+    // envelope rule (SURVEY §5)
+    assert(r.head.schema("energy_milli2").dataType ===
+      org.apache.spark.sql.types.LongType)
     assert(flat.filter(_.getAs[Boolean]("dominant")).head.getAs[Long]("k") === 1L)
     assert(r.count(_.getAs[Boolean]("dominant")) === 2, "one dominant per type")
+  }
+
+  test("eventsRankProfile: the four rank builtins agree over one shared window") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows = Seq(
+      (0L * day, "a", 3.0), (1L * day, "a", 1.0), (2L * day, "a", 2.0),
+      (0L * day, "b", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsRankProfile(events).collect()
+      .map(x => (x.getAs[String]("event_type"), x.getAs[Long]("day")) ->
+        ((x.getAs[Double]("pr"), x.getAs[Double]("cd"),
+          x.getAs[Long]("first_mm"), x.getAs[Any]("second_mm"))))
+      .toMap
+    assert(r(("a", 1L)) === ((0.0, 0.333333, 1000000L, 2000000L)))
+    assert(r(("a", 2L)) === ((0.5, 0.666667, 1000000L, 2000000L)))
+    assert(r(("a", 0L)) === ((1.0, 1.0, 1000000L, 2000000L)))
+    // a single-day type: percent_rank 0, cume_dist 1, no second value
+    assert(r(("b", 0L)) === ((0.0, 1.0, 5000000L, null)))
   }
 
   test("psiDrift: a total shift is major, an identical mix is stable, a one-half type is flagged") {
