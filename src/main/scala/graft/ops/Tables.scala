@@ -9,6 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scale the same loaders work unchanged — parquet scans are
   * partition-pruned and column-pruned by Catalyst, so ops should
   * `select` early and let pushdown reach the scan.
+  *
+  * INVARIANT (Bench depends on it): no DataFrame — in particular no
+  * cached or localCheckpoint'd one — is ever shared ACROSS declared
+  * queries; each `SparkEntry.queries` entry builds its full lineage
+  * from these loaders. `graft.Bench` unpersists every persistent RDD
+  * between queries (checkpoint blocks have truncated lineage and are
+  * unrecoverable once dropped), which is safe exactly as long as this
+  * holds. If a cross-query shared table is ever introduced, Bench's
+  * between-query cleanup must learn to track per-query RDD ids first.
   */
 object Tables {
   private def load(spark: SparkSession, dir: String, name: String): DataFrame =
