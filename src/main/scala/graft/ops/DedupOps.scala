@@ -1323,7 +1323,15 @@ object DedupOps {
     * self-join is the same √-bounded wedge enumeration
     * [[triangleStats]] does. */
   def adamicAdar(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // canonicalize INSIDE the kernel: a caller passing reversed or
+    // duplicated undirected edges would otherwise inflate degrees and
+    // slip known edges past the anti-join (the current callers happen
+    // to pass canonical lists — don't rely on it)
+    val edges = pairs
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+      .localCheckpoint(true)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))

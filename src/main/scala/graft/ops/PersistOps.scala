@@ -178,8 +178,15 @@ object PersistOps {
     val nPart = events.select(col("event_type")).distinct().count()
     // threshold = frac of the global max — ONE localized scalar (the
     // bounded-localize convention), so the dim filter is a plain
-    // literal comparison (DPP-eligible) yet adapts to the corpus
-    val vmax = events.agg(max(col("value"))).head().getDouble(0)
+    // literal comparison (DPP-eligible) yet adapts to the corpus.
+    // An empty or all-null-value table has no max: emit the empty
+    // receipt instead of an NPE on the driver
+    val vmaxRow = events.agg(max(col("value"))).head()
+    if (vmaxRow.isNullAt(0))
+      return fact.limit(0)
+        .select(col("event_type"), lit(0L).as("n_rows"),
+          lit(0L).as("sum_micro"), lit(nPart).as("n_partitions_on_disk"))
+    val vmax = vmaxRow.getDouble(0)
     val dim = events.filter(col("value") >= frac * vmax)
       .select(col("event_type")).distinct()
     fact.join(dim, "event_type")

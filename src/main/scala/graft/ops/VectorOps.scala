@@ -972,6 +972,10 @@ object VectorOps {
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
         .as("band_sig"))
+      // sig feeds BOTH the query side and the corpus side of the
+      // candidate join — without this the 32-fold literal-matrix
+      // projection re-evaluates over the full corpus per use
+      .localCheckpoint(true)
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
     val cand = q.join(sig, Seq("band", "band_sig"))
@@ -1007,13 +1011,18 @@ object VectorOps {
     * the candidate equi-join, never the corpus signatures. */
   def srpMultiProbeTopK(embeddings: DataFrame, k: Int = 3, nQueries: Int = 10,
                         outDim: Int = 32, bandBits: Int = 4): DataFrame = {
+    // proj feeds sig AND the flip table; sig feeds the home probes
+    // AND the corpus side of the candidate join — checkpoint both so
+    // the corpus-wide projection evaluates exactly once
     val proj = randomProject(embeddings, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
       .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+      .localCheckpoint(true)
     val sig = proj
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
         .as("band_sig"))
+      .localCheckpoint(true)
     val flip = proj.filter(col("vec_id") < nQueries)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("band"))
@@ -1050,13 +1059,17 @@ object VectorOps {
   private[graft] def srpCandidates(embeddings: DataFrame, multiProbe: Boolean,
                                    nQueries: Int = 10, outDim: Int = 32,
                                    bandBits: Int = 4): DataFrame = {
+    // same lineage hygiene as the declared tiers: the projection is
+    // corpus-wide, so pin it (and sig) before the multi-use fan-out
     val proj = randomProject(embeddings, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
       .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
+      .localCheckpoint(true)
     val sig = proj
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
         .as("band_sig"))
+      .localCheckpoint(true)
     val home = sig.filter(col("vec_id") < nQueries)
     val base = home.select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
     val probes = if (!multiProbe) base else {
@@ -1240,24 +1253,35 @@ object VectorOps {
     val e0 = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     def distTo(se: Column): Column =
       roundn(sqrt(roundn(fastL2Sq(col("e"), se), 6)), 6)
-    val seedId = e0.agg(min(col("vec_id"))).head().getLong(0)
+    // an empty corpus (or one with < k points) returns the selections
+    // made so far instead of throwing on an empty argmax
+    val seed = e0.agg(min(col("vec_id"))).head()
+    if (seed.isNullAt(0))
+      return Seq.empty[(Long, Long, Option[Double])]
+        .toDF("sel_rank", "vec_id", "far_dist")
+    val seedId = seed.getLong(0)
     var sel = Vector[(Long, Option[Double])]((seedId, None))
     var acc = e0
       .crossJoin(broadcast(e0.filter(col("vec_id") === seedId)
         .select(col("e").as("se"))))
       .select(col("vec_id"), col("e"), distTo(col("se")).as("mind"))
       .localCheckpoint(true)
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val top = acc.filter(!col("vec_id").isInCollection(sel.map(_._1)))
         .orderBy(col("mind").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), col("mind")).head()
-      sel :+= ((top.getLong(0), Some(top.getDouble(1))))
-      acc = acc
-        .crossJoin(broadcast(e0.filter(col("vec_id") === top.getLong(0))
-          .select(col("e").as("se"))))
-        .select(col("vec_id"), col("e"),
-          least(col("mind"), distTo(col("se"))).as("mind"))
-        .localCheckpoint(true)
+        .select(col("vec_id"), col("mind")).collect().headOption
+      top match {
+        case None => exhausted = true // fewer points than k: stop early
+        case Some(t) =>
+          sel :+= ((t.getLong(0), Some(t.getDouble(1))))
+          acc = acc
+            .crossJoin(broadcast(e0.filter(col("vec_id") === t.getLong(0))
+              .select(col("e").as("se"))))
+            .select(col("vec_id"), col("e"),
+              least(col("mind"), distTo(col("se"))).as("mind"))
+            .localCheckpoint(true)
+      }
     }
     sel.zipWithIndex
       .map { case ((id, d), i) => (i + 1L, id, d) }
