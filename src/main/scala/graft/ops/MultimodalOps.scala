@@ -649,74 +649,241 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.flatMap { row =>
-        val bad = Seq(VideoFrame(row.media_id, -1, -1L, -1L, -1L,
-          keyframe = false, ok = false))
-        try {
-          val b = row.content
-          if (b.length < 8 || fourCC(b, 4) != "ftyp") bad
-          else {
-            var sttsE: Array[(Long, Long)] = null
-            var sizesE: Array[Long] = null
-            var chunksE: Array[Long] = null
-            var syncE: Array[Long] = null
-            def walk(from: Int, to: Int, depth: Int): Unit = {
-              var off = from
-              while (off + 8 <= to) {
-                val sz = beU32(b, off); val typ = fourCC(b, off + 4)
-                if (sz < 8 || off + sz > to) return
-                val p = off + 8
-                typ match {
-                  case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
-                    walk(p, off + sz.toInt, depth + 1)
-                  case "stts" if p + 8 <= to =>
-                    val cnt = beU32(b, p + 4).toInt
-                    if (p + 8 + 8L * cnt <= to)
-                      sttsE = Array.tabulate(cnt)(e =>
-                        (beU32(b, p + 8 + 8 * e), beU32(b, p + 12 + 8 * e)))
-                  case "stsz" if p + 12 <= to =>
-                    val fixed = beU32(b, p + 4); val cnt = beU32(b, p + 8).toInt
-                    // fixed-size branch has no table to bound-check the
-                    // count against — cap it so a corrupt header can't
-                    // allocate unbounded (2^22 samples ≫ any real track
-                    // this demuxer will meet; larger counts are junk)
-                    if (fixed != 0 && cnt >= 0 && cnt <= (1 << 22))
-                      sizesE = Array.fill(cnt)(fixed)
-                    else if (p + 12 + 4L * cnt <= to)
-                      sizesE = Array.tabulate(cnt)(e => beU32(b, p + 12 + 4 * e))
-                  case "stco" if p + 8 <= to =>
-                    val cnt = beU32(b, p + 4).toInt
-                    if (p + 8 + 4L * cnt <= to)
-                      chunksE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
-                  case "stss" if p + 8 <= to =>
-                    val cnt = beU32(b, p + 4).toInt
-                    if (p + 8 + 4L * cnt <= to)
-                      syncE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
-                  case _ => ()
-                }
-                off += sz.toInt
-              }
-            }
-            walk(0, b.length, 0)
-            if (sttsE == null || sizesE == null || chunksE == null ||
-                chunksE.isEmpty) bad
-            else {
-              val deltas = sttsE.flatMap { case (c, d) =>
-                Iterator.fill(math.min(c, sizesE.length.toLong).toInt)(d) }
-              val n = sizesE.length
-              if (deltas.length != n) bad
-              else {
-                val sync: Set[Long] =
-                  if (syncE == null) (1 to n).map(_.toLong).toSet else syncE.toSet
-                var pts = 0L; var off = chunksE(0)
-                (1 to n).map { si =>
-                  val f = VideoFrame(row.media_id, si, pts, off, sizesE(si - 1),
-                    sync.contains(si.toLong), ok = off + sizesE(si - 1) <= b.length)
-                  pts += deltas(si - 1); off += sizesE(si - 1); f
-                }
-              }
-            }
+        demuxSamples(row.content) match {
+          case None => Seq(VideoFrame(row.media_id, -1, -1L, -1L, -1L,
+            keyframe = false, ok = false))
+          case Some(samples) => samples.map { s =>
+            VideoFrame(row.media_id, s.idx, s.pts, s.off, s.size, s.sync,
+              ok = s.off + s.size <= row.content.length)
           }
-        } catch { case _: Exception => bad }
+        }
+      }
+    }
+  }
+
+  /** One demuxed sample extent (shared by [[videoFrames]] and
+    * [[videoKeyframes]]): 1-based index, presentation ticks, absolute
+    * byte offset/size in the container, sync flag. */
+  private[graft] case class SampleExtent(idx: Int, pts: Long, off: Long,
+                                         size: Long, sync: Boolean)
+
+  /** The stts/stsz/stco/stss walk — header-only, sample DATA is never
+    * touched. Returns None for junk/truncated/table-less payloads (the
+    * caller contains that as its ok=false row). Single-chunk
+    * contiguous layout (no stsc ⇒ chunk 0 holds all samples back to
+    * back) resolved to absolute offsets by a running size sum. */
+  private[graft] def demuxSamples(b: Array[Byte]): Option[Seq[SampleExtent]] =
+    try {
+      if (b.length < 8 || fourCC(b, 4) != "ftyp") None
+      else {
+        var sttsE: Array[(Long, Long)] = null
+        var sizesE: Array[Long] = null
+        var chunksE: Array[Long] = null
+        var syncE: Array[Long] = null
+        def walk(from: Int, to: Int, depth: Int): Unit = {
+          var off = from
+          while (off + 8 <= to) {
+            val sz = beU32(b, off); val typ = fourCC(b, off + 4)
+            if (sz < 8 || off + sz > to) return
+            val p = off + 8
+            typ match {
+              case "moov" | "trak" | "mdia" | "minf" | "stbl" if depth < 6 =>
+                walk(p, off + sz.toInt, depth + 1)
+              case "stts" if p + 8 <= to =>
+                val cnt = beU32(b, p + 4).toInt
+                if (p + 8 + 8L * cnt <= to)
+                  sttsE = Array.tabulate(cnt)(e =>
+                    (beU32(b, p + 8 + 8 * e), beU32(b, p + 12 + 8 * e)))
+              case "stsz" if p + 12 <= to =>
+                val fixed = beU32(b, p + 4); val cnt = beU32(b, p + 8).toInt
+                // fixed-size branch has no table to bound-check the
+                // count against — cap it so a corrupt header can't
+                // allocate unbounded (2^22 samples ≫ any real track
+                // this demuxer will meet; larger counts are junk)
+                if (fixed != 0 && cnt >= 0 && cnt <= (1 << 22))
+                  sizesE = Array.fill(cnt)(fixed)
+                else if (p + 12 + 4L * cnt <= to)
+                  sizesE = Array.tabulate(cnt)(e => beU32(b, p + 12 + 4 * e))
+              case "stco" if p + 8 <= to =>
+                val cnt = beU32(b, p + 4).toInt
+                if (p + 8 + 4L * cnt <= to)
+                  chunksE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
+              case "stss" if p + 8 <= to =>
+                val cnt = beU32(b, p + 4).toInt
+                if (p + 8 + 4L * cnt <= to)
+                  syncE = Array.tabulate(cnt)(e => beU32(b, p + 8 + 4 * e))
+              case _ => ()
+            }
+            off += sz.toInt
+          }
+        }
+        walk(0, b.length, 0)
+        if (sttsE == null || sizesE == null || chunksE == null ||
+            chunksE.isEmpty) None
+        else {
+          val deltas = sttsE.flatMap { case (c, d) =>
+            Iterator.fill(math.min(c, sizesE.length.toLong).toInt)(d) }
+          val n = sizesE.length
+          if (deltas.length != n) None
+          else {
+            val sync: Set[Long] =
+              if (syncE == null) (1 to n).map(_.toLong).toSet else syncE.toSet
+            var pts = 0L; var off = chunksE(0)
+            Some((1 to n).map { si =>
+              val s = SampleExtent(si, pts, off, sizesE(si - 1),
+                sync.contains(si.toLong))
+              pts += deltas(si - 1); off += sizesE(si - 1); s
+            })
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The per-keyframe PNG id — a pure spread of (media_id, sample
+    * index) so each keyframe's pixels are their own [[pixelOf]]
+    * pattern and the oracle recomputes them per (media, sample). */
+  def keyframeImageId(mediaId: Long, sampleIdx: Int): Long =
+    mediaId * 7919L + sampleIdx
+
+  /** [[mp4SampleTableBytes]] with DECODABLE keyframes: the same ftyp/
+    * moov skeleton and arithmetic sample count/timing, but every sync
+    * sample's byte extent holds a REAL PNG ([[pngBytes]] of
+    * [[keyframeImageId]]) and its stsz entry is that PNG's true byte
+    * length; non-sync extents keep the ramp filler. The sample-table
+    * layout (chunk offset 376+4n+4nk) is size-independent, so the
+    * demuxed extents land exactly on the PNGs — the substrate for
+    * [[videoKeyframes]]' range-read + decode. */
+  def mp4KeyframeVideoBytes(mediaId: Long): Array[Byte] = {
+    def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    val n = (mediaId % 7).toInt + 4
+    val delta = 100 + (mediaId % 5).toInt * 20
+    val nk = (n + 2) / 3
+    val payloads: IndexedSeq[Array[Byte]] = (1 to n).map { si =>
+      if (si % 3 == 1) pngBytes(keyframeImageId(mediaId, si))
+      else {
+        val len = 50 + ((mediaId * 31 + (si - 1) * 17) % 100).toInt
+        Array.tabulate[Byte](len)(j => ((si * 131 + j) % 251).toByte)
+      }
+    }
+    val sizes = payloads.map(_.length)
+    val stblSz = 88 + 4 * n + 4 * nk
+    val minfSz = 8 + stblSz
+    val mdiaSz = 8 + 32 + minfSz
+    val trakSz = 8 + 92 + mdiaSz
+    val moovSz = 8 + 108 + trakSz
+    val mdatPayload = sizes.sum
+    val chunkOffset = 16 + moovSz + 8
+    val bb = java.nio.ByteBuffer.allocate(16 + moovSz + 8 + mdatPayload)
+    bb.putInt(16).put(ascii("ftyp")).put(ascii("isom")).putInt(0x200)
+    bb.putInt(moovSz).put(ascii("moov"))
+    bb.putInt(108).put(ascii("mvhd"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt(n * delta)
+      .putInt(0x00010000).putShort(0x0100.toShort)
+      .put(new Array[Byte](10)).put(new Array[Byte](36)).put(new Array[Byte](24))
+      .putInt(2)
+    bb.putInt(trakSz).put(ascii("trak"))
+    bb.putInt(92).put(ascii("tkhd"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(1).putInt(0).putInt(n * delta)
+      .put(new Array[Byte](8))
+      .putShort(0).putShort(0).putShort(0).putShort(0)
+      .put(new Array[Byte](36))
+      .putInt(8 << 16).putInt(6 << 16)
+    bb.putInt(mdiaSz).put(ascii("mdia"))
+    bb.putInt(32).put(ascii("mdhd"))
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(n * delta)
+      .putShort(0x55c4.toShort).putShort(0)
+    bb.putInt(minfSz).put(ascii("minf"))
+    bb.putInt(stblSz).put(ascii("stbl"))
+    bb.putInt(24).put(ascii("stts")).putInt(0).putInt(1).putInt(n).putInt(delta)
+    bb.putInt(20 + 4 * n).put(ascii("stsz")).putInt(0).putInt(0).putInt(n)
+    sizes.foreach(bb.putInt)
+    bb.putInt(20).put(ascii("stco")).putInt(0).putInt(1).putInt(chunkOffset)
+    bb.putInt(16 + 4 * nk).put(ascii("stss")).putInt(0).putInt(nk)
+    (1 to n by 3).foreach(bb.putInt)
+    bb.putInt(8 + mdatPayload).put(ascii("mdat"))
+    payloads.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Keyframe-bearing synthetic video corpus: odd doc_ids, payload =
+    * [[mp4KeyframeVideoBytes]]. */
+  def syntheticKeyframeVideos(spark: SparkSession, docs: DataFrame): Dataset[MediaRow] = {
+    import spark.implicits._
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map(id => MediaRow(id, "video", mp4KeyframeVideoBytes(id), 8, 6, -1, -1))
+      }
+  }
+
+  /** One decoded keyframe: decoded dimensions and the integer pixel
+    * sum. ok=false marks either an unparseable container (sample_idx
+    * −1) or an individual keyframe extent that didn't decode. */
+  case class KeyframePixels(media_id: Long, sample_idx: Int, pts_ticks: Long,
+                            width: Int, height: Int, px_sum: Long, ok: Boolean)
+
+  /** VIDEO KEYFRAME DECODE — the stage [[videoFrames]]' scaladoc
+    * promises: walk the sample table, slice ONLY the sync samples'
+    * byte ranges out of the container (non-key extents are never
+    * read — at 100 TB that is the difference between reading ~1/3 of
+    * the mdat and all of it; with a ranged object-store GET, between
+    * reading keyframe bytes and the whole file), and REALLY decode
+    * each range with ImageIO, emitting the decoded dimensions and
+    * pixel sum. Because the fixture's keyframe pixels are
+    * [[pixelOf]]-pure in [[keyframeImageId]], the DuckDB oracle
+    * recomputes every decoded value without a decoder — the
+    * image_phash differential proof applied to demux+range-read+
+    * decode end to end.
+    *
+    * Map-only mapPartitions like [[imageAHash]]; junk/truncated
+    * containers contain to one ok=false row, an individually
+    * undecodable keyframe extent to its own ok=false row. */
+  def videoKeyframes(media: Dataset[MediaRow]): Dataset[KeyframePixels] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { row =>
+        val bad = Seq(KeyframePixels(row.media_id, -1, -1L, -1, -1, -1L,
+          ok = false))
+        demuxSamples(row.content) match {
+          case None => bad
+          case Some(samples) =>
+            samples.filter(_.sync).map { s =>
+              try {
+                if (s.off < 0 || s.size <= 0 ||
+                    s.off + s.size > row.content.length)
+                  KeyframePixels(row.media_id, s.idx, s.pts, -1, -1, -1L,
+                    ok = false)
+                else {
+                  val slice = java.util.Arrays.copyOfRange(
+                    row.content, s.off.toInt, (s.off + s.size).toInt)
+                  val img = javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(slice))
+                  if (img == null)
+                    KeyframePixels(row.media_id, s.idx, s.pts, -1, -1, -1L,
+                      ok = false)
+                  else {
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    val r = img.getRaster
+                    var sum = 0L; var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) { sum += r.getSample(x, y, 0); x += 1 }
+                      y += 1
+                    }
+                    KeyframePixels(row.media_id, s.idx, s.pts, w, h, sum,
+                      ok = true)
+                  }
+                }
+              } catch {
+                case _: Exception =>
+                  KeyframePixels(row.media_id, s.idx, s.pts, -1, -1, -1L,
+                    ok = false)
+              }
+            }
+        }
       }
     }
   }
