@@ -1166,6 +1166,28 @@ object SparkEntry {
     "q13_customer_distribution" -> ((s, dir) =>
       RelationalOps.q13CustomerDistribution(Tables.customer(s, dir),
         Tables.orders(s, dir))),
+    // Q6: the pure scan-agg classic — pushdown + map-side partials
+    "q6_forecast_revenue" -> ((s, dir) =>
+      RelationalOps.q6ForecastRevenue(Tables.lineitem(s, dir))),
+    // Q14: conditional agg over the broadcast part join; exact micro
+    // share through an internal decimal
+    "q14_promo_revenue" -> ((s, dir) =>
+      RelationalOps.q14PromoRevenue(Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // Q17 correlated AVG -> per-part agg joined back, integer-exact
+    // threshold (5*qty*cnt < qsum)
+    "q17_small_quantity" -> ((s, dir) =>
+      RelationalOps.q17SmallQuantityRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    // Q19: OR-of-ANDs with the implied single-table bounds pushed
+    // manually to both scans
+    "q19_disjunctive_revenue" -> ((s, dir) =>
+      RelationalOps.q19DisjunctiveRevenue(Tables.lineitem(s, dir),
+        Tables.part(s, dir))),
+    // Q22: uncorrelated scalar subquery (broadcast 1-row agg) +
+    // NOT EXISTS (left-anti on the date-pruned orders)
+    "q22_global_balance" -> ((s, dir) =>
+      RelationalOps.q22GlobalBalance(Tables.customer(s, dir),
+        Tables.orders(s, dir), Tables.nation(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -5411,6 +5433,71 @@ object SparkEntry {
         |WHERE p.p_size = 15
         |  AND ps.cost_cp = (SELECT min(ps2.cost_cp) FROM ps ps2
         |                    WHERE ps2.l_partkey = p.p_partkey)""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |           CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cp_pct
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin,
+    "q14_promo_revenue" ->
+      """WITH j AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |         (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_cp,
+        |         p.p_type
+        |       FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |       WHERE l.l_shipdate >= DATE '1996-09-01'
+        |         AND l.l_shipdate < DATE '1996-10-01'),
+        |ag AS (SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_cp ELSE 0 END)
+        |    AS BIGINT) AS promo_cp_pct,
+        |  CAST(sum(rev_cp) AS BIGINT) AS total_cp_pct FROM j)
+        |SELECT promo_cp_pct, total_cp_pct,
+        |  CAST((CAST(promo_cp_pct AS HUGEINT) * 1000000) // total_cp_pct
+        |    AS BIGINT) AS promo_share_micro
+        |FROM ag""".stripMargin,
+    // the correlated AVG subquery stated verbatim (safe here: integral
+    // quantities + bounded per-part counts keep 0.2*avg at least
+    // 1/(5*cnt) away from any quantity unless exactly ON it, where
+    // both engines' doubles land exactly — see q17 scaladoc)
+    "q17_small_quantity" ->
+      """SELECT p.p_brand, count(*) AS n_small,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand IN ('Brand#1', 'Brand#2')
+        |  AND l.l_quantity < 0.2 * (SELECT avg(l2.l_quantity)
+        |                            FROM lineitem l2
+        |                            WHERE l2.l_partkey = l.l_partkey)
+        |GROUP BY 1""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue_cp_pct
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    // the scalar subquery + correlated NOT EXISTS stated verbatim
+    "q22_global_balance" ->
+      """WITH pos AS (SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |           AS BIGINT) AS s, count(*) AS n
+        |        FROM customer WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0)
+        |SELECT n.n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS total_bal_cp
+        |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, pos
+        |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= DATE '1999-01-01')
+        |GROUP BY 1""".stripMargin,
     // the correlated scalar COUNT stated verbatim — the engine's
     // aggregate-before-join + coalesce(0) must reproduce it,
     // zero-order customers included

@@ -3091,6 +3091,159 @@ object RelationalOps {
         col("p_partkey"))
   }
 
+  /** TPC-H Q6 (forecasting revenue change) — the pure scan-agg
+    * classic: one year of lineitems in a discount band under a
+    * quantity cap, revenue = Σ extendedprice·discount in exact
+    * cent×pct units. No join, no window — the query IS the scan, so
+    * its entire cost profile is pushdown + map-side partial agg.
+    *
+    * Scale shape: the date range pushes to the parquet scan
+    * (PushedFilters); the discount-band predicate compares the
+    * ROUNDED integer pct (a computed column — evaluated in the same
+    * codegen stage as the scan filter residual); the agg collapses
+    * map-side to one row per partition. */
+  def q6ForecastRevenue(lineitem: DataFrame,
+                        yearStart: String = "1996-01-01"): DataFrame = {
+    val start = to_timestamp(lit(yearStart))
+    lineitem
+      .filter(col("l_shipdate") >= start &&
+        col("l_shipdate") < add_months(start, 12))
+      .select(round(col("l_extendedprice") * 100).cast("long").as("ep_cp"),
+        round(col("l_discount") * 100).cast("long").as("disc_pct"),
+        col("l_quantity"))
+      .filter(col("disc_pct").between(5, 7) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("ep_cp") * col("disc_pct")).as("revenue_cp_pct"))
+  }
+
+  /** TPC-H Q14 (promotion effect) — conditional aggregation over the
+    * part join: what share of one month's revenue came from PROMO
+    * parts. Revenue stays in exact cent×pct BIGINTs; the share is an
+    * exact floored MICRO quotient computed through a decimal(38,0)
+    * intermediate (promo·10⁶ would overflow Long at cluster scale;
+    * the decimal stays INTERNAL per the §5.2 hashable-envelope rule).
+    *
+    * Scale shape: the month filter pushes to the lineitem scan; part
+    * broadcasts (p_partkey, p_type only — column pruning keeps the
+    * build side thin); the conditional agg is map-side partial. */
+  def q14PromoRevenue(lineitem: DataFrame, part: DataFrame,
+                      monthStart: String = "1996-09-01"): DataFrame = {
+    val start = to_timestamp(lit(monthStart))
+    val p = part.select(col("p_partkey"), col("p_type"))
+    lineitem
+      .filter(col("l_shipdate") >= start &&
+        col("l_shipdate") < add_months(start, 1))
+      .select(col("l_partkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(sum(when(col("p_type") === "PROMO", col("rev_cp"))
+          .otherwise(lit(0L))).as("promo_cp_pct"),
+        sum(col("rev_cp")).as("total_cp_pct"))
+      .withColumn("promo_share_micro", expr(
+        "CAST((CAST(promo_cp_pct AS DECIMAL(38,0)) * 1000000) div total_cp_pct AS BIGINT)"))
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue) — the correlated AVG
+    * subquery: lineitems whose quantity sits below 20% of their
+    * part's average quantity. The oracle states the correlated
+    * `l_quantity < 0.2 * (SELECT avg ...)` verbatim; the engine
+    * decorrelates it into one per-part (qsum, cnt) aggregate joined
+    * back, with the threshold compared EXACTLY in integers:
+    * qty < 0.2·(qsum/cnt) ⟺ 5·qty·cnt < qsum — quantities are
+    * integral, so no float boundary can flip the strict inequality
+    * on either engine.
+    *
+    * Scale shape: the brand filter broadcasts into the fact probe
+    * FIRST, so the per-part agg runs over the brand slice, not the
+    * corpus; the pruned slice is checkpointed (it feeds the agg and
+    * the probe); output is |brands|-bounded. */
+  def q17SmallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                              brands: Seq[String] = Seq("Brand#1", "Brand#2")): DataFrame = {
+    val p = part.filter(col("p_brand").isin(brands: _*))
+      .select(col("p_partkey"), col("p_brand"))
+    val li = lineitem
+      .select(col("l_partkey"),
+        round(col("l_quantity")).cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("ep_cp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // the brand slice feeds the per-part agg AND the probe — pin it
+      .localCheckpoint(true)
+    val pa = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("qty")).as("qsum"), count(lit(1)).as("cnt"))
+    li.join(pa, col("l_partkey") === col("a_partkey"))
+      .filter(lit(5L) * col("qty") * col("cnt") < col("qsum"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_small"), sum(col("ep_cp")).as("revenue_cp"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicate) — the
+    * OR-of-ANDs pushdown classic: three (brand, size-band,
+    * quantity-band) branches over the part join. The branch union's
+    * IMPLIED single-table bounds are pushed manually to each side
+    * (part: brand ∈ the 3 brands ∧ size ≤ 15; lineitem: qty ∈
+    * [1, 30]) — the rewrite Catalyst does not infer across an OR of
+    * conjunctions — and the exact disjunction evaluates as the join
+    * residual on the pre-pruned rows.
+    *
+    * Scale shape: both implied filters reach their scans; part
+    * broadcasts; one map-side-partial agg row. */
+  def q19DisjunctiveRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val p = part
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+        col("p_size") >= 1 && col("p_size") <= 15)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = lineitem
+      .filter(col("l_quantity") >= 1 && col("l_quantity") <= 30)
+      .select(col("l_partkey"), col("l_quantity"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"), sum(col("rev_cp")).as("revenue_cp_pct"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity) — the scalar-subquery +
+    * NOT EXISTS pair: customers whose balance exceeds the average
+    * POSITIVE balance (an uncorrelated scalar subquery — one global
+    * aggregate) and who placed no order since `sinceDate` (the
+    * correlated NOT EXISTS), grouped by nation (standing in for the
+    * reference query's phone-prefix country code, which the synthetic
+    * schema lacks). The threshold compares exactly in integers:
+    * bal > s/n ⟺ bal·n > s in cent units.
+    *
+    * Scale shape: the scalar aggregate is ONE broadcast row (the
+    * dppReceipt bounded-localize convention, kept in-plan as a
+    * broadcast crossJoin, no driver round-trip); the NOT EXISTS is a
+    * left-anti equi-join on custkey against the date-pruned orders
+    * scan; nation broadcasts; the agg is |nations|-bounded. */
+  def q22GlobalBalance(customer: DataFrame, orders: DataFrame,
+                       nation: DataFrame,
+                       sinceDate: String = "1999-01-01"): DataFrame = {
+    val bal = customer.select(col("c_custkey"), col("c_nationkey"),
+      round(col("c_acctbal") * 100).cast("long").as("bal_cp"))
+    val pos = bal.filter(col("bal_cp") > 0L)
+      .agg(sum(col("bal_cp")).as("s"), count(lit(1)).as("n"))
+    val recent = orders
+      .filter(col("o_orderdate") >= to_timestamp(lit(sinceDate)))
+      .select(col("o_custkey"))
+    bal.crossJoin(broadcast(pos))
+      .filter(col("bal_cp") * col("n") > col("s"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sum(col("bal_cp")).as("total_bal_cp"))
+      .orderBy(col("n_name"))
+  }
+
   /** TPC-H Q13 (customer distribution) — the correlated COUNT
     * subquery as a histogram: how many customers placed exactly N
     * qualifying orders (priority filter standing in for the comment

@@ -1267,6 +1267,92 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("q6ForecastRevenue: band and cap filters, exact cent*pct revenue") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val lineitem = Seq(
+      (ts("1996-03-01"), 100.0, 0.06, 10.0), // in: 10000 * 6
+      (ts("1996-03-01"), 100.0, 0.04, 10.0), // discount below band
+      (ts("1996-03-01"), 100.0, 0.06, 24.0), // quantity at cap: excluded
+      (ts("1997-03-01"), 100.0, 0.06, 10.0)) // out of year
+      .toDF("l_shipdate", "l_extendedprice", "l_discount", "l_quantity")
+    val r = RelationalOps.q6ForecastRevenue(lineitem).collect().head
+    assert(r.getAs[Long]("n_items") === 1L)
+    assert(r.getAs[Long]("revenue_cp_pct") === 60000L)
+  }
+
+  test("q14PromoRevenue: conditional split and exact floored micro share") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val lineitem = Seq(
+      (1L, ts("1996-09-10"), 10.0, 0.0),  // promo: 1000*100
+      (2L, ts("1996-09-10"), 30.0, 0.0),  // other: 3000*100
+      (1L, ts("1996-10-01"), 99.0, 0.0))  // out of month
+      .toDF("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q14PromoRevenue(lineitem, part).collect().head
+    assert(r.getAs[Long]("promo_cp_pct") === 100000L)
+    assert(r.getAs[Long]("total_cp_pct") === 400000L)
+    assert(r.getAs[Long]("promo_share_micro") === 250000L) // exactly 1/4
+  }
+
+  test("q17SmallQuantityRevenue: integer-exact 0.2*avg threshold, brand-pruned") {
+    val part = Seq((1L, "Brand#1"), (2L, "Brand#1"), (3L, "Brand#9"))
+      .toDF("p_partkey", "p_brand")
+    // part 1: qties 1, 9, 10 -> avg 20/3, cutoff 4/3: only qty 1 kept
+    // part 2: qties 2, 10 -> avg 6, cutoff 1.2: nothing below
+    // part 3: wrong brand, tiny qty would otherwise qualify
+    val lineitem = Seq(
+      (1L, 1.0, 11.0), (1L, 9.0, 99.0), (1L, 10.0, 1.0),
+      (2L, 2.0, 5.0), (2L, 10.0, 5.0),
+      (3L, 1.0, 100.0))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val r = RelationalOps.q17SmallQuantityRevenue(lineitem, part).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("p_brand") === "Brand#1")
+    assert(r.head.getAs[Long]("n_small") === 1L)
+    assert(r.head.getAs[Long]("revenue_cp") === 1100L)
+  }
+
+  test("q19DisjunctiveRevenue: each branch binds its own bands") {
+    val part = Seq(
+      (1L, "Brand#12", 3), (2L, "Brand#12", 9),  // 2: size out for brand 12
+      (3L, "Brand#23", 9), (4L, "Brand#34", 15))
+      .toDF("p_partkey", "p_brand", "p_size")
+    val lineitem = Seq(
+      (1L, 5.0, 10.0, 0.0),   // brand12 branch: in
+      (1L, 15.0, 10.0, 0.0),  // qty out for brand12 (and not in others' sizes)
+      (2L, 5.0, 10.0, 0.0),   // size out
+      (3L, 12.0, 20.0, 0.5),  // brand23 branch: in, 50% discount
+      (4L, 25.0, 30.0, 0.0),  // brand34 branch: in
+      (4L, 35.0, 30.0, 0.0))  // qty above the union cap
+      .toDF("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q19DisjunctiveRevenue(lineitem, part).collect().head
+    assert(r.getAs[Long]("n_items") === 3L)
+    // 1000*100 + 2000*50 + 3000*100 = 500000
+    assert(r.getAs[Long]("revenue_cp_pct") === 500000L)
+  }
+
+  test("q22GlobalBalance: above positive-average balance and idle since the cutoff") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1L, "N1"), (2L, "N2")).toDF("n_nationkey", "n_name")
+    // positive balances: 100, 200, 600 -> avg 300; negatives excluded
+    val customer = Seq(
+      (1L, 1L, 600.0),  // above avg, idle -> kept
+      (2L, 1L, 200.0),  // below avg
+      (3L, 2L, 100.0),  // below avg
+      (4L, 2L, -50.0),  // negative: excluded from avg AND below it
+      (5L, 2L, 600.0))  // above avg but ordered recently
+      .toDF("c_custkey", "c_nationkey", "c_acctbal")
+    val orders = Seq(
+      (10L, 5L, ts("2000-01-01")),  // recent -> disqualifies 5
+      (11L, 1L, ts("1998-01-01")))  // old -> does not disqualify 1
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val r = RelationalOps.q22GlobalBalance(customer, orders, nation).collect()
+    assert(r.length === 1)
+    assert(r.head.getAs[String]("n_name") === "N1")
+    assert(r.head.getAs[Long]("n_cust") === 1L)
+    assert(r.head.getAs[Long]("total_bal_cp") === 60000L)
+  }
+
   test("q13CustomerDistribution: zero-order customers land in the 0 bucket; priority excluded") {
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
     val orders = Seq(
