@@ -902,6 +902,23 @@ object SparkEntry {
       cleanupOnExit(tmp)
       PersistOps.dppReceipt(Tables.events(s, dir), tmp)
     }),
+    // bucketed co-located fact-fact join: bucketBy both sides on the
+    // join key, re-read, SMJ with ZERO exchange below the join
+    // (PlanSpec pins it); warehouse table files cleaned on exit
+    "bucket_join_receipt" -> ((s, dir) => {
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val suf = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+      cleanupOnExit(s"$wh/graft_bkt_li_$suf")
+      cleanupOnExit(s"$wh/graft_bkt_ord_$suf")
+      PersistOps.bucketJoinReceipt(Tables.lineitem(s, dir), Tables.orders(s, dir))
+    }),
+    // UNPIVOT round-trip: melt(pivot(events)) with zero cells dropped
+    // must equal the plain (user, type) census the oracle states
+    "events_unpivot" -> ((s, dir) =>
+      RelationalOps.eventsUnpivot(Tables.events(s, dir))),
+    // explicit GROUPING SETS + grouping_id beside rollup/cube
+    "pricing_grouping_sets" -> ((s, dir) =>
+      RelationalOps.groupingSetsPricing(Tables.lineitem(s, dir))),
     // small-file compaction plan: running-total binning of ingest-
     // order file metadata into target-sized contiguous merge groups
     "compaction_plan" -> ((s, dir) =>
@@ -5433,6 +5450,26 @@ object SparkEntry {
         |WHERE p.p_size = 15
         |  AND ps.cost_cp = (SELECT min(ps2.cost_cp) FROM ps ps2
         |                    WHERE ps2.l_partkey = p.p_partkey)""".stripMargin,
+    // bucketing must not change a single row — the oracle is the
+    // plain join + agg; the zero-exchange plan shape is PlanSpec's job
+    "bucket_join_receipt" ->
+      """SELECT o.o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cp
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin,
+    // the round-trip identity: melt(pivot(x)) = the plain census
+    "events_unpivot" ->
+      """SELECT user_id, event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "pricing_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *

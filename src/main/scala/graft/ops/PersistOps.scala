@@ -199,6 +199,43 @@ object PersistOps {
         col("n_partitions_on_disk"))
   }
 
+  /** BUCKETED CO-LOCATED JOIN receipt — the fact-fact shuffle
+    * eliminator SCALE.md's bucketing story promises, made executable:
+    * write both join sides bucketed on the join key into catalog
+    * tables (`bucketBy(n, key)`, parquet datasource, in-memory
+    * catalog), then join the re-read tables. Because both sides hash
+    * the SAME key into the SAME bucket count, the sort-merge join
+    * consumes the bucketed scan partitions directly — the plan has
+    * ZERO Exchange below the join (PlanSpec pins it; the only
+    * exchange in the query is the tiny final status agg). At 100 TB
+    * this is THE difference between re-shuffling two facts on every
+    * join and paying the layout once at write time — the `merge`
+    * hints keep the receipt honest at test SF, where the dim side
+    * would otherwise broadcast and prove nothing.
+    *
+    * The declared output is the join's status census (oracle: plain
+    * join + agg — bucketing must not change a single row). */
+  def bucketJoinReceipt(lineitem: DataFrame, orders: DataFrame,
+                        nBuckets: Int = 8): DataFrame = {
+    val spark = lineitem.sparkSession
+    val suf = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val lt = s"graft_bkt_li_$suf"
+    val ot = s"graft_bkt_ord_$suf"
+    lineitem
+      .select(col("l_orderkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("ep_cp"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "l_orderkey").saveAsTable(lt)
+    orders.select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, "o_orderkey").saveAsTable(ot)
+    spark.table(lt).hint("merge")
+      .join(spark.table(ot).hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), sum(col("ep_cp")).as("revenue_cp"))
+  }
+
   /** Hilbert-curve index of pre-quantized coordinates — the
     * locality-superior sibling of [[interleaveBits]]' z-curve: the
     * standard iterative xy2d (Wikipedia's public formulation),

@@ -66,6 +66,50 @@ object RelationalOps {
     p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** UNPIVOT (melt) — the inverse of [[eventTypePivot]], closing the
+    * reshape pair: the wide per-user count matrix stacks back to long
+    * (user, type, n) rows via the `stack` table-generating expression
+    * (map-only — no shuffle beyond the pivot's own), zero cells
+    * dropped. Declared as a ROUND-TRIP receipt: melt(pivot(events))
+    * must equal the plain (user, type) census the oracle states — the
+    * identity that pins both reshapes at once.
+    *
+    * Scale shape: pivot's one user-keyed agg (explicit value list, no
+    * distinct-values pre-job); the stack explode is map-side over the
+    * |users|-row wide table. */
+  def eventsUnpivot(events: DataFrame,
+                    types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
+      : DataFrame = {
+    val wide = eventTypePivot(events, types)
+    val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
+    wide.selectExpr("user_id",
+        s"stack(${types.length}, $stackArgs) AS (event_type, n)")
+      .filter(col("n") > 0L)
+  }
+
+  /** GROUPING SETS with grouping_id — the explicit-sets member of the
+    * multi-level-aggregate family beside [[rollupPricing]] (prefix
+    * hierarchy) and [[cubePricing]] (all subsets): exactly the
+    * per-flag, per-status, and grand-total levels, with the
+    * `grouping_id()` bitmask distinguishing a real NULL group key
+    * from a rolled-up one — the disambiguator the coalesce('ALL')
+    * convention alone cannot provide.
+    *
+    * Scale shape: one expand + one agg exchange, same as rollup; the
+    * expansion factor is |sets| = 3, stated not hidden. */
+  def groupingSetsPricing(lineitem: DataFrame): DataFrame =
+    lineitem
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("l_quantity")).cast("long").as("qty"))
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), sum(col("qty")).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+
   /** Left-semi join: parts that appear in any lineitem. Semi stops at
     * first match — no row explosion, and Catalyst can pick
     * broadcast/shuffled-hash per side sizes. */

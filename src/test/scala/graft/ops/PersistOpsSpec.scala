@@ -186,6 +186,35 @@ class PersistOpsSpec extends SparkSpec {
     assert(r === Map("a" -> ((5L, 14000000L, 3L)), "b" -> ((3L, 13000000L, 3L))))
   }
 
+  test("bucketJoinReceipt: values equal the plain join; no exchange below the SMJ") {
+    import spark.implicits._
+    val lineitem = Seq(
+      (1L, 10.0), (1L, 20.0), (2L, 5.0), (3L, 7.0))
+      .toDF("l_orderkey", "l_extendedprice")
+    val orders = Seq((1L, "F"), (2L, "O"), (3L, "F"), (4L, "F"))
+      .toDF("o_orderkey", "o_orderstatus")
+    val df = PersistOps.bucketJoinReceipt(lineitem, orders, nBuckets = 4)
+    val r = df.collect()
+      .map(x => x.getAs[String]("o_orderstatus") ->
+        ((x.getAs[Long]("n_items"), x.getAs[Long]("revenue_cp")))).toMap
+    assert(r === Map("F" -> ((3L, 3700L)), "O" -> ((1L, 500L))))
+    // after collect() the adaptive plan prints final + initial — pin
+    // the FINAL section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), "merge hints hold")
+    assert(!plan.contains("BroadcastExchange"), "no broadcast sneaks in")
+    assert(plan.contains("Bucketed: true"), "scans consume the buckets")
+    // the ONLY exchange is the final 2-key status agg — the join
+    // consumes the bucketed scans directly
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    // cleanup: drop the session tables and their warehouse files
+    val suf = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    for (t <- Seq(s"graft_bkt_li_$suf", s"graft_bkt_ord_$suf")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    }
+  }
+
   test("withHilbert: matches the reference xy2d on the full 16x16 grid; unit-step continuity") {
     def xy2d(n: Int, x0: Int, y0: Int): Long = {
       var (x, y, d, s) = (x0, y0, 0L, n / 2)

@@ -1267,6 +1267,33 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("eventsUnpivot: melt(pivot(x)) round-trips to the plain census") {
+    val events = Seq(
+      (1L, 10L, "click"), (2L, 10L, "click"), (3L, 10L, "view"),
+      (4L, 20L, "error"))
+      .toDF("event_id", "user_id", "event_type")
+    val r = RelationalOps.eventsUnpivot(events).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[String]("event_type"),
+        x.getAs[Long]("n"))).toSet
+    assert(r === Set((10L, "click", 2L), (10L, "view", 1L), (20L, "error", 1L)),
+      "zero cells dropped, counts preserved")
+  }
+
+  test("groupingSetsPricing: exactly the three declared levels, gid disambiguates") {
+    val lineitem = Seq(
+      ("A", "F", 1.0), ("A", "O", 2.0), ("N", "F", 4.0))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity")
+    val r = RelationalOps.groupingSetsPricing(lineitem).collect()
+      .map(x => (x.getAs[String]("returnflag"), x.getAs[String]("linestatus"),
+        x.getAs[Long]("gid"), x.getAs[Long]("sum_qty"), x.getAs[Long]("n"))).toSet
+    assert(r === Set(
+      ("A", "ALL", 1L, 3L, 2L), ("N", "ALL", 1L, 4L, 1L),
+      ("ALL", "F", 2L, 5L, 2L), ("ALL", "O", 2L, 2L, 1L),
+      ("ALL", "ALL", 3L, 7L, 3L)))
+    // no (flag, status) pairs — grouping sets, not cube
+    assert(r.size === 5)
+  }
+
   test("q6ForecastRevenue: band and cap filters, exact cent*pct revenue") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val lineitem = Seq(
