@@ -1205,6 +1205,15 @@ object SparkEntry {
     "q22_global_balance" -> ((s, dir) =>
       RelationalOps.q22GlobalBalance(Tables.customer(s, dir),
         Tables.orders(s, dir), Tables.nation(s, dir))),
+    // Q7: nation-pair trade flow, both directions, dims pre-pruned to
+    // the pair inside the broadcasts
+    "q7_volume_shipping" -> ((s, dir) =>
+      RelationalOps.q7VolumeShipping(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // Q15: scalar-MAX subquery — revenue table checkpointed once,
+    // max folded to a 1-row broadcast, ties kept
+    "q15_top_supplier" -> ((s, dir) =>
+      RelationalOps.q15TopSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -5535,6 +5544,36 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= DATE '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year, count(*) AS n,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |           (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+        |    AS BIGINT) AS revenue
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer cu ON cu.c_custkey = o.o_custkey
+        |JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+        |WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |  AND l.l_shipdate >= DATE '1996-01-01'
+        |  AND l.l_shipdate < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the scalar MAX subquery stated verbatim — ties kept
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |             (100 - CAST(round(l_discount * 100) AS BIGINT)))
+        |      AS BIGINT) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, r.total_rev
+        |FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+        |WHERE r.total_rev = (SELECT max(total_rev) FROM rev)""".stripMargin,
     // the correlated scalar COUNT stated verbatim — the engine's
     // aggregate-before-join + coalesce(0) must reproduce it,
     // zero-order customers included

@@ -3288,6 +3288,85 @@ object RelationalOps {
       .orderBy(col("n_name"))
   }
 
+  /** TPC-H Q7 (volume shipping) — the two-nation trade-flow query:
+    * revenue shipped between a nation PAIR, in both directions,
+    * bucketed by ship year. Both nation lookups broadcast; the pair
+    * disjunction is a residual on the two already-joined nation
+    * names. The nation filters are applied INSIDE the broadcast dims
+    * (supplier and customer each pre-pruned to the two nations), so
+    * the fact probe drops non-participating rows at the first join
+    * rather than carrying them to the residual.
+    *
+    * Scale shape: the ship-date window pushes to the lineitem scan;
+    * supplier/customer/nation broadcast; one agg on the bounded
+    * (nation, nation, year) key. */
+  def q7VolumeShipping(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame, supplier: DataFrame,
+                       nation: DataFrame,
+                       nationA: String = "NATION_1", nationB: String = "NATION_2",
+                       windowStart: String = "1996-01-01"): DataFrame = {
+    val start = to_timestamp(lit(windowStart))
+    val n2 = nation.filter(col("n_name").isin(nationA, nationB))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(n2.select(col("n_nationkey"),
+        col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val cu = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(n2.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .select(col("c_custkey"), col("cust_nation"))
+    val l = lineitem
+      .filter(col("l_shipdate") >= start &&
+        col("l_shipdate") < add_months(start, 24))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+    l.join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .filter((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(count(lit(1)).as("n"), sum(col("rev_cp")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q15 (top supplier) — the uncorrelated scalar-MAX subquery
+    * member of the correlated-subquery family: per-supplier quarter
+    * revenue, keep exactly the supplier(s) achieving the maximum
+    * (ties kept — the subquery semantics, same policy as
+    * [[q2MinCostSupplier]]'s min). The engine computes the revenue
+    * table ONCE (checkpointed — it feeds the max and the probe),
+    * folds the max to a 1-row broadcast, and equi-filters against it
+    * in-plan — no driver round-trip.
+    *
+    * Scale shape: the quarter filter pushes to the scan; the revenue
+    * agg shuffles once on the uniform suppkey; the max is a scalar
+    * crossJoin broadcast; supplier broadcasts for the name. */
+  def q15TopSupplier(lineitem: DataFrame, supplier: DataFrame,
+                     quarterStart: String = "1996-01-01"): DataFrame = {
+    val start = to_timestamp(lit(quarterStart))
+    val rev = lineitem
+      .filter(col("l_shipdate") >= start &&
+        col("l_shipdate") < add_months(start, 3))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("total_rev"))
+      // feeds the scalar max AND the equality probe — evaluate once
+      .localCheckpoint(true)
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q13 (customer distribution) — the correlated COUNT
     * subquery as a histogram: how many customers placed exactly N
     * qualifying orders (priority filter standing in for the comment

@@ -1380,6 +1380,48 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.head.getAs[Long]("total_bal_cp") === 60000L)
   }
 
+  test("q7VolumeShipping: both directions, same-nation pairs excluded, year buckets") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1L, "NATION_1"), (2L, "NATION_2"), (3L, "NATION_3"))
+      .toDF("n_nationkey", "n_name")
+    val supplier = Seq((10L, 1L), (20L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((100L, 2L), (200L, 1L), (300L, 3L))
+      .toDF("c_custkey", "c_nationkey")
+    val orders = Seq((1L, 100L), (2L, 200L), (3L, 300L), (4L, 100L))
+      .toDF("o_orderkey", "o_custkey")
+    val lineitem = Seq(
+      (1L, 10L, ts("1996-05-01"), 10.0, 0.0),  // N1 -> N2, 1996
+      (2L, 20L, ts("1997-05-01"), 20.0, 0.0),  // N2 -> N1, 1997
+      (3L, 10L, ts("1996-05-01"), 99.0, 0.0),  // N1 -> N3: pair excluded
+      (4L, 20L, ts("1996-05-01"), 5.0, 0.0),   // N2 -> N2: same-nation excluded
+      (1L, 10L, ts("1999-05-01"), 7.0, 0.0))   // out of window
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q7VolumeShipping(lineitem, orders, customer,
+        supplier, nation).collect()
+      .map(x => (x.getAs[String]("supp_nation"), x.getAs[String]("cust_nation"),
+        x.getAs[Long]("l_year"), x.getAs[Long]("n"), x.getAs[Long]("revenue")))
+    assert(r.toSeq === Seq(
+      ("NATION_1", "NATION_2", 1996L, 1L, 100000L),
+      ("NATION_2", "NATION_1", 1997L, 1L, 200000L)))
+  }
+
+  test("q15TopSupplier: scalar-max equality keeps ties, quarter window") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
+      .toDF("s_suppkey", "s_name")
+    val lineitem = Seq(
+      (1L, ts("1996-02-01"), 50.0, 0.0), (1L, ts("1996-02-02"), 50.0, 0.0),
+      (2L, ts("1996-02-01"), 100.0, 0.0),  // ties supplier 1 at 100*100 cp*pct
+      (3L, ts("1996-02-01"), 30.0, 0.0),
+      (3L, ts("1996-06-01"), 999.0, 0.0))  // out of quarter
+      .toDF("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q15TopSupplier(lineitem, supplier).collect()
+      .map(x => (x.getAs[Long]("s_suppkey"), x.getAs[String]("s_name"),
+        x.getAs[Long]("total_rev")))
+    assert(r.toSeq === Seq((1L, "S1", 1000000L), (2L, "S2", 1000000L)),
+      "both max-achieving suppliers kept")
+  }
+
   test("q13CustomerDistribution: zero-order customers land in the 0 bucket; priority excluded") {
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
     val orders = Seq(
