@@ -1214,6 +1214,13 @@ object SparkEntry {
     // max folded to a 1-row broadcast, ties kept
     "q15_top_supplier" -> ((s, dir) =>
       RelationalOps.q15TopSupplier(Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // Q8: national market share — conditional ratio per year, all
+    // dims pre-pruned inside their broadcasts
+    "q8_market_share" -> ((s, dir) =>
+      RelationalOps.q8MarketShare(Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.customer(s, dir), Tables.supplier(s, dir),
+        Tables.nation(s, dir), Tables.region(s, dir),
+        part = Tables.part(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
@@ -5544,6 +5551,31 @@ object SparkEntry {
         |                  WHERE o.o_custkey = c.c_custkey
         |                    AND o.o_orderdate >= DATE '1999-01-01')
         |GROUP BY 1""".stripMargin,
+    "q8_market_share" ->
+      """WITH flow AS (
+        |  SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |      (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev,
+        |    sn.n_name AS supp_nation
+        |  FROM lineitem l
+        |  JOIN part p ON p.p_partkey = l.l_partkey
+        |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |  JOIN customer cu ON cu.c_custkey = o.o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = cu.c_nationkey
+        |  JOIN region r ON r.r_regionkey = cn.n_regionkey
+        |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |  JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+        |  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        |    AND o.o_orderdate >= DATE '1996-01-01'
+        |    AND o.o_orderdate < DATE '1998-01-01')
+        |SELECT o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nation_rev,
+        |  CAST(sum(rev) AS BIGINT) AS total_rev, count(*) AS n,
+        |  CAST((CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END)
+        |    AS HUGEINT) * 1000000) // CAST(sum(rev) AS HUGEINT)
+        |    AS BIGINT) AS share_micro
+        |FROM flow GROUP BY 1""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year, count(*) AS n,

@@ -3335,6 +3335,62 @@ object RelationalOps {
       .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
   }
 
+  /** TPC-H Q8 (national market share) — the conditional-ratio
+    * classic: within one region's market for one part type, what
+    * share of each order year's revenue did a given supplier nation
+    * take. The share is the conditional-sum / total-sum pair in exact
+    * cent×pct BIGINTs plus an exact floored micro quotient (the
+    * [[q14PromoRevenue]] convention — the decimal intermediate stays
+    * internal).
+    *
+    * Scale shape: the type filter pre-prunes part INSIDE its
+    * broadcast (the fact drops non-matching rows at the first join);
+    * the date window pushes to the orders scan; customer pre-joins
+    * its region-filtered nation so only in-region customers build;
+    * supplier nation broadcast; final agg is |years|-bounded. */
+  def q8MarketShare(lineitem: DataFrame, orders: DataFrame,
+                    customer: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, region: DataFrame,
+                    regionName: String = "ASIA", partType: String = "PROMO",
+                    shareNation: String = "NATION_1",
+                    windowStart: String = "1996-01-01",
+                    part: DataFrame): DataFrame = {
+    val start = to_timestamp(lit(windowStart))
+    val p = part.filter(col("p_type") === partType).select(col("p_partkey"))
+    val rn = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select(col("r_regionkey"))), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cu = customer.select(col("c_custkey"), col("c_nationkey"))
+      .join(broadcast(rn), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val s = supplier.select(col("s_suppkey"), col("s_nationkey"))
+      .join(broadcast(nation.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val o = orders
+      .filter(col("o_orderdate") >= start &&
+        col("o_orderdate") < add_months(start, 24))
+      .select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    lineitem
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_cp"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(when(col("supp_nation") === shareNation, col("rev_cp"))
+          .otherwise(lit(0L))).as("nation_rev"),
+        sum(col("rev_cp")).as("total_rev"),
+        count(lit(1)).as("n"))
+      .withColumn("share_micro", expr(
+        "CAST((CAST(nation_rev AS DECIMAL(38,0)) * 1000000) div total_rev AS BIGINT)"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q15 (top supplier) — the uncorrelated scalar-MAX subquery
     * member of the correlated-subquery family: per-supplier quarter
     * revenue, keep exactly the supplier(s) achieving the maximum

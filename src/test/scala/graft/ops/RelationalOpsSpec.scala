@@ -1405,6 +1405,35 @@ class RelationalOpsSpec extends SparkSpec {
       ("NATION_2", "NATION_1", 1997L, 1L, 200000L)))
   }
 
+  test("q8MarketShare: region/type pruned, conditional share per year, exact micros") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val region = Seq((1L, "ASIA"), (2L, "EUROPE")).toDF("r_regionkey", "r_name")
+    val nation = Seq((1L, "NATION_1", 1L), (2L, "NATION_2", 1L), (3L, "NATION_3", 2L))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val part = Seq((1L, "PROMO"), (2L, "STANDARD")).toDF("p_partkey", "p_type")
+    val supplier = Seq((10L, 1L), (20L, 2L)).toDF("s_suppkey", "s_nationkey")
+    val customer = Seq((100L, 2L), (200L, 3L)).toDF("c_custkey", "c_nationkey")
+    val orders = Seq(
+      (1L, 100L, ts("1996-03-01")), (2L, 100L, ts("1997-03-01")),
+      (3L, 200L, ts("1996-03-01")))  // EUROPE customer: out of region
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val lineitem = Seq(
+      (1L, 1L, 10L, 40.0, 0.0),  // 1996, NATION_1 supplier: counted in share
+      (1L, 1L, 20L, 60.0, 0.0),  // 1996, NATION_2 supplier: total only
+      (2L, 1L, 10L, 10.0, 0.0),  // 1997
+      (1L, 2L, 10L, 99.0, 0.0),  // wrong part type
+      (3L, 1L, 10L, 99.0, 0.0))  // out-of-region customer
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val r = RelationalOps.q8MarketShare(lineitem, orders, customer, supplier,
+        nation, region, part = part).collect()
+      .map(x => (x.getAs[Long]("o_year"), x.getAs[Long]("nation_rev"),
+        x.getAs[Long]("total_rev"), x.getAs[Long]("n"),
+        x.getAs[Long]("share_micro")))
+    assert(r.toSeq === Seq(
+      (1996L, 400000L, 1000000L, 2L, 400000L),
+      (1997L, 100000L, 100000L, 1L, 1000000L)))
+  }
+
   test("q15TopSupplier: scalar-max equality keeps ties, quarter window") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
     val supplier = Seq((1L, "S1"), (2L, "S2"), (3L, "S3"))
