@@ -415,6 +415,10 @@ object SparkEntry {
     // span coverage — the fraction a span-removal pass would excise
     "dedup_substrings" -> ((s, dir) =>
       DedupOps.substringDupCoverage(Tables.documents(s, dir))),
+    // the census's removal pass: covered tokens cut, survivors
+    // re-joined in order — the CLEANED corpus as an output column
+    "dedup_excise" -> ((s, dir) =>
+      DedupOps.substringExcise(Tables.documents(s, dir))),
     // tokenizer training: first 6 BPE merges by frequency-weighted
     // pair counting + greedy string-space merge (Sennrich ACL'16)
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
@@ -2496,6 +2500,42 @@ object SparkEntry {
          |  round(coalesce(dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6) + 0
          |    AS dup_fraction
          |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // the asof-in-one-sort coverage replayed in SQL; reassembly via
+    // ordered string_agg
+    "dedup_excise" ->
+      s"""WITH $duckToks,
+         |sh8 AS (
+         |  SELECT doc_id, pos, tok || ' ' || t1 || ' ' || t2 || ' ' || t3 || ' ' ||
+         |         t4 || ' ' || t5 || ' ' || t6 || ' ' || t7 AS shingle
+         |  FROM (SELECT doc_id, pos, tok,
+         |          lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+         |          lead(tok, 3) OVER w AS t3, lead(tok, 4) OVER w AS t4,
+         |          lead(tok, 5) OVER w AS t5, lead(tok, 6) OVER w AS t6,
+         |          lead(tok, 7) OVER w AS t7
+         |        FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+         |  WHERE t7 IS NOT NULL),
+         |hh AS (SELECT doc_id, pos, ${duckHash24("shingle")} AS h FROM sh8),
+         |dup AS (SELECT h FROM hh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |st AS (SELECT doc_id, pos FROM hh JOIN dup USING (h)),
+         |stream AS (
+         |  SELECT doc_id, pos, tok, 0 AS is_start FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, pos, NULL, 1 FROM st),
+         |m AS (SELECT *, max(CASE WHEN is_start = 1 THEN pos END) OVER
+         |        (PARTITION BY doc_id ORDER BY pos, is_start DESC
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_start
+         |      FROM stream),
+         |k AS (SELECT doc_id, pos, tok FROM m
+         |      WHERE is_start = 0
+         |        AND (last_start IS NULL OR last_start <= pos - 8)),
+         |nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY 1),
+         |ke AS (SELECT doc_id, count(*) AS n_kept,
+         |        string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+         |       FROM k GROUP BY 1)
+         |SELECT nt.doc_id, nt.n_tokens,
+         |  CAST(coalesce(ke.n_kept, 0) AS BIGINT) AS n_kept,
+         |  coalesce(ke.cleaned_text, '') AS cleaned_text
+         |FROM nt LEFT JOIN ke USING (doc_id)""".stripMargin,
     "stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |  ${duckHash24("text || '|stratum'")} % 100 AS bucket,

@@ -1302,6 +1302,58 @@ object DedupOps {
         roundn(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 6)
           .as("dup_fraction"))
   }
+  /** Exact duplicated-substring EXCISION — the removal pass
+    * [[substringDupCoverage]]'s census plans for (Lee et al., ACL'22:
+    * the cleaned corpus, not just the fraction): every token covered
+    * by any cross-document duplicated w-window is cut, the survivors
+    * re-join in position order. Coverage resolves with ONE ordered
+    * pass per doc: duplicated window STARTS and tokens merge into a
+    * single position-ordered stream (starts sort first at equal pos),
+    * a running max carries the latest start, and a token is covered
+    * iff that start is within w positions — the asof-join-in-one-sort
+    * trick, no token×interval range join. Reassembly is an exact
+    * order-free fold (sort_array over (pos, tok) structs), so the
+    * cleaned string never depends on partition merge order. A fully
+    * duplicated doc (an exact-dup family member) excises to the empty
+    * string, kept explicitly via the left join.
+    *
+    * Scale shape: identical cost family to the census — hash-keyed
+    * shuffles only (window-frequency agg, join-back, one per-doc
+    * ordered window, one doc-keyed fold); O(corpus tokens) rows, no
+    * quadratic step. Invariant (spec-pinned): n_kept = n_tokens −
+    * the census's dup_tokens. */
+  def substringExcise(docs: DataFrame, w: Int = 8): DataFrame = {
+    val hashed = wordShingles(docs, w)
+      .select(col("doc_id"), col("pos"), PortableHash.hash24(col("shingle")).as("h"))
+    val dup = hashed
+      .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select(col("h"))
+    val starts = hashed.join(dup, "h")
+      .select(col("doc_id"), col("pos"),
+        lit(null).cast("string").as("tok"), lit(1).as("is_start"))
+    val toks = EmbedOps.tokenize(docs)
+    val stream = toks
+      .select(col("doc_id"), col("pos"), col("tok"), lit(0).as("is_start"))
+      .unionByName(starts)
+    val byPos = Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"), col("is_start").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val kept = stream
+      .withColumn("last_start",
+        max(when(col("is_start") === 1, col("pos"))).over(byPos))
+      .filter(col("is_start") === 0 &&
+        (col("last_start").isNull || col("last_start") <= col("pos") - w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok)))," +
+          " x -> x.tok), ' ')").as("cleaned_text"))
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
   /** Adamic–Adar link prediction KERNEL over an undirected edge list
     * (a_id, b_id) — the missing-edge lens on the near-dup graph: a
     * pair of docs that are NOT verified near-dups but share verified

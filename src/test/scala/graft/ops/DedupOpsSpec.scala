@@ -476,6 +476,32 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(2L).getAs[Double]("dup_fraction") === 0.0)
   }
 
+  test("substringExcise: covered spans cut, survivors in order, kept = tokens - census coverage") {
+    import spark.implicits._
+    val shared = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (0L, shared + " kilo lima"),
+      (1L, "mike november " + shared),
+      (2L, "oscar papa quebec romeo sierra tango uniform victor"), // unique
+      (3L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),                          // exact pair:
+      (4L, "x1 x2 x3 x4 x5 x6 x7 x8 x9"))                          // fully excised
+      .toDF("doc_id", "text")
+    val r = DedupOps.substringExcise(d, w = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("n_kept"),
+          x.getAs[String]("cleaned_text")))).toMap
+    assert(r(0L) === ((12L, 2L, "kilo lima")), "shared span cut, tail kept in order")
+    assert(r(1L) === ((12L, 2L, "mike november")), "head survives, span cut")
+    assert(r(2L) === ((8L, 8L, "oscar papa quebec romeo sierra tango uniform victor")),
+      "unique doc untouched")
+    assert(r(3L) === ((9L, 0L, "")), "exact duplicate fully excised")
+    assert(r(4L) === ((9L, 0L, "")))
+    // the excision and the census agree token for token
+    val cov = DedupOps.substringDupCoverage(d, w = 8).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("dup_tokens")).toMap
+    for ((id, (nt, nk, _)) <- r) assert(nt - nk === cov(id), s"doc $id invariant")
+  }
+
   test("incrementalCandidates = full-corpus banding restricted to pairs touching the batch") {
     // near-dups SPANNING the split (old 0..2 / new 3..5): family t1
     // has members on both sides, t2 entirely new, plus an old-only
