@@ -199,6 +199,10 @@ object SparkEntry {
     // rounds, explained-variance ratio alongside
     "embedding_pca" -> ((s, dir) =>
       VectorOps.embeddingPca(Tables.embeddings(s, dir))),
+    // the apply half: every vector scored on the trained component,
+    // dim-ordered fold, one map-shaped pass
+    "pca_project" -> ((s, dir) =>
+      VectorOps.pcaProject(Tables.embeddings(s, dir))),
     // semantic decontamination: nearest benchmark vector per corpus
     // vector via IVF co-residency, flagged over tau
     "decontaminate_semantic" -> ((s, dir) =>
@@ -6815,6 +6819,38 @@ object SparkEntry {
          |        FROM sc, tr)
          |SELECT v.dim, v.v AS loading, evr.explained_ratio
          |FROM v8 v, evr""".stripMargin
+    },
+    // the embedding_pca chain re-stated through v8, then the
+    // projection fold in dim order
+    "pca_project" -> {
+      def round(prev: String, i: Int): String =
+        s"""w$i AS MATERIALIZED (
+           |  SELECT c.di AS dim, sum(CAST(c.c AS DOUBLE) * v.v ORDER BY c.dj) AS w
+           |  FROM cov c JOIN $prev v ON v.dim = c.dj GROUP BY 1),
+           |n$i AS (SELECT sqrt(sum(w * w ORDER BY dim)) AS nrm FROM w$i),
+           |v$i AS MATERIALIZED (
+           |  SELECT dim, round(w / n$i.nrm, 6) + 0 AS v FROM w$i, n$i)""".stripMargin
+      val rounds = (1 to 8).map(i => round(if (i == 1) "v0" else s"v${i - 1}", i))
+        .mkString(",\n")
+      s"""WITH x AS (SELECT vec_id, CAST(u.ii - 1 AS BIGINT) AS dim,
+         |        CAST(round(CAST(embedding[u.ii] AS DOUBLE) * 1000000) AS BIGINT)
+         |          AS x6
+         |      FROM embeddings, unnest(range(1, len(embedding)+1)) u(ii)),
+         |mu AS (SELECT dim, CAST(round(avg(x6)) AS BIGINT) AS mu6
+         |       FROM x GROUP BY 1),
+         |dx AS MATERIALIZED (SELECT vec_id, dim, x6 - mu6 AS dx
+         |      FROM x JOIN mu USING (dim)),
+         |cov AS MATERIALIZED (
+         |  SELECT a.dim AS di, b.dim AS dj, CAST(sum(a.dx * b.dx) AS BIGINT) AS c
+         |  FROM dx a JOIN dx b USING (vec_id) GROUP BY 1, 2),
+         |v0 AS (SELECT DISTINCT di AS dim,
+         |         CASE WHEN di = 0 THEN 1.0 ELSE 0.0 END AS v FROM cov),
+         |$rounds
+         |SELECT d.vec_id,
+         |  round(sum(CAST(d.dx AS DOUBLE) / 1000000.0 * v.v ORDER BY d.dim), 6)
+         |    + 0 AS pc1
+         |FROM dx d JOIN v8 v USING (dim)
+         |GROUP BY 1""".stripMargin
     },
     // diagonal Mahalanobis: rounded centroid/variance, dim-ordered
     // score fold (sum ORDER BY dim — the orderedSum twin)

@@ -1227,6 +1227,39 @@ object VectorOps {
       .select(col("dim"), col("v").as("loading"), col("explained_ratio"))
   }
 
+  /** PCA PROJECTION — the apply half of [[embeddingPca]] (the
+    * train/apply pairing every other trained artifact already has):
+    * score each vector on the first principal component,
+    * pc1 = Σ_dim (x−μ)·v_dim in embedding units. This is the
+    * whitening/reduction step SemDeDup-style pipelines run between
+    * training the component and thresholding cosines — the component
+    * is trained once, the projection is one map-shaped pass.
+    *
+    * Determinism: loadings arrive 6dp-rounded from the trainer; the
+    * centered deviations are exact integer micros scaled back by 1e6;
+    * the fold runs in dim order (orderedSum), so both engines build
+    * the identical IEEE sum; rounded once at the end.
+    *
+    * Scale shape: training cost is [[embeddingPca]]'s (bounded
+    * covariance + 64-row iterations); the projection itself is one
+    * explode + two broadcast joins (64-row mean and loading tables)
+    * + a vec-keyed fold — O(n·d) with no wide shuffle beyond the
+    * per-vector agg on the uniform vec_id. */
+  def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame = {
+    val load = embeddingPca(emb, iters).select(col("dim"), col("loading"))
+    val x = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+        round(col("xf").cast("double") * 1e6).cast("long").as("x6"))
+    val mu = x.groupBy(col("dim")).agg(round(avg(col("x6"))).cast("long").as("mu6"))
+    x.join(broadcast(mu), "dim")
+      .join(broadcast(load), "dim")
+      .groupBy(col("vec_id"))
+      .agg(roundn(orderedSum(col("dim"),
+        (col("x6") - col("mu6")).cast("double") / lit(1e6) * col("loading")), 6)
+        .as("pc1"))
+  }
+
   /** Greedy k-center (farthest-first traversal, Gonzalez '85) — the
     * DIVERSITY member of the data-selection family ([[graft.ops.TextOps.dsirSelect]]
     * picks by importance, [[graft.ops.TextOps.rhoSelect]] by

@@ -288,6 +288,29 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(0L).getAs[Double]("explained_ratio") > 0.999)
   }
 
+  test("pcaProject: scores recover the planted 1:10 direction, centered and signed") {
+    import spark.implicits._
+    // the embeddingPca fixture: dims 0 and 3 move together 1:10 over
+    // i = 0..99 — pc1 must be linear in i, zero-mean, with step
+    // |v| * sqrt(0.01^2 + 0.1^2) per i
+    val rows = (0 until 100).map { i =>
+      val v = Array.fill(64)(0.5f)
+      v(0) = (0.5 + i * 0.01).toFloat
+      v(3) = (0.5 + i * 0.1).toFloat
+      (i.toLong, v, 0L)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val pc = VectorOps.pcaProject(emb).collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Double]("pc1")).toMap
+    val mean = pc.values.sum / pc.size
+    assert(math.abs(mean) < 1e-4, s"centered scores, mean $mean")
+    val step = math.sqrt(0.01 * 0.01 + 0.1 * 0.1)
+    val diffs = (1 until 100).map(i => pc(i.toLong) - pc(i.toLong - 1))
+    assert(diffs.forall(d => math.abs(math.abs(d) - step) < 2e-3),
+      s"uniform per-i step ~ $step")
+    assert(diffs.forall(d => d.sign == diffs.head.sign), "monotone along the direction")
+  }
+
   test("kCenterSelect: farthest-first picks the far point first, then fills gaps; ties break on id") {
     import spark.implicits._
     // line x = 0,1,2,3,100: seed id0 (min id), then id4 (far 100),
