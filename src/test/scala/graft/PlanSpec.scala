@@ -28,6 +28,30 @@ class PlanSpec extends SparkSpec {
     assert(planOf("join_orders_customers").contains("BroadcastHashJoin"))
   }
 
+  test("q4: the correlated EXISTS decorrelates to ONE left-semi join, no per-row re-scan") {
+    val p = planOf("q4_order_priority")
+    assert(p.contains("LeftSemi"), "EXISTS -> left-semi")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the non-equi lateness predicate rides the equi join as a residual")
+  }
+
+  test("q21: EXISTS and NOT EXISTS decorrelate to a semi + anti pair") {
+    val p = planOf("q21_suppliers_kept_waiting")
+    assert(p.contains("LeftSemi"), "EXISTS -> semi")
+    assert(p.contains("LeftAnti"), "NOT EXISTS -> anti")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q22: the NOT EXISTS is a left-anti; the scalar subquery a 1-row broadcast") {
+    val p = planOf("q22_global_balance")
+    assert(p.contains("LeftAnti"))
+    // the balance-average scalar is the one tolerated nested-loop: a
+    // 1-row identity broadcast
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val scalar = "IdentityBroadcastMode".r.findAllIn(p).size
+    assert(bnlj <= scalar, "only the scalar-agg crossJoin nests")
+  }
+
   test("filter_sources: predicate pushed into the parquet scan") {
     val p = planOf("filter_sources")
     assert(p.contains("PushedFilters") && p.contains("StringStartsWith"))
