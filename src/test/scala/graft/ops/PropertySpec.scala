@@ -400,6 +400,97 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: q21 decorrelation equals brute-force EXISTS / NOT EXISTS semantics") {
+    val rnd = new Random(112)
+    val dayMs = 86400000L
+    for (trial <- 1 to 5) {
+      val nOrders = 3 + rnd.nextInt(10)
+      val orders = (1 to nOrders).map(o => (o.toLong,
+        if (rnd.nextBoolean()) "F" else "O",
+        java.sql.Timestamp.valueOf(f"1996-01-${1 + rnd.nextInt(28)}%02d 00:00:00")))
+      val lines = orders.flatMap { case (o, _, od) =>
+        (0 until 1 + rnd.nextInt(4)).map { _ =>
+          val supp = 1L + rnd.nextInt(3)
+          // +100d / +10d keeps every ship date far from the 60-day cut
+          val late = rnd.nextBoolean()
+          (o, supp, new java.sql.Timestamp(
+            od.getTime + (if (late) 100L else 10L) * dayMs))
+        }
+      }
+      val odate = orders.map(o => o._1 -> o._3.getTime).toMap
+      val status = orders.map(o => o._1 -> o._2).toMap
+      val lateInc = lines
+        .filter { case (o, _, ship) =>
+          status(o) == "F" && ship.getTime > odate(o) + 60L * dayMs }
+        .map { case (o, s, _) => (o, s) }.distinct
+      val kept = lateInc.filter { case (o, s) =>
+        lines.exists { case (o2, s2, _) => o2 == o && s2 != s } &&
+          !lateInc.exists { case (o2, s2) => o2 == o && s2 != s }
+      }
+      val expected = kept.groupBy(_._2)
+        .map { case (s, xs) => s"S$s" -> xs.size.toLong }
+      val supplier = (1L to 3L).map(s => (s, s"S$s", 1L))
+        .toDF("s_suppkey", "s_name", "s_nationkey")
+      val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+      val res = RelationalOps.q21SuppliersKeptWaiting(supplier,
+          orders.toDF("o_orderkey", "o_orderstatus", "o_orderdate"),
+          lines.toDF("l_orderkey", "l_suppkey", "l_shipdate"), nation, k = 10)
+        .collect()
+        .map(x => x.getAs[String]("s_name") -> x.getAs[Long]("numwait")).toMap
+      assert(res === expected, s"trial $trial")
+    }
+  }
+
+  test("property: q13 decorrelation equals the correlated count, zero buckets included") {
+    val rnd = new Random(113)
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "5-LOW")
+    for (trial <- 1 to 5) {
+      val nCust = 2 + rnd.nextInt(8)
+      val custs = (1 to nCust).map(_.toLong)
+      val orders = (1 to rnd.nextInt(20)).map(o =>
+        (o.toLong, custs(rnd.nextInt(nCust)), prios(rnd.nextInt(4))))
+      val perCust = custs.map(c =>
+        c -> orders.count(x => x._2 == c && x._3 != "1-URGENT").toLong).toMap
+      val expected = perCust.values.groupBy(identity)
+        .map { case (cnt, xs) => cnt -> xs.size.toLong }
+      val res = RelationalOps.q13CustomerDistribution(
+          custs.toDF("c_custkey"),
+          orders.toDF("o_orderkey", "o_custkey", "o_orderpriority"))
+        .collect()
+        .map(x => x.getAs[Long]("c_count") -> x.getAs[Long]("custdist")).toMap
+      assert(res === expected, s"trial $trial")
+    }
+  }
+
+  test("property: q17's integer threshold equals the correlated 0.2*avg semantics") {
+    val rnd = new Random(114)
+    for (trial <- 1 to 5) {
+      val nParts = 1 + rnd.nextInt(4)
+      val lines = (1 to nParts).flatMap { p =>
+        (0 until 1 + rnd.nextInt(8)).map { _ =>
+          (p.toLong, (1 + rnd.nextInt(50)).toDouble, (1 + rnd.nextInt(10000)) / 100.0)
+        }
+      }
+      val part = (1 to nParts).map(p => (p.toLong, "Brand#1"))
+        .toDF("p_partkey", "p_brand")
+      // brute force: qty < 0.2 * part average, exact rational form
+      val byPart = lines.groupBy(_._1)
+      val expected = byPart.map { case (p, xs) =>
+        val qsum = xs.map(_._2.toLong).sum; val cnt = xs.length
+        p -> xs.filter(x => 5L * x._2.toLong * cnt < qsum)
+      }.values.flatten
+      val expCents = expected.map(x => math.round(x._3 * 100)).sum
+      val res = RelationalOps.q17SmallQuantityRevenue(
+          lines.toDF("l_partkey", "l_quantity", "l_extendedprice"), part,
+          brands = Seq("Brand#1")).collect()
+      val (n, cents) =
+        if (res.isEmpty) (0L, 0L)
+        else (res.head.getAs[Long]("n_small"), res.head.getAs[Long]("revenue_cp"))
+      assert(n === expected.size.toLong, s"trial $trial count")
+      assert(cents === expCents, s"trial $trial revenue")
+    }
+  }
+
   test("property: URL canonicalization is idempotent — parsing a canonical returns itself") {
     val rnd = new Random(108)
     for (trial <- 1 to 3) {
