@@ -924,6 +924,11 @@ object SparkEntry {
     // must equal the plain (user, type) census the oracle states
     "events_unpivot" -> ((s, dir) =>
       RelationalOps.eventsUnpivot(Tables.events(s, dir))),
+    // NOT IN's three-valued-logic trap beside NOT EXISTS, planned as
+    // a null-aware anti join (PlanSpec pins isNullAwareAntiJoin)
+    "null_aware_antijoin" -> ((s, dir) =>
+      RelationalOps.nullAwareAntiJoinReceipt(Tables.customer(s, dir),
+        Tables.orders(s, dir))),
     // explicit GROUPING SETS + grouping_id beside rollup/cube
     "pricing_grouping_sets" -> ((s, dir) =>
       RelationalOps.groupingSetsPricing(Tables.lineitem(s, dir))),
@@ -5522,6 +5527,22 @@ object SparkEntry {
     "events_unpivot" ->
       """SELECT user_id, event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // DuckDB replays the same three-valued-logic semantics verbatim
+    "null_aware_antijoin" ->
+      """WITH keys AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |         ELSE o_custkey END AS k
+        |       FROM orders WHERE o_orderstatus = 'F')
+        |SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM keys))
+        |    AS n_not_in_with_null,
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT k FROM keys WHERE k IS NOT NULL))
+        |    AS n_not_in_clean,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = c.c_custkey))
+        |    AS n_not_exists,
+        |  (SELECT count(*) FROM keys WHERE k IS NULL) AS n_null_keys""".stripMargin,
     "pricing_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

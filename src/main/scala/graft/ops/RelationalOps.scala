@@ -66,6 +66,48 @@ object RelationalOps {
     p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** NULL-AWARE ANTI JOIN receipt — the `NOT IN (subquery)` trap made
+    * executable: one NULL in the subquery makes `x NOT IN (...)`
+    * UNKNOWN for every row (three-valued logic), so the query returns
+    * ZERO rows — while `NOT EXISTS` (a plain left-anti) is
+    * null-indifferent and returns the real complement. The receipt
+    * derives a key list from F-orders with every 100th key nulled
+    * (deterministic injection — the synthetic keys are never null on
+    * their own), and emits all three counts side by side: NOT IN over
+    * the nulled list (must be 0), NOT IN over the null-free list, and
+    * NOT EXISTS (must equal it). Spark plans the NOT IN as a
+    * null-aware anti join (isNullAwareAntiJoin=true, single-key
+    * broadcast) rather than the quadratic BNLJ-with-OR-isnull form —
+    * the plan property that makes NOT IN survivable at 100 TB, pinned
+    * in PlanSpec.
+    *
+    * Scale shape: the key list aggregates/broadcasts; three anti
+    * probes over the customer scan; 1-row output. */
+  def nullAwareAntiJoinReceipt(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val ss = customer.sparkSession
+    val suf = ss.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val keys = orders.filter(col("o_orderstatus") === "F")
+      .select(when(col("o_orderkey") % 100 === 0, lit(null).cast("long"))
+        .otherwise(col("o_custkey")).as("k"))
+    customer.select(col("c_custkey")).createOrReplaceTempView(s"graft_nacust_$suf")
+    keys.createOrReplaceTempView(s"graft_nakeys_$suf")
+    ss.sql(
+      s"""SELECT
+         |  (SELECT count(*) FROM graft_nacust_$suf
+         |   WHERE c_custkey NOT IN (SELECT k FROM graft_nakeys_$suf))
+         |    AS n_not_in_with_null,
+         |  (SELECT count(*) FROM graft_nacust_$suf
+         |   WHERE c_custkey NOT IN (SELECT k FROM graft_nakeys_$suf
+         |                           WHERE k IS NOT NULL))
+         |    AS n_not_in_clean,
+         |  (SELECT count(*) FROM graft_nacust_$suf c
+         |   WHERE NOT EXISTS (SELECT 1 FROM graft_nakeys_$suf x
+         |                     WHERE x.k = c.c_custkey))
+         |    AS n_not_exists,
+         |  (SELECT count(*) FROM graft_nakeys_$suf WHERE k IS NULL)
+         |    AS n_null_keys""".stripMargin)
+  }
+
   /** UNPIVOT (melt) — the inverse of [[eventTypePivot]], closing the
     * reshape pair: the wide per-user count matrix stacks back to long
     * (user, type, n) rows via the `stack` table-generating expression

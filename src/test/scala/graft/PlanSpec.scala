@@ -42,6 +42,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("null_aware_antijoin: NOT IN plans as a null-aware anti join, not a nested loop") {
+    // the simple plan toString renders isNullAwareAntiJoin as the
+    // trailing boolean: "LeftAnti, BuildRight, true"
+    val p = planOf("null_aware_antijoin")
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      "the single-key NOT IN must take the NAAJ path")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "never the quadratic OR-isnull nested loop")
+  }
+
   test("q22: the NOT EXISTS is a left-anti; the scalar subquery a 1-row broadcast") {
     val p = planOf("q22_global_balance")
     assert(p.contains("LeftAnti"))

@@ -1267,6 +1267,22 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("nullAwareAntiJoinReceipt: NOT IN collapses to 0 on a null key; NOT EXISTS doesn't") {
+    val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
+    val orders = Seq(
+      (1L, 1L, "F"),    // key 1
+      (100L, 2L, "F"),  // orderkey % 100 == 0 -> NULL key injected
+      (3L, 2L, "O"))    // non-F: excluded from the key list
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus")
+    val r = RelationalOps.nullAwareAntiJoinReceipt(customer, orders).collect().head
+    assert(r.getAs[Long]("n_null_keys") === 1L)
+    assert(r.getAs[Long]("n_not_in_with_null") === 0L,
+      "one NULL makes NOT IN unknown for every row")
+    // clean key list = {1}: customers 2 and 3 pass
+    assert(r.getAs[Long]("n_not_in_clean") === 2L)
+    assert(r.getAs[Long]("n_not_exists") === 2L, "NOT EXISTS is null-indifferent")
+  }
+
   test("eventsUnpivot: melt(pivot(x)) round-trips to the plain census") {
     val events = Seq(
       (1L, 10L, "click"), (2L, 10L, "click"), (3L, 10L, "view"),
