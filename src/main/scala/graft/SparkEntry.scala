@@ -1271,6 +1271,12 @@ object SparkEntry {
       RelationalOps.exceptDocs(Tables.documents(s, dir), keepBelow = 300, dropBelow = 100)),
     "set_intersect" -> ((s, dir) =>
       RelationalOps.intersectDocs(Tables.documents(s, dir), below = 300, atLeast = 100)),
+    // the MULTISET variants: multiplicities subtract / min instead of
+    // collapsing — Spark's count-difference rewrite, one agg exchange
+    "set_except_all" -> ((s, dir) =>
+      RelationalOps.exceptAllEvents(Tables.events(s, dir))),
+    "set_intersect_all" -> ((s, dir) =>
+      RelationalOps.intersectAllEvents(Tables.events(s, dir))),
     "events_ntile" -> ((s, dir) => RelationalOps.valueQuartiles(Tables.events(s, dir))),
     "ship_date_rollup" -> ((s, dir) => RelationalOps.shipDateRollup(Tables.lineitem(s, dir))),
     "user_event_paths" -> ((s, dir) => RelationalOps.userEventPaths(Tables.events(s, dir))),
@@ -7278,6 +7284,14 @@ object SparkEntry {
       """SELECT doc_id, source FROM documents WHERE doc_id < 300
         |INTERSECT
         |SELECT doc_id, source FROM documents WHERE doc_id >= 100""".stripMargin,
+    "set_except_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |EXCEPT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id % 3 = 0""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
+        |INTERSECT ALL
+        |SELECT user_id, event_type FROM events WHERE event_id % 3 = 0""".stripMargin,
     "events_ntile" ->
       """SELECT event_id, event_type,
         |  CAST(ntile(4) OVER (PARTITION BY event_type

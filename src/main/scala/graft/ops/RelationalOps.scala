@@ -66,6 +66,31 @@ object RelationalOps {
     p.select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
   }
 
+  /** EXCEPT ALL — the MULTISET set-difference beside the declared
+    * DISTINCT variants (`set_except`/`set_intersect`): row
+    * multiplicities subtract instead of collapsing, the semantics a
+    * dedup ledger or a bag-diff audit actually needs. Spark rewrites
+    * it to the count-difference form (per-key counts on both sides,
+    * replicate max(0, cntA − cntB) copies) — one agg exchange plus a
+    * generate, never a row-by-row match. */
+  def exceptAllEvents(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_type"))
+    val b = events.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"))
+    a.exceptAll(b)
+  }
+
+  /** INTERSECT ALL — the multiset intersection twin of
+    * [[exceptAllEvents]]: min(cntA, cntB) copies per key. */
+  def intersectAllEvents(events: DataFrame): DataFrame = {
+    val a = events.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_type"))
+    val b = events.filter(col("event_id") % 3 === 0)
+      .select(col("user_id"), col("event_type"))
+    a.intersectAll(b)
+  }
+
   /** NULL-AWARE ANTI JOIN receipt — the `NOT IN (subquery)` trap made
     * executable: one NULL in the subquery makes `x NOT IN (...)`
     * UNKNOWN for every row (three-valued logic), so the query returns

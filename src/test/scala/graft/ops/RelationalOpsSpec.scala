@@ -1267,6 +1267,22 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("exceptAll/intersectAll: multiset multiplicities subtract and min, never collapse") {
+    // A = {x, x, x, y}, B = {x, z}: EXCEPT ALL = {x, x, y},
+    // INTERSECT ALL = {x} — the DISTINCT variants would lose the
+    // duplicate x entirely
+    val events = Seq(
+      (2L, 1L, "x"), (4L, 1L, "x"), (8L, 1L, "x"), (10L, 1L, "y"), // A: %2
+      (3L, 1L, "x"), (9L, 1L, "z"))                                // B: %3
+      .toDF("event_id", "user_id", "event_type")
+    val ex = RelationalOps.exceptAllEvents(events).collect()
+      .map(_.getAs[String]("event_type")).sorted.toSeq
+    assert(ex === Seq("x", "x", "y"))
+    val in = RelationalOps.intersectAllEvents(events).collect()
+      .map(_.getAs[String]("event_type")).toSeq
+    assert(in === Seq("x"))
+  }
+
   test("nullAwareAntiJoinReceipt: NOT IN collapses to 0 on a null key; NOT EXISTS doesn't") {
     val customer = Seq(1L, 2L, 3L).toDF("c_custkey")
     val orders = Seq(
