@@ -1241,23 +1241,34 @@ object VectorOps {
     * the identical IEEE sum; rounded once at the end.
     *
     * Scale shape: training cost is [[embeddingPca]]'s (bounded
-    * covariance + 64-row iterations); the projection itself is one
-    * explode + two broadcast joins (64-row mean and loading tables)
-    * + a vec-keyed fold — O(n·d) with no wide shuffle beyond the
-    * per-vector agg on the uniform vec_id. */
+    * covariance + 64-row iterations); the projection itself is
+    * MAP-ONLY — the mean and loading vectors fold to 1-row broadcast
+    * ARRAYS and each row's score is a zip_with product folded in
+    * array (= dim) order, so no explode, no join, no shuffle ever
+    * touches the corpus (the covarianceCells broadcast-array
+    * convention). */
   def pcaProject(emb: DataFrame, iters: Int = 8): DataFrame = {
-    val load = embeddingPca(emb, iters).select(col("dim"), col("loading"))
     val x = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "xf")))
-      .select(col("vec_id"), col("dim").cast("long").as("dim"),
+      .select(posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("dim").cast("long").as("dim"),
         round(col("xf").cast("double") * 1e6).cast("long").as("x6"))
-    val mu = x.groupBy(col("dim")).agg(round(avg(col("x6"))).cast("long").as("mu6"))
-    x.join(broadcast(mu), "dim")
-      .join(broadcast(load), "dim")
-      .groupBy(col("vec_id"))
-      .agg(roundn(orderedSum(col("dim"),
-        (col("x6") - col("mu6")).cast("double") / lit(1e6) * col("loading")), 6)
-        .as("pc1"))
+    val muArr = x.groupBy(col("dim"))
+      .agg(round(avg(col("x6"))).cast("long").as("mu6"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, mu6))), s -> s.mu6)")
+        .as("mu6_arr"))
+    val loadArr = embeddingPca(emb, iters)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(dim, loading))), s -> s.loading)")
+        .as("load_arr"))
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(muArr))
+      .crossJoin(broadcast(loadArr))
+      .select(col("vec_id"), roundn(expr(
+        "aggregate(zip_with(" +
+          "transform(embedding, (xf, ii) -> " +
+          "  cast(round(cast(xf as double) * 1e6) as bigint) - mu6_arr[ii]), " +
+          "load_arr, (d, v) -> cast(d as double) / 1e6 * v), " +
+          "0D, (acc, t) -> acc + t)"), 6).as("pc1"))
   }
 
   /** Greedy k-center (farthest-first traversal, Gonzalez '85) — the
