@@ -1235,6 +1235,11 @@ object SparkEntry {
         Tables.nation(s, dir), Tables.region(s, dir),
         part = Tables.part(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
+    // Spark's BUILT-IN session_window in batch mode, beside the
+    // manual lag+cumsum sessionize; oracle replays the native
+    // exact-gap break (>=, touching windows don't merge)
+    "sessionize_native" -> ((s, dir) =>
+      RelationalOps.sessionizeNative(Tables.events(s, dir))),
     "events_tumbling_agg" -> ((s, dir) =>
       RelationalOps.eventsTumblingAgg(Tables.events(s, dir))
         .withColumn("hour_start", unix_timestamp(col("hour_start")))),
@@ -7288,6 +7293,24 @@ object SparkEntry {
       """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE event_id % 3 = 0""".stripMargin,
+    // the native session_window semantics replayed manually: break on
+    // STRICTLY > gap (touching [t, t+gap) windows merge — measured,
+    // spec-pinned); end = last event + gap
+    "sessionize_native" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events),
+        |o AS (SELECT user_id, ts_us,
+        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev_us
+        |      FROM e),
+        |s AS (SELECT user_id, ts_us,
+        |        sum(CASE WHEN prev_us IS NULL
+        |                   OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY ts_us
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM o)
+        |SELECT user_id, CAST(min(ts_us) AS BIGINT) AS session_start_us,
+        |  CAST(max(ts_us) + 1800000000 AS BIGINT) AS session_end_us,
+        |  count(*) AS n_events
+        |FROM s GROUP BY user_id, sid""".stripMargin,
     "set_intersect_all" ->
       """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
         |INTERSECT ALL

@@ -1514,6 +1514,31 @@ object RelationalOps {
       .select(col("event_id"), col("user_id"), col("session_idx"))
   }
 
+  /** NATIVE session windows — Spark's built-in `session_window` in
+    * BATCH mode, beside the manual lag+cumsum [[sessionize]]: the
+    * same user-keyed gap sessionization expressed as one groupBy over
+    * the merging window function (the form a streaming job uses
+    * unchanged). Exact-gap events MERGE — the [t, t+gap) windows
+    * treat touching as overlap (measured, spec-pinned), so the break
+    * condition is strictly `>`, identical to the manual form; the
+    * oracle replays it, making the boundary a pinned contract instead
+    * of a surprise. session end = last event + gap by definition.
+    *
+    * Scale shape: one user-keyed exchange + sort; the window merge is
+    * a per-partition linear pass (no self-join); output is
+    * session-bounded. */
+  def sessionizeNative(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr("timestamp_micros(ts div 1000L)").as("tts"))
+    e.groupBy(col("user_id"),
+        session_window(col("tts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        expr("unix_micros(sw.start)").as("session_start_us"),
+        expr("unix_micros(sw.end)").as("session_end_us"),
+        col("n_events"))
+  }
+
   /** [[sessionize]] folded to one row per session: user_id,
     * session_idx, [start_ts, end_ts] (exact integer interval
     * arithmetic, no float time), n_events. Same single user_id

@@ -1267,6 +1267,24 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("sessionizeNative: gap merge, exact-gap MERGES (touching windows), over-gap splits") {
+    val m = 60L * 1000 * 1000 * 1000 // one minute in nanos
+    val events = Seq(
+      (1L, 1L, 0L), (2L, 1L, 10 * m), // merge (10 min < 30)
+      (3L, 1L, 40 * m),               // exactly 30 min after: MERGES (touching)
+      (5L, 1L, 71 * m),               // 31 min after: new session
+      (4L, 2L, 0L))
+      .toDF("event_id", "user_id", "ts")
+    val r = RelationalOps.sessionizeNative(events).collect()
+      .map(x => (x.getAs[Long]("user_id"), x.getAs[Long]("session_start_us"),
+        x.getAs[Long]("session_end_us"), x.getAs[Long]("n_events"))).toSet
+    val us = 60L * 1000 * 1000 // one minute in micros
+    assert(r === Set(
+      (1L, 0L, 70 * us, 3L),          // [0, 10, 40] + 30-min gap -> end 70
+      (1L, 71 * us, 101 * us, 1L),    // the 31-min gap opens a new one
+      (2L, 0L, 30 * us, 1L)))
+  }
+
   test("exceptAll/intersectAll: multiset multiplicities subtract and min, never collapse") {
     // A = {x, x, x, y}, B = {x, z}: EXCEPT ALL = {x, x, y},
     // INTERSECT ALL = {x} — the DISTINCT variants would lose the
