@@ -1320,7 +1320,10 @@ object SparkEntry {
     // daily series — one shared window spec, one exchange + one sort
     "events_rank_profile" -> ((s, dir) =>
       RelationalOps.eventsRankProfile(Tables.events(s, dir))),
-    "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir)))
+    "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir))),
+    // exact skewness/kurtosis from integer power sums — the moment
+    // family completed; one map-side-partial agg per type
+    "events_moments" -> ((s, dir) => RelationalOps.eventsMoments(Tables.events(s, dir)))
   )
 
   // ===================== oracle SQL (DuckDB) =====================
@@ -7293,6 +7296,36 @@ object SparkEntry {
       """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE event_id % 3 = 0""".stripMargin,
+    // identical fixed double-expression shape on both engines; power
+    // sums exact HUGEINTs; m2^1.5 spelled m2*sqrt(m2)
+    "events_moments" ->
+      """WITH v AS (SELECT event_type,
+        |        CAST(round(value * 1000) AS BIGINT) AS v3 FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |        CAST(sum(v3) AS BIGINT) AS s1,
+        |        sum(CAST(v3 AS HUGEINT) * v3) AS s2,
+        |        sum(CAST(v3 AS HUGEINT) * v3 * v3) AS s3,
+        |        sum(CAST(v3 AS HUGEINT) * v3 * v3 * v3) AS s4
+        |      FROM v GROUP BY 1),
+        |m AS (SELECT *,
+        |        CAST(s1 AS DOUBLE) / n AS mean,
+        |        CAST(s2 AS DOUBLE) / n AS q2,
+        |        CAST(s3 AS DOUBLE) / n AS q3,
+        |        CAST(s4 AS DOUBLE) / n AS q4
+        |      FROM s),
+        |c AS (SELECT *,
+        |        q2 - mean * mean AS m2,
+        |        q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean AS m3,
+        |        q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+        |          - 3.0 * mean * mean * mean * mean AS m4
+        |      FROM m)
+        |SELECT event_type, n,
+        |  (s1 - ((s1 % n) + n) % n) // n AS mean_milli,
+        |  round(CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) ELSE 0.0 END, 6)
+        |    + 0 AS skewness,
+        |  round(CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 ELSE 0.0 END, 6)
+        |    + 0 AS kurtosis_ex
+        |FROM c""".stripMargin,
     // the native session_window semantics replayed manually: break on
     // STRICTLY > gap (touching [t, t+gap) windows merge — measured,
     // spec-pinned); end = last event + gap

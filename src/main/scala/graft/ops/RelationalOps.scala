@@ -2809,6 +2809,48 @@ object RelationalOps {
         col("cd"), col("first_mm"), col("second_mm"))
   }
 
+  /** Distribution-shape census — exact SKEWNESS and EXCESS KURTOSIS
+    * per type from integer power sums, completing the moment family
+    * beside mean/stddev ([[valueStats]]) and the quantile screens:
+    * the four raw sums Σv, Σv², Σv³, Σv⁴ accumulate EXACTLY (milli
+    * fixed point; decimal(38,0) powers — v⁴ terms hold to ~1e32 rows,
+    * order-free), then the standardized central moments evaluate in
+    * ONE fixed double-expression shape both engines parse identically
+    * (m2^1.5 spelled m2·√m2 — `pow` is libm-implementation-defined,
+    * sqrt is IEEE-exact). Scale-invariance of skew/kurt makes the
+    * milli scaling free. Constant series emit 0/0 explicitly (m2 = 0
+    * is exact there — the power sums divide out).
+    *
+    * Scale shape: ONE map-side-partial agg on the uniform type key;
+    * everything after runs on |types| rows. */
+  def eventsMoments(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v3"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v3")).as("s1"),
+        sum(expr("CAST(CAST(v3 AS DECIMAL(38,0)) * v3 AS DECIMAL(38,0))")).as("s2"),
+        sum(expr("CAST(CAST(v3 AS DECIMAL(38,0)) * v3 * v3 AS DECIMAL(38,0))")).as("s3"),
+        sum(expr("CAST(CAST(v3 AS DECIMAL(38,0)) * v3 * v3 * v3 AS DECIMAL(38,0))")).as("s4"))
+      .withColumn("mean", expr("CAST(s1 AS DOUBLE) / n"))
+      .withColumn("q2", expr("CAST(s2 AS DOUBLE) / n"))
+      .withColumn("q3", expr("CAST(s3 AS DOUBLE) / n"))
+      .withColumn("q4", expr("CAST(s4 AS DOUBLE) / n"))
+      .withColumn("m2", expr("q2 - mean * mean"))
+      .withColumn("m3", expr("q3 - 3.0D * mean * q2 + 2.0D * mean * mean * mean"))
+      .withColumn("m4", expr(
+        "q4 - 4.0D * mean * q3 + 6.0D * mean * mean * q2" +
+          " - 3.0D * mean * mean * mean * mean"))
+      .select(col("event_type"), col("n"),
+        expr("(s1 - pmod(s1, n)) div n").as("mean_milli"),
+        roundn(when(col("m2") > 0.0,
+          col("m3") / (col("m2") * sqrt(col("m2")))).otherwise(lit(0.0)), 6)
+          .as("skewness"),
+        roundn(when(col("m2") > 0.0,
+          col("m4") / (col("m2") * col("m2")) - lit(3.0)).otherwise(lit(0.0)), 6)
+          .as("kurtosis_ex"))
+
   /** Population Stability Index — the industry-standard drift score
     * beside [[valueDrift]]'s KS (distribution shape) and
     * [[mixDrift]]'s chi-square (composition): per type, the early and

@@ -1267,6 +1267,24 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("eventsMoments: hand-computed skew/kurtosis; constant series to explicit zeros") {
+    val rows = Seq(
+      ("sym", 1.0), ("sym", 2.0), ("sym", 3.0),     // skew 0, kurt_ex -1.5
+      ("skw", 0.0), ("skw", 0.0), ("skw", 3.0),     // skew 1/sqrt(2), kurt_ex -1.5
+      ("cst", 5.0), ("cst", 5.0))                   // constant: explicit zeros
+    val events = rows.zipWithIndex
+      .map { case ((t, v), i) => (i.toLong, 1L, i.toLong, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsMoments(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("mean_milli"),
+          x.getAs[Double]("skewness"), x.getAs[Double]("kurtosis_ex")))).toMap
+    assert(r("sym") === ((3L, 2000L, 0.0, -1.5)))
+    assert(r("skw")._3 === 0.707107, "skew of {0,0,3} = 1/sqrt(2)")
+    assert(r("skw")._4 === -1.5)
+    assert(r("cst") === ((2L, 5000L, 0.0, 0.0)))
+  }
+
   test("sessionizeNative: gap merge, exact-gap MERGES (touching windows), over-gap splits") {
     val m = 60L * 1000 * 1000 * 1000 // one minute in nanos
     val events = Seq(
