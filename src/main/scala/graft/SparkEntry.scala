@@ -1323,7 +1323,11 @@ object SparkEntry {
     "events_value_stats" -> ((s, dir) => RelationalOps.valueStats(Tables.events(s, dir))),
     // exact skewness/kurtosis from integer power sums — the moment
     // family completed; one map-side-partial agg per type
-    "events_moments" -> ((s, dir) => RelationalOps.eventsMoments(Tables.events(s, dir)))
+    "events_moments" -> ((s, dir) => RelationalOps.eventsMoments(Tables.events(s, dir))),
+    // rank/dense_rank with real ties on one shared window — gap
+    // semantics and dense compaction both exercised
+    "events_value_ranks" -> ((s, dir) =>
+      RelationalOps.eventsValueRanks(Tables.events(s, dir)))
   )
 
   // ===================== oracle SQL (DuckDB) =====================
@@ -7296,6 +7300,14 @@ object SparkEntry {
       """SELECT user_id, event_type FROM events WHERE event_id % 2 = 0
         |EXCEPT ALL
         |SELECT user_id, event_type FROM events WHERE event_id % 3 = 0""".stripMargin,
+    "events_value_ranks" ->
+      """SELECT event_id, event_type,
+        |  CAST(round(value * 1000) AS BIGINT) AS v3,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type
+        |             ORDER BY CAST(round(value * 1000) AS BIGINT))""".stripMargin,
     // identical fixed double-expression shape on both engines; power
     // sums exact HUGEINTs; m2^1.5 spelled m2*sqrt(m2)
     "events_moments" ->

@@ -2809,6 +2809,28 @@ object RelationalOps {
         col("cd"), col("first_mm"), col("second_mm"))
   }
 
+  /** rank / dense_rank with REAL ties — the two gap-semantics ranking
+    * builtins [[eventsRankProfile]]'s fraction functions and the
+    * row_number tie-breaks elsewhere never exercise: per type, each
+    * event's value rank under both functions on the SAME window
+    * (ties in the milli grid are common, so rank gaps and dense
+    * compaction both actually occur). Tied rows share their rank by
+    * definition, so every output row is deterministic without a
+    * tie-break — the property that makes rank() safe where
+    * row_number() would flake.
+    *
+    * Scale shape: one type-keyed exchange + one sort serving both
+    * functions. */
+  def eventsValueRanks(events: DataFrame): DataFrame = {
+    val byVal = Window.partitionBy(col("event_type"))
+      .orderBy(col("v3"))
+    events
+      .select(col("event_id"), col("event_type"),
+        expr("CAST(round(value * 1000) AS BIGINT)").as("v3"))
+      .withColumn("rnk", rank().over(byVal).cast("long"))
+      .withColumn("drnk", dense_rank().over(byVal).cast("long"))
+  }
+
   /** Distribution-shape census — exact SKEWNESS and EXCESS KURTOSIS
     * per type from integer power sums, completing the moment family
     * beside mean/stddev ([[valueStats]]) and the quantile screens:

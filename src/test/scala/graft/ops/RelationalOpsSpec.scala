@@ -1267,6 +1267,19 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("eventsValueRanks: ties share a rank, rank gaps, dense_rank compacts") {
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 2.0), (4L, "b", 9.0))
+    val events = rows.map { case (id, t, v) => (id, 1L, id, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsValueRanks(events).collect()
+      .map(x => x.getAs[Long]("event_id") ->
+        ((x.getAs[Long]("rnk"), x.getAs[Long]("drnk")))).toMap
+    assert(r(1L) === ((1L, 1L)) && r(2L) === ((1L, 1L)), "tie shares rank 1")
+    assert(r(3L) === ((3L, 2L)), "rank gaps past the tie, dense_rank compacts")
+    assert(r(4L) === ((1L, 1L)))
+  }
+
   test("eventsMoments: hand-computed skew/kurtosis; constant series to explicit zeros") {
     val rows = Seq(
       ("sym", 1.0), ("sym", 2.0), ("sym", 3.0),     // skew 0, kurt_ex -1.5
