@@ -208,8 +208,24 @@ class PersistOpsSpec extends SparkSpec {
     // the ONLY exchange is the final 2-key status agg — the join
     // consumes the bucketed scans directly
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
-    // cleanup: drop the session tables and their warehouse files
+    // the read-side half of the layout story: a point filter on the
+    // bucket column prunes to ONE bucket of 4 — at 100 TB a key
+    // lookup reads 1/nBuckets of the files, no index needed.
+    // DisableUnnecessaryBucketedScan turns the bucketed read off for
+    // a filter-only plan (no distribution consumer), hiding the
+    // pruning — pin it with autoBucketedScan off, as a lookup job
+    // would run it
     val suf = spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val abKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(abKey)
+    try {
+      spark.conf.set(abKey, "false")
+      val pointPlan = spark.table(s"graft_bkt_li_$suf")
+        .filter($"l_orderkey" === 1L).queryExecution.executedPlan.toString
+      assert(pointPlan.contains("SelectedBucketsCount: 1 out of 4"),
+        s"bucket pruning must select one bucket:\n$pointPlan")
+    } finally spark.conf.set(abKey, prev)
+    // cleanup: drop the session tables and their warehouse files
     for (t <- Seq(s"graft_bkt_li_$suf", s"graft_bkt_ord_$suf")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
