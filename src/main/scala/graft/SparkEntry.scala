@@ -1234,6 +1234,28 @@ object SparkEntry {
         Tables.customer(s, dir), Tables.supplier(s, dir),
         Tables.nation(s, dir), Tables.region(s, dir),
         part = Tables.part(s, dir))),
+    // Q11: scalar-sum HAVING over the derived offer book — value
+    // sums through DECIMAL(38,0), threshold compared in exact
+    // integers against the 1-row broadcast total
+    "q11_important_stock" -> ((s, dir) =>
+      RelationalOps.q11ImportantStock(Tables.supplier(s, dir),
+        Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // Q16: COUNT(DISTINCT supplier) per (brand,type,size) with the
+    // complaints NOT IN as a broadcast anti-join
+    "q16_parts_suppliers" -> ((s, dir) =>
+      RelationalOps.q16PartSupplierCounts(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir))),
+    // Q20: nested-IN chain, correlated AVG decorrelated to one
+    // per-part (sum,count) agg joined back (the q17 rewrite)
+    "q20_potential_promotion" -> ((s, dir) =>
+      RelationalOps.q20PotentialPromotion(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir), Tables.nation(s, dir))),
+    // Q9: five-way star join, profit from the derived cost book in
+    // exact cent·pct, truncated dollars out
+    "q9_product_profit" -> ((s, dir) =>
+      RelationalOps.q9ProductTypeProfit(Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.lineitem(s, dir),
+        Tables.orders(s, dir), Tables.nation(s, dir))),
     "window_running_sum" -> ((s, dir) => RelationalOps.runningSumPerUser(Tables.events(s, dir))),
     // Spark's BUILT-IN session_window in batch mode, beside the
     // manual lag+cumsum sessionize; oracle replays the native
@@ -5699,6 +5721,75 @@ object SparkEntry {
         |            AND o.o_orderpriority <> '1-URGENT') AS c_count
         |       FROM customer c)
         |SELECT c_count, count(*) AS custdist FROM co GROUP BY 1""".stripMargin,
+    // the scalar-subquery HAVING stated verbatim over the derived
+    // offer book; value arithmetic in HUGEINT (Spark: DECIMAL(38,0)),
+    // threshold compared in exact integers (value·n > 3·total — the
+    // scale-invariant restatement of TPC-H's per-SF fraction)
+    "q11_important_stock" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cp,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty
+        |       FROM lineitem GROUP BY 1, 2),
+        |slice AS (SELECT ps.* FROM ps
+        |          JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |          JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |          WHERE n.n_name = 'NATION_3'),
+        |pp AS (SELECT l_partkey AS ps_partkey,
+        |         sum(CAST(cost_cp AS HUGEINT) * availqty) AS v
+        |       FROM slice GROUP BY 1)
+        |SELECT ps_partkey, CAST(v AS BIGINT) AS value_cp
+        |FROM pp
+        |WHERE pp.v * (SELECT count(*) FROM pp) >
+        |  3 * (SELECT sum(v) FROM pp)""".stripMargin,
+    // complaints NOT IN stated verbatim (suppkeys non-null, so the
+    // engine's plain anti-join is exactly these semantics)
+    "q16_parts_suppliers" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+        |  count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        |FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+        |WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'MEDIUM%'
+        |  AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |                           WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // the nested-IN chain with BOTH correlated scalars (sum, count)
+    // stated verbatim and compared in exact integers — no float avg
+    "q20_potential_promotion" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty
+        |       FROM lineitem GROUP BY 1, 2)
+        |SELECT s.s_name, n.n_name
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_suppkey IN (
+        |  SELECT ps.l_suppkey FROM ps
+        |  WHERE ps.l_partkey IN (SELECT p_partkey FROM part
+        |                         WHERE p_name LIKE 'red%')
+        |    AND ps.availqty * (SELECT count(*) FROM ps c
+        |                       WHERE c.l_partkey = ps.l_partkey) >
+        |        2 * (SELECT CAST(sum(g.availqty) AS BIGINT) FROM ps g
+        |             WHERE g.l_partkey = ps.l_partkey))""".stripMargin,
+    // five-way star with the derived cost book; profit summed in
+    // HUGEINT, truncated (toward zero, both engines) to dollars
+    "q9_product_profit" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cp
+        |       FROM lineitem GROUP BY 1, 2)
+        |SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |        (100 - CAST(round(l.l_discount * 100) AS BIGINT)) -
+        |        CAST(ps.cost_cp AS HUGEINT) * 100 *
+        |          CAST(round(l.l_quantity) AS BIGINT))
+        |    AS HUGEINT) // 10000 AS BIGINT) AS profit_dollars
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN ps ON ps.l_partkey = l.l_partkey AND ps.l_suppkey = l.l_suppkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE p.p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
     // one price census, two cumulative-weight rank picks
     "weighted_median" ->
       """WITH cen AS (SELECT l_returnflag AS flag,

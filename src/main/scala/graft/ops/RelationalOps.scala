@@ -3579,6 +3579,194 @@ object RelationalOps {
       .orderBy(col("s_suppkey"))
   }
 
+  /** The derived offer book — the partsupp substitute the synthetic
+    * schema lacks, shared by Q2/Q9/Q11/Q16/Q20: a supplier's offer
+    * for a part is its observed sale history in the fact —
+    * `cost_cp` = cheapest sale in exact cents (min of
+    * round(extendedprice·100), the Q2 derivation) and `availqty` =
+    * total quantity shipped (exact integer units). One groupBy on the
+    * uniform (partkey, suppkey) pair key with map-side partials;
+    * callers localCheckpoint when the book feeds two consumers.
+    * Output: (l_partkey, l_suppkey, cost_cp, availqty). */
+  def offerBook(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cp"),
+        sum(round(col("l_quantity")).cast("long")).as("availqty"))
+
+  /** TPC-H Q11 (important stock identification) — the scalar-sum
+    * HAVING subquery: per-part inventory value within one nation's
+    * suppliers, keeping parts whose value exceeds a threshold drawn
+    * from scalar subqueries over the same slice. partsupp derives
+    * from the fact ([[offerBook]]); value = cost_cp · availqty in
+    * exact cent·unit integers, summed through DECIMAL(38,0) (cost ≤
+    * 10⁷ cents × cluster-scale quantities overflows Long; the decimal
+    * stays INTERNAL per the §5.2 hashable-envelope rule — the output
+    * casts the per-part value to BIGINT, safe to ~9.2e18 cent·units,
+    * i.e. ~10⁹× the sf0.1 maximum of 1.2e10).
+    *
+    * The original's fixed fraction (0.0001/SF) is itself
+    * scale-DEPENDENT — TPC-H retunes it per SF — so the adapted
+    * threshold is stated scale-invariantly: keep parts worth more
+    * than `meanMult`× the MEAN per-part value (value·n > mult·total,
+    * exact integers, no float fraction; mult=3 keeps the slice
+    * non-empty and selective at sf0.001/0.01/0.1 — 10/44/448 rows).
+    *
+    * Scale shape: the offer agg shuffles once on the pair key; the
+    * nation slice broadcasts (suppliers are dimension-sized); the
+    * per-part agg reuses the pair shuffle's key prefix; the scalar
+    * (total, count) pair is a 1-row broadcast crossJoin (the q15/q22
+    * convention). */
+  def q11ImportantStock(supplier: DataFrame, lineitem: DataFrame,
+                        nation: DataFrame, nationName: String = "NATION_3",
+                        meanMult: Int = 3): DataFrame = {
+    val supSlice = supplier
+      .join(broadcast(nation.filter(col("n_name") === nationName)
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val perPart = offerBook(lineitem)
+      .join(broadcast(supSlice), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey"),
+        (col("cost_cp").cast("decimal(38,0)") * col("availqty")).as("v"))
+      .groupBy(col("l_partkey").as("ps_partkey"))
+      .agg(sum(col("v")).as("value_dec"))
+      // feeds the scalar total AND the HAVING probe — evaluate once
+      .localCheckpoint(true)
+    val tot = perPart.agg(sum(col("value_dec")).as("t"), count(lit(1)).as("n"))
+    perPart.crossJoin(broadcast(tot))
+      .filter(col("value_dec") * col("n") > col("t") * meanMult)
+      .select(col("ps_partkey"), col("value_dec").cast("long").as("value_cp"))
+      .orderBy(col("value_cp").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q16 (parts/supplier relationship) — COUNT(DISTINCT) over
+    * an anti-joined derived partsupp: how many distinct suppliers
+    * offer each (brand, type, size) combination, excluding one brand,
+    * a type prefix, sizes outside the stated set, and suppliers with
+    * "complaints" (the synthetic schema carries no comment column —
+    * negative account balance stands in, stated in the oracle's
+    * NOT IN verbatim; suppkeys are non-null so the plain anti-join is
+    * exactly NOT IN's semantics here, unlike [[nullAwareAntiJoin]]'s
+    * receipt).
+    *
+    * Scale shape: the distinct pair projection collapses the fact
+    * before anything else; complaints and the filtered part dimension
+    * broadcast; COUNT(DISTINCT suppkey) expands to the standard
+    * two-phase distinct-then-count pair of aggregates on the
+    * (brand, type, size) key — no row explosion. */
+  def q16PartSupplierCounts(part: DataFrame, supplier: DataFrame,
+                            lineitem: DataFrame,
+                            excludeBrand: String = "Brand#1",
+                            excludeTypePrefix: String = "MEDIUM",
+                            sizes: Seq[Int] = Seq(1, 5, 10, 15, 20, 25, 30, 35)): DataFrame = {
+    val ps = lineitem.select(col("l_partkey"), col("l_suppkey")).distinct()
+    val complaints = supplier.filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val p = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        !col("p_type").startsWith(excludeTypePrefix) &&
+        col("p_size").isin(sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    ps.join(broadcast(complaints), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
+  /** TPC-H Q20 (potential part promotion) — the nested-IN chain with
+    * a correlated AVG threshold: suppliers holding an OUTSIZED share
+    * of some red part's volume. The original's
+    * `availqty > 0.5 · qty-shipped-in-year` is vacuous under the
+    * derived offer book (availability IS total shipped, which bounds
+    * any year), so the threshold adapts while the shape stays: keep
+    * pairs whose availqty exceeds TWICE the part's mean per-supplier
+    * availqty — the oracle states it as two correlated scalar
+    * subqueries (sum and count over the part's offers) compared in
+    * exact integers (availqty·cnt > 2·sum — no float avg boundary),
+    * and the engine decorrelates both into ONE per-part (sum, count)
+    * aggregate joined back, the q17 rewrite.
+    *
+    * Scale shape: the red-part filter broadcasts into the offer book
+    * BEFORE the per-part stats, so the agg runs over the name slice;
+    * the book is checkpointed (it feeds the stats and the probe); the
+    * qualifying-supplier set is distinct-collapsed then semi-joined
+    * into the supplier dimension; nation broadcasts for the label. */
+  def q20PotentialPromotion(part: DataFrame, supplier: DataFrame,
+                            lineitem: DataFrame, nation: DataFrame,
+                            namePrefix: String = "red"): DataFrame = {
+    val redParts = part.filter(col("p_name").startsWith(namePrefix))
+      .select(col("p_partkey"))
+    val redOffers = offerBook(lineitem)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), col("availqty"))
+      // feeds the per-part stats AND the threshold probe
+      .localCheckpoint(true)
+    val stats = redOffers.groupBy(col("l_partkey").as("g_partkey"))
+      .agg(sum(col("availqty")).as("qsum"), count(lit(1)).as("qcnt"))
+    val qualifying = redOffers
+      .join(stats, col("l_partkey") === col("g_partkey"))
+      .filter(col("availqty") * col("qcnt") > col("qsum") * 2)
+      .select(col("l_suppkey")).distinct()
+    supplier
+      .join(qualifying, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"))
+      .orderBy(col("s_name"))
+  }
+
+  /** TPC-H Q9 (product type profit) — the five-way star join with a
+    * derived-cost profit measure: for parts whose name contains the
+    * color token, profit = Σ (extendedprice·(1−discount) −
+    * supplycost·quantity) per (supplier nation, order year), with
+    * supplycost from the [[offerBook]]'s cheapest-sale derivation.
+    * All arithmetic exact: revenue in cent·pct, cost lifted to the
+    * same unit (cost_cp·100·qty), per-row amounts fit Long (≤ ~10⁹)
+    * but the per-group sum goes through DECIMAL(38,0) (§5.2 envelope
+    * — a 100 TB year·nation group overflows Long), and the output
+    * truncates to whole dollars via `div 10000` — BOTH engines'
+    * integer division truncates toward zero (Spark `div`, DuckDB
+    * `//`), so the negative profits this cost model produces agree
+    * bit-for-bit.
+    *
+    * Scale shape: the name filter broadcasts into the fact FIRST
+    * (the dominant prune); the offer book joins on the pair key the
+    * fact already carries; orders joins on orderkey (the one big
+    * shuffle); supplier and nation broadcast; the final agg key
+    * (nation, year) is tiny and uniform. */
+  def q9ProductTypeProfit(part: DataFrame, supplier: DataFrame,
+                          lineitem: DataFrame, orders: DataFrame,
+                          nation: DataFrame, nameToken: String = "red"): DataFrame = {
+    val p = part.filter(col("p_name").contains(nameToken)).select(col("p_partkey"))
+    val costs = offerBook(lineitem)
+      .select(col("l_partkey").as("c_partkey"), col("l_suppkey").as("c_suppkey"),
+        col("cost_cp"))
+    lineitem
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(costs, col("l_partkey") === col("c_partkey") &&
+        col("l_suppkey") === col("c_suppkey"))
+      .join(orders.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")) -
+          col("cost_cp") * 100L * round(col("l_quantity")).cast("long"))
+          .cast("decimal(38,0)").as("amount"))
+      .groupBy(col("nation"), col("o_year"))
+      .agg(sum(col("amount")).as("profit_dec"))
+      .select(col("nation"), col("o_year"),
+        expr("CAST(profit_dec div 10000 AS BIGINT)").as("profit_dollars"))
+      .orderBy(col("nation"), col("o_year"))
+  }
+
   /** TPC-H Q13 (customer distribution) — the correlated COUNT
     * subquery as a histogram: how many customers placed exactly N
     * qualifying orders (priority filter standing in for the comment

@@ -1267,6 +1267,83 @@ class RelationalOpsSpec extends SparkSpec {
       ("S1", 1L, 1000L, 100.0), ("S1", 2L, 500L, 100.0), ("S2", 1L, 1000L, 50.0)))
   }
 
+  test("q11ImportantStock: nation slice only; value·n > 3·total keeps the outsized part") {
+    val nation = Seq((1L, "NATION_3"), (2L, "NX")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, 1L), (2L, 2L)).toDF("s_suppkey", "s_nationkey")
+    // s1 (in-nation): p1..p5 worth 1000 each, p6 worth 100000
+    // (cost 10000 cp × avail 10) — mean 17500, only p6 > 3× mean.
+    // s2's p7 row is out-of-nation and must not enter the total.
+    val lineitem =
+      ((1L to 5L).map(p => (p, 1L, 10.0, 1.0)) ++
+        Seq((6L, 1L, 100.0, 10.0), (7L, 2L, 500.0, 100.0)))
+        .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val r = RelationalOps.q11ImportantStock(supplier, lineitem, nation)
+      .collect().map(x =>
+        x.getAs[Long]("ps_partkey") -> x.getAs[Long]("value_cp"))
+    assert(r.toSeq === Seq(6L -> 100000L))
+  }
+
+  test("q16PartSupplierCounts: complaints/brand/type/size excluded; suppliers distinct") {
+    val part = Seq(
+      (1L, "Brand#2", "STANDARD", 5),  // in
+      (2L, "Brand#1", "STANDARD", 5),  // excluded brand
+      (3L, "Brand#2", "MEDIUMX", 5),   // excluded type prefix
+      (4L, "Brand#2", "STANDARD", 7))  // size outside the set
+      .toDF("p_partkey", "p_brand", "p_type", "p_size")
+    val supplier = Seq((1L, 10.0), (2L, -5.0), (3L, 0.0))
+      .toDF("s_suppkey", "s_acctbal")
+    val lineitem = Seq(
+      (1L, 1L), (1L, 1L), // duplicate pair counts once
+      (1L, 2L),           // complaint supplier -> NOT IN drops
+      (1L, 3L),
+      (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("l_partkey", "l_suppkey")
+    val r = RelationalOps.q16PartSupplierCounts(part, supplier, lineitem)
+      .collect().map(x => (x.getAs[String]("p_brand"), x.getAs[String]("p_type"),
+        x.getAs[Long]("p_size"), x.getAs[Long]("supplier_cnt")))
+    assert(r.toSeq === Seq(("Brand#2", "STANDARD", 5L, 2L)))
+  }
+
+  test("q20PotentialPromotion: only the over-2×-mean holder of a red part qualifies") {
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, "S1", 1L), (2L, "S2", 1L), (3L, "S3", 1L), (4L, "S4", 1L))
+      .toDF("s_suppkey", "s_name", "s_nationkey")
+    val part = Seq((1L, "red bolt"), (2L, "blue bolt"))
+      .toDF("p_partkey", "p_name")
+    // red p1: avail 10/1/1 -> mean 4, threshold 2×mean=8: only S1.
+    // blue p2: S4 holds 100 but the part is not red -> excluded.
+    val lineitem = Seq(
+      (1L, 1L, 1.0, 10.0), (1L, 2L, 1.0, 1.0), (1L, 3L, 1.0, 1.0),
+      (2L, 4L, 1.0, 100.0))
+      .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    val r = RelationalOps.q20PotentialPromotion(part, supplier, lineitem, nation)
+      .collect().map(x => (x.getAs[String]("s_name"), x.getAs[String]("n_name")))
+    assert(r.toSeq === Seq(("S1", "N1")))
+  }
+
+  test("q9ProductTypeProfit: derived min-cost book; negative sum truncates toward zero") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val nation = Seq((1L, "N1")).toDF("n_nationkey", "n_name")
+    val supplier = Seq((1L, 1L)).toDF("s_suppkey", "s_nationkey")
+    val part = Seq((1L, "dark red gear"), (2L, "blue gear"))
+      .toDF("p_partkey", "p_name")
+    val orders = Seq((1L, ts("1996-03-01"))).toDF("o_orderkey", "o_orderdate")
+    // cost book for (p1,s1): min(1000, 2000) = 1000 cp.
+    // line1: 1000·100 − 1000·100·1 = 0
+    // line2: 2000·(100−13) − 1000·100·2 = −26000 cent·pct
+    // sum −26000 div 10000 = −2 (truncation toward zero; floor is −3)
+    val lineitem = Seq(
+      (1L, 1L, 1L, 10.0, 0.0, 1.0),
+      (1L, 1L, 1L, 20.0, 0.13, 2.0),
+      (1L, 2L, 1L, 99.0, 0.0, 1.0)) // non-red part: excluded
+      .toDF("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+    val r = RelationalOps.q9ProductTypeProfit(part, supplier, lineitem, orders, nation)
+      .collect().map(x => (x.getAs[String]("nation"), x.getAs[Long]("o_year"),
+        x.getAs[Long]("profit_dollars")))
+    assert(r.toSeq === Seq(("N1", 1996L, -2L)))
+  }
+
   test("eventsValueRanks: ties share a rank, rank gaps, dense_rank compacts") {
     val rows = Seq(
       (1L, "a", 1.0), (2L, "a", 1.0), (3L, "a", 2.0), (4L, "b", 9.0))
