@@ -967,6 +967,34 @@ object SparkEntry {
       VectorOps.ivfTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe, k = 3,
         centroids = Some(s.read.parquet(tmp)), nAssign = nAssign)
     }),
+    // incremental ANN ingest (the reference's index.add loop,
+    // app_callapi.py:139-148): vectors with vec_id%10 >= 8 arrive as
+    // the new batch; the codebook + base assignments persist to
+    // parquet, the batch map-side assigns to the RELOADED codebook
+    // (broadcast centroids — cost ∝ batch), and the merged index
+    // answers the flagship IVF query. The oracle recomputes the FULL
+    // REBUILD against the same base-trained codebook — a green row IS
+    // the merged ≡ rebuild identity (the dedup_incremental
+    // convention applied to the ANN tier)
+    "ann_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val base = emb.filter(col("vec_id") % 10 < 8)
+      val batch = emb.filter(col("vec_id") % 10 >= 8)
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(base, iters = 2)
+      val (nProbe, nAssign) = VectorOps.probePolicy(kCells)
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_annincr_" +
+        s.sparkContext.applicationId
+      cent.write.mode("overwrite").parquet(s"$tmp/cent")
+      VectorOps.cellRanks(base, cent, "vec_id")
+        .filter(col("cell_rank") <= nAssign)
+        .select(col("vec_id"), col("c_label"))
+        .write.mode("overwrite").parquet(s"$tmp/assigned")
+      cleanupOnExit(tmp)
+      VectorOps.ivfIncrementalTopK(emb, emb.filter(col("vec_id") < 10),
+        baseAssigned = s.read.parquet(s"$tmp/assigned"),
+        cent = s.read.parquet(s"$tmp/cent"),
+        batch = batch, nProbe = nProbe, k = 3, nAssign = nAssign)
+    }),
     // filtered vector search: the label % 2 = 0 predicate enters the
     // ASSIGNMENT list (pre-filter — every candidate and result slot
     // satisfies it), the codebook stays the full-corpus one (cells
@@ -2047,6 +2075,49 @@ object SparkEntry {
       |         FROM cd2) WHERE rn = 1),
       |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
       |         FROM dims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
+      |cd AS (
+      |  SELECT d.vec_id, c.c_label,
+      |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
+      |  FROM dims d JOIN cent c USING (dim) GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT vec_id, c_label,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+      |  FROM cd)""".stripMargin
+
+  /** [[duckSqrtCells]] trained on the BASE slice (vec_id % 10 < 8)
+    * only — seeds, both Lloyd rounds and the final centroids never
+    * see the batch — but with `cd`/`ranked` assigning ALL vectors
+    * against that codebook: the FULL-REBUILD twin whose answers
+    * ann_incremental's merged (persisted-base ∪ map-side-batch)
+    * index must reproduce bit-for-bit. */
+  private val duckSqrtCellsIncr =
+    """dims AS (
+      |  SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+      |         CAST(embedding[u.i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+      |bdims AS (SELECT * FROM dims WHERE vec_id % 10 < 8),
+      |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+      |       FROM embeddings WHERE vec_id % 10 < 8),
+      |c0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
+      |       FROM bdims WHERE vec_id < (SELECT k FROM kk)),
+      |cd1 AS (SELECT d.vec_id, c.c_id,
+      |          round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+      |        FROM bdims d JOIN c0 c USING (dim) GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, c_id FROM (
+      |         SELECT vec_id, c_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |         FROM cd1) WHERE rn = 1),
+      |c1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
+      |       FROM bdims d JOIN a1 a USING (vec_id) GROUP BY 1, 2),
+      |cd2 AS (SELECT d.vec_id, c.c_id,
+      |          round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+      |        FROM bdims d JOIN c1 c USING (dim) GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, c_id FROM (
+      |         SELECT vec_id, c_id,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+      |         FROM cd2) WHERE rn = 1),
+      |cent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
+      |         FROM bdims d JOIN a2 a USING (vec_id) GROUP BY 1, 2),
       |cd AS (
       |  SELECT d.vec_id, c.c_label,
       |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
@@ -4840,6 +4911,30 @@ object SparkEntry {
          |cand AS (
          |  -- DISTINCT: with nAssign=2 a (query, vec) pair can meet in
          |  -- two cells (Spark side deduplicates identically)
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a USING (c_label)
+         |  WHERE a.vec_id <> p.query_id),
+         |scored AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM cand c
+         |  JOIN embeddings e ON e.vec_id = c.vec_id
+         |  JOIN embeddings q ON q.vec_id = c.query_id),
+         |r AS (SELECT query_id, vec_id, cos_sim,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rank
+         |      FROM scored)
+         |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // the full-rebuild twin: base-trained codebook, ALL vectors
+    // assigned — equality with the engine's merged incremental index
+    // IS the merged ≡ rebuild receipt
+    "ann_incremental" ->
+      s"""WITH $duckSqrtCellsIncr,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |probes AS (SELECT vec_id AS query_id, c_label FROM ranked
+         |           WHERE rn <= greatest(3, CAST(ceil((SELECT k FROM kk) / 16.0) AS BIGINT))
+         |             AND vec_id < 10),
+         |cand AS (
          |  SELECT DISTINCT p.query_id, a.vec_id
          |  FROM probes p JOIN assigned a USING (c_label)
          |  WHERE a.vec_id <> p.query_id),

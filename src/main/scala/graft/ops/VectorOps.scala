@@ -706,6 +706,20 @@ object VectorOps {
     val assigned = cellRanks(corpus, cent, "vec_id")
       .filter(col("cell_rank") <= nAssign)
       .select(col("vec_id"), col("c_label"))
+    ivfTopKFromIndex(corpus, queries, assigned, cent, nProbe, k)
+  }
+
+  /** The probe/score/rank half of [[ivfTopK]] against a PRECOMPUTED
+    * assignment table (vec_id, c_label) — the entry point an
+    * incremental or persisted index uses: the caller owns how the
+    * assignment list was built (fresh [[cellRanks]], a parquet
+    * reload, or a persisted-base ∪ map-side-assigned-batch union);
+    * this half only probes cells, scores candidates and ranks.
+    * Identical plan shape to the inlined form it was factored from:
+    * cell equi-join for candidates (never all-pairs), broadcast
+    * 1-row-per-query build side, rank window per query. */
+  def ivfTopKFromIndex(corpus: DataFrame, queries: DataFrame, assigned: DataFrame,
+                       cent: DataFrame, nProbe: Int, k: Int): DataFrame = {
     val probes = cellRanks(queries, cent, "query_id")
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("c_label"))
@@ -726,6 +740,43 @@ object VectorOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"))
+  }
+
+  /** Incremental ANN ingest — the reference's defining maintenance
+    * loop (app_callapi.py:139-148: unchanged files skipped, new
+    * paragraphs embedded and `index.add`-ed with NO rebuild) applied
+    * to the IVF tier, the way [[graft.ops.DedupOps.incrementalCandidatesFromIndex]]
+    * already does it for the dedup tier: the PERSISTED codebook stays
+    * fixed, the arriving batch map-side assigns to it (broadcast
+    * centroids — cost ∝ batch, never ∝ corpus), and the merged index
+    * is persisted-base-assignments ∪ batch-assignments.
+    *
+    * The identity this pins (and the oracle recomputes): cell
+    * assignment is a pure per-vector function of the codebook, so
+    * assign(base) ∪ assign(batch) ≡ assign(base ∪ batch) — a merged
+    * index answers every query BIT-IDENTICALLY to a full rebuild
+    * against the same codebook. What an incremental add does NOT
+    * refresh is the codebook itself: as the batch distribution
+    * drifts, cells go stale (recall decays, cells skew) —
+    * [[embeddingDrift]] is the tripwire that schedules the re-Lloyd
+    * (see SCALE.md).
+    *
+    * @param baseAssigned the persisted index: (vec_id, c_label) of
+    *                     already-ingested vectors
+    * @param cent         the persisted codebook the base was built with
+    * @param batch        newly arriving vectors (vec_id, embedding)
+    * @param nAssign      multi-assignment width — must match the
+    *                     base's or merged ≠ rebuild */
+  def ivfIncrementalTopK(corpus: DataFrame, queries: DataFrame,
+                         baseAssigned: DataFrame, cent: DataFrame,
+                         batch: DataFrame, nProbe: Int, k: Int,
+                         nAssign: Int): DataFrame = {
+    val batchAssigned = cellRanks(batch, cent, "vec_id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("vec_id"), col("c_label"))
+    val merged = baseAssigned.select(col("vec_id"), col("c_label"))
+      .unionByName(batchAssigned)
+    ivfTopKFromIndex(corpus, queries, merged, cent, nProbe, k)
   }
 
   /** Attribute-FILTERED ANN — metadata predicate + vector search in

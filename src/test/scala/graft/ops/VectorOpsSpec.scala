@@ -89,6 +89,35 @@ class VectorOpsSpec extends SparkSpec {
     assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
   }
 
+  test("ivfIncrementalTopK: merged (base ∪ map-side batch) index ≡ full rebuild") {
+    // 12 vectors over 3 rough directions; base = first 9, batch = last 3.
+    // The identity under test: cell assignment is a pure per-vector
+    // function of the (frozen) codebook, so assign(base) ∪ assign(batch)
+    // must answer every query bit-identically to assign(base ∪ batch).
+    val all = (0L until 12L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array(0.05f * i, 0.05f * ((i * 7) % 5), 0.05f * ((i * 3) % 4))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val base = all.filter($"vec_id" < 9)
+    val batch = all.filter($"vec_id" >= 9)
+    val cent = VectorOps.kmeansCells(base, k = 3, iters = 2)
+    val queries = all.filter($"vec_id".isin(0L, 4L, 11L))
+
+    val baseAssigned = VectorOps.cellRanks(base, cent, "vec_id")
+      .filter($"cell_rank" <= 2).select($"vec_id", $"c_label")
+    val merged = VectorOps.ivfIncrementalTopK(all, queries,
+        baseAssigned = baseAssigned, cent = cent, batch = batch,
+        nProbe = 2, k = 3, nAssign = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    val rebuild = VectorOps.ivfTopK(all, queries, nProbe = 2, k = 3,
+        centroids = Some(cent), nAssign = 2)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(merged === rebuild)
+    assert(merged.nonEmpty)
+  }
+
   test("ivfFilteredTopK: every result satisfies the predicate; equals filtered brute force") {
     // query 0 = (1,0,0): its true nearest is 2 (label 1) — a
     // post-filter of the unfiltered top-k would waste a slot on it;
