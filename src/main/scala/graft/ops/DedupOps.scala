@@ -1442,9 +1442,16 @@ object DedupOps {
     * the corpus; the canonical window partitions by cluster over that
     * table only, and the attribute join back to `documents` is
     * doc_id-keyed (broadcastable cluster side at 100 TB). */
-  def goldenRecord(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val clusters = dedupClusters(docs, minJaccard)
-      .select(col("doc_id"), col("component_id").as("cluster_id"))
+  def goldenRecord(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    goldenRecordFromClusters(docs, dedupClusters(docs, minJaccard)
+      .select(col("doc_id"), col("component_id").as("cluster_id")))
+
+  /** The survivorship half of [[goldenRecord]] against a PRECOMPUTED
+    * cluster table (doc_id, cluster_id) — the entry point a persisted
+    * clustering artifact uses, so the star-contraction spend is paid
+    * once per corpus, not once per consumer (dedup_clusters stays the
+    * live full-depth receipt). */
+  def goldenRecordFromClusters(docs: DataFrame, clusters: DataFrame): DataFrame = {
     val membered = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .join(broadcast(clusters), "doc_id")
@@ -1480,10 +1487,19 @@ object DedupOps {
     * Scale shape: both generators are candidate-based (never N²); the
     * agreement join runs over the two pair lists, tiny vs the corpus.
     * An empty union guards to agreement 10⁶ (vacuously aligned). */
-  def dedupTierAgreement(docs: DataFrame): DataFrame = {
-    val mh = nearDupVerified(docs).select(col("a_id"), col("b_id"))
+  def dedupTierAgreement(docs: DataFrame): DataFrame =
+    dedupTierAgreementFromPairs(
+      nearDupVerified(docs).select(col("a_id"), col("b_id")),
+      embeddingNearDup(docs).select(col("a_id"), col("b_id")))
+
+  /** The agreement join against PRECOMPUTED pair sets — the entry
+    * point persisted tier artifacts use (each tier's pair table is
+    * the thing a production pipeline materializes anyway; the live
+    * tier receipts keep measuring their own full spend). */
+  def dedupTierAgreementFromPairs(mhPairs: DataFrame, emPairs: DataFrame): DataFrame = {
+    val mh = mhPairs.select(col("a_id"), col("b_id"))
       .withColumn("in_mh", lit(true))
-    val em = embeddingNearDup(docs).select(col("a_id"), col("b_id"))
+    val em = emPairs.select(col("a_id"), col("b_id"))
       .withColumn("in_em", lit(true))
     mh.join(em, Seq("a_id", "b_id"), "full_outer")
       .select(coalesce(col("in_mh"), lit(false)).as("in_mh"),

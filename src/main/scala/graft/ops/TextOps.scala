@@ -1839,8 +1839,28 @@ object TextOps {
     * generate + broadcast equi-join + (word, pos)-keyed argmax. */
   def unigramEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                     maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
-    val micro = (c: Column) => round(c * 1000000).cast("long")
     val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    unigramViterbi(words, unigramModelOf(words, vocabSize), maxPieceLen, maxWordLen)
+      .join(words, "word")
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
+      .select(col("word"), col("wc"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"),
+        col("pieces"), col("score_mu"))
+  }
+
+  /** The unigram-LM tokenizer AS AN ARTIFACT — (piece, w_mu) integer-
+    * micro log-probs over the top-V multi-char pieces ∪ the single-
+    * char floor: the table a production pipeline persists after the
+    * census spend (exact Longs, so the parquet round-trip is
+    * bit-identical and reload ≡ retrain is pinnable). */
+  def unigramModel(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
+                   maxWordLen: Int = 16): DataFrame =
+    unigramModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(true),
+      vocabSize, maxPieceLen)
+
+  private def unigramModelOf(words: DataFrame, vocabSize: Int = 48,
+                             maxPieceLen: Int = 4): DataFrame = {
+    val micro = (c: Column) => round(c * 1000000).cast("long")
     val multi = wordpiecePieces(words, maxPieceLen)
       .orderBy(col("score").desc, col("piece")).limit(vocabSize)
     val chars = words
@@ -1848,11 +1868,41 @@ object TextOps {
       .select(expr("substring(word, s, 1)").as("piece"), col("wc"))
       .groupBy(col("piece")).agg(sum(col("wc")).as("score"))
     val scored = multi.unionByName(chars)
-    val vocab = scored
+    scored
       .crossJoin(broadcast(scored.agg(sum(col("score")).as("tot"))))
       .select(col("piece"),
         micro(log(col("score").cast("double") / col("tot").cast("double"))).as("w_mu"))
+  }
+
+  /** The Viterbi apply half against a (possibly reloaded) model —
+    * the bounded-sample re-answer a persisted artifact uses: only the
+    * `topWords` most frequent census words run the dp (segmentation
+    * is per-word independent, so the restriction commutes with the
+    * full-census dp — the oracle computes full-census-then-limit). */
+  def unigramEncodeFromModel(docs: DataFrame, model: DataFrame, topWords: Int = 16,
+                             maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                             maxSampleLen: Int = 8): DataFrame = {
+    // the sample is ALSO length-bounded: dp depth = longest sampled
+    // word, so capping at 8 chars halves the round count vs the
+    // 16-char census cap — the re-answer stays a real Viterbi replay
+    val words = wordpieceCensus(docs, maxWordLen)
+      .filter(length(col("word")) <= maxSampleLen)
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
       .localCheckpoint(true)
+    unigramViterbi(words, model, maxPieceLen, maxWordLen)
+      .join(words, "word")
+      .orderBy(col("wc").desc, col("word"))
+      .select(col("word"), col("wc"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"),
+        col("pieces"), col("score_mu"))
+  }
+
+  /** The dp loop shared by [[unigramEncode]] and
+    * [[unigramEncodeFromModel]]: Bellman-Ford over the segmentation
+    * DAG, one best (score, pieces) per (word, pos) per round. */
+  private def unigramViterbi(words: DataFrame, model: DataFrame,
+                             maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val vocab = model.localCheckpoint(true)
     var states = words.select(col("word"), lit(0).as("pos"),
       lit("").as("pieces"), lit(0L).as("score_mu"))
     val w = Window.partitionBy(col("word"), col("pos"))
@@ -1882,11 +1932,6 @@ object TextOps {
       r += 1
     }
     states.filter(col("pos") === length(col("word")))
-      .join(words, "word")
-      .orderBy(col("wc").desc, col("word")).limit(topWords)
-      .select(col("word"), col("wc"),
-        size(split(col("pieces"), " ")).cast("long").as("n_pieces"),
-        col("pieces"), col("score_mu"))
   }
 
   /** Tokenizer FERTILITY comparison — the number a tokenizer review
@@ -1947,18 +1992,76 @@ object TextOps {
   def wordpieceEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                       maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
     val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val vocab = wordpieceModelOf(words, vocabSize, maxPieceLen)
+      .select(col("piece")).distinct()
+    wordpieceGreedy(words, vocab, maxPieceLen, maxWordLen)
+      .join(words, "word")
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
+      .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
+  }
+
+  /** The WordPiece tokenizer AS AN ARTIFACT — the table a production
+    * pipeline persists and ships: kind 'm' = the top-V multi-char
+    * pieces with their (score, rank), kind 'c' = the single-char
+    * completeness floor (score/rank 0). Exact Longs + strings, so the
+    * parquet round-trip is bit-identical — reload ≡ retrain pinnable
+    * by hashing every row. */
+  def wordpieceModel(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
+                     maxWordLen: Int = 16): DataFrame =
+    wordpieceModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(true),
+      vocabSize, maxPieceLen)
+
+  private def wordpieceModelOf(words: DataFrame, vocabSize: Int,
+                               maxPieceLen: Int): DataFrame = {
+    // top-V first (TakeOrderedAndProject — never a global window over
+    // the whole piece census), then rank the V survivors only
     val multi = wordpiecePieces(words, maxPieceLen)
       .orderBy(col("score").desc, col("piece")).limit(vocabSize)
-      .select(col("piece"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("piece"))).cast("long"))
+      .select(lit("m").as("kind"), col("piece"), col("score"), col("rank"))
     val chars = words
       .withColumn("s", explode(sequence(lit(1), length(col("word")))))
       .select(expr("substring(word, s, 1)").as("piece")).distinct()
-    val vocab = multi.unionByName(chars).distinct().localCheckpoint(true)
+      .select(lit("c").as("kind"), col("piece"),
+        lit(0L).as("score"), lit(0L).as("rank"))
+    multi.unionByName(chars)
+  }
+
+  /** The greedy apply half against a (possibly reloaded) model — the
+    * bounded-sample re-answer a persisted artifact uses: only the
+    * `topWords` most frequent census words run the greedy loop
+    * (per-word independent, so the restriction commutes with the
+    * full-census encode — the oracle computes full-then-limit). */
+  def wordpieceEncodeFromModel(docs: DataFrame, model: DataFrame, topWords: Int = 16,
+                               maxPieceLen: Int = 4, maxWordLen: Int = 16,
+                               maxSampleLen: Int = 8): DataFrame = {
+    // length-bounded sample (see unigramEncodeFromModel): greedy
+    // needs ≤ maxSampleLen rounds, so run them FIXED with no
+    // per-round isEmpty probe — each probe is a driver job, and on a
+    // 16-word frontier the probes cost more than the spared rounds
+    val words = wordpieceCensus(docs, maxWordLen)
+      .filter(length(col("word")) <= maxSampleLen)
+      .orderBy(col("wc").desc, col("word")).limit(topWords)
+      .localCheckpoint(true)
+    wordpieceGreedy(words, model.select(col("piece")).distinct(),
+        maxPieceLen, maxSampleLen, probeEmpty = false)
+      .join(words, "word")
+      .orderBy(col("wc").desc, col("word"))
+      .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
+  }
+
+  /** The greedy longest-match loop shared by [[wordpieceEncode]] and
+    * [[wordpieceEncodeFromModel]]. */
+  private def wordpieceGreedy(words: DataFrame, pieceVocab: DataFrame,
+                              maxPieceLen: Int, maxWordLen: Int,
+                              probeEmpty: Boolean = true): DataFrame = {
+    val vocab = pieceVocab.localCheckpoint(true)
     var frontier = words.select(col("word"), lit(0).as("pos"),
       lit("").as("pieces"), lit(0L).as("n_pieces"))
     var done = frontier.filter(lit(false))
     var r = 0
-    while (r < maxWordLen && !frontier.isEmpty) {
+    while (r < maxWordLen && (!probeEmpty || !frontier.isEmpty)) {
       val best = frontier
         .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
         .filter(col("pos") + col("plen") <= length(col("word")))
@@ -1979,9 +2082,7 @@ object TextOps {
       if (r % 4 == 3) frontier = frontier.localCheckpoint(true)
       r += 1
     }
-    done.join(words, "word")
-      .orderBy(col("wc").desc, col("word")).limit(topWords)
-      .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
+    done
   }
   /** TextRank keyword extraction (Mihalcea & Tarau '04) — the
     * GRAPH-centrality member of the keyword family

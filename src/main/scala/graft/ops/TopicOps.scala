@@ -141,9 +141,15 @@ object TopicOps {
     * (doc, top-word) rows (≤ k·topN words); everything downstream is
     * ≤ k·C(topN,2)-row arithmetic. */
   def topicCoherence(docs: DataFrame, k: Int = 4, rounds: Int = 6,
-                     topN: Int = 8): DataFrame = {
-    import graft.functions.VectorMath.roundn
-    val tw = plsaTopics(docs, k, rounds, topN)
+                     topN: Int = 8): DataFrame =
+    topicCoherenceFromTopics(docs, plsaTopics(docs, k, rounds, topN))
+
+  /** The audit half of [[topicCoherence]] against a PRECOMPUTED
+    * topic-word table (topic, tok, …) — the entry point a persisted
+    * φ artifact uses (reload → [[plsaTopicsFromPhi]] → this), so the
+    * EM spend is paid once per corpus, not once per audit. */
+  def topicCoherenceFromTopics(docs: DataFrame, topics: DataFrame): DataFrame = {
+    val tw = topics
       .select(col("topic"), col("tok")).localCheckpoint(true)
     val toks = EmbedOps.tokenize(docs).select(col("doc_id"), col("tok"))
     val dw = toks.join(broadcast(tw.select(col("tok")).distinct()), "tok")

@@ -86,6 +86,36 @@ class ModelPersistSpec extends SparkSpec {
     assert(fresh === dump(TextOps.bpeEncodedVocab(docs, rounds = 4, k = 10)))
   }
 
+  test("WordPiece: reloaded vocab re-encodes the sample identically to the full encode") {
+    val docs = corpus
+    val model = TextOps.wordpieceModel(docs)
+    val kinds = model.groupBy("kind").count().as[(String, Long)].collect().toMap
+    assert(kinds.keySet === Set("m", "c"))
+    val fresh = dump(TextOps.wordpieceEncodeFromModel(docs, model, topWords = 8))
+    val reloaded =
+      dump(TextOps.wordpieceEncodeFromModel(docs, roundtrip(model, "wp"), topWords = 8))
+    assert(reloaded === fresh)
+    // the bounded sample agrees row-for-row with the full encode's
+    // segmentation of the same words (restriction commutes)
+    val full = TextOps.wordpieceEncode(docs, topWords = 1000000)
+      .filter(org.apache.spark.sql.functions.length($"word") <= 8)
+      .orderBy($"wc".desc, $"word").limit(8)
+    assert(fresh === dump(full))
+  }
+
+  test("unigram LM: reloaded (piece, w_mu) table Viterbi-decodes identically") {
+    val docs = corpus
+    val model = TextOps.unigramModel(docs)
+    val fresh = dump(TextOps.unigramEncodeFromModel(docs, model, topWords = 8))
+    val reloaded =
+      dump(TextOps.unigramEncodeFromModel(docs, roundtrip(model, "ug"), topWords = 8))
+    assert(reloaded === fresh)
+    val full = TextOps.unigramEncode(docs, topWords = 1000000)
+      .filter(org.apache.spark.sql.functions.length($"word") <= 8)
+      .orderBy($"wc".desc, $"word").limit(8)
+    assert(fresh === dump(full))
+  }
+
   test("GD classifier: reloaded trajectory scores bit-identically") {
     val docs = corpus
     val model = ClassifierOps.qualityModel(docs, minChars = 120)
