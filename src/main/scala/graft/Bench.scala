@@ -93,8 +93,12 @@ object Bench {
       s""","queries_min":${jsonMap(mapped(ts => if (ts.contains(-1.0)) -1.0 else ts.min))}""" +
       s""","queries_spread":${jsonMap(mapped(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min))}}""")
     // the ONE stdout line stays compact AND last: totals + the top-20
-    // slowest medians (~1 KB) always fit the driver's tail window
-    val top20 = mapped(median).toSeq.sortBy { case (_, m) => -m }.take(20)
+    // slowest medians (~1 KB) always fit the driver's tail window.
+    // FAILED queries (-1 sentinel) would sort LAST and vanish from a
+    // plain top-20 cut — surface them first so a failure is always
+    // visible on stdout, not only via the poisoned total
+    val (failed, succeeded) = mapped(median).toSeq.partition { case (_, m) => m < 0 }
+    val top20 = (failed ++ succeeded.sortBy { case (_, m) => -m }).take(20)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","repeats":$Repeats,"n_queries":${results.size}""" +
       s""","queries":${jsonMap(top20)}""" +

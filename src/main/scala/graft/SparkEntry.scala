@@ -990,7 +990,15 @@ object SparkEntry {
     // join key, re-read, SMJ with ZERO exchange below the join
     // (PlanSpec pins it); warehouse table files cleaned on exit
     "bucket_join_receipt" -> ((s, dir) => {
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+      // hadoop Path, not java.net.URI: URI.getPath throws on paths
+      // with spaces/illegal chars and returns null for opaque URIs —
+      // either would register a bogus cleanup path and leak the
+      // warehouse files
+      val wh = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir")).toUri.getPath match {
+        case null | "" => s.conf.get("spark.sql.warehouse.dir")
+        case p => p
+      }
       val suf = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
       cleanupOnExit(s"$wh/graft_bkt_li_$suf")
       cleanupOnExit(s"$wh/graft_bkt_ord_$suf")

@@ -171,22 +171,24 @@ object PersistOps {
   def dppReceipt(events: DataFrame, tmpBase: String,
                  frac: Double = 0.8): DataFrame = {
     val spark = events.sparkSession
-    events.select(col("event_id"), col("value"), col("event_type"))
-      .write.mode("overwrite").partitionBy("event_type")
-      .parquet(s"$tmpBase/pt")
-    val fact = spark.read.parquet(s"$tmpBase/pt")
     val nPart = events.select(col("event_type")).distinct().count()
     // threshold = frac of the global max — ONE localized scalar (the
     // bounded-localize convention), so the dim filter is a plain
     // literal comparison (DPP-eligible) yet adapts to the corpus.
-    // An empty or all-null-value table has no max: emit the empty
-    // receipt instead of an NPE on the driver
+    // The guard runs BEFORE the write/read pair: an empty table's
+    // partitionBy write emits no parquet files at all, so reading it
+    // back would die with UNABLE_TO_INFER_SCHEMA — both the
+    // empty-table and rows-but-all-null-value cases must exit here
     val vmaxRow = events.agg(max(col("value"))).head()
     if (vmaxRow.isNullAt(0))
-      return fact.limit(0)
+      return events.limit(0)
         .select(col("event_type"), lit(0L).as("n_rows"),
           lit(0L).as("sum_micro"), lit(nPart).as("n_partitions_on_disk"))
     val vmax = vmaxRow.getDouble(0)
+    events.select(col("event_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(s"$tmpBase/pt")
+    val fact = spark.read.parquet(s"$tmpBase/pt")
     val dim = events.filter(col("value") >= frac * vmax)
       .select(col("event_type")).distinct()
     fact.join(dim, "event_type")

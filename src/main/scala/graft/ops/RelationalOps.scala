@@ -147,6 +147,16 @@ object RelationalOps {
   def eventsUnpivot(events: DataFrame,
                     types: Seq[String] = Seq("click", "error", "purchase", "signup", "view"))
       : DataFrame = {
+    // the round-trip identity only holds if the declared dimension
+    // list COVERS the data: a sixth event_type would be silently
+    // dropped by the pivot and surface as a non-obvious oracle
+    // mismatch — fail loudly instead (bounded localize: at most one
+    // offending value ships to the driver)
+    val unknown = events.select(col("event_type")).distinct()
+      .filter(!col("event_type").isin(types: _*)).limit(1).collect()
+    require(unknown.isEmpty,
+      s"eventsUnpivot: event_type '${unknown.head.getString(0)}' is not in " +
+        s"the declared dimension list ${types.mkString(",")} — extend the list")
     val wide = eventTypePivot(events, types)
     val stackArgs = types.map(t => s"'$t', n_$t").mkString(", ")
     wide.selectExpr("user_id",

@@ -186,6 +186,30 @@ class PersistOpsSpec extends SparkSpec {
     assert(r === Map("a" -> ((5L, 14000000L, 3L)), "b" -> ((3L, 13000000L, 3L))))
   }
 
+  test("dppReceipt: a truly EMPTY events table yields the empty receipt, no schema-inference crash") {
+    val tmp = Files.createTempDirectory("graft_dpp_empty").toString
+    Seq.empty[(Long, String, Double)]
+      .toDF("event_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val events = spark.read.parquet(s"$tmp/src")
+    // the guard must fire BEFORE the partitionBy write/read pair: an
+    // empty write emits no files and the read-back would die with
+    // UNABLE_TO_INFER_SCHEMA
+    val df = PersistOps.dppReceipt(events, tmp)
+    assert(df.columns.toSeq ===
+      Seq("event_type", "n_rows", "sum_micro", "n_partitions_on_disk"))
+    assert(df.count() === 0)
+  }
+
+  test("dppReceipt: rows present but all values NULL yields the empty receipt") {
+    val tmp = Files.createTempDirectory("graft_dpp_null").toString
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "event_type")
+      .select(col("event_id"), lit(null).cast("double").as("value"), col("event_type"))
+      .write.mode("overwrite").parquet(s"$tmp/src")
+    val df = PersistOps.dppReceipt(spark.read.parquet(s"$tmp/src"), tmp)
+    assert(df.count() === 0)
+  }
+
   test("bucketJoinReceipt: values equal the plain join; no exchange below the SMJ") {
     import spark.implicits._
     val lineitem = Seq(
