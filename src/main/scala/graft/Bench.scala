@@ -41,7 +41,20 @@ object Bench {
       .map(_.split(',').toSet)
       .map(only => SparkEntry.queries.filter { case (n, _) => only(n) })
       .getOrElse(SparkEntry.queries)
+    // contamination instrumentation (r12 verdict #6): per-query GC
+    // time and heap occupancy, to separate "this query got slower"
+    // from "the JVM around it degraded" in late-suite timings
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def heapMb(): Long = {
+      val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      m.getUsed / (1024 * 1024)
+    }
+    val gcPerQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    val heapPerQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     val results: Map[String, Seq[Double]] = selected.map { case (name, fn) =>
+      val gc0 = gcMillis()
       val times = (1 to Repeats).map { _ =>
         val t0 = System.nanoTime()
         // noop sink forces FULL evaluation of every output column —
@@ -66,6 +79,8 @@ object Bench {
       // reuse exists, so unpersisting between entries is safe.
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      gcPerQuery(name) = gcMillis() - gc0
+      heapPerQuery(name) = heapMb()
       name -> times
     }
     def median(ts: Seq[Double]): Double =
@@ -91,7 +106,9 @@ object Bench {
     // (BENCH_r09..r11 all have parsed:null)
     System.err.println(s"""{"queries_median":${jsonMap(mapped(median))}""" +
       s""","queries_min":${jsonMap(mapped(ts => if (ts.contains(-1.0)) -1.0 else ts.min))}""" +
-      s""","queries_spread":${jsonMap(mapped(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min))}}""")
+      s""","queries_spread":${jsonMap(mapped(ts => if (ts.contains(-1.0)) -1.0 else ts.max - ts.min))}""" +
+      s""","queries_gc_ms":${jsonMap(gcPerQuery.map { case (k, v) => k -> v.toDouble })}""" +
+      s""","queries_heap_mb":${jsonMap(heapPerQuery.map { case (k, v) => k -> v.toDouble })}}""")
     // the ONE stdout line stays compact AND last: totals + the top-20
     // slowest medians (~1 KB) always fit the driver's tail window.
     // FAILED queries (-1 sentinel) would sort LAST and vanish from a

@@ -1958,10 +1958,23 @@ object TextOps {
           roundn(col("n_pieces_total").cast("double") / col("n_occurrences"), 6))
         .select(col("algorithm"), col("n_words"), col("n_occurrences"),
           col("n_pieces_total"), col("fertility"))
-    row("wordpiece_greedy",
-        wordpieceEncode(docs, vocabSize, maxPieceLen, maxWordLen, topWords = 1000000))
-      .unionByName(row("unigram_viterbi",
-        unigramEncode(docs, vocabSize, maxPieceLen, maxWordLen, topWords = 1000000)))
+    // ONE census shared by both dp chains — the corpus-wide
+    // tokenize+agg is the only data-sized stage in this query, and
+    // running wordpieceEncode + unigramEncode as black boxes paid it
+    // twice (r12 verdict watch item: fertility drifted to ~2× the
+    // chains' intrinsic cost; half of that was the duplicated census)
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val wp = wordpieceGreedy(words,
+        wordpieceModelOf(words, vocabSize, maxPieceLen).select(col("piece")).distinct(),
+        maxPieceLen, maxWordLen)
+      .join(words, "word")
+      .select(col("word"), col("wc"), col("n_pieces"))
+    val ug = unigramViterbi(words, unigramModelOf(words, vocabSize, maxPieceLen),
+        maxPieceLen, maxWordLen)
+      .join(words, "word")
+      .select(col("word"), col("wc"),
+        size(split(col("pieces"), " ")).cast("long").as("n_pieces"))
+    row("wordpiece_greedy", wp).unionByName(row("unigram_viterbi", ug))
   }
 
   /** The WordPiece vocabulary APPLIED: greedy longest-match
@@ -2061,7 +2074,18 @@ object TextOps {
       lit("").as("pieces"), lit(0L).as("n_pieces"))
     var done = frontier.filter(lit(false))
     var r = 0
-    while (r < maxWordLen && (!probeEmpty || !frontier.isEmpty)) {
+    // greedy consumes ≥1 char per round, so the longest word PRESENT
+    // bounds the loop — a 1-value driver scalar, the same data-driven
+    // cap unigramViterbi uses (per-round cost here is fixed stage
+    // overhead, so spared rounds are spared wall-clock)
+    val rounds = math.min(maxWordLen,
+      words.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0))
+    // the early-exit probe runs only on rounds where the frontier was
+    // JUST materialized (r=0: the checkpointed census; r%4==0: the
+    // r−1 checkpoint) — an isEmpty on an un-checkpointed frontier
+    // re-evaluates up to 3 rounds of plan as a driver job, and those
+    // probes cost more than the ≤3 lazy rounds they could spare
+    while (r < rounds && (!probeEmpty || r % 4 != 0 || !frontier.isEmpty)) {
       val best = frontier
         .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
         .filter(col("pos") + col("plen") <= length(col("word")))
