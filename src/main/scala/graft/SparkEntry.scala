@@ -162,6 +162,22 @@ object SparkEntry {
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // incremental retrieval-index maintenance — the reference's
+    // ingest loop applied to the LEXICAL index (ann_incremental's
+    // sibling): the base corpus's postings persist once
+    // (loadOrCreate); the arriving batch (doc_id%10 >= 8) indexes
+    // ONLY itself; and because the BM25 state is additive per-doc
+    // rows (df/N/avgdl derive by aggregation at query time), the
+    // merged index answers bit-identically to a from-scratch build —
+    // pinned by sharing search_bm25's oracle verbatim
+    "bm25_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val baseIdx = loadOrCreate(s, "bm25_index", dir)(
+        SearchOps.bm25Index(docs.filter(col("doc_id") % 10 < 8)))
+      val merged = baseIdx.unionByName(
+        SearchOps.bm25Index(docs.filter(col("doc_id") % 10 >= 8)))
+      SearchOps.searchBm25FromIndex(merged, docs, "spark vector hash join", k = 10)
+    }),
     // nDCG@10 of BM25 against the cosine-graded truth; the
     // cosine_self leg must emit exactly 1.0 (the metric's own pin)
     "ndcg_audit" -> ((s, dir) =>
@@ -1079,6 +1095,12 @@ object SparkEntry {
         cent = s.read.parquet(s"$tmp/cent"),
         batch = batch, nProbe = nProbe, k = 3, nAssign = nAssign)
     }),
+    // the re-Lloyd HALF of the incremental-ANN story: when drift
+    // trips, the base-trained (stale) codebook retires — this prices
+    // the refresh as the (old_cell → new_cell) migration census of
+    // every vector under stale-vs-retrained assignment
+    "ann_codebook_refresh" -> ((s, dir) =>
+      VectorOps.codebookRefreshCensus(Tables.embeddings(s, dir))),
     // filtered vector search: the label % 2 = 0 predicate enters the
     // ASSIGNMENT list (pre-filter — every candidate and result slot
     // satisfies it), the codebook stays the full-corpus one (cells
@@ -5091,6 +5113,47 @@ object SparkEntry {
          |          ORDER BY cos_sim DESC, vec_id) AS rank
          |      FROM scored)
          |SELECT query_id, rank, vec_id, cos_sim FROM r WHERE rank <= 3""".stripMargin,
+    // the refresh census: the stale chain IS duckSqrtCellsIncr
+    // (base-trained, all vectors ranked); the refreshed chain is the
+    // same Lloyd unroll n-prefixed, trained on the FULL corpus and
+    // sharing the exploded `dims`; the join compares each vector's
+    // primary cell under the two codebooks
+    "ann_codebook_refresh" ->
+      s"""WITH $duckSqrtCellsIncr,
+         |nkk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+         |nc0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
+         |        FROM dims WHERE vec_id < (SELECT k FROM nkk)),
+         |ncd1 AS (SELECT d.vec_id, c.c_id,
+         |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+         |         FROM dims d JOIN nc0 c USING (dim) GROUP BY 1, 2),
+         |na1 AS (SELECT vec_id, c_id FROM (
+         |          SELECT vec_id, c_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |          FROM ncd1) WHERE rn = 1),
+         |nc1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
+         |        FROM dims d JOIN na1 a USING (vec_id) GROUP BY 1, 2),
+         |ncd2 AS (SELECT d.vec_id, c.c_id,
+         |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+         |         FROM dims d JOIN nc1 c USING (dim) GROUP BY 1, 2),
+         |na2 AS (SELECT vec_id, c_id FROM (
+         |          SELECT vec_id, c_id,
+         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+         |          FROM ncd2) WHERE rn = 1),
+         |ncent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
+         |          FROM dims d JOIN na2 a USING (vec_id) GROUP BY 1, 2),
+         |ncd AS (
+         |  SELECT d.vec_id, c.c_label,
+         |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
+         |  FROM dims d JOIN ncent c USING (dim) GROUP BY 1, 2),
+         |nranked AS (
+         |  SELECT vec_id, c_label,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+         |  FROM ncd)
+         |SELECT o.c_label AS old_cell, n.c_label AS new_cell,
+         |       count(*) AS n_vecs
+         |FROM (SELECT vec_id, c_label FROM ranked WHERE rn = 1) o
+         |JOIN (SELECT vec_id, c_label FROM nranked WHERE rn = 1) n USING (vec_id)
+         |GROUP BY 1, 2""".stripMargin,
     // the recall curve, both sides recomputed: IVF candidates per
     // probe budget from the SAME ranked cell table (nAssign=1), exact
     // ground truth as the brute-force cross join, hit join on
@@ -7966,6 +8029,9 @@ object SparkEntry {
   private def persistedIndexOracles: Map[String, String] = Map(
     "dedup_index_persist" -> oracleSqlBase("dedup_incremental"),
     "ann_index_persist" -> oracleSqlBase("ann_ivf"),
+    // merged (persisted-base ∪ batch) postings must answer exactly
+    // like the from-scratch BM25 — the additive-state identity
+    "bm25_incremental" -> oracleSqlBase("search_bm25"),
     // the lightened persist-twin shape (round-13): the oracle still
     // RETRAINS FROM SCRATCH, then (a) hashes every artifact row in
     // the engine's long (kind, lang, b, mu) format — model_sha pins

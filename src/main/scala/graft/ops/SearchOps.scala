@@ -124,6 +124,67 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** The BM25 retrieval index AS A TABLE — the ADDITIVE half of the
+    * BM25 state, per-document only: postings (doc_id, tok, tf) plus
+    * one sentinel row (doc_id, '', 0) per document (tokenize drops
+    * blanks, so '' never collides with a real term). Everything else
+    * BM25 needs DERIVES by aggregation — len_d = Σ tf per doc, N =
+    * distinct doc_ids (the sentinel keeps token-less docs counted),
+    * df_t = docs per term, avgdl over len_d > 0 — which is exactly
+    * why incremental maintenance is EXACT here, not approximate:
+    * index(base) ∪ index(batch) ≡ index(base ∪ batch) row-for-row,
+    * so merged-index scores equal full-rebuild scores bit-for-bit
+    * (unlike a cached df/avgdl snapshot, which would go stale with
+    * every add — the stats are recomputed from the merged postings
+    * at query time, one bounded agg each).
+    *
+    * Scale shape: building is one tokenize + (doc, tok) count — cost
+    * ∝ the docs indexed, which for a daily batch is the batch, never
+    * the corpus; at rest the table bucketBys on tok so query-term
+    * probes read postings without an exchange. */
+  def bm25Index(docs: DataFrame): DataFrame =
+    EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .unionByName(docs.select(col("doc_id"), lit("").as("tok"), lit(0L).as("tf")))
+
+  /** [[searchBm25]]'s scoring half against a PRECOMPUTED (possibly
+    * persisted-base ∪ batch) postings index — same formula, same
+    * term-ordered fold, same rounding, so a merged incremental index
+    * must reproduce the from-scratch [[searchBm25]] answer exactly
+    * (the shared oracle pins it). */
+  def searchBm25FromIndex(index: DataFrame, docs: DataFrame, queryText: String,
+                          k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qTerms = queryText.split(" ").map(_.trim).filter(_.nonEmpty).distinct.toSeq
+    val lens = index.groupBy(col("doc_id")).agg(sum(col("tf")).as("len_d"))
+    // avgdl over docs WITH tokens (searchBm25's lens only ever held
+    // those); N counts every doc — the sentinel keeps empty docs in
+    val avgLen = lens.filter(col("len_d") > 0L).agg(avg(col("len_d")).as("avg_len"))
+    val nDocs = index.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val tf = index.filter(col("tok").isin(qTerms: _*))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgLen))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_d") / col("avg_len"))))
+      .groupBy(col("doc_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("tok"), col("contrib")), 6).as("score"))
+    val top = scored
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("source"), col("score"))
+  }
+
   /** Positional-index phrase search — exact "quoted phrase" retrieval
     * over the token stream (the lexical sibling of [[searchBm25]]:
     * BM25 ranks bags of words; this matches token ADJACENCY). The

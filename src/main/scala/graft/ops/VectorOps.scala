@@ -520,6 +520,33 @@ object VectorOps {
     (k, kmeansCells(embeddings, k, iters))
   }
 
+  /** Codebook REFRESH receipt — the re-Lloyd that [[ivfIncrementalTopK]]'s
+    * staleness story defers to (SCALE.md: the frozen codebook drifts;
+    * `embedding_drift` trips; THEN you retrain): the stale codebook
+    * (trained on the base slice only, exactly the `ann_incremental`
+    * artifact) and the refreshed one (trained on the full corpus)
+    * both assign every vector, and the output is the (old_cell →
+    * new_cell) MIGRATION CENSUS — the table that prices the refresh
+    * (how many vectors re-home, which cells dissolve) before the
+    * assignment table is rebuilt.
+    *
+    * Scale shape: two bounded Lloyd trainings (each the ann_ivf
+    * train cost), two broadcast map-side assignment passes over the
+    * corpus, one agg on the ≤ k_old·k_new census key — no join ever
+    * carries more than (vec_id, cell) rows. */
+  def codebookRefreshCensus(emb: DataFrame): DataFrame = {
+    val base = emb.filter(col("vec_id") % 10 < 8)
+    val oldCent = sqrtCells(base, iters = 2)
+    val newCent = sqrtCells(emb, iters = 2)
+    val oldA = cellRanks(emb, oldCent, "vec_id").filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("c_label").as("old_cell"))
+    val newA = cellRanks(emb, newCent, "vec_id").filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("c_label").as("new_cell"))
+    oldA.join(newA, "vec_id")
+      .groupBy(col("old_cell"), col("new_cell"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Probe budget derived from the quantizer's cell count — the knob
     * that must SCALE WITH k or recall decays as cells grow with √N
     * (the ivfTopK scaladoc table: at 45 cells, (1,1) falls to 24/30

@@ -809,4 +809,102 @@ object StreamingOps {
     import spark.implicits._
     docs.map(d => nbScoreJvm(d.doc_id, d.text, nBuckets, weights, defaults, priors))
   }
+
+  /** Input row for [[ivfAssignStream]]: a vector arriving for
+    * incremental ANN ingest. */
+  case class StreamVec(vec_id: Long, embedding: Seq[Float])
+
+  /** One cell assignment — the row the incremental index appends
+    * (the streaming form of `ann_incremental`'s batch-side
+    * `cellRanks` output). */
+  case class CellAssign(vec_id: Long, c_label: Long, cdist: Double, cell_rank: Int)
+
+  /** Output of [[cellCensusStream]]: a cell's current primary
+    * occupancy — the histogram `embedding_drift` PSIs against to
+    * schedule the re-Lloyd (SCALE.md's staleness tripwire). */
+  case class CellCount(c_label: Long, n_vecs: Long)
+
+  /** Row-local twin of the batch [[graft.ops.VectorOps.cellRanks]]
+    * kernel for ONE vector — the same fold the codegen'd L2SqDistance
+    * runs (sequential per-dim sum), the same HALF_UP 6dp rounding the
+    * batch applies BEFORE any rank decision, the same (cdist,
+    * c_label) tie order. Spec-pinned bit-equal to the batch SQL. */
+  def cellRanksJvm(emb: Seq[Float], centroids: Seq[(Long, Array[Double])],
+                   nAssign: Int): Seq[(Long, Double, Int)] = {
+    val e = emb.map(_.toDouble).toArray
+    centroids.map { case (label, c) =>
+      val n = math.min(e.length, c.length)
+      var s = 0.0
+      var i = 0
+      while (i < n) { val d = e(i) - c(i); s += d * d; i += 1 }
+      val r = java.math.BigDecimal.valueOf(s)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      (label, r)
+    }.sortBy { case (l, d) => (d, l) }
+      .take(nAssign).zipWithIndex
+      .map { case ((l, d), i) => (l, d, i + 1) }
+  }
+
+  /** Localize a codebook DataFrame ((c_label, dim, cv) exploded form,
+    * the `ann_index_persist` artifact) into the broadcastable
+    * driver-side shape the stream closure ships — BOUNDED by
+    * construction: k ≈ √N centroids × dims rows, the same table the
+    * batch path broadcasts. */
+  def localizeCodebook(cent: org.apache.spark.sql.DataFrame): Seq[(Long, Array[Double])] =
+    cent.collect()
+      .groupBy(_.getAs[Long]("c_label"))
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_.getAs[Long]("dim")).map(_.getAs[Double]("cv"))
+      }.toSeq.sortBy(_._1)
+
+  /** Streaming incremental ANN ingest — `ann_incremental`'s stream
+    * twin, and the reference's live `index.add` loop
+    * (app_callapi.py:139-148) as a continuous flow: the codebook is
+    * FROZEN (localized once into the closure, like [[nbScoreStream]]'s
+    * model), and every arriving vector map-side assigns to its
+    * nAssign nearest cells — STATELESS, no shuffle, no state store;
+    * the emitted (vec_id, c_label) rows ARE the index appends, and
+    * because assignment is a pure per-vector function of the
+    * codebook, the accumulated stream output equals the batch rebuild
+    * over the same vectors bit-for-bit (the merged ≡ rebuild identity,
+    * here by construction). */
+  def ivfAssignStream(vecs: Dataset[StreamVec],
+                      centroids: Seq[(Long, Array[Double])],
+                      nAssign: Int = 1): Dataset[CellAssign] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    vecs.flatMap(v => cellRanksJvm(v.embedding, centroids, nAssign)
+      .map { case (l, d, r) => CellAssign(v.vec_id, l, d, r) })
+  }
+
+  /** Keyed running occupancy per cell over the assignment stream —
+    * the STATEFUL companion to the stateless assign: one Long per
+    * cell (state bounded by the codebook size forever), refreshed
+    * every micro-batch in Update mode. This is the live form of the
+    * index's bucket census: the table the drift tripwire reads to
+    * decide when the frozen codebook has gone stale. */
+  class CellCountProcessor
+      extends StatefulProcessor[Long, CellAssign, CellCount] {
+    @transient private var n: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      n = getHandle.getValueState[Long]("cellCount",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Long](), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[CellAssign],
+                                 tv: TimerValues): Iterator[CellCount] = {
+      var cur = if (n.exists()) n.get() else 0L
+      rows.foreach(_ => cur += 1L)
+      n.update(cur)
+      Iterator.single(CellCount(key, cur))
+    }
+  }
+
+  /** Declared entry point: per-cell running PRIMARY occupancy
+    * (cell_rank 1 only — multi-assignment copies would double-count
+    * the histogram the drift test reads). */
+  def cellCensusStream(assigns: Dataset[CellAssign]): Dataset[CellCount] = {
+    import assigns.sparkSession.implicits._
+    assigns.filter(_.cell_rank == 1)
+      .groupByKey(_.c_label)
+      .transformWithState(new CellCountProcessor, TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -22,6 +22,38 @@ class SearchOpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("score") > r(1).getAs[Double]("score"))
   }
 
+  test("bm25Index: merged (base ∪ batch) index scores ≡ from-scratch searchBm25") {
+    // base = docs 0,1,2; batch = doc 3 — the batch only indexes
+    // itself, yet the merged index must reproduce the full corpus's
+    // BM25 (df, N, avgdl all shift with the add; they derive from
+    // the merged postings at query time, so the identity is exact)
+    val base = docs.filter($"doc_id" < 3)
+    val batch = docs.filter($"doc_id" === 3)
+    val merged = SearchOps.bm25Index(base)
+      .unionByName(SearchOps.bm25Index(batch))
+    val inc = SearchOps.searchBm25FromIndex(merged, docs, "spark engine", k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    val scratch = SearchOps.searchBm25(docs, "spark engine", k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(inc === scratch)
+    assert(inc.nonEmpty)
+  }
+
+  test("bm25Index: sentinel rows keep token-less docs in N; parquet round-trip is exact") {
+    val withEmpty = docs.unionByName(
+      Seq((9L, "", "en", "e.docx", 0L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val idx = SearchOps.bm25Index(withEmpty)
+    // 5 docs → 5 distinct doc_ids in the index even though doc 9 has no tokens
+    assert(idx.select("doc_id").distinct().count() === 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    idx.write.mode("overwrite").parquet(tmp)
+    val re = SearchOps.searchBm25FromIndex(spark.read.parquet(tmp), withEmpty,
+        "spark engine", k = 4).collect().map(_.toString).sorted.toSeq
+    val fresh = SearchOps.searchBm25(withEmpty, "spark engine", k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(re === fresh)
+  }
+
   test("contextPack: ranked prefix under the token budget, cut exactly at overflow") {
     // every doc mentions 'spark' so all rank; 6 ws-tokens each
     val d = Seq(

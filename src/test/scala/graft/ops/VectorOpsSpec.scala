@@ -118,6 +118,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(merged.nonEmpty)
   }
 
+  test("codebookRefreshCensus: migration census conserves every vector exactly once") {
+    val all = (0L until 20L).map { i =>
+      val d = (i % 4).toInt
+      val v = Array(0.05f * i, 0.03f * ((i * 7) % 5), 0.02f * ((i * 3) % 4), 0.04f * (i % 6))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val census = VectorOps.codebookRefreshCensus(all).collect()
+    // every vector has exactly one (old, new) home → counts sum to N
+    assert(census.map(_.getAs[Long]("n_vecs")).sum === 20L)
+    assert(census.forall(_.getAs[Long]("n_vecs") > 0L))
+  }
+
   test("ivfFilteredTopK: every result satisfies the predicate; equals filtered brute force") {
     // query 0 = (1,0,0): its true nearest is 2 (label 1) — a
     // post-filter of the unfiltered top-k would waste a slot on it;

@@ -769,4 +769,68 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got(100L)._1 === "en" && got(101L)._1 === "es")
     } finally q.stop()
   }
+
+  test("ivfAssignStream: stream assignments are bit-equal to batch cellRanks; census accumulates") {
+    implicit val sqlCtx = spark.sqlContext
+    // a real Lloyd codebook, localized like the production path
+    // (ann_index_persist artifact → closure)
+    val emb = (0L until 12L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array(0.07f * i, 0.05f * ((i * 3) % 5), 0.03f * ((i * 7) % 4))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = graft.ops.VectorOps.kmeansCells(emb, k = 3, iters = 2)
+    val codebook = localizeCodebook(cent)
+    assert(codebook.size === 3 && codebook.forall(_._2.length === 3))
+
+    val input = MemoryStream[StreamVec]
+    val q = ivfAssignStream(input.toDS(), codebook, nAssign = 2)
+      .writeStream.format("memory").queryName("ivf_assign_out")
+      .outputMode("append").start()
+    val rows = emb.collect().map(r =>
+      StreamVec(r.getAs[Long]("vec_id"), r.getAs[scala.collection.Seq[Float]]("embedding").toSeq))
+    try {
+      input.addData(rows.take(7): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(7): _*)
+      q.processAllAvailable()
+      val got = spark.table("ivf_assign_out").as[CellAssign].collect()
+        .map(a => (a.vec_id, a.c_label, a.cdist, a.cell_rank)).sorted.toSeq
+      // ground truth: the batch SQL kernel over the same vectors
+      val expect = graft.ops.VectorOps.cellRanks(emb, cent, "vec_id")
+        .filter(col("cell_rank") <= 2).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("c_label"),
+          r.getAs[Double]("cdist"), r.getAs[Int]("cell_rank"))).sorted.toSeq
+      assert(got === expect)
+    } finally q.stop()
+  }
+
+  test("cellCensusStream: per-cell primary occupancy accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[CellAssign]
+    val q = cellCensusStream(input.toDS())
+      .writeStream.format("memory").queryName("ivf_census_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: cells 0←2 vecs, 1←1 vec (rank-2 copies must NOT count)
+      input.addData(CellAssign(10L, 0L, 0.1, 1), CellAssign(10L, 1L, 0.2, 2),
+        CellAssign(11L, 0L, 0.1, 1), CellAssign(12L, 1L, 0.3, 1))
+      q.processAllAvailable()
+      input.addData(CellAssign(13L, 0L, 0.2, 1), CellAssign(14L, 2L, 0.1, 1))
+      q.processAllAvailable()
+      val last = spark.table("ivf_census_out").as[CellCount].collect()
+        .groupBy(_.c_label).map { case (c, rows) => c -> rows.last.n_vecs }
+      assert(last === Map(0L -> 3L, 1L -> 1L, 2L -> 1L))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
