@@ -668,6 +668,17 @@ object SparkEntry {
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextOps.repetitionScore(Tables.documents(s, dir))),
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
+    // GROUP-AWARE split: near-dup families (the persisted
+    // dedup_clusters artifact, the same table golden_record reads)
+    // split as ONE unit so no verified near-dup pair ever straddles
+    // train/test — the leak content-keyed bucketing cannot stop
+    "leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.leakageSafeSplit(docs,
+        loadOrCreate(s, "dedup_clusters", dir)(
+          DedupOps.dedupClusters(docs)
+            .select(col("doc_id"), col("component_id").as("cluster_id"))))
+    }),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
     "gopher_repetition" -> ((s, dir) => TextOps.gopherRepetition(Tables.documents(s, dir))),
@@ -718,6 +729,14 @@ object SparkEntry {
       TopicOps.plsaTopicsFromPhi(
         loadOrCreate(s, "plsa_phi6", dir)(
           TopicOps.plsaPhi(Tables.documents(s, dir), rounds = 6)))),
+    // the topic family's APPLY half: every doc folds its term counts
+    // through the persisted φ's smoothed log-probs, argmax topic —
+    // NB/GD/LM all have train/apply splits; this closes PLSA's
+    "topic_assign" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TopicOps.plsaAssignFromPhi(docs,
+        loadOrCreate(s, "plsa_phi6", dir)(TopicOps.plsaPhi(docs, rounds = 6)))
+    }),
     // vocabulary-coverage audit: broadcast top-k vocab membership
     // probe over the token stream, per-source OOV fraction
     "oov_rate" -> ((s, dir) => TextOps.oovRate(Tables.documents(s, dir))),
@@ -3078,6 +3097,32 @@ object SparkEntry {
          |  CASE WHEN bucket < 5 THEN 'test'
          |       WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
          |FROM b""".stripMargin,
+    // group-aware split: the cluster chain replayed (the
+    // dedup_clusters oracle's recursive min-label components), split
+    // key = 'c|'+component for clustered docs else 'd|'+text
+    "leakage_safe_split" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |ky AS (SELECT d.doc_id,
+         |         CASE WHEN c.component_id IS NOT NULL
+         |              THEN 'c|' || CAST(c.component_id AS VARCHAR)
+         |              ELSE 'd|' || d.text END AS k
+         |       FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (SELECT doc_id, ${duckHash24("k")} % 100 AS bucket FROM ky)
+         |SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 5 THEN 'test'
+         |       WHEN bucket < 10 THEN 'val' ELSE 'train' END AS split
+         |FROM b""".stripMargin,
     "quality_score" ->
       s"""WITH $duckToks,
          |$duckQualityCtes
@@ -3364,6 +3409,23 @@ object SparkEntry {
          |  CAST(floor(CAST(sum(npmi6) AS DOUBLE) / CAST(count(*) AS DOUBLE))
          |    AS BIGINT) AS mean_npmi_micro
          |FROM sc GROUP BY 1""".stripMargin,
+    // fold-in assignment: add-one-smoothed topic log-probs from the
+    // retrained φ (fin/nzf are the shared EM chain's outputs), exact
+    // Long micro scores, per-doc argmax with topic-asc ties
+    "topic_assign" ->
+      s"""WITH $duckPlsaCtes,
+         |vv AS (SELECT count(DISTINCT tok) AS v FROM fin),
+         |w AS (SELECT f.topic, f.tok,
+         |        CAST(round(ln((CAST(f.u AS DOUBLE) + 1)
+         |            / (CAST(n.nu AS DOUBLE) + (SELECT v FROM vv)))
+         |          * 1000000) AS BIGINT) AS w_mu
+         |      FROM fin f JOIN nzf n USING (topic)),
+         |scr AS (SELECT t.doc_id, w.topic,
+         |          CAST(sum(t.tf * w.w_mu) AS BIGINT) AS score_micro
+         |        FROM tf t JOIN w USING (tok) GROUP BY 1, 2)
+         |SELECT doc_id, topic, score_micro FROM scr
+         |QUALIFY row_number() OVER (PARTITION BY doc_id
+         |  ORDER BY score_micro DESC, topic) = 1""".stripMargin,
     "topic_model" ->
       s"""WITH $duckPlsaCtes
          |SELECT r.topic, r.rank, r.tok,

@@ -440,6 +440,38 @@ object TextOps {
           .when(col("bucket") < testPct + valPct, "val")
           .otherwise("train").as("split"))
 
+  /** GROUP-AWARE (leakage-safe) train/val/test split — the hole
+    * [[hashSplit]] leaves open, closed: content-keyed bucketing keeps
+    * EXACT duplicates together, but two NEAR-duplicates hash to
+    * unrelated buckets and can straddle the train/test boundary —
+    * the classic eval-inflation leak. Here the split key is the
+    * near-dup CLUSTER id wherever the doc belongs to a verified
+    * family (the persisted `dedup_clusters` artifact — the same
+    * table golden_record consumes), and the doc's own text otherwise
+    * (exact-dup grouping preserved); the 'c|'/'d|' prefixes keep the
+    * two key spaces disjoint. An entire near-dup family therefore
+    * lands on ONE side of every boundary.
+    *
+    * Scale shape: the cluster table is near-dup-family-sized
+    * (broadcastable); everything else is [[hashSplit]]'s map-only
+    * bucket filter. */
+  def leakageSafeSplit(docs: DataFrame, clusters: DataFrame,
+                       testPct: Int = 5, valPct: Int = 5): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left")
+      .withColumn("k",
+        when(col("cluster_id").isNotNull,
+          concat(lit("c|"), col("cluster_id").cast("string")))
+          .otherwise(concat(lit("d|"), col("text"))))
+      .withColumn("bucket", graft.functions.PortableHash.bucket(col("k"), 100))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        when(col("bucket") < testPct, "test")
+          .when(col("bucket") < testPct + valPct, "val")
+          .otherwise("train").as("split"))
+
   /** Deterministic stratified sampling — per-language keep rates for
     * corpus rebalancing (downsample the dominant language, keep the
     * rest), the standard data-mixing step before pretraining. The

@@ -120,6 +120,49 @@ object TopicOps {
           col("u").cast("double") / col("nu").cast("double"), 6).as("weight"))
   }
 
+  /** PLSA fold-in ASSIGNMENT from a (possibly reloaded) φ artifact —
+    * the apply half the topic family was missing (NB scores langs, GD
+    * scores quality, the LM scores logprob; this scores TOPICS):
+    * every document folds its term counts through the add-one-
+    * smoothed topic-word log-probabilities
+    *
+    *   score(d, z) = Σ_t tf(d,t) · ln((u_z(t)+1) / (N_z + V))
+    *
+    * in exact Long micros (the [[graft.ops.TextOps.nbLangTrain]]
+    * fixed-point recipe — add-one smoothing also removes the ln(0)
+    * corner a zero φ mass would open), argmax per doc with topic-asc
+    * tie-break. Output covers docs with ≥ 1 token (fold-in needs
+    * evidence; the oracle's tf table is the same set).
+    *
+    * Scale shape: the weight table is vocab×k rows — joined on tok
+    * (NOT force-broadcast: vocab is Zipf-bounded but can exceed the
+    * broadcast budget at 100 TB; Catalyst picks); one (doc, topic)
+    * agg with map-side partials; the argmax window partitions by doc
+    * over k rows. */
+  def plsaAssignFromPhi(docs: DataFrame, phi: DataFrame, k: Int = 4): DataFrame = {
+    val micro = (c: Column) => round(c * 1000000).cast("long")
+    val zs = 0 until k
+    val tf = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val long = zs.map(z => phi.select(lit(z.toLong).as("topic"), col("tok"),
+        col(s"u$z").cast("decimal(38,0)").as("u")))
+      .reduce(_ unionByName _)
+    val nz = long.groupBy(col("topic")).agg(sum(col("u")).as("nu"))
+    val vv = phi.agg(countDistinct(col("tok")).as("v"))
+    val w = long.join(broadcast(nz), "topic").crossJoin(broadcast(vv))
+      .select(col("topic"), col("tok"),
+        micro(log((col("u").cast("double") + 1.0) /
+          (col("nu").cast("double") + col("v").cast("double")))).as("w_mu"))
+    tf.join(w, "tok")
+      .groupBy(col("doc_id"), col("topic"))
+      .agg(sum(col("tf") * col("w_mu")).as("score_micro"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_micro").desc, col("topic"))))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("topic"), col("score_micro"))
+  }
+
   /** TOPIC COHERENCE (NPMI, Bouma '09 / Röder '15 shape) — the
     * model-quality audit for [[plsaTopics]], completing the
     * every-trained-model-has-its-audit pattern (NB → lang_confusion,

@@ -86,6 +86,36 @@ class TextOpsSpec extends SparkSpec {
     assert(s2 === rows)
   }
 
+  test("leakageSafeSplit: a whole near-dup family lands on ONE side of every boundary") {
+    // 60 near-dup families of 3 members each: same 10-token body,
+    // one trailing token varies — near-dups (high Jaccard) but NOT
+    // exact dups, so hashSplit could scatter them; plus 60 singletons
+    val family = (0 until 180).map { i =>
+      val fam = i / 3
+      (i.toLong,
+        s"family $fam shares this exact common body of many tokens plus variant${i % 3}")
+    }
+    val singles = (200 until 260).map(i =>
+      (i.toLong, s"completely unrelated singleton text number $i with its own words"))
+    val docs = (family ++ singles).toDF("doc_id", "text")
+    val clusters = DedupOps.dedupClusters(docs)
+      .select($"doc_id", $"component_id".as("cluster_id"))
+    val split = TextOps.leakageSafeSplit(docs, clusters).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(split.size === 240)
+    // every verified near-dup pair is on the same side
+    val pairs = DedupOps.nearDupVerified(docs)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => split(a) === split(b) })
+    // and hashSplit on the same corpus DOES scatter at least one pair
+    // (the leak this op exists to close — if this ever goes green on
+    // its own, the fixture stopped exercising the difference)
+    val plain = TextOps.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(pairs.exists { case (a, b) => plain(a) !== plain(b) })
+  }
+
   test("stratifiedSample: per-stratum rates, reproducible, independent of hashSplit") {
     val docs = (0 until 600).map { i =>
       val lang = if (i % 3 == 0) "en" else if (i % 3 == 1) "es" else "de"

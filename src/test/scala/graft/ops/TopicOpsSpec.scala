@@ -53,6 +53,28 @@ class TopicOpsSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("plsaAssignFromPhi: every tokened doc gets ONE topic; the planted blocks separate; reload ≡ fresh") {
+    val docs = blockDocs
+    val phi = TopicOps.plsaPhi(docs, k = 4, rounds = 2)
+    val a = TopicOps.plsaAssignFromPhi(docs, phi, k = 4)
+    val rows = a.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("topic"))
+    assert(rows.length === 24 && rows.map(_._1).distinct.length === 24)
+    // fold-in agreement with the planted structure: with k=4 over 2
+    // blocks EM may split a block across two topics, but the two
+    // blocks' topic SETS must be disjoint — no topic serves both
+    // vocabularies
+    val blockA = rows.filter(_._1 <= 12).map(_._2).toSet
+    val blockB = rows.filter(_._1 > 12).map(_._2).toSet
+    assert(blockA.intersect(blockB).isEmpty, s"blocks share topics: $blockA vs $blockB")
+    // the parquet-reloaded artifact assigns bit-identically
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phi").toString
+    phi.write.mode("overwrite").parquet(tmp)
+    val re = TopicOps.plsaAssignFromPhi(docs, spark.read.parquet(tmp), k = 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(re === a.collect().map(_.toString).sorted.toSeq)
+  }
+
   test("topicCoherence: block-pure topics score strongly positive NPMI") {
     // the planted blocks make every within-topic word pair a genuine
     // co-occurrence pattern — coherence must be clearly positive for
