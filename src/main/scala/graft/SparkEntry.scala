@@ -606,6 +606,10 @@ object SparkEntry {
     // rates DERIVED from the data (inverse-sqrt flattening anchored
     // on the dominant domain) instead of given as constants
     "domain_mix" -> ((s, dir) => TextOps.domainMix(Tables.documents(s, dir))),
+    // the normalized T=2 sampling distribution itself (share^(1/2)
+    // renormalized — exact sqrt, never libm pow) + per-domain boost
+    "domain_temperature" -> ((s, dir) =>
+      TextOps.domainTemperature(Tables.documents(s, dir))),
     // deterministic "20 docs per language" via salted-hash ranking;
     // WindowGroupLimit keeps the shuffle O(partitions·n) per group
     "group_sample" -> ((s, dir) => TextOps.groupSample(Tables.documents(s, dir))),
@@ -2834,6 +2838,20 @@ object SparkEntry {
          |FROM documents d JOIN rates r USING (lang)
          |WHERE ${duckHash24("d.text || '|mix'")} % 1000000
          |      < CAST(round(r.rate * 1000000.0) AS BIGINT)""".stripMargin,
+    // T=2 exponentiated sampling: share rounds to 6dp BEFORE the
+    // sqrt (both engines sqrt the identical double — IEEE-exact),
+    // normalizer folds in lang order
+    "domain_temperature" ->
+      """WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_d) AS DOUBLE) AS n_tot FROM c),
+        |s AS (SELECT lang, n_d, round(n_d / t.n_tot, 6) + 0 AS share,
+        |        sqrt(round(n_d / t.n_tot, 6) + 0) AS w_raw
+        |      FROM c, t),
+        |d AS (SELECT sum(w_raw ORDER BY lang) AS den FROM s)
+        |SELECT lang, n_d, share,
+        |  round(w_raw / d.den, 6) + 0 AS weight,
+        |  round(w_raw / d.den / share, 6) + 0 AS boost
+        |FROM s, d""".stripMargin,
     "group_sample" ->
       s"""WITH s AS (SELECT doc_id, lang,
          |  ${duckHash24("text || '|gsample'")} AS sample_key

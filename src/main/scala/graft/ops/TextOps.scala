@@ -618,6 +618,35 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("n_d"), col("rate"))
   }
 
+  /** TEMPERATURE-scaled mixture weights (the multilingual-pretraining
+    * standard: p_i ∝ share_i^(1/T), here T = 2 so the exponent is an
+    * exact `sqrt` — IEEE-correctly-rounded on every engine, unlike a
+    * libm `pow`) — [[domainMix]]'s sibling: domainMix flattens
+    * against the DOMINANT domain with a keep-rate per doc; this emits
+    * the normalized sampling DISTRIBUTION itself plus each domain's
+    * boost factor (weight/share — >1 means upsample), the numbers a
+    * mixture dataloader consumes directly.
+    *
+    * Determinism: share rounds to 6dp BEFORE the sqrt, the normalizer
+    * folds in lang order ([[graft.functions.VectorMath.orderedSum]] —
+    * |langs|-bounded group), outputs round once.
+    *
+    * Scale shape: one lang-keyed count with map-side partials; all
+    * later arithmetic on the |langs|-row census. */
+  def domainTemperature(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_d"))
+    val tot = counts.agg(sum(col("n_d")).cast("double").as("n_tot"))
+    val shared = counts.crossJoin(broadcast(tot))
+      .withColumn("share", roundn(col("n_d") / col("n_tot"), 6))
+      .withColumn("w_raw", sqrt(col("share")))
+    val denom = shared.agg(
+      graft.functions.VectorMath.orderedSum(col("lang"), col("w_raw")).as("den"))
+    shared.crossJoin(broadcast(denom))
+      .select(col("lang"), col("n_d"), col("share"),
+        roundn(col("w_raw") / col("den"), 6).as("weight"),
+        roundn(col("w_raw") / col("den") / col("share"), 6).as("boost"))
+  }
+
   /** Concat-and-chunk sequence packing — the step that turns a
     * curated corpus into fixed-token-budget training sequences
     * (documents are concatenated per stream and cut every

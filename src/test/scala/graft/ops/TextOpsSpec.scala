@@ -86,6 +86,22 @@ class TextOpsSpec extends SparkSpec {
     assert(s2 === rows)
   }
 
+  test("domainTemperature: weights form a distribution; T=2 boosts minorities, shrinks the majority") {
+    // 80% en / 15% es / 5% de
+    val docs = (0 until 200).map { i =>
+      val lang = if (i < 160) "en" else if (i < 190) "es" else "de"
+      (i.toLong, s"temperature doc $i", lang)
+    }.toDF("doc_id", "text", "lang")
+    val r = TextOps.domainTemperature(docs).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Double]("share"), x.getAs[Double]("weight"), x.getAs[Double]("boost")))).toMap
+    assert(math.abs(r.values.map(_._2).sum - 1.0) < 1e-5)
+    // sqrt flattening: dominant shrinks (boost < 1), minorities grow
+    assert(r("en")._3 < 1.0 && r("es")._3 > 1.0 && r("de")._3 > 1.0)
+    // order preserved: en still gets the largest weight
+    assert(r("en")._2 > r("es")._2 && r("es")._2 > r("de")._2)
+  }
+
   test("leakageSafeSplit: a whole near-dup family lands on ONE side of every boundary") {
     // 60 near-dup families of 3 members each: same 10-token body,
     // one trailing token varies — near-dups (high Jaccard) but NOT
