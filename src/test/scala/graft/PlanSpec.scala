@@ -245,4 +245,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("ann_incremental: candidates come from a cell EQUI-join over the merged index — never all-pairs") {
+    val p = planOf("ann_incremental")
+    assert(!p.contains("CartesianProduct"))
+    // the merged index is a UNION of the persisted base scan and the
+    // batch's map-side assignment — both visible under one equi-join
+    assert(p.contains("Union"), "persisted-base ∪ batch assignment")
+    // the only nested-loop is the 1-row centroid-table crossJoin of
+    // cellRanks (the documented bounded-broadcast pattern)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "candidate generation must be an equi-join on the cell label")
+  }
+
+  test("bm25_incremental: term filter prunes the index scan; stats joins broadcast") {
+    val p = planOf("bm25_incremental")
+    assert(!p.contains("CartesianProduct"))
+    // the query-term isin filter must reach the merged index (the
+    // batch side at minimum — the persisted side is a parquet scan
+    // with pushdown)
+    assert(p.contains("PushedFilters: [In(tok"),
+      s"query terms must push into the persisted postings scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not be a global sort")
+  }
+
+  test("leakage_safe_split: the cluster table joins BROADCAST — the split itself stays map-only") {
+    val p = planOf("leakage_safe_split")
+    assert(p.contains("BroadcastHashJoin"), "family-sized cluster side must broadcast")
+    assert(!p.contains("SortMergeJoin"), "the corpus must not shuffle for the split")
+  }
+
+  test("topic_assign: the per-doc argmax ranks k rows via WindowGroupLimit; no cartesian") {
+    val p = planOf("topic_assign")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      "the rn=1 filter must push a partial top-1 below the window shuffle")
+  }
 }
