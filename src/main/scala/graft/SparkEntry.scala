@@ -763,11 +763,19 @@ object SparkEntry {
     "lang_id_learned" -> ((s, dir) => TextOps.langIdLearned(Tables.documents(s, dir))),
     // the learned model graded by the same audit as the marker
     // baseline: confusion matrix + per-gold recall (round-8 verdict
-    // pointed at exactly this pairing)
+    // pointed at exactly this pairing). The audit consumes the SHARED
+    // persisted artifacts — the NB weight table and the doc-keyed
+    // feature table (the feature-store shape: features materialize
+    // once per corpus, every consumer reloads) — while lang_id_learned
+    // stays the family's live full-retrain receipt; the oracle
+    // retrains from scratch, so stale artifacts are a red row
     "lang_confusion_learned" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      val feat = loadOrCreate(s, "nb_feat", dir)(TextOps.nbLangFeatures(docs))
+      val model = loadOrCreate(s, "nb_lang", dir)(TextOps.nbLangTrain(docs, feat))
       TextOps.langConfusionOf(docs,
-        TextOps.langIdLearned(docs).select(col("doc_id"), col("predicted_lang")))
+        TextOps.nbLangApply(docs, feat, model)
+          .select(col("doc_id"), col("predicted_lang")))
     }),
     // load-or-create for the TRAINED NB model: the integer-micro
     // weight table persists to parquet (train once per corpus — the
@@ -781,7 +789,8 @@ object SparkEntry {
     "nb_model_persist" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val model = loadOrCreate(s, "nb_lang", dir)(
-        TextOps.nbLangTrain(docs, TextOps.nbLangFeatures(docs)))
+        TextOps.nbLangTrain(docs,
+          loadOrCreate(s, "nb_feat", dir)(TextOps.nbLangFeatures(docs))))
       val sha = model
         .select(concat_ws(",", col("kind"), col("lang"), col("b"), col("mu")).as("r"))
         .agg(sha2(array_join(sort_array(collect_list(col("r"))), "|"), 256)
