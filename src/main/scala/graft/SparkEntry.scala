@@ -809,6 +809,29 @@ object SparkEntry {
     // Shannon char entropy — the exactly-replayable form of the
     // gzip-compression-ratio junk gate
     "char_entropy" -> ((s, dir) => TextOps.charEntropy(Tables.documents(s, dir))),
+    // Flesch-Kincaid grade/ease with the deterministic vowel-group
+    // syllable heuristic — map-only, no shuffle at all
+    "readability_score" -> ((s, dir) =>
+      TextOps.readabilityScore(Tables.documents(s, dir))),
+    // per-source mojibake/control-char/whitespace census — the
+    // wrong-decoder screen; zero counts on the clean fixture are the
+    // pinned contract (the spec proves the counters fire)
+    "encoding_audit" -> ((s, dir) =>
+      TextOps.encodingAudit(Tables.documents(s, dir))),
+    // Mann-Kendall monotonic-trend test: exact integer S and 18·var
+    // over the calendar-bounded daily table, one rounded z
+    "mann_kendall" -> ((s, dir) =>
+      RelationalOps.mannKendall(Tables.events(s, dir))),
+    // Hill tail-index over the value census: top-k order statistics
+    // without a sort (cumulative census counts), cents-ordered fold
+    "tail_index" -> ((s, dir) => RelationalOps.tailIndex(Tables.events(s, dir))),
+    // per-user time-weighted average value: lead() gaps in exact
+    // whole seconds, (ts, event_id) order pins same-instant ties
+    "events_twap" -> ((s, dir) => RelationalOps.eventsTwap(Tables.events(s, dir))),
+    // matryoshka truncation receipt: recall@k of prefix-dim cosine
+    // top-k vs the full-dim ground truth, one scored pass for all dims
+    "matryoshka_recall" -> ((s, dir) =>
+      VectorOps.matryoshkaRecall(Tables.embeddings(s, dir))),
     // order-2 LM: Jelinek-Mercer interpolated bigram probabilities —
     // frequent tokens in improbable ORDER score low
     "lm_bigram" -> ((s, dir) => TextOps.lmBigramLogprob(Tables.documents(s, dir))),
@@ -3347,6 +3370,131 @@ object SparkEntry {
         |  round(-sum(cnt * round(ln(cnt / CAST(n AS DOUBLE)), 6)
         |             ORDER BY cp) / max(n), 6) + 0 AS entropy
         |FROM cc GROUP BY doc_id""".stripMargin,
+    // FK readability: words = [a-z]+ runs, sentences = [.!?]+ runs
+    // floored at 1, syllables = max(1, vowel-group runs) per word;
+    // ratios rounded 6dp before the published linear forms
+    "readability_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent_raw
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws,
+        |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables,
+        |    greatest(n_sent_raw, 1) AS n_sentences
+        |  FROM w WHERE len(ws) > 0),
+        |r AS (SELECT doc_id, n_words, n_sentences, n_syllables,
+        |    round(n_words / n_sentences, 6) AS wps,
+        |    round(n_syllables / n_words, 6) AS spw FROM b)
+        |SELECT doc_id, n_words, CAST(n_sentences AS BIGINT) AS n_sentences,
+        |  n_syllables,
+        |  round(0.39 * wps + 11.8 * spw - 15.59, 6) + 0 AS fk_grade,
+        |  round(206.835 - 1.015 * wps - 84.6 * spw, 6) + 0 AS reading_ease
+        |FROM r""".stripMargin,
+    // occurrence counts by length-delta after class removal ('g' =
+    // replace ALL, matching Spark's regexp_replace default); the
+    // clean fixture pins the zero counters, ratios pin the rest
+    "encoding_audit" ->
+      """WITH d AS (SELECT source,
+        |    CAST(len(text) AS BIGINT) AS nc,
+        |    CAST(len(text) - len(regexp_replace(text, '[\x{FFFD}]', '', 'g'))
+        |      AS BIGINT) AS n_repl,
+        |    CAST(len(text) - len(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS BIGINT) AS n_ctl,
+        |    CAST(len(text) - len(regexp_replace(text, '[^\x00-\x7F]', '', 'g'))
+        |      AS BIGINT) AS n_na,
+        |    CAST(len(text) - len(regexp_replace(text, '[ \t\n\r]', '', 'g'))
+        |      AS BIGINT) AS n_ws
+        |  FROM documents),
+        |g AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(nc) AS BIGINT) AS n_chars,
+        |    CAST(sum(n_repl) AS BIGINT) AS n_replacement,
+        |    CAST(sum(n_ctl) AS BIGINT) AS n_control,
+        |    CAST(sum(n_na) AS BIGINT) AS n_non_ascii,
+        |    CAST(sum(n_ws) AS BIGINT) AS n_whitespace
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, n_chars, n_replacement, n_control,
+        |  n_non_ascii, n_whitespace,
+        |  round(n_whitespace / n_chars, 6) + 0 AS ws_ratio,
+        |  round((n_chars - n_non_ascii) / n_chars, 6) + 0 AS ascii_ratio
+        |FROM g WHERE n_chars > 0""".stripMargin,
+    // exact integer S from pairwise signs over the daily table; the
+    // tie term from the mm census; one rounded continuity-corrected z
+    "mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        CAST(sum(CASE WHEN b.mm > a.mm THEN 1
+        |                      WHEN b.mm < a.mm THEN -1 ELSE 0 END) AS BIGINT)
+        |          AS s_stat
+        |      FROM daily a JOIN daily b USING (event_type)
+        |      WHERE a.day < b.day GROUP BY 1),
+        |t AS (SELECT event_type, mm, CAST(count(*) AS BIGINT) AS t
+        |      FROM daily GROUP BY 1, 2),
+        |tt AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+        |         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |       FROM t GROUP BY 1),
+        |v AS (SELECT tt.event_type, tt.n_days, p.s_stat,
+        |        n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+        |      FROM tt JOIN p USING (event_type)),
+        |z AS (SELECT event_type, n_days, s_stat, var18,
+        |        CASE WHEN var18 <= 0 THEN 0.0
+        |             WHEN s_stat > 0 THEN
+        |               round((s_stat - 1) / sqrt(var18 / 18.0), 6) + 0
+        |             WHEN s_stat < 0 THEN
+        |               round((s_stat + 1) / sqrt(var18 / 18.0), 6) + 0
+        |             ELSE 0.0 END AS z
+        |      FROM v)
+        |SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18, z,
+        |  abs(z) > 1.96 AS trending
+        |FROM z""".stripMargin,
+    // top-k order statistics from the descending cumulative census
+    // (never a sort); per-term ln rounded, cents-ordered fold; all-
+    // tied tails emit null alpha
+    "tail_index" ->
+      """WITH census AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(cnt) OVER (PARTITION BY event_type
+        |    ORDER BY cents DESC ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS cum FROM census),
+        |ref AS (SELECT event_type, cents AS x_ref_cents FROM cum
+        |        WHERE cum - cnt < 51 AND cum >= 51),
+        |top AS (SELECT c.event_type, c.cents, r.x_ref_cents,
+        |          least(c.cnt, 50 - (c.cum - c.cnt)) AS take
+        |        FROM cum c JOIN ref r USING (event_type)
+        |        WHERE c.cum - c.cnt < 50 AND c.cents > r.x_ref_cents),
+        |f AS (SELECT event_type, x_ref_cents,
+        |        CAST(sum(take) AS BIGINT) AS n_top,
+        |        sum(take * (round(ln(cents / CAST(x_ref_cents AS DOUBLE)), 6) + 0)
+        |            ORDER BY cents) AS s_raw
+        |      FROM top GROUP BY 1, 2)
+        |SELECT event_type, n_top, x_ref_cents,
+        |  round(s_raw, 6) + 0 AS sum_log_excess,
+        |  CASE WHEN s_raw > 0 THEN round(50 / s_raw, 6) + 0 END AS alpha
+        |FROM f""".stripMargin,
+    // forward gaps in whole seconds ((ts, event_id) order pins
+    // same-instant ties); integer sums, one division, rounded once
+    "events_twap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, cents,
+        |    (lead(tsn) OVER (PARTITION BY user_id ORDER BY tsn, event_id)
+        |      - tsn) // 1000000000 AS gap_s
+        |  FROM e),
+        |a AS (SELECT user_id, count(*) AS n_intervals,
+        |    CAST(sum(gap_s) AS BIGINT) AS total_gap_s,
+        |    CAST(sum(cents * gap_s) AS BIGINT) AS wsum
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals, total_gap_s,
+        |  round(wsum / (total_gap_s * 100.0), 6) + 0 AS twap
+        |FROM a WHERE total_gap_s > 0""".stripMargin,
     "lang_id" ->
       s"""WITH $duckToks,
          |$duckLangCtes
@@ -5322,6 +5470,47 @@ object SparkEntry {
          |LEFT JOIN ex e3 ON e3.query_id = s2.query_id AND e3.vec_id = s2.vec_id
          |CROSS JOIN nex
          |GROUP BY s2.b, nex.n_exact""".stripMargin,
+    // prefix-dim cosine top-k vs the full-dim exact ground truth —
+    // one scored pass carries every prefix cosine, per-dim ranks
+    "matryoshka_recall" ->
+      s"""WITH exq AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |          round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |        FROM embeddings e, embeddings q
+         |        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |exr AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos_sim DESC, vec_id) AS rank
+         |        FROM exq),
+         |ex AS (SELECT query_id, vec_id FROM exr WHERE rank <= 3),
+         |nex AS (SELECT count(*) AS n_exact FROM ex),
+         |pd AS (SELECT CAST(unnest([8, 16, 32]) AS BIGINT) AS d),
+         |sc AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |    round(${duckCos("(e.embedding[1:8])", "(q.embedding[1:8])")}, 6) + 0
+         |      AS cos_8,
+         |    round(${duckCos("(e.embedding[1:16])", "(q.embedding[1:16])")}, 6) + 0
+         |      AS cos_16,
+         |    round(${duckCos("(e.embedding[1:32])", "(q.embedding[1:32])")}, 6) + 0
+         |      AS cos_32
+         |  FROM embeddings e, embeddings q
+         |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |rr AS (SELECT pd.d, s.query_id, s.vec_id,
+         |         row_number() OVER (PARTITION BY pd.d, s.query_id
+         |           ORDER BY CASE pd.d WHEN 8 THEN s.cos_8
+         |                    WHEN 16 THEN s.cos_16 ELSE s.cos_32 END DESC,
+         |                    s.vec_id) AS rank
+         |       FROM sc s CROSS JOIN pd),
+         |tr AS (SELECT d, query_id, vec_id FROM rr WHERE rank <= 3)
+         |SELECT 'trunc' AS method, t.d AS param,
+         |  count(*) AS n_returned,
+         |  CAST(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  nex.n_exact,
+         |  round(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / nex.n_exact, 6) + 0 AS recall
+         |FROM tr t
+         |LEFT JOIN ex e2 ON e2.query_id = t.query_id AND e2.vec_id = t.vec_id
+         |CROSS JOIN nex
+         |GROUP BY t.d, nex.n_exact""".stripMargin,
     // one CTE per pipeline stage, mirroring CorpusOps.ingestPipeline
     "ingest_pipeline" ->
       s"""WITH flt AS (

@@ -3991,4 +3991,158 @@ object RelationalOps {
       .select(col("rank"), col("price_cp"), col("p_size"),
         col("n_parts"), col("first_part"))
   }
+
+  /** Mann–Kendall trend test — the NONPARAMETRIC companion to
+    * [[eventsTrend]]'s least-squares slope and [[spearmanTrend]]'s
+    * rank correlation (the hydrology-standard monotonic-trend screen:
+    * no distribution assumption, exact under ties): per event type,
+    * S = Σ_{i<j} sgn(y_j − y_i) over the day-ordered daily means,
+    * with the tie-corrected variance
+    * var = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 and the
+    * continuity-corrected z = (S∓1)/√var.
+    *
+    * Exactness: the daily means land on the 6dp grid
+    * ([[spearmanTrend]]'s `mm` convention), S and 18·var are EXACT
+    * integers (S from sign comparisons of grid integers, the tie term
+    * from the mm-census group sizes), and the only float op is the
+    * final z division+sqrt, rounded once. Degenerate series (var = 0:
+    * all days tied, or n < 2) emit z = 0 / no trend EXPLICITLY.
+    *
+    * Scale shape: the event stream collapses to the calendar-bounded
+    * daily table first (one (type, day) agg); the pair join, the tie
+    * census, and the final fold all run over ≤ |types|·|days| rows —
+    * the O(n²) pair enumeration is over DAYS (n² ≤ a few thousand for
+    * any calendar window), never over events. */
+  def mannKendall(events: DataFrame): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+      .localCheckpoint(true)
+    val a = daily.select(col("event_type"), col("day").as("d1"), col("mm").as("m1"))
+    val b = daily.select(col("event_type"), col("day").as("d2"), col("mm").as("m2"))
+    val s = a.join(b, Seq("event_type"))
+      .filter(col("d1") < col("d2"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("m2") > col("m1"), 1L)
+        .when(col("m2") < col("m1"), -1L).otherwise(0L)).as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("mm"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("t")).as("n_days"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5)).as("tie_term"))
+    ties.join(s, Seq("event_type"))
+      .withColumn("var18",
+        col("n_days") * (col("n_days") - 1) * (lit(2L) * col("n_days") + 5)
+          - col("tie_term"))
+      .withColumn("z",
+        when(col("var18") <= 0L, lit(0.0))
+          .when(col("s_stat") > 0L,
+            roundn((col("s_stat") - 1L).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0), 6))
+          .when(col("s_stat") < 0L,
+            roundn((col("s_stat") + 1L).cast("double") /
+              sqrt(col("var18").cast("double") / 18.0), 6))
+          .otherwise(lit(0.0)))
+      .select(col("event_type"), col("n_days"), col("s_stat"), col("var18"),
+        col("z"), (abs(col("z")) > lit(1.96)).as("trending"))
+  }
+
+  /** Hill tail-index estimator — the heavy-tail screen on the VALUE
+    * distribution beside [[benfordAudit]]'s digit screen and
+    * [[TextOps.zipfFit]]'s frequency screen (revenue, latency, and
+    * token-count distributions are routinely Pareto-tailed; α prices
+    * how heavy — α ≤ 2 means infinite variance, where mean-based
+    * monitors like [[eventsEwma]] stop converging): per event type,
+    * α = k / Σ_{i=1..k} ln(x_(i) / x_(k+1)) over the top-k order
+    * statistics.
+    *
+    * The order statistics come from the VALUE CENSUS, not a sort:
+    * the top-(k+1) multiset is exact from a cumulative count over the
+    * per-(type, cents) census ([[rfmSegments]]' quantile trick — the
+    * census is value-grid-bounded, so no event-sized window exists),
+    * x_(k+1) is the census row where the descending cumulative count
+    * crosses k+1, and the Σ folds take_i · ln(cents_i / x_ref) with
+    * per-term 6dp rounding in cents order (orderedSum — the
+    * [[graft.ops.TextOps.charEntropy]] fold discipline). Zero values
+    * carry no tail information (ln 0 undefined) and are filtered
+    * EXPLICITLY; a type whose top-(k+1) values are ALL equal has an
+    * undefined estimator (no value exceeds the reference — the fold's
+    * input is empty) and emits NO row (stated, not hidden; the null-α
+    * guard additionally covers the s_raw = 0 corner defensively).
+    *
+    * Scale shape: one (type, cents) agg collapses the stream; the
+    * cumulative window, the ref join, and the fold all run over the
+    * bounded census. k is a constant — the estimator reads only the
+    * extreme tail by definition. */
+  def tailIndex(events: DataFrame, k: Int = 50): DataFrame = {
+    val census = events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wDesc = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census.withColumn("cum", sum(col("cnt")).over(wDesc))
+      .localCheckpoint(true)
+    val ref = cum
+      .filter(col("cum") - col("cnt") < k + 1 && col("cum") >= k + 1)
+      .select(col("event_type"), col("cents").as("x_ref_cents"))
+    cum
+      .join(broadcast(ref), "event_type")
+      .filter(col("cum") - col("cnt") < k && col("cents") > col("x_ref_cents"))
+      .withColumn("take", least(col("cnt"), lit(k.toLong) - (col("cum") - col("cnt"))))
+      .groupBy(col("event_type"), col("x_ref_cents"))
+      .agg(graft.functions.VectorMath.orderedSum(
+        col("cents"),
+        col("take") * roundn(log(col("cents").cast("double") / col("x_ref_cents")), 6))
+        .as("s_raw"),
+        sum(col("take")).as("n_top"))
+      .withColumn("alpha",
+        when(col("s_raw") > 0.0, roundn(lit(k.toDouble) / col("s_raw"), 6)))
+      .select(col("event_type"), col("n_top"), col("x_ref_cents"),
+        roundn(col("s_raw"), 6).as("sum_log_excess"), col("alpha"))
+  }
+
+  /** Time-weighted average value (TWAP) per user — the
+    * feature-engineering standard for irregularly-sampled series
+    * (a plain [[eventsEwma]]-style mean over events OVERWEIGHTS busy
+    * bursts; weighting each observation by how long it was "current"
+    * de-biases the sample onto the time axis): each event's value
+    * holds until the user's next event, twap = Σ vᵢ·Δᵢ / Σ Δᵢ.
+    *
+    * Contract (pinned): events order by (ts, event_id) — the
+    * event_id tie-break decides which of two same-instant events
+    * receives the nonzero forward gap, making the weighting
+    * deterministic; gaps floor to whole SECONDS in exact Long
+    * arithmetic (nanos div 1e9 — keeps cents·gap products far inside
+    * Long range at any horizon); a user's LAST event has no forward
+    * gap and is excluded (the standard left-closed convention);
+    * users whose events all share one second (Σ Δ = 0) have no time
+    * axis to average over and emit no row.
+    *
+    * Scale shape: one lead() window per user (uniform key, per-user
+    * partitions bounded by that user's activity — the [[sessionize]]
+    * shape), then a user-keyed agg; integer sums, one division,
+    * rounded once. */
+  def eventsTwap(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("next_ts", lead(col("ts"), 1).over(w))
+      .filter(col("next_ts").isNotNull)
+      .withColumn("gap_s", expr("(next_ts - ts) div 1000000000L"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("gap_s")).as("total_gap_s"),
+        sum(col("cents") * col("gap_s")).as("wsum"))
+      .filter(col("total_gap_s") > 0L)
+      .withColumn("twap",
+        roundn(col("wsum") / (col("total_gap_s").cast("double") * 100.0), 6))
+      .select(col("user_id"), col("n_intervals"), col("total_gap_s"), col("twap"))
+  }
 }

@@ -2225,4 +2225,97 @@ object TextOps {
       .select(col("rank"), col("doc_id").as("word"),
         col("pagerank").as("score"))
   }
+
+  /** Flesch–Kincaid readability — the grade-level curation signal
+    * beside [[qualityScore]]'s ratio gate and [[charEntropy]]'s junk
+    * gate (readability bands are a standard pretraining-mix feature:
+    * children's text, encyclopedic text, and legal text separate
+    * cleanly on FK grade). Published FK needs a syllable counter; the
+    * engine's is the DETERMINISTIC vowel-group heuristic — syllables
+    * of a word = max(1, number of `[aeiouy]+` runs) — stated as the
+    * contract rather than approximating a dictionary (no silent-e or
+    * diphthong carve-outs: both engines replay the same arithmetic).
+    *
+    * Definitions (all pinned): words = `[a-z]+` runs of the
+    * lowercased text (digits/punctuation never form words);
+    * sentences = `[.!?]+` runs, floored at 1 so punctuation-free text
+    * is one sentence, not a division by zero; zero-word docs emit NO
+    * row (a wordless text has no readability — the [[charEntropy]]
+    * empty-doc convention). Ratios round to 6dp BEFORE entering the
+    * published linear forms (grade 0.39·wps + 11.8·spw − 15.59, ease
+    * 206.835 − 1.015·wps − 84.6·spw), which round once at the end —
+    * the one-rounding-per-division discipline.
+    *
+    * Scale shape: pure map-side — two regexp censuses and one
+    * bounded per-row array fold; no shuffle at all (the plan is a
+    * single WholeStageCodegen over the scan). */
+  def readabilityScore(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)).as("ws"),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+          .cast("long").as("n_sent_raw"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .filter(col("n_words") > 0)
+      .withColumn("n_syllables",
+        aggregate(
+          transform(col("ws"), w =>
+            greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))), lit(1))),
+          lit(0L), (acc, x) => acc + x.cast("long")))
+      .withColumn("n_sentences", greatest(col("n_sent_raw"), lit(1L)))
+      .withColumn("wps", roundn(col("n_words") / col("n_sentences"), 6))
+      .withColumn("spw", roundn(col("n_syllables") / col("n_words"), 6))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+        roundn(lit(0.39) * col("wps") + lit(11.8) * col("spw") - lit(15.59), 6)
+          .as("fk_grade"),
+        roundn(lit(206.835) - lit(1.015) * col("wps") - lit(84.6) * col("spw"), 6)
+          .as("reading_ease"))
+
+  /** Per-source encoding/charset audit — the mojibake screen a web
+    * corpus runs before anything downstream trusts the text: counts
+    * of U+FFFD replacement characters (the scar a broken decode
+    * leaves), C0 control characters outside whitespace (binary
+    * spillage), and non-ASCII code units, plus the whitespace ratio
+    * (layout-dump pages are mostly whitespace). A source whose
+    * replacement-char count is nonzero shipped bytes through the
+    * wrong decoder; the audit localizes WHICH source, which is the
+    * actionable unit (re-crawl/re-decode per source, not per doc).
+    *
+    * Counting contract: each census is `char_length(text) −
+    * char_length(regexp_replace(text, class, ''))` — occurrence
+    * counts in UTF-16 code units (the [[charEntropy]] BMP
+    * convention; astral chars count as two units on both engines
+    * reading the same UTF-8 bytes only if one side decodes to code
+    * points — the oracle counts code POINTS, so the audit's declared
+    * domain is BMP text, which the fixture satisfies and the spec
+    * exercises). Ratios divide exact integer sums once, 6dp.
+    *
+    * Scale shape: map-side per-doc counters folded by one
+    * source-keyed agg (|sources|-bounded output); no windows, no
+    * joins. Zero counts in the clean fixture are the PINNED
+    * contract — the audit proves cleanliness, the spec proves the
+    * counters fire on dirty text. */
+  def encodingAudit(docs: DataFrame): DataFrame = {
+    def cnt(cls: String): Column =
+      (char_length(col("text")) -
+        char_length(regexp_replace(col("text"), cls, ""))).cast("long")
+    docs
+      .select(col("source"),
+        char_length(col("text")).cast("long").as("nc"),
+        cnt("[\uFFFD]").as("n_repl"),
+        cnt("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]").as("n_ctl"),
+        cnt("[^\\x00-\\x7F]").as("n_nonascii"),
+        cnt("[ \\t\\n\\r]").as("n_ws"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nc")).as("n_chars"),
+        sum(col("n_repl")).as("n_replacement"),
+        sum(col("n_ctl")).as("n_control"),
+        sum(col("n_nonascii")).as("n_non_ascii"),
+        sum(col("n_ws")).as("n_whitespace"))
+      .filter(col("n_chars") > 0)
+      .withColumn("ws_ratio", roundn(col("n_whitespace") / col("n_chars"), 6))
+      .withColumn("ascii_ratio",
+        roundn((col("n_chars") - col("n_non_ascii")) / col("n_chars"), 6))
+  }
 }

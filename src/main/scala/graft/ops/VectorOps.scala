@@ -956,6 +956,55 @@ object VectorOps {
     recallAgg(curve, exact, nExact)
   }
 
+  /** Matryoshka truncation receipt — the dimension axis of the
+    * recall-vs-cost trade, beside [[annRecallCurve]]'s probe axis and
+    * [[srpRecallCurve]]'s band axis (matryoshka-trained embeddings
+    * are served TRUNCATED: scoring the first d dims reads d/D of the
+    * bytes — the cheapest ANN lever there is, because it needs no
+    * index at all): recall@k of cosine top-k over each PREFIX length
+    * against the full-dimension exact ground truth, one curve row per
+    * prefix (method 'trunc', param = d).
+    *
+    * All prefix scores come from ONE pass: the candidate cross join
+    * (queries broadcast — the [[annTopK]] receipt shape) computes
+    * every prefix cosine per pair via `slice`, and each curve point
+    * is a rank window over the same checkpointed scored table (the
+    * [[annRecallCurve]] first_probe economy applied to dims).
+    * Tie-break (rounded cos desc, vec_id) matches the ground truth's.
+    *
+    * Scale shape: the receipt is exact-vs-exact by construction (its
+    * cost IS the ground truth, as in [[annRecallCurve]]); production
+    * serving uses the prefix that this curve prices, under whatever
+    * index the corpus already has — truncation composes with IVF/PQ
+    * because it only changes the vector payload. */
+  def matryoshkaRecall(corpus: DataFrame, k: Int = 3,
+                       dims: Seq[Int] = Seq(8, 16, 32),
+                       nQueries: Int = 10): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val exact = annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(Seq(col("query_id"), col("vec_id")) ++ dims.map(d =>
+        roundn(fastCosine(slice(col("e"), 1, d), slice(col("qe"), 1, d)), 6)
+          .as(s"cos_$d")): _*)
+      .localCheckpoint(true)
+    val curve = dims.map { d =>
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(s"cos_$d").desc, col("vec_id"))
+      scored
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("method", lit("trunc"))
+        .withColumn("param", lit(d.toLong))
+    }.reduce(_ unionByName _)
+    recallAgg(curve, exact, nExact)
+  }
+
   /** Embedding-space outlier screen — the mislabeled-data detector a
     * curated corpus runs before contrastive training: each vector's
     * variance-normalized squared distance to its LABEL centroid

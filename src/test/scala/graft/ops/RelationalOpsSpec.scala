@@ -1828,4 +1828,74 @@ class RelationalOpsSpec extends SparkSpec {
     // (150, 7) dominated by the cheaper equal-size (100, 7);
     // (300, 10) dominated by the cheaper equal-size (200, 10)
   }
+
+  test("mannKendall: monotone series trend, all-tied variance guards to 0, exact S and var18") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (0L until 10L).map(d => (d * day, "up", d.toDouble)) ++
+      (0L until 10L).map(d => (d * day, "down", (20 - d).toDouble)) ++
+      (0L until 10L).map(d => (d * day, "const", 5.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.mannKendall(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_days"), x.getAs[Long]("s_stat"),
+          x.getAs[Long]("var18"), x.getAs[Double]("z"),
+          x.getAs[Boolean]("trending")))).toMap
+    // 45 concordant pairs, no ties: var18 = 10*9*25 = 2250
+    assert(r("up") === ((10L, 45L, 2250L, 3.93548, true)))
+    assert(r("down") === ((10L, -45L, 2250L, -3.93548, true)))
+    // all days tied: tie_term cancels var18 exactly -> z = 0, no trend
+    assert(r("const") === ((10L, 0L, 0L, 0.0, false)))
+  }
+
+  test("tailIndex: exact Hill fold over the census; zero values filtered; all-tied tails emit no row") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows =
+      // 'a': values 8, 4, 2, 1 -> with k=2: ref = 3rd largest (2.00),
+      // sum = ln(4) + ln(2) rounded per term
+      Seq((0L * day, "a", 8.0), (1L * day, "a", 4.0),
+        (2L * day, "a", 2.0), (3L * day, "a", 1.0)) ++
+      // 'b': top-(k+1) all equal -> nothing exceeds the ref -> no row
+      Seq((0L * day, "b", 5.0), (1L * day, "b", 5.0), (2L * day, "b", 5.0)) ++
+      // 'c': only zeros -> filtered entirely
+      Seq((0L * day, "c", 0.0), (1L * day, "c", 0.0), (2L * day, "c", 0.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.tailIndex(events, k = 2).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_top"), x.getAs[Long]("x_ref_cents"),
+          x.getAs[Double]("sum_log_excess"), x.getAs[Double]("alpha")))).toMap
+    assert(r.keySet === Set("a"))
+    assert(r("a") === ((2L, 200L, 2.079441, 0.961797)))
+  }
+
+  test("eventsTwap: gap-weighted mean; last event excluded; same-instant ties pinned by event_id; zero-span users drop") {
+    val sec = 1000L * 1000 * 1000
+    val events = Seq(
+      // user 1: 1.00 held 10s, 2.00 held 20s -> (1000 + 4000)/3000
+      (0L, 0L * sec, 1L, "view", 1.0, "{}"),
+      (1L, 10L * sec, 1L, "view", 2.0, "{}"),
+      (2L, 30L * sec, 1L, "view", 5.0, "{}"),
+      // user 2: single event -> no forward gap -> no row
+      (3L, 0L * sec, 2L, "view", 9.0, "{}"),
+      // user 3: two same-instant events -> zero span -> no row
+      (4L, 5L * sec, 3L, "view", 1.0, "{}"),
+      (5L, 5L * sec, 3L, "view", 2.0, "{}"),
+      // user 4: same-instant pair then a later event — event_id order
+      // gives the 3.00 the whole 10s window (the 1.00 holds 0s)
+      (6L, 0L * sec, 4L, "view", 1.0, "{}"),
+      (7L, 0L * sec, 4L, "view", 3.0, "{}"),
+      (8L, 10L * sec, 4L, "view", 7.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.eventsTwap(events).collect()
+      .map(x => x.getAs[Long]("user_id") ->
+        ((x.getAs[Long]("n_intervals"), x.getAs[Long]("total_gap_s"),
+          x.getAs[Double]("twap")))).toMap
+    assert(r.keySet === Set(1L, 4L))
+    assert(r(1L) === ((2L, 30L, 1.666667)))
+    assert(r(4L) === ((2L, 10L, 3.0)))
+  }
 }

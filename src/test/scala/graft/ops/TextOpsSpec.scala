@@ -880,4 +880,40 @@ class TextOpsSpec extends SparkSpec {
       "tied leaves order by word")
     assert(r(1L)._2 > r(2L)._2)
   }
+
+  test("readabilityScore: FK counts and forms; vowel-less words count one syllable; wordless docs drop") {
+    val docs = Seq(
+      (0L, "The cat sat. The dog ran!"), // 6 words, 2 sentences, 6 syllables
+      (1L, "tsk tsk"),                   // vowel-less words floor at 1 syllable
+      (2L, "beautiful"),                 // eau | i | u = 3 vowel groups
+      (3L, "123 !!! ???")                // zero words -> no row
+    ).toDF("doc_id", "text")
+    val r = TextOps.readabilityScore(docs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("n_words"), x.getAs[Long]("n_sentences"),
+          x.getAs[Long]("n_syllables"), x.getAs[Double]("fk_grade"),
+          x.getAs[Double]("reading_ease")))).toMap
+    assert(r(0L) === ((6L, 2L, 6L, -2.62, 119.19)))
+    assert(r(1L)._1 === 2L)
+    assert(r(1L)._2 === 1L, "punctuation-free text is one sentence, not 0/0")
+    assert(r(1L)._3 === 2L, "max(1, vowel groups) per word")
+    assert(r(2L)._3 === 3L)
+    assert(!r.contains(3L), "a wordless text has no readability")
+  }
+
+  test("encodingAudit: dirty-text counters fire, clean text pins zeros, whitespace never double-counts as control") {
+    val docs = Seq(
+      (0L, "ab�cd\u0001é\t x", "dirty"), // 1 repl, 1 ctl, 2 non-ascii, 2 ws
+      (1L, "clean lowercase text", "clean"),
+      (2L, "", "empty") // zero-char source drops (no ratio exists)
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.encodingAudit(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_chars"), x.getAs[Long]("n_replacement"),
+          x.getAs[Long]("n_control"), x.getAs[Long]("n_non_ascii"),
+          x.getAs[Long]("n_whitespace"), x.getAs[Double]("ascii_ratio")))).toMap
+    assert(r("dirty") === ((10L, 1L, 1L, 2L, 2L, 0.8)))
+    assert(r("clean") === ((20L, 0L, 0L, 0L, 2L, 1.0)))
+    assert(!r.contains("empty"))
+  }
 }

@@ -393,4 +393,26 @@ class VectorOpsSpec extends SparkSpec {
       assert(r(p)._4 === 0.666667)
     }
   }
+
+  test("matryoshkaRecall: the full-dim prefix recovers ground truth exactly; a misleading prefix misses") {
+    // v2 is v0's true neighbor (full cosine ~0.995) but ties at
+    // cos=1.0 on the first two dims with v1/v3, which the vec_id
+    // tie-break then prefers; symmetric for v1 (true neighbor v3).
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(1f, 0f, 9f, 0f)),
+      (2L, Array(1f, 0.1f, 0f, 0f)),
+      (3L, Array(1f, 0f, 9f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val r = VectorOps.matryoshkaRecall(emb, k = 1, dims = Seq(2, 4), nQueries = 2)
+      .collect()
+      .map(x => x.getAs[Long]("param") ->
+        ((x.getAs[String]("method"), x.getAs[Long]("n_returned"),
+          x.getAs[Long]("n_hits"), x.getAs[Long]("n_exact"),
+          x.getAs[Double]("recall")))).toMap
+    assert(r(4L) === (("trunc", 2L, 2L, 2L, 1.0)),
+      "the full-length prefix IS the exact scorer")
+    assert(r(2L) === (("trunc", 2L, 0L, 2L, 0.0)),
+      "the truncation hides the discriminating dims")
+  }
 }
