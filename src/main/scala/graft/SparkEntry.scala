@@ -755,6 +755,14 @@ object SparkEntry {
       VectorOps.hardNegatives(emb,
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
+    // full contrastive triplets: hardest same-label positive AND
+    // hardest cross-label negative from ONE scored candidate pass,
+    // plus the margin the triplet loss is asked to widen
+    "triplet_mining" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.tripletMining(emb,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),
     // LEARNED lang-id: hashed char-trigram Naive Bayes trained
     // relationally on the gold labels (hash-split train buckets),
@@ -828,6 +836,27 @@ object SparkEntry {
     // per-user time-weighted average value: lead() gaps in exact
     // whole seconds, (ts, event_id) order pins same-instant ties
     "events_twap" -> ((s, dir) => RelationalOps.eventsTwap(Tables.events(s, dir))),
+    // rescaled-range Hurst exponent: integer R and decimal(38,0)
+    // dispersion per calendar-aligned block, H = one log-2 step
+    "events_hurst" -> ((s, dir) => RelationalOps.eventsHurst(Tables.events(s, dir))),
+    // entropy rate of the event-type Markov chain: the irreducible
+    // per-step surprisal every sequence model is graded against
+    "markov_entropy" -> ((s, dir) =>
+      RelationalOps.markovEntropy(Tables.events(s, dir))),
+    // the ivm_agg decomposable-state contract on the MODEL tier: NB
+    // count states from two disjoint corpus halves (each slice
+    // featurized separately — batch cost ∝ batch) merge by per-key
+    // addition; the derived model must equal the full retrain, which
+    // is exactly what the oracle recomputes from scratch
+    "nb_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 =!= 0)
+      val merged = TextOps.nbMergeStates(
+        TextOps.nbCountState(base, TextOps.nbLangFeatures(base)),
+        TextOps.nbCountState(batch, TextOps.nbLangFeatures(batch)))
+      TextOps.nbModelFromState(merged)
+    }),
     // matryoshka truncation receipt: recall@k of prefix-dim cosine
     // top-k vs the full-dim ground truth, one scored pass for all dims
     "matryoshka_recall" -> ((s, dir) =>
@@ -3257,6 +3286,33 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
          |                               ORDER BY cos_sim DESC, neg_id) AS rn
          |  FROM sim) WHERE rn = 1""".stripMargin,
+    // one scored candidate table, two label-routed argmaxes, exact
+    // on-grid margin
+    "triplet_mining" ->
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cpairs AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS other_id
+         |           FROM assigned a JOIN assigned b USING (c_label)
+         |           WHERE a.vec_id <> b.vec_id),
+         |sim AS (SELECT p.anchor_id, la.label AS anchor_label,
+         |          p.other_id, lb.label AS other_label,
+         |          round(${duckCos("la.embedding", "lb.embedding")}, 6) + 0 AS cos_sim
+         |        FROM cpairs p
+         |        JOIN embeddings la ON la.vec_id = p.anchor_id
+         |        JOIN embeddings lb ON lb.vec_id = p.other_id),
+         |pos AS (SELECT anchor_id, anchor_label, other_id AS pos_id,
+         |          cos_sim AS cos_pos FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                      ORDER BY cos_sim DESC, other_id) AS rn
+         |          FROM sim WHERE other_label = anchor_label) WHERE rn = 1),
+         |neg AS (SELECT anchor_id, other_id AS neg_id, cos_sim AS cos_neg FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                      ORDER BY cos_sim DESC, other_id) AS rn
+         |          FROM sim WHERE other_label <> anchor_label) WHERE rn = 1)
+         |SELECT p.anchor_id, p.anchor_label, p.pos_id, p.cos_pos,
+         |  n.neg_id, n.cos_neg,
+         |  round(p.cos_pos - n.cos_neg, 6) + 0 AS margin
+         |FROM pos p JOIN neg n USING (anchor_id)""".stripMargin,
     // corpus (vec >= 50) × benchmark (vec < 50) through the shared
     // cell table; per-corpus argmax with bench_id tie-break
     "decontaminate_semantic" ->
@@ -3495,6 +3551,79 @@ object SparkEntry {
         |SELECT user_id, n_intervals, total_gap_s,
         |  round(wsum / (total_gap_s * 100.0), 6) + 0 AS twap
         |FROM a WHERE total_gap_s > 0""".stripMargin,
+    // per-block integer partial-sum ranges and HUGEINT dispersion,
+    // complete calendar-aligned blocks only; H = Δln(R/S) over the
+    // one log-2 window step, divided by the ln 2 CONSTANT
+    "events_hurst" ->
+      """WITH daily AS (SELECT event_type,
+        |         epoch_ns(ts) // 86400000000000 AS day,
+        |         CAST(round(round(avg(value), 6) * 1000000) AS BIGINT) AS mm
+        |       FROM events GROUP BY 1, 2),
+        |b4 AS (SELECT event_type, day, mm, day // 4 AS blk FROM daily),
+        |t4 AS (SELECT event_type, blk, count(*) AS n,
+        |         CAST(sum(mm) AS BIGINT) AS s FROM b4 GROUP BY 1, 2),
+        |c4 AS (SELECT b.event_type, b.blk,
+        |         CAST(sum(4 * b.mm - t.s) OVER (PARTITION BY b.event_type, b.blk
+        |           ORDER BY b.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS BIGINT) AS c,
+        |         4 * b.mm - t.s AS wdev
+        |       FROM b4 b JOIN t4 t USING (event_type, blk) WHERE t.n = 4),
+        |r4 AS (SELECT event_type, blk,
+        |         CAST(max(c) - min(c) AS BIGINT) AS rng,
+        |         sum(CAST(wdev AS HUGEINT) * wdev) AS d2
+        |       FROM c4 GROUP BY 1, 2),
+        |rs4 AS (SELECT event_type, blk,
+        |          round(rng * sqrt(4.0 / CAST(d2 AS DOUBLE)), 6) + 0 AS rs
+        |        FROM r4 WHERE d2 > 0),
+        |m4 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks_4,
+        |         round(sum(rs ORDER BY blk) / count(*), 6) + 0 AS rs_4
+        |       FROM rs4 GROUP BY 1),
+        |b8 AS (SELECT event_type, day, mm, day // 8 AS blk FROM daily),
+        |t8 AS (SELECT event_type, blk, count(*) AS n,
+        |         CAST(sum(mm) AS BIGINT) AS s FROM b8 GROUP BY 1, 2),
+        |c8 AS (SELECT b.event_type, b.blk,
+        |         CAST(sum(8 * b.mm - t.s) OVER (PARTITION BY b.event_type, b.blk
+        |           ORDER BY b.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND CURRENT ROW) AS BIGINT) AS c,
+        |         8 * b.mm - t.s AS wdev
+        |       FROM b8 b JOIN t8 t USING (event_type, blk) WHERE t.n = 8),
+        |r8 AS (SELECT event_type, blk,
+        |         CAST(max(c) - min(c) AS BIGINT) AS rng,
+        |         sum(CAST(wdev AS HUGEINT) * wdev) AS d2
+        |       FROM c8 GROUP BY 1, 2),
+        |rs8 AS (SELECT event_type, blk,
+        |          round(rng * sqrt(8.0 / CAST(d2 AS DOUBLE)), 6) + 0 AS rs
+        |        FROM r8 WHERE d2 > 0),
+        |m8 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_blocks_8,
+        |         round(sum(rs ORDER BY blk) / count(*), 6) + 0 AS rs_8
+        |       FROM rs8 GROUP BY 1)
+        |SELECT m4.event_type, n_blocks_4, rs_4, n_blocks_8, rs_8,
+        |  round(((round(ln(rs_8), 6) + 0) - (round(ln(rs_4), 6) + 0))
+        |        / 0.6931471805599453, 6) + 0 AS hurst
+        |FROM m4 JOIN m8 USING (event_type)""".stripMargin,
+    // per-from ln terms rounded then folded in to_type order and
+    // divided once; the rate folds n_i·H_i in from order over |types|
+    "markov_entropy" ->
+      """WITH p AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |       FROM c GROUP BY 1),
+        |h AS (SELECT c.from_type, ft.n_from,
+        |        round(-sum(c.n * (round(ln(c.n / CAST(ft.n_from AS DOUBLE)), 6) + 0)
+        |                   ORDER BY c.to_type) / ft.n_from, 6) + 0 AS h_cond
+        |      FROM c JOIN ft USING (from_type) GROUP BY 1, 2),
+        |nt AS (SELECT CAST(sum(n_from) AS BIGINT) AS n_all FROM h),
+        |r AS (SELECT round(sum(n_from * h_cond ORDER BY from_type)
+        |               / (SELECT n_all FROM nt), 6) + 0 AS entropy_rate FROM h)
+        |SELECT from_type, n_from,
+        |  round(n_from / (SELECT n_all FROM nt), 6) + 0 AS share,
+        |  h_cond, (SELECT entropy_rate FROM r) AS entropy_rate
+        |FROM h""".stripMargin,
     "lang_id" ->
       s"""WITH $duckToks,
          |$duckLangCtes
@@ -8328,6 +8457,16 @@ object SparkEntry {
          |SELECT doc_id, predicted_lang, score_micro,
          |       (SELECT model_sha FROM mh) AS model_sha
          |FROM nbp WHERE doc_id % 8 = 0""".stripMargin,
+    // the full from-scratch retrain IS the oracle: merged-state
+    // training must land on exactly these rows or the row is red
+    "nb_incremental" ->
+      s"""WITH $duckNbCtes
+         |SELECT 'w' AS kind, lang, CAST(b AS BIGINT) AS b, w_mu AS mu FROM w
+         |UNION ALL
+         |SELECT 'd' AS kind, lang, CAST(-1 AS BIGINT) AS b, d_mu AS mu FROM dmu
+         |UNION ALL
+         |SELECT 'p' AS kind, lang, CAST(-1 AS BIGINT) AS b, prior_mu AS mu
+         |FROM pr""".stripMargin,
     "bpe_model_persist" -> oracleSqlBase("bpe_encode"),
     "plsa_model_persist" -> oracleSqlBase("topic_model"),
     "lm_model_persist" -> oracleSqlBase("lm_tune"),

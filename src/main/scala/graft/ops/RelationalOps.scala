@@ -318,6 +318,54 @@ object RelationalOps {
         col("p_trans"))
   }
 
+  /** Entropy RATE of the event-type Markov chain — how predictable
+    * the next event is given the current one, in nats/transition
+    * (the sequence-model companion to [[TextOps.charEntropy]]'s
+    * within-document screen and [[markovAccuracy]]'s argmax audit:
+    * accuracy grades one decision rule, the entropy rate bounds EVERY
+    * rule — it is the irreducible per-step surprisal, so a sequence
+    * model beating it is memorizing, and a rate near ln|types| says
+    * transitions carry no signal worth modeling): per from-type the
+    * conditional entropy H_i = −Σ_j p_ij·ln p_ij, and the chain rate
+    * Σ_i π_i·H_i under the EMPIRICAL from-distribution π (observed
+    * shares, not the stationary eigenvector — stated; they coincide
+    * as the chain mixes).
+    *
+    * Determinism: each ln(n_ij/n_i) rounds to 6dp, the per-from fold
+    * sums n_ij·ln over the |types|-bounded to_type order and divides
+    * by n_i once ([[TextOps.charEntropy]]'s recipe); the rate folds
+    * n_i·H_i in from order and divides by N once.
+    *
+    * Scale shape: one user-keyed sort serves the lead() tap (shared
+    * with [[eventTransitions]] — same census); everything after runs
+    * on ≤ |types|² rows with broadcast totals. */
+  def markovEntropy(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTot = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    val h = counts.join(broadcast(fromTot), "from_type")
+      .groupBy(col("from_type"), col("n_from"))
+      .agg(graft.functions.VectorMath.orderedSum(
+        col("to_type"),
+        col("n") * roundn(log(col("n") / col("n_from")), 6)).as("s_raw"))
+      .select(col("from_type"), col("n_from"),
+        roundn(-col("s_raw") / col("n_from"), 6).as("h_cond"))
+    val nTotal = h.agg(sum(col("n_from")).as("n_all"))
+    val rate = h.crossJoin(broadcast(nTotal))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("from_type"), col("n_from") * col("h_cond")) / max(col("n_all")), 6)
+        .as("entropy_rate"))
+    h.crossJoin(broadcast(nTotal)).crossJoin(broadcast(rate))
+      .select(col("from_type"), col("n_from"),
+        roundn(col("n_from") / col("n_all"), 6).as("share"),
+        col("h_cond"), col("entropy_rate"))
+  }
+
   /** The Markov model's declared AUDIT — [[eventTransitions]] trains
     * a transition matrix; this grades it on data it never saw (the
     * NB→confusion / GD→cv_folds / ANN→recall convention): adjacent
@@ -4105,6 +4153,74 @@ object RelationalOps {
         when(col("s_raw") > 0.0, roundn(lit(k.toDouble) / col("s_raw"), 6)))
       .select(col("event_type"), col("n_top"), col("x_ref_cents"),
         roundn(col("s_raw"), 6).as("sum_log_excess"), col("alpha"))
+  }
+
+  /** Rescaled-range (R/S) Hurst exponent — the LONG-MEMORY screen
+    * beside [[mannKendall]]'s monotone-trend test and [[runsTest]]'s
+    * randomness audit (H ≈ 0.5 = memoryless, H > 0.5 = persistent
+    * regimes, H < 0.5 = mean-reverting — the property that decides
+    * whether [[eventsForecast]]-style extrapolation is even
+    * admissible): per event type, R/S over calendar-aligned blocks of
+    * w days for w ∈ windows, then H = Δlog(R/S) / Δlog(w) over the
+    * two budgets (equally-spaced log-x makes the OLS slope exactly
+    * that difference quotient).
+    *
+    * Exactness inside each block: deviations are kept ×w so they stay
+    * integers (w·devᵢ = w·mmᵢ − Σmm), the cumulative-deviation range
+    * R·w = max−min of the integer partial sums (Z_w = 0 by
+    * construction, so the range brackets 0 as the classic definition
+    * requires), and Σ(w·dev)² accumulates in decimal(38,0) (a micro-
+    * grid deviation ×8 squared is ~10²⁰ — past Long; the
+    * [[eventsBurstiness]] overflow rule). The only float math is the
+    * per-block R/S = range·√(w/Σ), rounded; block means fold in block
+    * order (bounded group), and H divides the per-term-rounded lns by
+    * the ln 2 CONSTANT (cross-engine: no libm divisor).
+    *
+    * Scale shape: the stream collapses to the calendar-bounded daily
+    * table once (checkpointed — both window budgets read it);
+    * everything after runs over |types|·|days| rows. Partial
+    * head/tail blocks are DROPPED (n = w filter, stated): R/S is
+    * defined over complete windows only. */
+  def eventsHurst(events: DataFrame, windows: Seq[Int] = Seq(4, 8)): DataFrame = {
+    require(windows.size == 2 && windows(1) == 2 * windows(0),
+      "H is the difference quotient over one log-2 step")
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val daily = events
+      .select(col("event_type"), expr(s"ts div ${dayNanos}L").as("day"), col("value"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(roundn(avg(col("value")), 6).as("m"))
+      .select(col("event_type"), col("day"),
+        expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
+      .localCheckpoint(true)
+    def meanRs(w: Int): DataFrame = {
+      val blk = daily.withColumn("blk", expr(s"day div ${w}L"))
+      val tot = blk.groupBy(col("event_type"), col("blk"))
+        .agg(count(lit(1)).as("n"), sum(col("mm")).as("s"))
+        .filter(col("n") === w)
+        .select(col("event_type"), col("blk"), col("s"))
+      val wWin = Window.partitionBy(col("event_type"), col("blk")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = blk.join(tot, Seq("event_type", "blk"))
+        .withColumn("wdev", lit(w.toLong) * col("mm") - col("s"))
+        .withColumn("c", sum(col("wdev")).over(wWin))
+      cum.groupBy(col("event_type"), col("blk"))
+        .agg((max(col("c")) - min(col("c"))).as("rng"),
+          sum(col("wdev").cast("decimal(38,0)") * col("wdev")).as("d2"))
+        .filter(col("d2") > 0)
+        .withColumn("rs", roundn(col("rng").cast("double") *
+          sqrt(lit(w.toDouble) / col("d2").cast("double")), 6))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as(s"n_blocks_$w"),
+          roundn(graft.functions.VectorMath.orderedSum(col("blk"), col("rs"))
+            / count(lit(1)), 6).as(s"rs_$w"))
+    }
+    val (w1, w2) = (windows(0), windows(1))
+    meanRs(w1).join(meanRs(w2), "event_type")
+      .select(col("event_type"),
+        col(s"n_blocks_$w1"), col(s"rs_$w1"),
+        col(s"n_blocks_$w2"), col(s"rs_$w2"),
+        roundn((roundn(log(col(s"rs_$w2")), 6) - roundn(log(col(s"rs_$w1")), 6))
+          / lit(0.6931471805599453), 6).as("hurst"))
   }
 
   /** Time-weighted average value (TWAP) per user — the

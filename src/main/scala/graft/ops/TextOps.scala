@@ -328,13 +328,47 @@ object TextOps {
     * mu is INTEGER micros, so the artifact parquet-round-trips
     * bit-identically — reload ≡ retrain is pinnable, not hoped. */
   def nbLangTrain(docs: DataFrame, feat: DataFrame,
-                  nBuckets: Int = 4096): DataFrame = {
-    val micro = (c: Column) => round(c * 1000000).cast("long")
+                  nBuckets: Int = 4096): DataFrame =
+    nbModelFromState(nbCountState(docs, feat), nBuckets)
+
+  /** The DECOMPOSABLE half of NB training — the raw count state
+    * (kind 'c': per-(lang, bucket) feature counts over the train
+    * split; kind 'n': per-lang train-doc counts) as a long-format
+    * table. Counts are ADDITIVE and every per-doc quantity (features,
+    * the hashSplit membership) is a pure function of that doc's
+    * content, so state(base) ⊎ state(batch), summed per key, equals
+    * state(base ∪ batch) EXACTLY — the `ivm_agg` decomposable-state
+    * contract on the MODEL tier, which is what makes daily
+    * incremental retraining a merge instead of a corpus rescan
+    * (`nb_incremental` pins it against the full-retrain oracle). */
+  def nbCountState(docs: DataFrame, feat: DataFrame): DataFrame = {
     val train = docs
       .join(hashSplit(docs).filter(col("split") === "train").select(col("doc_id")), "doc_id")
       .select(col("doc_id"), col("lang"))
     val clb = feat.join(train, "doc_id")
-      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("c_lb"))
+      .groupBy(col("lang"), col("b")).agg(sum(col("tf")).as("v"))
+      .select(lit("c").as("kind"), col("lang"), col("b"), col("v"))
+    val nl = train.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+      .select(lit("n").as("kind"), col("lang"), lit(-1L).as("b"), col("v"))
+    clb.unionByName(nl)
+  }
+
+  /** Merge count states from disjoint corpus slices — pure per-key
+    * addition (the whole point of keeping the state in counts, not
+    * log-weights: log-space state would not be mergeable). */
+  def nbMergeStates(states: DataFrame*): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(col("kind"), col("lang"), col("b"))
+      .agg(sum(col("v")).as("v"))
+
+  /** The DERIVED half of NB training: smoothing, log, and the micro
+    * grid — all per-key arithmetic over the bounded count state, so
+    * deriving from a merged state costs |langs|·|buckets| regardless
+    * of corpus size. */
+  def nbModelFromState(state: DataFrame, nBuckets: Int = 4096): DataFrame = {
+    val micro = (c: Column) => round(c * 1000000).cast("long")
+    val clb = state.filter(col("kind") === "c")
+      .select(col("lang"), col("b"), col("v").as("c_lb"))
     val cl = clb.groupBy(col("lang")).agg(sum(col("c_lb")).as("c_l"))
     val weights = clb.join(cl, "lang")
       .select(lit("w").as("kind"), col("lang"), col("b"),
@@ -342,7 +376,8 @@ object TextOps {
           (col("c_l") + nBuckets).cast("double"))).as("mu"))
     val defaults = cl.select(lit("d").as("kind"), col("lang"), lit(-1L).as("b"),
       micro(log(lit(1.0) / (col("c_l") + nBuckets).cast("double"))).as("mu"))
-    val nl = train.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val nl = state.filter(col("kind") === "n")
+      .select(col("lang"), col("v").as("n_l"))
     val nTotal = nl.agg(sum(col("n_l")).cast("double").as("n"))
     val priors = nl.crossJoin(broadcast(nTotal))
       .select(lit("p").as("kind"), col("lang"), lit(-1L).as("b"),

@@ -191,6 +191,63 @@ object VectorOps {
         col("neg_label"), col("cos_sim"))
   }
 
+  /** Triplet mining — the COMPLETE contrastive-training sample
+    * beside [[hardNegatives]]' negative half: per anchor, the nearest
+    * co-resident with the SAME label (the hardest positive — the one
+    * the model is most likely to already separate wrongly) and the
+    * nearest with a DIFFERENT label (the hardest negative), plus the
+    * margin cos_pos − cos_neg the triplet loss will be asked to
+    * widen. Anchors missing either side (a label alone in its cells)
+    * emit no row — a triplet needs all three corners (stated).
+    *
+    * Scale shape: ONE cell-bounded candidate join and ONE cosine pass
+    * serve both halves (the scored table checkpoints; the pos/neg
+    * argmaxes are two windows over the same cell-occupancy-bounded
+    * partitions) — mining the positive is not a second scan. Margin
+    * is a difference of two on-grid values (exact), re-rounded only
+    * to normalize the −0.0 corner. */
+  def tripletMining(embeddings: DataFrame, nAssign: Int = 2,
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = centroids.getOrElse(
+      meanPoolByLabel(embeddings)
+        .select(col("label").as("c_label"), col("dim"), col("centroid_val").as("cv")))
+    val assigned = cellRanks(embeddings, cent, "id")
+      .filter(col("cell_rank") <= nAssign)
+      .select(col("id"), col("c_label"))
+    val lab = embeddings.select(col("vec_id"), col("label"))
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val scored = assigned.select(col("id").as("anchor_id"), col("c_label"))
+      .join(assigned.select(col("id").as("other_id"), col("c_label")), "c_label")
+      .filter(col("anchor_id") =!= col("other_id"))
+      .select(col("anchor_id"), col("other_id"))
+      .distinct() // a pair can share several cells
+      .join(lab.select(col("vec_id").as("anchor_id"), col("label").as("anchor_label")),
+        "anchor_id")
+      .join(lab.select(col("vec_id").as("other_id"), col("label").as("other_label")),
+        "other_id")
+      .join(e.select(col("vec_id").as("anchor_id"), col("e").as("ea")), "anchor_id")
+      .join(e.select(col("vec_id").as("other_id"), col("e").as("eb")), "other_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
+      .select(col("anchor_id"), col("anchor_label"), col("other_id"),
+        col("other_label"), col("cos_sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("other_id"))
+    def top(same: Boolean, idName: String, cosName: String): DataFrame =
+      scored
+        .filter(if (same) col("other_label") === col("anchor_label")
+                else col("other_label") =!= col("anchor_label"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("anchor_id"), col("anchor_label"),
+          col("other_id").as(idName), col("cos_sim").as(cosName))
+    top(same = true, "pos_id", "cos_pos")
+      .join(top(same = false, "neg_id", "cos_neg").drop("anchor_label"), "anchor_id")
+      .select(col("anchor_id"), col("anchor_label"), col("pos_id"), col("cos_pos"),
+        col("neg_id"), col("cos_neg"),
+        roundn(col("cos_pos") - col("cos_neg"), 6).as("margin"))
+  }
+
   /** SEMANTIC decontamination — the embedding-tier member of the
     * decontamination family (`decontaminate` = exact 13-gram overlap,
     * `decontaminate_bloom` = map-side membership prefilter, this =

@@ -199,6 +199,60 @@ object StreamingOps {
       }
   }
 
+  /** Input row for [[twapStream]]: `ts` in Long nanos, `cents` the
+    * integer value grid (the batch twin's `round(value·100)`). */
+  case class ValEv(event_id: Long, ts: Long, user_id: Long, cents: Long)
+  /** [[twapStream]] state: the last APPLIED event (its value is the
+    * one "current" until the next arrival) plus the running integer
+    * sums — everything the batch fold keeps, nothing else. */
+  case class TwapSt(lastTs: Long, lastId: Long, lastCents: Long,
+                    nIntervals: Long, totalGapS: Long, wsum: Long)
+  case class TwapUpdate(user_id: Long, n_intervals: Long,
+                        total_gap_s: Long, twap: Double)
+
+  /** Streaming twin of [[graft.ops.RelationalOps.eventsTwap]] (§2.10
+    * convention — oracle-exempt, spec-pinned to the batch op): the
+    * per-user time-weighted average maintained INCREMENTALLY. The
+    * batch op's lead() window becomes one Long-arithmetic fold per
+    * key: each arriving event closes the gap the PREVIOUS event was
+    * "current" for (gap floored to whole seconds — the batch
+    * contract), adds cents·gap to the running weighted sum, and
+    * becomes the new open interval; state is six Longs per user.
+    * Same-instant ties apply in (ts, event_id) order inside a batch;
+    * an event at or before the last APPLIED (ts, event_id) is late
+    * beyond applied state and DROPS (the [[stateHistoryStream]]
+    * rule — batch ≡ stream holds for in-order arrival, which the
+    * spec replays). Zero-span users emit nothing yet, exactly as the
+    * batch op's total_gap_s > 0 filter. */
+  def twapStream(events: Dataset[ValEv]): Dataset[TwapUpdate] = {
+    import events.sparkSession.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TwapSt, TwapUpdate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[TwapSt]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
+          var st = state.getOption.orNull
+          sorted.foreach { e =>
+            if (st == null) st = TwapSt(e.ts, e.event_id, e.cents, 0L, 0L, 0L)
+            else if (e.ts < st.lastTs ||
+              (e.ts == st.lastTs && e.event_id <= st.lastId)) () // late: dropped
+            else {
+              val gap = (e.ts - st.lastTs) / 1000000000L
+              st = TwapSt(e.ts, e.event_id, e.cents, st.nIntervals + 1,
+                st.totalGapS + gap, st.wsum + st.lastCents * gap)
+            }
+          }
+          if (st != null) state.update(st)
+          if (st != null && st.totalGapS > 0)
+            Iterator.single(TwapUpdate(uid, st.nIntervals, st.totalGapS,
+              round6(st.wsum.toDouble / (st.totalGapS.toDouble * 100.0))))
+          else Iterator.empty
+      }
+  }
+
   /** Input/output row for [[debounceStream]]: `ts` is a proper
     * timestamp (the watermark column); `ts_ms` its epoch-millis twin
     * for timer arithmetic. */

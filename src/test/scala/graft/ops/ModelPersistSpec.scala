@@ -49,6 +49,17 @@ class ModelPersistSpec extends SparkSpec {
     assert(fresh === dump(TextOps.langIdLearned(docs)))
   }
 
+  test("NB count state is decomposable: merged disjoint-slice states derive the full-retrain model exactly") {
+    val docs = corpus
+    val full = dump(TextOps.nbLangTrain(docs, TextOps.nbLangFeatures(docs)))
+    // a 3-way split that cuts across langs and doc lengths
+    val slices = (0 until 3).map(k => docs.filter($"doc_id" % 3 === k))
+    val merged = TextOps.nbMergeStates(
+      slices.map(s => TextOps.nbCountState(s, TextOps.nbLangFeatures(s))): _*)
+    assert(dump(TextOps.nbModelFromState(merged)) === full,
+      "state(a) + state(b) + state(c) must train the SAME model as state(a+b+c)")
+  }
+
   test("NB model artifact is long-format with all three kinds") {
     val docs = corpus
     val kinds = TextOps.nbLangTrain(docs, TextOps.nbLangFeatures(docs))

@@ -1898,4 +1898,24 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r(1L) === ((2L, 30L, 1.666667)))
     assert(r(4L) === ((2L, 10L, 3.0)))
   }
+
+  test("eventsHurst: a linear ramp is persistent (H near 1), an alternator scores exactly 0") {
+    val day = 86400L * 1000 * 1000 * 1000
+    // 16 days from day 0: four complete 4-blocks, two complete 8-blocks
+    val rows =
+      (0L until 16L).map(d => (d * day, "trend", d.toDouble)) ++
+      (0L until 16L).map(d => (d * day, "alt", if (d % 2 == 0) 0.0 else 10.0))
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.eventsHurst(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n_blocks_4"), x.getAs[Double]("rs_4"),
+          x.getAs[Long]("n_blocks_8"), x.getAs[Double]("rs_8"),
+          x.getAs[Double]("hurst")))).toMap
+    // linear block: R*w = 8 (w=4) / 64 (w=8), D = 80 / 2688 exactly
+    assert(r("trend") === ((4L, 1.788854, 2L, 3.491486, 0.964805)))
+    // the alternator's R/S is scale-free at exactly 1.0 -> H = 0
+    assert(r("alt") === ((4L, 1.0, 2L, 1.0, 0.0)))
+  }
 }

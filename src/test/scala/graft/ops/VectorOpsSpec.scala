@@ -415,4 +415,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(2L) === (("trunc", 2L, 0L, 2L, 0.0)),
       "the truncation hides the discriminating dims")
   }
+
+  test("tripletMining: hardest positive and negative per anchor; lonely labels drop; margins can invert") {
+    // all components exact in float32 so 6dp cosines are stable
+    val emb = Seq(
+      (0L, Array(1f, 0f), 0),
+      (1L, Array(1f, 0.5f), 0),
+      (2L, Array(0f, 1f), 1),
+      (3L, Array(0.5f, 1f), 1),
+      (4L, Array(1f, 1f), 2) // alone in its label: no positive exists
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.tripletMining(emb).collect()
+      .map(x => x.getAs[Long]("anchor_id") ->
+        ((x.getAs[Int]("anchor_label"), x.getAs[Long]("pos_id"),
+          x.getAs[Double]("cos_pos"), x.getAs[Long]("neg_id"),
+          x.getAs[Double]("cos_neg"), x.getAs[Double]("margin")))).toMap
+    assert(r.keySet === Set(0L, 1L, 2L, 3L), "the lonely label has no triplet")
+    assert(r(0L) === ((0, 1L, 0.894427, 4L, 0.707107, 0.18732)))
+    assert(r(2L) === ((1, 3L, 0.894427, 4L, 0.707107, 0.18732)))
+    // the diagonal point is MORE similar than the in-label positive:
+    // a negative margin is exactly what the miner must surface
+    assert(r(1L) === ((0, 0L, 0.894427, 4L, 0.948683, -0.054256)))
+    assert(r(3L) === ((1, 2L, 0.894427, 4L, 0.948683, -0.054256)))
+  }
 }

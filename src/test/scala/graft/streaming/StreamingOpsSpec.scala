@@ -833,4 +833,42 @@ class StreamingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("twapStream: running per-user state across micro-batches equals the batch eventsTwap replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val sec = 1000L * 1000 * 1000
+    // (event_id, ts, user_id, value-cents) — users 1/2/3/4 mirror the
+    // batch spec: full chain, singleton, zero-span pair, instant tie
+    val all = Seq(
+      (0L, 0L * sec, 1L, 100L), (1L, 10L * sec, 1L, 200L), (2L, 30L * sec, 1L, 500L),
+      (3L, 0L * sec, 2L, 900L),
+      (4L, 5L * sec, 3L, 100L), (5L, 5L * sec, 3L, 200L),
+      (6L, 0L * sec, 4L, 100L), (7L, 0L * sec, 4L, 300L), (8L, 10L * sec, 4L, 700L))
+    val input = MemoryStream[ValEv]
+    val q = twapStream(input.toDS())
+      .writeStream.format("memory").queryName("twap_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: user 1's first two events + everything for users 2-3
+      input.addData(all.take(5).map(r => ValEv(r._1, r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      // batch 2: user 1's third event (state must carry) + user 4
+      input.addData(all.drop(5).map(r => ValEv(r._1, r._2, r._3, r._4)): _*)
+      q.processAllAvailable()
+      val last = spark.table("twap_out").as[TwapUpdate].collect()
+        .groupBy(_.user_id).map { case (u, rows) => u -> rows.last }
+      val batch = graft.ops.RelationalOps.eventsTwap(
+        all.map(r => (r._1, r._2, r._3, r._4 / 100.0)).toDF("event_id", "ts", "user_id", "value"))
+        .collect().map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_intervals"), r.getAs[Long]("total_gap_s"),
+            r.getAs[Double]("twap")))).toMap
+      assert(last.keySet === batch.keySet, "zero-span and singleton users emit nothing")
+      batch.foreach { case (u, (n, g, t)) =>
+        assert(last(u).n_intervals === n && last(u).total_gap_s === g
+          && last(u).twap === t, s"user $u stream == batch")
+      }
+      // and the spec means what it claims: user 1 accumulated ACROSS batches
+      assert(last(1L).n_intervals === 2L && last(1L).twap === 1.666667)
+    } finally q.stop()
+  }
 }
