@@ -1307,6 +1307,14 @@ object SparkEntry {
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
+    // DP median via the exponential mechanism: exact integer rank
+    // distances over the value census, integer-micro weights (no
+    // float-association hazard), inverse-CDF draw on the portable hash
+    "dp_quantile" -> ((s, dir) => RelationalOps.dpQuantile(Tables.events(s, dir))),
+    // the ACTION half of the k-anonymity audit: the global-recoding
+    // generalization ladder, with the first level clearing k chosen
+    "k_anon_ladder" -> ((s, dir) =>
+      RelationalOps.kAnonLadder(Tables.events(s, dir))),
     // erasure audit: rebuild-from-survivors must equal full minus the
     // deleted cohort's exact integer contribution
     "delete_propagation" -> ((s, dir) =>
@@ -5914,6 +5922,73 @@ object SparkEntry {
          |UNION ALL
          |${leg(2, "2.0")}""".stripMargin
     },
+    // exponential-mechanism median: doubled rank distances, micro-
+    // grid weights (exp underflow to exactly 0 on both engines),
+    // first census value whose cumulative mass reaches u·total
+    "dp_quantile" -> {
+      val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
+        "'dpq:' || event_type")} AS BIGINT)"
+      s"""WITH census AS (SELECT event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS cents,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM events GROUP BY 1, 2),
+         |cum AS (SELECT *,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+         |  FROM census),
+         |d AS (SELECT *,
+         |    CASE WHEN 2 * (cum - cnt + 1) > n + 1 THEN 2 * (cum - cnt + 1) - (n + 1)
+         |         WHEN 2 * cum < n + 1 THEN n + 1 - 2 * cum
+         |         ELSE 0 END AS d2
+         |  FROM cum),
+         |w AS (SELECT *,
+         |    CAST(round(exp(-0.25 * d2) * 1000000.0) AS BIGINT) AS wt_micro
+         |  FROM d),
+         |cw AS (SELECT *,
+         |    CAST(sum(wt_micro) OVER (PARTITION BY event_type ORDER BY cents
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumw
+         |  FROM w),
+         |mt AS (SELECT event_type, max(n) AS n, max(cumw) AS total,
+         |    CAST(sum(CASE WHEN cum - cnt < (n + 1) // 2 AND (n + 1) // 2 <= cum
+         |               THEN cents ELSE 0 END) AS BIGINT) AS m_lo,
+         |    CAST(sum(CASE WHEN cum - cnt < n // 2 + 1 AND n // 2 + 1 <= cum
+         |               THEN cents ELSE 0 END) AS BIGINT) AS m_hi
+         |  FROM cw GROUP BY 1),
+         |th AS (SELECT event_type, n, m_lo + m_hi AS med_x2,
+         |    (($h48 + 0.5) / 281474976710656.0) * CAST(total AS DOUBLE) AS thr
+         |  FROM mt)
+         |SELECT c.event_type, t.n, t.med_x2,
+         |  min(c.cents) AS dp_med_cents,
+         |  arg_min(c.d2, c.cents) AS dp_rank_dist2
+         |FROM cw c JOIN th t USING (event_type)
+         |WHERE CAST(c.cumw AS DOUBLE) >= t.thr
+         |GROUP BY 1, 2, 3""".stripMargin
+    },
+    // per-level class censuses over one shared user profile; chosen =
+    // first level whose smallest class clears k (monotone ladder)
+    "k_anon_ladder" ->
+      """WITH pr AS (SELECT user_id, count(*) AS n_ev,
+        |    count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+        |  FROM events GROUP BY 1),
+        |qi AS (SELECT least(10, n_ev // 10) AS act,
+        |    least(10, n_days // 3) AS days FROM pr),
+        |lv AS (SELECT CAST(unnest([0, 1, 2, 3, 4]) AS BIGINT) AS level),
+        |cls AS (SELECT l.level, q.act // (1 << CAST(l.level AS INTEGER)) AS qa,
+        |    q.days // (1 << CAST(l.level AS INTEGER)) AS qd,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM qi q CROSS JOIN lv l GROUP BY 1, 2, 3),
+        |lad AS (SELECT level, CAST(count(*) AS BIGINT) AS n_classes,
+        |    min(k) AS min_k, max(k) AS max_k,
+        |    CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_below
+        |  FROM cls GROUP BY 1),
+        |ch AS (SELECT min(CASE WHEN min_k >= 5 THEN level END) AS chosen_level
+        |       FROM lad)
+        |SELECT level, n_classes, min_k, max_k, n_below,
+        |  min_k >= 5 AS released,
+        |  (SELECT chosen_level FROM ch) IS NOT NULL
+        |    AND level = (SELECT chosen_level FROM ch) AS chosen
+        |FROM lad""".stripMargin,
     "l_diversity" ->
       """WITH tc AS (SELECT user_id, event_type, count(*) AS n_t
         |            FROM events GROUP BY 1, 2),

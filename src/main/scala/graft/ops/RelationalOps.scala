@@ -4040,6 +4040,122 @@ object RelationalOps {
         col("n_parts"), col("first_part"))
   }
 
+  /** K-anonymity generalization LADDER — the ACTION half of
+    * [[kAnonymity]]'s audit (the audit says "these classes are
+    * re-identifiable"; the standard response is GLOBAL RECODING:
+    * coarsen every quasi-identifier one notch and re-check, until the
+    * smallest class reaches k): the full ladder of bucket granularities
+    * (level l halves both quasi-identifier axes l times) evaluated in
+    * one pass, each level reporting its class census and whether it
+    * releases, plus the CHOSEN level — the first that clears `kMin`
+    * (coarser levels merge classes, so min-k is monotone up the
+    * ladder and "first" is the utility-optimal global recoding).
+    *
+    * Scale shape: ONE user-keyed profile agg (checkpointed — all
+    * levels read it); each level is a ≤121-key class agg collapsed to
+    * one row; the chosen-level scalar is a 1-row broadcast crossJoin.
+    * The ladder is how a release pipeline prices generalization
+    * before publishing: n_below says how many users the sub-k classes
+    * still expose, level says how much resolution the release pays. */
+  def kAnonLadder(events: DataFrame, kMin: Long = 5,
+                  maxLevel: Int = 4): DataFrame = {
+    val dayNanos = 86400L * 1000 * 1000 * 1000
+    val profile = events
+      .select(col("user_id"), expr(s"ts div ${dayNanos}L").as("day"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_days"))
+      .select(least(lit(10L), expr("n_ev div 10")).as("act"),
+        least(lit(10L), expr("n_days div 3")).as("days"))
+      .localCheckpoint(true)
+    val ladder = (0 to maxLevel).map { l =>
+      val f = 1L << l
+      profile
+        .groupBy(expr(s"act div ${f}L").as("qa"), expr(s"days div ${f}L").as("qd"))
+        .agg(count(lit(1)).as("k"))
+        .agg(count(lit(1)).as("n_classes"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          sum(when(col("k") < kMin, col("k")).otherwise(lit(0L))).as("n_below"))
+        .select(lit(l.toLong).as("level"), col("n_classes"), col("min_k"),
+          col("max_k"), col("n_below"))
+    }.reduce(_ unionByName _)
+    val chosen = ladder
+      .agg(min(when(col("min_k") >= kMin, col("level"))).as("chosen_level"))
+    ladder.crossJoin(broadcast(chosen))
+      .select(col("level"), col("n_classes"), col("min_k"), col("max_k"),
+        col("n_below"), (col("min_k") >= kMin).as("released"),
+        (col("chosen_level").isNotNull &&
+          col("level") === col("chosen_level")).as("chosen"))
+  }
+
+  /** Differentially-private MEDIAN release — [[dpCounts]]' sibling
+    * for the other standard DP query shape (counts take Laplace
+    * noise; ORDER STATISTICS take the EXPONENTIAL MECHANISM, because
+    * adding noise to a rank-selected value has unbounded sensitivity
+    * while the rank-distance utility has sensitivity 1): per event
+    * type, a value v is released with probability ∝ exp(−ε·d(v)/2)
+    * where d(v) is how many doubled rank positions v's census
+    * interval sits from the median position — the standard
+    * utility-based release over the VALUE GRID.
+    *
+    * Replayability ([[dpCounts]]' discipline): d2 is an exact integer
+    * from the census cumulative counts (doubled units so the median
+    * of an even n needs no halves); each weight rounds ONCE onto the
+    * integer-micro grid (exp underflow to 0 is part of the contract —
+    * far values carry exactly zero mass at 6dp), so the cumulative
+    * weight is an exact Long (no float-association hazard in either
+    * engine); the sampling draw is inverse-CDF on the portable 48-bit
+    * hash of the type, and the release is the first census value
+    * whose cumulative mass reaches u·total. The TRUE doubled median
+    * rides along as ground truth (mechanism receipt, not a release).
+    *
+    * Scale shape: one value-grid-bounded census agg; cumulative
+    * windows and the pick run over the census spine
+    * ([[tailIndex]]'s cost family). */
+  def dpQuantile(events: DataFrame, eps: Double = 1.0): DataFrame = {
+    val census = events
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("event_type"))))
+      // doubled rank distance of the interval [cum-cnt+1, cum] from
+      // the median position (n+1)/2 — exact integers throughout
+      .withColumn("d2",
+        when(lit(2L) * (col("cum") - col("cnt") + 1) > col("n") + 1,
+          lit(2L) * (col("cum") - col("cnt") + 1) - (col("n") + 1))
+          .when(lit(2L) * col("cum") < col("n") + 1,
+            col("n") + 1 - lit(2L) * col("cum"))
+          .otherwise(lit(0L)))
+      .withColumn("wt_micro",
+        round(exp(lit(-eps / 4.0) * col("d2")) * 1000000.0).cast("long"))
+      .withColumn("cumw", sum(col("wt_micro")).over(wCum))
+      .localCheckpoint(true)
+    val medAndTotal = cum
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"), max(col("cumw")).as("total"),
+        sum(when(col("cum") - col("cnt") < expr("(n + 1) div 2") &&
+          expr("(n + 1) div 2") <= col("cum"), col("cents")).otherwise(lit(0L)))
+          .as("m_lo"),
+        sum(when(col("cum") - col("cnt") < expr("n div 2 + 1") &&
+          expr("n div 2 + 1") <= col("cum"), col("cents")).otherwise(lit(0L)))
+          .as("m_hi"))
+      .withColumn("med_x2", col("m_lo") + col("m_hi"))
+      .withColumn("u",
+        (graft.functions.PortableHash.hash48(
+          concat(lit("dpq:"), col("event_type"))) + lit(0.5)) /
+          lit(281474976710656.0))
+      .select(col("event_type"), col("n"), col("med_x2"),
+        (col("u") * col("total").cast("double")).as("thr"))
+    cum.drop("n").join(broadcast(medAndTotal), "event_type")
+      .filter(col("cumw").cast("double") >= col("thr"))
+      .groupBy(col("event_type"), col("n"), col("med_x2"))
+      .agg(min(col("cents")).as("dp_med_cents"),
+        min_by(col("d2"), col("cents")).as("dp_rank_dist2"))
+  }
+
   /** Mann–Kendall trend test — the NONPARAMETRIC companion to
     * [[eventsTrend]]'s least-squares slope and [[spearmanTrend]]'s
     * rank correlation (the hydrology-standard monotonic-trend screen:

@@ -1899,6 +1899,57 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r(4L) === ((2L, 10L, 3.0)))
   }
 
+  test("kAnonLadder: min-k is monotone up the ladder and the FIRST releasing level is chosen") {
+    val sec = 1000L * 1000 * 1000
+    // activity buckets (n_ev div 10): five 0s, six 1s, one 2 — the
+    // singleton class only merges away two levels up
+    val rows =
+      (0 until 5).flatMap(u => (0 until 5).map(e => (u.toLong, e))) ++
+      (10 until 16).flatMap(u => (0 until 10).map(e => (u.toLong, e))) ++
+      (20 until 21).flatMap(u => (0 until 20).map(e => (u.toLong, e)))
+    val events = rows.zipWithIndex.map { case ((u, e), i) =>
+      (i.toLong, e.toLong * sec, u, "view", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = RelationalOps.kAnonLadder(events).collect()
+      .map(x => x.getAs[Long]("level") ->
+        ((x.getAs[Long]("n_classes"), x.getAs[Long]("min_k"),
+          x.getAs[Long]("n_below"), x.getAs[Boolean]("released"),
+          x.getAs[Boolean]("chosen")))).toMap
+    assert(r(0L) === ((3L, 1L, 1L, false, false))) // act classes {0:5, 1:6, 2:1}
+    assert(r(1L) === ((2L, 1L, 1L, false, false))) // {0,1}->0 merges; 2->1 still alone
+    assert(r(2L) === ((1L, 12L, 0L, true, true)))  // first clearing level is chosen
+    assert(r(3L) === ((1L, 12L, 0L, true, false)))
+    assert(r(4L) === ((1L, 12L, 0L, true, false)))
+  }
+
+  test("dpQuantile: exponential-mechanism draw replayed independently; degenerate census releases itself") {
+    val day = 86400L * 1000 * 1000 * 1000
+    val rows =
+      (1L to 5L).map(v => (v * day, "a", v.toDouble)) ++ // ranks 1..5, median 3.00
+      Seq((0L * day, "b", 7.0), (1L * day, "b", 7.0))    // one census row: d2 = 0
+    val events = rows.zipWithIndex
+      .map { case ((ts, t, v), i) => (i.toLong, 1L, ts, t, v, "{}") }
+      .toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.dpQuantile(events).collect()
+      .map(x => x.getAs[String]("event_type") ->
+        ((x.getAs[Long]("n"), x.getAs[Long]("med_x2"),
+          x.getAs[Long]("dp_med_cents"), x.getAs[Long]("dp_rank_dist2")))).toMap
+    // independent replay of the mechanism for type 'a': census values
+    // 100..500 at ranks 1..5, doubled distances |2i - 6|, micro weights
+    val cents = Seq(100L, 200L, 300L, 400L, 500L)
+    val wts = Seq(4L, 2L, 0L, 2L, 4L)
+      .map(d2 => math.round(math.exp(-0.25 * d2) * 1000000.0))
+    val cums = wts.scanLeft(0L)(_ + _).tail
+    val u = (graft.functions.PortableHash.hash48Jvm("dpq:a") + 0.5) / 281474976710656.0
+    val thr = u * cums.last.toDouble
+    val pickIdx = cums.indexWhere(_.toDouble >= thr)
+    assert(r("a")._1 === 5L && r("a")._2 === 600L)
+    assert(r("a")._3 === cents(pickIdx), "the engine draw equals the replayed inverse-CDF pick")
+    assert(r("a")._4 === Seq(4L, 2L, 0L, 2L, 4L)(pickIdx))
+    // a single-value census has all the mass at d2 = 0: released as-is
+    assert(r("b") === ((2L, 1400L, 700L, 0L)))
+  }
+
   test("eventsHurst: a linear ramp is persistent (H near 1), an alternator scores exactly 0") {
     val day = 86400L * 1000 * 1000 * 1000
     // 16 days from day 0: four complete 4-blocks, two complete 8-blocks
