@@ -670,6 +670,22 @@ object SparkEntry {
       TextOps.redactPii(withPii)
     }),
     "token_count" -> ((s, dir) => TextOps.tokenCounts(Tables.documents(s, dir))),
+    // per-source keep/drop scorecard over the per-doc gates; PII is
+    // injected on doc_id % 7 (the redact_pii synthesis) so the ratio
+    // axis is exercised — the fixture itself is PII-free
+    "source_scorecard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val withPii = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com or +1 555 000 1234")))
+          .otherwise(col("text")))
+      TextOps.sourceScorecard(withPii)
+    }),
+    // Chinchilla-style token budgeting: temperature weights over
+    // TOKEN shares, allocation and repetition priced per domain
+    "token_budget_plan" -> ((s, dir) =>
+      TextOps.tokenBudgetPlan(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextOps.repetitionScore(Tables.documents(s, dir))),
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     // GROUP-AWARE split: near-dup families (the persisted
@@ -1591,6 +1607,24 @@ object SparkEntry {
   private def duckCos(a: String, b: String): String =
     s"(CASE WHEN ${duckNorm(a)} * ${duckNorm(b)} = 0 THEN 0.0 " +
       s"ELSE ${duckDot(a, b)} / (${duckNorm(a)} * ${duckNorm(b)}) END)"
+
+  /** duckCos with PRE-COMPUTED norms — bit-identical values (the
+    * norm is the same list_sum fold, just stored in a column), but
+    * one list op per pair instead of five. The large-candidate-set
+    * oracles (hard_negatives / triplet_mining: ~350k pairs at sf0.1)
+    * NEED this form: per-pair norm recomputation buffers enough list
+    * intermediates across 16-32 threads to hit the system allocator
+    * wall before DuckDB's spill accounting notices (observed
+    * 2026-08-16). */
+  private def duckCosPre(a: String, b: String, na: String, nb: String): String =
+    s"(CASE WHEN $na * $nb = 0 THEN 0.0 " +
+      s"ELSE ${duckDot(a, b)} / ($na * $nb) END)"
+
+  /** Shared per-vector norm table for [[duckCosPre]] consumers:
+    * `nrm (vec_id, label, embedding, nm)`. */
+  private lazy val duckNrmCte =
+    s"""nrm AS MATERIALIZED (SELECT vec_id, label, embedding,
+       |  ${duckNorm("embedding")} AS nm FROM embeddings)""".stripMargin
 
   /** DuckDB twin of VectorOps.randomProject: per-output-dim sign
     * lists from the srp hash parity, then the SAME sequential
@@ -2910,6 +2944,74 @@ object SparkEntry {
     // T=2 exponentiated sampling: share rounds to 6dp BEFORE the
     // sqrt (both engines sqrt the identical double — IEEE-exact),
     // normalizer folds in lang order
+    // self-contained twin (the PII injection shadows the corpus, so
+    // the shared toks/qual CTEs can't be reused): injected text →
+    // quality millis, sha dup census, PII flags, per-source roll-up
+    "source_scorecard" ->
+      s"""WITH d2 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.com or +1 555 000 1234'
+         |    ELSE text END AS text, source
+         |  FROM documents),
+         |toks2 AS (SELECT doc_id, trim(parts[u.i]) AS tok
+         |  FROM (SELECT doc_id, list_slice(string_split(text, ' '), 1, 512) AS parts
+         |        FROM d2) d,
+         |       unnest(range(1, len(parts)+1)) u(i)
+         |  WHERE trim(parts[u.i]) <> ''),
+         |q AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT tok) AS n_distinct,
+         |        sum(CASE WHEN tok IN (${sqlList(graft.ops.TextOps.EnStopwords)})
+         |                 THEN 1 ELSE 0 END) AS n_stop
+         |      FROM toks2 GROUP BY 1),
+         |qm AS (SELECT doc_id,
+         |    CAST(round((round(least(n_tok / 100.0, 1.0) * 0.3
+         |      + (1.0 - n_stop / n_tok) * 0.3
+         |      + (n_distinct / n_tok) * 0.4, 6) + 0) * 1000) AS BIGINT) AS q_milli
+         |  FROM q),
+         |hs AS (SELECT doc_id, source, sha256(text) AS h FROM d2),
+         |hc AS (SELECT h, count(*) AS hcnt FROM hs GROUP BY 1),
+         |pi AS (SELECT doc_id,
+         |    CASE WHEN len(regexp_extract_all(text, '${graft.ops.TextOps.EmailRe}'))
+         |       + len(regexp_extract_all(text, '${graft.ops.TextOps.PhoneRe}')) > 0
+         |    THEN 1 ELSE 0 END AS pii FROM d2),
+         |j AS (SELECT hs.source, hc.hcnt, qm.q_milli, pi.pii
+         |      FROM hs JOIN hc USING (h)
+         |      LEFT JOIN qm ON qm.doc_id = hs.doc_id
+         |      JOIN pi ON pi.doc_id = hs.doc_id),
+         |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN hcnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |    CAST(sum(pii) AS BIGINT) AS n_pii,
+         |    CAST(count(q_milli) AS BIGINT) AS n_scored,
+         |    CAST(sum(coalesce(q_milli, 0)) AS BIGINT) AS q_sum
+         |  FROM j GROUP BY 1)
+         |SELECT source, n_docs, n_dup, n_pii,
+         |  CASE WHEN n_scored > 0
+         |    THEN round(q_sum / (n_scored * 1000.0), 6) + 0 END AS mean_quality,
+         |  round(n_dup / n_docs, 6) + 0 AS dup_ratio,
+         |  round(n_pii / n_docs, 6) + 0 AS pii_ratio,
+         |  coalesce(CASE WHEN n_scored > 0
+         |      THEN round(q_sum / (n_scored * 1000.0), 6) + 0 END >= 0.5, false)
+         |    AND round(n_dup / n_docs, 6) + 0 <= 0.5 AS keep
+         |FROM g""".stripMargin,
+    // domainTemperature's recipe on TOKEN shares + the budget grid
+    "token_budget_plan" ->
+      """WITH c AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM (
+        |    SELECT lang, len(list_filter(list_transform(string_split(text, ' '),
+        |      t -> trim(t)), t -> t <> '')) AS n
+        |    FROM documents) GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS n_tot FROM c),
+        |s AS (SELECT lang, n_tokens, round(n_tokens / t.n_tot, 6) + 0 AS share,
+        |        sqrt(round(n_tokens / t.n_tot, 6) + 0) AS w_raw
+        |      FROM c, t),
+        |d AS (SELECT sum(w_raw ORDER BY lang) AS den FROM s),
+        |p AS (SELECT lang, n_tokens, share,
+        |        round(w_raw / d.den, 6) + 0 AS weight,
+        |        CAST(round((round(w_raw / d.den, 6) + 0) * 1000000) AS BIGINT)
+        |          AS alloc_tokens
+        |      FROM s, d)
+        |SELECT lang, n_tokens, share, weight, alloc_tokens,
+        |  CAST((alloc_tokens * 1000) // n_tokens AS BIGINT) AS epochs_milli,
+        |  (alloc_tokens * 1000) // n_tokens > 1000 AS oversampled
+        |FROM p""".stripMargin,
     "domain_temperature" ->
       """WITH c AS (SELECT lang, count(*) AS n_d FROM documents GROUP BY 1),
         |t AS (SELECT CAST(sum(n_d) AS DOUBLE) AS n_tot FROM c),
@@ -3283,12 +3385,14 @@ object SparkEntry {
          |cpairs AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
          |           FROM assigned a JOIN assigned b USING (c_label)
          |           WHERE a.vec_id <> b.vec_id),
+         |$duckNrmCte,
          |sim AS (SELECT p.anchor_id, la.label AS anchor_label,
          |          p.neg_id, lb.label AS neg_label,
-         |          round(${duckCos("la.embedding", "lb.embedding")}, 6) + 0 AS cos_sim
+         |          round(${duckCosPre("la.embedding", "lb.embedding",
+                      "la.nm", "lb.nm")}, 6) + 0 AS cos_sim
          |        FROM cpairs p
-         |        JOIN embeddings la ON la.vec_id = p.anchor_id
-         |        JOIN embeddings lb ON lb.vec_id = p.neg_id
+         |        JOIN nrm la ON la.vec_id = p.anchor_id
+         |        JOIN nrm lb ON lb.vec_id = p.neg_id
          |        WHERE la.label <> lb.label)
          |SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim FROM (
          |  SELECT *, row_number() OVER (PARTITION BY anchor_id
@@ -3302,12 +3406,14 @@ object SparkEntry {
          |cpairs AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS other_id
          |           FROM assigned a JOIN assigned b USING (c_label)
          |           WHERE a.vec_id <> b.vec_id),
-         |sim AS (SELECT p.anchor_id, la.label AS anchor_label,
+         |$duckNrmCte,
+         |sim AS MATERIALIZED (SELECT p.anchor_id, la.label AS anchor_label,
          |          p.other_id, lb.label AS other_label,
-         |          round(${duckCos("la.embedding", "lb.embedding")}, 6) + 0 AS cos_sim
+         |          round(${duckCosPre("la.embedding", "lb.embedding",
+                      "la.nm", "lb.nm")}, 6) + 0 AS cos_sim
          |        FROM cpairs p
-         |        JOIN embeddings la ON la.vec_id = p.anchor_id
-         |        JOIN embeddings lb ON lb.vec_id = p.other_id),
+         |        JOIN nrm la ON la.vec_id = p.anchor_id
+         |        JOIN nrm lb ON lb.vec_id = p.other_id),
          |pos AS (SELECT anchor_id, anchor_label, other_id AS pos_id,
          |          cos_sim AS cos_pos FROM (
          |          SELECT *, row_number() OVER (PARTITION BY anchor_id

@@ -2353,4 +2353,89 @@ object TextOps {
       .withColumn("ascii_ratio",
         roundn((col("n_chars") - col("n_non_ascii")) / col("n_chars"), 6))
   }
+
+  /** Per-source SCORECARD — the keep/drop decision table a curation
+    * pipeline maintains over its ingest feeds (the per-doc gates
+    * [[qualityScore]]/[[redactPii]]/exact-dup answer "is this DOC
+    * good"; the operational question is "is this SOURCE worth
+    * crawling", and that is a per-source roll-up of exactly those
+    * signals): mean quality, exact-duplicate ratio (a mirror site
+    * shows up as a source whose docs are mostly copies), and PII
+    * incidence, with the keep gate on the ROUNDED values (the
+    * [[gopherRules]] threshold discipline).
+    *
+    * Contracts: mean quality averages integer-milli grid values over
+    * the docs that HAVE a quality row (token-less docs have no
+    * quality — the [[charEntropy]] empty-doc rule — but still count
+    * in n_docs and the ratios); a source with zero scored docs gets a
+    * null mean and keep = false explicitly.
+    *
+    * Scale shape: one tokenize-agg (quality), one sha census
+    * (uniform keys by construction), one map-side PII projection —
+    * all joined on uniform doc_id/hash keys, collapsed to |sources|
+    * rows. */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+      .select(col("doc_id"), round(col("quality") * 1000).cast("long").as("q_milli"))
+    val hs = docs.select(col("doc_id"), col("source"), sha2(col("text"), 256).as("h"))
+    val hc = hs.groupBy(col("h")).agg(count(lit(1)).as("hcnt"))
+    val pii = redactPii(docs)
+      .select(col("doc_id"),
+        ((col("n_emails") + col("n_phones")) > 0).cast("long").as("pii_flag"))
+    hs.join(hc, "h")
+      .join(q, Seq("doc_id"), "left")
+      .join(pii, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("hcnt") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(col("pii_flag")).as("n_pii"),
+        count(col("q_milli")).as("n_scored"),
+        sum(coalesce(col("q_milli"), lit(0L))).as("q_sum"))
+      .withColumn("mean_quality",
+        when(col("n_scored") > 0,
+          roundn(col("q_sum") / (col("n_scored").cast("double") * 1000.0), 6)))
+      .withColumn("dup_ratio", roundn(col("n_dup") / col("n_docs"), 6))
+      .withColumn("pii_ratio", roundn(col("n_pii") / col("n_docs"), 6))
+      .withColumn("keep",
+        coalesce(col("mean_quality") >= 0.5, lit(false)) && col("dup_ratio") <= 0.5)
+      .select(col("source"), col("n_docs"), col("n_dup"), col("n_pii"),
+        col("mean_quality"), col("dup_ratio"), col("pii_ratio"), col("keep"))
+  }
+
+  /** Token-budget mixing PLAN — the Chinchilla-style data-budgeting
+    * step between [[domainTemperature]]'s sampling distribution and
+    * an actual training run: given a total token budget, each
+    * domain's allocation is budget·wᵢ (the T=2 temperature weight
+    * over TOKEN shares, not doc shares — long documents carry their
+    * real mass), and epochsᵢ = allocation / available prices the
+    * repetition each domain will see (epochs > 1 = the domain is
+    * oversampled and will repeat — the signal that decides whether
+    * to crawl more of it or lower its temperature boost).
+    *
+    * Determinism: token counts are exact integers; share/weight
+    * follow [[domainTemperature]]'s rounding recipe verbatim;
+    * allocation rounds once onto the integer grid; epochs are exact
+    * integer millis via `div` (floor — both engines truncate
+    * non-negative quotients identically).
+    *
+    * Scale shape: one lang-keyed token agg collapses the corpus;
+    * everything after is |domains|-row arithmetic with 1-row
+    * broadcast scalars. */
+  def tokenBudgetPlan(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    val counts = docs.groupBy(col("lang"))
+      .agg(sum(wsTokenCount(col("text"))).as("n_tokens"))
+    val tot = counts.agg(sum(col("n_tokens")).cast("double").as("n_tot"))
+    val shared = counts.crossJoin(broadcast(tot))
+      .withColumn("share", roundn(col("n_tokens") / col("n_tot"), 6))
+      .withColumn("w_raw", sqrt(col("share")))
+    val denom = shared.agg(
+      graft.functions.VectorMath.orderedSum(col("lang"), col("w_raw")).as("den"))
+    shared.crossJoin(broadcast(denom))
+      .withColumn("weight", roundn(col("w_raw") / col("den"), 6))
+      .withColumn("alloc_tokens", round(col("weight") * budget).cast("long"))
+      .withColumn("epochs_milli", expr("(alloc_tokens * 1000L) div n_tokens"))
+      .select(col("lang"), col("n_tokens"), col("share"), col("weight"),
+        col("alloc_tokens"), col("epochs_milli"),
+        (col("epochs_milli") > 1000L).as("oversampled"))
+  }
 }

@@ -916,4 +916,41 @@ class TextOpsSpec extends SparkSpec {
     assert(r("clean") === ((20L, 0L, 0L, 0L, 2L, 1.0)))
     assert(!r.contains("empty"))
   }
+
+  test("sourceScorecard: mirror sources fail on dup ratio, PII counted, token-less sources score null") {
+    val docs = Seq(
+      (0L, "catalyst tungsten codegen shuffle partition broadcast executor", "good"),
+      (1L, "lineage checkpoint watermark stateful aggregate window join", "good"),
+      (2L, "the the the same mirrored page body here", "mirror"),
+      (3L, "the the the same mirrored page body here", "mirror"),
+      (4L, "another page with mail to a.b@example.org inside", "mirror"),
+      (5L, "", "blank")
+    ).toDF("doc_id", "text", "source")
+    val r = TextOps.sourceScorecard(docs).collect()
+      .map(x => x.getAs[String]("source") ->
+        ((x.getAs[Long]("n_docs"), x.getAs[Long]("n_dup"), x.getAs[Long]("n_pii"),
+          Option(x.get(x.fieldIndex("mean_quality"))),
+          x.getAs[Double]("dup_ratio"), x.getAs[Boolean]("keep")))).toMap
+    assert(r("good")._1 === 2L && r("good")._2 === 0L && r("good")._6 === true)
+    assert(r("mirror") === ((3L, 2L, 1L, r("mirror")._4, 0.666667, false)),
+      "two of three docs are exact copies -> dup gate fails the source")
+    assert(r("blank")._4.isEmpty && r("blank")._6 === false,
+      "a source with no scorable docs gets a null mean and keep = false")
+  }
+
+  test("tokenBudgetPlan: sqrt-temperature weights over token shares; oversampled domains flagged") {
+    val docs = Seq(
+      (0L, Seq.fill(900)("tok").mkString(" "), "en"),
+      (1L, Seq.fill(100)("tok").mkString(" "), "de")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextOps.tokenBudgetPlan(docs, budget = 1000L).collect()
+      .map(x => x.getAs[String]("lang") ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Double]("share"),
+          x.getAs[Double]("weight"), x.getAs[Long]("alloc_tokens"),
+          x.getAs[Long]("epochs_milli"), x.getAs[Boolean]("oversampled")))).toMap
+    // sqrt(0.9) : sqrt(0.1) = 3 : 1 exactly
+    assert(r("en") === ((900L, 0.9, 0.75, 750L, 833L, false)))
+    assert(r("de") === ((100L, 0.1, 0.25, 250L, 2500L, true)),
+      "a 10% domain at T=2 gets 25% of the budget -> 2.5 epochs of repetition")
+  }
 }

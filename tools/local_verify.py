@@ -39,6 +39,12 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         try:
             con.execute("PRAGMA temp_directory='/tmp/duck_spill'")
             con.execute("PRAGMA memory_limit='90GB'")
+            # cap threads: at 32 threads the hard_negatives/triplet-class
+            # oracles (duckCos over 350k candidate pairs) buffer wide
+            # list intermediates PER THREAD and blow past memory_limit
+            # before spilling (observed 2026-08-16: OOM at 32 threads,
+            # 59 s clean at 8). 16 keeps the light oracles fast.
+            con.execute("PRAGMA threads=16")
             for t in TABLES:
                 con.execute(
                     f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
