@@ -877,6 +877,10 @@ object SparkEntry {
     // top-k vs the full-dim ground truth, one scored pass for all dims
     "matryoshka_recall" -> ((s, dir) =>
       VectorOps.matryoshkaRecall(Tables.embeddings(s, dir))),
+    // sq8 recall curve: the int8 funnel's rerank budget priced like
+    // ann_recall's probes — one scored pass at the largest budget
+    "ann_recall_quantized" -> ((s, dir) =>
+      VectorOps.sq8RecallCurve(Tables.embeddings(s, dir))),
     // order-2 LM: Jelinek-Mercer interpolated bigram probabilities —
     // frequent tokens in improbable ORDER score low
     "lm_bigram" -> ((s, dir) => TextOps.lmBigramLogprob(Tables.documents(s, dir))),
@@ -5713,6 +5717,58 @@ object SparkEntry {
          |LEFT JOIN ex e3 ON e3.query_id = s2.query_id AND e3.vec_id = s2.vec_id
          |CROSS JOIN nex
          |GROUP BY s2.b, nex.n_exact""".stripMargin,
+    // int8 code ranks once at the largest budget, per-factor rerank
+    // filters, exact ground truth — the ann_recall tail on the sq8 leg
+    "ann_recall_quantized" ->
+      s"""WITH s AS (
+         |  SELECT max(greatest(abs(CAST(list_min(embedding) AS DOUBLE)),
+         |                      abs(CAST(list_max(embedding) AS DOUBLE)))) AS qs
+         |  FROM embeddings),
+         |qz AS (SELECT vec_id,
+         |         list_transform(embedding, x ->
+         |           CAST(round(CAST(x AS DOUBLE) * 127.0 / s.qs) AS BIGINT)) AS qc
+         |       FROM embeddings, s),
+         |cd AS (SELECT q.vec_id AS query_id, c.vec_id,
+         |         CAST(list_sum(list_transform(range(1, len(c.qc)+1),
+         |           i -> (c.qc[i] - q.qc[i]) * (c.qc[i] - q.qc[i]))) AS BIGINT) AS qdist
+         |       FROM qz c, qz q
+         |       WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+         |cand AS (SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qdist, vec_id) AS qrank
+         |         FROM cd),
+         |rr AS (SELECT t.query_id, t.vec_id, t.qrank,
+         |         round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |       FROM (SELECT * FROM cand WHERE qrank <= 12) t
+         |       JOIN embeddings c ON c.vec_id = t.vec_id
+         |       JOIN embeddings q ON q.vec_id = t.query_id),
+         |pf AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS f),
+         |rk AS (SELECT pf.f, r.query_id, r.vec_id,
+         |         row_number() OVER (PARTITION BY pf.f, r.query_id
+         |           ORDER BY r.cos_sim DESC, r.vec_id) AS rank
+         |       FROM rr r JOIN pf ON r.qrank <= 3 * pf.f),
+         |sq AS (SELECT f, query_id, vec_id FROM rk WHERE rank <= 3),
+         |exq AS (SELECT q.vec_id AS query_id, e.vec_id,
+         |          round(${duckCos("e.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |        FROM embeddings e, embeddings q
+         |        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |exr AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos_sim DESC, vec_id) AS rank
+         |        FROM exq),
+         |ex AS (SELECT query_id, vec_id FROM exr WHERE rank <= 3),
+         |nex AS (SELECT count(*) AS n_exact FROM ex)
+         |SELECT 'sq8' AS method, s2.f AS param,
+         |  count(*) AS n_returned,
+         |  CAST(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  nex.n_exact,
+         |  round(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / nex.n_exact, 6) + 0 AS recall
+         |FROM sq s2
+         |LEFT JOIN ex e2 ON e2.query_id = s2.query_id AND e2.vec_id = s2.vec_id
+         |CROSS JOIN nex
+         |GROUP BY s2.f, nex.n_exact""".stripMargin,
     // prefix-dim cosine top-k vs the full-dim exact ground truth —
     // one scored pass carries every prefix cosine, per-dim ranks
     "matryoshka_recall" ->

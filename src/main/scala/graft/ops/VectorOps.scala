@@ -1013,6 +1013,59 @@ object VectorOps {
     recallAgg(curve, exact, nExact)
   }
 
+  /** Scalar-quantization recall receipt — the BYTES axis of the
+    * recall-vs-cost trade, completing the per-method receipt family
+    * ([[annRecallCurve]] prices probes, [[srpRecallCurve]] bands,
+    * [[matryoshkaRecall]] dims; this prices the int8 candidate
+    * funnel's RERANK BUDGET): recall@k of [[annQuantizedTopK]]'s
+    * code-distance candidates + exact-cosine rerank, one curve point
+    * per rerank factor (method 'sq8', param = factor).
+    *
+    * The candidate ranking, the code distances, and every exact
+    * rerank cosine are computed ONCE at the LARGEST budget (a
+    * candidate's integer qrank is the smallest budget that admits it
+    * — the first_probe economy on the rerank axis); each curve point
+    * is a `qrank ≤ k·f` filter + re-rank over the same checkpointed
+    * table. Integer code distances tie-break on vec_id, the rerank on
+    * (rounded cos desc, vec_id) — [[annQuantizedTopK]]'s exact
+    * decision path. */
+  def sq8RecallCurve(corpus: DataFrame, k: Int = 3,
+                     factors: Seq[Int] = Seq(1, 2, 4), nQueries: Int = 10,
+                     groundTruth: Option[DataFrame] = None): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val maxF = factors.max
+    val scale = symmetricScale(corpus)
+    val codes = quantizedCodes(corpus, scale, "vec_id", "qc")
+    val qcodes = quantizedCodes(queries, scale, "query_id", "qq")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val scored = codes.crossJoin(broadcast(qcodes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("qdist", intL2Sq(col("qc"), col("qq")))
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * maxF)
+      .select(col("query_id"), col("vec_id"), col("qrank"))
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"), col("qrank"), col("cos_sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val curve = factors.map { f =>
+      scored.filter(col("qrank") <= k * f)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("method", lit("sq8"))
+        .withColumn("param", lit(f.toLong))
+    }.reduce(_ unionByName _)
+    recallAgg(curve, exact, nExact)
+  }
+
   /** Matryoshka truncation receipt — the dimension axis of the
     * recall-vs-cost trade, beside [[annRecallCurve]]'s probe axis and
     * [[srpRecallCurve]]'s band axis (matryoshka-trained embeddings

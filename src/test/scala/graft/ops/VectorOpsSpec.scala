@@ -416,6 +416,25 @@ class VectorOpsSpec extends SparkSpec {
       "the truncation hides the discriminating dims")
   }
 
+  test("sq8RecallCurve: recall is monotone in the rerank budget and exact once the budget covers the corpus") {
+    // deterministic spread-out vectors; int8 codes are lossy so the
+    // f=1 sliver can miss, but a corpus-covering budget cannot
+    val emb = (0 until 20).map { i =>
+      (i.toLong, Array((i % 7).toFloat - 3f, (i % 5).toFloat - 2f,
+        (i % 3).toFloat - 1f, (i % 11).toFloat / 3f), 0)
+    }.toDF("vec_id", "embedding", "label")
+    val r = VectorOps.sq8RecallCurve(emb, k = 2, factors = Seq(1, 10), nQueries = 3)
+      .collect()
+      .map(x => x.getAs[Long]("param") ->
+        ((x.getAs[Long]("n_returned"), x.getAs[Long]("n_hits"),
+          x.getAs[Long]("n_exact"), x.getAs[Double]("recall")))).toMap
+    assert(r(10L)._3 === 6L)
+    assert(r(10L)._4 === 1.0,
+      "k*f >= corpus: every candidate gets the exact rerank, recall is 1 by construction")
+    assert(r(1L)._4 <= r(10L)._4, "recall is monotone in the rerank budget")
+    assert(r(1L)._1 === 6L && r(10L)._1 === 6L, "k results per query at every budget")
+  }
+
   test("tripletMining: hardest positive and negative per anchor; lonely labels drop; margins can invert") {
     // all components exact in float32 so 6dp cosines are stable
     val emb = Seq(
