@@ -4169,8 +4169,12 @@ object RelationalOps {
     * ([[spearmanTrend]]'s `mm` convention), S and 18·var are EXACT
     * integers (S from sign comparisons of grid integers, the tie term
     * from the mm-census group sizes), and the only float op is the
-    * final z division+sqrt, rounded once. Degenerate series (var = 0:
-    * all days tied, or n < 2) emit z = 0 / no trend EXPLICITLY.
+    * final z division+sqrt, rounded once. Degenerate handling: an
+    * all-days-tied series (var = 0, n ≥ 2) emits z = 0 / no trend
+    * EXPLICITLY; a SINGLE-day series (n < 2) produces no (i, j) pair
+    * rows at all, so the tie-census inner join drops the type and it
+    * emits NO row — absence, not z = 0, is that case's contract
+    * (mirrored by the oracle's identical join).
     *
     * Scale shape: the event stream collapses to the calendar-bounded
     * daily table first (one (type, day) agg); the pair join, the tie

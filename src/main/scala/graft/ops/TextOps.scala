@@ -2271,6 +2271,16 @@ object TextOps {
     * contract rather than approximating a dictionary (no silent-e or
     * diphthong carve-outs: both engines replay the same arithmetic).
     *
+    * Lowercasing contract (the [[encodingAudit]] BMP caveat's twin):
+    * the word census lowercases via Spark `lower()`, which is
+    * locale-dependent JVM `String.toLowerCase` for non-ASCII code
+    * points ('İ' → 'i' + combining dot; Turkish-locale 'I' → 'ı'),
+    * while DuckDB's `lower()` is locale-independent utf8proc — the
+    * declared domain is ASCII-letter words under a root-locale JVM
+    * (the engine's test and driver environment); a non-ASCII corpus
+    * or non-root default locale can shift `[a-z]+` word counts
+    * cross-engine and is outside this operator's contract.
+    *
     * Definitions (all pinned): words = `[a-z]+` runs of the
     * lowercased text (digits/punctuation never form words);
     * sentences = `[.!?]+` runs, floored at 1 so punctuation-free text
