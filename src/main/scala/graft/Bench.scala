@@ -116,9 +116,31 @@ object Bench {
     // visible on stdout, not only via the poisoned total
     val (failed, succeeded) = mapped(median).toSeq.partition { case (_, m) => m < 0 }
     val top20 = (failed ++ succeeded.sortBy { case (_, m) => -m }).take(20)
+    // self-adjudication (r13 verdict #3): four rounds running, single
+    // full-surface captures needed manual outlier re-times (r13:
+    // quality_score 8.3 driver vs 0.38 solo — host co-tenancy, not
+    // structure). Re-time the top-12 slowest queries SOLO in the same
+    // warm JVM after the suite and emit both numbers: when an
+    // in-suite median and its retime disagree, the retime is the
+    // structural number (BASELINE.md adjudication convention, now
+    // carried by the capture itself).
+    val retimed: Seq[(String, Double)] =
+      succeeded.sortBy { case (_, m) => -m }.take(12).map { case (name, _) =>
+        val fn = selected(name)
+        val times = (1 to Repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        name -> times.sorted.apply(times.size / 2)
+      }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","repeats":$Repeats,"n_queries":${results.size}""" +
       s""","queries":${jsonMap(top20)}""" +
+      s""","queries_retimed":${jsonMap(retimed)}""" +
       s""","sf":"$sfDir"}""")
     spark.stop()
   }

@@ -160,6 +160,11 @@ object SparkEntry {
       EmbedOps.hashCollisionAudit(Tables.documents(s, dir))),
     "search_text" -> ((s, dir) =>
       SearchOps.searchText(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // the reference's search→proposal lifecycle composed end-to-end
+    // (app_callapi.py:196-243): search top-5 → per-hit keywords →
+    // first-seen distinct cap-6 in hit-rank order → prompt prefix
+    "proposal_flow" -> ((s, dir) =>
+      SearchOps.proposalFlow(Tables.documents(s, dir), "spark vector hash join", k = 5)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
     // incremental retrieval-index maintenance — the reference's
@@ -7585,6 +7590,46 @@ object SparkEntry {
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
          |  FROM scored s JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // the lifecycle composed: search_text's CTE chain at k=5, the
+    // keyword_topn CTEs (from duckTopn, inlined below the search
+    // CTEs), first-seen distinct keyed (hit_rank, kw_rank), the
+    // assemble_prompt prefix — one row per hit plus the prompt
+    "proposal_flow" ->
+      s"""$duckTopn,
+         |hashed AS (SELECT doc_id, ${duckHash24("tok")} % 64 AS dim FROM toks),
+         |tf AS (SELECT doc_id, dim, CAST(count(*) AS DOUBLE) AS cnt
+         |       FROM hashed GROUP BY 1, 2),
+         |nrm AS (SELECT doc_id, sqrt(sum(cnt*cnt)) AS nrm FROM tf GROUP BY 1),
+         |w AS (SELECT t.doc_id, t.dim, round(t.cnt / n.nrm, 6) + 0 AS weight
+         |      FROM tf t JOIN nrm n USING (doc_id)),
+         |qtoks AS (SELECT trim(u.tok) AS tok
+         |          FROM unnest(string_split('spark vector hash join', ' ')) u(tok)
+         |          WHERE trim(u.tok) <> ''),
+         |qhashed AS (SELECT ${duckHash24("tok")} % 64 AS dim FROM qtoks),
+         |qtf AS (SELECT dim, CAST(count(*) AS DOUBLE) AS cnt FROM qhashed GROUP BY 1),
+         |qw AS (SELECT dim, round(cnt / (SELECT sqrt(sum(cnt*cnt)) FROM qtf), 6) + 0 AS qw
+         |       FROM qtf),
+         |scored AS (
+         |  SELECT w.doc_id, round(sum(w.weight * qw.qw ORDER BY dim), 6) + 0 AS score
+         |  FROM w JOIN qw USING (dim) GROUP BY 1),
+         |hits AS (SELECT hit_rank, doc_id, source, score FROM (
+         |  SELECT s.doc_id, s.score, d.source,
+         |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS hit_rank
+         |  FROM scored s JOIN documents d USING (doc_id)) WHERE hit_rank <= 5),
+         |hk AS (SELECT h.hit_rank, h.doc_id, t.rank, t.keyword
+         |       FROM hits h JOIN topn t USING (doc_id)),
+         |kl AS (SELECT doc_id, hit_rank,
+         |         string_agg(keyword, ', ' ORDER BY rank) AS keywords
+         |       FROM hk GROUP BY 1, 2),
+         |dk AS (SELECT keyword, min(hit_rank * 1000000 + rank) AS first_seen
+         |       FROM hk GROUP BY keyword ORDER BY first_seen LIMIT 6),
+         |pr AS (SELECT 'Write a project proposal covering the following keywords: '
+         |         || string_agg(keyword, ', ' ORDER BY first_seen)
+         |         || '. Additional notes: focus on quarterly impact' AS prompt
+         |       FROM dk)
+         |SELECT h.hit_rank, h.doc_id, h.source, h.score,
+         |       coalesce(kl.keywords, '') AS keywords, pr.prompt
+         |FROM hits h LEFT JOIN kl USING (doc_id, hit_rank) CROSS JOIN pr""".stripMargin,
     // the search_text CTE chain with the seed doc's own weights as
     // the query side, self excluded
     "more_like_this" ->

@@ -51,6 +51,53 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** The reference's full search→proposal lifecycle as ONE composed
+    * query (app_callapi.py:196-243, the last undeclared lifecycle
+    * beside ingest_pipeline / web_ingest / pretrain_pipeline): query
+    * string → embed → top-k search ([[searchText]]) → per-hit
+    * keywords in hit-rank order (the `all_kw += kws` accumulation) →
+    * order-preserving distinct capped at 6
+    * (`list(dict.fromkeys(all_kw))[:6]`, app_callapi.py:213) →
+    * deterministic prompt prefix
+    * ([[graft.ops.KeywordOps.assemblePrompt]]). Output mirrors the
+    * reference's result panel: one row per hit (rank, doc, source,
+    * score, its keyword list in top-n order — the `', '.join(kws)`
+    * display line) with the assembled proposal prompt alongside.
+    *
+    * First-seen order is (hit_rank, keyword_rank) — the reference
+    * accumulates keywords BY SEARCH RANK, not by document id, so
+    * [[graft.ops.KeywordOps.distinctKeywords]] is reused with
+    * hit_rank riding its doc_id slot.
+    *
+    * Scale shape: every stage is a shipped operator's plan —
+    * the search side broadcasts the ≤dim-row query vector and top-k
+    * is TakeOrderedAndProject; the keyword join then touches k rows
+    * against the per-doc top-n table; the distinct/prompt tail runs
+    * on ≤ k·n rows. The k-row hit table and the k·n-row keyword
+    * join head 2+ consumers each and localCheckpoint once. */
+  def proposalFlow(docs: DataFrame, queryText: String, k: Int = 5,
+                   notes: String = "focus on quarterly impact"): DataFrame = {
+    val hits = searchText(docs, queryText, k)
+      .select(col("rank").as("hit_rank"), col("doc_id"), col("source"), col("score"))
+      .localCheckpoint(true)
+    val hitKw = hits.select(col("hit_rank"), col("doc_id"))
+      .join(KeywordOps.keywordTopN(docs), "doc_id")
+      .localCheckpoint(true)
+    val kwList = hitKw.groupBy(col("doc_id"), col("hit_rank"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(rank, keyword)))," +
+        " x -> x.keyword), ', ')").as("keywords"))
+    val dk = KeywordOps.distinctKeywords(
+      hitKw.select(col("hit_rank").as("doc_id"), col("rank"), col("keyword")))
+    val prompt = KeywordOps.assemblePrompt(dk, notes)
+    hits.join(kwList, Seq("doc_id", "hit_rank"), "left")
+      // a hit whose every token is stopworded has no keywords — the
+      // reference shows it with an empty keyword line, so '' not null
+      .withColumn("keywords", coalesce(col("keywords"), lit("")))
+      .crossJoin(broadcast(prompt))
+      .select(col("hit_rank"), col("doc_id"), col("source"), col("score"),
+        col("keywords"), col("prompt"))
+  }
+
   /** More-like-this — [[searchText]] with a DOCUMENT as the query
     * (the related-items primitive): the seed doc's own sparse
     * hashed-TF vector retrieves its nearest corpus documents by

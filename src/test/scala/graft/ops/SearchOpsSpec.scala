@@ -13,6 +13,35 @@ class SearchOpsSpec extends SparkSpec {
     (3L, "engine engine engine engine engine engine", "en", "d.docx", 41L)
   ).toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("proposalFlow: hits ranked, keywords accumulate in hit-rank order, prompt capped at 6") {
+    val d = Seq(
+      (0L, "spark spark spark alpha beta", "en", "a.docx", 28L),
+      (1L, "spark spark gamma delta epsilon zeta", "en", "b.docx", 36L),
+      (2L, "unrelated words entirely different topic", "en", "c.docx", 40L),
+      (3L, "spark alpha", "en", "d.docx", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.proposalFlow(d, "spark", k = 3, notes = "n").orderBy("hit_rank").collect()
+    assert(r.length === 3)
+    // every row carries the SAME prompt; hits are score-ordered
+    assert(r.map(_.getAs[String]("prompt")).distinct.length === 1)
+    val ranks = r.map(_.getAs[Long]("hit_rank")).toSeq
+    assert(ranks === Seq(1L, 2L, 3L))
+    val scores = r.map(_.getAs[Double]("score")).toSeq
+    assert(scores === scores.sorted.reverse)
+    // rank-1 hit's keywords lead the prompt's keyword list (first-seen
+    // order is hit-rank order, the reference's all_kw accumulation)
+    val prompt = r.head.getAs[String]("prompt")
+    val kw1 = r.head.getAs[String]("keywords").split(", ").head
+    assert(prompt.startsWith(
+      s"Write a project proposal covering the following keywords: $kw1"))
+    assert(prompt.endsWith(". Additional notes: n"))
+    // cap: the prompt never carries more than 6 keywords
+    val kwSection = prompt
+      .stripPrefix("Write a project proposal covering the following keywords: ")
+      .takeWhile(_ != '.')
+    assert(kwSection.split(", ").length <= 6)
+  }
+
   test("searchBm25: tf raises score, irrelevant docs absent, ranks deterministic") {
     val r = SearchOps.searchBm25(docs, "spark", k = 3).orderBy("rank").collect()
     // only docs containing 'spark' score
