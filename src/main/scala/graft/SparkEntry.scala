@@ -237,6 +237,28 @@ object SparkEntry {
       // decides; 48 candidate rows/query is still microscopic
       VectorOps.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 3, rerankFactor = 16)
     }),
+    // TRUE residual IVFADC (the FAISS lineage the reference's flat
+    // index grows into at scale): coarse sqrt(N) cells prune rows,
+    // m=8 residual codebooks (trained on x - c(x), not raw x) price
+    // each survivor via per-cell broadcast LUTs, floats only in the
+    // exact rerank — ann_ivf_quantized's global-int8 funnel upgraded
+    // to per-cell residual resolution
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+      val (nProbe, _) = VectorOps.probePolicy(kCells)
+      VectorOps.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), nProbe = nProbe,
+        k = 3, centroids = Some(cent), rerankFactor = 16)
+    }),
+    // the IVFADC leg of the recall-receipt family: rerank budget vs
+    // recall@3 against the brute-force ground truth (the sq8 shape —
+    // candidates rank once at the largest budget)
+    "ann_recall_ivfpq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
+      val (nProbe, _) = VectorOps.probePolicy(kCells)
+      VectorOps.ivfPqRecallCurve(emb, k = 3, nProbe = nProbe, centroids = Some(cent))
+    }),
     // diagonal-Mahalanobis mislabel screen: per-label centroid +
     // variance broadcast back, dim-ordered score fold, top-20
     "embedding_outliers" -> ((s, dir) =>
@@ -1673,6 +1695,50 @@ object SparkEntry {
     s"""pqc$r AS (SELECT d.s, a.code, d.ld, round(avg(d.x), 6) + 0 AS cv
        |  FROM psd d JOIN pqa$r a ON a.vec_id = d.vec_id AND a.s = d.s
        |  GROUP BY 1, 2, 3)""".stripMargin
+
+  /** DuckDB twin of VectorOps.ivfPqCandidates: the residual-IVFADC
+    * CTE chain ending in `adc (query_id, vec_id, qdist)`. Builds on
+    * [[duckSqrtCells]] (coarse cells) — primary-cell residuals feed
+    * the [[duckPqAssign]]/[[duckPqUpdate]] training unroll via the
+    * `psd` name those fragments expect; probes carry the derived
+    * nProbe budget; each probed cell gets its own query-residual LUT.
+    * Shared by the ann_ivf_pq and ann_recall_ivfpq oracles. */
+  private lazy val duckIvfPqAdc =
+    s"""$duckSqrtCells,
+       |a0 AS MATERIALIZED (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+       |res AS MATERIALIZED (SELECT d.vec_id, d.dim, d.x - c.cv AS x
+       |        FROM dims d JOIN a0 USING (vec_id)
+       |        JOIN cent c ON c.c_label = a0.c_label AND c.dim = d.dim),
+       |psd AS MATERIALIZED (SELECT vec_id, dim // 8 AS s, dim % 8 AS ld, x FROM res),
+       |pqc0 AS (SELECT s, vec_id AS code, ld, round(x, 6) + 0 AS cv
+       |         FROM psd WHERE vec_id < 16),
+       |${duckPqAssign(1, "pqc0")},
+       |${duckPqUpdate(1)},
+       |${duckPqAssign(2, "pqc1")},
+       |${duckPqUpdate(2)},
+       |${duckPqAssign(3, "pqc2")},
+       |probes AS MATERIALIZED (SELECT vec_id AS query_id, c_label FROM ranked
+       |           WHERE rn <= greatest(3, CAST(ceil((SELECT k FROM kk) / 16.0)
+       |                                        AS BIGINT))
+       |             AND vec_id < 10),
+       |qres AS (SELECT p.query_id, p.c_label, d.dim, d.x - c.cv AS x
+       |         FROM probes p JOIN dims d ON d.vec_id = p.query_id
+       |         JOIN cent c ON c.c_label = p.c_label AND c.dim = d.dim),
+       |qsd AS (SELECT query_id, c_label, dim // 8 AS s, dim % 8 AS ld, x
+       |        FROM qres),
+       |qlut AS MATERIALIZED (SELECT q.query_id, q.c_label, c.s, c.code,
+       |    round(sum((q.x - c.cv)^2 ORDER BY q.ld), 6) + 0 AS pd
+       |  FROM qsd q JOIN pqc2 c ON c.s = q.s AND c.ld = q.ld
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS MATERIALIZED (SELECT l.query_id, a.vec_id,
+       |    round(sum(l.pd ORDER BY l.s), 6) + 0 AS qdist
+       |  FROM a0 a
+       |  JOIN probes p ON p.c_label = a.c_label
+       |  JOIN pqa3 kc ON kc.vec_id = a.vec_id
+       |  JOIN qlut l ON l.query_id = p.query_id AND l.c_label = a.c_label
+       |             AND l.s = kc.s AND l.code = kc.code
+       |  WHERE a.vec_id <> p.query_id
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** DuckDB twin of one TextOps.bpeMerges round: pair counts from
     * `w$r`, argmax with (count desc, lhs, rhs) tie-break → `t$r`,
@@ -8088,6 +8154,70 @@ object SparkEntry {
          |    CAST(row_number() OVER (PARTITION BY query_id
          |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
          |  FROM prr) WHERE rank <= 3""".stripMargin,
+    // residual IVFADC: the shared ADC chain (coarse cells -> primary
+    // residuals -> PQ unroll -> per-cell query LUTs) picks 48/query,
+    // exact cosine decides
+    "ann_ivf_pq" ->
+      s"""WITH $duckIvfPqAdc,
+         |pcand AS (SELECT query_id, vec_id, qdist FROM (
+         |    SELECT query_id, vec_id, qdist,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY qdist, vec_id) AS qrank
+         |    FROM adc) WHERE qrank <= 48),
+         |prr AS (SELECT pcand.query_id, pcand.vec_id, pcand.qdist,
+         |    round(${duckCos("c.embedding", "q.embedding")}, 6) + 0 AS cos_sim
+         |  FROM pcand
+         |  JOIN embeddings c ON c.vec_id = pcand.vec_id
+         |  JOIN embeddings q ON q.vec_id = pcand.query_id)
+         |SELECT query_id, rank, vec_id, qdist, cos_sim FROM (
+         |  SELECT query_id, vec_id, qdist, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+         |  FROM prr) WHERE rank <= 3""".stripMargin,
+    // the same ADC chain feeding the recall-receipt tail (the
+    // ann_recall_quantized shape: rank once at the largest budget,
+    // per-factor filters, brute-force ground truth)
+    "ann_recall_ivfpq" ->
+      s"""WITH $duckNrmCte,
+         |$duckIvfPqAdc,
+         |cand AS (SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |             ORDER BY qdist, vec_id) AS qrank
+         |         FROM adc),
+         |rr AS (SELECT t.query_id, t.vec_id, t.qrank,
+         |         round(${duckCosPre("c.embedding", "q.embedding", "c.nm", "q.nm")},
+         |               6) + 0 AS cos_sim
+         |       FROM (SELECT * FROM cand WHERE qrank <= 12) t
+         |       JOIN nrm c ON c.vec_id = t.vec_id
+         |       JOIN nrm q ON q.vec_id = t.query_id),
+         |pf AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS f),
+         |rk AS (SELECT pf.f, r.query_id, r.vec_id,
+         |         row_number() OVER (PARTITION BY pf.f, r.query_id
+         |           ORDER BY r.cos_sim DESC, r.vec_id) AS rank
+         |       FROM rr r JOIN pf ON r.qrank <= 3 * pf.f),
+         |sq AS (SELECT f, query_id, vec_id FROM rk WHERE rank <= 3),
+         |exq AS MATERIALIZED (SELECT q.vec_id AS query_id, e.vec_id,
+         |          round(${duckCosPre("e.embedding", "q.embedding", "e.nm", "q.nm")},
+         |                6) + 0 AS cos_sim
+         |        FROM nrm e, nrm q
+         |        WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+         |exr AS (SELECT query_id, vec_id,
+         |          row_number() OVER (PARTITION BY query_id
+         |            ORDER BY cos_sim DESC, vec_id) AS rank
+         |        FROM exq),
+         |ex AS (SELECT query_id, vec_id FROM exr WHERE rank <= 3),
+         |nex AS (SELECT count(*) AS n_exact FROM ex)
+         |SELECT 'ivfpq' AS method, s2.f AS param,
+         |  count(*) AS n_returned,
+         |  CAST(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hits,
+         |  nex.n_exact,
+         |  round(sum(CASE WHEN e2.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         |        / nex.n_exact, 6) + 0 AS recall
+         |FROM sq s2
+         |LEFT JOIN ex e2 ON e2.query_id = s2.query_id AND e2.vec_id = s2.vec_id
+         |CROSS JOIN nex
+         |GROUP BY s2.f, nex.n_exact""".stripMargin,
     // composed funnel: IVF candidate chain (same CTEs as ann_ivf) ->
     // int8 code distances pick 12/query -> exact cosine rerank
     "ann_ivf_quantized" ->

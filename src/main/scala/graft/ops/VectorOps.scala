@@ -472,6 +472,172 @@ object VectorOps {
     exactCosRerank(cand, corpus, queries, k)
   }
 
+
+  /** Shared candidate generator for the residual-IVFADC pair
+    * ([[ivfPqTopK]] / [[ivfPqRecallCurve]]): every (query, vector)
+    * ADC distance over probed cells, NO rank cut — callers apply
+    * their own budget window. Returns (query_id, vec_id, qdist).
+    *
+    * Residual PQ (Jégou et al. TPAMI'11 §IV, the FAISS IVFADC
+    * lineage): [[ivfQuantizedTopK]] composes IVF with a GLOBAL int8
+    * scale; production IVFADC quantizes the RESIDUAL x − c(x) per
+    * PRIMARY cell, which is what keeps code distances accurate as
+    * cells tighten — residual norms shrink with cell radius, so the
+    * same m·ksub codebook budget buys finer resolution where the
+    * data actually lives. Encode assigns each vector ONCE (rn=1 —
+    * the residual is defined against the primary cell; multi-assign
+    * would store conflicting codes per copy), queries probe nProbe
+    * cells and carry a PER-CELL lookup table (q − c_cell residual vs
+    * the shared residual codebooks).
+    *
+    * Scale shape: coarse cells broadcast (√N·d rows); residuals are
+    * map-side zip_with over the scan; PQ training runs on the
+    * residual subvector stream exactly like [[pqTopK]] (at 100 TB:
+    * train on a sample, encode the full corpus with the broadcast
+    * codebook); the query LUT is nQueries·nProbe·m·ksub rounded
+    * doubles — broadcast; candidate scan is the IVF equi-join with a
+    * map-side m-term fold per row, floats touched only in the rerank.
+    */
+  private def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, nProbe: Int,
+                              centroids: Option[DataFrame],
+                              m: Int, ksub: Int, iters: Int): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
+    val centDense = cent
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("ccvec"))
+
+    // primary-cell assignment + map-side residual (raw double − the
+    // once-rounded centroid component, the oracle's d.x − c.cv)
+    val assigned = cellRanks(corpus, cent, "vec_id")
+      .filter(col("cell_rank") <= 1)
+      .select(col("vec_id"), col("c_label"))
+    val res = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(assigned, "vec_id")
+      .join(broadcast(centDense), "c_label")
+      .select(col("vec_id"), col("c_label"),
+        zip_with(col("e"), col("ccvec"), (x, c) => x - c).as("r"))
+
+    // residual subvector view + PQ training — the pqTopK pipeline on
+    // the residual stream (seeds = first ksub vectors' residuals)
+    def subvecs(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame = df
+      .withColumn("s", explode(sequence(lit(0L), lit(m - 1L))))
+      .select(keyCols.map(col) ++ Seq(col("s"),
+        slice(col(vecCol), (col("s") * dsub + 1).cast("int"), lit(dsub)).as("sv")): _*)
+    def dense(centExpl: DataFrame): DataFrame = centExpl
+      .groupBy(col("s"), col("code"))
+      .agg(transform(array_sort(collect_list(struct(col("ld"), col("cv")))),
+        x => x.getField("cv")).as("cvec"))
+    def assign(sv: DataFrame, idCol: String, centDn: DataFrame): DataFrame = sv
+      .join(broadcast(centDn), "s")
+      .withColumn("dist", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+      .groupBy(col(idCol), col("s"))
+      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+    val csv = subvecs(res, Seq("vec_id"), "r")
+    var pqc = subvecs(res.filter(col("vec_id") < ksub)
+        .withColumnRenamed("vec_id", "code"), Seq("code"), "r")
+      .select(col("s"), col("code"), transform(col("sv"), x => roundn(x, 6)).as("cvec"))
+    for (_ <- 1 to iters) {
+      val a = assign(csv, "vec_id", pqc)
+      pqc = dense(
+        csv.join(a, Seq("vec_id", "s"))
+          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("ld", "x")))
+          .groupBy(col("s"), col("code"), col("ld"))
+          .agg(roundn(avg(col("x")), 6).as("cv")))
+    }
+    val codesArr = assign(csv, "vec_id", pqc)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("carr"))
+
+    // query side: per probed cell, the residual q − c_cell and its
+    // m·ksub partial-distance lookup table (a broadcast MAP)
+    val probes = cellRanks(queries, cent, "query_id")
+      .filter(col("cell_rank") <= nProbe)
+      .select(col("query_id"), col("c_label"))
+    val qres = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+      .join(probes, "query_id")
+      .join(broadcast(centDense), "c_label")
+      .select(col("query_id"), col("c_label"),
+        zip_with(col("qe"), col("ccvec"), (x, c) => x - c).as("r"))
+    val lut = subvecs(qres, Seq("query_id", "c_label"), "r")
+      .join(broadcast(pqc), "s")
+      .withColumn("pd", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+      .groupBy(col("query_id"), col("c_label"))
+      .agg(map_from_entries(collect_list(
+        struct((col("s") * ksub + col("code")).as("idx"), col("pd")))).as("lut"))
+
+    // ADC scan: IVF equi-join prunes rows, the m-term map-side fold
+    // in subspace order prices each survivor (the oracle's
+    // sum(pd ORDER BY s))
+    probes.join(assigned, "c_label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codesArr, "vec_id")
+      .join(broadcast(lut), Seq("query_id", "c_label"))
+      .withColumn("qdist", roundn(aggregate(
+        sequence(lit(0L), lit(m - 1L)), lit(0.0),
+        (acc, s) => acc + element_at(col("lut"),
+          s * ksub + element_at(col("carr"), (s + 1).cast("int")))), 6))
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+  }
+
+  /** Residual IVFADC top-k — see [[ivfPqCandidates]] for the funnel;
+    * this applies the k·rerankFactor ADC budget and the exact-cosine
+    * rerank ([[exactCosRerank]], floats only on survivors). */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
+                centroids: Option[DataFrame] = None,
+                m: Int = 8, ksub: Int = 16, iters: Int = 2,
+                rerankFactor: Int = 4): DataFrame = {
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val cand = ivfPqCandidates(corpus, queries, nProbe, centroids, m, ksub, iters)
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+    exactCosRerank(cand, corpus, queries, k)
+  }
+
+  /** The IVFADC leg of the recall-receipt family — rerank budget vs
+    * recall@k against the brute-force ground truth (the
+    * [[sq8RecallCurve]] shape: candidates rank ONCE at the largest
+    * budget, each curve point is a qrank filter + re-rank over the
+    * same checkpointed table; method 'ivfpq', param = factor). */
+  def ivfPqRecallCurve(corpus: DataFrame, k: Int = 3,
+                       factors: Seq[Int] = Seq(1, 2, 4), nQueries: Int = 10,
+                       nProbe: Int = 3,
+                       centroids: Option[DataFrame] = None,
+                       groundTruth: Option[DataFrame] = None): DataFrame = {
+    val queries = corpus.filter(col("vec_id") < nQueries)
+    val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val maxF = factors.max
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
+    val scored = ivfPqCandidates(corpus, queries, nProbe, centroids, m = 8, ksub = 16, iters = 2)
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * maxF)
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
+      .select(col("query_id"), col("vec_id"), col("qrank"), col("cos_sim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    val curve = factors.map { f =>
+      scored.filter(col("qrank") <= k * f)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col("query_id"), col("vec_id"))
+        .withColumn("method", lit("ivfpq"))
+        .withColumn("param", lit(f.toLong))
+    }.reduce(_ unionByName _)
+    recallAgg(curve, exact, nExact)
+  }
+
   /** Build-time quantization scale: one scalar (max |component|) over
     * the INDEXED vectors — queries reuse it; arriving queries can't
     * rescale a built index. */

@@ -131,6 +131,55 @@ class VectorOpsSpec extends SparkSpec {
     assert(census.forall(_.getAs[Long]("n_vecs") > 0L))
   }
 
+  test("ivfPqTopK: residual IVFADC retrieves each query's near-twin through the rerank") {
+    // 18 vectors in 3 axis clusters, 8 dims (m=8 → dsub=1); the twin
+    // of each query shares its cell, so residual codes route it into
+    // the ADC candidate set and the exact rerank ranks it first
+    val all = (0L until 18L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array.fill(8)(0.01f * ((i * 5) % 7))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = VectorOps.kmeansCells(all, k = 3, iters = 2)
+    val queries = all.filter($"vec_id" < 3)
+    val r = VectorOps.ivfPqTopK(all, queries, nProbe = 2, k = 3,
+        centroids = Some(cent), rerankFactor = 6)
+      .orderBy("query_id", "rank").collect()
+    assert(r.nonEmpty)
+    // ranks are contiguous from 1 per query and cosines descend
+    r.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).toSeq === (1L to rows.length).toSeq)
+      val sims = rows.map(_.getAs[Double]("cos_sim"))
+      assert(sims.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+    // query 0's nearest same-cluster vector wins rank 1 (axis clusters
+    // are far apart, so the top hit must share query 0's label)
+    val top0 = r.filter(x => x.getAs[Long]("query_id") === 0L &&
+      x.getAs[Long]("rank") === 1L).head.getAs[Long]("vec_id")
+    assert(top0 % 3 === 0L, s"rank-1 hit $top0 should share query 0's cluster")
+  }
+
+  test("ivfPqRecallCurve: monotone in rerank budget; full probes + corpus budget = exact") {
+    val all = (0L until 16L).map { i =>
+      (i, Array((i % 7).toFloat - 3f, (i % 5).toFloat - 2f, (i % 3).toFloat - 1f,
+        (i % 11).toFloat / 3f, (i % 2).toFloat, (i % 13).toFloat / 5f,
+        ((i * 3) % 7).toFloat / 2f, ((i * 5) % 9).toFloat / 4f).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = VectorOps.kmeansCells(all, k = 2, iters = 2)
+    val r = VectorOps.ivfPqRecallCurve(all, k = 2, factors = Seq(1, 10),
+        nQueries = 3, nProbe = 2, centroids = Some(cent))
+      .collect()
+      .map(x => x.getAs[Long]("param") ->
+        ((x.getAs[Long]("n_returned"), x.getAs[Long]("n_hits"),
+          x.getAs[Long]("n_exact"), x.getAs[Double]("recall")))).toMap
+    assert(r(1L)._4 <= r(10L)._4, "recall is monotone in the rerank budget")
+    assert(r(10L)._4 === 1.0,
+      "every cell probed + k*f >= corpus: ADC candidates cover everything, " +
+        "the exact rerank equals the ground truth")
+    assert(r(1L)._1 === 6L && r(10L)._1 === 6L, "k results per query at every budget")
+  }
+
   test("ivfFilteredTopK: every result satisfies the predicate; equals filtered brute force") {
     // query 0 = (1,0,0): its true nearest is 2 (label 1) — a
     // post-filter of the unfiltered top-k would waste a slot on it;
