@@ -959,6 +959,12 @@ object SparkEntry {
     // argmax) — community structure inside the near-dup components
     "dedup_communities" -> ((s, dir) =>
       DedupOps.dedupCommunities(Tables.documents(s, dir))),
+    // k-core tiers of the verified near-dup graph: 8 synchronous
+    // h-operator rounds (c0 = degree, then the neighbor h-index) —
+    // template farms surface in high cores, accidental collisions
+    // in the 1-core fringe
+    "dedup_kcore" -> ((s, dir) =>
+      DedupOps.dedupKCore(Tables.documents(s, dir))),
     // AllPairs/PPJoin prefix filtering: df-ascending prefixes → pair
     // join on RARE shingles only → exact Jaccard verify; candidates
     // have NO false negatives at the threshold (vs LSH's probabilistic
@@ -4371,6 +4377,39 @@ object SparkEntry {
          |${round("l2", "l3")},
          |${round("l3", "l4")}
          |SELECT id AS doc_id, label AS community FROM l4""".stripMargin
+    },
+    // 8 synchronous h-operator rounds unrolled (c0 = degree; per
+    // round the desc-ranked neighbor values' max(min(value, rank)) —
+    // MATERIALIZED so the recursion doesn't inline exponentially);
+    // value-tied rank permutations can't change min(v, rank) maxima,
+    // so no tie hazard crosses engines
+    "dedup_kcore" -> {
+      def round(prev: String, cur: String): String =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT src AS id, CAST(max(least(nc, rn)) AS BIGINT) AS c FROM (
+           |    SELECT u.src, l.c AS nc,
+           |      row_number() OVER (PARTITION BY u.src
+           |        ORDER BY l.c DESC, u.dst) AS rn
+           |    FROM und u JOIN $prev l ON l.id = u.dst)
+           |  GROUP BY src)""".stripMargin
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |c0 AS MATERIALIZED (SELECT src AS id, count(*) AS c FROM und GROUP BY 1),
+         |${round("c0", "c1")},
+         |${round("c1", "c2")},
+         |${round("c2", "c3")},
+         |${round("c3", "c4")},
+         |${round("c4", "c5")},
+         |${round("c5", "c6")},
+         |${round("c6", "c7")},
+         |${round("c7", "c8")}
+         |SELECT d.id AS doc_id, d.c AS degree, c8.c AS core
+         |FROM c0 d JOIN c8 USING (id)""".stripMargin
     },
     // which rows rode the v1 writer is the doc_id%2 predicate, so the
     // merged-read null census replays without touching parquet

@@ -1161,6 +1161,66 @@ object DedupOps {
                        minJaccard: Double = 0.5): DataFrame =
     labelPropagation(nearDupVerified(docs, minJaccard = minJaccard), iters)
 
+  /** k-core numbers over an undirected edge list — the density-tier
+    * triage beside [[pageRank]]/[[labelPropagation]]/[[triangleStats]]
+    * on the near-dup graph: boilerplate/template farms sit in high
+    * cores (every member near-dups many others), accidental LSH
+    * collisions and threshold-straddlers in the 1-core fringe.
+    *
+    * Algorithm: the h-operator iteration (Lü et al., Nature Comm.
+    * 2016 — "the H-index of a network node"): c₀(v) = deg(v), then
+    * c_{r+1}(v) = H({c_r(u) : u ∈ N(v)}), the largest h such that ≥ h
+    * neighbors carry value ≥ h, computed as max(min(value, rank))
+    * over the desc-ranked neighbor values. The iterate decreases
+    * monotonically and converges to the coreness — equivalent to the
+    * min-degree peel but synchronous (one keyed agg + one bounded
+    * window per round, no sequential peel order). The result is the
+    * `rounds`-round iterate, PINNED (the bpe_vocab_size fixed-depth
+    * stance); convergence depth is the graph's peel-chain length —
+    * duplicate families are clique-like (depth ~1-2) and 8 rounds
+    * peels any chain appendage up to ~16 nodes; at 100 TB run to
+    * fixpoint on the [[connectedComponentsWithRounds]] cadence
+    * instead of a fixed unroll.
+    *
+    * Determinism: values are integers; ties in the desc rank permute
+    * rows only WITHIN equal values, and min(v, rank) over a
+    * value-tied block is permutation-invariant, so the max is exact
+    * on both engines regardless of tie order.
+    *
+    * Scale shape: everything runs on the verified-pair list (tiny vs
+    * the corpus — the [[pageRank]] precondition); each round is one
+    * dst-keyed broadcast-or-shuffle join + one src-keyed agg;
+    * lineage checkpoints every 4 rounds. */
+  def kCoreNumbers(pairs: DataFrame, rounds: Int = 8): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .localCheckpoint(true)
+    val deg = und.select(col("src").as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("c"))
+    var core = deg
+    for (i <- 1 to rounds) {
+      core = und
+        .join(core.select(col("id").as("dst"), col("c").as("nc")), "dst")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("nc").desc, col("dst")))
+          .cast("long"))
+        .groupBy(col("src"))
+        .agg(max(least(col("nc"), col("rn"))).as("c"))
+        .select(col("src").as("id"), col("c"))
+      if (i % 4 == 0) core = core.localCheckpoint(true)
+    }
+    deg.select(col("id"), col("c").as("degree"))
+      .join(core.select(col("id"), col("c").as("core")), "id")
+      .select(col("id").as("doc_id"), col("degree"), col("core"))
+  }
+
+  /** Declared form: k-core decomposition of the verified near-dup
+    * graph. */
+  def dedupKCore(docs: DataFrame, rounds: Int = 8,
+                 minJaccard: Double = 0.5): DataFrame =
+    kCoreNumbers(nearDupVerified(docs, minJaccard = minJaccard), rounds)
+
   /** Benchmark decontamination — flag corpus documents sharing
     * winnowing fingerprints with a held-out benchmark set (the check
     * every pretraining pipeline runs so eval data doesn't leak into

@@ -310,6 +310,27 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("kCoreNumbers: planted clique vs chain separate into core tiers; tail peels to 1") {
+    // K4 {0,1,2,3} with a pendant tail 0-4, plus a disjoint 5-node
+    // chain 10-…-14: the clique is the 3-core, everything else 1-core
+    def clique(ids: Seq[Long]) =
+      for (i <- ids.indices; j <- i + 1 until ids.size) yield (ids(i), ids(j))
+    val pairs = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      Seq((0L, 4L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)))
+      .toDF("a_id", "b_id")
+    val r = DedupOps.kCoreNumbers(pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("degree"), x.getAs[Long]("core")))).toMap
+    assert(r(0L) === ((4L, 3L)), "clique corner with tail: degree 4, core 3")
+    assert(Seq(1L, 2L, 3L).forall(r(_) === ((3L, 3L))), "clique members are 3-core")
+    assert(r(4L) === ((1L, 1L)), "the pendant tail peels to the 1-core")
+    assert(r(10L) === ((1L, 1L)) && r(14L) === ((1L, 1L)))
+    assert(Seq(11L, 12L, 13L).forall(r(_)._2 === 1L),
+      "chain interiors have degree 2 but still peel to core 1")
+    // coreness never exceeds degree anywhere
+    assert(r.values.forall { case (d, c) => c <= d })
+  }
+
   test("labelPropagation: bridged cliques keep distinct communities where components fuse") {
     // two 4-cliques joined by the single bridge 4-10: one connected
     // component, but LPA's majority rule resists the lone bridge vote
