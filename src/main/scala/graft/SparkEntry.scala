@@ -492,6 +492,11 @@ object SparkEntry {
     // re-joined in order — the CLEANED corpus as an output column
     "dedup_excise" -> ((s, dir) =>
       DedupOps.substringExcise(Tables.documents(s, dir))),
+    // the excision tier's window-length receipt: corpus coverage at
+    // w in {6,8,12} off ONE max-width lead chain (narrower windows
+    // are column prefixes); coverage monotone non-increasing in w
+    "substring_window_curve" -> ((s, dir) =>
+      DedupOps.substringWindowCurve(Tables.documents(s, dir))),
     // tokenizer training: first 6 BPE merges by frequency-weighted
     // pair counting + greedy string-space merge (Sennrich ACL'16)
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),
@@ -2965,6 +2970,46 @@ object SparkEntry {
          |  round(coalesce(dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6) + 0
          |    AS dup_fraction
          |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // one max-width lead chain, per-width prefix legs (hash → dup
+    // census → lag interval-union → corpus rollup), three-row union
+    "substring_window_curve" -> {
+      def leg(w: Int): String = {
+        val sh = (Seq("tok") ++ (1 until w).map(i => s"t$i")).mkString(" || ' ' || ")
+        s"""hh$w AS (SELECT doc_id, pos, ${duckHash24(s"($sh)")} AS h
+           |  FROM shmax WHERE t${w - 1} IS NOT NULL),
+           |dup$w AS (SELECT h FROM hh$w GROUP BY h
+           |          HAVING count(DISTINCT doc_id) >= 2),
+           |dpos$w AS (SELECT doc_id, pos,
+           |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+           |  FROM hh$w JOIN dup$w USING (h)),
+           |cov$w AS (SELECT doc_id, count(*) AS dw,
+           |    CAST(sum(CASE WHEN gap IS NULL OR gap > $w THEN $w ELSE gap END)
+           |         AS BIGINT) AS dt
+           |  FROM dpos$w GROUP BY 1),
+           |leg$w AS (SELECT CAST($w AS BIGINT) AS w, t.n_docs, r.n_docs_touched,
+           |    r.dup_windows, r.dup_tokens, t.n_tokens,
+           |    round(r.dup_tokens / CAST(t.n_tokens AS DOUBLE), 6) + 0
+           |      AS dup_fraction
+           |  FROM (SELECT count(*) AS n_docs_touched,
+           |          CAST(coalesce(sum(dw), 0) AS BIGINT) AS dup_windows,
+           |          CAST(coalesce(sum(dt), 0) AS BIGINT) AS dup_tokens
+           |        FROM cov$w) r, tot t)""".stripMargin
+      }
+      val maxLeads = (1 until 12)
+        .map(i => s"lead(tok, $i) OVER w AS t$i").mkString(",\n|          ")
+      s"""WITH $duckToks,
+         |shmax AS MATERIALIZED (
+         |  SELECT doc_id, pos, tok,
+         |          $maxLeads
+         |  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         |tot AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |               count(*) AS n_tokens FROM toks),
+         |${leg(6)},
+         |${leg(8)},
+         |${leg(12)}
+         |SELECT * FROM leg6 UNION ALL SELECT * FROM leg8
+         |UNION ALL SELECT * FROM leg12""".stripMargin
+    },
     // the asof-in-one-sort coverage replayed in SQL; reassembly via
     // ordered string_agg
     "dedup_excise" ->

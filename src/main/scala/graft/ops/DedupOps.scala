@@ -1414,6 +1414,63 @@ object DedupOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Window-length sensitivity receipt for the excision tier — the
+    * error-curve convention (cms/hll/quantile_error_curve) applied to
+    * [[substringDupCoverage]]'s ONE free parameter: the census and
+    * [[substringExcise]] fix w=8 token windows as a documented
+    * approximation of Lee et al. ACL'22's suffix-array exactness, and
+    * this prices what that choice costs — corpus-level duplicated
+    * coverage at each candidate width. Smaller windows catch MORE
+    * (every duplicated w-window contains duplicated sub-windows, so
+    * coverage is monotone non-increasing in w — spec-pinned); the
+    * curve is the evidence a chosen w ships with.
+    *
+    * Economy: ONE per-doc window pass builds the max-width lead
+    * chain, every narrower window is a PREFIX of those columns — the
+    * widths axis multiplies only the per-leg hash+agg work, never
+    * the tokenize or the sort underlying the lead chain. Per leg the
+    * cost family is [[substringDupCoverage]]'s (hash-keyed shuffles
+    * only, O(corpus tokens) rows); the rollup is one bounded agg. */
+  def substringWindowCurve(docs: DataFrame,
+                           windows: Seq[Int] = Seq(6, 8, 12)): DataFrame = {
+    val wmax = windows.max
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until wmax).map(i => lead(col("tok"), i).over(win).as(s"_t$i"))
+    val base = EmbedOps.tokenize(docs)
+      .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
+      .localCheckpoint(true)
+    val totals = base
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"))
+      .localCheckpoint(true)
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    windows.map { w =>
+      val cols = col("tok") +: (1 until w).map(i => col(s"_t$i"))
+      val hashed = base.filter(col(s"_t${w - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          PortableHash.hash24(concat_ws(" ", cols: _*)).as("h"))
+      val dup = hashed
+        .groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 2).select(col("h"))
+      val perDoc = hashed.join(dup, "h")
+        .withColumn("gap", col("pos") - lag(col("pos"), 1).over(byPos))
+        .withColumn("contrib",
+          when(col("gap").isNull, lit(w.toLong))
+            .otherwise(least(lit(w.toLong), col("gap"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("dw"), sum(col("contrib")).as("dt"))
+      perDoc
+        .agg(count(lit(1)).as("n_docs_touched"),
+          coalesce(sum(col("dw")), lit(0L)).as("dup_windows"),
+          coalesce(sum(col("dt")), lit(0L)).as("dup_tokens"))
+        .crossJoin(broadcast(totals))
+        .select(lit(w.toLong).as("w"), col("n_docs"), col("n_docs_touched"),
+          col("dup_windows"), col("dup_tokens"), col("n_tokens"),
+          roundn(col("dup_tokens") / col("n_tokens").cast("double"), 6)
+            .as("dup_fraction"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Adamic–Adar link prediction KERNEL over an undirected edge list
     * (a_id, b_id) — the missing-edge lens on the near-dup graph: a
     * pair of docs that are NOT verified near-dups but share verified

@@ -310,6 +310,34 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("substringWindowCurve: coverage monotone non-increasing in window width") {
+    // A and B share a 12-token run; C shares only a 6-token run with
+    // them — w=12 covers A/B only, w=6 additionally pulls in C
+    val run12 = "a b c d e f g h i j k l"
+    val d = Seq(
+      (0L, s"$run12 m n", "en", "a", 1L),
+      (1L, s"x $run12 y", "en", "b", 1L),
+      (2L, "p q a b c d e f r s t u", "en", "c", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = DedupOps.substringWindowCurve(d).collect()
+      .map(x => x.getAs[Long]("w") ->
+        ((x.getAs[Long]("n_docs_touched"), x.getAs[Long]("dup_tokens"),
+          x.getAs[Long]("n_tokens"), x.getAs[Double]("dup_fraction")))).toMap
+    assert(r.keySet === Set(6L, 8L, 12L))
+    // every leg sees the same corpus totals
+    assert(r.values.map(_._3).toSet === Set(40L))
+    // monotone: narrower windows catch at least as much
+    assert(r(6L)._2 >= r(8L)._2 && r(8L)._2 >= r(12L)._2)
+    assert(r(6L)._1 >= r(12L)._1)
+    // w=12 covers exactly the shared 12-run in A and B (24 tokens),
+    // and only those two docs
+    assert(r(12L) === ((2L, 24L, 40L, 0.6)))
+    // w=6 additionally reaches C's 6-token overlap
+    assert(r(6L)._1 === 3L)
+    assert(r.values.forall { case (_, dt, nt, fr) =>
+      math.abs(fr - dt.toDouble / nt) < 1e-6 })
+  }
+
   test("kCoreNumbers: planted clique vs chain separate into core tiers; tail peels to 1") {
     // K4 {0,1,2,3} with a pendant tail 0-4, plus a disjoint 5-node
     // chain 10-…-14: the clique is the 3-core, everything else 1-core
