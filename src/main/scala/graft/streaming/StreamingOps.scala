@@ -586,6 +586,42 @@ object StreamingOps {
   /** Input doc for [[lshDedupStream]]. */
   case class StreamDoc(doc_id: Long, text: String)
 
+  /** Output row of [[bm25PostingsStream]]: one postings entry —
+    * identical shape to a batch [[graft.ops.SearchOps.bm25Index]] row
+    * (the '' sentinel keeps token-less docs counted in N). */
+  case class Posting(doc_id: Long, tok: String, tf: Long)
+
+  /** Streaming BM25 ingest twin (§2.10) of the batch
+    * [[graft.ops.SearchOps.bm25Index]] — the easiest batch/stream
+    * symmetry in the engine, because the index state is PURELY
+    * ADDITIVE per-document rows: an arriving doc tokenizes map-only
+    * (NO state store — the postings themselves are the state,
+    * appended to the index sink) and df/N/avgdl DERIVE from the
+    * merged postings at query time
+    * ([[graft.ops.SearchOps.searchBm25FromIndex]]), so a
+    * stream-built index ≡ the batch-built index row-for-row and its
+    * scores equal a from-scratch rebuild bit-for-bit — the
+    * bm25_incremental identity, fed by a stream. Tokenization is the
+    * batch kernel's JVM twin (split / take 512 / trim / filter — the
+    * [[graft.ops.DedupOps.bandKeysJvm]] recipe), spec-pinned against
+    * batch [[graft.ops.EmbedOps.tokenize]] output.
+    *
+    * Scale shape: a stateless flatMap — cost ∝ arriving docs, zero
+    * shuffle, zero state store; at rest the postings append to a
+    * tok-bucketed table so query-term probes read without an
+    * exchange (the bm25Index scaladoc's layout). */
+  def bm25PostingsStream(docs: Dataset[StreamDoc]): Dataset[Posting] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.flatMap { d =>
+      val toks = d.text.split(" ", -1).take(512).map(_.trim).filter(_.nonEmpty)
+      val tf = scala.collection.mutable.LinkedHashMap[String, Long]()
+      toks.foreach(t => tf.update(t, tf.getOrElse(t, 0L) + 1L))
+      tf.iterator.map { case (t, n) => Posting(d.doc_id, t, n) } ++
+        Iterator.single(Posting(d.doc_id, "", 0L))
+    }
+  }
+
   /** One (band bucket, doc) occupancy row — the stream's shuffle key
     * is the band bucket, exactly like the batch candidate join. */
   case class BandHit(band_key: String, doc_id: Long)

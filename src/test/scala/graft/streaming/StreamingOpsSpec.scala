@@ -416,6 +416,45 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25PostingsStream: stream postings ≡ batch bm25Index; merged index answers exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOps.{Posting, StreamDoc}
+    val fixture = Seq(
+      (0L, "spark engine spark engine spark"),
+      (1L, "spark appears once here only today"),
+      (2L, ""), // token-less: only the sentinel row, still counted in N
+      (3L, "engine engine engine engine engine engine"))
+    val input = MemoryStream[StreamDoc]
+    val q = StreamingOps.bm25PostingsStream(input.toDS())
+      .writeStream.format("memory").queryName("bm25_postings")
+      .outputMode("append").start()
+    try {
+      // two micro-batches — the additive state must not care
+      input.addData(fixture.take(2).map { case (i, t) => StreamDoc(i, t) }: _*)
+      q.processAllAvailable()
+      input.addData(fixture.drop(2).map { case (i, t) => StreamDoc(i, t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_postings").as[Posting]
+      val docsDf = fixture.map { case (i, t) => (i, t, "en", s"$i.docx", 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      // identity 1: the streamed postings ARE the batch index
+      val postings = streamed.collect().toSeq
+      val got = postings.map(p => (p.doc_id, p.tok, p.tf)).sorted
+      val want = graft.ops.SearchOps.bm25Index(docsDf)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+      assert(got === want)
+      // identity 2: scoring from the streamed index ≡ from-scratch
+      // BM25 (postings re-materialized locally — the memory-sink view
+      // can't self-join inside searchBm25FromIndex's df aggregate)
+      val viaStream = graft.ops.SearchOps.searchBm25FromIndex(
+          postings.toDS().toDF(), docsDf, "spark engine", k = 4)
+        .collect().map(_.toString).sorted.toSeq
+      val scratch = graft.ops.SearchOps.searchBm25(docsDf, "spark engine", k = 4)
+        .collect().map(_.toString).sorted.toSeq
+      assert(viaStream === scratch && viaStream.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionCounts merges gap-contiguous events and splits across gaps") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, Double)]
