@@ -1243,6 +1243,11 @@ object SparkEntry {
     // every vector under stale-vs-retrained assignment
     "ann_codebook_refresh" -> ((s, dir) =>
       VectorOps.codebookRefreshCensus(Tables.embeddings(s, dir))),
+    // the drift→refresh decision composed: tripwire metrics, the
+    // tau=0.01 refresh boolean, and the priced migration (n_moved /
+    // frac_moved / live cell counts) as ONE replayable row
+    "index_maintenance_plan" -> ((s, dir) =>
+      VectorOps.indexMaintenancePlan(Tables.embeddings(s, dir))),
     // filtered vector search: the label % 2 = 0 predicate enters the
     // ASSIGNMENT list (pre-filter — every candidate and result slot
     // satisfies it), the codebook stays the full-corpus one (cells
@@ -2444,6 +2449,49 @@ object SparkEntry {
       |  SELECT vec_id, c_label,
       |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
       |  FROM cd)""".stripMargin
+
+  /** The FULL refresh chain shared by the ann_codebook_refresh and
+    * index_maintenance_plan oracles: [[duckSqrtCellsIncr]] (the stale
+    * base-trained chain, all vectors ranked) + the n-prefixed
+    * full-corpus retrain over the shared exploded `dims`, ending in
+    * `census (old_cell, new_cell, n_vecs)` — each vector's primary
+    * cell under the two codebooks. */
+  private lazy val duckCodebookRefreshCtes =
+    s"""$duckSqrtCellsIncr,
+       |nkk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+       |nc0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
+       |        FROM dims WHERE vec_id < (SELECT k FROM nkk)),
+       |ncd1 AS (SELECT d.vec_id, c.c_id,
+       |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+       |         FROM dims d JOIN nc0 c USING (dim) GROUP BY 1, 2),
+       |na1 AS (SELECT vec_id, c_id FROM (
+       |          SELECT vec_id, c_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+       |          FROM ncd1) WHERE rn = 1),
+       |nc1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
+       |        FROM dims d JOIN na1 a USING (vec_id) GROUP BY 1, 2),
+       |ncd2 AS (SELECT d.vec_id, c.c_id,
+       |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
+       |         FROM dims d JOIN nc1 c USING (dim) GROUP BY 1, 2),
+       |na2 AS (SELECT vec_id, c_id FROM (
+       |          SELECT vec_id, c_id,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
+       |          FROM ncd2) WHERE rn = 1),
+       |ncent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
+       |          FROM dims d JOIN na2 a USING (vec_id) GROUP BY 1, 2),
+       |ncd AS (
+       |  SELECT d.vec_id, c.c_label,
+       |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
+       |  FROM dims d JOIN ncent c USING (dim) GROUP BY 1, 2),
+       |nranked AS (
+       |  SELECT vec_id, c_label,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
+       |  FROM ncd),
+       |census AS (SELECT o.c_label AS old_cell, n.c_label AS new_cell,
+       |       count(*) AS n_vecs
+       |  FROM (SELECT vec_id, c_label FROM ranked WHERE rn = 1) o
+       |  JOIN (SELECT vec_id, c_label FROM nranked WHERE rn = 1) n USING (vec_id)
+       |  GROUP BY 1, 2)""".stripMargin
 
   def oracleSql: Map[String, String] = oracleSqlBase ++ persistedIndexOracles
 
@@ -5758,41 +5806,41 @@ object SparkEntry {
     // sharing the exploded `dims`; the join compares each vector's
     // primary cell under the two codebooks
     "ann_codebook_refresh" ->
-      s"""WITH $duckSqrtCellsIncr,
-         |nkk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
-         |nc0 AS (SELECT vec_id AS c_id, dim, round(x, 6) + 0 AS cv
-         |        FROM dims WHERE vec_id < (SELECT k FROM nkk)),
-         |ncd1 AS (SELECT d.vec_id, c.c_id,
-         |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
-         |         FROM dims d JOIN nc0 c USING (dim) GROUP BY 1, 2),
-         |na1 AS (SELECT vec_id, c_id FROM (
-         |          SELECT vec_id, c_id,
-         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |          FROM ncd1) WHERE rn = 1),
-         |nc1 AS (SELECT a.c_id, d.dim, round(avg(d.x), 6) + 0 AS cv
-         |        FROM dims d JOIN na1 a USING (vec_id) GROUP BY 1, 2),
-         |ncd2 AS (SELECT d.vec_id, c.c_id,
-         |           round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS dist
-         |         FROM dims d JOIN nc1 c USING (dim) GROUP BY 1, 2),
-         |na2 AS (SELECT vec_id, c_id FROM (
-         |          SELECT vec_id, c_id,
-         |            row_number() OVER (PARTITION BY vec_id ORDER BY dist, c_id) AS rn
-         |          FROM ncd2) WHERE rn = 1),
-         |ncent AS (SELECT a.c_id AS c_label, d.dim, round(avg(d.x), 6) + 0 AS cv
-         |          FROM dims d JOIN na2 a USING (vec_id) GROUP BY 1, 2),
-         |ncd AS (
-         |  SELECT d.vec_id, c.c_label,
-         |    round(sum((d.x - c.cv)^2 ORDER BY d.dim), 6) + 0 AS cdist
-         |  FROM dims d JOIN ncent c USING (dim) GROUP BY 1, 2),
-         |nranked AS (
-         |  SELECT vec_id, c_label,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY cdist, c_label) AS rn
-         |  FROM ncd)
-         |SELECT o.c_label AS old_cell, n.c_label AS new_cell,
-         |       count(*) AS n_vecs
-         |FROM (SELECT vec_id, c_label FROM ranked WHERE rn = 1) o
-         |JOIN (SELECT vec_id, c_label FROM nranked WHERE rn = 1) n USING (vec_id)
-         |GROUP BY 1, 2""".stripMargin,
+      s"""WITH $duckCodebookRefreshCtes
+         |SELECT old_cell, new_cell, n_vecs FROM census""".stripMargin,
+    // the decision composed: the drift tripwire's two bounded (half,
+    // dim) aggs + the refresh chain's migration census collapsed to
+    // its price, one row out (tau = 0.01 is the stated contract)
+    "index_maintenance_plan" ->
+      s"""WITH $duckCodebookRefreshCtes,
+         |price AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n_vecs,
+         |    CAST(sum(CASE WHEN old_cell <> new_cell THEN n_vecs ELSE 0 END)
+         |         AS BIGINT) AS n_moved,
+         |    CAST(count(DISTINCT old_cell) AS BIGINT) AS n_cells_stale,
+         |    CAST(count(DISTINCT new_cell) AS BIGINT) AS n_cells_refreshed
+         |  FROM census),
+         |mm AS (SELECT (max(vec_id) + 1) // 2 AS mid FROM embeddings),
+         |dxx AS (SELECT CASE WHEN vec_id < mm.mid THEN 'a' ELSE 'b' END AS half,
+         |        CAST(u.ii - 1 AS BIGINT) AS ddim,
+         |        CAST(round(CAST(embedding[u.ii] AS DOUBLE) * 1000000) AS BIGINT)
+         |          AS x6
+         |      FROM embeddings, mm, unnest(range(1, len(embedding) + 1)) u(ii)),
+         |dmu AS (SELECT half, ddim, CAST(round(avg(x6)) AS BIGINT) AS mu6
+         |        FROM dxx GROUP BY 1, 2),
+         |da AS (SELECT ddim, mu6 AS ma FROM dmu WHERE half = 'a'),
+         |db AS (SELECT ddim, mu6 AS mb FROM dmu WHERE half = 'b'),
+         |drift AS (SELECT
+         |    round(sqrt(sum((CAST(ma - mb AS DOUBLE) / 1000000.0)
+         |      * (CAST(ma - mb AS DOUBLE) / 1000000.0) ORDER BY ddim)), 6) + 0
+         |      AS centroid_l2,
+         |    round(CAST(max(abs(ma - mb)) AS DOUBLE) / 1000000.0, 6) + 0
+         |      AS max_dim_shift
+         |  FROM da JOIN db USING (ddim))
+         |SELECT d.centroid_l2, d.max_dim_shift, d.centroid_l2 > 0.01 AS refresh,
+         |  p.n_vecs, p.n_moved,
+         |  round(p.n_moved / CAST(p.n_vecs AS DOUBLE), 6) + 0 AS frac_moved,
+         |  p.n_cells_stale, p.n_cells_refreshed
+         |FROM drift d, price p""".stripMargin,
     // the recall curve, both sides recomputed: IVF candidates per
     // probe budget from the SAME ranked cell table (nAssign=1), exact
     // ground truth as the brute-force cross join, hit join on

@@ -770,6 +770,39 @@ object VectorOps {
       .agg(count(lit(1)).as("n_vecs"))
   }
 
+  /** The drift→refresh decision COMPOSED — the operational question
+    * "do we re-Lloyd this week" as one replayable row, wiring three
+    * pinned kernels: [[embeddingDrift]] (the tripwire — half-vs-half
+    * centroid shift), the refresh boolean (centroid_l2 > tau, tau
+    * stated in the row's contract rather than buried in a runbook),
+    * and [[codebookRefreshCensus]]'s migration census collapsed to
+    * its price (how many vectors change cells if the stale
+    * base-trained codebook retires, and how many cells each codebook
+    * actually uses). A drifted corpus with a CHEAP migration and an
+    * undrifted one with an expensive migration read off the same row.
+    *
+    * Scale shape: each kernel keeps its own declared plan
+    * (drift = two bounded (half, dim) aggs; census = two Lloyd
+    * trainings by definition — the refresh family's stated cost); the
+    * composition adds one bounded census agg and a 1-row crossJoin. */
+  def indexMaintenancePlan(emb: DataFrame, tau: Double = 0.01): DataFrame = {
+    val drift = embeddingDrift(emb)
+      .select(col("centroid_l2"), col("max_dim_shift"))
+    val price = codebookRefreshCensus(emb)
+      .agg(sum(col("n_vecs")).as("n_vecs"),
+        sum(when(col("old_cell") =!= col("new_cell"), col("n_vecs"))
+          .otherwise(lit(0L))).as("n_moved"),
+        countDistinct(col("old_cell")).as("n_cells_stale"),
+        countDistinct(col("new_cell")).as("n_cells_refreshed"))
+    drift.crossJoin(broadcast(price))
+      .withColumn("refresh", col("centroid_l2") > tau)
+      .withColumn("frac_moved",
+        roundn(col("n_moved") / col("n_vecs").cast("double"), 6))
+      .select(col("centroid_l2"), col("max_dim_shift"), col("refresh"),
+        col("n_vecs"), col("n_moved"), col("frac_moved"),
+        col("n_cells_stale"), col("n_cells_refreshed"))
+  }
+
   /** Probe budget derived from the quantizer's cell count — the knob
     * that must SCALE WITH k or recall decays as cells grow with √N
     * (the ivfTopK scaladoc table: at 45 cells, (1,1) falls to 24/30

@@ -180,6 +180,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(1L)._1 === 6L && r(10L)._1 === 6L, "k results per query at every budget")
   }
 
+  test("indexMaintenancePlan: one row; price consistent with the census; boolean honors tau") {
+    val all = (0L until 20L).map { i =>
+      val d = (i % 4).toInt
+      val v = Array(0.05f * i, 0.03f * ((i * 7) % 5), 0.02f * ((i * 3) % 4), 0.04f * (i % 6))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val r = VectorOps.indexMaintenancePlan(all).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_vecs") === 20L)
+    assert(row.getAs[Long]("n_moved") <= 20L && row.getAs[Long]("n_moved") >= 0L)
+    assert(math.abs(row.getAs[Double]("frac_moved") -
+      row.getAs[Long]("n_moved").toDouble / 20) < 1e-6)
+    assert(row.getAs[Boolean]("refresh") ===
+      (row.getAs[Double]("centroid_l2") > 0.01))
+    // an enormous tau can never trip
+    assert(!VectorOps.indexMaintenancePlan(all, tau = 1e9)
+      .head().getAs[Boolean]("refresh"))
+  }
+
   test("ivfFilteredTopK: every result satisfies the predicate; equals filtered brute force") {
     // query 0 = (1,0,0): its true nearest is 2 (label 1) — a
     // post-filter of the unfiltered top-k would waste a slot on it;
