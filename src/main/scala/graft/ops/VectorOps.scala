@@ -501,10 +501,31 @@ object VectorOps {
   private def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, nProbe: Int,
                               centroids: Option[DataFrame],
                               m: Int, ksub: Int, iters: Int): DataFrame = {
+    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
+    val (pqCodebook, codes) = ivfPqIndex(corpus, cent, m, ksub, iters)
+    ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes, m, ksub)
+  }
+
+  /** The residual-IVFADC INDEX as tables — the TRAIN half (the
+    * ann_index_persist convention on the PQ tier: the codebook and
+    * the encoded corpus are the artifacts you train ONCE and ship to
+    * every search job): returns (codebook `(s, code, cvec)`, codes
+    * `(vec_id, c_label, carr)`) — each vector's primary cell plus its
+    * m residual codes, the m-bytes-per-vector payload. Both persist
+    * to parquet losslessly (once-rounded doubles / longs), and a
+    * reloaded index must answer [[ivfPqTopKFromIndex]] bit-identically
+    * to the in-session build (ann_pq_index_persist pins it on the
+    * ann_ivf_pq oracle).
+    *
+    * Training is the [[pqTopK]] relational-Lloyd pipeline on the
+    * RESIDUAL stream: primary-cell assignment broadcast-joins the
+    * cells, residuals are map-side zip_with, seeds = the first ksub
+    * vectors' residual subvectors, `iters` assign/update rounds. */
+  def ivfPqIndex(corpus: DataFrame, cent: DataFrame,
+                 m: Int = 8, ksub: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
     val dsub = d / m
-    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
     val centDense = cent
       .groupBy(col("c_label"))
       .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
@@ -523,39 +544,61 @@ object VectorOps {
 
     // residual subvector view + PQ training — the pqTopK pipeline on
     // the residual stream (seeds = first ksub vectors' residuals)
-    def subvecs(df: DataFrame, keyCols: Seq[String], vecCol: String): DataFrame = df
-      .withColumn("s", explode(sequence(lit(0L), lit(m - 1L))))
-      .select(keyCols.map(col) ++ Seq(col("s"),
-        slice(col(vecCol), (col("s") * dsub + 1).cast("int"), lit(dsub)).as("sv")): _*)
-    def dense(centExpl: DataFrame): DataFrame = centExpl
-      .groupBy(col("s"), col("code"))
-      .agg(transform(array_sort(collect_list(struct(col("ld"), col("cv")))),
-        x => x.getField("cv")).as("cvec"))
-    def assign(sv: DataFrame, idCol: String, centDn: DataFrame): DataFrame = sv
-      .join(broadcast(centDn), "s")
-      .withColumn("dist", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
-      .groupBy(col(idCol), col("s"))
-      .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
-
-    val csv = subvecs(res, Seq("vec_id"), "r")
-    var pqc = subvecs(res.filter(col("vec_id") < ksub)
-        .withColumnRenamed("vec_id", "code"), Seq("code"), "r")
+    val csv = ivfPqSubvecs(res, Seq("vec_id"), "r", m, dsub)
+    var pqc = ivfPqSubvecs(res.filter(col("vec_id") < ksub)
+        .withColumnRenamed("vec_id", "code"), Seq("code"), "r", m, dsub)
       .select(col("s"), col("code"), transform(col("sv"), x => roundn(x, 6)).as("cvec"))
     for (_ <- 1 to iters) {
-      val a = assign(csv, "vec_id", pqc)
-      pqc = dense(
-        csv.join(a, Seq("vec_id", "s"))
-          .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("ld", "x")))
-          .groupBy(col("s"), col("code"), col("ld"))
-          .agg(roundn(avg(col("x")), 6).as("cv")))
+      val a = ivfPqAssign(csv, "vec_id", pqc)
+      pqc = csv.join(a, Seq("vec_id", "s"))
+        .select(col("s"), col("code"), posexplode(col("sv")).as(Seq("ld", "x")))
+        .groupBy(col("s"), col("code"), col("ld"))
+        .agg(roundn(avg(col("x")), 6).as("cv"))
+        .groupBy(col("s"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("ld"), col("cv")))),
+          x => x.getField("cv")).as("cvec"))
     }
-    val codesArr = assign(csv, "vec_id", pqc)
+    val codes = ivfPqAssign(csv, "vec_id", pqc)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
         x => x.getField("code")).as("carr"))
+      .join(assigned, "vec_id")
+      .select(col("vec_id"), col("c_label"), col("carr"))
+    (pqc, codes)
+  }
 
-    // query side: per probed cell, the residual q − c_cell and its
-    // m·ksub partial-distance lookup table (a broadcast MAP)
+  /** Map-side subvector view shared by the IVFADC train/apply halves:
+    * (keys..., s, sv[dsub]) — slice, never a shuffle. */
+  private def ivfPqSubvecs(df: DataFrame, keyCols: Seq[String], vecCol: String,
+                           m: Int, dsub: Int): DataFrame = df
+    .withColumn("s", explode(sequence(lit(0L), lit(m - 1L))))
+    .select(keyCols.map(col) ++ Seq(col("s"),
+      slice(col(vecCol), (col("s") * dsub + 1).cast("int"), lit(dsub)).as("sv")): _*)
+
+  /** Nearest-code argmin per (id, subspace): rounded distance, code
+    * tie-break, partial-aggregated min_by (the pqTopK kernel). */
+  private def ivfPqAssign(sv: DataFrame, idCol: String, centDn: DataFrame): DataFrame = sv
+    .join(broadcast(centDn), "s")
+    .withColumn("dist", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+    .groupBy(col(idCol), col("s"))
+    .agg(min_by(col("code"), struct(col("dist"), col("code"))).as("code"))
+
+  /** The APPLY half of the residual-IVFADC funnel against a
+    * (possibly reloaded) index: per probed cell the query residual
+    * q − c_cell and its m·ksub partial-distance lookup table (a
+    * broadcast MAP), then the ADC scan — the IVF equi-join prunes
+    * rows and a map-side m-term fold in subspace order prices each
+    * survivor (the oracle's sum(pd ORDER BY s)). */
+  def ivfPqCandidatesFromIndex(queries: DataFrame, nProbe: Int, cent: DataFrame,
+                               pqCodebook: DataFrame, codes: DataFrame,
+                               m: Int = 8, ksub: Int = 16): DataFrame = {
+    val d = queries.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val centDense = cent
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("ccvec"))
     val probes = cellRanks(queries, cent, "query_id")
       .filter(col("cell_rank") <= nProbe)
       .select(col("query_id"), col("c_label"))
@@ -564,25 +607,36 @@ object VectorOps {
       .join(broadcast(centDense), "c_label")
       .select(col("query_id"), col("c_label"),
         zip_with(col("qe"), col("ccvec"), (x, c) => x - c).as("r"))
-    val lut = subvecs(qres, Seq("query_id", "c_label"), "r")
-      .join(broadcast(pqc), "s")
+    val lut = ivfPqSubvecs(qres, Seq("query_id", "c_label"), "r", m, dsub)
+      .join(broadcast(pqCodebook), "s")
       .withColumn("pd", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
       .groupBy(col("query_id"), col("c_label"))
       .agg(map_from_entries(collect_list(
         struct((col("s") * ksub + col("code")).as("idx"), col("pd")))).as("lut"))
-
-    // ADC scan: IVF equi-join prunes rows, the m-term map-side fold
-    // in subspace order prices each survivor (the oracle's
-    // sum(pd ORDER BY s))
-    probes.join(assigned, "c_label")
+    probes.join(codes, "c_label")
       .filter(col("vec_id") =!= col("query_id"))
-      .join(codesArr, "vec_id")
       .join(broadcast(lut), Seq("query_id", "c_label"))
       .withColumn("qdist", roundn(aggregate(
         sequence(lit(0L), lit(m - 1L)), lit(0.0),
         (acc, s) => acc + element_at(col("lut"),
           s * ksub + element_at(col("carr"), (s + 1).cast("int")))), 6))
       .select(col("query_id"), col("vec_id"), col("qdist"))
+  }
+
+  /** [[ivfPqTopK]]'s budget window + exact rerank against a
+    * precomputed (possibly persisted-and-reloaded) index — the load
+    * half of load-or-create on the PQ tier; must reproduce the
+    * in-session [[ivfPqTopK]] answer bit-for-bit (shared oracle). */
+  def ivfPqTopKFromIndex(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
+                         cent: DataFrame, pqCodebook: DataFrame, codes: DataFrame,
+                         m: Int = 8, ksub: Int = 16,
+                         rerankFactor: Int = 4): DataFrame = {
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
+    val cand = ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes, m, ksub)
+      .withColumn("qrank", row_number().over(wq))
+      .filter(col("qrank") <= k * rerankFactor)
+      .select(col("query_id"), col("vec_id"), col("qdist"))
+    exactCosRerank(cand, corpus, queries, k)
   }
 
   /** Residual IVFADC top-k — see [[ivfPqCandidates]] for the funnel;

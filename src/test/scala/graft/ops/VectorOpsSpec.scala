@@ -160,6 +160,33 @@ class VectorOpsSpec extends SparkSpec {
     assert(top0 % 3 === 0L, s"rank-1 hit $top0 should share query 0's cluster")
   }
 
+  test("ivfPqIndex: parquet-reloaded index answers ivfPqTopK bit-identically") {
+    val all = (0L until 18L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array.fill(8)(0.01f * ((i * 5) % 7))
+      v(d) += 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = VectorOps.kmeansCells(all, k = 3, iters = 2).localCheckpoint(true)
+    val queries = all.filter($"vec_id" < 3)
+    val fresh = VectorOps.ivfPqTopK(all, queries, nProbe = 2, k = 3,
+        centroids = Some(cent), rerankFactor = 6)
+      .orderBy("query_id", "rank").collect().toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    val (pqc, codes) = VectorOps.ivfPqIndex(all, cent)
+    cent.write.mode("overwrite").parquet(s"$tmp/cent")
+    pqc.write.mode("overwrite").parquet(s"$tmp/pq")
+    codes.write.mode("overwrite").parquet(s"$tmp/codes")
+    val reloaded = VectorOps.ivfPqTopKFromIndex(all, queries, nProbe = 2, k = 3,
+        cent = spark.read.parquet(s"$tmp/cent"),
+        pqCodebook = spark.read.parquet(s"$tmp/pq"),
+        codes = spark.read.parquet(s"$tmp/codes"),
+        rerankFactor = 6)
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(reloaded === fresh)
+    assert(reloaded.nonEmpty)
+  }
+
   test("ivfPqRecallCurve: monotone in rerank budget; full probes + corpus budget = exact") {
     val all = (0L until 16L).map { i =>
       (i, Array((i % 7).toFloat - 3f, (i % 5).toFloat - 2f, (i % 3).toFloat - 1f,

@@ -43,7 +43,11 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             # oracles (duckCos over 350k candidate pairs) buffer wide
             # list intermediates PER THREAD and blow past memory_limit
             # before spilling (observed 2026-08-16: OOM at 32 threads,
-            # 59 s clean at 8). 16 keeps the light oracles fast.
+            # 59 s clean at 8). 16 keeps the light oracles fast — and is
+            # itself measured clean on the heavy class since the
+            # duckCosPre rewrite: hard_negatives + triplet_mining at
+            # sf0.1, threads=16, ran green in 41.7 s wall / 123 GB free
+            # host (2026-08-16, round 14).
             con.execute("PRAGMA threads=16")
             for t in TABLES:
                 con.execute(
