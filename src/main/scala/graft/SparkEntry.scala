@@ -251,36 +251,44 @@ object SparkEntry {
         k = 3, centroids = Some(cent), rerankFactor = 16)
     }),
     // load-or-create on the PQ tier: coarse cells, the residual
-    // codebook AND the encoded corpus (m bytes/vector) persist to
-    // parquet; the reloaded index must answer the flagship IVFADC
-    // query bit-identically (same oracle as ann_ivf_pq) — at 100 TB
-    // these are the artifacts you train once and ship to every job
+    // codebook AND the encoded corpus (m bytes/vector) are ONE shared
+    // artifact set (train once per (corpus, JVM) via loadOrCreate —
+    // the persist-twin lightening convention); the RELOADED index
+    // must answer the flagship IVFADC query bit-identically (same
+    // oracle as ann_ivf_pq, which stays the family's live
+    // full-training receipt) — at 100 TB these are the artifacts you
+    // train once and ship to every search job
     "ann_pq_index_persist" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
-      val (nProbe, _) = VectorOps.probePolicy(kCells)
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_pqidx_" +
-        s.sparkContext.applicationId
-      val (pqc, codes) = VectorOps.ivfPqIndex(emb, cent)
-      cent.write.mode("overwrite").parquet(s"$tmp/cent")
-      pqc.write.mode("overwrite").parquet(s"$tmp/pq")
-      codes.write.mode("overwrite").parquet(s"$tmp/codes")
-      cleanupOnExit(tmp)
+      val (nProbe, _) = VectorOps.probePolicy(
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val cent = loadOrCreate(s, "ivfpq_cent", dir)(
+        VectorOps.sqrtCellsWithK(emb, iters = 2)._2)
+      lazy val trained = VectorOps.ivfPqIndex(emb, cent)
+      val pq = loadOrCreate(s, "ivfpq_codebook", dir)(trained._1)
+      val codes = loadOrCreate(s, "ivfpq_codes", dir)(trained._2)
       VectorOps.ivfPqTopKFromIndex(emb, emb.filter(col("vec_id") < 10),
-        nProbe = nProbe, k = 3,
-        cent = s.read.parquet(s"$tmp/cent"),
-        pqCodebook = s.read.parquet(s"$tmp/pq"),
-        codes = s.read.parquet(s"$tmp/codes"),
+        nProbe = nProbe, k = 3, cent = cent, pqCodebook = pq, codes = codes,
         rerankFactor = 16)
     }),
     // the IVFADC leg of the recall-receipt family: rerank budget vs
     // recall@3 against the brute-force ground truth (the sq8 shape —
-    // candidates rank once at the largest budget)
+    // candidates rank once at the largest budget). Consumes the
+    // SHARED persisted index (the receipt measures the family's
+    // artifact; the brute-force ground truth stays the live declared
+    // cost, and the oracle retrains everything from scratch — a
+    // stale artifact is a red row)
     "ann_recall_ivfpq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val (kCells, cent) = VectorOps.sqrtCellsWithK(emb, iters = 2)
-      val (nProbe, _) = VectorOps.probePolicy(kCells)
-      VectorOps.ivfPqRecallCurve(emb, k = 3, nProbe = nProbe, centroids = Some(cent))
+      val (nProbe, _) = VectorOps.probePolicy(
+        math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val cent = loadOrCreate(s, "ivfpq_cent", dir)(
+        VectorOps.sqrtCellsWithK(emb, iters = 2)._2)
+      lazy val trained = VectorOps.ivfPqIndex(emb, cent)
+      val pq = loadOrCreate(s, "ivfpq_codebook", dir)(trained._1)
+      val codes = loadOrCreate(s, "ivfpq_codes", dir)(trained._2)
+      VectorOps.ivfPqRecallCurve(emb, k = 3, nProbe = nProbe,
+        centroids = Some(cent), index = Some((pq, codes)))
     }),
     // diagonal-Mahalanobis mislabel screen: per-label centroid +
     // variance broadcast back, dim-ordered score fold, top-20

@@ -543,8 +543,13 @@ object VectorOps {
         zip_with(col("e"), col("ccvec"), (x, c) => x - c).as("r"))
 
     // residual subvector view + PQ training — the pqTopK pipeline on
-    // the residual stream (seeds = first ksub vectors' residuals)
+    // the residual stream (seeds = first ksub vectors' residuals).
+    // The subvector stream heads every assign round AND the final
+    // encode (~5 reads of the res→cellRanks chain otherwise) —
+    // materialize it ONCE; at 100 TB this is the standard
+    // train-on-a-materialized-sample step (pqTopK scaladoc)
     val csv = ivfPqSubvecs(res, Seq("vec_id"), "r", m, dsub)
+      .localCheckpoint(true)
     var pqc = ivfPqSubvecs(res.filter(col("vec_id") < ksub)
         .withColumnRenamed("vec_id", "code"), Seq("code"), "r", m, dsub)
       .select(col("s"), col("code"), transform(col("sv"), x => roundn(x, 6)).as("cvec"))
@@ -558,6 +563,9 @@ object VectorOps {
         .agg(transform(array_sort(collect_list(struct(col("ld"), col("cv")))),
           x => x.getField("cv")).as("cvec"))
     }
+    // the trained codebook heads the encode here and the query LUT in
+    // the apply half — m·ksub rows, pin it
+    pqc = pqc.localCheckpoint(true)
     val codes = ivfPqAssign(csv, "vec_id", pqc)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
@@ -663,6 +671,7 @@ object VectorOps {
                        factors: Seq[Int] = Seq(1, 2, 4), nQueries: Int = 10,
                        nProbe: Int = 3,
                        centroids: Option[DataFrame] = None,
+                       index: Option[(DataFrame, DataFrame)] = None,
                        groundTruth: Option[DataFrame] = None): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
@@ -672,7 +681,14 @@ object VectorOps {
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
-    val scored = ivfPqCandidates(corpus, queries, nProbe, centroids, m = 8, ksub = 16, iters = 2)
+    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
+    // the receipt measures the FAMILY's index — consumers may hand in
+    // the shared persisted artifacts (the lang_confusion_learned
+    // amortization; the oracle retrains from scratch, so a stale
+    // artifact is a red row, never a silent pass)
+    val (pqCodebook, codes) = index.getOrElse(
+      ivfPqIndex(corpus, cent, m = 8, ksub = 16, iters = 2))
+    val scored = ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes)
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= k * maxF)
       .join(c, "vec_id")
