@@ -6690,6 +6690,29 @@ private[graft] object OracleRegistry {
     // the same ADC chain feeding the recall-receipt tail (the
     // ann_recall_quantized shape: rank once at the largest budget,
     // per-factor filters, brute-force ground truth)
+    // per-(vec, s) assigned-code distances already exist as pqd3
+    // restricted to pqa3's argmin rows; vec-fold in s order, micro
+    // grid, census stats via the cumulative rank trick
+    "ann_pq_distortion" ->
+      s"""WITH $duckIvfPqAdc,
+         |pvr AS (SELECT k.vec_id,
+         |    round(sum(d.dist ORDER BY d.s), 6) + 0 AS dist
+         |  FROM pqa3 k JOIN pqd3 d ON d.vec_id = k.vec_id AND d.s = k.s
+         |                         AND d.code = k.code
+         |  GROUP BY 1),
+         |pvd AS MATERIALIZED (SELECT CAST(round(dist * 1000000) AS BIGINT) AS d6
+         |       FROM pvr),
+         |tot AS (SELECT count(*) AS n_vecs, CAST(sum(d6) AS BIGINT) AS s6,
+         |               max(d6) AS max_micro FROM pvd),
+         |cum AS (SELECT d6, sum(c) OVER (ORDER BY d6) AS cum FROM
+         |        (SELECT d6, count(*) AS c FROM pvd GROUP BY 1)),
+         |p50 AS (SELECT min(d6) AS p50_micro FROM cum, tot
+         |        WHERE cum * 2 >= n_vecs),
+         |p95 AS (SELECT min(d6) AS p95_micro FROM cum, tot
+         |        WHERE cum * 20 >= n_vecs * 19)
+         |SELECT t.n_vecs, t.s6 // t.n_vecs AS mean_micro,
+         |  p50.p50_micro, p95.p95_micro, t.max_micro
+         |FROM tot t, p50, p95""".stripMargin,
     "ann_recall_ivfpq" ->
       s"""WITH $duckNrmCte,
          |$duckIvfPqAdc,

@@ -290,6 +290,20 @@ object SparkEntry {
       VectorOps.ivfPqRecallCurve(emb, k = 3, nProbe = nProbe,
         centroids = Some(cent), index = Some((pq, codes)))
     }),
+    // the distortion the trained codebook SHIPS with (Jégou's
+    // quantization MSE): per-vector residual reconstruction error
+    // censused to one exact integer-micro row (floor-mean, rank-trick
+    // p50/p95, max); consumes the shared persisted index, the oracle
+    // retrains from scratch
+    "ann_pq_distortion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cent = loadOrCreate(s, "ivfpq_cent", dir)(
+        VectorOps.sqrtCellsWithK(emb, iters = 2)._2)
+      lazy val trained = VectorOps.ivfPqIndex(emb, cent)
+      val pq = loadOrCreate(s, "ivfpq_codebook", dir)(trained._1)
+      val codes = loadOrCreate(s, "ivfpq_codes", dir)(trained._2)
+      VectorOps.ivfPqDistortion(emb, cent, pq, codes)
+    }),
     // diagonal-Mahalanobis mislabel screen: per-label centroid +
     // variance broadcast back, dim-ordered score fold, top-20
     "embedding_outliers" -> ((s, dir) =>

@@ -635,6 +635,62 @@ object VectorOps {
     * precomputed (possibly persisted-and-reloaded) index — the load
     * half of load-or-create on the PQ tier; must reproduce the
     * in-session [[ivfPqTopK]] answer bit-for-bit (shared oracle). */
+  /** PQ distortion receipt — the number a trained codebook SHIPS
+    * with (Jégou TPAMI'11's quantization MSE, the standard
+    * train-time diagnostic): per vector, the squared error between
+    * its residual and its code reconstruction — which is exactly the
+    * sum of its per-subspace assigned-code distances — censused to
+    * one row on the exact integer-micro grid (count, floor-mean,
+    * p50/p95 via the cumulative value-grid census — the tailIndex
+    * rank trick, no sort of the row stream — and max). Rising
+    * distortion on re-encode is the PQ-tier twin of
+    * [[embeddingDrift]]'s tripwire: it says the CODEBOOK no longer
+    * fits the data even when the coarse cells still do.
+    *
+    * Scale shape: one residual pass (broadcast cells), one broadcast
+    * codebook join keyed (s, code), one vec-keyed 8-term ordered
+    * fold; the census windows run over ≤|distinct micro values|
+    * rows, never the corpus. */
+  def ivfPqDistortion(corpus: DataFrame, cent: DataFrame,
+                      pqCodebook: DataFrame, codes: DataFrame,
+                      m: Int = 8, ksub: Int = 16): DataFrame = {
+    val d = corpus.select(size(col("embedding"))).head().getInt(0)
+    require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val centDense = cent
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("cv")))),
+        x => x.getField("cv")).as("ccvec"))
+    val res = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(codes.select(col("vec_id"), col("c_label"), col("carr")), "vec_id")
+      .join(broadcast(centDense), "c_label")
+      .select(col("vec_id"), col("carr"),
+        zip_with(col("e"), col("ccvec"), (x, c) => x - c).as("r"))
+    val pv = ivfPqSubvecs(res, Seq("vec_id", "carr"), "r", m, dsub)
+      .withColumn("code", element_at(col("carr"), (col("s") + 1).cast("int")))
+      .join(broadcast(pqCodebook), Seq("s", "code"))
+      .withColumn("term", roundn(fastL2Sq(col("sv"), col("cvec")), 6))
+      .groupBy(col("vec_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(col("s"), col("term")), 6)
+        .as("dist"))
+      .select(round(col("dist") * 1e6).cast("long").as("d6"))
+      .localCheckpoint(true)
+    val tot = pv.agg(count(lit(1)).as("n_vecs"), sum(col("d6")).as("s6"),
+      max(col("d6")).as("max_micro"))
+    val wCum = Window.orderBy(col("d6"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = pv.groupBy(col("d6")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint(true)
+    val p50 = cum.crossJoin(broadcast(tot.select(col("n_vecs").as("n"))))
+      .filter(col("cum") * 2 >= col("n")).agg(min(col("d6")).as("p50_micro"))
+    val p95 = cum.crossJoin(broadcast(tot.select(col("n_vecs").as("n"))))
+      .filter(col("cum") * 20 >= col("n") * 19).agg(min(col("d6")).as("p95_micro"))
+    tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p95))
+      .select(col("n_vecs"), expr("s6 div n_vecs").as("mean_micro"),
+        col("p50_micro"), col("p95_micro"), col("max_micro"))
+  }
+
   def ivfPqTopKFromIndex(corpus: DataFrame, queries: DataFrame, nProbe: Int, k: Int,
                          cent: DataFrame, pqCodebook: DataFrame, codes: DataFrame,
                          m: Int = 8, ksub: Int = 16,

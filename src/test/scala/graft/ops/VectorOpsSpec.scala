@@ -187,6 +187,25 @@ class VectorOpsSpec extends SparkSpec {
     assert(reloaded.nonEmpty)
   }
 
+  test("ivfPqDistortion: identical-vector cells quantize losslessly; census integer-exact") {
+    // 3 clusters of IDENTICAL vectors: centroids land exactly on the
+    // members, every residual is the zero vector, the codebook is
+    // all-zero — distortion must be exactly 0 across the census
+    val all = (0L until 18L).map { i =>
+      val d = (i % 3).toInt
+      val v = Array.fill(8)(0f); v(d) = 1f
+      (i, v.toSeq, d)
+    }.toDF("vec_id", "embedding", "label")
+    val cent = VectorOps.kmeansCells(all, k = 3, iters = 2).localCheckpoint(true)
+    val (pq, codes) = VectorOps.ivfPqIndex(all, cent)
+    val r = VectorOps.ivfPqDistortion(all, cent, pq, codes).head()
+    assert(r.getAs[Long]("n_vecs") === 18L)
+    assert(r.getAs[Long]("mean_micro") === 0L)
+    assert(r.getAs[Long]("p50_micro") === 0L)
+    assert(r.getAs[Long]("p95_micro") === 0L)
+    assert(r.getAs[Long]("max_micro") === 0L)
+  }
+
   test("ivfPqRecallCurve: monotone in rerank budget; full probes + corpus budget = exact") {
     val all = (0L until 16L).map { i =>
       (i, Array((i % 7).toFloat - 3f, (i % 5).toFloat - 2f, (i % 3).toFloat - 1f,
