@@ -6322,6 +6322,38 @@ private[graft] object OracleRegistry {
          |    row_number() OVER (ORDER BY s.score DESC, s.doc_id) AS rank
          |  FROM scored s JOIN documents d USING (doc_id))
          |WHERE rank <= 10""".stripMargin,
+    // the search_bm25 chain with queries drawn from the keyword
+    // table (duckTopn): per (query_doc, doc) term-ordered fold, the
+    // positive excluded, top-5 per query
+    "bm25_hard_negatives" ->
+      s"""$duckTopn,
+         |qt AS (SELECT doc_id AS query_doc, keyword AS tok FROM topn
+         |       WHERE doc_id < 10 AND rank <= 3),
+         |lens AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(len_d) AS avg_len FROM lens),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+         |       FROM documents),
+         |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+         |       FROM toks t JOIN (SELECT DISTINCT tok FROM qt) q USING (tok)
+         |       GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.query_doc, tf.doc_id,
+         |    round(sum(ln((nd.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))
+         |      ORDER BY tf.tok), 6) + 0
+         |      AS score
+         |  FROM tf JOIN qt USING (tok) JOIN dfc USING (tok)
+         |       JOIN lens USING (doc_id), nd, stats
+         |  WHERE tf.doc_id <> qt.query_doc
+         |  GROUP BY 1, 2)
+         |SELECT query_doc, rank, doc_id AS neg_id, score FROM (
+         |  SELECT query_doc, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_doc
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     // both ranker chains (search_text / search_bm25 CTEs, ct_/bm_
     // prefixed), truth grades 11-rank, position-ordered rounded DCG
     // terms, one normalizing division; cosine_self must emit 1.0

@@ -167,6 +167,11 @@ object SparkEntry {
       SearchOps.proposalFlow(Tables.documents(s, dir), "spark vector hash join", k = 5)),
     "search_bm25" -> ((s, dir) =>
       SearchOps.searchBm25(Tables.documents(s, dir), "spark vector hash join", k = 10)),
+    // DPR-recipe lexical hard negatives: each probe doc's top-3
+    // keywords query BM25, the positive excluded, top-5 survivors —
+    // the lexical sibling of hard_negatives/triplet_mining
+    "bm25_hard_negatives" -> ((s, dir) =>
+      SearchOps.bm25HardNegatives(Tables.documents(s, dir))),
     // incremental retrieval-index maintenance — the reference's
     // ingest loop applied to the LEXICAL index (ann_incremental's
     // sibling): the base corpus's postings persist once

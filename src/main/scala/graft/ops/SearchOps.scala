@@ -171,6 +171,59 @@ object SearchOps {
       .select(col("rank"), col("doc_id"), col("source"), col("score"))
   }
 
+  /** Lexical hard negatives — the DPR training-data recipe
+    * (Karpukhin et al., EMNLP'20: the strongest negatives for a dense
+    * retriever are BM25's top non-relevant hits, not random docs)
+    * beside the dense family's [[graft.ops.VectorOps.hardNegatives]]/
+    * [[graft.ops.VectorOps.tripletMining]]: each probe document's
+    * top-`qTerms` keywords form its query, BM25 scores every
+    * lexically-overlapping doc, the positive (the probe itself) is
+    * excluded, and the top-k survivors are the hard negatives a
+    * contrastive batch would carry.
+    *
+    * Determinism: [[searchBm25]]'s exact decision path — tf/df/len
+    * integers, idf/contrib doubles folded in TERM order per
+    * (query, doc), rounded once; ranks tie-break on doc_id.
+    *
+    * Scale shape: the query side is nQueries·qTerms rows (broadcast);
+    * the corpus touches only postings matching some query term (the
+    * searchBm25 pruning); scoring is one (query, doc)-keyed agg and
+    * the top-k a bounded rank window per query. */
+  def bm25HardNegatives(docs: DataFrame, nQueries: Long = 10, qTerms: Int = 3,
+                        k: Int = 5, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = KeywordOps.keywordTopN(docs)
+      .filter(col("doc_id") < nQueries && col("rank") <= qTerms)
+      .select(col("doc_id").as("query_doc"), col("keyword").as("tok"))
+      .localCheckpoint(true)
+    val toks = EmbedOps.tokenize(docs)
+    val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
+    val avgLen = lens.agg(avg(col("len_d")).as("avg_len"))
+    val nDocs = docs.agg(countDistinct(col("doc_id")).cast("double").as("n_docs"))
+    val tf = toks.join(broadcast(qt.select(col("tok")).distinct()), "tok")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(qt), "tok")
+      .filter(col("doc_id") =!= col("query_doc"))
+      .join(broadcast(df), "tok")
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(avgLen))
+      .withColumn("idf", log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("len_d") / col("avg_len"))))
+      .groupBy(col("query_doc"), col("doc_id"))
+      .agg(roundn(graft.functions.VectorMath.orderedSum(
+        col("tok"), col("contrib")), 6).as("score"))
+    val w = Window.partitionBy(col("query_doc"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_doc"), col("rank"), col("doc_id").as("neg_id"), col("score"))
+  }
+
   /** The BM25 retrieval index AS A TABLE — the ADDITIVE half of the
     * BM25 state, per-document only: postings (doc_id, tok, tf) plus
     * one sentinel row (doc_id, '', 0) per document (tokenize drops

@@ -42,6 +42,26 @@ class SearchOpsSpec extends SparkSpec {
     assert(kwSection.split(", ").length <= 6)
   }
 
+  test("bm25HardNegatives: positive excluded, lexical overlap required, ranks deterministic") {
+    val d = Seq(
+      (0L, "alpha beta gamma", "en", "a", 1L),      // probe: query = its keywords
+      (1L, "alpha beta unrelatedword", "en", "b", 1L), // strong lexical negative
+      (2L, "alpha only here", "en", "c", 1L),       // weaker negative
+      (3L, "nothing shared at all", "en", "d", 1L)  // no overlap: absent
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = SearchOps.bm25HardNegatives(d, nQueries = 1, qTerms = 3, k = 5)
+      .orderBy("query_doc", "rank").collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Long]("query_doc") === 0L))
+    val negs = r.map(_.getAs[Long]("neg_id")).toSeq
+    assert(!negs.contains(0L), "the positive must never be its own negative")
+    assert(!negs.contains(3L), "a doc sharing no query term cannot score")
+    assert(negs.head === 1L, "the two-term overlap out-scores the one-term overlap")
+    assert(r.map(_.getAs[Long]("rank")).toSeq === (1L to r.length).toSeq)
+    val scores = r.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("searchBm25: tf raises score, irrelevant docs absent, ranks deterministic") {
     val r = SearchOps.searchBm25(docs, "spark", k = 3).orderBy("rank").collect()
     // only docs containing 'spark' score
