@@ -1627,6 +1627,83 @@ private[graft] object OracleRegistry {
          |         doc_id, n_chars, key_micro
          |  FROM kdf) WHERE rank <= 50""".stripMargin
     },
+    // ordered token-list fold + hash-placed window, map-side slicing
+    "ict_pairs" ->
+      s"""WITH $duckToks,
+         |lt AS (SELECT doc_id, list(tok ORDER BY pos) AS arr
+         |       FROM toks GROUP BY 1),
+         |base AS (SELECT l.doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr,
+         |    ${duckHash24("d.text || '|ict'")} % (CAST(len(arr) AS BIGINT) - 7)
+         |      AS q_start
+         |  FROM lt l JOIN documents d USING (doc_id)
+         |  WHERE len(arr) > 8)
+         |SELECT doc_id, n_tokens, q_start,
+         |  coalesce(array_to_string(arr[q_start + 1 : q_start + 8], ' '), '')
+         |    AS query_text,
+         |  coalesce(array_to_string(list_concat(coalesce(arr[1 : q_start], []),
+         |    coalesce(arr[q_start + 9 : n_tokens], [])), ' '), '')
+         |    AS context_text
+         |FROM base""".stripMargin,
+    // two independent hash cuts mod (n+1); PSM re-serialization with
+    // the identical sentinel concatenation (empty segments legal)
+    "fim_transform" ->
+      s"""WITH $duckToks,
+         |lt AS (SELECT doc_id, list(tok ORDER BY pos) AS arr
+         |       FROM toks GROUP BY 1),
+         |b0 AS (SELECT l.doc_id, CAST(len(arr) AS BIGINT) AS n_tokens, arr,
+         |    ${duckHash24("d.text || '|fim1'")} % (CAST(len(arr) AS BIGINT) + 1)
+         |      AS h1,
+         |    ${duckHash24("d.text || '|fim2'")} % (CAST(len(arr) AS BIGINT) + 1)
+         |      AS h2
+         |  FROM lt l JOIN documents d USING (doc_id)),
+         |b1 AS (SELECT doc_id, n_tokens, arr, least(h1, h2) AS cut1,
+         |              greatest(h1, h2) AS cut2 FROM b0)
+         |SELECT doc_id, n_tokens, cut1, cut2,
+         |  '<PRE> ' || coalesce(array_to_string(arr[1 : cut1], ' '), '')
+         |  || ' <SUF> '
+         |  || coalesce(array_to_string(arr[cut2 + 1 : n_tokens], ' '), '')
+         |  || ' <MID> '
+         |  || coalesce(array_to_string(arr[cut1 + 1 : cut2], ' '), '') AS psm_text
+         |FROM b1""".stripMargin,
+    // dense-pos bounded window for coverage, running sums for run
+    // numbering, pos-ordered filtered string folds on both sides
+    "span_corruption" ->
+      s"""WITH $duckToks,
+         |mk AS (SELECT doc_id, pos, tok,
+         |    CASE WHEN ${duckHash24(
+                  "CAST(doc_id AS VARCHAR) || '|sc|' || CAST(pos AS VARCHAR)")}
+         |           % 20 = 0 THEN 1 ELSE 0 END AS is_start
+         |  FROM toks),
+         |c1 AS (SELECT *, max(CASE WHEN is_start = 1 THEN pos END) OVER
+         |        (PARTITION BY doc_id ORDER BY pos
+         |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS last_start
+         |      FROM mk),
+         |c2 AS (SELECT *, CASE WHEN last_start IS NOT NULL THEN 1 ELSE 0 END
+         |         AS covered FROM c1),
+         |c3 AS (SELECT *, coalesce(lag(covered) OVER
+         |        (PARTITION BY doc_id ORDER BY pos), 0) AS prev_cov FROM c2),
+         |c4 AS (SELECT *, CASE WHEN covered = 1 AND prev_cov = 0 THEN 1 ELSE 0 END
+         |         AS run_start FROM c3),
+         |c5 AS (SELECT *, CAST(sum(run_start) OVER (PARTITION BY doc_id
+         |         ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS run_id FROM c4),
+         |c6 AS (SELECT doc_id, pos, covered, run_start,
+         |    CASE WHEN covered = 0 THEN tok
+         |         WHEN run_start = 1 THEN '<X_' || CAST(run_id AS VARCHAR) || '>'
+         |         ELSE '' END AS in_piece,
+         |    CASE WHEN covered = 0 THEN ''
+         |         WHEN run_start = 1
+         |           THEN '<X_' || CAST(run_id AS VARCHAR) || '> ' || tok
+         |         ELSE tok END AS tgt_piece
+         |  FROM c5)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(covered) AS BIGINT) AS n_masked,
+         |  CAST(sum(run_start) AS BIGINT) AS n_spans,
+         |  coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+         |    FILTER (WHERE in_piece <> ''), '') AS input_text,
+         |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos)
+         |    FILTER (WHERE tgt_piece <> ''), '') AS target_text
+         |FROM c6 GROUP BY 1""".stripMargin,
     "pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
          |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),

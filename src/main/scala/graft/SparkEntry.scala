@@ -704,6 +704,16 @@ object SparkEntry {
     // concat-and-chunk packing into 128-token sequences across 8
     // hash-sharded streams
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // ---- training-example construction (ICT / FIM / T5 spans) ----
+    // ORQA's unsupervised retrieval pairs: a hash-placed 8-token
+    // window becomes the query, the remainder its positive context
+    "ict_pairs" -> ((s, dir) => TextOps.ictPairs(Tables.documents(s, dir))),
+    // the code-LLM infilling transform: two hash-derived cuts,
+    // re-serialized <PRE>/<SUF>/<MID>; empty segments legal
+    "fim_transform" -> ((s, dir) => TextOps.fimTransform(Tables.documents(s, dir))),
+    // T5 denoising: 1-in-20 hash-selected span starts, 3-token spans,
+    // overlapping runs merge under one sentinel; (input, target) out
+    "span_corruption" -> ((s, dir) => TextOps.spanCorruption(Tables.documents(s, dir))),
     // CDC snapshot diff: the "new" snapshot derives deterministically
     // from the corpus (bucket<5 removed, 5..9 changed, >=95 re-keyed
     // as additions) so the change feed is oracle-checkable

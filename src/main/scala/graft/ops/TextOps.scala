@@ -699,6 +699,129 @@ object TextOps {
     * seq_id is the stream-local sequence index and seq_offset the
     * document's first-token offset inside that sequence.
     */
+  /** Inverse Cloze Task pairs (Lee et al., ACL'19 — ORQA's
+    * unsupervised retrieval pretraining objective): a w-token window
+    * is REMOVED from each document to become the query, the remainder
+    * is its positive context — the (query, passage) pairs a dense
+    * retriever pretrains on before any labeled data exists. The
+    * window start is hash-derived from the text (the stratified_
+    * sample convention: deterministic, replayable, uniform), so both
+    * engines cut the identical window. Documents shorter than w+1
+    * tokens emit no row (no context would remain).
+    *
+    * Scale shape: one tokenize + one doc-keyed ordered fold (the
+    * array is the ≤512-token capped doc) + map-side slicing; no
+    * second shuffle. */
+  def ictPairs(docs: DataFrame, w: Int = 8): DataFrame = {
+    val arr = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")
+        .as("arr"))
+      .withColumn("n_tokens", size(col("arr")).cast("long"))
+      .filter(col("n_tokens") > w)
+    arr.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("q_start",
+        pmod(graft.functions.PortableHash.hash24(concat(col("text"), lit("|ict"))),
+          col("n_tokens") - w + 1))
+      .select(col("doc_id"), col("n_tokens"), col("q_start"),
+        array_join(slice(col("arr"), (col("q_start") + 1).cast("int"), lit(w)), " ")
+          .as("query_text"),
+        array_join(concat(
+          slice(col("arr"), lit(1), col("q_start").cast("int")),
+          slice(col("arr"), (col("q_start") + w + 1).cast("int"),
+            (col("n_tokens") - col("q_start") - w).cast("int"))), " ")
+          .as("context_text"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022 — the
+    * code-LLM pretraining standard): each document splits at two
+    * hash-derived cut points into (prefix, middle, suffix) and is
+    * re-serialized in PSM order with sentinel markers, teaching the
+    * model to infill. Cuts are independent hashes mod (n+1), so empty
+    * segments are legal and exercised (cut at 0 or n); both engines
+    * derive identical cuts from the text.
+    *
+    * Scale shape: [[ictPairs]]' exactly — tokenize, one doc-keyed
+    * fold, map-side slicing. */
+  def fimTransform(docs: DataFrame): DataFrame = {
+    val arr = EmbedOps.tokenize(docs)
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)")
+        .as("arr"))
+      .withColumn("n_tokens", size(col("arr")).cast("long"))
+    arr.join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .withColumn("h1",
+        pmod(graft.functions.PortableHash.hash24(concat(col("text"), lit("|fim1"))),
+          col("n_tokens") + 1))
+      .withColumn("h2",
+        pmod(graft.functions.PortableHash.hash24(concat(col("text"), lit("|fim2"))),
+          col("n_tokens") + 1))
+      .withColumn("cut1", least(col("h1"), col("h2")))
+      .withColumn("cut2", greatest(col("h1"), col("h2")))
+      .select(col("doc_id"), col("n_tokens"), col("cut1"), col("cut2"),
+        concat(lit("<PRE> "),
+          array_join(slice(col("arr"), lit(1), col("cut1").cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("arr"), (col("cut2") + 1).cast("int"),
+            (col("n_tokens") - col("cut2")).cast("int")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("arr"), (col("cut1") + 1).cast("int"),
+            (col("cut2") - col("cut1")).cast("int")), " ")).as("psm_text"))
+  }
+
+  /** T5 span corruption (Raffel et al., JMLR'20 §3.1.4): span starts
+    * are hash-selected token positions (1-in-`every` — with `span`-
+    * token spans ≈ 15% of tokens masked at the defaults), overlapping
+    * and adjacent spans MERGE into maximal covered runs (the paper's
+    * behavior), each run is replaced by one sentinel <X_k> in the
+    * input, and the target is the sentinel-prefixed masked-out text —
+    * the (input, target) pair the denoising objective trains on.
+    *
+    * Determinism: the start predicate hashes (doc_id, pos); coverage
+    * is a bounded ROWS window over the DENSE pos order (posexplode
+    * guarantees no gaps, so rows-between equals positions-between);
+    * run numbering is a running sum; both serializations are
+    * pos-ordered folds — every step replays identically in DuckDB.
+    *
+    * Scale shape: one tokenize, one per-doc window pass (bounded
+    * frames), one doc-keyed fold. */
+  def spanCorruption(docs: DataFrame, every: Int = 20, span: Int = 3): DataFrame = {
+    val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val marked = EmbedOps.tokenize(docs)
+      .withColumn("is_start",
+        (pmod(graft.functions.PortableHash.hash24(
+          concat_ws("|", col("doc_id"), lit("sc"), col("pos"))), lit(every.toLong))
+          === 0).cast("int"))
+      .withColumn("last_start",
+        max(when(col("is_start") === 1, col("pos")))
+          .over(byPos.rowsBetween(-(span - 1), 0)))
+      .withColumn("covered", col("last_start").isNotNull.cast("int"))
+      .withColumn("prev_cov", coalesce(lag(col("covered"), 1).over(byPos), lit(0)))
+      .withColumn("run_start",
+        (col("covered") === 1 && col("prev_cov") === 0).cast("int"))
+      .withColumn("run_id",
+        sum(col("run_start")).over(byPos.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("in_piece",
+        when(col("covered") === 0, col("tok"))
+          .when(col("run_start") === 1, concat(lit("<X_"), col("run_id"), lit(">")))
+          .otherwise(lit("")))
+      .withColumn("tgt_piece",
+        when(col("covered") === 0, lit(""))
+          .when(col("run_start") === 1,
+            concat(lit("<X_"), col("run_id"), lit("> "), col("tok")))
+          .otherwise(col("tok")))
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("covered")).as("n_masked"),
+        sum(col("run_start")).as("n_spans"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "struct(pos, in_piece))), x -> x.in_piece != ''), x -> x.in_piece), ' ')")
+          .as("input_text"),
+        expr("array_join(transform(filter(array_sort(collect_list(" +
+          "struct(pos, tgt_piece))), x -> x.tgt_piece != ''), x -> x.tgt_piece), ' ')")
+          .as("target_text"))
+  }
+
   def packSequences(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
     val w = Window.partitionBy(col("stream_id")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -6,6 +6,68 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ictPairs: query+context partition the doc; short docs emit no row") {
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val d = Seq((0L, text), (1L, "too short for a window")).toDF("doc_id", "text")
+    val r = TextOps.ictPairs(d, w = 8).collect()
+    assert(r.map(_.getAs[Long]("doc_id")).toSet === Set(0L),
+      "a doc with <= w+1 tokens leaves no context and must drop")
+    val row = r.head
+    val qs = row.getAs[Long]("q_start").toInt
+    val q = row.getAs[String]("query_text").split(" ").toSeq
+    val c = row.getAs[String]("context_text").split(" ").filter(_.nonEmpty).toSeq
+    assert(row.getAs[Long]("n_tokens") === 12L)
+    assert(q.length === 8 && c.length === 4)
+    val toks = text.split(" ").toSeq
+    assert(q === toks.slice(qs, qs + 8), "the query IS the window at q_start")
+    assert(c === toks.take(qs) ++ toks.drop(qs + 8), "the context is the remainder in order")
+  }
+
+  test("fimTransform: PSM segments partition the doc at the derived cuts") {
+    val text = (1 to 10).map(i => s"w$i").mkString(" ")
+    val d = Seq((0L, text)).toDF("doc_id", "text")
+    val row = TextOps.fimTransform(d).head()
+    val (c1, c2) = (row.getAs[Long]("cut1").toInt, row.getAs[Long]("cut2").toInt)
+    assert(c1 <= c2 && c2 <= 10)
+    val psm = row.getAs[String]("psm_text")
+    val pat = "^<PRE> (.*?) <SUF> (.*?) <MID> (.*)$".r
+    val pat(pre, suf, mid) = psm
+    val toks = text.split(" ").toSeq
+    def seg(s: String) = s.trim.split(" ").filter(_.nonEmpty).toSeq
+    assert(seg(pre) === toks.take(c1))
+    assert(seg(mid) === toks.slice(c1, c2))
+    assert(seg(suf) === toks.drop(c2))
+  }
+
+  test("spanCorruption: sentinels consistent, masked+kept partition the doc") {
+    val d = (0L until 8L).map(i =>
+      (i, (1 to 40).map(j => s"x${i}_$j").mkString(" "))).toDF("doc_id", "text")
+    val rows = TextOps.spanCorruption(d).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val masked = r.getAs[Long]("n_masked")
+      val spans = r.getAs[Long]("n_spans")
+      assert(n === 40L)
+      assert(masked <= n && spans <= masked)
+      val inToks = r.getAs[String]("input_text").split(" ").filter(_.nonEmpty)
+      val tgToks = r.getAs[String]("target_text").split(" ").filter(_.nonEmpty)
+      val inSent = inToks.count(_.startsWith("<X_"))
+      val tgSent = tgToks.count(_.startsWith("<X_"))
+      assert(inSent === spans && tgSent === spans,
+        "one sentinel per run on both sides")
+      // kept input tokens + masked target tokens = the whole doc
+      assert((inToks.length - inSent) + (tgToks.length - tgSent) === 40)
+      if (spans === 0L) {
+        assert(r.getAs[String]("target_text") === "")
+        assert(inToks.length === 40)
+      }
+    }
+    // determinism across invocations
+    val again = TextOps.spanCorruption(d).collect()
+    assert(rows.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("tokenCounts: whitespace vs BPE-ish census") {
     val r = TextOps.tokenCounts(Seq((0L, "ab 12 cd!")).toDF("doc_id", "text")).head()
     assert(r.getAs[Long]("n_ws_tokens") === 3L)
