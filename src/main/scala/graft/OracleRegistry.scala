@@ -1627,6 +1627,61 @@ private[graft] object OracleRegistry {
          |         doc_id, n_chars, key_micro
          |  FROM kdf) WHERE rank <= 50""".stripMargin
     },
+    // quality chain + per-lang rank; top half joins the mirrored
+    // bottom half on (lang, k = n+1-r); zero margins filtered
+    "preference_pairs" ->
+      s"""WITH $duckToks,
+         |$duckQualityCtes,
+         |qq AS (SELECT d.lang, q2.doc_id,
+         |         CAST(round(q2.quality * 1000000) AS BIGINT) AS q_micro
+         |       FROM qual q2 JOIN documents d USING (doc_id)),
+         |rk AS (SELECT lang, doc_id, q_micro,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY q_micro DESC, doc_id) AS r,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM qq),
+         |top AS (SELECT lang, r AS pair_idx, doc_id AS chosen_id,
+         |          q_micro AS chosen_q_micro
+         |        FROM rk WHERE r * 2 < n + 1),
+         |bot AS (SELECT lang, n + 1 - r AS pair_idx, doc_id AS rejected_id,
+         |          q_micro AS rejected_q_micro
+         |        FROM rk)
+         |SELECT t.lang, CAST(t.pair_idx AS BIGINT) AS pair_idx, t.chosen_id,
+         |  t.chosen_q_micro, b.rejected_id, b.rejected_q_micro,
+         |  t.chosen_q_micro - b.rejected_q_micro AS margin_micro
+         |FROM top t JOIN bot b USING (lang, pair_idx)
+         |WHERE t.chosen_q_micro - b.rejected_q_micro > 0""".stripMargin,
+    // the readability chain + the census-boundary quantile trick;
+    // staging is a boundary-count sum, ties stay together
+    "curriculum_order" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+') AS ws,
+        |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT) AS n_sent_raw
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(len(ws) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(ws,
+        |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1)))
+        |      AS BIGINT) AS n_syllables,
+        |    greatest(n_sent_raw, 1) AS n_sentences
+        |  FROM w WHERE len(ws) > 0),
+        |rs AS (SELECT doc_id, n_words,
+        |    CAST(round(round(0.39 * round(n_words / n_sentences, 6)
+        |      + 11.8 * round(n_syllables / n_words, 6) - 15.59, 6) * 1000000)
+        |      AS BIGINT) AS grade_micro
+        |  FROM b),
+        |nn AS (SELECT count(*) AS n FROM rs),
+        |cen AS (SELECT grade_micro, sum(c) OVER (ORDER BY grade_micro) AS cum
+        |        FROM (SELECT grade_micro, count(*) AS c FROM rs GROUP BY 1)),
+        |bd AS (SELECT
+        |    (SELECT min(grade_micro) FROM cen, nn WHERE cum * 4 >= n * 1) AS b1,
+        |    (SELECT min(grade_micro) FROM cen, nn WHERE cum * 4 >= n * 2) AS b2,
+        |    (SELECT min(grade_micro) FROM cen, nn WHERE cum * 4 >= n * 3) AS b3)
+        |SELECT rs.doc_id, rs.n_words, rs.grade_micro,
+        |  CAST(CASE WHEN grade_micro > b1 THEN 1 ELSE 0 END
+        |     + CASE WHEN grade_micro > b2 THEN 1 ELSE 0 END
+        |     + CASE WHEN grade_micro > b3 THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM rs, bd""".stripMargin,
     // ordered token-list fold + hash-placed window, map-side slicing
     "ict_pairs" ->
       s"""WITH $duckToks,

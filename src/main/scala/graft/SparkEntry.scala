@@ -714,6 +714,13 @@ object SparkEntry {
     // T5 denoising: 1-in-20 hash-selected span starts, 3-token spans,
     // overlapping runs merge under one sentinel; (input, target) out
     "span_corruption" -> ((s, dir) => TextOps.spanCorruption(Tables.documents(s, dir))),
+    // RLHF/DPO data prep: max-margin (chosen, rejected) pairs from
+    // the quality composite, paired within language, rank k vs n+1-k;
+    // zero-margin pairs drop
+    "preference_pairs" -> ((s, dir) => TextOps.preferencePairs(Tables.documents(s, dir))),
+    // curriculum staging: FK-grade quartile tiers via exact census
+    // boundaries (never a corpus-wide sort); ties stay together
+    "curriculum_order" -> ((s, dir) => TextOps.curriculumOrder(Tables.documents(s, dir))),
     // CDC snapshot diff: the "new" snapshot derives deterministically
     // from the corpus (bucket<5 removed, 5..9 changed, >=95 re-keyed
     // as additions) so the change feed is oracle-checkable

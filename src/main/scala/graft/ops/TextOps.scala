@@ -699,6 +699,85 @@ object TextOps {
     * seq_id is the stream-local sequence index and seq_offset the
     * document's first-token offset inside that sequence.
     */
+  /** Preference pairs from a scalar reward — the RLHF/DPO data-prep
+    * step between a quality model and preference training (Ouyang et
+    * al. '22 shape: (chosen, rejected) pairs a reward or DPO
+    * objective consumes). Pairing is within LANGUAGE (the comparable-
+    * context convention — a pair should differ in QUALITY, not
+    * domain) and max-margin: rank k pairs with rank n+1−k, so the
+    * best faces the worst and the margin shrinks toward the middle;
+    * zero-margin pairs carry no learning signal and drop (stated
+    * contract). Quality is [[qualityScore]]'s composite on the exact
+    * integer-micro grid.
+    *
+    * Scale shape: one quality agg, then a per-lang rank window (the
+    * per-language partitions are the bounded-key family — at 100 TB
+    * rank within (lang, hash-bucket) shards and pair within shards
+    * to keep partitions bounded; pairing quality is statistically
+    * identical under uniform sharding). */
+  def preferencePairs(docs: DataFrame): DataFrame = {
+    val q = qualityScore(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang"), col("doc_id"),
+        round(col("quality") * 1e6).cast("long").as("q_micro"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("q_micro").desc, col("doc_id"))
+    val ranked = q
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .localCheckpoint(true)
+    val top = ranked.filter(col("r") * 2 < col("n") + 1)
+      .select(col("lang"), col("r").as("pair_idx"),
+        col("doc_id").as("chosen_id"), col("q_micro").as("chosen_q_micro"))
+    val bot = ranked
+      .select(col("lang"), (col("n") + 1 - col("r")).as("pair_idx"),
+        col("doc_id").as("rejected_id"), col("q_micro").as("rejected_q_micro"))
+    top.join(bot, Seq("lang", "pair_idx"))
+      .withColumn("margin_micro", col("chosen_q_micro") - col("rejected_q_micro"))
+      .filter(col("margin_micro") > 0)
+      .select(col("lang"), col("pair_idx"), col("chosen_id"), col("chosen_q_micro"),
+        col("rejected_id"), col("rejected_q_micro"), col("margin_micro"))
+  }
+
+  /** Curriculum staging — order the corpus easy→hard by FK grade
+    * ([[readabilityScore]]) and cut it into `stages` difficulty tiers
+    * (Bengio et al. ICML'09's curriculum schedule as a data property:
+    * stage s feeds training phase s). Stages come from exact quantile
+    * BOUNDARIES over the value-grid census (the dp_quantile/tail_index
+    * rank trick — never a corpus-wide sort): boundary b_q = smallest
+    * grade with cumulative count ≥ q·n/stages, stage = number of
+    * boundaries strictly below the doc's grade. Equal-grade docs land
+    * in the same stage BY CONSTRUCTION (a rank split would tear
+    * ties), so stage sizes are quantiles up to tie lumping — stated.
+    * Wordless docs carry no readability and drop (the
+    * [[readabilityScore]] contract).
+    *
+    * Scale shape: one map-side readability pass; the cumulative
+    * window runs over the ≤|distinct grades| census, boundaries are
+    * a 1-row broadcast, staging is map-side. */
+  def curriculumOrder(docs: DataFrame, stages: Int = 4): DataFrame = {
+    val rs = readabilityScore(docs)
+      .select(col("doc_id"), col("n_words"),
+        round(col("fk_grade") * 1e6).cast("long").as("grade_micro"))
+      .localCheckpoint(true)
+    val n = rs.agg(count(lit(1)).as("n"))
+    val wCum = Window.orderBy(col("grade_micro"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val census = rs.groupBy(col("grade_micro")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .localCheckpoint(true)
+    val bounds = (1 until stages).map { qi =>
+      census.crossJoin(broadcast(n))
+        .filter(col("cum") * stages >= col("n") * qi)
+        .agg(min(col("grade_micro")).as(s"b$qi"))
+    }.reduce(_ crossJoin _)
+    rs.crossJoin(broadcast(bounds))
+      .withColumn("stage",
+        (1 until stages).map(qi =>
+          when(col("grade_micro") > col(s"b$qi"), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("n_words"), col("grade_micro"), col("stage"))
+  }
+
   /** Inverse Cloze Task pairs (Lee et al., ACL'19 — ORQA's
     * unsupervised retrieval pretraining objective): a w-token window
     * is REMOVED from each document to become the query, the remainder

@@ -6,6 +6,55 @@ import org.apache.spark.sql.functions._
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("preferencePairs: max-margin pairing, margins monotone, no doc reused per side") {
+    // 6 docs per lang with clearly spread quality (distinct-token
+    // ratio varies); margin(k) = q(k) - q(n+1-k) is non-increasing
+    val d = (0L until 12L).map { i =>
+      val lang = if (i < 6) "en" else "es"
+      val distinct = (i % 6 + 1).toInt
+      val toks = (1 to 10).map(j => s"w${j % distinct}").mkString(" ")
+      (i, toks, lang)
+    }.toDF("doc_id", "text", "lang")
+    val r = TextOps.preferencePairs(d).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getAs[Long]("margin_micro") > 0L)
+      assert(x.getAs[Long]("chosen_q_micro") > x.getAs[Long]("rejected_q_micro"))
+    }
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("chosen_id")).distinct.length === rows.length)
+      assert(rows.map(_.getAs[Long]("rejected_id")).distinct.length === rows.length)
+      val margins = rows.sortBy(_.getAs[Long]("pair_idx")).map(_.getAs[Long]("margin_micro"))
+      assert(margins.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+        "rank k vs n+1-k pairing makes margins non-increasing")
+    }
+    // chosen and rejected never overlap within a lang
+    r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
+      val c = rows.map(_.getAs[Long]("chosen_id")).toSet
+      val j = rows.map(_.getAs[Long]("rejected_id")).toSet
+      assert(c.intersect(j).isEmpty)
+    }
+  }
+
+  test("curriculumOrder: stages monotone in grade, ties stay together, quartiles exact") {
+    // 8 docs whose syllable densities spread the FK grade over 8
+    // distinct values -> exact 2/2/2/2 quartiles
+    val d = (0L until 8L).map { i =>
+      val hard = "organization " * (i + 1).toInt
+      val easy = "cat sat mat. " * (8 - i).toInt
+      (i, (hard + easy).trim)
+    }.toDF("doc_id", "text")
+    val r = TextOps.curriculumOrder(d).collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("grade_micro"),
+        x.getAs[Long]("stage"))).sortBy(_._2)
+    assert(r.length === 8)
+    assert(r.map(_._2).distinct.length === 8, "fixture grades must spread")
+    assert(r.map(_._3).toSeq === Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L),
+      "8 distinct grades cut into exact 2/2/2/2 quartile stages")
+    // monotone: sorting by grade never decreases the stage
+    assert(r.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("ictPairs: query+context partition the doc; short docs emit no row") {
     val text = (1 to 12).map(i => s"t$i").mkString(" ")
     val d = Seq((0L, text), (1L, "too short for a window")).toDF("doc_id", "text")
