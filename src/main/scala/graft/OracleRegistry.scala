@@ -1412,6 +1412,58 @@ private[graft] object OracleRegistry {
          |  round(coalesce(dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6) + 0
          |    AS dup_fraction
          |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // the verified-pair chain at the loosest threshold, one
+    // MATERIALIZED jaccard table, three filter legs
+    "dedup_threshold_curve" -> {
+      def leg(tm: Long, t: String): String =
+        s"""SELECT CAST($tm AS BIGINT) AS threshold_micro, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT b_id) AS BIGINT) AS n_pruned
+           |FROM ver WHERE jaccard >= $t""".stripMargin
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |ver AS MATERIALIZED (SELECT a_id, b_id, jaccard FROM jac
+         |                     WHERE jaccard >= 0.5),
+         |nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM documents),
+         |legs AS (${leg(500000L, "0.5")}
+         |  UNION ALL ${leg(700000L, "0.7")}
+         |  UNION ALL ${leg(900000L, "0.9")})
+         |SELECT threshold_micro, n_pairs, n_pruned,
+         |  nn.n_docs - n_pruned AS n_kept,
+         |  ((nn.n_docs - n_pruned) * 1000000) // nn.n_docs AS kept_micro
+         |FROM legs, nn""".stripMargin
+    },
+    // the similarity_join chain scored once at the loosest theta,
+    // three filter legs over the MATERIALIZED cosine table
+    "semdedup_curve" -> {
+      def leg(tm: Long, t: String): String =
+        s"""SELECT CAST($tm AS BIGINT) AS threshold_micro, count(*) AS n_pairs,
+           |  CAST(count(DISTINCT b_id) AS BIGINT) AS n_pruned
+           |FROM sim WHERE cos_sim >= $t""".stripMargin
+      s"""WITH $duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+         |  FROM assigned a JOIN assigned b USING (c_label)
+         |  WHERE a.vec_id < b.vec_id),
+         |sim AS MATERIALIZED (
+         |  SELECT a_id, b_id,
+         |    round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 AS cos_sim
+         |  FROM pairs p
+         |  JOIN embeddings ea ON ea.vec_id = p.a_id
+         |  JOIN embeddings eb ON eb.vec_id = p.b_id
+         |  WHERE round(${duckCos("ea.embedding", "eb.embedding")}, 6) + 0 >= 0.2),
+         |nn AS (SELECT count(*) AS n_vecs FROM embeddings),
+         |legs AS (${leg(200000L, "0.2")}
+         |  UNION ALL ${leg(300000L, "0.3")}
+         |  UNION ALL ${leg(500000L, "0.5")})
+         |SELECT threshold_micro, n_pairs, n_pruned,
+         |  nn.n_vecs - n_pruned AS n_kept,
+         |  ((nn.n_vecs - n_pruned) * 1000000) // nn.n_vecs AS kept_micro
+         |FROM legs, nn""".stripMargin
+    },
     // one max-width lead chain, per-width prefix legs (hash → dup
     // census → lag interval-union → corpus rollup), three-row union
     "substring_window_curve" -> {

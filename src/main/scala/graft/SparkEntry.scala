@@ -547,6 +547,18 @@ object SparkEntry {
     // are column prefixes); coverage monotone non-increasing in w
     "substring_window_curve" -> ((s, dir) =>
       DedupOps.substringWindowCurve(Tables.documents(s, dir))),
+    // the near-dup threshold receipt: verify once at the loosest
+    // threshold, per-theta pair/prune counts off the checkpointed
+    // table — the 0.5-vs-0.9 decision's evidence
+    "dedup_threshold_curve" -> ((s, dir) =>
+      DedupOps.dedupThresholdCurve(Tables.documents(s, dir))),
+    // SemDeDup's threshold sweep (Abbas et al. §4): cosine pairs
+    // scored once at the loosest theta, per-point prune/keep census
+    "semdedup_curve" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      VectorOps.semdedupCurve(emb,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
     // tokenizer training: first 6 BPE merges by frequency-weighted
     // pair counting + greedy string-space merge (Sennrich ACL'16)
     "bpe_merges" -> ((s, dir) => TextOps.bpeMerges(Tables.documents(s, dir))),

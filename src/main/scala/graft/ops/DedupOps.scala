@@ -1414,6 +1414,32 @@ object DedupOps {
         coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
   }
 
+  /** Jaccard threshold-sensitivity receipt — the error-curve
+    * convention on the near-dup tier's ONE free parameter (the
+    * [[graft.ops.VectorOps.semdedupCurve]] sibling on the lexical
+    * axis): candidates and every exact Jaccard verify ONCE at the
+    * loosest threshold, each curve point filters the checkpointed
+    * verified-pair table and counts surviving pairs, touched docs,
+    * and the smaller-id-representative prune estimate. The curve is
+    * what a 0.5-vs-0.8 threshold decision is made on before a dedup
+    * pass ships. */
+  def dedupThresholdCurve(docs: DataFrame,
+                          thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+    val verified = nearDupVerified(docs, minJaccard = thresholds.min)
+      .localCheckpoint(true)
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    thresholds.map { t =>
+      verified.filter(col("jaccard") >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_pruned"))
+        .crossJoin(broadcast(n))
+        .select(lit(math.round(t * 1e6)).as("threshold_micro"),
+          col("n_pairs"), col("n_pruned"),
+          (col("n_docs") - col("n_pruned")).as("n_kept"),
+          expr("((n_docs - n_pruned) * 1000000L) div n_docs").as("kept_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Window-length sensitivity receipt for the excision tier — the
     * error-curve convention (cms/hll/quantile_error_curve) applied to
     * [[substringDupCoverage]]'s ONE free parameter: the census and

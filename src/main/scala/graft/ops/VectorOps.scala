@@ -145,6 +145,35 @@ object VectorOps {
         col("pruned_by").isNull.as("keep"))
   }
 
+  /** SemDeDup threshold-sensitivity receipt — the error-curve
+    * convention (cms/hll/quantile/substring_window_curve) on
+    * [[semanticDedupKeep]]'s ONE free parameter: the cosine threshold
+    * decides how much corpus survives, and the paper (Abbas et al.
+    * 2303.09540 §4) tunes exactly this sweep. The cluster-scoped pair
+    * join and every exact cosine compute ONCE at the LOOSEST
+    * threshold (a pair admitted at θ is admitted at every θ' ≤ θ —
+    * the first_probe economy on the threshold axis); each curve point
+    * is a filter + two bounded aggs over the checkpointed pair table.
+    * Output per threshold: surviving-pair count, pruned/kept vector
+    * counts, kept fraction (micro grid). */
+  def semdedupCurve(embeddings: DataFrame,
+                    thresholds: Seq[Double] = Seq(0.2, 0.3, 0.5),
+                    centroids: Option[DataFrame] = None): DataFrame = {
+    val scored = similarityJoinIvf(embeddings, thresholds.min, centroids = centroids)
+      .localCheckpoint(true)
+    val n = embeddings.agg(count(lit(1)).as("n_vecs"))
+    thresholds.map { t =>
+      scored.filter(col("cos_sim") >= t)
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("b_id")).as("n_pruned"))
+        .crossJoin(broadcast(n))
+        .select(lit(math.round(t * 1e6)).as("threshold_micro"),
+          col("n_pairs"), col("n_pruned"),
+          (col("n_vecs") - col("n_pruned")).as("n_kept"),
+          expr("((n_vecs - n_pruned) * 1000000L) div n_vecs").as("kept_micro"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Contrastive hard-negative mining — the training-pair step of an
     * embedding-model data pipeline (in-batch negatives are easy; the
     * informative negatives are the CLOSEST vectors with a different

@@ -310,6 +310,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedupThresholdCurve: tighter thresholds keep more docs, admit fewer pairs") {
+    val r = DedupOps.dedupThresholdCurve(docs).collect()
+      .map(x => x.getAs[Long]("threshold_micro") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Long]("n_pruned"),
+          x.getAs[Long]("n_kept"), x.getAs[Long]("kept_micro")))).toMap
+    assert(r.keySet === Set(500000L, 700000L, 900000L))
+    // the exact dup (J=1.0) and near dup (J>0.5) both pass at 0.5
+    assert(r(500000L)._1 >= r(700000L)._1 && r(700000L)._1 >= r(900000L)._1)
+    assert(r(500000L)._4 <= r(700000L)._4 && r(700000L)._4 <= r(900000L)._4)
+    assert(r(900000L)._2 >= 1L, "the exact duplicate is pruned at every threshold")
+    r.values.foreach { case (_, pruned, kept, _) => assert(pruned + kept === 4L) }
+  }
+
   test("substringWindowCurve: coverage monotone non-increasing in window width") {
     // A and B share a 12-token run; C shares only a 6-token run with
     // them — w=12 covers A/B only, w=6 additionally pulls in C

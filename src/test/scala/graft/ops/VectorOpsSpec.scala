@@ -187,6 +187,27 @@ class VectorOpsSpec extends SparkSpec {
     assert(reloaded.nonEmpty)
   }
 
+  test("semdedupCurve: tighter thresholds prune less; counts conserve") {
+    // two near-identical pairs + spread vectors: theta=0.99 prunes the
+    // twins only, theta=0.2 prunes everything cell-co-resident
+    val all = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0), (1L, Array(1f, 0.01f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 1), (3L, Array(0f, 1f, 0.01f, 0f), 1),
+      (4L, Array(0.6f, 0.6f, 0f, 0f), 0), (5L, Array(0f, 0.6f, 0.6f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val cent = VectorOps.kmeansCells(all, k = 2, iters = 2)
+    val r = VectorOps.semdedupCurve(all, thresholds = Seq(0.2, 0.9),
+        centroids = Some(cent)).collect()
+      .map(x => x.getAs[Long]("threshold_micro") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Long]("n_pruned"),
+          x.getAs[Long]("n_kept"), x.getAs[Long]("kept_micro")))).toMap
+    assert(r.keySet === Set(200000L, 900000L))
+    assert(r(200000L)._1 >= r(900000L)._1, "pairs monotone non-increasing in theta")
+    assert(r(200000L)._2 >= r(900000L)._2, "pruning monotone non-increasing in theta")
+    assert(r(900000L)._2 >= 2L, "both planted twins prune at 0.9")
+    r.values.foreach { case (_, pruned, kept, _) => assert(pruned + kept === 6L) }
+  }
+
   test("ivfPqDistortion: identical-vector cells quantize losslessly; census integer-exact") {
     // 3 clusters of IDENTICAL vectors: centroids land exactly on the
     // members, every residual is the zero vector, the codebook is
