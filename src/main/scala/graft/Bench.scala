@@ -119,25 +119,44 @@ object Bench {
     // self-adjudication (r13 verdict #3): four rounds running, single
     // full-surface captures needed manual outlier re-times (r13:
     // quality_score 8.3 driver vs 0.38 solo — host co-tenancy, not
-    // structure). Re-time the top-12 slowest queries SOLO in the same
-    // warm JVM after the suite and emit both numbers: when an
-    // in-suite median and its retime disagree, the retime is the
-    // structural number (BASELINE.md adjudication convention, now
-    // carried by the capture itself).
+    // structure). Re-time the top-16 slowest queries SOLO in the same
+    // warm JVM after the suite (r14's tail had inflated entries just
+    // outside a top-12 cut) and emit both numbers: when an in-suite
+    // median and its retime disagree, the retime is the structural
+    // number (BASELINE.md adjudication convention, carried by the
+    // capture itself). A retime run that THROWS poisons that query's
+    // retime to the same -1 sentinel the main loop uses — recording
+    // time-to-failure as a median would publish a flattering number
+    // for a flaking query (r14 ADVICE).
+    val retimeSet = succeeded.sortBy { case (_, m) => -m }.take(16)
     val retimed: Seq[(String, Double)] =
-      succeeded.sortBy { case (_, m) => -m }.take(12).map { case (name, _) =>
+      retimeSet.map { case (name, _) =>
         val fn = selected(name)
         val times = (1 to Repeats).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-          catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] retime $name FAILED: ${e.getMessage}")
+                false
+            }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        name -> times.sorted.apply(times.size / 2)
+        name -> median(times)
       }
+    // the adjudicated headline (r14 verdict #7): the suite total with
+    // each retimed query's in-suite median replaced by its solo
+    // retime — the structural number BASELINE.md rows quote without
+    // hand arithmetic. Any -1 (suite or retime) poisons it like the
+    // gross total.
+    val valueAdjusted =
+      if (total < 0 || retimed.exists(_._2 < 0)) -1.0
+      else total - retimeSet.map(_._2).sum + retimed.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
+      s""","value_adjusted":${r3(valueAdjusted)}""" +
       s""","repeats":$Repeats,"n_queries":${results.size}""" +
       s""","queries":${jsonMap(top20)}""" +
       s""","queries_retimed":${jsonMap(retimed)}""" +

@@ -1040,6 +1040,53 @@ private[graft] object OracleRegistry {
          |FROM afp a, afp b
          |WHERE a.media_id < b.media_id
          |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    // both modality funnels off the shared formula-hash fragments:
+    // quadratic pair twin (oracle SF) + recursive-CTE components +
+    // distinct-component golden sum, one row per modality
+    "multimodal_pipeline" ->
+      s"""WITH RECURSIVE $duckAhash,
+         |$duckAudioFp,
+         |ip AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+         |       FROM ah a, ah b
+         |       WHERE a.media_id < b.media_id
+         |         AND bit_count(xor(a.ahash, b.ahash)) <= 3),
+         |iu AS (SELECT a_id AS src, b_id AS dst FROM ip
+         |       UNION ALL SELECT b_id, a_id FROM ip),
+         |ir AS (SELECT DISTINCT src AS id, src AS r FROM iu
+         |       UNION
+         |       SELECT u.src, ir.r FROM iu u JOIN ir ON ir.id = u.dst),
+         |icl AS (SELECT id, min(r) AS cmp FROM ir GROUP BY 1),
+         |ap AS (SELECT a.media_id AS a_id, b.media_id AS b_id
+         |       FROM afp a, afp b
+         |       WHERE a.media_id < b.media_id
+         |         AND bit_count(xor(a.fp, b.fp)) <= 3),
+         |au AS (SELECT a_id AS src, b_id AS dst FROM ap
+         |       UNION ALL SELECT b_id, a_id FROM ap),
+         |ar AS (SELECT DISTINCT src AS id, src AS r FROM au
+         |       UNION
+         |       SELECT u.src, ar.r FROM au u JOIN ar ON ar.id = u.dst),
+         |acl AS (SELECT id, min(r) AS cmp FROM ar GROUP BY 1)
+         |SELECT 'image' AS modality,
+         |  (SELECT count(*) FROM documents) AS n_media,
+         |  (SELECT count(*) FROM ah) AS n_decoded,
+         |  (SELECT count(*) FROM ip) AS n_pairs,
+         |  (SELECT count(*) FROM icl) AS n_clustered,
+         |  (SELECT count(DISTINCT cmp) FROM icl) AS n_clusters,
+         |  (SELECT count(*) FROM ah) - (SELECT count(*) FROM icl)
+         |    + (SELECT count(DISTINCT cmp) FROM icl) AS n_kept,
+         |  (SELECT CAST(coalesce(sum(DISTINCT cmp), 0) AS BIGINT) FROM icl)
+         |    AS golden_id_sum
+         |UNION ALL
+         |SELECT 'audio' AS modality,
+         |  (SELECT count(*) FROM documents) AS n_media,
+         |  (SELECT count(*) FROM afp) AS n_decoded,
+         |  (SELECT count(*) FROM ap) AS n_pairs,
+         |  (SELECT count(*) FROM acl) AS n_clustered,
+         |  (SELECT count(DISTINCT cmp) FROM acl) AS n_clusters,
+         |  (SELECT count(*) FROM afp) - (SELECT count(*) FROM acl)
+         |    + (SELECT count(DISTINCT cmp) FROM acl) AS n_kept,
+         |  (SELECT CAST(coalesce(sum(DISTINCT cmp), 0) AS BIGINT) FROM acl)
+         |    AS golden_id_sum""".stripMargin,
     "dedup_containment" ->
       s"""WITH $duckToks,
          |$duckShingles,
@@ -1412,6 +1459,41 @@ private[graft] object OracleRegistry {
          |  round(coalesce(dup_tokens, 0) / CAST(nt.n_tokens AS DOUBLE), 6) + 0
          |    AS dup_fraction
          |FROM nt LEFT JOIN cov USING (doc_id)""".stripMargin,
+    // full doc-level minhash chain; bk (seed//3) is the current
+    // banding, bk2 (seed//2) the candidate re-banding; the base index
+    // is REBUILT from scratch (doc_id < 400 — stale artifact = red
+    // row); all metrics integer counts / integer-micro shares
+    "lsh_maintenance_plan" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |bk2 AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |         string_agg(CAST(minh AS VARCHAR), '-' ORDER BY seed) AS band_sig
+         |  FROM mh GROUP BY 1, 2),
+         |oldb AS (SELECT * FROM bk WHERE doc_id < 400),
+         |os AS (SELECT band, band_sig, count(*) AS sz FROM oldb GROUP BY 1, 2),
+         |fs AS (SELECT band, band_sig, count(*) AS sz FROM bk GROUP BY 1, 2),
+         |rs AS (SELECT band, band_sig, count(*) AS sz FROM bk2 GROUP BY 1, 2),
+         |oc AS (SELECT least(sz, 8) AS szc, count(*) AS nb FROM os GROUP BY 1),
+         |osh AS (SELECT szc, nb * 1000000 // (SELECT sum(nb) FROM oc) AS a FROM oc),
+         |fc AS (SELECT least(sz, 8) AS szc, count(*) AS nb FROM fs GROUP BY 1),
+         |fsh AS (SELECT szc, nb * 1000000 // (SELECT sum(nb) FROM fc) AS b FROM fc),
+         |dr AS (SELECT CAST(coalesce(sum(abs(coalesce(a, 0) - coalesce(b, 0))), 0)
+         |         AS BIGINT) AS occ_l1_micro
+         |       FROM osh FULL JOIN fsh USING (szc)),
+         |c1 AS (SELECT count(DISTINCT doc_id) AS n_docs_indexed FROM oldb),
+         |c2 AS (SELECT count(DISTINCT doc_id) AS n_docs_corpus,
+         |              count(*) AS bucket_rows_cur FROM bk),
+         |c3 AS (SELECT count(*) AS bucket_rows_new FROM bk2),
+         |p1 AS (SELECT CAST(coalesce(sum(sz * (sz - 1) // 2), 0) AS BIGINT)
+         |         AS cand_pairs_cur FROM fs),
+         |p2 AS (SELECT CAST(coalesce(sum(sz * (sz - 1) // 2), 0) AS BIGINT)
+         |         AS cand_pairs_new FROM rs)
+         |SELECT n_docs_indexed, n_docs_corpus, occ_l1_micro,
+         |  occ_l1_micro > 50000 AS refresh,
+         |  bucket_rows_cur, bucket_rows_new, cand_pairs_cur, cand_pairs_new
+         |FROM dr, c1, c2, c3, p1, p2""".stripMargin,
     // the verified-pair chain at the loosest threshold, one
     // MATERIALIZED jaccard table, three filter legs
     "dedup_threshold_curve" -> {
@@ -1429,11 +1511,15 @@ private[graft] object OracleRegistry {
          |       FROM documents),
          |legs AS (${leg(500000L, "0.5")}
          |  UNION ALL ${leg(700000L, "0.7")}
-         |  UNION ALL ${leg(900000L, "0.9")})
-         |SELECT threshold_micro, n_pairs, n_pruned,
-         |  nn.n_docs - n_pruned AS n_kept,
-         |  ((nn.n_docs - n_pruned) * 1000000) // nn.n_docs AS kept_micro
-         |FROM legs, nn""".stripMargin
+         |  UNION ALL ${leg(900000L, "0.9")}),
+         |curve AS (SELECT threshold_micro, n_pairs, n_pruned,
+         |    nn.n_docs - n_pruned AS n_kept,
+         |    ((nn.n_docs - n_pruned) * 1000000) // nn.n_docs AS kept_micro
+         |  FROM legs, nn)
+         |SELECT *, threshold_micro = coalesce(
+         |    min(CASE WHEN kept_micro >= 800000 THEN threshold_micro END) OVER (),
+         |    max(threshold_micro) OVER ()) AS chosen
+         |FROM curve""".stripMargin
     },
     // the similarity_join chain scored once at the loosest theta,
     // three filter legs over the MATERIALIZED cosine table
@@ -1458,11 +1544,15 @@ private[graft] object OracleRegistry {
          |nn AS (SELECT count(*) AS n_vecs FROM embeddings),
          |legs AS (${leg(200000L, "0.2")}
          |  UNION ALL ${leg(300000L, "0.3")}
-         |  UNION ALL ${leg(500000L, "0.5")})
-         |SELECT threshold_micro, n_pairs, n_pruned,
-         |  nn.n_vecs - n_pruned AS n_kept,
-         |  ((nn.n_vecs - n_pruned) * 1000000) // nn.n_vecs AS kept_micro
-         |FROM legs, nn""".stripMargin
+         |  UNION ALL ${leg(500000L, "0.5")}),
+         |curve AS (SELECT threshold_micro, n_pairs, n_pruned,
+         |    nn.n_vecs - n_pruned AS n_kept,
+         |    ((nn.n_vecs - n_pruned) * 1000000) // nn.n_vecs AS kept_micro
+         |  FROM legs, nn)
+         |SELECT *, threshold_micro = coalesce(
+         |    min(CASE WHEN kept_micro >= 800000 THEN threshold_micro END) OVER (),
+         |    max(threshold_micro) OVER ()) AS chosen
+         |FROM curve""".stripMargin
     },
     // one max-width lead chain, per-width prefix legs (hash → dup
     // census → lag interval-union → corpus rollup), three-row union
@@ -1679,29 +1769,34 @@ private[graft] object OracleRegistry {
          |         doc_id, n_chars, key_micro
          |  FROM kdf) WHERE rank <= 50""".stripMargin
     },
-    // quality chain + per-lang rank; top half joins the mirrored
-    // bottom half on (lang, k = n+1-r); zero margins filtered
+    // quality chain + (lang, hash-bucket) SHARDED rank (the executed
+    // 100 TB plan — never a per-lang corpus sort); top half joins the
+    // mirrored bottom half on (lang, bucket, k = n_shard+1-r); zero
+    // margins filtered
     "preference_pairs" ->
       s"""WITH $duckToks,
          |$duckQualityCtes,
-         |qq AS (SELECT d.lang, q2.doc_id,
+         |qq AS (SELECT d.lang,
+         |         ${duckHash24("d.text || '|pref'")} % 8 AS bucket,
+         |         q2.doc_id,
          |         CAST(round(q2.quality * 1000000) AS BIGINT) AS q_micro
          |       FROM qual q2 JOIN documents d USING (doc_id)),
-         |rk AS (SELECT lang, doc_id, q_micro,
-         |         row_number() OVER (PARTITION BY lang
+         |rk AS (SELECT lang, bucket, doc_id, q_micro,
+         |         row_number() OVER (PARTITION BY lang, bucket
          |           ORDER BY q_micro DESC, doc_id) AS r,
-         |         count(*) OVER (PARTITION BY lang) AS n
+         |         count(*) OVER (PARTITION BY lang, bucket) AS n
          |       FROM qq),
-         |top AS (SELECT lang, r AS pair_idx, doc_id AS chosen_id,
+         |top AS (SELECT lang, bucket, r AS pair_idx, doc_id AS chosen_id,
          |          q_micro AS chosen_q_micro
          |        FROM rk WHERE r * 2 < n + 1),
-         |bot AS (SELECT lang, n + 1 - r AS pair_idx, doc_id AS rejected_id,
+         |bot AS (SELECT lang, bucket, n + 1 - r AS pair_idx, doc_id AS rejected_id,
          |          q_micro AS rejected_q_micro
          |        FROM rk)
-         |SELECT t.lang, CAST(t.pair_idx AS BIGINT) AS pair_idx, t.chosen_id,
+         |SELECT t.lang, CAST(t.bucket AS BIGINT) AS bucket,
+         |  CAST(t.pair_idx AS BIGINT) AS pair_idx, t.chosen_id,
          |  t.chosen_q_micro, b.rejected_id, b.rejected_q_micro,
          |  t.chosen_q_micro - b.rejected_q_micro AS margin_micro
-         |FROM top t JOIN bot b USING (lang, pair_idx)
+         |FROM top t JOIN bot b USING (lang, bucket, pair_idx)
          |WHERE t.chosen_q_micro - b.rejected_q_micro > 0""".stripMargin,
     // the readability chain + the census-boundary quantile trick;
     // staging is a boundary-count sum, ties stay together
@@ -1825,6 +1920,108 @@ private[graft] object OracleRegistry {
          |  CAST((cum_tok - n_tok) // 128 AS BIGINT) AS seq_id,
          |  CAST((cum_tok - n_tok) % 128 AS BIGINT) AS seq_offset
          |FROM c""".stripMargin,
+    // the BFD fold replayed step-for-step: recursive CTE per stream
+    // in (n_tok DESC, doc_id) order; best bin = first position of the
+    // max fitting load; no fit → new bin (oversize docs over-fill
+    // their own bin)
+    "pack_bestfit" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok,
+         |    ${duckHash24("text || '|pack'")} % 8 AS stream_id
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok, stream_id,
+         |    CAST(row_number() OVER (PARTITION BY stream_id
+         |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+         |  FROM t),
+         |st AS (
+         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         |         CAST(NULL AS BIGINT) AS bin_id
+         |  FROM (SELECT DISTINCT stream_id FROM r) s0
+         |  UNION ALL
+         |  SELECT s.stream_id, s.rn + 1,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN list_transform(range(1, len(s.loads) + 1),
+         |             i -> CASE WHEN i = list_position(s.loads,
+         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
+         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
+         |      ELSE list_append(s.loads, d.n_tok) END,
+         |    d.doc_id, d.n_tok,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN CAST(list_position(s.loads,
+         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
+         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
+         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)
+         |SELECT doc_id, stream_id, n_tok, bin_id FROM st WHERE rn >= 1""".stripMargin,
+    // both packing chains + bounded rollups; chunk splits counted by
+    // the boundary-crossing rule, bestfit capacity floors at the
+    // budget per bin (over-full oversize bins waste nothing)
+    "pack_efficiency" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok,
+         |    ${duckHash24("text || '|pack'")} % 8 AS stream_id
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok, stream_id,
+         |    CAST(row_number() OVER (PARTITION BY stream_id
+         |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+         |  FROM t),
+         |st AS (
+         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         |         CAST(NULL AS BIGINT) AS bin_id
+         |  FROM (SELECT DISTINCT stream_id FROM r) s0
+         |  UNION ALL
+         |  SELECT s.stream_id, s.rn + 1,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN list_transform(range(1, len(s.loads) + 1),
+         |             i -> CASE WHEN i = list_position(s.loads,
+         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
+         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
+         |      ELSE list_append(s.loads, d.n_tok) END,
+         |    d.doc_id, d.n_tok,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN CAST(list_position(s.loads,
+         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
+         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
+         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1),
+         |c AS (SELECT doc_id, stream_id, n_tok,
+         |    sum(n_tok) OVER (PARTITION BY stream_id ORDER BY doc_id
+         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |  FROM t),
+         |ss AS (SELECT stream_id, sum(n_tok) AS toks, count(*) AS nd,
+         |         sum(CASE WHEN (cum_tok - n_tok) % 128 + n_tok > 128
+         |             THEN 1 ELSE 0 END) AS nsplit
+         |       FROM c GROUP BY 1),
+         |chunkrow AS (SELECT 'chunk' AS method,
+         |    CAST(sum((toks + 127) // 128) AS BIGINT) AS n_units,
+         |    CAST(sum((toks + 127) // 128) * 128 AS BIGINT) AS capacity,
+         |    CAST(sum(toks) AS BIGINT) AS used_tokens,
+         |    CAST(sum(nd) AS BIGINT) AS n_docs,
+         |    CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
+         |    CAST(0 AS BIGINT) AS n_oversize
+         |  FROM ss),
+         |bl AS (SELECT stream_id, bin_id, sum(n_tok) AS load
+         |       FROM st WHERE rn >= 1 GROUP BY 1, 2),
+         |bf1 AS (SELECT count(*) AS n_units,
+         |          CAST(sum(greatest(load, 128)) AS BIGINT) AS capacity,
+         |          CAST(sum(load) AS BIGINT) AS used_tokens FROM bl),
+         |bf2 AS (SELECT count(*) AS n_docs,
+         |          CAST(sum(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_oversize
+         |        FROM st WHERE rn >= 1),
+         |bfrow AS (SELECT 'bestfit' AS method, n_units, capacity, used_tokens,
+         |            n_docs, CAST(0 AS BIGINT) AS n_split_docs, n_oversize
+         |          FROM bf1, bf2),
+         |u AS (SELECT * FROM chunkrow UNION ALL
+         |      SELECT method, n_units, capacity, used_tokens, n_docs,
+         |             n_split_docs, n_oversize FROM bfrow)
+         |SELECT method, n_units, capacity, used_tokens,
+         |  (capacity - used_tokens) * 1000000 // capacity AS waste_micro,
+         |  n_docs, n_split_docs,
+         |  n_split_docs * 1000000 // n_docs AS split_micro, n_oversize
+         |FROM u""".stripMargin,
     // old = documents; new derives via the same salted bucket the
     // Spark side uses (bucket<5 removed, 5..9 changed, >=95 re-keyed
     // additions); unchanged docs drop out of the change feed
@@ -6538,6 +6735,90 @@ private[graft] object OracleRegistry {
          |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // the three kernel chains composed (ict slice + bm25 negatives +
+    // triplet argmaxes), funnel counts + id-sums + micro margin sum
+    // as scalar subqueries — any stage drifting is a hash mismatch
+    "retrieval_training_set" ->
+      s"""$duckTopn,
+         |lt AS (SELECT doc_id, list(tok ORDER BY pos) AS arr
+         |       FROM toks GROUP BY 1),
+         |ict AS (SELECT l.doc_id AS anchor_id,
+         |    ${duckHash24("d.text || '|ict'")} % (CAST(len(arr) AS BIGINT) - 7)
+         |      AS q_start
+         |  FROM lt l JOIN documents d USING (doc_id)
+         |  WHERE len(arr) > 8 AND l.doc_id < 10),
+         |qt AS (SELECT doc_id AS query_doc, keyword AS tok FROM topn
+         |       WHERE doc_id < 10 AND rank <= 3),
+         |lens AS (SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1),
+         |stats AS (SELECT avg(len_d) AS avg_len FROM lens),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs
+         |       FROM documents),
+         |tf AS (SELECT t.doc_id, t.tok, count(*) AS tf
+         |       FROM toks t JOIN (SELECT DISTINCT tok FROM qt) q USING (tok)
+         |       GROUP BY 1, 2),
+         |dfc AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |scored AS (
+         |  SELECT qt.query_doc, tf.doc_id,
+         |    round(sum(ln((nd.n_docs - dfc.df + 0.5) / (dfc.df + 0.5) + 1)
+         |      * (tf.tf * 2.2)
+         |      / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len_d / stats.avg_len))
+         |      ORDER BY tf.tok), 6) + 0
+         |      AS score
+         |  FROM tf JOIN qt USING (tok) JOIN dfc USING (tok)
+         |       JOIN lens USING (doc_id), nd, stats
+         |  WHERE tf.doc_id <> qt.query_doc
+         |  GROUP BY 1, 2),
+         |lex AS (SELECT query_doc AS anchor_id, neg_id FROM (
+         |  SELECT query_doc, doc_id AS neg_id, score,
+         |    row_number() OVER (PARTITION BY query_doc
+         |      ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored) WHERE rank <= 5),
+         |$duckSqrtCells,
+         |assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+         |cpairs AS (SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS other_id
+         |           FROM assigned a JOIN assigned b USING (c_label)
+         |           WHERE a.vec_id <> b.vec_id),
+         |$duckNrmCte,
+         |sim AS MATERIALIZED (SELECT p.anchor_id, la.label AS anchor_label,
+         |          p.other_id, lb.label AS other_label,
+         |          round(${duckCosPre("la.embedding", "lb.embedding",
+                      "la.nm", "lb.nm")}, 6) + 0 AS cos_sim
+         |        FROM cpairs p
+         |        JOIN nrm la ON la.vec_id = p.anchor_id
+         |        JOIN nrm lb ON lb.vec_id = p.other_id),
+         |pos AS (SELECT anchor_id, other_id AS pos_id, cos_sim AS cos_pos FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                      ORDER BY cos_sim DESC, other_id) AS rn
+         |          FROM sim WHERE other_label = anchor_label) WHERE rn = 1),
+         |neg AS (SELECT anchor_id, other_id AS neg_id, cos_sim AS cos_neg FROM (
+         |          SELECT *, row_number() OVER (PARTITION BY anchor_id
+         |                      ORDER BY cos_sim DESC, other_id) AS rn
+         |          FROM sim WHERE other_label <> anchor_label) WHERE rn = 1),
+         |dense AS (SELECT p.anchor_id, p.pos_id, n.neg_id,
+         |    CAST(round(round(p.cos_pos - n.cos_neg, 6) * 1000000) AS BIGINT)
+         |      AS margin_micro
+         |  FROM pos p JOIN neg n USING (anchor_id)
+         |  WHERE p.anchor_id < 10),
+         |comp AS (SELECT count(*) AS n_complete FROM (
+         |  SELECT DISTINCT i.anchor_id FROM ict i
+         |  JOIN (SELECT DISTINCT anchor_id FROM lex) l USING (anchor_id)
+         |  JOIN (SELECT DISTINCT anchor_id FROM dense) dn USING (anchor_id)) t)
+         |SELECT
+         |  (SELECT count(*) FROM documents WHERE doc_id < 10) AS n_anchors,
+         |  (SELECT count(*) FROM ict) AS n_ict,
+         |  (SELECT CAST(coalesce(sum(q_start), 0) AS BIGINT) FROM ict)
+         |    AS q_start_sum,
+         |  (SELECT count(*) FROM lex) AS n_lex,
+         |  (SELECT CAST(coalesce(sum(neg_id), 0) AS BIGINT) FROM lex)
+         |    AS lex_neg_id_sum,
+         |  (SELECT count(*) FROM dense) AS n_dense,
+         |  (SELECT CAST(coalesce(sum(pos_id), 0) AS BIGINT) FROM dense)
+         |    AS dense_pos_id_sum,
+         |  (SELECT CAST(coalesce(sum(neg_id), 0) AS BIGINT) FROM dense)
+         |    AS dense_neg_id_sum,
+         |  (SELECT CAST(coalesce(sum(margin_micro), 0) AS BIGINT) FROM dense)
+         |    AS margin_micro_sum,
+         |  (SELECT n_complete FROM comp) AS n_complete""".stripMargin,
     // both ranker chains (search_text / search_bm25 CTEs, ct_/bm_
     // prefixed), truth grades 11-rank, position-ordered rounded DCG
     // terms, one normalizing division; cosine_self must emit 1.0
@@ -7599,6 +7880,10 @@ private[graft] object OracleRegistry {
     * between the two declared twins would itself be the bug). */
   private def persistedIndexOracles: Map[String, String] = Map(
     "dedup_index_persist" -> oracleSqlBase("dedup_incremental"),
+    // merged ≡ rebuild at the LABEL tier: incremental star-forest
+    // maintenance (persisted labels + batch-touching pairs) must
+    // reproduce the full-recompute clustering verbatim
+    "dedup_clusters_incremental" -> oracleSqlBase("dedup_clusters"),
     "ann_index_persist" -> oracleSqlBase("ann_ivf"),
     // merged (persisted-base ∪ batch) postings must answer exactly
     // like the from-scratch BM25 — the additive-state identity

@@ -444,10 +444,36 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // incremental CC maintenance (r14 verdict #2): the base corpus's
+    // cluster labels persist once (loadOrCreate); the arriving batch
+    // (doc_id >= 400 — the dedup_incremental split) contributes only
+    // batch-touching verified pairs; touched components re-enter as
+    // their label stars, untouched labels pass through unchanged —
+    // merged ≡ full recompute, pinned by sharing dedup_clusters'
+    // full-recompute oracle verbatim
+    "dedup_clusters_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldD = docs.filter(col("doc_id") < 400)
+      val base = loadOrCreate(s, "dedup_clusters_base", dir)(
+        DedupOps.dedupClusters(oldD))
+      DedupOps.dedupClustersIncremental(base, oldD, docs.filter(col("doc_id") >= 400))
+    }),
     // the bucket-size measurement that decides whether the clustering
     // path needs the capped fallback: top LSH buckets by occupancy
     // over exact-family representatives (keySkewProfile shape)
     "lsh_bucket_profile" -> ((s, dir) => DedupOps.lshBucketProfile(Tables.documents(s, dir))),
+    // the lexical tier's drift→refresh→priced-migration decision row
+    // (index_maintenance_plan's sibling, r14 verdict #5): persisted
+    // base bucket index vs fresh full-corpus banding occupancy drift
+    // (L1 on the capped bucket-size share histogram), the tau'd
+    // refresh boolean, and the r×b re-band migration census (bucket
+    // rows + sum-C(size,2) candidate bound under both bandings)
+    "lsh_maintenance_plan" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val oldB = loadOrCreate(s, "lsh_buckets_base", dir)(
+        DedupOps.lshBuckets(DedupOps.minhashSignatures(docs.filter(col("doc_id") < 400))))
+      DedupOps.lshMaintenancePlan(oldB, docs)
+    }),
     "corpus_curation" -> ((s, dir) => TextOps.curatedCorpus(Tables.documents(s, dir))),
     // HTML → text with the jusText-shaped boilerplate gate: blocks at
     // block-tag boundaries, length + link-density scoring. Pages are
@@ -517,6 +543,16 @@ object SparkEntry {
     "audio_near_dup" -> ((s, dir) =>
       MultimodalOps.audioNearDup(
         MultimodalOps.syntheticPcmWavs(s, Tables.documents(s, dir)))),
+    // the multimodal dedup capstone (r14 verdict #3): decode →
+    // fingerprint → hamming near-dup → cluster → golden record, the
+    // per-stage funnel censused per modality in one declared
+    // composition; golden_id_sum pins representative selection
+    "multimodal_pipeline" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      MultimodalOps.multimodalPipeline(
+        MultimodalOps.syntheticPngs(s, docs),
+        MultimodalOps.syntheticPcmWavs(s, docs))
+    }),
     "doc_fingerprint" -> ((s, dir) => DedupOps.winnowFingerprints(Tables.documents(s, dir))),
     "decontaminate" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -716,6 +752,13 @@ object SparkEntry {
     // concat-and-chunk packing into 128-token sequences across 8
     // hash-sharded streams
     "pack_sequences" -> ((s, dir) => TextOps.packSequences(Tables.documents(s, dir))),
+    // best-fit-decreasing whole-doc packing (r14 verdict #4): BFD
+    // fold per hash-bounded stream — fullest fitting bin, first-index
+    // tie-break, oversize docs own an over-full bin; zero splits
+    "pack_bestfit" -> ((s, dir) => TextOps.packBestFit(Tables.documents(s, dir))),
+    // the packing-policy receipt: chunk vs bestfit on the same corpus
+    // — units/capacity/used, padding waste, split fraction, oversize
+    "pack_efficiency" -> ((s, dir) => TextOps.packEfficiency(Tables.documents(s, dir))),
     // ---- training-example construction (ICT / FIM / T5 spans) ----
     // ORQA's unsupervised retrieval pairs: a hash-placed 8-token
     // window becomes the query, the remainder its positive context
@@ -888,6 +931,15 @@ object SparkEntry {
     "triplet_mining" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.tripletMining(emb,
+        centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
+    }),
+    // the contrastive dataset capstone (r14 verdict #6): ICT (query,
+    // positive) + lexical hard negatives + dense hardest pos/neg per
+    // probe anchor, composed into ONE funnel row with id-sums and the
+    // integer-micro margin sum — the DPR training-set receipt
+    "retrieval_training_set" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      SearchOps.retrievalTrainingSet(Tables.documents(s, dir), emb,
         centroids = Some(VectorOps.sqrtCells(emb, iters = 2)))
     }),
     "lang_id" -> ((s, dir) => TextOps.langId(Tables.documents(s, dir))),

@@ -879,6 +879,68 @@ object DedupOps {
     connectedComponents(repVer.unionByName(stars))
   }
 
+  /** INCREMENTAL connected-components maintenance — the dedup tier's
+    * last non-incremental stage closed ([[incrementalCandidates]]
+    * yields batch-touching pairs; [[dedupClusters]] labels still
+    * required a full rerun): merge the arriving batch's VERIFIED
+    * pairs into the PERSISTED star-forest labels (`oldLabels`, a
+    * prior [[dedupClusters]] artifact) without re-verifying or
+    * re-contracting the untouched corpus.
+    *
+    * The merge form: each persisted component whose members a new
+    * pair touches re-enters the graph as its LABEL STAR
+    * (component_id → member, the [[exactFamilies]] star trick at the
+    * component tier — connectivity-equal to the component's original
+    * edge set, and depth 1 so contraction re-converges in O(1)
+    * rounds unless new pairs chain components); components no new
+    * pair touches pass through UNCHANGED — their min-id labels
+    * cannot move when no edge reaches them. Per-ingest cost is
+    * ∝ batch (candidate gen + verify) + touched components
+    * (star edges into the contraction), never ∝ corpus.
+    *
+    * Correctness (the `ann_incremental` merged ≡ rebuild identity,
+    * oracle-pinned by sharing `dedup_clusters`' full-recompute
+    * oracle): signatures and Jaccard are pure functions of text, so
+    * the full corpus's verified-pair set = (old-old pairs) ∪
+    * (batch-touching pairs); `oldLabels`' star forest has exactly
+    * the old-old components, and CC of a graph is invariant under
+    * replacing a subgraph by anything with the same connectivity —
+    * and the contraction re-derives each merged component's label as
+    * its min doc_id over the FULL merged node set, so labels agree
+    * with the rebuild whichever side the minimum lives on.
+    *
+    * Scale shape: candidate gen is the [[incrementalCandidates]]
+    * equi-join (batch side streams against the persisted bucket
+    * index); verify touches only batch-touching pairs; the touched /
+    * untouched split is two label-table joins keyed on the uniform
+    * component_id; contraction runs on |batch pairs| + |touched
+    * members| edges. At 100 TB `oldLabels` is the bucketed persisted
+    * label table and the batch is a day's ingest — the full rerun
+    * this replaces is the corpus-sized cost. */
+  def dedupClustersIncremental(oldLabels: DataFrame, oldDocs: DataFrame,
+                               newDocs: DataFrame,
+                               minJaccard: Double = 0.5): DataFrame = {
+    val newPairs = jaccardVerify(oldDocs.unionByName(newDocs),
+      incrementalCandidates(oldDocs, newDocs), 3, minJaccard)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val touchedDocs = newPairs.select(col("a_id").as("doc_id"))
+      .union(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    val touchedComponents = oldLabels.join(touchedDocs, Seq("doc_id"), "left_semi")
+      .select(col("component_id")).distinct()
+    val touched = oldLabels
+      .join(touchedComponents, Seq("component_id"), "left_semi")
+    val untouched = oldLabels
+      .join(touchedComponents, Seq("component_id"), "left_anti")
+    // every persisted component has ≥2 members (labels only exist for
+    // docs that appeared in an edge), so its star is non-empty and
+    // carries the root as an endpoint
+    val stars = touched.filter(col("doc_id") =!= col("component_id"))
+      .select(col("component_id").as("a_id"), col("doc_id").as("b_id"))
+    connectedComponents(newPairs.unionByName(stars))
+      .unionByName(untouched.select(col("doc_id"), col("component_id")))
+  }
+
   /** Row-local JVM twin of the [[minhashSignatures]] → [[lshBuckets]]
     * pipeline for ONE document — the streaming LSH kernel: a doc's
     * signature depends only on its own text, so the stream computes
@@ -926,6 +988,75 @@ object DedupOps {
       lshBuckets(minhashSignatures(repDocsOf(docs, members), numHashes, w), rowsPerBand)
         .select(concat_ws("#", col("band"), col("band_sig")).as("bucket")),
       "bucket", topN)
+  }
+
+  /** LSH-tier maintenance plan — `index_maintenance_plan`'s sibling
+    * on the lexical axis (the r14 verdict's framing: the ANN tier has
+    * its drift→refresh→priced-migration row; the lexical tier had the
+    * measurement ([[lshBucketProfile]]) but not the decision). One
+    * replayable row wiring three questions:
+    *
+    *  - DRIFT: has the persisted bucket index's occupancy profile
+    *    drifted from a fresh banding of today's corpus? Measured as
+    *    the L1 distance (integer micro grid) between the two
+    *    bucket-SIZE share histograms, sizes capped at `sizeCap` (the
+    *    tail lumps — occupancy shape, not raw counts, is what decays
+    *    detection probability as near-dup density shifts).
+    *  - REFRESH: the boolean, occ_l1_micro > tauMicro — the tau
+    *    stated in the row's contract, not buried in a runbook.
+    *  - MIGRATION PRICE of changing r×b: re-banding `rowsPerBandCur`
+    *    → `rowsPerBandNew` re-keys every indexed doc; the census
+    *    prices it as bucket-row counts (index bytes) and the
+    *    Σ C(size,2) candidate-pair bound (the quadratic verify work
+    *    the new banding would admit) under BOTH bandings.
+    *
+    * Determinism: every metric is an integer count or an integer-
+    * micro share; the boolean compares integers. The oracle rebuilds
+    * the base index from scratch, so a stale persisted artifact is a
+    * hash mismatch (the load-or-create convention).
+    *
+    * Scale shape: signatures compute once ([[minhashSignatures]]'s
+    * one shingle-keyed shuffle) and both bandings are map-side
+    * regroupings of the same 12 minhashes; every census is a keyed
+    * agg with map-side partials on (band, band_sig) — uniform keys;
+    * the final row is a crossJoin of 1-row aggregates. */
+  def lshMaintenancePlan(oldBuckets: DataFrame, docs: DataFrame,
+                         numHashes: Int = 12, rowsPerBandCur: Int = 3,
+                         rowsPerBandNew: Int = 2, w: Int = 3,
+                         sizeCap: Int = 8, tauMicro: Long = 50000L): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes, w).localCheckpoint(true)
+    val fresh = lshBuckets(sigs, rowsPerBandCur).localCheckpoint(true)
+    val reband = lshBuckets(sigs, rowsPerBandNew)
+    def bucketSizes(b: DataFrame): DataFrame =
+      b.groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("sz"))
+    def occShares(sizes: DataFrame, shareCol: String): DataFrame = {
+      val census = sizes.select(least(col("sz"), lit(sizeCap.toLong)).as("szc"))
+        .groupBy(col("szc")).agg(count(lit(1)).as("nb"))
+      val tot = census.agg(sum(col("nb")).as("nb_tot"))
+      census.crossJoin(broadcast(tot))
+        .select(col("szc"), expr("nb * 1000000 div nb_tot").as(shareCol))
+    }
+    def pairBound(sizes: DataFrame, name: String): DataFrame =
+      sizes.agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as(name))
+    val oldSizes = bucketSizes(oldBuckets).localCheckpoint(true)
+    val freshSizes = bucketSizes(fresh).localCheckpoint(true)
+    val drift = occShares(oldSizes, "a")
+      .join(occShares(freshSizes, "b"), Seq("szc"), "full")
+      .agg(coalesce(sum(abs(coalesce(col("a"), lit(0L)) - coalesce(col("b"), lit(0L)))),
+        lit(0L)).as("occ_l1_micro"))
+    drift
+      .crossJoin(broadcast(oldBuckets.agg(
+        countDistinct(col("doc_id")).as("n_docs_indexed"))))
+      .crossJoin(broadcast(fresh.agg(
+        countDistinct(col("doc_id")).as("n_docs_corpus"),
+        count(lit(1)).as("bucket_rows_cur"))))
+      .crossJoin(broadcast(reband.agg(count(lit(1)).as("bucket_rows_new"))))
+      .crossJoin(broadcast(pairBound(freshSizes, "cand_pairs_cur")))
+      .crossJoin(broadcast(pairBound(bucketSizes(reband), "cand_pairs_new")))
+      .withColumn("refresh", col("occ_l1_micro") > tauMicro)
+      .select(col("n_docs_indexed"), col("n_docs_corpus"), col("occ_l1_micro"),
+        col("refresh"), col("bucket_rows_cur"), col("bucket_rows_new"),
+        col("cand_pairs_cur"), col("cand_pairs_new"))
   }
 
   /** Bucket-capped candidate generation for the CLUSTERING path — the
@@ -1422,13 +1553,21 @@ object DedupOps {
     * verified-pair table and counts surviving pairs, touched docs,
     * and the smaller-id-representative prune estimate. The curve is
     * what a 0.5-vs-0.8 threshold decision is made on before a dedup
-    * pass ships. */
+    * pass ships — and the decision itself ships WITH the evidence
+    * (the k_anon_ladder convention): `chosen` flags the SMALLEST
+    * threshold whose kept fraction is ≥ `keepTarget` (the most
+    * aggressive dedup that still keeps the budgeted corpus share),
+    * falling back to the loosest-pruning (largest) threshold when no
+    * point meets the target. The flag is a window over the
+    * ≤|thresholds|-row curve — bounded, like every declared
+    * unpartitioned window in PLANS.md. */
   def dedupThresholdCurve(docs: DataFrame,
-                          thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9)): DataFrame = {
+                          thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9),
+                          keepTarget: Double = 0.8): DataFrame = {
     val verified = nearDupVerified(docs, minJaccard = thresholds.min)
       .localCheckpoint(true)
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    thresholds.map { t =>
+    val curve = thresholds.map { t =>
       verified.filter(col("jaccard") >= t)
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("b_id")).as("n_pruned"))
@@ -1438,6 +1577,20 @@ object DedupOps {
           (col("n_docs") - col("n_pruned")).as("n_kept"),
           expr("((n_docs - n_pruned) * 1000000L) div n_docs").as("kept_micro"))
     }.reduce(_ unionByName _)
+    withChosenThreshold(curve, math.round(keepTarget * 1e6))
+  }
+
+  /** The shared chosen-θ rule over a (threshold_micro, kept_micro)
+    * curve: smallest threshold with kept_micro ≥ target, else the
+    * largest threshold. Global window over the bounded curve frame. */
+  private[ops] def withChosenThreshold(curve: DataFrame, targetMicro: Long): DataFrame = {
+    val wAll = Window.partitionBy()
+    curve
+      .withColumn("_ok",
+        min(when(col("kept_micro") >= targetMicro, col("threshold_micro"))).over(wAll))
+      .withColumn("_mx", max(col("threshold_micro")).over(wAll))
+      .withColumn("chosen", col("threshold_micro") === coalesce(col("_ok"), col("_mx")))
+      .drop("_ok", "_mx")
   }
 
   /** Window-length sensitivity receipt for the excision tier — the

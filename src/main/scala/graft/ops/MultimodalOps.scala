@@ -550,6 +550,56 @@ object MultimodalOps {
         .select(col("media_id").as("id"), col("fp").as("sig")),
       maxHamming)
 
+  /** The multimodal DEDUP CAPSTONE — the pretrain_pipeline/web_ingest
+    * composition convention on the media tier (r14 verdict #3):
+    * decode → fingerprint ([[imageAHash]] / [[audioFingerprint]]) →
+    * pigeonhole hamming near-dup ([[DedupOps.hammingBandPairs]]) →
+    * cluster ([[DedupOps.connectedComponents]]) → golden record →
+    * per-stage funnel, one row per modality. Every kernel is already
+    * oracle-pinned solo; this row pins their COMPOSITION.
+    *
+    * Funnel columns: media in → decodable → near-dup pairs →
+    * clustered members / clusters → survivors after keeping ONE
+    * golden per cluster (n_kept = n_decoded − n_clustered +
+    * n_clusters). `golden_id_sum` pins WHICH goldens survive (the
+    * min-id representative per component — summing the distinct
+    * component ids makes representative selection a hash-checked
+    * value, not just a count).
+    *
+    * Scale shape: decode/fingerprint are the mapPartitions kernels
+    * (map-only); candidates are the 12-bit chunk equi-join, never a
+    * cross join; CC runs on the near-dup PAIR list (tiny vs the
+    * media corpus); every census is a 1-row agg crossJoin. At 100 TB
+    * the funnel prices each stage before the next runs — exactly the
+    * order a media-curation job wants its row counts audited in. */
+  def multimodalPipeline(images: Dataset[MediaRow], wavs: Dataset[MediaRow],
+                         maxHamming: Int = 3): DataFrame = {
+    def leg(modality: String, media: Dataset[MediaRow], sigs: DataFrame): DataFrame = {
+      val s = sigs.localCheckpoint(true)
+      val pairs = DedupOps.hammingBandPairs(s, maxHamming)
+        .select(col("a_id"), col("b_id")).localCheckpoint(true)
+      val clusters = DedupOps.connectedComponents(pairs).localCheckpoint(true)
+      media.toDF().agg(count(lit(1)).as("n_media"))
+        .crossJoin(broadcast(s.agg(count(lit(1)).as("n_decoded"))))
+        .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+        .crossJoin(broadcast(clusters.agg(
+          count(lit(1)).as("n_clustered"),
+          countDistinct(col("component_id")).as("n_clusters"))))
+        .crossJoin(broadcast(clusters.select(col("component_id")).distinct()
+          .agg(coalesce(sum(col("component_id")), lit(0L)).as("golden_id_sum"))))
+        .select(lit(modality).as("modality"), col("n_media"), col("n_decoded"),
+          col("n_pairs"), col("n_clustered"), col("n_clusters"),
+          (col("n_decoded") - col("n_clustered") + col("n_clusters")).as("n_kept"),
+          col("golden_id_sum"))
+    }
+    leg("image", images,
+      imageAHash(images).filter(_.ok).toDF()
+        .select(col("media_id").as("id"), col("ahash").as("sig")))
+      .unionByName(leg("audio", wavs,
+        audioFingerprint(wavs).filter(_.ok).toDF()
+          .select(col("media_id").as("id"), col("fp").as("sig"))))
+  }
+
   /** One demuxed video sample (frame): presentation order index,
     * timestamp in track ticks, byte extent in the container, and
     * whether the sample is a sync (key) frame. ok=false marks a

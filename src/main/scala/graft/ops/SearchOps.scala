@@ -224,6 +224,61 @@ object SearchOps {
       .select(col("query_doc"), col("rank"), col("doc_id").as("neg_id"), col("score"))
   }
 
+  /** The CONTRASTIVE DATASET CAPSTONE (r14 verdict #6) — the DPR
+    * training-set funnel composed from the three pinned kernels:
+    * [[graft.ops.TextOps.ictPairs]] supplies each anchor's (query,
+    * positive) — the unsupervised ORQA objective; [[bm25HardNegatives]]
+    * supplies the LEXICAL hard negatives (positives excluded by the
+    * kernel's own `doc_id ≠ query_doc` gate); and
+    * [[graft.ops.VectorOps.tripletMining]] supplies the DENSE hardest
+    * positive/negative per anchor (cross-label by construction, so
+    * the dense negative can never be the dense positive). Output is
+    * ONE replayable funnel row: per-stage counts plus id-sums and the
+    * integer-micro margin sum, so a drift in ANY stage's membership
+    * or values — not just its cardinality — is a hash mismatch.
+    *
+    * Anchors are the bounded probe set (doc_id / vec_id < nAnchors,
+    * the recall-receipt convention); `n_complete` counts anchors
+    * carrying all three components — the rows a contrastive batch
+    * builder could actually emit.
+    *
+    * Scale shape: inherits each kernel's declared plan (ICT =
+    * doc-keyed fold + map-side slice; BM25 = broadcast query terms +
+    * postings-pruned scoring; triplets = cell-bounded pair join);
+    * the composition adds only probe-bounded joins on anchor_id and
+    * 1-row agg crossJoins. */
+  def retrievalTrainingSet(docs: DataFrame, emb: DataFrame, nAnchors: Long = 10,
+                           centroids: Option[DataFrame] = None): DataFrame = {
+    val ict = TextOps.ictPairs(docs).filter(col("doc_id") < nAnchors)
+      .select(col("doc_id").as("anchor_id"), col("q_start"))
+      .localCheckpoint(true)
+    val lex = bm25HardNegatives(docs, nQueries = nAnchors)
+      .select(col("query_doc").as("anchor_id"), col("neg_id"))
+      .localCheckpoint(true)
+    val dense = VectorOps.tripletMining(emb, centroids = centroids)
+      .filter(col("anchor_id") < nAnchors)
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("margin"))
+      .localCheckpoint(true)
+    val complete = ict.select(col("anchor_id")).distinct()
+      .join(lex.select(col("anchor_id")).distinct(), "anchor_id")
+      .join(dense.select(col("anchor_id")).distinct(), "anchor_id")
+    docs.filter(col("doc_id") < nAnchors)
+      .agg(count(lit(1)).as("n_anchors"))
+      .crossJoin(broadcast(ict.agg(
+        count(lit(1)).as("n_ict"),
+        coalesce(sum(col("q_start")), lit(0L)).as("q_start_sum"))))
+      .crossJoin(broadcast(lex.agg(
+        count(lit(1)).as("n_lex"),
+        coalesce(sum(col("neg_id")), lit(0L)).as("lex_neg_id_sum"))))
+      .crossJoin(broadcast(dense.agg(
+        count(lit(1)).as("n_dense"),
+        coalesce(sum(col("pos_id")), lit(0L)).as("dense_pos_id_sum"),
+        coalesce(sum(col("neg_id")), lit(0L)).as("dense_neg_id_sum"),
+        coalesce(sum(round(col("margin") * 1e6).cast("long")), lit(0L))
+          .as("margin_micro_sum"))))
+      .crossJoin(broadcast(complete.agg(count(lit(1)).as("n_complete"))))
+  }
+
   /** The BM25 retrieval index AS A TABLE — the ADDITIVE half of the
     * BM25 state, per-document only: postings (doc_id, tok, tf) plus
     * one sentinel row (doc_id, '', 0) per document (tokenize drops

@@ -710,31 +710,43 @@ object TextOps {
     * contract). Quality is [[qualityScore]]'s composite on the exact
     * integer-micro grid.
     *
-    * Scale shape: one quality agg, then a per-lang rank window (the
-    * per-language partitions are the bounded-key family — at 100 TB
-    * rank within (lang, hash-bucket) shards and pair within shards
-    * to keep partitions bounded; pairing quality is statistically
-    * identical under uniform sharding). */
-  def preferencePairs(docs: DataFrame): DataFrame = {
+    * Scale shape: one quality agg, then the rank window runs within
+    * (lang, hash-bucket) SHARDS — never per-lang alone. One language
+    * is most of a real pretraining corpus, so a per-lang window would
+    * plan a single-task sort of nearly the whole corpus at 100×; the
+    * salted content-hash shard (the [[packSequences]] stream trick)
+    * caps every sort partition at corpus/(B·|langs|) expected rows,
+    * and B scales with the cluster (set it ≈ executor cores ×
+    * executors). Pairing is max-margin WITHIN each shard (rank k vs
+    * n_shard+1−k) — statistically identical to the global pairing
+    * under uniform sharding (each shard is a uniform random sample of
+    * its language's quality distribution), and margins stay monotone
+    * non-increasing per shard by construction. */
+  def preferencePairs(docs: DataFrame, nShards: Int = 8): DataFrame = {
     val q = qualityScore(docs)
-      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("lang"), col("doc_id"),
+      .join(docs.select(col("doc_id"), col("lang"),
+        graft.functions.PortableHash.bucket(concat(col("text"), lit("|pref")), nShards)
+          .as("bucket")), "doc_id")
+      .select(col("lang"), col("bucket"), col("doc_id"),
         round(col("quality") * 1e6).cast("long").as("q_micro"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("q_micro").desc, col("doc_id"))
+    val w = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("q_micro").desc, col("doc_id"))
     val ranked = q
       .withColumn("r", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy(col("lang"), col("bucket"))))
       .localCheckpoint(true)
     val top = ranked.filter(col("r") * 2 < col("n") + 1)
-      .select(col("lang"), col("r").as("pair_idx"),
+      .select(col("lang"), col("bucket"), col("r").as("pair_idx"),
         col("doc_id").as("chosen_id"), col("q_micro").as("chosen_q_micro"))
     val bot = ranked
-      .select(col("lang"), (col("n") + 1 - col("r")).as("pair_idx"),
+      .select(col("lang"), col("bucket"), (col("n") + 1 - col("r")).as("pair_idx"),
         col("doc_id").as("rejected_id"), col("q_micro").as("rejected_q_micro"))
-    top.join(bot, Seq("lang", "pair_idx"))
+    top.join(bot, Seq("lang", "bucket", "pair_idx"))
       .withColumn("margin_micro", col("chosen_q_micro") - col("rejected_q_micro"))
       .filter(col("margin_micro") > 0)
-      .select(col("lang"), col("pair_idx"), col("chosen_id"), col("chosen_q_micro"),
+      .select(col("lang"), col("bucket"), col("pair_idx"),
+        col("chosen_id"), col("chosen_q_micro"),
         col("rejected_id"), col("rejected_q_micro"), col("margin_micro"))
   }
 
@@ -916,6 +928,118 @@ object TextOps {
         floor((col("cum_tok") - col("n_tok")) / lit(tokenBudget.toDouble)).cast("long")
           .as("seq_id"),
         pmod(col("cum_tok") - col("n_tok"), lit(tokenBudget)).as("seq_offset"))
+  }
+
+  /** BEST-FIT-DECREASING sequence packing — the production
+    * alternative beside [[packSequences]]' concat-and-chunk (r14
+    * verdict #4): concat-and-chunk splits documents across sequence
+    * boundaries (attention bleed / truncated examples); BFD packs
+    * WHOLE documents into fixed-budget bins, paying padding waste
+    * instead of splits. Within each hash-bounded stream (the
+    * [[packSequences]] salted-shard trick — packing is inherently
+    * sequential, so the sequential unit is the stream, and streams
+    * scale with the cluster), documents fold in (n_tok DESC, doc_id)
+    * order; each lands in the FULLEST bin that still fits (best fit,
+    * first-index tie-break), else opens a new bin. Oversize docs
+    * (n_tok > budget) open their own over-full bin — whole-doc
+    * packing never truncates; the over-full bin can never fit
+    * another doc, so it is exactly the "give the giant its own
+    * sequence" policy, flagged downstream by load > budget.
+    *
+    * Determinism: the fold order, the fit rule, and both tie-breaks
+    * (max load, then lowest bin index via first-position) are integer
+    * decisions the DuckDB oracle replays step-for-step (recursive CTE
+    * over the same ordered stream).
+    *
+    * Scale shape: one map-side tokenize+bucket, ONE stream-keyed
+    * fold (the aggregate HOF runs inside codegen over the collected
+    * stream — stream size is corpus/nStreams by hash uniformity, the
+    * bounded-fold contract packSequences already declares); the bin
+    * state is the loads array (≤ stream docs). At 100 TB raise
+    * nStreams ≈ executor cores × executors, exactly the
+    * packSequences guidance. */
+  def packBestFit(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      wsTokenCount(col("text")).as("n_tok"),
+      graft.functions.PortableHash.bucket(concat(col("text"), lit("|pack")), nStreams)
+        .as("stream_id"))
+    val B = tokenBudget
+    // best bin = first position of the max load among fitting bins —
+    // any bin sharing that load also fits, so first-position IS the
+    // lowest-index tie-break
+    val bestPos = s"array_position(s.loads, array_max(filter(s.loads, l -> l + x.nt <= $B)))"
+    base
+      .groupBy(col("stream_id"))
+      .agg(expr(
+        // sort key (-n_tok, doc_id) = BFD order; nt carried for the fold
+        """transform(array_sort(collect_list(struct(-n_tok as negnt, doc_id as d, n_tok as nt))),
+          |  x -> struct(x.nt as nt, x.d as d))""".stripMargin).as("ds"))
+      .withColumn("st", expr(
+        s"""aggregate(ds,
+           |  struct(cast(array() as array<bigint>) as loads,
+           |         cast(array() as array<struct<d: bigint, b: bigint, nt: bigint>>) as asg),
+           |  (s, x) -> if(exists(s.loads, l -> l + x.nt <= $B),
+           |    struct(
+           |      transform(s.loads, (l, i) -> if(i + 1 = $bestPos, l + x.nt, l)) as loads,
+           |      array_append(s.asg, struct(x.d as d, $bestPos as b, x.nt as nt)) as asg),
+           |    struct(
+           |      array_append(s.loads, x.nt) as loads,
+           |      array_append(s.asg, struct(x.d as d, cast(size(s.loads) + 1 as bigint) as b,
+           |                                 x.nt as nt)) as asg)))""".stripMargin))
+      .select(col("stream_id"), explode(col("st.asg")).as("a"))
+      .select(col("a.d").as("doc_id"), col("stream_id"),
+        col("a.nt").as("n_tok"), col("a.b").as("bin_id"))
+  }
+
+  /** The packing-policy RECEIPT beside [[packBestFit]] — prices the
+    * concat-and-chunk vs whole-doc trade on the same corpus, one row
+    * per method: sequence/bin count, capacity, used tokens, padding
+    * waste (micro), split fraction ([[packSequences]]' documents
+    * whose span crosses a boundary; structurally zero for BFD), and
+    * the oversize census. The two stated facts a packing decision
+    * needs: chunking wastes almost nothing but splits ~budgetʼs worth
+    * of docs; BFD never splits but pads.
+    *
+    * Scale shape: both packings' declared plans + bounded rollups
+    * (per-stream / per-bin aggs, then a 2-row union). */
+  def packEfficiency(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
+    val B = tokenBudget
+    val seq = packSequences(docs, tokenBudget, nStreams).localCheckpoint(true)
+    // concat-and-chunk: per stream, capacity = ceil(tokens/B)·B; a doc
+    // splits when its span crosses a boundary (offset + n_tok > B)
+    val seqStream = seq.groupBy(col("stream_id"))
+      .agg(sum(col("n_tok")).as("toks"),
+        count(lit(1)).as("nd"),
+        sum(when(col("seq_offset") + col("n_tok") > B, 1L).otherwise(0L)).as("nsplit"))
+    val seqRow = seqStream.agg(
+      sum(expr(s"(toks + ${B - 1}) div $B")).as("n_units"),
+      (sum(expr(s"(toks + ${B - 1}) div $B")) * B).as("capacity"),
+      sum(col("toks")).as("used_tokens"),
+      sum(col("nd")).as("n_docs"),
+      sum(col("nsplit")).as("n_split_docs"),
+      lit(0L).as("n_oversize"))
+      .select(lit("chunk").as("method"), col("*"))
+    val bins = packBestFit(docs, tokenBudget, nStreams).localCheckpoint(true)
+    val binLoads = bins.groupBy(col("stream_id"), col("bin_id"))
+      .agg(sum(col("n_tok")).as("load"))
+    val bfRow = binLoads.agg(
+      count(lit(1)).as("n_units"),
+      sum(greatest(col("load"), lit(B))).as("capacity"),
+      sum(col("load")).as("used_tokens"))
+      .crossJoin(broadcast(bins.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tok") > B, 1L).otherwise(0L)).as("n_oversize"))))
+      .select(lit("bestfit").as("method"), col("n_units"), col("capacity"),
+        col("used_tokens"), col("n_docs"), lit(0L).as("n_split_docs"),
+        col("n_oversize"))
+    seqRow.unionByName(bfRow)
+      .withColumn("waste_micro",
+        expr("(capacity - used_tokens) * 1000000 div capacity"))
+      .withColumn("split_micro", expr("n_split_docs * 1000000 div n_docs"))
+      .select(col("method"), col("n_units"), col("capacity"), col("used_tokens"),
+        col("waste_micro"), col("n_docs"), col("n_split_docs"), col("split_micro"),
+        col("n_oversize"))
   }
 
   /** Corpus-derived unigram language-model scoring — the

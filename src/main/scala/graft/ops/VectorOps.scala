@@ -155,14 +155,18 @@ object VectorOps {
     * the first_probe economy on the threshold axis); each curve point
     * is a filter + two bounded aggs over the checkpointed pair table.
     * Output per threshold: surviving-pair count, pruned/kept vector
-    * counts, kept fraction (micro grid). */
+    * counts, kept fraction (micro grid), plus the decision flag:
+    * `chosen` marks the smallest θ keeping ≥ `keepTarget` of the
+    * corpus ([[graft.ops.DedupOps.withChosenThreshold]]'s shared
+    * rule — most aggressive prune inside the keep budget). */
   def semdedupCurve(embeddings: DataFrame,
                     thresholds: Seq[Double] = Seq(0.2, 0.3, 0.5),
-                    centroids: Option[DataFrame] = None): DataFrame = {
+                    centroids: Option[DataFrame] = None,
+                    keepTarget: Double = 0.8): DataFrame = {
     val scored = similarityJoinIvf(embeddings, thresholds.min, centroids = centroids)
       .localCheckpoint(true)
     val n = embeddings.agg(count(lit(1)).as("n_vecs"))
-    thresholds.map { t =>
+    val curve = thresholds.map { t =>
       scored.filter(col("cos_sim") >= t)
         .agg(count(lit(1)).as("n_pairs"),
           countDistinct(col("b_id")).as("n_pruned"))
@@ -172,6 +176,9 @@ object VectorOps {
           (col("n_vecs") - col("n_pruned")).as("n_kept"),
           expr("((n_vecs - n_pruned) * 1000000L) div n_vecs").as("kept_micro"))
     }.reduce(_ unionByName _)
+    // the decision beside the evidence (dedup_threshold_curve's
+    // shared rule): smallest θ keeping ≥ keepTarget of the corpus
+    DedupOps.withChosenThreshold(curve, math.round(keepTarget * 1e6))
   }
 
   /** Contrastive hard-negative mining — the training-pair step of an
@@ -438,6 +445,7 @@ object VectorOps {
              iters: Int = 2, rerankFactor: Int = 4): DataFrame = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    requireDenseSeedIds(corpus, ksub, "pqTopK")
     val dsub = d / m
 
     // map-side subvector view: (id, s, sv[dsub]) — slice, never a shuffle
@@ -554,6 +562,7 @@ object VectorOps {
                  m: Int = 8, ksub: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val d = corpus.select(size(col("embedding"))).head().getInt(0)
     require(d % m == 0, s"dims $d not divisible by m=$m subspaces")
+    requireDenseSeedIds(corpus, ksub, "ivfPqIndex")
     val dsub = d / m
     val centDense = cent
       .groupBy(col("c_label"))
@@ -602,6 +611,21 @@ object VectorOps {
       .join(assigned, "vec_id")
       .select(col("vec_id"), col("c_label"), col("carr"))
     (pqc, codes)
+  }
+
+  /** PQ seed-selection precondition (r14 ADVICE): `vec_id < ksub`
+    * seeding assumes DENSE ids from 0 — an offset/sparse-id corpus
+    * would silently train a degenerate (or empty) codebook. Enforced
+    * eagerly at index-build time (build already pays a `.head()` for
+    * dims); the fix for an arbitrary-id corpus is to re-key with
+    * row_number before training, stated in the failure message. */
+  private def requireDenseSeedIds(corpus: DataFrame, ksub: Int, who: String): Unit = {
+    val nSeeds = corpus.filter(col("vec_id") < ksub)
+      .select(countDistinct(col("vec_id"))).head().getLong(0)
+    require(nSeeds == ksub,
+      s"$who: seed selection vec_id < $ksub found $nSeeds distinct ids — " +
+        "PQ seeding requires dense vec_ids from 0; re-key the corpus with " +
+        "row_number() over vec_id before training")
   }
 
   /** Map-side subvector view shared by the IVFADC train/apply halves:
@@ -757,7 +781,8 @@ object VectorOps {
                        nProbe: Int = 3,
                        centroids: Option[DataFrame] = None,
                        index: Option[(DataFrame, DataFrame)] = None,
-                       groundTruth: Option[DataFrame] = None): DataFrame = {
+                       groundTruth: Option[DataFrame] = None,
+                       m: Int = 8, ksub: Int = 16): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
       .select(col("query_id"), col("vec_id")).localCheckpoint(true))
@@ -771,9 +796,14 @@ object VectorOps {
     // the shared persisted artifacts (the lang_confusion_learned
     // amortization; the oracle retrains from scratch, so a stale
     // artifact is a red row, never a silent pass)
+    // m/ksub describe the SUPPLIED index's shape too — a codebook
+    // trained at a different (m, ksub) must be scored with its own
+    // LUT keys, never the defaults (r14 ADVICE: hardcoded 8/16 here
+    // would silently mis-key a differently-shaped index)
     val (pqCodebook, codes) = index.getOrElse(
-      ivfPqIndex(corpus, cent, m = 8, ksub = 16, iters = 2))
-    val scored = ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes)
+      ivfPqIndex(corpus, cent, m = m, ksub = ksub, iters = 2))
+    val scored = ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes,
+      m = m, ksub = ksub)
       .withColumn("qrank", row_number().over(wq))
       .filter(col("qrank") <= k * maxF)
       .join(c, "vec_id")

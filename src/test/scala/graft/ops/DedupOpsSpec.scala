@@ -321,6 +321,16 @@ class DedupOpsSpec extends SparkSpec {
     assert(r(500000L)._4 <= r(700000L)._4 && r(700000L)._4 <= r(900000L)._4)
     assert(r(900000L)._2 >= 1L, "the exact duplicate is pruned at every threshold")
     r.values.foreach { case (_, pruned, kept, _) => assert(pruned + kept === 4L) }
+    // the decision flag: exactly one chosen row — the smallest theta
+    // whose kept fraction meets the target, else the largest theta
+    val rows = DedupOps.dedupThresholdCurve(docs).collect()
+    val chosen = rows.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.length === 1, "exactly one threshold is chosen")
+    val qualifying = rows.filter(_.getAs[Long]("kept_micro") >= 800000L)
+    val expected =
+      if (qualifying.nonEmpty) qualifying.map(_.getAs[Long]("threshold_micro")).min
+      else rows.map(_.getAs[Long]("threshold_micro")).max
+    assert(chosen.head.getAs[Long]("threshold_micro") === expected)
   }
 
   test("substringWindowCurve: coverage monotone non-increasing in window width") {
@@ -393,6 +403,54 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.get(0L).contains(0L) && comp.get(1L).contains(0L)) // dup pair clusters under 0
     assert(!comp.contains(3L)) // unrelated doc is in no cluster
+  }
+
+  test("lshMaintenancePlan: undrifted index reads zero drift; re-banding priced") {
+    val oldB = DedupOps.lshBuckets(DedupOps.minhashSignatures(docs))
+    val x = DedupOps.lshMaintenancePlan(oldB, docs).collect().head
+    assert(x.getAs[Long]("occ_l1_micro") === 0L, "same corpus, same banding")
+    assert(!x.getAs[Boolean]("refresh"))
+    assert(x.getAs[Long]("n_docs_indexed") === x.getAs[Long]("n_docs_corpus"))
+    // 12 hashes: 4 bands at r=3, 6 bands at r=2 — one bucket row per (doc, band)
+    assert(x.getAs[Long]("bucket_rows_cur") === x.getAs[Long]("n_docs_corpus") * 4)
+    assert(x.getAs[Long]("bucket_rows_new") === x.getAs[Long]("n_docs_corpus") * 6)
+    assert(x.getAs[Long]("cand_pairs_cur") >= 1L, "the exact dup pair co-buckets")
+    // an index built on a subset skews the occupancy histogram
+    val sub = DedupOps.lshBuckets(DedupOps.minhashSignatures(docs.filter($"doc_id" <= 1)))
+    val d = DedupOps.lshMaintenancePlan(sub, docs).collect().head
+    assert(d.getAs[Long]("occ_l1_micro") > 0L, "subset index occupancy drifts")
+  }
+
+  test("dedupClustersIncremental: merged labels equal the full recompute exactly") {
+    // base corpus: two clusters + an unrelated doc; the batch (a) adds
+    // a near-dup that JOINS cluster {0,1,2}, (b) adds a new pair that
+    // BRIDGES nothing old (new-new cluster), and (c) leaves one old
+    // cluster untouched — exercising merge, fresh, and passthrough
+    val oldDocs = Seq(
+      (0L, base),
+      (1L, base),
+      (2L, base + " with a tiny edit"),
+      (3L, "completely different words about spark query engines at scale ok"),
+      (4L, "an untouched duplicate family lives here calmly every single day"),
+      (5L, "an untouched duplicate family lives here calmly every single day")
+    ).toDF("doc_id", "text")
+    val newDocs = Seq(
+      (10L, base), // exact copy — joins {0,1,2} with certainty
+      (11L, "brand new template text arriving twice in the same batch today"),
+      (12L, "brand new template text arriving twice in the same batch today")
+    ).toDF("doc_id", "text")
+    val allDocs = oldDocs.unionByName(newDocs)
+    val full = DedupOps.dedupClusters(allDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseLabels = DedupOps.dedupClusters(oldDocs)
+    val merged = DedupOps.dedupClustersIncremental(baseLabels, oldDocs, newDocs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === full, "incremental maintenance must equal the rebuild")
+    // and the fixture exercised all three paths
+    assert(full.get(10L).contains(0L), "batch doc joined the old cluster")
+    assert(full.get(12L).contains(11L), "new-new pair formed its own cluster")
+    assert(full.get(5L).contains(4L) && merged.get(5L).contains(4L),
+      "untouched component passed through")
   }
 
   test("decontaminate flags corpus docs overlapping the benchmark set") {

@@ -15,7 +15,10 @@ class TextOpsSpec extends SparkSpec {
       val toks = (1 to 10).map(j => s"w${j % distinct}").mkString(" ")
       (i, toks, lang)
     }.toDF("doc_id", "text", "lang")
-    val r = TextOps.preferencePairs(d).collect()
+    // nShards = 2 so the 6-doc-per-lang fixture still lands >=2 docs
+    // in some shard (pigeonhole); margins are monotone PER SHARD —
+    // the executed (lang, hash-bucket) plan's contract
+    val r = TextOps.preferencePairs(d, nShards = 2).collect()
     assert(r.nonEmpty)
     r.foreach { x =>
       assert(x.getAs[Long]("margin_micro") > 0L)
@@ -24,10 +27,13 @@ class TextOpsSpec extends SparkSpec {
     r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
       assert(rows.map(_.getAs[Long]("chosen_id")).distinct.length === rows.length)
       assert(rows.map(_.getAs[Long]("rejected_id")).distinct.length === rows.length)
-      val margins = rows.sortBy(_.getAs[Long]("pair_idx")).map(_.getAs[Long]("margin_micro"))
-      assert(margins.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
-        "rank k vs n+1-k pairing makes margins non-increasing")
     }
+    r.groupBy(x => (x.getAs[String]("lang"), x.getAs[Long]("bucket")))
+      .foreach { case (_, rows) =>
+        val margins = rows.sortBy(_.getAs[Long]("pair_idx")).map(_.getAs[Long]("margin_micro"))
+        assert(margins.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)),
+          "rank k vs n_shard+1-k pairing makes margins non-increasing per shard")
+      }
     // chosen and rejected never overlap within a lang
     r.groupBy(_.getAs[String]("lang")).foreach { case (_, rows) =>
       val c = rows.map(_.getAs[Long]("chosen_id")).toSet
@@ -316,6 +322,49 @@ class TextOpsSpec extends SparkSpec {
         assert(x.getAs[Long]("seq_id") === start / 4)
         assert(x.getAs[Long]("seq_offset") === start % 4)
       }
+    }
+  }
+
+  test("packBestFit: hand-traced BFD fold — fullest fitting bin, new bin on no-fit") {
+    // nStreams = 1 pins one fold; sizes 7,6,4,3,2 at budget 10:
+    // 7→bin1; 6→bin2 (7+6>10); 4→bin2 (6+4=10 beats nothing else);
+    // 3→bin1 (7+3=10); 2→bin3 (both bins full)
+    val docs = Seq(7, 6, 4, 3, 2).zipWithIndex
+      .map { case (n, i) => (i.toLong, ("w " * n).trim) }
+      .toDF("doc_id", "text")
+    val r = TextOps.packBestFit(docs, tokenBudget = 10, nStreams = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("bin_id")).toMap
+    assert(r === Map(0L -> 1L, 1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 3L))
+  }
+
+  test("packBestFit: whole docs, no bin over budget except a lone oversize doc") {
+    val docs = (0 until 30).map(i => (i.toLong, ("tok " * (i % 9 + 1)).trim))
+      .toDF("doc_id", "text")
+    val rows = TextOps.packBestFit(docs, tokenBudget = 8, nStreams = 2).collect()
+    assert(rows.length === 30, "every doc assigned exactly once")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length === 30)
+    rows.groupBy(x => (x.getAs[Long]("stream_id"), x.getAs[Long]("bin_id")))
+      .foreach { case (_, bin) =>
+        val load = bin.map(_.getAs[Long]("n_tok")).sum
+        if (load > 8L)
+          assert(bin.length === 1 && bin.head.getAs[Long]("n_tok") > 8L,
+            "an over-budget bin is exactly one oversize doc")
+      }
+  }
+
+  test("packEfficiency: chunk splits but packs tight; bestfit never splits") {
+    val docs = (0 until 40).map(i => (i.toLong, ("tok " * (i % 9 + 1)).trim))
+      .toDF("doc_id", "text")
+    val r = TextOps.packEfficiency(docs, tokenBudget = 8, nStreams = 2).collect()
+      .map(x => x.getAs[String]("method") -> x).toMap
+    assert(r.keySet === Set("chunk", "bestfit"))
+    assert(r("chunk").getAs[Long]("used_tokens") === r("bestfit").getAs[Long]("used_tokens"))
+    assert(r("bestfit").getAs[Long]("n_split_docs") === 0L)
+    assert(r("bestfit").getAs[Long]("split_micro") === 0L)
+    assert(r("chunk").getAs[Long]("n_split_docs") > 0L, "chunking splits at this density")
+    Seq("chunk", "bestfit").foreach { m =>
+      assert(r(m).getAs[Long]("capacity") >= r(m).getAs[Long]("used_tokens"))
+      assert(r(m).getAs[Long]("n_docs") === 40L)
     }
   }
 
