@@ -445,18 +445,22 @@ object SparkEntry {
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
     // incremental CC maintenance (r14 verdict #2): the base corpus's
-    // cluster labels persist once (loadOrCreate); the arriving batch
-    // (doc_id >= 400 — the dedup_incremental split) contributes only
-    // batch-touching verified pairs; touched components re-enter as
-    // their label stars, untouched labels pass through unchanged —
-    // merged ≡ full recompute, pinned by sharing dedup_clusters'
-    // full-recompute oracle verbatim
+    // cluster labels + bucket index persist once (loadOrCreate); the
+    // arriving batch (doc_id % 10 >= 8 — the ann/bm25_incremental
+    // SCALE-PROPORTIONAL split, so the batch stays ~20% at every SF)
+    // contributes only batch-touching verified pairs; touched
+    // components re-enter as their label stars, untouched labels
+    // pass through unchanged — merged ≡ full recompute, pinned by
+    // sharing dedup_clusters' full-recompute oracle verbatim
     "dedup_clusters_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val oldD = docs.filter(col("doc_id") < 400)
-      val base = loadOrCreate(s, "dedup_clusters_base", dir)(
+      val oldD = docs.filter(col("doc_id") % 10 < 8)
+      val base = loadOrCreate(s, "dedup_clusters_incr_base", dir)(
         DedupOps.dedupClusters(oldD))
-      DedupOps.dedupClustersIncremental(base, oldD, docs.filter(col("doc_id") >= 400))
+      val oldB = loadOrCreate(s, "lsh_buckets_incr_base", dir)(
+        DedupOps.lshBuckets(DedupOps.minhashSignatures(oldD)))
+      DedupOps.dedupClustersIncremental(base, oldB, oldD,
+        docs.filter(col("doc_id") % 10 >= 8))
     }),
     // the bucket-size measurement that decides whether the clustering
     // path needs the capped fallback: top LSH buckets by occupancy

@@ -909,19 +909,28 @@ object DedupOps {
     * its min doc_id over the FULL merged node set, so labels agree
     * with the rebuild whichever side the minimum lives on.
     *
-    * Scale shape: candidate gen is the [[incrementalCandidates]]
-    * equi-join (batch side streams against the persisted bucket
-    * index); verify touches only batch-touching pairs; the touched /
-    * untouched split is two label-table joins keyed on the uniform
-    * component_id; contraction runs on |batch pairs| + |touched
-    * members| edges. At 100 TB `oldLabels` is the bucketed persisted
-    * label table and the batch is a day's ingest — the full rerun
-    * this replaces is the corpus-sized cost. */
-  def dedupClustersIncremental(oldLabels: DataFrame, oldDocs: DataFrame,
-                               newDocs: DataFrame,
+    * Scale shape: candidate gen is
+    * [[incrementalCandidatesFromIndex]]'s equi-join — the batch's
+    * buckets stream against the PERSISTED index (`oldBuckets`, the
+    * same artifact `lsh_maintenance_plan` audits; never rebuilt
+    * here); the Jaccard verify shingles ONLY the candidate pairs'
+    * endpoint docs (a semi-join gate — the corpus's texts are never
+    * re-shingled); the touched / untouched split is two label-table
+    * joins keyed on the uniform component_id; contraction runs on
+    * |batch pairs| + |touched members| edges. At 100 TB `oldLabels`
+    * and `oldBuckets` are the bucketed persisted tables and the
+    * batch is a day's ingest — every stage is batch-proportional. */
+  def dedupClustersIncremental(oldLabels: DataFrame, oldBuckets: DataFrame,
+                               oldDocs: DataFrame, newDocs: DataFrame,
                                minJaccard: Double = 0.5): DataFrame = {
-    val newPairs = jaccardVerify(oldDocs.unionByName(newDocs),
-      incrementalCandidates(oldDocs, newDocs), 3, minJaccard)
+    val cand = incrementalCandidatesFromIndex(oldBuckets, newDocs)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val endpoints = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val pairDocs = oldDocs.unionByName(newDocs)
+      .join(endpoints, Seq("doc_id"), "left_semi")
+    val newPairs = jaccardVerify(pairDocs, cand, 3, minJaccard)
       .select(col("a_id"), col("b_id"))
       .localCheckpoint(true)
     val touchedDocs = newPairs.select(col("a_id").as("doc_id"))

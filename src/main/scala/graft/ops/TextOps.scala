@@ -967,7 +967,12 @@ object TextOps {
     val B = tokenBudget
     // best bin = first position of the max load among fitting bins —
     // any bin sharing that load also fits, so first-position IS the
-    // lowest-index tie-break
+    // lowest-index tie-break. NULL when nothing fits (array_max of an
+    // empty filter), which is exactly the open-a-new-bin signal.
+    // The singleton transform() is a LET binding: SQL lambdas have no
+    // local names, and inlining this O(bins) search into the per-bin
+    // update comparison would make each fold step O(bins²) — measured
+    // 10.5 s at sf0.1 before the binding, the round's one perf bug.
     val bestPos = s"array_position(s.loads, array_max(filter(s.loads, l -> l + x.nt <= $B)))"
     base
       .groupBy(col("stream_id"))
@@ -979,14 +984,15 @@ object TextOps {
         s"""aggregate(ds,
            |  struct(cast(array() as array<bigint>) as loads,
            |         cast(array() as array<struct<d: bigint, b: bigint, nt: bigint>>) as asg),
-           |  (s, x) -> if(exists(s.loads, l -> l + x.nt <= $B),
-           |    struct(
-           |      transform(s.loads, (l, i) -> if(i + 1 = $bestPos, l + x.nt, l)) as loads,
-           |      array_append(s.asg, struct(x.d as d, $bestPos as b, x.nt as nt)) as asg),
-           |    struct(
-           |      array_append(s.loads, x.nt) as loads,
-           |      array_append(s.asg, struct(x.d as d, cast(size(s.loads) + 1 as bigint) as b,
-           |                                 x.nt as nt)) as asg)))""".stripMargin))
+           |  (s, x) -> element_at(transform(array($bestPos),
+           |    bp -> if(bp is null,
+           |      struct(
+           |        array_append(s.loads, x.nt) as loads,
+           |        array_append(s.asg, struct(x.d as d, cast(size(s.loads) + 1 as bigint) as b,
+           |                                   x.nt as nt)) as asg),
+           |      struct(
+           |        transform(s.loads, (l, i) -> if(i + 1 = bp, l + x.nt, l)) as loads,
+           |        array_append(s.asg, struct(x.d as d, bp as b, x.nt as nt)) as asg))), 1))""".stripMargin))
       .select(col("stream_id"), explode(col("st.asg")).as("a"))
       .select(col("a.d").as("doc_id"), col("stream_id"),
         col("a.nt").as("n_tok"), col("a.b").as("bin_id"))

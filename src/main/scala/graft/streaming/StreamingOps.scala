@@ -253,6 +253,54 @@ object StreamingOps {
       }
   }
 
+  /** [[packStream]] input: a tokenized doc already routed to its
+    * packing stream (the batch op's salted hash bucket — routing is
+    * map-side and stateless, so the stream twin takes it as given). */
+  case class PackDoc(doc_id: Long, stream_id: Long, n_tok: Long)
+  /** [[packStream]] state: the last APPLIED doc_id (late-arrival
+    * gate) and the running token count — exactly what the batch
+    * cumsum window carries, nothing else. */
+  case class PackSt(lastDoc: Long, cumTok: Long)
+  case class PackAssign(doc_id: Long, stream_id: Long, n_tok: Long,
+                        seq_id: Long, seq_offset: Long)
+
+  /** Streaming twin of [[graft.ops.TextOps.packSequences]] (§2.10
+    * convention — oracle-exempt, spec-pinned to the batch op): the
+    * concat-and-chunk sequence assignment maintained INCREMENTALLY.
+    * The batch op's per-stream cumsum window becomes one two-Long
+    * fold per stream key: an arriving doc's sequence id/offset derive
+    * from the running token count BEFORE it lands (the batch
+    * `cum_tok − n_tok` contract), then the count advances. Docs apply
+    * in doc_id order inside a batch (the batch window's ORDER BY); a
+    * doc at or below the last APPLIED doc_id is late beyond applied
+    * state and DROPS (the [[stateHistoryStream]] rule — batch ≡
+    * stream holds for in-order arrival, which the spec replays).
+    * State per stream is two Longs; parallelism = nStreams, exactly
+    * the batch op's scale story. */
+  def packStream(docs: Dataset[PackDoc], tokenBudget: Long = 128): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState[PackSt, PackAssign](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (sid, rows, state: GroupState[PackSt]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(PackSt(Long.MinValue, 0L))
+          val out = Seq.newBuilder[PackAssign]
+          sorted.foreach { d =>
+            if (d.doc_id <= st.lastDoc) () // late beyond applied: dropped
+            else {
+              val start = st.cumTok
+              out += PackAssign(d.doc_id, sid, d.n_tok,
+                start / tokenBudget, start % tokenBudget)
+              st = PackSt(d.doc_id, st.cumTok + d.n_tok)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Input/output row for [[debounceStream]]: `ts` is a proper
     * timestamp (the watermark column); `ts_ms` its epoch-millis twin
     * for timer arithmetic. */

@@ -443,7 +443,8 @@ class DedupOpsSpec extends SparkSpec {
     val full = DedupOps.dedupClusters(allDocs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val baseLabels = DedupOps.dedupClusters(oldDocs)
-    val merged = DedupOps.dedupClustersIncremental(baseLabels, oldDocs, newDocs)
+    val baseBuckets = DedupOps.lshBuckets(DedupOps.minhashSignatures(oldDocs))
+    val merged = DedupOps.dedupClustersIncremental(baseLabels, baseBuckets, oldDocs, newDocs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(merged === full, "incremental maintenance must equal the rebuild")
     // and the fixture exercised all three paths

@@ -873,6 +873,46 @@ class StreamingOpsSpec extends SparkSpec {
     }
   }
 
+  test("packStream: per-stream cumsum state across micro-batches equals the batch packSequences replay") {
+    implicit val sqlCtx = spark.sqlContext
+    // two streams, doc sizes chosen so sequences split mid-stream;
+    // in-order arrival split across two micro-batches
+    val docs = Seq(
+      PackDoc(0L, 0L, 3L), PackDoc(1L, 0L, 2L), PackDoc(2L, 1L, 4L),
+      PackDoc(3L, 0L, 4L), PackDoc(4L, 1L, 1L), PackDoc(5L, 1L, 3L))
+    val input = MemoryStream[PackDoc]
+    val q = packStream(input.toDS(), tokenBudget = 4L)
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode("update").start()
+    try {
+      input.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("pack_out").as[PackAssign].collect()
+        .map(a => a.doc_id -> ((a.stream_id, a.n_tok, a.seq_id, a.seq_offset))).toMap
+      // batch replay: same (doc, stream, n_tok) fed through the
+      // window form — texts synthesized to the same token counts,
+      // stream routing overridden to the fixture's explicit streams
+      val expected = docs.groupBy(_.stream_id).flatMap { case (sid, ds) =>
+        val sorted = ds.sortBy(_.doc_id)
+        val starts = sorted.scanLeft(0L)((acc, d) => acc + d.n_tok).init
+        sorted.zip(starts).map { case (d, start) =>
+          d.doc_id -> ((sid, d.n_tok, start / 4L, start % 4L))
+        }
+      }
+      assert(got === expected, "stream assignments equal the batch cumsum")
+      // late beyond applied: re-sending doc 0 must not re-emit or move state
+      input.addData(PackDoc(0L, 0L, 99L), PackDoc(6L, 0L, 1L))
+      q.processAllAvailable()
+      val after = spark.table("pack_out").as[PackAssign].collect()
+      assert(after.count(_.doc_id == 0L) === 1, "late duplicate dropped")
+      val d6 = after.find(_.doc_id == 6L).get
+      assert(d6.seq_id === 2L && d6.seq_offset === 1L,
+        "state advanced past doc 3 (cum 9) only")
+    } finally q.stop()
+  }
+
   test("twapStream: running per-user state across micro-batches equals the batch eventsTwap replay") {
     implicit val sqlCtx = spark.sqlContext
     val sec = 1000L * 1000 * 1000
