@@ -1954,6 +1954,38 @@ private[graft] object OracleRegistry {
          |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
          |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)
          |SELECT doc_id, stream_id, n_tok, bin_id FROM st WHERE rn >= 1""".stripMargin,
+    // the same BFD recursive fold but in ARRIVAL (doc_id) order —
+    // the online placement an ingest pipeline actually runs
+    "pack_bestfit_online" ->
+      s"""WITH RECURSIVE t AS (SELECT doc_id,
+         |    CAST(len(list_filter(list_transform(string_split(text, ' '), x -> trim(x)),
+         |                         x -> x <> '')) AS BIGINT) AS n_tok,
+         |    ${duckHash24("text || '|pack'")} % 8 AS stream_id
+         |  FROM documents),
+         |r AS (SELECT doc_id, n_tok, stream_id,
+         |    CAST(row_number() OVER (PARTITION BY stream_id
+         |      ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM t),
+         |st AS (
+         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         |         CAST(NULL AS BIGINT) AS bin_id
+         |  FROM (SELECT DISTINCT stream_id FROM r) s0
+         |  UNION ALL
+         |  SELECT s.stream_id, s.rn + 1,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN list_transform(range(1, len(s.loads) + 1),
+         |             i -> CASE WHEN i = list_position(s.loads,
+         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
+         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
+         |      ELSE list_append(s.loads, d.n_tok) END,
+         |    d.doc_id, d.n_tok,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN CAST(list_position(s.loads,
+         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
+         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
+         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)
+         |SELECT doc_id, stream_id, n_tok, bin_id FROM st WHERE rn >= 1""".stripMargin,
     // both packing chains + bounded rollups; chunk splits counted by
     // the boundary-crossing rule, bestfit capacity floors at the
     // budget per bin (over-full oversize bins waste nothing)

@@ -763,6 +763,11 @@ object SparkEntry {
     // the packing-policy receipt: chunk vs bestfit on the same corpus
     // — units/capacity/used, padding waste, split fraction, oversize
     "pack_efficiency" -> ((s, dir) => TextOps.packEfficiency(Tables.documents(s, dir))),
+    // ONLINE best fit — the deployment form (place on arrival, no
+    // decreasing sort); same fold kernel/tie-breaks, doc_id order;
+    // the streaming twin packOnlineStream folds the identical rule
+    "pack_bestfit_online" -> ((s, dir) =>
+      TextOps.packBestFitOnline(Tables.documents(s, dir))),
     // ---- training-example construction (ICT / FIM / T5 spans) ----
     // ORQA's unsupervised retrieval pairs: a hash-placed 8-token
     // window becomes the query, the remainder its positive context

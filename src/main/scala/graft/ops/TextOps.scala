@@ -958,7 +958,33 @@ object TextOps {
     * state is the loads array (≤ stream docs). At 100 TB raise
     * nStreams ≈ executor cores × executors, exactly the
     * packSequences guidance. */
-  def packBestFit(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
+  def packBestFit(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame =
+    // sort key (-n_tok, doc_id) = the DECREASING order BFD needs
+    packBestFitFold(docs, tokenBudget, nStreams,
+      "struct(-n_tok as negnt, doc_id as d, n_tok as nt)")
+
+  /** ONLINE best fit — [[packBestFit]] without the decreasing sort:
+    * documents place in ARRIVAL (doc_id) order, each into the
+    * fullest bin that still fits, else a new bin. This is what an
+    * ingest pipeline actually runs (BFD needs the whole batch before
+    * placing anything; online BF places each doc the moment it
+    * lands — the streaming twin [[graft.streaming.StreamingOps
+    * .packOnlineStream]] folds the identical rule per arrival), and
+    * the classic competitive-ratio price (online BF ≤ 1.7·OPT vs
+    * BFD's 11/9·OPT) becomes a measurable waste delta on the same
+    * corpus. Same fold kernel, same tie-breaks, same oversize
+    * policy; only the fold order differs. */
+  def packBestFitOnline(docs: DataFrame, tokenBudget: Long = 128,
+                        nStreams: Int = 8): DataFrame =
+    packBestFitFold(docs, tokenBudget, nStreams,
+      "struct(doc_id as d, n_tok as nt)")
+
+  /** The shared best-fit fold kernel ([[packBestFit]] /
+    * [[packBestFitOnline]] differ only in `sortKeyStruct`, whose
+    * array_sort order IS the placement order; fields d and nt must
+    * be present). */
+  private def packBestFitFold(docs: DataFrame, tokenBudget: Long, nStreams: Int,
+                              sortKeyStruct: String): DataFrame = {
     val base = docs.select(
       col("doc_id"),
       wsTokenCount(col("text")).as("n_tok"),
@@ -977,9 +1003,8 @@ object TextOps {
     base
       .groupBy(col("stream_id"))
       .agg(expr(
-        // sort key (-n_tok, doc_id) = BFD order; nt carried for the fold
-        """transform(array_sort(collect_list(struct(-n_tok as negnt, doc_id as d, n_tok as nt))),
-          |  x -> struct(x.nt as nt, x.d as d))""".stripMargin).as("ds"))
+        s"""transform(array_sort(collect_list($sortKeyStruct)),
+           |  x -> struct(x.nt as nt, x.d as d))""".stripMargin).as("ds"))
       .withColumn("st", expr(
         s"""aggregate(ds,
            |  struct(cast(array() as array<bigint>) as loads,

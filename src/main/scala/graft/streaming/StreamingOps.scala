@@ -301,6 +301,57 @@ object StreamingOps {
       }
   }
 
+  /** [[packOnlineStream]] state: last APPLIED doc_id + the open
+    * bins' loads — exactly the batch fold's accumulator. */
+  case class BfSt(lastDoc: Long, loads: Seq[Long])
+  case class BinAssign(doc_id: Long, stream_id: Long, n_tok: Long, bin_id: Long)
+
+  /** Streaming twin of [[graft.ops.TextOps.packBestFitOnline]]
+    * (§2.10 convention — oracle-exempt, spec-pinned to the batch op):
+    * ONLINE best-fit bin packing maintained incrementally — each
+    * arriving doc places into the fullest open bin that still fits
+    * (first-index tie-break, the batch kernel's exact rule), else
+    * opens a new bin; oversize docs over-fill their own bin. This is
+    * the deployment form of the packing tier: BFD ([[graft.ops
+    * .TextOps.packBestFit]]) needs the whole batch before placing
+    * anything, online BF places on arrival — identical rule, so
+    * stream ≡ batch(arrival order) exactly. State per stream is the
+    * open-bin load list (≤ bins, itself ≤ docs/stream); late-beyond-
+    * applied drops by the [[stateHistoryStream]] rule. */
+  def packOnlineStream(docs: Dataset[PackDoc], tokenBudget: Long = 128): Dataset[BinAssign] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.stream_id)
+      .flatMapGroupsWithState[BfSt, BinAssign](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        case (sid, rows, state: GroupState[BfSt]) =>
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var st = state.getOption.getOrElse(BfSt(Long.MinValue, Vector.empty))
+          val out = Seq.newBuilder[BinAssign]
+          sorted.foreach { d =>
+            if (d.doc_id <= st.lastDoc) () // late beyond applied: dropped
+            else {
+              val fit = st.loads.zipWithIndex
+                .filter { case (l, _) => l + d.n_tok <= tokenBudget }
+              if (fit.isEmpty) {
+                out += BinAssign(d.doc_id, sid, d.n_tok, st.loads.size + 1L)
+                st = BfSt(d.doc_id, st.loads :+ d.n_tok)
+              } else {
+                // first index holding the max fitting load — the batch
+                // kernel's array_position tie-break (any bin sharing
+                // that load also fits, so first-overall = first-fitting)
+                val maxLoad = fit.map(_._1).max
+                val idx = fit.find(_._1 == maxLoad).get._2
+                out += BinAssign(d.doc_id, sid, d.n_tok, idx + 1L)
+                st = BfSt(d.doc_id, st.loads.updated(idx, st.loads(idx) + d.n_tok))
+              }
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Input/output row for [[debounceStream]]: `ts` is a proper
     * timestamp (the watermark column); `ts_ms` its epoch-millis twin
     * for timer arithmetic. */

@@ -352,6 +352,22 @@ class TextOpsSpec extends SparkSpec {
       }
   }
 
+  test("packBestFitOnline: hand-traced arrival-order fold differs from BFD where it must") {
+    // arrival sizes 3,7,4,2,6 at budget 10: 3→bin1; 7→bin1 (3+7=10);
+    // 4→bin2; 2→bin2 (best among fitting: 4>nothing else); 6→bin3
+    val docs = Seq(3, 7, 4, 2, 6).zipWithIndex
+      .map { case (n, i) => (i.toLong, ("w " * n).trim) }
+      .toDF("doc_id", "text")
+    val online = TextOps.packBestFitOnline(docs, tokenBudget = 10, nStreams = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("bin_id")).toMap
+    assert(online === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L))
+    // BFD on the same docs (7,6,4,3,2 desc): {7,3},{6,4},{2} — online
+    // pays the ordering price exactly where theory says it can
+    val bfd = TextOps.packBestFit(docs, tokenBudget = 10, nStreams = 1).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("bin_id")).toMap
+    assert(bfd !== online, "the two orders produce different packings on this fixture")
+  }
+
   test("packEfficiency: chunk splits but packs tight; bestfit never splits") {
     val docs = (0 until 40).map(i => (i.toLong, ("tok " * (i % 9 + 1)).trim))
       .toDF("doc_id", "text")

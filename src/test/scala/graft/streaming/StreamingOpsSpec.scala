@@ -913,6 +913,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packOnlineStream: per-stream bin state across micro-batches equals the batch online fold") {
+    implicit val sqlCtx = spark.sqlContext
+    // stream 0 arrival sizes 3,7,4,2,6 at budget 10 (the batch spec's
+    // hand trace: bins 1,1,2,2,3) split across two micro-batches
+    val docs = Seq(
+      PackDoc(0L, 0L, 3L), PackDoc(1L, 0L, 7L), PackDoc(2L, 0L, 4L),
+      PackDoc(3L, 0L, 2L), PackDoc(4L, 0L, 6L), PackDoc(5L, 1L, 99L))
+    val input = MemoryStream[PackDoc]
+    val q = packOnlineStream(input.toDS(), tokenBudget = 10L)
+      .writeStream.format("memory").queryName("bf_out")
+      .outputMode("update").start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("bf_out").as[BinAssign].collect()
+        .map(a => a.doc_id -> a.bin_id).toMap
+      assert(got === Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 3L, 5L -> 1L),
+        "stream bins equal the hand-traced online fold; oversize doc owns bin 1 of stream 1")
+      // late duplicate: must not re-emit or corrupt the loads state
+      input.addData(PackDoc(0L, 0L, 50L), PackDoc(6L, 0L, 4L))
+      q.processAllAvailable()
+      val after = spark.table("bf_out").as[BinAssign].collect()
+      assert(after.count(_.doc_id == 0L) === 1, "late duplicate dropped")
+      // loads are [10,6,6]: doc 6 (4 tok) best-fits the first 6-load bin
+      assert(after.find(_.doc_id == 6L).get.bin_id === 2L)
+    } finally q.stop()
+  }
+
   test("twapStream: running per-user state across micro-batches equals the batch eventsTwap replay") {
     implicit val sqlCtx = spark.sqlContext
     val sec = 1000L * 1000 * 1000
