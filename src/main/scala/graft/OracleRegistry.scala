@@ -2270,6 +2270,40 @@ private[graft] object OracleRegistry {
     // group-aware split: the cluster chain replayed (the
     // dedup_clusters oracle's recursive min-label components), split
     // key = 'c|'+component for clustered docs else 'd|'+text
+    // the full recursive cluster chain + the split's 'c|'/'d|' key,
+    // then the two windows: slot within group, hash-ordered chunking
+    // within (slot, bucket)
+    "contrastive_batches" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |ky AS (SELECT d.doc_id, d.text,
+         |         CASE WHEN c.component_id IS NOT NULL
+         |              THEN 'c|' || CAST(c.component_id AS VARCHAR)
+         |              ELSE 'd|' || d.text END AS gk
+         |       FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sl AS (SELECT doc_id, text, gk,
+         |         CAST(row_number() OVER (PARTITION BY gk ORDER BY doc_id) AS BIGINT)
+         |           AS slot,
+         |         ${duckHash24("text || '|cbatch'")} % 8 AS bucket
+         |       FROM ky),
+         |rk AS (SELECT doc_id, gk, slot, bucket,
+         |         CAST(row_number() OVER (PARTITION BY slot, bucket
+         |           ORDER BY ${duckHash24("text || '|border'")}, doc_id) AS BIGINT) AS r
+         |       FROM sl)
+         |SELECT doc_id, ${duckHash24("gk")} AS group_h, slot, bucket,
+         |  CAST(slot AS VARCHAR) || '#' || CAST(bucket AS VARCHAR) || '#'
+         |    || CAST((r - 1) // 8 AS VARCHAR) AS batch_id
+         |FROM rk""".stripMargin,
     "leakage_safe_split" ->
       s"""WITH RECURSIVE $duckToks,
          |$duckShingles,

@@ -862,6 +862,17 @@ object SparkEntry {
           DedupOps.dedupClusters(docs)
             .select(col("doc_id"), col("component_id").as("cluster_id"))))
     }),
+    // group-aware contrastive batches (the in-batch false-negative
+    // fix): slot = rank within near-dup group, batches chunk within
+    // (slot, hash-bucket) shards — no batch ever holds two members
+    // of one group, pinned by construction and by group_h in the row
+    "contrastive_batches" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextOps.contrastiveBatches(docs,
+        loadOrCreate(s, "dedup_clusters", dir)(
+          DedupOps.dedupClusters(docs)
+            .select(col("doc_id"), col("component_id").as("cluster_id"))))
+    }),
     "quality_score" -> ((s, dir) => TextOps.qualityScore(Tables.documents(s, dir))),
     "gopher_rules" -> ((s, dir) => TextOps.gopherRules(Tables.documents(s, dir))),
     "gopher_repetition" -> ((s, dir) => TextOps.gopherRepetition(Tables.documents(s, dir))),

@@ -567,20 +567,27 @@ object MultimodalOps {
     * value, not just a count).
     *
     * Scale shape: decode/fingerprint are the mapPartitions kernels
-    * (map-only); candidates are the 12-bit chunk equi-join, never a
-    * cross join; CC runs on the near-dup PAIR list (tiny vs the
-    * media corpus); every census is a 1-row agg crossJoin. At 100 TB
-    * the funnel prices each stage before the next runs — exactly the
-    * order a media-curation job wants its row counts audited in. */
+    * (map-only) and run ONCE per modality — the fingerprint pass
+    * emits a row per media whether or not it decodes (ok = false on
+    * corrupt payloads), so n_media AND n_decoded both read off the
+    * one checkpointed hash table (a separate media count would
+    * re-synthesize/re-scan the payload column); candidates are the
+    * 12-bit chunk equi-join, never a cross join; CC runs on the
+    * near-dup PAIR list (tiny vs the media corpus); every census is
+    * a 1-row agg crossJoin. At 100 TB the funnel prices each stage
+    * before the next runs — exactly the order a media-curation job
+    * wants its row counts audited in. */
   def multimodalPipeline(images: Dataset[MediaRow], wavs: Dataset[MediaRow],
                          maxHamming: Int = 3): DataFrame = {
-    def leg(modality: String, media: Dataset[MediaRow], sigs: DataFrame): DataFrame = {
-      val s = sigs.localCheckpoint(true)
+    // hashed: (id, sig, ok) — one decode pass per modality
+    def leg(modality: String, hashed: DataFrame): DataFrame = {
+      val h = hashed.localCheckpoint(true)
+      val s = h.filter(col("ok")).select(col("id"), col("sig"))
       val pairs = DedupOps.hammingBandPairs(s, maxHamming)
         .select(col("a_id"), col("b_id")).localCheckpoint(true)
       val clusters = DedupOps.connectedComponents(pairs).localCheckpoint(true)
-      media.toDF().agg(count(lit(1)).as("n_media"))
-        .crossJoin(broadcast(s.agg(count(lit(1)).as("n_decoded"))))
+      h.agg(count(lit(1)).as("n_media"),
+          coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_decoded"))
         .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
         .crossJoin(broadcast(clusters.agg(
           count(lit(1)).as("n_clustered"),
@@ -592,12 +599,12 @@ object MultimodalOps {
           (col("n_decoded") - col("n_clustered") + col("n_clusters")).as("n_kept"),
           col("golden_id_sum"))
     }
-    leg("image", images,
-      imageAHash(images).filter(_.ok).toDF()
-        .select(col("media_id").as("id"), col("ahash").as("sig")))
-      .unionByName(leg("audio", wavs,
-        audioFingerprint(wavs).filter(_.ok).toDF()
-          .select(col("media_id").as("id"), col("fp").as("sig"))))
+    leg("image",
+      imageAHash(images).toDF()
+        .select(col("media_id").as("id"), col("ahash").as("sig"), col("ok")))
+      .unionByName(leg("audio",
+        audioFingerprint(wavs).toDF()
+          .select(col("media_id").as("id"), col("fp").as("sig"), col("ok"))))
   }
 
   /** One demuxed video sample (frame): presentation order index,

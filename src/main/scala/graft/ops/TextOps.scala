@@ -507,6 +507,55 @@ object TextOps {
           .when(col("bucket") < testPct + valPct, "val")
           .otherwise("train").as("split"))
 
+  /** Group-aware contrastive BATCH construction — the in-batch
+    * false-negative mitigation ([[leakageSafeSplit]]'s hazard at the
+    * batch tier): contrastive training treats every other in-batch
+    * doc as a negative, so two near-dups sharing a batch teach the
+    * model to push apart things that are the SAME — the known DPR /
+    * CLIP data-prep bug. Group key = the verified near-dup cluster
+    * for members (the shared persisted `dedup_clusters` artifact),
+    * the doc's own text otherwise ('c|'/'d|' disjoint key spaces,
+    * the split's exact trick). Two windows build collision-free
+    * batches BY CONSTRUCTION: `slot` = the doc's rank within its
+    * group (same-group docs always land in different slots, whatever
+    * else happens), then batches chunk hash-ordered docs within
+    * (slot, hash-bucket) shards — batch_id = (slot, bucket, seq), so
+    * a batch can never hold two members of one group, and holds at
+    * most `batchSize` docs. `group_h` (the hashed group key) rides
+    * the output so the no-collision property is checkable from the
+    * result alone.
+    *
+    * Scale shape: the cluster table is family-sized (broadcast); the
+    * slot window partitions by group (bounded by the largest
+    * cluster); the chunking window partitions by (slot, hash-bucket)
+    * — NEVER by slot alone: slot 1 holds one doc per group, a
+    * corpus-sized partition (the preference_pairs lesson applied at
+    * design time); B scales with the cluster. */
+  def contrastiveBatches(docs: DataFrame, clusters: DataFrame,
+                         batchSize: Int = 8, nShards: Int = 8): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("text"))
+      .join(broadcast(clusters.select(col("doc_id"), col("cluster_id"))),
+        Seq("doc_id"), "left")
+      .withColumn("gk",
+        when(col("cluster_id").isNotNull,
+          concat(lit("c|"), col("cluster_id").cast("string")))
+          .otherwise(concat(lit("d|"), col("text"))))
+    val wg = Window.partitionBy(col("gk")).orderBy(col("doc_id"))
+    val wb = Window.partitionBy(col("slot"), col("bucket"))
+      .orderBy(graft.functions.PortableHash.hash24(
+        concat(col("text"), lit("|border"))), col("doc_id"))
+    keyed
+      .withColumn("slot", row_number().over(wg).cast("long"))
+      .withColumn("bucket",
+        graft.functions.PortableHash.bucket(concat(col("text"), lit("|cbatch")), nShards))
+      .withColumn("r", row_number().over(wb).cast("long"))
+      .select(col("doc_id"),
+        graft.functions.PortableHash.hash24(col("gk")).as("group_h"),
+        col("slot"), col("bucket"),
+        concat_ws("#", col("slot"), col("bucket"),
+          expr(s"(r - 1) div $batchSize")).as("batch_id"))
+  }
+
   /** Deterministic stratified sampling — per-language keep rates for
     * corpus rebalancing (downsample the dominant language, keep the
     * rest), the standard data-mixing step before pretraining. The

@@ -368,6 +368,29 @@ class TextOpsSpec extends SparkSpec {
     assert(bfd !== online, "the two orders produce different packings on this fixture")
   }
 
+  test("contrastiveBatches: no batch holds two members of one group; batches bounded") {
+    val dup = "the quick brown fox jumps over the lazy dog again today"
+    val d = ((0 until 3).map(i => (i.toLong, dup)) ++
+      (3 until 12).map(i => (i.toLong, s"unique document number $i about topic ${i * 7} entirely")))
+      .toDF("doc_id", "text")
+    val cl = graft.ops.DedupOps.dedupClusters(d)
+      .select(col("doc_id"), col("component_id").as("cluster_id"))
+    val r = TextOps.contrastiveBatches(d, cl, batchSize = 2, nShards = 2).collect()
+    assert(r.length === 12, "every doc batched exactly once")
+    r.groupBy(_.getAs[String]("batch_id")).foreach { case (id, b) =>
+      assert(b.length <= 2, s"batch $id within size budget")
+      assert(b.map(_.getAs[Long]("group_h")).distinct.length === b.length,
+        s"batch $id holds no two members of one group")
+    }
+    // the dup family is real in this fixture: shared group, distinct batches
+    val fams = r.groupBy(_.getAs[Long]("group_h")).filter(_._2.length >= 2)
+    assert(fams.nonEmpty, "fixture must exercise a multi-member group")
+    fams.values.foreach { members =>
+      val ids = members.map(_.getAs[String]("batch_id"))
+      assert(ids.distinct.length === ids.length)
+    }
+  }
+
   test("packEfficiency: chunk splits but packs tight; bestfit never splits") {
     val docs = (0 until 40).map(i => (i.toLong, ("tok " * (i % 9 + 1)).trim))
       .toDF("doc_id", "text")
