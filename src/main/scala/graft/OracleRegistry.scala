@@ -2034,6 +2034,29 @@ private[graft] object OracleRegistry {
          |    CAST(sum(nsplit) AS BIGINT) AS n_split_docs,
          |    CAST(0 AS BIGINT) AS n_oversize
          |  FROM ss),
+         |r2 AS (SELECT doc_id, n_tok, stream_id,
+         |    CAST(row_number() OVER (PARTITION BY stream_id
+         |      ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM t),
+         |st2 AS (
+         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+         |         CAST(NULL AS BIGINT) AS bin_id
+         |  FROM (SELECT DISTINCT stream_id FROM r2) s0
+         |  UNION ALL
+         |  SELECT s.stream_id, s.rn + 1,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN list_transform(range(1, len(s.loads) + 1),
+         |             i -> CASE WHEN i = list_position(s.loads,
+         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
+         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
+         |      ELSE list_append(s.loads, d.n_tok) END,
+         |    d.doc_id, d.n_tok,
+         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+         |      THEN CAST(list_position(s.loads,
+         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
+         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
+         |  FROM st2 s JOIN r2 d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1),
          |bl AS (SELECT stream_id, bin_id, sum(n_tok) AS load
          |       FROM st WHERE rn >= 1 GROUP BY 1, 2),
          |bf1 AS (SELECT count(*) AS n_units,
@@ -2046,9 +2069,24 @@ private[graft] object OracleRegistry {
          |bfrow AS (SELECT 'bestfit' AS method, n_units, capacity, used_tokens,
          |            n_docs, CAST(0 AS BIGINT) AS n_split_docs, n_oversize
          |          FROM bf1, bf2),
+         |ol AS (SELECT stream_id, bin_id, sum(n_tok) AS load
+         |       FROM st2 WHERE rn >= 1 GROUP BY 1, 2),
+         |of1 AS (SELECT count(*) AS n_units,
+         |          CAST(sum(greatest(load, 128)) AS BIGINT) AS capacity,
+         |          CAST(sum(load) AS BIGINT) AS used_tokens FROM ol),
+         |of2 AS (SELECT count(*) AS n_docs,
+         |          CAST(sum(CASE WHEN n_tok > 128 THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_oversize
+         |        FROM st2 WHERE rn >= 1),
+         |olrow AS (SELECT 'bestfit_online' AS method, n_units, capacity, used_tokens,
+         |            n_docs, CAST(0 AS BIGINT) AS n_split_docs, n_oversize
+         |          FROM of1, of2),
          |u AS (SELECT * FROM chunkrow UNION ALL
          |      SELECT method, n_units, capacity, used_tokens, n_docs,
-         |             n_split_docs, n_oversize FROM bfrow)
+         |             n_split_docs, n_oversize FROM bfrow
+         |      UNION ALL
+         |      SELECT method, n_units, capacity, used_tokens, n_docs,
+         |             n_split_docs, n_oversize FROM olrow)
          |SELECT method, n_units, capacity, used_tokens,
          |  (capacity - used_tokens) * 1000000 // capacity AS waste_micro,
          |  n_docs, n_split_docs,

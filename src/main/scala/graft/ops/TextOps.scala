@@ -1074,15 +1074,18 @@ object TextOps {
 
   /** The packing-policy RECEIPT beside [[packBestFit]] — prices the
     * concat-and-chunk vs whole-doc trade on the same corpus, one row
-    * per method: sequence/bin count, capacity, used tokens, padding
-    * waste (micro), split fraction ([[packSequences]]' documents
-    * whose span crosses a boundary; structurally zero for BFD), and
-    * the oversize census. The two stated facts a packing decision
-    * needs: chunking wastes almost nothing but splits ~budgetʼs worth
-    * of docs; BFD never splits but pads.
+    * per method (chunk / bestfit / bestfit_online): sequence/bin
+    * count, capacity, used tokens, padding waste (micro), split
+    * fraction ([[packSequences]]' documents whose span crosses a
+    * boundary; structurally zero for both whole-doc forms), and the
+    * oversize census. The three stated facts a packing decision
+    * needs: chunking wastes almost nothing but splits ~budget's worth
+    * of docs; BFD never splits but pads; online BF pads MORE than BFD
+    * (the competitive-ratio price of placing on arrival) — and this
+    * row makes that delta a measured number on the actual corpus.
     *
-    * Scale shape: both packings' declared plans + bounded rollups
-    * (per-stream / per-bin aggs, then a 2-row union). */
+    * Scale shape: each packing's declared plan + bounded rollups
+    * (per-stream / per-bin aggs, then a 3-row union). */
   def packEfficiency(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
     val B = tokenBudget
     val seq = packSequences(docs, tokenBudget, nStreams).localCheckpoint(true)
@@ -1100,20 +1103,24 @@ object TextOps {
       sum(col("nsplit")).as("n_split_docs"),
       lit(0L).as("n_oversize"))
       .select(lit("chunk").as("method"), col("*"))
-    val bins = packBestFit(docs, tokenBudget, nStreams).localCheckpoint(true)
-    val binLoads = bins.groupBy(col("stream_id"), col("bin_id"))
-      .agg(sum(col("n_tok")).as("load"))
-    val bfRow = binLoads.agg(
-      count(lit(1)).as("n_units"),
-      sum(greatest(col("load"), lit(B))).as("capacity"),
-      sum(col("load")).as("used_tokens"))
-      .crossJoin(broadcast(bins.agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("n_tok") > B, 1L).otherwise(0L)).as("n_oversize"))))
-      .select(lit("bestfit").as("method"), col("n_units"), col("capacity"),
-        col("used_tokens"), col("n_docs"), lit(0L).as("n_split_docs"),
-        col("n_oversize"))
-    seqRow.unionByName(bfRow)
+    def binRow(method: String, packed: DataFrame): DataFrame = {
+      val bins = packed.localCheckpoint(true)
+      val binLoads = bins.groupBy(col("stream_id"), col("bin_id"))
+        .agg(sum(col("n_tok")).as("load"))
+      binLoads.agg(
+        count(lit(1)).as("n_units"),
+        sum(greatest(col("load"), lit(B))).as("capacity"),
+        sum(col("load")).as("used_tokens"))
+        .crossJoin(broadcast(bins.agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_tok") > B, 1L).otherwise(0L)).as("n_oversize"))))
+        .select(lit(method).as("method"), col("n_units"), col("capacity"),
+          col("used_tokens"), col("n_docs"), lit(0L).as("n_split_docs"),
+          col("n_oversize"))
+    }
+    seqRow
+      .unionByName(binRow("bestfit", packBestFit(docs, tokenBudget, nStreams)))
+      .unionByName(binRow("bestfit_online", packBestFitOnline(docs, tokenBudget, nStreams)))
       .withColumn("waste_micro",
         expr("(capacity - used_tokens) * 1000000 div capacity"))
       .withColumn("split_micro", expr("n_split_docs * 1000000 div n_docs"))

@@ -396,15 +396,20 @@ class TextOpsSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val r = TextOps.packEfficiency(docs, tokenBudget = 8, nStreams = 2).collect()
       .map(x => x.getAs[String]("method") -> x).toMap
-    assert(r.keySet === Set("chunk", "bestfit"))
+    assert(r.keySet === Set("chunk", "bestfit", "bestfit_online"))
     assert(r("chunk").getAs[Long]("used_tokens") === r("bestfit").getAs[Long]("used_tokens"))
-    assert(r("bestfit").getAs[Long]("n_split_docs") === 0L)
-    assert(r("bestfit").getAs[Long]("split_micro") === 0L)
+    Seq("bestfit", "bestfit_online").foreach { m =>
+      assert(r(m).getAs[Long]("n_split_docs") === 0L)
+      assert(r(m).getAs[Long]("split_micro") === 0L)
+    }
     assert(r("chunk").getAs[Long]("n_split_docs") > 0L, "chunking splits at this density")
-    Seq("chunk", "bestfit").foreach { m =>
+    Seq("chunk", "bestfit", "bestfit_online").foreach { m =>
       assert(r(m).getAs[Long]("capacity") >= r(m).getAs[Long]("used_tokens"))
       assert(r(m).getAs[Long]("n_docs") === 40L)
     }
+    // the decreasing sort is worth bins on this fixture (not a theorem
+    // on every instance, but stable on this spread of sizes)
+    assert(r("bestfit").getAs[Long]("n_units") <= r("bestfit_online").getAs[Long]("n_units"))
   }
 
   test("lmLogprob: corpus-fit unigram LM — exact values on a tiny corpus") {
