@@ -1142,6 +1142,37 @@ private[graft] object OracleRegistry {
     // component id = min doc_id transitively reachable over verified
     // near-dup edges (recursive CTE = the oracle twin of Spark-side
     // min-label propagation to fixpoint)
+    // dedup_clusters' components + singleton fallback labels, then
+    // the size census with the exact integer-threshold keep rule:
+    // kept ⇔ hash24('sds:'+doc_id)·10⁶ < p6·2²⁴, p6 = round(10⁶/√s)
+    "soft_dedup_sample" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |lab AS (SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS cid
+         |        FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS size,
+         |         CASE WHEN count(*) = 1 THEN 1000000
+         |              ELSE CAST(round(1000000 / sqrt(count(*))) AS BIGINT)
+         |         END AS p6
+         |       FROM lab GROUP BY 1),
+         |kk AS (SELECT l.doc_id, s.cid, s.size, s.p6,
+         |         CASE WHEN ${duckHash24("'sds:' || CAST(l.doc_id AS VARCHAR)")}
+         |                   * 1000000 < s.p6 * 16777216 THEN 1 ELSE 0 END AS kept
+         |       FROM lab l JOIN sz s USING (cid))
+         |SELECT size, CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+         |  round(p6 / 1000000.0, 6) + 0 AS p_keep
+         |FROM kk GROUP BY size, p6""".stripMargin,
     "dedup_clusters" ->
       s"""WITH RECURSIVE $duckToks,
          |$duckShingles,
@@ -1702,6 +1733,68 @@ private[graft] object OracleRegistry {
          |      THEN round(q_sum / (n_scored * 1000.0), 6) + 0 END >= 0.5, false)
          |    AND round(n_dup / n_docs, 6) + 0 <= 0.5 AS keep
          |FROM g""".stripMargin,
+    // nested doubling subsets by doc hash (%16, train < 8, held ≥ 8),
+    // one (tok, min_level) census cumulated over the 4-level grid,
+    // Laplace lp in integer micros, exact integer-div loss, then the
+    // α-grid power-law fit from exact Long moments (argmin sse, α)
+    "scaling_curve" ->
+      s"""WITH $duckToks,
+         |b AS (SELECT doc_id, pos, tok,
+         |        ${duckHash24("'scl:' || CAST(doc_id AS VARCHAR)")} % 16 AS bkt
+         |      FROM toks),
+         |tr AS (SELECT tok,
+         |         CASE WHEN bkt < 1 THEN 1 WHEN bkt < 2 THEN 2
+         |              WHEN bkt < 4 THEN 3 ELSE 4 END AS ml
+         |       FROM b WHERE bkt < 8),
+         |cnt AS (SELECT tok, ml, count(*) AS c FROM tr GROUP BY 1, 2),
+         |grid AS (SELECT CAST(u.l AS BIGINT) AS l FROM unnest(range(1, 5)) u(l)),
+         |lc AS (SELECT c.tok, g.l, CAST(sum(c.c) AS BIGINT) AS c_l
+         |       FROM cnt c JOIN grid g ON c.ml <= g.l GROUP BY 1, 2),
+         |nl AS (SELECT g.l, CAST(sum(c.c) AS BIGINT) AS n_l
+         |       FROM cnt c JOIN grid g ON c.ml <= g.l GROUP BY 1),
+         |vv AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v FROM cnt),
+         |h AS (SELECT tok, count(*) AS tf_h FROM b WHERE bkt >= 8 GROUP BY 1),
+         |nh AS (SELECT CAST(sum(tf_h) AS BIGINT) AS n_held FROM h),
+         |sc AS (SELECT g.l, h.tf_h,
+         |         CAST(round(ln((coalesce(lc.c_l, 0) + 1) /
+         |           CAST(nl.n_l + vv.v + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS lp6
+         |       FROM h CROSS JOIN grid g
+         |       LEFT JOIN lc ON lc.tok = h.tok AND lc.l = g.l
+         |       JOIN nl ON nl.l = g.l CROSS JOIN vv),
+         |pts0 AS (SELECT l, -sum(tf_h * lp6) AS negsum FROM sc GROUP BY 1),
+         |pts AS (SELECT p0.l, nl.n_l, CAST(p0.negsum // nh.n_held AS BIGINT) AS y6
+         |        FROM pts0 p0 JOIN nl ON nl.l = p0.l CROSS JOIN nh),
+         |al AS (SELECT CAST(u.i * 5 AS BIGINT) AS alpha100
+         |       FROM unnest(range(1, 21)) u(i)),
+         |mo AS (SELECT a.alpha100, count(*) AS n,
+         |         CAST(sum(CAST(round(pow(p.n_l, -a.alpha100 / 100.0) * 1000000)
+         |           AS BIGINT)) AS BIGINT) AS sx,
+         |         CAST(sum(p.y6) AS BIGINT) AS sy,
+         |         CAST(sum(CAST(round(pow(p.n_l, -a.alpha100 / 100.0) * 1000000)
+         |           AS BIGINT) * p.y6) AS BIGINT) AS sxy,
+         |         CAST(sum(CAST(round(pow(p.n_l, -a.alpha100 / 100.0) * 1000000)
+         |           AS BIGINT) * CAST(round(pow(p.n_l, -a.alpha100 / 100.0) * 1000000)
+         |           AS BIGINT)) AS BIGINT) AS sxx,
+         |         CAST(sum(p.y6 * p.y6) AS BIGINT) AS syy
+         |       FROM pts p CROSS JOIN al a GROUP BY 1),
+         |fit AS (SELECT alpha100,
+         |          CAST(n * sxy - sx * sy AS DOUBLE) /
+         |            CAST(n * sxx - sx * sx AS DOUBLE) AS a_raw,
+         |          sx, sy, n,
+         |          CAST(n * syy - sy * sy AS DOUBLE) -
+         |            (CAST(n * sxy - sx * sy AS DOUBLE) /
+         |             CAST(n * sxx - sx * sx AS DOUBLE)) *
+         |            CAST(n * sxy - sx * sy AS DOUBLE) AS sse_scaled
+         |        FROM mo),
+         |best AS (SELECT round(alpha100 / 100.0, 6) + 0 AS alpha_hat,
+         |           round((sy / 1000000.0 - a_raw * sx / 1000000.0) / n, 6) + 0
+         |             AS e_hat,
+         |           round(a_raw, 6) + 0 AS a_hat
+         |         FROM fit ORDER BY sse_scaled, alpha100 LIMIT 1)
+         |SELECT p.l AS level, p.n_l AS n_train_tok,
+         |  round(p.y6 / 1000000.0, 6) + 0 AS loss,
+         |  b2.alpha_hat, b2.e_hat, b2.a_hat
+         |FROM pts p, best b2""".stripMargin,
     // domainTemperature's recipe on TOKEN shares + the budget grid
     "token_budget_plan" ->
       """WITH c AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n_tokens FROM (

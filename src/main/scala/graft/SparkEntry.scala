@@ -444,6 +444,11 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // SOFT dedup (data-constrained scaling): keep p = size^(-1/2) per
+    // near-dup cluster member via a pure doc-hash threshold — the
+    // census receipt beside the hard keep-one form
+    "soft_dedup_sample" -> ((s, dir) =>
+      DedupOps.softDedupSample(Tables.documents(s, dir))),
     // incremental CC maintenance (r14 verdict #2): the base corpus's
     // cluster labels + bucket index persist once (loadOrCreate); the
     // arriving batch (doc_id % 10 >= 8 — the ann/bm25_incremental
@@ -849,6 +854,11 @@ object SparkEntry {
     // TOKEN shares, allocation and repetition priced per domain
     "token_budget_plan" -> ((s, dir) =>
       TextOps.tokenBudgetPlan(Tables.documents(s, dir))),
+    // data-scaling-law receipt: held-out unigram loss on nested
+    // doubling subsets + the L = E + A·N^(−α) grid fit — the
+    // "is more of this corpus worth crawling" curve
+    "scaling_curve" -> ((s, dir) =>
+      TextOps.scalingCurve(Tables.documents(s, dir))),
     "repetition_score" -> ((s, dir) => TextOps.repetitionScore(Tables.documents(s, dir))),
     "corpus_split" -> ((s, dir) => TextOps.hashSplit(Tables.documents(s, dir))),
     // GROUP-AWARE split: near-dup families (the persisted

@@ -1818,4 +1818,56 @@ object DedupOps {
         when(col("n_either") === 0, lit(1000000L))
           .otherwise(expr("(n_both * 1000000L) div n_either")))
   }
+
+  /** SOFT dedup sampling census — the data-constrained-scaling
+    * alternative (Muennighoff '23; SemDeDup's keep-one is the hard
+    * α→∞ limit) to dropping every near-dup: each doc in a near-dup
+    * cluster of size s keeps with probability s^(−1/2), so a cluster
+    * contributes ~√s docs in expectation — repeated data decays in
+    * value rather than going to zero. Clusters are [[dedupClusters]]'
+    * components; docs outside any component are size-1 singletons
+    * (p = 1, always kept).
+    *
+    * The keep decision is a pure doc-hash threshold, NOT an RNG:
+    * keep ⇔ hash24("sds:"+doc_id)·10⁶ < p6·2²⁴ — exact Long
+    * arithmetic on both engines (p6 = round(10⁶/√s); √s is
+    * correctly-rounded IEEE, and 10⁶/√s sits on a .5 boundary only
+    * at perfect squares, where the quotient is exactly integral).
+    * Replayable, stable under re-runs and ingest order.
+    *
+    * Output: one row per observed cluster SIZE (the census form —
+    * per-doc keep flags would be corpus-sized output): n_clusters,
+    * n_docs, n_kept, and the keep probability. n_kept/n_docs
+    * converging to p_keep per size bucket is the statistical check
+    * the receipt exists for.
+    *
+    * Scale shape: [[dedupClusters]]' plan (LSH equi-joins + O(log n)
+    * CC) + one left join to attach labels + two uniform-keyed aggs;
+    * the census output is ≤ max-cluster-size rows. At 100 TB the
+    * sampling-side cost is one hash per doc. */
+  def softDedupSample(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // checkpointed: the label table feeds BOTH the size census and
+    // the keep join — without the cut the whole LSH+CC chain would
+    // execute twice (measured 8.2 s → ~4.7 s at sf0.1)
+    val labeled = docs.select(col("doc_id"))
+      .join(dedupClusters(docs, minJaccard), Seq("doc_id"), "left")
+      // component labels are min member doc_ids; a singleton's own id
+      // can never collide with another cluster's label
+      .withColumn("cid", coalesce(col("component_id"), col("doc_id")))
+      .localCheckpoint(true)
+    val sizes = labeled.groupBy(col("cid")).agg(count(lit(1)).as("size"))
+      .withColumn("p6",
+        when(col("size") === 1L, lit(1000000L))
+          .otherwise(round(lit(1e6) / sqrt(col("size").cast("double"))).cast("long")))
+    labeled.join(sizes, "cid")
+      .withColumn("kept",
+        PortableHash.hash24(concat(lit("sds:"), col("doc_id").cast("string")))
+          * lit(1000000L) < col("p6") * lit(16777216L))
+      .groupBy(col("size"), col("p6"))
+      .agg(countDistinct(col("cid")).as("n_clusters"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("size"), col("n_clusters"), col("n_docs"), col("n_kept"),
+        roundn(col("p6") / 1e6, 6).as("p_keep"))
+  }
 }

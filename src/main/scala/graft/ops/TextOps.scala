@@ -2861,4 +2861,108 @@ object TextOps {
         col("alloc_tokens"), col("epochs_milli"),
         (col("epochs_milli") > 1000L).as("oversampled"))
   }
+
+  /** Data-scaling-law receipt (Hestness '17 / Kaplan '20 form, the
+    * Chinchilla §3 data axis): held-out cross-entropy of a
+    * Laplace-smoothed unigram LM trained on NESTED doubling subsets
+    * of the corpus, then L(N) = E + A·N^(−α) fitted over an α grid —
+    * "how much does the next doubling of data buy" as one measured
+    * curve instead of a citation. The receipt a token-budget /
+    * crawl-more decision ([[tokenBudgetPlan]]) leans on: a flat curve
+    * says more of THIS corpus is not worth crawling.
+    *
+    * Subsets nest by doc-hash bucket (%16: buckets 8–15 are the
+    * held-out half; train level l covers buckets < 2^(l−1), so each
+    * level doubles the previous and the membership predicate is a
+    * pure doc_id hash — no sampling state, replayable by the oracle).
+    * A train doc's MIN level is a map-side expression, so per-level
+    * counts come from ONE (tok, min_level) census cumulated across
+    * the 4-row level grid — the corpus is tokenized and aggregated
+    * once, never once per level.
+    *
+    * Determinism: per-(tok, level) log-probs are integer micros (the
+    * [[zipfFit]] fixed-point discipline); Σ tf·lp6 accumulates in
+    * decimal(38,0) (the [[domainWeights]] overflow bound); the
+    * per-level loss is an exact positive integer `div`; the α-grid
+    * fit uses exact Long moments per α (order-free integer sums — no
+    * float-sum-order hazard), doubles appear only in the final
+    * closed-form slope/intercept/SSE computed from identical
+    * integers on both engines; argmin tie-breaks on smaller α.
+    *
+    * Scale shape: tokenize → one uniform (tok, min_level) census →
+    * vocab-sized joins against a broadcast 4-row level grid (the
+    * inequality join is a 4-row broadcast BNL, bounded by
+    * declaration) → |held vocab|·4 scoring rows → 4-point fit × 20
+    * α's = 80 bounded rows. Nothing after the census is
+    * corpus-sized; at 100 TB the census is the same shape as every
+    * other vocab census in the engine. */
+  def scalingCurve(docs: DataFrame, nLevels: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    val bkt = graft.functions.PortableHash.bucket(
+      concat(lit("scl:"), col("doc_id").cast("string")), 16)
+    val base = EmbedOps.tokenize(docs).withColumn("bkt", bkt)
+    // min level: bucket 0 → 1, 1 → 2, 2–3 → 3, 4–7 → 4 (held: 8–15)
+    val train = base.filter(col("bkt") < 8)
+      .withColumn("ml",
+        when(col("bkt") < 1, 1L).when(col("bkt") < 2, 2L)
+          .when(col("bkt") < 4, 3L).otherwise(4L))
+    val cnt = train.groupBy(col("tok"), col("ml"))
+      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+    val grid = spark.range(1, nLevels + 1L).select(col("id").as("l"))
+    val levelCnt = cnt.join(broadcast(grid), col("ml") <= col("l"))
+      .groupBy(col("tok"), col("l")).agg(sum(col("c")).as("c_l"))
+    val nl = cnt.join(broadcast(grid), col("ml") <= col("l"))
+      .groupBy(col("l")).agg(sum(col("c")).as("n_l"))
+    val v = cnt.agg(countDistinct(col("tok")).as("v"))
+    val held = base.filter(col("bkt") >= 8)
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf_h"))
+    val nHeld = held.agg(sum(col("tf_h")).cast("long").as("n_held"))
+    val scored = held.crossJoin(broadcast(grid))
+      .join(levelCnt, Seq("tok", "l"), "left")
+      .withColumn("c_l", coalesce(col("c_l"), lit(0L)))
+      .join(broadcast(nl), "l")
+      .crossJoin(broadcast(v))
+      .withColumn("lp6",
+        round(log((col("c_l") + lit(1L)) /
+          (col("n_l") + col("v") + lit(1L)).cast("double")) * 1e6).cast("long"))
+    val points = scored.groupBy(col("l"))
+      .agg(sum(col("tf_h").cast("decimal(38,0)") * col("lp6")).as("sum_lp6"))
+      .crossJoin(broadcast(nHeld))
+      .withColumn("y6", expr("CAST((-sum_lp6) div n_held AS BIGINT)"))
+      .join(broadcast(nl), "l")
+      .select(col("l"), col("n_l"), col("y6"))
+      .localCheckpoint(true)
+    // α grid 0.05..1.00 step 0.05 as exact integer keys; x = N^(−α)
+    // in integer micros; all four moments are exact Long sums
+    val alphas = spark.range(1, 21).select((col("id") * 5L).as("alpha100"))
+    val moments = points.crossJoin(broadcast(alphas))
+      .withColumn("x6",
+        round(pow(col("n_l").cast("double"), -col("alpha100") / lit(100.0)) * 1e6)
+          .cast("long"))
+      .groupBy(col("alpha100"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x6")).as("sx"), sum(col("y6")).as("sy"),
+        sum(col("x6") * col("y6")).as("sxy"),
+        sum(col("x6") * col("x6")).as("sxx"),
+        sum(col("y6") * col("y6")).as("syy"))
+      .withColumn("a_raw",
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("sse_scaled",
+        (col("n") * col("syy") - col("sy") * col("sy")).cast("double") -
+          col("a_raw") * (col("n") * col("sxy") - col("sx") * col("sy")).cast("double"))
+    val best = moments
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("sse_scaled"), col("alpha100"))))
+      .filter(col("rk") === 1)
+      .select(
+        roundn(col("alpha100") / lit(100.0), 6).as("alpha_hat"),
+        roundn((col("sy").cast("double") / 1e6 -
+          col("a_raw") * col("sx").cast("double") / 1e6) / col("n"), 6).as("e_hat"),
+        roundn(col("a_raw"), 6).as("a_hat"))
+    points.crossJoin(broadcast(best))
+      .select(col("l").as("level"), col("n_l").as("n_train_tok"),
+        roundn(col("y6") / 1e6, 6).as("loss"),
+        col("alpha_hat"), col("e_hat"), col("a_hat"))
+  }
 }

@@ -756,4 +756,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_either") === 3L)
     assert(r.getAs[Long]("agreement_micro") === 333333L)
   }
+
+  test("softDedupSample: singletons always keep; cluster rows price size^(-1/2)") {
+    // docs fixture: {0,1,2} form one near-dup cluster, 3 is a singleton
+    val rows = DedupOps.softDedupSample(docs).collect()
+      .map(x => x.getAs[Long]("size") ->
+        ((x.getAs[Long]("n_clusters"), x.getAs[Long]("n_docs"),
+          x.getAs[Long]("n_kept"), x.getAs[Double]("p_keep")))).toMap
+    assert(rows.keySet === Set(1L, 3L))
+    val (c1, d1, k1, p1) = rows(1L)
+    assert((c1, d1, p1) === ((1L, 1L, 1.0)))
+    assert(k1 === 1L, "p = 1: a singleton can never be dropped")
+    val (c3, d3, k3, p3) = rows(3L)
+    assert((c3, d3) === ((1L, 3L)))
+    assert(p3 === 0.57735, "round(1e6/sqrt(3)) micros")
+    assert(k3 >= 0L && k3 <= 3L)
+    // census invariant: per row, docs = clusters * size
+    assert(d1 === c1 * 1L && d3 === c3 * 3L)
+  }
 }

@@ -1157,4 +1157,28 @@ class TextOpsSpec extends SparkSpec {
     assert(r("de") === ((100L, 0.1, 0.25, 250L, 2500L, true)),
       "a 10% domain at T=2 gets 25% of the budget -> 2.5 epochs of repetition")
   }
+
+  test("scalingCurve: nested levels double, loss falls with data, one fit") {
+    // 200 identical docs: the LM only improves through shrinking
+    // Laplace mass, so held-out loss must fall monotonically as the
+    // train subset doubles — the clean scaling-law direction
+    val d = (0L until 200L).map(i => (i, "t0 t1 t2 t3 t4"))
+      .toDF("doc_id", "text")
+    val r = TextOps.scalingCurve(d).collect().sortBy(_.getAs[Long]("level"))
+    assert(r.length === 4)
+    assert(r.map(_.getAs[Long]("level")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val n = r.map(_.getAs[Long]("n_train_tok"))
+    assert(n.sliding(2).forall(p => p(0) < p(1)), "each level adds train tokens")
+    val loss = r.map(_.getAs[Double]("loss"))
+    assert(loss.forall(_ > 0.0))
+    assert(loss.sliding(2).forall(p => p(0) >= p(1)),
+      "identical docs: more data strictly shrinks the smoothing penalty")
+    // the fit is one (alpha, E, A) triple replicated on every level row
+    assert(r.map(x => (x.getAs[Double]("alpha_hat"), x.getAs[Double]("e_hat"),
+      x.getAs[Double]("a_hat"))).distinct.length === 1)
+    val a = r.head.getAs[Double]("alpha_hat")
+    assert(a >= 0.05 && a <= 1.0)
+    assert(r.head.getAs[Double]("a_hat") > 0.0,
+      "loss falls with N, so the N^(-alpha) coefficient is positive")
+  }
 }
