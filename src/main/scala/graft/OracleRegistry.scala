@@ -1142,6 +1142,42 @@ private[graft] object OracleRegistry {
     // component id = min doc_id transitively reachable over verified
     // near-dup edges (recursive CTE = the oracle twin of Spark-side
     // min-label propagation to fixpoint)
+    // verified pairs at θ=0.2 (the quadratic jac twin), the mh minhash
+    // CTE, per-pair collision counts at each width, one estimator
+    // formula (C = 0 is the full-width row), exact integer error sums
+    "minhash_bbit" ->
+      s"""WITH $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |p AS (SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.2),
+         |co AS (SELECT p.a_id, p.b_id, p.jaccard,
+         |         sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS k24,
+         |         sum(CASE WHEN ma.minh % 16 = mb.minh % 16 THEN 1 ELSE 0 END) AS k4,
+         |         sum(CASE WHEN ma.minh % 4 = mb.minh % 4 THEN 1 ELSE 0 END) AS k2,
+         |         sum(CASE WHEN ma.minh % 2 = mb.minh % 2 THEN 1 ELSE 0 END) AS k1
+         |       FROM p
+         |       JOIN mh ma ON ma.doc_id = p.a_id
+         |       JOIN mh mb ON mb.doc_id = p.b_id AND mb.seed = ma.seed
+         |       GROUP BY 1, 2, 3),
+         |x AS (SELECT CAST(24 AS BIGINT) AS b_bits, k24 AS k, jaccard FROM co
+         |      UNION ALL SELECT 4, k4, jaccard FROM co
+         |      UNION ALL SELECT 2, k2, jaccard FROM co
+         |      UNION ALL SELECT 1, k1, jaccard FROM co),
+         |e AS (SELECT b_bits,
+         |        abs(CAST(round((k / 12.0 -
+         |              CASE b_bits WHEN 24 THEN 0.0 WHEN 4 THEN 0.0625
+         |                          WHEN 2 THEN 0.25 ELSE 0.5 END) /
+         |            (1.0 - CASE b_bits WHEN 24 THEN 0.0 WHEN 4 THEN 0.0625
+         |                               WHEN 2 THEN 0.25 ELSE 0.5 END) * 1000000)
+         |          AS BIGINT)
+         |          - CAST(round(jaccard * 1000000) AS BIGINT)) AS err6
+         |      FROM x)
+         |SELECT b_bits, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(err6) AS BIGINT) AS sum_abs_err6,
+         |  CAST(sum(err6) // count(*) AS BIGINT) AS mae_micro,
+         |  b_bits * 12 AS storage_bits
+         |FROM e GROUP BY b_bits""".stripMargin,
     // dedup_clusters' components + singleton fallback labels, then
     // the size census with the exact integer-threshold keep rule:
     // kept ⇔ hash24('sds:'+doc_id)·10⁶ < p6·2²⁴, p6 = round(10⁶/√s)

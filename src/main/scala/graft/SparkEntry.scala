@@ -444,6 +444,10 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // b-bit minwise accuracy receipt: estimation error vs signature
+    // storage on THIS corpus's verified pairs — the index-sizing curve
+    "minhash_bbit" -> ((s, dir) =>
+      DedupOps.minhashBBit(Tables.documents(s, dir))),
     // SOFT dedup (data-constrained scaling): keep p = size^(-1/2) per
     // near-dup cluster member via a pure doc-hash threshold — the
     // census receipt beside the hard keep-one form

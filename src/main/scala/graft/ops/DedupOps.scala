@@ -1870,4 +1870,68 @@ object DedupOps {
       .select(col("size"), col("n_clusters"), col("n_docs"), col("n_kept"),
         roundn(col("p6") / 1e6, 6).as("p_keep"))
   }
+
+  /** b-bit minwise hashing accuracy receipt (Li & König, WWW '10):
+    * storing only the lowest b bits of each minhash shrinks the
+    * signature 24/b-fold, at the price of chance collisions the
+    * estimator must subtract back out — Ĵ_b = (f̂_b − C)/(1 − C)
+    * with C = 2^(−b) (C = 0 recovers the full-width estimator, so
+    * one formula prices every row). This measures that price ON THIS
+    * CORPUS: per pair with a KNOWN exact Jaccard (the verified-pair
+    * table — ground truth the engine already computes), the absolute
+    * estimation error per width b ∈ {24, 4, 2, 1}, aggregated to a
+    * mean-error-vs-storage-bits table. The index-sizing decision
+    * (can the 100 TB signature store drop to 1/6th?) becomes a
+    * measured curve instead of the paper's asymptotic claim.
+    *
+    * Determinism: collision counts k are exact integers; est6 is ONE
+    * double expression from (k, two exact binary constants) written
+    * identically on both engines; |est6 − j6| sums are exact Longs;
+    * the mean is an exact integer `div` (both operands positive).
+    * Never exactly .5-boundary: est values live on the k/12 grid
+    * scaled by exact powers of two.
+    *
+    * Scale shape: pair participants prune the signature build (the
+    * semi-join on pair ids — signatures cost ∝ verified pairs, not
+    * corpus); the collision join is (pair × 12 seeds) equi-keyed;
+    * output is 4 rows. At 100 TB signatures would already exist
+    * (the persisted LSH index); here they recompute from the pruned
+    * doc set to stay self-contained. */
+  def minhashBBit(docs: DataFrame, numHashes: Int = 12, w: Int = 3,
+                  minJaccard: Double = 0.2): DataFrame = {
+    val pairs = nearDupVerified(docs, numHashes, 3, w, minJaccard)
+      .select(col("a_id"), col("b_id"), col("jaccard")).localCheckpoint(true)
+    val ids = pairs.select(col("a_id").as("doc_id"))
+      .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
+    val sigs = minhashSignatures(docs.join(ids, "doc_id"), numHashes, w)
+    val coll = pairs
+      .join(sigs.select(col("doc_id").as("a_id"), col("seed"), col("minh").as("ma")),
+        "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("seed"), col("minh").as("mb")),
+        Seq("b_id", "seed"))
+      .groupBy(col("a_id"), col("b_id"), col("jaccard"))
+      .agg(
+        sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).as("k24"),
+        sum(when(col("ma") % 16 === col("mb") % 16, 1L).otherwise(0L)).as("k4"),
+        sum(when(col("ma") % 4 === col("mb") % 4, 1L).otherwise(0L)).as("k2"),
+        sum(when(col("ma") % 2 === col("mb") % 2, 1L).otherwise(0L)).as("k1"))
+    coll
+      .select(col("jaccard"),
+        expr("stack(4, 24L, k24, 4L, k4, 2L, k2, 1L, k1) AS (b_bits, k)"))
+      .withColumn("c",
+        when(col("b_bits") === 24L, lit(0.0))
+          .when(col("b_bits") === 4L, lit(0.0625))
+          .when(col("b_bits") === 2L, lit(0.25)).otherwise(lit(0.5)))
+      .withColumn("est6",
+        round((col("k") / lit(numHashes.toDouble) - col("c")) /
+          (lit(1.0) - col("c")) * 1e6).cast("long"))
+      .withColumn("err6",
+        abs(col("est6") - round(col("jaccard") * 1e6).cast("long")))
+      .groupBy(col("b_bits"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("err6")).as("sum_abs_err6"))
+      .withColumn("mae_micro", expr("sum_abs_err6 div n_pairs"))
+      .withColumn("storage_bits", col("b_bits") * lit(numHashes.toLong))
+      .select(col("b_bits"), col("n_pairs"), col("sum_abs_err6"),
+        col("mae_micro"), col("storage_bits"))
+  }
 }

@@ -774,4 +774,27 @@ class DedupOpsSpec extends SparkSpec {
     // census invariant: per row, docs = clusters * size
     assert(d1 === c1 * 1L && d3 === c3 * 3L)
   }
+
+  test("minhashBBit: four widths, equal pair counts, exact dups cost zero error") {
+    val r = DedupOps.minhashBBit(docs).collect()
+      .map(x => x.getAs[Long]("b_bits") ->
+        ((x.getAs[Long]("n_pairs"), x.getAs[Long]("mae_micro"),
+          x.getAs[Long]("storage_bits")))).toMap
+    assert(r.keySet === Set(24L, 4L, 2L, 1L))
+    assert(r.values.map(_._1).toSeq.distinct.length === 1,
+      "every width scores the same verified-pair set")
+    r.foreach { case (b, (_, _, bits)) => assert(bits === b * 12L) }
+    // an exact-dup-only corpus: all 12 minhashes collide at every
+    // width, the estimator returns exactly 1.0, error is zero
+    val exact = Seq((0L, base), (1L, base),
+      (3L, "completely different words about spark query engines at scale ok"))
+      .toDF("doc_id", "text")
+    val e = DedupOps.minhashBBit(exact).collect()
+    assert(e.length === 4)
+    e.foreach { x =>
+      assert(x.getAs[Long]("n_pairs") === 1L)
+      assert(x.getAs[Long]("mae_micro") === 0L,
+        s"b=${x.getAs[Long]("b_bits")}: identical signatures estimate J=1 exactly")
+    }
+  }
 }
