@@ -6458,6 +6458,47 @@ private[graft] object OracleRegistry {
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    // two overlapping %10 hash stripes as successive crawls; exact
+    // integer-div shares, full-outer L1 facet drift, anti-join churn
+    "corpus_diff" ->
+      s"""WITH o AS (SELECT * FROM documents
+         |           WHERE ${duckHash24("'cdf:' || CAST(doc_id AS VARCHAR)")} % 10 < 9),
+         |n AS (SELECT * FROM documents
+         |      WHERE ${duckHash24("'cdf:' || CAST(doc_id AS VARCHAR)")} % 10 >= 1),
+         |so AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_old,
+         |         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars_old,
+         |         CASE WHEN count(*) = 0 THEN 0
+         |           ELSE CAST(((count(*) - count(DISTINCT text)) * 1000000)
+         |                // count(*) AS BIGINT) END AS dup_micro_old
+         |       FROM o),
+         |sn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_new,
+         |         CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS n_chars_new,
+         |         CASE WHEN count(*) = 0 THEN 0
+         |           ELSE CAST(((count(*) - count(DISTINCT text)) * 1000000)
+         |                // count(*) AS BIGINT) END AS dup_micro_new
+         |       FROM n),
+         |ad AS (SELECT CAST(count(*) AS BIGINT) AS n_added FROM n
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM o)),
+         |rm AS (SELECT CAST(count(*) AS BIGINT) AS n_removed FROM o
+         |       WHERE doc_id NOT IN (SELECT doc_id FROM n)),
+         |lo AS (SELECT lang, CAST(count(*) * 1000000
+         |         // (SELECT count(*) FROM o) AS BIGINT) AS a FROM o GROUP BY 1),
+         |ln2 AS (SELECT lang, CAST(count(*) * 1000000
+         |         // (SELECT count(*) FROM n) AS BIGINT) AS b FROM n GROUP BY 1),
+         |ldr AS (SELECT CAST(coalesce(sum(abs(coalesce(a, 0) - coalesce(b, 0))), 0)
+         |          AS BIGINT) AS lang_l1_micro
+         |        FROM lo FULL JOIN ln2 USING (lang)),
+         |uo AS (SELECT source, CAST(count(*) * 1000000
+         |         // (SELECT count(*) FROM o) AS BIGINT) AS a FROM o GROUP BY 1),
+         |un AS (SELECT source, CAST(count(*) * 1000000
+         |         // (SELECT count(*) FROM n) AS BIGINT) AS b FROM n GROUP BY 1),
+         |sdr AS (SELECT CAST(coalesce(sum(abs(coalesce(a, 0) - coalesce(b, 0))), 0)
+         |          AS BIGINT) AS source_l1_micro
+         |        FROM uo FULL JOIN un USING (source))
+         |SELECT n_docs_old, n_docs_new, n_added, n_removed,
+         |  n_chars_old, n_chars_new, dup_micro_old, dup_micro_new,
+         |  lang_l1_micro, source_l1_micro
+         |FROM so, sn, ad, rm, ldr, sdr""".stripMargin,
     "corpus_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       round(avg(n_chars), 4) + 0 AS avg_chars

@@ -86,6 +86,15 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, dir) => CorpusOps.dedupParagraphs(Tables.documents(s, dir))),
     "content_hash" -> ((s, dir) => CorpusOps.contentHash(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) => CorpusOps.corpusStats(Tables.documents(s, dir))),
+    // crawl-over-crawl data-card diff: two overlapping hash stripes
+    // (%10: old keeps buckets 0–8, new keeps 1–9) stand in for
+    // successive crawls, so added/removed/drift are all non-trivial
+    "corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bkt = graft.functions.PortableHash.bucket(
+        concat(lit("cdf:"), col("doc_id").cast("string")), 10)
+      CorpusOps.corpusDiff(docs.filter(bkt < 9), docs.filter(bkt >= 1))
+    }),
     "incremental_antijoin" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val state = CorpusOps.contentHash(docs.filter(col("doc_id") % 2 === 0))

@@ -273,4 +273,58 @@ object CorpusOps {
         (col("pkey") % 1000).as("para_idx"),
         col("dim"), col("weight"))
   }
+
+  /** Crawl-over-crawl corpus diff — the data-card delta an ops team
+    * reads before promoting a new crawl over the one in production
+    * (the C4→C4.1-style refresh decision): membership churn
+    * (added/removed doc ids), volume delta, exact-dup-rate per side,
+    * and per-facet composition drift (lang and source share
+    * histograms, L1 in integer micros — the
+    * [[DedupOps.lshMaintenancePlan]] drift recipe on corpus facets).
+    * One replayable row; every column is exact integer arithmetic
+    * (`div` shares, no floats anywhere).
+    *
+    * Scale shape: two corpus-wide aggs (count/sum/distinct-text —
+    * the distinct is a uniform text-keyed agg), one anti-join each
+    * way on the doc_id key, and two bounded facet censuses; the
+    * final row assembles by 1-row broadcast crossJoins. At 100 TB
+    * both sides are parquet scans with column pruning (doc_id, text,
+    * n_chars, lang, source) and every shuffle key is uniform. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def stats(d: DataFrame, sfx: String): DataFrame =
+      d.agg(count(lit(1)).as(s"n_docs_$sfx"),
+        coalesce(sum(col("n_chars")), lit(0L)).as(s"n_chars_$sfx"),
+        countDistinct(col("text")).as("ndt"))
+        .withColumn(s"dup_micro_$sfx",
+          when(col(s"n_docs_$sfx") === 0L, lit(0L)).otherwise(
+            expr(s"((n_docs_$sfx - ndt) * 1000000L) div n_docs_$sfx")))
+        .drop("ndt")
+    def shares(d: DataFrame, key: String, out: String): DataFrame = {
+      val c = d.groupBy(col(key)).agg(count(lit(1)).as("nb"))
+      val t = c.agg(sum(col("nb")).as("nb_tot"))
+      c.crossJoin(broadcast(t))
+        .select(col(key), expr("nb * 1000000 div nb_tot").as(out))
+    }
+    def facetL1(key: String, out: String): DataFrame =
+      shares(oldDocs, key, "a")
+        .join(shares(newDocs, key, "b"), Seq(key), "full")
+        .agg(coalesce(sum(abs(coalesce(col("a"), lit(0L)) -
+          coalesce(col("b"), lit(0L)))), lit(0L)).as(out))
+    val added = newDocs.select(col("doc_id"))
+      .join(oldDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_added"))
+    val removed = oldDocs.select(col("doc_id"))
+      .join(newDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_removed"))
+    stats(oldDocs, "old")
+      .crossJoin(broadcast(stats(newDocs, "new")))
+      .crossJoin(broadcast(added))
+      .crossJoin(broadcast(removed))
+      .crossJoin(broadcast(facetL1("lang", "lang_l1_micro")))
+      .crossJoin(broadcast(facetL1("source", "source_l1_micro")))
+      .select(col("n_docs_old"), col("n_docs_new"), col("n_added"),
+        col("n_removed"), col("n_chars_old"), col("n_chars_new"),
+        col("dup_micro_old"), col("dup_micro_new"),
+        col("lang_l1_micro"), col("source_l1_micro"))
+  }
 }

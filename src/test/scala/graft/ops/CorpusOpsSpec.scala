@@ -189,4 +189,31 @@ class CorpusOpsSpec extends SparkSpec {
     val norm = math.sqrt(byDoc(1L).map(r => math.pow(r.getAs[Double]("weight"), 2)).sum)
     assert(math.abs(norm - 1.0) < 1e-5)
   }
+
+  test("corpusDiff: churn, volume, dup rate, and facet drift in one exact row") {
+    // old: 4 docs (one exact-dup pair), all lang=en, sources a/b
+    // new: drops doc 0, adds docs 4+5 (one lang=de), source c appears
+    val oldD = Seq(
+      (0L, "same text", "en", "a", 9L), (1L, "same text", "en", "a", 9L),
+      (2L, "unique two", "en", "b", 10L), (3L, "unique three", "en", "b", 12L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newD = Seq(
+      (1L, "same text", "en", "a", 9L), (2L, "unique two", "en", "b", 10L),
+      (3L, "unique three", "en", "b", 12L), (4L, "fresh four", "de", "c", 10L),
+      (5L, "fresh five", "en", "c", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = CorpusOps.corpusDiff(oldD, newD).collect().head
+    assert(r.getAs[Long]("n_docs_old") === 4L)
+    assert(r.getAs[Long]("n_docs_new") === 5L)
+    assert(r.getAs[Long]("n_added") === 2L)
+    assert(r.getAs[Long]("n_removed") === 1L)
+    assert(r.getAs[Long]("n_chars_old") === 40L)
+    assert(r.getAs[Long]("n_chars_new") === 51L)
+    assert(r.getAs[Long]("dup_micro_old") === 250000L, "1 of 4 docs is a copy")
+    assert(r.getAs[Long]("dup_micro_new") === 0L)
+    // lang: en 1000000 -> 800000, de 0 -> 200000: L1 = 400000
+    assert(r.getAs[Long]("lang_l1_micro") === 400000L)
+    // source shares: a 500000->200000, b 500000->400000, c 0->400000
+    assert(r.getAs[Long]("source_l1_micro") === 800000L)
+  }
 }
