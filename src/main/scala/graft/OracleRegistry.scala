@@ -1142,6 +1142,29 @@ private[graft] object OracleRegistry {
     // component id = min doc_id transitively reachable over verified
     // near-dup edges (recursive CTE = the oracle twin of Spark-side
     // min-label propagation to fixpoint)
+    // the components twin + a lang join: per-cluster lang census,
+    // majority share by exact integer div (only max counts emitted —
+    // count ties cannot flake an argmax lang)
+    "dedup_cluster_purity" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |pl AS (SELECT c.component_id, d.lang, CAST(count(*) AS BIGINT) AS nl
+         |       FROM comp c JOIN documents d USING (doc_id) GROUP BY 1, 2)
+         |SELECT component_id, CAST(sum(nl) AS BIGINT) AS size,
+         |  CAST(count(*) AS BIGINT) AS n_langs,
+         |  CAST((max(nl) * 1000000) // sum(nl) AS BIGINT) AS maj_share_micro,
+         |  count(*) = 1 AS pure
+         |FROM pl GROUP BY 1""".stripMargin,
     // verified pairs at θ=0.2 (the quadratic jac twin), the mh minhash
     // CTE, per-pair collision counts at each width, one estimator
     // formula (C = 0 is the full-width row), exact integer error sums
@@ -2652,6 +2675,58 @@ private[graft] object OracleRegistry {
          |SELECT doc_id, y, score,
          |  CAST(round(score * 1000000.0) AS BIGINT) >= 500000 AS predicted
          |FROM gds""".stripMargin,
+    // three keep flags (heuristic qual ≥ 0.5 micro, gopher pass,
+    // retrained GD ≥ 0.5 micro) joined on doc_id; κ from exact
+    // HUGEINT chance products, one double division per pair row
+    "quality_kappa" ->
+      s"""WITH $duckGdScored,
+         |$duckQualityCtes,
+         |ta AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |         CAST(sum(length(tok)) AS BIGINT) AS tok_chars,
+         |         CAST(sum(CASE WHEN regexp_matches(tok, '[a-z]') THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_alpha_words,
+         |         CAST(count(DISTINCT CASE WHEN tok IN (${sqlList(graft.ops.TextOps.GopherStopwords)})
+         |                             THEN tok END) AS BIGINT) AS n_req_stopwords
+         |       FROM toks GROUP BY 1),
+         |sy AS (SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS n_syms
+         |       FROM documents),
+         |m AS (SELECT t.doc_id,
+         |        (n_words BETWEEN 50 AND 100000
+         |         AND round(tok_chars / n_words, 6) + 0 BETWEEN 3.0 AND 10.0
+         |         AND round(n_syms / n_words, 6) + 0 <= 0.1
+         |         AND round(n_alpha_words / n_words, 6) + 0 >= 0.8
+         |         AND n_req_stopwords >= 2) AS g
+         |      FROM ta t JOIN sy s ON s.doc_id = t.doc_id),
+         |j AS (SELECT q2.doc_id,
+         |        CAST(round(q2.quality * 1000000.0) AS BIGINT) >= 500000 AS h,
+         |        m.g,
+         |        CAST(round(gds.score * 1000000.0) AS BIGINT) >= 500000 AS c
+         |      FROM qual q2 JOIN m USING (doc_id) JOIN gds USING (doc_id)),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN h THEN 1 ELSE 0 END) AS BIGINT) AS yh,
+         |         CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS yg,
+         |         CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS yc,
+         |         CAST(sum(CASE WHEN h = g THEN 1 ELSE 0 END) AS BIGINT) AS a_hg,
+         |         CAST(sum(CASE WHEN h = c THEN 1 ELSE 0 END) AS BIGINT) AS a_hc,
+         |         CAST(sum(CASE WHEN g = c THEN 1 ELSE 0 END) AS BIGINT) AS a_gc
+         |       FROM j),
+         |rows3 AS (
+         |  SELECT 'heuristic' AS rater_a, 'gopher' AS rater_b,
+         |    n, yh AS ya, yg AS yb, a_hg AS a FROM ag
+         |  UNION ALL SELECT 'heuristic', 'classifier', n, yh, yc, a_hc FROM ag
+         |  UNION ALL SELECT 'gopher', 'classifier', n, yg, yc, a_gc FROM ag),
+         |k AS (SELECT rater_a, rater_b, n, a, ya, yb,
+         |        CAST(ya AS HUGEINT) * yb + CAST(n - ya AS HUGEINT) * (n - yb)
+         |          AS chance2,
+         |        CAST(n AS HUGEINT) * n AS nn
+         |      FROM rows3)
+         |SELECT rater_a, rater_b, n AS n_docs, a AS n_agree,
+         |  ya AS n_yes_a, yb AS n_yes_b,
+         |  CASE WHEN nn = chance2 THEN 0.0
+         |    ELSE round(CAST(CAST(n AS HUGEINT) * a - chance2 AS DOUBLE) /
+         |               CAST(nn - chance2 AS DOUBLE), 6) + 0 END AS kappa
+         |FROM k""".stripMargin,
     // reliability diagram + ECE over the SAME retrained-from-scratch
     // scores: integer-micro bin assignment (no float-boundary floor),
     // exact micro sums per bin, one rounded division per statistic
@@ -7195,6 +7270,28 @@ private[graft] object OracleRegistry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM ranked r JOIN tc USING (doc_id))
          |WHERE cum_tokens <= 400""".stripMargin,
+    // the ann_topk kernel over a 100-query sample at k=5 (duckCosPre:
+    // 200k pairs needs precomputed norms), then the k-occurrence
+    // histogram with the explicit 0-occurrence (antihub) row
+    "ann_hubness" ->
+      s"""WITH $duckNrmCte,
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, nm AS qn
+         |      FROM nrm WHERE vec_id < 100),
+         |s AS MATERIALIZED (
+         |  SELECT q.query_id, e.vec_id,
+         |    round(${duckCosPre("e.embedding", "q.qe", "e.nm", "q.qn")}, 6) + 0
+         |      AS cos_sim
+         |  FROM nrm e, q WHERE e.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id,
+         |        row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, vec_id) AS rank
+         |      FROM s),
+         |o AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_occ
+         |      FROM r WHERE rank <= 5 GROUP BY 1),
+         |z AS (SELECT e.vec_id, coalesce(o.n_occ, 0) AS n_occ
+         |      FROM embeddings e LEFT JOIN o USING (vec_id))
+         |SELECT n_occ, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM z GROUP BY 1""".stripMargin,
     "ann_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
          |           FROM embeddings WHERE vec_id < 10),

@@ -231,6 +231,10 @@ object SparkEntry {
     "context_pack" -> ((s, dir) =>
       SearchOps.contextPack(Tables.documents(s, dir), "spark vector hash join",
         tokenBudget = 400, k = 50)),
+    // k-occurrence hubness histogram over a 100-query sample — the
+    // "is this embedding space hub-pathological" tripwire
+    "ann_hubness" -> ((s, dir) =>
+      VectorOps.annHubness(Tables.embeddings(s, dir))),
     "ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
@@ -453,6 +457,10 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // per-cluster language purity: the cross-lingual contamination /
+    // false-merge diagnostic the golden-record step reads first
+    "dedup_cluster_purity" -> ((s, dir) =>
+      DedupOps.dedupClusterPurity(Tables.documents(s, dir))),
     // b-bit minwise accuracy receipt: estimation error vs signature
     // storage on THIS corpus's verified pairs — the index-sizing curve
     "minhash_bbit" -> ((s, dir) =>
@@ -923,6 +931,10 @@ object SparkEntry {
     // percentile-ensemble curation score: three broadcast histogram
     // CDFs (no global sort), blended on the common percentile scale
     "quality_blend" -> ((s, dir) => TextOps.qualityBlend(Tables.documents(s, dir))),
+    // Cohen's κ between the three quality gates — chance-corrected
+    // pairwise agreement; κ≈1 says a gate is redundant, κ≈0 says
+    // the gates rank differently and both earn their keep
+    "quality_kappa" -> ((s, dir) => TextOps.qualityKappa(Tables.documents(s, dir))),
     // in-engine PLSA: 6 EM rounds with integer-micro responsibilities
     // (exact order-free M-step sums), top words per topic
     "topic_model" -> ((s, dir) =>

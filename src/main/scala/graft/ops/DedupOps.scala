@@ -1871,6 +1871,35 @@ object DedupOps {
         roundn(col("p6") / 1e6, 6).as("p_keep"))
   }
 
+  /** Language purity per near-dup cluster — the cross-lingual
+    * contamination diagnostic on [[dedupClusters]]' output: a
+    * cluster that mixes languages is either boilerplate translated
+    * across sites (drop-all is wrong — each language loses a
+    * legitimate copy) or a FALSE MERGE from an over-loose threshold
+    * (the θ evidence `dedup_threshold_curve` prices); either way the
+    * keep-one-per-cluster step must know before it picks a golden
+    * record. One row per cluster: size, distinct languages, the
+    * majority language's share (exact integer micros), and the
+    * purity flag.
+    *
+    * Determinism: counts are exact; the majority share uses only the
+    * MAX per-lang count (no tie-broken argmax lang is emitted, so
+    * count ties cannot flake). Scale shape: [[dedupClusters]]' plan
+    * + one co-keyed doc_id join for lang + two uniform keyed aggs;
+    * output is one row per multi-doc cluster (≪ corpus). */
+  def dedupClusterPurity(docs: DataFrame, minJaccard: Double = 0.5): DataFrame =
+    dedupClusters(docs, minJaccard)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("component_id"), col("lang"))
+      .agg(count(lit(1)).as("nl"))
+      .groupBy(col("component_id"))
+      .agg(sum(col("nl")).cast("long").as("size"),
+        count(lit(1)).as("n_langs"),
+        max(col("nl")).as("max_nl"))
+      .withColumn("maj_share_micro", expr("(max_nl * 1000000L) div size"))
+      .select(col("component_id"), col("size"), col("n_langs"),
+        col("maj_share_micro"), (col("n_langs") === 1L).as("pure"))
+
   /** b-bit minwise hashing accuracy receipt (Li & König, WWW '10):
     * storing only the lowest b bits of each minhash shrinks the
     * signature 24/b-fold, at the price of chance collisions the

@@ -2862,6 +2862,66 @@ object TextOps {
         (col("epochs_milli") > 1000L).as("oversampled"))
   }
 
+  /** Inter-rater agreement between the engine's three quality gates —
+    * Cohen's κ per scorer pair (heuristic [[qualityScore]] ≥ 0.5,
+    * [[gopherRules]]' conjunctive pass, the trained
+    * [[ClassifierOps.qualityClassifier]] ≥ 0.5). The curation
+    * diagnostic the quality tier ships without: raw agreement (po)
+    * overstates consensus when both gates pass almost everything; κ
+    * subtracts the chance floor, so κ ≈ 0 says the scorers share a
+    * base rate but not a ranking — running both adds nothing — while
+    * κ ≈ 1 says one gate is redundant. Either answer changes which
+    * filters a 100 TB pipeline actually runs.
+    *
+    * Determinism: keep flags compare INTEGER MICROS against 500000
+    * (the quality_classifier `predicted` convention); κ =
+    * (n·A − C₂)/(n² − C₂) is ONE double division of two exact Long
+    * products (C₂ = yes·yes + no·no chance matches), rounded once;
+    * the degenerate n² = C₂ case (a constant rater) emits 0.0 by
+    * definition — agreement indistinguishable from chance.
+    *
+    * Scale shape: three doc-keyed scorer plans (each already proven
+    * at scale) inner-joined on doc_id (co-keyed, uniform), ONE
+    * corpus-collapsing agg carrying all six pairwise counters as
+    * map-side partials, then a 3-row stack. */
+  def qualityKappa(docs: DataFrame): DataFrame = {
+    val h = qualityScore(docs).select(col("doc_id"),
+      (round(col("quality") * 1e6).cast("long") >= 500000L).as("h"))
+    val g = gopherRules(docs).select(col("doc_id"), col("passes").as("g"))
+    val c = ClassifierOps.qualityClassifier(docs).select(col("doc_id"),
+      (round(col("score") * 1e6).cast("long") >= 500000L).as("c"))
+    h.join(g, "doc_id").join(c, "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("h"), 1L).otherwise(0L)).as("yh"),
+        sum(when(col("g"), 1L).otherwise(0L)).as("yg"),
+        sum(when(col("c"), 1L).otherwise(0L)).as("yc"),
+        sum(when(col("h") === col("g"), 1L).otherwise(0L)).as("a_hg"),
+        sum(when(col("h") === col("c"), 1L).otherwise(0L)).as("a_hc"),
+        sum(when(col("g") === col("c"), 1L).otherwise(0L)).as("a_gc"))
+      .select(col("n_docs"), expr(
+        """stack(3,
+          |  'heuristic', 'gopher', yh, yg, a_hg,
+          |  'heuristic', 'classifier', yh, yc, a_hc,
+          |  'gopher', 'classifier', yg, yc, a_gc)
+          |AS (rater_a, rater_b, n_yes_a, n_yes_b, n_agree)""".stripMargin))
+      // decimal(38,0) products: n² overflows Long already at ~3·10⁹
+      // docs — the 100 TB doc count — so the chance terms accumulate
+      // in exact decimals and only the final quotient is a double
+      .withColumn("chance2",
+        col("n_yes_a").cast("decimal(38,0)") * col("n_yes_b") +
+          (col("n_docs") - col("n_yes_a")).cast("decimal(38,0)") *
+            (col("n_docs") - col("n_yes_b")))
+      .withColumn("nn", col("n_docs").cast("decimal(38,0)") * col("n_docs"))
+      .withColumn("kappa",
+        when(col("nn") === col("chance2"), lit(0.0))
+          .otherwise(roundn(
+            (col("n_docs").cast("decimal(38,0)") * col("n_agree") - col("chance2"))
+              .cast("double") /
+              (col("nn") - col("chance2")).cast("double"), 6)))
+      .select(col("rater_a"), col("rater_b"), col("n_docs"), col("n_agree"),
+        col("n_yes_a"), col("n_yes_b"), col("kappa"))
+  }
+
   /** Data-scaling-law receipt (Hestness '17 / Kaplan '20 form, the
     * Chinchilla §3 data axis): held-out cross-entropy of a
     * Laplace-smoothed unigram LM trained on NESTED doubling subsets

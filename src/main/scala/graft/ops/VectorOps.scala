@@ -324,6 +324,35 @@ object VectorOps {
         (col("cos_sim") >= tau).as("contaminated"))
   }
 
+  /** k-occurrence hubness census (Radovanović et al., JMLR '10) —
+    * the high-dimensional retrieval pathology audit: O_k(x) = how
+    * many of a query sample's top-k lists contain x. In hub-prone
+    * embedding spaces a few points appear in a large fraction of ALL
+    * neighbor lists (right-skewed O_k), silently dominating
+    * similarity joins, dedup candidates, and hard-negative mining —
+    * the histogram this emits is the tripwire a retrieval tier reads
+    * before trusting its nearest-neighbor structure. Self-matches
+    * are excluded ([[annTopK]]'s contract), and the 0-occurrence row
+    * keeps the census complete (antihubs are half the pathology).
+    *
+    * Determinism: occurrence counts are exact integers over
+    * [[annTopK]]'s rounded-cosine, vec_id-tie-broken ranks.
+    *
+    * Scale shape: the query SAMPLE (vec_id < nQueries, the
+    * recall-receipt convention) bounds the scan at nQueries·|corpus|
+    * — at 100 TB the same census runs over the IVF/LSH candidate
+    * top-k instead of the brute-force kernel (hubness of the SERVED
+    * index is the operative number); one left join + two uniform
+    * keyed aggs, output ≤ max-occurrence rows. */
+  def annHubness(embeddings: DataFrame, k: Int = 5, nQueries: Int = 100): DataFrame = {
+    val occ = annTopK(embeddings, embeddings.filter(col("vec_id") < nQueries), k)
+      .groupBy(col("vec_id")).agg(count(lit(1)).as("n_occ"))
+    embeddings.select(col("vec_id"))
+      .join(occ, Seq("vec_id"), "left")
+      .select(coalesce(col("n_occ"), lit(0L)).as("n_occ"))
+      .groupBy(col("n_occ")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Brute-force cosine top-k for a *set* of query vectors: per-query
     * ranked neighbors. The scale path replaces the cross join with an
     * LSH/IVF candidate join; this exact kernel then runs per bucket.

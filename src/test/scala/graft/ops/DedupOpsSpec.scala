@@ -775,6 +775,22 @@ class DedupOpsSpec extends SparkSpec {
     assert(d1 === c1 * 1L && d3 === c3 * 3L)
   }
 
+  test("dedupClusterPurity: mixed-lang cluster flagged, majority share exact") {
+    val d = Seq(
+      (0L, base, "en"), (1L, base, "en"),
+      (2L, base + " with a tiny edit", "es"),
+      (3L, "completely different words about spark query engines at scale ok", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = DedupOps.dedupClusterPurity(d).collect()
+    assert(r.length === 1, "one cluster {0,1,2}; the singleton emits no row")
+    val x = r.head
+    assert(x.getAs[Long]("component_id") === 0L)
+    assert(x.getAs[Long]("size") === 3L)
+    assert(x.getAs[Long]("n_langs") === 2L)
+    assert(x.getAs[Long]("maj_share_micro") === 666666L, "2 of 3 en, exact div")
+    assert(!x.getAs[Boolean]("pure"))
+  }
+
   test("minhashBBit: four widths, equal pair counts, exact dups cost zero error") {
     val r = DedupOps.minhashBBit(docs).collect()
       .map(x => x.getAs[Long]("b_bits") ->

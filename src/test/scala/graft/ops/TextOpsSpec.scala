@@ -1158,6 +1158,31 @@ class TextOpsSpec extends SparkSpec {
       "a 10% domain at T=2 gets 25% of the budget -> 2.5 epochs of repetition")
   }
 
+  test("qualityKappa: three pair rows, bounded kappa, constant raters read 0") {
+    // short docs: gopher fails everything (<50 words) and every text
+    // is below 300 chars, so classifier labels are all 0 — two
+    // constant raters force the chance2 = n^2 branch on their pair
+    val d = (0L until 8L).map { i =>
+      val text = (1 to 12).map(j => s"w${(i + j) % 7}").mkString(" ")
+      (i, text, text.length.toLong)
+    }.toDF("doc_id", "text", "n_chars")
+    val r = TextOps.qualityKappa(d).collect()
+    assert(r.length === 3)
+    assert(r.map(x => (x.getAs[String]("rater_a"), x.getAs[String]("rater_b"))).toSet
+      === Set(("heuristic", "gopher"), ("heuristic", "classifier"),
+        ("gopher", "classifier")))
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_docs") === 8L)
+      assert(x.getAs[Long]("n_agree") <= 8L)
+      val k = x.getAs[Double]("kappa")
+      assert(k >= -1.0 && k <= 1.0)
+    }
+    // gopher says no to every 12-word doc
+    val g = r.find(x => x.getAs[String]("rater_a") == "heuristic" &&
+      x.getAs[String]("rater_b") == "gopher").get
+    assert(g.getAs[Long]("n_yes_b") === 0L)
+  }
+
   test("scalingCurve: nested levels double, loss falls with data, one fit") {
     // 200 identical docs: the LM only improves through shrinking
     // Laplace mass, so held-out loss must fall monotonically as the

@@ -594,4 +594,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(1L) === ((0, 0L, 0.894427, 4L, 0.948683, -0.054256)))
     assert(r(3L) === ((1, 2L, 0.894427, 4L, 0.948683, -0.054256)))
   }
+
+  test("annHubness: occurrence mass conserved, antihub surfaces as the 0 row") {
+    // three clustered vectors + one anti-aligned outlier: the outlier
+    // is never anyone's top-2, so it must appear in the n_occ = 0 row
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.2f), 0), (3L, Seq(-1f, 0.01f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.annHubness(vecs, k = 2, nQueries = 4).collect()
+      .map(x => x.getAs[Long]("n_occ") -> x.getAs[Long]("n_docs")).toMap
+    assert(r.values.sum === 4L, "every vector lands in exactly one histogram row")
+    // 4 queries x top-2 = 8 total occurrences
+    assert(r.map { case (occ, n) => occ * n }.sum === 8L)
+    assert(r.get(0L).contains(1L), "the anti-aligned vector is retrieved by nobody")
+  }
 }
