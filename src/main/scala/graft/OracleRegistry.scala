@@ -1142,6 +1142,34 @@ private[graft] object OracleRegistry {
     // component id = min doc_id transitively reachable over verified
     // near-dup edges (recursive CTE = the oracle twin of Spark-side
     // min-label propagation to fixpoint)
+    // member-level verified edges (the quadratic jac twin), the same
+    // recursive components, per-component direct-edge counts, then
+    // the size census with exact-div density
+    "dedup_cluster_density" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |pc AS (SELECT c.component_id, CAST(count(*) AS BIGINT) AS n_edges
+         |       FROM edges e JOIN comp c ON c.doc_id = e.a_id GROUP BY 1),
+         |cs AS (SELECT component_id, CAST(count(*) AS BIGINT) AS size
+         |       FROM comp GROUP BY 1),
+         |cl AS (SELECT cs.size, coalesce(pc.n_edges, 0) AS n_edges
+         |       FROM cs LEFT JOIN pc USING (component_id))
+         |SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum((size * (size - 1)) // 2) AS BIGINT) AS n_possible_pairs,
+         |  CAST(sum(n_edges) AS BIGINT) AS n_direct_pairs,
+         |  CAST((sum(n_edges) * 1000000) // sum((size * (size - 1)) // 2) AS BIGINT)
+         |    AS density_micro
+         |FROM cl GROUP BY 1""".stripMargin,
     // the components twin + a lang join: per-cluster lang census,
     // majority share by exact integer div (only max counts emitted —
     // count ties cannot flake an argmax lang)
@@ -6533,6 +6561,39 @@ private[graft] object OracleRegistry {
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
     "persist_roundtrip" ->
       "SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    // near-dup components (the quadratic jac twin) as the family key
+    // (singleton fallback = own doc_id, cannot pair); (family, source)
+    // census self-joined; containment by exact integer div
+    "source_overlap" ->
+      s"""WITH RECURSIVE $duckToks,
+         |$duckShingles,
+         |$duckLshCand,
+         |$duckJaccardVerify,
+         |edges AS (SELECT a_id, b_id FROM jac WHERE jaccard >= 0.5),
+         |und AS (SELECT a_id AS src, b_id AS dst FROM edges
+         |        UNION ALL SELECT b_id, a_id FROM edges),
+         |reach AS (
+         |  SELECT DISTINCT src AS id, src AS r FROM und
+         |  UNION
+         |  SELECT u.src, reach.r FROM und u JOIN reach ON reach.id = u.dst),
+         |comp AS (SELECT id AS doc_id, min(r) AS component_id FROM reach GROUP BY 1),
+         |fam AS (SELECT coalesce(c.component_id, d.doc_id) AS h, d.source,
+         |          count(*) AS n
+         |        FROM documents d LEFT JOIN comp c USING (doc_id) GROUP BY 1, 2),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tot
+         |        FROM documents GROUP BY 1),
+         |p AS (SELECT a.source AS src_a, b.source AS src_b,
+         |        CAST(count(*) AS BIGINT) AS n_shared_families,
+         |        CAST(sum(a.n) AS BIGINT) AS n_shared_docs_a,
+         |        CAST(sum(b.n) AS BIGINT) AS n_shared_docs_b
+         |      FROM fam a JOIN fam b ON a.h = b.h AND a.source < b.source
+         |      GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_shared_families,
+         |  p.n_shared_docs_a, p.n_shared_docs_b,
+         |  CAST((p.n_shared_docs_a * 1000000) // ta.n_tot AS BIGINT) AS cont_a_micro,
+         |  CAST((p.n_shared_docs_b * 1000000) // tb.n_tot AS BIGINT) AS cont_b_micro
+         |FROM p JOIN tot ta ON ta.source = p.src_a
+         |       JOIN tot tb ON tb.source = p.src_b""".stripMargin,
     // two overlapping %10 hash stripes as successive crawls; exact
     // integer-div shares, full-outer L1 facet drift, anti-join churn
     "corpus_diff" ->

@@ -86,6 +86,10 @@ object SparkEntry {
     "dedup_paragraphs" -> ((s, dir) => CorpusOps.dedupParagraphs(Tables.documents(s, dir))),
     "content_hash" -> ((s, dir) => CorpusOps.contentHash(Tables.documents(s, dir))),
     "corpus_stats" -> ((s, dir) => CorpusOps.corpusStats(Tables.documents(s, dir))),
+    // inter-source contamination matrix: which sources mirror each
+    // other, with per-side containment in exact integer micros
+    "source_overlap" -> ((s, dir) =>
+      CorpusOps.sourceOverlap(Tables.documents(s, dir))),
     // crawl-over-crawl data-card diff: two overlapping hash stripes
     // (%10: old keeps buckets 0–8, new keeps 1–9) stand in for
     // successive crawls, so added/removed/drift are all non-trivial
@@ -457,6 +461,11 @@ object SparkEntry {
     }),
     "dedup_near_verified" -> ((s, dir) => DedupOps.nearDupVerified(Tables.documents(s, dir))),
     "dedup_clusters" -> ((s, dir) => DedupOps.dedupClusters(Tables.documents(s, dir))),
+    // per-cluster-size evidence density: the transitive-closure
+    // honesty receipt — how many of C(s,2) member pairs were DIRECTLY
+    // verified; low density = chain merges
+    "dedup_cluster_density" -> ((s, dir) =>
+      DedupOps.dedupClusterDensity(Tables.documents(s, dir))),
     // per-cluster language purity: the cross-lingual contamination /
     // false-merge diagnostic the golden-record step reads first
     "dedup_cluster_purity" -> ((s, dir) =>

@@ -274,6 +274,50 @@ object CorpusOps {
         col("dim"), col("weight"))
   }
 
+  /** Inter-source contamination matrix — which sources mirror each
+    * other: for every source pair sharing at least one NEAR-dup
+    * family ([[DedupOps.dedupClusters]]' components — mirrors rewrap
+    * boilerplate, so byte-identical sha families would miss most of
+    * them; exact copies are jaccard-1.0 members of the same
+    * components), the shared-family count, the doc mass on each
+    * side, and each side's containment (share of the source's docs
+    * with a near-copy in the other, exact integer micros). The
+    * drop-a-mirror-source decision
+    * ([[graft.ops.TextOps.sourceScorecard]] flags a source mostly
+    * made of copies; this names WHO it copies).
+    *
+    * Scale shape: the dedup tier's component labels (computed once,
+    * persisted in production) + one (family, source) census;
+    * self-joined on the family key, a family's fan-out is bounded by
+    * |sources| holding it, so the pair explosion is |families
+    * spanning ≥2 sources| · small; per-source totals broadcast back.
+    * Singleton fallback labels cannot pair (1 doc). All-integer
+    * output. */
+  def sourceOverlap(docs: DataFrame): DataFrame = {
+    val fam = docs.select(col("doc_id"), col("source"))
+      .join(DedupOps.dedupClusters(docs), Seq("doc_id"), "left")
+      .withColumn("h", coalesce(col("component_id"), col("doc_id")))
+      .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_tot"))
+    fam.select(col("h"), col("source").as("src_a"), col("n").as("n_a"))
+      .join(fam.select(col("h"), col("source").as("src_b"), col("n").as("n_b")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared_families"),
+        sum(col("n_a")).cast("long").as("n_shared_docs_a"),
+        sum(col("n_b")).cast("long").as("n_shared_docs_b"))
+      .join(broadcast(tot.select(col("source").as("src_a"), col("n_tot").as("tot_a"))),
+        "src_a")
+      .join(broadcast(tot.select(col("source").as("src_b"), col("n_tot").as("tot_b"))),
+        "src_b")
+      .withColumn("cont_a_micro", expr("(n_shared_docs_a * 1000000L) div tot_a"))
+      .withColumn("cont_b_micro", expr("(n_shared_docs_b * 1000000L) div tot_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared_families"),
+        col("n_shared_docs_a"), col("n_shared_docs_b"),
+        col("cont_a_micro"), col("cont_b_micro"))
+  }
+
   /** Crawl-over-crawl corpus diff — the data-card delta an ops team
     * reads before promoting a new crawl over the one in production
     * (the C4→C4.1-style refresh decision): membership churn

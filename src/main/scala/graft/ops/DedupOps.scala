@@ -1871,6 +1871,47 @@ object DedupOps {
         roundn(col("p6") / 1e6, 6).as("p_keep"))
   }
 
+  /** Evidence density per near-dup cluster size — the
+    * transitive-closure honesty receipt: connected components merge
+    * by CHAINS, so a size-s cluster may hold member pairs nobody
+    * ever verified (a–b and b–c at 0.5 do not imply a–c at 0.5).
+    * Per cluster size: how many of the C(s,2) member pairs carry a
+    * DIRECT verification ([[nearDupVerified]]'s member-level list,
+    * intra-family 1.0 pairs included) — density 10⁶ micros = clique
+    * (every pair proven), low density = chain merges, exactly where
+    * [[dedupClusterPurity]]'s false-merge question and the
+    * θ-tightening decision (`dedup_threshold_curve`) point.
+    *
+    * Determinism: counts and C(s,2) are exact Longs; density is an
+    * exact integer `div`. Scale shape: the verified-pair list and
+    * the CC labels the dedup tier already computes; one a_id-keyed
+    * join assigns each pair its component (both endpoints share it
+    * by construction), two uniform keyed aggs, census output ≤
+    * max-cluster-size rows. */
+  def dedupClusterDensity(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
+    // ONE LSH+verify chain: components contract over the same
+    // member-level edge list the density numerator counts (identical
+    // labels to dedupClusters — member pairs connect exactly what the
+    // family stars connect, min-id labels agree)
+    val edges = nearDupVerified(docs, minJaccard = minJaccard)
+      .select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val comp = connectedComponents(edges).localCheckpoint(true)
+    val perComp = edges
+      .join(comp.select(col("doc_id").as("a_id"), col("component_id")), "a_id")
+      .groupBy(col("component_id")).agg(count(lit(1)).as("n_edges"))
+    comp.groupBy(col("component_id")).agg(count(lit(1)).as("size"))
+      .join(perComp, Seq("component_id"), "left")
+      .withColumn("n_edges", coalesce(col("n_edges"), lit(0L)))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(expr("(size * (size - 1)) div 2")).cast("long").as("n_possible_pairs"),
+        sum(col("n_edges")).cast("long").as("n_direct_pairs"))
+      .withColumn("density_micro",
+        expr("(n_direct_pairs * 1000000L) div n_possible_pairs"))
+      .select(col("size"), col("n_clusters"), col("n_possible_pairs"),
+        col("n_direct_pairs"), col("density_micro"))
+  }
+
   /** Language purity per near-dup cluster — the cross-lingual
     * contamination diagnostic on [[dedupClusters]]' output: a
     * cluster that mixes languages is either boilerplate translated

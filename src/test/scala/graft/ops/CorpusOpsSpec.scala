@@ -190,6 +190,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(norm - 1.0) < 1e-5)
   }
 
+  test("sourceOverlap: near-dup families pair sources; containment exact per side") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (0L, base, "a"),
+      (1L, "totally unrelated first words that shingle without overlap here", "a"),
+      (2L, base + " with a tiny edit", "b"), // near-dups doc 0 across sources
+      (3L, "separate second text with its own distinct shingle vocabulary", "b"),
+      (4L, "third unrelated body of words keeping source b at three docs", "b"),
+      (5L, "a lonely source c document sharing nothing with anyone else", "c")
+    ).toDF("doc_id", "text", "source")
+    val r = CorpusOps.sourceOverlap(d).collect()
+    assert(r.length === 1, "only (a,b) share a near-dup family; c pairs with nobody")
+    val x = r.head
+    assert(x.getAs[String]("src_a") === "a" && x.getAs[String]("src_b") === "b")
+    assert(x.getAs[Long]("n_shared_families") === 1L)
+    assert(x.getAs[Long]("n_shared_docs_a") === 1L)
+    assert(x.getAs[Long]("n_shared_docs_b") === 1L)
+    assert(x.getAs[Long]("cont_a_micro") === 500000L, "1 of a's 2 docs mirrored")
+    assert(x.getAs[Long]("cont_b_micro") === 333333L, "1 of b's 3 docs mirrored")
+  }
+
   test("corpusDiff: churn, volume, dup rate, and facet drift in one exact row") {
     // old: 4 docs (one exact-dup pair), all lang=en, sources a/b
     // new: drops doc 0, adds docs 4+5 (one lang=de), source c appears

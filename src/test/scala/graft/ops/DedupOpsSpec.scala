@@ -775,6 +775,19 @@ class DedupOpsSpec extends SparkSpec {
     assert(d1 === c1 * 1L && d3 === c3 * 3L)
   }
 
+  test("dedupClusterDensity: a fully-verified triangle reads density 1.0") {
+    // {0,1,2}: exact pair (0,1) + both near pairs verified -> 3 of
+    // C(3,2)=3 pairs direct; the unrelated doc forms no component
+    val r = DedupOps.dedupClusterDensity(docs).collect()
+    assert(r.length === 1)
+    val x = r.head
+    assert(x.getAs[Long]("size") === 3L)
+    assert(x.getAs[Long]("n_clusters") === 1L)
+    assert(x.getAs[Long]("n_possible_pairs") === 3L)
+    assert(x.getAs[Long]("n_direct_pairs") === 3L)
+    assert(x.getAs[Long]("density_micro") === 1000000L)
+  }
+
   test("dedupClusterPurity: mixed-lang cluster flagged, majority share exact") {
     val d = Seq(
       (0L, base, "en"), (1L, base, "en"),
