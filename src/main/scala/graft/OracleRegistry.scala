@@ -5378,6 +5378,19 @@ private[graft] object OracleRegistry {
     },
     // Laplace counts at ε ∈ {0.5, 1, 2}: u = (hash48('dp<i>:'||type)
     // + ½)/2⁴⁸, noise = (−1·sign(u−½))·ln(1−2|u−½|)/ε — exact mirror
+    // (type, user) census → per-type max contribution; ε grid is
+    // exact micro literals; all-integer output
+    "dp_sensitivity_audit" ->
+      """WITH pu AS (SELECT event_type, user_id, count(*) AS n
+        |            FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |         CAST(max(n) AS BIGINT) AS max_user_rows
+        |       FROM pu GROUP BY 1)
+        |SELECT event_type, n_users, max_user_rows,
+        |  CAST(u.e AS BIGINT) AS eps6,
+        |  CAST(u.e AS BIGINT) * max_user_rows AS eps_effective6
+        |FROM st, unnest([500000, 1000000, 2000000]) u(e)""".stripMargin,
     "dp_counts" -> {
       def leg(ei: Int, eps: String): String = {
         val h48 = s"CAST(${graft.functions.PortableHash.duckdbHash48(
@@ -7331,6 +7344,35 @@ private[graft] object OracleRegistry {
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
          |  FROM ranked r JOIN tc USING (doc_id))
          |WHERE cum_tokens <= 400""".stripMargin,
+    // per-dim mean folded in vec_id order (the engine localizes it as
+    // literals — same doubles), centered lists via the ordered mu
+    // list, RAW cosines folded in pair-key order, ONE rounding per
+    // mean (grid sums / small n land on .5 boundaries — r7 corollary)
+    "embedding_anisotropy" ->
+      s"""WITH ex AS (
+         |  SELECT vec_id, u.i AS dim, CAST(embedding[u.i] AS DOUBLE) AS v
+         |  FROM embeddings, unnest(range(1, len(embedding)+1)) u(i)),
+         |mu AS (SELECT dim, sum(v ORDER BY vec_id) / count(*) AS mu
+         |       FROM ex GROUP BY 1),
+         |mul AS (SELECT list(mu ORDER BY dim) AS m FROM mu),
+         |s AS (SELECT vec_id,
+         |        list_transform(range(1, len(embedding)+1),
+         |          i -> CAST(embedding[i] AS DOUBLE)) AS e
+         |      FROM embeddings WHERE vec_id < 64),
+         |sc AS MATERIALIZED (
+         |  SELECT vec_id, e,
+         |    list_transform(range(1, len(e)+1), i -> e[i] - mul.m[i]) AS c
+         |  FROM s, mul),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |        ${duckCos("a.e", "b.e")} AS cos_raw,
+         |        ${duckCos("a.c", "b.c")} AS cos_cen
+         |      FROM sc a JOIN sc b ON a.vec_id < b.vec_id)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(sum(cos_raw ORDER BY a_id * 100000 + b_id) / count(*), 6) + 0
+         |    AS mean_cos_raw,
+         |  round(sum(cos_cen ORDER BY a_id * 100000 + b_id) / count(*), 6) + 0
+         |    AS mean_cos_centered
+         |FROM p""".stripMargin,
     // the ann_topk kernel over a 100-query sample at k=5 (duckCosPre:
     // 200k pairs needs precomputed norms), then the k-occurrence
     // histogram with the explicit 0-occurrence (antihub) row

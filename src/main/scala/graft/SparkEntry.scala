@@ -239,6 +239,10 @@ object SparkEntry {
     // "is this embedding space hub-pathological" tripwire
     "ann_hubness" -> ((s, dir) =>
       VectorOps.annHubness(Tables.embeddings(s, dir))),
+    // anisotropy receipt: mean pairwise cosine raw vs mean-centered —
+    // the "does every vector share one dominant direction" check
+    "embedding_anisotropy" -> ((s, dir) =>
+      VectorOps.embeddingAnisotropy(Tables.embeddings(s, dir))),
     "ann_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       VectorOps.annTopK(emb, emb.filter(col("vec_id") < 10), k = 3)
@@ -1565,6 +1569,10 @@ object SparkEntry {
     // ε-DP Laplace counts with deterministic inverse-CDF noise from
     // the portable hash — the mechanism pinned exactly at 3 budgets
     "dp_counts" -> ((s, dir) => RelationalOps.dpCounts(Tables.events(s, dir))),
+    // user-level sensitivity audit: ε_eff = ε · max per-user rows —
+    // the event-level vs user-level DP gap, measured per event type
+    "dp_sensitivity_audit" -> ((s, dir) =>
+      RelationalOps.dpSensitivityAudit(Tables.events(s, dir))),
     // DP median via the exponential mechanism: exact integer rank
     // distances over the value census, integer-micro weights (no
     // float-association hazard), inverse-CDF draw on the portable hash

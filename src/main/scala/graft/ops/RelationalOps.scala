@@ -565,6 +565,31 @@ object RelationalOps {
     }.reduce(_ unionByName _)
   }
 
+  /** Event-level vs USER-level DP sensitivity audit — the gap
+    * [[dpCounts]] ships with: Laplace(1/ε) noise protects one ROW,
+    * but a per-event_type count's user-level L1 sensitivity is the
+    * max rows any single user contributes to that type. If a release
+    * must protect users, the effective privacy cost inflates by
+    * exactly that factor (group privacy): ε_eff = ε · max_user_rows.
+    * This measures the factor per event type against each declared ε
+    * — the "are we actually promising user-level privacy" check a
+    * governance review asks first.
+    *
+    * Determinism: all-integer output (ε's are exact micro literals).
+    * Scale shape: one (event_type, user) keyed agg with map-side
+    * partials, one bounded per-type rollup, a 3-row ε explode. */
+  def dpSensitivityAudit(events: DataFrame,
+                         epsilons: Seq[Double] = Seq(0.5, 1.0, 2.0)): DataFrame = {
+    val eps6 = epsilons.map(e => BigDecimal(e).*(BigDecimal(1000000)).toLongExact)
+    events.groupBy(col("event_type"), col("user_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        max(col("n")).as("max_user_rows"))
+      .select(col("event_type"), col("n_users"), col("max_user_rows"),
+        explode(array(eps6.map(lit(_)): _*)).as("eps6"))
+      .withColumn("eps_effective6", col("eps6") * col("max_user_rows"))
+  }
+
   def cohortRetention(events: DataFrame): DataFrame = {
     val dayNanos = 86400L * 1000 * 1000 * 1000
     val active = events

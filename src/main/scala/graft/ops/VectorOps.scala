@@ -324,6 +324,55 @@ object VectorOps {
         (col("cos_sim") >= tau).as("contaminated"))
   }
 
+  /** Embedding-space anisotropy receipt (Ethayarajh, EMNLP '19; Su
+    * '21's whitening motivation): the mean pairwise cosine over a
+    * bounded vector sample, RAW and after mean-centering (the first
+    * whitening step — subtracting the corpus mean direction). An
+    * isotropic space reads ≈ 0; contextual-embedding spaces
+    * notoriously read 0.5+ raw (every vector shares a dominant mean
+    * direction), which silently compresses every cosine the
+    * ANN/dedup/hard-negative tiers rank on. Centering collapsing the
+    * mean toward 0 is the cheap fix this receipt prices.
+    *
+    * Determinism: the per-dim mean folds in vec_id order
+    * (orderedSum ↔ `sum(v ORDER BY vec_id)`), localized once
+    * (|dims| rows — the bounded-localize convention) and re-entering
+    * as literals; per-pair cosines stay RAW doubles and each mean
+    * rounds ONCE after the ordered pair-key fold — per-pair rounding
+    * would put grid sums on .5 boundaries 1/n of the time (the
+    * SCALE.md round-7 corollary).
+    *
+    * Scale shape: one dim-keyed agg over the corpus for the mean
+    * (uniform, |dims| groups, map-side partials); the pair census is
+    * C(nSample, 2) rows of array arithmetic — the sample bounds it
+    * by declaration, and at 100 TB the mean still costs one pass
+    * while the sample stays fixed. */
+  def embeddingAnisotropy(embeddings: DataFrame, nSample: Int = 64): DataFrame = {
+    import graft.functions.VectorMath.orderedSum
+    val ex = embeddings.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("dim", "v")))
+    val mu = ex.groupBy(col("dim"))
+      .agg((orderedSum(col("vec_id"), col("v")) / count(lit(1))).as("mu"))
+      .orderBy(col("dim")).collect().map(_.getDouble(1))
+    val muArr = array(mu.map(lit(_)): _*)
+    val s = embeddings.filter(col("vec_id") < nSample)
+      .select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("c", zip_with(col("e"), muArr, (x, m) => x - m))
+      .localCheckpoint(true)
+    s.select(col("vec_id").as("a_id"), col("e").as("ea"), col("c").as("ca"))
+      .crossJoin(broadcast(s.select(col("vec_id").as("b_id"),
+        col("e").as("eb"), col("c").as("cb"))))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        fastCosine(col("ea"), col("eb")).as("cos_raw"),
+        fastCosine(col("ca"), col("cb")).as("cos_cen"))
+      .agg(count(lit(1)).as("n_pairs"),
+        roundn(orderedSum(col("a_id") * lit(100000L) + col("b_id"), col("cos_raw"))
+          / count(lit(1)), 6).as("mean_cos_raw"),
+        roundn(orderedSum(col("a_id") * lit(100000L) + col("b_id"), col("cos_cen"))
+          / count(lit(1)), 6).as("mean_cos_centered"))
+  }
+
   /** k-occurrence hubness census (Radovanović et al., JMLR '10) —
     * the high-dimensional retrieval pathology audit: O_k(x) = how
     * many of a query sample's top-k lists contain x. In hub-prone

@@ -587,6 +587,23 @@ class RelationalOpsSpec extends SparkSpec {
     assert(r.length === 1 && r(0).getAs[Long]("n_late") === 0L)
   }
 
+  test("dpSensitivityAudit: max per-user contribution inflates epsilon exactly") {
+    // user 1 hits "click" twice -> user-level sensitivity 2; "view" 1
+    val rows = Seq((1L, 1L, 1L, "click", 1.0, "{}"), (2L, 1L, 2L, "click", 1.0, "{}"),
+      (3L, 2L, 3L, "click", 1.0, "{}"), (4L, 1L, 4L, "view", 1.0, "{}"))
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")
+    val r = RelationalOps.dpSensitivityAudit(ev).collect()
+    assert(r.length === 6) // 2 types x 3 epsilons
+    val click = r.filter(_.getAs[String]("event_type") == "click")
+      .map(x => x.getAs[Long]("eps6") -> x.getAs[Long]("eps_effective6")).toMap
+    assert(click === Map(500000L -> 1000000L, 1000000L -> 2000000L,
+      2000000L -> 4000000L), "eps_eff = eps * max_user_rows(2)")
+    r.filter(_.getAs[String]("event_type") == "view").foreach { x =>
+      assert(x.getAs[Long]("max_user_rows") === 1L)
+      assert(x.getAs[Long]("eps_effective6") === x.getAs[Long]("eps6"))
+    }
+  }
+
   test("dpCounts: deterministic Laplace noise, zero-centered scale shrinks with epsilon") {
     val rows = (1L to 300L).map(i => (i, i % 7, i, s"t${i % 5}", 1.0, "{}"))
     val ev = rows.toDF("event_id", "user_id", "ts", "event_type", "value", "props")

@@ -595,6 +595,19 @@ class VectorOpsSpec extends SparkSpec {
     assert(r(3L) === ((1, 2L, 0.894427, 4L, 0.948683, -0.054256)))
   }
 
+  test("embeddingAnisotropy: identical vectors read 1.0 raw, 0.0 centered") {
+    // perfectly anisotropic corpus: every vector IS the mean
+    // direction, so raw cosine is 1 and centering zeroes everything
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0f), 0), (2L, Seq(1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r = VectorOps.embeddingAnisotropy(vecs).collect().head
+    assert(r.getAs[Long]("n_pairs") === 3L)
+    assert(r.getAs[Double]("mean_cos_raw") === 1.0)
+    assert(r.getAs[Double]("mean_cos_centered") === 0.0,
+      "centered copies are zero vectors; the cosine guard reads 0")
+  }
+
   test("annHubness: occurrence mass conserved, antihub surfaces as the 0 row") {
     // three clustered vectors + one anti-aligned outlier: the outlier
     // is never anyone's top-2, so it must appear in the n_occ = 0 row
