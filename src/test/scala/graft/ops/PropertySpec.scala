@@ -504,4 +504,55 @@ class PropertySpec extends SparkSpec {
       assert(changed === 0L, s"trial $trial: canonicalization must be a fixpoint")
     }
   }
+
+  test("property: softDedupSample census conserves docs and bounds kept") {
+    val rnd = new Random(108)
+    for (trial <- 1 to 3) {
+      // random dup structure: copies of a few base texts + singletons
+      val bases = Seq(
+        "the quick brown fox jumps over the lazy dog again and again",
+        "completely different words about spark query engines at scale ok",
+        "a third body of text with its own distinct shingle vocabulary here")
+      val docs = (0 until 10).map { i =>
+        val t = if (rnd.nextBoolean()) bases(rnd.nextInt(3))
+                else s"unique text number $i with filler words ${"pad " * (i + 3)}"
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+      val rows = DedupOps.softDedupSample(docs).collect()
+      val total = rows.map(_.getAs[Long]("n_docs")).sum
+      assert(total === 10L, s"trial $trial: every doc lands in exactly one size row")
+      rows.foreach { x =>
+        assert(x.getAs[Long]("n_docs") ===
+          x.getAs[Long]("n_clusters") * x.getAs[Long]("size"))
+        assert(x.getAs[Long]("n_kept") >= 0L &&
+          x.getAs[Long]("n_kept") <= x.getAs[Long]("n_docs"))
+        if (x.getAs[Long]("size") === 1L)
+          assert(x.getAs[Long]("n_kept") === x.getAs[Long]("n_docs"),
+            "p = 1: singletons always keep")
+      }
+    }
+  }
+
+  test("property: minhashBBit widths score one pair set, errors bounded") {
+    val rnd = new Random(109)
+    for (trial <- 1 to 3) {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val docs = (0 until 6).map { i =>
+        val t = if (i < 3) base + (" extra" * rnd.nextInt(3))
+                else s"unrelated document body $i ${"word " * (i + 5)}"
+        (i.toLong, t)
+      }.toDF("doc_id", "text")
+      val rows = DedupOps.minhashBBit(docs).collect()
+      if (rows.nonEmpty) {
+        assert(rows.length === 4, s"trial $trial: one row per width")
+        assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length === 1)
+        rows.foreach { x =>
+          // |est - true| <= est range bound: est in [-1, 1] scaled, true in [0,1]
+          assert(x.getAs[Long]("mae_micro") >= 0L &&
+            x.getAs[Long]("mae_micro") <= 2000000L)
+          assert(x.getAs[Long]("storage_bits") === x.getAs[Long]("b_bits") * 12L)
+        }
+      }
+    }
+  }
 }
