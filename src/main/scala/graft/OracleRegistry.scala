@@ -235,6 +235,37 @@ private[graft] object OracleRegistry {
        |          ${duckSigmoid("w")} + 0 AS score
        |        FROM cfi f, lw8 w)""".stripMargin
 
+  /** DuckDB twin of TextOps.packBestFitFold as a recursive CTE: folds
+    * the ranked stream `from` (stream_id, doc_id, n_tok, rn) into
+    * `name` (stream_id, rn, loads, doc_id, n_tok, bin_id) — best bin
+    * = first position of the max fitting load, no fit → new bin
+    * (oversize docs over-fill their own). ONE definition shared by
+    * the four fold sites (pack_bestfit, pack_bestfit_online, and both
+    * legs of pack_efficiency): a tie-break or oversize-rule fix can
+    * no longer diverge between them. Returns pre-stripped text (no
+    * margin pipes) — safe to embed inside a stripMargin literal. */
+  private def duckBfdFold(name: String, from: String): String =
+    s"""$name AS (
+       |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
+       |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
+       |         CAST(NULL AS BIGINT) AS bin_id
+       |  FROM (SELECT DISTINCT stream_id FROM $from) s0
+       |  UNION ALL
+       |  SELECT s.stream_id, s.rn + 1,
+       |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+       |      THEN list_transform(range(1, len(s.loads) + 1),
+       |             i -> CASE WHEN i = list_position(s.loads,
+       |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
+       |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
+       |      ELSE list_append(s.loads, d.n_tok) END,
+       |    d.doc_id, d.n_tok,
+       |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
+       |      THEN CAST(list_position(s.loads,
+       |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
+       |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
+       |  FROM $name s JOIN $from d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)"""
+      .stripMargin
+
   private def duckBpeRound(r: Int): String =
     // w CTEs are MATERIALIZED: each w$r is referenced twice (pair
     // census + next round's merge) and, in the deep-training oracle,
@@ -2114,25 +2145,7 @@ private[graft] object OracleRegistry {
          |    CAST(row_number() OVER (PARTITION BY stream_id
          |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
          |  FROM t),
-         |st AS (
-         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
-         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
-         |         CAST(NULL AS BIGINT) AS bin_id
-         |  FROM (SELECT DISTINCT stream_id FROM r) s0
-         |  UNION ALL
-         |  SELECT s.stream_id, s.rn + 1,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN list_transform(range(1, len(s.loads) + 1),
-         |             i -> CASE WHEN i = list_position(s.loads,
-         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
-         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
-         |      ELSE list_append(s.loads, d.n_tok) END,
-         |    d.doc_id, d.n_tok,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN CAST(list_position(s.loads,
-         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
-         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
-         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)
+         |${duckBfdFold("st", "r")}
          |SELECT doc_id, stream_id, n_tok, bin_id FROM st WHERE rn >= 1""".stripMargin,
     // the same BFD recursive fold but in ARRIVAL (doc_id) order —
     // the online placement an ingest pipeline actually runs
@@ -2146,25 +2159,7 @@ private[graft] object OracleRegistry {
          |    CAST(row_number() OVER (PARTITION BY stream_id
          |      ORDER BY doc_id) AS BIGINT) AS rn
          |  FROM t),
-         |st AS (
-         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
-         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
-         |         CAST(NULL AS BIGINT) AS bin_id
-         |  FROM (SELECT DISTINCT stream_id FROM r) s0
-         |  UNION ALL
-         |  SELECT s.stream_id, s.rn + 1,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN list_transform(range(1, len(s.loads) + 1),
-         |             i -> CASE WHEN i = list_position(s.loads,
-         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
-         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
-         |      ELSE list_append(s.loads, d.n_tok) END,
-         |    d.doc_id, d.n_tok,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN CAST(list_position(s.loads,
-         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
-         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
-         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1)
+         |${duckBfdFold("st", "r")}
          |SELECT doc_id, stream_id, n_tok, bin_id FROM st WHERE rn >= 1""".stripMargin,
     // both packing chains + bounded rollups; chunk splits counted by
     // the boundary-crossing rule, bestfit capacity floors at the
@@ -2179,25 +2174,7 @@ private[graft] object OracleRegistry {
          |    CAST(row_number() OVER (PARTITION BY stream_id
          |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
          |  FROM t),
-         |st AS (
-         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
-         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
-         |         CAST(NULL AS BIGINT) AS bin_id
-         |  FROM (SELECT DISTINCT stream_id FROM r) s0
-         |  UNION ALL
-         |  SELECT s.stream_id, s.rn + 1,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN list_transform(range(1, len(s.loads) + 1),
-         |             i -> CASE WHEN i = list_position(s.loads,
-         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
-         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
-         |      ELSE list_append(s.loads, d.n_tok) END,
-         |    d.doc_id, d.n_tok,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN CAST(list_position(s.loads,
-         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
-         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
-         |  FROM st s JOIN r d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1),
+         |${duckBfdFold("st", "r")},
          |c AS (SELECT doc_id, stream_id, n_tok,
          |    sum(n_tok) OVER (PARTITION BY stream_id ORDER BY doc_id
          |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
@@ -2218,25 +2195,7 @@ private[graft] object OracleRegistry {
          |    CAST(row_number() OVER (PARTITION BY stream_id
          |      ORDER BY doc_id) AS BIGINT) AS rn
          |  FROM t),
-         |st2 AS (
-         |  SELECT stream_id, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS loads,
-         |         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS n_tok,
-         |         CAST(NULL AS BIGINT) AS bin_id
-         |  FROM (SELECT DISTINCT stream_id FROM r2) s0
-         |  UNION ALL
-         |  SELECT s.stream_id, s.rn + 1,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN list_transform(range(1, len(s.loads) + 1),
-         |             i -> CASE WHEN i = list_position(s.loads,
-         |                    list_max(list_filter(s.loads, l -> l + d.n_tok <= 128)))
-         |                  THEN s.loads[i] + d.n_tok ELSE s.loads[i] END)
-         |      ELSE list_append(s.loads, d.n_tok) END,
-         |    d.doc_id, d.n_tok,
-         |    CASE WHEN len(list_filter(s.loads, l -> l + d.n_tok <= 128)) > 0
-         |      THEN CAST(list_position(s.loads,
-         |             list_max(list_filter(s.loads, l -> l + d.n_tok <= 128))) AS BIGINT)
-         |      ELSE CAST(len(s.loads) + 1 AS BIGINT) END
-         |  FROM st2 s JOIN r2 d ON d.stream_id = s.stream_id AND d.rn = s.rn + 1),
+         |${duckBfdFold("st2", "r2")},
          |bl AS (SELECT stream_id, bin_id, sum(n_tok) AS load
          |       FROM st WHERE rn >= 1 GROUP BY 1, 2),
          |bf1 AS (SELECT count(*) AS n_units,
@@ -2268,9 +2227,13 @@ private[graft] object OracleRegistry {
          |      SELECT method, n_units, capacity, used_tokens, n_docs,
          |             n_split_docs, n_oversize FROM olrow)
          |SELECT method, n_units, capacity, used_tokens,
-         |  (capacity - used_tokens) * 1000000 // capacity AS waste_micro,
+         |  CASE WHEN capacity = 0 THEN 0
+         |    ELSE (capacity - used_tokens) * 1000000 // capacity
+         |  END AS waste_micro,
          |  n_docs, n_split_docs,
-         |  n_split_docs * 1000000 // n_docs AS split_micro, n_oversize
+         |  CASE WHEN n_docs = 0 THEN 0
+         |    ELSE n_split_docs * 1000000 // n_docs
+         |  END AS split_micro, n_oversize
          |FROM u""".stripMargin,
     // old = documents; new derives via the same salted bucket the
     // Spark side uses (bucket<5 removed, 5..9 changed, >=95 re-keyed
@@ -7368,9 +7331,9 @@ private[graft] object OracleRegistry {
          |        ${duckCos("a.c", "b.c")} AS cos_cen
          |      FROM sc a JOIN sc b ON a.vec_id < b.vec_id)
          |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |  round(sum(cos_raw ORDER BY a_id * 100000 + b_id) / count(*), 6) + 0
+         |  round(sum(cos_raw ORDER BY a_id * 4294967296 + b_id) / count(*), 6) + 0
          |    AS mean_cos_raw,
-         |  round(sum(cos_cen ORDER BY a_id * 100000 + b_id) / count(*), 6) + 0
+         |  round(sum(cos_cen ORDER BY a_id * 4294967296 + b_id) / count(*), 6) + 0
          |    AS mean_cos_centered
          |FROM p""".stripMargin,
     // the ann_topk kernel over a 100-query sample at k=5 (duckCosPre:

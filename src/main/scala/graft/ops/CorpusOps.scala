@@ -343,17 +343,11 @@ object CorpusOps {
           when(col(s"n_docs_$sfx") === 0L, lit(0L)).otherwise(
             expr(s"((n_docs_$sfx - ndt) * 1000000L) div n_docs_$sfx")))
         .drop("ndt")
-    def shares(d: DataFrame, key: String, out: String): DataFrame = {
-      val c = d.groupBy(col(key)).agg(count(lit(1)).as("nb"))
-      val t = c.agg(sum(col("nb")).as("nb_tot"))
-      c.crossJoin(broadcast(t))
-        .select(col(key), expr("nb * 1000000 div nb_tot").as(out))
-    }
     def facetL1(key: String, out: String): DataFrame =
-      shares(oldDocs, key, "a")
-        .join(shares(newDocs, key, "b"), Seq(key), "full")
-        .agg(coalesce(sum(abs(coalesce(col("a"), lit(0L)) -
-          coalesce(col("b"), lit(0L)))), lit(0L)).as(out))
+      graft.functions.ShareCensus.microShareL1(
+        graft.functions.ShareCensus.microShares(oldDocs.select(col(key)), key, "a"),
+        graft.functions.ShareCensus.microShares(newDocs.select(col(key)), key, "b"),
+        key, out)
     val added = newDocs.select(col("doc_id"))
       .join(oldDocs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_added"))

@@ -1038,30 +1038,31 @@ object DedupOps {
     val reband = lshBuckets(sigs, rowsPerBandNew)
     def bucketSizes(b: DataFrame): DataFrame =
       b.groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("sz"))
-    def occShares(sizes: DataFrame, shareCol: String): DataFrame = {
-      val census = sizes.select(least(col("sz"), lit(sizeCap.toLong)).as("szc"))
-        .groupBy(col("szc")).agg(count(lit(1)).as("nb"))
-      val tot = census.agg(sum(col("nb")).as("nb_tot"))
-      census.crossJoin(broadcast(tot))
-        .select(col("szc"), expr("nb * 1000000 div nb_tot").as(shareCol))
-    }
+    def occShares(sizes: DataFrame, shareCol: String): DataFrame =
+      graft.functions.ShareCensus.microShares(
+        sizes.select(least(col("sz"), lit(sizeCap.toLong)).as("szc")),
+        "szc", shareCol)
     def pairBound(sizes: DataFrame, name: String): DataFrame =
       sizes.agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as(name))
     val oldSizes = bucketSizes(oldBuckets).localCheckpoint(true)
     val freshSizes = bucketSizes(fresh).localCheckpoint(true)
-    val drift = occShares(oldSizes, "a")
-      .join(occShares(freshSizes, "b"), Seq("szc"), "full")
-      .agg(coalesce(sum(abs(coalesce(col("a"), lit(0L)) - coalesce(col("b"), lit(0L)))),
-        lit(0L)).as("occ_l1_micro"))
+    // both re-banding consumers (row census + pair bound) read the
+    // checkpointed SIZE table — without it the full-corpus banding
+    // executed twice; bucket rows = Σ sz exactly
+    val rebandSizes = bucketSizes(reband).localCheckpoint(true)
+    val drift = graft.functions.ShareCensus.microShareL1(
+      occShares(oldSizes, "a"), occShares(freshSizes, "b"),
+      "szc", "occ_l1_micro")
     drift
       .crossJoin(broadcast(oldBuckets.agg(
         countDistinct(col("doc_id")).as("n_docs_indexed"))))
       .crossJoin(broadcast(fresh.agg(
         countDistinct(col("doc_id")).as("n_docs_corpus"),
         count(lit(1)).as("bucket_rows_cur"))))
-      .crossJoin(broadcast(reband.agg(count(lit(1)).as("bucket_rows_new"))))
+      .crossJoin(broadcast(rebandSizes.agg(
+        coalesce(sum(col("sz")), lit(0L)).as("bucket_rows_new"))))
       .crossJoin(broadcast(pairBound(freshSizes, "cand_pairs_cur")))
-      .crossJoin(broadcast(pairBound(bucketSizes(reband), "cand_pairs_new")))
+      .crossJoin(broadcast(pairBound(rebandSizes, "cand_pairs_new")))
       .withColumn("refresh", col("occ_l1_micro") > tauMicro)
       .select(col("n_docs_indexed"), col("n_docs_corpus"), col("occ_l1_micro"),
         col("refresh"), col("bucket_rows_cur"), col("bucket_rows_new"),

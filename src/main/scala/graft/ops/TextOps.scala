@@ -1031,7 +1031,18 @@ object TextOps {
   /** The shared best-fit fold kernel ([[packBestFit]] /
     * [[packBestFitOnline]] differ only in `sortKeyStruct`, whose
     * array_sort order IS the placement order; fields d and nt must
-    * be present). */
+    * be present).
+    *
+    * Cost bound, stated: the accumulator appends each placed doc to
+    * the assignment array, and Catalyst's array_append copies the
+    * array — ~n²/2 struct copies per stream of n docs on top of the
+    * O(bins) load scan per step (the load scan itself is LET-bound
+    * once per step; inlining it was the measured 10.5 s → 0.46 s
+    * fix). Packing is inherently sequential per stream, so the knob
+    * is nStreams: size it so corpus/nStreams keeps the per-stream
+    * quadratic term cheap (≈ total cores at cluster scale; the
+    * streaming twin escapes the bound entirely — its state is the
+    * open-bin load list only, assignments emit per arrival). */
   private def packBestFitFold(docs: DataFrame, tokenBudget: Long, nStreams: Int,
                               sortKeyStruct: String): DataFrame = {
     val base = docs.select(
@@ -1121,9 +1132,15 @@ object TextOps {
     seqRow
       .unionByName(binRow("bestfit", packBestFit(docs, tokenBudget, nStreams)))
       .unionByName(binRow("bestfit_online", packBestFitOnline(docs, tokenBudget, nStreams)))
+      // zero guards: a corpus of only zero-token docs gives the chunk
+      // row capacity 0 (and an empty corpus n_docs 0) — engine NULL
+      // vs oracle div-by-zero would diverge without the CASE
       .withColumn("waste_micro",
-        expr("(capacity - used_tokens) * 1000000 div capacity"))
-      .withColumn("split_micro", expr("n_split_docs * 1000000 div n_docs"))
+        when(col("capacity") === 0L, lit(0L))
+          .otherwise(expr("(capacity - used_tokens) * 1000000 div capacity")))
+      .withColumn("split_micro",
+        when(col("n_docs") === 0L, lit(0L))
+          .otherwise(expr("n_split_docs * 1000000 div n_docs")))
       .select(col("method"), col("n_units"), col("capacity"), col("used_tokens"),
         col("waste_micro"), col("n_docs"), col("n_split_docs"), col("split_micro"),
         col("n_oversize"))
@@ -2956,7 +2973,10 @@ object TextOps {
     * α's = 80 bounded rows. Nothing after the census is
     * corpus-sized; at 100 TB the census is the same shape as every
     * other vocab census in the engine. */
-  def scalingCurve(docs: DataFrame, nLevels: Int = 4): DataFrame = {
+  def scalingCurve(docs: DataFrame): DataFrame = {
+    // the 4-level doubling ladder is STRUCTURAL (the %16 split and the
+    // bucket→min-level map below encode it); a level-count parameter
+    // would be half-wired — wrong silently for any other value
     val spark = docs.sparkSession
     val bkt = graft.functions.PortableHash.bucket(
       concat(lit("scl:"), col("doc_id").cast("string")), 16)
@@ -2968,7 +2988,7 @@ object TextOps {
           .when(col("bkt") < 4, 3L).otherwise(4L))
     val cnt = train.groupBy(col("tok"), col("ml"))
       .agg(count(lit(1)).as("c")).localCheckpoint(true)
-    val grid = spark.range(1, nLevels + 1L).select(col("id").as("l"))
+    val grid = spark.range(1, 5).select(col("id").as("l"))
     val levelCnt = cnt.join(broadcast(grid), col("ml") <= col("l"))
       .groupBy(col("tok"), col("l")).agg(sum(col("c")).as("c_l"))
     val nl = cnt.join(broadcast(grid), col("ml") <= col("l"))

@@ -366,10 +366,13 @@ object VectorOps {
       .select(col("a_id"), col("b_id"),
         fastCosine(col("ea"), col("eb")).as("cos_raw"),
         fastCosine(col("ca"), col("cb")).as("cos_cen"))
+      // pair fold key a·2³² + b is collision-free for any vec_id
+      // < 2³¹ — a narrower multiplier would alias distinct pairs and
+      // leave the fold order unspecified between them
       .agg(count(lit(1)).as("n_pairs"),
-        roundn(orderedSum(col("a_id") * lit(100000L) + col("b_id"), col("cos_raw"))
+        roundn(orderedSum(col("a_id") * lit(4294967296L) + col("b_id"), col("cos_raw"))
           / count(lit(1)), 6).as("mean_cos_raw"),
-        roundn(orderedSum(col("a_id") * lit(100000L) + col("b_id"), col("cos_cen"))
+        roundn(orderedSum(col("a_id") * lit(4294967296L) + col("b_id"), col("cos_cen"))
           / count(lit(1)), 6).as("mean_cos_centered"))
   }
 
