@@ -22,16 +22,32 @@ import graft.functions.VectorMath.roundn
   */
 object DedupOps {
 
-  /** Word w-shingles with positions: (doc_id, pos, shingle). */
+  /** Word w-shingles with positions: (doc_id, pos, shingle).
+    *
+    * MAP-ONLY (r15 optimization, guide §2.4): shingles are built from
+    * the token ARRAY inside one row — the former lead()-over-Window
+    * form planted an Exchange(doc_id) + Sort under every shingle
+    * consumer (2–4 per dedup query), shuffling the whole token stream
+    * just to look w−1 rows ahead within a document. Same token
+    * contract as [[EmbedOps.tokenize]] (slice 512, trim, drop blanks,
+    * pos = index in the sliced raw split), same rows out: shingles
+    * over consecutive non-blank tokens, keyed by the FIRST token's
+    * raw position. Docs with fewer than w surviving tokens emit
+    * nothing (filter before explode — `sequence` would descend on a
+    * negative span). All builtins, no shuffle, no UDF. */
   def wordShingles(docs: DataFrame, w: Int = 3): DataFrame = {
-    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until w).map(i => lead(col("tok"), i).over(win).as(s"_t$i"))
-    val cols = col("tok") +: (1 until w).map(i => col(s"_t$i"))
-    EmbedOps
-      .tokenize(docs)
-      .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
-      .filter(col(s"_t${w - 1}").isNotNull)
-      .select(col("doc_id"), col("pos"), concat_ws(" ", cols: _*).as("shingle"))
+    val maxTokens = 512
+    val toks = expr(
+      s"filter(transform(slice(split(text, ' '), 1, $maxTokens), " +
+        "(t, i) -> struct(i AS pos, trim(t) AS tok)), s -> s.tok <> '')")
+    val grams = (0 until w).map(k => s"_tk[j + $k].tok").mkString(", ")
+    docs
+      .select(col("doc_id"), toks.as("_tk"))
+      .filter(size(col("_tk")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(_tk) - $w), " +
+          s"j -> struct(_tk[j].pos AS pos, concat_ws(' ', $grams) AS shingle))")).as("_sh"))
+      .select(col("doc_id"), col("_sh.pos").as("pos"), col("_sh.shingle").as("shingle"))
   }
 
   /** N-gram NOVELTY profile — the corpus-order diagnostic behind
@@ -774,11 +790,15 @@ object DedupOps {
       .union(raw.select(col("b_id").as("id")))
       .distinct().persist()
     // orient src > dst (self-pairs drop; isolated nodes rejoin at the end)
+    // LAZY localCheckpoint (r15 optimization): the round's single
+    // stats job materializes the checkpoint blocks as its side effect
+    // — an eager checkpoint would spend one extra driver-blocking job
+    // per round just to persist what the very next job reads anyway.
     var e = raw.filter(col("a_id") =!= col("b_id"))
       .select(greatest(col("a_id"), col("b_id")).as("src"),
         least(col("a_id"), col("b_id")).as("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // Per-round stats, ONE groupBy(src) pass shared by both consumers:
     //  - label(u) = min(u, smallest incident neighbor): monotone
     //    non-increasing under both star ops (every rewire points a
@@ -789,27 +809,37 @@ object DedupOps {
     //    wrap a Long sum and turn the receipt into garbage.
     //  - multi-parent count: a star forest needs every child to have
     //    exactly one parent.
-    // The child-is-also-parent probe (depth 1) is the only other job,
-    // and it is skipped when multi-parent already failed — at most two
-    // driver-blocking jobs per round.
+    //  - child-is-also-parent count (depth probe): a star forest has
+    //    none.
+    // r15 optimization (guide §5 — the driver should block as little
+    // as possible): all three statistics are branches of ONE union
+    // plan collected by ONE head(), so a round costs a single
+    // driver-blocking job. The previous form took two jobs (stats,
+    // then the depth probe) plus a separate eager-checkpoint job —
+    // 3 round-trips per round, and CC rounds sit inside ~10 declared
+    // queries. converged ⇔ star forest: no child is also a parent
+    // (depth 1) and every child has exactly one parent. Star forests
+    // are fixpoints of both ops, and both ops preserve the original
+    // component structure, so each star is exactly one component
+    // rooted at its minimum.
+    val decZero = lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")
     def roundStats(edges: DataFrame): (Boolean, BigDecimal) = {
       val m = edges.groupBy(col("src"))
         .agg(min(col("dst")).as("mn"), count(lit(1)).as("c"))
-        .withColumnRenamed("src", "id")
-      val agg = nodes.join(m, Seq("id"), "left")
+      val perNode = nodes.join(m.withColumnRenamed("src", "id"), Seq("id"), "left")
         .agg(
           coalesce(sum(when(col("c") > 1, 1L)), lit(0L)).as("n_multi"),
           coalesce(sum(coalesce(col("mn"), col("id")).cast("decimal(38,0)")),
-            lit(java.math.BigDecimal.ZERO)).as("label_sum"))
+            lit(java.math.BigDecimal.ZERO)).as("label_sum"),
+          lit(0L).as("n_depth2"))
+      val depth = edges
+        .join(m.select(col("src").as("dst")), Seq("dst"), "left_semi")
+        .agg(lit(0L).as("n_multi"), decZero.as("label_sum"),
+          count(lit(1)).as("n_depth2"))
+      val agg = perNode.unionByName(depth)
+        .agg(sum(col("n_multi")), sum(col("label_sum")), sum(col("n_depth2")))
         .head()
-      val singleParent = agg.getLong(0) == 0L
-      // converged ⇔ star forest: no child is also a parent (depth 1)
-      // and every child has exactly one parent. Star forests are
-      // fixpoints of both ops, and both ops preserve the original
-      // component structure, so each star is exactly one component
-      // rooted at its minimum.
-      val starForest = singleParent && edges.join(
-        edges.select(col("src").as("dst")).distinct(), Seq("dst"), "left_semi").isEmpty
+      val starForest = agg.getLong(0) == 0L && agg.getLong(2) == 0L
       (starForest, BigDecimal(agg.getDecimal(1)))
     }
     var rounds = 0
@@ -823,10 +853,11 @@ object DedupOps {
         rounds += 1
         require(rounds <= maxRounds,
           s"connectedComponents: no star-forest fixpoint after $maxRounds rounds (contraction broken)")
-        // eager localCheckpoint per round: truncates the per-round plan
+        // lazy localCheckpoint per round: truncates the per-round plan
         // nesting AND doubles as the round's cache (blocks released by
-        // the ContextCleaner once the next round drops the reference)
-        val next = smallStar(largeStar(e)).localCheckpoint(true)
+        // the ContextCleaner once the next round drops the reference);
+        // materialized BY the round's stats job, not by its own job
+        val next = smallStar(largeStar(e)).localCheckpoint(false)
         val (conv, s) = roundStats(next)
         require(s <= prevSum,
           s"connectedComponents: label sum increased ($prevSum -> $s) — contraction broken")
