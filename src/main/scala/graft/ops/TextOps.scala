@@ -1813,12 +1813,53 @@ object TextOps {
       .toDF("merge_round", "vocab_size", "n_bpe_tokens")
   }
 
-  private def bpeLoop(docs: DataFrame, rounds: Int, censusEvery: Int = 0)
+  /** Census-localize guard for the driver-side trainer fast path —
+    * the same bounded-localize convention as the IVF codebook's 2²²
+    * cell guard: a word census at or below this collects to the
+    * driver (BPE merge selection is inherently sequential-global, so
+    * the distributed loop already paid one driver round-trip per
+    * round; the localize moves the SAME decisions driver-side and
+    * stops paying per-round scheduling). Above it, training falls
+    * back to the distributed per-round loop unchanged. */
+  private[ops] val MaxVocabLocalize: Int = 1 << 22
+
+  /** Unsigned UTF-8 byte comparison — the collation Spark's
+    * UTF8String sorts strings by (and DuckDB's default). Scala's
+    * String ordering compares UTF-16 code units and diverges above
+    * the BMP, so the local trainer loops must NOT use it for the
+    * argmax tie-breaks. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  private[ops] def bpeLoop(docs: DataFrame, rounds: Int, censusEvery: Int = 0,
+                           localizeThreshold: Int = MaxVocabLocalize)
       : (Seq[(Long, String, String, Long)], DataFrame, Seq[(Long, Long, Long)]) = {
-    var words = EmbedOps.tokenize(docs)
+    val census = EmbedOps.tokenize(docs)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       .select(col("wc"), concat_ws("  ",
         expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))")).as("syms"))
+    // localize probe: limit(guard+1) collects AT MOST guard+1 rows —
+    // if fewer arrive, that IS the whole census and the local loop
+    // runs; one row more means a census too big to localize and the
+    // distributed loop takes over (the limit never truncates data
+    // that gets used)
+    val probe =
+      if (localizeThreshold <= 0) Array.empty[(Long, String)]
+      else census.limit(localizeThreshold + 1)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+    if (localizeThreshold > 0 && probe.length <= localizeThreshold)
+      return bpeLoopLocal(docs.sparkSession, probe, rounds, censusEvery)
+    var words = census
     // vocab-sized; materialize once so each round's argmax job replays
     // bounded map-only merges instead of re-running the corpus tokenize
     words = words.localCheckpoint(true)
@@ -1866,6 +1907,63 @@ object TextOps {
     }
     (merges.toSeq, words, curve.toSeq)
   }
+
+  /** Driver-side BPE merge loop over a LOCALIZED word census — the
+    * fast path of [[bpeLoop]], bit-identical by construction: the
+    * same adjacent-pair counting (Σ wc per (lhs, rhs)), the same
+    * argmax order (pair_count desc, lhs, rhs — compared in UTF-8
+    * bytes, [[utf8Lt]]), and the same wrapped two-space replace
+    * (Java's `String.replace` is leftmost non-overlapping
+    * continue-after-replacement — exactly Spark's `replace` /
+    * UTF8String semantics the distributed loop and the oracle use).
+    * 64 rounds over a ≤2²²-row census is microseconds of driver CPU
+    * where the distributed loop paid 64 scheduled jobs; the returned
+    * word table re-enters Spark as a local DataFrame for the
+    * downstream census/encode stages. */
+  private def bpeLoopLocal(spark: org.apache.spark.sql.SparkSession,
+                           census: Array[(Long, String)], rounds: Int, censusEvery: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame, Seq[(Long, Long, Long)]) = {
+    var local = census
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val curve = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      local.foreach { case (wc, syms) =>
+        val a = syms.split("  ", -1)
+        var i = 0
+        while (i < a.length - 1) {
+          val k = (a(i), a(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + wc)
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, rr), c) = counts.minBy { case ((lh, rh), cnt) => (-cnt, lh, rh) }(
+          Ordering.Tuple3(Ordering.Long, utf8Ordering, utf8Ordering))
+        merges += ((r.toLong, l, rr, c))
+        val (pat, rep) = (s" $l  $rr ", s" $l$rr ")
+        local = local.map { case (wc, syms) =>
+          val s2 = (" " + syms + " ").replace(pat, rep)
+          (wc, s2.substring(1, s2.length - 1))
+        }
+      }
+      if (censusEvery > 0 && r % censusEvery == 0) {
+        val symbols = scala.collection.mutable.HashSet.empty[String]
+        var enc = 0L
+        local.foreach { case (wc, syms) =>
+          val a = syms.split("  ", -1)
+          a.foreach(symbols.add)
+          enc += wc * a.length
+        }
+        curve += ((r.toLong, symbols.size.toLong, enc))
+      }
+    }
+    import spark.implicits._
+    (merges.toSeq, local.toSeq.toDF("wc", "syms"), curve.toSeq)
+  }
+
+  private val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => if (utf8Lt(a, b)) -1 else if (utf8Lt(b, a)) 1 else 0
 
   /** Zipf rank-frequency fit — the corpus-statistics twin of the
     * census queries: OLS of ln(freq) on ln(rank) over the top-`topN`

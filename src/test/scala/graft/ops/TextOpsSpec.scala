@@ -1206,4 +1206,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r.head.getAs[Double]("a_hat") > 0.0,
       "loss falls with N, so the N^(-alpha) coefficient is positive")
   }
+
+  test("bpeLoop: localized fast path is bit-identical to the distributed loop") {
+    // mixed ties + the overlapping-run case, so the argmax order and
+    // the wrapped-replace semantics are both exercised
+    val docs = Seq((0L, "low lower low lowest"), (1L, "aaaa abab low"),
+      (2L, "zz zz yy xy")).toDF("doc_id", "text")
+    val (mL, wL, cL) = TextOps.bpeLoop(docs, rounds = 12, censusEvery = 4)
+    val (mD, wD, cD) = TextOps.bpeLoop(docs, rounds = 12, censusEvery = 4,
+      localizeThreshold = 0)
+    assert(mL === mD)
+    assert(cL === cD)
+    val enc = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("syms").as[(Long, String)].collect().toSeq
+    assert(enc(wL) === enc(wD))
+  }
 }
