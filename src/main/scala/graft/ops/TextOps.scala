@@ -2521,54 +2521,64 @@ object TextOps {
         col("pieces"), col("score_mu"))
   }
 
-  /** The dp loop shared by [[unigramEncode]] and
-    * [[unigramEncodeFromModel]]: Bellman-Ford over the segmentation
-    * DAG, one best (score, pieces) per (word, pos) per round. */
+  /** Candidate (start, plen[, weight]) matches per census word — the
+    * shared front half of both segmenter kernels: explode every
+    * ≤ maxPieceLen substring start, equi-join the broadcast vocab,
+    * and fold the survivors back into ONE array per word. Everything
+    * downstream is then per-row arithmetic — the DP / greedy walk
+    * never shuffles again (r15 optimization; the former per-round
+    * relaxation loops paid a window exchange + checkpoint per round,
+    * all fixed cost on a census-bounded table). */
+  private def pieceMatches(words: DataFrame, vocab: DataFrame,
+                           maxPieceLen: Int, withWeight: Boolean): DataFrame = {
+    val cand = words.select(col("word"))
+      .withColumn("s", explode(sequence(lit(1), length(col("word")))))
+      .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
+      .filter(col("s") + col("plen") - 1 <= length(col("word")))
+      .withColumn("cand", expr("substring(word, s, plen)"))
+      .join(broadcast(vocab), col("cand") === col("piece"))
+    val m =
+      if (withWeight) struct(col("s"), col("plen"), col("w_mu"))
+      else struct(col("s"), col("plen"))
+    cand.groupBy(col("word")).agg(collect_list(m).as("ms"))
+  }
+
+  /** The dp shared by [[unigramEncode]] and
+    * [[unigramEncodeFromModel]]: Viterbi over the segmentation DAG as
+    * ONE per-word array fold — dp[j] = best (score desc, pieces asc)
+    * over pieces ending at j, exactly the fixpoint the former
+    * per-(word, pos) relaxation rounds reached (within a position,
+    * two segmentations of the same prefix always differ strictly
+    * before either string ends, so the pieces-asc tie-break commutes
+    * with extension and prefix-optimal DP is safe). Matches arrive
+    * as an UNORDERED array (collect_list) — the fold only filters by
+    * end position and array_sorts the candidate structs, both
+    * order-insensitive, so the plan is deterministic. Unreachable
+    * positions carry a NULL pieces marker; words whose full length
+    * is unreachable emit nothing, as before. */
   private def unigramViterbi(words: DataFrame, model: DataFrame,
                              maxPieceLen: Int, maxWordLen: Int): DataFrame = {
-    val vocab = model.localCheckpoint(true)
-    var states = words.select(col("word"), lit(0).as("pos"),
-      lit("").as("pieces"), lit(0L).as("score_mu"))
-    val w = Window.partitionBy(col("word"), col("pos"))
-      .orderBy(col("score_mu").desc, col("pieces"))
-    // a word of length L needs ≤ L relaxation rounds, so the loop
-    // depth is the LONGEST word actually present, not the cap — a
-    // 1-value driver scalar (bounded driver state); the oracle's
-    // fixed 16 stages are a fixpoint beyond this, so outputs agree
-    val rounds = math.min(maxWordLen,
-      words.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0))
-    def extend(st: DataFrame): DataFrame =
-      st.filter(col("pos") < length(col("word")))
-        .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
-        .filter(col("pos") + col("plen") <= length(col("word")))
-        .withColumn("cand", expr("substring(word, pos + 1, plen)"))
-        .join(broadcast(vocab), col("cand") === col("piece"))
-        .select(col("word"), (col("pos") + col("plen")).as("pos"),
-          concat(col("pieces"),
-            when(col("pieces") === "", lit("")).otherwise(lit(" ")),
-            col("cand")).as("pieces"),
-          (col("score_mu") + col("w_mu")).as("score_mu"))
-    // TWO relaxations per argmax round: keeping only the best
-    // (score desc, pieces asc) state per (word, pos) is DOMINANCE
-    // PRUNING — delaying it one extension never loses the eventual
-    // winner (the order is total), so ⌈rounds/2⌉ double-rounds reach
-    // the same fixpoint the oracle's 16 single-relaxation stages pin,
-    // with HALF the window exchanges (the dp's dominant fixed cost —
-    // per-round data is census-bounded, the shuffles are not free)
-    val dblRounds = (rounds + 1) / 2
-    var r = 0
-    while (r < dblRounds) {
-      val e1 = extend(states)
-      val e2 = extend(e1)
-      states = states.unionByName(e1).unionByName(e2)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
-      // cadence 2 double-rounds = the original 4 single-relaxation
-      // checkpoint discipline
-      if (r % 2 == 1) states = states.localCheckpoint(true)
-      r += 1
-    }
-    states.filter(col("pos") === length(col("word")))
+    // dp element: (ns = -score_mu, pieces); array_sort ranks ns asc
+    // (= score desc) then pieces asc — the declared tie order
+    val sep = "CASE WHEN p.pieces = '' THEN '' ELSE ' ' END"
+    val prev = s"element_at(dp, j - m.plen + 1)"
+    val dp = expr(
+      s"""aggregate(
+         |  sequence(1, length(word)),
+         |  array(named_struct('ns', 0L, 'pieces', '')),
+         |  (dp, j) -> dp || array(get(array_sort(transform(
+         |      filter(ms, m -> m.s = j - m.plen + 1
+         |                      AND $prev.pieces IS NOT NULL),
+         |      m -> transform(array($prev), p -> named_struct(
+         |        'ns', p.ns - m.w_mu,
+         |        'pieces', concat(p.pieces, $sep,
+         |                         substring(word, j - m.plen + 1, m.plen))))[0])), 0)),
+         |  dp -> element_at(dp, length(word) + 1))""".stripMargin)
+    pieceMatches(words, model.localCheckpoint(true), maxPieceLen, withWeight = true)
+      .withColumn("_dp", dp)
+      .filter(col("_dp.pieces").isNotNull)
+      .select(col("word"), length(col("word")).as("pos"),
+        col("_dp.pieces").as("pieces"), (-col("_dp.ns")).as("score_mu"))
   }
 
   /** Tokenizer FERTILITY comparison — the number a tokenizer review
@@ -2603,7 +2613,7 @@ object TextOps {
     val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
     val wp = wordpieceGreedy(words,
         wordpieceModelOf(words, vocabSize, maxPieceLen).select(col("piece")).distinct(),
-        maxPieceLen, maxWordLen)
+        maxPieceLen)
       .join(words, "word")
       .select(col("word"), col("wc"), col("n_pieces"))
     val ug = unigramViterbi(words, unigramModelOf(words, vocabSize, maxPieceLen),
@@ -2644,7 +2654,7 @@ object TextOps {
     val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
     val vocab = wordpieceModelOf(words, vocabSize, maxPieceLen)
       .select(col("piece")).distinct()
-    wordpieceGreedy(words, vocab, maxPieceLen, maxWordLen)
+    wordpieceGreedy(words, vocab, maxPieceLen)
       .join(words, "word")
       .orderBy(col("wc").desc, col("word")).limit(topWords)
       .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
@@ -2694,8 +2704,7 @@ object TextOps {
       .filter(length(col("word")) <= maxSampleLen)
       .orderBy(col("wc").desc, col("word")).limit(topWords)
       .localCheckpoint(true)
-    wordpieceGreedy(words, model.select(col("piece")).distinct(),
-        maxPieceLen, maxSampleLen, probeEmpty = false)
+    wordpieceGreedy(words, model.select(col("piece")).distinct(), maxPieceLen)
       .join(words, "word")
       .orderBy(col("wc").desc, col("word"))
       .select(col("word"), col("wc"), col("n_pieces"), col("pieces"))
@@ -2704,46 +2713,40 @@ object TextOps {
   /** The greedy longest-match loop shared by [[wordpieceEncode]] and
     * [[wordpieceEncodeFromModel]]. */
   private def wordpieceGreedy(words: DataFrame, pieceVocab: DataFrame,
-                              maxPieceLen: Int, maxWordLen: Int,
-                              probeEmpty: Boolean = true): DataFrame = {
-    val vocab = pieceVocab.localCheckpoint(true)
-    var frontier = words.select(col("word"), lit(0).as("pos"),
-      lit("").as("pieces"), lit(0L).as("n_pieces"))
-    var done = frontier.filter(lit(false))
-    var r = 0
-    // greedy consumes ≥1 char per round, so the longest word PRESENT
-    // bounds the loop — a 1-value driver scalar, the same data-driven
-    // cap unigramViterbi uses (per-round cost here is fixed stage
-    // overhead, so spared rounds are spared wall-clock)
-    val rounds = math.min(maxWordLen,
-      words.agg(coalesce(max(length(col("word"))), lit(0))).head().getInt(0))
-    // the early-exit probe runs only on rounds where the frontier was
-    // JUST materialized (r=0: the checkpointed census; r%4==0: the
-    // r−1 checkpoint) — an isEmpty on an un-checkpointed frontier
-    // re-evaluates up to 3 rounds of plan as a driver job, and those
-    // probes cost more than the ≤3 lazy rounds they could spare
-    while (r < rounds && (!probeEmpty || r % 4 != 0 || !frontier.isEmpty)) {
-      val best = frontier
-        .withColumn("plen", explode(sequence(lit(1), lit(maxPieceLen))))
-        .filter(col("pos") + col("plen") <= length(col("word")))
-        .withColumn("cand", expr("substring(word, pos + 1, plen)"))
-        .join(broadcast(vocab), col("cand") === col("piece"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("word")).orderBy(col("plen").desc)))
-        .filter(col("rn") === 1)
-        .select(col("word"), (col("pos") + col("plen")).as("pos"),
-          concat(col("pieces"),
-            when(col("pieces") === "", lit("")).otherwise(lit(" ")),
-            col("cand")).as("pieces"),
-          (col("n_pieces") + lit(1L)).as("n_pieces"))
-      done = done.unionByName(best.filter(col("pos") >= length(col("word"))))
-      frontier = best.filter(col("pos") < length(col("word")))
-      // cut lineage before it compounds across rounds (the BPE
-      // re-checkpoint discipline)
-      if (r % 4 == 3) frontier = frontier.localCheckpoint(true)
-      r += 1
-    }
-    done
+                              maxPieceLen: Int): DataFrame = {
+    // greedy longest-match as ONE per-word fold over the matched
+    // (start, plen) array (r15 optimization — the former frontier
+    // loop paid a window exchange + periodic checkpoint per consumed
+    // piece, all fixed cost on a census-bounded table): the walk
+    // advances by the LONGEST piece matching at the current position
+    // (array_max over the order-insensitive matches array), exactly
+    // the old plen-desc argmax; a position with no match strands the
+    // word (NULL pos marker), which then never equals length(word) —
+    // the old never-enters-done behavior. ≤ length(word) iterations
+    // suffice (≥1 char consumed per step; finished/stranded states
+    // pass through unchanged).
+    val step = expr(
+      """aggregate(
+        |  sequence(1, length(word)),
+        |  named_struct('pos', 0, 'pieces', '', 'n_pieces', 0L),
+        |  (a, i) -> CASE WHEN a.pos IS NULL OR a.pos >= length(word) THEN a
+        |    ELSE transform(
+        |      array(array_max(transform(filter(ms, m -> m.s = a.pos + 1),
+        |                                m -> m.plen))),
+        |      b -> CASE WHEN b IS NULL
+        |        THEN named_struct('pos', CAST(NULL AS INT),
+        |                          'pieces', a.pieces, 'n_pieces', a.n_pieces)
+        |        ELSE named_struct('pos', a.pos + b,
+        |          'pieces', concat(a.pieces,
+        |                           CASE WHEN a.pieces = '' THEN '' ELSE ' ' END,
+        |                           substring(word, a.pos + 1, b)),
+        |          'n_pieces', a.n_pieces + 1L) END)[0] END)""".stripMargin)
+    pieceMatches(words, pieceVocab.localCheckpoint(true), maxPieceLen,
+        withWeight = false)
+      .withColumn("_st", step)
+      .filter(col("_st.pos") === length(col("word")))
+      .select(col("word"), col("_st.pos").as("pos"),
+        col("_st.pieces").as("pieces"), col("_st.n_pieces").as("n_pieces"))
   }
   /** TextRank keyword extraction (Mihalcea & Tarau '04) — the
     * GRAPH-centrality member of the keyword family
