@@ -1468,7 +1468,7 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") < 10)
       // ONE brute-force ground truth serves both method curves
       val exact = VectorOps.annTopK(emb, q, 3)
-        .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+        .select(col("query_id"), col("vec_id")).localCheckpoint(false)
       VectorOps.annRecallCurve(emb, q, k = 3, groundTruth = Some(exact))
         .unionByName(VectorOps.srpRecallCurve(emb, k = 3, groundTruth = Some(exact)))
     }),

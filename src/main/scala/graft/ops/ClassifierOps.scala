@@ -140,7 +140,7 @@ object ClassifierOps {
     * optimizes rather than memorizes. */
   def qualityClassifier(docs: DataFrame, minChars: Long = 300,
                         steps: Int = 8, lr: Double = 4.0): DataFrame = {
-    val feat = features(docs, minChars).localCheckpoint(true)
+    val feat = features(docs, minChars).localCheckpoint(false)
     val w = train(feat, steps, lr).last._2
     scoreWith(feat, w)
   }
@@ -231,7 +231,7 @@ object ClassifierOps {
     * bit-identically to the in-memory trajectory. */
   def qualityModel(docs: DataFrame, minChars: Long = 300,
                    steps: Int = 8, lr: Double = 4.0): DataFrame = {
-    val feat = features(docs, minChars).localCheckpoint(true)
+    val feat = features(docs, minChars).localCheckpoint(false)
     val s = docs.sparkSession
     import s.implicits._
     train(feat, steps, lr)
@@ -275,7 +275,7 @@ object ClassifierOps {
     * per-doc reduction. */
   def featureMi(docs: DataFrame, minChars: Long = 300): DataFrame = {
     import graft.functions.VectorMath.orderedSum
-    val f = features(docs, minChars).localCheckpoint(true)
+    val f = features(docs, minChars).localCheckpoint(false)
     Seq("ix1", "ix2", "ix3").map { fx =>
       val b = f.select(col("y"),
         least(lit(3L), expr(s"$fx div 250000")).as("b"))

@@ -298,7 +298,7 @@ object CorpusOps {
       .join(DedupOps.dedupClusters(docs), Seq("doc_id"), "left")
       .withColumn("h", coalesce(col("component_id"), col("doc_id")))
       .groupBy(col("h"), col("source")).agg(count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = docs.groupBy(col("source")).agg(count(lit(1)).as("n_tot"))
     fam.select(col("h"), col("source").as("src_a"), col("n").as("n_a"))
       .join(fam.select(col("h"), col("source").as("src_b"), col("n").as("n_b")), "h")

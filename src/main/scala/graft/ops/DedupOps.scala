@@ -225,7 +225,7 @@ object DedupOps {
     * quadratic bucket stage never sees a duplicate copy. */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
                         w: Int = 3): DataFrame = {
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val cross = expandRepPairs(
@@ -388,7 +388,7 @@ object DedupOps {
     // identical texts have identical signatures (hamming 0 ≤ any
     // threshold), so banding sees one rep per distinct text and
     // members re-enter at output expansion only
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
     val cross = expandRepPairs(
       simhashPairsRaw(reps, maxHamming, bits, chunks), members, Seq("hamming"))
@@ -563,7 +563,7 @@ object DedupOps {
     // the edge list heads an expensive verify pipeline and is read by
     // four consumers (count, degrees, wedges, closure) — materialize
     // it once instead of planting the subtree four times
-    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val e = edges.select(col("a_id"), col("b_id")).localCheckpoint(false)
     val nEdges = e.agg(count(lit(1)).as("n_edges"))
     // d·(d−1) is always even — the integer div is exact
     val nWedges = e.select(explode(array(col("a_id"), col("b_id"))).as("id"))
@@ -597,7 +597,7 @@ object DedupOps {
     // jaccard 1.0 with inter = the family's shingle count. The
     // shingle equi-joins — the expensive half — thus run over
     // distinct texts only; expansion touches exactly the output rows.
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
     val repVer = jaccardVerify(reps,
       bandCandidates(reps, numHashes, rowsPerBand, w), w, minJaccard,
@@ -871,7 +871,7 @@ object DedupOps {
         .join(e.select(col("src").as("id"), col("dst").as("cmp")), Seq("id"), "left")
         .select(col("id").as("doc_id"),
           coalesce(col("cmp"), col("id")).as("component_id"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       (result, rounds)
     } finally {
       // unpersist on every exit path — a require throw must not leak
@@ -897,7 +897,7 @@ object DedupOps {
     * shingled ≥2 family (the only docs the clique form would touch)
     * appears as a star leaf. */
   def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
     val repVer = jaccardVerify(reps,
       bandCandidates(reps, 12, 3, 3), 3, minJaccard)
@@ -956,14 +956,14 @@ object DedupOps {
                                minJaccard: Double = 0.5): DataFrame = {
     val cand = incrementalCandidatesFromIndex(oldBuckets, newDocs)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val endpoints = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val pairDocs = oldDocs.unionByName(newDocs)
       .join(endpoints, Seq("doc_id"), "left_semi")
     val newPairs = jaccardVerify(pairDocs, cand, 3, minJaccard)
       .select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val touchedDocs = newPairs.select(col("a_id").as("doc_id"))
       .union(newPairs.select(col("b_id").as("doc_id"))).distinct()
     val touchedComponents = oldLabels.join(touchedDocs, Seq("doc_id"), "left_semi")
@@ -1023,7 +1023,7 @@ object DedupOps {
     * switch the clustering path to [[clusterCandidatesCapped]]. */
   def lshBucketProfile(docs: DataFrame, numHashes: Int = 12, rowsPerBand: Int = 3,
                        w: Int = 3, topN: Int = 10): DataFrame = {
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     SkewOps.keySkewProfile(
       lshBuckets(minhashSignatures(repDocsOf(docs, members), numHashes, w), rowsPerBand)
         .select(concat_ws("#", col("band"), col("band_sig")).as("bucket")),
@@ -1064,8 +1064,8 @@ object DedupOps {
                          numHashes: Int = 12, rowsPerBandCur: Int = 3,
                          rowsPerBandNew: Int = 2, w: Int = 3,
                          sizeCap: Int = 8, tauMicro: Long = 50000L): DataFrame = {
-    val sigs = minhashSignatures(docs, numHashes, w).localCheckpoint(true)
-    val fresh = lshBuckets(sigs, rowsPerBandCur).localCheckpoint(true)
+    val sigs = minhashSignatures(docs, numHashes, w).localCheckpoint(false)
+    val fresh = lshBuckets(sigs, rowsPerBandCur).localCheckpoint(false)
     val reband = lshBuckets(sigs, rowsPerBandNew)
     def bucketSizes(b: DataFrame): DataFrame =
       b.groupBy(col("band"), col("band_sig")).agg(count(lit(1)).as("sz"))
@@ -1075,12 +1075,12 @@ object DedupOps {
         "szc", shareCol)
     def pairBound(sizes: DataFrame, name: String): DataFrame =
       sizes.agg(coalesce(sum(expr("sz * (sz - 1) div 2")), lit(0L)).as(name))
-    val oldSizes = bucketSizes(oldBuckets).localCheckpoint(true)
-    val freshSizes = bucketSizes(fresh).localCheckpoint(true)
+    val oldSizes = bucketSizes(oldBuckets).localCheckpoint(false)
+    val freshSizes = bucketSizes(fresh).localCheckpoint(false)
     // both re-banding consumers (row census + pair bound) read the
     // checkpointed SIZE table — without it the full-corpus banding
     // executed twice; bucket rows = Σ sz exactly
-    val rebandSizes = bucketSizes(reband).localCheckpoint(true)
+    val rebandSizes = bucketSizes(reband).localCheckpoint(false)
     val drift = graft.functions.ShareCensus.microShareL1(
       occShares(oldSizes, "a"), occShares(freshSizes, "b"),
       "szc", "occ_l1_micro")
@@ -1121,7 +1121,7 @@ object DedupOps {
                               numHashes: Int = 12, rowsPerBand: Int = 3,
                               w: Int = 3): DataFrame = {
     val buckets = lshBuckets(minhashSignatures(docs, numHashes, w), rowsPerBand)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sizes = buckets.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("bmin"))
     val sized = buckets.join(sizes, Seq("band", "band_sig"))
@@ -1142,7 +1142,7 @@ object DedupOps {
     * [[clusterCandidatesCapped]] for the semantics it trades. */
   def dedupClustersCapped(docs: DataFrame, maxBucket: Int,
                           minJaccard: Double = 0.5): DataFrame = {
-    val members = exactFamilies(docs).localCheckpoint(true)
+    val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
     val repVer = jaccardVerify(reps,
       clusterCandidatesCapped(reps, maxBucket), 3, minJaccard)
@@ -1188,7 +1188,7 @@ object DedupOps {
       // the self-join below would otherwise plant the whole
       // rank-window pipeline in the plan TWICE; the filtered prefix
       // table is the shared sliver — materialize it once
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     prefix
       .select(col("doc_id").as("a_id"), col("shingle"),
         col("rk").as("rka"), col("n").as("na"))
@@ -1258,7 +1258,7 @@ object DedupOps {
     // subtree out of every one of them (same rationale as
     // connectedComponents; blocks are freed by the ContextCleaner
     // when the result is dropped)
-    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1309,7 +1309,7 @@ object DedupOps {
     * uniform); edge list is near-dup pairs, tiny vs the corpus, and
     * localCheckpointed once like [[pageRank]]. */
   def labelPropagation(pairs: DataFrame, iters: Int = 4): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     var lab = und.select(col("src").as("id")).distinct()
@@ -1364,10 +1364,10 @@ object DedupOps {
     * dst-keyed broadcast-or-shuffle join + one src-keyed agg;
     * lineage checkpoints every 4 rounds. */
   def kCoreNumbers(pairs: DataFrame, rounds: Int = 8): DataFrame = {
-    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(false)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val deg = und.select(col("src").as("id"))
       .groupBy(col("id")).agg(count(lit(1)).as("c"))
     var core = deg
@@ -1380,7 +1380,7 @@ object DedupOps {
         .groupBy(col("src"))
         .agg(max(least(col("nc"), col("rn"))).as("c"))
         .select(col("src").as("id"), col("c"))
-      if (i % 4 == 0) core = core.localCheckpoint(true)
+      if (i % 4 == 0) core = core.localCheckpoint(false)
     }
     deg.select(col("id"), col("c").as("degree"))
       .join(core.select(col("id"), col("c").as("core")), "id")
@@ -1466,7 +1466,7 @@ object DedupOps {
     // ContextCleaner when the result is dropped, same pattern as
     // connectedComponents' iteration caches)
     val bfp = winnowFingerprints(benchmark, w, window).select(col("fp")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val expected = math.max(1L, bfp.count())
     val bloom = bfp.stat.bloomFilter("fp", expected, fpp)
     val bloomBc = corpus.sparkSession.sparkContext.broadcast(bloom)
@@ -1606,7 +1606,7 @@ object DedupOps {
                           thresholds: Seq[Double] = Seq(0.5, 0.7, 0.9),
                           keepTarget: Double = 0.8): DataFrame = {
     val verified = nearDupVerified(docs, minJaccard = thresholds.min)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
     val curve = thresholds.map { t =>
       verified.filter(col("jaccard") >= t)
@@ -1658,11 +1658,11 @@ object DedupOps {
     val leads = (1 until wmax).map(i => lead(col("tok"), i).over(win).as(s"_t$i"))
     val base = EmbedOps.tokenize(docs)
       .select(col("doc_id") +: col("pos") +: col("tok") +: leads: _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val totals = base
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_tokens"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val byPos = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     windows.map { w =>
       val cols = col("tok") +: (1 until w).map(i => col(s"_t$i"))
@@ -1720,7 +1720,7 @@ object DedupOps {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val und = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = und.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -1792,7 +1792,7 @@ object DedupOps {
     val membered = docs
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .join(broadcast(clusters), "doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val wCanon = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id"))
     val canon = membered.withColumn("rn", row_number().over(wCanon))
@@ -1886,7 +1886,7 @@ object DedupOps {
       // component labels are min member doc_ids; a singleton's own id
       // can never collide with another cluster's label
       .withColumn("cid", coalesce(col("component_id"), col("doc_id")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sizes = labeled.groupBy(col("cid")).agg(count(lit(1)).as("size"))
       .withColumn("p6",
         when(col("size") === 1L, lit(1000000L))
@@ -1926,8 +1926,8 @@ object DedupOps {
     // labels to dedupClusters — member pairs connect exactly what the
     // family stars connect, min-id labels agree)
     val edges = nearDupVerified(docs, minJaccard = minJaccard)
-      .select(col("a_id"), col("b_id")).localCheckpoint(true)
-    val comp = connectedComponents(edges).localCheckpoint(true)
+      .select(col("a_id"), col("b_id")).localCheckpoint(false)
+    val comp = connectedComponents(edges).localCheckpoint(false)
     val perComp = edges
       .join(comp.select(col("doc_id").as("a_id"), col("component_id")), "a_id")
       .groupBy(col("component_id")).agg(count(lit(1)).as("n_edges"))
@@ -2002,7 +2002,7 @@ object DedupOps {
   def minhashBBit(docs: DataFrame, numHashes: Int = 12, w: Int = 3,
                   minJaccard: Double = 0.2): DataFrame = {
     val pairs = nearDupVerified(docs, numHashes, 3, w, minJaccard)
-      .select(col("a_id"), col("b_id"), col("jaccard")).localCheckpoint(true)
+      .select(col("a_id"), col("b_id"), col("jaccard")).localCheckpoint(false)
     val ids = pairs.select(col("a_id").as("doc_id"))
       .unionByName(pairs.select(col("b_id").as("doc_id"))).distinct()
     val sigs = minhashSignatures(docs.join(ids, "doc_id"), numHashes, w)

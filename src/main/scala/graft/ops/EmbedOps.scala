@@ -94,7 +94,7 @@ object EmbedOps {
     * 3-leg union, not a data multiplier. */
   def hashCollisionAudit(docs: DataFrame,
                          dims: Seq[Int] = Seq(256, 4096, 65536)): DataFrame = {
-    val vocab = tokenize(docs).select(col("tok")).distinct().localCheckpoint(true)
+    val vocab = tokenize(docs).select(col("tok")).distinct().localCheckpoint(false)
     dims.map { d =>
       vocab.withColumn("bucket", PortableHash.bucket(col("tok"), d))
         .groupBy(col("bucket")).agg(count(lit(1)).as("n_toks"))

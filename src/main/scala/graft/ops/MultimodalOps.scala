@@ -581,11 +581,11 @@ object MultimodalOps {
                          maxHamming: Int = 3): DataFrame = {
     // hashed: (id, sig, ok) — one decode pass per modality
     def leg(modality: String, hashed: DataFrame): DataFrame = {
-      val h = hashed.localCheckpoint(true)
+      val h = hashed.localCheckpoint(false)
       val s = h.filter(col("ok")).select(col("id"), col("sig"))
       val pairs = DedupOps.hammingBandPairs(s, maxHamming)
-        .select(col("a_id"), col("b_id")).localCheckpoint(true)
-      val clusters = DedupOps.connectedComponents(pairs).localCheckpoint(true)
+        .select(col("a_id"), col("b_id")).localCheckpoint(false)
+      val clusters = DedupOps.connectedComponents(pairs).localCheckpoint(false)
       h.agg(count(lit(1)).as("n_media"),
           coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)).as("n_decoded"))
         .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))

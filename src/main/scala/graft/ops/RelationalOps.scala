@@ -824,7 +824,7 @@ object RelationalOps {
     val d = daily.join(broadcast(mean), "event_type")
       .withColumn("dev", col("m") - col("mm"))
       .select(col("event_type"), col("day"), col("dev"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val den = d.groupBy(col("event_type"))
       .agg(roundn(graft.functions.VectorMath.orderedSum(
         col("day"), col("dev") * col("dev")), 6).as("den"))
@@ -1001,7 +1001,7 @@ object RelationalOps {
         sum(col("cents")).as("m_cents"))
       .crossJoin(broadcast(horizon))
       .withColumn("r_days", col("hday") - col("last_day"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // value-census quintile map for one metric: score(v) =
     // ceil(5 · cum(v) / n) over the ordered distinct-value census
     def scoreMap(metric: String, descending: Boolean): DataFrame = {
@@ -2040,7 +2040,7 @@ object RelationalOps {
       .withColumn("contrib", roundn(
         (col("n_late").cast("double") - col("exp_late")) *
           (col("n_late").cast("double") - col("exp_late")) / col("exp_late"), 6))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val chi = contribs
       .agg(roundn(graft.functions.VectorMath.orderedSum(
         col("event_type"), col("contrib")), 6).as("chi2"),
@@ -2517,7 +2517,7 @@ object RelationalOps {
         least(lit(10L), expr("n_days div 3")).as("days_bucket"))
     val users = profile.join(topType, "user_id")
       .select(col("activity_bucket"), col("days_bucket"), col("top_type"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val global = users.groupBy(col("top_type")).agg(count(lit(1)).as("g"))
     val gn = users.groupBy().agg(count(lit(1)).as("gn"))
     val classes = users.groupBy(col("activity_bucket"), col("days_bucket"))
@@ -2827,7 +2827,7 @@ object RelationalOps {
       .select(col("event_type"), col("day"),
         expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
       // bounded (type, day) table serving three legs — one stream scan
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bd = daily.groupBy(col("event_type")).agg(max(col("day")).as("d1"))
     val win = daily.join(broadcast(bd), "event_type")
       .filter(col("day") > col("d1") - 28)
@@ -3301,7 +3301,7 @@ object RelationalOps {
       .filter(col("l_shipdate") > col("o_orderdate") + expr(s"INTERVAL $lateDays DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val others = lineitem.select(col("l_orderkey").as("x_orderkey"),
       col("l_suppkey").as("x_suppkey"))
     val kept = late
@@ -3355,7 +3355,7 @@ object RelationalOps {
       .agg(min(round(col("l_extendedprice") * 100).cast("long")).as("cost_cp"))
       // offers feed the per-part min AND the join-back — pin the
       // bounded (part, supplier) table so the fact scans once
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val mins = offers.groupBy(col("l_partkey").as("m_partkey"))
       .agg(min(col("cost_cp")).as("min_cp"))
     offers
@@ -3451,7 +3451,7 @@ object RelationalOps {
         round(col("l_extendedprice") * 100).cast("long").as("ep_cp"))
       .join(broadcast(p), col("l_partkey") === col("p_partkey"))
       // the brand slice feeds the per-part agg AND the probe — pin it
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pa = li.groupBy(col("l_partkey").as("a_partkey"))
       .agg(sum(col("qty")).as("qsum"), count(lit(1)).as("cnt"))
     li.join(pa, col("l_partkey") === col("a_partkey"))
@@ -3652,7 +3652,7 @@ object RelationalOps {
       .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("total_rev"))
       // feeds the scalar max AND the equality probe — evaluate once
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val mx = rev.agg(max(col("total_rev")).as("max_rev"))
     rev.crossJoin(broadcast(mx))
       .filter(col("total_rev") === col("max_rev"))
@@ -3715,7 +3715,7 @@ object RelationalOps {
       .groupBy(col("l_partkey").as("ps_partkey"))
       .agg(sum(col("v")).as("value_dec"))
       // feeds the scalar total AND the HAVING probe — evaluate once
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = perPart.agg(sum(col("value_dec")).as("t"), count(lit(1)).as("n"))
     perPart.crossJoin(broadcast(tot))
       .filter(col("value_dec") * col("n") > col("t") * meanMult)
@@ -3786,7 +3786,7 @@ object RelationalOps {
       .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
       .select(col("l_partkey"), col("l_suppkey"), col("availqty"))
       // feeds the per-part stats AND the threshold probe
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val stats = redOffers.groupBy(col("l_partkey").as("g_partkey"))
       .agg(sum(col("availqty")).as("qsum"), count(lit(1)).as("qcnt"))
     val qualifying = redOffers
@@ -3913,7 +3913,7 @@ object RelationalOps {
       .withColumn("trend", expr("(tsum - pmod(tsum, 7)) div 7"))
       .withColumn("det", col("mm") - col("trend"))
       .withColumn("dow", pmod(col("day"), lit(7L)))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val seasonal = det.groupBy(col("event_type"), col("dow"))
       .agg(count(lit(1)).as("n_days"), sum(col("det")).as("ssum"))
       .withColumn("seasonal_micro",
@@ -4091,7 +4091,7 @@ object RelationalOps {
       .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_days"))
       .select(least(lit(10L), expr("n_ev div 10")).as("act"),
         least(lit(10L), expr("n_days div 3")).as("days"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ladder = (0 to maxLevel).map { l =>
       val f = 1L << l
       profile
@@ -4157,7 +4157,7 @@ object RelationalOps {
       .withColumn("wt_micro",
         round(exp(lit(-eps / 4.0) * col("d2")) * 1000000.0).cast("long"))
       .withColumn("cumw", sum(col("wt_micro")).over(wCum))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val medAndTotal = cum
       .groupBy(col("event_type"))
       .agg(max(col("n")).as("n"), max(col("cumw")).as("total"),
@@ -4214,7 +4214,7 @@ object RelationalOps {
       .agg(roundn(avg(col("value")), 6).as("m"))
       .select(col("event_type"), col("day"),
         expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val a = daily.select(col("event_type"), col("day").as("d1"), col("mm").as("m1"))
     val b = daily.select(col("event_type"), col("day").as("d2"), col("mm").as("m2"))
     val s = a.join(b, Seq("event_type"))
@@ -4280,7 +4280,7 @@ object RelationalOps {
     val wDesc = Window.partitionBy(col("event_type")).orderBy(col("cents").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = census.withColumn("cum", sum(col("cnt")).over(wDesc))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val ref = cum
       .filter(col("cum") - col("cnt") < k + 1 && col("cum") >= k + 1)
       .select(col("event_type"), col("cents").as("x_ref_cents"))
@@ -4336,7 +4336,7 @@ object RelationalOps {
       .agg(roundn(avg(col("value")), 6).as("m"))
       .select(col("event_type"), col("day"),
         expr("CAST(round(m * 1000000) AS BIGINT)").as("mm"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def meanRs(w: Int): DataFrame = {
       val blk = daily.withColumn("blk", expr(s"day div ${w}L"))
       val tot = blk.groupBy(col("event_type"), col("blk"))

@@ -79,10 +79,10 @@ object SearchOps {
                    notes: String = "focus on quarterly impact"): DataFrame = {
     val hits = searchText(docs, queryText, k)
       .select(col("rank").as("hit_rank"), col("doc_id"), col("source"), col("score"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val hitKw = hits.select(col("hit_rank"), col("doc_id"))
       .join(KeywordOps.keywordTopN(docs), "doc_id")
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val kwList = hitKw.groupBy(col("doc_id"), col("hit_rank"))
       .agg(expr("array_join(transform(array_sort(collect_list(struct(rank, keyword)))," +
         " x -> x.keyword), ', ')").as("keywords"))
@@ -194,7 +194,7 @@ object SearchOps {
     val qt = KeywordOps.keywordTopN(docs)
       .filter(col("doc_id") < nQueries && col("rank") <= qTerms)
       .select(col("doc_id").as("query_doc"), col("keyword").as("tok"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val toks = EmbedOps.tokenize(docs)
     val lens = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("len_d"))
     val avgLen = lens.agg(avg(col("len_d")).as("avg_len"))
@@ -251,14 +251,14 @@ object SearchOps {
                            centroids: Option[DataFrame] = None): DataFrame = {
     val ict = TextOps.ictPairs(docs).filter(col("doc_id") < nAnchors)
       .select(col("doc_id").as("anchor_id"), col("q_start"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val lex = bm25HardNegatives(docs, nQueries = nAnchors)
       .select(col("query_doc").as("anchor_id"), col("neg_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val dense = VectorOps.tripletMining(emb, centroids = centroids)
       .filter(col("anchor_id") < nAnchors)
       .select(col("anchor_id"), col("pos_id"), col("neg_id"), col("margin"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val complete = ict.select(col("anchor_id")).distinct()
       .join(lex.select(col("anchor_id")).distinct(), "anchor_id")
       .join(dense.select(col("anchor_id")).distinct(), "anchor_id")
@@ -622,7 +622,7 @@ object SearchOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val topc = searchText(docs, queryText, cand)
-      .select(col("doc_id"), col("score").as("rel")).localCheckpoint(true)
+      .select(col("doc_id"), col("score").as("rel")).localCheckpoint(false)
     val w = EmbedOps.embedSparse(docs, dim)
       .join(broadcast(topc.select(col("doc_id"))), "doc_id")
     val sims = w.as("x").join(w.as("y"), col("x.dim") === col("y.dim"))
@@ -753,7 +753,7 @@ object SearchOps {
   def ndcgAudit(docs: DataFrame, queryText: String, k: Int = 10): DataFrame = {
     val truth = searchText(docs, queryText, k)
       .select(col("doc_id"), (lit(k + 1L) - col("rank")).as("rel"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     def term(rel: org.apache.spark.sql.Column, pos: org.apache.spark.sql.Column) =
       roundn(rel.cast("double") * log(lit(2.0)) / log(pos + lit(1.0)), 6)
     val idcg = truth

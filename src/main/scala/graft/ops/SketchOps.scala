@@ -94,7 +94,7 @@ object SketchOps {
                     widths: Seq[Int] = Seq(16, 64, 256)): DataFrame = {
     val keyed = events.select(col(key))
     val census = keyed.groupBy(col(key))
-      .agg(count(lit(1)).as("exact_cnt")).localCheckpoint(true)
+      .agg(count(lit(1)).as("exact_cnt")).localCheckpoint(false)
     widths.map { w =>
       val cms = countMinTable(keyed, key, depth, w)
       (0 until depth)
@@ -272,7 +272,7 @@ object SketchOps {
     * mismatch on the error numbers themselves. */
   def quantileErrorCurve(events: DataFrame, ks: Seq[Int] = Seq(16, 64, 256),
                          pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
-    val exact = exactQuantiles(events, pcts).localCheckpoint(true)
+    val exact = exactQuantiles(events, pcts).localCheckpoint(false)
     ks.map { k =>
       exact.join(sampleQuantiles(events, k, pcts), Seq("event_type", "pct"))
         .select(col("event_type"), col("pct"),
@@ -308,7 +308,7 @@ object SketchOps {
                     k: Int = 3, nProbe: Int = 2000): DataFrame = {
     val spark = events.sparkSession
     val keys = events.select(col("user_id").cast("string").as("key")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val nIns = keys.agg(count(lit(1)).as("n_inserted"))
     val probes = spark.range(nProbe).select(concat(lit("neg:"), col("id")).as("key"))
     ms.map { m =>
@@ -403,12 +403,12 @@ object SketchOps {
                 segment: String = "BUILDING", m: Int = 4096, k: Int = 3): DataFrame = {
     import graft.functions.VectorMath.roundn
     val buildRows = customer.filter(col("c_mktsegment") === segment)
-      .select(col("c_custkey")).localCheckpoint(true)
+      .select(col("c_custkey")).localCheckpoint(false)
     val build = buildRows.select(col("c_custkey").cast("string").as("key")).distinct()
     val bits = (0 until k)
       .map(j => build.select(
         PortableHash.bucket(concat(lit(s"bj$j:"), col("key")), m).as("pos")))
-      .reduce(_ union _).distinct().localCheckpoint(true)
+      .reduce(_ union _).distinct().localCheckpoint(false)
     // Map-side probe: the ≤m set positions fold into ONE broadcast
     // sorted array; every fact row tests its k bucket positions in a
     // single conjunctive Filter — no exchange touches the fact table
@@ -702,7 +702,7 @@ object SketchOps {
       p
     }
     val exact = events.agg(countDistinct(col("user_id")).as("n_exact"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val pmax = ms.map(pOf).max
     val maxRhoMax = 48 - pmax + 1
     // one corpus pass: registers at the finest precision (postcard)
@@ -715,7 +715,7 @@ object SketchOps {
         when(col("rr") === 0L, lit(maxRhoMax.toLong))
           .otherwise(lit(maxRhoMax.toLong) - length(bin(col("rr")))).as("rho"))
       .groupBy(col("idx")).agg(max(col("rho")).as("m_j"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     ms.map { m =>
       val p = pOf(m)
       val maxRho = 48 - p + 1

@@ -317,7 +317,7 @@ object TextOps {
       .withColumn("b", PortableHash.bucket(col("g"), nBuckets))
     tf.join(vocab, "g")
       .groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
   }
 
   /** NB TRAINING → the model AS A DATAFRAME (the artifact the
@@ -784,7 +784,7 @@ object TextOps {
       .withColumn("r", row_number().over(w).cast("long"))
       .withColumn("n",
         count(lit(1)).over(Window.partitionBy(col("lang"), col("bucket"))))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val top = ranked.filter(col("r") * 2 < col("n") + 1)
       .select(col("lang"), col("bucket"), col("r").as("pair_idx"),
         col("doc_id").as("chosen_id"), col("q_micro").as("chosen_q_micro"))
@@ -819,13 +819,13 @@ object TextOps {
     val rs = readabilityScore(docs)
       .select(col("doc_id"), col("n_words"),
         round(col("fk_grade") * 1e6).cast("long").as("grade_micro"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = rs.agg(count(lit(1)).as("n"))
     val wCum = Window.orderBy(col("grade_micro"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val census = rs.groupBy(col("grade_micro")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val bounds = (1 until stages).map { qi =>
       census.crossJoin(broadcast(n))
         .filter(col("cum") * stages >= col("n") * qi)
@@ -1099,7 +1099,7 @@ object TextOps {
     * (per-stream / per-bin aggs, then a 3-row union). */
   def packEfficiency(docs: DataFrame, tokenBudget: Long = 128, nStreams: Int = 8): DataFrame = {
     val B = tokenBudget
-    val seq = packSequences(docs, tokenBudget, nStreams).localCheckpoint(true)
+    val seq = packSequences(docs, tokenBudget, nStreams).localCheckpoint(false)
     // concat-and-chunk: per stream, capacity = ceil(tokens/B)·B; a doc
     // splits when its span crosses a boundary (offset + n_tok > B)
     val seqStream = seq.groupBy(col("stream_id"))
@@ -1115,7 +1115,7 @@ object TextOps {
       lit(0L).as("n_oversize"))
       .select(lit("chunk").as("method"), col("*"))
     def binRow(method: String, packed: DataFrame): DataFrame = {
-      val bins = packed.localCheckpoint(true)
+      val bins = packed.localCheckpoint(false)
       val binLoads = bins.groupBy(col("stream_id"), col("bin_id"))
         .agg(sum(col("n_tok")).as("load"))
       binLoads.agg(
@@ -1539,7 +1539,7 @@ object TextOps {
       .join(cBi, Seq("w1", "w2"), "left")
       .join(broadcast(cW1), Seq("w1"), "left")
       .crossJoin(broadcast(total))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val inVocab = joined.filter(col("cu").isNotNull)
     val nOov = joined.filter(col("cu").isNull)
       .agg(coalesce(sum(col("tf")), lit(0L)).as("n_oov"))
@@ -1604,7 +1604,7 @@ object TextOps {
       .join(cBi, Seq("w1", "w2"), "left")
       .join(broadcast(cW1), Seq("w1"), "left")
       .crossJoin(broadcast(nTypes)).crossJoin(broadcast(total))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val inVocab = joined.filter(col("cu").isNotNull && col("n1p_w2").isNotNull)
     val nOov = joined.filter(col("cu").isNull || col("n1p_w2").isNull)
       .agg(coalesce(sum(col("tf")), lit(0L)).as("n_oov"))
@@ -1663,7 +1663,7 @@ object TextOps {
         .select(col("doc_id"), col("avg_logprob").as("lp_bi")), "doc_id")
       .withColumn("rho", roundn(col("lp_bi") - col("lp_uni"), 6))
       .withColumn("iw", round(col("rho") * 1000000.0, 0).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val hist = w.groupBy(col("iw")).agg(count(lit(1)).as("cnt"))
     val k = hist.agg(sum(col("cnt")).as("n"))
       .select(expr(s"(n * $keepNum + $keepDen - 1) div ${keepDen}L").as("k"))
@@ -1749,7 +1749,7 @@ object TextOps {
       .select(col("wc"), concat_ws("  ",
         expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))"))
         .as("syms"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     ms.foreach { case (l, rr) =>
       val wrapped = concat(lit(" "), col("syms"), lit(" "))
       val s2 = org.apache.spark.sql.functions.replace(
@@ -1862,7 +1862,7 @@ object TextOps {
     var words = census
     // vocab-sized; materialize once so each round's argmax job replays
     // bounded map-only merges instead of re-running the corpus tokenize
-    words = words.localCheckpoint(true)
+    words = words.localCheckpoint(false)
     // re-checkpoint cadence: at deep round counts (64+) an unbounded
     // merge chain would make round r's argmax replay r projections
     // (O(r²) total) and grow the analysis-time plan linearly; every 8
@@ -1894,7 +1894,7 @@ object TextOps {
         words = words.select(col("wc"),
           s2.substr(lit(2), length(s2) - 2).as("syms"))
       }
-      if (r % checkpointEvery == 0 && r < rounds) words = words.localCheckpoint(true)
+      if (r % checkpointEvery == 0 && r < rounds) words = words.localCheckpoint(false)
       if (censusEvery > 0 && r % censusEvery == 0) {
         // one vocab-sized job: distinct live symbols + encoded length
         val row = words
@@ -2463,7 +2463,7 @@ object TextOps {
     * generate + broadcast equi-join + (word, pos)-keyed argmax. */
   def unigramEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                     maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
-    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(false)
     unigramViterbi(words, unigramModelOf(words, vocabSize), maxPieceLen, maxWordLen)
       .join(words, "word")
       .orderBy(col("wc").desc, col("word")).limit(topWords)
@@ -2479,7 +2479,7 @@ object TextOps {
     * bit-identical and reload ≡ retrain is pinnable). */
   def unigramModel(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                    maxWordLen: Int = 16): DataFrame =
-    unigramModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(true),
+    unigramModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(false),
       vocabSize, maxPieceLen)
 
   private def unigramModelOf(words: DataFrame, vocabSize: Int = 48,
@@ -2512,7 +2512,7 @@ object TextOps {
     val words = wordpieceCensus(docs, maxWordLen)
       .filter(length(col("word")) <= maxSampleLen)
       .orderBy(col("wc").desc, col("word")).limit(topWords)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     unigramViterbi(words, model, maxPieceLen, maxWordLen)
       .join(words, "word")
       .orderBy(col("wc").desc, col("word"))
@@ -2574,7 +2574,7 @@ object TextOps {
          |        'pieces', concat(p.pieces, $sep,
          |                         substring(word, j - m.plen + 1, m.plen))))[0])), 0)),
          |  dp -> element_at(dp, length(word) + 1))""".stripMargin)
-    pieceMatches(words, model.localCheckpoint(true), maxPieceLen, withWeight = true)
+    pieceMatches(words, model.localCheckpoint(false), maxPieceLen, withWeight = true)
       .withColumn("_dp", dp)
       .filter(col("_dp.pieces").isNotNull)
       .select(col("word"), length(col("word")).as("pos"),
@@ -2610,7 +2610,7 @@ object TextOps {
     // running wordpieceEncode + unigramEncode as black boxes paid it
     // twice (r12 verdict watch item: fertility drifted to ~2× the
     // chains' intrinsic cost; half of that was the duplicated census)
-    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(false)
     val wp = wordpieceGreedy(words,
         wordpieceModelOf(words, vocabSize, maxPieceLen).select(col("piece")).distinct(),
         maxPieceLen)
@@ -2651,7 +2651,7 @@ object TextOps {
     * shrinking census-bounded table). */
   def wordpieceEncode(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                       maxWordLen: Int = 16, topWords: Int = 200): DataFrame = {
-    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(true)
+    val words = wordpieceCensus(docs, maxWordLen).localCheckpoint(false)
     val vocab = wordpieceModelOf(words, vocabSize, maxPieceLen)
       .select(col("piece")).distinct()
     wordpieceGreedy(words, vocab, maxPieceLen)
@@ -2668,7 +2668,7 @@ object TextOps {
     * by hashing every row. */
   def wordpieceModel(docs: DataFrame, vocabSize: Int = 48, maxPieceLen: Int = 4,
                      maxWordLen: Int = 16): DataFrame =
-    wordpieceModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(true),
+    wordpieceModelOf(wordpieceCensus(docs, maxWordLen).localCheckpoint(false),
       vocabSize, maxPieceLen)
 
   private def wordpieceModelOf(words: DataFrame, vocabSize: Int,
@@ -2703,7 +2703,7 @@ object TextOps {
     val words = wordpieceCensus(docs, maxWordLen)
       .filter(length(col("word")) <= maxSampleLen)
       .orderBy(col("wc").desc, col("word")).limit(topWords)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     wordpieceGreedy(words, model.select(col("piece")).distinct(), maxPieceLen)
       .join(words, "word")
       .orderBy(col("wc").desc, col("word"))
@@ -2741,7 +2741,7 @@ object TextOps {
         |                           CASE WHEN a.pieces = '' THEN '' ELSE ' ' END,
         |                           substring(word, a.pos + 1, b)),
         |          'n_pieces', a.n_pieces + 1L) END)[0] END)""".stripMargin)
-    pieceMatches(words, pieceVocab.localCheckpoint(true), maxPieceLen,
+    pieceMatches(words, pieceVocab.localCheckpoint(false), maxPieceLen,
         withWeight = false)
       .withColumn("_st", step)
       .filter(col("_st.pos") === length(col("word")))
@@ -3088,7 +3088,7 @@ object TextOps {
         when(col("bkt") < 1, 1L).when(col("bkt") < 2, 2L)
           .when(col("bkt") < 4, 3L).otherwise(4L))
     val cnt = train.groupBy(col("tok"), col("ml"))
-      .agg(count(lit(1)).as("c")).localCheckpoint(true)
+      .agg(count(lit(1)).as("c")).localCheckpoint(false)
     val grid = spark.range(1, 5).select(col("id").as("l"))
     val levelCnt = cnt.join(broadcast(grid), col("ml") <= col("l"))
       .groupBy(col("tok"), col("l")).agg(sum(col("c")).as("c_l"))
@@ -3112,7 +3112,7 @@ object TextOps {
       .withColumn("y6", expr("CAST((-sum_lp6) div n_held AS BIGINT)"))
       .join(broadcast(nl), "l")
       .select(col("l"), col("n_l"), col("y6"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     // α grid 0.05..1.00 step 0.05 as exact integer keys; x = N^(−α)
     // in integer micros; all four moments are exact Long sums
     val alphas = spark.range(1, 21).select((col("id") * 5L).as("alpha100"))

@@ -61,13 +61,13 @@ object TopicOps {
     val zs = 0 until k
     val tf = EmbedOps.tokenize(docs)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var phi = tf.select(col("tok")).distinct()
       .select(col("tok") +: zs.map(z => initMass(z).as(s"u$z")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var theta = tf.select(col("doc_id")).distinct()
       .select(col("doc_id") +: zs.map(z => lit(1L).as(s"t$z")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val nz = phi.agg(
         sum(col("u0").cast("decimal(38,0)")).as("n0"),
@@ -85,16 +85,16 @@ object TopicOps {
       val resp = withA.select(
         col("doc_id") +: col("tok") +: col("tf") +:
           zs.map(z => round(col(s"a$z") / denom * 1e6).cast("long").as(s"r$z")): _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       phi = resp.groupBy(col("tok"))
         .agg(sum(col("tf").cast("decimal(38,0)") * col("r0")).as("u0"),
           zs.tail.map(z =>
             sum(col("tf").cast("decimal(38,0)") * col(s"r$z")).as(s"u$z")): _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       theta = resp.groupBy(col("doc_id"))
         .agg(sum(col("tf") * col("r0")).as("t0"),
           zs.tail.map(z => sum(col("tf") * col(s"r$z")).as(s"t$z")): _*)
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     phi.select(col("tok") +:
       zs.map(z => col(s"u$z").cast("decimal(38,0)").as(s"u$z")): _*)
@@ -193,10 +193,10 @@ object TopicOps {
     * EM spend is paid once per corpus, not once per audit. */
   def topicCoherenceFromTopics(docs: DataFrame, topics: DataFrame): DataFrame = {
     val tw = topics
-      .select(col("topic"), col("tok")).localCheckpoint(true)
+      .select(col("topic"), col("tok")).localCheckpoint(false)
     val toks = EmbedOps.tokenize(docs).select(col("doc_id"), col("tok"))
     val dw = toks.join(broadcast(tw.select(col("tok")).distinct()), "tok")
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     val dd = toks.select(col("doc_id")).distinct().agg(count(lit(1)).as("dd"))
     val wc = dw.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val co = dw.select(col("doc_id"), col("tok").as("w1"))

@@ -164,7 +164,7 @@ object VectorOps {
                     centroids: Option[DataFrame] = None,
                     keepTarget: Double = 0.8): DataFrame = {
     val scored = similarityJoinIvf(embeddings, thresholds.min, centroids = centroids)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val n = embeddings.agg(count(lit(1)).as("n_vecs"))
     val curve = thresholds.map { t =>
       scored.filter(col("cos_sim") >= t)
@@ -266,7 +266,7 @@ object VectorOps {
       .withColumn("cos_sim", roundn(fastCosine(col("ea"), col("eb")), 6))
       .select(col("anchor_id"), col("anchor_label"), col("other_id"),
         col("other_label"), col("cos_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("anchor_id"))
       .orderBy(col("cos_sim").desc, col("other_id"))
     def top(same: Boolean, idName: String, cosName: String): DataFrame =
@@ -358,7 +358,7 @@ object VectorOps {
     val s = embeddings.filter(col("vec_id") < nSample)
       .select(col("vec_id"), asDouble(col("embedding")).as("e"))
       .withColumn("c", zip_with(col("e"), muArr, (x, m) => x - m))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     s.select(col("vec_id").as("a_id"), col("e").as("ea"), col("c").as("ca"))
       .crossJoin(broadcast(s.select(col("vec_id").as("b_id"),
         col("e").as("eb"), col("c").as("cb"))))
@@ -619,7 +619,7 @@ object VectorOps {
   private def ivfPqCandidates(corpus: DataFrame, queries: DataFrame, nProbe: Int,
                               centroids: Option[DataFrame],
                               m: Int, ksub: Int, iters: Int): DataFrame = {
-    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
+    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(false)
     val (pqCodebook, codes) = ivfPqIndex(corpus, cent, m, ksub, iters)
     ivfPqCandidatesFromIndex(queries, nProbe, cent, pqCodebook, codes, m, ksub)
   }
@@ -668,7 +668,7 @@ object VectorOps {
     // materialize it ONCE; at 100 TB this is the standard
     // train-on-a-materialized-sample step (pqTopK scaladoc)
     val csv = ivfPqSubvecs(res, Seq("vec_id"), "r", m, dsub)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var pqc = ivfPqSubvecs(res.filter(col("vec_id") < ksub)
         .withColumnRenamed("vec_id", "code"), Seq("code"), "r", m, dsub)
       .select(col("s"), col("code"), transform(col("sv"), x => roundn(x, 6)).as("cvec"))
@@ -684,7 +684,7 @@ object VectorOps {
     }
     // the trained codebook heads the encode here and the query LUT in
     // the apply half — m·ksub rows, pin it
-    pqc = pqc.localCheckpoint(true)
+    pqc = pqc.localCheckpoint(false)
     val codes = ivfPqAssign(csv, "vec_id", pqc)
       .groupBy(col("vec_id"))
       .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
@@ -808,14 +808,14 @@ object VectorOps {
       .agg(roundn(graft.functions.VectorMath.orderedSum(col("s"), col("term")), 6)
         .as("dist"))
       .select(round(col("dist") * 1e6).cast("long").as("d6"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val tot = pv.agg(count(lit(1)).as("n_vecs"), sum(col("d6")).as("s6"),
       max(col("d6")).as("max_micro"))
     val wCum = Window.orderBy(col("d6"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = pv.groupBy(col("d6")).agg(count(lit(1)).as("c"))
       .withColumn("cum", sum(col("c")).over(wCum))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val p50 = cum.crossJoin(broadcast(tot.select(col("n_vecs").as("n"))))
       .filter(col("cum") * 2 >= col("n")).agg(min(col("d6")).as("p50_micro"))
     val p95 = cum.crossJoin(broadcast(tot.select(col("n_vecs").as("n"))))
@@ -866,13 +866,13 @@ object VectorOps {
                        m: Int = 8, ksub: Int = 16): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+      .select(col("query_id"), col("vec_id")).localCheckpoint(false))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val maxF = factors.max
     val wq = Window.partitionBy(col("query_id")).orderBy(col("qdist"), col("vec_id"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
-    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(true)
+    val cent = centroids.getOrElse(sqrtCells(corpus, iters = 2)).localCheckpoint(false)
     // the receipt measures the FAMILY's index — consumers may hand in
     // the shared persisted artifacts (the lang_confusion_learned
     // amortization; the oracle retrains from scratch, so a stale
@@ -891,7 +891,7 @@ object VectorOps {
       .join(broadcast(q), "query_id")
       .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .select(col("query_id"), col("vec_id"), col("qrank"), col("cos_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val curve = factors.map { f =>
       scored.filter(col("qrank") <= k * f)
@@ -1380,9 +1380,9 @@ object VectorOps {
                      nProbes: Seq[Int] = Seq(1, 2, 3),
                      groundTruth: Option[DataFrame] = None): DataFrame = {
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+      .select(col("query_id"), col("vec_id")).localCheckpoint(false))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val cent = sqrtCells(corpus, iters = 2).localCheckpoint(true)
+    val cent = sqrtCells(corpus, iters = 2).localCheckpoint(false)
     val maxP = nProbes.max
     val assigned = cellRanks(corpus, cent, "vec_id")
       .filter(col("cell_rank") <= 1)
@@ -1400,7 +1400,7 @@ object VectorOps {
       .join(broadcast(q), "query_id")
       .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .select(col("query_id"), col("vec_id"), col("first_probe"), col("cos_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val curve = nProbes.map { p =>
       scored.filter(col("first_probe") <= p)
@@ -1444,7 +1444,7 @@ object VectorOps {
     // truth — the brute-force side is the receipt's dominant cost,
     // so the ivf leg's checkpointed exact table is reused here
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+      .select(col("query_id"), col("vec_id")).localCheckpoint(false))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val sig = randomProject(corpus, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
@@ -1465,7 +1465,7 @@ object VectorOps {
       .join(broadcast(qe), "query_id")
       .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .select(col("query_id"), col("vec_id"), col("first_band"), col("cos_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val curve = bands.map { b =>
       scored.filter(col("first_band") < b)
@@ -1499,7 +1499,7 @@ object VectorOps {
                      groundTruth: Option[DataFrame] = None): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
     val exact = groundTruth.getOrElse(annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true))
+      .select(col("query_id"), col("vec_id")).localCheckpoint(false))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val maxF = factors.max
     val scale = symmetricScale(corpus)
@@ -1518,7 +1518,7 @@ object VectorOps {
       .join(broadcast(q), "query_id")
       .withColumn("cos_sim", roundn(fastCosine(col("e"), col("qe")), 6))
       .select(col("query_id"), col("vec_id"), col("qrank"), col("cos_sim"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("vec_id"))
     val curve = factors.map { f =>
       scored.filter(col("qrank") <= k * f)
@@ -1557,7 +1557,7 @@ object VectorOps {
                        nQueries: Int = 10): DataFrame = {
     val queries = corpus.filter(col("vec_id") < nQueries)
     val exact = annTopK(corpus, queries, k)
-      .select(col("query_id"), col("vec_id")).localCheckpoint(true)
+      .select(col("query_id"), col("vec_id")).localCheckpoint(false)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qe"))
@@ -1566,7 +1566,7 @@ object VectorOps {
       .select(Seq(col("query_id"), col("vec_id")) ++ dims.map(d =>
         roundn(fastCosine(slice(col("e"), 1, d), slice(col("qe"), 1, d)), 6)
           .as(s"cos_$d")): _*)
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val curve = dims.map { d =>
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col(s"cos_$d").desc, col("vec_id"))
@@ -1677,7 +1677,7 @@ object VectorOps {
       // sig feeds BOTH the query side and the corpus side of the
       // candidate join — without this the 32-fold literal-matrix
       // projection re-evaluates over the full corpus per use
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val q = sig.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
     val cand = q.join(sig, Seq("band", "band_sig"))
@@ -1719,12 +1719,12 @@ object VectorOps {
     val proj = randomProject(embeddings, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
       .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sig = proj
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
         .as("band_sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val flip = proj.filter(col("vec_id") < nQueries)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("vec_id"), col("band"))
@@ -1766,12 +1766,12 @@ object VectorOps {
     val proj = randomProject(embeddings, outDim)
       .withColumn("bit", (col("proj") > 0).cast("long"))
       .withColumn("band", floor(col("out_dim") / bandBits).cast("long"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val sig = proj
       .groupBy(col("vec_id"), col("band"))
       .agg(sum(col("bit") * pow(lit(2.0), col("out_dim") % bandBits)).cast("long")
         .as("band_sig"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val home = sig.filter(col("vec_id") < nQueries)
     val base = home.select(col("vec_id").as("query_id"), col("band"), col("band_sig"))
     val probes = if (!multiProbe) base else {
@@ -1900,7 +1900,7 @@ object VectorOps {
     val muArr = mu.agg(expr(
       "transform(array_sort(collect_list(struct(dim, mu6))), s -> s.mu6)")
       .as("mu6_arr"))
-    val cov = covarianceCells(emb, muArr).localCheckpoint(true)
+    val cov = covarianceCells(emb, muArr).localCheckpoint(false)
     var v = cov.select(col("di").as("dim")).distinct()
       .withColumn("v", when(col("dim") === 0L, lit(1.0)).otherwise(lit(0.0)))
     def matvec(vec: DataFrame): DataFrame =
@@ -1915,7 +1915,7 @@ object VectorOps {
       // planning time dwarfs the (tiny) execution
       v = w.crossJoin(broadcast(nrm))
         .select(col("dim"), roundn(col("w") / col("nrm"), 6).as("v"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     val wf = matvec(v)
     val scalars = v.join(wf, "dim")
@@ -2011,7 +2011,7 @@ object VectorOps {
       .crossJoin(broadcast(e0.filter(col("vec_id") === seedId)
         .select(col("e").as("se"))))
       .select(col("vec_id"), col("e"), distTo(col("se")).as("mind"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var exhausted = false
     for (_ <- 2 to k if !exhausted) {
       val top = acc.filter(!col("vec_id").isInCollection(sel.map(_._1)))
@@ -2026,7 +2026,7 @@ object VectorOps {
               .select(col("e").as("se"))))
             .select(col("vec_id"), col("e"),
               least(col("mind"), distTo(col("se"))).as("mind"))
-            .localCheckpoint(true)
+            .localCheckpoint(false)
       }
     }
     sel.zipWithIndex
@@ -2086,7 +2086,7 @@ object VectorOps {
         Window.partitionBy(col("p_id")).orderBy(col("d"), col("o_id"))))
       .filter(col("rn") <= k)
       .select(col("p_id"), col("o_id"), col("d"))
-      .localCheckpoint(true) // k rows per point, serves 3 legs
+      .localCheckpoint(false) // k rows per point, serves 3 legs
     val kd = knn.groupBy(col("p_id"))
       .agg(count(lit(1)).as("n"), max(col("d")).as("kdist"))
     val lrd = knn
