@@ -92,17 +92,29 @@ object DedupOps {
     * per-seed arithmetic is identical to the oracle's exploded form,
     * and integer mins are merge-order-free, so results are bit-equal
     * to the seed-exploded formulation. */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame = {
-    val docShingles = wordShingles(docs, w)
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 12, w: Int = 3): DataFrame =
+    minhashSignaturesFromShingles(distinctShingles(docs, w), numHashes)
+
+  /** The (doc_id, shingle) distinct-shingle table every stage of the
+    * LSH→verify chain keys on. Shared as ONE DataFrame per chain so
+    * all consumers carry the IDENTICAL subtree — runtime exchange
+    * reuse (`spark.sql.exchange.reuse`, on by default; measured 20-55%
+    * on this chain) then computes the distinct exchange once per
+    * query. An explicit localCheckpoint here measured SLOWER than
+    * reuse (r16: ngram_jaccard 2.45→3.76 s): the cache materialization
+    * costs more than the already-deduplicated recompute. */
+  private[ops] def distinctShingles(docs: DataFrame, w: Int): DataFrame =
+    wordShingles(docs, w).select(col("doc_id"), col("shingle")).distinct()
+
+  /** [[minhashSignatures]] over a precomputed shingle table. */
+  private[ops] def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val p = MinhashPrime
     val minCols = (0 until numHashes).map { s =>
       min(expr(
         s"((${s + 1} * 2654435761 % $p) * h0 + (${s + 1} * 40503 + 12345) % $p) % $p"))
         .as(s"_m$s")
     }
-    docShingles
+    sh
       .withColumn("h0", PortableHash.hash24(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(minCols.head, minCols.tail: _*)
@@ -192,8 +204,10 @@ object DedupOps {
     * signature at all" eligibility gate (a doc below w tokens has no
     * shingles, hence no signature, no buckets, no pairs). */
   private def shingleCounts(docs: DataFrame, w: Int): DataFrame =
-    wordShingles(docs, w).select(col("doc_id"), col("shingle")).distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    shingleCountsFromShingles(distinctShingles(docs, w))
+
+  private def shingleCountsFromShingles(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 
   /** Raw band-bucket candidate pairs over the given docs — the
     * pre-routing kernel: docs sharing any (band, signature) bucket
@@ -204,8 +218,16 @@ object DedupOps {
     * measurement and [[clusterCandidatesCapped]] for the clustering
     * fallback when even that residue is a mega family. */
   private[ops] def bandCandidates(docs: DataFrame, numHashes: Int, rowsPerBand: Int,
-                             w: Int): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(docs, numHashes, w), rowsPerBand)
+                             w: Int): DataFrame =
+    bandCandidatesFromShingles(distinctShingles(docs, w), numHashes, rowsPerBand)
+
+  /** [[bandCandidates]] over a precomputed shingle table. Both sides
+    * of the self-join reference the identical bucket subtree; runtime
+    * exchange reuse computes it once (checkpointing it measured
+    * slower — see [[distinctShingles]]). */
+  private[ops] def bandCandidatesFromShingles(sh: DataFrame, numHashes: Int,
+                                              rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(minhashSignaturesFromShingles(sh, numHashes), rowsPerBand)
     val a = buckets.select(col("doc_id").as("a_id"), col("band"), col("band_sig"))
     val b = buckets.select(col("doc_id").as("b_id"), col("band"), col("band_sig"))
     a.join(b, Seq("band", "band_sig"))
@@ -227,11 +249,14 @@ object DedupOps {
                         w: Int = 3): DataFrame = {
     val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
+    // ONE shared shingle DataFrame (see [[distinctShingles]])
+    val sh = distinctShingles(reps, w)
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val cross = expandRepPairs(
-      bandCandidates(reps, numHashes, rowsPerBand, w), members, Seq("n_shared_bands"))
+      bandCandidatesFromShingles(sh, numHashes, rowsPerBand), members,
+      Seq("n_shared_bands"))
     val intra = intraFamilyPairs(members,
-      shingleCounts(reps, w)
+      shingleCountsFromShingles(sh)
         .select(col("doc_id").as("rep_id"), lit(nBands.toLong).as("n_shared_bands")))
     cross.unionByName(intra)
   }
@@ -451,10 +476,17 @@ object DedupOps {
     * never O(N²). */
   def jaccardVerify(docs: DataFrame, pairs: DataFrame, w: Int = 3,
                     minJaccard: Double = 0.0,
-                    passthrough: Seq[String] = Nil): DataFrame = {
-    val sh = wordShingles(docs, w)
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+                    passthrough: Seq[String] = Nil): DataFrame =
+    // the shingle table feeds THREE consumers below (sizes + both
+    // pair-side equi-joins) as one identical subtree — runtime
+    // exchange reuse computes it once (see [[distinctShingles]])
+    jaccardVerifyFromShingles(distinctShingles(docs, w), pairs, minJaccard, passthrough)
+
+  /** [[jaccardVerify]] over a precomputed (already shared/checkpointed)
+    * shingle table. */
+  private[ops] def jaccardVerifyFromShingles(sh: DataFrame, pairs: DataFrame,
+                                             minJaccard: Double,
+                                             passthrough: Seq[String] = Nil): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // `passthrough` rides the grouping key (pair-functional columns
     // like n_shared_bands), so the candidate pipeline is referenced
@@ -493,9 +525,8 @@ object DedupOps {
     * while this op scores whatever candidate set it is given. */
   def containmentVerify(docs: DataFrame, pairs: DataFrame, w: Int = 3,
                         minContainment: Double = 0.0): DataFrame = {
-    val sh = wordShingles(docs, w)
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+    // same three-consumer share as [[jaccardVerify]]
+    val sh = distinctShingles(docs, w)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = pairs
       .select(col("a_id"), col("b_id"))
@@ -599,14 +630,17 @@ object DedupOps {
     // distinct texts only; expansion touches exactly the output rows.
     val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
-    val repVer = jaccardVerify(reps,
-      bandCandidates(reps, numHashes, rowsPerBand, w), w, minJaccard,
+    // ONE shared shingle DataFrame for the whole chain — identical
+    // subtrees, so runtime exchange reuse computes it once
+    val sh = distinctShingles(reps, w)
+    val repVer = jaccardVerifyFromShingles(sh,
+      bandCandidatesFromShingles(sh, numHashes, rowsPerBand), minJaccard,
       passthrough = Seq("n_shared_bands"))
     val nBands = (numHashes + rowsPerBand - 1) / rowsPerBand
     val cross = expandRepPairs(repVer, members,
       Seq("n_shared_bands", "inter", "jaccard"))
     val intra = intraFamilyPairs(members,
-      shingleCounts(reps, w).select(col("doc_id").as("rep_id"),
+      shingleCountsFromShingles(sh).select(col("doc_id").as("rep_id"),
         lit(nBands.toLong).as("n_shared_bands"), col("n_sh").as("inter"),
         lit(1.0).as("jaccard")))
     cross.unionByName(intra)
@@ -844,7 +878,19 @@ object DedupOps {
     }
     var rounds = 0
     try {
-      var (converged, prevSum) = roundStats(e)
+      // r16 (guide §5 — one fewer driver block per CC run): contract
+      // FIRST, check after — the old loop spent a dedicated stats job
+      // probing the raw input for the rare already-a-star-forest case,
+      // but star forests are fixpoints of both ops, so speculatively
+      // contracting once is a no-op pass there and the post-round
+      // check detects convergence identically. The monotone label-sum
+      // receipt now compares round k to round k−1 (its first
+      // comparison point is rounds 1→2); the star-forest fixpoint
+      // check — the correctness gate — is unchanged and still runs
+      // every round. Measured: dedup graphs at sf0.1 converge in one
+      // round, so this cuts the CC driver blocks from 3 to 2.
+      var converged = false
+      var prevSum: Option[BigDecimal] = None
       // two-phase contraction provably converges in O(log² n) rounds and
       // empirically in ~log₂ n; this cap is a defensive backstop far
       // above either, not a tuning knob
@@ -856,12 +902,17 @@ object DedupOps {
         // lazy localCheckpoint per round: truncates the per-round plan
         // nesting AND doubles as the round's cache (blocks released by
         // the ContextCleaner once the next round drops the reference);
-        // materialized BY the round's stats job, not by its own job
+        // materialized BY the round's stats job, not by its own job.
+        // r16 measured-and-rejected: batching TWO contractions per
+        // stats check (the double-relaxation trick) ran SLOWER here
+        // (dedup_clusters 7.4→8.4 s solo) — a contraction pass (two
+        // groupBy+join+distinct exchanges) costs more than the one
+        // fused stats aggregate it would save, at sf0.1 and at scale.
         val next = smallStar(largeStar(e)).localCheckpoint(false)
         val (conv, s) = roundStats(next)
-        require(s <= prevSum,
-          s"connectedComponents: label sum increased ($prevSum -> $s) — contraction broken")
-        prevSum = s
+        prevSum.foreach(p => require(s <= p,
+          s"connectedComponents: label sum increased ($p -> $s) — contraction broken"))
+        prevSum = Some(s)
         e = next
         converged = conv
       }
@@ -899,13 +950,15 @@ object DedupOps {
   def dedupClusters(docs: DataFrame, minJaccard: Double = 0.5): DataFrame = {
     val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
-    val repVer = jaccardVerify(reps,
-      bandCandidates(reps, 12, 3, 3), 3, minJaccard)
+    // ONE shared shingle DataFrame (see [[distinctShingles]])
+    val sh = distinctShingles(reps, 3)
+    val repVer = jaccardVerifyFromShingles(sh,
+      bandCandidatesFromShingles(sh, 12, 3), minJaccard)
       .select(col("a_id"), col("b_id"))
     // stars only for families that would have formed intra pairs:
     // fam_size ≥ 2 (implied by doc_id ≠ rep_id) and a shingled rep
     val stars = members.filter(col("doc_id") =!= col("rep_id"))
-      .join(shingleCounts(reps, 3).select(col("doc_id").as("rep_id")), "rep_id")
+      .join(shingleCountsFromShingles(sh).select(col("doc_id").as("rep_id")), "rep_id")
       .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
     connectedComponents(repVer.unionByName(stars))
   }
@@ -1119,8 +1172,15 @@ object DedupOps {
     * cap only what the measurement says is a family. */
   def clusterCandidatesCapped(docs: DataFrame, maxBucket: Int,
                               numHashes: Int = 12, rowsPerBand: Int = 3,
-                              w: Int = 3): DataFrame = {
-    val buckets = lshBuckets(minhashSignatures(docs, numHashes, w), rowsPerBand)
+                              w: Int = 3): DataFrame =
+    clusterCandidatesCappedFromShingles(distinctShingles(docs, w), maxBucket,
+      numHashes, rowsPerBand)
+
+  /** [[clusterCandidatesCapped]] over a precomputed shingle table. */
+  private[ops] def clusterCandidatesCappedFromShingles(sh: DataFrame, maxBucket: Int,
+                                                       numHashes: Int,
+                                                       rowsPerBand: Int): DataFrame = {
+    val buckets = lshBuckets(minhashSignaturesFromShingles(sh, numHashes), rowsPerBand)
       .localCheckpoint(false)
     val sizes = buckets.groupBy(col("band"), col("band_sig"))
       .agg(count(lit(1)).as("bsize"), min(col("doc_id")).as("bmin"))
@@ -1144,11 +1204,13 @@ object DedupOps {
                           minJaccard: Double = 0.5): DataFrame = {
     val members = exactFamilies(docs).localCheckpoint(false)
     val reps = repDocsOf(docs, members)
-    val repVer = jaccardVerify(reps,
-      clusterCandidatesCapped(reps, maxBucket), 3, minJaccard)
+    // ONE shared shingle DataFrame (see [[distinctShingles]])
+    val sh = distinctShingles(reps, 3)
+    val repVer = jaccardVerifyFromShingles(sh,
+      clusterCandidatesCappedFromShingles(sh, maxBucket, 12, 3), minJaccard)
       .select(col("a_id"), col("b_id"))
     val stars = members.filter(col("doc_id") =!= col("rep_id"))
-      .join(shingleCounts(reps, 3).select(col("doc_id").as("rep_id")), "rep_id")
+      .join(shingleCountsFromShingles(sh).select(col("doc_id").as("rep_id")), "rep_id")
       .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
     connectedComponents(repVer.unionByName(stars))
   }
