@@ -1823,6 +1823,11 @@ object TextOps {
     * back to the distributed per-round loop unchanged. */
   private[ops] val MaxVocabLocalize: Int = 1 << 22
 
+  /** Byte-ish companion guard for the census localize: even under the
+    * row guard, the space-doubled symbol strings must fit driver heap
+    * comfortably (≤ ~256M chars) or training stays distributed. */
+  private[ops] val MaxLocalizeChars: Long = 1L << 28
+
   /** Unsigned UTF-8 byte comparison — the collation Spark's
     * UTF8String sorts strings by (and DuckDB's default). Scala's
     * String ordering compares UTF-16 code units and diverges above
@@ -1844,25 +1849,33 @@ object TextOps {
   private[ops] def bpeLoop(docs: DataFrame, rounds: Int, censusEvery: Int = 0,
                            localizeThreshold: Int = MaxVocabLocalize)
       : (Seq[(Long, String, String, Long)], DataFrame, Seq[(Long, Long, Long)]) = {
+    // checkpointed up front: BOTH paths want the census materialized —
+    // the distributed loop re-reads it every argmax round (this is the
+    // pre-existing `words` checkpoint, hoisted), and the localize path
+    // collects it — so the probe job below doubles as the materializer
     val census = EmbedOps.tokenize(docs)
       .groupBy(col("tok")).agg(count(lit(1)).as("wc"))
       .select(col("wc"), concat_ws("  ",
         expr("transform(sequence(1, char_length(tok)), i -> substring(tok, i, 1))")).as("syms"))
-    // localize probe: limit(guard+1) collects AT MOST guard+1 rows —
-    // if fewer arrive, that IS the whole census and the local loop
-    // runs; one row more means a census too big to localize and the
-    // distributed loop takes over (the limit never truncates data
-    // that gets used)
-    val probe =
-      if (localizeThreshold <= 0) Array.empty[(Long, String)]
-      else census.limit(localizeThreshold + 1)
-        .collect().map(r => (r.getLong(0), r.getString(1)))
-    if (localizeThreshold > 0 && probe.length <= localizeThreshold)
+      .localCheckpoint(false)
+    // localize probe, PAYLOAD-FREE (r15 verdict: the old
+    // limit(guard+1).collect() shipped up to guard+1 (wc, syms) rows
+    // of payload to the driver even when it was about to fall back):
+    // one count+bytes aggregate decides; only the localize path then
+    // collects the payload, straight from the checkpoint blocks the
+    // probe job just materialized. The byte guard keeps a census of
+    // few-but-enormous symbol strings distributed too.
+    val probeRow = census
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(length(col("syms")).cast("long")), lit(0L)).as("chars"))
+      .head()
+    val (nWords, symChars) = (probeRow.getLong(0), probeRow.getLong(1))
+    if (localizeThreshold > 0 && nWords <= localizeThreshold &&
+        symChars <= MaxLocalizeChars) {
+      val probe = census.collect().map(r => (r.getLong(0), r.getString(1)))
       return bpeLoopLocal(docs.sparkSession, probe, rounds, censusEvery)
+    }
     var words = census
-    // vocab-sized; materialize once so each round's argmax job replays
-    // bounded map-only merges instead of re-running the corpus tokenize
-    words = words.localCheckpoint(false)
     // re-checkpoint cadence: at deep round counts (64+) an unbounded
     // merge chain would make round r's argmax replay r projections
     // (O(r²) total) and grow the analysis-time plan linearly; every 8
