@@ -147,16 +147,26 @@ object Bench {
           .foreach(_.unpersist(blocking = false))
         name -> median(times)
       }
-    // the adjudicated headline (r14 verdict #7): the suite total with
-    // each retimed query's in-suite median replaced by its solo
-    // retime — the structural number BASELINE.md rows quote without
-    // hand arithmetic. Any -1 (suite or retime) poisons it like the
-    // gross total.
+    // the adjudicated headline (r14 verdict #7, convention fixed per
+    // r15 verdict #7): the suite total with each retimed query's
+    // in-suite median replaced by min(in-suite median, solo retime).
+    // Both numbers are medians-of-3 of the same work, so the smaller
+    // is the less-contended measurement — r15's retime phase ran
+    // HOTTER than the suite (lang_id_learned 5.3 in-suite vs 18.5
+    // retimed) and the old always-prefer-the-retime rule published
+    // the inflated number. The old convention is kept alongside as
+    // value_adjusted_retime so round-over-round rows stay comparable.
+    // Any -1 (suite or retime) poisons both, like the gross total.
     val valueAdjusted =
+      if (total < 0 || retimed.exists(_._2 < 0)) -1.0
+      else total - retimeSet.map(_._2).sum +
+        retimeSet.zip(retimed).map { case ((_, m), (_, r)) => math.min(m, r) }.sum
+    val valueAdjustedRetime =
       if (total < 0 || retimed.exists(_._2 < 0)) -1.0
       else total - retimeSet.map(_._2).sum + retimed.map(_._2).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec"""" +
       s""","value_adjusted":${r3(valueAdjusted)}""" +
+      s""","value_adjusted_retime":${r3(valueAdjustedRetime)}""" +
       s""","repeats":$Repeats,"n_queries":${results.size}""" +
       s""","queries":${jsonMap(top20)}""" +
       s""","queries_retimed":${jsonMap(retimed)}""" +
